@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet fixtures (TESTDATA.md /
+  * FIXTURES.md). One call per table; Catalyst prunes columns and pushes
+  * predicates into the parquet scan, so these are plain `spark.read`s —
+  * no caching layer needed (re-reads are scan-pruned).
+  *
+  * Analog of the reference's array ingest normalization
+  * (reference ccog/ccog.py:936) — here the "chunked array" is a
+  * column-pruned parquet scan.
+  */
+object Fixtures {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default.
+    * Read it as a raw Long (legacy conf) and truncate to µs — integer
+    * `div` so the ~1.7e18 ns epoch never routes through a double
+    * (2^53 ≈ 9e15 would lose hundreds of ns). DuckDB truncates ns→µs on
+    * read the same way, so the oracle sees identical values. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+
+/** Aggregation surface (SURVEY.md §2.2 agg rows).
+  *
+  * Determinism strategy for the DuckDB differential oracle:
+  *   - money columns (2-decimal doubles) are cast to DECIMAL(18,2) before
+  *     summing, making the sum EXACT and order-independent in both engines;
+  *     the final value is cast back to DOUBLE (deterministic conversion).
+  *   - integer-valued doubles (quantity) sum exactly in double (< 2^53).
+  *   - genuinely-float aggregates (avg/stddev) are ROUND(x, 4) — their
+  *     accumulated error is ~1e-12, far below the rounding grid.
+  *   - every query ends with a total-order ORDER BY on a unique key.
+  *
+  * Reference analog: the masked per-band statistics aggregation
+  * (reference ccog/ccog.py:511-541) — partial+final tree agg over chunks,
+  * which Spark's two-phase hash aggregate does natively.
+  */
+object AggQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1 shape — flagship (SURVEY.md §7.2). */
+  def aggPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("2000-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(sum(dec($"l_extendedprice")).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Masked/conditional aggregation — per-band-style stats with a nodata
+    * sentinel, the direct analog of `fullmask = (arr==nodata) | ~mask`
+    * (reference ccog/ccog.py:534-541). "Band" = event_type; nodata
+    * sentinel = value < 1.0; validity mask = user_id % 10 != 0. */
+  def aggMasked(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val valid = ($"value" >= 1.0) && ($"user_id" % 10 =!= 0)
+    Fixtures.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        round(min(when(valid, $"value")), 4).as("v_min"),
+        round(max(when(valid, $"value")), 4).as("v_max"),
+        round(avg(when(valid, $"value")), 4).as("v_avg"),
+        round(stddev_pop(when(valid, $"value")), 4).as("v_std"),
+        round(lit(100.0) * avg(when(valid, 1.0).otherwise(0.0)), 4).as("valid_pct"))
+      .orderBy($"event_type")
+  }
+
+  val aggMaskedSql: String =
+    """SELECT event_type,
+      |  round(min(CASE WHEN value >= 1.0 AND user_id % 10 <> 0 THEN value END), 4) AS v_min,
+      |  round(max(CASE WHEN value >= 1.0 AND user_id % 10 <> 0 THEN value END), 4) AS v_max,
+      |  round(avg(CASE WHEN value >= 1.0 AND user_id % 10 <> 0 THEN value END), 4) AS v_avg,
+      |  round(stddev_pop(CASE WHEN value >= 1.0 AND user_id % 10 <> 0 THEN value END), 4) AS v_std,
+      |  round(100.0 * avg(CASE WHEN value >= 1.0 AND user_id % 10 <> 0 THEN 1.0 ELSE 0.0 END), 4) AS valid_pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** COUNT(DISTINCT) — expands to a two-phase distinct aggregate. */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val aggDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** ROLLUP over (nation, order-year) revenue. GROUPING() keys make the
+    * null super-aggregate rows order-deterministically. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Fixtures.orders(spark, sfDir)
+    val c = Fixtures.customer(spark, sfDir)
+    val n = Fixtures.nation(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("o_year", year($"o_orderdate"))
+      .rollup($"n_name", $"o_year")
+      .agg(
+        grouping($"n_name").cast("int").as("g_nation"),
+        grouping($"o_year").cast("int").as("g_year"),
+        sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        $"g_nation", $"g_year",
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        coalesce($"o_year", lit(-1)).as("o_year"),
+        $"revenue", $"n_orders")
+      .orderBy($"g_nation", $"g_year", $"nation", $"o_year")
+  }
+
+  val aggRollupSql: String =
+    """SELECT
+      |  CAST(grouping(n_name) AS INT) AS g_nation,
+      |  CAST(grouping(o_year) AS INT) AS g_year,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  coalesce(o_year, -1) AS o_year,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |) GROUP BY ROLLUP (n_name, o_year)
+      |ORDER BY g_nation, g_year, nation, o_year""".stripMargin
+
+  /** Approximate distinct (HLL++) — NATIVE: approx values cannot
+    * hash-match DuckDB's different sketch. Checked by invariant spec. */
+  def aggApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing" -> (aggPricing _),
+    "q_agg_masked" -> (aggMasked _),
+    "q_agg_distinct" -> (aggDistinct _),
+    "q_agg_rollup" -> (aggRollup _),
+    "q_agg_approx" -> (aggApprox _))
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing" -> aggPricingSql,
+    "q_agg_masked" -> aggMaskedSql,
+    "q_agg_distinct" -> aggDistinctSql,
+    "q_agg_rollup" -> aggRollupSql)
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB differential check.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
+matching SQL from oracle_sql.json in DuckDB with views over the sfDir
+parquet tables, sorts columns by name, and compares row-by-row values.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    # exact comparison — stricter than the driver's value hash, so a PASS
+    # here implies a driver PASS; ROUND(x,4) in both SQL texts is what
+    # makes float aggregates bit-identical across engines.
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{files[0]}'")
+            want = con.sql(sql)
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        gcols = sorted(got.columns)
+        wcols = sorted(want.columns)
+        if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
+            print(f"FAIL {name}: schema mismatch spark={gcols} duckdb={wcols}")
+            n_fail += 1
+            continue
+        grows = [tuple(norm(v) for v in r) for r in
+                 con.sql(f"SELECT {', '.join(gcols)} FROM got").fetchall()]
+        con.register("want_rel", want)
+        wrows = [tuple(norm(v) for v in r) for r in
+                 con.sql(f"SELECT {', '.join(wcols)} FROM want").fetchall()]
+        if len(grows) != len(wrows):
+            print(f"FAIL {name}: rows spark={len(grows)} duckdb={len(wrows)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(grows, wrows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)} differing rows; first at {i}:\n  spark={a}\n  duck ={b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(grows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
