@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AggQueries.queries
+    ScanQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
+      WindowQueries.queries ++ ScalarQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AggQueries.oracle
+    ScanQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
+      WindowQueries.oracle ++ ScalarQueries.oracle ++ PipelineQueries.oracle
 }

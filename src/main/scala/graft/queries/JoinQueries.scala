@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Fixtures
+
+/** Join surface (SURVEY.md §2.2 join rows).
+  *
+  * Scale notes (the point of each shape at 100 TB):
+  *  - broadcast: dims (part/nation) stay broadcast-able at any fact scale;
+  *    `broadcast()` hint pins the strategy so no sort-merge shuffle of the
+  *    fact side ever happens.
+  *  - 3-way: fact-fact joins shuffle on their keys once; Catalyst orders
+  *    the joins and AQE handles skew at runtime.
+  *  - range: banded equi-join (explode to band keys) turns an O(n²) theta
+  *    join into a shuffle join — the same trick as the reference's halo
+  *    neighbor-key join (reference ccog/ccog.py:614-616).
+  *  - as-of: union + ordered window (single shuffle on user key), never a
+  *    per-row backward scan.
+  */
+object JoinQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Broadcast hash join: lineitem ⋈ tiny part dim, revenue per brand. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Fixtures.lineitem(spark, sfDir)
+    val p = Fixtures.part(spark, sfDir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+      .groupBy($"p_brand")
+      .agg(
+        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
+  val joinBroadcastSql: String =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q3 shape: 3-way shuffle join + agg + top-k. */
+  def join3way(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Fixtures.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+    val o = Fixtures.orders(spark, sfDir)
+    val li = Fixtures.lineitem(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  val join3waySql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Left outer join with null accounting (zip_longest analog,
+    * reference ccog/ccog.py:187,711): orders ⟕ high-quantity lineitems. */
+  def joinLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Fixtures.orders(spark, sfDir)
+    val big = Fixtures.lineitem(spark, sfDir).filter($"l_quantity" >= 45)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"l_orderkey").as("n_matched"),
+        sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinLeftSql: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  count(l_orderkey) AS n_matched,
+      |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+      |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45) li
+      |  ON o_orderkey = li.l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left semi: customers that have at least one urgent order. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Fixtures.customer(spark, sfDir)
+    val urgent = Fixtures.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left anti: customers with no orders at all (skip-empty analog,
+    * reference ccog/aws_tools.py:139-143). */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Fixtures.customer(spark, sfDir)
+    val o = Fixtures.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Bounded-inequality (range) self-join, banded to an equi-join:
+    * pairs of same-type events with |v1-v2| < eps. Each left row is
+    * exploded to its band and band+1 so every qualifying pair meets in
+    * exactly one shuffle bucket — the neighbor-key trick of the halo
+    * join (reference ccog/ccog.py:614-616). Output is aggregated so the
+    * result stays small at every SF. */
+  def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 0.02
+    val e = Fixtures.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+    val lhs = e
+      .withColumn("band", explode(array(
+        floor($"value" / eps) - 1, floor($"value" / eps), floor($"value" / eps) + 1)))
+      .select($"event_id".as("id1"), $"event_type".as("t1"), $"value".as("v1"), $"band")
+    val rhs = e
+      .withColumn("band", floor($"value" / eps))
+      .select($"event_id".as("id2"), $"event_type".as("t2"), $"value".as("v2"), $"band")
+    lhs.join(rhs, Seq("band"))
+      .filter($"t1" === $"t2" && $"id1" < $"id2" && abs($"v1" - $"v2") < eps)
+      .groupBy($"t1".as("event_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(abs($"v1" - $"v2")), 4).as("sum_absdiff"))
+      .orderBy($"event_type")
+  }
+
+  val joinRangeSql: String =
+    """SELECT a.event_type AS event_type, count(*) AS n_pairs,
+      |  round(sum(abs(a.value - b.value)), 4) AS sum_absdiff
+      |FROM events a JOIN events b
+      |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+      | AND abs(a.value - b.value) < 0.02
+      |GROUP BY a.event_type ORDER BY event_type""".stripMargin
+
+  /** As-of join: for every click, the value of the same user's latest
+    * view at-or-before the click. Spark-first plan: union both sides,
+    * one window over (user, ts) carrying the last view forward — a
+    * single shuffle, no per-row backward scan (contrast the reference's
+    * runtime merge tree, ccog/aws_tools.py:201-218). Views sort before
+    * clicks at equal ts to match ASOF's <= semantics. */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Fixtures.events(spark, sfDir)
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"ts", lit(0).as("is_click"), lit(null).cast("long").as("click_id"), $"value".as("view_value"))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(1).as("is_click"), $"event_id".as("click_id"), lit(null).cast("double").as("view_value"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_click")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("asof_view_value", last($"view_value", ignoreNulls = true).over(w))
+      .filter($"is_click" === 1)
+      .select($"click_id".as("event_id"), $"user_id",
+        round($"asof_view_value", 4).as("prior_view_value"))
+      .orderBy($"event_id")
+  }
+
+  val joinAsofSql: String =
+    """SELECT c.event_id AS event_id, c.user_id AS user_id,
+      |  round(v.value, 4) AS prior_view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_broadcast" -> (joinBroadcast _),
+    "q_join_3way" -> (join3way _),
+    "q_join_left" -> (joinLeft _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_anti" -> (joinAnti _),
+    "q_join_range" -> (joinRange _),
+    "q_join_asof" -> (joinAsof _))
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" -> joinBroadcastSql,
+    "q_join_3way" -> join3waySql,
+    "q_join_left" -> joinLeftSql,
+    "q_join_semi" -> joinSemiSql,
+    "q_join_anti" -> joinAntiSql,
+    "q_join_range" -> joinRangeSql,
+    "q_join_asof" -> joinAsofSql)
+}

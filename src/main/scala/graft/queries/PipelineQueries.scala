@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+
+/** LLM-training-data pipeline operators over documents/embeddings
+  * (SURVEY.md §2.2 dedup/similarity/text rows). ORACLE-checkable subset;
+  * the hash-seeded variants (minhash/simhash/LSH) live in
+  * graft.text/graft.similarity and surface as NATIVE queries.
+  *
+  * Scale design: exact dedup is a hash groupBy (one shuffle on the
+  * normalized-text hash); brute-force top-k is a broadcast of the single
+  * query vector; the n-gram Jaccard join shuffles on shingle — all
+  * shapes that survive a 1000-executor fan-out unchanged. */
+object PipelineQueries {
+
+  /** Exact dedup on normalized text. Deterministic representative
+    * (min doc_id) rather than dropDuplicates' arbitrary row. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .withColumn("norm", lower(trim($"text")))
+      .groupBy(md5($"norm").as("text_md5"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(trim(text))) AS text_md5,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Exact n-gram (word trigram) Jaccard near-dup pairs — the
+    * hash-free oracle for the MinHash path: J(a,b) >= 0.35 on distinct
+    * shingle sets. Shuffle key = shingle, so the join is equi at scale. */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", split(lower(trim($"text")), " ").as("w"))
+      .withColumn("sh", expr(
+        // sequence(1, 0) would yield a DESCENDING [1, 0] in Spark, so
+        // short texts (<3 words) need an explicit empty-array branch.
+        "IF(size(w) >= 3, array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))), array())"))
+    val sizes = docs.select($"doc_id", size($"sh").as("n_sh"))
+    val pairs = docs.select($"doc_id".as("id_a"), explode($"sh").as("shingle"))
+      .join(docs.select($"doc_id".as("id_b"), explode($"sh").as("shingle")), Seq("shingle"))
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard", round($"n_common".cast("double") /
+        ($"n_a" + $"n_b" - $"n_common"), 4))
+      .filter($"jaccard" >= 0.35)
+      .select($"id_a", $"id_b", $"n_common", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val dedupNgramSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(lower(trim(text)), ' ')) - 1, 1)),
+      |    i -> string_split(lower(trim(text)), ' ')[i] || ' ' ||
+      |         string_split(lower(trim(text)), ' ')[i+1] || ' ' ||
+      |         string_split(lower(trim(text)), ' ')[i+2])) AS shingles
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common,
+      |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force cosine top-k: 5 nearest neighbors of vec_id 0. The
+    * single query vector joins via broadcast (crossJoin of a 1-row df);
+    * at scale this is the exact-rerank baseline under the IVF path. */
+  def simTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Fixtures.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .withColumn("dot", expr(
+        "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("na", expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("cosine", round($"dot" / ($"na" * $"nb"), 4))
+      .select($"vec_id", $"cosine")
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(5)
+  }
+
+  val simTopkSql: String =
+    """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(
+      |    list_sum(list_transform(list_zip(embedding, q_emb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin
+
+  /** Token frequency over documents (split → explode → count). */
+  def textTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .select(explode(split(lower($"text"), " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy($"tf".desc, $"token")
+      .limit(50)
+  }
+
+  val textTokensSql: String =
+    """SELECT token, count(*) AS tf FROM (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      |WHERE length(token) > 0
+      |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_ngram" -> (dedupNgram _),
+    "q_sim_topk" -> (simTopk _),
+    "q_text_tokens" -> (textTokens _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_ngram" -> dedupNgramSql,
+    "q_sim_topk" -> simTopkSql,
+    "q_text_tokens" -> textTokensSql)
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+
+/** Scalar-function surface: string / date / math / array / json
+  * (SURVEY.md §2.2). All codegen'd `functions._` built-ins — no UDFs.
+  * String normalization analog: reference ccog/ccog.py:878-884; math
+  * exprs analog: the stats/rms kernels (ccog/ccog.py:540). */
+object ScalarQueries {
+
+  def scalarString(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.part(spark, sfDir)
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("name_up"),
+        substring($"p_name", 1, 8).as("name_pre"),
+        concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+        when($"p_name".like("%gold%"), 1).otherwise(0).as("is_gold"),
+        length($"p_name").as("name_len"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("name_novowel"))
+      .orderBy($"p_partkey")
+  }
+
+  val scalarStringSql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_up,
+      |  substring(p_name, 1, 8) AS name_pre,
+      |  p_brand || ':' || p_type AS brand_type,
+      |  CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS is_gold,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  def scalarDate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.orders(spark, sfDir)
+      .filter($"o_orderkey" % 10 === 0)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("o_year"),
+        month($"o_orderdate").as("o_month"),
+        dayofmonth($"o_orderdate").as("o_day"),
+        quarter($"o_orderdate").as("o_quarter"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_2002"))
+      .orderBy($"o_orderkey")
+  }
+
+  val scalarDateSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(month(o_orderdate) AS INT) AS o_month,
+      |  CAST(day(o_orderdate) AS INT) AS o_day,
+      |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+      |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin
+
+  def scalarMath(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.lineitem(spark, sfDir)
+      .filter($"l_orderkey" % 50 === 0)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round(sqrt($"l_quantity"), 4).as("sqrt_qty"),
+        round(pow($"l_discount" + 1.0, 2), 4).as("pow_disc"),
+        round(abs($"l_tax" - 0.05), 4).as("abs_tax"),
+        round(log($"l_extendedprice"), 4).as("ln_price"),
+        floor($"l_extendedprice" / 1000).as("price_k"),
+        (($"l_quantity".cast("long") * 7) % 13).as("qmod"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val scalarMathSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(sqrt(l_quantity), 4) AS sqrt_qty,
+      |  round(pow(l_discount + 1.0, 2), 4) AS pow_disc,
+      |  round(abs(l_tax - 0.05), 4) AS abs_tax,
+      |  round(ln(l_extendedprice), 4) AS ln_price,
+      |  floor(l_extendedprice / 1000) AS price_k,
+      |  (CAST(l_quantity AS BIGINT) * 7) % 13 AS qmod
+      |FROM lineitem WHERE l_orderkey % 50 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** ArrayType + higher-order functions over the embedding column —
+    * the per-band-list analog (reference ccog/ccog.py:221-235). The
+    * fold runs left-to-right in both engines, so the double sums are
+    * bit-identical. */
+  def scalarArray(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.embeddings(spark, sfDir)
+      .select(
+        $"vec_id", $"label",
+        size($"embedding").as("dim"),
+        round(element_at($"embedding", 1).cast("double"), 4).as("e1"),
+        round(expr("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"), 4).as("norm"),
+        round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("sum_el"),
+        expr("aggregate(embedding, 0, (acc, x) -> acc + IF(x > 0, 1, 0))").as("n_pos"))
+      .orderBy($"vec_id")
+  }
+
+  val scalarArraySql: String =
+    """SELECT vec_id, label,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+      |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
+      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_el,
+      |  CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS INT) AS n_pos
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** JSON + map extraction over events.props (tags-dict analog,
+    * reference ccog/ccog.py:216-219). */
+  def scalarJson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n_k"),
+        sum($"k".cast("long")).as("sum_k"),
+        round(avg($"k"), 4).as("avg_k"),
+        sum(when($"k" > 50, 1L).otherwise(0L)).as("n_big"))
+      .orderBy($"event_type")
+  }
+
+  val scalarJsonSql: String =
+    """SELECT event_type,
+      |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+      |  sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 ELSE 0 END) AS n_big
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_string" -> (scalarString _),
+    "q_scalar_date" -> (scalarDate _),
+    "q_scalar_math" -> (scalarMath _),
+    "q_scalar_array" -> (scalarArray _),
+    "q_scalar_json" -> (scalarJson _))
+
+  val oracle: Map[String, String] = Map(
+    "q_scalar_string" -> scalarStringSql,
+    "q_scalar_date" -> scalarDateSql,
+    "q_scalar_math" -> scalarMathSql,
+    "q_scalar_array" -> scalarArraySql,
+    "q_scalar_json" -> scalarJsonSql)
+}

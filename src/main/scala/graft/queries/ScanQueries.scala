@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+
+/** Scan / projection / filter / sort / set-op surface (SURVEY.md §2.2).
+  * All plain Catalyst built-ins: column pruning and predicate pushdown
+  * reach the parquet scan (verified via .explain PushedFilters /
+  * ReadSchema in ScanSpec). Sparse-tile-elision analog:
+  * reference ccog/ccog.py:443 (filter before pack). */
+object ScanQueries {
+
+  /** Projection + selective filter — ReadSchema must be 3 columns and
+    * the l_orderkey predicate must appear in PushedFilters. */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .filter($"l_orderkey" % 100 === 0)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val scanProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey % 100 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Compound pushdown-eligible predicates (timestamp + between). */
+  def filterPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.lineitem(spark, sfDir)
+      .filter($"l_shipdate" < lit("1996-03-15").cast("timestamp") &&
+        $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val filterPushdownSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-03-15 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Top-k: orderBy+limit compiles to TakeOrderedAndProject — no full
+    * sort, per-partition heaps + driver merge (scales to any input).
+    * Analog of the ordered parts sort, reference ccog/aws_tools.py:158. */
+  def topk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .limit(10)
+  }
+
+  val topkSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 10""".stripMargin
+
+  /** UNION ALL / INTERSECT / EXCEPT with a tag column.
+    * Analog of the ordered parts flatten (reference ccog/ccog.py:665). */
+  def setops(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val custKeys = Fixtures.customer(spark, sfDir).select($"c_custkey".as("k"))
+    val orderCust = Fixtures.orders(spark, sfDir).select($"o_custkey".as("k"))
+    val both = custKeys.intersect(orderCust).withColumn("tag", lit("both"))
+    val noOrders = custKeys.except(orderCust).withColumn("tag", lit("no_orders"))
+    both.unionAll(noOrders).orderBy($"tag", $"k")
+  }
+
+  val setopsSql: String =
+    """SELECT k, 'both' AS tag FROM
+      |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders)
+      |UNION ALL
+      |SELECT k, 'no_orders' AS tag FROM
+      |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders)
+      |ORDER BY tag, k""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> (scanProject _),
+    "q_filter_pushdown" -> (filterPushdown _),
+    "q_topk" -> (topk _),
+    "q_setops" -> (setops _))
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" -> scanProjectSql,
+    "q_filter_pushdown" -> filterPushdownSql,
+    "q_topk" -> topkSql,
+    "q_setops" -> setopsSql)
+}

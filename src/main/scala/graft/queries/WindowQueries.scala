@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Fixtures
+
+/** Window-function surface + batch forms of the streaming time windows
+  * (SURVEY.md §2.2). The time-window expressions are streaming-compatible
+  * by construction: the same `window()` / `session_window()` exprs run
+  * under `readStream` + `withWatermark` (exercised in StreamingSpec).
+  *
+  * q_win_prefix is the engine form of the reference's global byte-offset
+  * prefix sum (reference ccog/ccog.py:744-757): sum over
+  * rowsBetween(unboundedPreceding, -1).
+  *
+  * Window-start outputs are formatted as strings (second granularity) so
+  * the µs-truncated Spark timestamps and DuckDB's ns timestamps can never
+  * diverge in the hash compare.
+  */
+object WindowQueries {
+
+  private val fmtS = "yyyy-MM-dd HH:mm:ss"
+
+  /** Ranking: top-3 orders per customer by totalprice (unique tiebreak). */
+  def winRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Fixtures.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val winRankSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** lag/lead analytics: per-user event value deltas. */
+  def winLag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Fixtures.events(spark, sfDir)
+      .withColumn("delta", round($"value" - lag($"value", 1).over(w), 4))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .select($"user_id", $"event_id", $"delta", $"next_type")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winLagSql: String =
+    """SELECT user_id, event_id,
+      |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Running prefix sum, frame rowsBetween(unboundedPreceding, -1) —
+    * exactly the reference's offset assignment (ccog/ccog.py:744-757).
+    * DECIMAL accumulation keeps the running sum exact at any SF. */
+  def winPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Fixtures.orders(spark, sfDir)
+      .withColumn("prior_spend",
+        sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"prior_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val winPrefixSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE) AS prior_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Tumbling 5-minute window counts per event type. */
+  def streamTumble(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.events(spark, sfDir)
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format($"w.start", fmtS).as("w_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  val streamTumbleSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** Sliding window: 10 minutes every 5 — each event lands in exactly
+    * two windows; the oracle reproduces that with a two-bucket union. */
+  def streamSlide(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.events(spark, sfDir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format($"w.start", fmtS).as("w_start"), $"n", $"sum_value")
+      .orderBy($"w_start")
+  }
+
+  val streamSlideSql: String =
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS w, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE, value FROM events)
+      |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS w_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM b GROUP BY w ORDER BY w_start""".stripMargin
+
+  /** Session windows, 30-minute gap, per user. Spark merges events whose
+    * gap is strictly < the duration; the oracle is the classic
+    * gaps-and-islands rewrite with the same strict inequality. */
+  def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.events(spark, sfDir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", date_format($"w.start", fmtS).as("session_start"), $"n")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val streamSessionSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g AS (SELECT user_id, ts,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE
+      |       THEN 0 ELSE 1 END AS new_s FROM e),
+      |s AS (SELECT user_id, ts,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, count(*) AS n
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> (winRank _),
+    "q_win_lag" -> (winLag _),
+    "q_win_prefix" -> (winPrefix _),
+    "q_stream_tumble" -> (streamTumble _),
+    "q_stream_slide" -> (streamSlide _),
+    "q_stream_session" -> (streamSession _))
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" -> winRankSql,
+    "q_win_lag" -> winLagSql,
+    "q_win_prefix" -> winPrefixSql,
+    "q_stream_tumble" -> streamTumbleSql,
+    "q_stream_slide" -> streamSlideSql,
+    "q_stream_session" -> streamSessionSql)
+}
