@@ -22,15 +22,20 @@ object Fixtures {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default.
-    * Read it as a raw Long (legacy conf) and truncate to µs — integer
+    * Read it as a raw Long (legacy conf, set at session build time via
+    * [[configure]] — readers stay pure) and truncate to µs — integer
     * `div` so the ~1.7e18 ns epoch never routes through a double
     * (2^53 ≈ 9e15 would lose hundreds of ns). DuckDB truncates ns→µs on
     * read the same way, so the oracle sees identical values. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+
+  /** Session-level confs every graft session needs; call on the builder
+    * (Verify / Bench / test sessions) so readers have no side effects. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -140,7 +140,8 @@ object AggQueries {
       |ORDER BY g_nation, g_year, nation, o_year""".stripMargin
 
   /** Approximate distinct (HLL++) — NATIVE: approx values cannot
-    * hash-match DuckDB's different sketch. Checked by invariant spec. */
+    * hash-match DuckDB's different sketch. ApproxSpec asserts the
+    * per-group estimate lands within 5% of the exact distinct count. */
   def aggApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Fixtures.events(spark, sfDir)

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.Fixtures
 
 /** LLM-training-data pipeline operators over documents/embeddings
-  * (SURVEY.md §2.2 dedup/similarity/text rows). ORACLE-checkable subset;
-  * the hash-seeded variants (minhash/simhash/LSH) live in
-  * graft.text/graft.similarity and surface as NATIVE queries.
+  * (SURVEY.md §2.2 dedup/similarity/text rows) — the ORACLE-checkable
+  * subset. The hash-seeded MinHash-LSH near-dedup is NATIVE and lives
+  * in graft.text (q_dedup_minhash); q_dedup_ngram below is its exact
+  * small-SF oracle.
   *
   * Scale design: exact dedup is a hash groupBy (one shuffle on the
   * normalized-text hash); brute-force top-k is a broadcast of the single
@@ -31,9 +32,17 @@ object PipelineQueries {
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Max shingle document frequency: trigrams appearing in more docs
+    * than this are boilerplate and are dropped from the Jaccard universe
+    * on BOTH engines. This is what bounds the pair blow-up: pair work is
+    * Σ df² over shingles, so capping df caps the quadratic term — the
+    * standard stop-shingle trick for near-dup mining at corpus scale. */
+  val NgramDfCap = 100
+
   /** Exact n-gram (word trigram) Jaccard near-dup pairs — the
     * hash-free oracle for the MinHash path: J(a,b) >= 0.35 on distinct
-    * shingle sets. Shuffle key = shingle, so the join is equi at scale. */
+    * shingle sets with df <= NgramDfCap. Shuffle key = shingle, so the
+    * join is equi at scale, and the df cap bounds every bucket. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Fixtures.documents(spark, sfDir)
@@ -42,18 +51,29 @@ object PipelineQueries {
         // sequence(1, 0) would yield a DESCENDING [1, 0] in Spark, so
         // short texts (<3 words) need an explicit empty-array branch.
         "IF(size(w) >= 3, array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))), array())"))
-    val sizes = docs.select($"doc_id", size($"sh").as("n_sh"))
-    val pairs = docs.select($"doc_id".as("id_a"), explode($"sh").as("shingle"))
-      .join(docs.select($"doc_id".as("id_b"), explode($"sh").as("shingle")), Seq("shingle"))
+    // Exploded (doc, shingle) rows are reused 3× (pairs a/b + sizes):
+    // cache once instead of re-shingling the corpus per use.
+    val ex = docs.select($"doc_id", explode($"sh").as("shingle")).cache()
+    val kept = ex.groupBy($"shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= NgramDfCap)
+      .select($"shingle")
+    val keptEx = ex.join(kept, Seq("shingle")).cache()
+    val sizes = keptEx.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = keptEx.select($"doc_id".as("id_a"), $"shingle")
+      .join(keptEx.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))
       .filter($"id_a" < $"id_b")
       .groupBy($"id_a", $"id_b")
       .agg(count(lit(1)).as("n_common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      // Filter on the UNROUNDED ratio (the oracle does too); round only
+      // in the projected column — a ratio in [0.34995, 0.35) must be
+      // dropped by both engines, not kept by one.
+      .filter($"n_common".cast("double") / ($"n_a" + $"n_b" - $"n_common") >= 0.35)
       .withColumn("jaccard", round($"n_common".cast("double") /
         ($"n_a" + $"n_b" - $"n_common"), 4))
-      .filter($"jaccard" >= 0.35)
       .select($"id_a", $"id_b", $"n_common", $"jaccard")
       .orderBy($"id_a", $"id_b")
   }
@@ -67,10 +87,12 @@ object PipelineQueries {
       |         string_split(lower(trim(text)), ' ')[i+2])) AS shingles
       |  FROM documents),
       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+      |kept AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100),
+      |kx AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN kept USING (shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kx GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM kx a JOIN kx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b, n_common,
       |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
@@ -86,15 +108,17 @@ object PipelineQueries {
   def simTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Fixtures.embeddings(spark, sfDir)
+    // The query vector's norm is a constant: compute it once inside the
+    // 1-row broadcast side, not per scanned row.
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
     emb.crossJoin(broadcast(q))
       .filter($"vec_id" =!= 0)
       .withColumn("dot", expr(
         "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
       .withColumn("na", expr(
         "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
       .withColumn("cosine", round($"dot" / ($"na" * $"nb"), 4))
       .select($"vec_id", $"cosine")
       .orderBy($"cosine".desc, $"vec_id")

@@ -80,7 +80,7 @@ object ScalarQueries {
       |  round(pow(l_discount + 1.0, 2), 4) AS pow_disc,
       |  round(abs(l_tax - 0.05), 4) AS abs_tax,
       |  round(ln(l_extendedprice), 4) AS ln_price,
-      |  floor(l_extendedprice / 1000) AS price_k,
+      |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
       |  (CAST(l_quantity AS BIGINT) * 7) % 13 AS qmod
       |FROM lineitem WHERE l_orderkey % 50 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin
 
@@ -128,9 +128,9 @@ object ScalarQueries {
   val scalarJsonSql: String =
     """SELECT event_type,
       |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
-      |  sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 ELSE 0 END) AS n_big
+      |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -78,14 +78,21 @@ object WindowQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE) AS prior_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** The tumbling-window aggregation applied to any events-shaped DF
+    * (ts/event_type/value). Shared verbatim by the batch ORACLE query
+    * below and the Structured Streaming path (StreamingSpec runs it over
+    * a MemoryStream with a watermark) — same exprs, both engines. */
+  def tumbleAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), fmtS).as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Tumbling 5-minute window counts per event type. */
   def streamTumble(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Fixtures.events(spark, sfDir)
-      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(date_format($"w.start", fmtS).as("w_start"), $"event_type", $"n", $"sum_value")
+    tumbleAgg(Fixtures.events(spark, sfDir))
       .orderBy($"w_start", $"event_type")
   }
 

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.AggQueries
+
+/** Invariant check for the NATIVE q_agg_approx (HLL++ sketches can't
+  * hash-match a DuckDB oracle): per-group approx_count_distinct at
+  * rsd=0.01 must land within 5% of the exact distinct count. */
+class ApproxSpec extends SparkSpec {
+  test("approx_count_distinct within 5% of exact per event_type") {
+    import spark.implicits._
+    val approx = AggQueries.aggApprox(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Fixtures.events(spark, sfDir)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"$k: approx=$a exact=$e (> 5% off)")
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.queries.ScanQueries
+
+/** Plan-shape assertions: column pruning and predicate pushdown must
+  * reach the parquet scan (the FileScan leaf's ReadSchema/PushedFilters),
+  * per the SURVEY §2.2 scan rows. These are the checks the ScanQueries
+  * Scaladoc promises. */
+class ScanSpec extends SparkSpec {
+
+  private def scanLine(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+
+  test("q_scan_project prunes to exactly 3 columns at the scan") {
+    val s = scanLine(ScanQueries.scanProject(spark, sfDir))
+    assert(s.contains("ReadSchema"), s)
+    // the scan must not read any column beyond the projected three
+    val read = s.split("ReadSchema:")(1)
+    for (c <- Seq("l_orderkey", "l_linenumber", "l_quantity"))
+      assert(read.contains(c), s"missing $c in ReadSchema: $read")
+    for (c <- Seq("l_extendedprice", "l_shipdate", "l_discount", "l_comment"))
+      assert(!read.contains(c), s"unpruned column $c at the scan: $read")
+  }
+
+  test("q_filter_pushdown pushes the shipdate/discount/quantity predicates") {
+    val s = scanLine(ScanQueries.filterPushdown(spark, sfDir))
+    assert(s.contains("PushedFilters"), s)
+    val pushed = s.split("PushedFilters:")(1).split("ReadSchema")(0)
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"predicate on $c not pushed: $pushed")
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = ScanQueries.topk(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

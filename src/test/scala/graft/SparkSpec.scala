@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared ScalaTest base: one local session per JVM (getOrCreate —
+  * suites run in the forked test JVM sequentially), sf0.001 fixtures. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = Fixtures.configure(
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+}

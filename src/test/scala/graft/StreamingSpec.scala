@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.queries.WindowQueries
+
+/** The time-window exprs are streaming-compatible by construction
+  * (SURVEY §1.4): this runs the SAME tumbleAgg used by the batch ORACLE
+  * query over a MemoryStream with a watermark and asserts the streamed
+  * result equals the batch result on identical rows. */
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  test("tumbleAgg under Structured Streaming == batch on same rows") {
+    val sparkS = spark
+    import sparkS.implicits._
+
+    val base = 1700000000000L // fixed epoch millis
+    val rows = (0 until 240).map { i =>
+      Ev(new Timestamp(base + i * 61000L), if (i % 3 == 0) "click" else "view",
+        (i % 17) + 0.25)
+    }
+
+    val batch = WindowQueries.tumbleAgg(rows.toDF())
+      .orderBy($"w_start", $"event_type").collect().toSeq
+
+    implicit val sqlCtx = sparkS.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = WindowQueries.tumbleAgg(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+    val q = streamed.writeStream
+      .format("memory").queryName("tumble_out").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(120): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(120): _*)
+      q.processAllAvailable()
+      val got = sparkS.table("tumble_out")
+        .orderBy($"w_start", $"event_type").collect().toSeq
+      assert(got == batch,
+        s"streamed ${got.size} rows != batch ${batch.size} rows")
+    } finally q.stop()
+  }
+}
