@@ -1,0 +1,187 @@
+package graft.raster
+
+import org.apache.spark.sql.Dataset
+
+/** Halo (stencil) exchange — the engine form of the reference's
+  * dask overlap step (reference ccog/ccog.py:614-616; widths per kernel
+  * ccog/ccog.py:43-53). Wide resampling kernels read up to `k` source
+  * pixels beyond the 2×2 block, so each tile needs a k-px border from
+  * its 8 neighbors before downsampling.
+  *
+  * Spark-first shape: a `flatMap` emits each tile once whole (to its own
+  * key) plus up to 8 edge strips (each ≤ k·blockSize px, addressed to
+  * the neighbor's key), and ONE `groupByKey` reassembles the padded
+  * tiles — a single shuffle whose payload is the strips only
+  * (≈ 8k/blockSize of the raster volume, e.g. 1.6% at k=2, bs=256),
+  * never a replication of whole tiles.
+  *
+  * Raster-border sides have no neighbor: those padded cells stay
+  * mask=0 and the kernel renormalizes over the weights that exist —
+  * the engine-native analog of the reference's `None` border slices
+  * (ccog/ccog.py:503-508).
+  */
+object HaloExchange {
+
+  /** One piece of a padded tile: `slot` = (dy+1)*3+(dx+1) names which
+    * neighbor direction the piece fills (4 = the tile itself). */
+  case class Piece(level: Int, ty: Int, tx: Int, slot: Int,
+      h: Int, w: Int, pixels: Array[Double], mask: Array[Byte])
+
+  /** Copy the rectangle [y0,y0+ph)×[x0,x0+pw) out of tile t. */
+  private def crop(t: Tile, y0: Int, x0: Int, ph: Int, pw: Int): (Array[Double], Array[Byte]) = {
+    val px = new Array[Double](ph * pw)
+    val mk = if (t.mask == null) null else new Array[Byte](ph * pw)
+    var y = 0
+    while (y < ph) {
+      var x = 0
+      while (x < pw) {
+        val si = (y0 + y) * t.w + (x0 + x)
+        px(y * pw + x) = t.pixels(si)
+        if (mk != null) mk(y * pw + x) = t.mask(si)
+        x += 1
+      }
+      y += 1
+    }
+    (px, mk)
+  }
+
+  /** Padded tiles: (h+2k)×(w+2k) arrays; `mask` is authoritative for
+    * availability (0 = no data there: border-of-raster or invalid). */
+  def padded(tiles: Dataset[Tile], profile: RasterProfile, k: Int): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val nodata = profile.nodata
+
+    val pieces = tiles.flatMap { t =>
+      val (gw, gh) = profile.gridDims(t.level)
+      val out = Seq.newBuilder[Piece]
+      out += Piece(t.level, t.ty, t.tx, 4, t.h, t.w, t.pixels,
+        if (t.mask == null) Array.fill[Byte](t.h * t.w)(1) else t.mask)
+      var dy = -1
+      while (dy <= 1) {
+        var dx = -1
+        while (dx <= 1) {
+          if ((dy != 0 || dx != 0)
+              && t.ty + dy >= 0 && t.ty + dy < gh
+              && t.tx + dx >= 0 && t.tx + dx < gw) {
+            // strip of THIS tile adjacent to that neighbor; in the
+            // neighbor's padded frame it fills the OPPOSITE slot
+            val ph = if (dy == 0) t.h else math.min(k, t.h)
+            val pw = if (dx == 0) t.w else math.min(k, t.w)
+            val y0 = if (dy == 1) t.h - ph else 0
+            val x0 = if (dx == 1) t.w - pw else 0
+            val (px, mk) = crop(t, y0, x0, ph, pw)
+            val slot = (-dy + 1) * 3 + (-dx + 1)
+            out += Piece(t.level, t.ty + dy, t.tx + dx, slot, ph, pw, px,
+              if (mk == null) Array.fill[Byte](ph * pw)(1) else mk)
+          }
+          dx += 1
+        }
+        dy += 1
+      }
+      out.result()
+    }
+
+    pieces
+      .groupByKey(p => (p.level, p.ty, p.tx))
+      .mapGroups { (key: (Int, Int, Int), ps: Iterator[Piece]) =>
+        val (level, ty, tx) = key
+        val (th, tw) = profile.tileDims(level, ty, tx)
+        val H = th + 2 * k
+        val W = tw + 2 * k
+        val pixels = new Array[Double](H * W)
+        java.util.Arrays.fill(pixels, nodata)
+        val mask = new Array[Byte](H * W) // 0 = unavailable
+        ps.foreach { p =>
+          val dy = p.slot / 3 - 1 // sender's position relative to this tile
+          val dx = p.slot % 3 - 1
+          // destination origin in the padded frame
+          val oy = if (dy == -1) k - p.h else if (dy == 0) k else k + th
+          val ox = if (dx == -1) k - p.w else if (dx == 0) k else k + tw
+          var y = 0
+          while (y < p.h) {
+            var x = 0
+            while (x < p.w) {
+              val di = (oy + y) * W + (ox + x)
+              pixels(di) = p.pixels(y * p.w + x)
+              mask(di) = p.mask(y * p.w + x)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Tile(level, ty, tx, th, tw, pixels, mask)
+      }
+  }
+
+  /** Halo path of the pyramid step: pad with k, run the wide kernel,
+    * regroup quadrants exactly like the halo-free path. */
+  def nextLevel(tiles: Dataset[Tile], profile: RasterProfile): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val k = Kernels.haloWidth(profile.resampling)
+    require(k > 0, s"${profile.resampling} is halo-free; use Pyramid.nextLevel")
+    val nodata = profile.nodata
+    val kernel = profile.resampling
+    val quads = padded(tiles, profile, k).map { p =>
+      // p: padded tile; p.h/p.w are the UNPADDED dims by construction
+      val (px, mk) = HaloKernels.downsample2x(kernel, p, k, nodata)
+      Quadrant(p.level + 1, p.ty / 2, p.tx / 2, p.ty % 2, p.tx % 2,
+        (p.h + 1) / 2, (p.w + 1) / 2, px, mk)
+    }
+    Pyramid.regroup(quads, profile)
+  }
+}
+
+/** Wide (halo-needing) 2× downsample kernels over PADDED tiles. */
+object HaloKernels {
+
+  /** Bilinear 2×: anti-aliased separable tent filter, support 4×4 in
+    * source space. Output (oy,ox) is centred at source (2oy+.5, 2ox+.5);
+    * row/col taps 2o-1..2o+2 carry weights (.25,.75,.75,.25). Weights of
+    * unavailable taps (masked, nodata, or beyond the raster border) are
+    * dropped and the rest renormalized; all-unavailable → nodata. */
+  def downsample2x(kernel: String, padded: Tile, k: Int, nodata: Double): (Array[Double], Array[Byte]) = {
+    require(kernel == "bilinear", s"unsupported halo kernel $kernel")
+    val h = padded.h
+    val w = padded.w
+    val W = w + 2 * k
+    val oh = (h + 1) / 2
+    val ow = (w + 1) / 2
+    val out = new Array[Double](oh * ow)
+    val omask = new Array[Byte](oh * ow)
+    val wt = Array(0.25, 0.75, 0.75, 0.25)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var sum = 0.0
+        var wsum = 0.0
+        var iy = 0
+        while (iy < 4) {
+          val sy = 2 * oy - 1 + iy
+          var ix = 0
+          while (ix < 4) {
+            val sx = 2 * ox - 1 + ix
+            val pi = (sy + k) * W + (sx + k)
+            // taps can reach k px outside the tile: always inside the
+            // padded array for k >= 1
+            if (padded.mask(pi) != 0 && padded.pixels(pi) != nodata) {
+              val wgt = wt(iy) * wt(ix)
+              sum += wgt * padded.pixels(pi)
+              wsum += wgt
+            }
+            ix += 1
+          }
+          iy += 1
+        }
+        val oi = oy * ow + ox
+        if (wsum == 0.0) { out(oi) = nodata; omask(oi) = 0 }
+        else { out(oi) = sum / wsum; omask(oi) = 1 }
+        ox += 1
+      }
+      oy += 1
+    }
+    (out, omask)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.raster
+
+/** 2× downsampling kernels — engine-native definitions of the
+  * reference's resampling modes (reference ccog/ccog.py:43-53,292-360;
+  * the reference delegates to GDAL C — we define the semantics in plain
+  * Scala per SURVEY §7.4.3 and test against hand-computed goldens):
+  *
+  *  - average: mean of the VALID pixels in each 2×2 source block
+  *    (mask/nodata-weighted, like GDAL average with a mask band).
+  *  - nearest: top-left pixel of the block.
+  *  - mode:    most frequent valid value, lowest-value tie-break.
+  *  - rms:     sqrt(mean(x²)) over valid pixels.
+  *
+  * All four are halo-free (width 0 in the reference's overlap table,
+  * ccog/ccog.py:43-53); bilinear (width 2) lives in [[HaloKernels]].
+  * Output pixel (y,x) draws from source (2y..2y+1, 2x..2x+1), clipped at
+  * the bottom/right edges for odd dims; an output pixel with zero valid
+  * sources is nodata+masked-out. Tight while-loops over primitive
+  * arrays — no boxing, no Row (SURVEY §4.3).
+  */
+object Kernels {
+
+  /** Halo width per kernel — reference ccog/ccog.py:43-53. */
+  val haloWidth: Map[String, Int] = Map(
+    "nearest" -> 0, "average" -> 0, "mode" -> 0, "rms" -> 0,
+    "bilinear" -> 2)
+
+  /** Downsample one tile 2×: (h,w) → (ceil(h/2), ceil(w/2)). Returns
+    * (pixels, mask) of the shrunken quadrant. */
+  def downsample2x(kernel: String, t: Tile, nodata: Double): (Array[Double], Array[Byte]) = {
+    val oh = (t.h + 1) / 2
+    val ow = (t.w + 1) / 2
+    val out = new Array[Double](oh * ow)
+    val omask = new Array[Byte](oh * ow)
+    // kernel dispatch hoisted out of the pixel loop
+    val kId = kernel match {
+      case "average" => 0
+      case "nearest" => 1
+      case "mode"    => 2
+      case "rms"     => 3
+      case other => throw new IllegalArgumentException(s"halo-free kernel expected, got $other")
+    }
+    val vals = new Array[Double](4) // reused per block, no per-pixel alloc
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val y0 = oy * 2
+        val x0 = ox * 2
+        val y1 = math.min(y0 + 1, t.h - 1)
+        val x1 = math.min(x0 + 1, t.w - 1)
+        var n = 0
+        val i00 = y0 * t.w + x0
+        if (t.valid(i00, nodata)) { vals(n) = t.pixels(i00); n += 1 }
+        if (x1 != x0) { val i = y0 * t.w + x1; if (t.valid(i, nodata)) { vals(n) = t.pixels(i); n += 1 } }
+        if (y1 != y0) { val i = y1 * t.w + x0; if (t.valid(i, nodata)) { vals(n) = t.pixels(i); n += 1 } }
+        if (y1 != y0 && x1 != x0) { val i = y1 * t.w + x1; if (t.valid(i, nodata)) { vals(n) = t.pixels(i); n += 1 } }
+        val oi = oy * ow + ox
+        if (n == 0) {
+          out(oi) = nodata
+          omask(oi) = 0
+        } else {
+          omask(oi) = 1
+          out(oi) = kId match {
+            case 0 =>
+              var s = 0.0
+              var i = 0
+              while (i < n) { s += vals(i); i += 1 }
+              s / n
+            case 1 =>
+              // top-left of the block; if invalid, first valid fallback
+              if (t.valid(i00, nodata)) t.pixels(i00) else vals(0)
+            case 2 =>
+              // ≤4 values: most frequent, lowest value wins ties
+              var best = Double.MaxValue
+              var bestC = 0
+              var i = 0
+              while (i < n) {
+                var c = 0
+                var j = 0
+                while (j < n) { if (vals(j) == vals(i)) c += 1; j += 1 }
+                if (c > bestC || (c == bestC && vals(i) < best)) { best = vals(i); bestC = c }
+                i += 1
+              }
+              best
+            case _ =>
+              var s = 0.0
+              var i = 0
+              while (i < n) { s += vals(i) * vals(i); i += 1 }
+              math.sqrt(s / n)
+          }
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    (out, omask)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.raster
+
+/** One blocksize×blocksize (or edge-clipped) chunk of a single-band
+  * raster level — the engine's unit of distribution, the analog of the
+  * reference's dask chunk (reference ccog/ccog.py:802, README.md:7).
+  *
+  * `pixels` is row-major `h*w` doubles; `mask` (same length, 1=valid,
+  * 0=invalid, rasterio convention per reference ccog/ccog.py:819) may be
+  * null meaning "all valid". Nodata is carried in [[RasterProfile]], not
+  * per tile. Primitive arrays keep kernels boxing-free (SURVEY §4.3).
+  */
+case class Tile(
+    level: Int,
+    ty: Int,
+    tx: Int,
+    h: Int,
+    w: Int,
+    pixels: Array[Double],
+    mask: Array[Byte]) {
+
+  def valid(i: Int, nodata: Double): Boolean =
+    (mask == null || mask(i) != 0) && pixels(i) != nodata
+}
+
+/** The schema of a raster write — the engine form of the reference's
+  * "profile" dict (reference ccog/ccog.py:24-39,917-955). Validation is
+  * eager, at plan-build time, matching the reference's stance
+  * (ccog/ccog.py:890-946). */
+case class RasterProfile(
+    width: Int,
+    height: Int,
+    blockSize: Int = 256,
+    nodata: Double = -9999.0,
+    resampling: String = "average",
+    overviewCount: Option[Int] = None,
+    minOverviewSize: Int = 256) {
+
+  require(width > 0 && height > 0, "raster dims must be positive")
+  require(blockSize % 16 == 0,
+    // same contract as the reference (ccog/ccog.py:930-933)
+    s"blockSize must be a multiple of 16, got $blockSize")
+  require(Kernels.haloWidth.contains(resampling),
+    s"unknown resampling '$resampling' (have ${Kernels.haloWidth.keys.mkString(",")})")
+
+  /** Number of overview levels, reference semantics
+    * (ccog/ccog.py:56-100): floor-div halving until BOTH dims fit
+    * minsize, or the fixed overview_count. */
+  def maxLevel: Int = {
+    var level = 0
+    var factor = 1L
+    overviewCount match {
+      case Some(n) =>
+        while (n > level && math.max(width / factor, height / factor) > 1) {
+          factor *= 2; level += 1
+        }
+      case None =>
+        while (math.max(width / factor, height / factor) > minOverviewSize) {
+          factor *= 2; level += 1
+        }
+    }
+    level
+  }
+
+  /** Pixel dims of pyramid level l (ceil halving per step — each level
+    * covers the full extent of the previous). */
+  def levelDims(l: Int): (Int, Int) = {
+    var (w, h) = (width, height)
+    var i = 0
+    while (i < l) { w = (w + 1) / 2; h = (h + 1) / 2; i += 1 }
+    (w, h)
+  }
+
+  /** Tile-grid dims (cols, rows) of level l. */
+  def gridDims(l: Int): (Int, Int) = {
+    val (w, h) = levelDims(l)
+    ((w + blockSize - 1) / blockSize, (h + blockSize - 1) / blockSize)
+  }
+
+  /** Clipped pixel dims of tile (ty,tx) at level l. */
+  def tileDims(l: Int, ty: Int, tx: Int): (Int, Int) = {
+    val (w, h) = levelDims(l)
+    (math.min(blockSize, h - ty.toLong * blockSize).toInt,
+      math.min(blockSize, w - tx.toLong * blockSize).toInt)
+  }
+
+  def tilesPerLevel(l: Int): Int = {
+    val (gw, gh) = gridDims(l)
+    gw * gh
+  }
+
+  def totalTiles: Int = (0 to maxLevel).map(tilesPerLevel).sum
+}

@@ -1,0 +1,76 @@
+package graft.raster
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed 4×4 goldens for the halo-free 2× kernels, including
+  * nodata and mask cases (SURVEY §5.2-2). No Spark needed — kernels are
+  * pure functions on tiles. */
+class KernelSpec extends AnyFunSuite {
+
+  val ND = -1.0
+
+  def tile(h: Int, w: Int, px: Array[Double], mask: Array[Byte] = null): Tile =
+    Tile(0, 0, 0, h, w, px, mask)
+
+  // 4×4:                       blocks: (1,2,5,6) (3,4,7,8) (9,10,13,14) (11,12,15,16)
+  val base = Array[Double](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  test("average: plain 4×4") {
+    val (px, mk) = Kernels.downsample2x("average", tile(4, 4, base), ND)
+    assert(px.toSeq == Seq(3.5, 5.5, 11.5, 13.5))
+    assert(mk.toSeq == Seq[Byte](1, 1, 1, 1))
+  }
+
+  test("average: nodata pixels drop out of the mean") {
+    val px0 = base.clone(); px0(0) = ND; px0(5) = ND // block0 keeps 2,5
+    val (px, _) = Kernels.downsample2x("average", tile(4, 4, px0), ND)
+    assert(px(0) == 3.5) // (2+5)/2
+    assert(px(1) == 5.5)
+  }
+
+  test("average: fully-nodata block → nodata + mask 0") {
+    val px0 = base.clone(); px0(0) = ND; px0(1) = ND; px0(4) = ND; px0(5) = ND
+    val (px, mk) = Kernels.downsample2x("average", tile(4, 4, px0), ND)
+    assert(px(0) == ND && mk(0) == 0)
+    assert(mk.toSeq.drop(1).forall(_ == 1))
+  }
+
+  test("average: explicit mask invalidates like nodata") {
+    val m = Array.fill[Byte](16)(1); m(2) = 0; m(3) = 0 // block1 keeps 7,8
+    val (px, _) = Kernels.downsample2x("average", tile(4, 4, base, m), ND)
+    assert(px(1) == 7.5)
+  }
+
+  test("nearest: top-left; falls back to first valid when TL invalid") {
+    val (px, _) = Kernels.downsample2x("nearest", tile(4, 4, base), ND)
+    assert(px.toSeq == Seq(1.0, 3.0, 9.0, 11.0))
+    val px0 = base.clone(); px0(0) = ND
+    val (px2, _) = Kernels.downsample2x("nearest", tile(4, 4, px0), ND)
+    assert(px2(0) == 2.0)
+  }
+
+  test("mode: most frequent valid value, lowest-value tie-break") {
+    val arr = Array[Double](7, 7, 3, 3, 5, 2, 3, 9, 1, 1, 4, 4, 2, 1, 4, 8)
+    val (px, _) = Kernels.downsample2x("mode", tile(4, 4, arr), ND)
+    assert(px(0) == 7.0) // 7 twice
+    assert(px(1) == 3.0) // 3 three times
+    assert(px(2) == 1.0) // 1 three times
+    assert(px(3) == 4.0) // 4 three times
+    val tie = Array[Double](5, 2, 9, 9, 2, 5, 9, 9, 1, 1, 1, 1, 1, 1, 1, 1)
+    val (px2, _) = Kernels.downsample2x("mode", tile(4, 4, tie), ND)
+    assert(px2(0) == 2.0) // {5,2,2,5} tied 2-2 → lowest
+  }
+
+  test("rms: sqrt of mean square of valid pixels") {
+    val arr = Array[Double](3, 4, 1, 1, 0, 0, 1, 1, 2, 2, 6, 8, 2, 2, 0, 0)
+    val (px, _) = Kernels.downsample2x("rms", tile(4, 4, arr), ND)
+    assert(math.abs(px(0) - math.sqrt(25.0 / 4)) < 1e-12)
+    assert(math.abs(px(3) - math.sqrt(100.0 / 4)) < 1e-12)
+  }
+
+  test("odd dims: edge blocks clip (3×3 → 2×2)") {
+    val arr = Array[Double](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val (px, _) = Kernels.downsample2x("average", tile(3, 3, arr), ND)
+    assert(px.toSeq == Seq(3.0, 4.5, 7.5, 9.0)) // (1+2+4+5)/4, (3+6)/2, (7+8)/2, 9
+  }
+}

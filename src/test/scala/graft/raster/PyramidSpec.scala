@@ -1,0 +1,103 @@
+package graft.raster
+
+import graft.SparkSpec
+
+/** Pyramid-driver invariants (SURVEY §5.2-2/3): depth table matches the
+  * reference's loop semantics (reference ccog/ccog.py:56-100), level
+  * dims halve with ceil, a constant raster stays constant through every
+  * level, and full-valid even-dim average preserves the mean exactly. */
+class PyramidSpec extends SparkSpec {
+
+  test("maxLevel matches the reference depth-loop semantics") {
+    def depth(w: Int, h: Int, minsize: Int = 256, count: Option[Int] = None) =
+      RasterProfile(w, h, blockSize = 16, minOverviewSize = minsize,
+        overviewCount = count).maxLevel
+    // minsize mode: halve (floor) until BOTH dims <= minsize
+    assert(depth(2048, 2048) == 3)
+    assert(depth(512, 512) == 1)
+    assert(depth(513, 513) == 1)  // 513//2 = 256, not > 256
+    assert(depth(100, 100) == 0)
+    assert(depth(257, 16) == 1)
+    assert(depth(4096, 256) == 4)
+    // fixed-count mode: stop at count or when max dim reaches 1
+    assert(depth(1 << 20, 16, count = Some(2)) == 2)
+    assert(depth(8, 8, count = Some(10)) == 3) // 8//8 = 1 stops the loop
+  }
+
+  test("levelDims ceil-halve and grid/tile dims are consistent") {
+    val p = RasterProfile(1000, 600, blockSize = 256)
+    assert(p.levelDims(0) == (1000, 600))
+    assert(p.levelDims(1) == (500, 300))
+    assert(p.levelDims(2) == (250, 150))
+    assert(p.gridDims(0) == (4, 3))
+    assert(p.tileDims(0, 0, 3) == (256, 232))  // (h, w): right edge clips w
+    assert(p.tileDims(0, 2, 0) == (88, 256))   // bottom edge clips h
+    // per level, clipped tile dims must sum to the level dims
+    for (l <- 0 to p.maxLevel) {
+      val (w, h) = p.levelDims(l)
+      val (gw, gh) = p.gridDims(l)
+      assert((0 until gw).map(tx => p.tileDims(l, 0, tx)._2).sum == w)
+      assert((0 until gh).map(ty => p.tileDims(l, ty, 0)._1).sum == h)
+    }
+  }
+
+  def fullPyramid(profile: RasterProfile, value: Double): Seq[org.apache.spark.sql.Dataset[Tile]] = {
+    val s = spark
+    import s.implicits._
+    val (gw, gh) = profile.gridDims(0)
+    val tiles = for (ty <- 0 until gh; tx <- 0 until gw) yield {
+      val (h, w) = profile.tileDims(0, ty, tx)
+      Tile(0, ty, tx, h, w, Array.fill(h * w)(value), null)
+    }
+    Pyramid.build(s.createDataset(tiles), profile)
+  }
+
+  test("constant raster stays constant at every level (average)") {
+    val p = RasterProfile(100, 80, blockSize = 16, minOverviewSize = 16)
+    assert(p.maxLevel == 3)
+    val levels = fullPyramid(p, 7.25)
+    for ((ds, l) <- levels.zipWithIndex) {
+      val ts = ds.collect()
+      val (gw, gh) = p.gridDims(l)
+      assert(ts.length == gw * gh, s"level $l tile count")
+      for (t <- ts) {
+        val (eh, ew) = p.tileDims(l, t.ty, t.tx)
+        assert(t.h == eh && t.w == ew, s"level $l tile (${t.ty},${t.tx}) dims")
+        assert(t.pixels.forall(_ == 7.25), s"level $l not constant")
+      }
+    }
+    levels.foreach(_.unpersist())
+  }
+
+  test("average preserves the mean exactly on full-valid even dims") {
+    val s = spark
+    import s.implicits._
+    val p = RasterProfile(64, 64, blockSize = 16, minOverviewSize = 16)
+    val tiles = for (ty <- 0 until 4; tx <- 0 until 4) yield {
+      val px = Array.tabulate(16 * 16)(i => ((ty * 16 + i / 16) * 64 + tx * 16 + i % 16).toDouble)
+      Tile(0, ty, tx, 16, 16, px, null)
+    }
+    val levels = Pyramid.build(s.createDataset(tiles), p)
+    val means = levels.map { ds =>
+      val all = ds.collect().flatMap(_.pixels)
+      all.sum / all.length
+    }
+    for (m <- means.tail)
+      assert(math.abs(m - means.head) < 1e-9, s"means $means")
+    levels.foreach(_.unpersist())
+  }
+
+  test("synthetic raster pyramid: masked/nodata pixels never leak values") {
+    val p = RasterProfile(200, 120, blockSize = 16, nodata = -9999.0, minOverviewSize = 32)
+    val levels = Pyramid.build(SyntheticRaster.generate(spark, p, seed = 42L), p)
+    // level 0's mask and nodata are independent inputs; from level 1 on
+    // the kernel fuses them: mask=0 ⟺ value=nodata
+    for ((ds, l) <- levels.zipWithIndex.drop(1); t <- ds.collect(); i <- 0 until t.h * t.w) {
+      if (t.mask(i) == 0)
+        assert(t.pixels(i) == p.nodata, s"level $l: invalid pixel with a value")
+      else
+        assert(t.pixels(i) != p.nodata, s"level $l: valid pixel holding nodata")
+    }
+    levels.foreach(_.unpersist())
+  }
+}
