@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
-      WindowQueries.queries ++ ScalarQueries.queries ++ PipelineQueries.queries
+      WindowQueries.queries ++ ScalarQueries.queries ++
+      PipelineQueries.queries ++ RasterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
-      WindowQueries.oracle ++ ScalarQueries.oracle ++ PipelineQueries.oracle
+      WindowQueries.oracle ++ ScalarQueries.oracle ++
+      PipelineQueries.oracle ++ RasterQueries.oracle
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.raster._
+
+/** NATIVE raster operator surface (SURVEY §2.2 rows 34-36 + the sink
+  * row): the reference's actual capability — pyramid, halo, offset
+  * assembly, ordered single-file write (reference ccog/ccog.py:558-666,
+  * 614-616, 717-773; aws_tools.py:181-245) — exposed as `queries`
+  * entries returning small deterministic DataFrames (no oracleSql:
+  * byte/raster ops aren't DuckDB-expressible; correctness lives in the
+  * graft.raster ScalaTest invariants + decode-and-compare golden,
+  * CogWriterSpec/HaloSpec/PyramidSpec).
+  *
+  * Inputs are seeded synthetic rasters (fixtures dir is read-only and
+  * holds no rasters); `sfDir` is ignored. Sizes are chosen so Bench's
+  * .count() exercises the full distributed path in ~a second. */
+object RasterQueries {
+
+  private val ND = -9999.0
+
+  /** 1024×768, 3 pyramid levels, average kernel. Per level: tile count,
+    * valid-pixel count, mean of valid pixels (rounded) — stable under
+    * partitioning because kernels are pure and the grid is fixed. */
+  def rasterPyramid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prof = RasterProfile(1024, 768, blockSize = 128, nodata = ND,
+      resampling = "average", minOverviewSize = 128)
+    val levels = Pyramid.build(SyntheticRaster.generate(spark, prof, seed = 5L), prof)
+    val perLevel = levels.map { ds =>
+      ds.map { t =>
+        var valid = 0L
+        var sum = 0.0
+        var i = 0
+        while (i < t.h * t.w) {
+          if (t.valid(i, ND)) { valid += 1; sum += t.pixels(i) }
+          i += 1
+        }
+        (t.level, 1L, valid, sum)
+      }.toDF("level", "n_tiles", "valid_px", "sum_v")
+    }.reduce(_ union _)
+    val out = perLevel.groupBy($"level")
+      .agg(sum($"n_tiles").as("n_tiles"), sum($"valid_px").as("valid_px"),
+        round(sum($"sum_v") / sum($"valid_px"), 4).as("mean_valid"))
+      .orderBy($"level")
+    val materialized = out.cache()
+    materialized.count() // force before unpersisting the levels
+    levels.foreach(_.unpersist())
+    materialized
+  }
+
+  /** Halo exchange on a 6×4 grid, k=2 (bilinear width): per tile, how
+    * many padded border cells arrived vs stayed unavailable — the
+    * border/interior accounting the reference's None-slices encode
+    * (ccog/ccog.py:503-508). */
+  def rasterHalo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prof = RasterProfile(768, 512, blockSize = 128, nodata = ND,
+      resampling = "bilinear")
+    val k = Kernels.haloWidth("bilinear")
+    val tiles = SyntheticRaster.generate(spark, prof, seed = 9L, withMask = false)
+    HaloExchange.padded(tiles, prof, k)
+      .map { t =>
+        val W = t.w + 2 * k
+        val H = t.h + 2 * k
+        var borderAvail = 0L
+        var borderMissing = 0L
+        var i = 0
+        while (i < H * W) {
+          val y = i / W
+          val x = i % W
+          val inCore = y >= k && y < k + t.h && x >= k && x < k + t.w
+          if (!inCore) {
+            if (t.mask(i) != 0) borderAvail += 1 else borderMissing += 1
+          }
+          i += 1
+        }
+        (t.ty, t.tx, borderAvail, borderMissing)
+      }
+      .toDF("ty", "tx", "halo_px", "missing_px")
+      .orderBy($"ty", $"tx")
+  }
+
+  /** Encode + distributed prefix-sum placement WITHOUT the sink: the
+    * (level, ty, tx, offset, nbytes) plan rows, file-ordered — directly
+    * the reference's parts_info table (ccog/ccog.py:717-773). */
+  def rasterAssemble(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
+      resampling = "average", minOverviewSize = 64)
+    val levels = Pyramid.build(SyntheticRaster.generate(spark, prof, seed = 3L), prof)
+    val encoded = levels.map(_.map(t => TileCodec.encode(t, prof))).reduce(_ union _)
+    val placement = Offsets.place(encoded, BigTiff.headerLength(prof))
+    val out = placement.placed
+      .map(p => (p.level, p.ty, p.tx, p.offset, p.nbytes))
+      .toDF("level", "ty", "tx", "offset", "nbytes")
+      .orderBy($"level".desc, $"ty", $"tx")
+    val materialized = out.cache()
+    materialized.count()
+    placement.cached.unpersist()
+    levels.foreach(_.unpersist())
+    materialized
+  }
+
+  /** Full write_ccog analog: synthetic raster → assembled COG bytes via
+    * the local multipart sink; returns the file's structural fingerprint
+    * (deflate is deterministic, so sha256 is a golden). */
+  def cogWriteBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
+      resampling = "average", minOverviewSize = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cog-q").toString
+    val (bytes, res) = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, prof, seed = 17L), prof, dir)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+    Seq((bytes.length.toLong, res.headerLen, res.nParts.toLong, res.nTiles,
+      res.nSparse, math.round(res.stats.mean * 10000) / 10000.0, sha))
+      .toDF("file_len", "header_len", "n_parts", "n_tiles", "n_sparse",
+        "mean_valid", "sha256")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_raster_pyramid" -> rasterPyramid,
+    "q_raster_halo" -> rasterHalo,
+    "q_raster_assemble" -> rasterAssemble,
+    "q_cog_write_bytes" -> cogWriteBytes)
+
+  /** NATIVE — no DuckDB oracle (SURVEY §2.2). */
+  def oracle: Map[String, String] = Map.empty
+}

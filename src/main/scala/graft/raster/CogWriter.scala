@@ -1,0 +1,133 @@
+package graft.raster
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.sink.{Blob, LocalMultipartSink, OrderedMultipartWriter, PartReceipt}
+
+/** End-to-end COG write — the engine form of the reference's only
+  * public API, `write_ccog` (reference ccog/ccog.py:801-971):
+  *
+  *   pyramid (level loop, persist per level, SURVEY §4.1)
+  *   → per-tile encode (narrow map, fused stats partials)
+  *   → distributed prefix-sum offsets (Offsets, R25)
+  *   → driver header emit (BigTiff, R22 — offset/count metadata is
+  *     grid×16 B, tiny relative to pixel data)
+  *   → ordered multipart sink (OrderedMultipartWriter, R28/R36).
+  *
+  * One shuffle per pyramid level + one range shuffle for placement +
+  * one for packing; pixel bytes cross the wire once after encode.
+  */
+object CogWriter {
+
+  case class BandStats(pxTotal: Long, pxValid: Long, mean: Double,
+      stddev: Double, min: Double, max: Double, validPct: Double)
+
+  case class Result(headerLen: Long, totalLen: Long, tileBytes: Long,
+      nTiles: Long, nSparse: Long, nParts: Int, levels: Int,
+      stats: BandStats, receipts: Seq[PartReceipt])
+
+  /** Header chunk cap: keeps single blobs comfortably under the packing
+    * target so parts stay near-target-sized. */
+  private val HeaderChunk = 8 << 20
+
+  def write(level0: Dataset[Tile], profile: RasterProfile,
+      sink: LocalMultipartSink): Result = {
+    val spark = level0.sparkSession
+    import spark.implicits._
+
+    // 1. pyramid: every level persisted (Pyramid.build)
+    val levels = Pyramid.build(level0, profile)
+
+    // 2. encode every level; union is a plan-level concat, no shuffle
+    val encoded = levels
+      .map(_.map(t => TileCodec.encode(t, profile)))
+      .reduce(_ union _)
+
+    // 3. absolute offsets via distributed prefix sum
+    val headerLen = BigTiff.headerLength(profile)
+    val placement = Offsets.place(encoded, headerLen)
+
+    try {
+      // 4. per-level offset/count arrays for the header + size metrics.
+      // Metadata only (bytes column never collected): grid cells × ~24 B.
+      val meta = placement.placed
+        .map(p => (p.level, p.ty, p.tx, p.offset, p.nbytes))
+        .collect()
+      val nTiles = meta.length.toLong
+      val nSparse = meta.count(_._5 == 0).toLong
+      val tileBytes = meta.map(_._5.toLong).sum
+      val maxTile = if (meta.isEmpty) 0L else meta.map(_._5.toLong).max
+      val nLevels = profile.maxLevel + 1
+      val offsets = Array.tabulate(nLevels) { l =>
+        val (gw, _) = profile.gridDims(l)
+        val arr = new Array[Long](profile.tilesPerLevel(l))
+        meta.iterator.filter(_._1 == l).foreach { case (_, ty, tx, off, _) =>
+          arr(ty * gw + tx) = off
+        }
+        arr
+      }
+      val counts = Array.tabulate(nLevels) { l =>
+        val (gw, _) = profile.gridDims(l)
+        val arr = new Array[Long](profile.tilesPerLevel(l))
+        meta.iterator.filter(_._1 == l).foreach { case (_, ty, tx, _, n) =>
+          arr(ty * gw + tx) = n.toLong
+        }
+        arr
+      }
+
+      // 5. masked band stats from the fused encode partials — no second
+      // pass over pixels (reference pays a full extra pass,
+      // ccog/ccog.py:38,511-541)
+      val statsRow = placement.cached
+        .filter(_.level == 0)
+        .select(
+          org.apache.spark.sql.functions.sum($"pxTotal"),
+          org.apache.spark.sql.functions.sum($"pxValid"),
+          org.apache.spark.sql.functions.sum($"pxSum"),
+          org.apache.spark.sql.functions.sum($"pxSumSq"),
+          org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.when($"pxValid" > 0, $"pxMin")),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.when($"pxValid" > 0, $"pxMax")))
+        .head()
+      val total = statsRow.getLong(0)
+      val valid = statsRow.getLong(1)
+      val stats =
+        if (valid == 0) BandStats(total, 0, 0, 0, 0, 0, 0)
+        else {
+          val mean = statsRow.getDouble(2) / valid
+          val varp = statsRow.getDouble(3) / valid - mean * mean
+          BandStats(total, valid, mean, math.sqrt(math.max(0, varp)),
+            statsRow.getDouble(4), statsRow.getDouble(5),
+            100.0 * valid / total)
+        }
+
+      // 6. header bytes (driver) → chunked blobs at offsets [0, headerLen)
+      val headerBytes = BigTiff.header(profile, offsets, counts)
+      val headerBlobs = headerBytes.grouped(HeaderChunk).zipWithIndex
+        .map { case (chunk, i) => Blob(i.toLong * HeaderChunk, chunk) }
+        .toSeq
+      val maxBlob = math.max(maxTile, headerBlobs.map(_.bytes.length.toLong).max)
+
+      // 7. one ordered blob stream: header ++ non-sparse tiles
+      val blobs = spark.createDataset(headerBlobs)
+        .union(placement.placed.filter(_.nbytes > 0).map(p => Blob(p.offset, p.bytes)))
+      val totalLen = headerLen + tileBytes
+      val receipts = OrderedMultipartWriter.write(blobs, totalLen, maxBlob, sink)
+
+      Result(headerLen, totalLen, tileBytes, nTiles, nSparse,
+        receipts.size, nLevels, stats, receipts)
+    } finally {
+      placement.cached.unpersist()
+      levels.foreach(_.unpersist())
+    }
+  }
+
+  /** Bytes-in-memory path for small outputs / tests — the reference's
+    * store=None mode (ccog/ccog.py:970,973-978). */
+  def writeBytes(level0: Dataset[Tile], profile: RasterProfile,
+      dir: String): (Array[Byte], Result) = {
+    val sink = new LocalMultipartSink(dir)
+    val res = write(level0, profile, sink)
+    (sink.assembled, res)
+  }
+}

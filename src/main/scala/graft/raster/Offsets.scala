@@ -1,0 +1,65 @@
+package graft.raster
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Global byte-offset assignment — the reference's prefix-sum over
+  * parts in (level desc, row-major) order (reference
+  * ccog/ccog.py:717-773, R25).
+  *
+  * NOT a single global Window (which would funnel every row through one
+  * partition): the scalable two-phase shape is
+  *   1. range-shuffle into file order and sort within partitions,
+  *   2. per-partition byte totals — one tiny row per partition — to the
+  *      driver, exclusive-scanned there,
+  *   3. broadcast the per-partition base offsets back and stream a
+  *      running sum inside each partition.
+  * Phase 2's driver traffic is numPartitions longs, independent of tile
+  * count, so this holds at 10^7+ tiles on a 1000-executor cluster.
+  *
+  * Sparse tiles contribute 0 bytes and keep offset 0 in the header
+  * (reference ccog/ccog.py:754).
+  */
+object Offsets {
+
+  /** `placed` streams every tile with its absolute file offset;
+    * `cached` is the persisted sorted intermediate the caller must
+    * unpersist after its last action on `placed`. */
+  case class Placement(placed: Dataset[PlacedTile], cached: Dataset[EncodedTile])
+
+  def place(encoded: Dataset[EncodedTile], headerLen: Long): Placement = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val sorted = encoded
+      .repartitionByRange($"level".desc, $"ty", $"tx")
+      .sortWithinPartitions($"level".desc, $"ty", $"tx")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // tiny: one (pid, bytes) pair per partition
+    val perPartition = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(e => s += e.nbytes)
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = perPartition.scanLeft(headerLen)(_ + _) // exclusive scan
+    val bc = spark.sparkContext.broadcast(bases)
+
+    val placed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var off = bc.value(pid)
+      it.map { e =>
+        val o = off
+        off += e.nbytes
+        PlacedTile(e.level, e.ty, e.tx,
+          if (e.nbytes == 0) 0L else o, e.nbytes, e.bytes)
+      }
+    }
+    Placement(spark.createDataset(placed), sorted)
+  }
+}
+
+/** A tile with its absolute byte offset in the assembled file (sparse:
+  * offset 0, nbytes 0, no bytes). */
+case class PlacedTile(level: Int, ty: Int, tx: Int, offset: Long,
+    nbytes: Int, bytes: Array[Byte])

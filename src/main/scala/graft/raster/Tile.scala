@@ -33,7 +33,11 @@ case class RasterProfile(
     nodata: Double = -9999.0,
     resampling: String = "average",
     overviewCount: Option[Int] = None,
-    minOverviewSize: Int = 256) {
+    minOverviewSize: Int = 256,
+    dtype: String = "float64",
+    compression: String = "deflate",
+    zlevel: Int = 6,
+    sparseOk: Boolean = true) {
 
   require(width > 0 && height > 0, "raster dims must be positive")
   require(blockSize % 16 == 0,
@@ -41,6 +45,9 @@ case class RasterProfile(
     s"blockSize must be a multiple of 16, got $blockSize")
   require(Kernels.haloWidth.contains(resampling),
     s"unknown resampling '$resampling' (have ${Kernels.haloWidth.keys.mkString(",")})")
+  require(TileCodec.dtypes.contains(dtype), s"unknown dtype '$dtype'")
+  require(compression == "deflate" || compression == "none",
+    s"unknown compression '$compression'")
 
   /** Number of overview levels, reference semantics
     * (ccog/ccog.py:56-100): floor-div halving until BOTH dims fit

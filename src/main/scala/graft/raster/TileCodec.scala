@@ -1,0 +1,278 @@
+package graft.raster
+
+import java.util.zip.{Deflater, Inflater}
+
+/** Per-tile encode: pixels → TIFF tile bytes — the engine form of the
+  * reference's per-chunk GDAL encode + repack (reference
+  * ccog/ccog.py:363-449). No GDAL: dtype serialization, the horizontal
+  * predictor and deflate are implemented directly (SURVEY §7.5).
+  *
+  *  - Tiles are always emitted at full blockSize×blockSize (TIFF tile
+  *    contract); edge-clipped tiles are padded with nodata.
+  *  - Invalid pixels (mask 0) are written as nodata, matching the
+  *    reference's fullmask semantics (ccog/ccog.py:534-537).
+  *  - All-invalid tiles are elided when `sparseOk`: byteCount 0 and
+  *    offset 0 in the header, no bytes in the file (ccog/ccog.py:443,754).
+  *  - Integer dtypes get TIFF predictor 2 (horizontal differencing)
+  *    before deflate; floats are deflated raw (predictor 1).
+  *
+  * Encode also computes the tile's masked stats partials in the same
+  * pass (count/sum/sumSq/min/max) so per-band statistics cost no second
+  * scan of the source — the fusion the reference could not express in
+  * dask (ccog/ccog.py:38 "performace is terrible"; SURVEY §4.1).
+  */
+object TileCodec {
+
+  /** dtype name → (bitsPerSample, TIFF SampleFormat, bytes/sample).
+    * SampleFormat: 1 = unsigned int, 2 = signed int, 3 = IEEE float. */
+  val dtypes: Map[String, (Int, Int, Int)] = Map(
+    "uint8"   -> (8, 1, 1),
+    "int16"   -> (16, 2, 2),
+    "int32"   -> (32, 2, 4),
+    "float32" -> (32, 3, 4),
+    "float64" -> (64, 3, 8))
+
+  def isInteger(dtype: String): Boolean = dtypes(dtype)._2 != 3
+
+  /** TIFF Predictor tag value for this dtype (2 = horizontal diff). */
+  def predictor(dtype: String): Int = if (isInteger(dtype)) 2 else 1
+
+  /** Serialize one row-major (bs×bs padded) pixel plane to raw
+    * little-endian sample bytes of `dtype`. */
+  private def serialize(px: Array[Double], dtype: String): Array[Byte] = {
+    val n = px.length
+    dtype match {
+      case "uint8" =>
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          val v = px(i)
+          out(i) = (if (v <= 0) 0 else if (v >= 255) 255 else math.round(v).toInt).toByte
+          i += 1
+        }
+        out
+      case "int16" =>
+        val out = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = math.round(px(i)).toInt.max(Short.MinValue).min(Short.MaxValue)
+          out(2 * i) = v.toByte
+          out(2 * i + 1) = (v >> 8).toByte
+          i += 1
+        }
+        out
+      case "int32" =>
+        val out = new Array[Byte](n * 4)
+        var i = 0
+        while (i < n) {
+          val v = math.round(px(i)).max(Int.MinValue).min(Int.MaxValue).toInt
+          out(4 * i) = v.toByte
+          out(4 * i + 1) = (v >> 8).toByte
+          out(4 * i + 2) = (v >> 16).toByte
+          out(4 * i + 3) = (v >> 24).toByte
+          i += 1
+        }
+        out
+      case "float32" =>
+        val out = new Array[Byte](n * 4)
+        var i = 0
+        while (i < n) {
+          val v = java.lang.Float.floatToIntBits(px(i).toFloat)
+          out(4 * i) = v.toByte
+          out(4 * i + 1) = (v >> 8).toByte
+          out(4 * i + 2) = (v >> 16).toByte
+          out(4 * i + 3) = (v >> 24).toByte
+          i += 1
+        }
+        out
+      case "float64" =>
+        val out = new Array[Byte](n * 8)
+        var i = 0
+        while (i < n) {
+          val v = java.lang.Double.doubleToLongBits(px(i))
+          var b = 0
+          while (b < 8) { out(8 * i + b) = (v >> (8 * b)).toByte; b += 1 }
+          i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(s"unknown dtype $other")
+    }
+  }
+
+  /** Parse raw little-endian sample bytes back to doubles (tests). */
+  def deserialize(raw: Array[Byte], dtype: String): Array[Double] = {
+    val bp = dtypes(dtype)._3
+    val n = raw.length / bp
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = dtype match {
+        case "uint8"   => raw(i) & 0xff
+        case "int16"   => ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toDouble
+        case "int32"   => (raw(4 * i) & 0xff) | ((raw(4 * i + 1) & 0xff) << 8) |
+          ((raw(4 * i + 2) & 0xff) << 16) | (raw(4 * i + 3) << 24)
+        case "float32" =>
+          val bits = (raw(4 * i) & 0xff) | ((raw(4 * i + 1) & 0xff) << 8) |
+            ((raw(4 * i + 2) & 0xff) << 16) | (raw(4 * i + 3) << 24)
+          java.lang.Float.intBitsToFloat(bits).toDouble
+        case _ =>
+          var bits = 0L
+          var b = 0
+          while (b < 8) { bits |= (raw(8 * i + b) & 0xffL) << (8 * b); b += 1 }
+          java.lang.Double.longBitsToDouble(bits)
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** In-place horizontal differencing on raw sample bytes (predictor 2):
+    * per image row, each sample becomes the wraparound delta from its
+    * left neighbor. Operates on whole samples of `bp` bytes. */
+  private def applyPredictor(raw: Array[Byte], w: Int, bp: Int): Unit = {
+    val rowBytes = w * bp
+    val rows = raw.length / rowBytes
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var x = w - 1
+      while (x > 0) {
+        // subtract left-neighbor sample, byte-wise with borrow
+        var borrow = 0
+        var b = 0
+        while (b < bp) {
+          val i = base + x * bp + b
+          val j = base + (x - 1) * bp + b
+          val d = (raw(i) & 0xff) - (raw(j) & 0xff) - borrow
+          raw(i) = d.toByte
+          borrow = if (d < 0) 1 else 0
+          b += 1
+        }
+        x -= 1
+      }
+      r += 1
+    }
+  }
+
+  /** Reverse of [[applyPredictor]] (tests / decode path). */
+  def undoPredictor(raw: Array[Byte], w: Int, bp: Int): Unit = {
+    val rowBytes = w * bp
+    val rows = raw.length / rowBytes
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var x = 1
+      while (x < w) {
+        var carry = 0
+        var b = 0
+        while (b < bp) {
+          val i = base + x * bp + b
+          val j = base + (x - 1) * bp + b
+          val s = (raw(i) & 0xff) + (raw(j) & 0xff) + carry
+          raw(i) = s.toByte
+          carry = if (s > 0xff) 1 else 0
+          b += 1
+        }
+        x += 1
+      }
+      r += 1
+    }
+  }
+
+  def deflate(raw: Array[Byte], level: Int = 6): Array[Byte] = {
+    val d = new Deflater(level)
+    d.setInput(raw)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  def inflate(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(comp)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (!inf.finished() && off < expected)
+      off += inf.inflate(out, off, expected - off)
+    inf.end()
+    require(off == expected, s"inflated $off of expected $expected bytes")
+    out
+  }
+
+  /** Encode one tile: pad to bs×bs, mask→nodata, serialize, predictor,
+    * deflate — plus the fused stats partials over VALID pixels. */
+  def encode(t: Tile, profile: RasterProfile): EncodedTile = {
+    val bs = profile.blockSize
+    val nodata = profile.nodata
+    val dtype = profile.dtype
+    val padded = new Array[Double](bs * bs)
+    java.util.Arrays.fill(padded, nodata)
+    var validCount = 0L
+    var sum = 0.0
+    var sumSq = 0.0
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var y = 0
+    while (y < t.h) {
+      var x = 0
+      while (x < t.w) {
+        val i = y * t.w + x
+        if (t.valid(i, nodata)) {
+          val v = t.pixels(i)
+          padded(y * bs + x) = v
+          validCount += 1
+          sum += v
+          sumSq += v * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val totalPx = t.h.toLong * t.w
+    if (validCount == 0 && profile.sparseOk) {
+      EncodedTile(t.level, t.ty, t.tx, 0, Array.emptyByteArray,
+        totalPx, 0L, 0.0, 0.0, 0.0, 0.0)
+    } else {
+      val raw = serialize(padded, dtype)
+      if (predictor(dtype) == 2) applyPredictor(raw, bs, dtypes(dtype)._3)
+      val comp =
+        if (profile.compression == "deflate") deflate(raw, profile.zlevel)
+        else raw
+      EncodedTile(t.level, t.ty, t.tx, comp.length, comp,
+        totalPx, validCount, sum, sumSq,
+        if (validCount == 0) 0.0 else mn,
+        if (validCount == 0) 0.0 else mx)
+    }
+  }
+
+  /** Decode tile bytes back to a bs×bs pixel plane (tests / readback). */
+  def decode(bytes: Array[Byte], profile: RasterProfile): Array[Double] = {
+    val bs = profile.blockSize
+    val bp = dtypes(profile.dtype)._3
+    val raw =
+      if (profile.compression == "deflate") inflate(bytes, bs * bs * bp)
+      else bytes
+    if (predictor(profile.dtype) == 2) undoPredictor(raw, bs, bp)
+    deserialize(raw, profile.dtype)
+  }
+}
+
+/** One encoded tile = one "part" of the output file (the reference's
+  * part_bytes + part_info, ccog/ccog.py:448) + fused stats partials. */
+case class EncodedTile(
+    level: Int,
+    ty: Int,
+    tx: Int,
+    nbytes: Int,
+    bytes: Array[Byte],
+    pxTotal: Long,
+    pxValid: Long,
+    pxSum: Double,
+    pxSumSq: Double,
+    pxMin: Double,
+    pxMax: Double)

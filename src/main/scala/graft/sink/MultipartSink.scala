@@ -1,0 +1,164 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.Dataset
+
+/** A contiguous byte range of the output object. The whole file is a
+  * Dataset[Blob] covering [0, totalBytes) with no gaps or overlaps —
+  * order lives in the offsets, so the sink is agnostic to what the
+  * bytes mean (COG header, tiles, anything). This mirrors the
+  * reference's generic ordered-parts sink, callable on any ordered
+  * bytes (reference ccog/aws_tools.py:181, SURVEY §3.3). */
+case class Blob(offset: Long, bytes: Array[Byte])
+
+case class PartReceipt(partNumber: Int, offset: Long, size: Long, etag: String)
+
+/** S3-multipart-shaped sink lifecycle (reference ccog/aws_tools.py:59-178,
+  * R32-R35). uploadPart is idempotent — a Spark task retry re-uploads
+  * the same partNumber and overwrites, matching S3 MPU semantics
+  * (SURVEY §4.1 retry row). */
+trait MultipartSink extends Serializable {
+  def start(): Unit
+  /** Executor-side. Returns an ETag-like token. Must be idempotent. */
+  def uploadPart(partNumber: Int, bytes: Array[Byte]): String
+  /** Driver-side finalize; receipts arrive sorted by partNumber. */
+  def complete(receipts: Seq[PartReceipt]): Unit
+  def abort(): Unit
+}
+
+/** Zero-egress local-filesystem stand-in for the S3 MPU sink
+  * (the reference's Mpu(store=None) no-op mode is its own testing
+  * stand-in, ccog/aws_tools.py:76-79). Parts land as `part-%05d.bin`
+  * plus a `manifest.json`; `assembled` re-concatenates for
+  * decode-and-compare tests. An S3 implementation replaces file writes
+  * with UploadPart calls — the interface is the S3 one. */
+class LocalMultipartSink(dir: String) extends MultipartSink {
+
+  private def partPath(n: Int) = Paths.get(dir, f"part-$n%05d.bin")
+
+  override def start(): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    // idempotent restart: clear stale parts
+    val old = d.toFile.listFiles()
+    if (old != null) old.filter(f => f.getName.startsWith("part-") || f.getName == "manifest.json")
+      .foreach(_.delete())
+  }
+
+  override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
+    val tmp = Paths.get(dir, f".part-$partNumber%05d.tmp-${Thread.currentThread().getId}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, partPath(partNumber), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    java.lang.Long.toHexString(bytes.length.toLong) // cheap etag stand-in
+  }
+
+  override def complete(receipts: Seq[PartReceipt]): Unit = {
+    val json = receipts.map(r =>
+      s"""{"partNumber":${r.partNumber},"offset":${r.offset},"size":${r.size},"etag":"${r.etag}"}""")
+      .mkString("[", ",", "]")
+    Files.write(Paths.get(dir, "manifest.json"), json.getBytes("UTF-8"))
+  }
+
+  override def abort(): Unit = start() // drop everything uploaded so far
+
+  /** Concatenate parts in partNumber order (tests / small outputs). */
+  def assembled: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    partNumbers.foreach(n => out.write(Files.readAllBytes(partPath(n))))
+    out.toByteArray
+  }
+
+  def partNumbers: Seq[Int] = {
+    val fs = Paths.get(dir).toFile.listFiles()
+    if (fs == null) Seq.empty
+    else fs.map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".bin"))
+      .map(n => n.stripPrefix("part-").stripSuffix(".bin").toInt).sorted.toSeq
+  }
+}
+
+/** Deterministic size-bucketed packing of an ordered blob stream into
+  * S3-legal parts — replaces the reference's runtime pairwise merge
+  * tree (reference ccog/aws_tools.py:181-245, R36/R37): sizes are known
+  * post-encode, so partNumber is a pure function of byte offset and the
+  * plan is one range shuffle, no tree.
+  *
+  * partNumber = offset/targetSize + 1. Blobs never split, so a part
+  * holds every blob starting inside its window: size ∈
+  * (target − maxBlob, target + maxBlob), and with
+  * target ≥ 5 MiB + maxBlob every non-final part clears the S3 minimum
+  * (reference constraint table ccog/aws_tools.py:20-28). Equal
+  * partNumbers can't straddle a range-partition boundary (single-column
+  * range partitioning keeps equal keys together), so each part is
+  * uploaded exactly once, whole.
+  */
+object OrderedMultipartWriter {
+
+  val S3MinPart: Long = 5L << 20
+  val S3MaxPart: Long = 5L << 30
+  val S3MaxObject: Long = 5L << 40
+  val S3MaxPartCount = 10000
+
+  def targetPartSize(totalBytes: Long, maxBlob: Long,
+      default: Long = 16L << 20): Long = {
+    require(totalBytes <= S3MaxObject, s"object exceeds 5 TiB: $totalBytes")
+    // 9000 not 10000: headroom so the +1 rounding never busts the cap
+    val t = math.max(math.max(default, S3MinPart + maxBlob),
+      (totalBytes + 8999) / 9000)
+    require(t <= S3MaxPart, s"target part $t exceeds 5 GiB")
+    t
+  }
+
+  /** Pack + upload + finalize. Returns receipts sorted by partNumber. */
+  def write(blobs: Dataset[Blob], totalBytes: Long, maxBlob: Long,
+      sink: MultipartSink, defaultPart: Long = 16L << 20): Seq[PartReceipt] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val target = targetPartSize(totalBytes, maxBlob, defaultPart)
+    sink.start()
+
+    val receipts = blobs
+      .map(b => (((b.offset / target) + 1).toInt, b.offset, b.bytes))
+      .toDF("partNumber", "offset", "bytes")
+      .repartitionByRange($"partNumber")
+      .sortWithinPartitions($"partNumber", $"offset")
+      .as[(Int, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val out = Seq.newBuilder[PartReceipt]
+        var curPart = -1
+        var curOffset = 0L
+        var buf: java.io.ByteArrayOutputStream = null
+        def flush(): Unit = if (curPart != -1 && buf.size() > 0) {
+          val bytes = buf.toByteArray
+          out += PartReceipt(curPart, curOffset, bytes.length.toLong,
+            sink.uploadPart(curPart, bytes))
+        }
+        it.foreach { case (pn, off, bytes) =>
+          if (pn != curPart) {
+            flush()
+            curPart = pn
+            curOffset = off
+            buf = new java.io.ByteArrayOutputStream(target.toInt.min(1 << 26))
+          }
+          buf.write(bytes)
+        }
+        flush()
+        out.result().iterator
+      }
+      .collect().sortBy(_.partNumber).toSeq
+
+    // contiguity audit before finalize (the reference asserts placement
+    // too, ccog/aws_tools.py:230)
+    require(receipts.nonEmpty && receipts.head.offset == 0L, "missing first part")
+    receipts.sliding(2).foreach {
+      case Seq(a, b) => require(a.offset + a.size == b.offset,
+        s"gap between part ${a.partNumber} and ${b.partNumber}")
+      case _ => ()
+    }
+    require(receipts.map(_.size).sum == totalBytes,
+      s"assembled ${receipts.map(_.size).sum} != expected $totalBytes bytes")
+    require(receipts.size <= S3MaxPartCount, s"part count ${receipts.size} > 10000")
+    sink.complete(receipts)
+    receipts
+  }
+}

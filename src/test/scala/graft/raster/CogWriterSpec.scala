@@ -1,0 +1,175 @@
+package graft.raster
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Golden end-to-end (SURVEY §5.2-3/4): seeded synthetic raster →
+  * pyramid → encode → offsets → BigTIFF header → ordered multipart sink
+  * → assembled bytes; then the file is parsed back with the minimal
+  * BigTiff reader and every tile decoded and compared pixel-for-pixel
+  * with the source — the engine's answer to the reference's
+  * GDAL-oracle stance (reference README.md:69). */
+class CogWriterSpec extends SparkSpec {
+
+  val ND = -9999.0
+
+  def tmpDir(): String =
+    Files.createTempDirectory("graft-cog").toString
+
+  /** 260×300, bs 16 → ragged edges both dims, 5 pyramid levels,
+    * external offset arrays in the header. */
+  val prof = RasterProfile(260, 300, blockSize = 16, nodata = ND,
+    resampling = "average", minOverviewSize = 32, dtype = "float64")
+
+  lazy val level0 = SyntheticRaster.generate(spark, prof, seed = 11L)
+  lazy val written = CogWriter.writeBytes(level0, prof, tmpDir())
+
+  test("assembled length = header + sum of part lengths; receipts contiguous") {
+    val (bytes, res) = written
+    assert(res.headerLen == BigTiff.headerLength(prof))
+    assert(bytes.length.toLong == res.totalLen)
+    assert(res.totalLen == res.headerLen + res.tileBytes)
+    assert(res.nTiles == prof.totalTiles)
+    assert(res.receipts.map(_.size).sum == res.totalLen)
+  }
+
+  test("header parses: one page per level, full-res first, dims/tags right") {
+    val (bytes, res) = written
+    val pages = BigTiff.readPages(bytes)
+    assert(pages.length == prof.maxLevel + 1)
+    for ((pg, l) <- pages.zipWithIndex) {
+      val (w, h) = prof.levelDims(l)
+      assert(pg.width == w && pg.height == h, s"level $l dims")
+      assert(pg.tileW == 16 && pg.tileH == 16)
+      assert(pg.compression == 8) // deflate
+      assert(pg.bits == 64 && pg.sampleFormat == 3)
+      assert(pg.offsets.length == prof.tilesPerLevel(l))
+      assert(pg.counts.length == prof.tilesPerLevel(l))
+    }
+  }
+
+  test("non-sparse offsets are in-bounds, non-overlapping, level-desc ordered") {
+    val (bytes, res) = written
+    val pages = BigTiff.readPages(bytes)
+    val all = for {
+      (pg, l) <- pages.zipWithIndex
+      i <- pg.offsets.indices
+      if pg.counts(i) > 0
+    } yield (l, pg.offsets(i), pg.counts(i))
+    for ((l, off, cnt) <- all) {
+      assert(off >= res.headerLen, s"level $l tile inside header")
+      assert(off + cnt <= bytes.length, s"level $l tile past EOF")
+    }
+    val sorted = all.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Seq((_, o1, c1), (_, o2, _)) => assert(o1 + c1 <= o2, "overlap")
+      case _ => ()
+    }
+    // file body order is (level desc, row-major): levels must be
+    // non-increasing along ascending offsets (reference ccog/ccog.py:747)
+    sorted.map(_._1).sliding(2).foreach {
+      case Seq(l1, l2) => assert(l1 >= l2, "level order in body")
+      case _ => ()
+    }
+  }
+
+  test("decode-and-compare: every level-0 pixel round-trips exactly") {
+    val (bytes, _) = written
+    val pg = BigTiff.readPages(bytes).head
+    val (gw, _) = prof.gridDims(0)
+    var checked = 0
+    for (ti <- pg.offsets.indices) {
+      val ty = ti / gw
+      val tx = ti % gw
+      val (th, tw) = prof.tileDims(0, ty, tx)
+      if (pg.counts(ti) > 0) {
+        val comp = java.util.Arrays.copyOfRange(bytes,
+          pg.offsets(ti).toInt, (pg.offsets(ti) + pg.counts(ti)).toInt)
+        val px = TileCodec.decode(comp, prof)
+        for (y <- 0 until th; x <- 0 until tw) {
+          val want = {
+            val v = SyntheticRaster.pixelAt(11L, ty * 16L + y, tx * 16L + x, ND)
+            if (SyntheticRaster.maskAt(11L, ty * 16L + y, tx * 16L + x) == 0) ND else v
+          }
+          assert(px(y * 16 + x) == want, s"tile($ty,$tx) px($y,$x)")
+          checked += 1
+        }
+        // padding beyond the clipped region is nodata
+        for (y <- th until 16; x <- 0 until 16)
+          assert(px(y * 16 + x) == ND)
+      }
+    }
+    assert(checked > 50000) // sanity: we actually compared the raster
+  }
+
+  test("sparse region: all-nodata tiles get offset 0, count 0, no bytes") {
+    val s = spark
+    import s.implicits._
+    val p = RasterProfile(64, 64, blockSize = 16, nodata = ND,
+      minOverviewSize = 16, dtype = "float64")
+    // left half constant 5.0, right half all nodata → 8 sparse tiles at L0
+    val tiles = for (ty <- 0 until 4; tx <- 0 until 4) yield
+      Tile(0, ty, tx, 16, 16,
+        Array.fill(256)(if (tx < 2) 5.0 else ND), null)
+    val (bytes, res) = CogWriter.writeBytes(s.createDataset(tiles), p, tmpDir())
+    assert(res.nSparse >= 8)
+    val pages = BigTiff.readPages(bytes)
+    val pg0 = pages.head
+    for (ti <- pg0.offsets.indices) {
+      val sparse = pg0.counts(ti) == 0
+      assert(sparse == (ti % 4 >= 2), s"tile $ti sparsity")
+      if (sparse) assert(pg0.offsets(ti) == 0)
+    }
+    // overview of the valid half keeps the constant value
+    val pgTop = pages.last
+    val nonSparse = pgTop.counts.indices.filter(pgTop.counts(_) > 0)
+    assert(nonSparse.nonEmpty)
+  }
+
+  test("fused stats equal a relational aggregation over the same pixels") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val (_, res) = written
+    val nd = ND // local copy: the lambda must not capture the suite
+    val rel = level0
+      .flatMap(t => t.pixels.indices.map(i =>
+        (t.pixels(i), (t.mask == null || t.mask(i) != 0) && t.pixels(i) != nd)))
+      .toDF("v", "valid")
+      .agg(count(lit(1)), sum(when($"valid", 1L).otherwise(0L)),
+        avg(when($"valid", $"v")), stddev_pop(when($"valid", $"v")),
+        min(when($"valid", $"v")), max(when($"valid", $"v")))
+      .head()
+    assert(res.stats.pxTotal == rel.getLong(0))
+    assert(res.stats.pxValid == rel.getLong(1))
+    assert(math.abs(res.stats.mean - rel.getDouble(2)) < 1e-9)
+    assert(math.abs(res.stats.stddev - rel.getDouble(3)) < 1e-6)
+    assert(res.stats.min == rel.getDouble(4))
+    assert(res.stats.max == rel.getDouble(5))
+  }
+
+  test("int16 with predictor: integer-valued raster round-trips exactly") {
+    val s = spark
+    import s.implicits._
+    val p = RasterProfile(96, 80, blockSize = 16, nodata = -999,
+      minOverviewSize = 32, dtype = "int16", resampling = "nearest")
+    val tiles = for (ty <- 0 until 5; tx <- 0 until 6) yield {
+      val (h, w) = p.tileDims(0, ty, tx)
+      Tile(0, ty, tx, h, w,
+        Array.tabulate(h * w)(i => (((ty * 7 + tx) * 131 + i * 13) % 30000 - 15000).toDouble), null)
+    }
+    val (bytes, _) = CogWriter.writeBytes(s.createDataset(tiles), p, tmpDir())
+    val pg = BigTiff.readPages(bytes).head
+    assert(pg.predictor == 2 && pg.bits == 16 && pg.sampleFormat == 2)
+    val (gw, _) = p.gridDims(0)
+    for (ti <- pg.offsets.indices if pg.counts(ti) > 0) {
+      val ty = ti / gw; val tx = ti % gw
+      val (th, tw) = p.tileDims(0, ty, tx)
+      val px = TileCodec.decode(java.util.Arrays.copyOfRange(bytes,
+        pg.offsets(ti).toInt, (pg.offsets(ti) + pg.counts(ti)).toInt), p)
+      val src = tiles.find(t => t.ty == ty && t.tx == tx).get
+      for (y <- 0 until th; x <- 0 until tw)
+        assert(px(y * 16 + x) == src.pixels(y * tw + x), s"tile($ty,$tx) ($y,$x)")
+    }
+  }
+}

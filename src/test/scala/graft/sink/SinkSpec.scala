@@ -1,0 +1,68 @@
+package graft.sink
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** OrderedMultipartWriter invariants (SURVEY §5.2-3e): parts contiguous
+  * and order-preserving, every non-final part ≥ 5 MiB, count ≤ 10,000,
+  * idempotent re-upload, byte-identical assembly. */
+class SinkSpec extends SparkSpec {
+
+  def tmp(): String = Files.createTempDirectory("graft-sink").toString
+
+  /** Deterministic pseudo-random blob stream totalling ~`totalMiB`. */
+  def blobStream(totalMiB: Int): (Seq[Blob], Array[Byte]) = {
+    val rnd = new scala.util.Random(7)
+    val blobs = Seq.newBuilder[Blob]
+    var off = 0L
+    val whole = new java.io.ByteArrayOutputStream()
+    while (off < (totalMiB.toLong << 20)) {
+      val n = 64 * 1024 + rnd.nextInt(3 << 20) // 64 KiB .. ~3 MiB
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      blobs += Blob(off, b)
+      whole.write(b)
+      off += n
+    }
+    (blobs.result(), whole.toByteArray)
+  }
+
+  test("packing: contiguous parts, >=5MiB non-final, assembled == input") {
+    val s = spark
+    import s.implicits._
+    val (blobs, expect) = blobStream(48)
+    val total = expect.length.toLong
+    val maxBlob = blobs.map(_.bytes.length.toLong).max
+    val sink = new LocalMultipartSink(tmp())
+    val receipts = OrderedMultipartWriter.write(
+      s.createDataset(blobs), total, maxBlob, sink)
+
+    assert(receipts.map(_.partNumber) == receipts.map(_.partNumber).sorted)
+    assert(receipts.map(_.partNumber).distinct.size == receipts.size)
+    assert(receipts.size <= OrderedMultipartWriter.S3MaxPartCount)
+    for (r <- receipts.dropRight(1))
+      assert(r.size >= OrderedMultipartWriter.S3MinPart,
+        s"part ${r.partNumber} under 5 MiB: ${r.size}")
+    assert(java.util.Arrays.equals(sink.assembled, expect))
+  }
+
+  test("target part size respects the 10k cap and the 5MiB+maxBlob floor") {
+    val t1 = OrderedMultipartWriter.targetPartSize(100L << 20, 2L << 20)
+    assert(t1 == 16L << 20) // default wins
+    val t2 = OrderedMultipartWriter.targetPartSize(100L << 20, 20L << 20)
+    assert(t2 == (5L << 20) + (20L << 20)) // maxBlob floor wins
+    val t3 = OrderedMultipartWriter.targetPartSize(1L << 40, 2L << 20)
+    assert(t3 >= (1L << 40) / 10000) // cap wins
+    assert((1L << 40) / t3 <= 10000)
+  }
+
+  test("uploadPart is idempotent: re-upload overwrites, assembly unchanged") {
+    val sink = new LocalMultipartSink(tmp())
+    sink.start()
+    sink.uploadPart(1, Array[Byte](9, 9, 9))
+    sink.uploadPart(2, Array[Byte](4, 4))
+    sink.uploadPart(1, Array[Byte](1, 2, 3)) // task retry
+    assert(sink.assembled.toSeq == Seq[Byte](1, 2, 3, 4, 4))
+    assert(sink.partNumbers == Seq(1, 2))
+  }
+}
