@@ -20,12 +20,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ ScalarQueries.queries ++
-      PipelineQueries.queries ++ RasterQueries.queries
+      PipelineQueries.queries ++ RasterQueries.queries ++
+      DedupQueries.queries ++ TextQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowQueries.oracle ++ ScalarQueries.oracle ++
-      PipelineQueries.oracle ++ RasterQueries.oracle
+      PipelineQueries.oracle ++ RasterQueries.oracle ++
+      DedupQueries.oracle ++ TextQueries.oracle ++
+      SimilarityQueries.oracle ++ MultimodalQueries.oracle
 }

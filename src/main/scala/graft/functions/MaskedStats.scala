@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed masked-statistics UDAF — the engine's Aggregator surface
+  * (SURVEY §2.2 row "UDF/UDAF/UDTF"): one-pass min/max/mean/stddev/
+  * valid% with the reference's fullmask semantics — a pixel counts only
+  * if its mask bit is set AND it isn't the nodata sentinel (reference
+  * ccog/ccog.py:534-541). Partial+final merge shape matches Spark's
+  * two-phase agg, so it runs map-side combined like any built-in.
+  *
+  * Input rows are (value, maskBit); register with
+  * `udaf(new MaskedStats(nodata))` or use `.toColumn` on a typed
+  * Dataset. Numerically: sum/sumsq accumulation, population stddev —
+  * identical to the fused encode-pass stats in TileCodec. */
+class MaskedStats(nodata: Double)
+    extends Aggregator[(Double, Int), MaskedStats.Buf, MaskedStats.Out] {
+  import MaskedStats._
+
+  override def zero: Buf = Buf(0L, 0L, 0.0, 0.0,
+    Double.PositiveInfinity, Double.NegativeInfinity)
+
+  override def reduce(b: Buf, in: (Double, Int)): Buf = {
+    val (v, m) = in
+    val valid = m != 0 && v != nodata
+    Buf(b.total + 1,
+      if (valid) b.valid + 1 else b.valid,
+      if (valid) b.sum + v else b.sum,
+      if (valid) b.sumSq + v * v else b.sumSq,
+      if (valid && v < b.min) v else b.min,
+      if (valid && v > b.max) v else b.max)
+  }
+
+  override def merge(a: Buf, b: Buf): Buf =
+    Buf(a.total + b.total, a.valid + b.valid, a.sum + b.sum,
+      a.sumSq + b.sumSq, math.min(a.min, b.min), math.max(a.max, b.max))
+
+  override def finish(b: Buf): Out =
+    if (b.valid == 0) Out(0.0, 0.0, 0.0, 0.0, 0.0)
+    else {
+      val mean = b.sum / b.valid
+      val varp = math.max(0.0, b.sumSq / b.valid - mean * mean)
+      Out(b.min, b.max, mean, math.sqrt(varp),
+        100.0 * b.valid / b.total)
+    }
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Out] = Encoders.product[Out]
+}
+
+object MaskedStats {
+  case class Buf(total: Long, valid: Long, sum: Double, sumSq: Double,
+      min: Double, max: Double)
+  case class Out(min: Double, max: Double, mean: Double, stddev: Double,
+      validPct: Double)
+}

@@ -1,0 +1,52 @@
+package graft.multimodal
+
+/** Multimodal column support: media payloads travel as opaque `binary`
+  * columns with typed metadata; per-item work runs BATCHED inside
+  * `mapPartitions` (the Scala analog of arrow-batched `mapInPandas` —
+  * fixed batch shape, no per-row closure dispatch).
+  *
+  * STUB NOTICE: this container has no image/audio codecs, so
+  * `decodeStub` is a clearly-marked deterministic FAKE decoder — it
+  * parses a fake header (leading bytes → dims) and computes a real
+  * byte-histogram entropy as the stand-in "feature". The Spark-side
+  * plumbing — binary schema, batching, partition-parallel extraction —
+  * is the real, tested part; swapping `decodeStub` for a JNI/javacv
+  * decoder changes nothing upstream. */
+object BinaryCodec {
+
+  case class MediaMeta(nBytes: Long, fakeW: Int, fakeH: Int, entropy: Double)
+
+  val BatchSize = 64
+
+  /** FAKE decode: dims from the first bytes, entropy over the byte
+    * histogram. Deterministic in the payload alone. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = {
+    val w = if (payload.length > 0) (payload(0) & 0x3f) + 1 else 0
+    val h = if (payload.length > 1) (payload(1) & 0x3f) + 1 else 0
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < payload.length) { hist(payload(i) & 0xff) += 1; i += 1 }
+    var ent = 0.0
+    if (payload.length > 0) {
+      var b = 0
+      while (b < 256) {
+        if (hist(b) > 0) {
+          val p = hist(b).toDouble / payload.length
+          ent -= p * math.log(p) / math.log(2)
+        }
+        b += 1
+      }
+    }
+    MediaMeta(payload.length.toLong, w, h, ent)
+  }
+
+  /** Batched extraction over an iterator of (id, payload): groups the
+    * partition into fixed-size batches, decodes each batch, streams
+    * results — the mapInPandas batch shape without per-row overhead. */
+  def extractBatched(it: Iterator[(Long, Array[Byte])]): Iterator[(Long, MediaMeta)] =
+    it.grouped(BatchSize).flatMap { batch =>
+      // batch-level work happens here (a real decoder would hand the
+      // whole batch to native code once)
+      batch.iterator.map { case (id, payload) => (id, decodeStub(payload)) }
+    }
+}

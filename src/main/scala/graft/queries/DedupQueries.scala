@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+import graft.text.{MinHashLSH, SimHash}
+
+/** Near-duplicate mining beyond the exact/oracle paths in
+  * PipelineQueries: the three scalable detectors of an LLM-data
+  * pipeline — MinHash-LSH (set overlap), SimHash (weighted token bags,
+  * Hamming banding), and embedding-cosine (semantic). MinHash/SimHash
+  * are hash-seeded → NATIVE (recall/consistency specs in
+  * graft.text tests); the embedding path is pure arithmetic → ORACLE. */
+object DedupQueries {
+
+  /** MinHash-LSH near-dup pairs over the SAME df-capped shingle
+    * universe as q_dedup_ngram, verified to exact Jaccard >= 0.35 —
+    * so its rows are a subset of the exact join's, short of only LSH
+    * misses (measured >= 0.9 recall in MinHashSpec). */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    MinHashLSH.nearDupPairs(PipelineQueries.keptShingles(spark, sfDir), 0.35)
+
+  /** SimHash near-dups: 64-bit fingerprints over word tokens, all
+    * pairs at Hamming distance <= 3 via complete 4-chunk banding. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    SimHash.nearDupPairs(
+      Fixtures.documents(spark, sfDir)
+        .select($"doc_id", split(lower(trim($"text")), " ").as("tokens")))
+  }
+
+  /** Embedding-cosine near-dup pairs, banded by `label` (the IVF-style
+    * coarse partition): within a label, pairs with cosine >= 0.35.
+    * The label equi-key keeps the join linear per bucket at scale —
+    * the unbanded all-pairs form is exactly the quadratic shape LSH/IVF
+    * exist to avoid. */
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Fixtures.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding")
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+    val a = e.select($"label", $"vec_id".as("id_a"), $"embedding".as("va"), $"nrm".as("na"))
+    val b = e.select($"label", $"vec_id".as("id_b"), $"embedding".as("vb"), $"nrm".as("nb"))
+    a.join(b, Seq("label"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .filter($"dot" / ($"na" * $"nb") >= 0.35)
+      .withColumn("cosine", round($"dot" / ($"na" * $"nb"), 4))
+      .select($"label", $"id_a", $"id_b", $"cosine")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val dedupEmbedSql: String =
+    """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_embed" -> (dedupEmbed _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_embed" -> dedupEmbedSql)
+}

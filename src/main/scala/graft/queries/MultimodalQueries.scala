@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+import graft.multimodal.BinaryCodec
+
+/** Multimodal-column surface: media as opaque binary + typed metadata,
+  * feature extraction batched in mapPartitions (SURVEY-adjacent; the
+  * builder contract's multimodal requirement). The decode itself is a
+  * clearly-marked deterministic stub (no codecs in this container —
+  * see BinaryCodec); the schema, batching and partition-parallel
+  * extraction are real. NATIVE: binary ops aren't DuckDB-comparable
+  * via the driver's hash (entropy floats + fake dims are asserted in
+  * MultimodalSpec instead). */
+object MultimodalQueries {
+
+  /** Documents as fake media blobs: payload = utf-8 bytes of text
+    * (deterministic stand-in for an image column), extract per-blob
+    * metadata + entropy feature, batched 64 per call. */
+  def mmExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(BinaryCodec.extractBatched)
+      .map { case (id, m) =>
+        (id, m.nBytes, m.fakeW, m.fakeH,
+          math.round(m.entropy * 10000) / 10000.0)
+      }
+      .toDF("doc_id", "n_bytes", "fake_w", "fake_h", "entropy")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_extract" -> (mmExtract _))
+
+  val oracle: Map[String, String] = Map.empty
+}

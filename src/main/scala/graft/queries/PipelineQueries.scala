@@ -39,11 +39,13 @@ object PipelineQueries {
     * standard stop-shingle trick for near-dup mining at corpus scale. */
   val NgramDfCap = 100
 
-  /** Exact n-gram (word trigram) Jaccard near-dup pairs — the
-    * hash-free oracle for the MinHash path: J(a,b) >= 0.35 on distinct
-    * shingle sets with df <= NgramDfCap. Shuffle key = shingle, so the
-    * join is equi at scale, and the df cap bounds every bucket. */
-  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, shingle) rows: distinct word trigrams per doc, with
+    * boilerplate shingles (df > NgramDfCap) dropped — the shared
+    * shingle universe of the exact-Jaccard oracle AND the MinHash-LSH
+    * path (graft.text.MinHashLSH), so LSH recall is measured against
+    * the identical definition. Cached: reused 3× within dedupNgram and
+    * again by the LSH query. */
+  def keptShingles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Fixtures.documents(spark, sfDir)
       .select($"doc_id", split(lower(trim($"text")), " ").as("w"))
@@ -58,7 +60,16 @@ object PipelineQueries {
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= NgramDfCap)
       .select($"shingle")
-    val keptEx = ex.join(kept, Seq("shingle")).cache()
+    ex.join(kept, Seq("shingle")).cache()
+  }
+
+  /** Exact n-gram (word trigram) Jaccard near-dup pairs — the
+    * hash-free oracle for the MinHash path: J(a,b) >= 0.35 on distinct
+    * shingle sets with df <= NgramDfCap. Shuffle key = shingle, so the
+    * join is equi at scale, and the df cap bounds every bucket. */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keptEx = keptShingles(spark, sfDir)
     val sizes = keptEx.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = keptEx.select($"doc_id".as("id_a"), $"shingle")
       .join(keptEx.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))

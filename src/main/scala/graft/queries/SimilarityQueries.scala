@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Fixtures
+import graft.similarity.Ann
+
+/** ANN similarity surface: IVF-bucketed cosine top-k (the scale path
+  * over q_sim_topk's brute-force exact baseline). NATIVE: bucket
+  * membership depends on the engine's centroid sample; recall vs
+  * brute force is proven on planted clusters in AnnSpec. */
+object SimilarityQueries {
+
+  /** Top-5 probed-bucket neighbors for a fixed deterministic query set
+    * (every 100th vec_id), 32 centroids, 8 probes. */
+  def simAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Fixtures.embeddings(spark, sfDir)
+    val maxId = emb.agg(org.apache.spark.sql.functions.max($"vec_id")).head().getLong(0)
+    val queryIds = (0L to maxId by 100L).toSeq
+    Ann.ivfTopK(emb, queryIds, k = 5, nCentroids = 32, nProbe = 8)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ann" -> (simAnn _))
+
+  val oracle: Map[String, String] = Map.empty
+}

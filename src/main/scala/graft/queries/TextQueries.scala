@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+import graft.text.{LangId, Winnowing}
+
+/** Text-analysis operators of the LLM-data pipeline: quality scoring
+  * (ORACLE — pure string arithmetic both engines express identically),
+  * heuristic language-ID and winnowing fingerprints (NATIVE — the
+  * classifier tables / hash values are engine-side; correctness in
+  * LangIdSpec / WinnowingSpec). Token counting is q_text_tokens in
+  * PipelineQueries. */
+object TextQueries {
+
+  /** Per-document quality signals: word/BPE-ish token counts, distinct
+    * ratio (soup repetition), stopword ratio, mean word length, and a
+    * bounded composite score. All narrow ops over one scan — at 100 TB
+    * this is a single map stage, no shuffle at all except the
+    * oracle-imposed final sort. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .withColumn("w", split(lower(trim($"text")), " "))
+      .withColumn("n_words", size($"w").cast("long"))
+      .withColumn("n_bpe",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long"))
+      // raw (unrounded) ratios; each output column is rounded exactly
+      // once — feeding rounded values back into arithmetic parks sums on
+      // .00005 boundaries where engine round() impls differ by 1 ulp
+      .withColumn("dr", size(array_distinct($"w")).cast("double") / $"n_words")
+      .withColumn("sr",
+        size(expr("filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))"))
+          .cast("double") / $"n_words")
+      .withColumn("distinct_ratio", round($"dr", 4))
+      .withColumn("stop_ratio", round($"sr", 4))
+      .withColumn("avg_wlen",
+        round(length(regexp_replace($"text", " ", "")).cast("double") / $"n_words", 4))
+      .withColumn("quality_score",
+        round(least($"n_words".cast("double") / 100.0, lit(1.0)) * 0.4 +
+          $"sr" * 0.3 + $"dr" * 0.3, 4))
+      .select($"doc_id", $"n_words", $"n_bpe", $"distinct_ratio",
+        $"stop_ratio", $"avg_wlen", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, text, w,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr,
+      |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) / len(w) AS sr
+      |  FROM d)
+      |SELECT doc_id,
+      |  len(w) AS n_words,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+      |  round(dr, 4) AS distinct_ratio,
+      |  round(sr, 4) AS stop_ratio,
+      |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w), 4) AS avg_wlen,
+      |  round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 + sr * 0.3 + dr * 0.3, 4) AS quality_score
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language-ID vs the fixture's `lang` column: confusion
+    * counts per (labelled, predicted). The fixture text is one shared
+    * English-ish vocabulary, so the classifier legitimately predicts
+    * 'en'/'und' everywhere — real multilingual behavior is asserted in
+    * LangIdSpec on genuine sentences. NATIVE (classifier tables are
+    * engine-side). */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .select($"lang", $"text").as[(String, String)]
+      .map { case (lang, text) => (lang, LangId.classify(text)) }
+      .toDF("lang", "predicted")
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** Winnowing fingerprints per document: k-gram count, fingerprint
+    * count, selection density (expected ≈ 2/(w+1)), and the min
+    * fingerprint (stable doc identity). NATIVE (rolling-hash values). */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", lower(trim($"text")).as("t")).as[(Long, String)]
+      .map { case (id, t) =>
+        val kg = Winnowing.kgramHashes(t)
+        val fp = Winnowing.fingerprints(t)
+        (id, kg.length.toLong, fp.length.toLong,
+          if (kg.isEmpty) 0.0 else math.round(fp.length.toDouble / kg.length * 10000) / 10000.0,
+          if (fp.isEmpty) "" else java.lang.Long.toUnsignedString(fp.head, 16))
+      }
+      .toDF("doc_id", "n_kgrams", "n_fp", "density", "min_fp")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_quality" -> (textQuality _),
+    "q_text_langid" -> (textLangid _),
+    "q_text_fingerprint" -> (textFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_quality" -> textQualitySql)
+}

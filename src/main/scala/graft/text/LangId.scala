@@ -1,0 +1,53 @@
+package graft.text
+
+/** Heuristic language identification: function-word (stopword) hit
+  * ratios per language plus a CJK-codepoint fast path. Function words
+  * are the standard cheap n-gram-free signal: they're the most frequent
+  * tokens of every European language and pairwise nearly disjoint.
+  * Lists are common public knowledge (top function words). Returns an
+  * ISO 639-1 code or "und" when no language clears the floor. */
+object LangId {
+
+  val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "with", "his", "are", "not", "this", "but", "have", "from"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "von", "mit",
+      "sich", "auf", "ein", "eine", "als", "auch", "es", "zu", "den", "im"),
+    "fr" -> Set("le", "la", "les", "des", "est", "et", "dans", "que", "qui",
+      "pour", "pas", "une", "sur", "avec", "au", "ce", "il", "ne"),
+    "es" -> Set("el", "los", "las", "es", "y", "en", "que", "por", "con",
+      "para", "una", "del", "se", "su", "no", "como", "más", "pero"))
+
+  /** Fraction of tokens that are function words of `lang`. */
+  def score(tokens: Seq[String], lang: String): Double =
+    if (tokens.isEmpty) 0.0
+    else tokens.count(profiles(lang)) .toDouble / tokens.size
+
+  def tokenize(text: String): Seq[String] =
+    text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).toSeq
+
+  private def isCjk(cp: Int): Boolean =
+    (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3040 && cp <= 0x30ff)
+
+  /** Classify one document. Floor: at least 3% function-word hits (or
+    * 10% CJK codepoints), else "und". */
+  def classify(text: String): String = {
+    if (text.isEmpty) return "und"
+    var cjk = 0
+    var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        letters += 1
+        if (isCjk(cp)) cjk += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (letters > 0 && cjk.toDouble / letters >= 0.10) return "zh"
+    val toks = tokenize(text)
+    if (toks.isEmpty) return "und"
+    val best = profiles.keys.map(l => (l, score(toks, l))).maxBy(_._2)
+    if (best._2 >= 0.03) best._1 else "und"
+  }
+}

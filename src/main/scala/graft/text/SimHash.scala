@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate mining: 64-bit charikar fingerprint over
+  * token hashes; near-dups are pairs within a small Hamming distance.
+  *
+  * Scale path: split the 64-bit fingerprint into 4 disjoint 16-bit
+  * chunks. Any pair at Hamming distance ≤ 3 must agree exactly on at
+  * least one chunk (pigeonhole), so an equi-join on (chunkIdx,
+  * chunkValue) finds ALL such pairs with zero misses — a keyed shuffle,
+  * no quadratic scan, same shape at 10^9 docs. Distance is then
+  * verified exactly with popcount. */
+object SimHash {
+
+  val ChunkCount = 4
+  /** Guaranteed-complete distance bound for ChunkCount chunks. */
+  val MaxDist = ChunkCount - 1
+
+  def fingerprint(tokens: Iterable[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = MinHashLSH.hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  def chunk(fp: Long, i: Int): Int = ((fp >>> (16 * i)) & 0xffffL).toInt
+
+  /** All pairs with Hamming(fp) <= MaxDist over (doc_id, tokens) rows.
+    * Output (id_a, id_b, hamming), id_a < id_b, totally ordered. */
+  def nearDupPairs(docTokens: DataFrame): DataFrame = {
+    val spark = docTokens.sparkSession
+    import spark.implicits._
+    val fps = docTokens.as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, fingerprint(toks)) }
+      .toDF("doc_id", "fp")
+      .cache()
+    val chunks = fps.as[(Long, Long)]
+      .flatMap { case (id, fp) =>
+        (0 until ChunkCount).iterator.map(i => (i, chunk(fp, i), id, fp))
+      }
+      .toDF("ci", "cv", "doc_id", "fp")
+    chunks.as("x")
+      .join(chunks.as("y"),
+        $"x.ci" === $"y.ci" && $"x.cv" === $"y.cv" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        $"x.fp".as("fp_a"), $"y.fp".as("fp_b"))
+      .distinct()
+      .as[(Long, Long, Long, Long)]
+      .map { case (a, b, fa, fb) => (a, b, hamming(fa, fb)) }
+      .toDF("id_a", "id_b", "hamming")
+      .filter($"hamming" <= MaxDist)
+      .orderBy($"id_a", $"id_b")
+  }
+}

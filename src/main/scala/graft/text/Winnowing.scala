@@ -1,0 +1,70 @@
+package graft.text
+
+/** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+  * SIGMOD 2003 — public algorithm): rolling-hash every k-gram of the
+  * normalized text, slide a window of w consecutive k-gram hashes, keep
+  * the minimum of each window (rightmost on ties). Guarantees: every
+  * run of w k-grams contributes at least one fingerprint, and any
+  * shared substring of length ≥ k+w-1 produces at least one shared
+  * fingerprint — the property plagiarism/near-dup detectors rely on.
+  * Expected density is 2/(w+1). */
+object Winnowing {
+
+  val K = 8 // k-gram length (chars)
+  val W = 4 // window size (k-grams)
+
+  private val Base = 0x100000001b3L
+
+  /** Rolling (Rabin-Karp) hashes of all k-grams; splitmix-finalized so
+    * adjacent grams don't correlate. */
+  def kgramHashes(text: String, k: Int = K): Array[Long] = {
+    val n = text.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + text.charAt(i); i += 1 }
+    out(0) = finalize64(h)
+    i = 1
+    while (i < n) {
+      h = (h - text.charAt(i - 1) * pow) * Base + text.charAt(i + k - 1)
+      out(i) = finalize64(h)
+      i += 1
+    }
+    out
+  }
+
+  @inline private def finalize64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct winnowed fingerprints (unsigned-min per window,
+    * rightmost-min tie-break), sorted for determinism. */
+  def fingerprints(text: String, k: Int = K, w: Int = W): Array[Long] = {
+    val hs = kgramHashes(text, k)
+    if (hs.isEmpty) return Array.emptyLongArray
+    if (hs.length <= w) return Array(hs.min(Ordering.fromLessThan[Long](
+      (a, b) => java.lang.Long.compareUnsigned(a, b) < 0)))
+    val picked = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var start = 0
+    while (start + w <= hs.length) {
+      var minIdx = start
+      var i = start + 1
+      while (i < start + w) {
+        // rightmost minimum: <= keeps the later index
+        if (java.lang.Long.compareUnsigned(hs(i), hs(minIdx)) <= 0) minIdx = i
+        i += 1
+      }
+      picked += hs(minIdx)
+      start += 1
+    }
+    picked.toArray.sorted(Ordering.fromLessThan[Long](
+      (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Typed Aggregator (UDAF surface, SURVEY §2.2 row 33): one-pass masked
+  * stats == the built-in agg(when(...)) combination, including map-side
+  * partial merge across many partitions. */
+class MaskedStatsSpec extends SparkSpec {
+
+  test("MaskedStats == built-in masked aggregation on events.value") {
+    val s = spark
+    import s.implicits._
+    val nodata = -1.0
+    // events.value with a synthetic mask bit and some sentinel hits
+    val rows = graft.Fixtures.events(s, sfDir)
+      .select(
+        // inject sentinel hits deterministically so the nodata path runs
+        when(($"event_id" % 13) === 0, lit(nodata)).otherwise($"value").as("value"),
+        (($"event_id" % 7) =!= 0).cast("int").as("m"))
+      .as[(Double, Int)]
+      .repartition(8) // force multi-partition partial+final merge
+
+    val agg = new MaskedStats(nodata)
+    val got = rows.select(agg.toColumn).head()
+
+    val ref = rows.toDF("v", "m")
+      .agg(
+        min(when($"m" =!= 0 && $"v" =!= nodata, $"v")),
+        max(when($"m" =!= 0 && $"v" =!= nodata, $"v")),
+        avg(when($"m" =!= 0 && $"v" =!= nodata, $"v")),
+        stddev_pop(when($"m" =!= 0 && $"v" =!= nodata, $"v")),
+        sum(when($"m" =!= 0 && $"v" =!= nodata, 1L).otherwise(0L)) * 100.0 / count(lit(1)))
+      .head()
+
+    assert(got.min == ref.getDouble(0))
+    assert(got.max == ref.getDouble(1))
+    assert(math.abs(got.mean - ref.getDouble(2)) < 1e-9)
+    assert(math.abs(got.stddev - ref.getDouble(3)) < 1e-6)
+    assert(math.abs(got.validPct - ref.getDouble(4)) < 1e-9)
+  }
+
+  test("all-invalid input yields the zero Out, not NaN") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((-1.0, 1), (5.0, 0), (-1.0, 0)).toDS()
+    val got = rows.select(new MaskedStats(-1.0).toColumn).head()
+    assert(got == MaskedStats.Out(0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+}

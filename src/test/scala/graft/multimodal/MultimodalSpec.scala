@@ -1,0 +1,34 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Binary-column plumbing: batched extraction preserves every row,
+  * is deterministic in the payload, and the stub decode's entropy is a
+  * real byte-histogram entropy. */
+class MultimodalSpec extends SparkSpec {
+
+  test("extractBatched: one output per input, batch boundaries invisible") {
+    val items = (0L until 200L).map(i => (i, Array.fill(64)((i % 251).toByte)))
+    val out = BinaryCodec.extractBatched(items.iterator).toSeq
+    assert(out.size == items.size)
+    assert(out.map(_._1) == items.map(_._1))
+    // constant payload → zero entropy
+    assert(out.forall(_._2.entropy == 0.0))
+  }
+
+  test("entropy: uniform bytes → 8 bits, constant → 0") {
+    val uniform = Array.tabulate[Byte](256 * 16)(i => (i % 256).toByte)
+    assert(math.abs(BinaryCodec.decodeStub(uniform).entropy - 8.0) < 1e-9)
+    assert(BinaryCodec.decodeStub(Array.fill[Byte](100)(7)).entropy == 0.0)
+    assert(BinaryCodec.decodeStub(Array.emptyByteArray).entropy == 0.0)
+  }
+
+  test("q_mm_extract: row-per-document, deterministic across runs") {
+    val q = graft.queries.MultimodalQueries.mmExtract(spark, sfDir)
+    val a = q.collect().map(_.toSeq)
+    val b = graft.queries.MultimodalQueries.mmExtract(spark, sfDir).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    val nDocs = graft.Fixtures.documents(spark, sfDir).count()
+    assert(a.length.toLong == nDocs)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+/** IVF-ANN recall on PLANTED clusters (the fixture embeddings are
+  * near-uniform random — no structure to recall — so the guarantee is
+  * proven on data that has one; the fixture query just exercises the
+  * plumbing deterministically). */
+class AnnSpec extends SparkSpec {
+
+  /** 30 clusters × 40 points in 32-d: point = centroid + small noise.
+    * Deterministic splitmix-style generation. */
+  def planted: Seq[(Long, Array[Float])] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long): Array[Double] = {
+      val v = Array.tabulate(32)(j => (mix(seed * 131 + j).toDouble / Long.MaxValue))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    for (c <- 0 until 30; p <- 0 until 40) yield {
+      val cent = unit(c + 1)
+      val noise = unit(c * 1000 + p + 7)
+      val vec = cent.zip(noise).map { case (a, b) => a + 0.15 * b }
+      ((c * 40 + p).toLong, vec.map(_.toFloat))
+    }
+  }
+
+  test("recall@5 >= 0.8 vs brute force on clustered data") {
+    val s = spark
+    import s.implicits._
+    val data = planted
+    val df = data.toDF("vec_id", "embedding")
+    val queryIds = (0 until 10).map(i => (i * 123).toLong % data.size)
+
+    // brute-force truth on the driver (small planted set)
+    def norm(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(_ / n)
+    }
+    val normed = data.map { case (id, v) => (id, norm(v)) }.toMap
+    def top5(q: Long): Set[Long] = data.iterator
+      .filter(_._1 != q)
+      .map { case (id, _) => (id, normed(q).zip(normed(id)).map { case (a, b) => a * b }.sum) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
+
+    val ann = Ann.ivfTopK(df, queryIds, k = 5, nCentroids = 24, nProbe = 6)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+    val recalls = queryIds.map { q =>
+      val truth = top5(q)
+      val got = ann.getOrElse(q, Set.empty)
+      (got & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5 $mean (${recalls.mkString(",")})")
+  }
+
+  test("neighbors are ranked by descending cosine with dense ranks") {
+    val s = spark
+    import s.implicits._
+    val df = planted.toDF("vec_id", "embedding")
+    val rows = Ann.ivfTopK(df, Seq(0L), k = 5, nCentroids = 24, nProbe = 6).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(3)).toSeq == Seq(1, 2, 3, 4, 5))
+    val cos = rows.map(_.getDouble(2)).toSeq
+    assert(cos == cos.sorted.reverse)
+    assert(cos.head > 0.8) // same-cluster neighbor must be close
+  }
+}

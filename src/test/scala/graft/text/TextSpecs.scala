@@ -1,0 +1,109 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** SimHash: fingerprint properties + completeness of chunk banding. */
+class SimHashSpec extends SparkSpec {
+
+  test("identical token bags → identical fingerprints, distance 0") {
+    val t = Seq("spark", "scala", "tile", "cog")
+    assert(SimHash.fingerprint(t) == SimHash.fingerprint(t.reverse))
+    assert(SimHash.hamming(SimHash.fingerprint(t), SimHash.fingerprint(t)) == 0)
+  }
+
+  test("small perturbation moves few bits; unrelated bags many") {
+    val base = (0 until 50).map(i => s"tok$i")
+    val near = base.drop(2) ++ Seq("x1", "x2")
+    val far = (0 until 50).map(i => s"other$i")
+    val d1 = SimHash.hamming(SimHash.fingerprint(base), SimHash.fingerprint(near))
+    val d2 = SimHash.hamming(SimHash.fingerprint(base), SimHash.fingerprint(far))
+    assert(d1 < d2, s"near $d1 !< far $d2")
+    assert(d2 > 20)
+  }
+
+  test("banded join finds ALL pairs at distance <= 3 (pigeonhole completeness)") {
+    val s = spark
+    import s.implicits._
+    // doc pairs engineered close: identical docs (d=0) must always appear
+    val docs = Seq(
+      (0L, (0 until 40).map(i => s"w$i")),
+      (1L, (0 until 40).map(i => s"w$i")),          // == doc 0
+      (2L, (0 until 40).map(i => s"z$i")),
+      (3L, (0 until 40).map(i => s"z$i") :+ "pad")) // near doc 2
+    val out = SimHash.nearDupPairs(docs.toDF("doc_id", "tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.contains((0L, 1L, 0)))
+    val fps = docs.map { case (id, t) => id -> SimHash.fingerprint(t) }.toMap
+    // exhaustive check: every pair within MaxDist is reported
+    for (a <- docs.map(_._1); b <- docs.map(_._1) if a < b) {
+      val d = SimHash.hamming(fps(a), fps(b))
+      assert((d <= SimHash.MaxDist) == out.exists(p => p._1 == a && p._2 == b),
+        s"pair ($a,$b) d=$d")
+    }
+  }
+}
+
+/** Winnowing: the SIGMOD-03 guarantees on synthetic strings. */
+class WinnowingSpec extends AnyFunSuite {
+
+  test("every window of W consecutive k-grams contributes a fingerprint") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val hs = Winnowing.kgramHashes(text)
+    val fp = Winnowing.fingerprints(text).toSet
+    for (start <- 0 to hs.length - Winnowing.W) {
+      val window = hs.slice(start, start + Winnowing.W)
+      assert(window.exists(fp.contains), s"window at $start uncovered")
+    }
+  }
+
+  test("fingerprints are a subset of k-gram hashes; short text → 1 fp") {
+    val text = "abcdefghijklmnop"
+    val fp = Winnowing.fingerprints(text)
+    val hs = Winnowing.kgramHashes(text).toSet
+    assert(fp.forall(hs.contains))
+    assert(Winnowing.fingerprints("abcdefgh").length == 1) // exactly one k-gram
+    assert(Winnowing.fingerprints("short").isEmpty)        // < k chars
+  }
+
+  test("shared substring of length >= k+w-1 yields a shared fingerprint") {
+    val shared = "zqxjkvbwpyhgfdslm" // k+w-1 = 11 < 17 chars, distinctive
+    val a = s"prefix one $shared suffix alpha"
+    val b = s"another beginning $shared different end"
+    val fa = Winnowing.fingerprints(a).toSet
+    val fb = Winnowing.fingerprints(b).toSet
+    assert((fa & fb).nonEmpty)
+  }
+
+  test("selection density is near the expected 2/(w+1)") {
+    val rnd = new scala.util.Random(3)
+    val text = (0 until 5000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val n = Winnowing.kgramHashes(text).length
+    // distinct-set size undercounts duplicates; use window count bound
+    val fp = Winnowing.fingerprints(text).length.toDouble
+    val density = fp / n
+    assert(density > 0.2 && density < 0.6, s"density $density vs expected 0.4")
+  }
+}
+
+/** LangId on genuine multilingual sentences (the fixture soup is
+  * mono-vocabulary; see TextQueries.textLangid scaladoc). */
+class LangIdSpec extends AnyFunSuite {
+
+  test("classifies real sentences of each profiled language") {
+    assert(LangId.classify(
+      "the cat sat on the mat and it was not in the house of his friend") == "en")
+    assert(LangId.classify(
+      "der Hund und die Katze sind nicht mit dem Kind auf der Straße") == "de")
+    assert(LangId.classify(
+      "le chat est dans la maison et il ne veut pas sortir avec les autres") == "fr")
+    assert(LangId.classify(
+      "el perro y el gato están en la casa por la mañana con su dueño") == "es")
+  }
+
+  test("CJK fast path and und fallback") {
+    assert(LangId.classify("这是一个中文句子 用来测试语言识别") == "zh")
+    assert(LangId.classify("zzz qqq xxx vvv kkk") == "und")
+    assert(LangId.classify("") == "und")
+  }
+}
