@@ -47,15 +47,28 @@ object PipelineQueries {
     * again by the LSH query. */
   def keptShingles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Fixtures.documents(spark, sfDir)
-      .select($"doc_id", split(lower(trim($"text")), " ").as("w"))
-      .withColumn("sh", expr(
-        // sequence(1, 0) would yield a DESCENDING [1, 0] in Spark, so
-        // short texts (<3 words) need an explicit empty-array branch.
-        "IF(size(w) >= 3, array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))), array())"))
-    // Exploded (doc, shingle) rows are reused 3× (pairs a/b + sizes):
-    // cache once instead of re-shingling the corpus per use.
-    val ex = docs.select($"doc_id", explode($"sh").as("shingle")).cache()
+    // Shingling is a typed flatMap (the Generator surface, SURVEY §2.2
+    // row 33), NOT a SQL transform(sequence(...), lambda) expression:
+    // higher-order-function lambdas evaluate interpreted per element —
+    // measured 14.4s of the 16s dedup path at sf0.1, vs <1s for this
+    // flatMap doing identical work.
+    val ex = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.trim.toLowerCase.split(" ")
+        if (w.length < 3) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[String]()
+          (0 to w.length - 3).iterator
+            .map(i => w(i) + " " + w(i + 1) + " " + w(i + 2))
+            .filter(seen.add)
+            .map(sh => (id, sh))
+        }
+      }
+      .toDF("doc_id", "shingle")
+      // (doc, shingle) rows are reused 3× (pairs a/b + sizes): cache
+      // once instead of re-shingling the corpus per use.
+      .cache()
     val kept = ex.groupBy($"shingle")
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= NgramDfCap)

@@ -1,0 +1,46 @@
+package graft.text
+
+import graft.SparkSpec
+import org.scalatest.Tag
+
+/** Ad-hoc stage profiler for the dedup path at sf0.1 — run manually:
+  * sbt "testOnly graft.text.MinhashProfile". Excluded from CI-style
+  * runs is unnecessary (fast enough), but it exists to answer "where
+  * do the seconds go", not to assert correctness. */
+class MinhashProfile extends SparkSpec {
+
+  test("stage timings at sf0.1") {
+    val sf = "/root/testdata/sf0.1"
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+
+    val keptEx = graft.queries.PipelineQueries.keptShingles(s, sf)
+    timed("keptShingles (all-in)")(keptEx.count())
+    val docSets = keptEx.groupBy($"doc_id").agg(collect_set($"shingle").as("sh")).cache()
+    timed("collect_set")(docSets.count())
+    val bandRows = docSets.select($"doc_id", $"sh").as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        val sig = MinHashLSH.signature(sh.map(MinHashLSH.hash64))
+        (0 until MinHashLSH.Bands).iterator.map(b => (b, MinHashLSH.bandKey(sig, b), id))
+      }.toDF("band", "bkey", "doc_id").cache()
+    timed("signatures+bands")(bandRows.count())
+    val cands = bandRows.as("x").join(bandRows.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b")).distinct().cache()
+    timed("band self-join")(println(s"[profile] candidates = ${cands.count()}"))
+    val out = cands
+      .join(docSets.select($"doc_id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(docSets.select($"doc_id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("uni", size($"sh_a") + size($"sh_b") - $"inter")
+      .filter($"inter".cast("double") / $"uni" >= 0.35)
+    timed("verify")(out.count())
+  }
+}
