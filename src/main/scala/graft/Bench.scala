@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: codegen + shuffle machinery + parquet footers, so the
+    // first timed query doesn't absorb session start-up
+    import org.apache.spark.sql.functions.expr
+    spark.range(1000000).groupBy(expr("id % 10")).count().count()
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

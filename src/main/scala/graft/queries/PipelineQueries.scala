@@ -45,7 +45,16 @@ object PipelineQueries {
     * path (graft.text.MinHashLSH), so LSH recall is measured against
     * the identical definition. Cached: reused 3× within dedupNgram and
     * again by the LSH query. */
-  def keptShingles(spark: SparkSession, sfDir: String): DataFrame = {
+  // one cached shingle universe per (session, sfDir): dedupNgram and
+  // dedupMinhash both consume it — without memoization each call would
+  // cache its own identical copy and recompute the shingling
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def keptShingles(spark: SparkSession, sfDir: String): DataFrame =
+    shingleCache.computeIfAbsent((spark, sfDir), { case (s, d) => buildKeptShingles(s, d) })
+
+  private def buildKeptShingles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // Shingling is a typed flatMap (the Generator surface, SURVEY §2.2
     // row 33), NOT a SQL transform(sequence(...), lambda) expression:

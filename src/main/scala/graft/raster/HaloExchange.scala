@@ -19,6 +19,15 @@ import org.apache.spark.sql.Dataset
   * mask=0 and the kernel renormalizes over the weights that exist —
   * the engine-native analog of the reference's `None` border slices
   * (ccog/ccog.py:503-508).
+  *
+  * The reference additionally merges trailing chunks narrower than
+  * min_chunk_dim=12 (`_chunk_adjuster`, ccog/ccog.py:481-496) because
+  * a dask halo cannot cross two chunk boundaries. Our grid never
+  * places a narrow tile in the interior — trailing tiles are always
+  * the last row/column, so any tap beyond them is past the raster
+  * border, which mask-0 renormalization already handles: no merge
+  * step needed (proven for k=6 lanczos over 1-px trailing tiles in
+  * HaloSpec).
   */
 object HaloExchange {
 
@@ -133,16 +142,48 @@ object HaloExchange {
   }
 }
 
-/** Wide (halo-needing) 2× downsample kernels over PADDED tiles. */
+/** Wide (halo-needing) 2× downsample kernels over PADDED tiles: all
+  * separable filters. Output (oy,ox) is centred at source
+  * (2oy+.5, 2ox+.5); per-axis taps sit at 2o+s .. 2o+s+T-1 with weight
+  * table `wt`. Weights of unavailable taps (masked, nodata, or beyond
+  * the raster border) are dropped and the rest renormalized;
+  * all-unavailable (or degenerate weight sum, possible with negative
+  * cubic/lanczos lobes) → nodata. Semantics are engine-defined and
+  * golden-tested, not GDAL-byte-identical (SURVEY §7.4.3; the reference
+  * concedes non-identical layouts are valid COGs, README.md:69). */
 object HaloKernels {
 
-  /** Bilinear 2×: anti-aliased separable tent filter, support 4×4 in
-    * source space. Output (oy,ox) is centred at source (2oy+.5, 2ox+.5);
-    * row/col taps 2o-1..2o+2 carry weights (.25,.75,.75,.25). Weights of
-    * unavailable taps (masked, nodata, or beyond the raster border) are
-    * dropped and the rest renormalized; all-unavailable → nodata. */
+  /** sinc(x)·sinc(x/a) Lanczos weight. */
+  private def lanczosW(x: Double, a: Double): Double =
+    if (x == 0) 1.0
+    else {
+      val px = math.Pi * x
+      a * math.sin(px) * math.sin(px / a) / (px * px)
+    }
+
+  /** (tapStart s, per-axis weights at distances |2o+s+i - (2o+0.5)|). */
+  private def tapTable(kernel: String): (Int, Array[Double]) = kernel match {
+    // tent at d = 1.5, 0.5, 0.5, 1.5
+    case "bilinear" => (-1, Array(0.25, 0.75, 0.75, 0.25))
+    // gaussian σ=0.6 at the same taps
+    case "gauss" =>
+      val s2 = 2 * 0.6 * 0.6
+      (-1, Array(math.exp(-2.25 / s2), math.exp(-0.25 / s2),
+        math.exp(-0.25 / s2), math.exp(-2.25 / s2)))
+    // Catmull-Rom at d = 1.5, 0.5 (negative outer lobes)
+    case "cubic" => (-1, Array(-0.0625, 0.5625, 0.5625, -0.0625))
+    // cubic B-spline at the same taps (all-positive, smoothing)
+    case "cubicspline" => (-1, Array(0.125 / 6, 2.875 / 6, 2.875 / 6, 0.125 / 6))
+    // Lanczos a=3, taps at d = 2.5, 1.5, 0.5 mirrored
+    case "lanczos" =>
+      (-2, Array(lanczosW(2.5, 3), lanczosW(1.5, 3), lanczosW(0.5, 3),
+        lanczosW(0.5, 3), lanczosW(1.5, 3), lanczosW(2.5, 3)))
+    case other => throw new IllegalArgumentException(s"unsupported halo kernel $other")
+  }
+
   def downsample2x(kernel: String, padded: Tile, k: Int, nodata: Double): (Array[Double], Array[Byte]) = {
-    require(kernel == "bilinear", s"unsupported halo kernel $kernel")
+    val (s, wt) = tapTable(kernel)
+    val taps = wt.length
     val h = padded.h
     val w = padded.w
     val W = w + 2 * k
@@ -150,7 +191,6 @@ object HaloKernels {
     val ow = (w + 1) / 2
     val out = new Array[Double](oh * ow)
     val omask = new Array[Byte](oh * ow)
-    val wt = Array(0.25, 0.75, 0.75, 0.25)
     var oy = 0
     while (oy < oh) {
       var ox = 0
@@ -158,14 +198,14 @@ object HaloKernels {
         var sum = 0.0
         var wsum = 0.0
         var iy = 0
-        while (iy < 4) {
-          val sy = 2 * oy - 1 + iy
+        while (iy < taps) {
+          val sy = 2 * oy + s + iy
           var ix = 0
-          while (ix < 4) {
-            val sx = 2 * ox - 1 + ix
+          while (ix < taps) {
+            val sx = 2 * ox + s + ix
             val pi = (sy + k) * W + (sx + k)
-            // taps can reach k px outside the tile: always inside the
-            // padded array for k >= 1
+            // taps reach at most |s| resp. s+T-1 px outside the tile:
+            // within the padded frame for every k in Kernels.haloWidth
             if (padded.mask(pi) != 0 && padded.pixels(pi) != nodata) {
               val wgt = wt(iy) * wt(ix)
               sum += wgt * padded.pixels(pi)
@@ -176,7 +216,7 @@ object HaloKernels {
           iy += 1
         }
         val oi = oy * ow + ox
-        if (wsum == 0.0) { out(oi) = nodata; omask(oi) = 0 }
+        if (math.abs(wsum) < 1e-9) { out(oi) = nodata; omask(oi) = 0 }
         else { out(oi) = sum / wsum; omask(oi) = 1 }
         ox += 1
       }

@@ -20,10 +20,14 @@ package graft.raster
   */
 object Kernels {
 
-  /** Halo width per kernel — reference ccog/ccog.py:43-53. */
+  /** Halo width per kernel — the reference's full overlap table
+    * (ccog/ccog.py:43-53): nearest/average/mode/rms 0, bilinear/gauss 2,
+    * cubic/cubicspline 4, lanczos 6. */
   val haloWidth: Map[String, Int] = Map(
     "nearest" -> 0, "average" -> 0, "mode" -> 0, "rms" -> 0,
-    "bilinear" -> 2)
+    "bilinear" -> 2, "gauss" -> 2,
+    "cubic" -> 4, "cubicspline" -> 4,
+    "lanczos" -> 6)
 
   /** Downsample one tile 2×: (h,w) → (ceil(h/2), ceil(w/2)). Returns
     * (pixels, mask) of the shrunken quadrant. */
