@@ -109,7 +109,7 @@ object RasterQueries {
   def cogWriteBytes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
-      resampling = "average", minOverviewSize = 64)
+      resampling = "average", minOverviewSize = 64, maskPages = true)
     val dir = java.nio.file.Files.createTempDirectory("graft-cog-q").toString
     val (bytes, res) = CogWriter.writeBytes(
       SyntheticRaster.generate(spark, prof, seed = 17L), prof, dir)

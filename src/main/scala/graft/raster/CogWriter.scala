@@ -37,9 +37,15 @@ object CogWriter {
     // 1. pyramid: every level persisted (Pyramid.build)
     val levels = Pyramid.build(level0, profile)
 
-    // 2. encode every level; union is a plan-level concat, no shuffle
+    // 2. encode every level; union is a plan-level concat, no shuffle.
+    // With maskPages each tile emits its 1-bit validity plane too —
+    // the reference's data+mask interleave (ccog/ccog.py:409-422).
     val encoded = levels
-      .map(_.map(t => TileCodec.encode(t, profile)))
+      .map(_.flatMap { t =>
+        if (profile.maskPages)
+          Seq(TileCodec.encode(t, profile), TileCodec.encodeMask(t, profile))
+        else Seq(TileCodec.encode(t, profile))
+      })
       .reduce(_ union _)
 
     // 3. absolute offsets via distributed prefix sum
@@ -47,29 +53,31 @@ object CogWriter {
     val placement = Offsets.place(encoded, headerLen)
 
     try {
-      // 4. per-level offset/count arrays for the header + size metrics.
+      // 4. per-page offset/count arrays for the header + size metrics.
       // Metadata only (bytes column never collected): grid cells × ~24 B.
       val meta = placement.placed
-        .map(p => (p.level, p.ty, p.tx, p.offset, p.nbytes))
+        .map(p => (p.level, p.ty, p.tx, p.page, p.offset, p.nbytes))
         .collect()
       val nTiles = meta.length.toLong
-      val nSparse = meta.count(_._5 == 0).toLong
-      val tileBytes = meta.map(_._5.toLong).sum
-      val maxTile = if (meta.isEmpty) 0L else meta.map(_._5.toLong).max
+      val nSparse = meta.count(_._6 == 0).toLong
+      val tileBytes = meta.map(_._6.toLong).sum
+      val maxTile = if (meta.isEmpty) 0L else meta.map(_._6.toLong).max
       val nLevels = profile.maxLevel + 1
-      val offsets = Array.tabulate(nLevels) { l =>
-        val (gw, _) = profile.gridDims(l)
-        val arr = new Array[Long](profile.tilesPerLevel(l))
-        meta.iterator.filter(_._1 == l).foreach { case (_, ty, tx, off, _) =>
-          arr(ty * gw + tx) = off
+      val pages = BigTiff.pageSpecs(profile)
+      val byPage = meta.groupBy(m => (m._1, if (m._4 == TileCodec.PageMask) true else false))
+      val offsets = pages.map { pg =>
+        val (gw, _) = profile.gridDims(pg.level)
+        val arr = new Array[Long](profile.tilesPerLevel(pg.level))
+        byPage.getOrElse((pg.level, pg.isMask), Array.empty).foreach {
+          case (_, ty, tx, _, off, _) => arr(ty * gw + tx) = off
         }
         arr
       }
-      val counts = Array.tabulate(nLevels) { l =>
-        val (gw, _) = profile.gridDims(l)
-        val arr = new Array[Long](profile.tilesPerLevel(l))
-        meta.iterator.filter(_._1 == l).foreach { case (_, ty, tx, _, n) =>
-          arr(ty * gw + tx) = n.toLong
+      val counts = pages.map { pg =>
+        val (gw, _) = profile.gridDims(pg.level)
+        val arr = new Array[Long](profile.tilesPerLevel(pg.level))
+        byPage.getOrElse((pg.level, pg.isMask), Array.empty).foreach {
+          case (_, ty, tx, _, _, n) => arr(ty * gw + tx) = n.toLong
         }
         arr
       }
@@ -78,7 +86,7 @@ object CogWriter {
       // pass over pixels (reference pays a full extra pass,
       // ccog/ccog.py:38,511-541)
       val statsRow = placement.cached
-        .filter(_.level == 0)
+        .filter(e => e.level == 0 && e.page == TileCodec.PageData)
         .select(
           org.apache.spark.sql.functions.sum($"pxTotal"),
           org.apache.spark.sql.functions.sum($"pxValid"),

@@ -31,8 +31,8 @@ object Offsets {
     val spark = encoded.sparkSession
     import spark.implicits._
     val sorted = encoded
-      .repartitionByRange($"level".desc, $"ty", $"tx")
-      .sortWithinPartitions($"level".desc, $"ty", $"tx")
+      .repartitionByRange($"level".desc, $"ty", $"tx", $"page")
+      .sortWithinPartitions($"level".desc, $"ty", $"tx", $"page")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // tiny: one (pid, bytes) pair per partition
@@ -51,7 +51,7 @@ object Offsets {
       it.map { e =>
         val o = off
         off += e.nbytes
-        PlacedTile(e.level, e.ty, e.tx,
+        PlacedTile(e.level, e.ty, e.tx, e.page,
           if (e.nbytes == 0) 0L else o, e.nbytes, e.bytes)
       }
     }
@@ -60,6 +60,6 @@ object Offsets {
 }
 
 /** A tile with its absolute byte offset in the assembled file (sparse:
-  * offset 0, nbytes 0, no bytes). */
-case class PlacedTile(level: Int, ty: Int, tx: Int, offset: Long,
+  * offset 0, nbytes 0, no bytes). page: 0 = data, 1 = mask. */
+case class PlacedTile(level: Int, ty: Int, tx: Int, page: Int, offset: Long,
     nbytes: Int, bytes: Array[Byte])

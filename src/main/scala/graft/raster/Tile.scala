@@ -37,7 +37,10 @@ case class RasterProfile(
     dtype: String = "float64",
     compression: String = "deflate",
     zlevel: Int = 6,
-    sparseOk: Boolean = true) {
+    sparseOk: Boolean = true,
+    /** Write 1-bit validity-mask pages alongside data pages, like the
+      * reference does when a mask array is supplied (ccog/ccog.py:958). */
+    maskPages: Boolean = false) {
 
   require(width > 0 && height > 0, "raster dims must be positive")
   require(blockSize % 16 == 0,

@@ -235,7 +235,7 @@ object TileCodec {
     }
     val totalPx = t.h.toLong * t.w
     if (validCount == 0 && profile.sparseOk) {
-      EncodedTile(t.level, t.ty, t.tx, 0, Array.emptyByteArray,
+      EncodedTile(t.level, t.ty, t.tx, PageData, 0, Array.emptyByteArray,
         totalPx, 0L, 0.0, 0.0, 0.0, 0.0)
     } else {
       val raw = serialize(padded, dtype)
@@ -243,11 +243,71 @@ object TileCodec {
       val comp =
         if (profile.compression == "deflate") deflate(raw, profile.zlevel)
         else raw
-      EncodedTile(t.level, t.ty, t.tx, comp.length, comp,
+      EncodedTile(t.level, t.ty, t.tx, PageData, comp.length, comp,
         totalPx, validCount, sum, sumSq,
         if (validCount == 0) 0.0 else mn,
         if (validCount == 0) 0.0 else mx)
     }
+  }
+
+  val PageData = 0
+  val PageMask = 1
+
+  /** Encode the tile's VALIDITY plane (mask bit ∧ value != nodata — the
+    * reference's fullmask, ccog/ccog.py:534-537) as a 1-bit transparency
+    * -mask TIFF tile: MSB-first packed rows of the padded bs×bs plane,
+    * deflated. All-invalid → sparse like data tiles. */
+  def encodeMask(t: Tile, profile: RasterProfile): EncodedTile = {
+    val bs = profile.blockSize
+    val nodata = profile.nodata
+    val rowBytes = (bs + 7) / 8
+    val packed = new Array[Byte](rowBytes * bs)
+    var validCount = 0L
+    var y = 0
+    while (y < t.h) {
+      var x = 0
+      while (x < t.w) {
+        if (t.valid(y * t.w + x, nodata)) {
+          validCount += 1
+          packed(y * rowBytes + (x >> 3)) =
+            (packed(y * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val totalPx = t.h.toLong * t.w
+    if (validCount == 0 && profile.sparseOk)
+      EncodedTile(t.level, t.ty, t.tx, PageMask, 0, Array.emptyByteArray,
+        totalPx, 0L, 0.0, 0.0, 0.0, 0.0)
+    else {
+      val comp =
+        if (profile.compression == "deflate") deflate(packed, profile.zlevel)
+        else packed
+      EncodedTile(t.level, t.ty, t.tx, PageMask, comp.length, comp,
+        totalPx, validCount, 0.0, 0.0, 0.0, 0.0)
+    }
+  }
+
+  /** Unpack a decoded 1-bit mask tile back to 0/1 bytes (tests). */
+  def decodeMask(bytes: Array[Byte], profile: RasterProfile): Array[Byte] = {
+    val bs = profile.blockSize
+    val rowBytes = (bs + 7) / 8
+    val raw =
+      if (profile.compression == "deflate") inflate(bytes, rowBytes * bs)
+      else bytes
+    val out = new Array[Byte](bs * bs)
+    var y = 0
+    while (y < bs) {
+      var x = 0
+      while (x < bs) {
+        out(y * bs + x) =
+          if ((raw(y * rowBytes + (x >> 3)) & (0x80 >> (x & 7))) != 0) 1 else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Decode tile bytes back to a bs×bs pixel plane (tests / readback). */
@@ -263,11 +323,14 @@ object TileCodec {
 }
 
 /** One encoded tile = one "part" of the output file (the reference's
-  * part_bytes + part_info, ccog/ccog.py:448) + fused stats partials. */
+  * part_bytes + part_info, ccog/ccog.py:448) + fused stats partials.
+  * `page`: 0 = data, 1 = mask — file order interleaves them per tile
+  * exactly like the reference (ccog/ccog.py:409-422,446). */
 case class EncodedTile(
     level: Int,
     ty: Int,
     tx: Int,
+    page: Int,
     nbytes: Int,
     bytes: Array[Byte],
     pxTotal: Long,

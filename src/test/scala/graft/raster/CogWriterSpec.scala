@@ -148,6 +148,48 @@ class CogWriterSpec extends SparkSpec {
     assert(res.stats.max == rel.getDouble(5))
   }
 
+  test("mask pages: 2 pages/level, 1-bit tiles round-trip the validity plane") {
+    val s = spark
+    import s.implicits._
+    val p = RasterProfile(96, 64, blockSize = 16, nodata = ND,
+      minOverviewSize = 32, dtype = "float64", maskPages = true)
+    val level0 = SyntheticRaster.generate(s, p, seed = 23L)
+    val src = level0.collect().map(t => (t.ty, t.tx) -> t).toMap
+    val (bytes, res) = CogWriter.writeBytes(level0, p, tmpDir())
+    val pages = BigTiff.readPages(bytes)
+    assert(pages.length == 2 * (p.maxLevel + 1))
+    val (dataPages, maskPgs) = pages.partition(!_.isMask)
+    assert(maskPgs.length == p.maxLevel + 1)
+    for (pg <- maskPgs) {
+      assert(pg.bits == 1 && pg.photometric == 4)
+      assert((pg.subfileType & 4L) != 0)
+    }
+    // level-0 mask tiles decode to exactly the source validity plane
+    val mp = maskPgs.head
+    val (gw, _) = p.gridDims(0)
+    for (ti <- mp.offsets.indices if mp.counts(ti) > 0) {
+      val ty = ti / gw; val tx = ti % gw
+      val t = src((ty, tx))
+      val bits = TileCodec.decodeMask(java.util.Arrays.copyOfRange(bytes,
+        mp.offsets(ti).toInt, (mp.offsets(ti) + mp.counts(ti)).toInt), p)
+      for (y <- 0 until t.h; x <- 0 until t.w) {
+        val want = if (t.valid(y * t.w + x, ND)) 1 else 0
+        assert(bits(y * 16 + x) == want, s"mask tile($ty,$tx) ($y,$x)")
+      }
+    }
+    // data+mask bytes interleave per tile in the body: for each (l,ty,tx)
+    // the mask tile sits directly after its data tile
+    val placedPairs = for {
+      (dp, l) <- dataPages.zipWithIndex
+      i <- dp.offsets.indices
+      if dp.counts(i) > 0 && maskPgs(l).counts(i) > 0
+    } yield (dp.offsets(i), dp.counts(i), maskPgs(l).offsets(i))
+    placedPairs.foreach { case (doff, dcnt, moff) =>
+      assert(doff + dcnt == moff, "mask tile must directly follow its data tile")
+    }
+    assert(res.totalLen == bytes.length.toLong)
+  }
+
   test("int16 with predictor: integer-valued raster round-trips exactly") {
     val s = spark
     import s.implicits._
