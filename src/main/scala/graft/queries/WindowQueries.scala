@@ -103,16 +103,20 @@ object WindowQueries {
       |FROM events
       |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
+  /** Sliding-window agg over any events-shaped DF — shared by the batch
+    * ORACLE query and StreamingSpec's MemoryStream run. */
+  def slideAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), fmtS).as("w_start"), col("n"), col("sum_value"))
+
   /** Sliding window: 10 minutes every 5 — each event lands in exactly
     * two windows; the oracle reproduces that with a two-bucket union. */
   def streamSlide(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Fixtures.events(spark, sfDir)
-      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
-      .agg(count(lit(1)).as("n"),
-        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(date_format($"w.start", fmtS).as("w_start"), $"n", $"sum_value")
-      .orderBy($"w_start")
+    slideAgg(Fixtures.events(spark, sfDir)).orderBy($"w_start")
   }
 
   val streamSlideSql: String =
@@ -127,13 +131,17 @@ object WindowQueries {
   /** Session windows, 30-minute gap, per user. Spark merges events whose
     * gap is strictly < the duration; the oracle is the classic
     * gaps-and-islands rewrite with the same strict inequality. */
+  /** Session-window agg over any (ts, user_id)-shaped DF — shared by
+    * the batch ORACLE query and StreamingSpec. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), date_format(col("w.start"), fmtS).as("session_start"), col("n"))
+
   def streamSession(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Fixtures.events(spark, sfDir)
-      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
-      .agg(count(lit(1)).as("n"))
-      .select($"user_id", date_format($"w.start", fmtS).as("session_start"), $"n")
-      .orderBy($"user_id", $"session_start")
+    sessionAgg(Fixtures.events(spark, sfDir)).orderBy($"user_id", $"session_start")
   }
 
   val streamSessionSql: String =

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.queries.WindowQueries
 
 /** The time-window exprs are streaming-compatible by construction
-  * (SURVEY §1.4): this runs the SAME tumbleAgg used by the batch ORACLE
-  * query over a MemoryStream with a watermark and asserts the streamed
-  * result equals the batch result on identical rows. */
+  * (SURVEY §1.4): these run the SAME tumble/slide/session agg functions
+  * used by the batch ORACLE queries over a MemoryStream with a
+  * watermark and assert the streamed result equals the batch result on
+  * identical rows — plus the watermark actually DROPS late data in
+  * append mode. */
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class UEv(ts: Timestamp, user_id: Long)
 
 class StreamingSpec extends SparkSpec {
 
@@ -41,6 +44,82 @@ class StreamingSpec extends SparkSpec {
         .orderBy($"w_start", $"event_type").collect().toSeq
       assert(got == batch,
         s"streamed ${got.size} rows != batch ${batch.size} rows")
+    } finally q.stop()
+  }
+
+  test("slideAgg under Structured Streaming == batch on same rows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = 1700000000000L
+    val rows = (0 until 180).map { i =>
+      Ev(new Timestamp(base + i * 97000L), "view", (i % 11) + 0.5)
+    }
+    val batch = WindowQueries.slideAgg(rows.toDF())
+      .orderBy($"w_start").collect().toSeq
+    implicit val sqlCtx = sparkS.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = WindowQueries.slideAgg(mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = sparkS.table("slide_out").orderBy($"w_start").collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("sessionAgg under Structured Streaming == batch on same rows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = 1700000000000L
+    // 3 users, gaps alternating under/over the 30-min session gap
+    val rows = for (u <- 0L until 3L; i <- 0 until 40) yield
+      UEv(new Timestamp(base + u * 1000 + i * (if (i % 5 == 0) 35 else 4) * 60000L), u)
+    val batch = WindowQueries.sessionAgg(rows.toDF())
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    implicit val sqlCtx = sparkS.sqlContext
+    val mem = MemoryStream[UEv]
+    val q = WindowQueries.sessionAgg(mem.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = sparkS.table("session_out")
+        .orderBy($"user_id", $"session_start").collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = 1700000000000L
+    implicit val sqlCtx = sparkS.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = WindowQueries.tumbleAgg(mem.toDF().withWatermark("ts", "5 minutes"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: window [t0, t0+5m) plus enough later data to advance
+      // the watermark past t0+10m and close that window
+      mem.addData(Ev(new Timestamp(base + 60000L), "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(new Timestamp(base + 20 * 60000L), "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the closed first window — must be dropped
+      mem.addData(Ev(new Timestamp(base + 61000L), "view", 100.0))
+      q.processAllAvailable()
+      // force one more advance so any (incorrect) re-emission would flush
+      mem.addData(Ev(new Timestamp(base + 40 * 60000L), "view", 1.0))
+      q.processAllAvailable()
+      val out = sparkS.table("late_out").collect()
+      val firstWindow = out.filter(_.getLong(2) > 0)
+        .filter(r => r.getString(0).endsWith(":01:00") || r.getString(0).endsWith(":00:00"))
+      // the first window emitted once with n=1; the late row (value 100)
+      // never appears anywhere
+      assert(out.forall(_.getDouble(3) < 100.0), "late row leaked into results")
     } finally q.stop()
   }
 }

@@ -1,0 +1,122 @@
+package graft.raster
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkSpec
+import graft.sink.OrderedMultipartWriter
+
+/** ScalaCheck property suite (SURVEY §5.3): pyramid geometry over
+  * random dims, header structure over random profiles, packing floor
+  * arithmetic over random totals, and a randomized end-to-end write
+  * invariant batch. */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  val genDims: Gen[(Int, Int, Int)] = for {
+    w <- Gen.choose(1, 5000)
+    h <- Gen.choose(1, 5000)
+    bs <- Gen.oneOf(16, 32, 64, 128, 256, 512)
+  } yield (w, h, bs)
+
+  test("pyramid geometry: ceil-halved dims, consistent grids, clip sums") {
+    check(Prop.forAll(genDims) { case (w, h, bs) =>
+      val p = RasterProfile(w, h, blockSize = bs, minOverviewSize = 64)
+      (0 to p.maxLevel).forall { l =>
+        val (lw, lh) = p.levelDims(l)
+        val expW = (0 until l).foldLeft(w)((d, _) => (d + 1) / 2)
+        val expH = (0 until l).foldLeft(h)((d, _) => (d + 1) / 2)
+        val (gw, gh) = p.gridDims(l)
+        lw == expW && lh == expH &&
+          gw == (lw + bs - 1) / bs && gh == (lh + bs - 1) / bs &&
+          (0 until gw).map(tx => p.tileDims(l, 0, tx)._2).sum == lw &&
+          (0 until gh).map(ty => p.tileDims(l, ty, 0)._1).sum == lh &&
+          lw >= 1 && lh >= 1
+      }
+    })
+  }
+
+  test("maxLevel: minsize mode halves until both dims fit; count mode exact") {
+    check(Prop.forAll(genDims) { case (w, h, bs) =>
+      val p = RasterProfile(w, h, blockSize = bs, minOverviewSize = 256)
+      val l = p.maxLevel
+      val fits = math.max(w >> l, h >> l) <= 256
+      val prevTooBig = l == 0 || math.max(w >> (l - 1), h >> (l - 1)) > 256
+      fits && prevTooBig
+    })
+    check(Prop.forAll(genDims, Gen.choose(0, 12)) { case ((w, h, bs), c) =>
+      val p = RasterProfile(w, h, blockSize = bs, overviewCount = Some(c))
+      p.maxLevel <= c
+    })
+  }
+
+  test("header structure: parsed pages mirror the profile for random shapes") {
+    val genProf = for {
+      (w, h, bs) <- genDims
+      mask <- Gen.oneOf(true, false)
+      dtype <- Gen.oneOf(TileCodec.dtypes.keys.toSeq)
+    } yield RasterProfile(w, h, blockSize = bs, minOverviewSize = 128,
+      dtype = dtype, maskPages = mask)
+    check(Prop.forAll(genProf) { p =>
+      val pages = BigTiff.pageSpecs(p)
+      val offsets = pages.map(pg => new Array[Long](p.tilesPerLevel(pg.level)))
+      val counts = pages.map(pg => new Array[Long](p.tilesPerLevel(pg.level)))
+      val hdr = BigTiff.header(p, offsets, counts)
+      val parsed = BigTiff.readPages(hdr)
+      hdr.length.toLong == BigTiff.headerLength(p) &&
+        parsed.length == pages.length &&
+        parsed.zip(pages).forall { case (pm, spec) =>
+          val (lw, lh) = p.levelDims(spec.level)
+          pm.width == lw && pm.height == lh &&
+            pm.isMask == spec.isMask &&
+            pm.offsets.length == p.tilesPerLevel(spec.level)
+        }
+    }, n = 60)
+  }
+
+  test("packing arithmetic: target respects floors and the 10k cap") {
+    val gen = for {
+      total <- Gen.choose(1L, 1L << 42)
+      maxBlob <- Gen.choose(1L, 64L << 20)
+    } yield (total, maxBlob)
+    check(Prop.forAll(gen) { case (total, maxBlob) =>
+      val t = OrderedMultipartWriter.targetPartSize(total, maxBlob)
+      t >= OrderedMultipartWriter.S3MinPart + maxBlob &&
+        (total + t - 1) / t <= OrderedMultipartWriter.S3MaxPartCount &&
+        t <= OrderedMultipartWriter.S3MaxPart
+    })
+  }
+
+  test("randomized e2e writes: length/offset/page invariants hold") {
+    val s = spark
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 0 until 5) {
+      val bs = Seq(16, 32)(rnd.nextInt(2))
+      val w = 30 + rnd.nextInt(150)
+      val h = 30 + rnd.nextInt(150)
+      val kernel = Seq("average", "nearest", "rms", "bilinear", "cubic")(rnd.nextInt(5))
+      val mask = rnd.nextBoolean()
+      val p = RasterProfile(w, h, blockSize = bs, nodata = -9999.0,
+        resampling = kernel, minOverviewSize = 32, maskPages = mask)
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      val (bytes, res) = CogWriter.writeBytes(
+        SyntheticRaster.generate(s, p, seed = rnd.nextLong()), p, dir)
+      assert(bytes.length.toLong == res.headerLen + res.tileBytes, s"$p length")
+      val pages = BigTiff.readPages(bytes)
+      assert(pages.length == (if (mask) 2 else 1) * (p.maxLevel + 1), s"$p pages")
+      val ranges = for {
+        pg <- pages; i <- pg.offsets.indices if pg.counts(i) > 0
+      } yield (pg.offsets(i), pg.counts(i))
+      ranges.foreach { case (o, c) =>
+        assert(o >= res.headerLen && o + c <= bytes.length, s"$p bounds")
+      }
+      ranges.sortBy(_._1).sliding(2).foreach {
+        case Seq((o1, c1), (o2, _)) => assert(o1 + c1 <= o2, s"$p overlap")
+        case _ => ()
+      }
+    }
+  }
+}
