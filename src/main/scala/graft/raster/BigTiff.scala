@@ -102,7 +102,12 @@ object BigTiff {
     require(total <= Int.MaxValue, "header too large for in-memory emit")
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     val (bits, sampleFormat, _) = TileCodec.dtypes(profile.dtype)
-    val compressionCode = if (profile.compression == "deflate") 8 else 1
+    // 8 = adobe deflate, 7 = new-style JPEG, 1 = none; masks always deflate
+    val compressionCode = profile.compression match {
+      case "deflate" => 8
+      case "jpeg" => 7
+      case _ => 1
+    }
     val nd = nodataAscii(profile)
 
     // ---- layout: where each IFD and external area lands
@@ -147,11 +152,12 @@ object BigTiff {
       entry(TagImageWidth, TypeLong8, 1, w)
       entry(TagImageLength, TypeLong8, 1, h)
       entry(TagBitsPerSample, TypeShort, 1, if (pg.isMask) 1 else bits)
-      entry(TagCompression, TypeShort, 1, compressionCode)
+      entry(TagCompression, TypeShort, 1, if (pg.isMask) 8 else compressionCode)
       entry(TagPhotometric, TypeShort, 1, if (pg.isMask) 4 else 1)
       entry(TagSamplesPerPixel, TypeShort, 1, 1)
       if (!pg.isMask)
-        entry(TagPredictor, TypeShort, 1, TileCodec.predictor(profile.dtype))
+        entry(TagPredictor, TypeShort, 1,
+          if (profile.compression == "jpeg") 1 else TileCodec.predictor(profile.dtype))
       entry(TagTileWidth, TypeShort, 1, profile.blockSize)
       entry(TagTileLength, TypeShort, 1, profile.blockSize)
       if (n > 1) {

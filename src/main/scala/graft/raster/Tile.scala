@@ -37,6 +37,7 @@ case class RasterProfile(
     dtype: String = "float64",
     compression: String = "deflate",
     zlevel: Int = 6,
+    jpegQuality: Int = 75,
     sparseOk: Boolean = true,
     /** Write 1-bit validity-mask pages alongside data pages, like the
       * reference does when a mask array is supplied (ccog/ccog.py:958). */
@@ -49,8 +50,10 @@ case class RasterProfile(
   require(Kernels.haloWidth.contains(resampling),
     s"unknown resampling '$resampling' (have ${Kernels.haloWidth.keys.mkString(",")})")
   require(TileCodec.dtypes.contains(dtype), s"unknown dtype '$dtype'")
-  require(compression == "deflate" || compression == "none",
+  require(compression == "deflate" || compression == "none" || compression == "jpeg",
     s"unknown compression '$compression'")
+  require(compression != "jpeg" || dtype == "uint8",
+    "jpeg compression requires uint8 (baseline JPEG is 8-bit)")
 
   /** Number of overview levels, reference semantics
     * (ccog/ccog.py:56-100): floor-div halving until BOTH dims fit

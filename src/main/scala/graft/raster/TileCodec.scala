@@ -190,6 +190,37 @@ object TileCodec {
     out.toByteArray
   }
 
+  /** Baseline-JPEG encode of an 8-bit grayscale plane via the JDK's
+    * ImageIO (reference compresses via GDAL's libjpeg,
+    * ccog/ccog.py:390). Fixed quality → identical quantization tables
+    * in every tile, the invariant the reference enforces at runtime
+    * (`_test_jpegtables`, ccog/ccog.py:261-289; asserted in JpegSpec). */
+  def jpegEncode(gray: Array[Byte], w: Int, h: Int, quality: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, gray)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality / 100.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  def jpegDecode(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null && img.getWidth == w && img.getHeight == h,
+      "jpeg tile decode failed")
+    val out = new Array[Byte](w * h)
+    img.getRaster.getDataElements(0, 0, w, h, out)
+    out
+  }
+
   def inflate(comp: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(comp)
@@ -238,11 +269,15 @@ object TileCodec {
       EncodedTile(t.level, t.ty, t.tx, PageData, 0, Array.emptyByteArray,
         totalPx, 0L, 0.0, 0.0, 0.0, 0.0)
     } else {
-      val raw = serialize(padded, dtype)
-      if (predictor(dtype) == 2) applyPredictor(raw, bs, dtypes(dtype)._3)
-      val comp =
-        if (profile.compression == "deflate") deflate(raw, profile.zlevel)
-        else raw
+      val comp = profile.compression match {
+        case "jpeg" =>
+          // predictor never applies to jpeg; serialize gives the 8-bit plane
+          jpegEncode(serialize(padded, dtype), bs, bs, profile.jpegQuality)
+        case c =>
+          val raw = serialize(padded, dtype)
+          if (predictor(dtype) == 2) applyPredictor(raw, bs, dtypes(dtype)._3)
+          if (c == "deflate") deflate(raw, profile.zlevel) else raw
+      }
       EncodedTile(t.level, t.ty, t.tx, PageData, comp.length, comp,
         totalPx, validCount, sum, sumSq,
         if (validCount == 0) 0.0 else mn,
@@ -281,9 +316,9 @@ object TileCodec {
       EncodedTile(t.level, t.ty, t.tx, PageMask, 0, Array.emptyByteArray,
         totalPx, 0L, 0.0, 0.0, 0.0, 0.0)
     else {
-      val comp =
-        if (profile.compression == "deflate") deflate(packed, profile.zlevel)
-        else packed
+      // masks always deflate, independent of the data codec (jpeg data
+      // still carries a lossless mask, as GDAL does)
+      val comp = deflate(packed, profile.zlevel)
       EncodedTile(t.level, t.ty, t.tx, PageMask, comp.length, comp,
         totalPx, validCount, 0.0, 0.0, 0.0, 0.0)
     }
@@ -293,9 +328,7 @@ object TileCodec {
   def decodeMask(bytes: Array[Byte], profile: RasterProfile): Array[Byte] = {
     val bs = profile.blockSize
     val rowBytes = (bs + 7) / 8
-    val raw =
-      if (profile.compression == "deflate") inflate(bytes, rowBytes * bs)
-      else bytes
+    val raw = inflate(bytes, rowBytes * bs)
     val out = new Array[Byte](bs * bs)
     var y = 0
     while (y < bs) {
@@ -313,6 +346,8 @@ object TileCodec {
   /** Decode tile bytes back to a bs×bs pixel plane (tests / readback). */
   def decode(bytes: Array[Byte], profile: RasterProfile): Array[Double] = {
     val bs = profile.blockSize
+    if (profile.compression == "jpeg")
+      return deserialize(jpegDecode(bytes, bs, bs), "uint8")
     val bp = dtypes(profile.dtype)._3
     val raw =
       if (profile.compression == "deflate") inflate(bytes, bs * bs * bp)

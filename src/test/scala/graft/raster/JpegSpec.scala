@@ -1,0 +1,81 @@
+package graft.raster
+
+import graft.SparkSpec
+
+/** JPEG tile codec (uint8): tolerance round-trip, the reference's
+  * quantization-table invariant (`_test_jpegtables`,
+  * ccog/ccog.py:261-289 — every tile must share identical DQT
+  * segments), and a full e2e jpeg COG write. */
+class JpegSpec extends SparkSpec {
+
+  /** DQT (0xFFDB) segments of a JFIF stream, concatenated. */
+  def dqtSegments(jpeg: Array[Byte]): Seq[Byte] = {
+    val out = Seq.newBuilder[Byte]
+    var i = 2
+    while (i + 4 <= jpeg.length) {
+      val marker = ((jpeg(i) & 0xff) << 8) | (jpeg(i + 1) & 0xff)
+      if (marker == 0xffda) i = jpeg.length // SOS: entropy data follows
+      else {
+        val len = ((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff)
+        if (marker == 0xffdb)
+          out ++= jpeg.slice(i + 4, i + 2 + len)
+        i += 2 + len
+      }
+    }
+    out.result()
+  }
+
+  val prof = RasterProfile(96, 64, blockSize = 16, nodata = 0,
+    resampling = "average", minOverviewSize = 32,
+    dtype = "uint8", compression = "jpeg", jpegQuality = 85)
+
+  def smoothTile(ty: Int, tx: Int, h: Int, w: Int): Tile =
+    Tile(0, ty, tx, h, w, Array.tabulate(h * w) { i =>
+      // smooth gradient (JPEG-friendly), strictly > 0 to dodge nodata=0
+      40.0 + 30 * math.sin((ty * 16 + i / w) / 9.0) +
+        30 * math.cos((tx * 16 + i % w) / 11.0) + 60
+    }, null)
+
+  test("round-trip within JPEG tolerance on smooth data") {
+    val t = smoothTile(0, 0, 16, 16)
+    val enc = TileCodec.encode(t, prof)
+    val dec = TileCodec.decode(enc.bytes, prof)
+    val diffs = t.pixels.indices.map(i => math.abs(dec(i) - math.round(t.pixels(i))))
+    assert(diffs.max <= 12, s"max err ${diffs.max}")
+    assert(diffs.sum / diffs.size.toDouble <= 3.0, "mean err too high")
+  }
+
+  test("JPEGTables invariant: every tile shares identical DQT segments") {
+    val tiles = for (ty <- 0 until 4; tx <- 0 until 6)
+      yield smoothTile(ty, tx, 16, 16)
+    val dqts = tiles.map(t => dqtSegments(TileCodec.encode(t, prof).bytes))
+    assert(dqts.forall(_.nonEmpty))
+    assert(dqts.distinct.size == 1,
+      "quantization tables differ across tiles (reference R17 invariant)")
+  }
+
+  test("e2e jpeg COG: compression tag 7, tiles decode within tolerance") {
+    val s = spark
+    import s.implicits._
+    val (gw, gh) = prof.gridDims(0)
+    val tiles = for (ty <- 0 until gh; tx <- 0 until gw) yield {
+      val (h, w) = prof.tileDims(0, ty, tx)
+      smoothTile(ty, tx, h, w)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-jpeg").toString
+    val (bytes, _) = CogWriter.writeBytes(s.createDataset(tiles), prof, dir)
+    val pages = BigTiff.readPages(bytes)
+    assert(pages.head.compression == 7 && pages.head.predictor == 1)
+    for (ti <- pages.head.offsets.indices if pages.head.counts(ti) > 0) {
+      val ty = ti / gw; val tx = ti % gw
+      val (th, tw) = prof.tileDims(0, ty, tx)
+      val px = TileCodec.decode(java.util.Arrays.copyOfRange(bytes,
+        pages.head.offsets(ti).toInt,
+        (pages.head.offsets(ti) + pages.head.counts(ti)).toInt), prof)
+      val src = tiles.find(t => t.ty == ty && t.tx == tx).get
+      for (y <- 0 until th; x <- 0 until tw)
+        assert(math.abs(px(y * 16 + x) - math.round(src.pixels(y * tw + x))) <= 15,
+          s"tile($ty,$tx) ($y,$x)")
+    }
+  }
+}
