@@ -64,6 +64,22 @@ object BigTiff {
 
   private def ifdLen(pg: PageSpec): Long = 8L + entryCount(pg) * IfdEntryLen + 8L
 
+  /** GDAL ghost area: structural-metadata text directly after the
+    * 16-byte file header (public GDAL COG layout; reference manipulates
+    * it at ccog/ccog.py:238-258). */
+  def ghostBlock(profile: RasterProfile): Array[Byte] =
+    if (!profile.ghost) Array.emptyByteArray
+    else {
+      val body = "LAYOUT=IFDS_BEFORE_DATA\n" +
+        "BLOCK_ORDER=ROW_MAJOR\n" +
+        "BLOCK_LEADER=SIZE_AS_UINT4\n" +
+        "BLOCK_TRAILER=LAST_4_BYTES_REPEATED\n" +
+        "KNOWN_INCOMPATIBLE_EDITION=NO\n " + // trailing space: GDAL's in-place YES slot
+        (if (profile.maskPages) "MASK_INTERLEAVED_WITH_IMAGERY=YES\n" else "")
+      (f"GDAL_STRUCTURAL_METADATA_SIZE=${body.length}%06d bytes\n" + body)
+        .getBytes("US-ASCII")
+    }
+
   private def nodataAscii(profile: RasterProfile): Array[Byte] = {
     val s =
       if (profile.nodata == math.floor(profile.nodata) && !profile.nodata.isInfinite)
@@ -83,7 +99,7 @@ object BigTiff {
     * function of the profile: computable before any tile is encoded. */
   def headerLength(profile: RasterProfile): Long = {
     val pages = pageSpecs(profile)
-    var len = FileHeaderLen + pages.map(ifdLen).sum
+    var len = FileHeaderLen + ghostBlock(profile).length + pages.map(ifdLen).sum
     val nd = nodataAscii(profile)
     if (nd.length > 8) len += nd.length
     pages.foreach(pg => len += externalArrayBytes(profile, pg))
@@ -111,8 +127,9 @@ object BigTiff {
     val nd = nodataAscii(profile)
 
     // ---- layout: where each IFD and external area lands
+    val ghost = ghostBlock(profile)
     val ifdOffset = new Array[Long](pages.length)
-    var cursor = FileHeaderLen
+    var cursor = FileHeaderLen + ghost.length
     for (p <- pages.indices) { ifdOffset(p) = cursor; cursor += ifdLen(pages(p)) }
     val ndOffset = cursor
     if (nd.length > 8) cursor += nd.length
@@ -129,6 +146,7 @@ object BigTiff {
     buf.putShort(8)              // offset size
     buf.putShort(0)
     buf.putLong(ifdOffset(0))
+    if (ghost.nonEmpty) { buf.position(FileHeaderLen.toInt); buf.put(ghost) }
 
     // ---- IFDs (tags strictly ascending within each IFD)
     def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {

@@ -65,11 +65,16 @@ object CogWriter {
       val nLevels = profile.maxLevel + 1
       val pages = BigTiff.pageSpecs(profile)
       val byPage = meta.groupBy(m => (m._1, if (m._4 == TileCodec.PageMask) true else false))
+      // ghost layout: stored bytes are leader(4)+payload+trailer(4);
+      // TileOffsets point at the payload, TileByteCounts exclude the
+      // decoration (GDAL convention; reference ccog/ccog.py:430-441)
+      val ghostPad = if (profile.ghost) 4L else 0L
       val offsets = pages.map { pg =>
         val (gw, _) = profile.gridDims(pg.level)
         val arr = new Array[Long](profile.tilesPerLevel(pg.level))
         byPage.getOrElse((pg.level, pg.isMask), Array.empty).foreach {
-          case (_, ty, tx, _, off, _) => arr(ty * gw + tx) = off
+          case (_, ty, tx, _, off, n) =>
+            arr(ty * gw + tx) = if (n == 0) 0L else off + ghostPad
         }
         arr
       }
@@ -77,7 +82,8 @@ object CogWriter {
         val (gw, _) = profile.gridDims(pg.level)
         val arr = new Array[Long](profile.tilesPerLevel(pg.level))
         byPage.getOrElse((pg.level, pg.isMask), Array.empty).foreach {
-          case (_, ty, tx, _, _, n) => arr(ty * gw + tx) = n.toLong
+          case (_, ty, tx, _, _, n) =>
+            arr(ty * gw + tx) = if (n == 0) 0L else n.toLong - 2 * ghostPad
         }
         arr
       }

@@ -41,7 +41,12 @@ case class RasterProfile(
     sparseOk: Boolean = true,
     /** Write 1-bit validity-mask pages alongside data pages, like the
       * reference does when a mask array is supplied (ccog/ccog.py:958). */
-    maskPages: Boolean = false) {
+    maskPages: Boolean = false,
+    /** GDAL "ghost" structural metadata + per-tile 4-byte size leader
+      * and 4-byte trailer (reference keeps or strips it depending on
+      * chunk layout, ccog/ccog.py:949-950,238-258,430-441; our writer
+      * is always row-major so it's a plain config gate, off in v1). */
+    ghost: Boolean = false) {
 
   require(width > 0 && height > 0, "raster dims must be positive")
   require(blockSize % 16 == 0,

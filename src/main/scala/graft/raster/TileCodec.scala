@@ -278,11 +278,28 @@ object TileCodec {
           if (predictor(dtype) == 2) applyPredictor(raw, bs, dtypes(dtype)._3)
           if (c == "deflate") deflate(raw, profile.zlevel) else raw
       }
-      EncodedTile(t.level, t.ty, t.tx, PageData, comp.length, comp,
+      val decorated = if (profile.ghost) ghostDecorate(comp) else comp
+      EncodedTile(t.level, t.ty, t.tx, PageData, decorated.length, decorated,
         totalPx, validCount, sum, sumSq,
         if (validCount == 0) 0.0 else mn,
         if (validCount == 0) 0.0 else mx)
     }
+  }
+
+  /** GDAL ghost decoration: 4-byte LE size leader + payload + trailer
+    * repeating the payload's last 4 bytes (reference ccog/ccog.py:430-441).
+    * TileOffsets point at the payload (leader sits 4 bytes before) and
+    * TileByteCounts exclude leader+trailer — CogWriter adjusts. */
+  def ghostDecorate(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](payload.length + 8)
+    val n = payload.length
+    out(0) = n.toByte
+    out(1) = (n >> 8).toByte
+    out(2) = (n >> 16).toByte
+    out(3) = (n >> 24).toByte
+    System.arraycopy(payload, 0, out, 4, n)
+    System.arraycopy(payload, math.max(0, n - 4), out, 4 + n, math.min(4, n))
+    out
   }
 
   val PageData = 0
@@ -319,7 +336,8 @@ object TileCodec {
       // masks always deflate, independent of the data codec (jpeg data
       // still carries a lossless mask, as GDAL does)
       val comp = deflate(packed, profile.zlevel)
-      EncodedTile(t.level, t.ty, t.tx, PageMask, comp.length, comp,
+      val decorated = if (profile.ghost) ghostDecorate(comp) else comp
+      EncodedTile(t.level, t.ty, t.tx, PageMask, decorated.length, decorated,
         totalPx, validCount, 0.0, 0.0, 0.0, 0.0)
     }
   }

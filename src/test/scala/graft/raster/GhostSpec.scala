@@ -1,0 +1,59 @@
+package graft.raster
+
+import graft.SparkSpec
+
+/** GDAL ghost layout (reference R24, ccog/ccog.py:238-258,430-441):
+  * structural-metadata text after the file header, 4-byte size leader
+  * before every tile, trailer repeating the payload's last 4 bytes;
+  * TileOffsets point at payloads and payloads still decode exactly. */
+class GhostSpec extends SparkSpec {
+
+  val ND = -9999.0
+  val prof = RasterProfile(80, 64, blockSize = 16, nodata = ND,
+    resampling = "average", minOverviewSize = 32,
+    maskPages = true, ghost = true)
+
+  test("ghost block, leaders, trailers, and payload decode") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-ghost").toString
+    val level0 = SyntheticRaster.generate(s, prof, seed = 31L)
+    val src = level0.collect().map(t => (t.ty, t.tx) -> t).toMap
+    val (bytes, res) = CogWriter.writeBytes(level0, prof, dir)
+
+    // structural metadata sits right after the 16-byte BigTIFF header
+    val text = new String(bytes, 16, 300, "US-ASCII")
+    assert(text.startsWith("GDAL_STRUCTURAL_METADATA_SIZE="))
+    assert(text.contains("BLOCK_LEADER=SIZE_AS_UINT4"))
+    assert(text.contains("MASK_INTERLEAVED_WITH_IMAGERY=YES"))
+    val declared = text.substring(30, 36).toInt
+    assert(BigTiff.ghostBlock(prof).length == 30 + 6 + " bytes\n".length + declared)
+
+    val pages = BigTiff.readPages(bytes)
+    assert(pages.length == 2 * (prof.maxLevel + 1))
+    for (pg <- pages; i <- pg.offsets.indices if pg.counts(i) > 0) {
+      val off = pg.offsets(i).toInt
+      val cnt = pg.counts(i).toInt
+      // leader: 4-byte LE payload size directly before the payload
+      val leader = (bytes(off - 4) & 0xff) | ((bytes(off - 3) & 0xff) << 8) |
+        ((bytes(off - 2) & 0xff) << 16) | ((bytes(off - 1) & 0xff) << 24)
+      assert(leader == cnt, s"leader $leader != count $cnt")
+      // trailer: last 4 payload bytes repeated
+      for (b <- 0 until 4)
+        assert(bytes(off + cnt + b) == bytes(off + cnt - 4 + b), "trailer mismatch")
+    }
+    // level-0 data payloads decode to the exact source pixels
+    val dp = pages.head
+    val (gw, _) = prof.gridDims(0)
+    for (i <- dp.offsets.indices if dp.counts(i) > 0) {
+      val ty = i / gw; val tx = i % gw
+      val t = src((ty, tx))
+      val px = TileCodec.decode(java.util.Arrays.copyOfRange(bytes,
+        dp.offsets(i).toInt, (dp.offsets(i) + dp.counts(i)).toInt), prof)
+      for (y <- 0 until t.h; x <- 0 until t.w) {
+        val want = if (t.valid(y * t.w + x, ND)) t.pixels(y * t.w + x) else ND
+        assert(px(y * 16 + x) == want, s"tile($ty,$tx) ($y,$x)")
+      }
+    }
+    assert(bytes.length.toLong == res.totalLen)
+  }
+}
