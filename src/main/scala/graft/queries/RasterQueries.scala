@@ -116,7 +116,7 @@ object RasterQueries {
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map("%02x".format(_)).mkString
     Seq((bytes.length.toLong, res.headerLen, res.nParts.toLong, res.nTiles,
-      res.nSparse, math.round(res.stats.mean * 10000) / 10000.0, sha))
+      res.nSparse, math.round(res.stats.head.mean * 10000) / 10000.0, sha))
       .toDF("file_len", "header_len", "n_parts", "n_tiles", "n_sparse",
         "mean_valid", "sha256")
   }

@@ -169,10 +169,16 @@ object BigTiff {
         entry(TagNewSubfileType, TypeLong8, 1, 1) // reduced-res page
       entry(TagImageWidth, TypeLong8, 1, w)
       entry(TagImageLength, TypeLong8, 1, h)
-      entry(TagBitsPerSample, TypeShort, 1, if (pg.isMask) 1 else bits)
+      if (pg.isMask) entry(TagBitsPerSample, TypeShort, 1, 1)
+      else {
+        // count = bands: ≤4 SHORT values pack inline into the value slot
+        var packed = 0L
+        for (b <- 0 until profile.bands) packed |= bits.toLong << (16 * b)
+        entry(TagBitsPerSample, TypeShort, profile.bands, packed)
+      }
       entry(TagCompression, TypeShort, 1, if (pg.isMask) 8 else compressionCode)
       entry(TagPhotometric, TypeShort, 1, if (pg.isMask) 4 else 1)
-      entry(TagSamplesPerPixel, TypeShort, 1, 1)
+      entry(TagSamplesPerPixel, TypeShort, 1, if (pg.isMask) 1 else profile.bands)
       if (!pg.isMask)
         entry(TagPredictor, TypeShort, 1,
           if (profile.compression == "jpeg") 1 else TileCodec.predictor(profile.dtype))
@@ -185,7 +191,12 @@ object BigTiff {
         entry(TagTileOffsets, TypeLong8, 1, offsets(p)(0))
         entry(TagTileByteCounts, TypeLong8, 1, counts(p)(0))
       }
-      entry(TagSampleFormat, TypeShort, 1, if (pg.isMask) 1 else sampleFormat)
+      if (pg.isMask) entry(TagSampleFormat, TypeShort, 1, 1)
+      else {
+        var packedSf = 0L
+        for (b <- 0 until profile.bands) packedSf |= sampleFormat.toLong << (16 * b)
+        entry(TagSampleFormat, TypeShort, profile.bands, packedSf)
+      }
       if (!pg.isMask && l == 0) {
         if (nd.length > 8) entry(TagGdalNodata, TypeAscii, nd.length, ndOffset)
         else {
@@ -251,8 +262,9 @@ object BigTiff {
           case TagTileLength => th = value.toInt
           case TagCompression => comp = value.toInt
           case TagPredictor => pred = value.toInt
-          case TagBitsPerSample => bits = value.toInt
-          case TagSampleFormat => sf = value.toInt
+          // count>1 packs SHORTs into the value slot; low 16 bits = band 0
+          case TagBitsPerSample => bits = (value & 0xffff).toInt
+          case TagSampleFormat => sf = (value & 0xffff).toInt
           case TagPhotometric => photo = value.toInt
           case TagTileOffsets => offArr = long8Array()
           case TagTileByteCounts => cntArr = long8Array()

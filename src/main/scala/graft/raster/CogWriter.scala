@@ -23,7 +23,7 @@ object CogWriter {
 
   case class Result(headerLen: Long, totalLen: Long, tileBytes: Long,
       nTiles: Long, nSparse: Long, nParts: Int, levels: Int,
-      stats: BandStats, receipts: Seq[PartReceipt])
+      stats: Seq[BandStats], receipts: Seq[PartReceipt])
 
   /** Header chunk cap: keeps single blobs comfortably under the packing
     * target so parts stay near-target-sized. */
@@ -88,32 +88,33 @@ object CogWriter {
         arr
       }
 
-      // 5. masked band stats from the fused encode partials — no second
-      // pass over pixels (reference pays a full extra pass,
+      // 5. masked PER-BAND stats from the fused encode partials — no
+      // second pass over pixels (reference pays a full extra pass,
       // ccog/ccog.py:38,511-541)
-      val statsRow = placement.cached
+      import org.apache.spark.sql.functions.{sum => fsum, min => fmin, max => fmax, when => fwhen, col}
+      val statsRows = placement.cached
         .filter(e => e.level == 0 && e.page == TileCodec.PageData)
-        .select(
-          org.apache.spark.sql.functions.sum($"pxTotal"),
-          org.apache.spark.sql.functions.sum($"pxValid"),
-          org.apache.spark.sql.functions.sum($"pxSum"),
-          org.apache.spark.sql.functions.sum($"pxSumSq"),
-          org.apache.spark.sql.functions.min(
-            org.apache.spark.sql.functions.when($"pxValid" > 0, $"pxMin")),
-          org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.when($"pxValid" > 0, $"pxMax")))
-        .head()
-      val total = statsRow.getLong(0)
-      val valid = statsRow.getLong(1)
-      val stats =
+        .flatMap(e => e.bandValid.indices.map(b =>
+          (b, e.pxTotal, e.bandValid(b), e.bandSum(b), e.bandSumSq(b),
+            e.bandMin(b), e.bandMax(b))))
+        .toDF("band", "total", "valid", "s", "ss", "mn", "mx")
+        .groupBy(col("band"))
+        .agg(fsum(col("total")), fsum(col("valid")), fsum(col("s")), fsum(col("ss")),
+          fmin(fwhen(col("valid") > 0, col("mn"))),
+          fmax(fwhen(col("valid") > 0, col("mx"))))
+        .orderBy(col("band"))
+        .collect()
+      val stats = statsRows.toSeq.map { r =>
+        val total = r.getLong(1)
+        val valid = r.getLong(2)
         if (valid == 0) BandStats(total, 0, 0, 0, 0, 0, 0)
         else {
-          val mean = statsRow.getDouble(2) / valid
-          val varp = statsRow.getDouble(3) / valid - mean * mean
+          val mean = r.getDouble(3) / valid
+          val varp = r.getDouble(4) / valid - mean * mean
           BandStats(total, valid, mean, math.sqrt(math.max(0, varp)),
-            statsRow.getDouble(4), statsRow.getDouble(5),
-            100.0 * valid / total)
+            r.getDouble(5), r.getDouble(6), 100.0 * valid / total)
         }
+      }
 
       // 6. header bytes (driver) → chunked blobs at offsets [0, headerLen)
       val headerBytes = BigTiff.header(profile, offsets, counts)

@@ -36,20 +36,36 @@ object HaloExchange {
   case class Piece(level: Int, ty: Int, tx: Int, slot: Int,
       h: Int, w: Int, pixels: Array[Double], mask: Array[Byte])
 
-  /** Copy the rectangle [y0,y0+ph)×[x0,x0+pw) out of tile t. */
+  /** Copy the rectangle [y0,y0+ph)×[x0,x0+pw) out of tile t —
+    * band-major planes + the shared mask plane. */
   private def crop(t: Tile, y0: Int, x0: Int, ph: Int, pw: Int): (Array[Double], Array[Byte]) = {
-    val px = new Array[Double](ph * pw)
+    val bands = t.bands
+    val plane = t.h * t.w
+    val px = new Array[Double](bands * ph * pw)
     val mk = if (t.mask == null) null else new Array[Byte](ph * pw)
-    var y = 0
-    while (y < ph) {
-      var x = 0
-      while (x < pw) {
-        val si = (y0 + y) * t.w + (x0 + x)
-        px(y * pw + x) = t.pixels(si)
-        if (mk != null) mk(y * pw + x) = t.mask(si)
-        x += 1
+    var b = 0
+    while (b < bands) {
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          px(b * ph * pw + y * pw + x) = t.pixels(b * plane + (y0 + y) * t.w + (x0 + x))
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+      b += 1
+    }
+    if (mk != null) {
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          mk(y * pw + x) = t.mask((y0 + y) * t.w + (x0 + x))
+          x += 1
+        }
+        y += 1
+      }
     }
     (px, mk)
   }
@@ -61,6 +77,7 @@ object HaloExchange {
     import spark.implicits._
     val nodata = profile.nodata
 
+    val bands = profile.bands
     val pieces = tiles.flatMap { t =>
       val (gw, gh) = profile.gridDims(t.level)
       val out = Seq.newBuilder[Piece]
@@ -98,7 +115,7 @@ object HaloExchange {
         val (th, tw) = profile.tileDims(level, ty, tx)
         val H = th + 2 * k
         val W = tw + 2 * k
-        val pixels = new Array[Double](H * W)
+        val pixels = new Array[Double](bands * H * W)
         java.util.Arrays.fill(pixels, nodata)
         val mask = new Array[Byte](H * W) // 0 = unavailable
         ps.foreach { p =>
@@ -107,13 +124,26 @@ object HaloExchange {
           // destination origin in the padded frame
           val oy = if (dy == -1) k - p.h else if (dy == 0) k else k + th
           val ox = if (dx == -1) k - p.w else if (dx == 0) k else k + tw
+          var b = 0
+          while (b < bands) {
+            val srcBase = b * p.h * p.w
+            val dstBase = b * H * W
+            var y = 0
+            while (y < p.h) {
+              var x = 0
+              while (x < p.w) {
+                pixels(dstBase + (oy + y) * W + (ox + x)) = p.pixels(srcBase + y * p.w + x)
+                x += 1
+              }
+              y += 1
+            }
+            b += 1
+          }
           var y = 0
           while (y < p.h) {
             var x = 0
             while (x < p.w) {
-              val di = (oy + y) * W + (ox + x)
-              pixels(di) = p.pixels(y * p.w + x)
-              mask(di) = p.mask(y * p.w + x)
+              mask((oy + y) * W + (ox + x)) = p.mask(y * p.w + x)
               x += 1
             }
             y += 1
@@ -186,41 +216,48 @@ object HaloKernels {
     val taps = wt.length
     val h = padded.h
     val w = padded.w
+    val H = h + 2 * k
     val W = w + 2 * k
+    val bands = padded.pixels.length / (H * W)
     val oh = (h + 1) / 2
     val ow = (w + 1) / 2
-    val out = new Array[Double](oh * ow)
+    val out = new Array[Double](bands * oh * ow)
     val omask = new Array[Byte](oh * ow)
-    var oy = 0
-    while (oy < oh) {
-      var ox = 0
-      while (ox < ow) {
-        var sum = 0.0
-        var wsum = 0.0
-        var iy = 0
-        while (iy < taps) {
-          val sy = 2 * oy + s + iy
-          var ix = 0
-          while (ix < taps) {
-            val sx = 2 * ox + s + ix
-            val pi = (sy + k) * W + (sx + k)
-            // taps reach at most |s| resp. s+T-1 px outside the tile:
-            // within the padded frame for every k in Kernels.haloWidth
-            if (padded.mask(pi) != 0 && padded.pixels(pi) != nodata) {
-              val wgt = wt(iy) * wt(ix)
-              sum += wgt * padded.pixels(pi)
-              wsum += wgt
+    var b = 0
+    while (b < bands) {
+      val base = b * H * W
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var sum = 0.0
+          var wsum = 0.0
+          var iy = 0
+          while (iy < taps) {
+            val sy = 2 * oy + s + iy
+            var ix = 0
+            while (ix < taps) {
+              val sx = 2 * ox + s + ix
+              val pi = (sy + k) * W + (sx + k)
+              // taps reach at most |s| resp. s+T-1 px outside the tile:
+              // within the padded frame for every k in Kernels.haloWidth
+              if (padded.mask(pi) != 0 && padded.pixels(base + pi) != nodata) {
+                val wgt = wt(iy) * wt(ix)
+                sum += wgt * padded.pixels(base + pi)
+                wsum += wgt
+              }
+              ix += 1
             }
-            ix += 1
+            iy += 1
           }
-          iy += 1
+          val oi = b * oh * ow + oy * ow + ox
+          if (math.abs(wsum) < 1e-9) out(oi) = nodata
+          else { out(oi) = sum / wsum; omask(oy * ow + ox) = 1 }
+          ox += 1
         }
-        val oi = oy * ow + ox
-        if (math.abs(wsum) < 1e-9) { out(oi) = nodata; omask(oi) = 0 }
-        else { out(oi) = sum / wsum; omask(oi) = 1 }
-        ox += 1
+        oy += 1
       }
-      oy += 1
+      b += 1
     }
     (out, omask)
   }

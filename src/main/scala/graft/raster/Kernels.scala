@@ -30,11 +30,16 @@ object Kernels {
     "lanczos" -> 6)
 
   /** Downsample one tile 2×: (h,w) → (ceil(h/2), ceil(w/2)). Returns
-    * (pixels, mask) of the shrunken quadrant. */
+    * (pixels, mask) of the shrunken quadrant, band-major. The output
+    * mask is shared across bands (like the input): a cell is masked
+    * valid when ANY band saw a valid source; a band with no valid
+    * sources still carries nodata in its own plane. */
   def downsample2x(kernel: String, t: Tile, nodata: Double): (Array[Double], Array[Byte]) = {
     val oh = (t.h + 1) / 2
     val ow = (t.w + 1) / 2
-    val out = new Array[Double](oh * ow)
+    val bands = t.bands
+    val plane = t.h * t.w
+    val out = new Array[Double](bands * oh * ow)
     val omask = new Array[Byte](oh * ow)
     // kernel dispatch hoisted out of the pixel loop
     val kId = kernel match {
@@ -45,26 +50,28 @@ object Kernels {
       case other => throw new IllegalArgumentException(s"halo-free kernel expected, got $other")
     }
     val vals = new Array[Double](4) // reused per block, no per-pixel alloc
-    var oy = 0
-    while (oy < oh) {
-      var ox = 0
-      while (ox < ow) {
+    var b = 0
+    while (b < bands) {
+      val base = b * plane
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
         val y0 = oy * 2
         val x0 = ox * 2
         val y1 = math.min(y0 + 1, t.h - 1)
         val x1 = math.min(x0 + 1, t.w - 1)
         var n = 0
-        val i00 = y0 * t.w + x0
+        val i00 = base + y0 * t.w + x0
         if (t.valid(i00, nodata)) { vals(n) = t.pixels(i00); n += 1 }
-        if (x1 != x0) { val i = y0 * t.w + x1; if (t.valid(i, nodata)) { vals(n) = t.pixels(i); n += 1 } }
-        if (y1 != y0) { val i = y1 * t.w + x0; if (t.valid(i, nodata)) { vals(n) = t.pixels(i); n += 1 } }
-        if (y1 != y0 && x1 != x0) { val i = y1 * t.w + x1; if (t.valid(i, nodata)) { vals(n) = t.pixels(i); n += 1 } }
-        val oi = oy * ow + ox
+        if (x1 != x0) { val i = base + y0 * t.w + x1; if (t.valid(i, nodata)) { vals(n) = t.pixels(i); n += 1 } }
+        if (y1 != y0) { val i = base + y1 * t.w + x0; if (t.valid(i, nodata)) { vals(n) = t.pixels(i); n += 1 } }
+        if (y1 != y0 && x1 != x0) { val i = base + y1 * t.w + x1; if (t.valid(i, nodata)) { vals(n) = t.pixels(i); n += 1 } }
+        val oi = b * oh * ow + oy * ow + ox
         if (n == 0) {
           out(oi) = nodata
-          omask(oi) = 0
         } else {
-          omask(oi) = 1
+          omask(oy * ow + ox) = 1
           out(oi) = kId match {
             case 0 =>
               var s = 0.0
@@ -95,8 +102,10 @@ object Kernels {
           }
         }
         ox += 1
+        }
+        oy += 1
       }
-      oy += 1
+      b += 1
     }
     (out, omask)
   }

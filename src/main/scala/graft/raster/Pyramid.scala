@@ -51,27 +51,44 @@ object Pyramid {
     import spark.implicits._
     val half = profile.blockSize / 2
     val nodata = profile.nodata
+    val bands = profile.bands
     quads
       .groupByKey(q => (q.level, q.ty, q.tx))
       .mapGroups { (key: (Int, Int, Int), qs: Iterator[Quadrant]) =>
         val (level, ty, tx) = key
         val (th, tw) = profile.tileDims(level, ty, tx)
-        val pixels = new Array[Double](th * tw)
+        val pixels = new Array[Double](bands * th * tw)
         java.util.Arrays.fill(pixels, nodata)
         val mask = new Array[Byte](th * tw)
         qs.foreach { q =>
           val offY = q.qy * half
           val offX = q.qx * half
-          var y = 0
-          while (y < q.h) {
-            var x = 0
-            while (x < q.w) {
-              val di = (offY + y) * tw + (offX + x)
-              pixels(di) = q.pixels(y * q.w + x)
-              if (q.mask != null) mask(di) = q.mask(y * q.w + x)
-              x += 1
+          var b = 0
+          while (b < bands) {
+            val srcBase = b * q.h * q.w
+            val dstBase = b * th * tw
+            var y = 0
+            while (y < q.h) {
+              var x = 0
+              while (x < q.w) {
+                pixels(dstBase + (offY + y) * tw + (offX + x)) =
+                  q.pixels(srcBase + y * q.w + x)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            b += 1
+          }
+          if (q.mask != null) {
+            var y = 0
+            while (y < q.h) {
+              var x = 0
+              while (x < q.w) {
+                mask((offY + y) * tw + (offX + x)) = q.mask(y * q.w + x)
+                x += 1
+              }
+              y += 1
+            }
           }
         }
         Tile(level, ty, tx, th, tw, pixels, mask)

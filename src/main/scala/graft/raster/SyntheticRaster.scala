@@ -40,30 +40,48 @@ object SyntheticRaster {
     if ((h & 31) == 0) 0 else 1
   }
 
-  /** Level-0 tile grid, one Spark task per tile. */
+  /** Level-0 tile grid, one Spark task per tile; band-major planes
+    * (band b uses seed+1000003*b so bands differ but stay coupled to
+    * the shared mask). */
   def generate(spark: SparkSession, profile: RasterProfile, seed: Long,
       withMask: Boolean = true): Dataset[Tile] = {
     import spark.implicits._
     val (gw, gh) = profile.gridDims(0)
     val bs = profile.blockSize
     val nodata = profile.nodata
+    val bands = profile.bands
     spark.range(gw.toLong * gh).map { idx =>
       val ty = (idx / gw).toInt
       val tx = (idx % gw).toInt
       val (h, w) = profile.tileDims(0, ty, tx)
-      val pixels = new Array[Double](h * w)
+      val pixels = new Array[Double](bands * h * w)
       val mask = if (withMask) new Array[Byte](h * w) else null
-      var y = 0
-      while (y < h) {
-        val gy = ty.toLong * bs + y
-        var x = 0
-        while (x < w) {
-          val gx = tx.toLong * bs + x
-          pixels(y * w + x) = pixelAt(seed, gy, gx, nodata)
-          if (mask != null) mask(y * w + x) = maskAt(seed, gy, gx)
-          x += 1
+      var b = 0
+      while (b < bands) {
+        val bSeed = seed + 1000003L * b
+        var y = 0
+        while (y < h) {
+          val gy = ty.toLong * bs + y
+          var x = 0
+          while (x < w) {
+            val gx = tx.toLong * bs + x
+            pixels(b * h * w + y * w + x) = pixelAt(bSeed, gy, gx, nodata)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        b += 1
+      }
+      if (mask != null) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            mask(y * w + x) = maskAt(seed, ty.toLong * bs + y, tx.toLong * bs + x)
+            x += 1
+          }
+          y += 1
+        }
       }
       Tile(0, ty, tx, h, w, pixels, mask)
     }

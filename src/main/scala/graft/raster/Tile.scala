@@ -1,13 +1,16 @@
 package graft.raster
 
-/** One blocksize×blocksize (or edge-clipped) chunk of a single-band
-  * raster level — the engine's unit of distribution, the analog of the
-  * reference's dask chunk (reference ccog/ccog.py:802, README.md:7).
+/** One blocksize×blocksize (or edge-clipped) chunk of a raster level —
+  * the engine's unit of distribution, the analog of the reference's
+  * dask chunk (reference ccog/ccog.py:802, README.md:7).
   *
-  * `pixels` is row-major `h*w` doubles; `mask` (same length, 1=valid,
-  * 0=invalid, rasterio convention per reference ccog/ccog.py:819) may be
-  * null meaning "all valid". Nodata is carried in [[RasterProfile]], not
-  * per tile. Primitive arrays keep kernels boxing-free (SURVEY §4.3).
+  * `pixels` is BAND-MAJOR row-major `bands*h*w` doubles (the
+  * reference's (band, y, x) layout with the band dim in one chunk,
+  * ccog/ccog.py:938-946); `mask` is `h*w` (1=valid, 0=invalid,
+  * rasterio convention per reference ccog/ccog.py:819), SHARED across
+  * bands like the reference's (ccog/ccog.py:352-353); null = all
+  * valid. Nodata is carried in [[RasterProfile]], not per tile.
+  * Primitive arrays keep kernels boxing-free (SURVEY §4.3).
   */
 case class Tile(
     level: Int,
@@ -18,8 +21,13 @@ case class Tile(
     pixels: Array[Double],
     mask: Array[Byte]) {
 
+  /** Validity of band-major index i: the shared mask bit of its (y,x)
+    * cell AND the band's value differing from the nodata sentinel.
+    * (i % (h*w) maps any band's index onto the shared mask plane.) */
   def valid(i: Int, nodata: Double): Boolean =
-    (mask == null || mask(i) != 0) && pixels(i) != nodata
+    (mask == null || mask(i % (h * w)) != 0) && pixels(i) != nodata
+
+  def bands: Int = pixels.length / math.max(1, h * w)
 }
 
 /** The schema of a raster write — the engine form of the reference's
@@ -30,6 +38,8 @@ case class RasterProfile(
     width: Int,
     height: Int,
     blockSize: Int = 256,
+    /** Band count — the reference profile's `count` (ccog/ccog.py:952). */
+    bands: Int = 1,
     nodata: Double = -9999.0,
     resampling: String = "average",
     overviewCount: Option[Int] = None,
@@ -49,6 +59,11 @@ case class RasterProfile(
     ghost: Boolean = false) {
 
   require(width > 0 && height > 0, "raster dims must be positive")
+  require(bands >= 1 && bands <= 4,
+    // ≤4: BitsPerSample/SampleFormat SHORT arrays stay inline in the
+    // 8-byte IFD value slot; enough for the mask+RGB(A) cases the
+    // reference exercises
+    s"bands must be 1..4, got $bands")
   require(blockSize % 16 == 0,
     // same contract as the reference (ccog/ccog.py:930-933)
     s"blockSize must be a multiple of 16, got $blockSize")
@@ -57,8 +72,8 @@ case class RasterProfile(
   require(TileCodec.dtypes.contains(dtype), s"unknown dtype '$dtype'")
   require(compression == "deflate" || compression == "none" || compression == "jpeg",
     s"unknown compression '$compression'")
-  require(compression != "jpeg" || dtype == "uint8",
-    "jpeg compression requires uint8 (baseline JPEG is 8-bit)")
+  require(compression != "jpeg" || (dtype == "uint8" && bands == 1),
+    "jpeg compression requires single-band uint8 (baseline grayscale JPEG)")
 
   /** Number of overview levels, reference semantics
     * (ccog/ccog.py:56-100): floor-div halving until BOTH dims fit

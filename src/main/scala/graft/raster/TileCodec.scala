@@ -127,22 +127,24 @@ object TileCodec {
   }
 
   /** In-place horizontal differencing on raw sample bytes (predictor 2):
-    * per image row, each sample becomes the wraparound delta from its
-    * left neighbor. Operates on whole samples of `bp` bytes. */
-  private def applyPredictor(raw: Array[Byte], w: Int, bp: Int): Unit = {
-    val rowBytes = w * bp
+    * per image row, each sample becomes the wraparound delta from the
+    * PREVIOUS SAMPLE OF ITS OWN COMPONENT — `stride` samples back — the
+    * TIFF rule for pixel-interleaved multiband data. Operates on whole
+    * samples of `bp` bytes; a row holds `spr` samples (w × bands). */
+  private def applyPredictor(raw: Array[Byte], spr: Int, bp: Int, stride: Int): Unit = {
+    val rowBytes = spr * bp
     val rows = raw.length / rowBytes
     var r = 0
     while (r < rows) {
       val base = r * rowBytes
-      var x = w - 1
-      while (x > 0) {
-        // subtract left-neighbor sample, byte-wise with borrow
+      var x = spr - 1
+      while (x >= stride) {
+        // subtract same-component neighbor, byte-wise with borrow
         var borrow = 0
         var b = 0
         while (b < bp) {
           val i = base + x * bp + b
-          val j = base + (x - 1) * bp + b
+          val j = base + (x - stride) * bp + b
           val d = (raw(i) & 0xff) - (raw(j) & 0xff) - borrow
           raw(i) = d.toByte
           borrow = if (d < 0) 1 else 0
@@ -155,19 +157,19 @@ object TileCodec {
   }
 
   /** Reverse of [[applyPredictor]] (tests / decode path). */
-  def undoPredictor(raw: Array[Byte], w: Int, bp: Int): Unit = {
-    val rowBytes = w * bp
+  def undoPredictor(raw: Array[Byte], spr: Int, bp: Int, stride: Int): Unit = {
+    val rowBytes = spr * bp
     val rows = raw.length / rowBytes
     var r = 0
     while (r < rows) {
       val base = r * rowBytes
-      var x = 1
-      while (x < w) {
+      var x = stride
+      while (x < spr) {
         var carry = 0
         var b = 0
         while (b < bp) {
           val i = base + x * bp + b
-          val j = base + (x - 1) * bp + b
+          val j = base + (x - stride) * bp + b
           val s = (raw(i) & 0xff) + (raw(j) & 0xff) + carry
           raw(i) = s.toByte
           carry = if (s > 0xff) 1 else 0
@@ -233,41 +235,54 @@ object TileCodec {
     out
   }
 
-  /** Encode one tile: pad to bs×bs, mask→nodata, serialize, predictor,
-    * deflate — plus the fused stats partials over VALID pixels. */
+  /** Encode one tile: pad to bs×bs, mask→nodata, pixel-interleave the
+    * bands (TIFF chunky layout), serialize, predictor, compress — plus
+    * the fused per-band stats partials over VALID pixels. */
   def encode(t: Tile, profile: RasterProfile): EncodedTile = {
     val bs = profile.blockSize
     val nodata = profile.nodata
     val dtype = profile.dtype
-    val padded = new Array[Double](bs * bs)
+    val bands = profile.bands
+    val plane = t.h * t.w
+    // interleaved padded plane: sample (y, x, b) at (y*bs + x)*bands + b
+    val padded = new Array[Double](bs * bs * bands)
     java.util.Arrays.fill(padded, nodata)
-    var validCount = 0L
-    var sum = 0.0
-    var sumSq = 0.0
-    var mn = Double.PositiveInfinity
-    var mx = Double.NegativeInfinity
-    var y = 0
-    while (y < t.h) {
-      var x = 0
-      while (x < t.w) {
-        val i = y * t.w + x
-        if (t.valid(i, nodata)) {
-          val v = t.pixels(i)
-          padded(y * bs + x) = v
-          validCount += 1
-          sum += v
-          sumSq += v * v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
+    var validAny = 0L
+    val bValid = new Array[Long](bands)
+    val bSum = new Array[Double](bands)
+    val bSumSq = new Array[Double](bands)
+    val bMin = Array.fill(bands)(Double.PositiveInfinity)
+    val bMax = Array.fill(bands)(Double.NegativeInfinity)
+    var b = 0
+    while (b < bands) {
+      var y = 0
+      while (y < t.h) {
+        var x = 0
+        while (x < t.w) {
+          val i = b * plane + y * t.w + x
+          if (t.valid(i, nodata)) {
+            val v = t.pixels(i)
+            padded((y * bs + x) * bands + b) = v
+            bValid(b) += 1
+            bSum(b) += v
+            bSumSq(b) += v * v
+            if (v < bMin(b)) bMin(b) = v
+            if (v > bMax(b)) bMax(b) = v
+          }
+          x += 1
         }
-        x += 1
+        y += 1
       }
-      y += 1
+      validAny += bValid(b)
+      b += 1
+    }
+    for (i <- 0 until bands) {
+      if (bValid(i) == 0) { bMin(i) = 0.0; bMax(i) = 0.0 }
     }
     val totalPx = t.h.toLong * t.w
-    if (validCount == 0 && profile.sparseOk) {
+    if (validAny == 0 && profile.sparseOk) {
       EncodedTile(t.level, t.ty, t.tx, PageData, 0, Array.emptyByteArray,
-        totalPx, 0L, 0.0, 0.0, 0.0, 0.0)
+        totalPx, bValid, bSum, bSumSq, bMin, bMax)
     } else {
       val comp = profile.compression match {
         case "jpeg" =>
@@ -275,14 +290,13 @@ object TileCodec {
           jpegEncode(serialize(padded, dtype), bs, bs, profile.jpegQuality)
         case c =>
           val raw = serialize(padded, dtype)
-          if (predictor(dtype) == 2) applyPredictor(raw, bs, dtypes(dtype)._3)
+          if (predictor(dtype) == 2)
+            applyPredictor(raw, bs * bands, dtypes(dtype)._3, bands)
           if (c == "deflate") deflate(raw, profile.zlevel) else raw
       }
       val decorated = if (profile.ghost) ghostDecorate(comp) else comp
       EncodedTile(t.level, t.ty, t.tx, PageData, decorated.length, decorated,
-        totalPx, validCount, sum, sumSq,
-        if (validCount == 0) 0.0 else mn,
-        if (validCount == 0) 0.0 else mx)
+        totalPx, bValid, bSum, bSumSq, bMin, bMax)
     }
   }
 
@@ -314,12 +328,22 @@ object TileCodec {
     val nodata = profile.nodata
     val rowBytes = (bs + 7) / 8
     val packed = new Array[Byte](rowBytes * bs)
+    val bands = t.bands
+    val plane = t.h * t.w
     var validCount = 0L
     var y = 0
     while (y < t.h) {
       var x = 0
       while (x < t.w) {
-        if (t.valid(y * t.w + x, nodata)) {
+        // shared mask bit ∧ any band non-nodata (bands share the mask,
+        // reference ccog/ccog.py:352-353)
+        var anyValid = false
+        var b = 0
+        while (b < bands && !anyValid) {
+          anyValid = t.valid(b * plane + y * t.w + x, nodata)
+          b += 1
+        }
+        if (anyValid) {
           validCount += 1
           packed(y * rowBytes + (x >> 3)) =
             (packed(y * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
@@ -331,14 +355,14 @@ object TileCodec {
     val totalPx = t.h.toLong * t.w
     if (validCount == 0 && profile.sparseOk)
       EncodedTile(t.level, t.ty, t.tx, PageMask, 0, Array.emptyByteArray,
-        totalPx, 0L, 0.0, 0.0, 0.0, 0.0)
+        totalPx, Array(0L), Array(0.0), Array(0.0), Array(0.0), Array(0.0))
     else {
       // masks always deflate, independent of the data codec (jpeg data
       // still carries a lossless mask, as GDAL does)
       val comp = deflate(packed, profile.zlevel)
       val decorated = if (profile.ghost) ghostDecorate(comp) else comp
       EncodedTile(t.level, t.ty, t.tx, PageMask, decorated.length, decorated,
-        totalPx, validCount, 0.0, 0.0, 0.0, 0.0)
+        totalPx, Array(validCount), Array(0.0), Array(0.0), Array(0.0), Array(0.0))
     }
   }
 
@@ -361,22 +385,39 @@ object TileCodec {
     out
   }
 
-  /** Decode tile bytes back to a bs×bs pixel plane (tests / readback). */
+  /** Decode tile bytes back to BAND-MAJOR bs×bs planes (tests /
+    * readback) — the inverse of encode's interleave. */
   def decode(bytes: Array[Byte], profile: RasterProfile): Array[Double] = {
     val bs = profile.blockSize
+    val bands = profile.bands
     if (profile.compression == "jpeg")
       return deserialize(jpegDecode(bytes, bs, bs), "uint8")
     val bp = dtypes(profile.dtype)._3
     val raw =
-      if (profile.compression == "deflate") inflate(bytes, bs * bs * bp)
+      if (profile.compression == "deflate") inflate(bytes, bs * bs * bands * bp)
       else bytes
-    if (predictor(profile.dtype) == 2) undoPredictor(raw, bs, bp)
-    deserialize(raw, profile.dtype)
+    if (predictor(profile.dtype) == 2) undoPredictor(raw, bs * bands, bp, bands)
+    val interleaved = deserialize(raw, profile.dtype)
+    if (bands == 1) interleaved
+    else {
+      val out = new Array[Double](interleaved.length)
+      var i = 0
+      while (i < bs * bs) {
+        var b = 0
+        while (b < bands) {
+          out(b * bs * bs + i) = interleaved(i * bands + b)
+          b += 1
+        }
+        i += 1
+      }
+      out
+    }
   }
 }
 
 /** One encoded tile = one "part" of the output file (the reference's
-  * part_bytes + part_info, ccog/ccog.py:448) + fused stats partials.
+  * part_bytes + part_info, ccog/ccog.py:448) + fused PER-BAND stats
+  * partials (index = band; masks carry a single placeholder entry).
   * `page`: 0 = data, 1 = mask — file order interleaves them per tile
   * exactly like the reference (ccog/ccog.py:409-422,446). */
 case class EncodedTile(
@@ -387,8 +428,8 @@ case class EncodedTile(
     nbytes: Int,
     bytes: Array[Byte],
     pxTotal: Long,
-    pxValid: Long,
-    pxSum: Double,
-    pxSumSq: Double,
-    pxMin: Double,
-    pxMax: Double)
+    bandValid: Array[Long],
+    bandSum: Array[Double],
+    bandSumSq: Array[Double],
+    bandMin: Array[Double],
+    bandMax: Array[Double])

@@ -72,7 +72,7 @@ class CodecSpec extends AnyFunSuite {
     val px = Array.fill(256)(ND)
     val t = Tile(0, 0, 0, 16, 16, px, null)
     val sparse = TileCodec.encode(t, profile("float64"))
-    assert(sparse.nbytes == 0 && sparse.bytes.isEmpty && sparse.pxValid == 0)
+    assert(sparse.nbytes == 0 && sparse.bytes.isEmpty && sparse.bandValid(0) == 0)
     val dense = TileCodec.encode(t, profile("float64").copy(sparseOk = false))
     assert(dense.nbytes > 0)
     assert(TileCodec.decode(dense.bytes, profile("float64")).forall(_ == ND))
@@ -85,10 +85,10 @@ class CodecSpec extends AnyFunSuite {
     val enc = TileCodec.encode(Tile(0, 0, 0, 16, 16, px, mk), p)
     val valid = (0 until 256).filter(i => mk(i) != 0 && px(i) != ND).map(px)
     assert(enc.pxTotal == 256)
-    assert(enc.pxValid == valid.size)
-    assert(math.abs(enc.pxSum - valid.sum) < 1e-9)
-    assert(math.abs(enc.pxSumSq - valid.map(v => v * v).sum) < 1e-9)
-    assert(enc.pxMin == valid.min && enc.pxMax == valid.max)
+    assert(enc.bandValid(0) == valid.size)
+    assert(math.abs(enc.bandSum(0) - valid.sum) < 1e-9)
+    assert(math.abs(enc.bandSumSq(0) - valid.map(v => v * v).sum) < 1e-9)
+    assert(enc.bandMin(0) == valid.min && enc.bandMax(0) == valid.max)
   }
 
   test("deflate shrinks smooth data and inflate restores exactly") {

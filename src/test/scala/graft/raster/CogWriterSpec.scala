@@ -140,12 +140,13 @@ class CogWriterSpec extends SparkSpec {
         avg(when($"valid", $"v")), stddev_pop(when($"valid", $"v")),
         min(when($"valid", $"v")), max(when($"valid", $"v")))
       .head()
-    assert(res.stats.pxTotal == rel.getLong(0))
-    assert(res.stats.pxValid == rel.getLong(1))
-    assert(math.abs(res.stats.mean - rel.getDouble(2)) < 1e-9)
-    assert(math.abs(res.stats.stddev - rel.getDouble(3)) < 1e-6)
-    assert(res.stats.min == rel.getDouble(4))
-    assert(res.stats.max == rel.getDouble(5))
+    val st = res.stats.head
+    assert(st.pxTotal == rel.getLong(0))
+    assert(st.pxValid == rel.getLong(1))
+    assert(math.abs(st.mean - rel.getDouble(2)) < 1e-9)
+    assert(math.abs(st.stddev - rel.getDouble(3)) < 1e-6)
+    assert(st.min == rel.getDouble(4))
+    assert(st.max == rel.getDouble(5))
   }
 
   test("mask pages: 2 pages/level, 1-bit tiles round-trip the validity plane") {
