@@ -1,0 +1,53 @@
+package graft.raster
+
+/** String-options entry point mirroring the reference's
+  * `COG_creation_options` handling (reference ccog/ccog.py:801-955):
+  * case-insensitive keys and values (ccog/ccog.py:878-888), an explicit
+  * reject-list for options that imply reprojection or unsupported
+  * layouts (ccog/ccog.py:890-915), then eager validation at
+  * plan-build time — errors surface before any Spark job runs, the
+  * reference's stance (SURVEY §1.3). */
+object CogOptions {
+
+  /** Options the reference refuses because they imply reprojection or
+    * warping (ccog/ccog.py:890-903) — same refusal here. */
+  val rejected: Set[String] = Set(
+    "target_srs", "dst_srs", "warp", "reproject", "resolution",
+    "target_extent", "te", "tr", "ts", "output_bounds")
+
+  val knownKeys: Set[String] = Set(
+    "blocksize", "compress", "overview_resampling", "overview_count",
+    "sparse_ok", "zlevel", "quality", "nodata", "dtype", "count",
+    "mask_pages", "ghost", "min_overview_size")
+
+  /** Build a validated profile from width/height + string options.
+    * Throws IllegalArgumentException eagerly on rejected/unknown keys
+    * or bad values — nothing is deferred to executors. */
+  def profile(width: Int, height: Int, options: Map[String, String]): RasterProfile = {
+    val norm = options.map { case (k, v) => k.trim.toLowerCase -> v.trim.toLowerCase }
+    norm.keys.foreach { k =>
+      require(!rejected.contains(k),
+        s"option '$k' implies reprojection/warping — not supported (same refusal as the reference)")
+      require(knownKeys.contains(k), s"unknown COG creation option '$k'")
+    }
+    def i(k: String, dflt: Int) = norm.get(k).map(_.toInt).getOrElse(dflt)
+    def b(k: String, dflt: Boolean) =
+      norm.get(k).map(v => v == "true" || v == "yes" || v == "1").getOrElse(dflt)
+    RasterProfile(
+      width = width,
+      height = height,
+      blockSize = i("blocksize", 256),
+      bands = i("count", 1),
+      nodata = norm.get("nodata").map(_.toDouble).getOrElse(-9999.0),
+      resampling = norm.getOrElse("overview_resampling", "average"),
+      overviewCount = norm.get("overview_count").map(_.toInt),
+      minOverviewSize = i("min_overview_size", 256),
+      dtype = norm.getOrElse("dtype", "float64"),
+      compression = norm.getOrElse("compress", "deflate"),
+      zlevel = i("zlevel", 6),
+      jpegQuality = i("quality", 75),
+      sparseOk = b("sparse_ok", dflt = true),
+      maskPages = b("mask_pages", dflt = false),
+      ghost = b("ghost", dflt = false))
+  }
+}

@@ -116,8 +116,11 @@ object CogWriter {
         }
       }
 
-      // 6. header bytes (driver) → chunked blobs at offsets [0, headerLen)
-      val headerBytes = BigTiff.header(profile, offsets, counts)
+      // 6. header bytes (driver) → chunked blobs at offsets [0, headerLen).
+      // Per-band STATISTICS_* tags ride along (fixed-width, so the
+      // length was already known to the offset pass)
+      val headerBytes = BigTiff.header(profile, offsets, counts,
+        stats.map(s => (s.min, s.max, s.mean, s.stddev, s.validPct)))
       val headerBlobs = headerBytes.grouped(HeaderChunk).zipWithIndex
         .map { case (chunk, i) => Blob(i.toLong * HeaderChunk, chunk) }
         .toSeq

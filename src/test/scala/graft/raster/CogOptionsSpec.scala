@@ -1,0 +1,37 @@
+package graft.raster
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Options normalization + eager reject-list validation (reference
+  * ccog/ccog.py:878-915). */
+class CogOptionsSpec extends AnyFunSuite {
+
+  test("keys and values are case-insensitive") {
+    val p = CogOptions.profile(100, 100, Map(
+      "BLOCKSIZE" -> "64", "Compress" -> "DEFLATE",
+      "Overview_Resampling" -> "BILINEAR", "SPARSE_OK" -> "TRUE"))
+    assert(p.blockSize == 64 && p.compression == "deflate")
+    assert(p.resampling == "bilinear" && p.sparseOk)
+  }
+
+  test("reprojection-type options are rejected eagerly") {
+    for (k <- Seq("target_srs", "WARP", "Resolution"))
+      assertThrows[IllegalArgumentException](
+        CogOptions.profile(10, 10, Map(k -> "x")))
+  }
+
+  test("unknown keys and invalid values fail at build time, not run time") {
+    assertThrows[IllegalArgumentException](
+      CogOptions.profile(10, 10, Map("compresion" -> "deflate"))) // typo
+    assertThrows[IllegalArgumentException](
+      CogOptions.profile(10, 10, Map("overview_resampling" -> "sinc42")))
+    assertThrows[IllegalArgumentException](
+      CogOptions.profile(10, 10, Map("blocksize" -> "100"))) // not %16
+  }
+
+  test("defaults mirror the reference's default_creation_options") {
+    val p = CogOptions.profile(1000, 800, Map.empty)
+    assert(p.blockSize == 256 && p.compression == "deflate")
+    assert(p.resampling == "average" && p.sparseOk && !p.ghost)
+  }
+}

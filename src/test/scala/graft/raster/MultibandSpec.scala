@@ -63,6 +63,16 @@ class MultibandSpec extends SparkSpec {
     }
     assert(res.stats.map(_.mean).distinct.size == 3, "bands should differ")
     assert(bytes.length.toLong == res.totalLen)
+
+    // STATISTICS_* band tags in GDAL_METADATA carry the fused stats
+    val xml = dp.metadataXml
+    assert(xml.contains("<GDALMetadata>"))
+    for (b <- 0 until 3) {
+      val re = ("""name="STATISTICS_MEAN\s*" sample="""" + b + """">([^<]+)<""").r
+      val got = re.findFirstMatchIn(xml).map(_.group(1).trim.toDouble)
+      assert(got.isDefined, s"band $b mean tag missing")
+      assert(math.abs(got.get - res.stats(b).mean) < 1e-6, s"band $b mean tag value")
+    }
   }
 
   test("3-band pyramid: per-band constants preserved independently") {
