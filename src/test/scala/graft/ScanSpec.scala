@@ -34,4 +34,26 @@ class ScanSpec extends SparkSpec {
     val plan = ScanQueries.topk(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("q_join_broadcast pins a broadcast hash join, no shuffle of the fact side") {
+    val plan = graft.queries.JoinQueries.joinBroadcast(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("no quadratic joins anywhere: every declared query avoids cartesian/BNLJ") {
+    // banded/keyed shapes must never degrade to CartesianProduct or
+    // BroadcastNestedLoopJoin — the scale contract of SURVEY §4. The
+    // sole sanctioned exception is q_sim_topk's 1-row broadcast
+    // crossJoin (a constant-size side by construction).
+    for ((name, fn) <- SparkEntry.queries
+         if !Set("q_sim_topk").contains(name)
+         // raster/cog queries run whole pipelines eagerly; their plan
+         // shapes are asserted in graft.raster specs instead
+         if !name.startsWith("q_raster") && name != "q_cog_write_bytes") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+  }
 }
