@@ -32,10 +32,13 @@ object Fixtures {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Session-level confs every graft session needs; call on the builder
-    * (Verify / Bench / test sessions) so readers have no side effects. */
+    * (Verify / Bench / test sessions) so readers have no side effects.
+    * Also injects the engine's native functions (cosine_sim) via
+    * SparkSessionExtensions. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

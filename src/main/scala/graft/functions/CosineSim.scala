@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** `cosine_sim(a, b)` as a NATIVE Catalyst expression with whole-stage
+  * codegen — the extension path the SURVEY reserves for scalar
+  * functions the built-ins can't express efficiently (§4.2, decision
+  * table §7.3): one fused loop over both float arrays, no
+  * per-element lambda dispatch (the HOF `aggregate(zip_with(...))`
+  * form evaluates interpreted per element) and no Row/boxing (a Scala
+  * UDF would deserialize both arrays per call).
+  *
+  * Semantics: dot(a,b) / (|a|·|b|); null if either side is null;
+  * 0.0 when either norm is 0. Registered as `cosine_sim` via
+  * [[GraftExtensions]] (SparkSessionExtensions), so plain SQL can call
+  * it. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<float> arguments, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  /** Shared by interpreted eval and the generated code (via static
+    * call) — one pass, three accumulators. */
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineSim.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Tight primitive loop over Tungsten ArrayData — called from both
+    * interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    // sqrt(na)*sqrt(nb), NOT sqrt(na*nb): matches the HOF/DuckDB oracle
+    // formulation bit-for-bit (the two differ by an ulp on occasion,
+    // which a round(...,4) boundary would amplify into a hash mismatch)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Session extensions: injects `cosine_sim` into the function registry
+  * so both the DataFrame API (`expr("cosine_sim(a,b)")`) and plain
+  * `spark.sql` resolve it. Wire with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSim(children.head, children(1))
+      }))
+  }
+}

@@ -36,18 +36,18 @@ object DedupQueries {
     * exist to avoid. */
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val e = Fixtures.embeddings(spark, sfDir)
-      .select($"vec_id", $"label", $"embedding")
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-    val a = e.select($"label", $"vec_id".as("id_a"), $"embedding".as("va"), $"nrm".as("na"))
-    val b = e.select($"label", $"vec_id".as("id_b"), $"embedding".as("vb"), $"nrm".as("nb"))
+    val e = Fixtures.embeddings(spark, sfDir).select($"vec_id", $"label", $"embedding")
+    val a = e.select($"label", $"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = e.select($"label", $"vec_id".as("id_b"), $"embedding".as("vb"))
     a.join(b, Seq("label"))
       .filter($"id_a" < $"id_b")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .filter($"dot" / ($"na" * $"nb") >= 0.35)
-      .withColumn("cosine", round($"dot" / ($"na" * $"nb"), 4))
+      // native codegen'd expression (graft.functions.CosineSim): one
+      // fused loop per pair vs three interpreted HOF folds; identical
+      // ascending accumulation order keeps the doubles — and the
+      // DuckDB hash compare — bit-stable
+      .withColumn("cos_raw", expr("cosine_sim(va, vb)"))
+      .filter($"cos_raw" >= 0.35)
+      .withColumn("cosine", round($"cos_raw", 4))
       .select($"label", $"id_a", $"id_b", $"cosine")
       .orderBy($"id_a", $"id_b")
   }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native cosine_sim expression: equality with the HOF formulation on
+  * the fixture embeddings, whole-stage codegen participation, SQL
+  * registry resolution, and null semantics. */
+class CosineSimSpec extends SparkSpec {
+
+  test("cosine_sim == aggregate(zip_with(...)) HOF on real embeddings") {
+    val s = spark
+    import s.implicits._
+    val e = graft.Fixtures.embeddings(s, sfDir).limit(50)
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val rows = a.crossJoin(b).filter($"ia" < $"ib")
+      .withColumn("native", expr("cosine_sim(va, vb)"))
+      .withColumn("hof", expr(
+        """aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+          | / (sqrt(aggregate(va, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          |  * sqrt(aggregate(vb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin))
+      .select($"native", $"hof").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("resolves from plain SQL and participates in codegen") {
+    val s = spark
+    import s.implicits._
+    graft.Fixtures.embeddings(s, sfDir).limit(10).createOrReplaceTempView("emb_cs")
+    val df = s.sql(
+      "SELECT vec_id, cosine_sim(embedding, embedding) AS self FROM emb_cs")
+    // self-similarity is exactly 1 for nonzero vectors
+    df.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+    // the projection stays inside a WholeStageCodegen span: the "*(n)"
+    // prefix on Project marks codegen stage membership
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.stripPrefix("+- ").startsWith("*(")), plan)
+  }
+
+  test("null propagation and zero-norm handling") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(Array(1f, 0f)), Some(Array(0f, 1f))),
+      (None, Some(Array(1f, 1f))),
+      (Some(Array(0f, 0f)), Some(Array(1f, 1f))))
+      .toDF("a", "b")
+      .withColumn("c", expr("cosine_sim(a, b)"))
+    val got = df.select($"c").collect()
+    assert(got(0).getDouble(0) == 0.0) // orthogonal
+    assert(got(1).isNullAt(0))         // null in → null out
+    assert(got(2).getDouble(0) == 0.0) // zero norm → 0, not NaN
+  }
+}
