@@ -49,4 +49,37 @@ object BinaryCodec {
       // whole batch to native code once)
       batch.iterator.map { case (id, payload) => (id, decodeStub(payload)) }
     }
+
+  /** FAKE resize: deterministic downsample of the payload byte stream
+    * to `n` bytes by strided max-pooling — the stand-in for an image
+    * thumbnail kernel; output depends only on (payload, n). */
+  def resizeStub(payload: Array[Byte], n: Int): Array[Byte] = {
+    if (payload.isEmpty || n <= 0) return Array.emptyByteArray
+    val out = new Array[Byte](math.min(n, payload.length))
+    val stride = payload.length.toDouble / out.length
+    var i = 0
+    while (i < out.length) {
+      val a = (i * stride).toInt
+      val b = math.min(payload.length, math.max(a + 1, ((i + 1) * stride).toInt))
+      var mx = payload(a)
+      var j = a + 1
+      while (j < b) { if (payload(j) > mx) mx = payload(j); j += 1 }
+      out(i) = mx
+      i += 1
+    }
+    out
+  }
+
+  /** FAKE frame sampling: treat the payload as a "video" of fixed-size
+    * frames and emit every `every`-th frame with its index — the
+    * one-to-many extraction shape (explode after a batched kernel).
+    * Frame size and cadence are deterministic in the payload alone. */
+  def frameSampleStub(payload: Array[Byte], frameBytes: Int = 32,
+      every: Int = 4): Seq[(Int, Array[Byte])] = {
+    if (payload.length < frameBytes) return Seq.empty
+    val nFrames = payload.length / frameBytes
+    (0 until nFrames by every).map { f =>
+      (f, java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))
+    }
+  }
 }

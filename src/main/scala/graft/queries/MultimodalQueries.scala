@@ -32,8 +32,50 @@ object MultimodalQueries {
       .orderBy($"doc_id")
   }
 
+  /** Frame sampling as a one-to-many batched kernel: each "video"
+    * payload explodes into every 4th fixed-size frame with a per-frame
+    * feature (entropy of the frame bytes) — the flatMap/Generator
+    * shape a real video pipeline uses after batch decode. */
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BinaryCodec.BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            BinaryCodec.frameSampleStub(payload).map { case (fi, frame) =>
+              val m = BinaryCodec.decodeStub(frame)
+              (id, fi, frame.length,
+                math.round(m.entropy * 10000) / 10000.0)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_entropy")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** Thumbnail-style resize: payload → 16-byte strided max-pool digest
+    * (deterministic stand-in for an image resize kernel), hex-encoded. */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.map {
+        case (id, payload) =>
+          val thumb = BinaryCodec.resizeStub(payload, 16)
+          (id, payload.length, thumb.map("%02x".format(_)).mkString)
+      }))
+      .toDF("doc_id", "n_bytes", "thumb16")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_mm_extract" -> (mmExtract _))
+    "q_mm_extract" -> (mmExtract _),
+    "q_mm_frames" -> (mmFrames _),
+    "q_mm_resize" -> (mmResize _))
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -1,0 +1,65 @@
+package graft.sink
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** MultipartSink over the Hadoop FileSystem API — the cluster-real
+  * implementation the LocalMultipartSink stands in for: the same code
+  * path serves file://, hdfs:// and (with the s3a jars on a real
+  * cluster) s3a:// URIs. Parts are objects named part-%05d.bin under
+  * `dirUri`; uploads are idempotent via overwrite-create, exactly the
+  * S3 MPU re-upload semantics (reference ccog/aws_tools.py:88-125).
+  *
+  * `confEntries` carries any FileSystem config the executors need
+  * (serialized as strings — Configuration itself isn't serializable). */
+class HadoopMultipartSink(dirUri: String,
+    confEntries: Map[String, String] = Map.empty) extends MultipartSink {
+
+  @transient private lazy val conf = {
+    val c = new Configuration()
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  @transient private lazy val fs: FileSystem = new Path(dirUri).getFileSystem(conf)
+
+  private def partPath(n: Int) = new Path(dirUri, f"part-$n%05d.bin")
+
+  override def start(): Unit = {
+    fs.mkdirs(new Path(dirUri))
+    val existing = fs.globStatus(new Path(dirUri, "part-*.bin"))
+    if (existing != null) existing.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(new Path(dirUri, "manifest.json"), false)
+  }
+
+  override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
+    val out = fs.create(partPath(partNumber), true) // overwrite = idempotent retry
+    try out.write(bytes) finally out.close()
+    java.lang.Long.toHexString(bytes.length.toLong)
+  }
+
+  override def complete(receipts: Seq[PartReceipt]): Unit = {
+    val json = receipts.map(r =>
+      s"""{"partNumber":${r.partNumber},"offset":${r.offset},"size":${r.size},"etag":"${r.etag}"}""")
+      .mkString("[", ",", "]")
+    val out = fs.create(new Path(dirUri, "manifest.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  override def abort(): Unit = start()
+
+  /** Ordered concat for tests / small outputs. */
+  def assembled: Array[Byte] = {
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val parts = fs.globStatus(new Path(dirUri, "part-*.bin"))
+      .map(_.getPath).sortBy(_.getName)
+    parts.foreach { p =>
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { outBuf.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+    outBuf.toByteArray
+  }
+}

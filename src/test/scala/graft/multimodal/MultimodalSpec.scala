@@ -23,6 +23,37 @@ class MultimodalSpec extends SparkSpec {
     assert(BinaryCodec.decodeStub(Array.emptyByteArray).entropy == 0.0)
   }
 
+  test("resizeStub: exact length, deterministic, order-independent of batching") {
+    val p = Array.tabulate[Byte](1000)(i => (i * 31 % 251).toByte)
+    val t = BinaryCodec.resizeStub(p, 16)
+    assert(t.length == 16)
+    assert(t.toSeq == BinaryCodec.resizeStub(p, 16).toSeq)
+    assert(BinaryCodec.resizeStub(Array.emptyByteArray, 16).isEmpty)
+    assert(BinaryCodec.resizeStub(p, 2000).length == 1000) // never upsample
+  }
+
+  test("frameSampleStub: every 4th fixed-size frame, correct offsets") {
+    val p = Array.tabulate[Byte](320)(_.toByte) // 10 frames of 32
+    val frames = BinaryCodec.frameSampleStub(p)
+    assert(frames.map(_._1) == Seq(0, 4, 8))
+    for ((fi, bytes) <- frames) {
+      assert(bytes.length == 32)
+      assert(bytes(0) == (fi * 32).toByte)
+    }
+    assert(BinaryCodec.frameSampleStub(new Array[Byte](10)).isEmpty)
+  }
+
+  test("q_mm_frames explodes one row per sampled frame") {
+    val df = graft.queries.MultimodalQueries.mmFrames(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per doc: frame indices are 0,4,8,... strictly increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val idx = rs.map(_.getInt(1)).toSeq
+      assert(idx == idx.sorted && idx.forall(_ % 4 == 0))
+    }
+  }
+
   test("q_mm_extract: row-per-document, deterministic across runs") {
     val q = graft.queries.MultimodalQueries.mmExtract(spark, sfDir)
     val a = q.collect().map(_.toSeq)

@@ -56,6 +56,17 @@ class SinkSpec extends SparkSpec {
     assert((1L << 40) / t3 <= 10000)
   }
 
+  test("HadoopMultipartSink: same packing through the FileSystem API") {
+    val s = spark
+    import s.implicits._
+    val (blobs, expect) = blobStream(24)
+    val sink = new HadoopMultipartSink("file://" + tmp())
+    OrderedMultipartWriter.write(
+      s.createDataset(blobs), expect.length.toLong,
+      blobs.map(_.bytes.length.toLong).max, sink)
+    assert(java.util.Arrays.equals(sink.assembled, expect))
+  }
+
   test("uploadPart is idempotent: re-upload overwrites, assembly unchanged") {
     val sink = new LocalMultipartSink(tmp())
     sink.start()

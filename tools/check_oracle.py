@@ -29,29 +29,33 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{spark_dir}/*.parquet")
+        files = sorted(glob.glob(f"{spark_dir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark result parquet")
             n_fail += 1
             continue
+        # DuckDB relations are lazy: keep EVERYTHING (including the
+        # fetchalls) inside the try so one bad oracle query records one
+        # FAIL instead of crashing the whole checker; read the result
+        # dir as a glob set so a multi-part Spark write still compares.
         try:
-            got = con.sql(f"SELECT * FROM '{files[0]}'")
+            got = con.sql(f"SELECT * FROM read_parquet({files!r})")
             want = con.sql(sql)
+            gcols = sorted(got.columns)
+            wcols = sorted(want.columns)
+            if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
+                print(f"FAIL {name}: schema mismatch spark={gcols} duckdb={wcols}")
+                n_fail += 1
+                continue
+            grows = [tuple(norm(v) for v in r) for r in
+                     con.sql(f"SELECT {', '.join(gcols)} FROM got").fetchall()]
+            con.register("want_rel", want)
+            wrows = [tuple(norm(v) for v in r) for r in
+                     con.sql(f"SELECT {', '.join(wcols)} FROM want").fetchall()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        gcols = sorted(got.columns)
-        wcols = sorted(want.columns)
-        if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
-            print(f"FAIL {name}: schema mismatch spark={gcols} duckdb={wcols}")
-            n_fail += 1
-            continue
-        grows = [tuple(norm(v) for v in r) for r in
-                 con.sql(f"SELECT {', '.join(gcols)} FROM got").fetchall()]
-        con.register("want_rel", want)
-        wrows = [tuple(norm(v) for v in r) for r in
-                 con.sql(f"SELECT {', '.join(wcols)} FROM want").fetchall()]
         if len(grows) != len(wrows):
             print(f"FAIL {name}: rows spark={len(grows)} duckdb={len(wrows)}")
             n_fail += 1
