@@ -19,13 +19,22 @@ object RasterQueries {
 
   private val ND = -9999.0
 
+  /** Raster edge length scaled to the fixture SF so the bench measures
+    * pixel throughput, not just stage-orchestration overhead:
+    * sf0.001 → 512², sf0.01 → 1024², sf0.1 → 2048² (32 MB float64). */
+  private def edge(sfDir: String): Int =
+    if (sfDir.contains("sf0.1")) 2048
+    else if (sfDir.contains("sf0.01")) 1024
+    else 512
+
   /** 1024×768, 3 pyramid levels, average kernel. Per level: tile count,
     * valid-pixel count, mean of valid pixels (rounded) — stable under
     * partitioning because kernels are pure and the grid is fixed. */
   def rasterPyramid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val prof = RasterProfile(1024, 768, blockSize = 128, nodata = ND,
+    val e = edge(sfDir)
+    val prof = RasterProfile(e, e * 3 / 4, blockSize = 128, nodata = ND,
       resampling = "average", minOverviewSize = 128)
     val levels = Pyramid.build(SyntheticRaster.generate(spark, prof, seed = 5L), prof)
     val perLevel = levels.map { ds =>
@@ -87,8 +96,9 @@ object RasterQueries {
     * the reference's parts_info table (ccog/ccog.py:717-773). */
   def rasterAssemble(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
-      resampling = "average", minOverviewSize = 64)
+    val e = edge(sfDir)
+    val prof = RasterProfile(e, e, blockSize = 128, nodata = ND,
+      resampling = "average", minOverviewSize = 128)
     val levels = Pyramid.build(SyntheticRaster.generate(spark, prof, seed = 3L), prof)
     val encoded = levels.map(_.map(t => TileCodec.encode(t, prof))).reduce(_ union _)
     val placement = Offsets.place(encoded, BigTiff.headerLength(prof))
@@ -108,8 +118,9 @@ object RasterQueries {
     * (deflate is deterministic, so sha256 is a golden). */
   def cogWriteBytes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
-      resampling = "average", minOverviewSize = 64, maskPages = true)
+    val e = edge(sfDir)
+    val prof = RasterProfile(e, e, blockSize = 128, nodata = ND,
+      resampling = "average", minOverviewSize = 128, maskPages = true)
     val dir = java.nio.file.Files.createTempDirectory("graft-cog-q").toString
     val (bytes, res) = CogWriter.writeBytes(
       SyntheticRaster.generate(spark, prof, seed = 17L), prof, dir)
