@@ -16,9 +16,9 @@ object CogOptions {
     "target_extent", "te", "tr", "ts", "output_bounds")
 
   val knownKeys: Set[String] = Set(
-    "blocksize", "compress", "overview_resampling", "overview_count",
-    "sparse_ok", "zlevel", "quality", "nodata", "dtype", "count",
-    "mask_pages", "ghost", "min_overview_size")
+    "blocksize", "compress", "overview_compress", "overview_resampling",
+    "overview_count", "sparse_ok", "zlevel", "quality", "nodata", "dtype",
+    "count", "mask_pages", "ghost", "min_overview_size")
 
   /** Build a validated profile from width/height + string options.
     * Throws IllegalArgumentException eagerly on rejected/unknown keys
@@ -44,6 +44,7 @@ object CogOptions {
       minOverviewSize = i("min_overview_size", 256),
       dtype = norm.getOrElse("dtype", "float64"),
       compression = norm.getOrElse("compress", "deflate"),
+      overviewCompression = norm.get("overview_compress"),
       zlevel = i("zlevel", 6),
       jpegQuality = i("quality", 75),
       sparseOk = b("sparse_ok", dflt = true),

@@ -30,6 +30,11 @@ case class Tile(
   def bands: Int = pixels.length / math.max(1, h * w)
 }
 
+/** Per-band descriptive metadata (reference `_add_metadata`,
+  * ccog/ccog.py:213-235: descriptions, units, scales, offsets). */
+case class BandMeta(description: String = "", unit: String = "",
+    scale: Double = 1.0, offset: Double = 0.0)
+
 /** The schema of a raster write — the engine form of the reference's
   * "profile" dict (reference ccog/ccog.py:24-39,917-955). Validation is
   * eager, at plan-build time, matching the reference's stance
@@ -46,8 +51,15 @@ case class RasterProfile(
     minOverviewSize: Int = 256,
     dtype: String = "float64",
     compression: String = "deflate",
+    /** Overview levels (>=1) may use a different codec — the
+      * reference's `_adjust_compression` overview_compress override
+      * (ccog/ccog.py:452-478). None = inherit `compression`. */
+    overviewCompression: Option[String] = None,
     zlevel: Int = 6,
     jpegQuality: Int = 75,
+    /** Per-band descriptive metadata (R23, ccog/ccog.py:213-235):
+      * emitted as GDAL_METADATA items. Empty = no items. */
+    bandMeta: Seq[BandMeta] = Seq.empty,
     sparseOk: Boolean = true,
     /** Write 1-bit validity-mask pages alongside data pages, like the
       * reference does when a mask array is supplied (ccog/ccog.py:958). */
@@ -74,6 +86,15 @@ case class RasterProfile(
     s"unknown compression '$compression'")
   require(compression != "jpeg" || (dtype == "uint8" && bands == 1),
     "jpeg compression requires single-band uint8 (baseline grayscale JPEG)")
+  require(overviewCompression.forall(c =>
+    c == "deflate" || c == "none" || (c == "jpeg" && dtype == "uint8" && bands == 1)),
+    s"bad overview compression '$overviewCompression'")
+  require(bandMeta.isEmpty || bandMeta.length == bands,
+    "bandMeta must be empty or one entry per band")
+
+  /** Effective codec for a pyramid level (levels >= 1 may override). */
+  def compressionFor(level: Int): String =
+    if (level > 0) overviewCompression.getOrElse(compression) else compression
 
   /** Number of overview levels, reference semantics
     * (ccog/ccog.py:56-100): floor-div halving until BOTH dims fit

@@ -284,7 +284,8 @@ object TileCodec {
       EncodedTile(t.level, t.ty, t.tx, PageData, 0, Array.emptyByteArray,
         totalPx, bValid, bSum, bSumSq, bMin, bMax)
     } else {
-      val comp = profile.compression match {
+      // levels >= 1 may use the overview codec override (R16)
+      val comp = profile.compressionFor(t.level) match {
         case "jpeg" =>
           // predictor never applies to jpeg; serialize gives the 8-bit plane
           jpegEncode(serialize(padded, dtype), bs, bs, profile.jpegQuality)
@@ -386,15 +387,17 @@ object TileCodec {
   }
 
   /** Decode tile bytes back to BAND-MAJOR bs×bs planes (tests /
-    * readback) — the inverse of encode's interleave. */
-  def decode(bytes: Array[Byte], profile: RasterProfile): Array[Double] = {
+    * readback) — the inverse of encode's interleave. `level` picks the
+    * effective codec (overview override, R16). */
+  def decode(bytes: Array[Byte], profile: RasterProfile, level: Int = 0): Array[Double] = {
     val bs = profile.blockSize
     val bands = profile.bands
-    if (profile.compression == "jpeg")
+    val codec = profile.compressionFor(level)
+    if (codec == "jpeg")
       return deserialize(jpegDecode(bytes, bs, bs), "uint8")
     val bp = dtypes(profile.dtype)._3
     val raw =
-      if (profile.compression == "deflate") inflate(bytes, bs * bs * bands * bp)
+      if (codec == "deflate") inflate(bytes, bs * bs * bands * bp)
       else bytes
     if (predictor(profile.dtype) == 2) undoPredictor(raw, bs * bands, bp, bands)
     val interleaved = deserialize(raw, profile.dtype)

@@ -191,6 +191,33 @@ class CogWriterSpec extends SparkSpec {
     assert(res.totalLen == bytes.length.toLong)
   }
 
+  test("overview compression override (R16) + band metadata tags (R23)") {
+    val s = spark
+    val p = RasterProfile(64, 64, blockSize = 16, nodata = ND,
+      minOverviewSize = 16,
+      overviewCompression = Some("none"),
+      bandMeta = Seq(BandMeta(description = "reflectance", unit = "dn",
+        scale = 0.01, offset = -5.0)))
+    val (bytes, _) = CogWriter.writeBytes(
+      SyntheticRaster.generate(s, p, seed = 41L), p, tmpDir())
+    val pages = BigTiff.readPages(bytes)
+    assert(pages.head.compression == 8, "L0 stays deflate")
+    for (pg <- pages.tail) assert(pg.compression == 1, "overviews uncompressed")
+    // an overview tile decodes through the per-level codec (raw bytes)
+    val ov = pages(1)
+    val ti = ov.counts.indexWhere(_ > 0)
+    val px = TileCodec.decode(java.util.Arrays.copyOfRange(bytes,
+      ov.offsets(ti).toInt, (ov.offsets(ti) + ov.counts(ti)).toInt), p, level = 1)
+    assert(px.length == 16 * 16)
+    assert(ov.counts(ti) == 16 * 16 * 8, "uncompressed tile is exactly bs*bs*8 bytes")
+    // R23 items present with role attributes
+    val xml = pages.head.metadataXml
+    assert(xml.contains("""role="description">reflectance<"""))
+    assert(xml.contains("""role="unittype">dn<"""))
+    assert(xml.contains("""role="scale">0.01<"""))
+    assert(xml.contains("""role="offset">-5.0<"""))
+  }
+
   test("int16 with predictor: integer-valued raster round-trips exactly") {
     val s = spark
     import s.implicits._
