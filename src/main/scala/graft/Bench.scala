@@ -16,11 +16,14 @@ object Bench {
     spark.range(1000000).groupBy(expr("id % 10")).count().count()
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: Map iteration order shifts when the
+    // query set grows, which silently reshuffles who pays cache warmth
+    // (e.g. the shared shingle cache) across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

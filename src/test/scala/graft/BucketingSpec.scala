@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Co-located joins via bucketing (SURVEY §4/"Partitioning & shuffle"):
+  * writing both join sides bucketed on the key lets every subsequent
+  * join run with ZERO shuffle exchanges — the pre-partitioning strategy
+  * a 100 TB star schema uses for its hot keys. Asserted on the physical
+  * plan, not just claimed. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed orders ⋈ lineitem joins without any Exchange") {
+    val s = spark
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+
+    Fixtures.orders(s, sfDir)
+      .write.mode("overwrite").option("path", s"$wh/orders_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    Fixtures.lineitem(s, sfDir)
+      .write.mode("overwrite").option("path", s"$wh/lineitem_b")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+
+    // disable broadcast so the plan exercises the bucketed sort-merge
+    // path (at real scale neither side broadcasts anyway)
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = s.table("orders_b")
+      .join(s.table("lineitem_b"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(sum($"l_quantity").as("qty"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucket layout replaces the join shuffles AND the same-key groupBy
+    // shuffle: no Exchange of any kind survives
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+
+    // and it computes the same result as the unbucketed plan
+    val expect = Fixtures.orders(s, sfDir)
+      .join(Fixtures.lineitem(s, sfDir), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey").agg(sum($"l_quantity").as("qty"))
+      .orderBy($"o_orderkey").collect().toSeq
+    val got = joined.orderBy($"o_orderkey").collect().toSeq
+    assert(got == expect)
+
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    s.sql("DROP TABLE orders_b")
+    s.sql("DROP TABLE lineitem_b")
+  }
+}
