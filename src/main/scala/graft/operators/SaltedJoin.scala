@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-salted equi-join: when a handful of hot keys dominate the left
+  * side (a hot user in q_join_asof's shape, a null-ish default key, a
+  * celebrity node), a plain shuffle join sends every hot-key row to ONE
+  * reducer — the straggler that decides the stage's wall clock at
+  * 100 TB. Salting splits each hot left key into `salts` sub-keys and
+  * replicates only the MATCHING right rows `salts` ways:
+  *
+  *   left:  key -> (key, hash(row) % salts)
+  *   right: key -> (key, 0), (key, 1), ... (key, salts-1)
+  *
+  * Replication cost is salts × |right rows with hot keys| — bounded and
+  * chosen, unlike the unbounded single-reducer pile-up it removes. AQE
+  * skew-join splits oversized partitions after the fact; explicit
+  * salting is the deterministic form that also works for aggregations
+  * feeding the join. Non-hot keys pass through with salt 0 on both
+  * sides, so the join stays a single equi-join on (key, salt). */
+object SaltedJoin {
+
+  /** Inner equi-join of left and right on `key`, salting the keys in
+    * `hotKeys` across `salts` sub-partitions. */
+  def join(left: DataFrame, right: DataFrame, key: String,
+      hotKeys: Seq[Long], salts: Int): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    val spark = left.sparkSession
+    val hot = hotKeys.toSet
+    val isHot = udfFreeIsHot(col(key), hotKeys)
+
+    // left: hot rows get a deterministic spread salt; others 0.
+    // spark_partition_id would tie the salt to physical layout —
+    // a row hash keeps results partition-independent.
+    val saltedLeft = left.withColumn("__salt",
+      when(isHot, pmod(hash(left.columns.map(col).toSeq: _*), lit(salts)))
+        .otherwise(lit(0)))
+
+    // right: hot rows replicate to every salt; others carry salt 0
+    // (array chosen by the predicate, ONE explode — generators can't
+    // nest inside CASE WHEN)
+    val saltedRight = right
+      .withColumn("__salts",
+        when(isHot, array((0 until salts).map(lit): _*))
+          .otherwise(array(lit(0))))
+      .withColumn("__salt", explode(col("__salts")))
+      .drop("__salts")
+
+    saltedLeft.join(saltedRight,
+      saltedLeft(key) === saltedRight(key) &&
+        saltedLeft("__salt") === saltedRight("__salt"))
+      .drop(saltedRight(key)).drop("__salt")
+  }
+
+  /** hot-key predicate as a literal IN list (no UDF, codegen-friendly;
+    * hot-key sets are small by definition — they came from a top-k). */
+  private def udfFreeIsHot(c: Column, hotKeys: Seq[Long]): Column =
+    c.isin(hotKeys.map(_.asInstanceOf[Any]): _*)
+
+  /** The usual way to obtain `hotKeys`: keys whose row count exceeds
+    * `factor` × the mean — a tiny two-agg job over the left side. */
+  def detectHotKeys(df: DataFrame, key: String, factor: Double = 10.0): Seq[Long] = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).cache()
+    try {
+      val mean = counts.agg(avg(col("n"))).head().getDouble(0)
+      counts.filter(col("n") > mean * factor)
+        .select(col(key).cast("long")).collect().map(_.getLong(0)).toSeq
+    } finally counts.unpersist()
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Salted join: identical results to the plain join, hot keys detected,
+  * and the hot key's rows actually spread across salt sub-keys. */
+class SaltedJoinSpec extends SparkSpec {
+
+  test("salted join == plain join on skewed data; hot key spreads") {
+    val s = spark
+    import s.implicits._
+    // key 7 holds 60% of the left side — the classic skew shape
+    val left = ((1 to 6000).map(i => (7L, s"hot$i")) ++
+      (1 to 4000).map(i => ((i % 40).toLong + 100, s"cold$i")))
+      .toDF("k", "lv")
+    val right = ((1 to 5).map(i => (7L, s"r$i")) ++
+      (100L to 139L).map(k => (k, s"r$k"))).toDF("k", "rv")
+
+    val hot = SaltedJoin.detectHotKeys(left, "k")
+    assert(hot == Seq(7L), s"hot keys: $hot")
+
+    val salted = SaltedJoin.join(left, right, "k", hot, salts = 8)
+      .select($"k", $"lv", $"rv")
+    val plain = left.join(right, "k").select($"k", $"lv", $"rv")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+
+    // the hot key's left rows must occupy every salt bucket
+    val leftSalts = left.withColumn("__salt",
+      when($"k".isin(7L), pmod(hash(left.columns.map(col).toSeq: _*), lit(8)))
+        .otherwise(lit(0)))
+      .filter($"k" === 7L).select($"__salt").distinct().count()
+    assert(leftSalts == 8, s"hot key concentrated in $leftSalts salt(s)")
+  }
+}

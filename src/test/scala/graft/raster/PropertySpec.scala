@@ -99,7 +99,8 @@ class PropertySpec extends SparkSpec {
       val h = 30 + rnd.nextInt(150)
       val kernel = Seq("average", "nearest", "rms", "bilinear", "cubic")(rnd.nextInt(5))
       val mask = rnd.nextBoolean()
-      val p = RasterProfile(w, h, blockSize = bs, nodata = -9999.0,
+      val nBands = 1 + rnd.nextInt(3)
+      val p = RasterProfile(w, h, blockSize = bs, bands = nBands, nodata = -9999.0,
         resampling = kernel, minOverviewSize = 32, maskPages = mask)
       val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
       val (bytes, res) = CogWriter.writeBytes(
