@@ -1,0 +1,50 @@
+package graft.raster
+
+import graft.SparkSpec
+import graft.sink.LocalMultipartSink
+
+/** Ad-hoc stage profiler for the COG write path at bench scale (2048²,
+  * data+mask) — answers "where do q_cog_write_bytes' seconds go", not
+  * a correctness assertion. */
+class CogProfile extends SparkSpec {
+
+  test("stage timings at 2048²") {
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[cogprof] $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val s = spark
+    import s.implicits._
+    val prof = RasterProfile(2048, 2048, blockSize = 128, nodata = -9999.0,
+      resampling = "average", minOverviewSize = 128, maskPages = true)
+    val gen = SyntheticRaster.generate(s, prof, seed = 17L)
+    timed("generate.count")(gen.count())
+    val levels = timed("pyramid (all levels)") {
+      val ls = Pyramid.build(gen, prof)
+      ls.foreach(_.count())
+      ls
+    }
+    val encoded = levels
+      .map(_.flatMap { t =>
+        Seq(TileCodec.encode(t, prof), TileCodec.encodeMask(t, prof))
+      })
+      .reduce(_ union _)
+    val placement = timed("encode+place.count") {
+      val pl = Offsets.place(encoded, BigTiff.headerLength(prof))
+      pl.placed.count()
+      pl
+    }
+    timed("meta collect") {
+      placement.placed.map(p => (p.level, p.ty, p.tx, p.page, p.offset, p.nbytes)).collect()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cogprof").toString
+    timed("full write (fresh)") {
+      CogWriter.write(SyntheticRaster.generate(s, prof, seed = 17L), prof,
+        new LocalMultipartSink(dir))
+    }
+    placement.cached.unpersist()
+    levels.foreach(_.unpersist())
+  }
+}
