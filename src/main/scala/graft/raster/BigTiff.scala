@@ -86,10 +86,12 @@ object BigTiff {
       // (headerLength is a function of the profile, which carries them)
       if (profile.bandMeta.nonEmpty) {
         val bm = profile.bandMeta(b)
+        def esc(v: String): String = v.replace("&", "&amp;")
+          .replace("<", "&lt;").replace(">", "&gt;")
         if (bm.description.nonEmpty)
-          sb ++= s"""  <Item name="DESCRIPTION" sample="$b" role="description">${bm.description}</Item>\n"""
+          sb ++= s"""  <Item name="DESCRIPTION" sample="$b" role="description">${esc(bm.description)}</Item>\n"""
         if (bm.unit.nonEmpty)
-          sb ++= s"""  <Item name="UNITTYPE" sample="$b" role="unittype">${bm.unit}</Item>\n"""
+          sb ++= s"""  <Item name="UNITTYPE" sample="$b" role="unittype">${esc(bm.unit)}</Item>\n"""
         if (bm.scale != 1.0)
           sb ++= s"""  <Item name="SCALE" sample="$b" role="scale">${bm.scale}</Item>\n"""
         if (bm.offset != 0.0)

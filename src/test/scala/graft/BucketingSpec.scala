@@ -24,30 +24,33 @@ class BucketingSpec extends SparkSpec {
       .saveAsTable("lineitem_b")
 
     // disable broadcast so the plan exercises the bucketed sort-merge
-    // path (at real scale neither side broadcasts anyway)
+    // path (at real scale neither side broadcasts anyway); restore in
+    // finally — the session is shared with other suites
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val joined = s.table("orders_b")
-      .join(s.table("lineitem_b"), $"o_orderkey" === $"l_orderkey")
-      .groupBy($"o_orderkey")
-      .agg(sum($"l_quantity").as("qty"))
+    try {
+      val joined = s.table("orders_b")
+        .join(s.table("lineitem_b"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey")
+        .agg(sum($"l_quantity").as("qty"))
 
-    val plan = joined.queryExecution.executedPlan.toString
-    // bucket layout replaces the join shuffles AND the same-key groupBy
-    // shuffle: no Exchange of any kind survives
-    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
-    assert(plan.contains("SortMergeJoin"), plan)
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket layout replaces the join shuffles AND the same-key groupBy
+      // shuffle: no Exchange of any kind survives
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
 
     // and it computes the same result as the unbucketed plan
     val expect = Fixtures.orders(s, sfDir)
       .join(Fixtures.lineitem(s, sfDir), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey").agg(sum($"l_quantity").as("qty"))
       .orderBy($"o_orderkey").collect().toSeq
-    val got = joined.orderBy($"o_orderkey").collect().toSeq
-    assert(got == expect)
-
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-    s.sql("DROP TABLE orders_b")
-    s.sql("DROP TABLE lineitem_b")
+      val got = joined.orderBy($"o_orderkey").collect().toSeq
+      assert(got == expect)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS orders_b")
+      s.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
   }
 }

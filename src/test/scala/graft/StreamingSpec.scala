@@ -115,10 +115,9 @@ class StreamingSpec extends SparkSpec {
       mem.addData(Ev(new Timestamp(base + 40 * 60000L), "view", 1.0))
       q.processAllAvailable()
       val out = sparkS.table("late_out").collect()
-      val firstWindow = out.filter(_.getLong(2) > 0)
-        .filter(r => r.getString(0).endsWith(":01:00") || r.getString(0).endsWith(":00:00"))
-      // the first window emitted once with n=1; the late row (value 100)
-      // never appears anywhere
+      // the late row (value 100, targeting the long-closed first
+      // window) must never appear in any emitted aggregate
+      assert(out.nonEmpty)
       assert(out.forall(_.getDouble(3) < 100.0), "late row leaked into results")
     } finally q.stop()
   }
