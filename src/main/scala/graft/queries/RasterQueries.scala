@@ -132,10 +132,45 @@ object RasterQueries {
         "mean_valid", "sha256")
   }
 
+  /** Write a small COG then read it back distributed (CogReader ranged
+    * reads): per-level tile counts and valid-pixel sums equal on both
+    * sides of the round trip. Fixed 512² regardless of SF — the write
+    * throughput story lives in q_cog_write_bytes. */
+  def rasterRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
+      resampling = "average", minOverviewSize = 64, maskPages = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-read-q").toString
+    val (bytes, _) = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, prof, seed = 29L), prof, dir)
+    val f = java.nio.file.Paths.get(dir, "assembled.tif")
+    java.nio.file.Files.write(f, bytes)
+    val perLevel = (0 to prof.maxLevel).map { l =>
+      CogReader.read(spark, "file://" + f, prof, l)
+        .map { t =>
+          var valid = 0L
+          var s = 0.0
+          var i = 0
+          while (i < t.h * t.w) {
+            if (t.mask == null || t.mask(i) != 0) { valid += 1; s += t.pixels(i) }
+            i += 1
+          }
+          (t.level, 1L, valid, s)
+        }
+        .toDF("level", "n_tiles", "valid_px", "sum_v")
+    }.reduce(_ union _)
+    import org.apache.spark.sql.functions._
+    perLevel.groupBy($"level")
+      .agg(sum($"n_tiles").as("n_tiles"), sum($"valid_px").as("valid_px"),
+        round(sum($"sum_v") / sum($"valid_px"), 4).as("mean_valid"))
+      .orderBy($"level")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_raster_pyramid" -> rasterPyramid,
     "q_raster_halo" -> rasterHalo,
     "q_raster_assemble" -> rasterAssemble,
+    "q_raster_read" -> rasterRead,
     "q_cog_write_bytes" -> cogWriteBytes)
 
   /** NATIVE — no DuckDB oracle (SURVEY §2.2). */

@@ -1,0 +1,136 @@
+package graft.raster
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Distributed COG read-back: the source-side complement of CogWriter
+  * (the reference is write-only; an engine that can't re-read its own
+  * output can't chain pipelines). The header is tiny and parsed on the
+  * driver; tile BYTES are fetched and decoded on executors via ranged
+  * reads — one seek per tile, the access pattern COG exists to enable.
+  *
+  * Works through the Hadoop FileSystem API, so file:// now and
+  * hdfs://s3a:// on a real cluster (ranged GET). Sparse tiles
+  * (count 0) reconstruct as all-nodata/mask-0 without touching the
+  * file. Mask pages, when present, restore each tile's validity plane;
+  * otherwise nodata alone drives the mask (all-valid mask = null). */
+object CogReader {
+
+  /** Parse the header (driver-side; ~KBs) — needs only the first
+    * `headerLength` bytes but reads whole files below 4 MiB for
+    * simplicity. */
+  def readMeta(uri: String, confEntries: Map[String, String] = Map.empty): Seq[BigTiff.PageMeta] = {
+    val head = readRange(uri, 0L, headProbeBytes(uri, confEntries), confEntries)
+    BigTiff.readPages(head)
+  }
+
+  private def headProbeBytes(uri: String, confEntries: Map[String, String]): Int = {
+    val fs = fileSystem(uri, confEntries)
+    val len = fs.getFileStatus(new Path(uri)).getLen
+    math.min(len, 4L << 20).toInt
+  }
+
+  private def fileSystem(uri: String, confEntries: Map[String, String]) = {
+    val conf = new Configuration()
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    new Path(uri).getFileSystem(conf)
+  }
+
+  private def readRange(uri: String, offset: Long, length: Int,
+      confEntries: Map[String, String]): Array[Byte] = {
+    val fs = fileSystem(uri, confEntries)
+    val in = fs.open(new Path(uri))
+    try {
+      val buf = new Array[Byte](length)
+      in.readFully(offset, buf, 0, length)
+      buf
+    } finally in.close()
+  }
+
+  /** Level `level` of the COG at `uri` as a Dataset[Tile]. `profile`
+    * must match the written file (CogWriter's input profile); dims and
+    * page structure are cross-checked against the parsed header. */
+  def read(spark: SparkSession, uri: String, profile: RasterProfile,
+      level: Int = 0, confEntries: Map[String, String] = Map.empty): Dataset[Tile] = {
+    import spark.implicits._
+    val pages = readMeta(uri, confEntries)
+    val data = pages.filter(!_.isMask)
+    require(level < data.length, s"level $level beyond ${data.length} pages")
+    val pg = data(level)
+    val (lw, lh) = profile.levelDims(level)
+    require(pg.width == lw && pg.height == lh,
+      s"header dims (${pg.width}x${pg.height}) != profile level dims (${lw}x$lh)")
+    val maskPg = pages.filter(_.isMask).lift(level)
+    val (gw, _) = profile.gridDims(level)
+
+    // plan rows are tiny: (tileIdx, offset, count, maskOffset, maskCount)
+    val plan = pg.offsets.indices.map { i =>
+      (i, pg.offsets(i), pg.counts(i),
+        maskPg.map(_.offsets(i)).getOrElse(0L),
+        maskPg.map(_.counts(i)).getOrElse(0L))
+    }
+    val bcConf = spark.sparkContext.broadcast(confEntries)
+
+    spark.createDataset(plan)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        // one FileSystem handle per partition, ranged reads per tile
+        val conf = new Configuration()
+        bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+        val path = new Path(uri)
+        val fs = path.getFileSystem(conf)
+        val in = fs.open(path)
+        val out = it.map { case (ti, off, cnt, mOff, mCnt) =>
+          val ty = ti / gw
+          val tx = ti % gw
+          val (th, tw) = profile.tileDims(level, ty, tx)
+          val bs = profile.blockSize
+          val bands = profile.bands
+          if (cnt == 0) {
+            // sparse: all nodata, all invalid — no file access
+            val px = new Array[Double](bands * th * tw)
+            java.util.Arrays.fill(px, profile.nodata)
+            Tile(level, ty, tx, th, tw, px, new Array[Byte](th * tw))
+          } else {
+            val comp = new Array[Byte](cnt.toInt)
+            in.readFully(off, comp, 0, cnt.toInt)
+            val full = TileCodec.decode(comp, profile, level) // bs*bs padded
+            val px = new Array[Double](bands * th * tw)
+            var b = 0
+            while (b < bands) {
+              var y = 0
+              while (y < th) {
+                System.arraycopy(full, b * bs * bs + y * bs, px, b * th * tw + y * tw, tw)
+                y += 1
+              }
+              b += 1
+            }
+            val mask =
+              if (mCnt > 0) {
+                val mComp = new Array[Byte](mCnt.toInt)
+                in.readFully(mOff, mComp, 0, mCnt.toInt)
+                val bits = TileCodec.decodeMask(mComp, profile)
+                val mk = new Array[Byte](th * tw)
+                var y = 0
+                while (y < th) {
+                  System.arraycopy(bits, y * bs, mk, y * tw, tw)
+                  y += 1
+                }
+                mk
+              } else null
+            Tile(level, ty, tx, th, tw, px, mask)
+          }
+        }
+        // exhaust before closing the stream: wrap with a closing iterator
+        new Iterator[Tile] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) in.close()
+            h
+          }
+          def next(): Tile = out.next()
+        }
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.raster
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Write → read round trip through the distributed COG reader: every
+  * level reconstructs the exact tiles the pyramid produced, including
+  * masks, sparse tiles, and multiband interleave. */
+class CogReaderSpec extends SparkSpec {
+
+  val ND = -9999.0
+
+  def writeCog(prof: RasterProfile, seed: Long): (String, Map[(Int, Int, Int), Tile]) = {
+    val s = spark
+    val levels = Pyramid.build(SyntheticRaster.generate(s, prof, seed), prof)
+    val expected = levels.flatMap(_.collect()).map(t => (t.level, t.ty, t.tx) -> t).toMap
+    levels.foreach(_.unpersist())
+    val dir = Files.createTempDirectory("graft-read").toString
+    val (bytes, _) = CogWriter.writeBytes(
+      SyntheticRaster.generate(s, prof, seed), prof, dir)
+    val f = Paths.get(dir, "assembled.tif")
+    Files.write(f, bytes)
+    ("file://" + f, expected)
+  }
+
+  test("multiband + mask pages: every level round-trips exactly") {
+    val prof = RasterProfile(96, 80, blockSize = 16, bands = 2, nodata = ND,
+      minOverviewSize = 32, maskPages = true)
+    val (uri, expected) = writeCog(prof, seed = 55L)
+    for (l <- 0 to prof.maxLevel) {
+      val got = CogReader.read(spark, uri, prof, l).collect()
+      val (gw, gh) = prof.gridDims(l)
+      assert(got.length == gw * gh, s"level $l tile count")
+      for (t <- got) {
+        val e = expected((l, t.ty, t.tx))
+        assert(t.h == e.h && t.w == e.w)
+        for (b <- 0 until 2; i <- 0 until t.h * t.w) {
+          val want = if (e.valid(b * e.h * e.w + i, ND)) e.pixels(b * e.h * e.w + i) else ND
+          assert(t.pixels(b * t.h * t.w + i) == want,
+            s"level $l tile(${t.ty},${t.tx}) band $b px $i")
+        }
+        // mask restores the shared any-band validity plane
+        for (i <- 0 until t.h * t.w) {
+          val anyValid = (0 until 2).exists(b => e.valid(b * e.h * e.w + i, ND))
+          assert((t.mask(i) != 0) == anyValid, s"level $l mask $i")
+        }
+      }
+    }
+  }
+
+  test("sparse tiles reconstruct as nodata without file reads") {
+    val s = spark
+    import s.implicits._
+    val prof = RasterProfile(64, 32, blockSize = 16, nodata = ND,
+      overviewCount = Some(0))
+    // right half entirely nodata → 2 sparse tiles
+    val tiles = for (ty <- 0 until 2; tx <- 0 until 4) yield
+      Tile(0, ty, tx, 16, 16, Array.fill(256)(if (tx < 2) 3.0 else ND), null)
+    val dir = Files.createTempDirectory("graft-read2").toString
+    val (bytes, res) = CogWriter.writeBytes(s.createDataset(tiles), prof, dir)
+    assert(res.nSparse == 4)
+    val f = Paths.get(dir, "assembled.tif")
+    Files.write(f, bytes)
+    val got = CogReader.read(s, "file://" + f, prof).collect()
+      .map(t => (t.ty, t.tx) -> t).toMap
+    for (((_, tx), t) <- got) {
+      if (tx < 2) assert(t.pixels.forall(_ == 3.0))
+      else {
+        assert(t.pixels.forall(_ == ND))
+        assert(t.mask != null && t.mask.forall(_ == 0))
+      }
+    }
+  }
+}
