@@ -1,11 +1,15 @@
 package graft.text
 
 /** Heuristic language identification: function-word (stopword) hit
-  * ratios per language plus a CJK-codepoint fast path. Function words
-  * are the standard cheap n-gram-free signal: they're the most frequent
-  * tokens of every European language and pairwise nearly disjoint.
-  * Lists are common public knowledge (top function words). Returns an
-  * ISO 639-1 code or "und" when no language clears the floor. */
+  * ratios per language plus a CJK-codepoint fast path. Chosen over a
+  * char-n-gram profile model deliberately: at whole-document length
+  * the top function words are the highest-signal cheap feature (most
+  * frequent tokens of every European language, pairwise nearly
+  * disjoint), need no trained profile tables, and cost one tokenize
+  * pass — char-trigram cosine profiles win only on very short strings,
+  * which an LLM-corpus pipeline filters out anyway. Lists are common
+  * public knowledge (top function words). Returns an ISO 639-1 code or
+  * "und" when no language clears the floor. */
 object LangId {
 
   val profiles: Map[String, Set[String]] = Map(
