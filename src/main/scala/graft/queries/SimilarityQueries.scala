@@ -16,7 +16,9 @@ object SimilarityQueries {
     import spark.implicits._
     val emb = Fixtures.embeddings(spark, sfDir)
     val maxId = emb.agg(org.apache.spark.sql.functions.max($"vec_id")).head().getLong(0)
-    val queryIds = (0L to maxId by 100L).toSeq
+    // capped at 50 queries: the broadcast query list must stay O(1) in
+    // corpus size (every 100th id, fixture-deterministic)
+    val queryIds = (0L to maxId by 100L).take(50).toSeq
     Ann.ivfTopK(emb, queryIds, k = 5, nCentroids = 32, nProbe = 8)
   }
 

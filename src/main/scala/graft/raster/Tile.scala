@@ -92,6 +92,17 @@ case class RasterProfile(
   require(bandMeta.isEmpty || bandMeta.length == bands,
     "bandMeta must be empty or one entry per band")
 
+  // integer dtypes silently clamp on serialize; an unrepresentable
+  // nodata sentinel would corrupt the invalid-pixel round trip
+  require(TileCodec.dtypes(dtype)._2 == 3 || {
+    val (lo, hi) = dtype match {
+      case "uint8" => (0.0, 255.0)
+      case "int16" => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+      case _ => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+    }
+    nodata >= lo && nodata <= hi && nodata == math.floor(nodata)
+  }, s"nodata $nodata not representable in $dtype")
+
   /** Effective codec for a pyramid level (levels >= 1 may override). */
   def compressionFor(level: Int): String =
     if (level > 0) overviewCompression.getOrElse(compression) else compression

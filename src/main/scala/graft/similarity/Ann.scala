@@ -48,9 +48,15 @@ object Ann {
     import spark.implicits._
     val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
 
-    // deterministic centroid sample: smallest ids, one pass, tiny collect
-    val centroids = typed.filter(_._1 % 17 == 0).map { case (id, v) => (id, normalize(v)) }
-      .collect().sortBy(_._1).take(nCentroids).map(_._2)
+    // deterministic centroid sample: the nCentroids smallest ids of a
+    // strided subset. orderBy+limit compiles to a distributed top-k
+    // (TakeOrdered), so the driver receives nCentroids rows — never
+    // O(corpus/17) as a bare filter+collect would at 10^9 vectors.
+    import org.apache.spark.sql.functions.col
+    val centroids = emb.filter(col("vec_id") % 17 === 0)
+      .orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map { case (_, v) => normalize(v) }
     require(centroids.nonEmpty, "no centroids sampled")
     val bcCent = spark.sparkContext.broadcast(centroids)
 

@@ -138,7 +138,9 @@ object OrderedMultipartWriter {
             flush()
             curPart = pn
             curOffset = off
-            buf = new java.io.ByteArrayOutputStream(target.toInt.min(1 << 26))
+            // careful: target can exceed Int.MaxValue (up to 5 GiB) —
+            // min in Long space BEFORE narrowing
+            buf = new java.io.ByteArrayOutputStream(math.min(target, 1L << 26).toInt)
           }
           buf.write(bytes)
         }

@@ -9,8 +9,15 @@ class CodecSpec extends AnyFunSuite {
 
   val ND = -9999.0
 
-  def profile(dtype: String, bs: Int = 16) =
-    RasterProfile(64, 64, blockSize = bs, nodata = ND, dtype = dtype)
+  def profile(dtype: String, bs: Int = 16) = {
+    // integer dtypes need a representable sentinel (profile enforces it)
+    val nd = dtype match {
+      case "uint8" => 0.0
+      case d if TileCodec.isInteger(d) => -1.0
+      case _ => ND
+    }
+    RasterProfile(64, 64, blockSize = bs, nodata = nd, dtype = dtype)
+  }
 
   def intValuedTile(h: Int, w: Int): Tile =
     Tile(0, 0, 0, h, w, Array.tabulate(h * w)(i => ((i * 37) % 251).toDouble), null)

@@ -59,6 +59,8 @@ class PropertySpec extends SparkSpec {
       mask <- Gen.oneOf(true, false)
       dtype <- Gen.oneOf(TileCodec.dtypes.keys.toSeq)
     } yield RasterProfile(w, h, blockSize = bs, minOverviewSize = 128,
+      // integer dtypes need a representable sentinel
+      nodata = if (TileCodec.isInteger(dtype)) 0.0 else -9999.0,
       dtype = dtype, maskPages = mask)
     check(Prop.forAll(genProf) { p =>
       val pages = BigTiff.pageSpecs(p)
