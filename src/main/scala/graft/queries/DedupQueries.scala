@@ -67,11 +67,95 @@ object DedupQueries {
       |    * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup CLUSTERS: connected components over the exact n-gram
+    * Jaccard pairs, each doc labelled with the min doc_id reachable in
+    * its component — the step that turns pairwise similarity into
+    * "keep one representative per duplicate group". Spark side:
+    * iterative min-label propagation (each round = one edge join + one
+    * min-agg; converges in O(component diameter) rounds — the standard
+    * scalable CC, no driver-side graph). DuckDB side: recursive-CTE
+    * transitive closure over the same pairs. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = PipelineQueries.dedupNgram(spark, sfDir)
+      .select($"id_a", $"id_b").cache()
+    // undirected edges, both directions
+    val edges = pairs.union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("cluster", $"doc_id")
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      // each node adopts the min label among itself and its neighbors
+      val msgs = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy($"dst".as("doc_id"))
+        .agg(min($"cluster").as("nbr_min"))
+      val next = labels.join(msgs, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
+        .cache()
+      next.count() // materialize before comparing
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+        .filter($"cluster" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.orderBy($"doc_id")
+  }
+
+  val dedupClustersSql: String = {
+    // transitive closure over the SAME exact-Jaccard pairs; cluster =
+    // min reachable id (incl. self)
+    val pairsCte = DedupOracleSql.ngramPairsCte
+    s"""$pairsCte,
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs2
+       |  UNION ALL SELECT id_b, id_a FROM pairs2),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
-    "q_dedup_embed" -> (dedupEmbed _))
+    "q_dedup_embed" -> (dedupEmbed _),
+    "q_dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
-    "q_dedup_embed" -> dedupEmbedSql)
+    "q_dedup_embed" -> dedupEmbedSql,
+    "q_dedup_clusters" -> dedupClustersSql)
+}
+
+/** Shared CTE text so the clusters oracle reuses the exact pair
+  * definition of q_dedup_ngram verbatim. */
+object DedupOracleSql {
+  val ngramPairsCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(lower(trim(text)), ' ')) - 1, 1)),
+      |    i -> string_split(lower(trim(text)), ' ')[i] || ' ' ||
+      |         string_split(lower(trim(text)), ' ')[i+1] || ' ' ||
+      |         string_split(lower(trim(text)), ' ')[i+2])) AS shingles
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |kept AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100),
+      |kx AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN kept USING (shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kx GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM kx a JOIN kx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs2 AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.35)""".stripMargin
 }

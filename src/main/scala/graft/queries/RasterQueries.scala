@@ -65,7 +65,8 @@ object RasterQueries {
     * (ccog/ccog.py:503-508). */
   def rasterHalo(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val prof = RasterProfile(768, 512, blockSize = 128, nodata = ND,
+    val e = edge(sfDir)
+    val prof = RasterProfile(e * 3 / 4, e / 2, blockSize = 128, nodata = ND,
       resampling = "bilinear")
     val k = Kernels.haloWidth("bilinear")
     val tiles = SyntheticRaster.generate(spark, prof, seed = 9L, withMask = false)
