@@ -88,20 +88,20 @@ object DedupQueries {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors;
+      // carrying the old label through the SAME pass folds the
+      // convergence check in — one join + one agg per round total
       val msgs = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy($"dst".as("doc_id"))
         .agg(min($"cluster").as("nbr_min"))
       val next = labels.join(msgs, Seq("doc_id"), "left")
-        .select($"doc_id",
+        .select($"doc_id", $"cluster".as("old"),
           least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
         .cache()
-      next.count() // materialize before comparing
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-        .filter($"cluster" =!= $"old").count()
+      changed = next.filter($"cluster" =!= $"old").count()
       labels.unpersist()
-      labels = next
+      labels = next.select($"doc_id", $"cluster")
       iter += 1
     }
     labels.orderBy($"doc_id")
