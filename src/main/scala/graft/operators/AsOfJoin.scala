@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic left as-of join: for every left row, the value columns of
+  * the latest right row with rightTime <= leftTime within the same
+  * keys (null when no prior right row exists).
+  *
+  * Spark-first plan: union both sides tagged, ONE window over
+  * (keys, time, side) carrying the last right values forward — a
+  * single shuffle on the keys, no per-row backward probe and no range
+  * join. Right rows order before left rows at equal time, giving the
+  * standard <= semantics. At 100 TB this is one exchange + one sort,
+  * the same cost as any keyed window; a skewed hot key is the residual
+  * risk (pair with SaltedJoin's detection or AQE skew handling).
+  *
+  * Ties among RIGHT rows at identical (keys, time) are resolved by
+  * `last()` in window order and are NOT deterministic — pre-reduce the
+  * right side to one row per (keys, time) if that matters (the
+  * q_join_asof query does exactly that with max_by). */
+object AsOfJoin {
+
+  def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && valueCols.nonEmpty)
+    import org.apache.spark.sql.types.StructType
+    val leftCols = left.columns.toSeq
+    val valsType = StructType(valueCols.map(c => right.schema(c)))
+    val rowType = StructType(leftCols.map(c => left.schema(c)))
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__vals"),
+        lit(null).cast(rowType).as("__row")): _*)
+    // carry the whole left row through the union as a struct
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast(valsType).as("__vals"),
+        struct(leftCols.map(col): _*).as("__row")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = taggedRight.unionByName(taggedLeft)
+      .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val out = leftCols.map(c => col("__row").getField(c).as(c)) ++
+      valueCols.map(c => col("__asof").getField(c).as(c))
+    matched.select(out: _*)
+  }
+}

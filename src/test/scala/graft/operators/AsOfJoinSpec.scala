@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Generic as-of join: hand-computed goldens (equal-ts tie takes the
+  * right row, no-prior gives null, keys isolate) and equivalence with
+  * the oracle-checked q_join_asof query on the events fixture. */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("hand-computed golden: <= semantics, nulls, key isolation") {
+    val s = spark
+    import s.implicits._
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 200.0),
+      (2L, 15L, 900.0)).toDF("k", "t", "v")
+    val left = Seq(
+      (1L, 5L, "a"),   // before any right → null
+      (1L, 10L, "b"),  // equal ts → 100.0 (right sorts first)
+      (1L, 25L, "c"),  // latest prior = 200.0
+      (2L, 15L, "d"),  // other key's rows invisible
+      (3L, 99L, "e"))  // key with no right side → null
+      .toDF("k", "t", "tag")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy($"k", $"t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (1L, 5L, "a", None),
+      (1L, 10L, "b", Some(100.0)),
+      (1L, 25L, "c", Some(200.0)),
+      (2L, 15L, "d", Some(900.0)),
+      (3L, 99L, "e", None)))
+  }
+
+  test("operator reproduces the oracle-checked q_join_asof on events") {
+    val s = spark
+    import s.implicits._
+    val e = graft.Fixtures.events(s, sfDir)
+    val views = e.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts")
+      .agg(max_by($"value", $"event_id").as("view_value"))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val viaOperator = AsOfJoin.leftAsOf(clicks, views,
+        Seq("user_id"), "ts", "ts", Seq("view_value"))
+      .select($"event_id", $"user_id",
+        round($"view_value", 4).as("prior_view_value"))
+      .orderBy($"event_id").collect().toSeq
+    val viaQuery = graft.queries.JoinQueries.joinAsof(s, sfDir)
+      .collect().toSeq
+    assert(viaOperator == viaQuery)
+  }
+}
