@@ -175,16 +175,13 @@ object JoinQueries {
     val views = e.filter($"event_type" === "view")
       .groupBy($"user_id", $"ts")
       .agg(max_by($"value", $"event_id").as("view_value"))
-      .select($"user_id", $"ts", lit(0).as("is_click"), lit(null).cast("long").as("click_id"), $"view_value")
     val clicks = e.filter($"event_type" === "click")
-      .select($"user_id", $"ts", lit(1).as("is_click"), $"event_id".as("click_id"), lit(null).cast("double").as("view_value"))
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_click")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionByName(clicks)
-      .withColumn("asof_view_value", last($"view_value", ignoreNulls = true).over(w))
-      .filter($"is_click" === 1)
-      .select($"click_id".as("event_id"), $"user_id",
-        round($"asof_view_value", 4).as("prior_view_value"))
+      .select($"event_id", $"user_id", $"ts")
+    graft.operators.AsOfJoin.leftAsOf(clicks, views,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("view_value"))
+      .select($"event_id", $"user_id",
+        round($"view_value", 4).as("prior_view_value"))
       .orderBy($"event_id")
   }
 

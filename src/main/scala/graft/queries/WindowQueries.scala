@@ -154,13 +154,41 @@ object WindowQueries {
       |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, count(*) AS n
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** A REAL Structured Streaming run as a query entry: deterministic
+    * synthetic rows through a MemoryStream, watermarked tumbleAgg,
+    * complete-mode memory sink drained with processAllAvailable. NATIVE
+    * (streaming runtime isn't DuckDB-comparable; batch equivalence and
+    * late-data drop are proven in StreamingSpec). */
+  def streamWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val rows = (0 until 300).map { i =>
+      (new java.sql.Timestamp(base + i * 53000L),
+        if (i % 4 == 0) "click" else "view", (i % 13) + 0.5)
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = tumbleAgg(mem.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("q_stream_watermark_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("q_stream_watermark_out")
+      .orderBy($"w_start", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> (winRank _),
     "q_win_lag" -> (winLag _),
     "q_win_prefix" -> (winPrefix _),
     "q_stream_tumble" -> (streamTumble _),
     "q_stream_slide" -> (streamSlide _),
-    "q_stream_session" -> (streamSession _))
+    "q_stream_session" -> (streamSession _),
+    "q_stream_watermark" -> (streamWatermark _))
 
   val oracle: Map[String, String] = Map(
     "q_win_rank" -> winRankSql,
