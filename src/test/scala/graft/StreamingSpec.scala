@@ -92,6 +92,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source readStream over events parquet == batch tumbleAgg") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // stage a copy of the events table as a streaming source directory
+    // (readStream needs an explicit schema and its own dir)
+    val src = graft.Fixtures.events(sparkS, sfDir)
+      .select($"ts", $"event_type", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    src.write.mode("overwrite").parquet(dir)
+    val batch = WindowQueries.tumbleAgg(sparkS.read.parquet(dir))
+      .orderBy($"w_start", $"event_type").collect().toSeq
+
+    val streamed = WindowQueries.tumbleAgg(
+      sparkS.readStream.schema(src.schema).parquet(dir)
+        .withWatermark("ts", "1 hour"))
+    val q = streamed.writeStream.format("memory").queryName("file_src_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = sparkS.table("file_src_out")
+        .orderBy($"w_start", $"event_type").collect().toSeq
+      assert(got == batch, s"streamed ${got.size} != batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     val sparkS = spark
     import sparkS.implicits._
