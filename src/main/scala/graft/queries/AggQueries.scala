@@ -150,16 +150,41 @@ object AggQueries {
       .orderBy($"event_type")
   }
 
+  /** Statistical co-aggregates: Pearson correlation + population
+    * covariance of price vs quantity per return flag — the bivariate
+    * members of the reference's stats family (ccog/ccog.py:540 computes
+    * the univariate set). Both engines use the same textbook
+    * definitions; round(4) absorbs accumulation-order noise. */
+  def aggCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_extendedprice", $"l_quantity"), 4).as("price_qty_corr"),
+        round(covar_pop($"l_extendedprice", $"l_quantity"), 4).as("price_qty_covar"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggCorrSql: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+      |  round(covar_pop(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
     "q_agg_masked" -> (aggMasked _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_rollup" -> (aggRollup _),
+    "q_agg_corr" -> (aggCorr _),
     "q_agg_approx" -> (aggApprox _))
 
   val oracle: Map[String, String] = Map(
     "q_agg_pricing" -> aggPricingSql,
     "q_agg_masked" -> aggMaskedSql,
     "q_agg_distinct" -> aggDistinctSql,
-    "q_agg_rollup" -> aggRollupSql)
+    "q_agg_rollup" -> aggRollupSql,
+    "q_agg_corr" -> aggCorrSql)
 }
