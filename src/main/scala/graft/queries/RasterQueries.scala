@@ -146,7 +146,9 @@ object RasterQueries {
       SyntheticRaster.generate(spark, prof, seed = 29L), prof, dir)
     val f = java.nio.file.Paths.get(dir, "assembled.tif")
     java.nio.file.Files.write(f, bytes)
-    val perLevel = (0 to prof.maxLevel).map { l =>
+    // levels 0 and max exercise both ends of the page chain without
+    // one read job per level
+    val perLevel = Seq(0, prof.maxLevel).distinct.map { l =>
       CogReader.read(spark, "file://" + f, prof, l)
         .map { t =>
           var valid = 0L
