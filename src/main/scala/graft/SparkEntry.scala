@@ -22,7 +22,8 @@ object SparkEntry {
       WindowQueries.queries ++ ScalarQueries.queries ++
       PipelineQueries.queries ++ RasterQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       WindowQueries.oracle ++ ScalarQueries.oracle ++
       PipelineQueries.oracle ++ RasterQueries.oracle ++
       DedupQueries.oracle ++ TextQueries.oracle ++
-      SimilarityQueries.oracle ++ MultimodalQueries.oracle
+      SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
+      SamplingQueries.oracle
 }

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+
+/** Corpus sampling / splitting — the data-mixing operations of an LLM
+  * training pipeline: deterministic train/val/test splits (ORACLE:
+  * pure modular arithmetic both engines compute identically) and
+  * seeded stratified subsampling (NATIVE: Bernoulli draws are
+  * engine-RNG-specific; proportions + determinism in SamplingSpec). */
+object SamplingQueries {
+
+  /** Deterministic 90/5/5 split on doc_id — reproducible, join-free,
+    * and stable under any partitioning (the property that matters when
+    * the split must agree across every job that touches the corpus).
+    * Aggregates per split per lang so the oracle output is small. */
+  def splitTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .withColumn("split",
+        when($"doc_id" % 100 < 90, "train")
+          .when($"doc_id" % 100 < 95, "val")
+          .otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  val splitTrainSql: String =
+    """SELECT CASE WHEN doc_id % 100 < 90 THEN 'train'
+      |            WHEN doc_id % 100 < 95 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  /** Stratified subsample: per-language sampling fractions (the "data
+    * mixing" knob — upsample rare strata, downsample dominant ones),
+    * seeded Bernoulli via sampleBy. NATIVE: the draw sequence is
+    * Spark's RNG. Output: kept counts per lang (deterministic for a
+    * fixed seed + partitioning of the fixture read). */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0,
+      "es" -> 1.0, "zh" -> 0.25)
+    Fixtures.documents(spark, sfDir)
+      .stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_train" -> (splitTrain _),
+    "q_sample_stratified" -> (sampleStratified _))
+
+  val oracle: Map[String, String] = Map(
+    "q_split_train" -> splitTrainSql)
+}

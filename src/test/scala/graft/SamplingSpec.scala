@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sampling/splitting invariants: the deterministic split partitions
+  * the corpus exactly; stratified sampling hits its per-stratum
+  * fractions within Bernoulli tolerance and is seed-deterministic. */
+class SamplingSpec extends SparkSpec {
+
+  test("q_split_train partitions every doc exactly once, ~90/5/5") {
+    val docs = Fixtures.documents(spark, sfDir)
+    val total = docs.count()
+    val out = graft.queries.SamplingQueries.splitTrain(spark, sfDir).collect()
+    val bySplit = out.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySplit.values.sum == total, "splits must partition the corpus")
+    val train = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(train > 0.8 && train < 0.98, s"train share $train")
+  }
+
+  test("stratified sample: fractions honored within tolerance, seed-stable") {
+    val s = spark
+    import s.implicits._
+    val base = Fixtures.documents(s, sfDir).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.queries.SamplingQueries.sampleStratified(s, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0,
+      "es" -> 1.0, "zh" -> 0.25)
+    for ((lang, f) <- fractions if base.contains(lang)) {
+      val expect = base(lang) * f
+      val got = kept.getOrElse(lang, 0L).toDouble
+      // Bernoulli: 4 sigma tolerance
+      val sigma = math.sqrt(base(lang) * f * (1 - f)).max(1.0)
+      assert(math.abs(got - expect) <= 4 * sigma + 1,
+        s"$lang kept $got expect ~$expect (±${4 * sigma})")
+      if (f == 1.0) assert(got == base(lang).toDouble, s"$lang f=1 must keep all")
+    }
+    // same seed → identical draw
+    val again = graft.queries.SamplingQueries.sampleStratified(s, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+}
