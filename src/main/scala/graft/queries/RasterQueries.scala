@@ -51,7 +51,10 @@ object RasterQueries {
     }.reduce(_ union _)
     val out = perLevel.groupBy($"level")
       .agg(sum($"n_tiles").as("n_tiles"), sum($"valid_px").as("valid_px"),
-        round(sum($"sum_v") / sum($"valid_px"), 4).as("mean_valid"))
+        // decimal accumulation: cross-tile double sums vary at the last
+        // ulp with partitioning; exact decimals keep the output stable
+        round(sum($"sum_v".cast("decimal(38,10)")).cast("double") /
+          sum($"valid_px"), 4).as("mean_valid"))
       .orderBy($"level")
     val materialized = out.cache()
     materialized.count() // force before unpersisting the levels
@@ -165,7 +168,8 @@ object RasterQueries {
     import org.apache.spark.sql.functions._
     perLevel.groupBy($"level")
       .agg(sum($"n_tiles").as("n_tiles"), sum($"valid_px").as("valid_px"),
-        round(sum($"sum_v") / sum($"valid_px"), 4).as("mean_valid"))
+        round(sum($"sum_v".cast("decimal(38,10)")).cast("double") /
+          sum($"valid_px"), 4).as("mean_valid"))
       .orderBy($"level")
   }
 

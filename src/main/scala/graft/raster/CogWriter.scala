@@ -91,6 +91,12 @@ object CogWriter {
       // 5. masked PER-BAND stats from the fused encode partials — no
       // second pass over pixels (reference pays a full extra pass,
       // ccog/ccog.py:38,511-541)
+      // per-tile partials are deterministic (fixed row-major loops);
+      // the CROSS-TILE reduction must be too — double sums are
+      // order-dependent at the last ulp, which would leak into the
+      // fixed-width header stats and make the assembled bytes vary
+      // between runs. DECIMAL accumulation is exact, hence
+      // order-independent.
       import org.apache.spark.sql.functions.{sum => fsum, min => fmin, max => fmax, when => fwhen, col}
       val statsRows = placement.cached
         .filter(e => e.level == 0 && e.page == TileCodec.PageData)
@@ -99,7 +105,9 @@ object CogWriter {
             e.bandMin(b), e.bandMax(b))))
         .toDF("band", "total", "valid", "s", "ss", "mn", "mx")
         .groupBy(col("band"))
-        .agg(fsum(col("total")), fsum(col("valid")), fsum(col("s")), fsum(col("ss")),
+        .agg(fsum(col("total")), fsum(col("valid")),
+          fsum(col("s").cast("decimal(38,12)")).cast("double"),
+          fsum(col("ss").cast("decimal(38,12)")).cast("double"),
           fmin(fwhen(col("valid") > 0, col("mn"))),
           fmax(fwhen(col("valid") > 0, col("mx"))))
         .orderBy(col("band"))
