@@ -218,6 +218,21 @@ class CogWriterSpec extends SparkSpec {
     assert(xml.contains("""role="offset">-5.0<"""))
   }
 
+  test("golden byte hash: the fixed 512² write reproduces its committed sha256") {
+    // SURVEY §5.2-4: byte hash of the assembled file committed as a
+    // golden. Everything upstream is partition-independent (seeded
+    // pixels, per-tile deflate, decimal-accumulated header stats,
+    // arithmetic part packing), verified byte-identical across 4- vs
+    // 7-thread sessions before pinning. Changes to any codec/header
+    // byte legitimately move this value — update deliberately.
+    val df = graft.queries.RasterQueries.cogWriteBytes(spark, sfDir)
+    val row = df.head()
+    assert(row.getAs[String]("sha256") ==
+      "8fd007ac62ced336c55511d8e12e2174091486526e8038e88c3f627b485dadfd")
+    assert(row.getAs[Long]("file_len") == 2440285L)
+    assert(row.getAs[Long]("header_len") == 2699L)
+  }
+
   test("int16 with predictor: integer-valued raster round-trips exactly") {
     val s = spark
     import s.implicits._
