@@ -144,15 +144,12 @@ object PipelineQueries {
     // The query vector's norm is a constant: compute it once inside the
     // 1-row broadcast side, not per scanned row.
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
     emb.crossJoin(broadcast(q))
       .filter($"vec_id" =!= 0)
-      .withColumn("dot", expr(
-        "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
-      .withColumn("cosine", round($"dot" / ($"na" * $"nb"), 4))
+      // native codegen'd expression (graft.functions.CosineSim) — one
+      // fused loop; dot/(sqrt*sqrt) formulation is bit-identical to
+      // the HOF/DuckDB form (CosineSimSpec)
+      .withColumn("cosine", round(expr("cosine_sim(embedding, q_emb)"), 4))
       .select($"vec_id", $"cosine")
       .orderBy($"cosine".desc, $"vec_id")
       .limit(5)
