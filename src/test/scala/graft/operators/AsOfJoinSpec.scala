@@ -33,6 +33,22 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 99L, "e", None)))
   }
 
+  test("composite keys: both key columns isolate the timeline") {
+    val s = spark
+    import s.implicits._
+    val right = Seq((1L, "a", 10L, 1.0), (1L, "b", 10L, 2.0), (2L, "a", 10L, 3.0))
+      .toDF("k1", "k2", "t", "v")
+    val left = Seq((1L, "a", 20L), (1L, "b", 20L), (2L, "a", 20L), (2L, "b", 20L))
+      .toDF("k1", "k2", "t")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k1", "k2"), "t", "t", Seq("v"))
+      .orderBy($"k1", $"k2").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (1L, "a", Some(1.0)), (1L, "b", Some(2.0)),
+      (2L, "a", Some(3.0)), (2L, "b", None)))
+  }
+
   test("operator reproduces the oracle-checked q_join_asof on events") {
     val s = spark
     import s.implicits._

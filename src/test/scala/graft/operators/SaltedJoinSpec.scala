@@ -33,4 +33,18 @@ class SaltedJoinSpec extends SparkSpec {
       .filter($"k" === 7L).select($"__salt").distinct().count()
     assert(leftSalts == 8, s"hot key concentrated in $leftSalts salt(s)")
   }
+
+  test("no hot keys detected → salted join degenerates to the plain join") {
+    val s = spark
+    import s.implicits._
+    val left = (1 to 400).map(i => ((i % 40).toLong, s"l$i")).toDF("k", "lv")
+    val right = (0L until 40L).map(k => (k, s"r$k")).toDF("k", "rv")
+    assert(SaltedJoin.detectHotKeys(left, "k").isEmpty)
+    // empty hot set is still legal input to join()
+    val salted = SaltedJoin.join(left, right, "k", Seq.empty, salts = 4)
+      .select($"k", $"lv", $"rv")
+    val plain = left.join(right, "k").select($"k", $"lv", $"rv")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty)
+  }
 }

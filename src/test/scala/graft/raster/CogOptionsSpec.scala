@@ -34,4 +34,13 @@ class CogOptionsSpec extends AnyFunSuite {
     assert(p.blockSize == 256 && p.compression == "deflate")
     assert(p.resampling == "average" && p.sparseOk && !p.ghost)
   }
+
+  test("options wire through overview_compress and count") {
+    val p = CogOptions.profile(200, 200, Map(
+      "blocksize" -> "32", "count" -> "2",
+      "overview_compress" -> "none", "mask_pages" -> "yes"))
+    assert(p.bands == 2 && p.overviewCompression.contains("none"))
+    assert(p.maskPages)
+    assert(p.compressionFor(0) == "deflate" && p.compressionFor(1) == "none")
+  }
 }
