@@ -37,12 +37,16 @@ object BigTiff {
   private val TagTileOffsets = 324
   private val TagTileByteCounts = 325
   private val TagSampleFormat = 339
+  private val TagModelPixelScale = 33550
+  private val TagModelTiepoint = 33922
+  private val TagGeoKeyDirectory = 34735
   private val TagGdalMetadata = 42112
   private val TagGdalNodata = 42113
 
   private val TypeShort = 3   // 2 B
   private val TypeAscii = 2   // 1 B
   private val TypeLong8 = 16  // 8 B
+  private val TypeDouble = 12 // 8 B
 
   private val FileHeaderLen = 16L
   private val IfdEntryLen = 20L
@@ -62,8 +66,10 @@ object BigTiff {
   /** data L0: 12 base + GDAL_NODATA + GDAL_METADATA; data L>0: 12 base
     * + NewSubfileType; mask: 10 base + NewSubfileType + SampleFormat
     * (no predictor/nodata/metadata). */
-  private def entryCount(pg: PageSpec): Int =
-    if (pg.isMask) 12 else if (pg.level == 0) 14 else 13
+  private def entryCount(profile: RasterProfile, pg: PageSpec): Int =
+    if (pg.isMask) 12
+    else if (pg.level == 0) 14 + (if (profile.geo.isDefined) 3 else 0)
+    else 13
 
   /** Per-band STATISTICS_* items (reference `_add_stats_to_profile_tags`,
     * ccog/ccog.py:543-555) as the GDAL_METADATA XML blob. Values are
@@ -105,7 +111,13 @@ object BigTiff {
   private def gdalMetadataLen(profile: RasterProfile): Long =
     gdalMetadata(profile, Seq.empty).length.toLong
 
-  private def ifdLen(pg: PageSpec): Long = 8L + entryCount(pg) * IfdEntryLen + 8L
+  private def ifdLen(profile: RasterProfile, pg: PageSpec): Long =
+    8L + entryCount(profile, pg) * IfdEntryLen + 8L
+
+  /** External bytes of the geo tags: ModelPixelScale 3 doubles +
+    * ModelTiepoint 6 doubles + GeoKeyDirectory 16 shorts. */
+  private def geoExternalBytes(profile: RasterProfile): Long =
+    if (profile.geo.isDefined) 3 * 8L + 6 * 8L + 16 * 2L else 0L
 
   /** GDAL ghost area: structural-metadata text directly after the
     * 16-byte file header (public GDAL COG layout; reference manipulates
@@ -142,10 +154,12 @@ object BigTiff {
     * function of the profile: computable before any tile is encoded. */
   def headerLength(profile: RasterProfile): Long = {
     val pages = pageSpecs(profile)
-    var len = FileHeaderLen + ghostBlock(profile).length + pages.map(ifdLen).sum
+    var len = FileHeaderLen + ghostBlock(profile).length +
+      pages.map(pg => ifdLen(profile, pg)).sum
     val nd = nodataAscii(profile)
     if (nd.length > 8) len += nd.length
     len += gdalMetadataLen(profile)
+    len += geoExternalBytes(profile)
     pages.foreach(pg => len += externalArrayBytes(profile, pg))
     len
   }
@@ -176,12 +190,16 @@ object BigTiff {
     val ghost = ghostBlock(profile)
     val ifdOffset = new Array[Long](pages.length)
     var cursor = FileHeaderLen + ghost.length
-    for (p <- pages.indices) { ifdOffset(p) = cursor; cursor += ifdLen(pages(p)) }
+    for (p <- pages.indices) { ifdOffset(p) = cursor; cursor += ifdLen(profile, pages(p)) }
     val ndOffset = cursor
     if (nd.length > 8) cursor += nd.length
     val md = gdalMetadata(profile, stats)
     val mdOffset = cursor
     cursor += md.length
+    val geoScaleOffset = cursor
+    val geoTieOffset = geoScaleOffset + (if (profile.geo.isDefined) 24 else 0)
+    val geoKeyOffset = geoTieOffset + (if (profile.geo.isDefined) 48 else 0)
+    cursor += geoExternalBytes(profile)
     val arrOffset = new Array[Long](pages.length)
     for (p <- pages.indices) {
       arrOffset(p) = cursor
@@ -210,7 +228,7 @@ object BigTiff {
       buf.position(ifdOffset(p).toInt)
       val (w, h) = profile.levelDims(l)
       val n = profile.tilesPerLevel(l).toLong
-      buf.putLong(entryCount(pg).toLong)
+      buf.putLong(entryCount(profile, pg).toLong)
       if (pg.isMask)
         // 4 = transparency mask; +1 reduced-resolution for overviews
         entry(TagNewSubfileType, TypeLong8, 1, if (l > 0) 5 else 4)
@@ -247,6 +265,11 @@ object BigTiff {
         entry(TagSampleFormat, TypeShort, profile.bands, packedSf)
       }
       if (!pg.isMask && l == 0) {
+        profile.geo.foreach { _ =>
+          entry(TagModelPixelScale, TypeDouble, 3, geoScaleOffset)
+          entry(TagModelTiepoint, TypeDouble, 6, geoTieOffset)
+          entry(TagGeoKeyDirectory, TypeShort, 16, geoKeyOffset)
+        }
         entry(TagGdalMetadata, TypeAscii, md.length, mdOffset)
         if (nd.length > 8) entry(TagGdalNodata, TypeAscii, nd.length, ndOffset)
         else {
@@ -265,6 +288,24 @@ object BigTiff {
     // ---- external areas
     if (nd.length > 8) { buf.position(ndOffset.toInt); buf.put(nd) }
     buf.position(mdOffset.toInt); buf.put(md)
+    profile.geo.foreach { g =>
+      buf.position(geoScaleOffset.toInt)
+      buf.putDouble(g.pixelW); buf.putDouble(g.pixelH); buf.putDouble(0.0)
+      buf.position(geoTieOffset.toInt)
+      // tiepoint: raster (0,0,0) -> model (originX, originY, 0)
+      buf.putDouble(0.0); buf.putDouble(0.0); buf.putDouble(0.0)
+      buf.putDouble(g.originX); buf.putDouble(g.originY); buf.putDouble(0.0)
+      buf.position(geoKeyOffset.toInt)
+      // GeoKeyDirectory v1.1.0, 3 keys: model type, raster type
+      // (PixelIsArea), CRS code in the matching geographic/projected key
+      val modelType = if (g.isGeographic) 2 else 1
+      val crsKey = if (g.isGeographic) 2048 else 3072
+      val shorts = Array[Int](1, 1, 0, 3,
+        1024, 0, 1, modelType,
+        1025, 0, 1, 1,
+        crsKey, 0, 1, g.epsg)
+      shorts.foreach(s => buf.putShort(s.toShort))
+    }
     for (p <- pages.indices; if profile.tilesPerLevel(pages(p).level) > 1) {
       buf.position(arrOffset(p).toInt)
       offsets(p).foreach(buf.putLong)
@@ -281,7 +322,10 @@ object BigTiff {
   case class PageMeta(width: Long, height: Long, tileW: Int, tileH: Int,
       compression: Int, predictor: Int, bits: Int, sampleFormat: Int,
       subfileType: Long, photometric: Int,
-      offsets: Array[Long], counts: Array[Long], metadataXml: String) {
+      offsets: Array[Long], counts: Array[Long], metadataXml: String,
+      pixelScale: Array[Double] = Array.empty,
+      tiepoint: Array[Double] = Array.empty,
+      geoKeys: Array[Int] = Array.empty) {
     def isMask: Boolean = (subfileType & 4L) != 0
   }
 
@@ -297,6 +341,9 @@ object BigTiff {
       var comp = 1; var pred = 1; var bits = 0; var sf = 1
       var subType = 0L; var photo = 1
       var metaXml = ""
+      var scaleArr: Array[Double] = Array.empty
+      var tieArr: Array[Double] = Array.empty
+      var keyArr: Array[Int] = Array.empty
       var offArr: Array[Long] = null; var cntArr: Array[Long] = null
       for (e <- 0 until n) {
         val base = ifd.toInt + 8 + e * IfdEntryLen.toInt
@@ -322,11 +369,17 @@ object BigTiff {
           case TagTileByteCounts => cntArr = long8Array()
           case TagGdalMetadata =>
             metaXml = new String(file, value.toInt, count.toInt, "US-ASCII")
+          case TagModelPixelScale =>
+            scaleArr = Array.tabulate(count.toInt)(i => buf.getDouble(value.toInt + 8 * i))
+          case TagModelTiepoint =>
+            tieArr = Array.tabulate(count.toInt)(i => buf.getDouble(value.toInt + 8 * i))
+          case TagGeoKeyDirectory =>
+            keyArr = Array.tabulate(count.toInt)(i => buf.getShort(value.toInt + 2 * i) & 0xffff)
           case _ => ()
         }
       }
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
-        subType, photo, offArr, cntArr, metaXml)
+        subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr)
       ifd = buf.getLong(ifd.toInt + 8 + n * IfdEntryLen.toInt)
     }
     pages.result()

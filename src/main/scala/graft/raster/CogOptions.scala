@@ -18,7 +18,8 @@ object CogOptions {
   val knownKeys: Set[String] = Set(
     "blocksize", "compress", "overview_compress", "overview_resampling",
     "overview_count", "sparse_ok", "zlevel", "quality", "nodata", "dtype",
-    "count", "mask_pages", "ghost", "min_overview_size")
+    "count", "mask_pages", "ghost", "min_overview_size",
+    "epsg", "pixel_size", "origin")
 
   /** Build a validated profile from width/height + string options.
     * Throws IllegalArgumentException eagerly on rejected/unknown keys
@@ -33,6 +34,15 @@ object CogOptions {
     def i(k: String, dflt: Int) = norm.get(k).map(_.toInt).getOrElse(dflt)
     def b(k: String, dflt: Boolean) =
       norm.get(k).map(v => v == "true" || v == "yes" || v == "1").getOrElse(dflt)
+    val geo = norm.get("epsg").map { e =>
+      def pair(k: String, dflt: (Double, Double)) = norm.get(k).map { v =>
+        val Array(a, bb) = v.split(",").map(_.trim.toDouble)
+        (a, bb)
+      }.getOrElse(dflt)
+      val (pw, ph) = pair("pixel_size", (1.0, 1.0))
+      val (ox, oy) = pair("origin", (0.0, 0.0))
+      GeoRef(pw, ph, ox, oy, e.toInt)
+    }
     RasterProfile(
       width = width,
       height = height,
@@ -49,6 +59,7 @@ object CogOptions {
       jpegQuality = i("quality", 75),
       sparseOk = b("sparse_ok", dflt = true),
       maskPages = b("mask_pages", dflt = false),
-      ghost = b("ghost", dflt = false))
+      ghost = b("ghost", dflt = false),
+      geo = geo)
   }
 }

@@ -35,6 +35,18 @@ case class Tile(
 case class BandMeta(description: String = "", unit: String = "",
     scale: Double = 1.0, offset: Double = 0.0)
 
+/** North-up affine geo-referencing: pixel (col,row) maps to
+  * (originX + col·pixelW, originY − row·pixelH) in the CRS given by
+  * `epsg`. Rotation-free — the reference likewise refuses warped
+  * layouts (ccog/ccog.py:890-903). */
+case class GeoRef(pixelW: Double, pixelH: Double,
+    originX: Double, originY: Double, epsg: Int) {
+  require(pixelW > 0 && pixelH > 0, "pixel size must be positive")
+  /** EPSG 4326/4269/4267 and friends are geographic; common projected
+    * codes (UTM, national grids) are 5-digit or 3857-style. */
+  def isGeographic: Boolean = epsg >= 4000 && epsg < 5000
+}
+
 /** The schema of a raster write — the engine form of the reference's
   * "profile" dict (reference ccog/ccog.py:24-39,917-955). Validation is
   * eager, at plan-build time, matching the reference's stance
@@ -60,6 +72,11 @@ case class RasterProfile(
     /** Per-band descriptive metadata (R23, ccog/ccog.py:213-235):
       * emitted as GDAL_METADATA items. Empty = no items. */
     bandMeta: Seq[BandMeta] = Seq.empty,
+    /** Geo-referencing (the reference sniffs transform/crs from xarray,
+      * ccog/ccog.py:922-925; here supplied directly): pixel size,
+      * upper-left origin in CRS units, and the EPSG code. None = the
+      * plain-TIFF case. */
+    geo: Option[GeoRef] = None,
     sparseOk: Boolean = true,
     /** Write 1-bit validity-mask pages alongside data pages, like the
       * reference does when a mask array is supplied (ccog/ccog.py:958). */

@@ -35,6 +35,13 @@ class CogOptionsSpec extends AnyFunSuite {
     assert(p.resampling == "average" && p.sparseOk && !p.ghost)
   }
 
+  test("geo options build a GeoRef") {
+    val p = CogOptions.profile(100, 100, Map(
+      "epsg" -> "4326", "pixel_size" -> "0.5, 0.5", "origin" -> "149.0, -35.0"))
+    assert(p.geo.contains(GeoRef(0.5, 0.5, 149.0, -35.0, 4326)))
+    assert(CogOptions.profile(100, 100, Map.empty).geo.isEmpty)
+  }
+
   test("options wire through overview_compress and count") {
     val p = CogOptions.profile(200, 200, Map(
       "blocksize" -> "32", "count" -> "2",

@@ -1,0 +1,48 @@
+package graft.raster
+
+import graft.SparkSpec
+
+/** Geo-referencing tags: ModelPixelScale / ModelTiepoint /
+  * GeoKeyDirectory emitted on IFD0 and parsed back exactly; geographic
+  * vs projected CRS keys; plain-TIFF profiles carry none. */
+class GeoRefSpec extends SparkSpec {
+
+  val ND = -9999.0
+
+  def write(geo: Option[GeoRef]): Array[Byte] = {
+    val p = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+      minOverviewSize = 32, geo = geo)
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo").toString
+    CogWriter.writeBytes(SyntheticRaster.generate(spark, p, seed = 3L), p, dir)._1
+  }
+
+  test("geographic CRS (EPSG:4326): tags round-trip") {
+    val geo = GeoRef(pixelW = 0.25, pixelH = 0.25,
+      originX = 149.0, originY = -35.0, epsg = 4326)
+    val pg = BigTiff.readPages(write(Some(geo))).head
+    assert(pg.pixelScale.toSeq == Seq(0.25, 0.25, 0.0))
+    assert(pg.tiepoint.toSeq == Seq(0.0, 0.0, 0.0, 149.0, -35.0, 0.0))
+    // v1.1.0 directory, 3 keys, geographic model, PixelIsArea, CRS code
+    assert(pg.geoKeys.take(4).toSeq == Seq(1, 1, 0, 3))
+    assert(pg.geoKeys.slice(4, 8).toSeq == Seq(1024, 0, 1, 2))
+    assert(pg.geoKeys.slice(8, 12).toSeq == Seq(1025, 0, 1, 1))
+    assert(pg.geoKeys.slice(12, 16).toSeq == Seq(2048, 0, 1, 4326))
+  }
+
+  test("projected CRS (EPSG:32755): projected key used") {
+    val geo = GeoRef(pixelW = 30.0, pixelH = 30.0,
+      originX = 500000.0, originY = 6200000.0, epsg = 32755)
+    val pg = BigTiff.readPages(write(Some(geo))).head
+    assert(pg.geoKeys.slice(4, 8).toSeq == Seq(1024, 0, 1, 1)) // projected
+    assert(pg.geoKeys.slice(12, 16).toSeq == Seq(3072, 0, 1, 32755))
+  }
+
+  test("no geo → no tags; overview pages never carry geo tags") {
+    val pages = BigTiff.readPages(write(None))
+    assert(pages.forall(_.pixelScale.isEmpty))
+    val geoPages = BigTiff.readPages(write(Some(
+      GeoRef(1.0, 1.0, 0.0, 0.0, 4326))))
+    assert(geoPages.head.pixelScale.nonEmpty)
+    assert(geoPages.tail.forall(_.pixelScale.isEmpty))
+  }
+}
