@@ -78,29 +78,40 @@ object DedupQueries {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = PipelineQueries.dedupNgram(spark, sfDir)
-      .select($"id_a", $"id_b").cache()
-    // undirected edges, both directions
+      .select($"id_a", $"id_b")
+    // undirected edges, both directions; localCheckpoint (eager)
+    // materializes AND truncates the logical plan — cache() alone keeps
+    // the full lineage, so each round's plan would embed every prior
+    // round and planning cost grows per iteration
     val edges = pairs.union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("cluster", $"doc_id")
-      .cache()
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
-      // each node adopts the min label among itself and its neighbors;
-      // carrying the old label through the SAME pass folds the
-      // convergence check in — one join + one agg per round total
+      // each node adopts the min label among itself and its neighbors
       val msgs = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy($"dst".as("doc_id"))
         .agg(min($"cluster").as("nbr_min"))
-      val next = labels.join(msgs, Seq("doc_id"), "left")
+      val adopted = labels.join(msgs, Seq("doc_id"), "left")
         .select($"doc_id", $"cluster".as("old"),
           least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
-        .cache()
+      // pointer-jump (label compression): cluster := label(cluster).
+      // Labels only decrease, so the jump target's label is always <=
+      // the current one; this shortcuts chain-shaped components,
+      // halving the O(diameter) round count
+      val next = adopted
+        .join(adopted.select($"doc_id".as("cluster"), $"cluster".as("jump")),
+          Seq("cluster"), "left")
+        .select($"doc_id", $"old",
+          least($"cluster", coalesce($"jump", $"cluster")).as("cluster"))
+        .localCheckpoint() // one job per round; plan stays O(1)-deep
+      // convergence test scans the just-checkpointed blocks — no
+      // recompute of the round's joins
       changed = next.filter($"cluster" =!= $"old").count()
-      labels.unpersist()
       labels = next.select($"doc_id", $"cluster")
       iter += 1
     }

@@ -32,7 +32,8 @@ object SamplingQueries {
     """SELECT CASE WHEN doc_id % 100 < 90 THEN 'train'
       |            WHEN doc_id % 100 < 95 THEN 'val'
       |            ELSE 'test' END AS split,
-      |  lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+      |  lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
       |FROM documents
       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 

@@ -36,7 +36,7 @@ object WindowQueries {
   val winRankSql: String =
     """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
-      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 

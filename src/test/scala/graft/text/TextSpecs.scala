@@ -22,6 +22,31 @@ class SimHashSpec extends SparkSpec {
     assert(d2 > 20)
   }
 
+  test("5-chunk pair banding: any two fps at d<=3 share a band key") {
+    // the pigeonhole invariant the multi-index join relies on, checked
+    // directly on random fingerprints with up to MaxDist flipped bits
+    val rnd = new scala.util.Random(7)
+    def keysOf(fp: Long): Set[Long] =
+      SimHash.chunkPairs.zipWithIndex.map { case ((i, j), p) =>
+        SimHash.bandKey(p, SimHash.chunk(fp, i), SimHash.chunk(fp, j))
+      }.toSet
+    for (_ <- 0 until 500) {
+      val fp = rnd.nextLong()
+      val flips = rnd.nextInt(SimHash.MaxDist + 1)
+      val other = (0 until flips).foldLeft(fp)((f, _) => f ^ (1L << rnd.nextInt(64)))
+      assert((keysOf(fp) & keysOf(other)).nonEmpty,
+        s"fp=$fp d=${SimHash.hamming(fp, other)} no shared band key")
+    }
+    // chunks are a partition of the 64 bits: values reconstruct the fp
+    val fp = rnd.nextLong()
+    val widths = Array(13, 13, 13, 13, 12)
+    val rebuilt = (0 until SimHash.ChunkCount).foldLeft((0L, 0)) {
+      case ((acc, off), i) =>
+        (acc | (SimHash.chunk(fp, i).toLong << off), off + widths(i))
+    }._1
+    assert(rebuilt == fp)
+  }
+
   test("banded join finds ALL pairs at distance <= 3 (pigeonhole completeness)") {
     val s = spark
     import s.implicits._

@@ -47,6 +47,19 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: schema mismatch spark={gcols} duckdb={wcols}")
                 n_fail += 1
                 continue
+            # The driver's hash covers value TYPES too: DuckDB sum() on
+            # BIGINT yields HUGEINT (int128) which hash-mismatches
+            # Spark's BIGINT even when every value is equal (r2's
+            # q_split_train). Compare declared types so that class of
+            # bug fails here instead of only at the driver.
+            gtypes = {c.lower(): str(t) for c, t in zip(got.columns, got.types)}
+            wtypes = {c.lower(): str(t) for c, t in zip(want.columns, want.types)}
+            tbad = [(c, gtypes[c], wtypes[c]) for c in sorted(gtypes)
+                    if gtypes[c] != wtypes[c]]
+            if tbad:
+                print(f"FAIL {name}: type mismatch (driver hash will differ): {tbad}")
+                n_fail += 1
+                continue
             grows = [tuple(norm(v) for v in r) for r in
                      con.sql(f"SELECT {', '.join(gcols)} FROM got").fetchall()]
             con.register("want_rel", want)
