@@ -23,28 +23,52 @@ case class Tile(
 
   /** Validity of band-major index i: the shared mask bit of its (y,x)
     * cell AND the band's value differing from the nodata sentinel.
-    * (i % (h*w) maps any band's index onto the shared mask plane.) */
+    * (i % (h*w) maps any band's index onto the shared mask plane.)
+    * A NaN sentinel — the common float-raster convention — compares
+    * unequal to everything, so it gets the isNaN test instead. */
   def valid(i: Int, nodata: Double): Boolean =
-    (mask == null || mask(i % (h * w)) != 0) && pixels(i) != nodata
+    (mask == null || mask(i % (h * w)) != 0) &&
+      (if (java.lang.Double.isNaN(nodata)) !java.lang.Double.isNaN(pixels(i))
+       else pixels(i) != nodata)
 
   def bands: Int = pixels.length / math.max(1, h * w)
 }
 
 /** Per-band descriptive metadata (reference `_add_metadata`,
-  * ccog/ccog.py:213-235: descriptions, units, scales, offsets). */
+  * ccog/ccog.py:213-235: descriptions, units, scales, offsets,
+  * colorinterp). `colorinterp` uses the GDAL names ("gray", "red",
+  * "green", "blue", "alpha", "palette", "undefined"); empty = unset. */
 case class BandMeta(description: String = "", unit: String = "",
-    scale: Double = 1.0, offset: Double = 0.0)
+    scale: Double = 1.0, offset: Double = 0.0, colorinterp: String = "")
 
 /** North-up affine geo-referencing: pixel (col,row) maps to
   * (originX + col·pixelW, originY − row·pixelH) in the CRS given by
   * `epsg`. Rotation-free — the reference likewise refuses warped
-  * layouts (ccog/ccog.py:890-903). */
+  * layouts (ccog/ccog.py:890-903).
+  *
+  * `geographic` says which GeoKey the EPSG code belongs in
+  * (GeographicTypeGeoKey vs ProjectedCSTypeGeoKey). It must be stated
+  * explicitly for codes outside the well-known list: the numeric range
+  * is NOT a reliable signal (EPSG 4087/4088 are projected; geographic
+  * codes exist outside 4xxx). */
 case class GeoRef(pixelW: Double, pixelH: Double,
-    originX: Double, originY: Double, epsg: Int) {
+    originX: Double, originY: Double, epsg: Int,
+    geographic: Option[Boolean] = None) {
   require(pixelW > 0 && pixelH > 0, "pixel size must be positive")
-  /** EPSG 4326/4269/4267 and friends are geographic; common projected
-    * codes (UTM, national grids) are 5-digit or 3857-style. */
-  def isGeographic: Boolean = epsg >= 4000 && epsg < 5000
+  require(geographic.isDefined || GeoRef.knownGeographic.contains(epsg) ||
+    GeoRef.knownProjected.contains(epsg),
+    s"EPSG $epsg is not in the well-known code list; pass geographic=Some(true/false)")
+  def isGeographic: Boolean =
+    geographic.getOrElse(GeoRef.knownGeographic.contains(epsg))
+}
+
+object GeoRef {
+  /** Well-known geographic (2D lat/lon) CRS codes. */
+  val knownGeographic: Set[Int] = Set(4326, 4269, 4267, 4258, 4283, 4617, 4759, 4490)
+  /** Well-known projected codes incl. web mercator and the UTM ranges. */
+  val knownProjected: Set[Int] =
+    Set(3857, 3395, 2154, 27700, 25832, 28355, 5070) ++
+      (32601 to 32660) ++ (32701 to 32760) // WGS84 UTM N/S
 }
 
 /** The schema of a raster write — the engine form of the reference's
@@ -72,6 +96,12 @@ case class RasterProfile(
     /** Per-band descriptive metadata (R23, ccog/ccog.py:213-235):
       * emitted as GDAL_METADATA items. Empty = no items. */
     bandMeta: Seq[BandMeta] = Seq.empty,
+    /** Palette for color-indexed rasters (reference `write_colormap`,
+      * ccog/ccog.py:229-235): index → (r, g, b), each component 0..255.
+      * Present ⇒ PhotometricInterpretation=3 + a TIFF ColorMap tag
+      * (3×256 SHORTs, 8-bit components scaled to 16-bit by ×257, the
+      * GDAL convention). Requires single-band uint8. */
+    colormap: Option[Map[Int, (Int, Int, Int)]] = None,
     /** Geo-referencing (the reference sniffs transform/crs from xarray,
       * ccog/ccog.py:922-925; here supplied directly): pixel size,
       * upper-left origin in CRS units, and the EPSG code. None = the
@@ -101,20 +131,31 @@ case class RasterProfile(
   require(TileCodec.dtypes.contains(dtype), s"unknown dtype '$dtype'")
   require(compression == "deflate" || compression == "none" || compression == "jpeg",
     s"unknown compression '$compression'")
-  require(compression != "jpeg" || (dtype == "uint8" && bands == 1),
-    "jpeg compression requires single-band uint8 (baseline grayscale JPEG)")
+  require(compression != "jpeg" || (dtype == "uint8" && (bands == 1 || bands == 3)),
+    "jpeg compression requires uint8 with 1 (grayscale) or 3 (RGB/YCbCr) bands")
   require(overviewCompression.forall(c =>
-    c == "deflate" || c == "none" || (c == "jpeg" && dtype == "uint8" && bands == 1)),
+    c == "deflate" || c == "none" ||
+      (c == "jpeg" && dtype == "uint8" && (bands == 1 || bands == 3))),
     s"bad overview compression '$overviewCompression'")
   require(bandMeta.isEmpty || bandMeta.length == bands,
     "bandMeta must be empty or one entry per band")
+  require(colormap.isEmpty || (dtype == "uint8" && bands == 1),
+    "colormap (palette) requires single-band uint8")
+  require(colormap.forall(_.forall { case (i, (r, g, b)) =>
+    i >= 0 && i <= 255 && Seq(r, g, b).forall(c => c >= 0 && c <= 255) }),
+    "colormap entries must map index 0..255 to 8-bit (r,g,b)")
+  require(colormap.isEmpty || compression != "jpeg",
+    "palette and jpeg compression are mutually exclusive")
 
   // integer dtypes silently clamp on serialize; an unrepresentable
   // nodata sentinel would corrupt the invalid-pixel round trip
   require(TileCodec.dtypes(dtype)._2 == 3 || {
     val (lo, hi) = dtype match {
-      case "uint8" => (0.0, 255.0)
-      case "int16" => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+      case "uint8"  => (0.0, 255.0)
+      case "int8"   => (Byte.MinValue.toDouble, Byte.MaxValue.toDouble)
+      case "int16"  => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+      case "uint16" => (0.0, 65535.0)
+      case "uint32" => (0.0, 4294967295.0)
       case _ => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
     }
     nodata >= lo && nodata <= hi && nodata == math.floor(nodata)

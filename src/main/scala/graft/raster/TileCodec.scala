@@ -27,7 +27,10 @@ object TileCodec {
     * SampleFormat: 1 = unsigned int, 2 = signed int, 3 = IEEE float. */
   val dtypes: Map[String, (Int, Int, Int)] = Map(
     "uint8"   -> (8, 1, 1),
+    "int8"    -> (8, 2, 1),
+    "uint16"  -> (16, 1, 2), // Landsat/Sentinel — THE common raster dtype
     "int16"   -> (16, 2, 2),
+    "uint32"  -> (32, 1, 4),
     "int32"   -> (32, 2, 4),
     "float32" -> (32, 3, 4),
     "float64" -> (64, 3, 8))
@@ -51,6 +54,24 @@ object TileCodec {
           i += 1
         }
         out
+      case "int8" =>
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          out(i) = math.round(px(i)).toInt.max(Byte.MinValue).min(Byte.MaxValue).toByte
+          i += 1
+        }
+        out
+      case "uint16" =>
+        val out = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = math.round(px(i)).toInt.max(0).min(0xffff)
+          out(2 * i) = v.toByte
+          out(2 * i + 1) = (v >> 8).toByte
+          i += 1
+        }
+        out
       case "int16" =>
         val out = new Array[Byte](n * 2)
         var i = 0
@@ -58,6 +79,18 @@ object TileCodec {
           val v = math.round(px(i)).toInt.max(Short.MinValue).min(Short.MaxValue)
           out(2 * i) = v.toByte
           out(2 * i + 1) = (v >> 8).toByte
+          i += 1
+        }
+        out
+      case "uint32" =>
+        val out = new Array[Byte](n * 4)
+        var i = 0
+        while (i < n) {
+          val v = math.round(px(i)).max(0L).min(0xffffffffL)
+          out(4 * i) = v.toByte
+          out(4 * i + 1) = (v >> 8).toByte
+          out(4 * i + 2) = (v >> 16).toByte
+          out(4 * i + 3) = (v >> 24).toByte
           i += 1
         }
         out
@@ -108,7 +141,11 @@ object TileCodec {
     while (i < n) {
       out(i) = dtype match {
         case "uint8"   => raw(i) & 0xff
+        case "int8"    => raw(i).toDouble
+        case "uint16"  => ((raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)).toDouble
         case "int16"   => ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toDouble
+        case "uint32"  => (((raw(4 * i) & 0xffL) | ((raw(4 * i + 1) & 0xffL) << 8) |
+          ((raw(4 * i + 2) & 0xffL) << 16) | ((raw(4 * i + 3) & 0xffL) << 24))).toDouble
         case "int32"   => (raw(4 * i) & 0xff) | ((raw(4 * i + 1) & 0xff) << 8) |
           ((raw(4 * i + 2) & 0xff) << 16) | (raw(4 * i + 3) << 24)
         case "float32" =>
@@ -291,7 +328,10 @@ object TileCodec {
           jpegEncode(serialize(padded, dtype), bs, bs, profile.jpegQuality)
         case c =>
           val raw = serialize(padded, dtype)
-          if (predictor(dtype) == 2)
+          // predictor only under deflate: libtiff/GDAL undo it solely
+          // for LZW/Deflate codecs, so predicted-but-uncompressed tiles
+          // would decode to garbage in external readers
+          if (c == "deflate" && predictor(dtype) == 2)
             applyPredictor(raw, bs * bands, dtypes(dtype)._3, bands)
           if (c == "deflate") deflate(raw, profile.zlevel) else raw
       }
@@ -399,7 +439,8 @@ object TileCodec {
     val raw =
       if (codec == "deflate") inflate(bytes, bs * bs * bands * bp)
       else bytes
-    if (predictor(profile.dtype) == 2) undoPredictor(raw, bs * bands, bp, bands)
+    if (codec == "deflate" && predictor(profile.dtype) == 2)
+      undoPredictor(raw, bs * bands, bp, bands)
     val interleaved = deserialize(raw, profile.dtype)
     if (bands == 1) interleaved
     else {
