@@ -32,6 +32,7 @@ object BigTiff {
   private val TagPhotometric = 262
   private val TagSamplesPerPixel = 277
   private val TagPredictor = 317
+  private val TagColorMap = 320
   private val TagTileWidth = 322
   private val TagTileLength = 323
   private val TagTileOffsets = 324
@@ -65,11 +66,14 @@ object BigTiff {
 
   /** data L0: 12 base + GDAL_NODATA + GDAL_METADATA; data L>0: 12 base
     * + NewSubfileType; mask: 10 base + NewSubfileType + SampleFormat
-    * (no predictor/nodata/metadata). */
-  private def entryCount(profile: RasterProfile, pg: PageSpec): Int =
+    * (no predictor/nodata/metadata). Palette profiles add a ColorMap
+    * entry on every data page (R23, reference ccog/ccog.py:229-235). */
+  private def entryCount(profile: RasterProfile, pg: PageSpec): Int = {
+    val cm = if (!pg.isMask && profile.colormap.isDefined) 1 else 0
     if (pg.isMask) 12
-    else if (pg.level == 0) 14 + (if (profile.geo.isDefined) 3 else 0)
-    else 13
+    else if (pg.level == 0) 14 + cm + (if (profile.geo.isDefined) 3 else 0)
+    else 13 + cm
+  }
 
   /** Per-band STATISTICS_* items (reference `_add_stats_to_profile_tags`,
     * ccog/ccog.py:543-555) as the GDAL_METADATA XML blob. Values are
@@ -85,9 +89,21 @@ object BigTiff {
     for (b <- 0 until profile.bands) {
       val st = if (b < stats.length) stats(b) else (0.0, 0.0, 0.0, 0.0, 0.0)
       val vals = Seq(st._1, st._2, st._3, st._4, st._5)
-      // fixed-width name field too: pad to the longest name
-      for ((n, v) <- names.zip(vals))
-        sb ++= s"""  <Item name="${n.padTo(24, ' ')}" sample="$b">${fmt(v)}</Item>\n"""
+      // R19: an all-invalid band gets only VALID_PERCENT, like the
+      // reference (ccog/ccog.py:547-552) — but headerLength purity
+      // requires a data-independent blob length, so the four skipped
+      // items are replaced by whitespace of identical width (every item
+      // line is the same length: names padded to 24, values to 20).
+      val lineLen = {
+        val probe = s"""  <Item name="${names.head.padTo(24, ' ')}" sample="$b">${fmt(0.0)}</Item>\n"""
+        probe.length
+      }
+      for ((n, v) <- names.zip(vals)) {
+        if (st._5 == 0.0 && n != "STATISTICS_VALID_PERCENT")
+          sb ++= (" " * (lineLen - 1)) + "\n"
+        else
+          sb ++= s"""  <Item name="${n.padTo(24, ' ')}" sample="$b">${fmt(v)}</Item>\n"""
+      }
       // R23 band metadata: profile constants, so no fixed-width needed
       // (headerLength is a function of the profile, which carries them)
       if (profile.bandMeta.nonEmpty) {
@@ -102,6 +118,8 @@ object BigTiff {
           sb ++= s"""  <Item name="SCALE" sample="$b" role="scale">${bm.scale}</Item>\n"""
         if (bm.offset != 0.0)
           sb ++= s"""  <Item name="OFFSET" sample="$b" role="offset">${bm.offset}</Item>\n"""
+        if (bm.colorinterp.nonEmpty)
+          sb ++= s"""  <Item name="COLORINTERP" sample="$b" role="colorinterp">${esc(bm.colorinterp)}</Item>\n"""
       }
     }
     sb ++= "</GDALMetadata>\n\u0000" // TIFF ASCII NUL terminator
@@ -118,6 +136,25 @@ object BigTiff {
     * ModelTiepoint 6 doubles + GeoKeyDirectory 16 shorts. */
   private def geoExternalBytes(profile: RasterProfile): Long =
     if (profile.geo.isDefined) 3 * 8L + 6 * 8L + 16 * 2L else 0L
+
+  /** External bytes of the ColorMap tag: 3×256 SHORTs (R, G then B
+    * plane), shared by every data page's entry. */
+  private def colorMapBytes(profile: RasterProfile): Long =
+    if (profile.colormap.isDefined) 3 * 256 * 2L else 0L
+
+  /** The ColorMap tag payload: 256 reds, 256 greens, 256 blues as
+    * 16-bit values — 8-bit components scaled ×257 (the GDAL
+    * convention); unlisted indices are 0 (black). */
+  private def colorMapShorts(profile: RasterProfile): Array[Int] = {
+    val cm = profile.colormap.getOrElse(Map.empty)
+    val out = new Array[Int](3 * 256)
+    cm.foreach { case (i, (r, g, b)) =>
+      out(i) = r * 257
+      out(256 + i) = g * 257
+      out(512 + i) = b * 257
+    }
+    out
+  }
 
   /** GDAL ghost area: structural-metadata text directly after the
     * 16-byte file header (public GDAL COG layout; reference manipulates
@@ -140,7 +177,9 @@ object BigTiff {
       if (profile.nodata == math.floor(profile.nodata) && !profile.nodata.isInfinite)
         profile.nodata.toLong.toString
       else profile.nodata.toString
-    (s + " ").getBytes("US-ASCII")
+    // TIFF ASCII values are NUL-terminated (GDAL writes GDAL_NODATA
+    // the same way); a space terminator confuses strict readers
+    (s + "\u0000").getBytes("US-ASCII")
   }
 
   /** External bytes needed by a page's offset/count arrays (0 when the
@@ -160,6 +199,7 @@ object BigTiff {
     if (nd.length > 8) len += nd.length
     len += gdalMetadataLen(profile)
     len += geoExternalBytes(profile)
+    len += colorMapBytes(profile)
     pages.foreach(pg => len += externalArrayBytes(profile, pg))
     len
   }
@@ -200,6 +240,8 @@ object BigTiff {
     val geoTieOffset = geoScaleOffset + (if (profile.geo.isDefined) 24 else 0)
     val geoKeyOffset = geoTieOffset + (if (profile.geo.isDefined) 48 else 0)
     cursor += geoExternalBytes(profile)
+    val colorMapOffset = cursor
+    cursor += colorMapBytes(profile)
     val arrOffset = new Array[Long](pages.length)
     for (p <- pages.indices) {
       arrOffset(p) = cursor
@@ -244,11 +286,24 @@ object BigTiff {
         entry(TagBitsPerSample, TypeShort, profile.bands, packed)
       }
       entry(TagCompression, TypeShort, 1, if (pg.isMask) 8 else compressionCode(l))
-      entry(TagPhotometric, TypeShort, 1, if (pg.isMask) 4 else 1)
+      // photometric: 4 = transparency mask, 3 = palette, 6 = YCbCr
+      // (what the JDK's JFIF encoder emits for 3-band jpeg), 1 = gray
+      val photometric =
+        if (pg.isMask) 4
+        else if (profile.colormap.isDefined) 3
+        else if (profile.compressionFor(l) == "jpeg" && profile.bands == 3) 6
+        else 1
+      entry(TagPhotometric, TypeShort, 1, photometric)
       entry(TagSamplesPerPixel, TypeShort, 1, if (pg.isMask) 1 else profile.bands)
       if (!pg.isMask)
+        // predictor 2 is only APPLIED under deflate (TileCodec gates it
+        // the same way); claiming it for none/jpeg would make strictly
+        // tag-honoring readers undo differencing that never happened
         entry(TagPredictor, TypeShort, 1,
-          if (profile.compressionFor(l) == "jpeg") 1 else TileCodec.predictor(profile.dtype))
+          if (profile.compressionFor(l) == "deflate") TileCodec.predictor(profile.dtype)
+          else 1)
+      if (!pg.isMask && profile.colormap.isDefined)
+        entry(TagColorMap, TypeShort, 3 * 256, colorMapOffset)
       entry(TagTileWidth, TypeShort, 1, profile.blockSize)
       entry(TagTileLength, TypeShort, 1, profile.blockSize)
       if (n > 1) {
@@ -306,6 +361,10 @@ object BigTiff {
         crsKey, 0, 1, g.epsg)
       shorts.foreach(s => buf.putShort(s.toShort))
     }
+    if (profile.colormap.isDefined) {
+      buf.position(colorMapOffset.toInt)
+      colorMapShorts(profile).foreach(s => buf.putShort(s.toShort))
+    }
     for (p <- pages.indices; if profile.tilesPerLevel(pages(p).level) > 1) {
       buf.position(arrOffset(p).toInt)
       offsets(p).foreach(buf.putLong)
@@ -325,7 +384,10 @@ object BigTiff {
       offsets: Array[Long], counts: Array[Long], metadataXml: String,
       pixelScale: Array[Double] = Array.empty,
       tiepoint: Array[Double] = Array.empty,
-      geoKeys: Array[Int] = Array.empty) {
+      geoKeys: Array[Int] = Array.empty,
+      /** ColorMap tag payload: 3×256 16-bit values (R,G,B planes);
+        * empty when the page has no palette. */
+      colorMap: Array[Int] = Array.empty) {
     def isMask: Boolean = (subfileType & 4L) != 0
   }
 
@@ -344,6 +406,7 @@ object BigTiff {
       var scaleArr: Array[Double] = Array.empty
       var tieArr: Array[Double] = Array.empty
       var keyArr: Array[Int] = Array.empty
+      var cmapArr: Array[Int] = Array.empty
       var offArr: Array[Long] = null; var cntArr: Array[Long] = null
       for (e <- 0 until n) {
         val base = ifd.toInt + 8 + e * IfdEntryLen.toInt
@@ -375,11 +438,13 @@ object BigTiff {
             tieArr = Array.tabulate(count.toInt)(i => buf.getDouble(value.toInt + 8 * i))
           case TagGeoKeyDirectory =>
             keyArr = Array.tabulate(count.toInt)(i => buf.getShort(value.toInt + 2 * i) & 0xffff)
+          case TagColorMap =>
+            cmapArr = Array.tabulate(count.toInt)(i => buf.getShort(value.toInt + 2 * i) & 0xffff)
           case _ => ()
         }
       }
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
-        subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr)
+        subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr, cmapArr)
       ifd = buf.getLong(ifd.toInt + 8 + n * IfdEntryLen.toInt)
     }
     pages.result()

@@ -229,15 +229,37 @@ object TileCodec {
     out.toByteArray
   }
 
-  /** Baseline-JPEG encode of an 8-bit grayscale plane via the JDK's
-    * ImageIO (reference compresses via GDAL's libjpeg,
-    * ccog/ccog.py:390). Fixed quality → identical quantization tables
-    * in every tile, the invariant the reference enforces at runtime
-    * (`_test_jpegtables`, ccog/ccog.py:261-289; asserted in JpegSpec). */
-  def jpegEncode(gray: Array[Byte], w: Int, h: Int, quality: Int): Array[Byte] = {
+  /** Baseline-JPEG encode via the JDK's ImageIO (reference compresses
+    * via GDAL's libjpeg, ccog/ccog.py:390). `interleaved` is the
+    * pixel-interleaved 8-bit plane: w·h bytes for bands==1 (grayscale),
+    * w·h·3 RGB bytes for bands==3 (encoded as the standard YCbCr JFIF
+    * stream — TIFF photometric 6). Fixed quality → identical
+    * quantization tables in every tile, the invariant the reference
+    * enforces at runtime (`_test_jpegtables`, ccog/ccog.py:261-289;
+    * asserted in JpegSpec for both band counts). */
+  def jpegEncode(interleaved: Array[Byte], w: Int, h: Int, quality: Int,
+      bands: Int = 1): Array[Byte] = {
     import java.awt.image.BufferedImage
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    img.getRaster.setDataElements(0, 0, w, h, gray)
+    val img =
+      if (bands == 1) {
+        val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        g.getRaster.setDataElements(0, 0, w, h, interleaved)
+        g
+      } else {
+        require(bands == 3, s"jpeg supports 1 or 3 bands, got $bands")
+        // TYPE_3BYTE_BGR stores pixels as B,G,R — swap from our RGB order
+        val bgr = new Array[Byte](interleaved.length)
+        var i = 0
+        while (i < interleaved.length) {
+          bgr(i) = interleaved(i + 2)
+          bgr(i + 1) = interleaved(i + 1)
+          bgr(i + 2) = interleaved(i)
+          i += 3
+        }
+        val c = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        c.getRaster.setDataElements(0, 0, w, h, bgr)
+        c
+      }
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -251,13 +273,46 @@ object TileCodec {
     bos.toByteArray
   }
 
-  def jpegDecode(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  /** Decode a JPEG tile back to the pixel-interleaved 8-bit plane
+    * (w·h bytes grayscale, w·h·3 RGB) — the exact inverse layout of
+    * [[jpegEncode]]'s input. */
+  def jpegDecode(bytes: Array[Byte], w: Int, h: Int, bands: Int = 1): Array[Byte] = {
+    import java.awt.image.BufferedImage
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null && img.getWidth == w && img.getHeight == h,
       "jpeg tile decode failed")
-    val out = new Array[Byte](w * h)
-    img.getRaster.getDataElements(0, 0, w, h, out)
-    out
+    if (bands == 1) {
+      val gray =
+        if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img
+        else { // normalize exotic decoder output through a draw
+          val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val gr = g.createGraphics(); gr.drawImage(img, 0, 0, null); gr.dispose()
+          g
+        }
+      val out = new Array[Byte](w * h)
+      gray.getRaster.getDataElements(0, 0, w, h, out)
+      out
+    } else {
+      require(bands == 3, s"jpeg supports 1 or 3 bands, got $bands")
+      val bgrImg =
+        if (img.getType == BufferedImage.TYPE_3BYTE_BGR) img
+        else {
+          val c = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+          val gr = c.createGraphics(); gr.drawImage(img, 0, 0, null); gr.dispose()
+          c
+        }
+      val bgr = new Array[Byte](w * h * 3)
+      bgrImg.getRaster.getDataElements(0, 0, w, h, bgr)
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < bgr.length) {
+        out(i) = bgr(i + 2)
+        out(i + 1) = bgr(i + 1)
+        out(i + 2) = bgr(i)
+        i += 3
+      }
+      out
+    }
   }
 
   def inflate(comp: Array[Byte], expected: Int): Array[Byte] = {
@@ -324,8 +379,9 @@ object TileCodec {
       // levels >= 1 may use the overview codec override (R16)
       val comp = profile.compressionFor(t.level) match {
         case "jpeg" =>
-          // predictor never applies to jpeg; serialize gives the 8-bit plane
-          jpegEncode(serialize(padded, dtype), bs, bs, profile.jpegQuality)
+          // predictor never applies to jpeg; serialize gives the
+          // pixel-interleaved 8-bit plane (gray or RGB)
+          jpegEncode(serialize(padded, dtype), bs, bs, profile.jpegQuality, bands)
         case c =>
           val raw = serialize(padded, dtype)
           // predictor only under deflate: libtiff/GDAL undo it solely
@@ -433,15 +489,17 @@ object TileCodec {
     val bs = profile.blockSize
     val bands = profile.bands
     val codec = profile.compressionFor(level)
-    if (codec == "jpeg")
-      return deserialize(jpegDecode(bytes, bs, bs), "uint8")
-    val bp = dtypes(profile.dtype)._3
-    val raw =
-      if (codec == "deflate") inflate(bytes, bs * bs * bands * bp)
-      else bytes
-    if (codec == "deflate" && predictor(profile.dtype) == 2)
-      undoPredictor(raw, bs * bands, bp, bands)
-    val interleaved = deserialize(raw, profile.dtype)
+    val interleaved: Array[Double] =
+      if (codec == "jpeg") deserialize(jpegDecode(bytes, bs, bs, bands), "uint8")
+      else {
+        val bp = dtypes(profile.dtype)._3
+        val raw =
+          if (codec == "deflate") inflate(bytes, bs * bs * bands * bp)
+          else bytes
+        if (codec == "deflate" && predictor(profile.dtype) == 2)
+          undoPredictor(raw, bs * bands, bp, bands)
+        deserialize(raw, profile.dtype)
+      }
     if (bands == 1) interleaved
     else {
       val out = new Array[Double](interleaved.length)

@@ -12,7 +12,7 @@ class CodecSpec extends AnyFunSuite {
   def profile(dtype: String, bs: Int = 16) = {
     // integer dtypes need a representable sentinel (profile enforces it)
     val nd = dtype match {
-      case "uint8" => 0.0
+      case "uint8" | "uint16" | "uint32" => 0.0
       case d if TileCodec.isInteger(d) => -1.0
       case _ => ND
     }
@@ -23,13 +23,50 @@ class CodecSpec extends AnyFunSuite {
     Tile(0, 0, 0, h, w, Array.tabulate(h * w)(i => ((i * 37) % 251).toDouble), null)
 
   test("round-trip exactness: integer dtypes on integer values") {
-    for (dtype <- Seq("uint8", "int16", "int32")) {
+    for (dtype <- Seq("uint8", "int8", "int16", "uint16", "int32", "uint32")) {
       val p = profile(dtype)
       val t = intValuedTile(16, 16)
       val enc = TileCodec.encode(t, p)
       val dec = TileCodec.decode(enc.bytes, p)
       assert(dec.toSeq == t.pixels.toSeq, s"dtype $dtype")
     }
+  }
+
+  test("round-trip exactness: full value range per integer dtype") {
+    // values spanning the dtype's range, exercising the predictor-2
+    // byte-wise borrow across 1-, 2- and 4-byte sample widths
+    val ranges = Map(
+      "int8"   -> (Byte.MinValue.toDouble, Byte.MaxValue.toDouble),
+      "uint16" -> (0.0, 65535.0), // Landsat/Sentinel dtype
+      "uint32" -> (0.0, 4294967295.0),
+      "int32"  -> (Int.MinValue.toDouble, Int.MaxValue.toDouble))
+    for ((dtype, (lo, hi)) <- ranges) {
+      val p = profile(dtype)
+      // big jumps between neighbors → multi-byte borrows in predictor 2
+      val px = Array.tabulate(256) { i =>
+        val frac = ((i * 89) % 97) / 96.0
+        math.floor(lo + frac * (hi - lo))
+      }
+      // keep the sentinel (-1/0) out of the data
+      val vals = px.map(v => if (v == p.nodata) v + 1 else v)
+      val t = Tile(0, 0, 0, 16, 16, vals, null)
+      val dec = TileCodec.decode(TileCodec.encode(t, p).bytes, p)
+      assert(dec.toSeq == vals.toSeq, s"dtype $dtype")
+    }
+  }
+
+  test("serialize clamps out-of-range values to the dtype bounds") {
+    // via encode on a profile with compression off: bytes are the raw plane
+    def roundTrip(dtype: String, v: Double): Double = {
+      val p = profile(dtype).copy(compression = "none")
+      val t = Tile(0, 0, 0, 16, 16, Array.fill(256)(v), null)
+      TileCodec.decode(TileCodec.encode(t, p).bytes, p)(0)
+    }
+    assert(roundTrip("uint16", 70000.0) == 65535.0)
+    assert(roundTrip("uint16", 5.4) == 5.0)
+    assert(roundTrip("uint32", 5e9) == 4294967295.0)
+    assert(roundTrip("int8", 200.0) == 127.0)
+    assert(roundTrip("int8", -200.0) == -128.0)
   }
 
   test("round-trip exactness: float64 arbitrary values, float32 to float precision") {
