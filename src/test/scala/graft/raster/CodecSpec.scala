@@ -19,13 +19,23 @@ class CodecSpec extends AnyFunSuite {
     RasterProfile(64, 64, blockSize = bs, nodata = nd, dtype = dtype)
   }
 
-  def intValuedTile(h: Int, w: Int): Tile =
-    Tile(0, 0, 0, h, w, Array.tabulate(h * w)(i => ((i * 37) % 251).toDouble), null)
+  /** 0..250 pattern shifted into the dtype's representable span (int8
+    * only spans −128..127, so the raw pattern would clamp there), with
+    * the profile's nodata sentinel nudged out of the data. */
+  def intValuedTile(h: Int, w: Int, dtype: String): Tile = {
+    val lo = if (dtype == "int8") -125.0 else 0.0
+    val nd = if (dtype.startsWith("uint")) 0.0 else -1.0
+    val px = Array.tabulate(h * w) { i =>
+      val v = lo + (i * 37) % 251
+      if (v == nd) v + 1 else v
+    }
+    Tile(0, 0, 0, h, w, px, null)
+  }
 
   test("round-trip exactness: integer dtypes on integer values") {
     for (dtype <- Seq("uint8", "int8", "int16", "uint16", "int32", "uint32")) {
       val p = profile(dtype)
-      val t = intValuedTile(16, 16)
+      val t = intValuedTile(16, 16, dtype)
       val enc = TileCodec.encode(t, p)
       val dec = TileCodec.decode(enc.bytes, p)
       assert(dec.toSeq == t.pixels.toSeq, s"dtype $dtype")

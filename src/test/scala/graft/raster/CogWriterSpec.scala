@@ -228,7 +228,10 @@ class CogWriterSpec extends SparkSpec {
     val df = graft.queries.RasterQueries.cogWriteBytes(spark, sfDir)
     val row = df.head()
     assert(row.getAs[String]("sha256") ==
-      "8fd007ac62ced336c55511d8e12e2174091486526e8038e88c3f627b485dadfd")
+      // re-pinned r5: the r4 GDAL_NODATA NUL-terminator change
+      // (BigTiff.scala writeAscii) legitimately moved the header bytes;
+      // decode-and-compare specs confirmed the pixel payload unchanged.
+      "110bd3be71b2c311fa201d1f8a4052986f4ee282204f33e8bc6b1c3e87514d30")
     assert(row.getAs[Long]("file_len") == 2440285L)
     assert(row.getAs[Long]("header_len") == 2699L)
   }
