@@ -38,6 +38,7 @@ object BigTiff {
   private val TagTileOffsets = 324
   private val TagTileByteCounts = 325
   private val TagSampleFormat = 339
+  private val TagYCbCrSubSampling = 530
   private val TagModelPixelScale = 33550
   private val TagModelTiepoint = 33922
   private val TagGeoKeyDirectory = 34735
@@ -70,9 +71,14 @@ object BigTiff {
     * entry on every data page (R23, reference ccog/ccog.py:229-235). */
   private def entryCount(profile: RasterProfile, pg: PageSpec): Int = {
     val cm = if (!pg.isMask && profile.colormap.isDefined) 1 else 0
+    // 3-band jpeg pages are YCbCr (photometric 6): state the chroma
+    // subsampling explicitly instead of leaning on the TIFF default
+    // happening to match ImageIO's 4:2:0 (GDAL writes this tag too)
+    val yc = if (!pg.isMask && profile.bands == 3 &&
+      profile.compressionFor(pg.level) == "jpeg") 1 else 0
     if (pg.isMask) 12
-    else if (pg.level == 0) 14 + cm + (if (profile.geo.isDefined) 3 else 0)
-    else 13 + cm
+    else if (pg.level == 0) 14 + cm + yc + (if (profile.geo.isDefined) 3 else 0)
+    else 13 + cm + yc
   }
 
   /** Per-band STATISTICS_* items (reference `_add_stats_to_profile_tags`,
@@ -319,6 +325,10 @@ object BigTiff {
         for (b <- 0 until profile.bands) packedSf |= sampleFormat.toLong << (16 * b)
         entry(TagSampleFormat, TypeShort, profile.bands, packedSf)
       }
+      if (!pg.isMask && profile.bands == 3 && profile.compressionFor(l) == "jpeg")
+        // (2,2) = 4:2:0, what the JDK's JFIF encoder emits (asserted
+        // against the stream's SOF0 sampling factors in JpegSpec)
+        entry(TagYCbCrSubSampling, TypeShort, 2, 2L | (2L << 16))
       if (!pg.isMask && l == 0) {
         profile.geo.foreach { _ =>
           entry(TagModelPixelScale, TypeDouble, 3, geoScaleOffset)
@@ -387,7 +397,9 @@ object BigTiff {
       geoKeys: Array[Int] = Array.empty,
       /** ColorMap tag payload: 3×256 16-bit values (R,G,B planes);
         * empty when the page has no palette. */
-      colorMap: Array[Int] = Array.empty) {
+      colorMap: Array[Int] = Array.empty,
+      /** YCbCrSubSampling (horiz, vert); empty when absent. */
+      ycbcrSubsampling: Array[Int] = Array.empty) {
     def isMask: Boolean = (subfileType & 4L) != 0
   }
 
@@ -407,6 +419,7 @@ object BigTiff {
       var tieArr: Array[Double] = Array.empty
       var keyArr: Array[Int] = Array.empty
       var cmapArr: Array[Int] = Array.empty
+      var ycArr: Array[Int] = Array.empty
       var offArr: Array[Long] = null; var cntArr: Array[Long] = null
       for (e <- 0 until n) {
         val base = ifd.toInt + 8 + e * IfdEntryLen.toInt
@@ -440,11 +453,15 @@ object BigTiff {
             keyArr = Array.tabulate(count.toInt)(i => buf.getShort(value.toInt + 2 * i) & 0xffff)
           case TagColorMap =>
             cmapArr = Array.tabulate(count.toInt)(i => buf.getShort(value.toInt + 2 * i) & 0xffff)
+          case TagYCbCrSubSampling =>
+            // two SHORTs packed inline in the value slot
+            ycArr = Array((value & 0xffff).toInt, ((value >> 16) & 0xffff).toInt)
           case _ => ()
         }
       }
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
-        subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr, cmapArr)
+        subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr,
+        cmapArr, ycArr)
       ifd = buf.getLong(ifd.toInt + 8 + n * IfdEntryLen.toInt)
     }
     pages.result()

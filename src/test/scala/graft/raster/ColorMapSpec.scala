@@ -1,0 +1,96 @@
+package graft.raster
+
+import graft.SparkSpec
+
+/** Palette (color-indexed) COG round-trip — reference `write_colormap`
+  * (ccog/ccog.py:229-235): photometric 3, TIFF ColorMap tag (3×256
+  * SHORTs, components ×257), COLORINTERP band metadata, and exact
+  * index round-trip through the deflate uint8 codec. */
+class ColorMapSpec extends SparkSpec {
+
+  val palette: Map[Int, (Int, Int, Int)] = Map(
+    1 -> (255, 0, 0),
+    2 -> (0, 255, 0),
+    3 -> (0, 0, 255),
+    7 -> (128, 64, 32),
+    255 -> (10, 20, 30))
+
+  val prof = RasterProfile(96, 64, blockSize = 16, nodata = 0,
+    dtype = "uint8", resampling = "nearest", minOverviewSize = 32,
+    colormap = Some(palette),
+    bandMeta = Seq(BandMeta(description = "landcover class",
+      colorinterp = "palette")))
+
+  /** Class-index tile: values cycle over the palette keys (never the
+    * nodata sentinel 0). */
+  def classTile(ty: Int, tx: Int, h: Int, w: Int): Tile = {
+    val keys = palette.keys.toArray.sorted
+    Tile(0, ty, tx, h, w, Array.tabulate(h * w) { i =>
+      keys((ty * 31 + tx * 17 + i) % keys.length).toDouble
+    }, null)
+  }
+
+  test("palette COG: photometric 3, ColorMap ×257 values, COLORINTERP item") {
+    val s = spark
+    import s.implicits._
+    val (gw, gh) = prof.gridDims(0)
+    val tiles = for (ty <- 0 until gh; tx <- 0 until gw) yield {
+      val (h, w) = prof.tileDims(0, ty, tx)
+      classTile(ty, tx, h, w)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmap").toString
+    val (bytes, _) = CogWriter.writeBytes(s.createDataset(tiles), prof, dir)
+    val pages = BigTiff.readPages(bytes)
+
+    // every data page (L0 + overviews) is palette-interpreted
+    assert(pages.nonEmpty)
+    for (pg <- pages if !pg.isMask) {
+      assert(pg.photometric == 3, "palette pages must be photometric 3")
+      assert(pg.colorMap.length == 3 * 256, "ColorMap must be 3×256 SHORTs")
+    }
+
+    // 8-bit components scaled ×257 (0xAB → 0xABAB), GDAL convention;
+    // unlisted indices black
+    val cm = pages.head.colorMap
+    for ((i, (r, g, b)) <- palette) {
+      assert(cm(i) == r * 257, s"red[$i]")
+      assert(cm(256 + i) == g * 257, s"green[$i]")
+      assert(cm(512 + i) == b * 257, s"blue[$i]")
+    }
+    assert(cm(4) == 0 && cm(256 + 4) == 0 && cm(512 + 4) == 0, "unlisted index must be black")
+
+    // R23 colorinterp lands in GDAL_METADATA
+    assert(pages.head.metadataXml.contains("""role="colorinterp">palette<"""))
+    assert(pages.head.metadataXml.contains("""role="description">landcover class<"""))
+
+    // class indices round-trip exactly (deflate uint8, predictor 2)
+    val pg = pages.head
+    for (ti <- pg.offsets.indices if pg.counts(ti) > 0) {
+      val ty = ti / gw; val tx = ti % gw
+      val (th, tw) = prof.tileDims(0, ty, tx)
+      val px = TileCodec.decode(java.util.Arrays.copyOfRange(bytes,
+        pg.offsets(ti).toInt, (pg.offsets(ti) + pg.counts(ti)).toInt), prof)
+      val src = tiles.find(t => t.ty == ty && t.tx == tx).get
+      for (y <- 0 until th; x <- 0 until tw)
+        assert(px(y * 16 + x) == src.pixels(y * tw + x), s"tile($ty,$tx) ($y,$x)")
+    }
+
+    // nearest-resampled overview carries only palette indices (no
+    // inter-class averaging — averaging indices would invent classes)
+    val ov = pages(1)
+    val validKeys = palette.keys.map(_.toDouble).toSet + 0.0
+    val ti = ov.counts.indexWhere(_ > 0)
+    val ovPx = TileCodec.decode(java.util.Arrays.copyOfRange(bytes,
+      ov.offsets(ti).toInt, (ov.offsets(ti) + ov.counts(ti)).toInt), prof, level = 1)
+    assert(ovPx.forall(validKeys.contains), "overview must contain only palette indices")
+  }
+
+  test("headerLength accounts for the ColorMap external bytes") {
+    val plain = prof.copy(colormap = None, bandMeta = Seq.empty)
+    val withMap = prof.copy(bandMeta = Seq.empty)
+    // 3×256 SHORTs external + one extra IFD entry per data page
+    val pagesCount = BigTiff.pageSpecs(prof).length
+    assert(BigTiff.headerLength(withMap) - BigTiff.headerLength(plain) ==
+      3 * 256 * 2L + 20L * pagesCount)
+  }
+}

@@ -54,6 +54,113 @@ class JpegSpec extends SparkSpec {
       "quantization tables differ across tiles (reference R17 invariant)")
   }
 
+  // ---- 3-band RGB (photometric 6 / YCbCr JFIF) ----
+
+  val rgbProf = prof.copy(bands = 3)
+
+  /** Band-major RGB tile: three smooth planes centered far apart
+    * (R≈200, G≈120, B≈50) so any channel-order swap in the BGR
+    * interleave or the decode de-interleave fails by ~70+, far outside
+    * JPEG tolerance. */
+  def rgbTile(ty: Int, tx: Int, h: Int, w: Int): Tile = {
+    val centers = Array(200.0, 120.0, 50.0)
+    Tile(0, ty, tx, h, w, Array.tabulate(3 * h * w) { j =>
+      val b = j / (h * w); val i = j % (h * w)
+      centers(b) + 8 * math.sin((ty * 16 + i / w) / 9.0) +
+        8 * math.cos((tx * 16 + i % w) / 11.0)
+    }, null)
+  }
+
+  /** Component sampling factors from the stream's SOF0 segment:
+    * Seq of (id, hSamp, vSamp). */
+  def sof0Sampling(jpeg: Array[Byte]): Seq[(Int, Int, Int)] = {
+    var i = 2
+    while (i + 4 <= jpeg.length) {
+      val marker = ((jpeg(i) & 0xff) << 8) | (jpeg(i + 1) & 0xff)
+      val len = ((jpeg(i + 2) & 0xff) << 8) | (jpeg(i + 3) & 0xff)
+      if (marker == 0xffc0) {
+        val nComp = jpeg(i + 9) & 0xff
+        return (0 until nComp).map { c =>
+          val base = i + 10 + c * 3
+          val samp = jpeg(base + 1) & 0xff
+          (jpeg(base) & 0xff, samp >> 4, samp & 0xf)
+        }
+      }
+      if (marker == 0xffda) return Seq.empty
+      i += 2 + len
+    }
+    Seq.empty
+  }
+
+  test("RGB round-trip: per-band tolerance, channel order preserved") {
+    val t = rgbTile(0, 0, 16, 16)
+    val enc = TileCodec.encode(t, rgbProf)
+    val dec = TileCodec.decode(enc.bytes, rgbProf) // band-major planes
+    val plane = 16 * 16
+    for (b <- 0 until 3) {
+      val diffs = (0 until plane).map(i => math.abs(dec(b * plane + i) - math.round(t.pixels(b * plane + i))))
+      // 4:2:0 chroma subsampling makes RGB error a bit wider than gray
+      assert(diffs.max <= 20, s"band $b max err ${diffs.max}")
+      assert(diffs.sum / plane.toDouble <= 4.0, s"band $b mean err too high")
+      // a BGR↔RGB transposition would shift the plane mean by ~70+;
+      // compare against the SOURCE plane mean (the smooth terms are not
+      // zero-mean over one tile)
+      val mean = (0 until plane).map(i => dec(b * plane + i)).sum / plane
+      val srcMean = (0 until plane).map(i => t.pixels(b * plane + i)).sum / plane
+      assert(math.abs(mean - srcMean) <= 6, s"band $b mean $mean vs src $srcMean — channel swap?")
+    }
+  }
+
+  test("RGB JPEGTables invariant + JDK encoder emits 4:2:0 chroma") {
+    val tiles = for (ty <- 0 until 2; tx <- 0 until 3)
+      yield rgbTile(ty, tx, 16, 16)
+    val streams = tiles.map(t => TileCodec.encode(t, rgbProf).bytes)
+    val dqts = streams.map(dqtSegments)
+    assert(dqts.forall(_.nonEmpty))
+    assert(dqts.distinct.size == 1,
+      "quantization tables differ across RGB tiles (reference R17 invariant)")
+    // the BigTiff YCbCrSubSampling (2,2) tag states 4:2:0 — verify the
+    // encoder really produces it (Y 2×2, Cb/Cr 1×1)
+    for (s <- streams) {
+      val samp = sof0Sampling(s)
+      assert(samp.length == 3, "expected 3-component SOF0")
+      assert(samp.head._2 == 2 && samp.head._3 == 2, s"Y sampling ${samp.head}")
+      assert(samp.tail.forall(c => c._2 == 1 && c._3 == 1), s"chroma sampling $samp")
+    }
+  }
+
+  test("e2e 3-band jpeg COG: photometric 6, YCbCrSubSampling (2,2), bands decode") {
+    val s = spark
+    import s.implicits._
+    val (gw, gh) = rgbProf.gridDims(0)
+    val tiles = for (ty <- 0 until gh; tx <- 0 until gw) yield {
+      val (h, w) = rgbProf.tileDims(0, ty, tx)
+      rgbTile(ty, tx, h, w)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-jpeg-rgb").toString
+    val (bytes, _) = CogWriter.writeBytes(s.createDataset(tiles), rgbProf, dir)
+    val pages = BigTiff.readPages(bytes)
+    for (pg <- pages if !pg.isMask) {
+      assert(pg.compression == 7 && pg.predictor == 1)
+      assert(pg.photometric == 6, "3-band jpeg pages must be YCbCr")
+      assert(pg.ycbcrSubsampling.toSeq == Seq(2, 2))
+      assert(pg.bits == 8)
+    }
+    val pg = pages.head
+    val plane = 16 * 16
+    for (ti <- pg.offsets.indices if pg.counts(ti) > 0) {
+      val ty = ti / gw; val tx = ti % gw
+      val (th, tw) = rgbProf.tileDims(0, ty, tx)
+      val px = TileCodec.decode(java.util.Arrays.copyOfRange(bytes,
+        pg.offsets(ti).toInt, (pg.offsets(ti) + pg.counts(ti)).toInt), rgbProf)
+      val src = tiles.find(t => t.ty == ty && t.tx == tx).get
+      for (b <- 0 until 3; y <- 0 until th; x <- 0 until tw)
+        assert(math.abs(px(b * plane + y * 16 + x) -
+          math.round(src.pixels(b * th * tw + y * tw + x))) <= 22,
+          s"tile($ty,$tx) band $b ($y,$x)")
+    }
+  }
+
   test("e2e jpeg COG: compression tag 7, tiles decode within tolerance") {
     val s = spark
     import s.implicits._
