@@ -48,13 +48,17 @@ object Ann {
     import spark.implicits._
     val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
 
-    // deterministic centroid sample: the nCentroids smallest ids of a
-    // strided subset. orderBy+limit compiles to a distributed top-k
-    // (TakeOrdered), so the driver receives nCentroids rows — never
-    // O(corpus/17) as a bare filter+collect would at 10^9 vectors.
+    // deterministic hash-spread centroid sample: rank by xxhash64 of
+    // the id — a uniform pseudo-random draw that is independent of any
+    // id-correlated structure in the data (the previous smallest-
+    // strided-ids sample skewed probe buckets whenever content
+    // correlates with insertion order, which corpus ids usually do).
+    // orderBy+limit compiles to a distributed top-k (TakeOrdered), so
+    // the driver receives nCentroids rows even at 10^9 vectors.
     import org.apache.spark.sql.functions.col
-    val centroids = emb.filter(col("vec_id") % 17 === 0)
-      .orderBy(col("vec_id")).limit(nCentroids)
+    val centroids = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCentroids)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1).map { case (_, v) => normalize(v) }
     require(centroids.nonEmpty, "no centroids sampled")

@@ -30,7 +30,7 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("recall@5 >= 0.8 vs brute force on clustered data") {
+  test("recall@5 >= 0.9 vs brute force on clustered data") {
     val s = spark
     import s.implicits._
     val data = planted
@@ -58,7 +58,7 @@ class AnnSpec extends SparkSpec {
       (got & truth).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.8, s"mean recall@5 $mean (${recalls.mkString(",")})")
+    assert(mean >= 0.9, s"mean recall@5 $mean (${recalls.mkString(",")})")
   }
 
   test("neighbors are ranked by descending cosine with dense ranks") {
