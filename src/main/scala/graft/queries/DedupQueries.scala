@@ -21,7 +21,8 @@ object DedupQueries {
     MinHashLSH.nearDupPairs(PipelineQueries.keptShingles(spark, sfDir), 0.35)
 
   /** SimHash near-dups: 64-bit fingerprints over word tokens, all
-    * pairs at Hamming distance <= 3 via complete 4-chunk banding. */
+    * pairs at Hamming distance <= 3 via the complete C(5,2) two-chunk
+    * multi-index (pigeonhole: d<=3 leaves two untouched chunks). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     SimHash.nearDupPairs(
@@ -77,17 +78,40 @@ object DedupQueries {
     * transitive closure over the same pairs. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = PipelineQueries.dedupNgram(spark, sfDir)
-      .select($"id_a", $"id_b")
-    // undirected edges, both directions; localCheckpoint (eager)
-    // materializes AND truncates the logical plan — cache() alone keeps
-    // the full lineage, so each round's plan would embed every prior
-    // round and planning cost grows per iteration
-    val edges = pairs.union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select($"src".as("doc_id")).distinct()
-      .withColumn("cluster", $"doc_id")
-      .localCheckpoint()
+    val sc = spark.sparkContext
+
+    // localCheckpoint (eager) materializes AND truncates the logical
+    // plan — cache() alone keeps the full lineage, so each round's plan
+    // would embed every prior round and planning cost grows per
+    // iteration. The blocks of a truncated-lineage DF can never be
+    // recomputed, so only DFs that are provably never read again may be
+    // unpersisted — tracked here by diffing getPersistentRDDs around
+    // each checkpoint (public API; no private LogicalRDD poking).
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      // the same job may also materialize OTHER persisted datasets the
+      // plan reads (e.g. the shared shingle cache); keep only the
+      // locally-checkpointed RDD this call created so we never free a
+      // cache someone else still uses
+      val added = (sc.getPersistentRDDs -- before).values
+        .filter(_.isCheckpointed).toSeq
+      (out, added)
+    }
+
+    // checkpoint the expensive dedupNgram subplan ONCE: both branches
+    // of the bidirectional union below reference it, and without this
+    // the shingle join + Jaccard agg would evaluate twice
+    val (pairs, pairsBlocks) = checkpointTracked(
+      PipelineQueries.dedupNgram(spark, sfDir).select($"id_a", $"id_b"))
+    val (edges, edgesBlocks) = checkpointTracked(
+      pairs.union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+        .toDF("src", "dst"))
+    // edges is materialized; the pairs blocks have no further reader
+    pairsBlocks.foreach(_.unpersist(blocking = false))
+    var (labels, prevBlocks) = checkpointTracked(
+      edges.select($"src".as("doc_id")).distinct()
+        .withColumn("cluster", $"doc_id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -96,25 +120,37 @@ object DedupQueries {
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy($"dst".as("doc_id"))
         .agg(min($"cluster").as("nbr_min"))
+      // cached within the round: the pointer-jump self-join references
+      // `adopted` twice, and uncached the edge join + min-agg would run
+      // twice per round
       val adopted = labels.join(msgs, Seq("doc_id"), "left")
         .select($"doc_id", $"cluster".as("old"),
           least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
+        .cache()
       // pointer-jump (label compression): cluster := label(cluster).
       // Labels only decrease, so the jump target's label is always <=
       // the current one; this shortcuts chain-shaped components,
       // halving the O(diameter) round count
-      val next = adopted
+      val (next, nextBlocks) = checkpointTracked(adopted
         .join(adopted.select($"doc_id".as("cluster"), $"cluster".as("jump")),
           Seq("cluster"), "left")
         .select($"doc_id", $"old",
-          least($"cluster", coalesce($"jump", $"cluster")).as("cluster"))
-        .localCheckpoint() // one job per round; plan stays O(1)-deep
+          least($"cluster", coalesce($"jump", $"cluster")).as("cluster")))
       // convergence test scans the just-checkpointed blocks — no
       // recompute of the round's joins
       changed = next.filter($"cluster" =!= $"old").count()
+      adopted.unpersist(blocking = false)
+      // next is materialized: the previous round's label blocks are
+      // unreachable from here on — O(1) storage across rounds instead
+      // of one leaked block set per round
+      prevBlocks.foreach(_.unpersist(blocking = false))
+      prevBlocks = nextBlocks
       labels = next.select($"doc_id", $"cluster")
       iter += 1
     }
+    // the returned DF reads only the FINAL round's blocks; edges are
+    // done. (Final labels blocks stay persisted for the consumer.)
+    edgesBlocks.foreach(_.unpersist(blocking = false))
     labels.orderBy($"doc_id")
   }
 

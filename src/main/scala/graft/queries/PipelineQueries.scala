@@ -47,14 +47,29 @@ object PipelineQueries {
     * again by the LSH query. */
   // one cached shingle universe per (session, sfDir): dedupNgram and
   // dedupMinhash both consume it — without memoization each call would
-  // cache its own identical copy and recompute the shingling
+  // cache its own identical copy and recompute the shingling. Values
+  // hold BOTH cached frames (kept join + raw exploded) so eviction can
+  // unpersist everything the build pinned.
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
   def keptShingles(spark: SparkSession, sfDir: String): DataFrame =
-    shingleCache.computeIfAbsent((spark, sfDir), { case (s, d) => buildKeptShingles(s, d) })
+    shingleCache.computeIfAbsent((spark, sfDir), { case (s, d) => buildKeptShingles(s, d) })._1
 
-  private def buildKeptShingles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unpersist and drop every memoized shingle universe. The per-round
+    * harness never needs this (the JVM exits); a long-lived session
+    * embedding the library calls it when done with dedup queries. */
+  def evictShingleCache(): Unit = {
+    val it = shingleCache.values().iterator()
+    while (it.hasNext) {
+      val (kept, ex) = it.next()
+      kept.unpersist(blocking = false)
+      ex.unpersist(blocking = false)
+    }
+    shingleCache.clear()
+  }
+
+  private def buildKeptShingles(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     // Shingling is a typed flatMap (the Generator surface, SURVEY §2.2
     // row 33), NOT a SQL transform(sequence(...), lambda) expression:
@@ -82,7 +97,7 @@ object PipelineQueries {
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= NgramDfCap)
       .select($"shingle")
-    ex.join(kept, Seq("shingle")).cache()
+    (ex.join(kept, Seq("shingle")).cache(), ex)
   }
 
   /** Exact n-gram (word trigram) Jaccard near-dup pairs — the

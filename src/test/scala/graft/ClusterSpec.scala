@@ -50,6 +50,23 @@ class ClusterSpec extends SparkSpec {
     assert(iters >= 3 && iters < 50, s"converged in $iters rounds")
   }
 
+  test("cluster loop keeps O(1) checkpoint blocks and rebuilds after cache eviction") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.count(_._2.isCheckpointed)
+    val rows = graft.queries.DedupQueries.dedupClusters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-round blocks must be unpersisted as rounds supersede them:
+    // only the FINAL round's labels may remain (pre-fix: one block set
+    // leaked per iteration plus pairs/edges)
+    val after = sc.getPersistentRDDs.count(_._2.isCheckpointed)
+    assert(after - before <= 1, s"leaked checkpoint block sets: $before -> $after")
+
+    // shingle-cache eviction hook: drops the memoized frames and the
+    // next call rebuilds them from scratch
+    graft.queries.PipelineQueries.evictShingleCache()
+    assert(graft.queries.PipelineQueries.keptShingles(spark, sfDir).count() > 0)
+  }
+
   test("q_dedup_clusters labels are min-reachable and cover exactly paired docs") {
     val out = graft.queries.DedupQueries.dedupClusters(spark, sfDir).collect()
     val pairDocs = graft.queries.PipelineQueries.dedupNgram(spark, sfDir)
