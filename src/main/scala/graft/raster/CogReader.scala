@@ -122,8 +122,14 @@ object CogReader {
             Tile(level, ty, tx, th, tw, px, mask)
           }
         }
-        // exhaust before closing the stream: wrap with a closing iterator
-        new Iterator[Tile] {
+        // close on TASK completion, not iterator exhaustion: under
+        // limit/take the consumer abandons the iterator early and an
+        // exhaustion-only close would leak the handle
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) {
+          tc.addTaskCompletionListener[Unit](_ => in.close())
+          out
+        } else new Iterator[Tile] { // direct (non-task) invocation
           def hasNext: Boolean = {
             val h = out.hasNext
             if (!h) in.close()

@@ -48,6 +48,24 @@ class CogReaderSpec extends SparkSpec {
     }
   }
 
+  test("abandoned iterator (limit) does not leak file handles") {
+    val prof = RasterProfile(96, 80, blockSize = 16, nodata = ND,
+      minOverviewSize = 32)
+    val (uri, _) = writeCog(prof, seed = 77L)
+    def openFds(): Int = new java.io.File("/proc/self/fd").list().length
+    // warm the path once (FileSystem cache, codegen)
+    CogReader.read(spark, uri, prof).limit(1).collect()
+    val before = openFds()
+    // each limit(1) abandons the per-partition iterator before
+    // exhaustion — pre-fix this leaked one stream per executed task
+    for (_ <- 1 to 30) {
+      val got = CogReader.read(spark, uri, prof).limit(1).collect()
+      assert(got.length == 1)
+    }
+    val after = openFds()
+    assert(after - before < 15, s"fd growth $before -> $after suggests leaked streams")
+  }
+
   test("sparse tiles reconstruct as nodata without file reads") {
     val s = spark
     import s.implicits._
