@@ -24,13 +24,19 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"BENCH ERROR $name: $e"); false }
+        // min-of-N (default 2): single-run timing produced >5x phantom
+        // swings in consecutive driver rounds (GC/JIT pauses recorded
+        // as query regressions); the min of two runs is the signal
+        val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH ERROR $name: $e"); -1.0 }
+        }
         // a throwing query must not masquerade as a fast one: record a
         // sentinel instead of its (near-zero) elapsed time
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else { errors += name; -1.0 })
+        name -> (if (times.exists(_ < 0)) { errors += name; -1.0 } else times.min)
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
