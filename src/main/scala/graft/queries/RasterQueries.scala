@@ -173,11 +173,52 @@ object RasterQueries {
       .orderBy($"level")
   }
 
+  /** The DSv2 face of the read path: `spark.read.format("cog")` with
+    * header-inferred profile and a level-pruned scan (the predicate
+    * prunes tiles at PLANNING — CogReaderSpec asserts the pruned scan
+    * description). Same per-level invariants as q_raster_read, driven
+    * through the SQL surface instead of the library call. */
+  def rasterDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
+      resampling = "average", minOverviewSize = 64, maskPages = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-q").toString
+    val (bytes, _) = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, prof, seed = 29L), prof, dir)
+    val f = java.nio.file.Paths.get(dir, "assembled.tif")
+    java.nio.file.Files.write(f, bytes)
+    import org.apache.spark.sql.functions._
+    // predicate prunes the middle levels at PLANNING; the per-tile
+    // invariant is a typed map (HOF lambdas are interpreted per
+    // element — the measured 15x trap this repo already avoids)
+    spark.read.format("cog").load("file://" + f)
+      .where($"level" === 0 || $"level" === prof.maxLevel)
+      .select($"level", $"h", $"w", $"pixels", $"mask")
+      .as[(Int, Int, Int, Array[Double], Array[Byte])]
+      .map { case (level, h, w, px, mask) =>
+        var valid = 0L
+        var s = 0.0
+        var i = 0
+        while (i < h * w) {
+          if (mask == null || mask(i) != 0) { valid += 1; s += px(i) }
+          i += 1
+        }
+        (level, 1L, valid, s)
+      }
+      .toDF("level", "n_tiles", "valid_px", "sum_v")
+      .groupBy($"level")
+      .agg(sum($"n_tiles").as("n_tiles"), sum($"valid_px").as("valid_px"),
+        round(sum($"sum_v".cast("decimal(38,10)")).cast("double") /
+          sum($"valid_px"), 4).as("mean_valid"))
+      .orderBy($"level")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_raster_pyramid" -> rasterPyramid,
     "q_raster_halo" -> rasterHalo,
     "q_raster_assemble" -> rasterAssemble,
     "q_raster_read" -> rasterRead,
+    "q_raster_dsv2" -> rasterDsv2,
     "q_cog_write_bytes" -> cogWriteBytes)
 
   /** NATIVE — no DuckDB oracle (SURVEY §2.2). */

@@ -399,7 +399,11 @@ object BigTiff {
         * empty when the page has no palette. */
       colorMap: Array[Int] = Array.empty,
       /** YCbCrSubSampling (horiz, vert); empty when absent. */
-      ycbcrSubsampling: Array[Int] = Array.empty) {
+      ycbcrSubsampling: Array[Int] = Array.empty,
+      /** SamplesPerPixel (band count); 1 when absent. */
+      samplesPerPixel: Int = 1,
+      /** GDAL_NODATA value string (NUL/space stripped); "" when absent. */
+      nodataAscii: String = "") {
     def isMask: Boolean = (subfileType & 4L) != 0
   }
 
@@ -420,6 +424,7 @@ object BigTiff {
       var keyArr: Array[Int] = Array.empty
       var cmapArr: Array[Int] = Array.empty
       var ycArr: Array[Int] = Array.empty
+      var spp = 1; var ndAscii = ""
       var offArr: Array[Long] = null; var cntArr: Array[Long] = null
       for (e <- 0 until n) {
         val base = ifd.toInt + 8 + e * IfdEntryLen.toInt
@@ -443,6 +448,13 @@ object BigTiff {
           case TagPhotometric => photo = value.toInt
           case TagTileOffsets => offArr = long8Array()
           case TagTileByteCounts => cntArr = long8Array()
+          case TagSamplesPerPixel => spp = value.toInt
+          case TagGdalNodata =>
+            // inline when count <= 8 (bytes live in the value slot),
+            // external otherwise
+            val src = if (count <= 8) base + 12 else value.toInt
+            ndAscii = new String(file, src, count.toInt, "US-ASCII")
+              .takeWhile(c => c != '\u0000' && c != ' ')
           case TagGdalMetadata =>
             metaXml = new String(file, value.toInt, count.toInt, "US-ASCII")
           case TagModelPixelScale =>
@@ -461,7 +473,7 @@ object BigTiff {
       }
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
         subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr,
-        cmapArr, ycArr)
+        cmapArr, ycArr, spp, ndAscii)
       ifd = buf.getLong(ifd.toInt + 8 + n * IfdEntryLen.toInt)
     }
     pages.result()

@@ -48,6 +48,95 @@ object CogReader {
     } finally in.close()
   }
 
+  /** Decode one planned tile entry into a [[Tile]] (clip to edge dims,
+    * restore the mask plane); sparse entries (count 0) reconstruct as
+    * all-nodata without touching the stream. Shared by the library
+    * read path and the DSv2 partition reader (graft.sources.cog). */
+  def materializeTile(in: org.apache.hadoop.fs.FSDataInputStream,
+      profile: RasterProfile, level: Int, gw: Int,
+      ti: Int, off: Long, cnt: Long, mOff: Long, mCnt: Long): Tile = {
+    val ty = ti / gw
+    val tx = ti % gw
+    val (th, tw) = profile.tileDims(level, ty, tx)
+    val bs = profile.blockSize
+    val bands = profile.bands
+    if (cnt == 0) {
+      // sparse: all nodata, all invalid — no file access
+      val px = new Array[Double](bands * th * tw)
+      java.util.Arrays.fill(px, profile.nodata)
+      Tile(level, ty, tx, th, tw, px, new Array[Byte](th * tw))
+    } else {
+      val comp = new Array[Byte](cnt.toInt)
+      in.readFully(off, comp, 0, cnt.toInt)
+      val full = TileCodec.decode(comp, profile, level) // bs*bs padded
+      val px = new Array[Double](bands * th * tw)
+      var b = 0
+      while (b < bands) {
+        var y = 0
+        while (y < th) {
+          System.arraycopy(full, b * bs * bs + y * bs, px, b * th * tw + y * tw, tw)
+          y += 1
+        }
+        b += 1
+      }
+      val mask =
+        if (mCnt > 0) {
+          val mComp = new Array[Byte](mCnt.toInt)
+          in.readFully(mOff, mComp, 0, mCnt.toInt)
+          val bits = TileCodec.decodeMask(mComp, profile)
+          val mk = new Array[Byte](th * tw)
+          var y = 0
+          while (y < th) {
+            System.arraycopy(bits, y * bs, mk, y * tw, tw)
+            y += 1
+          }
+          mk
+        } else null
+      Tile(level, ty, tx, th, tw, px, mask)
+    }
+  }
+
+  /** Reconstruct a read-capable [[RasterProfile]] from the parsed
+    * header alone — the DSv2 path needs no writer-side profile. Fields
+    * that only affect WRITING (resampling kernel, zlevel, jpegQuality,
+    * sparseOk) take defaults; everything decode needs (dims, block
+    * size, bands, dtype, codec per level, nodata, mask presence) comes
+    * from tags. */
+  def inferProfile(pages: Seq[BigTiff.PageMeta]): RasterProfile = {
+    val data = pages.filter(!_.isMask)
+    require(data.nonEmpty, "no data pages in header")
+    val p0 = data.head
+    val dtype = (p0.bits, p0.sampleFormat) match {
+      case (8, 1) => "uint8"
+      case (8, 2) => "int8"
+      case (16, 1) => "uint16"
+      case (16, 2) => "int16"
+      case (32, 1) => "uint32"
+      case (32, 2) => "int32"
+      case (32, 3) => "float32"
+      case (64, 3) => "float64"
+      case (b, s) => sys.error(s"unsupported bits/sampleFormat $b/$s")
+    }
+    def codec(c: Int): String = c match {
+      case 1 => "none"
+      case 7 => "jpeg"
+      case 8 => "deflate"
+      case c => sys.error(s"unsupported compression code $c")
+    }
+    val comp = codec(p0.compression)
+    val ovComp = data.lift(1).map(pg => codec(pg.compression)).filter(_ != comp)
+    val nodata =
+      if (p0.nodataAscii.nonEmpty) p0.nodataAscii.toDouble
+      else if (dtype.startsWith("uint")) 0.0
+      else if (TileCodec.isInteger(dtype)) -1.0
+      else Double.NaN
+    RasterProfile(p0.width.toInt, p0.height.toInt,
+      blockSize = p0.tileW, bands = p0.samplesPerPixel, nodata = nodata,
+      resampling = "nearest", overviewCount = Some(data.length - 1),
+      dtype = dtype, compression = comp, overviewCompression = ovComp,
+      maskPages = pages.exists(_.isMask))
+  }
+
   /** Level `level` of the COG at `uri` as a Dataset[Tile]. `profile`
     * must match the written file (CogWriter's input profile); dims and
     * page structure are cross-checked against the parsed header. */
@@ -82,45 +171,7 @@ object CogReader {
         val fs = path.getFileSystem(conf)
         val in = fs.open(path)
         val out = it.map { case (ti, off, cnt, mOff, mCnt) =>
-          val ty = ti / gw
-          val tx = ti % gw
-          val (th, tw) = profile.tileDims(level, ty, tx)
-          val bs = profile.blockSize
-          val bands = profile.bands
-          if (cnt == 0) {
-            // sparse: all nodata, all invalid — no file access
-            val px = new Array[Double](bands * th * tw)
-            java.util.Arrays.fill(px, profile.nodata)
-            Tile(level, ty, tx, th, tw, px, new Array[Byte](th * tw))
-          } else {
-            val comp = new Array[Byte](cnt.toInt)
-            in.readFully(off, comp, 0, cnt.toInt)
-            val full = TileCodec.decode(comp, profile, level) // bs*bs padded
-            val px = new Array[Double](bands * th * tw)
-            var b = 0
-            while (b < bands) {
-              var y = 0
-              while (y < th) {
-                System.arraycopy(full, b * bs * bs + y * bs, px, b * th * tw + y * tw, tw)
-                y += 1
-              }
-              b += 1
-            }
-            val mask =
-              if (mCnt > 0) {
-                val mComp = new Array[Byte](mCnt.toInt)
-                in.readFully(mOff, mComp, 0, mCnt.toInt)
-                val bits = TileCodec.decodeMask(mComp, profile)
-                val mk = new Array[Byte](th * tw)
-                var y = 0
-                while (y < th) {
-                  System.arraycopy(bits, y * bs, mk, y * tw, tw)
-                  y += 1
-                }
-                mk
-              } else null
-            Tile(level, ty, tx, th, tw, px, mask)
-          }
+          materializeTile(in, profile, level, gw, ti, off, cnt, mOff, mCnt)
         }
         // close on TASK completion, not iterator exhaustion: under
         // limit/take the consumer abandons the iterator early and an

@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.raster.{BigTiff, CogReader, RasterProfile}
+
+/** `spark.read.format("cog")` — the COG reader as a DataSource V2
+  * table (the catalog-integrated face of [[graft.raster.CogReader]];
+  * SURVEY §2.2 sources, VERDICT r4 stretch item).
+  *
+  * One row per tile, ALL pyramid levels (a `level` column
+  * distinguishes), schema below. The profile is inferred from the
+  * BigTIFF header alone — no writer-side profile object needed — so
+  * any file our writer produced (or a foreign uint8..float64
+  * deflate/none/jpeg tiled BigTIFF) reads back.
+  *
+  * Scale shape: the header (KBs) parses once on the DRIVER at
+  * planning; tile ranges are split into `defaultParallelism` input
+  * partitions read via positioned reads on executors — the COG access
+  * pattern. Predicates on (level, ty, tx) prune TILES AT PLANNING
+  * (equality + ranges): a `level = 2 AND ty < 4` query never plans,
+  * reads, or decodes the excluded tiles. Spark still re-applies the
+  * filters on rows, so pruning is pure optimization, never semantics. */
+class CogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CogTable.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "cog source requires a path")
+    new CogTable(path, properties.asScala.toMap - "path")
+  }
+}
+
+object CogTable {
+  /** Band-major pixels exactly like [[graft.raster.Tile]]; mask is the
+    * per-pixel validity plane (1 valid / 0 invalid), null = all valid. */
+  val schema: StructType = StructType(Seq(
+    StructField("level", IntegerType, nullable = false),
+    StructField("ty", IntegerType, nullable = false),
+    StructField("tx", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("pixels", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("mask", BinaryType, nullable = true)))
+}
+
+class CogTable(path: String, conf: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"cog:$path"
+  override def schema(): StructType = CogTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CogScanBuilder(path, conf)
+}
+
+/** Accepts equality/range predicates on level/ty/tx for planning-time
+  * tile pruning; everything is also left to Spark to re-evaluate. */
+class CogScanBuilder(path: String, conf: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  // inclusive bounds + allowed-value sets per pruning column;
+  // absent = unconstrained
+  private var bounds = Map.empty[String, (Option[Int], Option[Int])]
+  private var sets = Map.empty[String, Set[Int]]
+  private var pushed = Array.empty[Filter]
+
+  private def tighten(col: String, lo: Option[Int], hi: Option[Int]): Unit = {
+    val (clo, chi) = bounds.getOrElse(col, (None, None))
+    bounds += col -> (
+      Seq(clo, lo).flatten.reduceOption(math.max).map(identity),
+      Seq(chi, hi).flatten.reduceOption(math.min).map(identity))
+  }
+
+  private def tightenSet(col: String, vs: Set[Int]): Unit =
+    sets += col -> sets.get(col).map(_ intersect vs).getOrElse(vs)
+
+  /** `level = a OR level = b [OR ...]` — same-column equality
+    * disjunctions collapse to an allowed-value set. */
+  private def orEqualities(f: Filter): Option[(String, Set[Int])] = f match {
+    case EqualTo(c, v: Int) => Some((c, Set(v)))
+    case Or(l, r) =>
+      for {
+        (cl, sl) <- orEqualities(l)
+        (cr, sr) <- orEqualities(r)
+        if cl == cr
+      } yield (cl, sl ++ sr)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val prunable = Seq("level", "ty", "tx")
+    pushed = filters.filter {
+      case EqualTo(c, v: Int) if prunable.contains(c) =>
+        tighten(c, Some(v), Some(v)); true
+      case GreaterThan(c, v: Int) if prunable.contains(c) =>
+        tighten(c, Some(v + 1), None); true
+      case GreaterThanOrEqual(c, v: Int) if prunable.contains(c) =>
+        tighten(c, Some(v), None); true
+      case LessThan(c, v: Int) if prunable.contains(c) =>
+        tighten(c, None, Some(v - 1)); true
+      case LessThanOrEqual(c, v: Int) if prunable.contains(c) =>
+        tighten(c, None, Some(v)); true
+      case In(c, vs) if prunable.contains(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Int]) =>
+        tightenSet(c, vs.map(_.asInstanceOf[Int]).toSet); true
+      case f @ Or(_, _) =>
+        orEqualities(f).filter(e => prunable.contains(e._1)) match {
+          case Some((c, vs)) => tightenSet(c, vs); true
+          case None => false
+        }
+      case _ => false
+    }
+    // return everything as residual: pruning is an optimization, the
+    // engine keeps final row-level filtering (cheap on tile columns)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new CogScan(path, conf, bounds, sets)
+}
+
+/** One planned tile: everything the executor needs to decode it. */
+case class CogTileSpec(level: Int, gw: Int, ti: Int,
+    off: Long, cnt: Long, mOff: Long, mCnt: Long)
+
+case class CogInputPartition(uri: String, conf: Map[String, String],
+    profile: RasterProfile, tiles: Seq[CogTileSpec]) extends InputPartition
+
+class CogScan(path: String, conf: Map[String, String],
+    bounds: Map[String, (Option[Int], Option[Int])],
+    sets: Map[String, Set[Int]]) extends Scan with Batch {
+
+  override def readSchema(): StructType = CogTable.schema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val b = bounds.map { case (c, (lo, hi)) =>
+      s"$c in [${lo.getOrElse("-inf")},${hi.getOrElse("inf")}]" } ++
+      sets.map { case (c, vs) => s"$c in {${vs.toSeq.sorted.mkString(",")}}" }
+    s"cog $path${if (b.nonEmpty) s" pruned(${b.mkString(", ")})" else ""}"
+  }
+
+  private def inBounds(col: String, v: Int): Boolean = {
+    val (lo, hi) = bounds.getOrElse(col, (None, None))
+    lo.forall(v >= _) && hi.forall(v <= _) && sets.get(col).forall(_.contains(v))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side: parse the tiny header, prune tiles, slice into
+    // round-robin partitions (tile sizes are uniform by construction)
+    val pages = CogReader.readMeta(path, conf)
+    val profile = CogReader.inferProfile(pages)
+    val data = pages.filter(!_.isMask)
+    val masks = pages.filter(_.isMask)
+    val specs = for {
+      level <- data.indices
+      if inBounds("level", level)
+      pg = data(level)
+      (gw, _) = profile.gridDims(level)
+      ti <- pg.offsets.indices
+      if inBounds("ty", ti / gw) && inBounds("tx", ti % gw)
+    } yield CogTileSpec(level, gw, ti, pg.offsets(ti), pg.counts(ti),
+      masks.lift(level).map(_.offsets(ti)).getOrElse(0L),
+      masks.lift(level).map(_.counts(ti)).getOrElse(0L))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism, specs.length))
+    (0 until slices).map { s =>
+      CogInputPartition(path, conf, profile,
+        specs.zipWithIndex.collect { case (t, i) if i % slices == s => t })
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CogPartitionReaderFactory()
+}
+
+class CogPartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CogPartitionReader(partition.asInstanceOf[CogInputPartition])
+}
+
+class CogPartitionReader(part: CogInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val hconf = {
+    val c = new Configuration()
+    part.conf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val fsPath = new Path(part.uri)
+  private var opened = false
+  private lazy val in = {
+    opened = true
+    fsPath.getFileSystem(hconf).open(fsPath)
+  }
+  private val it = part.tiles.iterator
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (!it.hasNext) false
+    else {
+      val s = it.next()
+      val t = CogReader.materializeTile(in, part.profile, s.level, s.gw,
+        s.ti, s.off, s.cnt, s.mOff, s.mCnt)
+      row = new GenericInternalRow(Array[Any](
+        t.level, t.ty, t.tx, t.h, t.w,
+        ArrayData.toArrayData(t.pixels), t.mask))
+      true
+    }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit =
+    if (opened) try in.close() catch { case _: Exception => () }
+}

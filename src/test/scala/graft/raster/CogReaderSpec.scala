@@ -48,6 +48,63 @@ class CogReaderSpec extends SparkSpec {
     }
   }
 
+  test("DSv2: spark.read.format(\"cog\") infers the profile and round-trips all levels") {
+    val prof = RasterProfile(96, 80, blockSize = 16, bands = 2, nodata = ND,
+      minOverviewSize = 32, maskPages = true)
+    val (uri, expected) = writeCog(prof, seed = 91L)
+    val df = spark.read.format("cog").load(uri)
+    // all levels come back as rows; schema is the tile schema
+    assert(df.columns.toSeq == Seq("level", "ty", "tx", "h", "w", "pixels", "mask"))
+    val got = df.collect()
+    assert(got.length == (0 to prof.maxLevel).map(prof.tilesPerLevel).sum)
+    for (r <- got) {
+      val (l, ty, tx) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      val e = expected((l, ty, tx))
+      assert(r.getInt(3) == e.h && r.getInt(4) == e.w)
+      val px = r.getSeq[Double](5)
+      for (b <- 0 until 2; i <- 0 until e.h * e.w) {
+        val want = if (e.valid(b * e.h * e.w + i, ND)) e.pixels(b * e.h * e.w + i) else ND
+        assert(px(b * e.h * e.w + i) == want, s"dsv2 level $l tile($ty,$tx) band $b px $i")
+      }
+    }
+  }
+
+  test("DSv2: level/ty/tx predicates prune tiles at planning") {
+    val prof = RasterProfile(96, 80, blockSize = 16, nodata = ND,
+      minOverviewSize = 32)
+    val (uri, expected) = writeCog(prof, seed = 92L)
+    val df = spark.read.format("cog").load(uri)
+
+    // level equality: only that level's tiles planned AND returned
+    val l1 = df.where("level = 1").collect()
+    assert(l1.length == prof.tilesPerLevel(1))
+    assert(l1.forall(_.getInt(0) == 1))
+
+    // ty/tx range on L0: exact expected subset
+    val sub = df.where("level = 0 AND ty >= 1 AND tx < 2").collect()
+    val (gw0, gh0) = prof.gridDims(0)
+    assert(sub.length == (gh0 - 1) * 2)
+    assert(sub.forall(r => r.getInt(1) >= 1 && r.getInt(2) < 2))
+    // values still correct through the pruned path
+    for (r <- sub) {
+      val e = expected((0, r.getInt(1), r.getInt(2)))
+      val px = r.getSeq[Double](5)
+      assert(px.head == (if (e.valid(0, ND)) e.pixels(0) else ND))
+    }
+
+    // the scan itself reports the pruning (planning-time, not row filter)
+    val planned = df.where("level = 1").queryExecution.executedPlan.toString
+    assert(planned.contains("pruned") && planned.contains("level in [1,1]"),
+      s"expected pruned scan in plan:\n$planned")
+
+    // same-column equality disjunction collapses to an allowed set
+    val orRows = df.where("level = 0 OR level = 2").collect()
+    assert(orRows.map(_.getInt(0)).toSet == Set(0, 2))
+    assert(orRows.length == prof.tilesPerLevel(0) + prof.tilesPerLevel(2))
+    val orPlan = df.where("level = 0 OR level = 2").queryExecution.executedPlan.toString
+    assert(orPlan.contains("level in {0,2}"), s"expected set pruning in plan:\n$orPlan")
+  }
+
   test("abandoned iterator (limit) does not leak file handles") {
     val prof = RasterProfile(96, 80, blockSize = 16, nodata = ND,
       minOverviewSize = 32)
