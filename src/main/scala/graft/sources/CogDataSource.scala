@@ -73,9 +73,18 @@ class CogTable(path: String, conf: Map[String, String])
 }
 
 /** Accepts equality/range predicates on level/ty/tx for planning-time
-  * tile pruning; everything is also left to Spark to re-evaluate. */
+  * tile pruning (everything is also left to Spark to re-evaluate) and
+  * column pruning — a scan that needs neither `pixels` nor `mask`
+  * never opens the file: tile geometry is fully determined by the
+  * header, so `count(*)` / tile-inventory queries are header-only. */
 class CogScanBuilder(path: String, conf: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = CogTable.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   // inclusive bounds + allowed-value sets per pruning column;
   // absent = unconstrained
@@ -136,7 +145,7 @@ class CogScanBuilder(path: String, conf: Map[String, String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CogScan(path, conf, bounds, sets)
+  override def build(): Scan = new CogScan(path, conf, bounds, sets, required)
 }
 
 /** One planned tile: everything the executor needs to decode it. */
@@ -144,19 +153,22 @@ case class CogTileSpec(level: Int, gw: Int, ti: Int,
     off: Long, cnt: Long, mOff: Long, mCnt: Long)
 
 case class CogInputPartition(uri: String, conf: Map[String, String],
-    profile: RasterProfile, tiles: Seq[CogTileSpec]) extends InputPartition
+    profile: RasterProfile, schema: StructType,
+    tiles: Seq[CogTileSpec]) extends InputPartition
 
 class CogScan(path: String, conf: Map[String, String],
     bounds: Map[String, (Option[Int], Option[Int])],
-    sets: Map[String, Set[Int]]) extends Scan with Batch {
+    sets: Map[String, Set[Int]],
+    required: StructType) extends Scan with Batch {
 
-  override def readSchema(): StructType = CogTable.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val b = bounds.map { case (c, (lo, hi)) =>
       s"$c in [${lo.getOrElse("-inf")},${hi.getOrElse("inf")}]" } ++
       sets.map { case (c, vs) => s"$c in {${vs.toSeq.sorted.mkString(",")}}" }
-    s"cog $path${if (b.nonEmpty) s" pruned(${b.mkString(", ")})" else ""}"
+    s"cog $path${if (b.nonEmpty) s" pruned(${b.mkString(", ")})" else ""}" +
+      s" columns(${required.fieldNames.mkString(",")})"
   }
 
   private def inBounds(col: String, v: Int): Boolean = {
@@ -184,7 +196,7 @@ class CogScan(path: String, conf: Map[String, String],
     val spark = org.apache.spark.sql.SparkSession.active
     val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism, specs.length))
     (0 until slices).map { s =>
-      CogInputPartition(path, conf, profile,
+      CogInputPartition(path, conf, profile, required,
         specs.zipWithIndex.collect { case (t, i) if i % slices == s => t })
     }.toArray[InputPartition]
   }
@@ -215,15 +227,41 @@ class CogPartitionReader(part: CogInputPartition)
   private val it = part.tiles.iterator
   private var row: InternalRow = _
 
+  private val names = part.schema.fieldNames
+  // a scan needing neither pixels nor mask is header-only: geometry
+  // comes from the profile, so the tile bytes are NEVER read
+  private val needsTileBytes =
+    names.contains("pixels") || names.contains("mask")
+
   override def next(): Boolean =
     if (!it.hasNext) false
     else {
       val s = it.next()
-      val t = CogReader.materializeTile(in, part.profile, s.level, s.gw,
-        s.ti, s.off, s.cnt, s.mOff, s.mCnt)
-      row = new GenericInternalRow(Array[Any](
-        t.level, t.ty, t.tx, t.h, t.w,
-        ArrayData.toArrayData(t.pixels), t.mask))
+      row =
+        if (needsTileBytes) {
+          val t = CogReader.materializeTile(in, part.profile, s.level, s.gw,
+            s.ti, s.off, s.cnt, s.mOff, s.mCnt)
+          new GenericInternalRow(names.map[Any] {
+            case "level" => t.level
+            case "ty" => t.ty
+            case "tx" => t.tx
+            case "h" => t.h
+            case "w" => t.w
+            case "pixels" => ArrayData.toArrayData(t.pixels)
+            case "mask" => t.mask
+          })
+        } else {
+          val ty = s.ti / s.gw
+          val tx = s.ti % s.gw
+          val (th, tw) = part.profile.tileDims(s.level, ty, tx)
+          new GenericInternalRow(names.map[Any] {
+            case "level" => s.level
+            case "ty" => ty
+            case "tx" => tx
+            case "h" => th
+            case "w" => tw
+          })
+        }
       true
     }
 

@@ -105,6 +105,32 @@ class CogReaderSpec extends SparkSpec {
     assert(orPlan.contains("level in {0,2}"), s"expected set pruning in plan:\n$orPlan")
   }
 
+  test("DSv2: column pruning makes metadata-only scans header-only") {
+    val prof = RasterProfile(96, 80, blockSize = 16, nodata = ND,
+      minOverviewSize = 32)
+    val (uri, _) = writeCog(prof, seed = 93L)
+    // truncate the file to its header: any scan touching tile bytes
+    // now fails, so a passing metadata query PROVES zero tile IO
+    val full = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(uri)))
+    val headerOnly = java.util.Arrays.copyOfRange(full, 0,
+      BigTiff.headerLength(prof).toInt)
+    val trunc = java.nio.file.Files.createTempFile("graft-truncated", ".tif")
+    java.nio.file.Files.write(trunc, headerOnly)
+    val df = spark.read.format("cog").load("file://" + trunc)
+    val total = (0 to prof.maxLevel).map(prof.tilesPerLevel).sum
+    assert(df.count() == total)
+    val inv = df.groupBy("level").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((0 to prof.maxLevel).forall(l => inv(l) == prof.tilesPerLevel(l)))
+    // pruned schema shows in the scan description
+    val plan = df.select("level", "ty", "tx").queryExecution.executedPlan.toString
+    assert(plan.contains("columns(level,ty,tx)"), s"expected pruned columns in:\n$plan")
+    // and the same file CANNOT serve pixels (tile bytes are gone)
+    intercept[Exception] {
+      df.select("pixels").collect()
+    }
+  }
+
   test("abandoned iterator (limit) does not leak file handles") {
     val prof = RasterProfile(96, 80, blockSize = 16, nodata = ND,
       minOverviewSize = 32)
