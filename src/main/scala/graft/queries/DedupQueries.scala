@@ -170,10 +170,24 @@ object DedupQueries {
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  /** Unbanded embedding near-dup (no label column needed): IVF
+    * 2-probe bucketing over hash-spread centroids — the scale path for
+    * corpora WITHOUT a precomputed coarse partition. NATIVE: the
+    * centroid sample is hash-seeded; recall >= 0.9 vs exact all-pairs
+    * proven on planted clusters (EmbedIvfSpec), precision exact by
+    * construction. */
+  def dedupEmbedIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.similarity.Ann.ivfNearDupPairs(
+      Fixtures.embeddings(spark, sfDir).select($"vec_id", $"embedding"),
+      minCos = 0.35, nCentroids = 16)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embed" -> (dedupEmbed _),
+    "q_dedup_embed_ivf" -> (dedupEmbedIvf _),
     "q_dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(

@@ -39,6 +39,53 @@ object Ann {
     s
   }
 
+  /** Embedding near-dup PAIRS without a precomputed banding label —
+    * the unbanded scale path complementing the label-banded
+    * q_dedup_embed: every vector is assigned to its `nProbe` nearest
+    * IVF centroids (multi-probe, so pairs split by a Voronoi boundary
+    * still co-bucket), candidate pairs are generated per bucket by an
+    * equi-self-join, scored EXACTLY with the codegen'd cosine_sim, and
+    * deduped (a pair can share up to nProbe buckets). Precision is 1
+    * by construction — every emitted pair carries its true cosine —
+    * only recall is approximate (misses need all nProbe probes of both
+    * sides disjoint; measured >= 0.9 on planted clusters in
+    * EmbedIvfSpec). At 10^9 vectors the pair work is Σ bucket² instead
+    * of corpus², the same bound IVF gives the top-k path. */
+  def ivfNearDupPairs(emb: DataFrame, minCos: Double,
+      nCentroids: Int, nProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    // same deterministic hash-spread centroid sample as ivfTopK
+    val centroids = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map { case (_, v) => normalize(v) }
+    require(centroids.nonEmpty, "no centroids sampled")
+    val bcCent = spark.sparkContext.broadcast(centroids)
+
+    // narrow 1→nProbe expansion: (bucket, id, embedding)
+    val bucketed = typed.flatMap { case (id, raw) =>
+      val v = normalize(raw)
+      val cent = bcCent.value
+      cent.indices.sortBy(c => (-dot(cent(c), v), c)).take(nProbe)
+        .iterator.map(b => (b, id, raw))
+    }.toDF("bucket", "id", "embedding")
+
+    val a = bucketed.select($"bucket", $"id".as("id_a"), $"embedding".as("va"))
+    val b = bucketed.select($"bucket", $"id".as("id_b"), $"embedding".as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos_raw", expr("cosine_sim(va, vb)"))
+      .filter($"cos_raw" >= minCos)
+      // co-probed pairs appear once per shared bucket: dedup; cosine is
+      // identical across duplicates (same exact computation)
+      .groupBy($"id_a", $"id_b")
+      .agg(round(first($"cos_raw"), 4).as("cosine"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Top-k probed-bucket neighbors for each query id.
     * `emb`: (vec_id: Long, embedding: Array[Float]). Queries are rows
     * of the same corpus (excluded from their own result). */
