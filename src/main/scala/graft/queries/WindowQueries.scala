@@ -181,6 +181,44 @@ object WindowQueries {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** Streaming dedup-on-ingest: a REAL run of
+    * dropDuplicatesWithinWatermark over a MemoryStream with planted
+    * in-batch AND cross-batch duplicate event_ids — the ingest-side
+    * exact dedup of a training-data pipeline (batch analog:
+    * q_dedup_exact). Per-key state is bounded by the watermark — the
+    * property that makes dedup feasible on an unbounded stream, where
+    * plain dropDuplicates would grow state forever. NATIVE (streaming
+    * runtime isn't DuckDB-comparable; exact expected counts pinned in
+    * StreamingSpec). */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(i: Int) = (i.toLong, new java.sql.Timestamp(base + i * 41000L),
+      if (i % 3 == 0) "doc" else "img")
+    // batch 1: ids 0..199, every 5th id emitted twice (in-batch dupes)
+    val b1 = (0 until 200).flatMap(i => if (i % 5 == 0) Seq(ev(i), ev(i)) else Seq(ev(i)))
+    // batch 2: ids 150..299 — 150..199 re-arrive as cross-batch dupes
+    // whose first occurrence is still inside the watermark
+    val b2 = (150 until 300).map(ev)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("event_id", "ts", "kind")
+      .withWatermark("ts", "60 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("q_stream_dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("q_stream_dedup_out")
+      .groupBy($"kind").agg(count(lit(1)).as("n_unique"))
+      .orderBy($"kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> (winRank _),
     "q_win_lag" -> (winLag _),
@@ -188,7 +226,8 @@ object WindowQueries {
     "q_stream_tumble" -> (streamTumble _),
     "q_stream_slide" -> (streamSlide _),
     "q_stream_session" -> (streamSession _),
-    "q_stream_watermark" -> (streamWatermark _))
+    "q_stream_watermark" -> (streamWatermark _),
+    "q_stream_dedup" -> (streamDedup _))
 
   val oracle: Map[String, String] = Map(
     "q_win_rank" -> winRankSql,

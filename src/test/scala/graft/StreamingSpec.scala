@@ -146,4 +146,13 @@ class StreamingSpec extends SparkSpec {
       assert(out.forall(_.getDouble(3) < 100.0), "late row leaked into results")
     } finally q.stop()
   }
+
+  test("streaming dedup drops in-batch and cross-batch duplicate ids") {
+    // q_stream_dedup plants 40 in-batch dupes (every 5th id of 0..199
+    // doubled) and 50 cross-batch re-arrivals (150..199) — exactly 300
+    // unique ids must survive: 100 "doc" (id % 3 == 0), 200 "img"
+    val out = WindowQueries.streamDedup(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("doc" -> 100L, "img" -> 200L), s"got $out")
+  }
 }
