@@ -54,7 +54,8 @@ class ScanSpec extends SparkSpec {
          // construction (iterative loop / MemoryStream run) — their
          // shapes are covered by ClusterSpec / StreamingSpec.
          if !name.startsWith("q_raster") && name != "q_cog_write_bytes"
-         if name != "q_dedup_clusters" && name != "q_stream_watermark") {
+         if name != "q_dedup_clusters" && name != "q_stream_watermark"
+         if name != "q_stream_dedup") {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
