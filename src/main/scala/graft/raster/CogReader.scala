@@ -130,11 +130,26 @@ object CogReader {
       else if (dtype.startsWith("uint")) 0.0
       else if (TileCodec.isInteger(dtype)) -1.0
       else Double.NaN
+    // geo-referencing back from the tags (the read-side answer to the
+    // reference's R4 source sniffing, ccog/ccog.py:922-925): pixel
+    // scale + (0,0)-anchored tiepoint + the EPSG code from whichever
+    // GeoKey the model type selects
+    val geo =
+      if (p0.pixelScale.length >= 2 && p0.tiepoint.length >= 6 && p0.geoKeys.length >= 4) {
+        // GeoKeyDirectory: [ver, rev, minor, nKeys, then (id, loc, cnt, value)*]
+        val keys = p0.geoKeys.drop(4).grouped(4)
+          .collect { case Array(id, 0, 1, v) => id -> v }.toMap
+        val modelType = keys.getOrElse(1024, 0)
+        val epsg = keys.get(if (modelType == 2) 2048 else 3072)
+        epsg.map(code => GeoRef(p0.pixelScale(0), p0.pixelScale(1),
+          p0.tiepoint(3), p0.tiepoint(4), code,
+          geographic = Some(modelType == 2)))
+      } else None
     RasterProfile(p0.width.toInt, p0.height.toInt,
       blockSize = p0.tileW, bands = p0.samplesPerPixel, nodata = nodata,
       resampling = "nearest", overviewCount = Some(data.length - 1),
       dtype = dtype, compression = comp, overviewCompression = ovComp,
-      maskPages = pages.exists(_.isMask))
+      geo = geo, maskPages = pages.exists(_.isMask))
   }
 
   /** Level `level` of the COG at `uri` as a Dataset[Tile]. `profile`

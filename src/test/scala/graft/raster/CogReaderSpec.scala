@@ -69,6 +69,31 @@ class CogReaderSpec extends SparkSpec {
     }
   }
 
+  test("inferProfile recovers the full profile from the file alone, incl. geo") {
+    val prof = RasterProfile(96, 80, blockSize = 16, bands = 2, nodata = -42,
+      dtype = "int16", minOverviewSize = 32, maskPages = true,
+      geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
+    val (uri, _) = writeCog(prof, seed = 94L)
+    val inferred = CogReader.inferProfile(CogReader.readMeta(uri))
+    assert(inferred.width == 96 && inferred.height == 80)
+    assert(inferred.blockSize == 16 && inferred.bands == 2)
+    assert(inferred.dtype == "int16" && inferred.nodata == -42.0)
+    assert(inferred.compression == "deflate" && inferred.maskPages)
+    assert(inferred.maxLevel == prof.maxLevel)
+    val g = inferred.geo.getOrElse(fail("geo not inferred"))
+    assert(g.pixelW == 10.0 && g.pixelH == 10.0)
+    assert(g.originX == 500000.0 && g.originY == 6400000.0)
+    assert(g.epsg == 32633 && !g.isGeographic)
+
+    // geographic CRS goes through the other GeoKey
+    val prof2 = prof.copy(bands = 1, maskPages = false,
+      geo = Some(GeoRef(0.01, 0.01, 149.0, -35.0, 4326)))
+    val (uri2, _) = writeCog(prof2, seed = 95L)
+    val g2 = CogReader.inferProfile(CogReader.readMeta(uri2)).geo
+      .getOrElse(fail("geographic geo not inferred"))
+    assert(g2.epsg == 4326 && g2.isGeographic)
+  }
+
   test("DSv2: level/ty/tx predicates prune tiles at planning") {
     val prof = RasterProfile(96, 80, blockSize = 16, nodata = ND,
       minOverviewSize = 32)
