@@ -306,7 +306,7 @@ object BigTiff {
         // the same way); claiming it for none/jpeg would make strictly
         // tag-honoring readers undo differencing that never happened
         entry(TagPredictor, TypeShort, 1,
-          if (profile.compressionFor(l) == "deflate") TileCodec.predictor(profile.dtype)
+          if (profile.compressionFor(l) == "deflate") profile.effectivePredictor
           else 1)
       if (!pg.isMask && profile.colormap.isDefined)
         entry(TagColorMap, TypeShort, 3 * 256, colorMapOffset)

@@ -149,7 +149,11 @@ object CogReader {
       blockSize = p0.tileW, bands = p0.samplesPerPixel, nodata = nodata,
       resampling = "nearest", overviewCount = Some(data.length - 1),
       dtype = dtype, compression = comp, overviewCompression = ovComp,
-      geo = geo, maskPages = pages.exists(_.isMask))
+      geo = geo, maskPages = pages.exists(_.isMask),
+      // honor the file's Predictor tag: GDAL legitimately writes
+      // predictor 1 for integer deflate; assuming dtype-derived would
+      // un-difference bytes that were never differenced
+      predictorOverride = Some(p0.predictor))
   }
 
   /** Level `level` of the COG at `uri` as a Dataset[Tile]. `profile`

@@ -115,7 +115,14 @@ case class RasterProfile(
       * and 4-byte trailer (reference keeps or strips it depending on
       * chunk layout, ccog/ccog.py:949-950,238-258,430-441; our writer
       * is always row-major so it's a plain config gate, off in v1). */
-    ghost: Boolean = false) {
+    ghost: Boolean = false,
+    /** Predictor override for READING foreign files: our writer always
+      * pairs deflate+integer with predictor 2, but GDAL can emit
+      * predictor 1 (no differencing) for the same dtypes, and decoding
+      * with the wrong assumption silently corrupts pixels.
+      * `CogReader.inferProfile` sets this from the header's Predictor
+      * tag; None = dtype-derived (the write default). */
+    predictorOverride: Option[Int] = None) {
 
   require(width > 0 && height > 0, "raster dims must be positive")
   require(bands >= 1 && bands <= 4,
@@ -161,9 +168,18 @@ case class RasterProfile(
     nodata >= lo && nodata <= hi && nodata == math.floor(nodata)
   }, s"nodata $nodata not representable in $dtype")
 
+  require(predictorOverride.forall(p => p == 1 || p == 2),
+    s"predictor must be 1 or 2, got $predictorOverride")
+
   /** Effective codec for a pyramid level (levels >= 1 may override). */
   def compressionFor(level: Int): String =
     if (level > 0) overviewCompression.getOrElse(compression) else compression
+
+  /** The predictor actually applied/undone under deflate: the header
+    * override when reading a foreign file, else dtype-derived. Used by
+    * encode, decode AND the header writer so the three never disagree. */
+  def effectivePredictor: Int =
+    predictorOverride.getOrElse(TileCodec.predictor(dtype))
 
   /** Number of overview levels, reference semantics
     * (ccog/ccog.py:56-100): floor-div halving until BOTH dims fit

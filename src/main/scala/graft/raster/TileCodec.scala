@@ -387,7 +387,7 @@ object TileCodec {
           // predictor only under deflate: libtiff/GDAL undo it solely
           // for LZW/Deflate codecs, so predicted-but-uncompressed tiles
           // would decode to garbage in external readers
-          if (c == "deflate" && predictor(dtype) == 2)
+          if (c == "deflate" && profile.effectivePredictor == 2)
             applyPredictor(raw, bs * bands, dtypes(dtype)._3, bands)
           if (c == "deflate") deflate(raw, profile.zlevel) else raw
       }
@@ -496,7 +496,10 @@ object TileCodec {
         val raw =
           if (codec == "deflate") inflate(bytes, bs * bs * bands * bp)
           else bytes
-        if (codec == "deflate" && predictor(profile.dtype) == 2)
+        // effectivePredictor, not dtype-derived: a foreign file may
+        // declare predictor 1 for an integer dtype, and un-differencing
+        // bytes that were never differenced corrupts silently
+        if (codec == "deflate" && profile.effectivePredictor == 2)
           undoPredictor(raw, bs * bands, bp, bands)
         deserialize(raw, profile.dtype)
       }

@@ -79,6 +79,23 @@ class CodecSpec extends AnyFunSuite {
     assert(roundTrip("int8", -200.0) == -128.0)
   }
 
+  test("foreign predictor-1 integer deflate decodes via the header override") {
+    // emulate a foreign writer (e.g. GDAL with PREDICTOR unset): raw
+    // sample plane deflated WITHOUT horizontal differencing
+    val t = intValuedTile(16, 16, "int16")
+    val raw = TileCodec.encode(t, profile("int16").copy(compression = "none")).bytes
+    val foreign = TileCodec.deflate(raw)
+    // honoring the file's Predictor=1 tag round-trips exactly...
+    val pRead = profile("int16").copy(predictorOverride = Some(1))
+    assert(TileCodec.decode(foreign, pRead).toSeq == t.pixels.toSeq)
+    // ...while the dtype-derived assumption (predictor 2) would
+    // un-difference bytes that were never differenced — silent garbage
+    assert(TileCodec.decode(foreign, profile("int16")).toSeq != t.pixels.toSeq)
+    // and an override profile is self-consistent for write+read too
+    val enc = TileCodec.encode(t, pRead)
+    assert(TileCodec.decode(enc.bytes, pRead).toSeq == t.pixels.toSeq)
+  }
+
   test("round-trip exactness: float64 arbitrary values, float32 to float precision") {
     val vals = Array.tabulate(256)(i => math.sin(i) * 1e6 + i * 0.001)
     val t = Tile(0, 0, 0, 16, 16, vals, null)
