@@ -152,7 +152,8 @@ class CogScanBuilder(path: String, conf: Map[String, String])
 case class CogTileSpec(level: Int, gw: Int, ti: Int,
     off: Long, cnt: Long, mOff: Long, mCnt: Long)
 
-case class CogInputPartition(uri: String, conf: Map[String, String],
+case class CogInputPartition(uri: String,
+    conf: org.apache.spark.broadcast.Broadcast[Map[String, String]],
     profile: RasterProfile, schema: StructType,
     tiles: Seq[CogTileSpec]) extends InputPartition
 
@@ -177,9 +178,19 @@ class CogScan(path: String, conf: Map[String, String],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // merge the SESSION's Hadoop configuration under the datasource
+    // options (options win): spark.hadoop.* credentials/endpoints must
+    // reach the executors' FileSystem creation, exactly as they do for
+    // the built-in sources — otherwise s3a:// works for parquet but
+    // not for this source
+    import scala.jdk.CollectionConverters._
+    val sessionConf = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val merged = sessionConf ++ conf
     // driver-side: parse the tiny header, prune tiles, slice into
     // round-robin partitions (tile sizes are uniform by construction)
-    val pages = CogReader.readMeta(path, conf)
+    val pages = CogReader.readMeta(path, merged)
     val profile = CogReader.inferProfile(pages)
     val data = pages.filter(!_.isMask)
     val masks = pages.filter(_.isMask)
@@ -193,12 +204,14 @@ class CogScan(path: String, conf: Map[String, String],
     } yield CogTileSpec(level, gw, ti, pg.offsets(ti), pg.counts(ti),
       masks.lift(level).map(_.offsets(ti)).getOrElse(0L),
       masks.lift(level).map(_.counts(ti)).getOrElse(0L))
-    val spark = org.apache.spark.sql.SparkSession.active
     val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism, specs.length))
-    (0 until slices).map { s =>
-      CogInputPartition(path, conf, profile, required,
-        specs.zipWithIndex.collect { case (t, i) if i % slices == s => t })
-    }.toArray[InputPartition]
+    // broadcast once (the merged conf is ~1k entries — don't serialize
+    // it into every partition); single O(tiles) round-robin pass
+    val bcConf = spark.sparkContext.broadcast(merged)
+    val groups = Array.fill(slices)(Seq.newBuilder[CogTileSpec])
+    specs.indices.foreach(i => groups(i % slices) += specs(i))
+    groups.map(g => CogInputPartition(path, bcConf, profile, required, g.result())
+      : InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -215,7 +228,7 @@ class CogPartitionReader(part: CogInputPartition)
 
   private val hconf = {
     val c = new Configuration()
-    part.conf.foreach { case (k, v) => c.set(k, v) }
+    part.conf.value.foreach { case (k, v) => c.set(k, v) }
     c
   }
   private val fsPath = new Path(part.uri)
