@@ -39,6 +39,52 @@ object Ann {
     s
   }
 
+  /** Deterministic hash-spread centroid sample shared by [[ivfTopK]]
+    * and [[ivfNearDupPairs]]: rank by xxhash64 of the id — a uniform
+    * pseudo-random draw independent of any id-correlated structure in
+    * the data (a smallest-strided-ids sample skews probe buckets
+    * whenever content correlates with insertion order, which corpus
+    * ids usually do). orderBy+limit compiles to a distributed top-k
+    * (TakeOrdered), so the driver receives n rows even at 10^9
+    * vectors. */
+  private def sampleCentroids(emb: DataFrame, n: Int): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val out = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(n)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map { case (_, v) => normalize(v) }
+    require(out.nonEmpty, "no centroids sampled")
+    out
+  }
+
+  /** Indices of the `n` centroids nearest to `v` (linear partial
+    * selection — no per-row full sort allocation). */
+  private def topCentroids(cent: Array[Array[Double]], v: Array[Double],
+      n: Int): Array[Int] = {
+    val k = math.min(n, cent.length)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](cent.length)
+    var s = 0
+    while (s < k) {
+      var best = -1
+      var bestD = Double.NegativeInfinity
+      var c = 0
+      while (c < cent.length) {
+        if (!taken(c)) {
+          val d = dot(cent(c), v)
+          if (d > bestD) { bestD = d; best = c }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
   /** Embedding near-dup PAIRS without a precomputed banding label —
     * the unbanded scale path complementing the label-banded
     * q_dedup_embed: every vector is assigned to its `nProbe` nearest
@@ -56,22 +102,17 @@ object Ann {
     val spark = emb.sparkSession
     import spark.implicits._
     val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
-    // same deterministic hash-spread centroid sample as ivfTopK
-    val centroids = emb
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nCentroids)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1).map { case (_, v) => normalize(v) }
-    require(centroids.nonEmpty, "no centroids sampled")
-    val bcCent = spark.sparkContext.broadcast(centroids)
+    val bcCent = spark.sparkContext.broadcast(sampleCentroids(emb, nCentroids))
 
-    // narrow 1→nProbe expansion: (bucket, id, embedding)
+    // narrow 1→nProbe expansion: (bucket, id, embedding). cache(): both
+    // sides of the self-join below read this frame, and uncached the
+    // corpus scan + per-vector normalize/assign would run twice (plain
+    // cache, not checkpoint — lineage intact, LRU-evictable, so no
+    // unpersist obligation)
     val bucketed = typed.flatMap { case (id, raw) =>
       val v = normalize(raw)
-      val cent = bcCent.value
-      cent.indices.sortBy(c => (-dot(cent(c), v), c)).take(nProbe)
-        .iterator.map(b => (b, id, raw))
-    }.toDF("bucket", "id", "embedding")
+      topCentroids(bcCent.value, v, nProbe).iterator.map(b => (b, id, raw))
+    }.toDF("bucket", "id", "embedding").cache()
 
     val a = bucketed.select($"bucket", $"id".as("id_a"), $"embedding".as("va"))
     val b = bucketed.select($"bucket", $"id".as("id_b"), $"embedding".as("vb"))
@@ -95,25 +136,10 @@ object Ann {
     import spark.implicits._
     val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
 
-    // deterministic hash-spread centroid sample: rank by xxhash64 of
-    // the id — a uniform pseudo-random draw that is independent of any
-    // id-correlated structure in the data (the previous smallest-
-    // strided-ids sample skewed probe buckets whenever content
-    // correlates with insertion order, which corpus ids usually do).
-    // orderBy+limit compiles to a distributed top-k (TakeOrdered), so
-    // the driver receives nCentroids rows even at 10^9 vectors.
-    import org.apache.spark.sql.functions.col
-    val centroids = emb
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nCentroids)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1).map { case (_, v) => normalize(v) }
-    require(centroids.nonEmpty, "no centroids sampled")
-    val bcCent = spark.sparkContext.broadcast(centroids)
+    val bcCent = spark.sparkContext.broadcast(sampleCentroids(emb, nCentroids))
 
     def nearestBuckets(v: Array[Double], n: Int): Array[Int] =
-      bcCent.value.indices
-        .sortBy(c => (-dot(bcCent.value(c), v), c)).take(n).toArray
+      topCentroids(bcCent.value, v, n)
 
     // queries: tiny collect + broadcast of (qid, unit vector, probe set)
     val qSet = queryIds.toSet
