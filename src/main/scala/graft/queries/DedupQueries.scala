@@ -87,17 +87,22 @@ object DedupQueries {
     // recomputed, so only DFs that are provably never read again may be
     // unpersisted — tracked here by diffing getPersistentRDDs around
     // each checkpoint (public API; no private LogicalRDD poking).
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      // the same job may also materialize OTHER persisted datasets the
-      // plan reads (e.g. the shared shingle cache); keep only the
-      // locally-checkpointed RDD this call created so we never free a
-      // cache someone else still uses
-      val added = (sc.getPersistentRDDs -- before).values
-        .filter(_.isCheckpointed).toSeq
-      (out, added)
-    }
+    // Serialized under DedupQueries.checkpointLock: a CONCURRENT
+    // localCheckpoint landing between the snapshot and the diff would
+    // otherwise be captured — and later unpersisted — by this call,
+    // destroying blocks whose truncated lineage cannot recompute.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+      DedupQueries.checkpointLock.synchronized {
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint()
+        // the same job may also materialize OTHER persisted datasets
+        // the plan reads (e.g. the shared shingle cache); keep only the
+        // locally-checkpointed RDD this call created so we never free a
+        // cache someone else still uses
+        val added = (sc.getPersistentRDDs -- before).values
+          .filter(_.isCheckpointed).toSeq
+        (out, added)
+      }
 
     // checkpoint the expensive dedupNgram subplan ONCE: both branches
     // of the bidirectional union below reference it, and without this
@@ -149,9 +154,33 @@ object DedupQueries {
       iter += 1
     }
     // the returned DF reads only the FINAL round's blocks; edges are
-    // done. (Final labels blocks stay persisted for the consumer.)
+    // done. The final labels blocks MUST stay persisted for the
+    // consumer (truncated lineage — dropping them would break the
+    // result), so they are handed to the retained registry for
+    // releaseClusterCheckpoints() to free once results are consumed.
     edgesBlocks.foreach(_.unpersist(blocking = false))
+    prevBlocks.foreach(retainedClusterBlocks.add)
     labels.orderBy($"doc_id")
+  }
+
+  /** Lock serializing getPersistentRDDs-diff checkpoint tracking. */
+  private[queries] val checkpointLock = new Object
+
+  // final-round label blocks of every dedupClusters call, pinned until
+  // the caller is done with the results (the same long-lived-session
+  // concern evictShingleCache addresses for the shingle frames)
+  private val retainedClusterBlocks =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Unpersist the final-round label blocks retained by prior
+    * [[dedupClusters]] calls. Call ONLY after those results are fully
+    * consumed — their lineage is truncated and cannot recompute. */
+  def releaseClusterCheckpoints(): Unit = {
+    var r = retainedClusterBlocks.poll()
+    while (r != null) {
+      r.unpersist(blocking = false)
+      r = retainedClusterBlocks.poll()
+    }
   }
 
   val dedupClustersSql: String = {

@@ -65,6 +65,12 @@ class ClusterSpec extends SparkSpec {
     // next call rebuilds them from scratch
     graft.queries.PipelineQueries.evictShingleCache()
     assert(graft.queries.PipelineQueries.keptShingles(spark, sfDir).count() > 0)
+
+    // release hook frees the retained final-round blocks of every call
+    // made so far (results consumed above)
+    graft.queries.DedupQueries.releaseClusterCheckpoints()
+    val released = sc.getPersistentRDDs.count(_._2.isCheckpointed)
+    assert(released == 0, s"retained cluster checkpoints not freed: $released")
   }
 
   test("q_dedup_clusters labels are min-reachable and cover exactly paired docs") {
