@@ -21,13 +21,15 @@ object Bench {
     // (e.g. the shared shingle cache) across rounds
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.ArrayBuffer[String]()
+    // min-of-N (default 2): single-run timing produced >5x phantom
+    // swings in consecutive driver rounds (GC/JIT pauses recorded as
+    // query regressions); the min of two runs is the signal. Clamped
+    // to >= 1 and parse-safe: a bad env value must not kill the bench.
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        // min-of-N (default 2): single-run timing produced >5x phantom
-        // swings in consecutive driver rounds (GC/JIT pauses recorded
-        // as query regressions); the min of two runs is the signal
-        val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

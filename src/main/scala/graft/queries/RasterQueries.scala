@@ -136,12 +136,10 @@ object RasterQueries {
         "mean_valid", "sha256")
   }
 
-  /** Write a small COG then read it back distributed (CogReader ranged
-    * reads): per-level tile counts and valid-pixel sums equal on both
-    * sides of the round trip. Fixed 512² regardless of SF — the write
-    * throughput story lives in q_cog_write_bytes. */
-  def rasterRead(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** The fixed 512² sf-independent COG both read-back queries target
+    * (shared so the two stay byte-identical): returns its file URI and
+    * profile. */
+  private def writeReadbackCog(spark: SparkSession): (String, RasterProfile) = {
     val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
       resampling = "average", minOverviewSize = 64, maskPages = true)
     val dir = java.nio.file.Files.createTempDirectory("graft-read-q").toString
@@ -149,28 +147,54 @@ object RasterQueries {
       SyntheticRaster.generate(spark, prof, seed = 29L), prof, dir)
     val f = java.nio.file.Paths.get(dir, "assembled.tif")
     java.nio.file.Files.write(f, bytes)
-    // levels 0 and max exercise both ends of the page chain without
-    // one read job per level
-    val perLevel = Seq(0, prof.maxLevel).distinct.map { l =>
-      CogReader.read(spark, "file://" + f, prof, l)
-        .map { t =>
-          var valid = 0L
-          var s = 0.0
-          var i = 0
-          while (i < t.h * t.w) {
-            if (t.mask == null || t.mask(i) != 0) { valid += 1; s += t.pixels(i) }
-            i += 1
-          }
-          (t.level, 1L, valid, s)
-        }
-        .toDF("level", "n_tiles", "valid_px", "sum_v")
-    }.reduce(_ union _)
+    ("file://" + f, prof)
+  }
+
+  /** (valid count, valid sum) over one tile plane — the per-tile half
+    * of the read-back invariant, shared by both read queries. */
+  private def validAndSum(h: Int, w: Int, px: Array[Double],
+      mask: Array[Byte]): (Long, Double) = {
+    var valid = 0L
+    var s = 0.0
+    var i = 0
+    while (i < h * w) {
+      if (mask == null || mask(i) != 0) { valid += 1; s += px(i) }
+      i += 1
+    }
+    (valid, s)
+  }
+
+  /** Per-level roll-up of (level, n_tiles, valid_px, sum_v) rows —
+    * the shared final aggregation of both read queries. */
+  private def perLevelStats(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
     import org.apache.spark.sql.functions._
-    perLevel.groupBy($"level")
+    df.groupBy($"level")
       .agg(sum($"n_tiles").as("n_tiles"), sum($"valid_px").as("valid_px"),
         round(sum($"sum_v".cast("decimal(38,10)")).cast("double") /
           sum($"valid_px"), 4).as("mean_valid"))
       .orderBy($"level")
+  }
+
+  /** Write a small COG then read it back distributed (CogReader ranged
+    * reads): per-level tile counts and valid-pixel sums equal on both
+    * sides of the round trip. Fixed 512² regardless of SF — the write
+    * throughput story lives in q_cog_write_bytes. */
+  def rasterRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (uri, prof) = writeReadbackCog(spark)
+    // levels 0 and max exercise both ends of the page chain without
+    // one read job per level
+    val perLevel = Seq(0, prof.maxLevel).distinct.map { l =>
+      CogReader.read(spark, uri, prof, l)
+        .map { t =>
+          val (valid, s) = validAndSum(t.h, t.w, t.pixels, t.mask)
+          (t.level, 1L, valid, s)
+        }
+        .toDF("level", "n_tiles", "valid_px", "sum_v")
+    }.reduce(_ union _)
+    perLevelStats(perLevel)
   }
 
   /** The DSv2 face of the read path: `spark.read.format("cog")` with
@@ -180,37 +204,20 @@ object RasterQueries {
     * through the SQL surface instead of the library call. */
   def rasterDsv2(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
-      resampling = "average", minOverviewSize = 64, maskPages = true)
-    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-q").toString
-    val (bytes, _) = CogWriter.writeBytes(
-      SyntheticRaster.generate(spark, prof, seed = 29L), prof, dir)
-    val f = java.nio.file.Paths.get(dir, "assembled.tif")
-    java.nio.file.Files.write(f, bytes)
-    import org.apache.spark.sql.functions._
+    val (uri, prof) = writeReadbackCog(spark)
     // predicate prunes the middle levels at PLANNING; the per-tile
     // invariant is a typed map (HOF lambdas are interpreted per
     // element — the measured 15x trap this repo already avoids)
-    spark.read.format("cog").load("file://" + f)
+    val perTile = spark.read.format("cog").load(uri)
       .where($"level" === 0 || $"level" === prof.maxLevel)
       .select($"level", $"h", $"w", $"pixels", $"mask")
       .as[(Int, Int, Int, Array[Double], Array[Byte])]
       .map { case (level, h, w, px, mask) =>
-        var valid = 0L
-        var s = 0.0
-        var i = 0
-        while (i < h * w) {
-          if (mask == null || mask(i) != 0) { valid += 1; s += px(i) }
-          i += 1
-        }
+        val (valid, s) = validAndSum(h, w, px, mask)
         (level, 1L, valid, s)
       }
       .toDF("level", "n_tiles", "valid_px", "sum_v")
-      .groupBy($"level")
-      .agg(sum($"n_tiles").as("n_tiles"), sum($"valid_px").as("valid_px"),
-        round(sum($"sum_v".cast("decimal(38,10)")).cast("double") /
-          sum($"valid_px"), 4).as("mean_valid"))
-      .orderBy($"level")
+    perLevelStats(perTile)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
