@@ -123,8 +123,27 @@ object CogReader {
       case 8 => "deflate"
       case c => sys.error(s"unsupported compression code $c")
     }
+    // materializeTile strides rows by the profile's single blockSize:
+    // rectangular or per-level-varying tile sizes (legal TIFF) would
+    // decode with wrong strides — fail loudly instead of corrupting
+    require(p0.tileW == p0.tileH,
+      s"unsupported non-square tiles ${p0.tileW}x${p0.tileH}")
+    data.foreach(pg => require(pg.tileW == p0.tileW && pg.tileH == p0.tileH,
+      s"mixed tile sizes across pages: ${pg.tileW}x${pg.tileH} vs ${p0.tileW}x${p0.tileH}"))
     val comp = codec(p0.compression)
     val ovComp = data.lift(1).map(pg => codec(pg.compression)).filter(_ != comp)
+    // decode applies ONE codec + predictor to every overview level: a
+    // foreign file mixing codecs (or deflate predictors) per level
+    // would decode deeper overviews wrongly — reject loudly
+    data.drop(1).foreach { pg =>
+      require(codec(pg.compression) == ovComp.getOrElse(comp),
+        s"mixed overview compressions: ${pg.compression} vs first overview")
+    }
+    // predictor only applies under deflate (jpeg/none pages always tag
+    // 1); all deflate pages must agree since decode undoes one value
+    val deflatePreds = data.filter(_.compression == 8).map(_.predictor).distinct
+    require(deflatePreds.length <= 1,
+      s"mixed deflate predictors across pages: $deflatePreds")
     val nodata =
       if (p0.nodataAscii.nonEmpty) p0.nodataAscii.toDouble
       else if (dtype.startsWith("uint")) 0.0
@@ -152,8 +171,9 @@ object CogReader {
       geo = geo, maskPages = pages.exists(_.isMask),
       // honor the file's Predictor tag: GDAL legitimately writes
       // predictor 1 for integer deflate; assuming dtype-derived would
-      // un-difference bytes that were never differenced
-      predictorOverride = Some(p0.predictor))
+      // un-difference bytes that were never differenced. Taken from the
+      // deflate pages (predictor is meaningless under jpeg/none)
+      predictorOverride = Some(deflatePreds.headOption.getOrElse(p0.predictor)))
   }
 
   /** Level `level` of the COG at `uri` as a Dataset[Tile]. `profile`

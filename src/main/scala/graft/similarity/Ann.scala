@@ -78,6 +78,13 @@ object Ann {
         }
         c += 1
       }
+      // NaN embeddings make every dot NaN so no candidate ever wins;
+      // degrade to index order instead of crashing the job on taken(-1)
+      if (best < 0) {
+        var c2 = 0
+        while (c2 < cent.length && taken(c2)) c2 += 1
+        best = c2
+      }
       taken(best) = true
       out(s) = best
       s += 1

@@ -232,10 +232,17 @@ class CogPartitionReader(part: CogInputPartition)
     c
   }
   private val fsPath = new Path(part.uri)
+  // opened only becomes true AFTER fs.open succeeds: a lazy val that
+  // flipped the flag first would make close() re-attempt (and re-throw)
+  // a failed open
   private var opened = false
-  private lazy val in = {
-    opened = true
-    fsPath.getFileSystem(hconf).open(fsPath)
+  private var inVar: org.apache.hadoop.fs.FSDataInputStream = _
+  private def in = {
+    if (!opened) {
+      inVar = fsPath.getFileSystem(hconf).open(fsPath)
+      opened = true
+    }
+    inVar
   }
   private val it = part.tiles.iterator
   private var row: InternalRow = _
