@@ -407,14 +407,37 @@ object BigTiff {
     def isMask: Boolean = (subfileType & 4L) != 0
   }
 
+  /** Parse the IFD chain of a little-endian TIFF — BigTIFF (magic 43,
+    * what CogWriter emits) OR classic TIFF (magic 42, what GDAL writes
+    * by default for files under 4 GiB — the most common foreign COG).
+    * Entry decoding is TYPE-aware (element size + inline-vs-external by
+    * payload vs value-slot width), so SHORT TileByteCounts, LONG
+    * offsets, external BitsPerSample arrays etc. all read correctly in
+    * both layouts. Big-endian ("MM") files are rejected loudly. */
   def readPages(file: Array[Byte]): Seq[PageMeta] = {
     val buf = ByteBuffer.wrap(file).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getShort(0) == 0x4949.toShort, "not little-endian TIFF")
-    require(buf.getShort(2) == 43, "not BigTIFF")
+    val magic = buf.getShort(2).toInt
+    require(magic == 42 || magic == 43, s"not TIFF/BigTIFF (magic $magic)")
+    val big = magic == 43
+    val entryLen = if (big) IfdEntryLen.toInt else 12
+    val slotLen = if (big) 8 else 4
+    def uint(at: Int): Long = buf.getInt(at) & 0xffffffffL
+    // TIFF 6.0 + BigTIFF element widths by field type
+    def elemSize(typ: Int): Int = typ match {
+      case 1 | 2 | 6 | 7 => 1      // BYTE ASCII SBYTE UNDEFINED
+      case 3 | 8 => 2              // SHORT SSHORT
+      case 4 | 9 | 11 | 13 => 4    // LONG SLONG FLOAT IFD
+      case 5 | 10 | 12 => 8        // RATIONAL SRATIONAL DOUBLE
+      case 16 | 17 | 18 => 8       // LONG8 SLONG8 IFD8
+      case t => sys.error(s"unsupported TIFF field type $t")
+    }
     val pages = Seq.newBuilder[PageMeta]
-    var ifd = buf.getLong(8)
+    var ifd = if (big) buf.getLong(8) else uint(4)
     while (ifd != 0) {
-      val n = buf.getLong(ifd.toInt).toInt
+      val n = if (big) buf.getLong(ifd.toInt).toInt
+              else buf.getShort(ifd.toInt) & 0xffff
+      val entriesBase = ifd.toInt + (if (big) 8 else 2)
       var width = 0L; var height = 0L; var tw = 0; var th = 0
       var comp = 1; var pred = 1; var bits = 0; var sf = 1
       var subType = 0L; var photo = 1
@@ -427,54 +450,61 @@ object BigTiff {
       var spp = 1; var ndAscii = ""
       var offArr: Array[Long] = null; var cntArr: Array[Long] = null
       for (e <- 0 until n) {
-        val base = ifd.toInt + 8 + e * IfdEntryLen.toInt
+        val base = entriesBase + e * entryLen
         val tag = buf.getShort(base) & 0xffff
-        val count = buf.getLong(base + 4)
-        val value = buf.getLong(base + 12)
-        def long8Array(): Array[Long] =
-          if (count == 1) Array(value)
-          else Array.tabulate(count.toInt)(i => buf.getLong(value.toInt + 8 * i))
+        val typ = buf.getShort(base + 2) & 0xffff
+        val count = (if (big) buf.getLong(base + 4) else uint(base + 4)).toInt
+        val es = elemSize(typ)
+        // value slot: after tag(2) + type(2) + count(4 or 8). The
+        // payload lives in the slot when it fits, else the slot holds
+        // its absolute offset
+        val slotAt = base + (if (big) 12 else 8)
+        val dataAt: Int =
+          if (es.toLong * count <= slotLen) slotAt
+          else (if (big) buf.getLong(slotAt) else uint(slotAt)).toInt
+        def elem(i: Int): Long = es match {
+          case 1 => file(dataAt + i) & 0xffL
+          case 2 => buf.getShort(dataAt + 2 * i) & 0xffffL
+          case 4 => uint(dataAt + 4 * i)
+          case 8 => buf.getLong(dataAt + 8 * i)
+        }
+        def longArray(): Array[Long] = Array.tabulate(count)(elem)
+        def shortArray(): Array[Int] = Array.tabulate(count)(i => elem(i).toInt)
+        def dblArray(): Array[Double] =
+          Array.tabulate(count)(i => buf.getDouble(dataAt + 8 * i))
+        def ascii(): String = new String(file, dataAt, count, "US-ASCII")
         tag match {
-          case TagNewSubfileType => subType = value
-          case TagImageWidth => width = value
-          case TagImageLength => height = value
-          case TagTileWidth => tw = value.toInt
-          case TagTileLength => th = value.toInt
-          case TagCompression => comp = value.toInt
-          case TagPredictor => pred = value.toInt
-          // count>1 packs SHORTs into the value slot; low 16 bits = band 0
-          case TagBitsPerSample => bits = (value & 0xffff).toInt
-          case TagSampleFormat => sf = (value & 0xffff).toInt
-          case TagPhotometric => photo = value.toInt
-          case TagTileOffsets => offArr = long8Array()
-          case TagTileByteCounts => cntArr = long8Array()
-          case TagSamplesPerPixel => spp = value.toInt
+          case TagNewSubfileType => subType = elem(0)
+          case TagImageWidth => width = elem(0)
+          case TagImageLength => height = elem(0)
+          case TagTileWidth => tw = elem(0).toInt
+          case TagTileLength => th = elem(0).toInt
+          case TagCompression => comp = elem(0).toInt
+          case TagPredictor => pred = elem(0).toInt
+          // count>1: element 0 = band 0 (all bands equal for us)
+          case TagBitsPerSample => bits = elem(0).toInt
+          case TagSampleFormat => sf = elem(0).toInt
+          case TagPhotometric => photo = elem(0).toInt
+          case TagTileOffsets => offArr = longArray()
+          case TagTileByteCounts => cntArr = longArray()
+          case TagSamplesPerPixel => spp = elem(0).toInt
           case TagGdalNodata =>
-            // inline when count <= 8 (bytes live in the value slot),
-            // external otherwise
-            val src = if (count <= 8) base + 12 else value.toInt
-            ndAscii = new String(file, src, count.toInt, "US-ASCII")
-              .takeWhile(c => c != '\u0000' && c != ' ')
-          case TagGdalMetadata =>
-            metaXml = new String(file, value.toInt, count.toInt, "US-ASCII")
-          case TagModelPixelScale =>
-            scaleArr = Array.tabulate(count.toInt)(i => buf.getDouble(value.toInt + 8 * i))
-          case TagModelTiepoint =>
-            tieArr = Array.tabulate(count.toInt)(i => buf.getDouble(value.toInt + 8 * i))
-          case TagGeoKeyDirectory =>
-            keyArr = Array.tabulate(count.toInt)(i => buf.getShort(value.toInt + 2 * i) & 0xffff)
-          case TagColorMap =>
-            cmapArr = Array.tabulate(count.toInt)(i => buf.getShort(value.toInt + 2 * i) & 0xffff)
-          case TagYCbCrSubSampling =>
-            // two SHORTs packed inline in the value slot
-            ycArr = Array((value & 0xffff).toInt, ((value >> 16) & 0xffff).toInt)
+            ndAscii = ascii().takeWhile(c => c != '\u0000' && c != ' ')
+          case TagGdalMetadata => metaXml = ascii()
+          case TagModelPixelScale => scaleArr = dblArray()
+          case TagModelTiepoint => tieArr = dblArray()
+          case TagGeoKeyDirectory => keyArr = shortArray()
+          case TagColorMap => cmapArr = shortArray()
+          case TagYCbCrSubSampling => ycArr = shortArray()
           case _ => ()
         }
       }
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
         subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr,
         cmapArr, ycArr, spp, ndAscii)
-      ifd = buf.getLong(ifd.toInt + 8 + n * IfdEntryLen.toInt)
+      ifd =
+        if (big) buf.getLong(entriesBase + n * entryLen)
+        else uint(entriesBase + n * entryLen)
     }
     pages.result()
   }

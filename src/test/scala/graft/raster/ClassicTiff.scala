@@ -1,0 +1,112 @@
+package graft.raster
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** Test-only emitter of CLASSIC (magic 42, 4-byte offsets) little-endian
+  * tiled TIFF — the layout GDAL writes by default for files under 4 GiB,
+  * i.e. the most common FOREIGN COG. CogWriter itself always emits
+  * BigTIFF (like the reference, ccog/ccog.py:26 `bigtiff: True`), so
+  * this fixture exists purely to exercise the reader's classic path
+  * against tiles whose expected pixels we control.
+  *
+  * Layout per TIFF 6.0: 8-byte header | tile data | per page
+  * (external tag payloads | IFD). Tag payloads ≤ 4 bytes are inline in
+  * the value slot, larger ones external — the spec's inline rule. */
+object ClassicTiff {
+
+  private case class Entry(tag: Int, typ: Int, count: Int, payload: Array[Byte])
+
+  private def shorts(vs: Int*): Array[Byte] = {
+    val b = ByteBuffer.allocate(2 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(v => b.putShort(v.toShort)); b.array()
+  }
+  private def longs(vs: Long*): Array[Byte] = {
+    val b = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(v => b.putInt(v.toInt)); b.array()
+  }
+
+  private def dtypeCodes(dtype: String): (Int, Int) = dtype match {
+    case "uint8" => (8, 1)
+    case "int8" => (8, 2)
+    case "uint16" => (16, 1)
+    case "int16" => (16, 2)
+    case "uint32" => (32, 1)
+    case "int32" => (32, 2)
+    case "float32" => (32, 3)
+    case "float64" => (64, 3)
+    case d => sys.error(s"unsupported dtype $d")
+  }
+
+  /** `levelTiles(l)` = level-l encoded tile blobs in row-major (ty, tx)
+    * order (empty array = sparse tile → offset 0 / count 0). */
+  def emit(prof: RasterProfile, levelTiles: Seq[Array[Array[Byte]]]): Array[Byte] = {
+    val out = ArrayBuffer[Byte]()
+    def pos: Int = out.length
+    def put(bytes: Array[Byte]): Unit = out ++= bytes
+    def putAt(at: Int, bytes: Array[Byte]): Unit = {
+      var i = 0; while (i < bytes.length) { out(at + i) = bytes(i); i += 1 }
+    }
+    // header: "II", magic 42, first-IFD offset patched once known
+    put(Array[Byte](0x49, 0x49)); put(shorts(42)); put(longs(0L))
+    // tile data region (word-aligned blobs)
+    val tileOffs: Seq[Array[Long]] = levelTiles.map(_.map { blob =>
+      if (blob.isEmpty) 0L
+      else { val o = pos.toLong; put(blob); if (pos % 2 == 1) put(Array[Byte](0)); o }
+    })
+    val (bits, sfCode) = dtypeCodes(prof.dtype)
+    var prevNextPtr = 4 // header slot holding the first IFD offset
+    for (l <- levelTiles.indices) {
+      val (lw, lh) = prof.levelDims(l)
+      val n = levelTiles(l).length
+      val compCode = prof.compressionFor(l) match {
+        case "none" => 1
+        case "jpeg" => 7
+        case "deflate" => 8
+        case c => sys.error(s"unsupported fixture compression $c")
+      }
+      val pred =
+        if (prof.compressionFor(l) == "deflate") prof.effectivePredictor else 1
+      val nodataAscii = {
+        val s = if (prof.nodata == prof.nodata.toLong.toDouble)
+          prof.nodata.toLong.toString else prof.nodata.toString
+        (s + "\u0000").getBytes("US-ASCII")
+      }
+      val entries = Seq(
+        Entry(254, 4, 1, longs(if (l == 0) 0L else 1L)),
+        Entry(256, 4, 1, longs(lw)),
+        Entry(257, 4, 1, longs(lh)),
+        Entry(258, 3, prof.bands, shorts(Seq.fill(prof.bands)(bits): _*)),
+        Entry(259, 3, 1, shorts(compCode)),
+        Entry(262, 3, 1, shorts(1)),
+        Entry(277, 3, 1, shorts(prof.bands)),
+        Entry(317, 3, 1, shorts(pred)),
+        Entry(322, 3, 1, shorts(prof.blockSize)),
+        Entry(323, 3, 1, shorts(prof.blockSize)),
+        Entry(324, 4, n, longs(tileOffs(l).toSeq: _*)),
+        Entry(325, 4, n, longs(levelTiles(l).map(_.length.toLong).toSeq: _*)),
+        Entry(339, 3, prof.bands, shorts(Seq.fill(prof.bands)(sfCode): _*)),
+        Entry(42113, 2, nodataAscii.length, nodataAscii)
+      ).sortBy(_.tag)
+      // external payloads first, remembering where each landed
+      val extOff: Map[Int, Long] = entries.collect {
+        case e if e.payload.length > 4 =>
+          val o = pos.toLong
+          put(e.payload); if (pos % 2 == 1) put(Array[Byte](0))
+          e.tag -> o
+      }.toMap
+      // the IFD itself
+      val ifdAt = pos
+      putAt(prevNextPtr, longs(ifdAt.toLong))
+      put(shorts(entries.length))
+      for (e <- entries) {
+        put(shorts(e.tag, e.typ)); put(longs(e.count.toLong))
+        if (e.payload.length <= 4) put(e.payload.padTo(4, 0.toByte))
+        else put(longs(extOff(e.tag)))
+      }
+      prevNextPtr = pos
+      put(longs(0L)) // next-IFD pointer, patched by the next page
+    }
+    out.toArray
+  }
+}

@@ -1,0 +1,98 @@
+package graft.raster
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Foreign classic-TIFF (magic 42) read path: GDAL emits classic
+  * little-endian TIFF by default for files under 4 GiB, so most
+  * real-world COGs arrive in this layout even though the reference —
+  * and CogWriter — always write BigTIFF (ccog/ccog.py:26). The fixture
+  * bytes come from [[ClassicTiff]], with tiles encoded by the same
+  * TileCodec the engine writes with, so expected pixels are exact. */
+class ForeignTiffSpec extends SparkSpec {
+
+  val ND = -9999.0
+
+  /** Encode `prof`'s synthetic pyramid as classic-TIFF bytes; returns
+    * (uri, expected tiles keyed by (level, ty, tx)). */
+  def writeClassic(prof: RasterProfile, seed: Long): (String, Map[(Int, Int, Int), Tile]) = {
+    val levels = Pyramid.build(SyntheticRaster.generate(spark, prof, seed), prof)
+    val tiles = levels.map(_.collect())
+    levels.foreach(_.unpersist())
+    val expected = tiles.flatten.map(t => (t.level, t.ty, t.tx) -> t).toMap
+    val blobs = tiles.zipWithIndex.map { case (ts, l) =>
+      val (gw, _) = prof.gridDims(l)
+      ts.sortBy(t => t.ty * gw + t.tx).map(t => TileCodec.encode(t, prof).bytes)
+    }
+    val bytes = ClassicTiff.emit(prof, blobs)
+    val dir = Files.createTempDirectory("graft-classic").toString
+    val f = Paths.get(dir, "classic.tif")
+    Files.write(f, bytes)
+    ("file://" + f, expected)
+  }
+
+  test("classic-TIFF header parses and inferProfile recovers the profile") {
+    val prof = RasterProfile(48, 32, blockSize = 16, bands = 1, nodata = ND,
+      minOverviewSize = 16)
+    val (uri, _) = writeClassic(prof, seed = 7L)
+    val pages = CogReader.readMeta(uri)
+    assert(pages.length == prof.maxLevel + 1)
+    assert(pages.head.width == 48 && pages.head.height == 32)
+    assert(pages.head.tileW == 16 && pages.head.compression == 8)
+    val inferred = CogReader.inferProfile(pages)
+    assert(inferred.width == 48 && inferred.height == 32)
+    assert(inferred.blockSize == 16 && inferred.bands == 1)
+    assert(inferred.dtype == "float64" && inferred.nodata == ND)
+    assert(inferred.compression == "deflate")
+  }
+
+  test("classic-TIFF COG round-trips through CogReader at every level") {
+    val prof = RasterProfile(48, 32, blockSize = 16, bands = 1, nodata = ND,
+      minOverviewSize = 16)
+    val (uri, expected) = writeClassic(prof, seed = 11L)
+    val inferred = CogReader.inferProfile(CogReader.readMeta(uri))
+    for (l <- 0 to inferred.maxLevel) {
+      val got = CogReader.read(spark, uri, inferred, l).collect()
+      val (gw, gh) = prof.gridDims(l)
+      assert(got.length == gw * gh, s"level $l tile count")
+      for (t <- got) {
+        val e = expected((l, t.ty, t.tx))
+        assert(t.h == e.h && t.w == e.w)
+        for (i <- 0 until t.h * t.w) {
+          val want = if (e.valid(i, ND)) e.pixels(i) else ND
+          assert(t.pixels(i) == want, s"level $l tile(${t.ty},${t.tx}) px $i")
+        }
+      }
+    }
+  }
+
+  test("classic-TIFF reads through the DSv2 source (multiband uint8)") {
+    val prof = RasterProfile(48, 32, blockSize = 16, bands = 2, nodata = 0,
+      dtype = "uint8", minOverviewSize = 16)
+    val (uri, expected) = writeClassic(prof, seed = 13L)
+    val df = spark.read.format("cog").load(uri)
+    val got = df.collect()
+    assert(got.length == (0 to prof.maxLevel).map(prof.tilesPerLevel).sum)
+    for (r <- got) {
+      val (l, ty, tx) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      val e = expected((l, ty, tx))
+      val px = r.getSeq[Double](r.fieldIndex("pixels"))
+      // expected goes through the same uint8 quantization encode applies
+      def q8(v: Double): Double =
+        if (v <= 0) 0 else if (v >= 255) 255 else math.round(v).toDouble
+      for (b <- 0 until 2; i <- 0 until e.h * e.w) {
+        val want = if (e.valid(b * e.h * e.w + i, 0)) q8(e.pixels(b * e.h * e.w + i)) else 0.0
+        assert(px(b * e.h * e.w + i) == want, s"dsv2 level $l tile($ty,$tx) band $b px $i")
+      }
+    }
+  }
+
+  test("big-endian and bad-magic files are rejected loudly") {
+    val mm = Array[Byte](0x4d, 0x4d, 0, 42, 0, 0, 0, 8)
+    val ex = intercept[IllegalArgumentException](BigTiff.readPages(mm))
+    assert(ex.getMessage.contains("little-endian"))
+    val bad = Array[Byte](0x49, 0x49, 41, 0, 8, 0, 0, 0)
+    val ex2 = intercept[IllegalArgumentException](BigTiff.readPages(bad))
+    assert(ex2.getMessage.contains("magic"))
+  }
+}
