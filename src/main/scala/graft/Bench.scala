@@ -48,6 +48,7 @@ object Bench {
         // isolated rerun.
         queries.DedupQueries.releaseClusterCheckpoints()
         queries.PipelineQueries.evictShingleCache()
+        similarity.Ann.releaseBucketedFrames()
         spark.catalog.clearCache()
         // the releases unpersist non-blocking; give the block manager a
         // beat and compact the heap so the NEXT query's timer doesn't

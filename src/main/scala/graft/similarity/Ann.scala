@@ -50,13 +50,29 @@ object Ann {
   private def sampleCentroids(emb: DataFrame, n: Int): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val out = emb
+    // 2× oversample, then greedy near-duplicate merge: a duplicate-
+    // heavy corpus (the very thing near-dup queries run on) otherwise
+    // yields several near-identical centroids, and the probe ranking
+    // among copies is noise — two near-dup vectors can draw disjoint
+    // probe sets over the copies and never co-bucket (measured recall
+    // 0.70 on a planted dense cluster without this). Keeping one
+    // representative per >=0.98-cosine clique restores "dense region
+    // = one bucket". Driver cost O((2n)^2 · dim) on the already-tiny
+    // sample.
+    val sampled = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(n)
+      .limit(2 * n)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1).map { case (_, v) => normalize(v) }
-    require(out.nonEmpty, "no centroids sampled")
-    out
+    val kept = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var i = 0
+    while (i < sampled.length && kept.length < n) {
+      val c = sampled(i)
+      if (!kept.exists(k => dot(k, c) >= 0.98)) kept += c
+      i += 1
+    }
+    require(kept.nonEmpty, "no centroids sampled")
+    kept.toArray
   }
 
   /** Indices of the `n` centroids nearest to `v` (linear partial
@@ -105,25 +121,27 @@ object Ann {
     * EmbedIvfSpec). At 10^9 vectors the pair work is Σ bucket² instead
     * of corpus², the same bound IVF gives the top-k path. */
   def ivfNearDupPairs(emb: DataFrame, minCos: Double,
-      nCentroids: Int, nProbe: Int = 2): DataFrame = {
+      nCentroids: Int, nProbe: Int = 2,
+      /** Buckets above this size are salt-split before the self-join —
+        * the skew guard MinHash gets from its df cap. One dense region
+        * (exactly what a duplicate-heavy corpus has) otherwise lands
+        * its whole quadratic pair work on ONE join task. The salt
+        * scheme (left side hash-salted into ceil(n/cap) parts, right
+        * side replicated to every salt) changes NOTHING about which
+        * pairs are compared — recall and precision are bit-identical
+        * to the uncapped join — it only bounds the left group feeding
+        * any single task at `bucketCap` rows, spreading the bucket's
+        * irreducible work across ceil(n/cap) tasks. (A 2nd-nearest-
+        * centroid sub-key was tried and rejected: with centroids
+        * sampled from the corpus, a dense region yields several
+        * near-identical centroids and the 2nd-nearest rank becomes
+        * noise, scattering exactly the duplicate groups the query
+        * exists to find — measured recall 0.25 in EmbedIvfSpec.) */
+      bucketCap: Int = 100000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
-    val bcCent = spark.sparkContext.broadcast(sampleCentroids(emb, nCentroids))
-
-    // narrow 1→nProbe expansion: (bucket, id, embedding). cache(): both
-    // sides of the self-join below read this frame, and uncached the
-    // corpus scan + per-vector normalize/assign would run twice (plain
-    // cache, not checkpoint — lineage intact, LRU-evictable, so no
-    // unpersist obligation)
-    val bucketed = typed.flatMap { case (id, raw) =>
-      val v = normalize(raw)
-      topCentroids(bcCent.value, v, nProbe).iterator.map(b => (b, id, raw))
-    }.toDF("bucket", "id", "embedding").cache()
-
-    val a = bucketed.select($"bucket", $"id".as("id_a"), $"embedding".as("va"))
-    val b = bucketed.select($"bucket", $"id".as("id_b"), $"embedding".as("vb"))
-    a.join(b, Seq("bucket"))
+    val (a, b) = saltedSides(emb, nCentroids, nProbe, bucketCap)
+    a.join(b, Seq("bucket", "salt"))
       .filter($"id_a" < $"id_b")
       .withColumn("cos_raw", expr("cosine_sim(va, vb)"))
       .filter($"cos_raw" >= minCos)
@@ -132,6 +150,66 @@ object Ann {
       .groupBy($"id_a", $"id_b")
       .agg(round(first($"cos_raw"), 4).as("cosine"))
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** The two salted join sides behind [[ivfNearDupPairs]], both
+    * (bucket, salt, id_?, v?). Buckets at-or-under `bucketCap` use a
+    * single salt 0; a bucket of n > bucketCap rows gets S = ceil(n /
+    * bucketCap) salts — the LEFT side keeps one row per member (salt =
+    * xxhash64(id) mod S, so each left group is ~bucketCap rows), the
+    * RIGHT side replicates each member to all S salts. Every
+    * same-bucket pair therefore meets in exactly one salt group, in
+    * both orientations, exactly as in the unsalted join. cache(): the
+    * size scan + both sides read the bucketed frame; registered for
+    * release so a long-lived session can return the storage (same
+    * pattern as the CC label blocks). Package-visible so EmbedIvfSpec
+    * can assert the split structure directly. */
+  private[similarity] def saltedSides(emb: DataFrame, nCentroids: Int,
+      nProbe: Int, bucketCap: Int): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    val bcCent = spark.sparkContext.broadcast(sampleCentroids(emb, nCentroids))
+    val bucketed = typed.flatMap { case (id, raw) =>
+      val v = normalize(raw)
+      topCentroids(bcCent.value, v, nProbe).iterator.map(b => (b, id, raw))
+    }.toDF("bucket", "id", "embedding").cache()
+    retainedBucketFrames.add(bucketed)
+
+    // salt counts per oversize bucket: O(nCentroids) rows to the driver
+    val saltCount: Map[Int, Int] = bucketed.groupBy($"bucket").count()
+      .filter($"count" > bucketCap).select($"bucket", $"count")
+      .as[(Int, Long)].collect()
+      .map { case (bk, n) => bk -> ((n + bucketCap - 1) / bucketCap).toInt }
+      .toMap
+    val salts =
+      if (saltCount.isEmpty) lit(1)
+      else coalesce(element_at(typedLit(saltCount), $"bucket"), lit(1))
+
+    val a = bucketed.select($"bucket",
+      pmod(xxhash64($"id"), salts).cast("int").as("salt"),
+      $"id".as("id_a"), $"embedding".as("va"))
+    val b = bucketed.select($"bucket",
+      explode(sequence(lit(0), salts - 1)).as("salt"),
+      $"id".as("id_b"), $"embedding".as("vb"))
+    (a, b)
+  }
+
+  // bucketed frames pinned by ivfNearDupPairs calls, released once the
+  // caller is done with the results (the same long-lived-session
+  // registry pattern as DedupQueries.retainedClusterBlocks)
+  private val retainedBucketFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist the bucketed frames cached by prior [[ivfNearDupPairs]]
+    * calls. Lineage is intact (plain cache), so this is safe at any
+    * point; results consumed later just recompute. */
+  def releaseBucketedFrames(): Unit = {
+    var f = retainedBucketFrames.poll()
+    while (f != null) {
+      f.unpersist(blocking = false)
+      f = retainedBucketFrames.poll()
+    }
   }
 
   /** Top-k probed-bucket neighbors for each query id.

@@ -68,6 +68,81 @@ class EmbedIvfSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("dense planted cluster: bucket cap bounds join groups, recall intact") {
+    val s = spark
+    import s.implicits._
+    // regular planted set + ONE dense region: 200 near-copies of a
+    // single vector — the duplicate-heavy shape that makes an uncapped
+    // bucket's pair work quadratic and its join key skewed
+    val denseBase = 25 * 24
+    val dense = (0 until 200).map { p =>
+      val cent = unit(999)
+      val noise = unit(5000 + p)
+      val vec = cent.zip(noise).map { case (a, b) => a + 0.02 * b }
+      ((denseBase + p).toLong, vec.map(_.toFloat))
+    }
+    val data = planted ++ dense
+    val df = data.toDF("vec_id", "embedding")
+
+    def norm(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(_ / n)
+    }
+    val normed = data.map { case (id, v) => (id, norm(v)) }.toMap
+    def cos(a: Long, b: Long): Double =
+      normed(a).zip(normed(b)).map { case (x, y) => x * y }.sum
+    val ids = data.map(_._1)
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if cos(ids(i), ids(j)) >= 0.9
+    } yield (ids(i), ids(j))).toSet
+    assert(truth.size > 15000, s"dense cluster must dominate truth, got ${truth.size}")
+
+    val cap = 64
+    // split structure: the LEFT join side's (bucket, salt) groups are
+    // what a single task consumes — hash-salting must bound them near
+    // the cap even though the dense bucket has 200+ members
+    val (left, right) = Ann.saltedSides(df, nCentroids = 20, nProbe = 2, bucketCap = cap)
+    val leftGroups = left.groupBy($"bucket", $"salt")
+      .agg(org.apache.spark.sql.functions.count("*").as("n")).collect()
+    val maxLeft = leftGroups.map(_.getLong(2)).max
+    assert(maxLeft <= 2L * cap,
+      s"left join group of $maxLeft rows defeats the $cap cap")
+    // the dense bucket actually tripped the cap (salts beyond 0 exist)
+    assert(left.filter($"salt" > 0).count() > 0, "cap never tripped")
+    // the right side replicates oversize-bucket members to every salt
+    assert(right.count() > left.count(), "right side not replicated")
+
+    // salting must change NOTHING about which pairs come back: the
+    // capped result is bit-identical to the uncapped one
+    val got = Ann.ivfNearDupPairs(df, minCos = 0.9, nCentroids = 20, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val uncapped = Ann.ivfNearDupPairs(df, minCos = 0.9, nCentroids = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == uncapped.toSet, "capped result differs from uncapped")
+    for ((a, b, c) <- got) {
+      assert(truth.contains((a, b)), s"false positive ($a,$b)")
+      assert(math.abs(c - cos(a, b)) < 5e-4, s"cosine mismatch ($a,$b)")
+    }
+    val recall = got.count { case (a, b, _) => truth.contains((a, b)) }.toDouble / truth.size
+    assert(recall >= 0.9, s"capped recall $recall over ${truth.size} true pairs")
+    Ann.releaseBucketedFrames()
+  }
+
+  test("releaseBucketedFrames returns the pinned storage to zero") {
+    val s = spark
+    import s.implicits._
+    val sc = s.sparkContext
+    Ann.releaseBucketedFrames() // drain anything earlier tests pinned
+    val before = sc.getPersistentRDDs.size
+    val df = planted.toDF("vec_id", "embedding")
+    Ann.ivfNearDupPairs(df, minCos = 0.9, nCentroids = 20).count()
+    assert(sc.getPersistentRDDs.size > before, "expected pinned bucket frame")
+    Ann.releaseBucketedFrames()
+    assert(sc.getPersistentRDDs.size == before, "bucket frames not released")
+  }
+
   test("pair list is deduped and ordered") {
     val s = spark
     import s.implicits._
