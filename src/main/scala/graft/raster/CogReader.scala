@@ -119,6 +119,7 @@ object CogReader {
     }
     def codec(c: Int): String = c match {
       case 1 => "none"
+      case 5 => "lzw"
       case 7 => "jpeg"
       case 8 => "deflate"
       case c => sys.error(s"unsupported compression code $c")
@@ -139,11 +140,13 @@ object CogReader {
       require(codec(pg.compression) == ovComp.getOrElse(comp),
         s"mixed overview compressions: ${pg.compression} vs first overview")
     }
-    // predictor only applies under deflate (jpeg/none pages always tag
-    // 1); all deflate pages must agree since decode undoes one value
-    val deflatePreds = data.filter(_.compression == 8).map(_.predictor).distinct
+    // predictor only applies under deflate/lzw (jpeg/none pages always
+    // tag 1); all predicted pages must agree since decode undoes one
+    // value
+    val deflatePreds = data.filter(pg => pg.compression == 8 || pg.compression == 5)
+      .map(_.predictor).distinct
     require(deflatePreds.length <= 1,
-      s"mixed deflate predictors across pages: $deflatePreds")
+      s"mixed deflate/lzw predictors across pages: $deflatePreds")
     val nodata =
       if (p0.nodataAscii.nonEmpty) p0.nodataAscii.toDouble
       else if (dtype.startsWith("uint")) 0.0

@@ -327,6 +327,125 @@ object TileCodec {
     out
   }
 
+  // ---- TIFF LZW (TIFF 6.0 §13): GDAL's historic default compression.
+  // MSB-first bit packing, ClearCode 256 / EOI 257, 9→12-bit codes with
+  // the TIFF "early change" (width bumps when the next free entry
+  // exceeds 2^bits - 2, one code earlier than GIF-style LZW).
+
+  private val LzwClear = 256
+  private val LzwEoi = 257
+
+  def lzwDecode(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var bitPos = 0L
+    val nBits = comp.length.toLong * 8
+    var codeSize = 9
+    def nextCode(): Int = {
+      if (bitPos + codeSize > nBits) LzwEoi
+      else {
+        var v = 0
+        var i = 0
+        while (i < codeSize) {
+          v = (v << 1) | ((comp((bitPos >> 3).toInt) >> (7 - (bitPos & 7)).toInt) & 1)
+          bitPos += 1; i += 1
+        }
+        v
+      }
+    }
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var old: Array[Byte] = null
+    def write(s: Array[Byte]): Unit = {
+      val n = math.min(s.length, expected - outPos)
+      System.arraycopy(s, 0, out, outPos, n)
+      outPos += n
+    }
+    var code = nextCode()
+    while (code != LzwEoi && outPos < expected) {
+      if (code == LzwClear) {
+        java.util.Arrays.fill(table.asInstanceOf[Array[AnyRef]], 258, 4096, null)
+        next = 258; codeSize = 9
+        code = nextCode()
+        if (code != LzwEoi && code != LzwClear) { write(table(code)); old = table(code) }
+      } else {
+        require(old != null, "LZW stream must start with a Clear code")
+        val known = code < next && table(code) != null
+        val entry =
+          if (known) table(code)
+          else { require(code == next, s"corrupt LZW code $code"); old :+ old(0) }
+        write(entry)
+        if (next < 4096) {
+          table(next) = old :+ entry(0)
+          next += 1
+          // early change, one entry BEFORE the encoder's own bump
+          // (510/1022/2046 vs the encoder's 511/1023/2047): the
+          // decoder's table add for a code happens one code after the
+          // encoder's, so its width switch must anticipate by one to
+          // stay in phase — the classic TIFF-LZW off-by-one
+          if (next == 510) codeSize = 10
+          else if (next == 1022) codeSize = 11
+          else if (next == 2046) codeSize = 12
+        }
+        old = entry
+      }
+      if (code != LzwClear) code = nextCode()
+    }
+    require(outPos == expected, s"LZW gave $outPos of expected $expected bytes")
+    out
+  }
+
+  def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << codeSize) | code
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    // dict: (prefix code, next byte) -> code
+    val dict = new java.util.HashMap[Int, Int]()
+    def key(prefix: Int, b: Int) = (prefix << 8) | b
+    var next = 258
+    emit(LzwClear)
+    var prefix = -1
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i) & 0xff
+      if (prefix < 0) prefix = b
+      else {
+        val k = key(prefix, b)
+        val hit = dict.getOrDefault(k, -1)
+        if (hit >= 0) prefix = hit
+        else {
+          emit(prefix)
+          dict.put(k, next)
+          next += 1
+          // early change mirrors the decoder; at table-full emit Clear
+          if (next == 511) codeSize = 10
+          else if (next == 1023) codeSize = 11
+          else if (next == 2047) codeSize = 12
+          else if (next == 4095) {
+            emit(LzwClear); dict.clear(); next = 258; codeSize = 9
+          }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(LzwEoi)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** Encode one tile: pad to bs×bs, mask→nodata, pixel-interleave the
     * bands (TIFF chunky layout), serialize, predictor, compress — plus
     * the fused per-band stats partials over VALID pixels. */
@@ -384,12 +503,14 @@ object TileCodec {
           jpegEncode(serialize(padded, dtype), bs, bs, profile.jpegQuality, bands)
         case c =>
           val raw = serialize(padded, dtype)
-          // predictor only under deflate: libtiff/GDAL undo it solely
-          // for LZW/Deflate codecs, so predicted-but-uncompressed tiles
-          // would decode to garbage in external readers
-          if (c == "deflate" && profile.effectivePredictor == 2)
+          // predictor only under deflate/lzw: libtiff/GDAL undo it
+          // solely for those codecs, so predicted-but-uncompressed
+          // tiles would decode to garbage in external readers
+          if ((c == "deflate" || c == "lzw") && profile.effectivePredictor == 2)
             applyPredictor(raw, bs * bands, dtypes(dtype)._3, bands)
-          if (c == "deflate") deflate(raw, profile.zlevel) else raw
+          if (c == "deflate") deflate(raw, profile.zlevel)
+          else if (c == "lzw") lzwEncode(raw)
+          else raw
       }
       val decorated = if (profile.ghost) ghostDecorate(comp) else comp
       EncodedTile(t.level, t.ty, t.tx, PageData, decorated.length, decorated,
@@ -495,11 +616,12 @@ object TileCodec {
         val bp = dtypes(profile.dtype)._3
         val raw =
           if (codec == "deflate") inflate(bytes, bs * bs * bands * bp)
+          else if (codec == "lzw") lzwDecode(bytes, bs * bs * bands * bp)
           else bytes
         // effectivePredictor, not dtype-derived: a foreign file may
         // declare predictor 1 for an integer dtype, and un-differencing
         // bytes that were never differenced corrupts silently
-        if (codec == "deflate" && profile.effectivePredictor == 2)
+        if ((codec == "deflate" || codec == "lzw") && profile.effectivePredictor == 2)
           undoPredictor(raw, bs * bands, bp, bands)
         deserialize(raw, profile.dtype)
       }

@@ -61,12 +61,15 @@ object ClassicTiff {
       val n = levelTiles(l).length
       val compCode = prof.compressionFor(l) match {
         case "none" => 1
+        case "lzw" => 5
         case "jpeg" => 7
         case "deflate" => 8
         case c => sys.error(s"unsupported fixture compression $c")
       }
-      val pred =
-        if (prof.compressionFor(l) == "deflate") prof.effectivePredictor else 1
+      val pred = prof.compressionFor(l) match {
+        case "deflate" | "lzw" => prof.effectivePredictor
+        case _ => 1
+      }
       val nodataAscii = {
         val s = if (prof.nodata == prof.nodata.toLong.toDouble)
           prof.nodata.toLong.toString else prof.nodata.toString

@@ -168,4 +168,40 @@ class CodecSpec extends AnyFunSuite {
     assert(comp.length < raw.length / 4)
     assert(TileCodec.inflate(comp, raw.length).toSeq == raw.toSeq)
   }
+
+  test("LZW: pinned TIFF 6.0 §13 vector (7,7,7,8,8,7,7,6,6)") {
+    // hand-derived code stream Clear,7,258,8,8,258,6,6,EOI packed
+    // MSB-first at 9 bits — independent of the encoder's own packing
+    val input = Array[Byte](7, 7, 7, 8, 8, 7, 7, 6, 6)
+    val pinned = Array(0x80, 0x01, 0xe0, 0x40, 0x80, 0x44, 0x08, 0x0c,
+      0x06, 0x80, 0x80).map(_.toByte)
+    assert(TileCodec.lzwEncode(input).toSeq == pinned.toSeq)
+    assert(TileCodec.lzwDecode(pinned, input.length).toSeq == input.toSeq)
+  }
+
+  test("LZW: round-trip crosses the 9->10 bit early-change boundary") {
+    // 4096 varied bytes add >253 table entries, forcing the width
+    // bump at next==511 — the spot where early-change bugs bite
+    val raw = Array.tabulate[Byte](4096)(i => ((i * 37 + (i >> 3)) % 251).toByte)
+    val comp = TileCodec.lzwEncode(raw)
+    assert(TileCodec.lzwDecode(comp, raw.length).toSeq == raw.toSeq)
+    // and smooth data actually compresses
+    val smooth = Array.tabulate[Byte](4096)(i => (i / 64).toByte)
+    assert(TileCodec.lzwEncode(smooth).length < smooth.length / 2)
+  }
+
+  test("LZW: full tile encode/decode per dtype incl. predictor 2") {
+    for (dtype <- Seq("uint8", "int16", "float64")) {
+      val p = profile(dtype).copy(compression = "lzw")
+      val t = if (dtype == "float64")
+        Tile(0, 0, 0, 16, 16, Array.tabulate(256)(i => i * 0.25 - 11), null)
+      else intValuedTile(16, 16, dtype)
+      val enc = TileCodec.encode(t, p)
+      val dec = TileCodec.decode(enc.bytes, p)
+      for (i <- 0 until 256)
+        assert(dec(i) == t.pixels(i), s"$dtype px $i")
+      // integer dtypes difference under predictor 2 before LZW
+      if (TileCodec.isInteger(dtype)) assert(p.effectivePredictor == 2)
+    }
+  }
 }

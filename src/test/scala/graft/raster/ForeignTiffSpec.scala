@@ -87,6 +87,24 @@ class ForeignTiffSpec extends SparkSpec {
     }
   }
 
+  test("foreign LZW classic TIFF decodes end-to-end (code 5 + predictor 2)") {
+    val prof = RasterProfile(48, 32, blockSize = 16, bands = 1, nodata = 0,
+      dtype = "uint8", compression = "lzw", minOverviewSize = 16)
+    val (uri, expected) = writeClassic(prof, seed = 17L)
+    val pages = CogReader.readMeta(uri)
+    assert(pages.head.compression == 5 && pages.head.predictor == 2)
+    val inferred = CogReader.inferProfile(pages)
+    assert(inferred.compression == "lzw")
+    def q8(v: Double): Double =
+      if (v <= 0) 0 else if (v >= 255) 255 else math.round(v).toDouble
+    val got = CogReader.read(spark, uri, inferred, 0).collect()
+    for (t <- got; i <- 0 until t.h * t.w) {
+      val e = expected((0, t.ty, t.tx))
+      val want = if (e.valid(i, 0)) q8(e.pixels(i)) else 0.0
+      assert(t.pixels(i) == want, s"lzw tile(${t.ty},${t.tx}) px $i")
+    }
+  }
+
   test("big-endian and bad-magic files are rejected loudly") {
     val mm = Array[Byte](0x4d, 0x4d, 0, 42, 0, 0, 0, 8)
     val ex = intercept[IllegalArgumentException](BigTiff.readPages(mm))
