@@ -220,12 +220,41 @@ object RasterQueries {
     perLevelStats(perTile)
   }
 
+  /** The write-side DSv2 face (`df.write.format("cog")`): level-0 rows
+    * of the shared read-back COG flow through the full CogWriter
+    * pipeline via the SQL surface (geometry inferred from the tile
+    * columns), then the new file is read back and rolled up with the
+    * same per-level invariant as the read queries. */
+  def rasterDsv2Write(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (uri, prof) = writeReadbackCog(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2w").toString
+    val out = s"$dir/out.tif"
+    spark.read.format("cog").load(uri).where($"level" === 0)
+      .write.format("cog")
+      .option("nodata", prof.nodata.toString)
+      .option("minoverviewsize", prof.minOverviewSize.toString)
+      .option("maskpages", "true")
+      .mode("overwrite").save(out)
+    val perTile = spark.read.format("cog").load("file://" + out)
+      .where($"level" === 0 || $"level" === prof.maxLevel)
+      .select($"level", $"h", $"w", $"pixels", $"mask")
+      .as[(Int, Int, Int, Array[Double], Array[Byte])]
+      .map { case (level, h, w, px, mask) =>
+        val (valid, s) = validAndSum(h, w, px, mask)
+        (level, 1L, valid, s)
+      }
+      .toDF("level", "n_tiles", "valid_px", "sum_v")
+    perLevelStats(perTile)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_raster_pyramid" -> rasterPyramid,
     "q_raster_halo" -> rasterHalo,
     "q_raster_assemble" -> rasterAssemble,
     "q_raster_read" -> rasterRead,
     "q_raster_dsv2" -> rasterDsv2,
+    "q_raster_dsv2_write" -> rasterDsv2Write,
     "q_cog_write_bytes" -> cogWriteBytes)
 
   /** NATIVE — no DuckDB oracle (SURVEY §2.2). */

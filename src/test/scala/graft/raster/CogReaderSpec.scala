@@ -69,6 +69,40 @@ class CogReaderSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 write: df.write.format(\"cog\") round-trips through the pure DSv2 API") {
+    val prof = RasterProfile(96, 80, blockSize = 16, bands = 1, nodata = ND,
+      minOverviewSize = 32)
+    val (uri, expected) = writeCog(prof, seed = 77L)
+    // read the library-written file through DSv2, write a NEW cog from
+    // its level-0 rows through DSv2 (geometry inferred from the tile
+    // columns), read that back through DSv2
+    val df = spark.read.format("cog").load(uri)
+    val out = Files.createTempDirectory("graft-dsv2w").toString + "/out.tif"
+    df.write.format("cog")
+      .option("nodata", ND.toString).option("minoverviewsize", "32")
+      .mode("append").save(out)
+    val back = spark.read.format("cog").load("file://" + out)
+    // pyramid regenerated: same level count, level-0 pixels exact
+    assert(back.where("level = 0").count() == prof.tilesPerLevel(0))
+    assert(back.agg(org.apache.spark.sql.functions.max("level")).head().getInt(0)
+      == prof.maxLevel)
+    for (r <- back.where("level = 0").collect()) {
+      val e = expected((0, r.getInt(1), r.getInt(2)))
+      val px = r.getSeq[Double](5)
+      for (i <- 0 until e.h * e.w) {
+        val want = if (e.valid(i, ND)) e.pixels(i) else ND
+        assert(px(i) == want, s"dsv2-write tile(${r.getInt(1)},${r.getInt(2)}) px $i")
+      }
+    }
+    // append to an existing file refuses; overwrite replaces
+    val ex = intercept[Exception](
+      df.write.format("cog").option("nodata", ND.toString).mode("append").save(out))
+    assert(ex.getMessage.contains("immutable") || ex.getMessage.contains("exists"))
+    df.write.format("cog").option("nodata", ND.toString).mode("overwrite").save(out)
+    assert(spark.read.format("cog").load("file://" + out)
+      .where("level = 0").count() == prof.tilesPerLevel(0))
+  }
+
   test("inferProfile recovers the full profile from the file alone, incl. geo") {
     val prof = RasterProfile(96, 80, blockSize = 16, bands = 2, nodata = -42,
       dtype = "int16", minOverviewSize = 32, maskPages = true,
