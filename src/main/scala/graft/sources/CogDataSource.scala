@@ -54,7 +54,12 @@ class CogDataSource extends TableProvider with DataSourceRegister {
 
 object CogTable {
   /** Band-major pixels exactly like [[graft.raster.Tile]]; mask is the
-    * per-pixel validity plane (1 valid / 0 invalid), null = all valid. */
+    * per-pixel validity plane (1 valid / 0 invalid), null = all valid.
+    * minx/miny/maxx/maxy are the tile's WORLD-coordinate bounds from
+    * the file's geo-referencing (pixel scale + tiepoint, inferred from
+    * the header) — null when the file carries none. Range predicates
+    * on them prune tiles at PLANNING, so a bbox query touches only
+    * intersecting tiles. */
   val schema: StructType = StructType(Seq(
     StructField("level", IntegerType, nullable = false),
     StructField("ty", IntegerType, nullable = false),
@@ -62,7 +67,23 @@ object CogTable {
     StructField("h", IntegerType, nullable = false),
     StructField("w", IntegerType, nullable = false),
     StructField("pixels", ArrayType(DoubleType, containsNull = false), nullable = false),
-    StructField("mask", BinaryType, nullable = true)))
+    StructField("mask", BinaryType, nullable = true),
+    StructField("minx", DoubleType, nullable = true),
+    StructField("miny", DoubleType, nullable = true),
+    StructField("maxx", DoubleType, nullable = true),
+    StructField("maxy", DoubleType, nullable = true)))
+
+  /** World bounds of tile (level, ty, tx) with actual dims th×tw:
+    * origin is the upper-left corner, pixel size doubles per overview
+    * level. Returns (minx, miny, maxx, maxy). */
+  def tileBounds(geo: graft.raster.GeoRef, blockSize: Int, level: Int,
+      ty: Int, tx: Int, th: Int, tw: Int): (Double, Double, Double, Double) = {
+    val sx = geo.pixelW * (1L << level)
+    val sy = geo.pixelH * (1L << level)
+    val x0 = geo.originX + tx.toDouble * blockSize * sx
+    val yTop = geo.originY - ty.toDouble * blockSize * sy
+    (x0, yTop - th * sy, x0 + tw * sx, yTop)
+  }
 }
 
 class CogTable(path: String, conf: Map[String, String])
@@ -168,7 +189,13 @@ object CogWriteSupport {
       minOverviewSize = opt("minoverviewsize").map(_.toInt).getOrElse(256),
       dtype = opt("dtype").getOrElse("float64"),
       compression = opt("compression").getOrElse("deflate"),
-      maskPages = opt("maskpages").exists(_.toBoolean))
+      maskPages = opt("maskpages").exists(_.toBoolean),
+      geo = opt("epsg").map(e => graft.raster.GeoRef(
+        opt("pixelw").map(_.toDouble).getOrElse(1.0),
+        opt("pixelh").map(_.toDouble).getOrElse(1.0),
+        opt("originx").map(_.toDouble).getOrElse(0.0),
+        opt("originy").map(_.toDouble).getOrElse(0.0),
+        e.toInt, geographic = opt("geographic").map(_.toBoolean))))
 
     val tiles: Dataset[Tile] = {
       val maskCol = if (cols.contains("mask")) col("mask")
@@ -222,6 +249,10 @@ class CogScanBuilder(path: String, conf: Map[String, String])
   // absent = unconstrained
   private var bounds = Map.empty[String, (Option[Int], Option[Int])]
   private var sets = Map.empty[String, Set[Int]]
+  // inclusive DOUBLE bounds for the geo columns (bbox pruning);
+  // strict predicates tighten to their inclusive hull — pruning only
+  // ever keeps extra tiles, Spark re-filters rows
+  private var dbounds = Map.empty[String, (Option[Double], Option[Double])]
   private var pushed = Array.empty[Filter]
 
   private def tighten(col: String, lo: Option[Int], hi: Option[Int]): Unit = {
@@ -229,6 +260,21 @@ class CogScanBuilder(path: String, conf: Map[String, String])
     bounds += col -> (
       Seq(clo, lo).flatten.reduceOption(math.max).map(identity),
       Seq(chi, hi).flatten.reduceOption(math.min).map(identity))
+  }
+
+  private def tightenD(col: String, lo: Option[Double], hi: Option[Double]): Unit = {
+    val (clo, chi) = dbounds.getOrElse(col, (None, None))
+    dbounds += col -> ((
+      Seq(clo, lo).flatten.reduceOption((a, b) => math.max(a, b)),
+      Seq(chi, hi).flatten.reduceOption((a, b) => math.min(a, b))))
+  }
+
+  private def asD(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case _ => None
   }
 
   private def tightenSet(col: String, vs: Set[Int]): Unit =
@@ -249,6 +295,7 @@ class CogScanBuilder(path: String, conf: Map[String, String])
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val prunable = Seq("level", "ty", "tx")
+    val geoCols = Seq("minx", "miny", "maxx", "maxy")
     pushed = filters.filter {
       case EqualTo(c, v: Int) if prunable.contains(c) =>
         tighten(c, Some(v), Some(v)); true
@@ -260,6 +307,15 @@ class CogScanBuilder(path: String, conf: Map[String, String])
         tighten(c, None, Some(v - 1)); true
       case LessThanOrEqual(c, v: Int) if prunable.contains(c) =>
         tighten(c, None, Some(v)); true
+      // bbox: strict and non-strict collapse to the inclusive hull
+      case GreaterThan(c, v) if geoCols.contains(c) && asD(v).isDefined =>
+        tightenD(c, asD(v), None); true
+      case GreaterThanOrEqual(c, v) if geoCols.contains(c) && asD(v).isDefined =>
+        tightenD(c, asD(v), None); true
+      case LessThan(c, v) if geoCols.contains(c) && asD(v).isDefined =>
+        tightenD(c, None, asD(v)); true
+      case LessThanOrEqual(c, v) if geoCols.contains(c) && asD(v).isDefined =>
+        tightenD(c, None, asD(v)); true
       case In(c, vs) if prunable.contains(c) && vs.nonEmpty &&
           vs.forall(_.isInstanceOf[Int]) =>
         tightenSet(c, vs.map(_.asInstanceOf[Int]).toSet); true
@@ -277,7 +333,8 @@ class CogScanBuilder(path: String, conf: Map[String, String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CogScan(path, conf, bounds, sets, required)
+  override def build(): Scan =
+    new CogScan(path, conf, bounds, sets, dbounds, required)
 }
 
 /** One planned tile: everything the executor needs to decode it. */
@@ -292,6 +349,7 @@ case class CogInputPartition(uri: String,
 class CogScan(path: String, conf: Map[String, String],
     bounds: Map[String, (Option[Int], Option[Int])],
     sets: Map[String, Set[Int]],
+    dbounds: Map[String, (Option[Double], Option[Double])],
     required: StructType) extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -299,7 +357,9 @@ class CogScan(path: String, conf: Map[String, String],
   override def description(): String = {
     val b = bounds.map { case (c, (lo, hi)) =>
       s"$c in [${lo.getOrElse("-inf")},${hi.getOrElse("inf")}]" } ++
-      sets.map { case (c, vs) => s"$c in {${vs.toSeq.sorted.mkString(",")}}" }
+      sets.map { case (c, vs) => s"$c in {${vs.toSeq.sorted.mkString(",")}}" } ++
+      dbounds.map { case (c, (lo, hi)) =>
+        s"$c in [${lo.getOrElse("-inf")},${hi.getOrElse("inf")}]" }
     s"cog $path${if (b.nonEmpty) s" pruned(${b.mkString(", ")})" else ""}" +
       s" columns(${required.fieldNames.mkString(",")})"
   }
@@ -326,6 +386,21 @@ class CogScan(path: String, conf: Map[String, String],
     val profile = CogReader.inferProfile(pages)
     val data = pages.filter(!_.isMask)
     val masks = pages.filter(_.isMask)
+    // bbox pruning: a tile survives only if its world bounds can
+    // satisfy every pushed geo range. Files without geo-referencing
+    // can't prune (bounds unknown — keep everything; the row-level
+    // re-filter then sees nulls and drops as SQL semantics dictate).
+    def geoKeep(level: Int, ty: Int, tx: Int): Boolean =
+      dbounds.isEmpty || profile.geo.forall { g =>
+        val (th, tw) = profile.tileDims(level, ty, tx)
+        val (mnx, mny, mxx, mxy) =
+          CogTable.tileBounds(g, profile.blockSize, level, ty, tx, th, tw)
+        Seq("minx" -> mnx, "miny" -> mny, "maxx" -> mxx, "maxy" -> mxy)
+          .forall { case (c, v) =>
+            val (lo, hi) = dbounds.getOrElse(c, (None, None))
+            lo.forall(v >= _) && hi.forall(v <= _)
+          }
+      }
     val specs = for {
       level <- data.indices
       if inBounds("level", level)
@@ -333,6 +408,7 @@ class CogScan(path: String, conf: Map[String, String],
       (gw, _) = profile.gridDims(level)
       ti <- pg.offsets.indices
       if inBounds("ty", ti / gw) && inBounds("tx", ti % gw)
+      if geoKeep(level, ti / gw, ti % gw)
     } yield CogTileSpec(level, gw, ti, pg.offsets(ti), pg.counts(ti),
       masks.lift(level).map(_.offsets(ti)).getOrElse(0L),
       masks.lift(level).map(_.counts(ti)).getOrElse(0L))
@@ -389,6 +465,20 @@ class CogPartitionReader(part: CogInputPartition)
     if (!it.hasNext) false
     else {
       val s = it.next()
+      val ty = s.ti / s.gw
+      val tx = s.ti % s.gw
+      val (th, tw) = part.profile.tileDims(s.level, ty, tx)
+      // world bounds are header-derived like the geometry columns —
+      // never a reason to touch tile bytes; null without geo-referencing
+      val geoB = part.profile.geo.map(g =>
+        CogTable.tileBounds(g, part.profile.blockSize, s.level, ty, tx, th, tw))
+      def geoVal(name: String): Any = (name, geoB) match {
+        case ("minx", Some((v, _, _, _))) => v
+        case ("miny", Some((_, v, _, _))) => v
+        case ("maxx", Some((_, _, v, _))) => v
+        case ("maxy", Some((_, _, _, v))) => v
+        case _ => null
+      }
       row =
         if (needsTileBytes) {
           val t = CogReader.materializeTile(in, part.profile, s.level, s.gw,
@@ -401,17 +491,16 @@ class CogPartitionReader(part: CogInputPartition)
             case "w" => t.w
             case "pixels" => ArrayData.toArrayData(t.pixels)
             case "mask" => t.mask
+            case g => geoVal(g)
           })
         } else {
-          val ty = s.ti / s.gw
-          val tx = s.ti % s.gw
-          val (th, tw) = part.profile.tileDims(s.level, ty, tx)
           new GenericInternalRow(names.map[Any] {
             case "level" => s.level
             case "ty" => ty
             case "tx" => tx
             case "h" => th
             case "w" => tw
+            case g => geoVal(g)
           })
         }
       true

@@ -54,7 +54,8 @@ class CogReaderSpec extends SparkSpec {
     val (uri, expected) = writeCog(prof, seed = 91L)
     val df = spark.read.format("cog").load(uri)
     // all levels come back as rows; schema is the tile schema
-    assert(df.columns.toSeq == Seq("level", "ty", "tx", "h", "w", "pixels", "mask"))
+    assert(df.columns.toSeq == Seq("level", "ty", "tx", "h", "w", "pixels",
+      "mask", "minx", "miny", "maxx", "maxy"))
     val got = df.collect()
     assert(got.length == (0 to prof.maxLevel).map(prof.tilesPerLevel).sum)
     for (r <- got) {

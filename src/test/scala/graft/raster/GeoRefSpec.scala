@@ -37,6 +37,59 @@ class GeoRefSpec extends SparkSpec {
     assert(pg.geoKeys.slice(12, 16).toSeq == Seq(3072, 0, 1, 32755))
   }
 
+  test("DSv2 geo columns + bbox pruning at planning") {
+    val geo = GeoRef(pixelW = 10.0, pixelH = 10.0,
+      originX = 500000.0, originY = 6400000.0, epsg = 32633)
+    val p = RasterProfile(96, 80, blockSize = 16, nodata = ND,
+      minOverviewSize = 32, geo = Some(geo))
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-dsv2").toString
+    val bytes = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, p, seed = 21L), p, dir)._1
+    val f = java.nio.file.Paths.get(dir, "geo.tif")
+    java.nio.file.Files.write(f, bytes)
+    val df = spark.read.format("cog").load("file://" + f)
+
+    // per-tile world bounds: L0 tile (ty=1, tx=2) spans a 16x16 block
+    // of 10m pixels from the tiepoint origin
+    val r = df.where("level = 0 AND ty = 1 AND tx = 2")
+      .selectExpr("minx", "miny", "maxx", "maxy").head()
+    assert(r.getDouble(0) == 500000.0 + 2 * 16 * 10.0)
+    assert(r.getDouble(3) == 6400000.0 - 1 * 16 * 10.0)
+    assert(r.getDouble(2) == r.getDouble(0) + 16 * 10.0)
+    assert(r.getDouble(1) == r.getDouble(3) - 16 * 10.0)
+
+    // overview pixels are 2x per level; whole-raster coverage constant
+    val l1 = df.where("level = 1 AND ty = 0 AND tx = 0")
+      .selectExpr("maxx", "miny").head()
+    assert(l1.getDouble(0) == 500000.0 + 16 * 20.0)
+
+    // bbox query: tiles strictly right of x=500480 at L0 — columns
+    // tx >= 3 (minx 500480). Values AND planning must agree.
+    val q = df.where("level = 0 AND minx >= 500480.0")
+    val got = q.collect()
+    assert(got.forall(row => row.getInt(2) >= 3))
+    assert(got.length == 3 * 5, s"expected 3 columns x 5 rows, got ${got.length}")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("minx in [500480.0,inf]"),
+      s"expected bbox pruning in plan:\n$plan")
+
+    // a bbox beyond the raster prunes everything at planning
+    assert(df.where("level = 0 AND minx >= 1e9").count() == 0)
+
+    // no geo-referencing → geo columns null, bbox query returns empty
+    // but never errors
+    val plainP = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+      minOverviewSize = 32)
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-geo-none").toString
+    val pb = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, plainP, seed = 22L), plainP, plainDir)._1
+    val pf = java.nio.file.Paths.get(plainDir, "plain.tif")
+    java.nio.file.Files.write(pf, pb)
+    val plainDf = spark.read.format("cog").load("file://" + pf)
+    assert(plainDf.selectExpr("minx").head().isNullAt(0))
+    assert(plainDf.where("minx >= 0.0").count() == 0)
+  }
+
   test("no geo → no tags; overview pages never carry geo tags") {
     val pages = BigTiff.readPages(write(None))
     assert(pages.forall(_.pixelScale.isEmpty))
