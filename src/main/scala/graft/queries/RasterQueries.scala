@@ -248,6 +248,45 @@ object RasterQueries {
     perLevelStats(perTile)
   }
 
+  /** Streaming COG ingest (graft.streaming.CogStreamIngest): tile
+    * micro-batches arrive over a real MemoryStream run — each batch
+    * encoded at STREAM time and appended to a parquet stage, including
+    * a re-delivered sub-batch (restart semantics, last write wins) —
+    * then one finalize assembles the pyramid + single file. NATIVE
+    * (streaming runtime isn't DuckDB-comparable; exact pixel equality
+    * pinned in StreamingSpec). */
+  def rasterStreamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prof = RasterProfile(96, 80, blockSize = 16, nodata = ND,
+      minOverviewSize = 32)
+    val rows = SyntheticRaster.generate(spark, prof, seed = 43L)
+      .collect().sortBy(t => (t.ty, t.tx))
+      .map(t => (t.ty, t.tx, t.h, t.w, t.pixels, t.mask))
+    val stage = java.nio.file.Files.createTempDirectory("graft-qstream").toString + "/stage"
+    val work = java.nio.file.Files.createTempDirectory("graft-qstream-w").toString
+    val mem = MemoryStream[(Int, Int, Int, Int, Array[Double], Array[Byte])]
+    val q = mem.toDF().toDF("ty", "tx", "h", "w", "pixels", "mask")
+      .writeStream
+      .foreachBatch(graft.streaming.CogStreamIngest.stageBatch(prof, stage) _)
+      .start()
+    try {
+      val half = rows.length / 2
+      mem.addData(rows.take(half): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(half): _*)
+      q.processAllAvailable()
+      mem.addData(rows.take(3): _*) // re-delivery: dedup at finalize
+      q.processAllAvailable()
+    } finally q.stop()
+    val (bytes, res) = graft.streaming.CogStreamIngest.finalizeCog(
+      spark, prof, stage, work)
+    Seq((res.nTiles, bytes.length.toLong, res.levels.toLong,
+      math.round(res.stats.head.mean * 10000) / 10000.0))
+      .toDF("n_tiles", "file_len", "levels", "mean_valid")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_raster_pyramid" -> rasterPyramid,
     "q_raster_halo" -> rasterHalo,
@@ -255,6 +294,7 @@ object RasterQueries {
     "q_raster_read" -> rasterRead,
     "q_raster_dsv2" -> rasterDsv2,
     "q_raster_dsv2_write" -> rasterDsv2Write,
+    "q_stream_cog" -> rasterStreamIngest,
     "q_cog_write_bytes" -> cogWriteBytes)
 
   /** NATIVE — no DuckDB oracle (SURVEY §2.2). */

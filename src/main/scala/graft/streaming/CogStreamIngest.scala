@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.raster.{CogWriter, RasterProfile, Tile, TileCodec}
+
+/** Streaming COG ingest (VERDICT r2/r5 stretch): tiles arrive over
+  * micro-batches (satellite downlink, tiled re-process queue), each
+  * batch is ENCODED immediately — the expensive narrow map runs at
+  * stream time — and appended to a parquet stage keyed by batch id;
+  * `finalizeCog` assembles the single COG once the grid is complete.
+  *
+  * Scale + exactly-once shape:
+  *  - per batch: one narrow map (pad, interleave, predictor, deflate)
+  *    and a parquet append of COMPRESSED blobs — no shuffle, restart
+  *    safe (Structured Streaming may re-deliver a batch after failure;
+  *    the stage keeps every delivery).
+  *  - finalize: highest-batch-id-wins dedup per tile (one shuffle on
+  *    the tile key), distributed decode of the staged level-0 blobs,
+  *    then the standard CogWriter pipeline (pyramid, offsets, ordered
+  *    packing). Overviews need decoded level-0 pixels, so level 0 is
+  *    decoded once here — the stream-time encode still pays for
+  *    itself as stage compression + early schema/dtype validation.
+  *
+  * The stage is the streaming analog of the reference's per-chunk
+  * `part_bytes` spill (ccog/ccog.py:448) with assembly deferred. */
+object CogStreamIngest {
+
+  /** foreachBatch hook: encode + append one micro-batch of level-0
+    * tile rows (ty, tx, h, w, pixels[, mask]) to `stageDir`. */
+  def stageBatch(profile: RasterProfile, stageDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val maskCol = if (batch.columns.contains("mask")) col("mask")
+      else lit(null).cast("binary")
+    batch.select(col("ty").cast("int"), col("tx").cast("int"),
+      col("h").cast("int"), col("w").cast("int"),
+      col("pixels").cast("array<double>"), maskCol.as("mask"))
+      .as[(Int, Int, Int, Int, Array[Double], Array[Byte])]
+      .map { case (ty, tx, h, w, px, mk) =>
+        val t = Tile(0, ty, tx, h, w, px, mk)
+        val enc = TileCodec.encode(t, profile)
+        val mkBytes =
+          if (profile.maskPages) TileCodec.encodeMask(t, profile).bytes else null
+        (batchId, ty, tx, h, w, enc.bytes, mkBytes)
+      }
+      .toDF("batch_id", "ty", "tx", "h", "w", "data", "mask")
+      .write.mode("append").parquet(stageDir)
+  }
+
+  /** Assemble the staged tiles into one COG (bytes + result). Re-
+    * delivered tiles resolve to the HIGHEST batch id (last write
+    * wins); missing grid positions surface as sparse/nodata tiles via
+    * the normal writer path. */
+  def finalizeCog(spark: SparkSession, profile: RasterProfile,
+      stageDir: String, workDir: String): (Array[Byte], CogWriter.Result) = {
+    import spark.implicits._
+    val latest = spark.read.parquet(stageDir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"ty", $"tx").orderBy($"batch_id".desc)))
+      .filter($"rn" === 1)
+      .select($"ty", $"tx", $"h", $"w", $"data", $"mask")
+    val bs = profile.blockSize
+    val bands = profile.bands
+    val tiles: Dataset[Tile] = latest
+      .as[(Int, Int, Int, Int, Array[Byte], Array[Byte])]
+      .map { case (ty, tx, h, w, data, mk) =>
+        // staged blobs hold the padded bs×bs planes; crop to the
+        // tile's real dims exactly like the read path does
+        val full = TileCodec.decode(data, profile)
+        val px = new Array[Double](bands * h * w)
+        var b = 0
+        while (b < bands) {
+          var y = 0
+          while (y < h) {
+            System.arraycopy(full, b * bs * bs + y * bs, px, b * h * w + y * w, w)
+            y += 1
+          }
+          b += 1
+        }
+        val mask =
+          if (mk == null) null
+          else {
+            val bits = TileCodec.decodeMask(mk, profile)
+            val m = new Array[Byte](h * w)
+            var y = 0
+            while (y < h) {
+              System.arraycopy(bits, y * bs, m, y * w, w)
+              y += 1
+            }
+            m
+          }
+        Tile(0, ty, tx, h, w, px, mask)
+      }
+    CogWriter.writeBytes(tiles, profile, workDir)
+  }
+}

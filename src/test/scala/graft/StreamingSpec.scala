@@ -13,6 +13,8 @@ import graft.queries.WindowQueries
   * append mode. */
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class UEv(ts: Timestamp, user_id: Long)
+case class TileRow(ty: Int, tx: Int, h: Int, w: Int,
+    pixels: Array[Double], mask: Array[Byte])
 
 class StreamingSpec extends SparkSpec {
 
@@ -145,6 +147,56 @@ class StreamingSpec extends SparkSpec {
       assert(out.nonEmpty)
       assert(out.forall(_.getDouble(3) < 100.0), "late row leaked into results")
     } finally q.stop()
+  }
+
+  test("streaming COG ingest: decodable COG from >=2 micro-batches with re-delivery") {
+    import graft.raster._
+    import graft.streaming.CogStreamIngest
+    val sparkS = spark
+    import sparkS.implicits._
+    val prof = RasterProfile(96, 80, blockSize = 16, nodata = -9999.0,
+      minOverviewSize = 32)
+    // deterministic source tiles from the same generator the writer
+    // tests use; collected so the stream feeds known rows
+    val src = graft.raster.SyntheticRaster.generate(sparkS, prof, seed = 41L)
+      .collect().sortBy(t => (t.ty, t.tx))
+    val rows = src.map(t => TileRow(t.ty, t.tx, t.h, t.w, t.pixels, t.mask))
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-cog").toString + "/stage"
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-cog-w").toString
+
+    implicit val sqlCtx = sparkS.sqlContext
+    val mem = MemoryStream[TileRow]
+    val q = mem.toDF().writeStream
+      .foreachBatch(CogStreamIngest.stageBatch(prof, stage) _)
+      .start()
+    try {
+      // batch 1: first half; batch 2: second half; batch 3 RE-DELIVERS
+      // four tiles of batch 1 (restart re-delivery) — last write wins
+      val half = rows.length / 2
+      mem.addData(rows.take(half): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(half): _*)
+      q.processAllAvailable()
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val (bytes, res) = CogStreamIngest.finalizeCog(sparkS, prof, stage, work)
+    assert(res.nTiles.toInt == (0 to prof.maxLevel).map(prof.tilesPerLevel).sum)
+    // the assembled bytes decode: read back level 0 and compare pixels
+    val f = java.nio.file.Paths.get(work, "streamed.tif")
+    java.nio.file.Files.write(f, bytes)
+    val got = CogReader.read(sparkS, "file://" + f, prof, 0).collect()
+    assert(got.length == prof.tilesPerLevel(0))
+    val expected = src.map(t => (t.ty, t.tx) -> t).toMap
+    for (t <- got; i <- 0 until t.h * t.w) {
+      val e = expected((t.ty, t.tx))
+      val want = if (e.valid(i, prof.nodata)) e.pixels(i) else prof.nodata
+      assert(t.pixels(i) == want, s"stream tile(${t.ty},${t.tx}) px $i")
+    }
+    // and the overview chain exists (pyramid ran at finalize)
+    assert(CogReader.read(sparkS, "file://" + f, prof, prof.maxLevel)
+      .collect().nonEmpty)
   }
 
   test("streaming dedup drops in-batch and cross-batch duplicate ids") {
