@@ -223,12 +223,15 @@ object BigTiff {
     require(total <= Int.MaxValue, "header too large for in-memory emit")
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     val (bits, sampleFormat, _) = TileCodec.dtypes(profile.dtype)
-    // 8 = adobe deflate, 7 = new-style JPEG, 5 = LZW, 1 = none; masks
-    // always deflate; overview pages may carry the R16 codec override
+    // 8 = adobe deflate, 7 = new-style JPEG, 5 = LZW, 32773 = PackBits,
+    // 50000 = ZSTD (GDAL extension), 1 = none; masks always deflate;
+    // overview pages may carry the R16 codec override
     def compressionCode(level: Int): Int = profile.compressionFor(level) match {
       case "deflate" => 8
       case "jpeg" => 7
       case "lzw" => 5
+      case "zstd" => 50000
+      case "packbits" => 32773
       case _ => 1
     }
     val nd = nodataAscii(profile)
@@ -307,10 +310,10 @@ object BigTiff {
         // gates it the same way); claiming it for none/jpeg would make
         // strictly tag-honoring readers undo differencing that never
         // happened
-        entry(TagPredictor, TypeShort, 1, {
-          val c = profile.compressionFor(l)
-          if (c == "deflate" || c == "lzw") profile.effectivePredictor else 1
-        })
+        entry(TagPredictor, TypeShort, 1,
+          if (TileCodec.predictorCodecs(profile.compressionFor(l)))
+            profile.effectivePredictor
+          else 1)
       if (!pg.isMask && profile.colormap.isDefined)
         entry(TagColorMap, TypeShort, 3 * 256, colorMapOffset)
       entry(TagTileWidth, TypeShort, 1, profile.blockSize)

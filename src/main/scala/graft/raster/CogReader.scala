@@ -122,6 +122,8 @@ object CogReader {
       case 5 => "lzw"
       case 7 => "jpeg"
       case 8 => "deflate"
+      case 32773 => "packbits"
+      case 50000 => "zstd"
       case c => sys.error(s"unsupported compression code $c")
     }
     // materializeTile strides rows by the profile's single blockSize:
@@ -140,13 +142,14 @@ object CogReader {
       require(codec(pg.compression) == ovComp.getOrElse(comp),
         s"mixed overview compressions: ${pg.compression} vs first overview")
     }
-    // predictor only applies under deflate/lzw (jpeg/none pages always
-    // tag 1); all predicted pages must agree since decode undoes one
-    // value
-    val deflatePreds = data.filter(pg => pg.compression == 8 || pg.compression == 5)
+    // predictor only applies under deflate/lzw/zstd (jpeg/none/packbits
+    // pages always tag 1); all predicted pages must agree since decode
+    // undoes one value
+    val deflatePreds = data
+      .filter(pg => Set(5, 8, 50000).contains(pg.compression))
       .map(_.predictor).distinct
     require(deflatePreds.length <= 1,
-      s"mixed deflate/lzw predictors across pages: $deflatePreds")
+      s"mixed predictors across predicted pages: $deflatePreds")
     val nodata =
       if (p0.nodataAscii.nonEmpty) p0.nodataAscii.toDouble
       else if (dtype.startsWith("uint")) 0.0

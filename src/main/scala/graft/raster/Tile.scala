@@ -136,13 +136,12 @@ case class RasterProfile(
   require(Kernels.haloWidth.contains(resampling),
     s"unknown resampling '$resampling' (have ${Kernels.haloWidth.keys.mkString(",")})")
   require(TileCodec.dtypes.contains(dtype), s"unknown dtype '$dtype'")
-  require(compression == "deflate" || compression == "none" ||
-    compression == "jpeg" || compression == "lzw",
-    s"unknown compression '$compression'")
+  require(Seq("deflate", "none", "jpeg", "lzw", "zstd", "packbits")
+    .contains(compression), s"unknown compression '$compression'")
   require(compression != "jpeg" || (dtype == "uint8" && (bands == 1 || bands == 3)),
     "jpeg compression requires uint8 with 1 (grayscale) or 3 (RGB/YCbCr) bands")
   require(overviewCompression.forall(c =>
-    c == "deflate" || c == "none" || c == "lzw" ||
+    Seq("deflate", "none", "lzw", "zstd", "packbits").contains(c) ||
       (c == "jpeg" && dtype == "uint8" && (bands == 1 || bands == 3))),
     s"bad overview compression '$overviewCompression'")
   require(bandMeta.isEmpty || bandMeta.length == bands,

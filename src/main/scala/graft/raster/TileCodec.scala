@@ -40,6 +40,10 @@ object TileCodec {
   /** TIFF Predictor tag value for this dtype (2 = horizontal diff). */
   def predictor(dtype: String): Int = if (isInteger(dtype)) 2 else 1
 
+  /** Codecs that pair with TIFF Predictor 2 (libtiff/GDAL undo it only
+    * for these). */
+  val predictorCodecs: Set[String] = Set("deflate", "lzw", "zstd")
+
   /** Serialize one row-major (bs×bs padded) pixel plane to raw
     * little-endian sample bytes of `dtype`. */
   private def serialize(px: Array[Double], dtype: String): Array[Byte] = {
@@ -397,6 +401,78 @@ object TileCodec {
     out
   }
 
+  // ---- ZSTD (TIFF code 50000, GDAL extension): via the zstd-jni that
+  // ships on Spark's own classpath (Spark uses it for shuffle/IO
+  // compression) — no new dependency.
+
+  def zstdDecode(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val out = com.github.luben.zstd.Zstd.decompress(comp, expected)
+    require(out.length == expected,
+      s"zstd gave ${out.length} of expected $expected bytes")
+    out
+  }
+
+  def zstdEncode(raw: Array[Byte], level: Int = 3): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(raw, level)
+
+  // ---- PackBits (TIFF 6.0 §9, code 32773): byte RLE. n in 0..127 →
+  // copy n+1 literals; n in -127..-1 → repeat next byte 1-n times;
+  // -128 is a no-op. Rows are packed independently per the spec.
+
+  def packbitsDecode(comp: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = 0
+    var o = 0
+    while (i < comp.length && o < expected) {
+      val n = comp(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        System.arraycopy(comp, i, out, o, cnt)
+        i += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        java.util.Arrays.fill(out, o, o + cnt, comp(i))
+        i += 1; o += cnt
+      }
+    }
+    require(o == expected, s"packbits gave $o of expected $expected bytes")
+    out
+  }
+
+  def packbitsEncode(raw: Array[Byte], rowBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+    var rowStart = 0
+    while (rowStart < raw.length) {
+      val rowEnd = math.min(rowStart + rowBytes, raw.length)
+      var i = rowStart
+      while (i < rowEnd) {
+        // measure the run at i
+        var run = 1
+        while (i + run < rowEnd && raw(i + run) == raw(i) && run < 128) run += 1
+        if (run >= 3) {
+          out.write(1 - run) // -(run-1)
+          out.write(raw(i))
+          i += run
+        } else {
+          // literal: until the next >=3 run or 128 bytes
+          val litStart = i
+          var j = i
+          var ok = true
+          while (j < rowEnd && ok && j - litStart < 128) {
+            var r = 1
+            while (j + r < rowEnd && raw(j + r) == raw(j) && r < 3) r += 1
+            if (r >= 3) ok = false else j += 1
+          }
+          out.write(j - litStart - 1)
+          out.write(raw, litStart, j - litStart)
+          i = j
+        }
+      }
+      rowStart = rowEnd
+    }
+    out.toByteArray
+  }
+
   def lzwEncode(raw: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
     var bitBuf = 0L
@@ -503,14 +579,19 @@ object TileCodec {
           jpegEncode(serialize(padded, dtype), bs, bs, profile.jpegQuality, bands)
         case c =>
           val raw = serialize(padded, dtype)
-          // predictor only under deflate/lzw: libtiff/GDAL undo it
-          // solely for those codecs, so predicted-but-uncompressed
-          // tiles would decode to garbage in external readers
-          if ((c == "deflate" || c == "lzw") && profile.effectivePredictor == 2)
+          // predictor only under deflate/lzw/zstd: libtiff/GDAL undo
+          // it solely for those codecs, so predicted-but-uncompressed
+          // (or packbits) tiles would decode to garbage in external
+          // readers
+          if (predictorCodecs(c) && profile.effectivePredictor == 2)
             applyPredictor(raw, bs * bands, dtypes(dtype)._3, bands)
-          if (c == "deflate") deflate(raw, profile.zlevel)
-          else if (c == "lzw") lzwEncode(raw)
-          else raw
+          c match {
+            case "deflate" => deflate(raw, profile.zlevel)
+            case "lzw" => lzwEncode(raw)
+            case "zstd" => zstdEncode(raw)
+            case "packbits" => packbitsEncode(raw, bs * bands * dtypes(dtype)._3)
+            case _ => raw
+          }
       }
       val decorated = if (profile.ghost) ghostDecorate(comp) else comp
       EncodedTile(t.level, t.ty, t.tx, PageData, decorated.length, decorated,
@@ -614,14 +695,18 @@ object TileCodec {
       if (codec == "jpeg") deserialize(jpegDecode(bytes, bs, bs, bands), "uint8")
       else {
         val bp = dtypes(profile.dtype)._3
-        val raw =
-          if (codec == "deflate") inflate(bytes, bs * bs * bands * bp)
-          else if (codec == "lzw") lzwDecode(bytes, bs * bs * bands * bp)
-          else bytes
+        val expected = bs * bs * bands * bp
+        val raw = codec match {
+          case "deflate" => inflate(bytes, expected)
+          case "lzw" => lzwDecode(bytes, expected)
+          case "zstd" => zstdDecode(bytes, expected)
+          case "packbits" => packbitsDecode(bytes, expected)
+          case _ => bytes
+        }
         // effectivePredictor, not dtype-derived: a foreign file may
         // declare predictor 1 for an integer dtype, and un-differencing
         // bytes that were never differenced corrupts silently
-        if ((codec == "deflate" || codec == "lzw") && profile.effectivePredictor == 2)
+        if (predictorCodecs(codec) && profile.effectivePredictor == 2)
           undoPredictor(raw, bs * bands, bp, bands)
         deserialize(raw, profile.dtype)
       }

@@ -64,12 +64,14 @@ object ClassicTiff {
         case "lzw" => 5
         case "jpeg" => 7
         case "deflate" => 8
+        case "packbits" => 32773
+        case "zstd" => 50000
         case c => sys.error(s"unsupported fixture compression $c")
       }
-      val pred = prof.compressionFor(l) match {
-        case "deflate" | "lzw" => prof.effectivePredictor
-        case _ => 1
-      }
+      val pred =
+        if (TileCodec.predictorCodecs(prof.compressionFor(l)))
+          prof.effectivePredictor
+        else 1
       val nodataAscii = {
         val s = if (prof.nodata == prof.nodata.toLong.toDouble)
           prof.nodata.toLong.toString else prof.nodata.toString

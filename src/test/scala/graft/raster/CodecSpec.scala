@@ -190,6 +190,43 @@ class CodecSpec extends AnyFunSuite {
     assert(TileCodec.lzwEncode(smooth).length < smooth.length / 2)
   }
 
+  test("PackBits: pinned TIFF 6.0 §9 vector") {
+    // the spec's own worked example — decode is unambiguous; our
+    // encoder follows the recommended greedy (runs >= 3) and must
+    // reproduce the packed bytes exactly
+    val unpacked = Array(0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA,
+      0xAA, 0xAA, 0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+      0xAA, 0xAA, 0xAA, 0xAA, 0xAA).map(_.toByte)
+    val packed = Array(0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+      0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA).map(_.toByte)
+    assert(TileCodec.packbitsDecode(packed, unpacked.length).toSeq == unpacked.toSeq)
+    assert(TileCodec.packbitsEncode(unpacked, unpacked.length).toSeq == packed.toSeq)
+  }
+
+  test("PackBits + ZSTD: raw round-trips incl. long runs and 128+ literals") {
+    val runs = Array.tabulate[Byte](2048)(i => (i / 200).toByte) // >128 runs
+    val noise = Array.tabulate[Byte](1031)(i => ((i * 131) % 251).toByte)
+    for (raw <- Seq(runs, noise)) {
+      assert(TileCodec.packbitsDecode(
+        TileCodec.packbitsEncode(raw, 256), raw.length).toSeq == raw.toSeq)
+      assert(TileCodec.zstdDecode(
+        TileCodec.zstdEncode(raw), raw.length).toSeq == raw.toSeq)
+    }
+  }
+
+  test("ZSTD + PackBits: full tile encode/decode per dtype") {
+    for (codec <- Seq("zstd", "packbits"); dtype <- Seq("uint8", "int16", "float64")) {
+      val p = profile(dtype).copy(compression = codec)
+      val t = if (dtype == "float64")
+        Tile(0, 0, 0, 16, 16, Array.tabulate(256)(i => i * 0.25 - 11), null)
+      else intValuedTile(16, 16, dtype)
+      val enc = TileCodec.encode(t, p)
+      val dec = TileCodec.decode(enc.bytes, p)
+      for (i <- 0 until 256)
+        assert(dec(i) == t.pixels(i), s"$codec/$dtype px $i")
+    }
+  }
+
   test("LZW: full tile encode/decode per dtype incl. predictor 2") {
     for (dtype <- Seq("uint8", "int16", "float64")) {
       val p = profile(dtype).copy(compression = "lzw")

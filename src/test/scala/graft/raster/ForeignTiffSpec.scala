@@ -105,6 +105,27 @@ class ForeignTiffSpec extends SparkSpec {
     }
   }
 
+  test("foreign ZSTD and PackBits classic TIFFs decode end-to-end") {
+    for (codec <- Seq("zstd", "packbits")) {
+      val prof = RasterProfile(48, 32, blockSize = 16, bands = 1, nodata = 0,
+        dtype = "uint8", compression = codec, minOverviewSize = 16)
+      val (uri, expected) = writeClassic(prof, seed = 19L)
+      val pages = CogReader.readMeta(uri)
+      assert(pages.head.compression == (if (codec == "zstd") 50000 else 32773))
+      val inferred = CogReader.inferProfile(pages)
+      assert(inferred.compression == codec)
+      def q8(v: Double): Double =
+        if (v <= 0) 0 else if (v >= 255) 255 else math.round(v).toDouble
+      val got = CogReader.read(spark, uri, inferred, 0).collect()
+      assert(got.length == prof.tilesPerLevel(0))
+      for (t <- got; i <- 0 until t.h * t.w) {
+        val e = expected((0, t.ty, t.tx))
+        val want = if (e.valid(i, 0)) q8(e.pixels(i)) else 0.0
+        assert(t.pixels(i) == want, s"$codec tile(${t.ty},${t.tx}) px $i")
+      }
+    }
+  }
+
   test("big-endian and bad-magic files are rejected loudly") {
     val mm = Array[Byte](0x4d, 0x4d, 0, 42, 0, 0, 0, 8)
     val ex = intercept[IllegalArgumentException](BigTiff.readPages(mm))
