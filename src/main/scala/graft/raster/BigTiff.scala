@@ -409,8 +409,13 @@ object BigTiff {
       /** SamplesPerPixel (band count); 1 when absent. */
       samplesPerPixel: Int = 1,
       /** GDAL_NODATA value string (NUL/space stripped); "" when absent. */
-      nodataAscii: String = "") {
+      nodataAscii: String = "",
+      /** RowsPerStrip for STRIP-organized (non-tiled) pages — GDAL's
+        * default layout for plain (non-COG) TIFFs. 0 = tiled; when
+        * > 0, `offsets`/`counts` hold the strip arrays instead. */
+      rowsPerStrip: Long = 0) {
     def isMask: Boolean = (subfileType & 4L) != 0
+    def isStriped: Boolean = tileW == 0 && rowsPerStrip > 0
   }
 
   /** Parse the IFD chain of a little-endian TIFF — BigTIFF (magic 43,
@@ -455,6 +460,7 @@ object BigTiff {
       var ycArr: Array[Int] = Array.empty
       var spp = 1; var ndAscii = ""
       var offArr: Array[Long] = null; var cntArr: Array[Long] = null
+      var rps = 0L
       for (e <- 0 until n) {
         val base = entriesBase + e * entryLen
         val tag = buf.getShort(base) & 0xffff
@@ -493,6 +499,11 @@ object BigTiff {
           case TagPhotometric => photo = elem(0).toInt
           case TagTileOffsets => offArr = longArray()
           case TagTileByteCounts => cntArr = longArray()
+          // strip layout (273/278/279): offsets/counts share the same
+          // slots — a page is either tiled or striped, never both
+          case 273 => offArr = longArray()
+          case 278 => rps = elem(0)
+          case 279 => cntArr = longArray()
           case TagSamplesPerPixel => spp = elem(0).toInt
           case TagGdalNodata =>
             ndAscii = ascii().takeWhile(c => c != '\u0000' && c != ' ')
@@ -507,7 +518,7 @@ object BigTiff {
       }
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
         subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr,
-        cmapArr, ycArr, spp, ndAscii)
+        cmapArr, ycArr, spp, ndAscii, rps)
       ifd =
         if (big) buf.getLong(entriesBase + n * entryLen)
         else uint(entriesBase + n * entryLen)

@@ -96,17 +96,9 @@ object CogReader {
     }
   }
 
-  /** Reconstruct a read-capable [[RasterProfile]] from the parsed
-    * header alone — the DSv2 path needs no writer-side profile. Fields
-    * that only affect WRITING (resampling kernel, zlevel, jpegQuality,
-    * sparseOk) take defaults; everything decode needs (dims, block
-    * size, bands, dtype, codec per level, nodata, mask presence) comes
-    * from tags. */
-  def inferProfile(pages: Seq[BigTiff.PageMeta]): RasterProfile = {
-    val data = pages.filter(!_.isMask)
-    require(data.nonEmpty, "no data pages in header")
-    val p0 = data.head
-    val dtype = (p0.bits, p0.sampleFormat) match {
+  /** Engine dtype name for a (BitsPerSample, SampleFormat) tag pair. */
+  def dtypeOf(bits: Int, sampleFormat: Int): String =
+    (bits, sampleFormat) match {
       case (8, 1) => "uint8"
       case (8, 2) => "int8"
       case (16, 1) => "uint16"
@@ -117,6 +109,18 @@ object CogReader {
       case (64, 3) => "float64"
       case (b, s) => sys.error(s"unsupported bits/sampleFormat $b/$s")
     }
+
+  /** Reconstruct a read-capable [[RasterProfile]] from the parsed
+    * header alone — the DSv2 path needs no writer-side profile. Fields
+    * that only affect WRITING (resampling kernel, zlevel, jpegQuality,
+    * sparseOk) take defaults; everything decode needs (dims, block
+    * size, bands, dtype, codec per level, nodata, mask presence) comes
+    * from tags. */
+  def inferProfile(pages: Seq[BigTiff.PageMeta]): RasterProfile = {
+    val data = pages.filter(!_.isMask)
+    require(data.nonEmpty, "no data pages in header")
+    val p0 = data.head
+    val dtype = dtypeOf(p0.bits, p0.sampleFormat)
     def codec(c: Int): String = c match {
       case 1 => "none"
       case 5 => "lzw"
@@ -126,10 +130,12 @@ object CogReader {
       case 50000 => "zstd"
       case c => sys.error(s"unsupported compression code $c")
     }
+    require(!p0.isStriped,
+      "strip-organized TIFF (no tiles): use CogReader.readStrips")
     // materializeTile strides rows by the profile's single blockSize:
     // rectangular or per-level-varying tile sizes (legal TIFF) would
     // decode with wrong strides — fail loudly instead of corrupting
-    require(p0.tileW == p0.tileH,
+    require(p0.tileW == p0.tileH && p0.tileW > 0,
       s"unsupported non-square tiles ${p0.tileW}x${p0.tileH}")
     data.foreach(pg => require(pg.tileW == p0.tileW && pg.tileH == p0.tileH,
       s"mixed tile sizes across pages: ${pg.tileW}x${pg.tileH} vs ${p0.tileW}x${p0.tileH}"))
@@ -180,6 +186,65 @@ object CogReader {
       // un-difference bytes that were never differenced. Taken from the
       // deflate pages (predictor is meaningless under jpeg/none)
       predictorOverride = Some(deflatePreds.headOption.getOrElse(p0.predictor)))
+  }
+
+  /** STRIP-organized (non-tiled) foreign TIFF as a Dataset[Tile] — one
+    * tile per strip, (ty = strip index, tx = 0, h = strip rows, w =
+    * image width). GDAL's default layout for plain TIFFs, so "read any
+    * GeoTIFF someone hands you" needs it even though COGs are tiled.
+    * Pure header-driven: codec/dtype/predictor/nodata come from the
+    * page tags; executors do one ranged read + decode per strip. */
+  def readStrips(spark: SparkSession, uri: String,
+      confEntries: Map[String, String] = Map.empty): Dataset[Tile] = {
+    import spark.implicits._
+    val pg = readMeta(uri, confEntries).head
+    require(pg.isStriped, s"not strip-organized (tileW=${pg.tileW})")
+    val codec = pg.compression match {
+      case 1 => "none"
+      case 5 => "lzw"
+      case 8 => "deflate"
+      case 32773 => "packbits"
+      case 50000 => "zstd"
+      case c => sys.error(s"unsupported strip compression code $c")
+    }
+    val dtype = dtypeOf(pg.bits, pg.sampleFormat)
+    val width = pg.width.toInt
+    val rps = pg.rowsPerStrip.toInt
+    val height = pg.height.toInt
+    val bands = pg.samplesPerPixel
+    val pred = pg.predictor
+    val plan = pg.offsets.indices.map { si =>
+      (si, pg.offsets(si), pg.counts(si),
+        math.min(rps, height - si * rps)) // last strip may be short
+    }
+    val bcConf = spark.sparkContext.broadcast(confEntries)
+    spark.createDataset(plan)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+        val path = new Path(uri)
+        val in = path.getFileSystem(conf).open(path)
+        val out = it.map { case (si, off, cnt, rows) =>
+          val comp = new Array[Byte](cnt.toInt)
+          in.readFully(off, comp, 0, cnt.toInt)
+          val px = TileCodec.decodeStrip(comp, codec, pred, rows, width,
+            bands, dtype)
+          Tile(0, si, 0, rows, width, px, null)
+        }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) {
+          tc.addTaskCompletionListener[Unit](_ => in.close())
+          out
+        } else new Iterator[Tile] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) in.close()
+            h
+          }
+          def next(): Tile = out.next()
+        }
+      }
   }
 
   /** Level `level` of the COG at `uri` as a Dataset[Tile]. `profile`

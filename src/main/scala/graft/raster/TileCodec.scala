@@ -331,6 +331,41 @@ object TileCodec {
     out
   }
 
+  /** Decode one STRIP (non-tiled layout; GDAL's default for plain
+    * TIFFs): `rows`×`width` pixel-interleaved samples → band-major
+    * planes of rows*width each. Strips have no bs×bs padding — the
+    * decompressed payload is exactly rows*width*bands samples. */
+  def decodeStrip(bytes: Array[Byte], codec: String, predictorTag: Int,
+      rows: Int, width: Int, bands: Int, dtype: String): Array[Double] = {
+    val bp = dtypes(dtype)._3
+    val expected = rows * width * bands * bp
+    val raw = codec match {
+      case "deflate" => inflate(bytes, expected)
+      case "lzw" => lzwDecode(bytes, expected)
+      case "zstd" => zstdDecode(bytes, expected)
+      case "packbits" => packbitsDecode(bytes, expected)
+      case "none" => bytes
+      case c => sys.error(s"unsupported strip codec $c")
+    }
+    if (predictorCodecs(codec) && predictorTag == 2)
+      undoPredictor(raw, width * bands, bp, bands)
+    val interleaved = deserialize(raw, dtype)
+    if (bands == 1) interleaved
+    else {
+      val out = new Array[Double](interleaved.length)
+      var i = 0
+      while (i < rows * width) {
+        var b = 0
+        while (b < bands) {
+          out(b * rows * width + i) = interleaved(i * bands + b)
+          b += 1
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
   // ---- TIFF LZW (TIFF 6.0 §13): GDAL's historic default compression.
   // MSB-first bit packing, ClearCode 256 / EOI 257, 9→12-bit codes with
   // the TIFF "early change" (width bumps when the next free entry

@@ -126,6 +126,38 @@ class ForeignTiffSpec extends SparkSpec {
     }
   }
 
+  test("strip-organized classic TIFF reads via readStrips; tiled path refuses loudly") {
+    val width = 40; val height = 25; val rps = 8
+    val vals = Array.tabulate(height * width)(i => (i * 7) % 251)
+    val nStrips = (height + rps - 1) / rps
+    val strips = (0 until nStrips).map { si =>
+      val rows = math.min(rps, height - si * rps)
+      val raw = new Array[Byte](rows * width)
+      for (r <- 0 until rows; x <- 0 until width)
+        raw(r * width + x) = vals((si * rps + r) * width + x).toByte
+      TileCodec.deflate(raw)
+    }.toArray
+    val bytes = ClassicTiff.emitStripped(width, height, rps, 8, strips)
+    val dir = Files.createTempDirectory("graft-strips").toString
+    val f = Paths.get(dir, "strips.tif")
+    Files.write(f, bytes)
+    val uri = "file://" + f
+
+    val tiles = CogReader.readStrips(spark, uri).collect().sortBy(_.ty)
+    assert(tiles.length == nStrips)
+    assert(tiles.last.h == height - (nStrips - 1) * rps) // short last strip
+    assert(tiles.forall(_.w == width))
+    for (t <- tiles; i <- 0 until t.h * t.w)
+      assert(t.pixels(i) == vals((t.ty * rps) * width + i).toDouble,
+        s"strip ${t.ty} px $i")
+
+    // the tiled reader (and thus DSv2) must refuse with a pointer, not
+    // divide by a zero tile size
+    val ex = intercept[IllegalArgumentException](
+      CogReader.inferProfile(CogReader.readMeta(uri)))
+    assert(ex.getMessage.contains("readStrips"))
+  }
+
   test("big-endian and bad-magic files are rejected loudly") {
     val mm = Array[Byte](0x4d, 0x4d, 0, 42, 0, 0, 0, 8)
     val ex = intercept[IllegalArgumentException](BigTiff.readPages(mm))
