@@ -401,25 +401,34 @@ class CogScan(path: String, conf: Map[String, String],
             lo.forall(v >= _) && hi.forall(v <= _)
           }
       }
-    val specs = for {
-      level <- data.indices
-      if inBounds("level", level)
-      pg = data(level)
-      (gw, _) = profile.gridDims(level)
-      ti <- pg.offsets.indices
-      if inBounds("ty", ti / gw) && inBounds("tx", ti % gw)
-      if geoKeep(level, ti / gw, ti % gw)
-    } yield CogTileSpec(level, gw, ti, pg.offsets(ti), pg.counts(ti),
-      masks.lift(level).map(_.offsets(ti)).getOrElse(0L),
-      masks.lift(level).map(_.counts(ti)).getOrElse(0L))
-    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism, specs.length))
+    // NOTE (scale): the InputPartitions necessarily hold one
+    // CogTileSpec per surviving tile on the driver (~40 B each — a few
+    // GB at a 50M-tile grid, the same inherent-to-TIFF driver ceiling
+    // as the header offset arrays, SCALE.md). The iterator streams
+    // specs straight into the round-robin groups so no SECOND
+    // fully-realized copy ever exists.
+    val specs = data.indices.iterator
+      .filter(inBounds("level", _))
+      .flatMap { level =>
+        val pg = data(level)
+        val (gw, _) = profile.gridDims(level)
+        pg.offsets.indices.iterator
+          .filter(ti => inBounds("ty", ti / gw) && inBounds("tx", ti % gw) &&
+            geoKeep(level, ti / gw, ti % gw))
+          .map(ti => CogTileSpec(level, gw, ti, pg.offsets(ti), pg.counts(ti),
+            masks.lift(level).map(_.offsets(ti)).getOrElse(0L),
+            masks.lift(level).map(_.counts(ti)).getOrElse(0L)))
+      }
+    val slices = math.max(1, spark.sparkContext.defaultParallelism)
     // broadcast once (the merged conf is ~1k entries — don't serialize
     // it into every partition); single O(tiles) round-robin pass
     val bcConf = spark.sparkContext.broadcast(merged)
     val groups = Array.fill(slices)(Seq.newBuilder[CogTileSpec])
-    specs.indices.foreach(i => groups(i % slices) += specs(i))
-    groups.map(g => CogInputPartition(path, bcConf, profile, required, g.result())
-      : InputPartition)
+    var i = 0
+    specs.foreach { s => groups(i % slices) += s; i += 1 }
+    groups.take(math.max(1, math.min(slices, i)))
+      .map(g => CogInputPartition(path, bcConf, profile, required, g.result())
+        : InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
