@@ -55,7 +55,7 @@ class CogReaderSpec extends SparkSpec {
     val df = spark.read.format("cog").load(uri)
     // all levels come back as rows; schema is the tile schema
     assert(df.columns.toSeq == Seq("level", "ty", "tx", "h", "w", "pixels",
-      "mask", "minx", "miny", "maxx", "maxy"))
+      "mask", "minx", "miny", "maxx", "maxy", "src"))
     val got = df.collect()
     assert(got.length == (0 to prof.maxLevel).map(prof.tilesPerLevel).sum)
     for (r <- got) {
@@ -102,6 +102,35 @@ class CogReaderSpec extends SparkSpec {
     df.write.format("cog").option("nodata", ND.toString).mode("overwrite").save(out)
     assert(spark.read.format("cog").load("file://" + out)
       .where("level = 0").count() == prof.tilesPerLevel(0))
+  }
+
+  test("DSv2 mosaic: a directory of COGs reads as one table with per-file bbox pruning") {
+    // two 48x32 rasters side by side in world space: A at x=[500000,
+    // 500480), B at x=[500480, 500960)
+    val dir = Files.createTempDirectory("graft-mosaic").toString
+    for ((name, originX, seed) <- Seq(("a.tif", 500000.0, 61L), ("b.tif", 500480.0, 62L))) {
+      val p = RasterProfile(48, 32, blockSize = 16, nodata = ND,
+        minOverviewSize = 16,
+        geo = Some(GeoRef(10.0, 10.0, originX, 6400000.0, 32633)))
+      val bytes = CogWriter.writeBytes(
+        SyntheticRaster.generate(spark, p, seed), p,
+        Files.createTempDirectory("graft-mosaic-w").toString)._1
+      Files.write(Paths.get(dir, name), bytes)
+    }
+    val df = spark.read.format("cog").load(dir)
+    // both files contribute; src distinguishes them
+    val srcs = df.select("src").distinct().collect().map(_.getString(0)).sorted
+    assert(srcs.length == 2 && srcs(0).endsWith("a.tif") && srcs(1).endsWith("b.tif"))
+    val p0 = RasterProfile(48, 32, blockSize = 16, nodata = ND, minOverviewSize = 16)
+    val perLevelTiles = (0 to p0.maxLevel).map(p0.tilesPerLevel).sum
+    assert(df.count() == 2L * perLevelTiles)
+
+    // bbox inside file B only: planning keeps zero partitions for A
+    val bboxed = df.where("level = 0 AND minx >= 480.0 + 500000.0")
+    val rows = bboxed.collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(11).endsWith("b.tif")))
+    // header-only metadata scan across the mosaic
+    assert(df.where("level = 0").select("ty", "tx", "src").count() == 2L * p0.tilesPerLevel(0))
   }
 
   test("inferProfile recovers the full profile from the file alone, incl. geo") {
