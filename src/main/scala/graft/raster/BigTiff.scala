@@ -413,7 +413,11 @@ object BigTiff {
       /** RowsPerStrip for STRIP-organized (non-tiled) pages — GDAL's
         * default layout for plain (non-COG) TIFFs. 0 = tiled; when
         * > 0, `offsets`/`counts` hold the strip arrays instead. */
-      rowsPerStrip: Long = 0) {
+      rowsPerStrip: Long = 0,
+      /** JPEGTables tag (347) payload: shared DQT/DHT tables for
+        * abbreviated per-tile streams — what GDAL writes for jpeg
+        * COGs. Empty = tiles are self-contained JFIF. */
+      jpegTables: Array[Byte] = Array.empty) {
     def isMask: Boolean = (subfileType & 4L) != 0
     def isStriped: Boolean = tileW == 0 && rowsPerStrip > 0
   }
@@ -461,6 +465,7 @@ object BigTiff {
       var spp = 1; var ndAscii = ""
       var offArr: Array[Long] = null; var cntArr: Array[Long] = null
       var rps = 0L
+      var jpegTbl: Array[Byte] = Array.empty
       for (e <- 0 until n) {
         val base = entriesBase + e * entryLen
         val tag = buf.getShort(base) & 0xffff
@@ -504,6 +509,9 @@ object BigTiff {
           case 273 => offArr = longArray()
           case 278 => rps = elem(0)
           case 279 => cntArr = longArray()
+          // shared JPEG tables for abbreviated tile streams
+          case 347 =>
+            jpegTbl = java.util.Arrays.copyOfRange(file, dataAt, dataAt + count)
           case TagSamplesPerPixel => spp = elem(0).toInt
           case TagGdalNodata =>
             ndAscii = ascii().takeWhile(c => c != '\u0000' && c != ' ')
@@ -518,7 +526,7 @@ object BigTiff {
       }
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
         subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr,
-        cmapArr, ycArr, spp, ndAscii, rps)
+        cmapArr, ycArr, spp, ndAscii, rps, jpegTbl)
       ifd =
         if (big) buf.getLong(entriesBase + n * entryLen)
         else uint(entriesBase + n * entryLen)

@@ -185,7 +185,10 @@ object CogReader {
       // predictor 1 for integer deflate; assuming dtype-derived would
       // un-difference bytes that were never differenced. Taken from the
       // deflate pages (predictor is meaningless under jpeg/none)
-      predictorOverride = Some(deflatePreds.headOption.getOrElse(p0.predictor)))
+      predictorOverride = Some(deflatePreds.headOption.getOrElse(p0.predictor)),
+      // foreign jpeg COGs (GDAL) share tables via tag 347 with
+      // abbreviated per-tile streams; spliced at decode
+      jpegTables = Some(p0.jpegTables).filter(_.nonEmpty))
   }
 
   /** STRIP-organized (non-tiled) foreign TIFF as a Dataset[Tile] — one

@@ -122,7 +122,12 @@ case class RasterProfile(
       * with the wrong assumption silently corrupts pixels.
       * `CogReader.inferProfile` sets this from the header's Predictor
       * tag; None = dtype-derived (the write default). */
-    predictorOverride: Option[Int] = None) {
+    predictorOverride: Option[Int] = None,
+    /** Shared JPEGTables payload (tag 347) from a FOREIGN file whose
+      * jpeg tiles are abbreviated streams (GDAL's default): spliced
+      * into each tile at decode. None = self-contained JFIF tiles
+      * (what our writer emits). Read-side only. */
+    jpegTables: Option[Array[Byte]] = None) {
 
   require(width > 0 && height > 0, "raster dims must be positive")
   require(bands >= 1 && bands <= 4,

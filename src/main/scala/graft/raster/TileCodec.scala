@@ -280,6 +280,28 @@ object TileCodec {
   /** Decode a JPEG tile back to the pixel-interleaved 8-bit plane
     * (w·h bytes grayscale, w·h·3 RGB) — the exact inverse layout of
     * [[jpegEncode]]'s input. */
+  /** Splice a JPEGTables stream (SOI + DQT/DHT [+ EOI]) into an
+    * abbreviated tile stream: tables segments go right after the
+    * tile's SOI, BEFORE any tile-local segments, so a tile that
+    * carries its own tables still wins (later tables with the same id
+    * override in sequential JPEG). TIFF TechNote 2 layout, what GDAL
+    * emits for jpeg-in-TIFF. */
+  def jpegMergeTables(tile: Array[Byte], tables: Array[Byte]): Array[Byte] = {
+    require(tile.length >= 2 && (tile(0) & 0xff) == 0xff && (tile(1) & 0xff) == 0xd8,
+      "jpeg tile must start with SOI")
+    require(tables.length >= 2 && (tables(0) & 0xff) == 0xff && (tables(1) & 0xff) == 0xd8,
+      "JPEGTables must start with SOI")
+    val end =
+      if (tables.length >= 4 && (tables(tables.length - 2) & 0xff) == 0xff &&
+        (tables(tables.length - 1) & 0xff) == 0xd9) tables.length - 2
+      else tables.length
+    val out = new Array[Byte](2 + (end - 2) + (tile.length - 2))
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte
+    System.arraycopy(tables, 2, out, 2, end - 2)
+    System.arraycopy(tile, 2, out, end, tile.length - 2)
+    out
+  }
+
   def jpegDecode(bytes: Array[Byte], w: Int, h: Int, bands: Int = 1): Array[Byte] = {
     import java.awt.image.BufferedImage
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -727,8 +749,12 @@ object TileCodec {
     val bands = profile.bands
     val codec = profile.compressionFor(level)
     val interleaved: Array[Double] =
-      if (codec == "jpeg") deserialize(jpegDecode(bytes, bs, bs, bands), "uint8")
-      else {
+      if (codec == "jpeg") {
+        // foreign abbreviated streams need the shared tables spliced in
+        val stream = profile.jpegTables
+          .map(t => jpegMergeTables(bytes, t)).getOrElse(bytes)
+        deserialize(jpegDecode(stream, bs, bs, bands), "uint8")
+      } else {
         val bp = dtypes(profile.dtype)._3
         val expected = bs * bs * bands * bp
         val raw = codec match {

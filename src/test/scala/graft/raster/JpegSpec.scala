@@ -36,6 +36,43 @@ class JpegSpec extends SparkSpec {
         30 * math.cos((tx * 16 + i % w) / 11.0) + 60
     }, null)
 
+  test("abbreviated foreign stream + JPEGTables tag splices and decodes (TechNote 2)") {
+    // build an abbreviated tile + shared-tables pair OUT OF our own
+    // full JFIF stream: DQT/DHT segments move to the tables stream
+    // (SOI + tables + EOI), everything else stays in the tile — the
+    // layout GDAL writes for jpeg COGs (tag 347)
+    val t = smoothTile(0, 0, 16, 16)
+    val full = TileCodec.encode(t, prof).bytes
+    val tables = Seq.newBuilder[Byte]
+    val tileRest = Seq.newBuilder[Byte]
+    var i = 2
+    var done = false
+    while (!done && i + 4 <= full.length) {
+      val marker = ((full(i) & 0xff) << 8) | (full(i + 1) & 0xff)
+      if (marker == 0xffda) { tileRest ++= full.slice(i, full.length); done = true }
+      else {
+        val len = ((full(i + 2) & 0xff) << 8) | (full(i + 3) & 0xff)
+        val seg = full.slice(i, i + 2 + len)
+        if (marker == 0xffdb || marker == 0xffc4) tables ++= seg
+        else tileRest ++= seg
+        i += 2 + len
+      }
+    }
+    val soi = Array[Byte](0xff.toByte, 0xd8.toByte)
+    val eoi = Array[Byte](0xff.toByte, 0xd9.toByte)
+    val tablesStream = soi ++ tables.result().toArray ++ eoi
+    val abbreviated = soi ++ tileRest.result().toArray
+    assert(tablesStream.length > 4, "no DQT/DHT extracted")
+
+    // decode through the profile plumbing exactly as inferProfile
+    // wires it for a foreign file
+    val foreignProf = prof.copy(jpegTables = Some(tablesStream))
+    val merged = TileCodec.decode(abbreviated, foreignProf)
+    val direct = TileCodec.decode(full, prof)
+    assert(merged.toSeq == direct.toSeq,
+      "spliced abbreviated stream decodes differently from the full stream")
+  }
+
   test("round-trip within JPEG tolerance on smooth data") {
     val t = smoothTile(0, 0, 16, 16)
     val enc = TileCodec.encode(t, prof)
