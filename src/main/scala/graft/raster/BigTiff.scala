@@ -417,7 +417,10 @@ object BigTiff {
       /** JPEGTables tag (347) payload: shared DQT/DHT tables for
         * abbreviated per-tile streams — what GDAL writes for jpeg
         * COGs. Empty = tiles are self-contained JFIF. */
-      jpegTables: Array[Byte] = Array.empty) {
+      jpegTables: Array[Byte] = Array.empty,
+      /** File declared "MM" byte order: multi-byte SAMPLE data needs a
+        * byte-swap at decode (header values already decoded). */
+      bigEndian: Boolean = false) {
     def isMask: Boolean = (subfileType & 4L) != 0
     def isStriped: Boolean = tileW == 0 && rowsPerStrip > 0
   }
@@ -428,10 +431,17 @@ object BigTiff {
     * Entry decoding is TYPE-aware (element size + inline-vs-external by
     * payload vs value-slot width), so SHORT TileByteCounts, LONG
     * offsets, external BitsPerSample arrays etc. all read correctly in
-    * both layouts. Big-endian ("MM") files are rejected loudly. */
+    * both layouts. Both byte orders parse ("II" and "MM" — header
+    * numerics follow the declared order); note multi-byte SAMPLE data
+    * in an MM file needs the byte-swap decode flag
+    * ([[PageMeta.bigEndian]] → profile), wired by inferProfile. */
   def readPages(file: Array[Byte]): Seq[PageMeta] = {
-    val buf = ByteBuffer.wrap(file).order(ByteOrder.LITTLE_ENDIAN)
-    require(buf.getShort(0) == 0x4949.toShort, "not little-endian TIFF")
+    val order0 = ((file(0) & 0xff) << 8) | (file(1) & 0xff)
+    require(order0 == 0x4949 || order0 == 0x4d4d,
+      s"not a TIFF byte-order header: ${order0.toHexString}")
+    val mm = order0 == 0x4d4d
+    val buf = ByteBuffer.wrap(file)
+      .order(if (mm) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val magic = buf.getShort(2).toInt
     require(magic == 42 || magic == 43, s"not TIFF/BigTIFF (magic $magic)")
     val big = magic == 43
@@ -526,7 +536,7 @@ object BigTiff {
       }
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
         subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr,
-        cmapArr, ycArr, spp, ndAscii, rps, jpegTbl)
+        cmapArr, ycArr, spp, ndAscii, rps, jpegTbl, mm)
       ifd =
         if (big) buf.getLong(entriesBase + n * entryLen)
         else uint(entriesBase + n * entryLen)

@@ -188,7 +188,9 @@ object CogReader {
       predictorOverride = Some(deflatePreds.headOption.getOrElse(p0.predictor)),
       // foreign jpeg COGs (GDAL) share tables via tag 347 with
       // abbreviated per-tile streams; spliced at decode
-      jpegTables = Some(p0.jpegTables).filter(_.nonEmpty))
+      jpegTables = Some(p0.jpegTables).filter(_.nonEmpty),
+      // "MM" files carry big-endian samples — swapped at decode
+      bigEndianData = p0.bigEndian)
   }
 
   /** STRIP-organized (non-tiled) foreign TIFF as a Dataset[Tile] — one
@@ -216,6 +218,7 @@ object CogReader {
     val height = pg.height.toInt
     val bands = pg.samplesPerPixel
     val pred = pg.predictor
+    val mm = pg.bigEndian
     val plan = pg.offsets.indices.map { si =>
       (si, pg.offsets(si), pg.counts(si),
         math.min(rps, height - si * rps)) // last strip may be short
@@ -232,7 +235,7 @@ object CogReader {
           val comp = new Array[Byte](cnt.toInt)
           in.readFully(off, comp, 0, cnt.toInt)
           val px = TileCodec.decodeStrip(comp, codec, pred, rows, width,
-            bands, dtype)
+            bands, dtype, bigEndian = mm)
           Tile(0, si, 0, rows, width, px, null)
         }
         val tc = org.apache.spark.TaskContext.get()

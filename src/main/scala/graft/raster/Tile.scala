@@ -127,7 +127,10 @@ case class RasterProfile(
       * jpeg tiles are abbreviated streams (GDAL's default): spliced
       * into each tile at decode. None = self-contained JFIF tiles
       * (what our writer emits). Read-side only. */
-    jpegTables: Option[Array[Byte]] = None) {
+    jpegTables: Option[Array[Byte]] = None,
+    /** FOREIGN "MM" (big-endian) file: multi-byte samples byte-swap at
+      * decode. Read-side only — the writer always emits "II". */
+    bigEndianData: Boolean = false) {
 
   require(width > 0 && height > 0, "raster dims must be positive")
   require(bands >= 1 && bands <= 4,

@@ -197,6 +197,20 @@ object TileCodec {
     }
   }
 
+  /** In-place per-sample byte reversal (MM ↔ II sample data). */
+  def byteSwap(raw: Array[Byte], bp: Int): Unit = {
+    var i = 0
+    while (i + bp <= raw.length) {
+      var a = 0
+      var b = bp - 1
+      while (a < b) {
+        val t = raw(i + a); raw(i + a) = raw(i + b); raw(i + b) = t
+        a += 1; b -= 1
+      }
+      i += bp
+    }
+  }
+
   /** Reverse of [[applyPredictor]] (tests / decode path). */
   def undoPredictor(raw: Array[Byte], spr: Int, bp: Int, stride: Int): Unit = {
     val rowBytes = spr * bp
@@ -358,7 +372,8 @@ object TileCodec {
     * planes of rows*width each. Strips have no bs×bs padding — the
     * decompressed payload is exactly rows*width*bands samples. */
   def decodeStrip(bytes: Array[Byte], codec: String, predictorTag: Int,
-      rows: Int, width: Int, bands: Int, dtype: String): Array[Double] = {
+      rows: Int, width: Int, bands: Int, dtype: String,
+      bigEndian: Boolean = false): Array[Double] = {
     val bp = dtypes(dtype)._3
     val expected = rows * width * bands * bp
     val raw = codec match {
@@ -366,9 +381,10 @@ object TileCodec {
       case "lzw" => lzwDecode(bytes, expected)
       case "zstd" => zstdDecode(bytes, expected)
       case "packbits" => packbitsDecode(bytes, expected)
-      case "none" => bytes
+      case "none" => if (bigEndian && bp > 1) bytes.clone() else bytes
       case c => sys.error(s"unsupported strip codec $c")
     }
+    if (bigEndian && bp > 1) byteSwap(raw, bp)
     if (predictorCodecs(codec) && predictorTag == 2)
       undoPredictor(raw, width * bands, bp, bands)
     val interleaved = deserialize(raw, dtype)
@@ -762,8 +778,14 @@ object TileCodec {
           case "lzw" => lzwDecode(bytes, expected)
           case "zstd" => zstdDecode(bytes, expected)
           case "packbits" => packbitsDecode(bytes, expected)
-          case _ => bytes
+          // clone under a pending swap: "none" aliases the caller's
+          // array and the swap below is in-place
+          case _ => if (profile.bigEndianData && bp > 1) bytes.clone() else bytes
         }
+        // an MM file's samples are big-endian: swap to LE BEFORE the
+        // predictor undo — differencing is value-level, and the
+        // byte-wise borrow below assumes LE lanes
+        if (profile.bigEndianData && bp > 1) byteSwap(raw, bp)
         // effectivePredictor, not dtype-derived: a foreign file may
         // declare predictor 1 for an integer dtype, and un-differencing
         // bytes that were never differenced corrupts silently

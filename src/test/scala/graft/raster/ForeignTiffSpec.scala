@@ -158,12 +158,56 @@ class ForeignTiffSpec extends SparkSpec {
     assert(ex.getMessage.contains("readStrips"))
   }
 
-  test("big-endian and bad-magic files are rejected loudly") {
-    val mm = Array[Byte](0x4d, 0x4d, 0, 42, 0, 0, 0, 8)
-    val ex = intercept[IllegalArgumentException](BigTiff.readPages(mm))
-    assert(ex.getMessage.contains("little-endian"))
+  test("big-endian (MM) strip TIFF reads: uint8 deflate + uint16 sample swap") {
+    // uint8 deflate: only HEADER numerics differ between MM and II
+    val width = 24; val height = 10; val rps = 4
+    val vals = Array.tabulate(height * width)(i => (i * 11) % 251)
+    val nStrips = (height + rps - 1) / rps
+    val strips8 = (0 until nStrips).map { si =>
+      val rows = math.min(rps, height - si * rps)
+      TileCodec.deflate(Array.tabulate[Byte](rows * width)(j =>
+        vals((si * rps) * width + j).toByte))
+    }.toArray
+    val mm8 = ClassicTiff.emitStripped(width, height, rps, 8, strips8,
+      bigEndian = true)
+    val d8 = Files.createTempDirectory("graft-mm8").toString
+    val f8 = Paths.get(d8, "mm8.tif"); Files.write(f8, mm8)
+    val pages8 = CogReader.readMeta("file://" + f8)
+    assert(pages8.head.bigEndian && pages8.head.width == width)
+    val t8 = CogReader.readStrips(spark, "file://" + f8).collect().sortBy(_.ty)
+    for (t <- t8; i <- 0 until t.h * t.w)
+      assert(t.pixels(i) == vals((t.ty * rps) * width + i).toDouble)
+
+    // uint16 uncompressed: SAMPLE bytes are big-endian and must swap
+    val vals16 = Array.tabulate(height * width)(i => (i * 523) % 65521)
+    val strips16 = (0 until nStrips).map { si =>
+      val rows = math.min(rps, height - si * rps)
+      val raw = new Array[Byte](rows * width * 2)
+      for (j <- 0 until rows * width) {
+        val v = vals16((si * rps) * width + j)
+        raw(2 * j) = (v >> 8).toByte // big-endian
+        raw(2 * j + 1) = v.toByte
+      }
+      raw
+    }.toArray
+    val mm16 = ClassicTiff.emitStripped(width, height, rps, 1, strips16,
+      bigEndian = true, bits = 16)
+    val d16 = Files.createTempDirectory("graft-mm16").toString
+    val f16 = Paths.get(d16, "mm16.tif"); Files.write(f16, mm16)
+    val t16 = CogReader.readStrips(spark, "file://" + f16).collect().sortBy(_.ty)
+    for (t <- t16; i <- 0 until t.h * t.w)
+      assert(t.pixels(i) == vals16((t.ty * rps) * width + i).toDouble,
+        s"mm16 strip ${t.ty} px $i")
+  }
+
+  test("bad byte-order and bad-magic headers are rejected loudly") {
+    val badOrder = Array[Byte](0x4a, 0x4a, 42, 0, 8, 0, 0, 0)
+    val ex = intercept[IllegalArgumentException](BigTiff.readPages(badOrder))
+    assert(ex.getMessage.contains("byte-order"))
     val bad = Array[Byte](0x49, 0x49, 41, 0, 8, 0, 0, 0)
     val ex2 = intercept[IllegalArgumentException](BigTiff.readPages(bad))
     assert(ex2.getMessage.contains("magic"))
+    // a minimal MM header with an empty IFD chain parses to zero pages
+    assert(BigTiff.readPages(Array[Byte](0x4d, 0x4d, 0, 42, 0, 0, 0, 0)).isEmpty)
   }
 }
