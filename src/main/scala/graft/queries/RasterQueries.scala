@@ -287,6 +287,33 @@ object RasterQueries {
       .toDF("n_tiles", "file_len", "levels", "mean_valid")
   }
 
+  /** Mosaic read (the realistic 100 TB raster layout — many COGs, not
+    * one): two geo-referenced COGs side by side in world space read as
+    * ONE DSv2 table from their directory; a bbox predicate that only
+    * intersects the second file must plan zero partitions for the
+    * first (per-file pruning asserted structurally in CogReaderSpec).
+    * Rolled up per source file. */
+  def rasterMosaic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-qmosaic").toString
+    for ((name, originX, seed) <- Seq(("a.tif", 500000.0, 71L), ("b.tif", 500640.0, 72L))) {
+      val p = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+        minOverviewSize = 32,
+        geo = Some(GeoRef(10.0, 10.0, originX, 6400000.0, 32633)))
+      val bytes = CogWriter.writeBytes(
+        SyntheticRaster.generate(spark, p, seed), p,
+        java.nio.file.Files.createTempDirectory("graft-qmosaic-w").toString)._1
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    spark.read.format("cog").load(dir)
+      .where($"level" === 0 && $"maxx" > 500000.0)
+      .groupBy(element_at(split($"src", "/"), -1).as("file"))
+      .agg(count(lit(1)).as("n_tiles"),
+        round(min($"minx"), 2).as("minx"), round(max($"maxx"), 2).as("maxx"))
+      .orderBy($"file")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_raster_pyramid" -> rasterPyramid,
     "q_raster_halo" -> rasterHalo,
@@ -294,6 +321,7 @@ object RasterQueries {
     "q_raster_read" -> rasterRead,
     "q_raster_dsv2" -> rasterDsv2,
     "q_raster_dsv2_write" -> rasterDsv2Write,
+    "q_raster_mosaic" -> rasterMosaic,
     "q_stream_cog" -> rasterStreamIngest,
     "q_cog_write_bytes" -> cogWriteBytes)
 
