@@ -96,6 +96,21 @@ object CogReader {
     }
   }
 
+  /** Geo-referencing from a page's pixel-scale + tiepoint + GeoKey
+    * tags (the read-side answer to the reference's R4 source sniffing,
+    * ccog/ccog.py:922-925); None when any is absent. */
+  def inferGeo(p0: BigTiff.PageMeta): Option[GeoRef] =
+    if (p0.pixelScale.length >= 2 && p0.tiepoint.length >= 6 && p0.geoKeys.length >= 4) {
+      // GeoKeyDirectory: [ver, rev, minor, nKeys, then (id, loc, cnt, value)*]
+      val keys = p0.geoKeys.drop(4).grouped(4)
+        .collect { case Array(id, 0, 1, v) => id -> v }.toMap
+      val modelType = keys.getOrElse(1024, 0)
+      val epsg = keys.get(if (modelType == 2) 2048 else 3072)
+      epsg.map(code => GeoRef(p0.pixelScale(0), p0.pixelScale(1),
+        p0.tiepoint(3), p0.tiepoint(4), code,
+        geographic = Some(modelType == 2)))
+    } else None
+
   /** Engine dtype name for a (BitsPerSample, SampleFormat) tag pair. */
   def dtypeOf(bits: Int, sampleFormat: Int): String =
     (bits, sampleFormat) match {
@@ -165,17 +180,7 @@ object CogReader {
     // reference's R4 source sniffing, ccog/ccog.py:922-925): pixel
     // scale + (0,0)-anchored tiepoint + the EPSG code from whichever
     // GeoKey the model type selects
-    val geo =
-      if (p0.pixelScale.length >= 2 && p0.tiepoint.length >= 6 && p0.geoKeys.length >= 4) {
-        // GeoKeyDirectory: [ver, rev, minor, nKeys, then (id, loc, cnt, value)*]
-        val keys = p0.geoKeys.drop(4).grouped(4)
-          .collect { case Array(id, 0, 1, v) => id -> v }.toMap
-        val modelType = keys.getOrElse(1024, 0)
-        val epsg = keys.get(if (modelType == 2) 2048 else 3072)
-        epsg.map(code => GeoRef(p0.pixelScale(0), p0.pixelScale(1),
-          p0.tiepoint(3), p0.tiepoint(4), code,
-          geographic = Some(modelType == 2)))
-      } else None
+    val geo = inferGeo(p0)
     RasterProfile(p0.width.toInt, p0.height.toInt,
       blockSize = p0.tileW, bands = p0.samplesPerPixel, nodata = nodata,
       resampling = "nearest", overviewCount = Some(data.length - 1),

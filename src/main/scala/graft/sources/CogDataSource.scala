@@ -347,10 +347,19 @@ class CogScanBuilder(path: String, conf: Map[String, String])
 case class CogTileSpec(level: Int, gw: Int, ti: Int,
     off: Long, cnt: Long, mOff: Long, mCnt: Long)
 
+/** Decode recipe for a STRIP-organized (non-tiled) file — GDAL's
+  * default for plain TIFFs; rows surface as (level=0, ty=stripIdx,
+  * tx=0, h=stripRows, w=width) so any GeoTIFF reads through the one
+  * DSv2 source. */
+case class StripSource(codec: String, dtype: String, predictor: Int,
+    width: Int, height: Int, rowsPerStrip: Int, bands: Int,
+    bigEndian: Boolean, geo: Option[graft.raster.GeoRef])
+
 case class CogInputPartition(uri: String,
     conf: org.apache.spark.broadcast.Broadcast[Map[String, String]],
     profile: RasterProfile, schema: StructType,
-    tiles: Seq[CogTileSpec]) extends InputPartition
+    tiles: Seq[CogTileSpec],
+    strips: Option[StripSource] = None) extends InputPartition
 
 class CogScan(path: String, conf: Map[String, String],
     bounds: Map[String, (Option[Int], Option[Int])],
@@ -414,10 +423,9 @@ class CogScan(path: String, conf: Map[String, String],
 
     // headers are KB-scale but possibly numerous: parse in parallel on
     // a bounded pool (object stores serve these as ranged GETs)
-    val metas: Seq[(String, RasterProfile, Seq[BigTiff.PageMeta])] =
+    val metas: Seq[(String, Seq[BigTiff.PageMeta])] =
       if (files.size == 1)
-        files.map(f => { val pg = CogReader.readMeta(f, merged)
-          (f, CogReader.inferProfile(pg), pg) })
+        files.map(f => (f, CogReader.readMeta(f, merged)))
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, files.size))
@@ -426,8 +434,7 @@ class CogScan(path: String, conf: Map[String, String],
         try scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(files.map(f =>
             scala.concurrent.Future {
-              val pg = CogReader.readMeta(f, merged)
-              (f, CogReader.inferProfile(pg), pg)
+              (f, CogReader.readMeta(f, merged))
             })), scala.concurrent.duration.Duration.Inf)
         finally pool.shutdown()
       }
@@ -441,7 +448,51 @@ class CogScan(path: String, conf: Map[String, String],
     // fully-realized copy ever exists.
     val slicesPerFile = math.max(1,
       spark.sparkContext.defaultParallelism / files.size)
-    metas.flatMap { case (uri, profile, pages) =>
+
+    // strip-organized file: surface strips as (level 0, ty=stripIdx,
+    // tx=0) rows so ANY GeoTIFF — COG or plain — reads through the one
+    // source; prune on ty and world bounds like tiles
+    def planStriped(uri: String, pg: BigTiff.PageMeta): Seq[InputPartition] = {
+      val codec = pg.compression match {
+        case 1 => "none"
+        case 5 => "lzw"
+        case 8 => "deflate"
+        case 32773 => "packbits"
+        case 50000 => "zstd"
+        case c => sys.error(s"unsupported strip compression code $c")
+      }
+      val ss = StripSource(codec, CogReader.dtypeOf(pg.bits, pg.sampleFormat),
+        pg.predictor, pg.width.toInt, pg.height.toInt, pg.rowsPerStrip.toInt,
+        pg.samplesPerPixel, pg.bigEndian, CogReader.inferGeo(pg))
+      // placeholder profile: the reader branches to the strip recipe
+      // before ever consulting it (schema/geometry all come from ss)
+      val placeholder = RasterProfile(ss.width, ss.height, blockSize = 16,
+        nodata = Double.NaN)
+      def stripKeep(si: Int): Boolean = {
+        val rows = math.min(ss.rowsPerStrip, ss.height - si * ss.rowsPerStrip)
+        inBounds("level", 0) && inBounds("ty", si) && inBounds("tx", 0) &&
+          (dbounds.isEmpty || ss.geo.forall { g =>
+            val (mnx, mny, mxx, mxy) = CogTable.tileBounds(
+              g, ss.rowsPerStrip, 0, si, 0, rows, ss.width)
+            Seq("minx" -> mnx, "miny" -> mny, "maxx" -> mxx, "maxy" -> mxy)
+              .forall { case (c, v) =>
+                val (lo, hi) = dbounds.getOrElse(c, (None, None))
+                lo.forall(v >= _) && hi.forall(v <= _)
+              }
+          })
+      }
+      val specs = pg.offsets.indices.iterator.filter(stripKeep)
+        .map(si => CogTileSpec(0, 1, si, pg.offsets(si), pg.counts(si), 0L, 0L))
+      val groups = Array.fill(slicesPerFile)(Seq.newBuilder[CogTileSpec])
+      var i = 0
+      specs.foreach { s => groups(i % slicesPerFile) += s; i += 1 }
+      groups.take(math.max(if (i == 0) 0 else 1, math.min(slicesPerFile, i)))
+        .map(g => CogInputPartition(uri, bcConf, placeholder, required,
+          g.result(), Some(ss)): InputPartition).toSeq
+    }
+
+    def planTiled(uri: String, pages: Seq[BigTiff.PageMeta]): Seq[InputPartition] = {
+      val profile = CogReader.inferProfile(pages)
       val data = pages.filter(!_.isMask)
       val masks = pages.filter(_.isMask)
       // bbox pruning: a tile survives only if its world bounds can
@@ -476,7 +527,12 @@ class CogScan(path: String, conf: Map[String, String],
       specs.foreach { s => groups(i % slicesPerFile) += s; i += 1 }
       groups.take(math.max(if (i == 0) 0 else 1, math.min(slicesPerFile, i)))
         .map(g => CogInputPartition(uri, bcConf, profile, required, g.result())
-          : InputPartition)
+          : InputPartition).toSeq
+    }
+
+    metas.flatMap { case (uri, pages) =>
+      if (pages.headOption.exists(_.isStriped)) planStriped(uri, pages.head)
+      else planTiled(uri, pages)
     }.toArray
   }
 
@@ -521,6 +577,7 @@ class CogPartitionReader(part: CogInputPartition)
 
   override def next(): Boolean =
     if (!it.hasNext) false
+    else if (part.strips.isDefined) { nextStrip(); true }
     else {
       val s = it.next()
       val ty = s.ti / s.gw
@@ -565,6 +622,43 @@ class CogPartitionReader(part: CogInputPartition)
         }
       true
     }
+
+  /** Strip-organized branch: one row per strip, (level 0, ty =
+    * stripIdx, tx = 0); geometry + geo bounds header-derived, pixels
+    * decoded via the strip recipe only when the scan needs them. */
+  private def nextStrip(): Unit = {
+    val ss = part.strips.get
+    val s = it.next()
+    val si = s.ti
+    val rows = math.min(ss.rowsPerStrip, ss.height - si * ss.rowsPerStrip)
+    val geoB = ss.geo.map(g =>
+      CogTable.tileBounds(g, ss.rowsPerStrip, 0, si, 0, rows, ss.width))
+    def geoVal(name: String): Any = (name, geoB) match {
+      case ("minx", Some((v, _, _, _))) => v
+      case ("miny", Some((_, v, _, _))) => v
+      case ("maxx", Some((_, _, v, _))) => v
+      case ("maxy", Some((_, _, _, v))) => v
+      case ("src", _) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(part.uri)
+      case _ => null
+    }
+    lazy val pixels = {
+      val comp = new Array[Byte](s.cnt.toInt)
+      in.readFully(s.off, comp, 0, s.cnt.toInt)
+      graft.raster.TileCodec.decodeStrip(comp, ss.codec, ss.predictor,
+        rows, ss.width, ss.bands, ss.dtype, ss.bigEndian)
+    }
+    row = new GenericInternalRow(names.map[Any] {
+      case "level" => 0
+      case "ty" => si
+      case "tx" => 0
+      case "h" => rows
+      case "w" => ss.width
+      case "pixels" => ArrayData.toArrayData(pixels)
+      case "mask" => null
+      case g => geoVal(g)
+    })
+  }
 
   override def get(): InternalRow = row
 

@@ -151,11 +151,23 @@ class ForeignTiffSpec extends SparkSpec {
       assert(t.pixels(i) == vals((t.ty * rps) * width + i).toDouble,
         s"strip ${t.ty} px $i")
 
-    // the tiled reader (and thus DSv2) must refuse with a pointer, not
-    // divide by a zero tile size
+    // the tiled library reader must refuse with a pointer, not divide
+    // by a zero tile size
     val ex = intercept[IllegalArgumentException](
       CogReader.inferProfile(CogReader.readMeta(uri)))
     assert(ex.getMessage.contains("readStrips"))
+
+    // ...but the DSv2 source routes striped files automatically: one
+    // row per strip, ty pruning works, pixels decode
+    val df = spark.read.format("cog").load(uri)
+    assert(df.count() == nStrips)
+    val sub = df.where("ty >= 2").collect()
+    assert(sub.length == nStrips - 2)
+    val r0 = df.where("ty = 0").select("h", "w", "pixels").head()
+    assert(r0.getInt(0) == rps && r0.getInt(1) == width)
+    val px0 = r0.getSeq[Double](2)
+    for (i <- 0 until rps * width)
+      assert(px0(i) == vals(i).toDouble, s"dsv2 strip px $i")
   }
 
   test("big-endian (MM) strip TIFF reads: uint8 deflate + uint16 sample swap") {
