@@ -81,6 +81,32 @@ class PropertySpec extends SparkSpec {
     }, n = 60)
   }
 
+  test("codec round-trips: lzw/packbits/zstd restore arbitrary bytes") {
+    val genBytes: Gen[Array[Byte]] = for {
+      n <- Gen.choose(0, 6000)
+      mode <- Gen.oneOf(0, 1, 2) // noise, runs, mixed
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      mode match {
+        case 0 => Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+        case 1 => Array.tabulate[Byte](n)(i => (i / math.max(1, rnd.nextInt(300))).toByte)
+        case _ => Array.tabulate[Byte](n)(i =>
+          if ((i / 37) % 2 == 0) 7 else rnd.nextInt(256).toByte)
+      }
+    }
+    check(Prop.forAll(genBytes) { raw =>
+      val lzw = TileCodec.lzwDecode(TileCodec.lzwEncode(raw), raw.length)
+      val pb = TileCodec.packbitsDecode(
+        TileCodec.packbitsEncode(raw, 257), raw.length)
+      val zs =
+        if (raw.isEmpty) raw
+        else TileCodec.zstdDecode(TileCodec.zstdEncode(raw), raw.length)
+      java.util.Arrays.equals(lzw, raw) && java.util.Arrays.equals(pb, raw) &&
+        java.util.Arrays.equals(zs, raw)
+    }, n = 150)
+  }
+
   test("packing arithmetic: target respects floors and the 10k cap") {
     val gen = for {
       total <- Gen.choose(1L, 1L << 42)
