@@ -233,6 +233,12 @@ object CogWriteSupport {
           } finally in.close()
         }
       } finally out.close()
+    } catch {
+      // never leave a half-concatenated target behind: a truncated
+      // TIFF parses as corrupt, not as obviously-failed
+      case e: Throwable =>
+        try fs.delete(target, false) catch { case _: Exception => () }
+        throw e
     } finally fs.delete(partDir, true)
   }
 }
