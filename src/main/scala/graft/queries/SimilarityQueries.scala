@@ -2,28 +2,40 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Fixtures
-import graft.similarity.Ann
+import graft.similarity.{Ann, CosineLsh}
 
 /** ANN similarity surface: IVF-bucketed cosine top-k (the scale path
-  * over q_sim_topk's brute-force exact baseline). NATIVE: bucket
-  * membership depends on the engine's centroid sample; recall vs
-  * brute force is proven on planted clusters in AnnSpec. */
+  * over q_sim_topk's brute-force exact baseline) plus the
+  * sign-random-projection LSH alternative (no centroid sample — zero
+  * training passes). NATIVE: bucket membership depends on the engine's
+  * hashing; recall vs brute force is proven on planted clusters in
+  * AnnSpec / CosineLshSpec. */
 object SimilarityQueries {
+
+  // capped at 50 queries: the broadcast query list must stay O(1) in
+  // corpus size (every 100th id, fixture-deterministic)
+  private def queryIds(spark: SparkSession, sfDir: String): Seq[Long] = {
+    import spark.implicits._
+    val maxId = Fixtures.embeddings(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.max($"vec_id")).head().getLong(0)
+    (0L to maxId by 100L).take(50).toSeq
+  }
 
   /** Top-5 probed-bucket neighbors for a fixed deterministic query set
     * (every 100th vec_id), 32 centroids, 8 probes. */
-  def simAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Fixtures.embeddings(spark, sfDir)
-    val maxId = emb.agg(org.apache.spark.sql.functions.max($"vec_id")).head().getLong(0)
-    // capped at 50 queries: the broadcast query list must stay O(1) in
-    // corpus size (every 100th id, fixture-deterministic)
-    val queryIds = (0L to maxId by 100L).take(50).toSeq
-    Ann.ivfTopK(emb, queryIds, k = 5, nCentroids = 32, nProbe = 8)
-  }
+  def simAnn(spark: SparkSession, sfDir: String): DataFrame =
+    Ann.ivfTopK(Fixtures.embeddings(spark, sfDir),
+      queryIds(spark, sfDir), k = 5, nCentroids = 32, nProbe = 8)
+
+  /** Top-5 LSH-candidate neighbors for the same query set: 10-bit
+    * signatures x 8 tables, exact cosine rerank. */
+  def simLsh(spark: SparkSession, sfDir: String): DataFrame =
+    CosineLsh.lshTopK(Fixtures.embeddings(spark, sfDir),
+      queryIds(spark, sfDir), k = 5, nBits = 10, nTables = 8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sim_ann" -> (simAnn _))
+    "q_sim_ann" -> (simAnn _),
+    "q_sim_lsh" -> (simLsh _))
 
   val oracle: Map[String, String] = Map.empty
 }

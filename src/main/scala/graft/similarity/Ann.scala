@@ -153,7 +153,9 @@ object Ann {
   }
 
   /** The two salted join sides behind [[ivfNearDupPairs]], both
-    * (bucket, salt, id_?, v?). Buckets at-or-under `bucketCap` use a
+    * (bucket, salt, id_?, v?) — the per-bucket-VARIABLE-salt form of
+    * the skew pattern [[graft.operators.SaltedJoin]] applies to fixed
+    * hot keys. Buckets at-or-under `bucketCap` use a
     * single salt 0; a bucket of n > bucketCap rows gets S = ceil(n /
     * bucketCap) salts — the LEFT side keeps one row per member (salt =
     * xxhash64(id) mod S, so each left group is ~bucketCap rows), the

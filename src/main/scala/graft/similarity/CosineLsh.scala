@@ -1,0 +1,116 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sign-random-projection LSH for cosine similarity — the LSH-bucketed
+  * ANN scale path complementing [[Ann]]'s IVF: no centroid sample at
+  * all (zero training passes — good when the corpus distribution
+  * drifts faster than centroids are refreshed), candidates are corpus
+  * vectors sharing at least one of `nTables` k-bit signatures with the
+  * query, reranked EXACTLY by cosine.
+  *
+  * Hyperplanes are seeded splitmix noise expanded on the fly from
+  * (table, bit, dim) — nothing to broadcast beyond the query list, and
+  * every executor derives identical planes. P[bit collision] =
+  * 1 - angle/pi, so a k-bit table keeps near-duplicates together with
+  * probability (1 - angle/pi)^k and `nTables` independent tables drive
+  * recall toward 1; all Dataset ops, one groupBy(query) top-k. */
+object CosineLsh {
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Gaussian-ish hyperplane component for (table, bit, dim): sum of 4
+    * uniforms (Irwin-Hall), zero-mean — direction uniformity is what
+    * sign-LSH needs, exact normality is not. */
+  private def plane(table: Int, bit: Int, dim: Int): Double = {
+    val base = (table.toLong << 40) ^ (bit.toLong << 20) ^ dim.toLong
+    var s = 0.0
+    var j = 0
+    while (j < 4) {
+      s += mix(base * 31 + j).toDouble / Long.MaxValue
+      j += 1
+    }
+    s
+  }
+
+  private[similarity] def signature(v: Array[Float], table: Int, nBits: Int): Int = {
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * plane(table, b, d); d += 1 }
+      sig = (sig << 1) | (if (dot >= 0) 1 else 0)
+      b += 1
+    }
+    sig
+  }
+
+  private def normalize(v: Array[Float]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    Array.tabulate(v.length)(i => if (n == 0) 0.0 else v(i) / n)
+  }
+
+  @inline private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Top-k LSH-candidate neighbors for each query id over
+    * `emb` (vec_id: Long, embedding: Array[Float]); queries excluded
+    * from their own result. Same output shape as [[Ann.ivfTopK]]. */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nBits: Int = 12, nTables: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+
+    // tiny collect: (qid, unit vector, signature per table)
+    val qSet = queryIds.toSet
+    val queries = typed.filter(t => qSet.contains(t._1)).collect()
+    val bcQ = spark.sparkContext.broadcast(queries.map { case (id, raw) =>
+      (id, normalize(raw),
+        Array.tabulate(nTables)(t => signature(raw, t, nBits)))
+    })
+
+    // narrow candidate generation: per corpus vector compute its own
+    // signatures once, emit (query, cosine) for every query sharing a
+    // table signature
+    val cands = typed.mapPartitions { it =>
+      val qs = bcQ.value
+      it.flatMap { case (id, raw) =>
+        val sigs = Array.tabulate(nTables)(t => signature(raw, t, nBits))
+        lazy val v = normalize(raw)
+        qs.iterator.collect {
+          case (qid, qv, qsigs) if qid != id && {
+            var t = 0
+            var hit = false
+            while (t < nTables && !hit) { hit = sigs(t) == qsigs(t); t += 1 }
+            hit
+          } => (qid, id, dot(qv, v))
+        }
+      }
+    }
+
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val top = it.toArray.sortBy(t => (-t._3, t._2)).take(k)
+        top.iterator.zipWithIndex.map { case ((_, id, cos), r) =>
+          Ann.Neighbor(qid, id, math.round(cos * 10000) / 10000.0, r + 1)
+        }
+      }
+      .toDF()
+      .orderBy($"query_id", $"rank")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+/** Sign-random-projection LSH top-k vs brute force on PLANTED clusters
+  * (the fixture embeddings are near-uniform, so the recall guarantee is
+  * proven on data with structure — same methodology as AnnSpec). */
+class CosineLshSpec extends SparkSpec {
+
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def unit(seed: Long): Array[Double] = {
+    val v = Array.tabulate(32)(j => mix(seed * 131 + j).toDouble / Long.MaxValue)
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  /** 25 clusters x 24 near-copies. */
+  def planted: Seq[(Long, Array[Float])] =
+    for (c <- 0 until 25; p <- 0 until 24) yield {
+      val cent = unit(c + 1)
+      val noise = unit(c * 1000 + p + 7)
+      val vec = cent.zip(noise).map { case (a, b) => a + 0.15 * b }
+      ((c * 24 + p).toLong, vec.map(_.toFloat))
+    }
+
+  test("recall@5 >= 0.9 vs brute force on clustered data") {
+    val s = spark
+    import s.implicits._
+    val data = planted
+    val df = data.toDF("vec_id", "embedding")
+    def norm(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(_ / n)
+    }
+    val normed = data.map { case (id, v) => (id, norm(v)) }.toMap
+    def cos(a: Long, b: Long): Double =
+      normed(a).zip(normed(b)).map { case (x, y) => x * y }.sum
+    val queries = data.map(_._1).filter(_ % 24 == 0) // one per cluster
+
+    val truth: Map[Long, Set[Long]] = queries.map { q =>
+      q -> data.map(_._1).filter(_ != q).sortBy(o => (-cos(q, o), o)).take(5).toSet
+    }.toMap
+
+    val got = CosineLsh.lshTopK(df, queries, k = 5, nBits = 10, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val recall = queries.map { q =>
+      got.getOrElse(q, Set.empty).intersect(truth(q)).size.toDouble / 5
+    }.sum / queries.size
+    assert(recall >= 0.9, s"LSH recall@5 $recall")
+  }
+
+  test("signatures are deterministic and near-duplicates collide") {
+    val a = unit(99).map(_.toFloat)
+    val b = unit(99).zip(unit(555)).map { case (x, n) => (x + 0.02 * n).toFloat }
+    // same vector -> identical signature in every table
+    for (t <- 0 until 8)
+      assert(CosineLsh.signature(a, t, 12) == CosineLsh.signature(a, t, 12))
+    // tiny perturbation -> at least one of 8 tables collides
+    val collides = (0 until 8).exists(t =>
+      CosineLsh.signature(a, t, 12) == CosineLsh.signature(b, t, 12))
+    assert(collides, "near-duplicate never collided in any table")
+  }
+
+  test("ranks are dense, ordered by cosine, and exclude the query itself") {
+    val s = spark
+    import s.implicits._
+    val df = planted.toDF("vec_id", "embedding")
+    val rows = CosineLsh.lshTopK(df, Seq(0L, 24L), k = 5).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    for ((q, rs) <- byQ) {
+      assert(rs.map(_.getInt(3)).toSeq == (1 to rs.length))
+      assert(rs.map(_.getDouble(2)).toSeq.reverse.sorted.reverse ==
+        rs.map(_.getDouble(2)).toSeq) // descending
+      assert(!rs.exists(_.getLong(1) == q))
+    }
+  }
+}
