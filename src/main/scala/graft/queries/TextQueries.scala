@@ -97,11 +97,43 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** GPT-2-style pretokenizer regex, restricted to the lookahead-free
+    * ASCII subset both Java regex and DuckDB's RE2 evaluate
+    * identically: contraction suffixes, space-attached letter runs /
+    * digit runs / punctuation runs, stray apostrophes, whitespace
+    * runs. The "how many BPE-ish tokens is this document" estimator a
+    * training-data pipeline budgets with. */
+  val BpeishPattern =
+    "'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+|'| +"
+
+  /** Per-document token counts: whitespace tokens AND BPE-ish
+    * pretokenizer matches — both single-pass narrow maps. */
+  def textTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Fixtures.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        // BIGINT casts: DuckDB's len() is BIGINT and the driver compare
+        // is type-strict
+        "CAST(size(filter(split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens",
+        s"""CAST(size(regexp_extract_all(text, "$BpeishPattern", 0)) AS BIGINT) AS n_bpe_tokens""")
+      .orderBy($"doc_id")
+  }
+
+  val textTokenCountSql: String = {
+    val sqlPat = BpeishPattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '$sqlPat')) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangid _),
-    "q_text_fingerprint" -> (textFingerprint _))
+    "q_text_fingerprint" -> (textFingerprint _),
+    "q_text_token_count" -> (textTokenCount _))
 
   val oracle: Map[String, String] = Map(
-    "q_text_quality" -> textQualitySql)
+    "q_text_quality" -> textQualitySql,
+    "q_text_token_count" -> textTokenCountSql)
 }
