@@ -173,12 +173,82 @@ object AggQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact percentiles (interpolated) per return flag — the
+    * distribution-shape summary (p25/p50/p75) over lineitem prices.
+    * Both engines linear-interpolate (Spark `percentile`, DuckDB
+    * `quantile_cont`). Scale note: EXACT percentile buffers each
+    * group's values (fine at 3 groups; the oracle needs exactness) —
+    * at 100 TB with high-cardinality groups the same query swaps in
+    * `approx_percentile` (KLL sketch, mergeable partials), the
+    * q_agg_approx pattern. */
+  def aggPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggPercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Full CUBE over (nation, order year): every grouping-set combo in
+    * one pass — rollup's complete-lattice sibling. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Fixtures.orders(spark, sfDir)
+    val c = Fixtures.customer(spark, sfDir)
+    val n = Fixtures.nation(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("o_year", year($"o_orderdate"))
+      .cube($"n_name", $"o_year")
+      .agg(
+        grouping($"n_name").cast("int").as("g_nation"),
+        grouping($"o_year").cast("int").as("g_year"),
+        sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        $"g_nation", $"g_year",
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        coalesce($"o_year", lit(-1)).as("o_year"),
+        $"revenue", $"n_orders")
+      .orderBy($"g_nation", $"g_year", $"nation", $"o_year")
+  }
+
+  val aggCubeSql: String =
+    """SELECT
+      |  CAST(grouping(n_name) AS INT) AS g_nation,
+      |  CAST(grouping(o_year) AS INT) AS g_year,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  coalesce(o_year, -1) AS o_year,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY CUBE (n_name, o_year)
+      |ORDER BY g_nation, g_year, nation, o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
     "q_agg_masked" -> (aggMasked _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_rollup" -> (aggRollup _),
+    "q_agg_cube" -> (aggCube _),
     "q_agg_corr" -> (aggCorr _),
+    "q_agg_percentile" -> (aggPercentile _),
     "q_agg_approx" -> (aggApprox _))
 
   val oracle: Map[String, String] = Map(
@@ -186,5 +256,7 @@ object AggQueries {
     "q_agg_masked" -> aggMaskedSql,
     "q_agg_distinct" -> aggDistinctSql,
     "q_agg_rollup" -> aggRollupSql,
-    "q_agg_corr" -> aggCorrSql)
+    "q_agg_cube" -> aggCubeSql,
+    "q_agg_corr" -> aggCorrSql,
+    "q_agg_percentile" -> aggPercentileSql)
 }
