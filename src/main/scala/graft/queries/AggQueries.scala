@@ -241,7 +241,41 @@ object AggQueries {
       |GROUP BY CUBE (n_name, o_year)
       |ORDER BY g_nation, g_year, nation, o_year""".stripMargin
 
+  /** Pivot: per-nation revenue with order years 1995..2001 as COLUMNS
+    * (explicit value list → deterministic schema; a values-less pivot
+    * would add a distinct-scan job and tie the schema to the data).
+    * The oracle is the equivalent CASE-WHEN aggregation — same
+    * physical shape Spark lowers pivot to. */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Fixtures.orders(spark, sfDir)
+    val c = Fixtures.customer(spark, sfDir)
+    val n = Fixtures.nation(spark, sfDir)
+    val years = 1995 to 2001
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("o_year", year($"o_orderdate"))
+      .groupBy($"n_name")
+      .pivot("o_year", years)
+      .agg(sum(dec($"o_totalprice")).cast("double"))
+      .select($"n_name" +: years.map(y => coalesce(col(y.toString), lit(0.0)).as(s"y$y")): _*)
+      .orderBy($"n_name")
+  }
+
+  val aggPivotSql: String = {
+    val cols = (1995 to 2001).map(y =>
+      s"  coalesce(CAST(sum(CASE WHEN year(o_orderdate) = $y THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS y$y")
+      .mkString(",\n")
+    s"""SELECT n_name,
+       |$cols
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pivot" -> (aggPivot _),
     "q_agg_pricing" -> (aggPricing _),
     "q_agg_masked" -> (aggMasked _),
     "q_agg_distinct" -> (aggDistinct _),
@@ -252,6 +286,7 @@ object AggQueries {
     "q_agg_approx" -> (aggApprox _))
 
   val oracle: Map[String, String] = Map(
+    "q_agg_pivot" -> aggPivotSql,
     "q_agg_pricing" -> aggPricingSql,
     "q_agg_masked" -> aggMaskedSql,
     "q_agg_distinct" -> aggDistinctSql,
