@@ -195,10 +195,39 @@ object JoinQueries {
       |  ON c.user_id = v.user_id AND v.ts <= c.ts
       |ORDER BY event_id""".stripMargin
 
+  /** Full outer: both unmatched sides survive — customers with no
+    * urgent orders AND (synthetically-keyed) urgent orders with no
+    * customer row in the filtered dim. One shuffle on the key; the
+    * matched/left-only/right-only row accounting is the classic
+    * reconciliation query shape. */
+  def joinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // both sides filtered so BOTH have unmatched keys
+    val c = Fixtures.customer(spark, sfDir).filter($"c_acctbal" > 0)
+    val o = Fixtures.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "full")
+      .groupBy()
+      .agg(
+        sum(when(c("c_custkey").isNotNull && o("o_custkey").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(o("o_custkey").isNull, 1L).otherwise(0L)).as("n_left_only"),
+        sum(when(c("c_custkey").isNull, 1L).otherwise(0L)).as("n_right_only"))
+  }
+
+  val joinFullSql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+      |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
+      |FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+      |FULL JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      |  ON c_custkey = o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_broadcast" -> (joinBroadcast _),
     "q_join_3way" -> (join3way _),
     "q_join_left" -> (joinLeft _),
+    "q_join_full" -> (joinFull _),
     "q_join_semi" -> (joinSemi _),
     "q_join_anti" -> (joinAnti _),
     "q_join_range" -> (joinRange _),
@@ -208,6 +237,7 @@ object JoinQueries {
     "q_join_broadcast" -> joinBroadcastSql,
     "q_join_3way" -> join3waySql,
     "q_join_left" -> joinLeftSql,
+    "q_join_full" -> joinFullSql,
     "q_join_semi" -> joinSemiSql,
     "q_join_anti" -> joinAntiSql,
     "q_join_range" -> joinRangeSql,

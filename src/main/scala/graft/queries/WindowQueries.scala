@@ -40,6 +40,32 @@ object WindowQueries {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** Distribution window functions: quartile bucket (ntile),
+    * percent_rank, cume_dist per order priority — the decile/quantile
+    * bucketing shape training-data curation uses for quality-score
+    * stratification. Deterministic total order inside each partition
+    * (price then key) so the bucket edges are stable. */
+  def winNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Fixtures.orders(spark, sfDir)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .withColumn("cume", round(cume_dist().over(w), 4))
+      .select($"o_orderpriority", $"o_orderkey", $"quartile", $"pct_rank", $"cume")
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  val winNtileSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   /** lag/lead analytics: per-user event value deltas. */
   def winLag(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -221,6 +247,7 @@ object WindowQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> (winRank _),
+    "q_win_ntile" -> (winNtile _),
     "q_win_lag" -> (winLag _),
     "q_win_prefix" -> (winPrefix _),
     "q_stream_tumble" -> (streamTumble _),
@@ -231,6 +258,7 @@ object WindowQueries {
 
   val oracle: Map[String, String] = Map(
     "q_win_rank" -> winRankSql,
+    "q_win_ntile" -> winNtileSql,
     "q_win_lag" -> winLagSql,
     "q_win_prefix" -> winPrefixSql,
     "q_stream_tumble" -> streamTumbleSql,
