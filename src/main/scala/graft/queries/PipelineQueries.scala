@@ -32,6 +32,35 @@ object PipelineQueries {
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Cross-source contamination by PREFIX fingerprint: for every
+    * source pair, how many normalized 64-char document prefixes they
+    * share — the decontamination / shared-boilerplate question a
+    * training-data pipeline asks before mixing corpora ("do src A and
+    * src B open documents the same way?"). Prefix fingerprints rather
+    * than full-text hashes because contamination rarely survives
+    * verbatim (trailing edits, appended footers); the prefix is the
+    * stable part. One shuffle on the fingerprint; the per-pair matrix
+    * is at most |sources|², tiny. */
+  def dedupCrossSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Fixtures.documents(spark, sfDir)
+      .select(md5(lower(trim(substring($"text", 1, 64)))).as("sig"), $"source")
+      .distinct()
+    val a = sigs.select($"sig", $"source".as("src_a"))
+    val b = sigs.select($"sig", $"source".as("src_b"))
+    a.join(b, Seq("sig"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val dedupCrossSourceSql: String =
+    """WITH s AS (SELECT DISTINCT md5(lower(trim(substr(text, 1, 64)))) AS sig, source FROM documents)
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |FROM s a JOIN s b ON a.sig = b.sig AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   /** Max shingle document frequency: trigrams appearing in more docs
     * than this are boilerplate and are dropped from the Jaccard universe
     * on BOTH engines. This is what bounds the pair blow-up: pair work is
@@ -200,12 +229,14 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_cross_source" -> (dedupCrossSource _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_sim_topk" -> (simTopk _),
     "q_text_tokens" -> (textTokens _))
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_cross_source" -> dedupCrossSourceSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_sim_topk" -> simTopkSql,
     "q_text_tokens" -> textTokensSql)
