@@ -390,6 +390,15 @@ class CogScan(path: String, conf: Map[String, String],
     lo.forall(v >= _) && hi.forall(v <= _) && sets.get(col).forall(_.contains(v))
   }
 
+  /** World bounds vs every pushed geo range (shared by the tiled and
+    * striped planners). */
+  private def bboxOk(b: (Double, Double, Double, Double)): Boolean =
+    Seq("minx" -> b._1, "miny" -> b._2, "maxx" -> b._3, "maxy" -> b._4)
+      .forall { case (c, v) =>
+        val (lo, hi) = dbounds.getOrElse(c, (None, None))
+        lo.forall(v >= _) && hi.forall(v <= _)
+      }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     // merge the SESSION's Hadoop configuration under the datasource
@@ -477,15 +486,8 @@ class CogScan(path: String, conf: Map[String, String],
       def stripKeep(si: Int): Boolean = {
         val rows = math.min(ss.rowsPerStrip, ss.height - si * ss.rowsPerStrip)
         inBounds("level", 0) && inBounds("ty", si) && inBounds("tx", 0) &&
-          (dbounds.isEmpty || ss.geo.forall { g =>
-            val (mnx, mny, mxx, mxy) = CogTable.tileBounds(
-              g, ss.rowsPerStrip, 0, si, 0, rows, ss.width)
-            Seq("minx" -> mnx, "miny" -> mny, "maxx" -> mxx, "maxy" -> mxy)
-              .forall { case (c, v) =>
-                val (lo, hi) = dbounds.getOrElse(c, (None, None))
-                lo.forall(v >= _) && hi.forall(v <= _)
-              }
-          })
+          (dbounds.isEmpty || ss.geo.forall(g => bboxOk(CogTable.tileBounds(
+            g, ss.rowsPerStrip, 0, si, 0, rows, ss.width))))
       }
       val specs = pg.offsets.indices.iterator.filter(stripKeep)
         .map(si => CogTileSpec(0, 1, si, pg.offsets(si), pg.counts(si), 0L, 0L))
@@ -508,13 +510,7 @@ class CogScan(path: String, conf: Map[String, String],
       def geoKeep(level: Int, ty: Int, tx: Int): Boolean =
         dbounds.isEmpty || profile.geo.forall { g =>
           val (th, tw) = profile.tileDims(level, ty, tx)
-          val (mnx, mny, mxx, mxy) =
-            CogTable.tileBounds(g, profile.blockSize, level, ty, tx, th, tw)
-          Seq("minx" -> mnx, "miny" -> mny, "maxx" -> mxx, "maxy" -> mxy)
-            .forall { case (c, v) =>
-              val (lo, hi) = dbounds.getOrElse(c, (None, None))
-              lo.forall(v >= _) && hi.forall(v <= _)
-            }
+          bboxOk(CogTable.tileBounds(g, profile.blockSize, level, ty, tx, th, tw))
         }
       val specs = data.indices.iterator
         .filter(inBounds("level", _))
