@@ -5,18 +5,123 @@ package graft.multimodal
   * `mapPartitions` (the Scala analog of arrow-batched `mapInPandas` —
   * fixed batch shape, no per-row closure dispatch).
   *
-  * STUB NOTICE: this container has no image/audio codecs, so
-  * `decodeStub` is a clearly-marked deterministic FAKE decoder — it
-  * parses a fake header (leading bytes → dims) and computes a real
-  * byte-histogram entropy as the stand-in "feature". The Spark-side
-  * plumbing — binary schema, batching, partition-parallel extraction —
-  * is the real, tested part; swapping `decodeStub` for a JNI/javacv
-  * decoder changes nothing upstream. */
+  * IMAGES decode for REAL: `decodeImage`/`resizeImage` run the JRE's
+  * own `javax.imageio` codecs (PNG/JPEG/BMP/GIF ship in every JRE —
+  * the same ImageIO this repo already uses for JPEG COG tiles,
+  * raster/TileCodec.scala), so extract and resize are genuine image
+  * operations with true dimensions and sample statistics. Only VIDEO
+  * remains stubbed (`frameSampleStub` — no container/video codecs in
+  * a bare JRE): a clearly-marked deterministic stand-in exercising the
+  * one-to-many explode shape; swapping it for a JNI/javacv decoder
+  * changes nothing upstream. */
 object BinaryCodec {
 
   case class MediaMeta(nBytes: Long, fakeW: Int, fakeH: Int, entropy: Double)
 
+  /** Real decoded-image metadata: true dimensions, band count, and the
+    * mean over every sample of every band. */
+  case class ImageMeta(nBytes: Long, width: Int, height: Int,
+      channels: Int, meanSample: Double)
+
   val BatchSize = 64
+
+  /** REAL image decode via the JRE's ImageIO (PNG/JPEG/BMP/GIF).
+    * Returns true dimensions + per-sample mean; refuses undecodable
+    * payloads loudly. */
+  def decodeImage(payload: Array[Byte]): ImageMeta = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload (${payload.length} B)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val ch = raster.getNumBands
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < ch) { sum += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    ImageMeta(payload.length.toLong, w, h, ch, sum / (w.toDouble * h * ch))
+  }
+
+  /** REAL image resize: ImageIO decode, then an exact box-average
+    * filter to (tw, th) — output pixel (ox, oy) averages the input
+    * box it covers, per band. Pure integer-bound arithmetic, so the
+    * result is bit-deterministic across JVMs (no Graphics2D
+    * interpolation variance). Returns (tw, th, band-interleaved
+    * row-major averages). */
+  def resizeImage(payload: Array[Byte], tw: Int, th: Int): (Int, Int, Array[Double]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload (${payload.length} B)")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(tw > 0 && th > 0 && tw <= w && th <= h,
+      s"resize target ${tw}x$th invalid for ${w}x$h source")
+    val raster = img.getRaster
+    val ch = raster.getNumBands
+    val out = new Array[Double](tw * th * ch)
+    var oy = 0
+    while (oy < th) {
+      val y0 = oy * h / th
+      val y1 = math.max(y0 + 1, (oy + 1) * h / th)
+      var ox = 0
+      while (ox < tw) {
+        val x0 = ox * w / tw
+        val x1 = math.max(x0 + 1, (ox + 1) * w / tw)
+        var b = 0
+        while (b < ch) {
+          var s = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += raster.getSample(x, y, b); x += 1 }
+            y += 1
+          }
+          out((oy * tw + ox) * ch + b) = s / ((y1 - y0).toDouble * (x1 - x0))
+          b += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    (tw, th, out)
+  }
+
+  /** Deterministic synthetic RGB PNG (splitmix noise per pixel): a
+    * REAL ImageIO-encoded payload for tests and the query fixtures —
+    * no image assets needed, but everything downstream of the bytes is
+    * a genuine decode. */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = seed ^ (y.toLong * 2654435761L + x * 40503L) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched REAL-image extraction: same batch shape as
+    * [[extractBatched]], decoding genuine payloads via ImageIO. */
+  def extractImagesBatched(it: Iterator[(Long, Array[Byte])]): Iterator[(Long, ImageMeta)] =
+    it.grouped(BatchSize).flatMap(_.iterator.map { case (id, payload) =>
+      (id, decodeImage(payload))
+    })
 
   /** FAKE decode: dims from the first bytes, entropy over the byte
     * histogram. Deterministic in the payload alone. */

@@ -7,35 +7,48 @@ import graft.multimodal.BinaryCodec
 
 /** Multimodal-column surface: media as opaque binary + typed metadata,
   * feature extraction batched in mapPartitions (SURVEY-adjacent; the
-  * builder contract's multimodal requirement). The decode itself is a
-  * clearly-marked deterministic stub (no codecs in this container —
-  * see BinaryCodec); the schema, batching and partition-parallel
-  * extraction are real. NATIVE: binary ops aren't DuckDB-comparable
-  * via the driver's hash (entropy floats + fake dims are asserted in
-  * MultimodalSpec instead). */
+  * builder contract's multimodal requirement). IMAGE decode and resize
+  * are REAL — the JRE's own ImageIO codecs over genuine PNG payloads
+  * (BinaryCodec.decodeImage/resizeImage) — only the VIDEO frame path
+  * keeps a clearly-marked deterministic stub (no video codecs in a
+  * bare JRE). NATIVE: binary/float ops aren't DuckDB-comparable via
+  * the driver's hash (dims + sample means asserted in MultimodalSpec
+  * instead). */
 object MultimodalQueries {
 
-  /** Documents as fake media blobs: payload = utf-8 bytes of text
-    * (deterministic stand-in for an image column), extract per-blob
-    * metadata + entropy feature, batched 64 per call. */
-  def mmExtract(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document REAL PNG payload: dims derived from the id, pixels
+    * splitmix noise — encoded by ImageIO, so everything downstream is
+    * a genuine image decode without shipping image assets. */
+  private def pngPayloads(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
     Fixtures.documents(spark, sfDir)
-      .select($"doc_id", encode($"text", "utf-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(BinaryCodec.extractBatched)
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.map { id =>
+        (id, BinaryCodec.syntheticPng(id * 7919L,
+          8 + (id % 9).toInt, 6 + (id % 7).toInt))
+      }))
+  }
+
+  /** Binary image column → REAL ImageIO decode, batched 64 per call:
+    * true width/height/channel count + per-sample mean. */
+  def mmExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngPayloads(spark, sfDir)
+      .mapPartitions(BinaryCodec.extractImagesBatched)
       .map { case (id, m) =>
-        (id, m.nBytes, m.fakeW, m.fakeH,
-          math.round(m.entropy * 10000) / 10000.0)
+        (id, m.nBytes, m.width, m.height, m.channels,
+          math.round(m.meanSample * 10000) / 10000.0)
       }
-      .toDF("doc_id", "n_bytes", "fake_w", "fake_h", "entropy")
+      .toDF("doc_id", "n_bytes", "width", "height", "channels", "mean_sample")
       .orderBy($"doc_id")
   }
 
   /** Frame sampling as a one-to-many batched kernel: each "video"
     * payload explodes into every 4th fixed-size frame with a per-frame
     * feature (entropy of the frame bytes) — the flatMap/Generator
-    * shape a real video pipeline uses after batch decode. */
+    * shape a real video pipeline uses after batch decode. The ONE
+    * remaining declared stub: a bare JRE has no video codecs
+    * (images decode for real above). */
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Fixtures.documents(spark, sfDir)
@@ -56,19 +69,19 @@ object MultimodalQueries {
       .orderBy($"doc_id", $"frame_idx")
   }
 
-  /** Thumbnail-style resize: payload → 16-byte strided max-pool digest
-    * (deterministic stand-in for an image resize kernel), hex-encoded. */
+  /** REAL thumbnail resize: decode the PNG via ImageIO, exact
+    * box-average filter to 4×3 (bit-deterministic — no Graphics2D
+    * interpolation variance), emit the thumb dims + rounded mean. */
   def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Fixtures.documents(spark, sfDir)
-      .select($"doc_id", encode($"text", "utf-8").as("payload"))
-      .as[(Long, Array[Byte])]
+    pngPayloads(spark, sfDir)
       .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.map {
         case (id, payload) =>
-          val thumb = BinaryCodec.resizeStub(payload, 16)
-          (id, payload.length, thumb.map("%02x".format(_)).mkString)
+          val (tw, th, samples) = BinaryCodec.resizeImage(payload, 4, 3)
+          (id, payload.length, tw, th,
+            math.round(samples.sum / samples.length * 10000) / 10000.0)
       }))
-      .toDF("doc_id", "n_bytes", "thumb16")
+      .toDF("doc_id", "n_bytes", "thumb_w", "thumb_h", "thumb_mean")
       .orderBy($"doc_id")
   }
 

@@ -314,6 +314,53 @@ object RasterQueries {
       .orderBy($"file")
   }
 
+  /** Partitioned mosaic WRITE (the write-side half of q_raster_mosaic):
+    * a generated raster's level-0 tiles go through
+    * `df.write.format("cog")` with `mosaic.grid`, producing one COG per
+    * region under a directory (per-file geo origins shifted so world
+    * coordinates are preserved), then the directory mosaic-reads back
+    * and rolls up per file. Region count stays 2×2 across SFs (the
+    * per-file size grows instead) so the bench measures pixel
+    * throughput, not job-launch overhead. */
+  def rasterMosaicWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = edge(sfDir)
+    val grid = e / 256 // regions of grid×grid 128px tiles → 2×2 files
+    val prof = RasterProfile(e, e * 3 / 4, blockSize = 128, nodata = ND,
+      minOverviewSize = 128,
+      geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-qmwrite").toString + "/mosaic"
+    SyntheticRaster.generate(spark, prof, seed = 83L).toDF()
+      .write.format("cog")
+      .option("mosaic.grid", grid.toString)
+      .option("nodata", ND.toString)
+      .option("minoverviewsize", "128")
+      .option("epsg", "32633")
+      .option("pixelw", "10.0").option("pixelh", "10.0")
+      .option("originx", "500000.0").option("originy", "6400000.0")
+      .mode("overwrite").save(dir)
+    val perTile = spark.read.format("cog").load(dir).where($"level" === 0)
+      .select($"src", $"h", $"w", $"pixels")
+      .as[(String, Int, Int, Array[Double])]
+      .map { case (src, h, w, px) =>
+        var valid = 0L
+        var s = 0.0
+        var i = 0
+        while (i < h * w) {
+          if (px(i) != ND) { valid += 1; s += px(i) }
+          i += 1
+        }
+        (src.split("/").last, 1L, valid, s)
+      }
+      .toDF("file", "n_tiles", "valid_px", "sum_v")
+    perTile.groupBy($"file")
+      .agg(sum($"n_tiles").as("n_tiles"), sum($"valid_px").as("valid_px"),
+        round(sum($"sum_v".cast("decimal(38,10)")).cast("double") /
+          sum($"valid_px"), 4).as("mean_valid"))
+      .orderBy($"file")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_raster_pyramid" -> rasterPyramid,
     "q_raster_halo" -> rasterHalo,
@@ -322,6 +369,7 @@ object RasterQueries {
     "q_raster_dsv2" -> rasterDsv2,
     "q_raster_dsv2_write" -> rasterDsv2Write,
     "q_raster_mosaic" -> rasterMosaic,
+    "q_raster_mosaic_write" -> rasterMosaicWrite,
     "q_stream_cog" -> rasterStreamIngest,
     "q_cog_write_bytes" -> cogWriteBytes)
 

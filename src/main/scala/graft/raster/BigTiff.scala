@@ -435,7 +435,20 @@ object BigTiff {
     * numerics follow the declared order); note multi-byte SAMPLE data
     * in an MM file needs the byte-swap decode flag
     * ([[PageMeta.bigEndian]] → profile), wired by inferProfile. */
+  /** Raised when an IFD or external tag payload lies beyond the probed
+    * header bytes — a legal TIFF whose metadata TRAILS the pixel data
+    * (non-COG layout). CogReader.readMeta catches it to re-read modest
+    * files whole; otherwise the message explains the layout problem
+    * instead of a raw index crash. */
+  final class HeaderProbeTooSmall(msg: String) extends RuntimeException(msg)
+
   def readPages(file: Array[Byte]): Seq[PageMeta] = {
+    def checked(at: Long, need: Long, what: String): Int = {
+      if (at < 0 || at + need > file.length) throw new HeaderProbeTooSmall(
+        s"$what at offset $at (+$need B) beyond the ${file.length}-byte header " +
+          "probe — IFD/tag data is not at the file head (non-COG layout)")
+      at.toInt
+    }
     val order0 = ((file(0) & 0xff) << 8) | (file(1) & 0xff)
     require(order0 == 0x4949 || order0 == 0x4d4d,
       s"not a TIFF byte-order header: ${order0.toHexString}")
@@ -460,9 +473,12 @@ object BigTiff {
     val pages = Seq.newBuilder[PageMeta]
     var ifd = if (big) buf.getLong(8) else uint(4)
     while (ifd != 0) {
-      val n = if (big) buf.getLong(ifd.toInt).toInt
-              else buf.getShort(ifd.toInt) & 0xffff
+      val countAt = checked(ifd, if (big) 8 else 2, "IFD")
+      val n = if (big) buf.getLong(countAt).toInt
+              else buf.getShort(countAt) & 0xffff
       val entriesBase = ifd.toInt + (if (big) 8 else 2)
+      // entries + the trailing next-IFD pointer must fit the probe
+      checked(entriesBase, n.toLong * entryLen + (if (big) 8 else 4), "IFD entries")
       var width = 0L; var height = 0L; var tw = 0; var th = 0
       var comp = 1; var pred = 1; var bits = 0; var sf = 1
       var subType = 0L; var photo = 1
@@ -476,6 +492,7 @@ object BigTiff {
       var offArr: Array[Long] = null; var cntArr: Array[Long] = null
       var rps = 0L
       var jpegTbl: Array[Byte] = Array.empty
+      var planar = 1
       for (e <- 0 until n) {
         val base = entriesBase + e * entryLen
         val tag = buf.getShort(base) & 0xffff
@@ -488,7 +505,8 @@ object BigTiff {
         val slotAt = base + (if (big) 12 else 8)
         val dataAt: Int =
           if (es.toLong * count <= slotLen) slotAt
-          else (if (big) buf.getLong(slotAt) else uint(slotAt)).toInt
+          else checked(if (big) buf.getLong(slotAt) else uint(slotAt),
+            es.toLong * count, s"tag $tag payload")
         def elem(i: Int): Long = es match {
           case 1 => file(dataAt + i) & 0xffL
           case 2 => buf.getShort(dataAt + 2 * i) & 0xffffL
@@ -508,9 +526,21 @@ object BigTiff {
           case TagTileLength => th = elem(0).toInt
           case TagCompression => comp = elem(0).toInt
           case TagPredictor => pred = elem(0).toInt
-          // count>1: element 0 = band 0 (all bands equal for us)
-          case TagBitsPerSample => bits = elem(0).toInt
-          case TagSampleFormat => sf = elem(0).toInt
+          // decode assumes ONE sample type across bands: a foreign
+          // mixed-bit-depth file would mis-stride — reject loudly
+          case TagBitsPerSample =>
+            val all = shortArray()
+            require(all.forall(_ == all(0)),
+              s"mixed BitsPerSample across bands: ${all.mkString(",")}")
+            bits = all(0)
+          case TagSampleFormat =>
+            val all = shortArray()
+            require(all.forall(_ == all(0)),
+              s"mixed SampleFormat across bands: ${all.mkString(",")}")
+            sf = all(0)
+          // decode assumes chunky (interleaved) samples; planar (=2)
+          // would produce silently wrong pixels
+          case 284 => planar = elem(0).toInt
           case TagPhotometric => photo = elem(0).toInt
           case TagTileOffsets => offArr = longArray()
           case TagTileByteCounts => cntArr = longArray()
@@ -534,6 +564,12 @@ object BigTiff {
           case _ => ()
         }
       }
+      // PlanarConfiguration is meaningless at 1 sample/pixel; for
+      // multi-band pages only chunky (interleaved, =1) decodes
+      // correctly with our strides
+      require(spp == 1 || planar == 1,
+        s"unsupported PlanarConfiguration $planar (only chunky=1): planar " +
+          "sample layout would decode to wrong pixels")
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
         subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr,
         cmapArr, ycArr, spp, ndAscii, rps, jpegTbl, mm)

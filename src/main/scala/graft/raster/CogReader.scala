@@ -19,16 +19,20 @@ object CogReader {
 
   /** Parse the header (driver-side; ~KBs) — needs only the first
     * `headerLength` bytes but reads whole files below 4 MiB for
-    * simplicity. */
+    * simplicity. Foreign TIFFs whose IFD trails the pixel data (a
+    * legal non-COG layout common for non-GDAL writers) overflow the
+    * 4 MiB probe: modest files (≤64 MiB) transparently re-read whole;
+    * larger ones surface BigTiff's clear beyond-the-probe error
+    * instead of a raw index crash. */
   def readMeta(uri: String, confEntries: Map[String, String] = Map.empty): Seq[BigTiff.PageMeta] = {
-    val head = readRange(uri, 0L, headProbeBytes(uri, confEntries), confEntries)
-    BigTiff.readPages(head)
-  }
-
-  private def headProbeBytes(uri: String, confEntries: Map[String, String]): Int = {
     val fs = fileSystem(uri, confEntries)
     val len = fs.getFileStatus(new Path(uri)).getLen
-    math.min(len, 4L << 20).toInt
+    val probe = math.min(len, 4L << 20).toInt
+    try BigTiff.readPages(readRange(uri, 0L, probe, confEntries))
+    catch {
+      case _: BigTiff.HeaderProbeTooSmall if len > probe && len <= (64L << 20) =>
+        BigTiff.readPages(readRange(uri, 0L, len.toInt, confEntries))
+    }
   }
 
   private def fileSystem(uri: String, confEntries: Map[String, String]) = {
@@ -46,6 +50,37 @@ object CogReader {
       in.readFully(offset, buf, 0, length)
       buf
     } finally in.close()
+  }
+
+  /** Close `in` at TASK completion (limit/take abandons iterators
+    * before exhaustion — exhaustion-only close leaks the handle).
+    * Outside a task (direct invocation) close on exhaustion, with a
+    * GC-time cleaner covering partially-consumed abandoned iterators
+    * so the stream cannot leak indefinitely there either. */
+  private lazy val cleaner = java.lang.ref.Cleaner.create()
+  private def taskBoundIterator[T](in: org.apache.hadoop.fs.FSDataInputStream,
+      out: Iterator[T]): Iterator[T] = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) {
+      tc.addTaskCompletionListener[Unit](_ => in.close())
+      out
+    } else {
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // must not capture the iterator itself, or it never becomes
+      // phantom-reachable and the cleaner never runs
+      val closeOnce: Runnable =
+        () => if (closed.compareAndSet(false, true)) in.close()
+      val it = new Iterator[T] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) closeOnce.run()
+          h
+        }
+        def next(): T = out.next()
+      }
+      cleaner.register(it, closeOnce)
+      it
+    }
   }
 
   /** Decode one planned tile entry into a [[Tile]] (clip to edge dims,
@@ -207,7 +242,12 @@ object CogReader {
   def readStrips(spark: SparkSession, uri: String,
       confEntries: Map[String, String] = Map.empty): Dataset[Tile] = {
     import spark.implicits._
-    val pg = readMeta(uri, confEntries).head
+    val pages = readMeta(uri, confEntries)
+    // only the first page would be read — reject extra IFDs loudly
+    // rather than silently dropping their rows
+    require(pages.length == 1, s"striped TIFF has ${pages.length} IFDs — " +
+      "multi-page striped files are unsupported")
+    val pg = pages.head
     require(pg.isStriped, s"not strip-organized (tileW=${pg.tileW})")
     val codec = pg.compression match {
       case 1 => "none"
@@ -243,18 +283,7 @@ object CogReader {
             bands, dtype, bigEndian = mm)
           Tile(0, si, 0, rows, width, px, null)
         }
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) {
-          tc.addTaskCompletionListener[Unit](_ => in.close())
-          out
-        } else new Iterator[Tile] {
-          def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h) in.close()
-            h
-          }
-          def next(): Tile = out.next()
-        }
+        taskBoundIterator(in, out)
       }
   }
 
@@ -294,21 +323,7 @@ object CogReader {
         val out = it.map { case (ti, off, cnt, mOff, mCnt) =>
           materializeTile(in, profile, level, gw, ti, off, cnt, mOff, mCnt)
         }
-        // close on TASK completion, not iterator exhaustion: under
-        // limit/take the consumer abandons the iterator early and an
-        // exhaustion-only close would leak the handle
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) {
-          tc.addTaskCompletionListener[Unit](_ => in.close())
-          out
-        } else new Iterator[Tile] { // direct (non-task) invocation
-          def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h) in.close()
-            h
-          }
-          def next(): Tile = out.next()
-        }
+        taskBoundIterator(in, out)
       }
   }
 }

@@ -257,11 +257,14 @@ object Ann {
       }
     }
 
-    // one small shuffle: top-k per query
+    // one small shuffle: top-k per query via the O(k)-memory heap — a
+    // probed bucket at 10^9 vectors is millions of candidates for one
+    // query; the group iterator must never materialize whole
     cands.groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
-        val top = it.toArray.sortBy(t => (-t._3, t._2)).take(k)
-        top.iterator.zipWithIndex.map { case ((_, id, cos), r) =>
+        val top = new BoundedTopK(k)
+        it.foreach { case (_, id, cos) => top.offer(id, cos) }
+        top.result().iterator.zipWithIndex.map { case ((id, cos), r) =>
           Neighbor(qid, id, math.round(cos * 10000) / 10000.0, r + 1)
         }
       }

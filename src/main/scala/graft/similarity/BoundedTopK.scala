@@ -1,0 +1,65 @@
+package graft.similarity
+
+/** Fixed-capacity top-k accumulator: streams any number of (id, score)
+  * candidates through O(k) memory and returns the k best (highest
+  * score; ties → smallest id). This is the reducer-side bound for the
+  * ANN top-k paths: one query's probed bucket at 10^9 vectors is
+  * millions of candidate rows, and a materialize-then-sort reducer
+  * (`it.toArray.sortBy(...).take(k)`) would buffer all of them in one
+  * executor array — the heap never holds more than k.
+  *
+  * Implementation: binary min-heap keyed by (score asc, id desc) so
+  * the ROOT is the current worst of the kept k; a new candidate either
+  * beats the root (replace + sift down) or is dropped in O(1). */
+final class BoundedTopK(k: Int) {
+  require(k > 0, s"k must be positive (got $k)")
+  private val score = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private var n = 0
+
+  /** Current number of KEPT candidates (≤ k always — the structural
+    * memory bound the spec asserts). */
+  def size: Int = n
+
+  // "a is worse than b" under (score desc, id asc) ranking
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+    sa < sb || (sa == sb && ia > ib)
+
+  @inline private def swap(i: Int, j: Int): Unit = {
+    val s = score(i); score(i) = score(j); score(j) = s
+    val d = ids(i); ids(i) = ids(j); ids(j) = d
+  }
+
+  def offer(id: Long, s: Double): Unit = {
+    if (n < k) {
+      var i = n
+      n += 1
+      score(i) = s
+      ids(i) = id
+      while (i > 0 && worse(score(i), ids(i), score((i - 1) / 2), ids((i - 1) / 2))) {
+        swap(i, (i - 1) / 2)
+        i = (i - 1) / 2
+      }
+    } else if (worse(score(0), ids(0), s, id)) {
+      score(0) = s
+      ids(0) = id
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = 2 * i + 2
+        var m = i
+        if (l < n && worse(score(l), ids(l), score(m), ids(m))) m = l
+        if (r < n && worse(score(r), ids(r), score(m), ids(m))) m = r
+        if (m == i) done = true
+        else { swap(i, m); i = m }
+      }
+    }
+  }
+
+  /** Kept candidates best-first: (id, score) sorted by (score desc,
+    * id asc) — identical ordering to the sort-based reducer it
+    * replaces. */
+  def result(): Array[(Long, Double)] =
+    Array.range(0, n).sortBy(i => (-score(i), ids(i))).map(i => (ids(i), score(i)))
+}

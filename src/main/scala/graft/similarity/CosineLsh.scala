@@ -103,10 +103,13 @@ object CosineLsh {
       }
     }
 
+    // O(k)-memory top-k per query (see BoundedTopK: a candidate group
+    // must stream through the reducer, never materialize whole)
     cands.groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
-        val top = it.toArray.sortBy(t => (-t._3, t._2)).take(k)
-        top.iterator.zipWithIndex.map { case ((_, id, cos), r) =>
+        val top = new BoundedTopK(k)
+        it.foreach { case (_, id, cos) => top.offer(id, cos) }
+        top.result().iterator.zipWithIndex.map { case ((id, cos), r) =>
           Ann.Neighbor(qid, id, math.round(cos * 10000) / 10000.0, r + 1)
         }
       }

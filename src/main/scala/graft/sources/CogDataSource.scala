@@ -97,8 +97,12 @@ class CogTable(path: String, conf: Map[String, String])
   override def name(): String = s"cog:$path"
   override def schema(): StructType = CogTable.schema
   override def capabilities(): util.Set[TableCapability] =
+    // ACCEPT_ANY_SCHEMA: writes take the MINIMAL tile columns
+    // (ty/tx/h/w/pixels [+mask +level]), not the full 12-column read
+    // schema — CogWriteSupport validates the required columns itself
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CogScanBuilder(path, conf)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -140,32 +144,118 @@ class CogWriteBuilder(path: String, opts: Map[String, String])
 }
 
 object CogWriteSupport {
+  /** Dispatch: `mosaic.grid` = N routes to the partitioned DIRECTORY
+    * write (one COG per N×N-tile region — the write-side half of the
+    * mosaic read, producing the realistic many-file 100 TB layout a
+    * single ≤5 TiB object cannot hold); otherwise the single-file
+    * path. */
   def insert(path: String, opts: Map[String, String], overwrite: Boolean,
-      data: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, max => fmax}
-    val spark = data.sparkSession
-    import spark.implicits._
+      data: DataFrame): Unit =
+    if (opts.contains("mosaic.grid")) insertMosaic(path, opts, overwrite, data)
+    else insertSingle(path, opts, overwrite, data)
+
+  /** One COG per `mosaic.grid`×`mosaic.grid` block of level-0 tiles,
+    * written as `part-<ry>-<rx>.tif` under the target DIRECTORY and
+    * readable back through the existing mosaic reader. Scale shape:
+    * no persist of the input — each region's sub-write re-filters the
+    * source with ty/tx RANGE predicates, which push down to planning
+    * for a cog-source input (and to row groups for parquet), so a
+    * region job reads only its own tiles. Region writes overlap on a
+    * bounded driver pool (each is itself a distributed CogWriter job).
+    * Geo-referencing shifts per region (origin moves by the region's
+    * world offset) so world coordinates are preserved across the
+    * mosaic — bbox pruning on the read side keeps working. The whole
+    * directory assembles under a temp name and swaps in only on full
+    * success. */
+  private def insertMosaic(path: String, opts: Map[String, String],
+      overwrite: Boolean, data: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, floor => ffloor}
+    val grid = opts("mosaic.grid").toInt
+    require(grid > 0, s"mosaic.grid must be positive (got $grid)")
 
     val hconf = new Configuration()
     opts.foreach { case (k, v) => hconf.set(k, v) }
     val target = new Path(path)
     val fs = target.getFileSystem(hconf)
-    if (fs.exists(target)) {
-      if (!overwrite) throw new IllegalArgumentException(
-        s"cog target exists: $path (COGs are immutable — use mode(\"overwrite\"))")
-      fs.delete(target, false)
-    }
+    if (fs.exists(target) && !overwrite) throw new IllegalArgumentException(
+      s"cog mosaic target exists: $path (COGs are immutable — use mode(\"overwrite\"))")
 
     val cols = data.columns.toSet
     Seq("ty", "tx", "h", "w", "pixels").foreach(c =>
       require(cols.contains(c), s"cog write needs column '$c'"))
     val level0 = if (cols.contains("level")) data.filter(col("level") === 0) else data
 
-    // profile: explicit options win; geometry infers from the tile
-    // METADATA columns only (ty/tx/h/w — when the source is a cog scan
-    // these aggs are header-only: pixels are never decoded), and bands
-    // from a single-row probe. At scale, passing the options skips the
-    // inference jobs entirely.
+    // global geometry first (explicit options skip the inference jobs,
+    // exactly like the single-file path), then region keys actually
+    // present — bounded by the number of output COGs, so collect is
+    // metadata-scale
+    val (bs, width, height, bands) = inferGeometry(level0, opts)
+    val regionPx = grid.toLong * bs
+    require(regionPx < Int.MaxValue, s"mosaic region too large: $regionPx px")
+    val keys = level0.select(
+        ffloor(col("ty") / grid).cast(IntegerType).as("ry"),
+        ffloor(col("tx") / grid).cast(IntegerType).as("rx"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity).toSeq
+    require(keys.nonEmpty, "cog mosaic write got zero level-0 tiles")
+
+    val tmpDir = new Path(target.getParent,
+      s".${target.getName}._cog_mosaic_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(tmpDir)
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, keys.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(keys.map { case (ry, rx) =>
+          scala.concurrent.Future {
+            require(ry >= 0 && rx >= 0, s"negative tile index in region ($ry,$rx)")
+            val rw = math.min(regionPx, width - rx * regionPx).toInt
+            val rh = math.min(regionPx, height - ry * regionPx).toInt
+            require(rw > 0 && rh > 0,
+              s"region ($ry,$rx) outside the raster ${width}x$height")
+            // RANGE predicates (not floor-equality) so a cog/parquet
+            // source prunes at planning; rebase to region-local tiles
+            val sub = level0
+              .filter(col("ty") >= ry * grid && col("ty") < (ry + 1) * grid &&
+                col("tx") >= rx * grid && col("tx") < (rx + 1) * grid)
+              .withColumn("ty", col("ty") - ry * grid)
+              .withColumn("tx", col("tx") - rx * grid)
+            val geoShift =
+              if (opts.contains("epsg")) {
+                val pw = opts.get("pixelw").map(_.toDouble).getOrElse(1.0)
+                val ph = opts.get("pixelh").map(_.toDouble).getOrElse(1.0)
+                val ox = opts.get("originx").map(_.toDouble).getOrElse(0.0)
+                val oy = opts.get("originy").map(_.toDouble).getOrElse(0.0)
+                Map("originx" -> (ox + rx * regionPx * pw).toString,
+                  "originy" -> (oy - ry * regionPx * ph).toString)
+              } else Map.empty[String, String]
+            insertSingle(new Path(tmpDir, f"part-$ry%03d-$rx%03d.tif").toString,
+              (opts - "mosaic.grid") ++ Map("blocksize" -> bs.toString,
+                "width" -> rw.toString, "height" -> rh.toString,
+                "bands" -> bands.toString) ++ geoShift,
+              overwrite = false, sub)
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+      // success: replace the old directory only now (a failed write
+      // leaves the previous mosaic untouched)
+      if (fs.exists(target)) fs.delete(target, true)
+      require(fs.rename(tmpDir, target), s"rename $tmpDir -> $target failed")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmpDir, true) catch { case _: Exception => () }
+        throw e
+    }
+  }
+
+  /** Global write geometry (blockSize, width, height, bands): explicit
+    * options win; otherwise inferred from tile METADATA columns only
+    * (header-only for a cog-source input). */
+  private def inferGeometry(level0: DataFrame,
+      opts: Map[String, String]): (Int, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, max => fmax}
     def opt(k: String): Option[String] = opts.get(k)
     val (bs, width, height) = {
       if (opt("blocksize").isDefined && opt("width").isDefined &&
@@ -188,6 +278,37 @@ object CogWriteSupport {
     val bands = opt("bands").map(_.toInt).getOrElse(
       level0.select((org.apache.spark.sql.functions.size(col("pixels")) /
         (col("h") * col("w"))).cast(IntegerType)).head().getInt(0))
+    (bs, width, height, bands)
+  }
+
+  private def insertSingle(path: String, opts: Map[String, String],
+      overwrite: Boolean, data: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = data.sparkSession
+    import spark.implicits._
+
+    val hconf = new Configuration()
+    opts.foreach { case (k, v) => hconf.set(k, v) }
+    val target = new Path(path)
+    val fs = target.getFileSystem(hconf)
+    // existence is checked up front, but the OLD file is only deleted
+    // after the replacement fully assembles (temp + rename below): a
+    // failed overwrite leaves the previous COG intact
+    if (fs.exists(target) && !overwrite) throw new IllegalArgumentException(
+      s"cog target exists: $path (COGs are immutable — use mode(\"overwrite\"))")
+
+    val cols = data.columns.toSet
+    Seq("ty", "tx", "h", "w", "pixels").foreach(c =>
+      require(cols.contains(c), s"cog write needs column '$c'"))
+    val level0 = if (cols.contains("level")) data.filter(col("level") === 0) else data
+
+    // profile: explicit options win; geometry infers from the tile
+    // METADATA columns only (ty/tx/h/w — when the source is a cog scan
+    // these aggs are header-only: pixels are never decoded), and bands
+    // from a single-row probe. At scale, passing the options skips the
+    // inference jobs entirely.
+    def opt(k: String): Option[String] = opts.get(k)
+    val (bs, width, height, bands) = inferGeometry(level0, opts)
     val profile = RasterProfile(width, height, blockSize = bs, bands = bands,
       nodata = opt("nodata").map(_.toDouble).getOrElse(-9999.0),
       resampling = opt("resampling").getOrElse("average"),
@@ -214,15 +335,19 @@ object CogWriteSupport {
     }
 
     // parts → temp dir beside the target, then ordered stream-concat
-    // into the single file (the local/HDFS stand-in for S3 MPU
-    // complete; bounded 1 MiB copy buffer, no whole-file buffering)
-    val partDir = new Path(target.getParent,
-      s".${target.getName}._cog_parts_${java.util.UUID.randomUUID().toString.take(8)}")
+    // into a TEMP file (the local/HDFS stand-in for S3 MPU complete;
+    // bounded 1 MiB copy buffer, no whole-file buffering) that renames
+    // over the target only on success — an overwrite that fails midway
+    // leaves the OLD file intact, and no half-concatenated TIFF is
+    // ever visible under the target name
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val partDir = new Path(target.getParent, s".${target.getName}._cog_parts_$uid")
+    val tmp = new Path(target.getParent, s".${target.getName}._cog_tmp_$uid")
     val sink = new HadoopMultipartSink(partDir.toString,
       opts.filter(_._1.startsWith("fs.")))
     try {
       val res = CogWriter.write(tiles, profile, sink)
-      val out = fs.create(target, false)
+      val out = fs.create(tmp, true)
       try {
         val buf = new Array[Byte](1 << 20)
         res.receipts.sortBy(_.partNumber).foreach { r =>
@@ -233,11 +358,11 @@ object CogWriteSupport {
           } finally in.close()
         }
       } finally out.close()
+      if (fs.exists(target)) fs.delete(target, false)
+      require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
     } catch {
-      // never leave a half-concatenated target behind: a truncated
-      // TIFF parses as corrupt, not as obviously-failed
       case e: Throwable =>
-        try fs.delete(target, false) catch { case _: Exception => () }
+        try fs.delete(tmp, false) catch { case _: Exception => () }
         throw e
     } finally fs.delete(partDir, true)
   }
@@ -533,8 +658,15 @@ class CogScan(path: String, conf: Map[String, String],
     }
 
     metas.flatMap { case (uri, pages) =>
-      if (pages.headOption.exists(_.isStriped)) planStriped(uri, pages.head)
-      else planTiled(uri, pages)
+      if (pages.headOption.exists(_.isStriped)) {
+        // a multi-image striped file (extra IFDs) would silently drop
+        // every page after the first — fail loudly instead, matching
+        // the reject-unsupported-layouts rule used for tiles
+        require(pages.length == 1, s"striped TIFF $uri has ${pages.length} " +
+          "IFDs — multi-page striped files are unsupported (only the first " +
+          "page would be read)")
+        planStriped(uri, pages.head)
+      } else planTiled(uri, pages)
     }.toArray
   }
 

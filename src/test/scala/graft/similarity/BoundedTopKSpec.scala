@@ -1,0 +1,52 @@
+package graft.similarity
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded reducer heap behind Ann.ivfTopK / CosineLsh.lshTopK:
+  * exact equivalence with the sort-everything reducer it replaced, and
+  * the O(k) memory bound on a candidate stream ≫ k (the planted
+  * dense-bucket scenario — one query whose probed bucket holds a large
+  * fraction of the corpus). */
+class BoundedTopKSpec extends AnyFunSuite {
+
+  private def reference(cands: Seq[(Long, Double)], k: Int): Seq[(Long, Double)] =
+    cands.sortBy(t => (-t._2, t._1)).take(k)
+
+  test("matches the full-sort reducer on seeded random streams, incl. ties") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(500)
+      val k = 1 + rnd.nextInt(20)
+      // coarse scores force ties; ids unique
+      val cands = Seq.tabulate(n)(i => (i.toLong, (rnd.nextInt(10) / 3).toDouble))
+      val shuffled = rnd.shuffle(cands)
+      val heap = new BoundedTopK(k)
+      shuffled.foreach { case (id, s) => heap.offer(id, s) }
+      assert(heap.result().toSeq == reference(shuffled, k), s"trial $trial (n=$n k=$k)")
+    }
+  }
+
+  test("dense bucket ≫ k streams through O(k) memory: size never exceeds k") {
+    val k = 10
+    val heap = new BoundedTopK(k)
+    // 1M candidates in adversarial ascending-score order (every offer
+    // beats the current worst → maximum heap churn)
+    var i = 0L
+    while (i < 1000000L) {
+      heap.offer(i, i.toDouble / 1000000.0)
+      assert(heap.size <= k)
+      i += 1
+    }
+    // the kept k are exactly the best k of the million
+    val got = heap.result()
+    assert(got.length == k)
+    assert(got.map(_._1).toSeq ==
+      (999999L to 999990L by -1).toSeq, "best-first ids")
+  }
+
+  test("duplicate scores break ties by smallest id, like the sort reducer") {
+    val heap = new BoundedTopK(3)
+    for (id <- Seq(7L, 3L, 9L, 1L, 5L)) heap.offer(id, 0.5)
+    assert(heap.result().map(_._1).toSeq == Seq(1L, 3L, 5L))
+  }
+}
