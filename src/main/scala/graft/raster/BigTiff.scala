@@ -444,9 +444,13 @@ object BigTiff {
 
   def readPages(file: Array[Byte]): Seq[PageMeta] = {
     def checked(at: Long, need: Long, what: String): Int = {
-      if (at < 0 || at + need > file.length) throw new HeaderProbeTooSmall(
-        s"$what at offset $at (+$need B) beyond the ${file.length}-byte header " +
-          "probe — IFD/tag data is not at the file head (non-COG layout)")
+      // `at > length - need` (not `at + need > length`): a corrupt
+      // offset near Long.MaxValue would wrap `at + need` negative, pass
+      // the check, and truncate to a garbage index in toInt below.
+      if (at < 0 || need < 0 || at > file.length.toLong - need)
+        throw new HeaderProbeTooSmall(
+          s"$what at offset $at (+$need B) beyond the ${file.length}-byte header " +
+            "probe — IFD/tag data is not at the file head (non-COG layout)")
       at.toInt
     }
     val order0 = ((file(0) & 0xff) << 8) | (file(1) & 0xff)

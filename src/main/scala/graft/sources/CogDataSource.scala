@@ -185,29 +185,30 @@ object CogWriteSupport {
       require(cols.contains(c), s"cog write needs column '$c'"))
     val level0 = if (cols.contains("level")) data.filter(col("level") === 0) else data
 
-    // global geometry first (explicit options skip the inference jobs,
-    // exactly like the single-file path), then region keys actually
-    // present — bounded by the number of output COGs, so collect is
-    // metadata-scale
-    val (bs, width, height, bands) = inferGeometry(level0, opts)
-    val regionPx = grid.toLong * bs
-    require(regionPx < Int.MaxValue, s"mosaic region too large: $regionPx px")
+    // region keys actually present FIRST (so an empty input fails with
+    // the zero-tiles message, not an opaque NPE out of the geometry
+    // head() probes), then global geometry (explicit options skip the
+    // inference jobs, exactly like the single-file path). The keys
+    // collect is bounded by the number of output COGs — metadata-scale.
     val keys = level0.select(
         ffloor(col("ty") / grid).cast(IntegerType).as("ry"),
         ffloor(col("tx") / grid).cast(IntegerType).as("rx"))
       .distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity).toSeq
     require(keys.nonEmpty, "cog mosaic write got zero level-0 tiles")
+    val (bs, width, height, bands) = inferGeometry(level0, opts)
+    val regionPx = grid.toLong * bs
+    require(regionPx < Int.MaxValue, s"mosaic region too large: $regionPx px")
 
     val tmpDir = new Path(target.getParent,
       s".${target.getName}._cog_mosaic_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(tmpDir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, keys.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(4, keys.size))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try scala.concurrent.Await.result(
+      scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(keys.map { case (ry, rx) =>
           scala.concurrent.Future {
             require(ry >= 0 && rx >= 0, s"negative tile index in region ($ry,$rx)")
@@ -238,16 +239,21 @@ object CogWriteSupport {
               overwrite = false, sub)
           }
         }), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
       // success: replace the old directory only now (a failed write
       // leaves the previous mosaic untouched)
       if (fs.exists(target)) fs.delete(target, true)
       require(fs.rename(tmpDir, target), s"rename $tmpDir -> $target failed")
     } catch {
       case e: Throwable =>
+        // Await rethrows on the FIRST failed region; sibling writes may
+        // still be in flight. Stop and drain the pool BEFORE deleting
+        // tmpDir, or a surviving insertSingle could recreate files under
+        // it and orphan a ._cog_mosaic_tmp_* directory.
+        pool.shutdownNow()
+        pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
         try fs.delete(tmpDir, true) catch { case _: Exception => () }
         throw e
-    }
+    } finally pool.shutdown()
   }
 
   /** Global write geometry (blockSize, width, height, bands): explicit

@@ -54,6 +54,74 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImage: solid-color PNG → exact dims, channels, mean") {
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(10, 20, 30))
+    g.fillRect(0, 0, 7, 5)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val meta = BinaryCodec.decodeImage(bos.toByteArray)
+    assert(meta.width == 7 && meta.height == 5 && meta.channels == 3)
+    // every pixel is (10,20,30) → per-sample mean is exactly 20
+    assert(meta.meanSample == 20.0)
+    assert(meta.nBytes == bos.size().toLong)
+  }
+
+  test("decodeImage rejects non-image payloads loudly") {
+    intercept[IllegalArgumentException] {
+      BinaryCodec.decodeImage(Array.tabulate[Byte](64)(_.toByte))
+    }
+  }
+
+  test("resizeImage: constant image stays constant; 4x4→2x2 is exact box averages") {
+    // constant image: every output sample equals the constant
+    val const = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gc = const.createGraphics()
+    gc.setColor(new java.awt.Color(50, 100, 150))
+    gc.fillRect(0, 0, 8, 8)
+    gc.dispose()
+    val cb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(const, "png", cb)
+    val (cw, chh, cOut) = BinaryCodec.resizeImage(cb.toByteArray, 3, 3)
+    assert(cw == 3 && chh == 3 && cOut.length == 3 * 3 * 3)
+    for (i <- 0 until 9) {
+      assert(cOut(i * 3) == 50.0 && cOut(i * 3 + 1) == 100.0 && cOut(i * 3 + 2) == 150.0)
+    }
+
+    // 4x4 grayscale ramp → 2x2: each output is the mean of its 2x2 box
+    val ramp = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      ramp.getRaster.setSample(x, y, 0, y * 4 + x)
+    val rb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(ramp, "png", rb)
+    val (_, _, rOut) = BinaryCodec.resizeImage(rb.toByteArray, 2, 2)
+    // box (0,0)={0,1,4,5} mean 2.5; (1,0)={2,3,6,7} mean 4.5; etc.
+    assert(rOut.toSeq == Seq(2.5, 4.5, 10.5, 12.5))
+
+    intercept[IllegalArgumentException] {
+      BinaryCodec.resizeImage(rb.toByteArray, 8, 8) // never upsample
+    }
+  }
+
+  test("syntheticPng: real decodable PNG, pinned dims, seed-deterministic") {
+    val a = BinaryCodec.syntheticPng(42L, 13, 9)
+    val b = BinaryCodec.syntheticPng(42L, 13, 9)
+    val c = BinaryCodec.syntheticPng(43L, 13, 9)
+    assert(a.toSeq == b.toSeq)           // same seed → identical bytes
+    assert(a.toSeq != c.toSeq)           // seed matters
+    // PNG magic
+    assert((a(0) & 0xff) == 0x89 && a(1) == 'P' && a(2) == 'N' && a(3) == 'G')
+    val meta = BinaryCodec.decodeImage(a)
+    assert(meta.width == 13 && meta.height == 9 && meta.channels == 3)
+    // splitmix noise: mean should sit near mid-scale, not at an edge
+    assert(meta.meanSample > 64 && meta.meanSample < 192)
+  }
+
   test("q_mm_extract: row-per-document, deterministic across runs") {
     val q = graft.queries.MultimodalQueries.mmExtract(spark, sfDir)
     val a = q.collect().map(_.toSeq)
