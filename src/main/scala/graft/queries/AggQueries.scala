@@ -201,6 +201,75 @@ object AggQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Mergeable approximate percentiles — the 100 TB path the
+    * q_agg_percentile scale note promises: `approx_percentile`
+    * (Greenwald–Khanna style sketch) builds bounded-size partials per
+    * partition and MERGES them, so no group ever buffers its raw
+    * values. NATIVE: the sketch's exact outputs differ from DuckDB's;
+    * ApproxSpec pins each estimate's rank error within the sketch's
+    * published 1/accuracy bound against the exact quantiles, and
+    * seed-stability across runs. */
+  def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("pcts"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        round($"pcts".getItem(0), 4).as("p25"),
+        round($"pcts".getItem(1), 4).as("p50"),
+        round($"pcts".getItem(2), 4).as("p75"),
+        $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  /** GROUPING SETS — the general grouping lattice rollup/cube are
+    * special cases of: revenue by nation, by order year, and the grand
+    * total, in ONE pass (Catalyst lowers the set list to a single
+    * Expand + hash aggregate — not a union of three scans, which is
+    * what makes the shape hold at 100 TB). The DataFrame API has no
+    * grouping-sets verb, so the aggregation step is declared in SQL
+    * over a temp view of the (broadcast-nation) join. */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Fixtures.orders(spark, sfDir)
+    val c = Fixtures.customer(spark, sfDir)
+    val n = Fixtures.nation(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select($"n_name", year($"o_orderdate").as("o_year"),
+        dec($"o_totalprice").as("price"))
+      .createOrReplaceTempView("graft_gs_base")
+    spark.sql(
+      """SELECT CAST(grouping(n_name) AS INT) AS g_nation,
+        |  CAST(grouping(o_year) AS INT) AS g_year,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(o_year, -1) AS o_year,
+        |  CAST(sum(price) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM graft_gs_base
+        |GROUP BY GROUPING SETS ((n_name), (o_year), ())
+        |ORDER BY g_nation, g_year, nation, o_year""".stripMargin)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT CAST(grouping(n_name) AS INT) AS g_nation,
+      |  CAST(grouping(o_year) AS INT) AS g_year,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  coalesce(o_year, -1) AS o_year,
+      |  CAST(sum(price) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY GROUPING SETS ((n_name), (o_year), ())
+      |ORDER BY g_nation, g_year, nation, o_year""".stripMargin
+
   /** Full CUBE over (nation, order year): every grouping-set combo in
     * one pass — rollup's complete-lattice sibling. */
   def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
@@ -283,6 +352,8 @@ object AggQueries {
     "q_agg_cube" -> (aggCube _),
     "q_agg_corr" -> (aggCorr _),
     "q_agg_percentile" -> (aggPercentile _),
+    "q_agg_approx_percentile" -> (aggApproxPercentile _),
+    "q_agg_grouping_sets" -> (aggGroupingSets _),
     "q_agg_approx" -> (aggApprox _))
 
   val oracle: Map[String, String] = Map(
@@ -293,5 +364,6 @@ object AggQueries {
     "q_agg_rollup" -> aggRollupSql,
     "q_agg_cube" -> aggCubeSql,
     "q_agg_corr" -> aggCorrSql,
-    "q_agg_percentile" -> aggPercentileSql)
+    "q_agg_percentile" -> aggPercentileSql,
+    "q_agg_grouping_sets" -> aggGroupingSetsSql)
 }

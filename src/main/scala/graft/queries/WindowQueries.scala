@@ -104,6 +104,32 @@ object WindowQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE) AS prior_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Value-based RANGE frame — the one window-frame class rowsBetween
+    * can't express: per customer, the spend on orders dated within ±30
+    * days of EACH order (the frame holds every row whose ORDER-BY
+    * value is in [v-30, v+30], ties included, independent of row
+    * position). Ordering key is integer days since a fixed epoch on
+    * BOTH engines so the frame arithmetic is identical; DECIMAL
+    * accumulation keeps sums exact at any SF. */
+  def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(datediff($"o_orderdate", to_date(lit("1992-01-01"))))
+      .rangeBetween(-30, 30)
+    Fixtures.orders(spark, sfDir)
+      .withColumn("nearby_spend",
+        sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"nearby_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val winRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY (CAST(o_orderdate AS DATE) - DATE '1992-01-01')
+      |    RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS DOUBLE) AS nearby_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** The tumbling-window aggregation applied to any events-shaped DF
     * (ts/event_type/value). Shared verbatim by the batch ORACLE query
     * below and the Structured Streaming path (StreamingSpec runs it over
@@ -250,6 +276,7 @@ object WindowQueries {
     "q_win_ntile" -> (winNtile _),
     "q_win_lag" -> (winLag _),
     "q_win_prefix" -> (winPrefix _),
+    "q_win_range_frame" -> (winRangeFrame _),
     "q_stream_tumble" -> (streamTumble _),
     "q_stream_slide" -> (streamSlide _),
     "q_stream_session" -> (streamSession _),
@@ -261,6 +288,7 @@ object WindowQueries {
     "q_win_ntile" -> winNtileSql,
     "q_win_lag" -> winLagSql,
     "q_win_prefix" -> winPrefixSql,
+    "q_win_range_frame" -> winRangeFrameSql,
     "q_stream_tumble" -> streamTumbleSql,
     "q_stream_slide" -> streamSlideSql,
     "q_stream_session" -> streamSessionSql)

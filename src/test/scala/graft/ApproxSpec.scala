@@ -7,6 +7,41 @@ import graft.queries.AggQueries
   * hash-match a DuckDB oracle): per-group approx_count_distinct at
   * rsd=0.01 must land within 5% of the exact distinct count. */
 class ApproxSpec extends SparkSpec {
+  test("approx_percentile: rank error within the 1/accuracy bound, run-stable") {
+    import spark.implicits._
+    val acc = 10000 // must match AggQueries.aggApproxPercentile
+    val approx = AggQueries.aggApproxPercentile(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    // exact sorted values per group — the rank oracle
+    val byFlag = Fixtures.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    for (r <- approx) {
+      val flag = r.getString(0)
+      val vals = byFlag(flag)
+      val nTot = vals.length
+      assert(r.getLong(4) == nTot.toLong)
+      for ((p, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+        val est = r.getDouble(i + 1)
+        // rank of the estimate in the exact sorted values (rounding the
+        // estimate to 4dp moves rank by at most the tie width — covered
+        // by the epsilon term)
+        val rank = {
+          val j = java.util.Arrays.binarySearch(vals, est)
+          if (j >= 0) j else -j - 1
+        }
+        val rankErr = math.abs(rank.toDouble / nTot - p)
+        assert(rankErr <= 1.0 / acc + 0.002,
+          s"$flag p$p: est=$est rank=$rank/$nTot err=$rankErr")
+      }
+    }
+    // sketch construction is deterministic in the data (no RNG): two
+    // runs agree bit-for-bit
+    val again = AggQueries.aggApproxPercentile(spark, sfDir).collect()
+    assert(approx.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("approx_count_distinct within 5% of exact per event_type") {
     import spark.implicits._
     val approx = AggQueries.aggApprox(spark, sfDir)
