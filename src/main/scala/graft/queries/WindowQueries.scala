@@ -271,6 +271,60 @@ object WindowQueries {
       .orderBy($"kind")
   }
 
+  /** Custom-state sessionization: a REAL `flatMapGroupsWithState` run
+    * (EventTimeTimeout) over a MemoryStream — the arbitrary-stateful
+    * streaming surface `session_window` can't reach. Sessions close on
+    * a 30-min inactivity gap OR a 12-event cap, whichever first (the
+    * cap bounds runaway keys — count-dependent splits are inexpressible
+    * as a window). Per-key state is O(1) (4 numbers, never the events),
+    * evicted by watermark timeout: total state is O(active keys) on an
+    * unbounded stream. Three micro-batches split sessions mid-run plus
+    * a sentinel that advances the watermark so open tails flush via
+    * timeout. NATIVE (streaming runtime isn't DuckDB-comparable;
+    * StreamingSpec proves batch-fold equality + cap/gap/cross-batch
+    * closures). */
+  def streamCustomState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.StatefulSession
+    import graft.streaming.StatefulSession.SEvent
+    implicit val sqlCtx = spark.sqlContext
+    val (gapMs, cap) = (30 * 60 * 1000L, 12)
+    val base = 1700000000000L
+    // per user: 20 events 5 min apart (splits 12-cap + 8), then a 2 h
+    // hole, then 10 more (one timeout-closed tail) — users offset by
+    // 1 s so no user's stragglers fall behind the global watermark
+    def ev(u: Long, k: Int): SEvent = {
+      val t = if (k < 20) base + k * 300000L + u * 1000L
+              else base + 100 * 60000L + 2 * 3600000L + (k - 20) * 300000L + u * 1000L
+      SEvent(u, new java.sql.Timestamp(t), (u * 31 + k) % 7 + 0.5)
+    }
+    val users = 0L until 5L
+    val b1 = for (u <- users; k <- 0 until 10) yield ev(u, k)
+    val b2 = for (u <- users; k <- 10 until 25) yield ev(u, k)
+    val b3 = for (u <- users; k <- 25 until 30) yield ev(u, k)
+    val sentinel = SEvent(999L, new java.sql.Timestamp(base + 10 * 3600000L), 0.0)
+    val mem = MemoryStream[SEvent]
+    val q = mem.toDS().withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        StatefulSession.sessionize(gapMs, cap))
+      .writeStream.format("memory").queryName("q_stream_custom_state_out")
+      .outputMode("append").start()
+    try {
+      for (b <- Seq(b1, b2, b3)) { mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+    } finally q.stop()
+    spark.table("q_stream_custom_state_out")
+      .filter($"user_id" =!= 999L)
+      .select($"user_id",
+        date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events", round($"total_value", 4).as("total_value"), $"closed_by")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> (winRank _),
     "q_win_ntile" -> (winNtile _),
@@ -281,7 +335,8 @@ object WindowQueries {
     "q_stream_slide" -> (streamSlide _),
     "q_stream_session" -> (streamSession _),
     "q_stream_watermark" -> (streamWatermark _),
-    "q_stream_dedup" -> (streamDedup _))
+    "q_stream_dedup" -> (streamDedup _),
+    "q_stream_custom_state" -> (streamCustomState _))
 
   val oracle: Map[String, String] = Map(
     "q_win_rank" -> winRankSql,

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.GroupState
+
+/** Arbitrary-stateful sessionization via `flatMapGroupsWithState` —
+  * the custom-state streaming surface (`KeyValueGroupedDataset`) that
+  * built-in `session_window` cannot reach: sessions here close on an
+  * inactivity gap OR on an event-count cap, whichever comes first.
+  * The cap is the training-data-pipeline shape (bound a runaway
+  * user/crawler session so one key can't accumulate unbounded state or
+  * skew a downstream group), and no windowing expression expresses it
+  * because the split point depends on the running count, not on time.
+  *
+  * Scale contract: state per key is ONE [[StatefulSession.Sess]]
+  * (4 numbers — O(1), never the events themselves), timed out by the
+  * event-time watermark, so total state is O(active keys) regardless
+  * of stream length. Timeouts fire as the watermark passes
+  * `last + gap`, exactly like the engine's session_window eviction.
+  *
+  * Reference analog: none (the reference has no streaming surface);
+  * this extends SURVEY §2.2's streaming family per the brief's
+  * "mapGroupsWithState/flatMapGroupsWithState for custom state".
+  */
+object StatefulSession {
+
+  /** Input event: one row of the (user, ts, value) stream. */
+  case class SEvent(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Per-key state: O(1) — start/last millis, count, value sum. */
+  case class Sess(startMs: Long, lastMs: Long, n: Long, total: Double)
+
+  /** One CLOSED session (append-mode output row). `closed_by` is
+    * "gap" (inactivity/timeout) or "cap" (event-count split). */
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double,
+      closed_by: String)
+
+  /** The flatMapGroupsWithState function. Events inside a micro-batch
+    * arrive unordered — sort by (ts, value) before folding so the
+    * fold is deterministic and batch-split-invariant. Emits only
+    * CLOSED sessions; the live session rides in `state`.
+    */
+  def sessionize(gapMs: Long, maxEvents: Int)(
+      userId: Long, events: Iterator[SEvent],
+      state: GroupState[Sess]): Iterator[SessionOut] = {
+    require(maxEvents >= 1, s"maxEvents must be >= 1, got $maxEvents")
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    def close(s: Sess, why: String): Unit =
+      out += SessionOut(userId, new Timestamp(s.startMs),
+        new Timestamp(s.lastMs), s.n, s.total, why)
+
+    if (state.hasTimedOut) {
+      // watermark passed last+gap with no new data: the session is over
+      state.getOption.foreach(close(_, "gap"))
+      state.remove()
+    } else {
+      var st = state.getOption
+      for (e <- events.toSeq.sortBy(ev => (ev.ts.getTime, ev.value))) {
+        val t = e.ts.getTime
+        st match {
+          case Some(s) if t - s.lastMs > gapMs =>
+            close(s, "gap")
+            st = Some(Sess(t, t, 1, e.value))
+          case Some(s) if s.n >= maxEvents =>
+            close(s, "cap")
+            st = Some(Sess(t, t, 1, e.value))
+          case Some(s) =>
+            st = Some(Sess(s.startMs, math.max(s.lastMs, t), s.n + 1,
+              s.total + e.value))
+          case None =>
+            st = Some(Sess(t, t, 1, e.value))
+        }
+      }
+      st match {
+        case Some(s) =>
+          state.update(s)
+          // the timeout target can already be behind the watermark when
+          // this batch's data is older than watermark+gap; clamp forward
+          // so the set is legal and the group times out next batch
+          state.setTimeoutTimestamp(
+            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+        case None => () // nothing buffered (all-late batch)
+      }
+    }
+    out.iterator
+  }
+
+  /** Batch oracle for the spec: the same gap+cap fold over an already
+    * complete, per-user-sorted event list — what the streamed run must
+    * reproduce regardless of micro-batch boundaries. Open tails are
+    * closed with reason "gap" (the stream closes them via timeout once
+    * the watermark passes). */
+  def sessionizeBatch(gapMs: Long, maxEvents: Int)(
+      events: Seq[SEvent]): Seq[SessionOut] =
+    events.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var st: Option[Sess] = None
+      def close(s: Sess, why: String): Unit =
+        out += SessionOut(uid, new Timestamp(s.startMs),
+          new Timestamp(s.lastMs), s.n, s.total, why)
+      for (e <- evs.sortBy(ev => (ev.ts.getTime, ev.value))) {
+        val t = e.ts.getTime
+        st match {
+          case Some(s) if t - s.lastMs > gapMs =>
+            close(s, "gap"); st = Some(Sess(t, t, 1, e.value))
+          case Some(s) if s.n >= maxEvents =>
+            close(s, "cap"); st = Some(Sess(t, t, 1, e.value))
+          case Some(s) =>
+            st = Some(Sess(s.startMs, math.max(s.lastMs, t), s.n + 1,
+              s.total + e.value))
+          case None => st = Some(Sess(t, t, 1, e.value))
+        }
+      }
+      st.foreach(close(_, "gap"))
+      out.toSeq
+    }
+}
