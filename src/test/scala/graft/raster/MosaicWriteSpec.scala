@@ -84,6 +84,51 @@ class MosaicWriteSpec extends SparkSpec {
     assert(spark.read.format("cog").load(dir).where($"level" === 0).count() == 12)
   }
 
+  test("mosaic planner holds at many-file counts: 64 COGs plan, prune and read sanely") {
+    val s = spark
+    import s.implicits._
+    // 128x128 @ blockSize 16 = 8x8 level-0 tiles; grid 1 → one COG per
+    // tile = 64 files. Exercises the bounded header-parse pool in its
+    // queueing regime (pool = min(16, files) = 16 < 64) — the many-file
+    // evidence the 2-file round-trip test can't give.
+    val prof = RasterProfile(128, 128, blockSize = 16, nodata = ND,
+      minOverviewSize = 16, geo = Some(GeoRef(PW, PW, OX, OY, 32633)))
+    val expected = SyntheticRaster.generate(s, prof, seed = 303L).collect()
+      .map(t => (t.ty, t.tx) -> t).toMap
+    val dir = Files.createTempDirectory("graft-mmany").toString + "/mosaic"
+    writeMosaic(dir, prof, seed = 303L, grid = 1)
+    val names = new java.io.File(dir).list().filter(_.endsWith(".tif"))
+    assert(names.length == 64, s"expected 64 COGs, got ${names.length}")
+
+    // full-mosaic inventory: all 64 headers parsed (16-thread pool,
+    // 4 rounds), one row per file at level 0, wall-clock sane
+    val t0 = System.nanoTime()
+    val df = spark.read.format("cog").load(dir)
+    val srcs = df.where("level = 0").select("src").distinct().count()
+    val inventorySec = (System.nanoTime() - t0) / 1e9
+    assert(srcs == 64L)
+    assert(inventorySec < 60.0,
+      f"64-file header parse + inventory took $inventorySec%.1f s")
+
+    // per-file pruning: a bbox inside region (7,7) plans exactly ONE
+    // partition — 63 files contribute nothing to the plan
+    val q = df.where(s"level = 0 AND minx >= ${OX + 7 * 160.0} " +
+      s"AND maxy <= ${OY - 7 * 160.0}")
+    assert(q.rdd.getNumPartitions == 1,
+      s"expected 1 planned partition, got ${q.rdd.getNumPartitions}")
+    val rows = q.collect()
+    assert(rows.length == 1 && rows.head.getString(11).contains("-007-007"))
+    // and the surviving tile's pixels are the right global tile
+    val e = expected((7, 7))
+    val px = rows.head.getSeq[Double](5)
+    for (i <- 0 until e.h * e.w) {
+      val want = if (e.valid(i, ND)) e.pixels(i) else ND
+      assert(px(i) == want, s"global tile (7,7) px $i")
+    }
+    // a bbox missing every file plans zero partitions end-to-end
+    assert(df.where(s"level = 0 AND minx >= ${OX + 1e9}").count() == 0)
+  }
+
   test("mosaic write: failure leaves the previous mosaic intact (temp + swap)") {
     val s = spark
     import s.implicits._
