@@ -77,8 +77,38 @@ object ScanQueries {
       |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders)
       |ORDER BY tag, k""".stripMargin
 
+  /** Hive-style partitioned parquet sink + pruned read-back — the
+    * lakehouse LAYOUT operator: at 100 TB the directory structure IS
+    * the coarsest index (a reader of one language/date touches one
+    * partition's files and no others; the raster analog is the COG
+    * mosaic, one file per region). Writes documents partitioned by
+    * `lang`, reads back ONE partition, and returns per-source counts
+    * from inside it. NATIVE (filesystem layout isn't DuckDB-SQL);
+    * ScanSpec asserts the physical plan prunes at PartitionFilters
+    * (the non-matching partitions never reach the scan) and the
+    * written tree has one directory per lang. */
+  def sinkPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_part_sink_${java.util.UUID.randomUUID().toString.take(8)}")
+    val dir = out.getAbsolutePath
+    try {
+      Fixtures.documents(spark, sfDir)
+        .select($"doc_id", $"source", $"lang", length($"text").as("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      // pruned read-back: only the en partition's files are listed/read
+      spark.read.parquet(dir)
+        .where($"lang" === "en")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        .orderBy($"source")
+    } finally out.deleteOnExit()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project" -> (scanProject _),
+    "q_sink_partitioned" -> (sinkPartitioned _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_topk" -> (topk _),
     "q_setops" -> (setops _))
