@@ -56,11 +56,16 @@ object Bench {
         System.gc()
         name -> rec
       }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision, locale-pinned: full Double.toString grew
+    // the one-line record past the harness's output-tail window at ~66
+    // queries (rounds 7-8 recorded parsed:null), and sub-ms digits are
+    // pure noise at these runtimes anyway
+    def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

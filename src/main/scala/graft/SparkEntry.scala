@@ -23,7 +23,7 @@ object SparkEntry {
       PipelineQueries.queries ++ RasterQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      SamplingQueries.queries
+      SamplingQueries.queries ++ SubqueryQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       PipelineQueries.oracle ++ RasterQueries.oracle ++
       DedupQueries.oracle ++ TextQueries.oracle ++
       SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
-      SamplingQueries.oracle
+      SamplingQueries.oracle ++ SubqueryQueries.oracle
 }

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Fixtures
+
+/** Correlated-subquery and lateral (generator) surface — the query
+  * shapes a reference user writing ad-hoc SQL reaches for constantly,
+  * and the ones whose NAIVE execution is quadratic. Spark de-correlates
+  * all three at plan time (RewriteCorrelatedScalarSubquery /
+  * RewritePredicateSubquery), so each runs as ordinary hash joins:
+  *
+  *  - EXISTS / NOT EXISTS   → left-semi + left-anti join on the
+  *    correlation key (one shuffle each, no per-row re-execution);
+  *  - correlated scalar agg → aggregate-below-join then a left outer
+  *    join on the correlation key;
+  *  - uncorrelated scalar   → an independent one-row subquery broadcast
+  *    as a literal;
+  *  - lateral explode       → a Generate operator (narrow, no shuffle).
+  *
+  * That de-correlation IS the 100 TB story: the same SQL that a
+  * tuple-at-a-time engine executes as N inner queries becomes a
+  * constant number of shuffles here. SubquerySpec pins the plan shapes
+  * (semi/anti join present, no CartesianProduct, Generate for the
+  * lateral).
+  */
+object SubqueryQueries {
+
+  /** Correlated EXISTS + NOT EXISTS in one predicate: market segments
+    * of customers who placed at least one urgent order but have no
+    * finished ('F') order. Spark lowers the pair to one left-semi and
+    * one left-anti join against orders — two shuffles total on
+    * o_custkey regardless of data size. DECIMAL accumulation keeps the
+    * balance sum hash-stable. */
+  def subqueryExists(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.customer(spark, sfDir).createOrReplaceTempView("graft_sq_customer")
+    Fixtures.orders(spark, sfDir).createOrReplaceTempView("graft_sq_orders")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        |FROM graft_sq_customer c
+        |WHERE EXISTS (SELECT 1 FROM graft_sq_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM graft_sq_orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val subqueryExistsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Correlated scalar aggregate subquery (per-order net revenue from
+    * lineitem) plus an uncorrelated scalar subquery (global average
+    * order price). Spark rewrites the former to agg-then-left-outer-join
+    * on l_orderkey and evaluates the latter once — no per-row
+    * re-execution. Net revenue accumulates in DECIMAL (exact), so the
+    * DOUBLE cast is bit-identical on both engines. */
+  def subqueryScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.orders(spark, sfDir).createOrReplaceTempView("graft_sq_orders")
+    Fixtures.lineitem(spark, sfDir).createOrReplaceTempView("graft_sq_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST((SELECT coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 0)
+        |        FROM graft_sq_lineitem l
+        |        WHERE l.l_orderkey = o.o_orderkey) AS DOUBLE) AS net_revenue,
+        |  CAST(CASE WHEN o_totalprice >
+        |    (SELECT avg(o_totalprice) FROM graft_sq_orders) THEN 1 ELSE 0 END
+        |    AS INTEGER) AS above_avg
+        |FROM graft_sq_orders o
+        |WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val subqueryScalarSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  CAST((SELECT coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 0)
+      |        FROM lineitem l
+      |        WHERE l.l_orderkey = o.o_orderkey) AS DOUBLE) AS net_revenue,
+      |  CAST(CASE WHEN o_totalprice >
+      |    (SELECT avg(o_totalprice) FROM orders) THEN 1 ELSE 0 END
+      |    AS INTEGER) AS above_avg
+      |FROM orders o
+      |WHERE o_orderkey % 20 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Lateral explode with ordinality — the UDTF/generator surface as a
+    * query: each document's first 15 whitespace tokens as (doc_id, pos,
+    * word) rows. posexplode is a narrow Generate operator (1→N with no
+    * shuffle); the 1-based pos matches DuckDB's zipped
+    * unnest(range(...)). The doc_id cap keeps the oracle result small;
+    * at scale the same plan streams — Generate never buffers a
+    * partition. */
+  def lateralExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .filter($"doc_id" < 20)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("word"))
+      .filter($"pos" <= 15)
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val lateralExplodeSql: String =
+    """SELECT doc_id, pos, w AS word FROM (
+      |  SELECT doc_id, unnest(l) AS w,
+      |    unnest(range(1, len(l) + 1)) AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+      |        FROM documents WHERE doc_id < 20))
+      |WHERE pos <= 15
+      |ORDER BY doc_id, pos""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subquery_exists" -> (subqueryExists _),
+    "q_subquery_scalar" -> (subqueryScalar _),
+    "q_lateral_explode" -> (lateralExplode _))
+
+  val oracle: Map[String, String] = Map(
+    "q_subquery_exists" -> subqueryExistsSql,
+    "q_subquery_scalar" -> subqueryScalarSql,
+    "q_lateral_explode" -> lateralExplodeSql)
+}

@@ -127,13 +127,74 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Email regex shared by both engines: ASCII char classes only —
+    * identical semantics under Java regex and DuckDB's RE2 (no
+    * lookaround, no shorthand classes whose Unicode width differs). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone regex (the fixture-planted +1-555-XXXX shape). */
+  val PhonePattern = "\\+1-555-[0-9][0-9][0-9][0-9]"
+
+  /** PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before anything ships. The fixtures are synthetic
+    * word soup, so the PII is PLANTED deterministically (both engines
+    * build the same contact string from doc_id, then detect and redact
+    * it out of the combined text): detection = regexp count, redaction
+    * = regexp_replace to a class tag. All narrow single-pass string
+    * ops — at 100 TB this is a map stage with zero shuffle beyond the
+    * oracle-imposed sort. DuckDB replaces first-match-only by default,
+    * hence the 'g' flag; Java regexp_replace is always global. */
+  def textPii(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Fixtures.documents(spark, sfDir)
+      .withColumn("msg",
+        concat(lit("contact user"), $"doc_id", lit("@example.com or +1-555-"),
+          lpad($"doc_id".cast("string"), 4, "0"), lit(" :: "),
+          substring($"text", 1, 120)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace($"msg", EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]"))
+      .select($"doc_id",
+        regexp_count($"msg", lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count($"msg", lit(PhonePattern)).cast("long").as("n_phones"),
+        length($"redacted").cast("long").as("redacted_len"),
+        substring($"redacted", 1, 40).as("redacted_head"))
+      .orderBy($"doc_id")
+  }
+
+  val textPiiSql: String = {
+    // DuckDB single-quoted literals pass backslashes through verbatim,
+    // so the Scala pattern strings embed unchanged
+    val email = EmailPattern
+    val phone = PhonePattern
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    'contact user' || doc_id || '@example.com or +1-555-' ||
+       |    lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' :: ' ||
+       |    substr(text, 1, 120) AS msg
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, msg,
+       |    regexp_replace(regexp_replace(msg, '$email', '[EMAIL]', 'g'),
+       |      '$phone', '[PHONE]', 'g') AS redacted
+       |  FROM m)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(msg, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(msg, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+       |  substr(redacted, 1, 40) AS redacted_head
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
-    "q_text_token_count" -> (textTokenCount _))
+    "q_text_token_count" -> (textTokenCount _),
+    "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(
     "q_text_quality" -> textQualitySql,
-    "q_text_token_count" -> textTokenCountSql)
+    "q_text_token_count" -> textTokenCountSql,
+    "q_text_pii" -> textPiiSql)
 }

@@ -130,6 +130,42 @@ object WindowQueries {
       |    RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS DOUBLE) AS nearby_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Navigation window values: first_value / last_value / nth_value
+    * over the FULL partition frame, plus last_value(... IGNORE NULLS)
+    * — the "carry the most recent non-null observation to every row"
+    * idiom (last click value per user here; in a training pipeline,
+    * the latest quality label). last_value defaults to the growing
+    * frame ending at CURRENT ROW on both engines, so the full frame is
+    * spelled explicitly; the total order (ts, event_id) makes every
+    * navigation value deterministic. */
+  def winFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Fixtures.events(spark, sfDir)
+      .withColumn("first_type", first_value($"event_type").over(w))
+      .withColumn("last_type", last_value($"event_type").over(w))
+      .withColumn("second_value", round(nth_value($"value", 2).over(w), 4))
+      .withColumn("last_click_value",
+        last_value(when($"event_type" === "click", round($"value", 4)),
+          ignoreNulls = lit(true)).over(w))
+      .select($"user_id", $"event_id", $"first_type", $"last_type",
+        $"second_value", $"last_click_value")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winFirstLastSql: String =
+    """SELECT user_id, event_id,
+      |  first_value(event_type) OVER w AS first_type,
+      |  last_value(event_type) OVER w AS last_type,
+      |  round(nth_value(value, 2) OVER w, 4) AS second_value,
+      |  last_value(CASE WHEN event_type = 'click' THEN round(value, 4) END
+      |             IGNORE NULLS) OVER w AS last_click_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** The tumbling-window aggregation applied to any events-shaped DF
     * (ts/event_type/value). Shared verbatim by the batch ORACLE query
     * below and the Structured Streaming path (StreamingSpec runs it over
@@ -331,6 +367,7 @@ object WindowQueries {
     "q_win_lag" -> (winLag _),
     "q_win_prefix" -> (winPrefix _),
     "q_win_range_frame" -> (winRangeFrame _),
+    "q_win_first_last" -> (winFirstLast _),
     "q_stream_tumble" -> (streamTumble _),
     "q_stream_slide" -> (streamSlide _),
     "q_stream_session" -> (streamSession _),
@@ -344,6 +381,7 @@ object WindowQueries {
     "q_win_lag" -> winLagSql,
     "q_win_prefix" -> winPrefixSql,
     "q_win_range_frame" -> winRangeFrameSql,
+    "q_win_first_last" -> winFirstLastSql,
     "q_stream_tumble" -> streamTumbleSql,
     "q_stream_slide" -> streamSlideSql,
     "q_stream_session" -> streamSessionSql)

@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.SubqueryQueries
+
+/** Plan-shape assertions for the subquery/lateral surface: Spark must
+  * DE-CORRELATE every subquery into joins (the 100 TB contract the
+  * SubqueryQueries Scaladoc states) — a correlated subquery that
+  * survives to execution would re-run per outer row. */
+class SubquerySpec extends SparkSpec {
+
+  test("q_subquery_exists lowers EXISTS/NOT EXISTS to semi + anti joins") {
+    val plan = SubqueryQueries.subqueryExists(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_subquery_scalar de-correlates the scalar agg into an outer join") {
+    val qe = SubqueryQueries.subqueryScalar(spark, sfDir).queryExecution
+    // after RewriteCorrelatedScalarSubquery the optimized plan has a
+    // real LEFT OUTER join against the pre-aggregated lineitem side and
+    // no correlated ScalarSubquery expression left anywhere
+    val opt = qe.optimizedPlan.toString
+    assert(opt.contains("LeftOuter"), opt)
+    val phys = qe.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), phys)
+    // the uncorrelated scalar (global avg) stays as a one-row subquery,
+    // which is fine — it executes once, not per row
+  }
+
+  test("q_lateral_explode is a narrow Generate (no shuffle before the sort)") {
+    val qe = SubqueryQueries.lateralExplode(spark, sfDir).queryExecution
+    val phys = qe.executedPlan.toString
+    assert(phys.contains("Generate"), phys)
+    // the only Exchange allowed is the oracle-imposed final orderBy
+    val beforeSort = phys.split("(?i)sort", 2).last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle below the generate: $phys")
+  }
+
+  test("correlated results match a hand-built join equivalent") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // q_subquery_exists ≡ semi/anti-join formulation
+    val c = Fixtures.customer(spark, sfDir)
+    val o = Fixtures.orders(spark, sfDir)
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val finished = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val expected = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(finished, c("c_custkey") === finished("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_cust"))
+      .orderBy($"c_mktsegment")
+      .as[(String, Long)].collect().toSeq
+    val got = SubqueryQueries.subqueryExists(spark, sfDir)
+      .select($"c_mktsegment", $"n_cust")
+      .as[(String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+}
