@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve encoding as a pure Column expression.
+  *
+  * Interleaves the bits of two non-negative 16-bit coordinates into one
+  * 32-bit key whose ordering is the Z (Morton) space-filling curve:
+  * rows sorted by the key land so that both coordinates stay in compact
+  * ranges within any contiguous run. That is the property min/max file
+  * skipping needs — a file holding a z-contiguous run has tight
+  * [min,max] bounds on BOTH tx and ty, so a 2-D box predicate prunes
+  * files the way a 1-D sort only prunes for its leading column. This is
+  * the layout-time half of the engine's spatial pruning story (the
+  * read-time half is the COG source's planning-time bbox pruning);
+  * Delta's OPTIMIZE ZORDER applies the same idea, here expressed with
+  * nothing but codegen'd bitwise built-ins (shiftleft/&/|) — no UDF, no
+  * boxing, whole-stage codegen keeps it in the scan's fused loop.
+  *
+  * The spread uses the standard magic-mask doubling (each step doubles
+  * the gap between occupied bits): 0x00FF00FF, 0x0F0F0F0F, 0x33333333,
+  * 0x55555555.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `c` so bit i lands at position 2i. */
+  private def spread16(c: Column): Column = {
+    val masked = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val s1 = (masked.bitwiseOR(shiftleft(masked, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton key of (x, y): x's bits at even positions, y's at odd.
+    * Both inputs must be in [0, 65535] — grid indices, not world
+    * coordinates (quantize first for doubles). */
+  def morton(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1)).as("zorder")
+
+  /** Reference implementation for specs: same interleave in plain Scala. */
+  def mortonRef(x: Int, y: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+}

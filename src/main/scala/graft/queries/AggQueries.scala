@@ -343,7 +343,57 @@ object AggQueries {
        |GROUP BY n_name ORDER BY n_name""".stripMargin
   }
 
+  /** Ordered string aggregation (LISTAGG): per nation, its region name
+    * and the alphabetical comma-joined list of market segments present
+    * among its customers. collect_list has no deterministic order under
+    * parallel merge, so the list is array_sort-ed BEFORE joining —
+    * the only way string_agg survives a distributed hash compare.
+    * collect_list/array agg is how training pipelines materialize
+    * per-group exemplar lists (e.g. per-cluster sample doc ids). */
+  def aggStringAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Fixtures.customer(spark, sfDir)
+    val n = Fixtures.nation(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(array_join(array_sort(collect_set($"c_mktsegment")), ",")
+          .as("segments"),
+        countDistinct($"c_mktsegment").cast("long").as("n_segments"))
+      .orderBy($"n_name")
+  }
+
+  val aggStringAggSql: String =
+    """SELECT n_name,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  count(DISTINCT c_mktsegment) AS n_segments
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Boolean aggregates: per order priority, whether EVERY order is
+    * above a floor price (bool_and) and whether ANY order ships as
+    * status 'F' (bool_or) — the guard-rail assertions ("all rows
+    * passed the filter", "at least one failure exists") a pipeline
+    * health-check aggregates with. Partial+final merge like any agg. */
+  def aggBool(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(bool_and($"o_totalprice" > 1000.0).as("all_above_1k"),
+        bool_or($"o_orderstatus" === "F").as("any_finished"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val aggBoolSql: String =
+    """SELECT o_orderpriority,
+      |  bool_and(o_totalprice > 1000.0) AS all_above_1k,
+      |  bool_or(o_orderstatus = 'F') AS any_finished,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_string_agg" -> (aggStringAgg _),
+    "q_agg_bool" -> (aggBool _),
     "q_agg_pivot" -> (aggPivot _),
     "q_agg_pricing" -> (aggPricing _),
     "q_agg_masked" -> (aggMasked _),
@@ -357,6 +407,8 @@ object AggQueries {
     "q_agg_approx" -> (aggApprox _))
 
   val oracle: Map[String, String] = Map(
+    "q_agg_string_agg" -> aggStringAggSql,
+    "q_agg_bool" -> aggBoolSql,
     "q_agg_pivot" -> aggPivotSql,
     "q_agg_pricing" -> aggPricingSql,
     "q_agg_masked" -> aggMaskedSql,

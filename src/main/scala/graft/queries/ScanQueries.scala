@@ -106,9 +106,72 @@ object ScanQueries {
     } finally out.deleteOnExit()
   }
 
+  /** Z-order vs row-major data layout — the file-skipping experiment,
+    * run end-to-end: the same 128×128 tile grid is written as 32
+    * parquet files twice, once range-partitioned by (ty, tx) (row-major
+    * — the "obvious" layout) and once by the Morton key
+    * (graft.functions.ZOrder — bitwise built-ins, codegen'd, no UDF).
+    * For two query boxes the result reports how many files a
+    * min/max-stats skipper must touch under each layout, measured from
+    * the files' ACTUAL per-file (tx, ty) bounds:
+    *
+    *  - a ty-selective box: row-major is fine (ty is its sort prefix);
+    *  - a tx-selective box: row-major touches EVERY file (each spans
+    *    the full tx range) while z-order keeps tx bounds tight too.
+    *
+    * That asymmetry is the whole point of z-ordering: one layout serves
+    * predicates on either dimension, which is what makes it the right
+    * 100 TB layout when query boxes aren't known in advance (the same
+    * reason the COG mosaic prunes by 2-D bbox, and what Delta's
+    * OPTIMIZE ZORDER does for lake tables). NATIVE (filesystem layout
+    * isn't DuckDB-SQL); ZOrderSpec pins the interleave against a
+    * reference implementation and asserts the touched-file counts. */
+  def layoutZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    val n = 128
+    val files = 32
+    val grid = spark.range(n.toLong * n).select(
+        (col("id") % n).cast("int").as("tx"),
+        (col("id") / n).cast("int").as("ty"))
+      .withColumn("payload", ($"tx" * 31 + $"ty").cast("double"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    grid.repartitionByRange(files, $"ty", $"tx")
+      .sortWithinPartitions($"ty", $"tx")
+      .write.mode("overwrite").parquet(s"$root/rowmajor")
+    grid.withColumn("z", ZOrder.morton($"tx", $"ty"))
+      .repartitionByRange(files, $"z")
+      .sortWithinPartitions($"z")
+      .drop("z")
+      .write.mode("overwrite").parquet(s"$root/zorder")
+    // per-file bounds = exactly the min/max stats a skipper consults
+    def touched(dir: String, x0: Int, x1: Int, y0: Int, y1: Int): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"tx").as("fx0"), max($"tx").as("fx1"),
+          min($"ty").as("fy0"), max($"ty").as("fy1"))
+      val hit = stats.filter($"fx1" >= x0 && $"fx0" <= x1 &&
+        $"fy1" >= y0 && $"fy0" <= y1).count()
+      (stats.count(), hit)
+    }
+    val boxes = Seq(
+      ("ty_selective", 0, n - 1, 40, 55),   // full tx width, 16 ty rows
+      ("tx_selective", 40, 55, 0, n - 1))   // 16 tx cols, full ty height
+    val rows = for {
+      (layout, dir) <- Seq("rowmajor" -> s"$root/rowmajor", "zorder" -> s"$root/zorder")
+      (box, x0, x1, y0, y1) <- boxes
+    } yield {
+      val (nf, hit) = touched(dir, x0, x1, y0, y1)
+      (layout, box, nf, hit)
+    }
+    rows.toDF("layout", "box", "n_files", "files_touched")
+      .orderBy($"layout", $"box")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project" -> (scanProject _),
     "q_sink_partitioned" -> (sinkPartitioned _),
+    "q_layout_zorder" -> (layoutZorder _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_topk" -> (topk _),
     "q_setops" -> (setops _))

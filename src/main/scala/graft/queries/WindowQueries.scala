@@ -361,6 +361,70 @@ object WindowQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Stream-stream inner join — ad-click attribution as a REAL
+    * two-MemoryStream run: impressions ⋈ clicks on ad_id with the
+    * time-range predicate `click_ts ∈ [imp_ts, imp_ts + 10 min]`.
+    * The watermarks + range bound are what make this feasible on
+    * unbounded streams: each side's join state is evicted once the
+    * other side's watermark passes the range, so state is
+    * O(watermark-delay + range window), not O(stream). The 1-hour
+    * watermark is deliberate: state eviction is driven by EVENT-time
+    * watermarks, so a click arriving a micro-batch later can only
+    * match if the impression's state outlived the interim watermark
+    * advance — with a 10-minute delay here, batch 1's click watermark
+    * already evicts every impression older than ~22 min and the
+    * cross-batch second clicks silently match nothing (observed, and
+    * exactly what the docs promise). Clicks landing outside the
+    * attribution window match nothing; a second click inside it
+    * produces a second attributed row (1-to-N preserved). NATIVE
+    * (streaming runtime isn't DuckDB-comparable; StreamingSpec proves
+    * exact equality with the batch join of the same rows and that the
+    * join tolerates cross-batch arrival order). */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    // 120 ads, one impression each, 30 s apart
+    val imps = (0 until 120).map(i =>
+      (i.toLong, ts(i * 30000L), (i % 9) + 0.25))
+    // ads 0..79 click 3 min after their impression (inside the 10-min
+    // attribution window); every 10th of those clicks AGAIN at +8 min
+    // (1-to-N); ads 80..99 click 30 min after (outside the window);
+    // ads 100..119 never click
+    val inWin = (0 until 80).map(i => (i.toLong, ts(i * 30000L + 180000L)))
+    val second = (0 until 80 by 10).map(i => (i.toLong, ts(i * 30000L + 480000L)))
+    val late = (80 until 100).map(i => (i.toLong, ts(i * 30000L + 1800000L)))
+    val impStream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val clkStream = MemoryStream[(Long, java.sql.Timestamp)]
+    val impDf = impStream.toDF().toDF("ad_id", "imp_ts", "cost")
+      .withWatermark("imp_ts", "1 hour")
+    val clkDf = clkStream.toDF().toDF("c_ad_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val joined = impDf.join(clkDf, expr(
+      """ad_id = c_ad_id AND
+        |click_ts >= imp_ts AND
+        |click_ts <= imp_ts + interval 10 minutes""".stripMargin))
+    val q = joined
+      .writeStream.format("memory").queryName("q_stream_join_out")
+      .outputMode("append").start()
+    try {
+      // impressions and first-wave clicks in batch 1; second-wave and
+      // late clicks in batch 2 — the join must match across batches
+      impStream.addData(imps: _*)
+      clkStream.addData(inWin: _*)
+      q.processAllAvailable()
+      clkStream.addData((second ++ late): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("q_stream_join_out")
+      .groupBy($"ad_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        round(first($"cost"), 4).as("cost"))
+      .orderBy($"ad_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> (winRank _),
     "q_win_ntile" -> (winNtile _),
@@ -373,7 +437,8 @@ object WindowQueries {
     "q_stream_session" -> (streamSession _),
     "q_stream_watermark" -> (streamWatermark _),
     "q_stream_dedup" -> (streamDedup _),
-    "q_stream_custom_state" -> (streamCustomState _))
+    "q_stream_custom_state" -> (streamCustomState _),
+    "q_stream_join" -> (streamJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_win_rank" -> winRankSql,

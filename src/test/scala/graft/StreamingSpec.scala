@@ -252,4 +252,36 @@ class StreamingSpec extends SparkSpec {
       scala.util.Random.shuffle(events)).map(_.toString).sorted ==
       StatefulSession.sessionizeBatch(gapMs, cap)(events).map(_.toString).sorted)
   }
+
+  test("stream-stream join == batch join of the same rows; out-of-window clicks unmatched") {
+    // q_stream_join's exact feed, rebuilt here as plain batch frames
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1700000000000L
+    def ts(ms: Long) = new Timestamp(base + ms)
+    val imps = (0 until 120).map(i => (i.toLong, ts(i * 30000L), (i % 9) + 0.25))
+    val clicks = (0 until 80).map(i => (i.toLong, ts(i * 30000L + 180000L))) ++
+      (0 until 80 by 10).map(i => (i.toLong, ts(i * 30000L + 480000L))) ++
+      (80 until 100).map(i => (i.toLong, ts(i * 30000L + 1800000L)))
+    val impDf = imps.toDF("ad_id", "imp_ts", "cost")
+    val clkDf = clicks.toDF("c_ad_id", "click_ts")
+    val expected = impDf.join(clkDf, expr(
+        """ad_id = c_ad_id AND click_ts >= imp_ts AND
+          |click_ts <= imp_ts + interval 10 minutes""".stripMargin))
+      .groupBy($"ad_id")
+      .agg(count(lit(1)).as("n"), round(first($"cost"), 4).as("cost"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+
+    val got = graft.queries.WindowQueries.streamJoin(spark, sfDir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == expected, s"stream join != batch join\n got: $got\n want: $expected")
+
+    // structural: exactly ads 0..79 attributed (late clickers 80..99
+    // and never-clickers 100..119 produce NO row), every 10th ad
+    // double-attributed by its second in-window click
+    assert(got.map(_._1) == (0L until 80L).toSeq)
+    for ((ad, n, _) <- got)
+      assert(n == (if (ad % 10 == 0) 2L else 1L), s"ad $ad attributed $n times")
+  }
 }

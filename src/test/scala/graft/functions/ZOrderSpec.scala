@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Morton-curve correctness + the layout experiment's claims. */
+class ZOrderSpec extends SparkSpec {
+
+  test("column morton == reference interleave over the full 8-bit square") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val got = spark.range(256L * 256)
+      .select((col("id") % 256).cast("int").as("x"),
+        (col("id") / 256).cast("int").as("y"))
+      .withColumn("z", ZOrder.morton(col("x"), col("y")))
+      .as[(Int, Int, Long)].collect()
+    for ((x, y, z) <- got)
+      assert(z == ZOrder.mortonRef(x, y), s"morton($x,$y)")
+  }
+
+  test("reference interleave: known values and bit bounds") {
+    assert(ZOrder.mortonRef(0, 0) == 0L)
+    assert(ZOrder.mortonRef(1, 0) == 1L)
+    assert(ZOrder.mortonRef(0, 1) == 2L)
+    assert(ZOrder.mortonRef(1, 1) == 3L)
+    assert(ZOrder.mortonRef(7, 0) == 21L)   // 0b010101
+    assert(ZOrder.mortonRef(0, 7) == 42L)   // 0b101010
+    assert(ZOrder.mortonRef(0xFFFF, 0xFFFF) == 0xFFFFFFFFL)
+  }
+
+  test("morton stays inside whole-stage codegen (no UDF boundary)") {
+    val df = spark.range(100)
+      .select(col("id").cast("int").as("x"), col("id").cast("int").as("y"))
+      .withColumn("z", ZOrder.morton(col("x"), col("y")))
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with the "*(stageId)" prefix; the
+    // project computing z must carry it
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.contains("*(")), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("q_layout_zorder: z-order serves both box orientations; row-major only one") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rows = graft.queries.ScanQueries.layoutZorder(spark, sfDir)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val (nFiles, _) = rows(("rowmajor", "ty_selective"))
+    // row-major: the tx-selective box forces touching EVERY file (each
+    // file spans the full tx width), the ty-selective box prunes well
+    assert(rows(("rowmajor", "tx_selective"))._2 == nFiles,
+      s"row-major should touch all files on a tx box: $rows")
+    assert(rows(("rowmajor", "ty_selective"))._2 < nFiles / 2, s"$rows")
+    // z-order: BOTH orientations prune to well under half the files
+    assert(rows(("zorder", "tx_selective"))._2 < nFiles / 2, s"$rows")
+    assert(rows(("zorder", "ty_selective"))._2 < nFiles / 2, s"$rows")
+    // and z-order beats row-major by >2x on the orientation row-major
+    // cannot serve
+    assert(rows(("zorder", "tx_selective"))._2 * 2 <
+      rows(("rowmajor", "tx_selective"))._2, s"$rows")
+  }
+}
