@@ -321,7 +321,12 @@ object RasterQueries {
     * coordinates are preserved), then the directory mosaic-reads back
     * and rolls up per file. Region count stays 2×2 across SFs (the
     * per-file size grows instead) so the bench measures pixel
-    * throughput, not job-launch overhead. */
+    * throughput, not job-launch overhead. The write arrives in TWO
+    * batches — western regions create the mosaic, eastern regions
+    * APPEND to it in place (round 9) — the incremental-ingest shape:
+    * each batch of new spatial regions lands as new immutable COG
+    * files, and appends carry explicit geometry because inference
+    * would clip to the partial extent (CogWriteSupport scaladoc). */
   def rasterMosaicWrite(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -331,15 +336,20 @@ object RasterQueries {
       minOverviewSize = 128,
       geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
     val dir = java.nio.file.Files.createTempDirectory("graft-qmwrite").toString + "/mosaic"
-    SyntheticRaster.generate(spark, prof, seed = 83L).toDF()
-      .write.format("cog")
-      .option("mosaic.grid", grid.toString)
-      .option("nodata", ND.toString)
-      .option("minoverviewsize", "128")
-      .option("epsg", "32633")
-      .option("pixelw", "10.0").option("pixelh", "10.0")
-      .option("originx", "500000.0").option("originy", "6400000.0")
-      .mode("overwrite").save(dir)
+    val tiles = SyntheticRaster.generate(spark, prof, seed = 83L).toDF()
+    for (pred <- Seq(col("tx") < grid, col("tx") >= grid)) {
+      tiles.filter(pred)
+        .write.format("cog")
+        .option("mosaic.grid", grid.toString)
+        .option("blocksize", "128")
+        .option("width", e.toString).option("height", (e * 3 / 4).toString)
+        .option("nodata", ND.toString)
+        .option("minoverviewsize", "128")
+        .option("epsg", "32633")
+        .option("pixelw", "10.0").option("pixelh", "10.0")
+        .option("originx", "500000.0").option("originy", "6400000.0")
+        .mode("append").save(dir)
+    }
     val perTile = spark.read.format("cog").load(dir).where($"level" === 0)
       .select($"src", $"h", $"w", $"pixels")
       .as[(String, Int, Int, Array[Double])]

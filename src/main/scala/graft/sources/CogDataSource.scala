@@ -128,8 +128,13 @@ class CogTable(path: String, conf: Map[String, String])
   * V1Write/InsertableRelation deliberately: COG assembly is a
   * multi-stage job (global prefix-sum, ordered concat), not a
   * per-partition DataWriter protocol. `SaveMode.Append` creates
-  * (errors if the file exists — a COG is immutable), `Overwrite`
-  * replaces. */
+  * (errors if the file exists — a COG is immutable) for single-file
+  * targets; for a MOSAIC target (`mosaic.grid` set) append adds NEW
+  * region COGs to the existing directory — the incremental-ingest
+  * path (each batch of new spatial regions lands as new files, the
+  * many-file layout growing in place) — and errors if any incoming
+  * region collides with an existing file (region COGs are immutable
+  * too). `Overwrite` replaces the whole target. */
 class CogWriteBuilder(path: String, opts: Map[String, String])
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
@@ -177,8 +182,14 @@ object CogWriteSupport {
     opts.foreach { case (k, v) => hconf.set(k, v) }
     val target = new Path(path)
     val fs = target.getFileSystem(hconf)
-    if (fs.exists(target) && !overwrite) throw new IllegalArgumentException(
-      s"cog mosaic target exists: $path (COGs are immutable — use mode(\"overwrite\"))")
+    // append-into-existing: new regions join the directory as new
+    // files. NOTE geometry inference sees only the appended frame — an
+    // append that doesn't span the full raster must pass width/height
+    // (and blocksize) explicitly or region edge-clipping would use the
+    // partial extent.
+    val appendInto = fs.exists(target) && !overwrite
+    if (appendInto) require(fs.getFileStatus(target).isDirectory,
+      s"cog mosaic append target is not a directory: $path")
 
     val cols = data.columns.toSet
     Seq("ty", "tx", "h", "w", "pixels").foreach(c =>
@@ -196,6 +207,16 @@ object CogWriteSupport {
       .distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity).toSeq
     require(keys.nonEmpty, "cog mosaic write got zero level-0 tiles")
+    if (appendInto) {
+      val PartName = raw"part-(\d+)-(\d+)\.tif".r
+      val existing = fs.listStatus(target).map(_.getPath.getName).collect {
+        case PartName(ry, rx) => (ry.toInt, rx.toInt)
+      }.toSet
+      val collide = keys.filter(existing)
+      require(collide.isEmpty,
+        s"mosaic append would overwrite existing regions ${collide.take(5).mkString(",")}" +
+          " — region COGs are immutable; use mode(\"overwrite\") to rebuild the mosaic")
+    }
     val (bs, width, height, bands) = inferGeometry(level0, opts)
     val regionPx = grid.toLong * bs
     require(regionPx < Int.MaxValue, s"mosaic region too large: $regionPx px")
@@ -239,10 +260,24 @@ object CogWriteSupport {
               overwrite = false, sub)
           }
         }), scala.concurrent.duration.Duration.Inf)
-      // success: replace the old directory only now (a failed write
-      // leaves the previous mosaic untouched)
-      if (fs.exists(target)) fs.delete(target, true)
-      require(fs.rename(tmpDir, target), s"rename $tmpDir -> $target failed")
+      if (appendInto) {
+        // all region COGs staged complete — move each into the live
+        // directory. A failure BEFORE this point leaves the mosaic
+        // byte-identical; the move loop itself is per-file atomic (a
+        // crash mid-loop leaves a prefix of whole, valid region files,
+        // never a torn one).
+        for ((ry, rx) <- keys) {
+          val name = f"part-$ry%03d-$rx%03d.tif"
+          require(fs.rename(new Path(tmpDir, name), new Path(target, name)),
+            s"rename $tmpDir/$name -> $target/$name failed")
+        }
+        fs.delete(tmpDir, true)
+      } else {
+        // success: replace the old directory only now (a failed write
+        // leaves the previous mosaic untouched)
+        if (fs.exists(target)) fs.delete(target, true)
+        require(fs.rename(tmpDir, target), s"rename $tmpDir -> $target failed")
+      }
     } catch {
       case e: Throwable =>
         // Await rethrows on the FIRST failed region; sibling writes may

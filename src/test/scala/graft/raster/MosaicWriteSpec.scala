@@ -129,6 +129,65 @@ class MosaicWriteSpec extends SparkSpec {
     assert(df.where(s"level = 0 AND minx >= ${OX + 1e9}").count() == 0)
   }
 
+  test("mosaic append: new regions join in place; collisions refused; pixels exact") {
+    val s = spark
+    import s.implicits._
+    // 64x64 @ blockSize 16 = 4x4 level-0 tiles; grid 2 → 2x2 regions.
+    // Ingest arrives in two batches split by region column (west, then
+    // east) — the incremental-ingest shape. Appends don't span the full
+    // raster, so geometry is passed explicitly (inference would clip to
+    // the partial extent).
+    val prof = RasterProfile(64, 64, blockSize = 16, nodata = ND,
+      minOverviewSize = 16, geo = Some(GeoRef(PW, PW, OX, OY, 32633)))
+    val all = SyntheticRaster.generate(s, prof, seed = 55L)
+    val expected = all.collect().map(t => (t.ty, t.tx) -> t).toMap
+    val dir = Files.createTempDirectory("graft-mapp").toString + "/mosaic"
+    def writeBatch(pred: org.apache.spark.sql.Column): Unit =
+      all.toDF().filter(pred).write.format("cog")
+        .option("mosaic.grid", "2")
+        .option("blocksize", "16").option("width", "64").option("height", "64")
+        .option("nodata", ND.toString).option("minoverviewsize", "16")
+        .option("epsg", "32633")
+        .option("pixelw", PW.toString).option("pixelh", PW.toString)
+        .option("originx", OX.toString).option("originy", OY.toString)
+        .mode("append").save(dir)
+
+    writeBatch($"tx" < 2) // first batch CREATES the mosaic
+    assert(new java.io.File(dir).list().filter(_.endsWith(".tif")).sorted.toSeq
+      == Seq("part-000-000.tif", "part-001-000.tif"))
+    writeBatch($"tx" >= 2) // second batch APPENDS the eastern regions
+    assert(new java.io.File(dir).list().filter(_.endsWith(".tif")).sorted.toSeq
+      == Seq("part-000-000.tif", "part-000-001.tif",
+        "part-001-000.tif", "part-001-001.tif"))
+
+    // the grown mosaic reads back whole with exact pixels everywhere
+    val back = spark.read.format("cog").load(dir).where($"level" === 0).collect()
+    assert(back.length == 16)
+    for (r <- back) {
+      val gtx = ((r.getDouble(7) - OX) / PW).round.toInt / 16
+      val gty = ((OY - r.getDouble(10)) / PW).round.toInt / 16
+      val e = expected((gty, gtx))
+      val px = r.getSeq[Double](5)
+      for (i <- 0 until e.h * e.w) {
+        val want = if (e.valid(i, ND)) e.pixels(i) else ND
+        assert(px(i) == want, s"global tile ($gty,$gtx) px $i")
+      }
+    }
+    // bbox pruning unaffected by growth: east box → only -001 files
+    val east = spark.read.format("cog").load(dir)
+      .where($"level" === 0 && $"minx" >= OX + 320.0).collect()
+    assert(east.nonEmpty && east.forall(_.getString(11).contains("-001.tif")))
+
+    // re-appending an existing region collides loudly and changes nothing
+    val ex = intercept[Exception](writeBatch($"tx" >= 2))
+    assert(ex.getMessage.contains("immutable"), ex.getMessage)
+    assert(new java.io.File(dir).list().count(_.endsWith(".tif")) == 4)
+    assert(spark.read.format("cog").load(dir).where($"level" === 0).count() == 16)
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.list().forall(!_.contains("_cog_mosaic_tmp_")),
+      s"temp dir left behind: ${parent.list().mkString(",")}")
+  }
+
   test("mosaic write: failure leaves the previous mosaic intact (temp + swap)") {
     val s = spark
     import s.implicits._
