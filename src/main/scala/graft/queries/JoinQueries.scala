@@ -223,7 +223,60 @@ object JoinQueries {
       |FULL JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
       |  ON c_custkey = o_custkey""".stripMargin
 
+  /** MERGE / upsert, lowered the way every engine without a MERGE verb
+    * (and Delta/Iceberg inside) executes it: ONE full outer join of the
+    * current snapshot against a deduped change set, then CASE per row —
+    * update / insert / delete / keep. The change set is derived
+    * deterministically from the fixtures (updates = urgent-order
+    * customers, deletes = custkey % 97, inserts = shifted new keys) and
+    * is unique per key by construction — the precondition MERGE
+    * requires. One shuffle on the merge key at any scale; the output
+    * aggregates per action so the compare stays tight. DECIMAL
+    * arithmetic for the updated balances. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.customer(spark, sfDir).createOrReplaceTempView("graft_mg_customer")
+    Fixtures.orders(spark, sfDir).createOrReplaceTempView("graft_mg_orders")
+    spark.sql(mergeUpsertBody("graft_mg_customer", "graft_mg_orders", "STRING"))
+  }
+
+  /** Shared SQL body — engines differ only in table names and the null
+    * string type keyword (Spark STRING, DuckDB VARCHAR). */
+  private def mergeUpsertBody(customer: String, orders: String,
+      strTy: String): String =
+    s"""WITH up AS (
+       |  SELECT DISTINCT c_custkey AS k
+       |  FROM $customer JOIN $orders ON o_custkey = c_custkey
+       |  WHERE o_orderpriority = '1-URGENT' AND c_custkey % 97 <> 0),
+       |del AS (SELECT c_custkey AS k FROM $customer WHERE c_custkey % 97 = 0),
+       |ins AS (
+       |  SELECT c_custkey + 1000000 AS k, 'NEWSEG' AS seg,
+       |    CAST(c_custkey % 1000 AS DOUBLE) AS bal
+       |  FROM $customer WHERE c_custkey % 101 = 0),
+       |changes AS (
+       |  SELECT k, 'U' AS op, CAST(NULL AS $strTy) AS seg,
+       |    CAST(NULL AS DOUBLE) AS bal FROM up
+       |  UNION ALL
+       |  SELECT k, 'D', CAST(NULL AS $strTy), CAST(NULL AS DOUBLE) FROM del
+       |  UNION ALL
+       |  SELECT k, 'I', seg, bal FROM ins),
+       |merged AS (
+       |  SELECT coalesce(c.c_custkey, ch.k) AS custkey,
+       |    CASE WHEN ch.op = 'I' THEN ch.seg ELSE c.c_mktsegment END AS segment,
+       |    CASE WHEN ch.op = 'U'
+       |           THEN CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE)
+       |         WHEN ch.op = 'I' THEN ch.bal
+       |         ELSE c.c_acctbal END AS acctbal,
+       |    coalesce(ch.op, 'K') AS action
+       |  FROM $customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k
+       |  WHERE coalesce(ch.op, 'K') <> 'D')
+       |SELECT action, count(*) AS n,
+       |  CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+       |FROM merged GROUP BY action ORDER BY action""".stripMargin
+
+  val mergeUpsertSql: String = mergeUpsertBody("customer", "orders", "VARCHAR")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (mergeUpsert _),
     "q_join_broadcast" -> (joinBroadcast _),
     "q_join_3way" -> (join3way _),
     "q_join_left" -> (joinLeft _),
@@ -234,6 +287,7 @@ object JoinQueries {
     "q_join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
+    "q_merge_upsert" -> mergeUpsertSql,
     "q_join_broadcast" -> joinBroadcastSql,
     "q_join_3way" -> join3waySql,
     "q_join_left" -> joinLeftSql,

@@ -22,6 +22,23 @@ object WindowQueries {
 
   private val fmtS = "yyyy-MM-dd HH:mm:ss"
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. The stateful streaming
+    * demo queries use this: a streaming query materializes one state
+    * store PER shuffle partition per stateful operator per micro-batch
+    * (a stream-stream join keeps four stores per partition), so at the
+    * session default of 32 partitions a 300-row demo pays ~hundreds of
+    * store commits of pure fixed overhead. The demos carry hundreds of
+    * rows by design — the operator SEMANTICS are what's exercised; a
+    * production stream would size partitions to its volume exactly the
+    * same way. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Ranking: top-3 orders per customer by totalprice (unique tiebreak). */
   def winRank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -257,14 +274,16 @@ object WindowQueries {
         if (i % 4 == 0) "click" else "view", (i % 13) + 0.5)
     }
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
-    val q = tumbleAgg(mem.toDF().toDF("ts", "event_type", "value")
-        .withWatermark("ts", "10 minutes"))
-      .writeStream.format("memory").queryName("q_stream_watermark_out")
-      .outputMode("complete").start()
-    try {
-      mem.addData(rows: _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    withShufflePartitions(spark, 4) {
+      val q = tumbleAgg(mem.toDF().toDF("ts", "event_type", "value")
+          .withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory").queryName("q_stream_watermark_out")
+        .outputMode("complete").start()
+      try {
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table("q_stream_watermark_out")
       .orderBy($"w_start", $"event_type")
   }
@@ -291,17 +310,19 @@ object WindowQueries {
     // whose first occurrence is still inside the watermark
     val b2 = (150 until 300).map(ev)
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
-    val q = mem.toDF().toDF("event_id", "ts", "kind")
-      .withWatermark("ts", "60 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("memory").queryName("q_stream_dedup_out")
-      .outputMode("append").start()
-    try {
-      mem.addData(b1: _*)
-      q.processAllAvailable()
-      mem.addData(b2: _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    withShufflePartitions(spark, 4) {
+      val q = mem.toDF().toDF("event_id", "ts", "kind")
+        .withWatermark("ts", "60 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName("q_stream_dedup_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        mem.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table("q_stream_dedup_out")
       .groupBy($"kind").agg(count(lit(1)).as("n_unique"))
       .orderBy($"kind")
@@ -342,17 +363,19 @@ object WindowQueries {
     val b3 = for (u <- users; k <- 25 until 30) yield ev(u, k)
     val sentinel = SEvent(999L, new java.sql.Timestamp(base + 10 * 3600000L), 0.0)
     val mem = MemoryStream[SEvent]
-    val q = mem.toDS().withWatermark("ts", "10 minutes")
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.EventTimeTimeout)(
-        StatefulSession.sessionize(gapMs, cap))
-      .writeStream.format("memory").queryName("q_stream_custom_state_out")
-      .outputMode("append").start()
-    try {
-      for (b <- Seq(b1, b2, b3)) { mem.addData(b: _*); q.processAllAvailable() }
-      mem.addData(sentinel); q.processAllAvailable()
-    } finally q.stop()
+    withShufflePartitions(spark, 4) {
+      val q = mem.toDS().withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(
+          StatefulSession.sessionize(gapMs, cap))
+        .writeStream.format("memory").queryName("q_stream_custom_state_out")
+        .outputMode("append").start()
+      try {
+        for (b <- Seq(b1, b2, b3)) { mem.addData(b: _*); q.processAllAvailable() }
+        mem.addData(sentinel); q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table("q_stream_custom_state_out")
       .filter($"user_id" =!= 999L)
       .select($"user_id",
@@ -406,18 +429,20 @@ object WindowQueries {
       """ad_id = c_ad_id AND
         |click_ts >= imp_ts AND
         |click_ts <= imp_ts + interval 10 minutes""".stripMargin))
-    val q = joined
-      .writeStream.format("memory").queryName("q_stream_join_out")
-      .outputMode("append").start()
-    try {
-      // impressions and first-wave clicks in batch 1; second-wave and
-      // late clicks in batch 2 — the join must match across batches
-      impStream.addData(imps: _*)
-      clkStream.addData(inWin: _*)
-      q.processAllAvailable()
-      clkStream.addData((second ++ late): _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    withShufflePartitions(spark, 4) {
+      val q = joined
+        .writeStream.format("memory").queryName("q_stream_join_out")
+        .outputMode("append").start()
+      try {
+        // impressions and first-wave clicks in batch 1; second-wave and
+        // late clicks in batch 2 — the join must match across batches
+        impStream.addData(imps: _*)
+        clkStream.addData(inWin: _*)
+        q.processAllAvailable()
+        clkStream.addData((second ++ late): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table("q_stream_join_out")
       .groupBy($"ad_id")
       .agg(count(lit(1)).as("n_attributed"),
