@@ -9,7 +9,9 @@ package graft.multimodal
   * own `javax.imageio` codecs (PNG/JPEG/BMP/GIF ship in every JRE —
   * the same ImageIO this repo already uses for JPEG COG tiles,
   * raster/TileCodec.scala), so extract and resize are genuine image
-  * operations with true dimensions and sample statistics. Only VIDEO
+  * operations with true dimensions and sample statistics. AUDIO
+  * decodes for real too (`decodeWav` — PCM WAV is a 44-byte header
+  * away from raw numbers; RMS + zero-crossing features). Only VIDEO
   * remains stubbed (`frameSampleStub` — no container/video codecs in
   * a bare JRE): a clearly-marked deterministic stand-in exercising the
   * one-to-many explode shape; swapping it for a JNI/javacv decoder
@@ -187,4 +189,103 @@ object BinaryCodec {
       (f, java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))
     }
   }
+
+  // ----- audio: REAL PCM WAV, no dependencies ---------------------------
+
+  /** Real decoded-audio metadata: true header fields plus the two
+    * first-pass waveform features every audio curation pipeline
+    * computes — RMS level (is there signal at all / clipping?) and
+    * zero-crossing count (a crude pitch/noisiness proxy). */
+  case class AudioMeta(nBytes: Long, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nSamples: Int, durationMs: Double,
+      rms: Double, zeroCrossings: Int)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  /** REAL WAV decode: RIFF/WAVE container walk (fmt + data chunks,
+    * unknown chunks skipped by their declared size), 16-bit PCM
+    * samples, RMS normalized to [0,1] and sign-change count over the
+    * first channel. A WAV file is a 44-byte header away from raw
+    * numbers — the one media format a bare JRE pipeline can decode
+    * honestly with no codec libraries at all. Non-PCM (compressed)
+    * payloads are refused loudly, matching the repo's reject-don't-
+    * corrupt rule. */
+  def decodeWav(payload: Array[Byte]): AudioMeta = {
+    require(payload.length >= 44 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE",
+      s"not a RIFF/WAVE payload (${payload.length} bytes)")
+    var off = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= payload.length && (dataOff < 0 || sampleRate == 0)) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val sz = le32(payload, off + 4)
+      if (id == "fmt ") {
+        val audioFormat = le16(payload, off + 8)
+        require(audioFormat == 1, s"only PCM WAV supported (format $audioFormat)")
+        channels = le16(payload, off + 10)
+        sampleRate = le32(payload, off + 12)
+        bits = le16(payload, off + 22)
+        require(bits == 16, s"only 16-bit PCM supported (got $bits)")
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(dataOff > 0 && sampleRate > 0, "missing fmt/data chunk")
+    require(dataOff + dataLen <= payload.length, "data chunk overruns payload")
+    val bytesPerFrame = 2 * channels
+    val n = dataLen / bytesPerFrame
+    var sumSq = 0.0
+    var zc = 0
+    var prevSign = 0
+    var i = 0
+    while (i < n) {
+      // first channel only; samples normalized by 32768
+      val raw = le16(payload, dataOff + i * bytesPerFrame)
+      val s = (if (raw >= 0x8000) raw - 0x10000 else raw) / 32768.0
+      sumSq += s * s
+      val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+      if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    AudioMeta(payload.length.toLong, sampleRate, channels, bits, n,
+      n * 1000.0 / sampleRate,
+      if (n == 0) 0.0 else math.sqrt(sumSq / n), zc)
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: a sine at `freqHz` with a
+    * splitmix dither floor — genuine bytes for the real decoder, no
+    * audio assets shipped. */
+  def syntheticWav(seed: Long, sampleRate: Int, nSamples: Int,
+      freqHz: Double, amplitude: Double = 0.5): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var x = seed
+    var i = 0
+    while (i < nSamples) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x; z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 27
+      val dither = ((z & 0xFFFF) / 65535.0 - 0.5) * 0.002
+      val s = amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate) + dither
+      out.putShort(math.max(-32768, math.min(32767,
+        math.round(s * 32767).toInt)).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  def extractAudioBatched(it: Iterator[(Long, Array[Byte])]): Iterator[(Long, AudioMeta)] =
+    it.grouped(BatchSize).flatMap(_.iterator.map { case (id, p) => (id, decodeWav(p)) })
 }

@@ -85,10 +85,37 @@ object MultimodalQueries {
       .orderBy($"doc_id")
   }
 
+  /** REAL audio decode: per-document 16-bit PCM WAV payloads (sine +
+    * dither synthesized from doc_id — genuine bytes, no assets),
+    * parsed by the from-scratch RIFF walker, emitting true header
+    * fields + RMS level and zero-crossing count — the first-pass
+    * features an audio curation pipeline filters on (silence /
+    * clipping / crude pitch). Batched mapPartitions like the image
+    * path; at 100 TB a narrow map stage, zero shuffle. */
+  def mmAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.map { id =>
+        (id, BinaryCodec.syntheticWav(id * 6007L, 8000,
+          800 + (id % 5).toInt * 160, 200.0 + (id % 300)))
+      }))
+      .mapPartitions(BinaryCodec.extractAudioBatched)
+      .map { case (id, a) =>
+        (id, a.nBytes, a.sampleRate, a.nSamples,
+          math.round(a.durationMs * 100) / 100.0,
+          math.round(a.rms * 10000) / 10000.0, a.zeroCrossings)
+      }
+      .toDF("doc_id", "n_bytes", "sample_rate", "n_samples",
+        "duration_ms", "rms", "zero_crossings")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_extract" -> (mmExtract _),
     "q_mm_frames" -> (mmFrames _),
-    "q_mm_resize" -> (mmResize _))
+    "q_mm_resize" -> (mmResize _),
+    "q_mm_audio" -> (mmAudio _))
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -130,4 +130,61 @@ class MultimodalSpec extends SparkSpec {
     val nDocs = graft.Fixtures.documents(spark, sfDir).count()
     assert(a.length.toLong == nDocs)
   }
+
+  test("decodeWav: pure sine → header exact, RMS ≈ A/√2, zero crossings ≈ 2·f·t") {
+    // 440 Hz, 1 s @ 8 kHz, amplitude 0.5, no dither (seed path still
+    // adds ±0.001 — inside the tolerances below)
+    val wav = BinaryCodec.syntheticWav(seed = 1L, sampleRate = 8000,
+      nSamples = 8000, freqHz = 440.0, amplitude = 0.5)
+    val a = BinaryCodec.decodeWav(wav)
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.bitsPerSample == 16)
+    assert(a.nSamples == 8000 && math.abs(a.durationMs - 1000.0) < 1e-9)
+    assert(math.abs(a.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${a.rms}")
+    // a sine crosses zero twice per cycle: 880 ± a few from dither
+    assert(math.abs(a.zeroCrossings - 880) <= 8, s"zc ${a.zeroCrossings}")
+  }
+
+  test("decodeWav: silence has ~zero RMS; chunk walker skips unknown chunks") {
+    val silent = BinaryCodec.syntheticWav(2L, 8000, 1000, 100.0, amplitude = 0.0)
+    val s = BinaryCodec.decodeWav(silent)
+    assert(s.rms < 0.002, s"silence rms ${s.rms}") // dither floor only
+    // splice an unknown LIST chunk between fmt and data: still decodes
+    val fmtEnd = 12 + 8 + 16
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = silent.take(fmtEnd) ++ extra ++ silent.drop(fmtEnd)
+    // patch the RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val s2 = BinaryCodec.decodeWav(spliced)
+    assert(s2.nSamples == s.nSamples && s2.rms == s.rms)
+  }
+
+  test("decodeWav rejects non-PCM and non-WAV payloads loudly") {
+    intercept[IllegalArgumentException](
+      BinaryCodec.decodeWav("not audio at all".getBytes))
+    // flip the fmt audioFormat field to 2 (ADPCM): must refuse
+    val wav = BinaryCodec.syntheticWav(3L, 8000, 100, 100.0)
+    wav(20) = 2
+    val ex = intercept[IllegalArgumentException](BinaryCodec.decodeWav(wav))
+    assert(ex.getMessage.contains("PCM"))
+  }
+
+  test("q_mm_audio: one row per doc, real features, batch-invariant") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rows = graft.queries.MultimodalQueries.mmAudio(spark, sfDir)
+      .as[(Long, Long, Int, Int, Double, Double, Int)].collect()
+    val nDocs = graft.Fixtures.documents(spark, sfDir).count()
+    assert(rows.length.toLong == nDocs)
+    for ((id, nBytes, sr, n, durMs, rms, zc) <- rows) {
+      assert(sr == 8000 && nBytes == 44L + n * 2)
+      assert(n == 800 + (id % 5) * 160)
+      assert(math.abs(durMs - n * 1000.0 / 8000) < 0.01)
+      // amplitude 0.5 sine: rms near 0.3536, crossings near 2·f·t
+      assert(math.abs(rms - 0.3536) < 0.01, s"doc $id rms $rms")
+      val expZc = 2.0 * (200 + id % 300) * n / 8000
+      assert(math.abs(zc - expZc) <= expZc * 0.05 + 4, s"doc $id zc $zc vs $expZc")
+    }
+  }
 }
