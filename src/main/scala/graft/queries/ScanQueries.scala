@@ -168,16 +168,87 @@ object ScanQueries {
       .orderBy($"layout", $"box")
   }
 
+  /** Unpivot (melt): wide → long reshaping, three measure columns into
+    * (metric, value) rows — how a feature table normalizes for
+    * per-metric aggregation or export. Spark's `unpivot` lowers to an
+    * Expand node: a NARROW 1→3 row expansion fused into the scan
+    * stage, no shuffle, no join — the oracle's UNION-ALL formulation
+    * would scan the source three times. */
+  def scanUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.lineitem(spark, sfDir)
+      .filter($"l_orderkey" % 500 === 0)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "metric", "value")
+      .withColumn("value", round($"value", 4))
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+  }
+
+  val scanUnpivotSql: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |  FROM lineitem WHERE l_orderkey % 500 = 0)
+      |SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+      |    round(l_quantity, 4) AS value FROM src
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+      |    round(l_extendedprice, 4) FROM src
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount',
+      |    round(l_discount, 4) FROM src)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  /** Small-file compaction — the lakehouse maintenance job every
+    * long-lived 100 TB table needs (per-batch ingest leaves thousands
+    * of KB-scale files; scan cost becomes file-open cost). The query
+    * fragments documents into 32 files, then compacts to the file
+    * count a byte-size target implies: list file sizes (metadata
+    * only), nOut = ceil(total/target), `coalesce(nOut)` rewrite —
+    * coalesce merges partitions WITHOUT a shuffle, so compaction cost
+    * is one read + one write, never a repartition of the data. Returns
+    * the before/after file counts + row conservation. NATIVE
+    * (filesystem layout isn't DuckDB-SQL); CompactionSpec asserts
+    * row-exact conservation and the output count law. */
+  def sinkCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = s"$root/frag"
+    val compact = s"$root/compact"
+    Fixtures.documents(spark, sfDir)
+      .repartition(32)
+      .write.mode("overwrite").parquet(frag)
+    def parquetFiles(dir: String) = new java.io.File(dir)
+      .listFiles().filter(f => f.getName.endsWith(".parquet"))
+    val inFiles = parquetFiles(frag)
+    val totalBytes = inFiles.map(_.length()).sum
+    val target = 4L << 20 // 4 MiB output-file target
+    val nOut = math.max(1, ((totalBytes + target - 1) / target).toInt)
+    spark.read.parquet(frag)
+      .coalesce(nOut)
+      .write.mode("overwrite").parquet(compact)
+    val rowsIn = spark.read.parquet(frag).count()
+    val rowsOut = spark.read.parquet(compact).count()
+    Seq((inFiles.length, parquetFiles(compact).length, rowsIn, rowsOut))
+      .toDF("n_input_files", "n_output_files", "rows_in", "rows_out")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project" -> (scanProject _),
     "q_sink_partitioned" -> (sinkPartitioned _),
     "q_layout_zorder" -> (layoutZorder _),
+    "q_scan_unpivot" -> (scanUnpivot _),
+    "q_sink_compact" -> (sinkCompact _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_topk" -> (topk _),
     "q_setops" -> (setops _))
 
   val oracle: Map[String, String] = Map(
     "q_scan_project" -> scanProjectSql,
+    "q_scan_unpivot" -> scanUnpivotSql,
     "q_filter_pushdown" -> filterPushdownSql,
     "q_topk" -> topkSql,
     "q_setops" -> setopsSql)

@@ -1,0 +1,33 @@
+package graft
+
+/** q_sink_compact invariants: compaction must conserve rows exactly,
+  * actually reduce the file count, and obey the byte-target law. */
+class CompactionSpec extends SparkSpec {
+
+  test("q_sink_compact conserves rows and collapses 32 fragments") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val r = graft.queries.ScanQueries.sinkCompact(spark, sfDir)
+      .as[(Int, Int, Long, Long)].head()
+    val (nIn, nOut, rowsIn, rowsOut) = r
+    assert(nIn == 32, s"fragmentation produced $nIn files")
+    assert(rowsIn == rowsOut, s"compaction lost rows: $rowsIn -> $rowsOut")
+    assert(rowsIn == Fixtures.documents(spark, sfDir).count())
+    // tiny fixture -> total bytes far below one 4 MiB target -> 1 file
+    assert(nOut == 1, s"expected a single compacted file, got $nOut")
+  }
+
+  test("coalesce-based compaction plans no shuffle") {
+    // the compaction job itself is read -> coalesce -> write; coalesce
+    // must NOT introduce an Exchange (that is the whole point vs
+    // repartition — the fragmentation write's Exchange is a separate
+    // upstream job)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cspec").toString
+    Fixtures.documents(spark, sfDir).repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    val compactPlan = spark.read.parquet(dir).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(compactPlan.contains("Coalesce"), compactPlan)
+    assert(!compactPlan.contains("Exchange"), s"compaction shuffled: $compactPlan")
+  }
+}
