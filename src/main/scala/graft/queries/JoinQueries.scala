@@ -275,8 +275,44 @@ object JoinQueries {
 
   val mergeUpsertSql: String = mergeUpsertBody("customer", "orders", "VARCHAR")
 
+  /** Skew-salted join surfaced as a query: user_id % 7 == 0 collapses
+    * to one synthetic HOT key (every 7th event piles onto key 0 — the
+    * celebrity-key shape), and the join runs through
+    * [[graft.operators.SaltedJoin]]: hot left rows spread across 8
+    * sub-keys, only the matching right rows replicate 8×, so no single
+    * reducer receives the whole hot key's rows. The DuckDB oracle runs
+    * the PLAIN join — hash-matching it proves salting is
+    * semantics-preserving, which is the entire point of the rewrite
+    * (AQE's skew-join is the after-the-fact form; salting is the
+    * deterministic one that also survives aggregation pushup). */
+  def joinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.SaltedJoin
+    val left = Fixtures.events(spark, sfDir)
+      .select(when($"user_id" % 7 === 0, 0L).otherwise($"user_id").as("k"),
+        $"value")
+    val right = left.select($"k").distinct()
+      .withColumn("attr", pmod($"k", lit(100)).cast("long"))
+    SaltedJoin.join(left, right, "k", hotKeys = Seq(0L), salts = 8)
+      .groupBy($"k", $"attr")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_v"))
+      .orderBy($"k")
+  }
+
+  val joinSaltedSql: String =
+    """WITH l AS (
+      |  SELECT CASE WHEN user_id % 7 = 0 THEN 0 ELSE user_id END AS k, value
+      |  FROM events),
+      |r AS (SELECT DISTINCT k, k % 100 AS attr FROM l)
+      |SELECT l.k, r.attr, count(*) AS n,
+      |  CAST(sum(CAST(l.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM l JOIN r ON l.k = r.k
+      |GROUP BY l.k, r.attr ORDER BY l.k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> (mergeUpsert _),
+    "q_join_salted" -> (joinSalted _),
     "q_join_broadcast" -> (joinBroadcast _),
     "q_join_3way" -> (join3way _),
     "q_join_left" -> (joinLeft _),
@@ -288,6 +324,7 @@ object JoinQueries {
 
   val oracle: Map[String, String] = Map(
     "q_merge_upsert" -> mergeUpsertSql,
+    "q_join_salted" -> joinSaltedSql,
     "q_join_broadcast" -> joinBroadcastSql,
     "q_join_3way" -> join3waySql,
     "q_join_left" -> joinLeftSql,

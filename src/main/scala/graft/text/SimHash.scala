@@ -84,9 +84,12 @@ object SimHash {
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
         $"x.fp".as("fp_a"), $"y.fp".as("fp_b"))
       .distinct()
-      .as[(Long, Long, Long, Long)]
-      .map { case (a, b, fa, fb) => (a, b, hamming(fa, fb)) }
-      .toDF("id_a", "id_b", "hamming")
+      // popcount verify stays inside whole-stage codegen: bit_count of
+      // the XOR is the Column form of [[hamming]] — a typed .map here
+      // would put a serialization boundary right after the join
+      .select($"id_a", $"id_b",
+        org.apache.spark.sql.functions.bit_count($"fp_a".bitwiseXOR($"fp_b"))
+          .cast("int").as("hamming"))
       .filter($"hamming" <= MaxDist)
       .orderBy($"id_a", $"id_b")
   }
