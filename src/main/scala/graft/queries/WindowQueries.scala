@@ -183,6 +183,62 @@ object WindowQueries {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Time-series resample + gap fill + forward fill — the feature-
+    * engineering staple: per user, events collapse onto a regular
+    * 5-minute grid (epoch-floor arithmetic, identical on both
+    * engines), the grid is DENSIFIED with `sequence`+`explode` from
+    * each user's first to last bucket (gaps become real rows), and the
+    * running value forward-fills through empty buckets via
+    * last_value(IGNORE NULLS) over the growing frame. All narrow maps
+    * + one grid join on (user, bucket) + one window — at 100 TB the
+    * grid explode is generated rows (no shuffle) and the join/window
+    * shuffle once on user_id. DECIMAL sums; gaps carry n=0. */
+  def tsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = to_timestamp(floor(unix_timestamp($"ts") / 300L) * 300L)
+    val agg = Fixtures.events(spark, sfDir)
+      .filter($"user_id" < 3 && $"ts" < lit("2024-01-08").cast("timestamp"))
+      .groupBy($"user_id", bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).as("sum_v"))
+    val grid = agg.groupBy($"user_id")
+      .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+      .select($"user_id",
+        explode(sequence($"b0", $"b1", expr("interval 5 minutes"))).as("bucket"))
+    val w = Window.partitionBy($"user_id").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("user_id", "bucket"), "left")
+      .select($"user_id",
+        date_format($"bucket", fmtS).as("bucket"),
+        coalesce($"n", lit(0L)).as("n"),
+        round(last_value($"sum_v", ignoreNulls = lit(true)).over(w)
+          .cast("double"), 4).as("filled_sum"))
+      .orderBy($"user_id", $"bucket")
+  }
+
+  val tsGapfillSql: String =
+    """WITH agg AS (
+      |  SELECT user_id,
+      |    to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300) AS bucket,
+      |    count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_v
+      |  FROM events
+      |  WHERE user_id < 3 AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket),
+      |    INTERVAL 5 MINUTE)) AS bucket
+      |  FROM agg GROUP BY user_id)
+      |SELECT g.user_id,
+      |  strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  coalesce(a.n, 0) AS n,
+      |  round(CAST(last_value(a.sum_v IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+      |    AS filled_sum
+      |FROM grid g LEFT JOIN agg a
+      |  ON g.user_id = a.user_id AND g.bucket = a.bucket
+      |ORDER BY g.user_id, g.bucket""".stripMargin
+
   /** The tumbling-window aggregation applied to any events-shaped DF
     * (ts/event_type/value). Shared verbatim by the batch ORACLE query
     * below and the Structured Streaming path (StreamingSpec runs it over
@@ -457,6 +513,7 @@ object WindowQueries {
     "q_win_prefix" -> (winPrefix _),
     "q_win_range_frame" -> (winRangeFrame _),
     "q_win_first_last" -> (winFirstLast _),
+    "q_ts_gapfill" -> (tsGapfill _),
     "q_stream_tumble" -> (streamTumble _),
     "q_stream_slide" -> (streamSlide _),
     "q_stream_session" -> (streamSession _),
@@ -472,6 +529,7 @@ object WindowQueries {
     "q_win_prefix" -> winPrefixSql,
     "q_win_range_frame" -> winRangeFrameSql,
     "q_win_first_last" -> winFirstLastSql,
+    "q_ts_gapfill" -> tsGapfillSql,
     "q_stream_tumble" -> streamTumbleSql,
     "q_stream_slide" -> streamSlideSql,
     "q_stream_session" -> streamSessionSql)
