@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
@@ -410,13 +411,22 @@ object CogWriteSupport {
 }
 
 /** Accepts equality/range predicates on level/ty/tx for planning-time
-  * tile pruning (everything is also left to Spark to re-evaluate) and
-  * column pruning — a scan that needs neither `pixels` nor `mask`
-  * never opens the file: tile geometry is fully determined by the
-  * header, so `count(*)` / tile-inventory queries are header-only. */
+  * tile pruning and column pruning — a scan that needs neither
+  * `pixels` nor `mask` never opens the file: tile geometry is fully
+  * determined by the header. Integer tile-key predicates
+  * (level/ty/tx) are EXACT at the planner (each row IS a tile with
+  * those key values), so they are consumed outright — no residual
+  * re-filter — which is also what unlocks AGGREGATE pushdown: global
+  * `count(*)` / `min` / `max` over metadata columns are answered
+  * entirely at planning time from the already-parsed headers
+  * ([[CogAggScan]] — one precomputed row, zero tile IO, a 100k-file
+  * mosaic inventory without launching real work). Geo (bbox)
+  * predicates stay residual: strict bounds tighten to their inclusive
+  * hull and un-georeferenced files can't prune, so Spark re-evaluates
+  * them row-level. */
 class CogScanBuilder(path: String, conf: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = CogTable.schema
 
@@ -474,7 +484,10 @@ class CogScanBuilder(path: String, conf: Map[String, String])
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val prunable = Seq("level", "ty", "tx")
     val geoCols = Seq("minx", "miny", "maxx", "maxy")
-    pushed = filters.filter {
+    // integer tile-key predicates are EXACT at the planner → consumed
+    // (no residual); geo hulls and everything else stay residual
+    val residual = Array.newBuilder[Filter]
+    val accepted = filters.filter {
       case EqualTo(c, v: Int) if prunable.contains(c) =>
         tighten(c, Some(v), Some(v)); true
       case GreaterThan(c, v: Int) if prunable.contains(c) =>
@@ -485,15 +498,17 @@ class CogScanBuilder(path: String, conf: Map[String, String])
         tighten(c, None, Some(v - 1)); true
       case LessThanOrEqual(c, v: Int) if prunable.contains(c) =>
         tighten(c, None, Some(v)); true
-      // bbox: strict and non-strict collapse to the inclusive hull
-      case GreaterThan(c, v) if geoCols.contains(c) && asD(v).isDefined =>
-        tightenD(c, asD(v), None); true
-      case GreaterThanOrEqual(c, v) if geoCols.contains(c) && asD(v).isDefined =>
-        tightenD(c, asD(v), None); true
-      case LessThan(c, v) if geoCols.contains(c) && asD(v).isDefined =>
-        tightenD(c, None, asD(v)); true
-      case LessThanOrEqual(c, v) if geoCols.contains(c) && asD(v).isDefined =>
-        tightenD(c, None, asD(v)); true
+      // bbox: strict and non-strict collapse to the inclusive hull —
+      // residual (hull over-keeps on strict bounds; geo-less files
+      // can't prune and their rows carry nulls)
+      case f @ GreaterThan(c, v) if geoCols.contains(c) && asD(v).isDefined =>
+        tightenD(c, asD(v), None); residual += f; true
+      case f @ GreaterThanOrEqual(c, v) if geoCols.contains(c) && asD(v).isDefined =>
+        tightenD(c, asD(v), None); residual += f; true
+      case f @ LessThan(c, v) if geoCols.contains(c) && asD(v).isDefined =>
+        tightenD(c, None, asD(v)); residual += f; true
+      case f @ LessThanOrEqual(c, v) if geoCols.contains(c) && asD(v).isDefined =>
+        tightenD(c, None, asD(v)); residual += f; true
       case In(c, vs) if prunable.contains(c) && vs.nonEmpty &&
           vs.forall(_.isInstanceOf[Int]) =>
         tightenSet(c, vs.map(_.asInstanceOf[Int]).toSet); true
@@ -504,15 +519,60 @@ class CogScanBuilder(path: String, conf: Map[String, String])
         }
       case _ => false
     }
-    // return everything as residual: pruning is an optimization, the
-    // engine keeps final row-level filtering (cheap on tile columns)
-    filters
+    pushed = accepted
+    residual ++= filters.filterNot(accepted.contains)
+    residual.result()
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new CogScan(path, conf, bounds, sets, dbounds, required)
+  // ---- aggregate pushdown (complete): header-answerable inventory ----
+
+  private var pushedAgg: Option[(StructType, Seq[AggregateFunc])] = None
+
+  private def aggField(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+    case _ => None
+  }
+
+  private val aggIntCols = Set("level", "ty", "tx", "h", "w")
+  private val aggGeoCols = Set("minx", "miny", "maxx", "maxy")
+
+  /** Global (no GROUP BY) count(*) / min / max over header-derived
+    * columns translate completely; anything else stays with Spark. */
+  private def translateAgg(agg: Aggregation): Option[StructType] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def minMaxField(prefix: String, col: Option[String]): Option[StructField] =
+      col.collect {
+        case c if aggIntCols(c) => StructField(s"${prefix}_$c", IntegerType)
+        case c if aggGeoCols(c) => StructField(s"${prefix}_$c", DoubleType)
+      }
+    val fields = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
+      case m: Min => minMaxField("min", aggField(m.column))
+      case m: Max => minMaxField("max", aggField(m.column))
+      case _ => None
+    }
+    if (fields.contains(None)) None else Some(StructType(fields.flatten))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case Some(schema) =>
+        pushedAgg = Some((schema, agg.aggregateExpressions.toSeq)); true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, funcs)) =>
+      new CogAggScan(path, conf, bounds, sets, dbounds, schema, funcs)
+    case None =>
+      new CogScan(path, conf, bounds, sets, dbounds, required)
+  }
 }
 
 /** One planned tile: everything the executor needs to decode it. */
@@ -713,6 +773,107 @@ class CogScan(path: String, conf: Map[String, String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CogPartitionReaderFactory()
+}
+
+/** Completely-pushed global aggregate over the COG table: the values
+  * are computed ON THE DRIVER at planning time from the same pruned
+  * tile specs the row scan would have planned (headers only — tile
+  * bytes are never touched, no real tasks run beyond emitting the one
+  * precomputed row). `SELECT count(*), max(level) FROM cog` over a
+  * 100k-file mosaic is a header sweep, not a cluster job. Empty
+  * pruned input still yields one row: count 0, min/max null — SQL's
+  * global-aggregate-on-empty semantics. */
+class CogAggScan(path: String, conf: Map[String, String],
+    bounds: Map[String, (Option[Int], Option[Int])],
+    sets: Map[String, Set[Int]],
+    dbounds: Map[String, (Option[Double], Option[Double])],
+    aggSchema: StructType, funcs: Seq[AggregateFunc])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"cog $path AGG-PUSHED(${aggSchema.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // reuse the row scan's planner verbatim: same pruning, same specs
+    val inner = new CogScan(path, conf, bounds, sets, dbounds, StructType(Nil))
+    val parts = inner.planInputPartitions().map(_.asInstanceOf[CogInputPartition])
+
+    // one driver pass over the (already driver-resident) specs,
+    // collecting every stat any pushed func can ask for
+    var count = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Double]
+    val maxs = scala.collection.mutable.Map.empty[String, Double]
+    def see(col: String, v: Double): Unit = {
+      mins.get(col) match {
+        case Some(m) => if (v < m) mins(col) = v
+        case None => mins(col) = v
+      }
+      maxs.get(col) match {
+        case Some(m) => if (v > m) maxs(col) = v
+        case None => maxs(col) = v
+      }
+    }
+    for (p <- parts; s <- p.tiles) {
+      count += 1
+      p.strips match {
+        case Some(ss) =>
+          val rows = math.min(ss.rowsPerStrip, ss.height - s.ti * ss.rowsPerStrip)
+          see("level", 0); see("ty", s.ti); see("tx", 0)
+          see("h", rows); see("w", ss.width)
+          ss.geo.foreach { g =>
+            val b = CogTable.tileBounds(g, ss.rowsPerStrip, 0, s.ti, 0, rows, ss.width)
+            see("minx", b._1); see("miny", b._2); see("maxx", b._3); see("maxy", b._4)
+          }
+        case None =>
+          val ty = s.ti / s.gw
+          val tx = s.ti % s.gw
+          val (th, tw) = p.profile.tileDims(s.level, ty, tx)
+          see("level", s.level); see("ty", ty); see("tx", tx)
+          see("h", th); see("w", tw)
+          p.profile.geo.foreach { g =>
+            val b = CogTable.tileBounds(g, p.profile.blockSize, s.level, ty, tx, th, tw)
+            see("minx", b._1); see("miny", b._2); see("maxx", b._3); see("maxy", b._4)
+          }
+      }
+    }
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
+      e match { case f: NamedReference => f.fieldNames.head }
+    def value(src: scala.collection.Map[String, Double], col: String,
+        dt: DataType): Any =
+      src.get(col) match {
+        case None => null // empty input or geo-less file set
+        case Some(v) => dt match {
+          case IntegerType => v.toInt
+          case DoubleType => v
+          case _ => null
+        }
+      }
+    val values: Array[Any] = funcs.zip(aggSchema.fields).map {
+      case (_: CountStar, _) => java.lang.Long.valueOf(count)
+      case (m: Min, f) => value(mins, colOf(m.column), f.dataType)
+      case (m: Max, f) => value(maxs, colOf(m.column), f.dataType)
+      case _ => null
+    }.toArray
+    Array(CogAggResultPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CogAggReaderFactory()
+}
+
+case class CogAggResultPartition(values: Array[Any]) extends InputPartition
+
+class CogAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vs = partition.asInstanceOf[CogAggResultPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vs)
+      override def close(): Unit = ()
+    }
 }
 
 class CogPartitionReaderFactory extends PartitionReaderFactory {

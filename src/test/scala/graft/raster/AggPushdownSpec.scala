@@ -1,0 +1,86 @@
+package graft.raster
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSv2 aggregate pushdown on the COG source: global count/min/max
+  * over header-derived columns must be answered at PLANNING (the
+  * CogAggScan one-row plan — zero tile IO) and must equal the
+  * unpushed computation exactly. Grouped or bbox-filtered aggregates
+  * must NOT push (they fall back to the row scan) and still be right. */
+class AggPushdownSpec extends SparkSpec {
+
+  private lazy val uri: String = {
+    val prof = RasterProfile(256, 192, blockSize = 64, nodata = -9999.0,
+      minOverviewSize = 64,
+      geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-aggpush").toString
+    val (bytes, _) = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, prof, seed = 47L), prof, dir)
+    val f = java.nio.file.Paths.get(dir, "agg.tif")
+    java.nio.file.Files.write(f, bytes)
+    "file://" + f
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("global count/min/max push completely and match the row-scan values") {
+    val df = spark.read.format("cog").load(uri)
+    // expected values from the full (unaggregated) metadata read
+    val rows = df.select("level", "ty", "tx", "maxx").collect()
+    val expCount = rows.length.toLong
+    val expMaxLevel = rows.map(_.getInt(0)).max
+    val expMaxTy = rows.map(_.getInt(1)).max
+    val expMaxX = rows.map(_.getDouble(3)).max
+
+    val agg = df.agg(count(lit(1)).as("n"), min("level").as("minl"),
+      max("level").as("maxl"), max("ty").as("maxty"), max("maxx").as("maxx"))
+    assert(plan(agg).contains("AGG-PUSHED"), plan(agg))
+    val r = agg.collect().head
+    assert(r.getLong(0) == expCount)
+    assert(r.getInt(1) == 0 && r.getInt(2) == expMaxLevel)
+    assert(r.getInt(3) == expMaxTy)
+    assert(r.getDouble(4) == expMaxX)
+  }
+
+  test("tile-key filters compose with the pushed aggregate (exact pruning)") {
+    val df = spark.read.format("cog").load(uri)
+    val exp = df.select("level").collect().count(_.getInt(0) == 0).toLong
+    val agg = df.where("level = 0").agg(count(lit(1)).as("n"))
+    assert(plan(agg).contains("AGG-PUSHED"), plan(agg))
+    assert(agg.collect().head.getLong(0) == exp)
+  }
+
+  test("grouped aggregates do NOT push and stay correct") {
+    val df = spark.read.format("cog").load(uri)
+    val g = df.groupBy("level").agg(count(lit(1)).as("n"))
+    assert(!plan(g).contains("AGG-PUSHED"), plan(g))
+    val m = g.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exp = df.select("level").collect().groupBy(_.getInt(0))
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(m == exp)
+  }
+
+  test("bbox (residual) filters block the push; results stay correct") {
+    val df = spark.read.format("cog").load(uri)
+    val pred = s"minx >= ${500000.0 + 640.0}"
+    val agg = df.where(pred).agg(count(lit(1)).as("n"))
+    assert(!plan(agg).contains("AGG-PUSHED"), plan(agg))
+    val exp = df.collect().count(r => !r.isNullAt(7) && r.getDouble(7) >= 500640.0)
+    assert(agg.collect().head.getLong(0) == exp.toLong)
+  }
+
+  test("exact tile-key pruning without residual re-filter returns exact rows") {
+    // the filter-consumption change: rows for level=1, ty in (0,1)
+    // must be exactly the planner's survivors
+    val df = spark.read.format("cog").load(uri)
+    val got = df.where("level = 1 AND ty IN (0, 1)")
+      .select("level", "ty", "tx").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted
+    val exp = df.select("level", "ty", "tx").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .filter(t => t._1 == 1 && (t._2 == 0 || t._2 == 1)).sorted
+    assert(got.toSeq == exp.toSeq && got.nonEmpty)
+  }
+}
