@@ -371,7 +371,37 @@ object RasterQueries {
       .orderBy($"file")
   }
 
+  /** Header-only mosaic inventory through the COMPLETE aggregate
+    * pushdown path (round 9): global count/min/max over the cog
+    * table's metadata columns are computed at PLANNING from the parsed
+    * headers (`CogAggScan` — one precomputed row, zero tile IO), both
+    * unfiltered and composed with an exactly-pushed level predicate.
+    * This is the "how big is this 100k-file mosaic" query a catalog
+    * runs constantly; it must never read pixel bytes. NATIVE
+    * (AggPushdownSpec pins the plan shape + value equality with the
+    * row scan). */
+  def rasterInventory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (uri, _) = writeReadbackCog(spark)
+    val t = spark.read.format("cog").load(uri)
+    val all = t.agg(count(lit(1)).as("n_tiles"),
+      min($"level").as("min_level"), max($"level").as("max_level"),
+      max($"ty").as("max_ty"), max($"tx").as("max_tx"))
+      .withColumn("slice", lit("all"))
+    val l0 = t.where($"level" === 0)
+      .agg(count(lit(1)).as("n_tiles"),
+        min($"level").as("min_level"), max($"level").as("max_level"),
+        max($"ty").as("max_ty"), max($"tx").as("max_tx"))
+      .withColumn("slice", lit("level0"))
+    all.unionByName(l0)
+      .select($"slice", $"n_tiles", $"min_level", $"max_level",
+        $"max_ty", $"max_tx")
+      .orderBy($"slice")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_raster_inventory" -> rasterInventory,
     "q_raster_pyramid" -> rasterPyramid,
     "q_raster_halo" -> rasterHalo,
     "q_raster_assemble" -> rasterAssemble,
