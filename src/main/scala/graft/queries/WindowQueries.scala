@@ -506,6 +506,47 @@ object WindowQueries {
       .orderBy($"ad_id")
   }
 
+  /** Checkpoint recovery — the fault-tolerance half of Structured
+    * Streaming, run for real: a watermarked tumbling aggregation
+    * processes batch 1, the query is STOPPED (a crashed executor /
+    * redeployed job), and a NEW query restarts from the SAME
+    * checkpoint: committed offsets mean batch 1 is not reprocessed,
+    * and the recovered state store means its aggregates still count —
+    * the final table equals the batch fold of ALL rows exactly once.
+    * At 100 TB this is the property that makes a streaming pipeline
+    * operable at all: restarts are routine, results must not double or
+    * drop. NATIVE (StreamingSpec proves equality with the batch fold
+    * and that batch-1 rows survive the restart). */
+  def streamRecovery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(i: Int) = (new java.sql.Timestamp(base + i * 47000L),
+      if (i % 3 == 0) "click" else "view", (i % 11) + 0.25)
+    val b1 = (0 until 150).map(ev)
+    val b2 = (150 until 300).map(ev)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def start() =
+      tumbleAgg(mem.toDF().toDF("ts", "event_type", "value")
+          .withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory").queryName("q_stream_recovery_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    withShufflePartitions(spark, 4) {
+      val q1 = start()
+      try { mem.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+      // restart from the same checkpoint: batch 1 is NOT replayed
+      // (offsets committed), its aggregates ARE present (state
+      // recovered)
+      val q2 = start()
+      try { mem.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    }
+    spark.table("q_stream_recovery_out")
+      .orderBy($"w_start", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> (winRank _),
     "q_win_ntile" -> (winNtile _),
@@ -520,7 +561,8 @@ object WindowQueries {
     "q_stream_watermark" -> (streamWatermark _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_custom_state" -> (streamCustomState _),
-    "q_stream_join" -> (streamJoin _))
+    "q_stream_join" -> (streamJoin _),
+    "q_stream_recovery" -> (streamRecovery _))
 
   val oracle: Map[String, String] = Map(
     "q_win_rank" -> winRankSql,

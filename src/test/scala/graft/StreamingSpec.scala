@@ -253,6 +253,35 @@ class StreamingSpec extends SparkSpec {
       StatefulSession.sessionizeBatch(gapMs, cap)(events).map(_.toString).sorted)
   }
 
+  test("checkpoint recovery: restart neither drops nor doubles batch-1 state") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    // the exact feed q_stream_recovery uses, folded in ONE batch pass
+    val base = 1700000000000L
+    def ev(i: Int) = (new Timestamp(base + i * 47000L),
+      if (i % 3 == 0) "click" else "view", (i % 11) + 0.25)
+    val all = (0 until 300).map(ev)
+    val expected = WindowQueries.tumbleAgg(
+        all.toDF("ts", "event_type", "value"))
+      .orderBy($"w_start", $"event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+
+    val got = WindowQueries.streamRecovery(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == expected,
+      s"recovered stream != batch fold\n got: $got\n want: $expected")
+    // structural: windows that closed entirely within batch 1 are
+    // still present after the restart (state, not replay, carried them)
+    val batch1End = base + 149 * 47000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone")))
+    val earlyWindows = got.map(_._1).distinct.count(ws =>
+      fmt.parse(ws).getTime + 300000L < batch1End - 600000L)
+    assert(earlyWindows > 0, "no pre-restart windows survived — recovery failed")
+  }
+
   test("stream-stream join == batch join of the same rows; out-of-window clicks unmatched") {
     // q_stream_join's exact feed, rebuilt here as plain batch frames
     val sparkS = spark
