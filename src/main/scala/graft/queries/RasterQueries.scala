@@ -389,12 +389,14 @@ object RasterQueries {
       min($"level").as("min_level"), max($"level").as("max_level"),
       max($"ty").as("max_ty"), max($"tx").as("max_tx"))
       .withColumn("slice", lit("all"))
-    val l0 = t.where($"level" === 0)
+    // the GROUPED pushdown form: one row per level, still header-only
+    val byLevel = t.groupBy($"level")
       .agg(count(lit(1)).as("n_tiles"),
         min($"level").as("min_level"), max($"level").as("max_level"),
         max($"ty").as("max_ty"), max($"tx").as("max_tx"))
-      .withColumn("slice", lit("level0"))
-    all.unionByName(l0)
+      .withColumn("slice", concat(lit("level_"), $"level"))
+      .drop("level")
+    all.unionByName(byLevel)
       .select($"slice", $"n_tiles", $"min_level", $"max_level",
         $"max_ty", $"max_tx")
       .orderBy($"slice")

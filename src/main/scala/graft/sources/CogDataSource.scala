@@ -528,7 +528,8 @@ class CogScanBuilder(path: String, conf: Map[String, String])
 
   // ---- aggregate pushdown (complete): header-answerable inventory ----
 
-  private var pushedAgg: Option[(StructType, Seq[AggregateFunc])] = None
+  private var pushedAgg
+      : Option[(StructType, Seq[String], Seq[AggregateFunc])] = None
 
   private def aggField(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[String] = e match {
@@ -539,22 +540,34 @@ class CogScanBuilder(path: String, conf: Map[String, String])
   private val aggIntCols = Set("level", "ty", "tx", "h", "w")
   private val aggGeoCols = Set("minx", "miny", "maxx", "maxy")
 
-  /** Global (no GROUP BY) count(*) / min / max over header-derived
-    * columns translate completely; anything else stays with Spark. */
-  private def translateAgg(agg: Aggregation): Option[StructType] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+  /** count(*) / min / max over header-derived columns translate
+    * completely, optionally grouped by integer tile-key columns
+    * (GROUP BY level → the per-level inventory); anything else stays
+    * with Spark. Output schema = group columns then agg columns, the
+    * order Spark expects from a completely-pushed aggregate. */
+  private def translateAgg(agg: Aggregation)
+      : Option[(StructType, Seq[String])] = {
+    val groupCols = agg.groupByExpressions.toSeq.foldLeft(
+      Option(Seq.empty[String])) { (acc, e) =>
+      for { a <- acc; c <- aggField(e) if aggIntCols(c) } yield a :+ c
+    }
     def minMaxField(prefix: String, col: Option[String]): Option[StructField] =
       col.collect {
         case c if aggIntCols(c) => StructField(s"${prefix}_$c", IntegerType)
         case c if aggGeoCols(c) => StructField(s"${prefix}_$c", DoubleType)
       }
-    val fields = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
-      case m: Min => minMaxField("min", aggField(m.column))
-      case m: Max => minMaxField("max", aggField(m.column))
-      case _ => None
+    groupCols.flatMap { gcs =>
+      val fields = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
+        case m: Min => minMaxField("min", aggField(m.column))
+        case m: Max => minMaxField("max", aggField(m.column))
+        case _ => None
+      }
+      if (fields.contains(None)) None
+      else Some((StructType(
+        gcs.map(c => StructField(c, IntegerType, nullable = false)) ++
+          fields.flatten), gcs))
     }
-    if (fields.contains(None)) None else Some(StructType(fields.flatten))
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -562,14 +575,14 @@ class CogScanBuilder(path: String, conf: Map[String, String])
 
   override def pushAggregation(agg: Aggregation): Boolean =
     translateAgg(agg) match {
-      case Some(schema) =>
-        pushedAgg = Some((schema, agg.aggregateExpressions.toSeq)); true
+      case Some((schema, gcs)) =>
+        pushedAgg = Some((schema, gcs, agg.aggregateExpressions.toSeq)); true
       case None => false
     }
 
   override def build(): Scan = pushedAgg match {
-    case Some((schema, funcs)) =>
-      new CogAggScan(path, conf, bounds, sets, dbounds, schema, funcs)
+    case Some((schema, gcs, funcs)) =>
+      new CogAggScan(path, conf, bounds, sets, dbounds, schema, gcs, funcs)
     case None =>
       new CogScan(path, conf, bounds, sets, dbounds, required)
   }
@@ -775,19 +788,20 @@ class CogScan(path: String, conf: Map[String, String],
     new CogPartitionReaderFactory()
 }
 
-/** Completely-pushed global aggregate over the COG table: the values
-  * are computed ON THE DRIVER at planning time from the same pruned
-  * tile specs the row scan would have planned (headers only — tile
-  * bytes are never touched, no real tasks run beyond emitting the one
-  * precomputed row). `SELECT count(*), max(level) FROM cog` over a
-  * 100k-file mosaic is a header sweep, not a cluster job. Empty
-  * pruned input still yields one row: count 0, min/max null — SQL's
-  * global-aggregate-on-empty semantics. */
+/** Completely-pushed aggregate over the COG table: the values are
+  * computed ON THE DRIVER at planning time from the same pruned tile
+  * specs the row scan would have planned (headers only — tile bytes
+  * are never touched; the only "task" emits the precomputed rows).
+  * `SELECT count(*), max(level) FROM cog` over a 100k-file mosaic is
+  * a header sweep, not a cluster job; `GROUP BY level` yields the
+  * per-level inventory the same way. Empty pruned input follows SQL
+  * semantics: one count-0/null row for the global form, zero rows for
+  * the grouped form. */
 class CogAggScan(path: String, conf: Map[String, String],
     bounds: Map[String, (Option[Int], Option[Int])],
     sets: Map[String, Set[Int]],
     dbounds: Map[String, (Option[Double], Option[Double])],
-    aggSchema: StructType, funcs: Seq[AggregateFunc])
+    aggSchema: StructType, groupCols: Seq[String], funcs: Seq[AggregateFunc])
     extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
@@ -795,13 +809,7 @@ class CogAggScan(path: String, conf: Map[String, String],
   override def description(): String =
     s"cog $path AGG-PUSHED(${aggSchema.fieldNames.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // reuse the row scan's planner verbatim: same pruning, same specs
-    val inner = new CogScan(path, conf, bounds, sets, dbounds, StructType(Nil))
-    val parts = inner.planInputPartitions().map(_.asInstanceOf[CogInputPartition])
-
-    // one driver pass over the (already driver-resident) specs,
-    // collecting every stat any pushed func can ask for
+  private class Stats {
     var count = 0L
     val mins = scala.collection.mutable.Map.empty[String, Double]
     val maxs = scala.collection.mutable.Map.empty[String, Double]
@@ -815,29 +823,46 @@ class CogAggScan(path: String, conf: Map[String, String],
         case None => maxs(col) = v
       }
     }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // reuse the row scan's planner verbatim: same pruning, same specs
+    val inner = new CogScan(path, conf, bounds, sets, dbounds, StructType(Nil))
+    val parts = inner.planInputPartitions().map(_.asInstanceOf[CogInputPartition])
+
+    // one driver pass over the (already driver-resident) specs,
+    // bucketed by the group key (Nil = the single global group)
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Int], Stats]
+    def statsFor(key: Seq[Int]): Stats =
+      groups.getOrElseUpdate(key, new Stats)
+    def record(level: Int, ty: Int, tx: Int, h: Int, w: Int,
+        geoB: Option[(Double, Double, Double, Double)]): Unit = {
+      val meta = Map("level" -> level, "ty" -> ty, "tx" -> tx, "h" -> h, "w" -> w)
+      val st = statsFor(groupCols.map(meta))
+      st.count += 1
+      meta.foreach { case (c, v) => st.see(c, v.toDouble) }
+      geoB.foreach { b =>
+        st.see("minx", b._1); st.see("miny", b._2)
+        st.see("maxx", b._3); st.see("maxy", b._4)
+      }
+    }
     for (p <- parts; s <- p.tiles) {
-      count += 1
       p.strips match {
         case Some(ss) =>
           val rows = math.min(ss.rowsPerStrip, ss.height - s.ti * ss.rowsPerStrip)
-          see("level", 0); see("ty", s.ti); see("tx", 0)
-          see("h", rows); see("w", ss.width)
-          ss.geo.foreach { g =>
-            val b = CogTable.tileBounds(g, ss.rowsPerStrip, 0, s.ti, 0, rows, ss.width)
-            see("minx", b._1); see("miny", b._2); see("maxx", b._3); see("maxy", b._4)
-          }
+          record(0, s.ti, 0, rows, ss.width, ss.geo.map(g =>
+            CogTable.tileBounds(g, ss.rowsPerStrip, 0, s.ti, 0, rows, ss.width)))
         case None =>
           val ty = s.ti / s.gw
           val tx = s.ti % s.gw
           val (th, tw) = p.profile.tileDims(s.level, ty, tx)
-          see("level", s.level); see("ty", ty); see("tx", tx)
-          see("h", th); see("w", tw)
-          p.profile.geo.foreach { g =>
-            val b = CogTable.tileBounds(g, p.profile.blockSize, s.level, ty, tx, th, tw)
-            see("minx", b._1); see("miny", b._2); see("maxx", b._3); see("maxy", b._4)
-          }
+          record(s.level, ty, tx, th, tw, p.profile.geo.map(g =>
+            CogTable.tileBounds(g, p.profile.blockSize, s.level, ty, tx, th, tw)))
       }
     }
+    // the global form aggregates over empty input to one row
+    if (groupCols.isEmpty && groups.isEmpty) groups(Nil) = new Stats
+
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
       e match { case f: NamedReference => f.fieldNames.head }
     def value(src: scala.collection.Map[String, Double], col: String,
@@ -850,28 +875,35 @@ class CogAggScan(path: String, conf: Map[String, String],
           case _ => null
         }
       }
-    val values: Array[Any] = funcs.zip(aggSchema.fields).map {
-      case (_: CountStar, _) => java.lang.Long.valueOf(count)
-      case (m: Min, f) => value(mins, colOf(m.column), f.dataType)
-      case (m: Max, f) => value(maxs, colOf(m.column), f.dataType)
-      case _ => null
-    }.toArray
-    Array(CogAggResultPartition(values))
+    val aggFields = aggSchema.fields.drop(groupCols.length)
+    val rows: Array[Array[Any]] = groups.toSeq
+      .sortBy(_._1)(scala.math.Ordering.Implicits.seqOrdering)
+      .map { case (key, st) =>
+        val aggVals = funcs.zip(aggFields).map {
+          case (_: CountStar, _) => java.lang.Long.valueOf(st.count)
+          case (m: Min, f) => value(st.mins, colOf(m.column), f.dataType)
+          case (m: Max, f) => value(st.maxs, colOf(m.column), f.dataType)
+          case _ => null
+        }
+        (key.map(Int.box).toArray[Any] ++ aggVals).toArray[Any]
+      }.toArray
+    Array(CogAggResultPartition(rows))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CogAggReaderFactory()
 }
 
-case class CogAggResultPartition(values: Array[Any]) extends InputPartition
+case class CogAggResultPartition(rows: Array[Array[Any]]) extends InputPartition
 
 class CogAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val vs = partition.asInstanceOf[CogAggResultPartition].values
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = new GenericInternalRow(vs)
+      private val it = partition.asInstanceOf[CogAggResultPartition].rows.iterator
+      private var row: Array[Any] = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = new GenericInternalRow(row)
       override def close(): Unit = ()
     }
 }

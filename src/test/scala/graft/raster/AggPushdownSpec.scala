@@ -52,12 +52,24 @@ class AggPushdownSpec extends SparkSpec {
     assert(agg.collect().head.getLong(0) == exp)
   }
 
-  test("grouped aggregates do NOT push and stay correct") {
+  test("GROUP BY level pushes completely: the per-level inventory is header-only") {
     val df = spark.read.format("cog").load(uri)
-    val g = df.groupBy("level").agg(count(lit(1)).as("n"))
+    val g = df.groupBy("level").agg(count(lit(1)).as("n"), max("ty").as("maxty"))
+    assert(plan(g).contains("AGG-PUSHED"), plan(g))
+    val m = g.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val rows = df.select("level", "ty").collect()
+    val exp = rows.groupBy(_.getInt(0)).map { case (k, v) =>
+      k -> (v.length.toLong, v.map(_.getInt(1)).max)
+    }
+    assert(m == exp)
+  }
+
+  test("grouping by a computed expression does NOT push and stays correct") {
+    val df = spark.read.format("cog").load(uri)
+    val g = df.groupBy((col("level") + 1).as("lp1")).agg(count(lit(1)).as("n"))
     assert(!plan(g).contains("AGG-PUSHED"), plan(g))
     val m = g.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val exp = df.select("level").collect().groupBy(_.getInt(0))
+    val exp = df.select("level").collect().groupBy(_.getInt(0) + 1)
       .map { case (k, v) => k -> v.length.toLong }
     assert(m == exp)
   }
