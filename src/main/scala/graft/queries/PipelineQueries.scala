@@ -227,7 +227,59 @@ object PipelineQueries {
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin
 
+  /** URL canonicalization + dedup — the other exact-dedup axis of a
+    * crawl corpus: the same page arrives as `HTTPS://WWW.Example.com/
+    * Path/?utm_source=...#frag` and `https://www.example.com/Path`,
+    * and only canonical-URL grouping collapses them. URLs are PLANTED
+    * deterministically from doc_id (case-noised host, tracking params,
+    * fragments; collisions by construction), canonicalized with the
+    * same regex steps on both engines — lowercase the host, keep the
+    * path, drop query + fragment + trailing slash — then grouped.
+    * Narrow string ops + one groupBy shuffle at any scale. */
+  def dedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .withColumn("url",
+        concat(
+          when($"doc_id" % 2 === 0, "https://WWW.Example")
+            .otherwise(lit("https://www.example")),
+          ($"doc_id" % 7).cast("string"), lit(".com/Path/"),
+          ($"doc_id" % 50).cast("string"),
+          when($"doc_id" % 3 === 0, "/?utm_source=feed&id=")
+            .otherwise(lit("?id=")),
+          $"doc_id", lit("#sec")))
+      .withColumn("host", lower(regexp_extract($"url", "^https?://([^/?#]+)", 1)))
+      .withColumn("path",
+        rtrim(regexp_extract($"url", "^https?://[^/?#]+([^?#]*)", 1), "/"))
+      .withColumn("canonical", concat(lit("https://"), $"host", $"path"))
+      .groupBy($"canonical")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+      .orderBy($"canonical")
+  }
+
+  val dedupUrlSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.Example'
+      |          ELSE 'https://www.example' END) ||
+      |    CAST(doc_id % 7 AS VARCHAR) || '.com/Path/' ||
+      |    CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&id='
+      |          ELSE '?id=' END) ||
+      |    CAST(doc_id AS VARCHAR) || '#sec' AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |    lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) ||
+      |    rtrim(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '/')
+      |      AS canonical
+      |  FROM u)
+      |SELECT canonical, count(*) AS n_docs, min(doc_id) AS min_doc
+      |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_url" -> (dedupUrl _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_cross_source" -> (dedupCrossSource _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -235,6 +287,7 @@ object PipelineQueries {
     "q_text_tokens" -> (textTokens _))
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_url" -> dedupUrlSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_cross_source" -> dedupCrossSourceSql,
     "q_dedup_ngram" -> dedupNgramSql,

@@ -39,6 +39,32 @@ class ZOrderSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("morton properties: bijection on the square, axis monotonicity, block locality") {
+    val rnd = new scala.util.Random(42)
+    // bijectivity on random samples: distinct (x,y) → distinct keys
+    val pts = Seq.fill(2000)((rnd.nextInt(65536), rnd.nextInt(65536))).distinct
+    val keys = pts.map { case (x, y) => ZOrder.mortonRef(x, y) }
+    assert(keys.distinct.length == pts.length)
+    // monotone along each axis with the other fixed
+    for (_ <- 0 until 200) {
+      val (x, y) = (rnd.nextInt(65535), rnd.nextInt(65535))
+      assert(ZOrder.mortonRef(x, y) < ZOrder.mortonRef(x + 1, y))
+      assert(ZOrder.mortonRef(x, y) < ZOrder.mortonRef(x, y + 1))
+    }
+    // block locality: an aligned 2^k × 2^k block occupies EXACTLY one
+    // contiguous key range of length 4^k — the property that makes
+    // z-contiguous files carry tight bounds on both axes
+    for (k <- 1 to 4; _ <- 0 until 20) {
+      val bs = 1 << k
+      val bx = rnd.nextInt(65536 / bs) * bs
+      val by = rnd.nextInt(65536 / bs) * bs
+      val ks = for (dx <- 0 until bs; dy <- 0 until bs)
+        yield ZOrder.mortonRef(bx + dx, by + dy)
+      assert(ks.max - ks.min == bs.toLong * bs - 1,
+        s"block ($bx,$by) size $bs not key-contiguous")
+    }
+  }
+
   test("q_layout_zorder: z-order serves both box orientations; row-major only one") {
     val sparkS = spark
     import sparkS.implicits._
