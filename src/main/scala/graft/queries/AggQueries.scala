@@ -391,7 +391,31 @@ object AggQueries {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Mergeable HLL sketch rollup (DataSketches, in Spark since 3.5):
+    * per-(event_type, day) sketches of the user population, then
+    * `hll_union_agg` merges the DAILY SKETCHES — not the raw rows —
+    * into all-time distinct-user estimates. This two-level shape is
+    * the 100 TB cardinality pattern: store one KB-scale sketch per
+    * partition/day, answer any later rollup (weekly, all-time,
+    * per-segment unions) without ever re-reading raw data —
+    * `approx_count_distinct` alone can't do that, its sketch dies
+    * inside the one query. NATIVE (estimates aren't DuckDB-comparable;
+    * ApproxSpec pins the relative-error bound vs exact and
+    * determinism). */
+  def aggHllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Fixtures.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .cast("long").as("approx_users"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hll_union" -> (aggHllUnion _),
     "q_agg_string_agg" -> (aggStringAgg _),
     "q_agg_bool" -> (aggBool _),
     "q_agg_pivot" -> (aggPivot _),

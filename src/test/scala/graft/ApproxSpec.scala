@@ -56,4 +56,31 @@ class ApproxSpec extends SparkSpec {
         s"$k: approx=$a exact=$e (> 5% off)")
     }
   }
+
+  test("hll sketch union: daily-sketch rollup within 5% of exact, run-stable") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.AggQueries.aggHllUnion(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Fixtures.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"),
+        countDistinct(to_date($"ts")).as("days"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == exact.keySet)
+    for ((k, (days, approx)) <- got) {
+      val (e, exactDays) = exact(k)
+      // lgK=12 HLL relative error ~1.6%/sqrt; 5% is generous
+      assert(math.abs(approx - e).toDouble / e <= 0.05,
+        s"$k: union estimate $approx vs exact $e")
+      assert(days == exactDays, s"$k: $days daily sketches vs $exactDays days")
+    }
+    // determinism: a second run yields bit-identical estimates
+    val again = graft.queries.AggQueries.aggHllUnion(spark, sfDir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == got)
+  }
 }
