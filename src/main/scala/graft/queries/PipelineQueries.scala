@@ -278,7 +278,35 @@ object PipelineQueries {
       |SELECT canonical, count(*) AS n_docs, min(doc_id) AS min_doc
       |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin
 
+  /** In-job observability: `observe()` attaches metric aggregates to a
+    * running job — row counts, quality-gate counters, extrema — that
+    * are collected AS THE JOB RUNS, not by a second pass over the
+    * data. At 100 TB that second pass is exactly what a monitoring
+    * query can't afford: here the pipeline action (a count over the
+    * filtered frame) and the metrics (total rows seen pre-filter,
+    * high-discount rows, date extrema) come out of ONE scan. The
+    * metrics row is the query result; ObserveSpec proves the values
+    * equal independently-computed aggregates. */
+  def pipelineObserve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val li = Fixtures.lineitem(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when($"l_discount" > 0.05, 1L).otherwise(0L)).as("high_discount"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+    // the pipeline's real action: rows surviving the quality filter
+    val kept = li.filter($"l_quantity" >= 10.0).count()
+    val m = obs.get
+    Seq((kept, m("rows_seen").asInstanceOf[Long],
+      m("high_discount").asInstanceOf[Long],
+      m("min_qty").asInstanceOf[Double], m("max_qty").asInstanceOf[Double]))
+      .toDF("rows_kept", "rows_seen", "high_discount", "min_qty", "max_qty")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_observe" -> (pipelineObserve _),
     "q_dedup_url" -> (dedupUrl _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_cross_source" -> (dedupCrossSource _),

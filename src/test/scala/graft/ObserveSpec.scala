@@ -1,0 +1,24 @@
+package graft
+
+/** q_pipeline_observe: metrics collected by `observe()` during the
+  * job must equal independently-computed aggregates — the zero-extra-
+  * pass observability contract. */
+class ObserveSpec extends SparkSpec {
+
+  test("observed metrics equal direct aggregates; kept count matches filter") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.PipelineQueries.pipelineObserve(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double)].head()
+    val li = Fixtures.lineitem(spark, sfDir)
+    val exp = li.agg(count(lit(1)), sum(when($"l_discount" > 0.05, 1L).otherwise(0L)),
+      min($"l_quantity"), max($"l_quantity"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._2 == exp._1 && r._3 == exp._2 && r._4 == exp._3 && r._5 == exp._4,
+      s"observed $r vs direct $exp")
+    assert(r._1 == li.filter($"l_quantity" >= 10.0).count())
+    // the metrics describe the PRE-filter stream: rows_seen > rows_kept
+    assert(r._2 > r._1)
+  }
+}
