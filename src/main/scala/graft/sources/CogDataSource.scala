@@ -742,6 +742,21 @@ class CogScan(path: String, conf: Map[String, String],
       val profile = CogReader.inferProfile(pages)
       val data = pages.filter(!_.isMask)
       val masks = pages.filter(_.isMask)
+      // overview selection (GDAL's read-at-resolution pattern): the
+      // `resolution` option picks, PER FILE, the coarsest pyramid
+      // level whose pixel size still meets the requested world units
+      // per pixel — the fewest bytes that are at least as sharp. A
+      // mixed-resolution mosaic therefore answers one query at one
+      // nominal resolution with a different level per file.
+      // Geo-less files carry no pixel size and ignore the option.
+      val resLevel: Option[Int] =
+        conf.get("resolution").map(_.toDouble).flatMap { target =>
+          profile.geo.map { g =>
+            (0 until data.length)
+              .filter(l => g.pixelW * (1L << l) <= target)
+              .lastOption.getOrElse(0)
+          }
+        }
       // bbox pruning: a tile survives only if its world bounds can
       // satisfy every pushed geo range. Files without geo-referencing
       // can't prune (bounds unknown — keep everything; the row-level
@@ -752,7 +767,7 @@ class CogScan(path: String, conf: Map[String, String],
           bboxOk(CogTable.tileBounds(g, profile.blockSize, level, ty, tx, th, tw))
         }
       val specs = data.indices.iterator
-        .filter(inBounds("level", _))
+        .filter(l => inBounds("level", l) && resLevel.forall(_ == l))
         .flatMap { level =>
           val pg = data(level)
           val (gw, _) = profile.gridDims(level)

@@ -1,0 +1,67 @@
+package graft.raster
+
+import graft.SparkSpec
+
+/** `option("resolution", x)` — overview selection at planning: the
+  * source must pick the COARSEST level whose pixel size still meets
+  * the requested world-units-per-pixel (fewest bytes, at least as
+  * sharp), per file, before any tile IO. */
+class OverviewSelectSpec extends SparkSpec {
+
+  // 512x512 @ blockSize 64, pixel 10 m → levels 0..3 with pixel sizes
+  // 10 / 20 / 40 / 80
+  private lazy val uri: String = {
+    val prof = RasterProfile(512, 512, blockSize = 64, nodata = -9999.0,
+      minOverviewSize = 64,
+      geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovrsel").toString
+    val (bytes, _) = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, prof, seed = 91L), prof, dir)
+    val f = java.nio.file.Paths.get(dir, "ovr.tif")
+    java.nio.file.Files.write(f, bytes)
+    "file://" + f
+  }
+
+  private def levelsAt(res: Double): Seq[Int] =
+    spark.read.format("cog").option("resolution", res.toString).load(uri)
+      .select("level").distinct().collect().map(_.getInt(0)).sorted.toSeq
+
+  test("coarsest level meeting the target resolution is selected") {
+    assert(levelsAt(5.0) == Seq(0))    // finer than level 0 → level 0
+    assert(levelsAt(10.0) == Seq(0))
+    assert(levelsAt(35.0) == Seq(1))   // 20 <= 35 < 40
+    assert(levelsAt(40.0) == Seq(2))   // exact match picks the coarser
+    assert(levelsAt(1000.0) == Seq(3)) // coarser than all → max level
+  }
+
+  test("selection happens at planning: partition count shrinks with the level") {
+    val fine = spark.read.format("cog").option("resolution", "10").load(uri)
+    val coarse = spark.read.format("cog").option("resolution", "1000").load(uri)
+    assert(coarse.count() < fine.count())
+    // level 3 is a single tile; its plan must not carry level-0 specs
+    assert(coarse.count() == 1)
+  }
+
+  test("composes with the pushed inventory aggregate") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("cog").option("resolution", "35").load(uri)
+    val agg = df.agg(count(lit(1)).as("n"), max("level").as("l"))
+    assert(agg.queryExecution.executedPlan.toString.contains("AGG-PUSHED"))
+    val r = agg.collect().head
+    assert(r.getLong(0) == 16L && r.getInt(1) == 1) // level 1: 4x4 tiles
+  }
+
+  test("without geo-referencing the option is ignored") {
+    val prof = RasterProfile(128, 128, blockSize = 64, nodata = -9999.0,
+      minOverviewSize = 64) // no geo
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovrsel2").toString
+    val (bytes, _) = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, prof, seed = 92L), prof, dir)
+    val f = java.nio.file.Paths.get(dir, "nogeo.tif")
+    java.nio.file.Files.write(f, bytes)
+    val levels = spark.read.format("cog").option("resolution", "1000")
+      .load("file://" + f)
+      .select("level").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    assert(levels.length > 1, s"geo-less file should keep all levels: $levels")
+  }
+}
