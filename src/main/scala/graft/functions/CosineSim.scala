@@ -88,5 +88,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSim(children.head, children(1))
       }))
+    // morton(x, y): the Z-order key as plain SQL — lowers to the same
+    // bitwise-builtin tree the DataFrame helper builds (ZOrder.morton),
+    // so it stays inside whole-stage codegen
+    ext.injectFunction((
+      FunctionIdentifier("morton"),
+      new ExpressionInfo(ZOrder.getClass.getName, "morton"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "morton takes exactly 2 arguments")
+        ZOrder.expression(children.head, children(1))
+      }))
   }
 }

@@ -39,6 +39,28 @@ object ZOrder {
   def morton(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1)).as("zorder")
 
+  /** The same interleave as a raw Catalyst expression tree, for the
+    * SQL function registry ([[GraftExtensions]] injects it as
+    * `morton(x, y)` so plain `spark.sql` users can Z-order too).
+    * Identical magic-mask steps; everything stays codegen'd builtins. */
+  def expression(x: org.apache.spark.sql.catalyst.expressions.Expression,
+      y: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    def and(a: Expression, m: Long) = BitwiseAnd(a, Literal(m))
+    def or(a: Expression, b: Expression) = BitwiseOr(a, b)
+    def shl(a: Expression, n: Int) = ShiftLeft(a, Literal(n))
+    def spread(c: Expression): Expression = {
+      val masked = and(Cast(c, LongType), 0xFFFFL)
+      val s1 = and(or(masked, shl(masked, 8)), 0x00FF00FFL)
+      val s2 = and(or(s1, shl(s1, 4)), 0x0F0F0F0FL)
+      val s3 = and(or(s2, shl(s2, 2)), 0x33333333L)
+      and(or(s3, shl(s3, 1)), 0x55555555L)
+    }
+    or(spread(x), shl(spread(y), 1))
+  }
+
   /** Reference implementation for specs: same interleave in plain Scala. */
   def mortonRef(x: Int, y: Int): Long = {
     var z = 0L

@@ -65,6 +65,16 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("morton is registered as a SQL function and matches the reference") {
+    val rows = spark.sql(
+      """SELECT x, y, morton(x, y) AS z FROM VALUES
+        |  (0, 0), (1, 0), (0, 1), (7, 0), (0, 7), (65535, 65535),
+        |  (123, 456), (40000, 2) AS t(x, y)""".stripMargin).collect()
+    for (r <- rows)
+      assert(r.getLong(2) == ZOrder.mortonRef(r.getInt(0), r.getInt(1)),
+        s"morton(${r.getInt(0)},${r.getInt(1)})")
+  }
+
   test("q_layout_zorder: z-order serves both box orientations; row-major only one") {
     val sparkS = spark
     import sparkS.implicits._
