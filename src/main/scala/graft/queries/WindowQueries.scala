@@ -183,6 +183,30 @@ object WindowQueries {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Rolling median — an arbitrary AGGREGATE as a window function over
+    * a sliding row frame (last 11 events per user): the
+    * rolling-statistics class (rolling quantiles for outlier gates,
+    * rolling means for smoothing) that rank/lag-style window functions
+    * can't express. Interpolated percentile matches DuckDB's
+    * quantile_cont exactly (same contract q_agg_percentile pins
+    * group-wise). One shuffle on user_id. */
+  def winRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-10, Window.currentRow)
+    Fixtures.events(spark, sfDir)
+      .withColumn("roll_median", round(expr("percentile(value, 0.5)").over(w), 4))
+      .select($"user_id", $"event_id", $"roll_median")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winRollingMedianSql: String =
+    """SELECT user_id, event_id,
+      |  round(quantile_cont(value, 0.5) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 4) AS roll_median
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   /** Time-series resample + gap fill + forward fill — the feature-
     * engineering staple: per user, events collapse onto a regular
     * 5-minute grid (epoch-floor arithmetic, identical on both
@@ -555,6 +579,7 @@ object WindowQueries {
     "q_win_range_frame" -> (winRangeFrame _),
     "q_win_first_last" -> (winFirstLast _),
     "q_ts_gapfill" -> (tsGapfill _),
+    "q_win_rolling_median" -> (winRollingMedian _),
     "q_stream_tumble" -> (streamTumble _),
     "q_stream_slide" -> (streamSlide _),
     "q_stream_session" -> (streamSession _),
@@ -572,6 +597,7 @@ object WindowQueries {
     "q_win_range_frame" -> winRangeFrameSql,
     "q_win_first_last" -> winFirstLastSql,
     "q_ts_gapfill" -> tsGapfillSql,
+    "q_win_rolling_median" -> winRollingMedianSql,
     "q_stream_tumble" -> streamTumbleSql,
     "q_stream_slide" -> streamSlideSql,
     "q_stream_session" -> streamSessionSql)
