@@ -310,9 +310,64 @@ object JoinQueries {
       |FROM l JOIN r ON l.k = r.k
       |GROUP BY l.k, r.attr ORDER BY l.k""".stripMargin
 
+  /** Bucketed co-located join surfaced as a query: both sides are
+    * written `bucketBy(8, orderkey)` + sorted, and the join + same-key
+    * aggregation then run with ZERO shuffle Exchanges (asserted here
+    * at execution, not just in BucketingSpec) — the pre-partitioning
+    * strategy a 100 TB star schema uses so its hot join pays its
+    * shuffle once at write time, never per query. Broadcast is
+    * disabled for the duration so the plan exercises the bucketed
+    * sort-merge path (at real scale neither side broadcasts anyway);
+    * executed eagerly so the conf toggle and plan assertion stay
+    * inside this call. The DuckDB oracle runs the plain join — the
+    * hash match proves bucketing is pure layout, zero semantics. */
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_bktq").toString
+    Fixtures.orders(spark, sfDir)
+      .write.mode("overwrite").option("path", s"$wh/o")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bktq_orders")
+    Fixtures.lineitem(spark, sfDir)
+      .write.mode("overwrite").option("path", s"$wh/l")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bktq_lineitem")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val perOrder = spark.table("graft_bktq_orders")
+        .join(spark.table("graft_bktq_lineitem"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey", $"o_orderstatus")
+        .agg(sum(dec($"l_quantity")).as("qty"))
+      val plan = perOrder.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join planned a shuffle:\n$plan")
+      val rows = perOrder
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"qty").cast("double").as("sum_qty"))
+        .orderBy($"o_orderstatus")
+        .as[(String, Long, Double)].collect().toSeq
+      rows.toDF("o_orderstatus", "n_orders", "sum_qty")
+    } finally spark.conf.set(key, prev)
+  }
+
+  val joinBucketedSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(qty) AS DOUBLE) AS sum_qty
+      |FROM (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey, o_orderstatus)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> (mergeUpsert _),
     "q_join_salted" -> (joinSalted _),
+    "q_join_bucketed" -> (joinBucketed _),
     "q_join_broadcast" -> (joinBroadcast _),
     "q_join_3way" -> (join3way _),
     "q_join_left" -> (joinLeft _),
@@ -325,6 +380,7 @@ object JoinQueries {
   val oracle: Map[String, String] = Map(
     "q_merge_upsert" -> mergeUpsertSql,
     "q_join_salted" -> joinSaltedSql,
+    "q_join_bucketed" -> joinBucketedSql,
     "q_join_broadcast" -> joinBroadcastSql,
     "q_join_3way" -> join3waySql,
     "q_join_left" -> joinLeftSql,
