@@ -420,9 +420,20 @@ object BigTiff {
       jpegTables: Array[Byte] = Array.empty,
       /** File declared "MM" byte order: multi-byte SAMPLE data needs a
         * byte-swap at decode (header values already decoded). */
-      bigEndian: Boolean = false) {
+      bigEndian: Boolean = false,
+      /** PlanarConfiguration (tag 284): 1 = chunky (interleaved
+        * samples, what our writer emits), 2 = planar — each band's
+        * samples in separate tiles, `offsets`/`counts` holding
+        * samplesPerPixel consecutive plane arrays (TIFF 6.0 §14). */
+      planar: Int = 1) {
     def isMask: Boolean = (subfileType & 4L) != 0
     def isStriped: Boolean = tileW == 0 && rowsPerStrip > 0
+    /** Spatial tiles per plane: the full array length for chunky pages,
+      * length / bands for planar ones. */
+    def tilesPerPlane: Int =
+      if (planar == 2 && offsets != null) offsets.length / samplesPerPixel
+      else if (offsets != null) offsets.length
+      else 0
   }
 
   /** Parse the IFD chain of a little-endian TIFF — BigTIFF (magic 43,
@@ -568,15 +579,22 @@ object BigTiff {
           case _ => ()
         }
       }
-      // PlanarConfiguration is meaningless at 1 sample/pixel; for
-      // multi-band pages only chunky (interleaved, =1) decodes
-      // correctly with our strides
-      require(spp == 1 || planar == 1,
-        s"unsupported PlanarConfiguration $planar (only chunky=1): planar " +
-          "sample layout would decode to wrong pixels")
+      // PlanarConfiguration is meaningless at 1 sample/pixel. TILED
+      // planar (=2) pages decode per plane (round 9 — our Tile is
+      // band-major, so planes land without interleaving); STRIPED
+      // planar stays rejected (readStrips assumes chunky strips).
+      require(spp == 1 || planar == 1 || rps == 0,
+        s"unsupported PlanarConfiguration $planar on a STRIP-organized " +
+          "multi-band page (only chunky strips decode)")
+      require(planar == 1 || planar == 2,
+        s"invalid PlanarConfiguration $planar")
+      if (planar == 2 && spp > 1 && offArr != null)
+        require(offArr.length % spp == 0,
+          s"planar page tile count ${offArr.length} not divisible by $spp bands")
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
         subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr,
-        cmapArr, ycArr, spp, ndAscii, rps, jpegTbl, mm)
+        cmapArr, ycArr, spp, ndAscii, rps, jpegTbl, mm,
+        planar = if (spp == 1) 1 else planar)
       ifd =
         if (big) buf.getLong(entriesBase + n * entryLen)
         else uint(entriesBase + n * entryLen)

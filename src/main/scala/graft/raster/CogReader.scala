@@ -87,6 +87,53 @@ object CogReader {
     * restore the mask plane); sparse entries (count 0) reconstruct as
     * all-nodata without touching the stream. Shared by the library
     * read path and the DSv2 partition reader (graft.sources.cog). */
+  /** Planar (PlanarConfiguration=2) tile: one compressed blob PER
+    * BAND, decoded with a single-band view of the profile and laid
+    * straight into the band-major pixel array — planar planes ARE our
+    * native layout, so no interleave pass exists at all. An absent
+    * plane (count 0) fills with nodata, matching sparse semantics. */
+  def materializeTilePlanar(in: org.apache.hadoop.fs.FSDataInputStream,
+      profile: RasterProfile, level: Int, gw: Int, ti: Int,
+      pOff: Seq[Long], pCnt: Seq[Long], mOff: Long, mCnt: Long): Tile = {
+    val ty = ti / gw
+    val tx = ti % gw
+    val (th, tw) = profile.tileDims(level, ty, tx)
+    val bs = profile.blockSize
+    val bands = pOff.length
+    val planeProfile = profile.copy(bands = 1)
+    val px = new Array[Double](bands * th * tw)
+    var b = 0
+    while (b < bands) {
+      if (pCnt(b) == 0) {
+        java.util.Arrays.fill(px, b * th * tw, (b + 1) * th * tw, profile.nodata)
+      } else {
+        val comp = new Array[Byte](pCnt(b).toInt)
+        in.readFully(pOff(b), comp, 0, pCnt(b).toInt)
+        val full = TileCodec.decode(comp, planeProfile, level) // bs*bs padded
+        var y = 0
+        while (y < th) {
+          System.arraycopy(full, y * bs, px, b * th * tw + y * tw, tw)
+          y += 1
+        }
+      }
+      b += 1
+    }
+    val mask =
+      if (mCnt > 0) {
+        val mComp = new Array[Byte](mCnt.toInt)
+        in.readFully(mOff, mComp, 0, mCnt.toInt)
+        val bits = TileCodec.decodeMask(mComp, profile)
+        val mk = new Array[Byte](th * tw)
+        var y = 0
+        while (y < th) {
+          System.arraycopy(bits, y * bs, mk, y * tw, tw)
+          y += 1
+        }
+        mk
+      } else null
+    Tile(level, ty, tx, th, tw, px, mask)
+  }
+
   def materializeTile(in: org.apache.hadoop.fs.FSDataInputStream,
       profile: RasterProfile, level: Int, gw: Int,
       ti: Int, off: Long, cnt: Long, mOff: Long, mCnt: Long): Tile = {
@@ -206,6 +253,14 @@ object CogReader {
       .map(_.predictor).distinct
     require(deflatePreds.length <= 1,
       s"mixed predictors across predicted pages: $deflatePreds")
+    // planar layout must be uniform across levels: decode picks the
+    // plane recipe per page from this one profile's band count
+    data.foreach(pg => require(pg.planar == p0.planar,
+      s"mixed PlanarConfiguration across pages: ${pg.planar} vs ${p0.planar}"))
+    // planar jpeg is not a combination GDAL emits; the jpeg decoder
+    // assumes interleaved channels — reject rather than mis-decode
+    require(p0.planar == 1 || comp != "jpeg",
+      "planar jpeg pages are unsupported")
     val nodata =
       if (p0.nodataAscii.nonEmpty) p0.nodataAscii.toDouble
       else if (dtype.startsWith("uint")) 0.0
@@ -297,6 +352,11 @@ object CogReader {
     val data = pages.filter(!_.isMask)
     require(level < data.length, s"level $level beyond ${data.length} pages")
     val pg = data(level)
+    // planar foreign files read through the DSv2 source (whose planner
+    // carries per-plane offsets); this writer-profile path assumes the
+    // chunky layout CogWriter emits
+    require(pg.planar == 1,
+      "planar TIFF: read via spark.read.format(\"cog\") instead")
     val (lw, lh) = profile.levelDims(level)
     require(pg.width == lw && pg.height == lh,
       s"header dims (${pg.width}x${pg.height}) != profile level dims (${lw}x$lh)")

@@ -588,9 +588,13 @@ class CogScanBuilder(path: String, conf: Map[String, String])
   }
 }
 
-/** One planned tile: everything the executor needs to decode it. */
+/** One planned tile: everything the executor needs to decode it.
+  * `pOff`/`pCnt` are non-empty only for PLANAR pages (tag 284 = 2):
+  * one (offset, count) per band plane, decoded via
+  * [[CogReader.materializeTilePlanar]]. */
 case class CogTileSpec(level: Int, gw: Int, ti: Int,
-    off: Long, cnt: Long, mOff: Long, mCnt: Long)
+    off: Long, cnt: Long, mOff: Long, mCnt: Long,
+    pOff: Seq[Long] = Nil, pCnt: Seq[Long] = Nil)
 
 /** Decode recipe for a STRIP-organized (non-tiled) file — GDAL's
   * default for plain TIFFs; rows surface as (level=0, ty=stripIdx,
@@ -771,12 +775,21 @@ class CogScan(path: String, conf: Map[String, String],
         .flatMap { level =>
           val pg = data(level)
           val (gw, _) = profile.gridDims(level)
-          pg.offsets.indices.iterator
+          // planar pages carry bands× tile arrays (plane-major); the
+          // spatial grid iterates tilesPerPlane and each spec collects
+          // its per-plane offsets
+          val perPlane = pg.tilesPerPlane
+          val planes = if (pg.planar == 2) pg.samplesPerPixel else 1
+          (0 until perPlane).iterator
             .filter(ti => inBounds("ty", ti / gw) && inBounds("tx", ti % gw) &&
               geoKeep(level, ti / gw, ti % gw))
             .map(ti => CogTileSpec(level, gw, ti, pg.offsets(ti), pg.counts(ti),
               masks.lift(level).map(_.offsets(ti)).getOrElse(0L),
-              masks.lift(level).map(_.counts(ti)).getOrElse(0L)))
+              masks.lift(level).map(_.counts(ti)).getOrElse(0L),
+              pOff = if (planes > 1)
+                (0 until planes).map(b => pg.offsets(b * perPlane + ti)) else Nil,
+              pCnt = if (planes > 1)
+                (0 until planes).map(b => pg.counts(b * perPlane + ti)) else Nil))
         }
       val groups = Array.fill(slicesPerFile)(Seq.newBuilder[CogTileSpec])
       var i = 0
@@ -981,8 +994,12 @@ class CogPartitionReader(part: CogInputPartition)
       }
       row =
         if (needsTileBytes) {
-          val t = CogReader.materializeTile(in, part.profile, s.level, s.gw,
-            s.ti, s.off, s.cnt, s.mOff, s.mCnt)
+          val t =
+            if (s.pOff.nonEmpty)
+              CogReader.materializeTilePlanar(in, part.profile, s.level, s.gw,
+                s.ti, s.pOff, s.pCnt, s.mOff, s.mCnt)
+            else CogReader.materializeTile(in, part.profile, s.level, s.gw,
+              s.ti, s.off, s.cnt, s.mOff, s.mCnt)
           new GenericInternalRow(names.map[Any] {
             case "level" => t.level
             case "ty" => t.ty

@@ -228,15 +228,19 @@ class ForeignTiffSpec extends SparkSpec {
     b.array()
   }
 
-  test("planar (PC=2) multi-band pages are rejected loudly; PC=2 at 1 band is harmless") {
-    // SamplesPerPixel=2 + PlanarConfiguration=2: would decode to wrong
-    // pixels under chunky-interleave strides — must refuse
+  test("planar (PC=2): tiled parses with the layout recorded; striped multi-band refuses") {
+    // TILED planar decodes per plane since round 9 (PlanarTiffSpec
+    // pins exact pixels); the parser records the layout
+    val tiled = BigTiff.readPages(miniHeader(277 -> Seq(2), 284 -> Seq(2)))
+    assert(tiled.head.planar == 2 && tiled.head.samplesPerPixel == 2)
+    // STRIPED planar multi-band stays rejected: readStrips assumes
+    // chunky strips and would decode wrong pixels
     val ex = intercept[IllegalArgumentException](
-      BigTiff.readPages(miniHeader(277 -> Seq(2), 284 -> Seq(2))))
+      BigTiff.readPages(miniHeader(277 -> Seq(2), 278 -> Seq(4), 284 -> Seq(2))))
     assert(ex.getMessage.contains("PlanarConfiguration"))
-    // single-band: the tag is meaningless, page parses
+    // single-band: the tag is meaningless, page normalizes to chunky
     val ok = BigTiff.readPages(miniHeader(277 -> Seq(1), 284 -> Seq(2)))
-    assert(ok.length == 1 && ok.head.samplesPerPixel == 1)
+    assert(ok.length == 1 && ok.head.samplesPerPixel == 1 && ok.head.planar == 1)
   }
 
   test("mixed per-band BitsPerSample / SampleFormat are rejected loudly") {

@@ -1,0 +1,81 @@
+package graft.raster
+
+import graft.SparkSpec
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** PlanarConfiguration = 2 (tag 284): each band's samples live in
+  * separate plane tiles. Our Tile is band-major, so planes decode
+  * straight into place (round 9) — this spec hand-builds a classic
+  * little-endian planar TIFF and pins exact pixels through the DSv2
+  * source, plus the loud rejections that remain (library read path,
+  * striped planar). */
+class PlanarTiffSpec extends SparkSpec {
+
+  /** 16×16, 2 bands, uint8, uncompressed, ONE 16×16 tile per plane. */
+  private def buildPlanarTiff(): (String, Array[Byte], Array[Byte]) = {
+    val n = 256
+    val plane0 = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+    val plane1 = Array.tabulate[Byte](n)(i => ((i * 3) % 251).toByte)
+    val ifdOff = 8 + 2 * n
+    val nEntries = 12
+    val ifdLen = 2 + nEntries * 12 + 4
+    val extOffsets = ifdOff + ifdLen        // TileOffsets payload (2 LONGs)
+    val extCounts = extOffsets + 8          // TileByteCounts payload
+    val b = ByteBuffer.allocate(extCounts + 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    b.put(plane0).put(plane1)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int)(value: ByteBuffer => Unit): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      val before = b.position()
+      value(b)
+      while (b.position() < before + 4) b.put(0.toByte)
+    }
+    entry(256, 3, 1)(_.putShort(16))          // ImageWidth
+    entry(257, 3, 1)(_.putShort(16))          // ImageLength
+    entry(258, 3, 2)(x => { x.putShort(8); x.putShort(8) }) // BitsPerSample
+    entry(259, 3, 1)(_.putShort(1))           // Compression: none
+    entry(262, 3, 1)(_.putShort(1))           // Photometric
+    entry(277, 3, 1)(_.putShort(2))           // SamplesPerPixel
+    entry(284, 3, 1)(_.putShort(2))           // PlanarConfiguration = 2
+    entry(322, 3, 1)(_.putShort(16))          // TileWidth
+    entry(323, 3, 1)(_.putShort(16))          // TileLength
+    entry(324, 4, 2)(_.putInt(extOffsets))    // TileOffsets (external)
+    entry(325, 4, 2)(_.putInt(extCounts))     // TileByteCounts (external)
+    entry(339, 3, 2)(x => { x.putShort(1); x.putShort(1) }) // SampleFormat
+    b.putInt(0)                               // next IFD
+    b.putInt(8).putInt(8 + n)                 // plane offsets
+    b.putInt(n).putInt(n)                     // plane byte counts
+    val dir = java.nio.file.Files.createTempDirectory("graft-planar").toString
+    val f = java.nio.file.Paths.get(dir, "planar.tif")
+    java.nio.file.Files.write(f, b.array())
+    ("file://" + f, plane0, plane1)
+  }
+
+  test("planar tiled TIFF decodes band-major through the DSv2 source") {
+    val (uri, plane0, plane1) = buildPlanarTiff()
+    val rows = spark.read.format("cog").load(uri).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getInt(0) == 0 && r.getInt(3) == 16 && r.getInt(4) == 16)
+    val px = r.getSeq[Double](5)
+    assert(px.length == 512)
+    for (i <- 0 until 256) {
+      assert(px(i) == (plane0(i) & 0xFF).toDouble, s"band0 px $i")
+      assert(px(256 + i) == (plane1(i) & 0xFF).toDouble, s"band1 px $i")
+    }
+    // metadata agg still pushes (planar planning = same spatial grid)
+    import org.apache.spark.sql.functions._
+    val agg = spark.read.format("cog").load(uri).agg(count(lit(1)))
+    assert(agg.collect().head.getLong(0) == 1L)
+  }
+
+  test("library CogReader.read refuses planar files loudly") {
+    val (uri, _, _) = buildPlanarTiff()
+    val pages = CogReader.readMeta(uri, Map.empty)
+    val prof = CogReader.inferProfile(pages)
+    val ex = intercept[IllegalArgumentException](
+      CogReader.read(spark, uri, prof, 0).collect())
+    assert(ex.getMessage.contains("planar"), ex.getMessage)
+  }
+}
