@@ -24,9 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
+  /** Range guard: inputs outside [0, 65535] would silently alias to
+    * wrong-but-plausible Z-keys under the 16-bit mask, destroying the
+    * locality property file skipping depends on — raise instead. Stays
+    * inside whole-stage codegen (`when` + `raise_error` are builtins). */
+  private def checked(c: Column): Column = {
+    val l = c.cast("long")
+    when(l.isNull.or(l >= 0L && l <= 0xFFFFL), l)
+      .otherwise(raise_error(concat(
+        lit("morton() input out of range [0, 65535]: "), l.cast("string"))).cast("long"))
+  }
+
   /** Spread the low 16 bits of `c` so bit i lands at position 2i. */
   private def spread16(c: Column): Column = {
-    val masked = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val masked = checked(c).bitwiseAND(lit(0xFFFFL))
     val s1 = (masked.bitwiseOR(shiftleft(masked, 8))).bitwiseAND(lit(0x00FF00FFL))
     val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
     val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
@@ -52,7 +63,15 @@ object ZOrder {
     def or(a: Expression, b: Expression) = BitwiseOr(a, b)
     def shl(a: Expression, n: Int) = ShiftLeft(a, Literal(n))
     def spread(c: Expression): Expression = {
-      val masked = and(Cast(c, LongType), 0xFFFFL)
+      // same range guard as the Column helper: refuse out-of-range
+      // inputs loudly instead of aliasing them under the 16-bit mask
+      val l = Cast(c, LongType)
+      val inRange = Or(IsNull(l),
+        And(GreaterThanOrEqual(l, Literal(0L)), LessThanOrEqual(l, Literal(0xFFFFL))))
+      val guarded = If(inRange, l, Cast(new RaiseError(Concat(Seq(
+        Literal("morton() input out of range [0, 65535]: "),
+        Cast(l, org.apache.spark.sql.types.StringType)))), LongType))
+      val masked = and(guarded, 0xFFFFL)
       val s1 = and(or(masked, shl(masked, 8)), 0x00FF00FFL)
       val s2 = and(or(s1, shl(s1, 4)), 0x0F0F0F0FL)
       val s3 = and(or(s2, shl(s2, 2)), 0x33333333L)

@@ -233,6 +233,10 @@ object BinaryCodec {
         bits = le16(payload, off + 22)
         require(bits == 16, s"only 16-bit PCM supported (got $bits)")
       } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      // sz is attacker-controllable; a negative value would make the
+      // cursor non-increasing and hang the executor — reject loudly.
+      require(sz >= 0 && off.toLong + 8 + sz <= payload.length,
+        s"corrupt RIFF chunk '$id' at $off: declared size $sz overruns ${payload.length}-byte payload")
       off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     require(dataOff > 0 && sampleRate > 0, "missing fmt/data chunk")

@@ -583,7 +583,9 @@ object BigTiff {
       // planar (=2) pages decode per plane (round 9 — our Tile is
       // band-major, so planes land without interleaving); STRIPED
       // planar stays rejected (readStrips assumes chunky strips).
-      require(spp == 1 || planar == 1 || rps == 0,
+      // Strip organization means NO TileWidth tag (tw == 0) — a tiled
+      // page carrying a stray RowsPerStrip tag is still tiled.
+      require(spp == 1 || planar == 1 || tw != 0,
         s"unsupported PlanarConfiguration $planar on a STRIP-organized " +
           "multi-band page (only chunky strips decode)")
       require(planar == 1 || planar == 2,

@@ -75,6 +75,29 @@ class ZOrderSpec extends SparkSpec {
         s"morton(${r.getInt(0)},${r.getInt(1)})")
   }
 
+  test("morton raises on inputs outside [0, 65535] instead of silently aliasing") {
+    // Column API: negative and >65535 inputs must fail loudly — a
+    // silent 16-bit mask would alias them to plausible Z-keys and
+    // destroy the locality property file skipping depends on
+    for (bad <- Seq(-1, 65536, 1 << 20)) {
+      val ex = intercept[Exception] {
+        spark.range(1).select(ZOrder.morton(lit(bad), lit(0))).collect()
+      }
+      assert(ex.getMessage.contains("morton() input out of range"),
+        s"morton($bad, 0): ${ex.getMessage}")
+    }
+    // SQL registry path takes the same guard
+    val ex = intercept[Exception] {
+      spark.sql("SELECT morton(70000, 0)").collect()
+    }
+    assert(ex.getMessage.contains("morton() input out of range"), ex.getMessage)
+    // in-range boundary values still work on both paths
+    assert(spark.range(1).select(ZOrder.morton(lit(65535), lit(65535)))
+      .collect().head.getLong(0) == 0xFFFFFFFFL)
+    // NULL propagates as NULL, not an error
+    assert(spark.sql("SELECT morton(CAST(NULL AS INT), 3)").collect().head.isNullAt(0))
+  }
+
   test("q_layout_zorder: z-order serves both box orientations; row-major only one") {
     val sparkS = spark
     import sparkS.implicits._

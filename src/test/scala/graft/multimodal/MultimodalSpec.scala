@@ -170,6 +170,23 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("PCM"))
   }
 
+  test("decodeWav rejects negative/overrunning chunk sizes instead of looping") {
+    // a negative declared chunk size (le32 0xFFFFFFF8 = -8) makes the
+    // cursor advance by 8 + (-8) + 0 = 0 — without the bounds check the
+    // walker spins forever. Must reject loudly, and fast.
+    val wav = BinaryCodec.syntheticWav(4L, 8000, 100, 100.0)
+    val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12 + 8 + 16 + 4, -8) // the data chunk's size field
+    val ex = intercept[IllegalArgumentException](BinaryCodec.decodeWav(wav))
+    assert(ex.getMessage.contains("corrupt RIFF chunk"))
+    // a positive size that overruns the payload must also reject
+    val wav2 = BinaryCodec.syntheticWav(5L, 8000, 100, 100.0)
+    java.nio.ByteBuffer.wrap(wav2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(12 + 8 + 16 + 4, Int.MaxValue)
+    val ex2 = intercept[IllegalArgumentException](BinaryCodec.decodeWav(wav2))
+    assert(ex2.getMessage.contains("corrupt RIFF chunk"))
+  }
+
   test("q_mm_audio: one row per doc, real features, batch-invariant") {
     val sparkS = spark
     import sparkS.implicits._

@@ -11,13 +11,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   * striped planar). */
 class PlanarTiffSpec extends SparkSpec {
 
-  /** 16×16, 2 bands, uint8, uncompressed, ONE 16×16 tile per plane. */
-  private def buildPlanarTiff(): (String, Array[Byte], Array[Byte]) = {
+  /** 16×16, 2 bands, uint8, uncompressed, ONE 16×16 tile per plane.
+    * `strayRps` adds a RowsPerStrip tag to the TILED page — some
+    * writers emit one redundantly; the page is still tile-organized. */
+  private def buildPlanarTiff(strayRps: Boolean = false): (String, Array[Byte], Array[Byte]) = {
     val n = 256
     val plane0 = Array.tabulate[Byte](n)(i => (i % 251).toByte)
     val plane1 = Array.tabulate[Byte](n)(i => ((i * 3) % 251).toByte)
     val ifdOff = 8 + 2 * n
-    val nEntries = 12
+    val nEntries = if (strayRps) 13 else 12
     val ifdLen = 2 + nEntries * 12 + 4
     val extOffsets = ifdOff + ifdLen        // TileOffsets payload (2 LONGs)
     val extCounts = extOffsets + 8          // TileByteCounts payload
@@ -37,6 +39,8 @@ class PlanarTiffSpec extends SparkSpec {
     entry(259, 3, 1)(_.putShort(1))           // Compression: none
     entry(262, 3, 1)(_.putShort(1))           // Photometric
     entry(277, 3, 1)(_.putShort(2))           // SamplesPerPixel
+    if (strayRps)
+      entry(278, 3, 1)(_.putShort(16))        // stray RowsPerStrip on a TILED page
     entry(284, 3, 1)(_.putShort(2))           // PlanarConfiguration = 2
     entry(322, 3, 1)(_.putShort(16))          // TileWidth
     entry(323, 3, 1)(_.putShort(16))          // TileLength
@@ -68,6 +72,18 @@ class PlanarTiffSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val agg = spark.read.format("cog").load(uri).agg(count(lit(1)))
     assert(agg.collect().head.getLong(0) == 1L)
+  }
+
+  test("tiled planar with a stray RowsPerStrip tag still decodes (gate keys on layout, not rps)") {
+    val (uri, plane0, plane1) = buildPlanarTiff(strayRps = true)
+    val rows = spark.read.format("cog").load(uri).collect()
+    assert(rows.length == 1)
+    val px = rows.head.getSeq[Double](5)
+    assert(px.length == 512)
+    for (i <- 0 until 256) {
+      assert(px(i) == (plane0(i) & 0xFF).toDouble, s"band0 px $i")
+      assert(px(256 + i) == (plane1(i) & 0xFF).toDouble, s"band1 px $i")
+    }
   }
 
   test("library CogReader.read refuses planar files loudly") {
