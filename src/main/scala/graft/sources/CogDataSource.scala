@@ -221,12 +221,23 @@ object CogWriteSupport {
     val (bs, width, height, bands) = inferGeometry(level0, opts)
     val regionPx = grid.toLong * bs
     require(regionPx < Int.MaxValue, s"mosaic region too large: $regionPx px")
+    if (appendInto)
+      validateAppendGeometry(fs, target, opts, bs, width, height, bands, regionPx)
 
     val tmpDir = new Path(target.getParent,
       s".${target.getName}._cog_mosaic_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(tmpDir)
+    // concurrent region jobs: each is itself a distributed CogWriter
+    // job, so the pool bounds DRIVER-side job submission, not work.
+    // Tunable because the sweet spot depends on cluster size vs region
+    // count (a 1000-executor cluster digesting a 64-region append
+    // wants more in-flight jobs than a laptop).
+    val maxConcurrent = opts.get("mosaic.maxconcurrentfiles").map(_.toInt)
+      .getOrElse(4)
+    require(maxConcurrent > 0,
+      s"mosaic.maxConcurrentFiles must be positive (got $maxConcurrent)")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, keys.size))
+      math.min(maxConcurrent, keys.size))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
@@ -290,6 +301,68 @@ object CogWriteSupport {
         try fs.delete(tmpDir, true) catch { case _: Exception => () }
         throw e
     } finally pool.shutdown()
+  }
+
+  /** Append-time geometry gate: an append whose (possibly inferred)
+    * geometry contradicts the files already in the mosaic would write
+    * region COGs whose world coordinates disagree with their
+    * neighbours, silently corrupting bbox pruning on read-back. Parse
+    * ONE existing part header (KBs, driver-side) and require
+    * blocksize/bands/dtype/extent/geo-referencing consistency. The
+    * bottom-right-most part pins the global extent hardest: its
+    * dimensions carry the edge clip, so a wrong global width/height
+    * fails here even when every option was omitted and inference saw
+    * only the appended frame. */
+  private def validateAppendGeometry(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, opts: Map[String, String], bs: Int, width: Int,
+      height: Int, bands: Int, regionPx: Long): Unit = {
+    val PartName = raw"part-(\d+)-(\d+)\.tif".r
+    val existing = fs.listStatus(target).flatMap { st =>
+      st.getPath.getName match {
+        case PartName(ry, rx) => Some(((ry.toInt, rx.toInt), st.getPath))
+        case _ => None
+      }
+    }
+    if (existing.isEmpty) return // nothing to contradict
+    val ((ry, rx), part) = existing.maxBy(_._1)
+    val prof = CogReader.inferProfile(
+      CogReader.readMeta(part.toString, opts.filter(_._1.startsWith("fs."))))
+    def ctx = s"mosaic append geometry mismatch vs existing ${part.getName}"
+    require(prof.blockSize == bs,
+      s"$ctx: blocksize ${prof.blockSize} != incoming $bs")
+    require(prof.bands == bands, s"$ctx: bands ${prof.bands} != incoming $bands")
+    val dtype = opts.getOrElse("dtype", "float64")
+    require(prof.dtype == dtype, s"$ctx: dtype ${prof.dtype} != incoming $dtype")
+    val expW = math.min(regionPx, width - rx * regionPx)
+    val expH = math.min(regionPx, height - ry * regionPx)
+    require(prof.width == expW && prof.height == expH,
+      s"$ctx: region ($ry,$rx) is ${prof.width}x${prof.height} but global " +
+        s"${width}x$height implies ${expW}x$expH — pass width/height/blocksize " +
+        "options matching the existing mosaic")
+    def near(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    (prof.geo, opts.get("epsg")) match {
+      case (Some(g), Some(e)) =>
+        val pw = opts.get("pixelw").map(_.toDouble).getOrElse(1.0)
+        val ph = opts.get("pixelh").map(_.toDouble).getOrElse(1.0)
+        val ox = opts.get("originx").map(_.toDouble).getOrElse(0.0)
+        val oy = opts.get("originy").map(_.toDouble).getOrElse(0.0)
+        require(g.epsg == e.toInt, s"$ctx: EPSG ${g.epsg} != incoming $e")
+        require(near(g.pixelW, pw) && near(g.pixelH, ph),
+          s"$ctx: pixel scale (${g.pixelW},${g.pixelH}) != incoming ($pw,$ph)")
+        val expOx = ox + rx * regionPx * pw
+        val expOy = oy - ry * regionPx * ph
+        require(near(g.originX, expOx) && near(g.originY, expOy),
+          s"$ctx: region ($ry,$rx) origin (${g.originX},${g.originY}) != " +
+            s"($expOx,$expOy) implied by incoming origin ($ox,$oy)")
+      case (Some(g), None) => throw new IllegalArgumentException(
+        s"$ctx: existing mosaic is geo-referenced (EPSG ${g.epsg}) but the " +
+          "append passes no epsg option")
+      case (None, Some(e)) => throw new IllegalArgumentException(
+        s"$ctx: append passes epsg=$e but the existing mosaic has no " +
+          "geo-referencing")
+      case (None, None) => ()
+    }
   }
 
   /** Global write geometry (blockSize, width, height, bands): explicit

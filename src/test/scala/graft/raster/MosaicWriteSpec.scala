@@ -188,6 +188,98 @@ class MosaicWriteSpec extends SparkSpec {
       s"temp dir left behind: ${parent.list().mkString(",")}")
   }
 
+  test("mosaic append refuses geometry that contradicts the existing mosaic") {
+    val s = spark
+    import s.implicits._
+    // 64x48 @ blockSize 16, grid 2: region row 1 is edge-clipped to
+    // 16 px — the bottom-right-most part's dims pin the TRUE global
+    // extent, so a contradicting width/height claim must fail loudly.
+    val prof = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+      minOverviewSize = 16, geo = Some(GeoRef(PW, PW, OX, OY, 32633)))
+    val all = SyntheticRaster.generate(s, prof, seed = 56L)
+    val dir = Files.createTempDirectory("graft-mgeo").toString + "/mosaic"
+    def writeBatch(pred: org.apache.spark.sql.Column,
+        tweak: Map[String, String] = Map.empty,
+        drop: Set[String] = Set.empty): Unit = {
+      val base = Map("mosaic.grid" -> "2", "blocksize" -> "16",
+        "width" -> "64", "height" -> "48", "nodata" -> ND.toString,
+        "minoverviewsize" -> "16", "epsg" -> "32633",
+        "pixelw" -> PW.toString, "pixelh" -> PW.toString,
+        "originx" -> OX.toString, "originy" -> OY.toString)
+      val w = all.toDF().filter(pred).write.format("cog")
+      ((base -- drop) ++ tweak).foreach { case (k, v) => w.option(k, v) }
+      w.mode("append").save(dir)
+    }
+    writeBatch($"tx" < 2) // creates part-000-000 (32x32), part-001-000 (32x16)
+    def files() = new java.io.File(dir).list().count(_.endsWith(".tif"))
+    assert(files() == 2)
+
+    // wrong blocksize
+    val exBs = intercept[Exception](writeBatch($"tx" >= 2,
+      tweak = Map("blocksize" -> "32")))
+    assert(exBs.getMessage.contains("blocksize"), exBs.getMessage)
+    // wrong global height: claims the bottom row is full (32) when the
+    // existing part-001-000 carries the 16 px edge clip
+    val exDim = intercept[Exception](writeBatch($"tx" >= 2,
+      tweak = Map("height" -> "64")))
+    assert(exDim.getMessage.contains("geometry mismatch"), exDim.getMessage)
+    // omitted geometry on a partial-extent batch: inference clips the
+    // raster to the frame (height 16) and must be caught, not written
+    val exInf = intercept[Exception](writeBatch($"tx" >= 2 && $"ty" < 1,
+      drop = Set("width", "height")))
+    assert(exInf.getMessage.contains("geometry mismatch"), exInf.getMessage)
+    // shifted origin contradicts the existing parts' world placement
+    val exOr = intercept[Exception](writeBatch($"tx" >= 2,
+      tweak = Map("originx" -> (OX + 12345.0).toString)))
+    assert(exOr.getMessage.contains("origin"), exOr.getMessage)
+    // dropping geo-referencing entirely on a geo-referenced mosaic
+    val exGeo = intercept[Exception](writeBatch($"tx" >= 2,
+      drop = Set("epsg", "pixelw", "pixelh", "originx", "originy")))
+    assert(exGeo.getMessage.contains("geo-referenced"), exGeo.getMessage)
+
+    // nothing was written by any refused append
+    assert(files() == 2)
+    // and a MATCHING append still lands and reads back whole
+    writeBatch($"tx" >= 2)
+    assert(files() == 4)
+    assert(spark.read.format("cog").load(dir).where($"level" === 0).count() == 12)
+  }
+
+  test("mosaic.maxConcurrentFiles only changes scheduling: pool=1 and pool=8 write identical bytes") {
+    val s = spark
+    import s.implicits._
+    val prof = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+      minOverviewSize = 16, geo = Some(GeoRef(PW, PW, OX, OY, 32633)))
+    val tiles = SyntheticRaster.generate(s, prof, seed = 77L).toDF()
+    val dirs = for (pool <- Seq("1", "8")) yield {
+      val dir = Files.createTempDirectory(s"graft-mpool$pool").toString + "/mosaic"
+      tiles.write.format("cog")
+        .option("mosaic.grid", "2").option("mosaic.maxConcurrentFiles", pool)
+        .option("nodata", ND.toString).option("minoverviewsize", "16")
+        .option("epsg", "32633")
+        .option("pixelw", PW.toString).option("pixelh", PW.toString)
+        .option("originx", OX.toString).option("originy", OY.toString)
+        .mode("append").save(dir)
+      dir
+    }
+    val Seq(d1, d8) = dirs
+    val names = new java.io.File(d1).list().filter(_.endsWith(".tif")).sorted.toSeq
+    assert(names == new java.io.File(d8).list().filter(_.endsWith(".tif")).sorted.toSeq)
+    assert(names.size == 4)
+    for (n <- names) {
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d1, n))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d8, n))
+      assert(java.util.Arrays.equals(a, b), s"$n differs between pool=1 and pool=8")
+    }
+    // invalid pool size refuses loudly
+    val ex = intercept[Exception] {
+      tiles.write.format("cog").option("mosaic.grid", "2")
+        .option("mosaic.maxConcurrentFiles", "0").option("nodata", ND.toString)
+        .mode("overwrite").save(d1)
+    }
+    assert(ex.getMessage.contains("maxConcurrentFiles"), ex.getMessage)
+  }
+
   test("mosaic write: failure leaves the previous mosaic intact (temp + swap)") {
     val s = spark
     import s.implicits._
