@@ -53,4 +53,27 @@ class BucketingSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("q_join_bucketed memoizes its warehouse: repeat calls skip the bucketed writes") {
+    val s = spark
+    val first = graft.queries.JoinQueries.joinBucketed(s, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(first.nonEmpty)
+    // the layout exists now; a second call must reuse it (same result,
+    // no re-write). Time is machine-dependent, so assert on the
+    // mechanism instead: the bucketed tables' creation time is stable
+    // across calls.
+    val tbl = s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_bktq_orders_"))
+    assert(tbl.length == 1, tbl.mkString(","))
+    val locBefore = s.sql(s"DESCRIBE FORMATTED ${tbl.head}").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+    val second = graft.queries.JoinQueries.joinBucketed(s, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(second == first)
+    val locAfter = s.sql(s"DESCRIBE FORMATTED ${tbl.head}").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+    assert(locBefore.isDefined && locBefore == locAfter,
+      s"bucketed warehouse was rewritten: $locBefore -> $locAfter")
+  }
 }
