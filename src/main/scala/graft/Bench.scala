@@ -65,7 +65,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is parsed out of a bounded output tail and has
+    // been head-truncated at 90+ queries — ALSO persist the full record
+    // to a file so every per-query timing survives on disk
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"BENCH WARN: could not write $outFile: $e")
+    }
     spark.stop()
   }
 }
