@@ -5,20 +5,20 @@ package graft.multimodal
   * `mapPartitions` (the Scala analog of arrow-batched `mapInPandas` —
   * fixed batch shape, no per-row closure dispatch).
   *
-  * IMAGES decode for REAL: `decodeImage`/`resizeImage` run the JRE's
-  * own `javax.imageio` codecs (PNG/JPEG/BMP/GIF ship in every JRE —
-  * the same ImageIO this repo already uses for JPEG COG tiles,
-  * raster/TileCodec.scala), so extract and resize are genuine image
-  * operations with true dimensions and sample statistics. AUDIO
-  * decodes for real too (`decodeWav` — PCM WAV is a 44-byte header
-  * away from raw numbers; RMS + zero-crossing features). Only VIDEO
-  * remains stubbed (`frameSampleStub` — no container/video codecs in
-  * a bare JRE): a clearly-marked deterministic stand-in exercising the
-  * one-to-many explode shape; swapping it for a JNI/javacv decoder
-  * changes nothing upstream. */
+  * ALL THREE modalities decode for REAL with zero dependencies beyond
+  * the JRE. IMAGES: `decodeImage`/`resizeImage` run the JRE's own
+  * `javax.imageio` codecs (PNG/JPEG/BMP/GIF ship in every JRE — the
+  * same ImageIO this repo already uses for JPEG COG tiles,
+  * raster/TileCodec.scala). AUDIO: `decodeWav` — PCM WAV is a RIFF
+  * walk away from raw numbers; RMS + zero-crossing features. VIDEO:
+  * `decodeAviFrames` — MJPEG-in-AVI is the one video container a bare
+  * JRE can decode honestly (the same RIFF chunk walk as WAV finds the
+  * `movi` list; each `00dc` frame chunk is a complete JPEG for
+  * ImageIO), giving true per-frame dimensions and sample statistics.
+  * Inter-frame codecs (H.264 etc.) stay out of scope — they need
+  * native decoders; swapping one in changes nothing upstream of the
+  * frame iterator. */
 object BinaryCodec {
-
-  case class MediaMeta(nBytes: Long, fakeW: Int, fakeH: Int, entropy: Double)
 
   /** Real decoded-image metadata: true dimensions, band count, and the
     * mean over every sample of every band. */
@@ -125,69 +125,129 @@ object BinaryCodec {
       (id, decodeImage(payload))
     })
 
-  /** FAKE decode: dims from the first bytes, entropy over the byte
-    * histogram. Deterministic in the payload alone. */
-  def decodeStub(payload: Array[Byte]): MediaMeta = {
-    val w = if (payload.length > 0) (payload(0) & 0x3f) + 1 else 0
-    val h = if (payload.length > 1) (payload(1) & 0x3f) + 1 else 0
-    val hist = new Array[Long](256)
-    var i = 0
-    while (i < payload.length) { hist(payload(i) & 0xff) += 1; i += 1 }
-    var ent = 0.0
-    if (payload.length > 0) {
-      var b = 0
-      while (b < 256) {
-        if (hist(b) > 0) {
-          val p = hist(b).toDouble / payload.length
-          ent -= p * math.log(p) / math.log(2)
+  // ----- video: REAL MJPEG-in-AVI, no dependencies ----------------------
+
+  /** Real decoded-frame metadata: true frame index within the stream,
+    * dimensions, band count, per-sample mean — from a genuine ImageIO
+    * JPEG decode of the frame chunk. */
+  case class FrameMeta(frameIdx: Int, width: Int, height: Int,
+      channels: Int, meanSample: Double)
+
+  /** Walk one level of RIFF chunks in [start, end), calling
+    * `f(id, dataOff, size)` per chunk. Shares the WAV walker's
+    * corrupt-size guard: a negative or overrunning declared size is
+    * rejected loudly instead of spinning the cursor forever. */
+  private def walkRiffChunks(payload: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val sz = le32(payload, off + 4)
+      require(sz >= 0 && off.toLong + 8 + sz <= end,
+        s"corrupt RIFF chunk '$id' at $off: declared size $sz overruns byte $end")
+      f(id, off + 8, sz)
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+  }
+
+  /** REAL MJPEG-in-AVI frame decode: RIFF walk to the `movi` LIST
+    * (descending into `rec ` groups), then every `every`-th video
+    * chunk (`..dc`/`..db`) JPEG-decodes via ImageIO into true
+    * dimensions + per-sample mean. The one-to-many extraction shape —
+    * explode after a batched kernel — over a genuine container format.
+    * Non-video payloads and corrupt chunk sizes are refused loudly,
+    * matching the repo's reject-don't-corrupt rule. */
+  def decodeAviFrames(payload: Array[Byte], every: Int = 1): Seq[FrameMeta] = {
+    require(every > 0, s"frame cadence must be positive (got $every)")
+    require(payload.length >= 12 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "AVI ",
+      s"not a RIFF/AVI payload (${payload.length} bytes)")
+    val frames = scala.collection.mutable.ArrayBuffer[FrameMeta]()
+    var nVideo = 0
+    def walkMovi(start: Int, end: Int): Unit =
+      walkRiffChunks(payload, start, end) { (id, dOff, sz) =>
+        if (id == "LIST") walkMovi(dOff + 4, dOff + sz) // 'rec ' group
+        else if (id.endsWith("dc") || id.endsWith("db")) {
+          if (nVideo % every == 0) {
+            val m = decodeImage(java.util.Arrays.copyOfRange(payload, dOff, dOff + sz))
+            frames += FrameMeta(nVideo, m.width, m.height, m.channels, m.meanSample)
+          }
+          nVideo += 1
         }
-        b += 1
       }
+    walkRiffChunks(payload, 12, payload.length) { (id, dOff, sz) =>
+      if (id == "LIST" && sz >= 4 &&
+        new String(payload, dOff, 4, "US-ASCII") == "movi")
+        walkMovi(dOff + 4, dOff + sz)
     }
-    MediaMeta(payload.length.toLong, w, h, ent)
+    require(nVideo > 0, "no video frame chunks in AVI movi list")
+    frames.toSeq
   }
 
-  /** Batched extraction over an iterator of (id, payload): groups the
-    * partition into fixed-size batches, decodes each batch, streams
-    * results — the mapInPandas batch shape without per-row overhead. */
-  def extractBatched(it: Iterator[(Long, Array[Byte])]): Iterator[(Long, MediaMeta)] =
-    it.grouped(BatchSize).flatMap { batch =>
-      // batch-level work happens here (a real decoder would hand the
-      // whole batch to native code once)
-      batch.iterator.map { case (id, payload) => (id, decodeStub(payload)) }
+  /** Assemble a structurally-real MJPEG AVI container around
+    * pre-encoded JPEG frames: RIFF/AVI with a proper `hdrl` (avih main
+    * header + one `vids`/MJPG stream with strh/strf BITMAPINFOHEADER)
+    * and a `movi` list of `00dc` chunks. Every size field is exact, so
+    * any RIFF-aware reader walks it. */
+  def mjpegAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0 && w > 0 && h > 0,
+      s"mjpegAvi needs frames and positive dims/fps")
+    val maxFrame = frames.map(_.length).max
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlBody = 192 // "hdrl" + avih(8+56) + LIST(8) + strl(4+64+48)
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val b = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); b.putInt(riffBody); fourcc("AVI ")
+    fourcc("LIST"); b.putInt(hdrlBody); fourcc("hdrl")
+    fourcc("avih"); b.putInt(56)
+    b.putInt(1000000 / fps).putInt(maxFrame * fps).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(116); fourcc("strl")
+    fourcc("strh"); b.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    b.putInt(0).putInt(0).putInt(0).putInt(1).putInt(fps).putInt(0)
+      .putInt(frames.length).putInt(maxFrame).putInt(-1).putInt(0)
+    b.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); b.putInt(40)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    fourcc("MJPG")
+    b.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(moviBody); fourcc("movi")
+    for (f <- frames) {
+      fourcc("00dc"); b.putInt(f.length); b.put(f)
+      if ((f.length & 1) == 1) b.put(0.toByte)
     }
-
-  /** FAKE resize: deterministic downsample of the payload byte stream
-    * to `n` bytes by strided max-pooling — the stand-in for an image
-    * thumbnail kernel; output depends only on (payload, n). */
-  def resizeStub(payload: Array[Byte], n: Int): Array[Byte] = {
-    if (payload.isEmpty || n <= 0) return Array.emptyByteArray
-    val out = new Array[Byte](math.min(n, payload.length))
-    val stride = payload.length.toDouble / out.length
-    var i = 0
-    while (i < out.length) {
-      val a = (i * stride).toInt
-      val b = math.min(payload.length, math.max(a + 1, ((i + 1) * stride).toInt))
-      var mx = payload(a)
-      var j = a + 1
-      while (j < b) { if (payload(j) > mx) mx = payload(j); j += 1 }
-      out(i) = mx
-      i += 1
-    }
-    out
+    b.array()
   }
 
-  /** FAKE frame sampling: treat the payload as a "video" of fixed-size
-    * frames and emit every `every`-th frame with its index — the
-    * one-to-many extraction shape (explode after a batched kernel).
-    * Frame size and cadence are deterministic in the payload alone. */
-  def frameSampleStub(payload: Array[Byte], frameBytes: Int = 32,
-      every: Int = 4): Seq[(Int, Array[Byte])] = {
-    if (payload.length < frameBytes) return Seq.empty
-    val nFrames = payload.length / frameBytes
-    (0 until nFrames by every).map { f =>
-      (f, java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))
+  /** Deterministic solid-color JPEG via ImageIO — genuine bytes for
+    * the real frame decoder; no video assets shipped. */
+  def solidJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb & 0xffffff))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG AVI: solid-color frames from splitmix noise
+    * per (seed, frame) — real JPEG bytes in a real container. */
+  def syntheticMjpegAvi(seed: Long, w: Int, h: Int, nFrames: Int,
+      fps: Int = 10): Array[Byte] = {
+    val frames = (0 until nFrames).map { fi =>
+      var z = seed + fi * 0x9E3779B97F4A7C15L
+      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 27
+      solidJpeg(w, h, (z & 0xffffff).toInt)
     }
+    mjpegAvi(w, h, fps, frames)
   }
 
   // ----- audio: REAL PCM WAV, no dependencies ---------------------------

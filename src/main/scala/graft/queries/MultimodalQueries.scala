@@ -7,13 +7,12 @@ import graft.multimodal.BinaryCodec
 
 /** Multimodal-column surface: media as opaque binary + typed metadata,
   * feature extraction batched in mapPartitions (SURVEY-adjacent; the
-  * builder contract's multimodal requirement). IMAGE decode and resize
-  * are REAL — the JRE's own ImageIO codecs over genuine PNG payloads
-  * (BinaryCodec.decodeImage/resizeImage) — only the VIDEO frame path
-  * keeps a clearly-marked deterministic stub (no video codecs in a
-  * bare JRE). NATIVE: binary/float ops aren't DuckDB-comparable via
-  * the driver's hash (dims + sample means asserted in MultimodalSpec
-  * instead). */
+  * builder contract's multimodal requirement). ALL modalities decode
+  * for REAL on a bare JRE: images and video frames through ImageIO
+  * (PNG payloads; MJPEG-in-AVI containers), audio through the
+  * from-scratch RIFF/PCM walker. NATIVE: binary/float ops aren't
+  * DuckDB-comparable via the driver's hash (dims + sample means
+  * asserted in MultimodalSpec instead). */
 object MultimodalQueries {
 
   /** Per-document REAL PNG payload: dims derived from the id, pixels
@@ -43,29 +42,32 @@ object MultimodalQueries {
       .orderBy($"doc_id")
   }
 
-  /** Frame sampling as a one-to-many batched kernel: each "video"
-    * payload explodes into every 4th fixed-size frame with a per-frame
-    * feature (entropy of the frame bytes) — the flatMap/Generator
-    * shape a real video pipeline uses after batch decode. The ONE
-    * remaining declared stub: a bare JRE has no video codecs
-    * (images decode for real above). */
+  /** REAL video frame sampling: each document carries a synthetic
+    * MJPEG-in-AVI payload (structurally-real RIFF/AVI container, real
+    * ImageIO-encoded JPEG frames — no assets shipped); the RIFF walker
+    * finds the `movi` list and every 2nd frame JPEG-decodes into true
+    * dimensions + per-sample mean (BinaryCodec.decodeAviFrames) — the
+    * one-to-many flatMap/Generator shape a video curation pipeline
+    * uses after batch decode. Batched mapPartitions, zero shuffle; at
+    * 100 TB this is a narrow map stage whose cost is the decode
+    * itself. */
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Fixtures.documents(spark, sfDir)
-      .select($"doc_id", encode($"text", "utf-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(BinaryCodec.BatchSize).flatMap { batch =>
-          batch.iterator.flatMap { case (id, payload) =>
-            BinaryCodec.frameSampleStub(payload).map { case (fi, frame) =>
-              val m = BinaryCodec.decodeStub(frame)
-              (id, fi, frame.length,
-                math.round(m.entropy * 10000) / 10000.0)
-            }
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.map { id =>
+        (id, BinaryCodec.syntheticMjpegAvi(id * 104729L,
+          16 + (id % 4).toInt * 8, 12 + (id % 3).toInt * 4,
+          nFrames = 4 + (id % 5).toInt))
+      }))
+      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.flatMap {
+        case (id, payload) =>
+          BinaryCodec.decodeAviFrames(payload, every = 2).map { fm =>
+            (id, fm.frameIdx, fm.width, fm.height, fm.channels,
+              math.round(fm.meanSample * 100) / 100.0)
           }
-        }
-      }
-      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_entropy")
+      }))
+      .toDF("doc_id", "frame_idx", "width", "height", "channels", "mean_sample")
       .orderBy($"doc_id", $"frame_idx")
   }
 

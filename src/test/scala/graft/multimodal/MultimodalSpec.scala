@@ -2,56 +2,82 @@ package graft.multimodal
 
 import graft.SparkSpec
 
-/** Binary-column plumbing: batched extraction preserves every row,
-  * is deterministic in the payload, and the stub decode's entropy is a
-  * real byte-histogram entropy. */
+/** Binary-column plumbing: batched extraction preserves every row and
+  * is deterministic in the payload; image/audio/video decodes are the
+  * REAL codecs with pinned goldens. */
 class MultimodalSpec extends SparkSpec {
 
-  test("extractBatched: one output per input, batch boundaries invisible") {
-    val items = (0L until 200L).map(i => (i, Array.fill(64)((i % 251).toByte)))
-    val out = BinaryCodec.extractBatched(items.iterator).toSeq
-    assert(out.size == items.size)
-    assert(out.map(_._1) == items.map(_._1))
-    // constant payload → zero entropy
-    assert(out.forall(_._2.entropy == 0.0))
-  }
-
-  test("entropy: uniform bytes → 8 bits, constant → 0") {
-    val uniform = Array.tabulate[Byte](256 * 16)(i => (i % 256).toByte)
-    assert(math.abs(BinaryCodec.decodeStub(uniform).entropy - 8.0) < 1e-9)
-    assert(BinaryCodec.decodeStub(Array.fill[Byte](100)(7)).entropy == 0.0)
-    assert(BinaryCodec.decodeStub(Array.emptyByteArray).entropy == 0.0)
-  }
-
-  test("resizeStub: exact length, deterministic, order-independent of batching") {
-    val p = Array.tabulate[Byte](1000)(i => (i * 31 % 251).toByte)
-    val t = BinaryCodec.resizeStub(p, 16)
-    assert(t.length == 16)
-    assert(t.toSeq == BinaryCodec.resizeStub(p, 16).toSeq)
-    assert(BinaryCodec.resizeStub(Array.emptyByteArray, 16).isEmpty)
-    assert(BinaryCodec.resizeStub(p, 2000).length == 1000) // never upsample
-  }
-
-  test("frameSampleStub: every 4th fixed-size frame, correct offsets") {
-    val p = Array.tabulate[Byte](320)(_.toByte) // 10 frames of 32
-    val frames = BinaryCodec.frameSampleStub(p)
-    assert(frames.map(_._1) == Seq(0, 4, 8))
-    for ((fi, bytes) <- frames) {
-      assert(bytes.length == 32)
-      assert(bytes(0) == (fi * 32).toByte)
+  test("decodeAviFrames: solid-color MJPEG frames → exact dims, colors within JPEG tolerance") {
+    // three solid frames with known colors; JPEG of a solid color is
+    // DC-only, so the decoded mean sits within ~2 of the exact value
+    val colors = Seq(0x804020, 0x104080, 0xF0A000)
+    val frames = colors.map(BinaryCodec.solidJpeg(32, 24, _))
+    val avi = BinaryCodec.mjpegAvi(32, 24, 10, frames)
+    val all = BinaryCodec.decodeAviFrames(avi)
+    assert(all.map(_.frameIdx) == Seq(0, 1, 2))
+    for ((fm, c) <- all.zip(colors)) {
+      assert(fm.width == 32 && fm.height == 24 && fm.channels == 3)
+      val expMean = (((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)) / 3.0
+      assert(math.abs(fm.meanSample - expMean) < 2.0,
+        s"frame ${fm.frameIdx}: mean ${fm.meanSample} vs $expMean")
     }
-    assert(BinaryCodec.frameSampleStub(new Array[Byte](10)).isEmpty)
+    // cadence: every 2nd frame → indices 0, 2
+    assert(BinaryCodec.decodeAviFrames(avi, every = 2).map(_.frameIdx) == Seq(0, 2))
   }
 
-  test("q_mm_frames explodes one row per sampled frame") {
+  test("decodeAviFrames rejects non-AVI, frameless, and corrupt payloads loudly") {
+    // a WAV is RIFF but not AVI
+    val wav = BinaryCodec.syntheticWav(9L, 8000, 100, 100.0)
+    val exWav = intercept[IllegalArgumentException](BinaryCodec.decodeAviFrames(wav))
+    assert(exWav.getMessage.contains("not a RIFF/AVI"))
+    intercept[IllegalArgumentException](
+      BinaryCodec.decodeAviFrames("plainly not video".getBytes))
+    // corrupt: negative declared size in the movi list must reject,
+    // not spin the walker
+    val avi = BinaryCodec.syntheticMjpegAvi(1L, 16, 12, 2)
+    val moviAt = {
+      // find the 'movi' fourcc; its first frame chunk size field is 8 bytes later
+      val idx = avi.indices.find(i => i + 4 <= avi.length &&
+        new String(avi, i, 4, "US-ASCII") == "movi").get
+      idx + 4 + 4 // skip 'movi' + '00dc'
+    }
+    java.nio.ByteBuffer.wrap(avi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(moviAt, -8)
+    val exCorrupt = intercept[IllegalArgumentException](BinaryCodec.decodeAviFrames(avi))
+    assert(exCorrupt.getMessage.contains("corrupt RIFF chunk"), exCorrupt.getMessage)
+    // an AVI whose movi list holds no video chunks is refused
+    val empty = BinaryCodec.mjpegAvi(16, 12, 10,
+      Seq(BinaryCodec.solidJpeg(16, 12, 0x123456)))
+    // overwrite the frame chunk id with a non-video fourcc
+    val idIdx = empty.indices.find(i => i + 4 <= empty.length &&
+      new String(empty, i, 4, "US-ASCII") == "00dc").get
+    System.arraycopy("JUNK".getBytes("US-ASCII"), 0, empty, idIdx, 4)
+    val exNone = intercept[IllegalArgumentException](BinaryCodec.decodeAviFrames(empty))
+    assert(exNone.getMessage.contains("no video frame chunks"), exNone.getMessage)
+  }
+
+  test("q_mm_frames: real per-frame decode, every 2nd frame, deterministic") {
     val df = graft.queries.MultimodalQueries.mmFrames(spark, sfDir)
     val rows = df.collect()
     assert(rows.nonEmpty)
-    // per doc: frame indices are 0,4,8,... strictly increasing
-    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
       val idx = rs.map(_.getInt(1)).toSeq
-      assert(idx == idx.sorted && idx.forall(_ % 4 == 0))
+      // per doc: sampled indices are exactly 0,2,4,... for its frame count
+      val nFrames = 4 + (id % 5).toInt
+      assert(idx == (0 until nFrames by 2).toSeq, s"doc $id indices $idx")
+      // true dims from the JPEG decode match the synthesis parameters
+      for (r <- rs) {
+        assert(r.getInt(2) == 16 + (id % 4).toInt * 8, s"doc $id width")
+        assert(r.getInt(3) == 12 + (id % 3).toInt * 4, s"doc $id height")
+        assert(r.getInt(4) == 3)
+        val mean = r.getDouble(5)
+        assert(mean >= 0.0 && mean <= 255.0)
+      }
     }
+    // deterministic across runs
+    val again = graft.queries.MultimodalQueries.mmFrames(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == rows.map(_.toSeq).toSeq)
   }
 
   test("decodeImage: solid-color PNG → exact dims, channels, mean") {
