@@ -579,15 +579,10 @@ object BigTiff {
           case _ => ()
         }
       }
-      // PlanarConfiguration is meaningless at 1 sample/pixel. TILED
-      // planar (=2) pages decode per plane (round 9 — our Tile is
-      // band-major, so planes land without interleaving); STRIPED
-      // planar stays rejected (readStrips assumes chunky strips).
-      // Strip organization means NO TileWidth tag (tw == 0) — a tiled
-      // page carrying a stray RowsPerStrip tag is still tiled.
-      require(spp == 1 || planar == 1 || tw != 0,
-        s"unsupported PlanarConfiguration $planar on a STRIP-organized " +
-          "multi-band page (only chunky strips decode)")
+      // PlanarConfiguration is meaningless at 1 sample/pixel. Planar
+      // (=2) pages decode per plane in BOTH layouts — tiled since
+      // round 9, striped since round 11 (our Tile is band-major, so
+      // planes land without an interleave pass in either case).
       require(planar == 1 || planar == 2,
         s"invalid PlanarConfiguration $planar")
       if (planar == 2 && spp > 1 && offArr != null)

@@ -319,8 +319,18 @@ object CogReader {
     val bands = pg.samplesPerPixel
     val pred = pg.predictor
     val mm = pg.bigEndian
-    val plan = pg.offsets.indices.map { si =>
-      (si, pg.offsets(si), pg.counts(si),
+    // planar (=2) pages: offsets hold bands consecutive plane arrays
+    // (all plane-0 strips, then plane-1, ... — TIFF 6.0 §14); one
+    // OUTPUT strip gathers its per-plane chunks, each decoding as a
+    // single-band strip straight into the band-major pixel array.
+    val nStrips = pg.tilesPerPlane
+    val planes = if (pg.planar == 2 && bands > 1) bands else 1
+    require(pg.offsets.length == planes * nStrips,
+      s"strip count ${pg.offsets.length} != $planes planes x $nStrips strips")
+    val plan = (0 until nStrips).map { si =>
+      (si,
+        Array.tabulate(planes)(b => pg.offsets(b * nStrips + si)).toSeq,
+        Array.tabulate(planes)(b => pg.counts(b * nStrips + si)).toSeq,
         math.min(rps, height - si * rps)) // last strip may be short
     }
     val bcConf = spark.sparkContext.broadcast(confEntries)
@@ -331,11 +341,26 @@ object CogReader {
         bcConf.value.foreach { case (k, v) => conf.set(k, v) }
         val path = new Path(uri)
         val in = path.getFileSystem(conf).open(path)
-        val out = it.map { case (si, off, cnt, rows) =>
-          val comp = new Array[Byte](cnt.toInt)
-          in.readFully(off, comp, 0, cnt.toInt)
-          val px = TileCodec.decodeStrip(comp, codec, pred, rows, width,
-            bands, dtype, bigEndian = mm)
+        val out = it.map { case (si, offs, cnts, rows) =>
+          val px =
+            if (planes == 1) {
+              val comp = new Array[Byte](cnts.head.toInt)
+              in.readFully(offs.head, comp, 0, cnts.head.toInt)
+              TileCodec.decodeStrip(comp, codec, pred, rows, width,
+                bands, dtype, bigEndian = mm)
+            } else {
+              val out = new Array[Double](bands * rows * width)
+              var b = 0
+              while (b < planes) {
+                val comp = new Array[Byte](cnts(b).toInt)
+                in.readFully(offs(b), comp, 0, cnts(b).toInt)
+                val plane = TileCodec.decodeStrip(comp, codec, pred, rows,
+                  width, 1, dtype, bigEndian = mm)
+                System.arraycopy(plane, 0, out, b * rows * width, rows * width)
+                b += 1
+              }
+              out
+            }
           Tile(0, si, 0, rows, width, px, null)
         }
         taskBoundIterator(in, out)

@@ -805,8 +805,20 @@ class CogScan(path: String, conf: Map[String, String],
           (dbounds.isEmpty || ss.geo.forall(g => bboxOk(CogTable.tileBounds(
             g, ss.rowsPerStrip, 0, si, 0, rows, ss.width))))
       }
-      val specs = pg.offsets.indices.iterator.filter(stripKeep)
-        .map(si => CogTileSpec(0, 1, si, pg.offsets(si), pg.counts(si), 0L, 0L))
+      // planar striped pages carry bands consecutive plane arrays —
+      // one spec per SPATIAL strip, per-plane offsets in pOff/pCnt
+      // (same shape as the tiled planar path)
+      val nStrips = pg.tilesPerPlane
+      val planes = if (pg.planar == 2 && pg.samplesPerPixel > 1)
+        pg.samplesPerPixel else 1
+      require(pg.offsets.length == planes * nStrips,
+        s"strip count ${pg.offsets.length} != $planes planes x $nStrips strips")
+      val specs = (0 until nStrips).iterator.filter(stripKeep)
+        .map(si => CogTileSpec(0, 1, si, pg.offsets(si), pg.counts(si), 0L, 0L,
+          pOff = if (planes > 1)
+            (0 until planes).map(b => pg.offsets(b * nStrips + si)) else Nil,
+          pCnt = if (planes > 1)
+            (0 until planes).map(b => pg.counts(b * nStrips + si)) else Nil))
       val groups = Array.fill(slicesPerFile)(Seq.newBuilder[CogTileSpec])
       var i = 0
       specs.foreach { s => groups(i % slicesPerFile) += s; i += 1 }
@@ -1115,12 +1127,27 @@ class CogPartitionReader(part: CogInputPartition)
         org.apache.spark.unsafe.types.UTF8String.fromString(part.uri)
       case _ => null
     }
-    lazy val pixels = {
-      val comp = new Array[Byte](s.cnt.toInt)
-      in.readFully(s.off, comp, 0, s.cnt.toInt)
-      graft.raster.TileCodec.decodeStrip(comp, ss.codec, ss.predictor,
-        rows, ss.width, ss.bands, ss.dtype, ss.bigEndian)
-    }
+    lazy val pixels =
+      if (s.pOff.nonEmpty) {
+        // planar: one chunk per band, each a single-band strip decoded
+        // straight into the band-major output (no interleave pass)
+        val out = new Array[Double](ss.bands * rows * ss.width)
+        var b = 0
+        while (b < s.pOff.length) {
+          val comp = new Array[Byte](s.pCnt(b).toInt)
+          in.readFully(s.pOff(b), comp, 0, s.pCnt(b).toInt)
+          val plane = graft.raster.TileCodec.decodeStrip(comp, ss.codec,
+            ss.predictor, rows, ss.width, 1, ss.dtype, ss.bigEndian)
+          System.arraycopy(plane, 0, out, b * rows * ss.width, rows * ss.width)
+          b += 1
+        }
+        out
+      } else {
+        val comp = new Array[Byte](s.cnt.toInt)
+        in.readFully(s.off, comp, 0, s.cnt.toInt)
+        graft.raster.TileCodec.decodeStrip(comp, ss.codec, ss.predictor,
+          rows, ss.width, ss.bands, ss.dtype, ss.bigEndian)
+      }
     row = new GenericInternalRow(names.map[Any] {
       case "level" => 0
       case "ty" => si

@@ -228,27 +228,27 @@ class ForeignTiffSpec extends SparkSpec {
     b.array()
   }
 
-  test("planar (PC=2): tiled parses with the layout recorded; striped multi-band refuses") {
-    // TILED planar decodes per plane since round 9 (PlanarTiffSpec
-    // pins exact pixels); the parser records the layout. Tile
-    // organization = TileWidth tag present (322).
+  test("planar (PC=2): both layouts parse with the layout recorded; bad values refuse") {
+    // TILED planar decodes per plane since round 9 (PlanarTiffSpec pins
+    // exact pixels); STRIPED planar since round 11 (PlanarTiffSpec too).
     val tiled = BigTiff.readPages(
       miniHeader(277 -> Seq(2), 284 -> Seq(2), 322 -> Seq(16), 323 -> Seq(16)))
     assert(tiled.head.planar == 2 && tiled.head.samplesPerPixel == 2)
-    // a stray RowsPerStrip tag on a TILED page does not flip the gate:
-    // the page is still tile-organized and must parse
+    // a stray RowsPerStrip tag on a TILED page does not change the
+    // layout: the page is still tile-organized and must parse
     val stray = BigTiff.readPages(miniHeader(277 -> Seq(2), 278 -> Seq(4),
       284 -> Seq(2), 322 -> Seq(16), 323 -> Seq(16)))
-    assert(stray.head.planar == 2 && stray.head.samplesPerPixel == 2)
-    // STRIPED planar multi-band stays rejected: readStrips assumes
-    // chunky strips and would decode wrong pixels. Strip organization
-    // = no TileWidth tag, with or without an explicit RowsPerStrip.
+    assert(stray.head.planar == 2 && stray.head.samplesPerPixel == 2 &&
+      !stray.head.isStriped)
+    // STRIPED planar multi-band parses with the layout recorded
+    val striped = BigTiff.readPages(
+      miniHeader(277 -> Seq(2), 278 -> Seq(4), 284 -> Seq(2)))
+    assert(striped.head.planar == 2 && striped.head.samplesPerPixel == 2 &&
+      striped.head.isStriped)
+    // an invalid PlanarConfiguration value still refuses
     val ex = intercept[IllegalArgumentException](
-      BigTiff.readPages(miniHeader(277 -> Seq(2), 278 -> Seq(4), 284 -> Seq(2))))
+      BigTiff.readPages(miniHeader(277 -> Seq(2), 284 -> Seq(3))))
     assert(ex.getMessage.contains("PlanarConfiguration"))
-    val ex2 = intercept[IllegalArgumentException](
-      BigTiff.readPages(miniHeader(277 -> Seq(2), 284 -> Seq(2))))
-    assert(ex2.getMessage.contains("PlanarConfiguration"))
     // single-band: the tag is meaningless, page normalizes to chunky
     val ok = BigTiff.readPages(miniHeader(277 -> Seq(1), 284 -> Seq(2)))
     assert(ok.length == 1 && ok.head.samplesPerPixel == 1 && ok.head.planar == 1)

@@ -86,6 +86,75 @@ class PlanarTiffSpec extends SparkSpec {
     }
   }
 
+  /** 8×8, 2 bands, uint8, uncompressed, STRIP-organized planar:
+    * RowsPerStrip 4 → 2 strips per plane, offsets holding plane 0's
+    * strips then plane 1's (TIFF 6.0 §14). */
+  private def buildStripedPlanarTiff(): (String, Array[Byte], Array[Byte]) = {
+    val n = 64 // 8x8 per plane
+    val plane0 = Array.tabulate[Byte](n)(i => (i * 7 % 251).toByte)
+    val plane1 = Array.tabulate[Byte](n)(i => ((i * 11 + 3) % 251).toByte)
+    val ifdOff = 8 + 2 * n
+    val nEntries = 11
+    val ifdLen = 2 + nEntries * 12 + 4
+    val extOffsets = ifdOff + ifdLen
+    val extCounts = extOffsets + 16
+    val b = ByteBuffer.allocate(extCounts + 16).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    b.put(plane0).put(plane1)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int)(value: ByteBuffer => Unit): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      val before = b.position()
+      value(b)
+      while (b.position() < before + 4) b.put(0.toByte)
+    }
+    entry(256, 3, 1)(_.putShort(8))           // ImageWidth
+    entry(257, 3, 1)(_.putShort(8))           // ImageLength
+    entry(258, 3, 2)(x => { x.putShort(8); x.putShort(8) }) // BitsPerSample
+    entry(259, 3, 1)(_.putShort(1))           // Compression: none
+    entry(262, 3, 1)(_.putShort(1))           // Photometric
+    entry(273, 4, 4)(_.putInt(extOffsets))    // StripOffsets (external)
+    entry(277, 3, 1)(_.putShort(2))           // SamplesPerPixel
+    entry(278, 3, 1)(_.putShort(4))           // RowsPerStrip
+    entry(279, 4, 4)(_.putInt(extCounts))     // StripByteCounts (external)
+    entry(284, 3, 1)(_.putShort(2))           // PlanarConfiguration = 2
+    entry(339, 3, 2)(x => { x.putShort(1); x.putShort(1) }) // SampleFormat
+    b.putInt(0)                               // next IFD
+    // plane 0 strips (rows 0-3, 4-7), then plane 1 strips
+    b.putInt(8).putInt(8 + 32).putInt(8 + 64).putInt(8 + 96)
+    b.putInt(32).putInt(32).putInt(32).putInt(32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-splanar").toString
+    val f = java.nio.file.Paths.get(dir, "striped-planar.tif")
+    java.nio.file.Files.write(f, b.array())
+    ("file://" + f, plane0, plane1)
+  }
+
+  test("striped planar TIFF decodes band-major through DSv2 and readStrips") {
+    val (uri, plane0, plane1) = buildStripedPlanarTiff()
+    // DSv2: one row per strip, pixels band-major per strip
+    val rows = spark.read.format("cog").load(uri).collect().sortBy(_.getInt(1))
+    assert(rows.length == 2)
+    for ((r, si) <- rows.zipWithIndex) {
+      assert(r.getInt(1) == si && r.getInt(2) == 0 &&
+        r.getInt(3) == 4 && r.getInt(4) == 8)
+      val px = r.getSeq[Double](5)
+      assert(px.length == 64) // 2 bands x 4 rows x 8 cols
+      for (i <- 0 until 32) {
+        assert(px(i) == (plane0(si * 32 + i) & 0xFF).toDouble,
+          s"strip $si band0 px $i")
+        assert(px(32 + i) == (plane1(si * 32 + i) & 0xFF).toDouble,
+          s"strip $si band1 px $i")
+      }
+    }
+    // library readStrips path: same tiles
+    val tiles = CogReader.readStrips(spark, uri).collect().sortBy(_.ty)
+    assert(tiles.length == 2)
+    for (t <- tiles; i <- 0 until 32) {
+      assert(t.pixels(i) == (plane0(t.ty * 32 + i) & 0xFF).toDouble)
+      assert(t.pixels(32 + i) == (plane1(t.ty * 32 + i) & 0xFF).toDouble)
+    }
+  }
+
   test("library CogReader.read refuses planar files loudly") {
     val (uri, _, _) = buildPlanarTiff()
     val pages = CogReader.readMeta(uri, Map.empty)
