@@ -261,6 +261,11 @@ object RasterQueries {
     implicit val sqlCtx = spark.sqlContext
     val prof = RasterProfile(96, 80, blockSize = 16, nodata = ND,
       minOverviewSize = 32)
+    // demo-assembly collect, NOT a scale pattern: MemoryStream is fed
+    // from the driver by design (it exists to simulate a source in
+    // tests/demos). A production ingest replaces this with a real
+    // streaming source (Kafka/files); everything downstream of the
+    // stream is identical.
     val rows = SyntheticRaster.generate(spark, prof, seed = 43L)
       .collect().sortBy(t => (t.ty, t.tx))
       .map(t => (t.ty, t.tx, t.h, t.w, t.pixels, t.mask))
