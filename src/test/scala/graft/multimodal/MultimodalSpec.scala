@@ -25,6 +25,21 @@ class MultimodalSpec extends SparkSpec {
     assert(BinaryCodec.decodeAviFrames(avi, every = 2).map(_.frameIdx) == Seq(0, 2))
   }
 
+  test("mjpegAvi/decodeAviFrames round-trip: any frame count and cadence") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 10) {
+      val n = 1 + rnd.nextInt(12)
+      val every = 1 + rnd.nextInt(4)
+      val w = 8 + rnd.nextInt(24)
+      val h = 8 + rnd.nextInt(16)
+      val avi = BinaryCodec.syntheticMjpegAvi(rnd.nextLong(), w, h, n)
+      val frames = BinaryCodec.decodeAviFrames(avi, every)
+      assert(frames.map(_.frameIdx) == (0 until n by every).toSeq,
+        s"n=$n every=$every")
+      assert(frames.forall(f => f.width == w && f.height == h && f.channels == 3))
+    }
+  }
+
   test("decodeAviFrames rejects non-AVI, frameless, and corrupt payloads loudly") {
     // a WAV is RIFF but not AVI
     val wav = BinaryCodec.syntheticWav(9L, 8000, 100, 100.0)
