@@ -279,28 +279,22 @@ object BinaryCodec {
       new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
       new String(payload, 8, 4, "US-ASCII") == "WAVE",
       s"not a RIFF/WAVE payload (${payload.length} bytes)")
-    var off = 12
     var sampleRate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
-    while (off + 8 <= payload.length && (dataOff < 0 || sampleRate == 0)) {
-      val id = new String(payload, off, 4, "US-ASCII")
-      val sz = le32(payload, off + 4)
+    // the shared walker carries the corrupt-size guard: a negative or
+    // overrunning declared chunk size rejects loudly instead of
+    // spinning the cursor forever
+    walkRiffChunks(payload, 12, payload.length) { (id, dOff, sz) =>
       if (id == "fmt ") {
-        val audioFormat = le16(payload, off + 8)
+        val audioFormat = le16(payload, dOff)
         require(audioFormat == 1, s"only PCM WAV supported (format $audioFormat)")
-        channels = le16(payload, off + 10)
-        sampleRate = le32(payload, off + 12)
-        bits = le16(payload, off + 22)
+        channels = le16(payload, dOff + 2)
+        sampleRate = le32(payload, dOff + 4)
+        bits = le16(payload, dOff + 14)
         require(bits == 16, s"only 16-bit PCM supported (got $bits)")
-      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-      // sz is attacker-controllable; a negative value would make the
-      // cursor non-increasing and hang the executor — reject loudly.
-      require(sz >= 0 && off.toLong + 8 + sz <= payload.length,
-        s"corrupt RIFF chunk '$id' at $off: declared size $sz overruns ${payload.length}-byte payload")
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
+      } else if (id == "data" && dataOff < 0) { dataOff = dOff; dataLen = sz }
     }
     require(dataOff > 0 && sampleRate > 0, "missing fmt/data chunk")
-    require(dataOff + dataLen <= payload.length, "data chunk overruns payload")
     val bytesPerFrame = 2 * channels
     val n = dataLen / bytesPerFrame
     var sumSq = 0.0

@@ -257,10 +257,13 @@ object CogReader {
     // plane recipe per page from this one profile's band count
     data.foreach(pg => require(pg.planar == p0.planar,
       s"mixed PlanarConfiguration across pages: ${pg.planar} vs ${p0.planar}"))
-    // planar jpeg is not a combination GDAL emits; the jpeg decoder
-    // assumes interleaved channels — reject rather than mis-decode
-    require(p0.planar == 1 || comp != "jpeg",
-      "planar jpeg pages are unsupported")
+    // planar jpeg (round 11): each plane is an independent grayscale
+    // JPEG, so the per-plane decode path handles it — EXCEPT planar
+    // YCbCr (photometric 6), where the planes are color components
+    // needing a cross-plane conversion no per-plane decode can do
+    // (not a combination GDAL emits) — reject rather than mis-decode
+    require(p0.planar == 1 || comp != "jpeg" || p0.photometric != 6,
+      "planar YCbCr jpeg pages are unsupported")
     val nodata =
       if (p0.nodataAscii.nonEmpty) p0.nodataAscii.toDouble
       else if (dtype.startsWith("uint")) 0.0

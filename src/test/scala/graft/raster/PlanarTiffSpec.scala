@@ -86,6 +86,73 @@ class PlanarTiffSpec extends SparkSpec {
     }
   }
 
+  /** 16×16, 3 bands (RGB), uint8, TILED planar JPEG (compression 7):
+    * each plane tile is an independent grayscale JPEG stream.
+    * `photometric` lets the YCbCr (=6) rejection case reuse the
+    * builder. */
+  private def buildPlanarJpegTiff(photometric: Int): (String, Seq[Int]) = {
+    val vals = Seq(100, 200, 50)
+    val jpegs = vals.map(v =>
+      TileCodec.jpegEncode(Array.fill[Byte](256)(v.toByte), 16, 16, 90, 1))
+    val ifdOff = 8 + jpegs.map(_.length).sum
+    val nEntries = 12
+    val ifdLen = 2 + nEntries * 12 + 4
+    val extBits = ifdOff + ifdLen              // BitsPerSample (3 SHORTs)
+    val extSf = extBits + 6                    // SampleFormat (3 SHORTs)
+    val extOffsets = extSf + 6                 // TileOffsets (3 LONGs)
+    val extCounts = extOffsets + 12            // TileByteCounts (3 LONGs)
+    val b = ByteBuffer.allocate(extCounts + 12).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    jpegs.foreach(b.put)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int)(value: ByteBuffer => Unit): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      val before = b.position()
+      value(b)
+      while (b.position() < before + 4) b.put(0.toByte)
+    }
+    entry(256, 3, 1)(_.putShort(16))
+    entry(257, 3, 1)(_.putShort(16))
+    entry(258, 3, 3)(_.putInt(extBits))       // BitsPerSample (external)
+    entry(259, 3, 1)(_.putShort(7))           // Compression: JPEG
+    entry(262, 3, 1)(_.putShort(photometric.toShort))
+    entry(277, 3, 1)(_.putShort(3))
+    entry(284, 3, 1)(_.putShort(2))           // PlanarConfiguration = 2
+    entry(322, 3, 1)(_.putShort(16))
+    entry(323, 3, 1)(_.putShort(16))
+    entry(324, 4, 3)(_.putInt(extOffsets))
+    entry(325, 4, 3)(_.putInt(extCounts))
+    entry(339, 3, 3)(_.putInt(extSf))         // SampleFormat (external)
+    b.putInt(0)
+    b.putShort(8).putShort(8).putShort(8)     // BitsPerSample payload
+    b.putShort(1).putShort(1).putShort(1)     // SampleFormat payload
+    var off = 8
+    for (j <- jpegs) { b.putInt(off); off += j.length }
+    jpegs.foreach(j => b.putInt(j.length))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pjpeg").toString
+    val f = java.nio.file.Paths.get(dir, "planar-jpeg.tif")
+    java.nio.file.Files.write(f, b.array())
+    ("file://" + f, vals)
+  }
+
+  test("tiled planar RGB JPEG decodes per plane; planar YCbCr jpeg refuses") {
+    val (uri, vals) = buildPlanarJpegTiff(photometric = 2)
+    val rows = spark.read.format("cog").load(uri).collect()
+    assert(rows.length == 1)
+    val px = rows.head.getSeq[Double](5)
+    assert(px.length == 768)
+    // uniform planes are DC-only JPEG: decode within ±2 of the value
+    for ((v, bnd) <- vals.zipWithIndex; i <- 0 until 256)
+      assert(math.abs(px(bnd * 256 + i) - v) <= 2.0,
+        s"band $bnd px $i = ${px(bnd * 256 + i)}")
+    // planar YCbCr jpeg needs a cross-plane conversion no per-plane
+    // decode can do — still refused loudly
+    val (uri6, _) = buildPlanarJpegTiff(photometric = 6)
+    val ex = intercept[IllegalArgumentException](
+      spark.read.format("cog").load(uri6).collect())
+    assert(ex.getMessage.contains("YCbCr"), ex.getMessage)
+  }
+
   /** 8×8, 2 bands, uint8, uncompressed, STRIP-organized planar:
     * RowsPerStrip 4 → 2 strips per plane, offsets holding plane 0's
     * strips then plane 1's (TIFF 6.0 §14). */
