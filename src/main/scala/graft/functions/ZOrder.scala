@@ -24,20 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Range guard: inputs outside [0, 65535] would silently alias to
-    * wrong-but-plausible Z-keys under the 16-bit mask, destroying the
-    * locality property file skipping depends on — raise instead. Stays
-    * inside whole-stage codegen (`when` + `raise_error` are builtins). */
-  private def checked(c: Column): Column = {
-    val l = c.cast("long")
-    when(l.isNull.or(l >= 0L && l <= 0xFFFFL), l)
-      .otherwise(raise_error(concat(
-        lit("morton() input out of range [0, 65535]: "), l.cast("string"))).cast("long"))
-  }
-
   /** Spread the low 16 bits of `c` so bit i lands at position 2i. */
   private def spread16(c: Column): Column = {
-    val masked = checked(c).bitwiseAND(lit(0xFFFFL))
+    val masked = c.bitwiseAND(lit(0xFFFFL))
     val s1 = (masked.bitwiseOR(shiftleft(masked, 8))).bitwiseAND(lit(0x00FF00FFL))
     val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
     val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
@@ -45,10 +34,25 @@ object ZOrder {
   }
 
   /** Morton key of (x, y): x's bits at even positions, y's at odd.
-    * Both inputs must be in [0, 65535] — grid indices, not world
-    * coordinates (quantize first for doubles). */
-  def morton(x: Column, y: Column): Column =
-    spread16(x).bitwiseOR(shiftleft(spread16(y), 1)).as("zorder")
+    * Inputs outside [0, 65535] RAISE rather than silently aliasing
+    * under the 16-bit mask (which would destroy the locality property
+    * file skipping depends on); NULLs propagate. The guard sits ONCE
+    * above the interleave — the magic-mask doubling references its
+    * operand 16x, so guarding inside the spread would inflate the
+    * expression tree and generated code 32-fold. Everything stays
+    * codegen'd builtins (`when`/`raise_error` included). */
+  def morton(x: Column, y: Column): Column = {
+    val lx = x.cast("long")
+    val ly = y.cast("long")
+    def ok(l: Column) = l.isNull.or(l >= 0L && l <= 0xFFFFL)
+    when(ok(lx).and(ok(ly)),
+      spread16(lx).bitwiseOR(shiftleft(spread16(ly), 1)))
+      .otherwise(raise_error(concat(
+        lit("morton() input out of range [0, 65535]: ("),
+        coalesce(lx.cast("string"), lit("null")), lit(", "),
+        coalesce(ly.cast("string"), lit("null")), lit(")"))).cast("long"))
+      .as("zorder")
+  }
 
   /** The same interleave as a raw Catalyst expression tree, for the
     * SQL function registry ([[GraftExtensions]] injects it as
@@ -63,21 +67,26 @@ object ZOrder {
     def or(a: Expression, b: Expression) = BitwiseOr(a, b)
     def shl(a: Expression, n: Int) = ShiftLeft(a, Literal(n))
     def spread(c: Expression): Expression = {
-      // same range guard as the Column helper: refuse out-of-range
-      // inputs loudly instead of aliasing them under the 16-bit mask
-      val l = Cast(c, LongType)
-      val inRange = Or(IsNull(l),
-        And(GreaterThanOrEqual(l, Literal(0L)), LessThanOrEqual(l, Literal(0xFFFFL))))
-      val guarded = If(inRange, l, Cast(new RaiseError(Concat(Seq(
-        Literal("morton() input out of range [0, 65535]: "),
-        Cast(l, org.apache.spark.sql.types.StringType)))), LongType))
-      val masked = and(guarded, 0xFFFFL)
+      val masked = and(c, 0xFFFFL)
       val s1 = and(or(masked, shl(masked, 8)), 0x00FF00FFL)
       val s2 = and(or(s1, shl(s1, 4)), 0x0F0F0F0FL)
       val s3 = and(or(s2, shl(s2, 2)), 0x33333333L)
       and(or(s3, shl(s3, 1)), 0x55555555L)
     }
-    or(spread(x), shl(spread(y), 1))
+    // same single top-level range guard as the Column helper (see
+    // [[morton]]'s scaladoc for why it must not sit inside the spread)
+    import org.apache.spark.sql.types.StringType
+    val lx = Cast(x, LongType)
+    val ly = Cast(y, LongType)
+    def ok(l: Expression) = Or(IsNull(l),
+      And(GreaterThanOrEqual(l, Literal(0L)), LessThanOrEqual(l, Literal(0xFFFFL))))
+    If(And(ok(lx), ok(ly)),
+      or(spread(lx), shl(spread(ly), 1)),
+      Cast(new RaiseError(Concat(Seq(
+        Literal("morton() input out of range [0, 65535]: ("),
+        Coalesce(Seq(Cast(lx, StringType), Literal("null"))), Literal(", "),
+        Coalesce(Seq(Cast(ly, StringType), Literal("null"))), Literal(")")))),
+        LongType))
   }
 
   /** Reference implementation for specs: same interleave in plain Scala. */

@@ -118,8 +118,9 @@ object BinaryCodec {
     bos.toByteArray
   }
 
-  /** Batched REAL-image extraction: same batch shape as
-    * [[extractBatched]], decoding genuine payloads via ImageIO. */
+  /** Batched REAL-image extraction: fixed-size batches inside one
+    * mapPartitions pass (the arrow-batch shape), decoding genuine
+    * payloads via ImageIO. */
   def extractImagesBatched(it: Iterator[(Long, Array[Byte])]): Iterator[(Long, ImageMeta)] =
     it.grouped(BatchSize).flatMap(_.iterator.map { case (id, payload) =>
       (id, decodeImage(payload))
@@ -132,6 +133,17 @@ object BinaryCodec {
     * JPEG decode of the frame chunk. */
   case class FrameMeta(frameIdx: Int, width: Int, height: Int,
       channels: Int, meanSample: Double)
+
+  /** End of the RIFF body: the container's declared size bounds the
+    * top-level walk, so trailing non-chunk bytes (sector padding,
+    * appended junk after a valid file) are ignored instead of being
+    * misread as chunk headers; clamped to the actual payload length
+    * for files whose size field over-declares. */
+  private def riffEnd(payload: Array[Byte]): Int = {
+    val declared = le32(payload, 4)
+    require(declared >= 4, s"corrupt RIFF size $declared")
+    math.min(payload.length.toLong, 8L + declared).toInt
+  }
 
   /** Walk one level of RIFF chunks in [start, end), calling
     * `f(id, dataOff, size)` per chunk. Shares the WAV walker's
@@ -176,7 +188,7 @@ object BinaryCodec {
           nVideo += 1
         }
       }
-    walkRiffChunks(payload, 12, payload.length) { (id, dOff, sz) =>
+    walkRiffChunks(payload, 12, riffEnd(payload)) { (id, dOff, sz) =>
       if (id == "LIST" && sz >= 4 &&
         new String(payload, dOff, 4, "US-ASCII") == "movi")
         walkMovi(dOff + 4, dOff + sz)
@@ -283,8 +295,9 @@ object BinaryCodec {
     var dataOff = -1; var dataLen = 0
     // the shared walker carries the corrupt-size guard: a negative or
     // overrunning declared chunk size rejects loudly instead of
-    // spinning the cursor forever
-    walkRiffChunks(payload, 12, payload.length) { (id, dOff, sz) =>
+    // spinning the cursor forever; the declared RIFF size bounds the
+    // walk so trailing padding bytes don't read as chunks
+    walkRiffChunks(payload, 12, riffEnd(payload)) { (id, dOff, sz) =>
       if (id == "fmt ") {
         val audioFormat = le16(payload, dOff)
         require(audioFormat == 1, s"only PCM WAV supported (format $audioFormat)")

@@ -134,6 +134,28 @@ object CogReader {
     Tile(level, ty, tx, th, tw, px, mask)
   }
 
+  /** Planar STRIP gather: one compressed chunk per band, each decoded
+    * as a single-band strip straight into the band-major pixel array
+    * (the strip analog of [[materializeTilePlanar]]). Shared by the
+    * library readStrips path and the DSv2 strip partition reader. */
+  def materializeStripPlanar(in: org.apache.hadoop.fs.FSDataInputStream,
+      offs: Seq[Long], cnts: Seq[Long], rows: Int, width: Int,
+      codec: String, predictor: Int, dtype: String,
+      bigEndian: Boolean): Array[Double] = {
+    val bands = offs.length
+    val out = new Array[Double](bands * rows * width)
+    var b = 0
+    while (b < bands) {
+      val comp = new Array[Byte](cnts(b).toInt)
+      in.readFully(offs(b), comp, 0, cnts(b).toInt)
+      val plane = TileCodec.decodeStrip(comp, codec, predictor, rows,
+        width, 1, dtype, bigEndian)
+      System.arraycopy(plane, 0, out, b * rows * width, rows * width)
+      b += 1
+    }
+    out
+  }
+
   def materializeTile(in: org.apache.hadoop.fs.FSDataInputStream,
       profile: RasterProfile, level: Int, gw: Int,
       ti: Int, off: Long, cnt: Long, mOff: Long, mCnt: Long): Tile = {
@@ -351,19 +373,8 @@ object CogReader {
               in.readFully(offs.head, comp, 0, cnts.head.toInt)
               TileCodec.decodeStrip(comp, codec, pred, rows, width,
                 bands, dtype, bigEndian = mm)
-            } else {
-              val out = new Array[Double](bands * rows * width)
-              var b = 0
-              while (b < planes) {
-                val comp = new Array[Byte](cnts(b).toInt)
-                in.readFully(offs(b), comp, 0, cnts(b).toInt)
-                val plane = TileCodec.decodeStrip(comp, codec, pred, rows,
-                  width, 1, dtype, bigEndian = mm)
-                System.arraycopy(plane, 0, out, b * rows * width, rows * width)
-                b += 1
-              }
-              out
-            }
+            } else materializeStripPlanar(in, offs, cnts, rows, width,
+              codec, pred, dtype, bigEndian = mm)
           Tile(0, si, 0, rows, width, px, null)
         }
         taskBoundIterator(in, out)

@@ -150,6 +150,9 @@ class CogWriteBuilder(path: String, opts: Map[String, String])
 }
 
 object CogWriteSupport {
+  /** Mosaic part-file naming — the ONE definition shared by the
+    * writer format, the collision check, and append validation. */
+  private val PartName = raw"part-(\d+)-(\d+)\.tif".r
   /** Dispatch: `mosaic.grid` = N routes to the partitioned DIRECTORY
     * write (one COG per N×N-tile region — the write-side half of the
     * mosaic read, producing the realistic many-file 100 TB layout a
@@ -209,7 +212,6 @@ object CogWriteSupport {
       .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity).toSeq
     require(keys.nonEmpty, "cog mosaic write got zero level-0 tiles")
     if (appendInto) {
-      val PartName = raw"part-(\d+)-(\d+)\.tif".r
       val existing = fs.listStatus(target).map(_.getPath.getName).collect {
         case PartName(ry, rx) => (ry.toInt, rx.toInt)
       }.toSet
@@ -307,16 +309,15 @@ object CogWriteSupport {
     * geometry contradicts the files already in the mosaic would write
     * region COGs whose world coordinates disagree with their
     * neighbours, silently corrupting bbox pruning on read-back. Parse
-    * ONE existing part header (KBs, driver-side) and require
-    * blocksize/bands/dtype/extent/geo-referencing consistency. The
-    * bottom-right-most part pins the global extent hardest: its
-    * dimensions carry the edge clip, so a wrong global width/height
-    * fails here even when every option was omitted and inference saw
-    * only the appended frame. */
+    * the extreme existing part headers (KBs, driver-side) and require
+    * blocksize/bands/dtype/extent/geo-referencing consistency. TWO
+    * parts pin the global extent: the bottom-most (max ry) carries the
+    * height edge clip and the right-most (max rx) the width clip, so a
+    * wrong global width OR height fails even when every option was
+    * omitted and inference saw only the appended frame. */
   private def validateAppendGeometry(fs: org.apache.hadoop.fs.FileSystem,
       target: Path, opts: Map[String, String], bs: Int, width: Int,
       height: Int, bands: Int, regionPx: Long): Unit = {
-    val PartName = raw"part-(\d+)-(\d+)\.tif".r
     val existing = fs.listStatus(target).flatMap { st =>
       st.getPath.getName match {
         case PartName(ry, rx) => Some(((ry.toInt, rx.toInt), st.getPath))
@@ -324,44 +325,48 @@ object CogWriteSupport {
       }
     }
     if (existing.isEmpty) return // nothing to contradict
-    val ((ry, rx), part) = existing.maxBy(_._1)
-    val prof = CogReader.inferProfile(
-      CogReader.readMeta(part.toString, opts.filter(_._1.startsWith("fs."))))
-    def ctx = s"mosaic append geometry mismatch vs existing ${part.getName}"
-    require(prof.blockSize == bs,
-      s"$ctx: blocksize ${prof.blockSize} != incoming $bs")
-    require(prof.bands == bands, s"$ctx: bands ${prof.bands} != incoming $bands")
-    val dtype = opts.getOrElse("dtype", "float64")
-    require(prof.dtype == dtype, s"$ctx: dtype ${prof.dtype} != incoming $dtype")
-    val expW = math.min(regionPx, width - rx * regionPx)
-    val expH = math.min(regionPx, height - ry * regionPx)
-    require(prof.width == expW && prof.height == expH,
-      s"$ctx: region ($ry,$rx) is ${prof.width}x${prof.height} but global " +
-        s"${width}x$height implies ${expW}x$expH — pass width/height/blocksize " +
-        "options matching the existing mosaic")
     def near(a: Double, b: Double): Boolean =
       math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
-    (prof.geo, opts.get("epsg")) match {
-      case (Some(g), Some(e)) =>
-        val pw = opts.get("pixelw").map(_.toDouble).getOrElse(1.0)
-        val ph = opts.get("pixelh").map(_.toDouble).getOrElse(1.0)
-        val ox = opts.get("originx").map(_.toDouble).getOrElse(0.0)
-        val oy = opts.get("originy").map(_.toDouble).getOrElse(0.0)
-        require(g.epsg == e.toInt, s"$ctx: EPSG ${g.epsg} != incoming $e")
-        require(near(g.pixelW, pw) && near(g.pixelH, ph),
-          s"$ctx: pixel scale (${g.pixelW},${g.pixelH}) != incoming ($pw,$ph)")
-        val expOx = ox + rx * regionPx * pw
-        val expOy = oy - ry * regionPx * ph
-        require(near(g.originX, expOx) && near(g.originY, expOy),
-          s"$ctx: region ($ry,$rx) origin (${g.originX},${g.originY}) != " +
-            s"($expOx,$expOy) implied by incoming origin ($ox,$oy)")
-      case (Some(g), None) => throw new IllegalArgumentException(
-        s"$ctx: existing mosaic is geo-referenced (EPSG ${g.epsg}) but the " +
-          "append passes no epsg option")
-      case (None, Some(e)) => throw new IllegalArgumentException(
-        s"$ctx: append passes epsg=$e but the existing mosaic has no " +
-          "geo-referencing")
-      case (None, None) => ()
+    // bottom-most part pins height; right-most pins width (often the
+    // same file — the Set dedups the header parse)
+    for (((ry, rx), part) <- Set(existing.maxBy(_._1),
+        existing.maxBy { case ((ry, rx), _) => (rx, ry) })) {
+      val prof = CogReader.inferProfile(
+        CogReader.readMeta(part.toString, opts.filter(_._1.startsWith("fs."))))
+      def ctx = s"mosaic append geometry mismatch vs existing ${part.getName}"
+      require(prof.blockSize == bs,
+        s"$ctx: blocksize ${prof.blockSize} != incoming $bs")
+      require(prof.bands == bands, s"$ctx: bands ${prof.bands} != incoming $bands")
+      val dtype = opts.getOrElse("dtype", "float64")
+      require(prof.dtype == dtype, s"$ctx: dtype ${prof.dtype} != incoming $dtype")
+      val expW = math.min(regionPx, width - rx * regionPx)
+      val expH = math.min(regionPx, height - ry * regionPx)
+      require(prof.width == expW && prof.height == expH,
+        s"$ctx: region ($ry,$rx) is ${prof.width}x${prof.height} but global " +
+          s"${width}x$height implies ${expW}x$expH — pass width/height/blocksize " +
+          "options matching the existing mosaic")
+      (prof.geo, opts.get("epsg")) match {
+        case (Some(g), Some(e)) =>
+          val pw = opts.get("pixelw").map(_.toDouble).getOrElse(1.0)
+          val ph = opts.get("pixelh").map(_.toDouble).getOrElse(1.0)
+          val ox = opts.get("originx").map(_.toDouble).getOrElse(0.0)
+          val oy = opts.get("originy").map(_.toDouble).getOrElse(0.0)
+          require(g.epsg == e.toInt, s"$ctx: EPSG ${g.epsg} != incoming $e")
+          require(near(g.pixelW, pw) && near(g.pixelH, ph),
+            s"$ctx: pixel scale (${g.pixelW},${g.pixelH}) != incoming ($pw,$ph)")
+          val expOx = ox + rx * regionPx * pw
+          val expOy = oy - ry * regionPx * ph
+          require(near(g.originX, expOx) && near(g.originY, expOy),
+            s"$ctx: region ($ry,$rx) origin (${g.originX},${g.originY}) != " +
+              s"($expOx,$expOy) implied by incoming origin ($ox,$oy)")
+        case (Some(g), None) => throw new IllegalArgumentException(
+          s"$ctx: existing mosaic is geo-referenced (EPSG ${g.epsg}) but the " +
+            "append passes no epsg option")
+        case (None, Some(e)) => throw new IllegalArgumentException(
+          s"$ctx: append passes epsg=$e but the existing mosaic has no " +
+            "geo-referencing")
+        case (None, None) => ()
+      }
     }
   }
 
@@ -1129,19 +1134,10 @@ class CogPartitionReader(part: CogInputPartition)
     }
     lazy val pixels =
       if (s.pOff.nonEmpty) {
-        // planar: one chunk per band, each a single-band strip decoded
-        // straight into the band-major output (no interleave pass)
-        val out = new Array[Double](ss.bands * rows * ss.width)
-        var b = 0
-        while (b < s.pOff.length) {
-          val comp = new Array[Byte](s.pCnt(b).toInt)
-          in.readFully(s.pOff(b), comp, 0, s.pCnt(b).toInt)
-          val plane = graft.raster.TileCodec.decodeStrip(comp, ss.codec,
-            ss.predictor, rows, ss.width, 1, ss.dtype, ss.bigEndian)
-          System.arraycopy(plane, 0, out, b * rows * ss.width, rows * ss.width)
-          b += 1
-        }
-        out
+        // planar: one chunk per band, decoded band-major by the shared
+        // gather (same kernel as the library readStrips path)
+        CogReader.materializeStripPlanar(in, s.pOff, s.pCnt, rows,
+          ss.width, ss.codec, ss.predictor, ss.dtype, ss.bigEndian)
       } else {
         val comp = new Array[Byte](s.cnt.toInt)
         in.readFully(s.off, comp, 0, s.cnt.toInt)

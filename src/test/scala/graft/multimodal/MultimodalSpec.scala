@@ -211,6 +211,18 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("PCM"))
   }
 
+  test("trailing non-chunk bytes after the declared RIFF size are ignored") {
+    // sector padding / appended junk after a valid container must not
+    // read as chunk headers — the declared RIFF size bounds the walk
+    val wav = BinaryCodec.syntheticWav(11L, 8000, 500, 150.0)
+    val padded = wav ++ Array.fill[Byte](9)(0x5A)
+    val a = BinaryCodec.decodeWav(padded)
+    assert(a.nSamples == 500 && a.sampleRate == 8000)
+    val avi = BinaryCodec.syntheticMjpegAvi(12L, 16, 12, 3)
+    val paddedAvi = avi ++ Array.fill[Byte](5)(0x7F)
+    assert(BinaryCodec.decodeAviFrames(paddedAvi).map(_.frameIdx) == Seq(0, 1, 2))
+  }
+
   test("decodeWav rejects negative/overrunning chunk sizes instead of looping") {
     // a negative declared chunk size (le32 0xFFFFFFF8 = -8) makes the
     // cursor advance by 8 + (-8) + 0 = 0 — without the bounds check the

@@ -245,6 +245,41 @@ class MosaicWriteSpec extends SparkSpec {
     assert(spark.read.format("cog").load(dir).where($"level" === 0).count() == 12)
   }
 
+  test("mosaic append width check uses the right-most part, not just the bottom-most") {
+    val s = spark
+    import s.implicits._
+    // 48x64 @ blockSize 16, grid 2: region COLUMN 1 is edge-clipped to
+    // 16 px wide. First batch covers (0,0), (0,1), (1,0) — the bottom
+    // row has NO right-column part, so the bottom-most part alone
+    // cannot pin the global width; the right-most (0,1) must.
+    val prof = RasterProfile(48, 64, blockSize = 16, nodata = ND,
+      minOverviewSize = 16, geo = Some(GeoRef(PW, PW, OX, OY, 32633)))
+    val all = SyntheticRaster.generate(s, prof, seed = 57L)
+    val dir = Files.createTempDirectory("graft-mgeow").toString + "/mosaic"
+    def writeBatch(pred: org.apache.spark.sql.Column, width: Int): Unit =
+      all.toDF().filter(pred).write.format("cog")
+        .option("mosaic.grid", "2").option("blocksize", "16")
+        .option("width", width.toString).option("height", "64")
+        .option("nodata", ND.toString).option("minoverviewsize", "16")
+        .option("epsg", "32633")
+        .option("pixelw", PW.toString).option("pixelh", PW.toString)
+        .option("originx", OX.toString).option("originy", OY.toString)
+        .mode("append").save(dir)
+    writeBatch($"tx" < 2 || $"ty" < 2, width = 48)
+    assert(new java.io.File(dir).list().filter(_.endsWith(".tif")).sorted.toSeq
+      == Seq("part-000-000.tif", "part-000-001.tif", "part-001-000.tif"))
+    // wrong global width 64: the bottom-most part (1,0) is interior in
+    // x and passes; the right-most part (0,1) carries the 16 px clip
+    // and must refuse
+    val ex = intercept[Exception](writeBatch($"tx" >= 2 && $"ty" >= 2, width = 64))
+    assert(ex.getMessage.contains("geometry mismatch"), ex.getMessage)
+    assert(new java.io.File(dir).list().count(_.endsWith(".tif")) == 3)
+    // the true width still appends
+    writeBatch($"tx" >= 2 && $"ty" >= 2, width = 48)
+    assert(new java.io.File(dir).list().count(_.endsWith(".tif")) == 4)
+    assert(spark.read.format("cog").load(dir).where($"level" === 0).count() == 12)
+  }
+
   test("mosaic.maxConcurrentFiles only changes scheduling: pool=1 and pool=8 write identical bytes") {
     val s = spark
     import s.implicits._
