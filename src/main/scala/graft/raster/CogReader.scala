@@ -134,23 +134,61 @@ object CogReader {
     Tile(level, ty, tx, th, tw, px, mask)
   }
 
+  /** Strip layout of a strip-organized page, with the consistency
+    * checks BOTH strip consumers (readStrips and the DSv2 planner)
+    * need: effective rows-per-strip (the TIFF 6.0 2^32-1 "whole image
+    * in one strip" sentinel clamps to the image height instead of
+    * truncating negative), spatial strip count derived from the
+    * geometry — NOT from the offsets array, so a truncated offsets
+    * array fails loudly here instead of silently shifting plane base
+    * offsets — and the planar plane count. */
+  def stripLayout(pg: BigTiff.PageMeta): (Int, Int, Int) = {
+    val height = pg.height.toInt
+    val rps = math.min(pg.rowsPerStrip, pg.height).toInt
+    require(rps > 0, s"invalid RowsPerStrip ${pg.rowsPerStrip}")
+    val nStrips = (height + rps - 1) / rps
+    val planes = if (pg.planar == 2 && pg.samplesPerPixel > 1)
+      pg.samplesPerPixel else 1
+    require(pg.offsets.length == planes * nStrips,
+      s"strip count ${pg.offsets.length} != $planes planes x $nStrips strips " +
+        s"(height ${pg.height}, RowsPerStrip ${pg.rowsPerStrip})")
+    require(pg.counts.length == pg.offsets.length,
+      s"StripByteCounts has ${pg.counts.length} entries vs " +
+        s"${pg.offsets.length} StripOffsets")
+    (nStrips, planes, rps)
+  }
+
+  /** GDAL_NODATA tag value, or the dtype-conventional default the
+    * profile inference uses (uint → 0, signed int → -1, float → NaN). */
+  def nodataOf(pg: BigTiff.PageMeta, dtype: String): Double =
+    if (pg.nodataAscii.nonEmpty) pg.nodataAscii.toDouble
+    else if (dtype.startsWith("uint")) 0.0
+    else if (TileCodec.isInteger(dtype)) -1.0
+    else Double.NaN
+
   /** Planar STRIP gather: one compressed chunk per band, each decoded
     * as a single-band strip straight into the band-major pixel array
-    * (the strip analog of [[materializeTilePlanar]]). Shared by the
-    * library readStrips path and the DSv2 strip partition reader. */
+    * (the strip analog of [[materializeTilePlanar]]). An absent plane
+    * (count 0) fills with nodata, matching sparse-tile semantics.
+    * Shared by the library readStrips path and the DSv2 strip
+    * partition reader. */
   def materializeStripPlanar(in: org.apache.hadoop.fs.FSDataInputStream,
       offs: Seq[Long], cnts: Seq[Long], rows: Int, width: Int,
       codec: String, predictor: Int, dtype: String,
-      bigEndian: Boolean): Array[Double] = {
+      bigEndian: Boolean, nodata: Double): Array[Double] = {
     val bands = offs.length
     val out = new Array[Double](bands * rows * width)
     var b = 0
     while (b < bands) {
-      val comp = new Array[Byte](cnts(b).toInt)
-      in.readFully(offs(b), comp, 0, cnts(b).toInt)
-      val plane = TileCodec.decodeStrip(comp, codec, predictor, rows,
-        width, 1, dtype, bigEndian)
-      System.arraycopy(plane, 0, out, b * rows * width, rows * width)
+      if (cnts(b) == 0) {
+        java.util.Arrays.fill(out, b * rows * width, (b + 1) * rows * width, nodata)
+      } else {
+        val comp = new Array[Byte](cnts(b).toInt)
+        in.readFully(offs(b), comp, 0, cnts(b).toInt)
+        val plane = TileCodec.decodeStrip(comp, codec, predictor, rows,
+          width, 1, dtype, bigEndian)
+        System.arraycopy(plane, 0, out, b * rows * width, rows * width)
+      }
       b += 1
     }
     out
@@ -283,14 +321,13 @@ object CogReader {
     // JPEG, so the per-plane decode path handles it — EXCEPT planar
     // YCbCr (photometric 6), where the planes are color components
     // needing a cross-plane conversion no per-plane decode can do
-    // (not a combination GDAL emits) — reject rather than mis-decode
-    require(p0.planar == 1 || comp != "jpeg" || p0.photometric != 6,
-      "planar YCbCr jpeg pages are unsupported")
-    val nodata =
-      if (p0.nodataAscii.nonEmpty) p0.nodataAscii.toDouble
-      else if (dtype.startsWith("uint")) 0.0
-      else if (TileCodec.isInteger(dtype)) -1.0
-      else Double.NaN
+    // (not a combination GDAL emits) — reject rather than mis-decode.
+    // Checked PER PAGE: a jpeg-compressed YCbCr OVERVIEW under a
+    // deflate base level must not slip through.
+    data.foreach(pg => require(
+      pg.planar == 1 || codec(pg.compression) != "jpeg" || pg.photometric != 6,
+      "planar YCbCr jpeg pages are unsupported"))
+    val nodata = nodataOf(p0, dtype)
     // geo-referencing back from the tags (the read-side answer to the
     // reference's R4 source sniffing, ccog/ccog.py:922-925): pixel
     // scale + (0,0)-anchored tiepoint + the EPSG code from whichever
@@ -339,19 +376,16 @@ object CogReader {
     }
     val dtype = dtypeOf(pg.bits, pg.sampleFormat)
     val width = pg.width.toInt
-    val rps = pg.rowsPerStrip.toInt
     val height = pg.height.toInt
     val bands = pg.samplesPerPixel
     val pred = pg.predictor
     val mm = pg.bigEndian
+    val nodata = nodataOf(pg, dtype)
     // planar (=2) pages: offsets hold bands consecutive plane arrays
     // (all plane-0 strips, then plane-1, ... — TIFF 6.0 §14); one
     // OUTPUT strip gathers its per-plane chunks, each decoding as a
     // single-band strip straight into the band-major pixel array.
-    val nStrips = pg.tilesPerPlane
-    val planes = if (pg.planar == 2 && bands > 1) bands else 1
-    require(pg.offsets.length == planes * nStrips,
-      s"strip count ${pg.offsets.length} != $planes planes x $nStrips strips")
+    val (nStrips, planes, rps) = stripLayout(pg)
     val plan = (0 until nStrips).map { si =>
       (si,
         Array.tabulate(planes)(b => pg.offsets(b * nStrips + si)).toSeq,
@@ -369,12 +403,18 @@ object CogReader {
         val out = it.map { case (si, offs, cnts, rows) =>
           val px =
             if (planes == 1) {
-              val comp = new Array[Byte](cnts.head.toInt)
-              in.readFully(offs.head, comp, 0, cnts.head.toInt)
-              TileCodec.decodeStrip(comp, codec, pred, rows, width,
-                bands, dtype, bigEndian = mm)
+              if (cnts.head == 0) { // sparse strip: all nodata
+                val a = new Array[Double](bands * rows * width)
+                java.util.Arrays.fill(a, nodata)
+                a
+              } else {
+                val comp = new Array[Byte](cnts.head.toInt)
+                in.readFully(offs.head, comp, 0, cnts.head.toInt)
+                TileCodec.decodeStrip(comp, codec, pred, rows, width,
+                  bands, dtype, bigEndian = mm)
+              }
             } else materializeStripPlanar(in, offs, cnts, rows, width,
-              codec, pred, dtype, bigEndian = mm)
+              codec, pred, dtype, bigEndian = mm, nodata = nodata)
           Tile(0, si, 0, rows, width, px, null)
         }
         taskBoundIterator(in, out)

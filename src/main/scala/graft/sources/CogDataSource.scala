@@ -680,7 +680,8 @@ case class CogTileSpec(level: Int, gw: Int, ti: Int,
   * DSv2 source. */
 case class StripSource(codec: String, dtype: String, predictor: Int,
     width: Int, height: Int, rowsPerStrip: Int, bands: Int,
-    bigEndian: Boolean, geo: Option[graft.raster.GeoRef])
+    bigEndian: Boolean, geo: Option[graft.raster.GeoRef],
+    nodata: Double)
 
 case class CogInputPartition(uri: String,
     conf: org.apache.spark.broadcast.Broadcast[Map[String, String]],
@@ -797,9 +798,15 @@ class CogScan(path: String, conf: Map[String, String],
         case 50000 => "zstd"
         case c => sys.error(s"unsupported strip compression code $c")
       }
-      val ss = StripSource(codec, CogReader.dtypeOf(pg.bits, pg.sampleFormat),
-        pg.predictor, pg.width.toInt, pg.height.toInt, pg.rowsPerStrip.toInt,
-        pg.samplesPerPixel, pg.bigEndian, CogReader.inferGeo(pg))
+      // shared layout derivation: strip count from the geometry (not
+      // the offsets array), 2^32-1 RowsPerStrip sentinel clamped,
+      // offsets/counts lengths cross-checked
+      val (nStrips, planes, rps) = CogReader.stripLayout(pg)
+      val dtype = CogReader.dtypeOf(pg.bits, pg.sampleFormat)
+      val ss = StripSource(codec, dtype,
+        pg.predictor, pg.width.toInt, pg.height.toInt, rps,
+        pg.samplesPerPixel, pg.bigEndian, CogReader.inferGeo(pg),
+        CogReader.nodataOf(pg, dtype))
       // placeholder profile: the reader branches to the strip recipe
       // before ever consulting it (schema/geometry all come from ss)
       val placeholder = RasterProfile(ss.width, ss.height, blockSize = 16,
@@ -813,11 +820,6 @@ class CogScan(path: String, conf: Map[String, String],
       // planar striped pages carry bands consecutive plane arrays —
       // one spec per SPATIAL strip, per-plane offsets in pOff/pCnt
       // (same shape as the tiled planar path)
-      val nStrips = pg.tilesPerPlane
-      val planes = if (pg.planar == 2 && pg.samplesPerPixel > 1)
-        pg.samplesPerPixel else 1
-      require(pg.offsets.length == planes * nStrips,
-        s"strip count ${pg.offsets.length} != $planes planes x $nStrips strips")
       val specs = (0 until nStrips).iterator.filter(stripKeep)
         .map(si => CogTileSpec(0, 1, si, pg.offsets(si), pg.counts(si), 0L, 0L,
           pOff = if (planes > 1)
@@ -1137,7 +1139,11 @@ class CogPartitionReader(part: CogInputPartition)
         // planar: one chunk per band, decoded band-major by the shared
         // gather (same kernel as the library readStrips path)
         CogReader.materializeStripPlanar(in, s.pOff, s.pCnt, rows,
-          ss.width, ss.codec, ss.predictor, ss.dtype, ss.bigEndian)
+          ss.width, ss.codec, ss.predictor, ss.dtype, ss.bigEndian, ss.nodata)
+      } else if (s.cnt == 0) { // sparse strip: all nodata
+        val a = new Array[Double](ss.bands * rows * ss.width)
+        java.util.Arrays.fill(a, ss.nodata)
+        a
       } else {
         val comp = new Array[Byte](s.cnt.toInt)
         in.readFully(s.off, comp, 0, s.cnt.toInt)

@@ -155,17 +155,23 @@ class PlanarTiffSpec extends SparkSpec {
 
   /** 8×8, 2 bands, uint8, uncompressed, STRIP-organized planar:
     * RowsPerStrip 4 → 2 strips per plane, offsets holding plane 0's
-    * strips then plane 1's (TIFF 6.0 §14). */
-  private def buildStripedPlanarTiff(): (String, Array[Byte], Array[Byte]) = {
+    * strips then plane 1's (TIFF 6.0 §14). `truncatedOffsets` declares
+    * only plane 0's strips (a corrupt file the layout check must
+    * catch); `sparsePlane1` zeroes plane 1's offsets/counts (the
+    * sparse-plane convention — decode fills nodata). */
+  private def buildStripedPlanarTiff(truncatedOffsets: Boolean = false,
+      sparsePlane1: Boolean = false): (String, Array[Byte], Array[Byte]) = {
     val n = 64 // 8x8 per plane
     val plane0 = Array.tabulate[Byte](n)(i => (i * 7 % 251).toByte)
     val plane1 = Array.tabulate[Byte](n)(i => ((i * 11 + 3) % 251).toByte)
+    val nStripEntries = if (truncatedOffsets) 2 else 4
     val ifdOff = 8 + 2 * n
     val nEntries = 11
     val ifdLen = 2 + nEntries * 12 + 4
     val extOffsets = ifdOff + ifdLen
-    val extCounts = extOffsets + 16
-    val b = ByteBuffer.allocate(extCounts + 16).order(ByteOrder.LITTLE_ENDIAN)
+    val extCounts = extOffsets + 4 * nStripEntries
+    val b = ByteBuffer.allocate(extCounts + 4 * nStripEntries)
+      .order(ByteOrder.LITTLE_ENDIAN)
     b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
     b.put(plane0).put(plane1)
     b.putShort(nEntries.toShort)
@@ -180,16 +186,24 @@ class PlanarTiffSpec extends SparkSpec {
     entry(258, 3, 2)(x => { x.putShort(8); x.putShort(8) }) // BitsPerSample
     entry(259, 3, 1)(_.putShort(1))           // Compression: none
     entry(262, 3, 1)(_.putShort(1))           // Photometric
-    entry(273, 4, 4)(_.putInt(extOffsets))    // StripOffsets (external)
+    entry(273, 4, nStripEntries)(_.putInt(extOffsets)) // StripOffsets (external)
     entry(277, 3, 1)(_.putShort(2))           // SamplesPerPixel
     entry(278, 3, 1)(_.putShort(4))           // RowsPerStrip
-    entry(279, 4, 4)(_.putInt(extCounts))     // StripByteCounts (external)
+    entry(279, 4, nStripEntries)(_.putInt(extCounts)) // StripByteCounts (external)
     entry(284, 3, 1)(_.putShort(2))           // PlanarConfiguration = 2
     entry(339, 3, 2)(x => { x.putShort(1); x.putShort(1) }) // SampleFormat
     b.putInt(0)                               // next IFD
     // plane 0 strips (rows 0-3, 4-7), then plane 1 strips
-    b.putInt(8).putInt(8 + 32).putInt(8 + 64).putInt(8 + 96)
-    b.putInt(32).putInt(32).putInt(32).putInt(32)
+    b.putInt(8).putInt(8 + 32)
+    if (!truncatedOffsets) {
+      if (sparsePlane1) b.putInt(0).putInt(0)
+      else b.putInt(8 + 64).putInt(8 + 96)
+    }
+    b.putInt(32).putInt(32)
+    if (!truncatedOffsets) {
+      if (sparsePlane1) b.putInt(0).putInt(0)
+      else b.putInt(32).putInt(32)
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-splanar").toString
     val f = java.nio.file.Paths.get(dir, "striped-planar.tif")
     java.nio.file.Files.write(f, b.array())
@@ -220,6 +234,86 @@ class PlanarTiffSpec extends SparkSpec {
       assert(t.pixels(i) == (plane0(t.ty * 32 + i) & 0xFF).toDouble)
       assert(t.pixels(32 + i) == (plane1(t.ty * 32 + i) & 0xFF).toDouble)
     }
+  }
+
+  test("strip-layout guards: truncated offsets refuse; sparse plane fills nodata") {
+    // a planar file whose StripOffsets only carries plane 0's strips
+    // would silently shift plane base offsets — must fail loudly
+    val (badUri, _, _) = buildStripedPlanarTiff(truncatedOffsets = true)
+    val ex = intercept[IllegalArgumentException](
+      CogReader.readStrips(spark, badUri).collect())
+    assert(ex.getMessage.contains("strip count"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](
+      spark.read.format("cog").load(badUri).collect())
+    assert(ex2.getMessage.contains("strip count"), ex2.getMessage)
+
+    // sparse plane (offset/count 0): band fills with nodata (uint8
+    // default 0.0) instead of crashing, matching sparse-tile semantics
+    val (sparseUri, plane0, _) = buildStripedPlanarTiff(sparsePlane1 = true)
+    val tiles = CogReader.readStrips(spark, sparseUri).collect().sortBy(_.ty)
+    assert(tiles.length == 2)
+    for (t <- tiles; i <- 0 until 32) {
+      assert(t.pixels(i) == (plane0(t.ty * 32 + i) & 0xFF).toDouble)
+      assert(t.pixels(32 + i) == 0.0, s"sparse plane strip ${t.ty} px $i")
+    }
+  }
+
+  test("RowsPerStrip=2^32-1 sentinel (whole image in one strip) decodes") {
+    // TIFF 6.0: the default RowsPerStrip is effectively infinity; GDAL
+    // and libtiff write 0xFFFFFFFF for single-strip files. A plain
+    // .toInt would make it negative and crash the decode.
+    val vals = Array.tabulate[Byte](16)(i => (i * 13 % 251).toByte)
+    val ifdOff = 8 + 16
+    val nEntries = 10
+    val b = ByteBuffer.allocate(ifdOff + 2 + nEntries * 12 + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    b.put(vals)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int)(value: ByteBuffer => Unit): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      val before = b.position()
+      value(b)
+      while (b.position() < before + 4) b.put(0.toByte)
+    }
+    entry(256, 3, 1)(_.putShort(4))           // ImageWidth
+    entry(257, 3, 1)(_.putShort(4))           // ImageLength
+    entry(258, 3, 1)(_.putShort(8))           // BitsPerSample
+    entry(259, 3, 1)(_.putShort(1))           // Compression: none
+    entry(262, 3, 1)(_.putShort(1))           // Photometric
+    entry(273, 4, 1)(_.putInt(8))             // StripOffsets (inline)
+    entry(277, 3, 1)(_.putShort(1))           // SamplesPerPixel
+    entry(278, 4, 1)(_.putInt(-1))            // RowsPerStrip = 0xFFFFFFFF
+    entry(279, 4, 1)(_.putInt(16))            // StripByteCounts (inline)
+    entry(339, 3, 1)(_.putShort(1))           // SampleFormat
+    b.putInt(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sentinel").toString
+    val f = java.nio.file.Paths.get(dir, "single-strip.tif")
+    java.nio.file.Files.write(f, b.array())
+    val uri = "file://" + f
+    val tiles = CogReader.readStrips(spark, uri).collect()
+    assert(tiles.length == 1 && tiles.head.h == 4 && tiles.head.w == 4)
+    for (i <- 0 until 16)
+      assert(tiles.head.pixels(i) == (vals(i) & 0xFF).toDouble, s"px $i")
+    // DSv2 route too
+    val rows = spark.read.format("cog").load(uri).collect()
+    assert(rows.length == 1 && rows.head.getInt(3) == 4)
+  }
+
+  test("planar YCbCr jpeg is rejected even when only an OVERVIEW page is jpeg") {
+    // base level deflate, overview jpeg+photometric 6: the per-page
+    // gate must catch the overview (a base-level-only check would not)
+    val p0 = BigTiff.PageMeta(width = 32, height = 32, tileW = 16, tileH = 16,
+      compression = 8, predictor = 1, bits = 8, sampleFormat = 1,
+      subfileType = 0, photometric = 2,
+      offsets = Array.fill(12)(8L), counts = Array.fill(12)(10L),
+      metadataXml = "", samplesPerPixel = 3, planar = 2)
+    val ov = p0.copy(width = 16, height = 16, compression = 7,
+      photometric = 6, subfileType = 1L,
+      offsets = Array.fill(3)(8L), counts = Array.fill(3)(10L))
+    val ex = intercept[IllegalArgumentException](
+      CogReader.inferProfile(Seq(p0, ov)))
+    assert(ex.getMessage.contains("YCbCr"), ex.getMessage)
   }
 
   test("library CogReader.read refuses planar files loudly") {
