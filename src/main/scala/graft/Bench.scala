@@ -49,6 +49,8 @@ object Bench {
         queries.DedupQueries.releaseClusterCheckpoints()
         queries.PipelineQueries.evictShingleCache()
         similarity.Ann.releaseBucketedFrames()
+        text.MinHashLSH.releaseCachedFrames()
+        text.SimHash.releaseCachedFrames()
         spark.catalog.clearCache()
         // the releases unpersist non-blocking; give the block manager a
         // beat and compact the heap so the NEXT query's timer doesn't

@@ -39,13 +39,24 @@ object CosineLsh {
     s
   }
 
-  private[similarity] def signature(v: Array[Float], table: Int, nBits: Int): Int = {
+  /** Materialized plane table for one dimensionality: planes(t)(b) is
+    * the (nBits-row) hyperplane block of table t. The components are
+    * seed-fixed and row-independent, so deriving them ONCE per
+    * partition (instead of 4 mix() calls per multiply-add, per corpus
+    * row) removes the dominant constant from candidate generation. */
+  private[similarity] def planeTable(dim: Int, nBits: Int,
+      nTables: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(nTables, nBits, dim)((t, b, d) => plane(t, b, d))
+
+  private[similarity] def signature(v: Array[Float],
+      planes: Array[Array[Double]], nBits: Int): Int = {
     var sig = 0
     var b = 0
     while (b < nBits) {
+      val row = planes(b)
       var dot = 0.0
       var d = 0
-      while (d < v.length) { dot += v(d) * plane(table, b, d); d += 1 }
+      while (d < v.length) { dot += v(d) * row(d); d += 1 }
       sig = (sig << 1) | (if (dot >= 0) 1 else 0)
       b += 1
     }
@@ -79,18 +90,23 @@ object CosineLsh {
     // tiny collect: (qid, unit vector, signature per table)
     val qSet = queryIds.toSet
     val queries = typed.filter(t => qSet.contains(t._1)).collect()
+    val qPlanes =
+      if (queries.isEmpty) null
+      else planeTable(queries.head._2.length, nBits, nTables)
     val bcQ = spark.sparkContext.broadcast(queries.map { case (id, raw) =>
       (id, normalize(raw),
-        Array.tabulate(nTables)(t => signature(raw, t, nBits)))
+        Array.tabulate(nTables)(t => signature(raw, qPlanes(t), nBits)))
     })
 
     // narrow candidate generation: per corpus vector compute its own
-    // signatures once, emit (query, cosine) for every query sharing a
-    // table signature
+    // signatures once against the PER-PARTITION plane table, emit
+    // (query, cosine) for every query sharing a table signature
     val cands = typed.mapPartitions { it =>
       val qs = bcQ.value
+      var planes: Array[Array[Array[Double]]] = null
       it.flatMap { case (id, raw) =>
-        val sigs = Array.tabulate(nTables)(t => signature(raw, t, nBits))
+        if (planes == null) planes = planeTable(raw.length, nBits, nTables)
+        val sigs = Array.tabulate(nTables)(t => signature(raw, planes(t), nBits))
         lazy val v = normalize(raw)
         qs.iterator.collect {
           case (qid, qv, qsigs) if qid != id && {

@@ -26,14 +26,30 @@ class HadoopMultipartSink(dirUri: String,
 
   override def start(): Unit = {
     fs.mkdirs(new Path(dirUri))
-    val existing = fs.globStatus(new Path(dirUri, "part-*.bin"))
-    if (existing != null) existing.foreach(s => fs.delete(s.getPath, false))
+    // clean finished parts AND orphaned temp files from crashed
+    // attempts (.part-*.tmp-*)
+    for (pattern <- Seq("part-*.bin", ".part-*.tmp-*")) {
+      val existing = fs.globStatus(new Path(dirUri, pattern))
+      if (existing != null) existing.foreach(s => fs.delete(s.getPath, false))
+    }
     fs.delete(new Path(dirUri, "manifest.json"), false)
   }
 
   override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
-    val out = fs.create(partPath(partNumber), true) // overwrite = idempotent retry
+    // temp + rename: concurrent duplicate attempts (speculation, zombie
+    // tasks after a stage retry) each write their OWN temp and the
+    // rename decides a single whole winner — writing the final path
+    // directly could interleave two streams into a torn part that the
+    // length-only etag cannot detect. Same discipline as
+    // LocalMultipartSink's ATOMIC_MOVE; on S3 proper the MPU itself
+    // provides this (each re-upload of a part id is atomic).
+    val tmp = new Path(dirUri,
+      f".part-$partNumber%05d.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    fs.delete(partPath(partNumber), false) // rename refuses to clobber on HDFS
+    require(fs.rename(tmp, partPath(partNumber)),
+      s"rename $tmp -> ${partPath(partNumber)} failed")
     java.lang.Long.toHexString(bytes.length.toLong)
   }
 

@@ -39,9 +39,12 @@ class LocalMultipartSink(dir: String) extends MultipartSink {
   override def start(): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    // idempotent restart: clear stale parts
+    // idempotent restart: clear stale parts, the manifest, AND
+    // orphaned ".part-*.tmp-*" temp files a crashed uploadPart left
+    // between write and atomic move
     val old = d.toFile.listFiles()
-    if (old != null) old.filter(f => f.getName.startsWith("part-") || f.getName == "manifest.json")
+    if (old != null) old.filter(f => f.getName.startsWith("part-") ||
+        f.getName.startsWith(".part-") || f.getName == "manifest.json")
       .foreach(_.delete())
   }
 

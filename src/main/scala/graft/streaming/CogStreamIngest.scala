@@ -68,32 +68,43 @@ object CogStreamIngest {
     val tiles: Dataset[Tile] = latest
       .as[(Int, Int, Int, Int, Array[Byte], Array[Byte])]
       .map { case (ty, tx, h, w, data, mk) =>
-        // staged blobs hold the padded bs×bs planes; crop to the
-        // tile's real dims exactly like the read path does
-        val full = TileCodec.decode(data, profile)
-        val px = new Array[Double](bands * h * w)
-        var b = 0
-        while (b < bands) {
-          var y = 0
-          while (y < h) {
-            System.arraycopy(full, b * bs * bs + y * bs, px, b * h * w + y * w, w)
-            y += 1
-          }
-          b += 1
-        }
-        val mask =
-          if (mk == null) null
-          else {
-            val bits = TileCodec.decodeMask(mk, profile)
-            val m = new Array[Byte](h * w)
+        if (data.isEmpty) {
+          // SPARSE staged tile: an all-nodata/all-masked tile encodes
+          // to zero bytes (sparseOk), and stageBatch stages it as-is.
+          // Reconstruct without touching the codec — decode(empty)
+          // would spin forever in inflate waiting for input.
+          val px = new Array[Double](bands * h * w)
+          java.util.Arrays.fill(px, profile.nodata)
+          Tile(0, ty, tx, h, w, px, new Array[Byte](h * w))
+        } else {
+          // staged blobs hold the padded bs×bs planes; crop to the
+          // tile's real dims exactly like the read path does
+          val full = TileCodec.decode(data, profile)
+          val px = new Array[Double](bands * h * w)
+          var b = 0
+          while (b < bands) {
             var y = 0
             while (y < h) {
-              System.arraycopy(bits, y * bs, m, y * w, w)
+              System.arraycopy(full, b * bs * bs + y * bs, px, b * h * w + y * w, w)
               y += 1
             }
-            m
+            b += 1
           }
-        Tile(0, ty, tx, h, w, px, mask)
+          val mask =
+            if (mk == null) null
+            else if (mk.isEmpty) new Array[Byte](h * w) // all-invalid mask page
+            else {
+              val bits = TileCodec.decodeMask(mk, profile)
+              val m = new Array[Byte](h * w)
+              var y = 0
+              while (y < h) {
+                System.arraycopy(bits, y * bs, m, y * w, w)
+                y += 1
+              }
+              m
+            }
+          Tile(0, ty, tx, h, w, px, mask)
+        }
       }
     CogWriter.writeBytes(tiles, profile, workDir)
   }

@@ -67,8 +67,13 @@ object StatefulSession {
             close(s, "cap")
             st = Some(Sess(t, t, 1, e.value))
           case Some(s) =>
-            st = Some(Sess(s.startMs, math.max(s.lastMs, t), s.n + 1,
-              s.total + e.value))
+            // min on start: a prior micro-batch may have seeded the
+            // session with a LATER event (watermark-admitted lateness
+            // crosses batches); the batch oracle sees globally-sorted
+            // time, so the stream must extend session_start backward
+            // to match it
+            st = Some(Sess(math.min(s.startMs, t), math.max(s.lastMs, t),
+              s.n + 1, s.total + e.value))
           case None =>
             st = Some(Sess(t, t, 1, e.value))
         }

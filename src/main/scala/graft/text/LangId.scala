@@ -30,25 +30,32 @@ object LangId {
   def tokenize(text: String): Seq[String] =
     text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).toSeq
 
-  private def isCjk(cp: Int): Boolean =
-    (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3040 && cp <= 0x30ff)
+  private def isHan(cp: Int): Boolean = cp >= 0x4e00 && cp <= 0x9fff
+  /** Hiragana + katakana: present in essentially every Japanese text
+    * and absent from Chinese — the free ja/zh discriminator. */
+  private def isKana(cp: Int): Boolean = cp >= 0x3040 && cp <= 0x30ff
 
   /** Classify one document. Floor: at least 3% function-word hits (or
-    * 10% CJK codepoints), else "und". */
+    * 10% CJK codepoints), else "und". CJK splits ja/zh on kana: any
+    * meaningful kana share means Japanese (Chinese never uses kana),
+    * han-only means Chinese. */
   def classify(text: String): String = {
     if (text.isEmpty) return "und"
-    var cjk = 0
+    var han = 0
+    var kana = 0
     var letters = 0
     var i = 0
     while (i < text.length) {
       val cp = text.codePointAt(i)
       if (Character.isLetter(cp)) {
         letters += 1
-        if (isCjk(cp)) cjk += 1
+        if (isHan(cp)) han += 1
+        else if (isKana(cp)) kana += 1
       }
       i += Character.charCount(cp)
     }
-    if (letters > 0 && cjk.toDouble / letters >= 0.10) return "zh"
+    if (letters > 0 && (han + kana).toDouble / letters >= 0.10)
+      return if (kana.toDouble / (han + kana) >= 0.05) "ja" else "zh"
     val toks = tokenize(text)
     if (toks.isEmpty) return "und"
     val best = profiles.keys.map(l => (l, score(toks, l))).maxBy(_._2)

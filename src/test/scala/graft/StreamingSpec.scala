@@ -199,6 +199,64 @@ class StreamingSpec extends SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("streaming COG ingest: all-nodata (sparse) staged tiles finalize instead of hanging") {
+    import graft.raster._
+    import graft.streaming.CogStreamIngest
+    val sparkS = spark
+    import sparkS.implicits._
+    val ND = -9999.0
+    val prof = RasterProfile(32, 32, blockSize = 16, nodata = ND,
+      minOverviewSize = 32)
+    // tile (0,0) is ALL nodata: sparseOk encodes it to zero bytes, and
+    // finalize must reconstruct it as sparse — decode(empty) would spin
+    val rows = for (ty <- 0 until 2; tx <- 0 until 2) yield TileRow(ty, tx, 16, 16,
+      Array.fill(256)(if (ty == 0 && tx == 0) ND else (ty * 2 + tx) * 10.0 + 1),
+      null)
+    val stage = java.nio.file.Files.createTempDirectory("graft-sparse-cog").toString + "/stage"
+    val work = java.nio.file.Files.createTempDirectory("graft-sparse-cog-w").toString
+    implicit val sqlCtx = sparkS.sqlContext
+    val mem = MemoryStream[TileRow]
+    val q = mem.toDF().writeStream
+      .foreachBatch(CogStreamIngest.stageBatch(prof, stage) _)
+      .start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val (bytes, _) = CogStreamIngest.finalizeCog(sparkS, prof, stage, work)
+    val f = java.nio.file.Paths.get(work, "sparse.tif")
+    java.nio.file.Files.write(f, bytes)
+    val got = CogReader.read(sparkS, "file://" + f, prof, 0).collect()
+      .map(t => (t.ty, t.tx) -> t).toMap
+    assert(got.size == 4)
+    assert(got((0, 0)).pixels.forall(_ == ND), "sparse tile should be all nodata")
+    for (((ty, tx), t) <- got if (ty, tx) != ((0, 0)))
+      assert(t.pixels.forall(_ == (ty * 2 + tx) * 10.0 + 1), s"tile ($ty,$tx)")
+  }
+
+  test("sessionize extends session_start backward for watermark-admitted late events") {
+    import graft.streaming.StatefulSession
+    import graft.streaming.StatefulSession.{SEvent, Sess}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val gapMs = 60000L
+    // a prior micro-batch seeded the session with the LATER event
+    // t=1,000,000; this batch delivers t=999,000 (admitted — above the
+    // watermark). The batch oracle, seeing globally-sorted time, makes
+    // session_start = 999,000: the stream must match.
+    val st = TestGroupState.create[Sess](
+      org.apache.spark.api.java.Optional.of(Sess(1000000L, 1000000L, 1, 5.0)),
+      GroupStateTimeout.EventTimeTimeout(),
+      /* batchProcessingTimeMs */ 0L,
+      /* eventTimeWatermarkMs */ org.apache.spark.api.java.Optional.of(900000L),
+      /* hasTimedOut */ false)
+    val out = StatefulSession.sessionize(gapMs, 100)(
+      7L, Iterator(SEvent(7L, new Timestamp(999000L), 2.0)), st).toSeq
+    assert(out.isEmpty) // still open
+    assert(st.get.startMs == 999000L,
+      s"session_start not extended backward: ${st.get}")
+    assert(st.get.lastMs == 1000000L && st.get.n == 2 && st.get.total == 7.0)
+  }
+
   test("streaming dedup drops in-batch and cross-batch duplicate ids") {
     // q_stream_dedup plants 40 in-batch dupes (every 5th id of 0..199
     // doubled) and 50 cross-batch re-arrivals (150..199) — exactly 300

@@ -60,12 +60,16 @@ class CosineLshSpec extends SparkSpec {
   test("signatures are deterministic and near-duplicates collide") {
     val a = unit(99).map(_.toFloat)
     val b = unit(99).zip(unit(555)).map { case (x, n) => (x + 0.02 * n).toFloat }
-    // same vector -> identical signature in every table
+    val planes = CosineLsh.planeTable(a.length, nBits = 12, nTables = 8)
+    // same vector -> identical signature in every table; a freshly
+    // derived plane table must agree (seed-fixed components)
+    val planes2 = CosineLsh.planeTable(a.length, nBits = 12, nTables = 8)
     for (t <- 0 until 8)
-      assert(CosineLsh.signature(a, t, 12) == CosineLsh.signature(a, t, 12))
+      assert(CosineLsh.signature(a, planes(t), 12) ==
+        CosineLsh.signature(a, planes2(t), 12))
     // tiny perturbation -> at least one of 8 tables collides
     val collides = (0 until 8).exists(t =>
-      CosineLsh.signature(a, t, 12) == CosineLsh.signature(b, t, 12))
+      CosineLsh.signature(a, planes(t), 12) == CosineLsh.signature(b, planes(t), 12))
     assert(collides, "near-duplicate never collided in any table")
   }
 

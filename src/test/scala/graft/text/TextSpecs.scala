@@ -128,6 +128,10 @@ class LangIdSpec extends AnyFunSuite {
 
   test("CJK fast path and und fallback") {
     assert(LangId.classify("这是一个中文句子 用来测试语言识别") == "zh")
+    // kana marks Japanese — a han-heavy sentence with particles must
+    // NOT bin as Chinese
+    assert(LangId.classify("これは日本語の文章です 言語識別のテストのために") == "ja")
+    assert(LangId.classify("日本語はひらがなとカタカナを使います") == "ja")
     assert(LangId.classify("zzz qqq xxx vvv kkk") == "und")
     assert(LangId.classify("") == "und")
   }
