@@ -53,9 +53,15 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   /** Tight primitive loop over Tungsten ArrayData — called from both
-    * interpreted eval and generated code. */
+    * interpreted eval and generated code. Mismatched lengths raise:
+    * silently truncating to the common prefix would compute both norms
+    * over a prefix and return a confidently wrong similarity (and
+    * diverge from the zip_with/DuckDB formulation) for any corpus
+    * carrying one wrong-dimension embedding. */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"cosine_sim: embedding lengths differ ($n vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

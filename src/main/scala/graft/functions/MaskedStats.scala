@@ -23,7 +23,12 @@ class MaskedStats(nodata: Double)
 
   override def reduce(b: Buf, in: (Double, Int)): Buf = {
     val (v, m) = in
-    val valid = m != 0 && v != nodata
+    // NaN is excluded ALWAYS, not just when it is the sentinel: `v !=
+    // nodata` is true for NaN even when nodata IS NaN (NaN != NaN), and
+    // one stray NaN would poison sum/sumSq while min/max silently
+    // skipped it — an internally inconsistent Out. GDAL's stats pass
+    // makes the same choice.
+    val valid = m != 0 && !v.isNaN && v != nodata
     Buf(b.total + 1,
       if (valid) b.valid + 1 else b.valid,
       if (valid) b.sum + v else b.sum,

@@ -30,7 +30,11 @@ object AsOfJoin {
     val valsType = StructType(valueCols.map(c => right.schema(c)))
     val rowType = StructType(leftCols.map(c => left.schema(c)))
 
-    val taggedRight = right.select(
+    // drop null-time right rows UP FRONT: the window's orderBy sorts
+    // NULL first, so a null-ts right row would act as time = -infinity
+    // and match every left row — `rightTime <= leftTime` is never true
+    // for NULL (standard ASOF semantics, what DuckDB does too)
+    val taggedRight = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__side"),

@@ -26,8 +26,6 @@ object SaltedJoin {
   def join(left: DataFrame, right: DataFrame, key: String,
       hotKeys: Seq[Long], salts: Int): DataFrame = {
     require(salts > 1, "salts must be > 1")
-    val spark = left.sparkSession
-    val hot = hotKeys.toSet
     val isHot = udfFreeIsHot(col(key), hotKeys)
 
     // left: hot rows get a deterministic spread salt; others 0.
@@ -63,9 +61,16 @@ object SaltedJoin {
   def detectHotKeys(df: DataFrame, key: String, factor: Double = 10.0): Seq[Long] = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).cache()
     try {
-      val mean = counts.agg(avg(col("n"))).head().getDouble(0)
-      counts.filter(col("n") > mean * factor)
-        .select(col(key).cast("long")).collect().map(_.getLong(0)).toSeq
+      // avg over zero groups is SQL NULL — an empty frame has no hot
+      // keys, not an NPE; null keys can't salt (isin never matches
+      // null), so they are excluded rather than crashing getLong
+      val meanRow = counts.agg(avg(col("n"))).head()
+      if (meanRow.isNullAt(0)) Seq.empty
+      else {
+        val mean = meanRow.getDouble(0)
+        counts.filter(col("n") > mean * factor && col(key).isNotNull)
+          .select(col(key).cast("long")).collect().map(_.getLong(0)).toSeq
+      }
     } finally counts.unpersist()
   }
 }

@@ -249,7 +249,10 @@ object JoinQueries {
        |  WHERE o_orderpriority = '1-URGENT' AND c_custkey % 97 <> 0),
        |del AS (SELECT c_custkey AS k FROM $customer WHERE c_custkey % 97 = 0),
        |ins AS (
-       |  SELECT c_custkey + 1000000 AS k, 'NEWSEG' AS seg,
+       |  -- negated keys: custkeys are positive at every SF, so the
+       |  -- synthetic insert keys can never collide with an existing
+       |  -- customer (a fixed +1000000 shift collides once SF >= 7)
+       |  SELECT -(c_custkey + 1000000) AS k, 'NEWSEG' AS seg,
        |    CAST(c_custkey % 1000 AS DOUBLE) AS bal
        |  FROM $customer WHERE c_custkey % 101 = 0),
        |changes AS (

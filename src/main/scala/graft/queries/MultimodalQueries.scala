@@ -22,10 +22,8 @@ object MultimodalQueries {
     import spark.implicits._
     Fixtures.documents(spark, sfDir)
       .select($"doc_id").as[Long]
-      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.map { id =>
-        (id, BinaryCodec.syntheticPng(id * 7919L,
-          8 + (id % 9).toInt, 6 + (id % 7).toInt))
-      }))
+      .map(id => (id, BinaryCodec.syntheticPng(id * 7919L,
+        8 + (id % 9).toInt, 6 + (id % 7).toInt)))
   }
 
   /** Binary image column → REAL ImageIO decode, batched 64 per call:
@@ -48,25 +46,21 @@ object MultimodalQueries {
     * finds the `movi` list and every 2nd frame JPEG-decodes into true
     * dimensions + per-sample mean (BinaryCodec.decodeAviFrames) — the
     * one-to-many flatMap/Generator shape a video curation pipeline
-    * uses after batch decode. Batched mapPartitions, zero shuffle; at
-    * 100 TB this is a narrow map stage whose cost is the decode
-    * itself. */
+    * uses after decode. Narrow typed map + flatMap, zero shuffle; at
+    * 100 TB this is a map stage whose cost is the decode itself. */
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Fixtures.documents(spark, sfDir)
       .select($"doc_id").as[Long]
-      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.map { id =>
-        (id, BinaryCodec.syntheticMjpegAvi(id * 104729L,
-          16 + (id % 4).toInt * 8, 12 + (id % 3).toInt * 4,
-          nFrames = 4 + (id % 5).toInt))
-      }))
-      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.flatMap {
-        case (id, payload) =>
-          BinaryCodec.decodeAviFrames(payload, every = 2).map { fm =>
-            (id, fm.frameIdx, fm.width, fm.height, fm.channels,
-              math.round(fm.meanSample * 100) / 100.0)
-          }
-      }))
+      .map(id => (id, BinaryCodec.syntheticMjpegAvi(id * 104729L,
+        16 + (id % 4).toInt * 8, 12 + (id % 3).toInt * 4,
+        nFrames = 4 + (id % 5).toInt)))
+      .flatMap { case (id, payload) =>
+        BinaryCodec.decodeAviFrames(payload, every = 2).map { fm =>
+          (id, fm.frameIdx, fm.width, fm.height, fm.channels,
+            math.round(fm.meanSample * 100) / 100.0)
+        }
+      }
       .toDF("doc_id", "frame_idx", "width", "height", "channels", "mean_sample")
       .orderBy($"doc_id", $"frame_idx")
   }
@@ -77,12 +71,11 @@ object MultimodalQueries {
   def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     pngPayloads(spark, sfDir)
-      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.map {
-        case (id, payload) =>
-          val (tw, th, samples) = BinaryCodec.resizeImage(payload, 4, 3)
-          (id, payload.length, tw, th,
-            math.round(samples.sum / samples.length * 10000) / 10000.0)
-      }))
+      .map { case (id, payload) =>
+        val (tw, th, samples) = BinaryCodec.resizeImage(payload, 4, 3)
+        (id, payload.length, tw, th,
+          math.round(samples.sum / samples.length * 10000) / 10000.0)
+      }
       .toDF("doc_id", "n_bytes", "thumb_w", "thumb_h", "thumb_mean")
       .orderBy($"doc_id")
   }
@@ -98,10 +91,8 @@ object MultimodalQueries {
     import spark.implicits._
     Fixtures.documents(spark, sfDir)
       .select($"doc_id").as[Long]
-      .mapPartitions(_.grouped(BinaryCodec.BatchSize).flatMap(_.iterator.map { id =>
-        (id, BinaryCodec.syntheticWav(id * 6007L, 8000,
-          800 + (id % 5).toInt * 160, 200.0 + (id % 300)))
-      }))
+      .map(id => (id, BinaryCodec.syntheticWav(id * 6007L, 8000,
+        800 + (id % 5).toInt * 160, 200.0 + (id % 300))))
       .mapPartitions(BinaryCodec.extractAudioBatched)
       .map { case (id, a) =>
         (id, a.nBytes, a.sampleRate, a.nSamples,

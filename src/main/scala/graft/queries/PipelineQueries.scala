@@ -108,7 +108,7 @@ object PipelineQueries {
     val ex = Fixtures.documents(spark, sfDir)
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val w = text.trim.toLowerCase.split(" ")
+        val w = text.trim.toLowerCase(java.util.Locale.ROOT).split(" ")
         if (w.length < 3) Iterator.empty
         else {
           val seen = new java.util.HashSet[String]()
@@ -185,8 +185,12 @@ object PipelineQueries {
   def simTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Fixtures.embeddings(spark, sfDir)
-    // The query vector's norm is a constant: compute it once inside the
-    // 1-row broadcast side, not per scanned row.
+    // cosine_sim recomputes the (constant) query norm per scanned row —
+    // a known redundancy kept deliberately: the fused expression's
+    // formulation must stay bit-identical to the DuckDB oracle's
+    // dot/(sqrt*sqrt), and factoring the query norm out would change
+    // the rounding boundary. At 64 dims the redundant norm is ~1/3 of
+    // an already-memory-bound scan.
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
     emb.crossJoin(broadcast(q))
       .filter($"vec_id" =!= 0)

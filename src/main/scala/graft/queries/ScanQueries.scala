@@ -93,17 +93,24 @@ object ScanQueries {
       System.getProperty("java.io.tmpdir"),
       s"graft_part_sink_${java.util.UUID.randomUUID().toString.take(8)}")
     val dir = out.getAbsolutePath
-    try {
-      Fixtures.documents(spark, sfDir)
-        .select($"doc_id", $"source", $"lang", length($"text").as("n_chars"))
-        .write.mode("overwrite").partitionBy("lang").parquet(dir)
-      // pruned read-back: only the en partition's files are listed/read
-      spark.read.parquet(dir)
-        .where($"lang" === "en")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
-        .orderBy($"source")
-    } finally out.deleteOnExit()
+    // JVM-exit cleanup must walk the tree: File.deleteOnExit on a
+    // non-empty parquet directory is a silent no-op, which leaked a
+    // copy of documents to tmp per call
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(out.toPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Exception => () }))
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"lang", length($"text").as("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // pruned read-back: only the en partition's files are listed/read
+    spark.read.parquet(dir)
+      .where($"lang" === "en")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"source")
   }
 
   /** Z-order vs row-major data layout — the file-skipping experiment,

@@ -25,7 +25,7 @@ object CogOptions {
     * Throws IllegalArgumentException eagerly on rejected/unknown keys
     * or bad values — nothing is deferred to executors. */
   def profile(width: Int, height: Int, options: Map[String, String]): RasterProfile = {
-    val norm = options.map { case (k, v) => k.trim.toLowerCase -> v.trim.toLowerCase }
+    val norm = options.map { case (k, v) => k.trim.toLowerCase(java.util.Locale.ROOT) -> v.trim.toLowerCase(java.util.Locale.ROOT) }
     norm.keys.foreach { k =>
       require(!rejected.contains(k),
         s"option '$k' implies reprojection/warping — not supported (same refusal as the reference)")

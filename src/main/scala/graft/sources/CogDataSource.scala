@@ -743,7 +743,7 @@ class CogScan(path: String, conf: Map[String, String],
     val p = new Path(path)
     val fs = p.getFileSystem(hc)
     def isTif(n: String): Boolean = {
-      val l = n.toLowerCase
+      val l = n.toLowerCase(java.util.Locale.ROOT)
       l.endsWith(".tif") || l.endsWith(".tiff")
     }
     val files: Seq[String] =

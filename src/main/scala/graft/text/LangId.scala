@@ -28,7 +28,7 @@ object LangId {
     else tokens.count(profiles(lang)) .toDouble / tokens.size
 
   def tokenize(text: String): Seq[String] =
-    text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).toSeq
+    text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+").iterator.filter(_.nonEmpty).toSeq
 
   private def isHan(cp: Int): Boolean = cp >= 0x4e00 && cp <= 0x9fff
   /** Hiragana + katakana: present in essentially every Japanese text
