@@ -486,8 +486,14 @@ object BigTiff {
       case t => sys.error(s"unsupported TIFF field type $t")
     }
     val pages = Seq.newBuilder[PageMeta]
+    // corrupt/malicious next-IFD pointers can form a cycle; without
+    // this the walk below never terminates (the header-probe bounds
+    // check keeps every hop in range, so a loop is otherwise legal)
+    val visited = scala.collection.mutable.Set.empty[Long]
     var ifd = if (big) buf.getLong(8) else uint(4)
     while (ifd != 0) {
+      require(visited.add(ifd),
+        s"cyclic IFD chain: offset $ifd already visited (corrupt TIFF)")
       val countAt = checked(ifd, if (big) 8 else 2, "IFD")
       val n = if (big) buf.getLong(countAt).toInt
               else buf.getShort(countAt) & 0xffff

@@ -300,4 +300,27 @@ class ForeignTiffSpec extends SparkSpec {
     // a minimal MM header with an empty IFD chain parses to zero pages
     assert(BigTiff.readPages(Array[Byte](0x4d, 0x4d, 0, 42, 0, 0, 0, 0)).isEmpty)
   }
+
+  test("cyclic next-IFD pointers are rejected, not walked forever") {
+    // self-loop: the single IFD's next pointer targets itself (offset 8)
+    val self = miniHeader(277 -> Seq(1))
+    val b = java.nio.ByteBuffer.wrap(self)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(self.length - 4, 8)
+    val ex = intercept[IllegalArgumentException](BigTiff.readPages(self))
+    assert(ex.getMessage.contains("cyclic IFD"))
+
+    // two-node cycle: IFD A (offset 8) → IFD B → back to A. Every hop
+    // is in bounds, so only the visited-set guard can terminate it.
+    val one = 8 + 2 + 12 + 4 // size of one minimal single-entry IFD block
+    val c = java.nio.ByteBuffer.allocate(8 + 2 * (2 + 12 + 4))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    c.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    c.putShort(1); c.putShort(277).putShort(3).putInt(1).putInt(1)
+    c.putInt(one) // A.next = B
+    c.putShort(1); c.putShort(277).putShort(3).putInt(1).putInt(1)
+    c.putInt(8) // B.next = A
+    val ex2 = intercept[IllegalArgumentException](BigTiff.readPages(c.array()))
+    assert(ex2.getMessage.contains("cyclic IFD"))
+  }
 }
