@@ -54,4 +54,16 @@ class CosineSimSpec extends SparkSpec {
     assert(got(1).isNullAt(0))         // null in → null out
     assert(got(2).getDouble(0) == 0.0) // zero norm → 0, not NaN
   }
+
+  test("mismatched embedding lengths raise instead of truncating") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f)))
+      .toDF("a", "b").withColumn("c", expr("cosine_sim(a, b)"))
+    val ex = intercept[Exception](df.collect())
+    // the cause chain carries the clear message (Spark wraps task errors)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("embedding lengths differ")), msgs(ex))
+  }
 }

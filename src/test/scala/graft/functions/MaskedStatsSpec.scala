@@ -47,4 +47,22 @@ class MaskedStatsSpec extends SparkSpec {
     val got = rows.select(new MaskedStats(-1.0).toColumn).head()
     assert(got == MaskedStats.Out(0.0, 0.0, 0.0, 0.0, 0.0))
   }
+
+  test("NaN values are excluded even when nodata is not NaN") {
+    val s = spark
+    import s.implicits._
+    // NaN != nodata is TRUE, so without the explicit isNaN exclusion a
+    // stray NaN would poison mean/stddev while min/max skipped it
+    val rows = Seq((2.0, 1), (Double.NaN, 1), (4.0, 1)).toDS()
+    val got = rows.select(new MaskedStats(-1.0).toColumn).head()
+    assert(got.min == 2.0 && got.max == 4.0)
+    assert(math.abs(got.mean - 3.0) < 1e-12)
+    assert(math.abs(got.validPct - 200.0 / 3) < 1e-9)
+
+    // NaN as the sentinel itself: same behavior (NaN can never equal
+    // the sentinel under IEEE ==, the isNaN test is what excludes it)
+    val got2 = rows.select(new MaskedStats(Double.NaN).toColumn).head()
+    assert(got2.min == 2.0 && got2.max == 4.0)
+    assert(math.abs(got2.mean - 3.0) < 1e-12)
+  }
 }

@@ -33,6 +33,22 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 99L, "e", None)))
   }
 
+  test("null-timestamp right rows match nothing (not time = -infinity)") {
+    val s = spark
+    import s.implicits._
+    // the window's orderBy sorts NULL first: without the up-front
+    // filter a null-ts right row would precede every left row and
+    // match as an infinitely-old quote
+    val right = Seq(
+      (1L, Option.empty[Long], 666.0), // must be invisible
+      (1L, Some(10L), 100.0)).toDF("k", "t", "v")
+    val left = Seq((1L, 5L, "a"), (1L, 15L, "b")).toDF("k", "t", "tag")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy($"t").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq((5L, None), (15L, Some(100.0))))
+  }
+
   test("composite keys: both key columns isolate the timeline") {
     val s = spark
     import s.implicits._

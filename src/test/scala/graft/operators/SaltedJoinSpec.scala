@@ -47,4 +47,18 @@ class SaltedJoinSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.except(plain).isEmpty)
   }
+
+  test("detectHotKeys: empty frame yields no hot keys; null keys excluded") {
+    val s = spark
+    import s.implicits._
+    // avg over zero groups is SQL NULL — must return empty, not NPE
+    val empty = Seq.empty[(Long, String)].toDF("k", "lv")
+    assert(SaltedJoin.detectHotKeys(empty, "k").isEmpty)
+
+    // a dominant null key must not surface as a hot key: isin() never
+    // matches null, so salting could not spread it anyway
+    val withNulls = ((1 to 900).map(_ => (Option.empty[Long], "n")) ++
+      (1 to 40).map(i => (Some((i % 40).toLong), "v"))).toDF("k", "lv")
+    assert(SaltedJoin.detectHotKeys(withNulls, "k").isEmpty)
+  }
 }
