@@ -87,21 +87,29 @@ object ScanQueries {
     * ScanSpec asserts the physical plan prunes at PartitionFilters
     * (the non-matching partitions never reach the scan) and the
     * written tree has one directory per lang. */
+  // one sink directory per scale dir, reused across calls (overwrite
+  // mode), and ONE JVM-exit hook for all of them: a hook per call would
+  // accumulate threads forever in a long-lived session, and
+  // File.deleteOnExit on a non-empty parquet directory is a silent
+  // no-op (it leaked a copy of documents to tmp per call before this)
+  private val partSinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+  private lazy val partSinkHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      partSinkDirs.values.forEach(out =>
+        try {
+          java.nio.file.Files.walk(out.toPath)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Exception => () })))
+
   def sinkPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = new java.io.File(
+    partSinkHook
+    val out = partSinkDirs.computeIfAbsent(sfDir, _ => new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_part_sink_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"graft_part_sink_${java.util.UUID.randomUUID().toString.take(8)}"))
     val dir = out.getAbsolutePath
-    // JVM-exit cleanup must walk the tree: File.deleteOnExit on a
-    // non-empty parquet directory is a silent no-op, which leaked a
-    // copy of documents to tmp per call
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        java.nio.file.Files.walk(out.toPath)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      } catch { case _: Exception => () }))
     Fixtures.documents(spark, sfDir)
       .select($"doc_id", $"source", $"lang", length($"text").as("n_chars"))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
