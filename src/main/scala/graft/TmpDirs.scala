@@ -1,0 +1,38 @@
+package graft
+
+/** Tracked temp directories for the demo/bench query surface: every
+  * query that stages data on local disk (parquet sinks, COG scratch,
+  * streaming checkpoints, bucketed warehouses) allocates through
+  * [[create]], and ONE JVM-exit hook sweeps them all. Before this,
+  * each call site either leaked its directory outright or registered
+  * its own hook per call — both unbounded in a long-lived session.
+  * Deletion is best-effort (exit-time races with Spark's own shutdown
+  * are swallowed); nothing here is correctness-bearing. */
+object TmpDirs {
+  private val dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val hook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach(d =>
+        try {
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Exception => () })))
+
+  /** A fresh temp directory swept at JVM exit; returns its path. */
+  def create(prefix: String): String = {
+    hook
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    dirs.add(d)
+    d.toString
+  }
+
+  /** Track an externally-created directory for the same exit sweep. */
+  def track(dir: java.io.File): java.io.File = {
+    hook
+    dirs.add(dir.toPath)
+    dir
+  }
+}

@@ -362,7 +362,7 @@ object JoinQueries {
       // sfDirs in one JVM, silently serving one dataset for both
       val sfx = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val wh = java.nio.file.Files.createTempDirectory("graft_bktq").toString
+      val wh = graft.TmpDirs.create("graft_bktq")
       Fixtures.orders(s, d)
         .write.mode("overwrite").option("path", s"$wh/o")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")

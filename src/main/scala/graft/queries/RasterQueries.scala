@@ -125,7 +125,7 @@ object RasterQueries {
     val e = edge(sfDir)
     val prof = RasterProfile(e, e, blockSize = 128, nodata = ND,
       resampling = "average", minOverviewSize = 128, maskPages = true)
-    val dir = java.nio.file.Files.createTempDirectory("graft-cog-q").toString
+    val dir = graft.TmpDirs.create("graft-cog-q")
     val (bytes, res) = CogWriter.writeBytes(
       SyntheticRaster.generate(spark, prof, seed = 17L), prof, dir)
     val sha = java.security.MessageDigest.getInstance("SHA-256")
@@ -142,7 +142,7 @@ object RasterQueries {
   private def writeReadbackCog(spark: SparkSession): (String, RasterProfile) = {
     val prof = RasterProfile(512, 512, blockSize = 64, nodata = ND,
       resampling = "average", minOverviewSize = 64, maskPages = true)
-    val dir = java.nio.file.Files.createTempDirectory("graft-read-q").toString
+    val dir = graft.TmpDirs.create("graft-read-q")
     val (bytes, _) = CogWriter.writeBytes(
       SyntheticRaster.generate(spark, prof, seed = 29L), prof, dir)
     val f = java.nio.file.Paths.get(dir, "assembled.tif")
@@ -228,7 +228,7 @@ object RasterQueries {
   def rasterDsv2Write(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (uri, prof) = writeReadbackCog(spark)
-    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2w").toString
+    val dir = graft.TmpDirs.create("graft-dsv2w")
     val out = s"$dir/out.tif"
     spark.read.format("cog").load(uri).where($"level" === 0)
       .write.format("cog")
@@ -269,8 +269,8 @@ object RasterQueries {
     val rows = SyntheticRaster.generate(spark, prof, seed = 43L)
       .collect().sortBy(t => (t.ty, t.tx))
       .map(t => (t.ty, t.tx, t.h, t.w, t.pixels, t.mask))
-    val stage = java.nio.file.Files.createTempDirectory("graft-qstream").toString + "/stage"
-    val work = java.nio.file.Files.createTempDirectory("graft-qstream-w").toString
+    val stage = graft.TmpDirs.create("graft-qstream") + "/stage"
+    val work = graft.TmpDirs.create("graft-qstream-w")
     val mem = MemoryStream[(Int, Int, Int, Int, Array[Double], Array[Byte])]
     val q = mem.toDF().toDF("ty", "tx", "h", "w", "pixels", "mask")
       .writeStream
@@ -301,14 +301,14 @@ object RasterQueries {
   def rasterMosaic(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-qmosaic").toString
+    val dir = graft.TmpDirs.create("graft-qmosaic")
     for ((name, originX, seed) <- Seq(("a.tif", 500000.0, 71L), ("b.tif", 500640.0, 72L))) {
       val p = RasterProfile(64, 48, blockSize = 16, nodata = ND,
         minOverviewSize = 32,
         geo = Some(GeoRef(10.0, 10.0, originX, 6400000.0, 32633)))
       val bytes = CogWriter.writeBytes(
         SyntheticRaster.generate(spark, p, seed), p,
-        java.nio.file.Files.createTempDirectory("graft-qmosaic-w").toString)._1
+        graft.TmpDirs.create("graft-qmosaic-w"))._1
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
     }
     spark.read.format("cog").load(dir)
@@ -340,7 +340,7 @@ object RasterQueries {
     val prof = RasterProfile(e, e * 3 / 4, blockSize = 128, nodata = ND,
       minOverviewSize = 128,
       geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
-    val dir = java.nio.file.Files.createTempDirectory("graft-qmwrite").toString + "/mosaic"
+    val dir = graft.TmpDirs.create("graft-qmwrite") + "/mosaic"
     val tiles = SyntheticRaster.generate(spark, prof, seed = 83L).toDF()
     for (pred <- Seq(col("tx") < grid, col("tx") >= grid)) {
       tiles.filter(pred)

@@ -150,7 +150,7 @@ object ScanQueries {
         (col("id") % n).cast("int").as("tx"),
         (col("id") / n).cast("int").as("ty"))
       .withColumn("payload", ($"tx" * 31 + $"ty").cast("double"))
-    val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val root = graft.TmpDirs.create("graft_zorder")
     grid.repartitionByRange(files, $"ty", $"tx")
       .sortWithinPartitions($"ty", $"tx")
       .write.mode("overwrite").parquet(s"$root/rowmajor")
@@ -230,7 +230,7 @@ object ScanQueries {
     * row-exact conservation and the output count law. */
   def sinkCompact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val root = graft.TmpDirs.create("graft_compact")
     val frag = s"$root/frag"
     val compact = s"$root/compact"
     Fixtures.documents(spark, sfDir)

@@ -550,7 +550,7 @@ object WindowQueries {
       if (i % 3 == 0) "click" else "view", (i % 11) + 0.25)
     val b1 = (0 until 150).map(ev)
     val b2 = (150 until 300).map(ev)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = graft.TmpDirs.create("graft_ckpt")
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
     def start() =
       tumbleAgg(mem.toDF().toDF("ts", "event_type", "value")
