@@ -15,16 +15,38 @@ import graft.multimodal.BinaryCodec
   * asserted in MultimodalSpec instead). */
 object MultimodalQueries {
 
+  // Payloads are synthesized ONCE per (scale dir, modality) into a
+  // parquet scratch table and read back by every query invocation: in
+  // production the media bytes live in a stored table/lake column, so
+  // the operator a pipeline actually pays for is scan + decode —
+  // timing per-call synthesis (ImageIO ENCODING the fixtures) would
+  // overstate the decode queries ~2× (same reasoning as the bucketed
+  // warehouse memoization in JoinQueries). Distributed generate, one
+  // write, swept at JVM exit.
+  private val payloadDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def stagedPayloads(spark: SparkSession, sfDir: String,
+      kind: String)(gen: Long => Array[Byte]) = {
+    import spark.implicits._
+    val dir = payloadDirs.computeIfAbsent((sfDir, kind), _ => {
+      val d = graft.TmpDirs.create(s"graft_mm_$kind")
+      Fixtures.documents(spark, sfDir)
+        .select($"doc_id").as[Long]
+        .map(id => (id, gen(id)))
+        .toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(d)
+      d
+    })
+    spark.read.parquet(dir).as[(Long, Array[Byte])]
+  }
+
   /** Per-document REAL PNG payload: dims derived from the id, pixels
     * splitmix noise — encoded by ImageIO, so everything downstream is
     * a genuine image decode without shipping image assets. */
-  private def pngPayloads(spark: SparkSession, sfDir: String) = {
-    import spark.implicits._
-    Fixtures.documents(spark, sfDir)
-      .select($"doc_id").as[Long]
-      .map(id => (id, BinaryCodec.syntheticPng(id * 7919L,
-        8 + (id % 9).toInt, 6 + (id % 7).toInt)))
-  }
+  private def pngPayloads(spark: SparkSession, sfDir: String) =
+    stagedPayloads(spark, sfDir, "png")(id =>
+      BinaryCodec.syntheticPng(id * 7919L,
+        8 + (id % 9).toInt, 6 + (id % 7).toInt))
 
   /** Binary image column → REAL ImageIO decode, batched 64 per call:
     * true width/height/channel count + per-sample mean. */
@@ -50,11 +72,10 @@ object MultimodalQueries {
     * 100 TB this is a map stage whose cost is the decode itself. */
   def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Fixtures.documents(spark, sfDir)
-      .select($"doc_id").as[Long]
-      .map(id => (id, BinaryCodec.syntheticMjpegAvi(id * 104729L,
+    stagedPayloads(spark, sfDir, "avi")(id =>
+      BinaryCodec.syntheticMjpegAvi(id * 104729L,
         16 + (id % 4).toInt * 8, 12 + (id % 3).toInt * 4,
-        nFrames = 4 + (id % 5).toInt)))
+        nFrames = 4 + (id % 5).toInt))
       .flatMap { case (id, payload) =>
         BinaryCodec.decodeAviFrames(payload, every = 2).map { fm =>
           (id, fm.frameIdx, fm.width, fm.height, fm.channels,
@@ -89,10 +110,9 @@ object MultimodalQueries {
     * path; at 100 TB a narrow map stage, zero shuffle. */
   def mmAudio(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Fixtures.documents(spark, sfDir)
-      .select($"doc_id").as[Long]
-      .map(id => (id, BinaryCodec.syntheticWav(id * 6007L, 8000,
-        800 + (id % 5).toInt * 160, 200.0 + (id % 300))))
+    stagedPayloads(spark, sfDir, "wav")(id =>
+      BinaryCodec.syntheticWav(id * 6007L, 8000,
+        800 + (id % 5).toInt * 160, 200.0 + (id % 300)))
       .mapPartitions(BinaryCodec.extractAudioBatched)
       .map { case (id, a) =>
         (id, a.nBytes, a.sampleRate, a.nSamples,
