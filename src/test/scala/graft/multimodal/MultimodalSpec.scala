@@ -240,6 +240,29 @@ class MultimodalSpec extends SparkSpec {
     assert(ex2.getMessage.contains("corrupt RIFF chunk"))
   }
 
+  test("RIFF mutation fuzz: corrupt WAV/AVI bytes decode or reject, never hang") {
+    // seeded single/multi-byte corruptions across the whole container
+    // (headers, chunk sizes, payloads): every outcome must be a normal
+    // return or a thrown exception — the suite timeout is the hang
+    // detector, the regression net for the walker's bounds guards
+    val rnd = new scala.util.Random(0x81FFL)
+    val wav = BinaryCodec.syntheticWav(6L, 8000, 400, 150.0)
+    val avi = BinaryCodec.syntheticMjpegAvi(7L, 16, 12, nFrames = 3)
+    for ((orig, decode) <- Seq[(Array[Byte], Array[Byte] => Any)](
+        (wav, BinaryCodec.decodeWav(_)),
+        (avi, BinaryCodec.decodeAviFrames(_, every = 1)))) {
+      var done = 0
+      for (_ <- 0 until 300) {
+        val m = orig.clone()
+        for (_ <- 0 to rnd.nextInt(4))
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        try { decode(m); done += 1 }
+        catch { case _: Exception => done += 1 }
+      }
+      assert(done == 300)
+    }
+  }
+
   test("q_mm_audio: one row per doc, real features, batch-invariant") {
     val sparkS = spark
     import sparkS.implicits._

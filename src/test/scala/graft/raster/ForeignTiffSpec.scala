@@ -323,4 +323,27 @@ class ForeignTiffSpec extends SparkSpec {
     val ex2 = intercept[IllegalArgumentException](BigTiff.readPages(c.array()))
     assert(ex2.getMessage.contains("cyclic IFD"))
   }
+
+  test("header mutation fuzz: corrupt bytes parse or reject, never hang") {
+    // 500 seeded single/multi-byte corruptions of a real strip file's
+    // bytes: every outcome must be a normal return or a thrown
+    // exception — the suite's timeout is the hang detector, and this
+    // is the regression net for the bounds/cycle guards above
+    val strips = (0 until 4).map(s => Array.fill(16 * 4)(s.toByte)).toArray
+    val valid = ClassicTiff.emitStripped(16, 16, 4, 1, strips)
+    val rnd = new scala.util.Random(0xF02DL)
+    var parsed = 0
+    var rejected = 0
+    for (_ <- 0 until 500) {
+      val m = valid.clone()
+      // corrupt 1-4 bytes anywhere (header, IFD, or payload)
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      try { BigTiff.readPages(m); parsed += 1 }
+      catch { case _: Exception | _: StackOverflowError => rejected += 1 }
+    }
+    assert(parsed + rejected == 500)
+    // sanity: the generator itself emits a parseable file
+    assert(BigTiff.readPages(valid).nonEmpty)
+  }
 }
