@@ -36,21 +36,24 @@ object ZOrder {
   /** Morton key of (x, y): x's bits at even positions, y's at odd.
     * Inputs outside [0, 65535] RAISE rather than silently aliasing
     * under the 16-bit mask (which would destroy the locality property
-    * file skipping depends on); NULLs propagate. The guard sits ONCE
-    * above the interleave — the magic-mask doubling references its
-    * operand 16x, so guarding inside the spread would inflate the
-    * expression tree and generated code 32-fold. Everything stays
-    * codegen'd builtins (`when`/`raise_error` included). */
+    * file skipping depends on); NULLs propagate, and propagation wins
+    * over the range check — `morton(70000, NULL)` is NULL, not an
+    * error, matching SQL's null-in/null-out convention for builtins.
+    * The guard sits ONCE above the interleave — the magic-mask
+    * doubling references its operand 16x, so guarding inside the
+    * spread would inflate the expression tree and generated code
+    * 32-fold. Everything stays codegen'd builtins (`when`/
+    * `raise_error` included). */
   def morton(x: Column, y: Column): Column = {
     val lx = x.cast("long")
     val ly = y.cast("long")
-    def ok(l: Column) = l.isNull.or(l >= 0L && l <= 0xFFFFL)
-    when(ok(lx).and(ok(ly)),
-      spread16(lx).bitwiseOR(shiftleft(spread16(ly), 1)))
+    def ok(l: Column) = l >= 0L && l <= 0xFFFFL
+    when(lx.isNull.or(ly.isNull), lit(null).cast("long"))
+      .when(ok(lx).and(ok(ly)),
+        spread16(lx).bitwiseOR(shiftleft(spread16(ly), 1)))
       .otherwise(raise_error(concat(
         lit("morton() input out of range [0, 65535]: ("),
-        coalesce(lx.cast("string"), lit("null")), lit(", "),
-        coalesce(ly.cast("string"), lit("null")), lit(")"))).cast("long"))
+        lx.cast("string"), lit(", "), ly.cast("string"), lit(")"))).cast("long"))
       .as("zorder")
   }
 
@@ -74,19 +77,22 @@ object ZOrder {
       and(or(s3, shl(s3, 1)), 0x55555555L)
     }
     // same single top-level range guard as the Column helper (see
-    // [[morton]]'s scaladoc for why it must not sit inside the spread)
+    // [[morton]]'s scaladoc for why it must not sit inside the spread,
+    // and why NULL propagation precedes the range raise)
     import org.apache.spark.sql.types.StringType
     val lx = Cast(x, LongType)
     val ly = Cast(y, LongType)
-    def ok(l: Expression) = Or(IsNull(l),
-      And(GreaterThanOrEqual(l, Literal(0L)), LessThanOrEqual(l, Literal(0xFFFFL))))
-    If(And(ok(lx), ok(ly)),
-      or(spread(lx), shl(spread(ly), 1)),
-      Cast(new RaiseError(Concat(Seq(
-        Literal("morton() input out of range [0, 65535]: ("),
-        Coalesce(Seq(Cast(lx, StringType), Literal("null"))), Literal(", "),
-        Coalesce(Seq(Cast(ly, StringType), Literal("null"))), Literal(")")))),
-        LongType))
+    def ok(l: Expression) =
+      And(GreaterThanOrEqual(l, Literal(0L)), LessThanOrEqual(l, Literal(0xFFFFL)))
+    If(Or(IsNull(lx), IsNull(ly)),
+      Literal.create(null, LongType),
+      If(And(ok(lx), ok(ly)),
+        or(spread(lx), shl(spread(ly), 1)),
+        Cast(new RaiseError(Concat(Seq(
+          Literal("morton() input out of range [0, 65535]: ("),
+          Cast(lx, StringType), Literal(", "),
+          Cast(ly, StringType), Literal(")")))),
+          LongType)))
   }
 
   /** Reference implementation for specs: same interleave in plain Scala. */

@@ -50,6 +50,13 @@ object CosineLsh {
 
   private[similarity] def signature(v: Array[Float],
       planes: Array[Array[Double]], nBits: Int): Int = {
+    // the plane table is sized from the first vector seen; a corpus
+    // with mixed dimensionalities would otherwise read past the table
+    // (longer v) or hash on a silent prefix (shorter v)
+    require(v.length == planes(0).length,
+      s"cosine-LSH corpus has mixed embedding dimensionalities: saw a " +
+        s"${v.length}-dim vector after sizing the plane table for " +
+        s"${planes(0).length} dims; re-embed the corpus to one dimension")
     var sig = 0
     var b = 0
     while (b < nBits) {

@@ -47,9 +47,22 @@ class HadoopMultipartSink(dirUri: String,
       f".part-$partNumber%05d.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    fs.delete(partPath(partNumber), false) // rename refuses to clobber on HDFS
-    require(fs.rename(tmp, partPath(partNumber)),
-      s"rename $tmp -> ${partPath(partNumber)} failed")
+    val dest = partPath(partNumber)
+    fs.delete(dest, false) // rename refuses to clobber on HDFS
+    if (!fs.rename(tmp, dest)) {
+      // two duplicate attempts can interleave (A deletes, B deletes, A
+      // renames, B's rename hits no-clobber): B's part is already whole
+      // at dest, so a complete destination of the right length IS
+      // success — failing here would force a pointless task retry. Only
+      // a missing/short dest is a real failure. Either way, reap the
+      // losing temp so it doesn't linger until the next start().
+      val landed = try {
+        fs.getFileStatus(dest).getLen == bytes.length.toLong
+      } catch { case _: java.io.FileNotFoundException => false }
+      fs.delete(tmp, false)
+      require(landed,
+        s"rename $tmp -> $dest failed and no whole part exists at $dest")
+    }
     java.lang.Long.toHexString(bytes.length.toLong)
   }
 

@@ -286,7 +286,12 @@ object CogWriteSupport {
             s"rename $tmpDir/$name -> $target/$name failed")
         }
         fs.delete(tmpDir, true)
+        // (re)write the geometry sidecar: idempotent for mosaics that
+        // already carry one (the append just validated against it) and
+        // an in-place upgrade for legacy directories that pre-date it
+        writeMosaicManifest(fs, target, opts, bs, width, height, bands)
       } else {
+        writeMosaicManifest(fs, tmpDir, opts, bs, width, height, bands)
         // success: replace the old directory only now (a failed write
         // leaves the previous mosaic untouched)
         if (fs.exists(target)) fs.delete(target, true)
@@ -305,17 +310,110 @@ object CogWriteSupport {
     } finally pool.shutdown()
   }
 
+  /** Sidecar manifest recording the mosaic's global geometry exactly,
+    * written at mosaic-write time and validated on every append. The
+    * header-probe gate below it is best-effort (it can only check the
+    * edge clips the extreme parts happen to carry); the manifest makes
+    * the global extent an exact check even when every extreme part is
+    * interior or unclipped. Dot-prefixed so neither the part-name
+    * pattern nor the read side's .tif listing ever sees it. */
+  private[sources] val ManifestName = ".graft_mosaic"
+
+  private def writeMosaicManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, opts: Map[String, String], bs: Int, width: Int,
+      height: Int, bands: Int): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("blocksize", bs.toString)
+    p.setProperty("width", width.toString)
+    p.setProperty("height", height.toString)
+    p.setProperty("bands", bands.toString)
+    p.setProperty("dtype", opts.getOrElse("dtype", "float64"))
+    opts.get("epsg").foreach { e =>
+      p.setProperty("epsg", e)
+      p.setProperty("originx", opts.getOrElse("originx", "0.0"))
+      p.setProperty("originy", opts.getOrElse("originy", "0.0"))
+      p.setProperty("pixelw", opts.getOrElse("pixelw", "1.0"))
+      p.setProperty("pixelh", opts.getOrElse("pixelh", "1.0"))
+    }
+    val out = fs.create(new Path(dir, ManifestName), true)
+    try p.store(out, "graft mosaic global geometry") finally out.close()
+  }
+
+  private def readMosaicManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[java.util.Properties] = {
+    val f = new Path(dir, ManifestName)
+    if (!fs.exists(f)) None
+    else {
+      val p = new java.util.Properties()
+      val in = fs.open(f)
+      try p.load(in) finally in.close()
+      Some(p)
+    }
+  }
+
   /** Append-time geometry gate: an append whose (possibly inferred)
     * geometry contradicts the files already in the mosaic would write
     * region COGs whose world coordinates disagree with their
-    * neighbours, silently corrupting bbox pruning on read-back. Parse
-    * the extreme existing part headers (KBs, driver-side) and require
-    * blocksize/bands/dtype/extent/geo-referencing consistency. TWO
-    * parts pin the global extent: the bottom-most (max ry) carries the
-    * height edge clip and the right-most (max rx) the width clip, so a
-    * wrong global width OR height fails even when every option was
-    * omitted and inference saw only the appended frame. */
+    * neighbours, silently corrupting bbox pruning on read-back.
+    *
+    * Two layers: when the [[ManifestName]] sidecar exists (every mosaic
+    * this writer produces), the incoming global geometry must match it
+    * EXACTLY. For legacy directories without a sidecar, fall back to
+    * parsing the extreme existing part headers (KBs, driver-side) and
+    * requiring blocksize/bands/dtype/extent/geo-referencing
+    * consistency — best-effort: the bottom-most (max ry) part carries
+    * the height edge clip and the right-most (max rx) the width clip,
+    * so a wrong global extent is caught only when those parts are
+    * actually edge-clipped (an extent that is an exact multiple of the
+    * region size, or an incomplete mosaic whose extreme parts are
+    * interior, passes the probe — hence the manifest). */
   private def validateAppendGeometry(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, opts: Map[String, String], bs: Int, width: Int,
+      height: Int, bands: Int, regionPx: Long): Unit =
+    readMosaicManifest(fs, target) match {
+      case Some(m) =>
+      def ctx = s"mosaic append geometry mismatch vs $ManifestName manifest"
+      def chk(key: String, incoming: String): Unit = {
+        val have = m.getProperty(key)
+        require(have == null || have == incoming,
+          s"$ctx: $key $have != incoming $incoming — pass options matching " +
+            "the existing mosaic")
+      }
+      chk("blocksize", bs.toString)
+      chk("width", width.toString)
+      chk("height", height.toString)
+      chk("bands", bands.toString)
+      chk("dtype", opts.getOrElse("dtype", "float64"))
+      (Option(m.getProperty("epsg")), opts.get("epsg")) match {
+        case (Some(have), Some(incoming)) =>
+          require(have == incoming, s"$ctx: epsg $have != incoming $incoming")
+          def dchk(key: String, incoming: Double): Unit = {
+            val have = m.getProperty(key).toDouble
+            require(math.abs(have - incoming) <=
+                1e-9 * math.max(1.0, math.abs(have)),
+              s"$ctx: $key $have != incoming $incoming")
+          }
+          dchk("originx", opts.get("originx").map(_.toDouble).getOrElse(0.0))
+          dchk("originy", opts.get("originy").map(_.toDouble).getOrElse(0.0))
+          dchk("pixelw", opts.get("pixelw").map(_.toDouble).getOrElse(1.0))
+          dchk("pixelh", opts.get("pixelh").map(_.toDouble).getOrElse(1.0))
+        case (Some(have), None) => throw new IllegalArgumentException(
+          s"$ctx: existing mosaic is geo-referenced (EPSG $have) but the " +
+            "append passes no epsg option")
+        case (None, Some(e)) => throw new IllegalArgumentException(
+          s"$ctx: append passes epsg=$e but the existing mosaic has no " +
+            "geo-referencing")
+        case (None, None) => ()
+      }
+      // manifest is authoritative; skip the header probe
+      case None => probeAppendGeometry(fs, target, opts, bs, width, height,
+        bands, regionPx)
+    }
+
+  /** Legacy fallback for [[validateAppendGeometry]]: best-effort
+    * extreme-part header probe (see the caller's scaladoc for what it
+    * can and cannot catch). */
+  private def probeAppendGeometry(fs: org.apache.hadoop.fs.FileSystem,
       target: Path, opts: Map[String, String], bs: Int, width: Int,
       height: Int, bands: Int, regionPx: Long): Unit = {
     val existing = fs.listStatus(target).flatMap { st =>

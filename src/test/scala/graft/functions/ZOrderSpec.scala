@@ -96,6 +96,14 @@ class ZOrderSpec extends SparkSpec {
       .collect().head.getLong(0) == 0xFFFFFFFFL)
     // NULL propagates as NULL, not an error
     assert(spark.sql("SELECT morton(CAST(NULL AS INT), 3)").collect().head.isNullAt(0))
+    // ...and propagation WINS over the range raise: a NULL alongside an
+    // out-of-range operand is still NULL (SQL null-in/null-out), on
+    // both the Column and SQL-registry paths
+    assert(spark.range(1)
+      .select(ZOrder.morton(lit(70000), lit(null).cast("int")))
+      .collect().head.isNullAt(0))
+    assert(spark.sql("SELECT morton(70000, CAST(NULL AS INT))")
+      .collect().head.isNullAt(0))
   }
 
   test("q_layout_zorder: z-order serves both box orientations; row-major only one") {

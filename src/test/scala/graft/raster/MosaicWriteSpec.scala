@@ -245,6 +245,58 @@ class MosaicWriteSpec extends SparkSpec {
     assert(spark.read.format("cog").load(dir).where($"level" === 0).count() == 12)
   }
 
+  test("mosaic geometry manifest pins the exact extent; legacy dirs fall back to the header probe") {
+    val s = spark
+    import s.implicits._
+    // 64x64 @ blockSize 16, grid 2: every region is exactly 32x32 — NO
+    // edge-clipped part anywhere, so the header probe alone cannot
+    // catch an over-declared global extent (expW/expH == regionPx for
+    // any claimed size). The sidecar manifest makes the check exact.
+    val prof = RasterProfile(64, 64, blockSize = 16, nodata = ND,
+      minOverviewSize = 16, geo = Some(GeoRef(PW, PW, OX, OY, 32633)))
+    val all = SyntheticRaster.generate(s, prof, seed = 58L)
+    val dir = Files.createTempDirectory("graft-mman").toString + "/mosaic"
+    def writeBatch(pred: org.apache.spark.sql.Column,
+        tweak: Map[String, String] = Map.empty): Unit = {
+      val base = Map("mosaic.grid" -> "2", "blocksize" -> "16",
+        "width" -> "64", "height" -> "64", "nodata" -> ND.toString,
+        "minoverviewsize" -> "16", "epsg" -> "32633",
+        "pixelw" -> PW.toString, "pixelh" -> PW.toString,
+        "originx" -> OX.toString, "originy" -> OY.toString)
+      val w = all.toDF().filter(pred).write.format("cog")
+      (base ++ tweak).foreach { case (k, v) => w.option(k, v) }
+      w.mode("append").save(dir)
+    }
+    def files() = new java.io.File(dir).list().count(_.endsWith(".tif"))
+    writeBatch($"tx" < 2)
+    val manifest = java.nio.file.Paths.get(dir, ".graft_mosaic")
+    assert(java.nio.file.Files.exists(manifest), "geometry sidecar written")
+    assert(files() == 2)
+
+    // over-declared height: both existing parts are unclipped 32x32 so
+    // the probe would pass it — the manifest must refuse it exactly
+    val ex = intercept[Exception](writeBatch($"tx" >= 2,
+      tweak = Map("height" -> "96")))
+    assert(ex.getMessage.contains("manifest") &&
+      ex.getMessage.contains("height"), ex.getMessage)
+    assert(files() == 2)
+
+    // legacy directory (pre-manifest): delete the sidecar — the
+    // header-probe fallback still refuses the contradictions it CAN
+    // see (blocksize is in every part header)
+    java.nio.file.Files.delete(manifest)
+    val exBs = intercept[Exception](writeBatch($"tx" >= 2,
+      tweak = Map("blocksize" -> "32")))
+    assert(exBs.getMessage.contains("blocksize"), exBs.getMessage)
+
+    // a matching append on the legacy dir lands, upgrades it in place
+    // (manifest re-created), and the mosaic reads back whole
+    writeBatch($"tx" >= 2)
+    assert(files() == 4)
+    assert(java.nio.file.Files.exists(manifest), "legacy dir upgraded")
+    assert(spark.read.format("cog").load(dir).where($"level" === 0).count() == 16)
+  }
+
   test("mosaic append width check uses the right-most part, not just the bottom-most") {
     val s = spark
     import s.implicits._

@@ -73,6 +73,25 @@ class CosineLshSpec extends SparkSpec {
     assert(collides, "near-duplicate never collided in any table")
   }
 
+  test("mixed embedding dimensionalities fail with an explanatory message") {
+    val s = spark
+    import s.implicits._
+    // plane tables are sized from the first vector seen per partition;
+    // a longer vector later would otherwise index past the table
+    // (opaque AIOOBE) and a shorter one would hash a silent prefix
+    val mixed = Seq(
+      (0L, unit(1).map(_.toFloat)),
+      (1L, unit(2).map(_.toFloat).take(8))).toDF("vec_id", "embedding")
+      .coalesce(1)
+    val ex = intercept[Exception] {
+      CosineLsh.lshTopK(mixed, Seq(0L), k = 3).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator("")).mkString(" | ")
+    assert(rootMsg(ex).contains("mixed embedding dimensionalities"), rootMsg(ex))
+  }
+
   test("ranks are dense, ordered by cosine, and exclude the query itself") {
     val s = spark
     import s.implicits._

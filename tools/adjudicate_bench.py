@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Bench outlier adjudication — the automated version of the per-round
+manual loop recorded in BASELINE.md "Bench adjudications".
+
+Full-bench per-query readings swing 2-3x from co-located JVM load (the
+~92 sibling queries, GC, JIT), so a reading far above its prior round is
+a SUSPECT, not a verdict. The rule of record: fresh-JVM
+`SPARK_GRAFT_ONLY=<q>` reruns on the same classes/config decide.
+
+Usage:
+  adjudicate_bench.py <prev_bench.json> <curr_bench.json> [out.json]
+      [--threshold 2.5] [--floor 0.5] [--runs 3] [--sf-dir DIR] [--cpus 32]
+
+Reads the two full-bench JSON records (the one-line format graft.Bench
+prints and persists to target/bench_full.json), finds every query whose
+current reading exceeds `threshold` x its previous reading AND the
+`floor` in absolute seconds (sub-floor queries can triple on pure timer
+noise), then for each outlier launches `runs` fresh JVMs running
+graft.Bench with SPARK_GRAFT_ONLY pinned to that query, from the
+compiled classes at target/scala-2.13/classes + /opt/spark/jars (the
+same classpath sbt runs with). Emits the BENCH_r<k>_isolated.json array
+format: per query the raw runs, the min, config/context strings, and a
+mechanical verdict:
+
+  cleared   - isolated min <= threshold x previous reading (the full-
+              bench reading did not reproduce in isolation: load variance)
+  regressed - isolated min stays above threshold x previous reading
+              (the slowdown is real; find the code/fixture cause)
+
+Run `sbt compile` (or a full bench) first so the classes are current.
+"""
+import sys, json, os, subprocess, tempfile
+
+ADD_OPENS_PKGS = [
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+    "sun.security.action", "sun.util.calendar",
+]
+
+
+def load_queries(path):
+    with open(path) as f:
+        rec = json.load(f)
+    qs = rec.get("queries", rec)  # accept either the full record or a bare map
+    return {k: float(v) for k, v in qs.items() if isinstance(v, (int, float))}
+
+
+def isolated_run(query, sf_dir, cpus, repo_root):
+    cp = os.path.join(repo_root, "target/scala-2.13/classes") + ":/opt/spark/jars/*"
+    out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
+    cmd = ["java"]
+    for p in ADD_OPENS_PKGS:
+        cmd += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
+    cmd += ["-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            "-Xmx8g", "-cp", cp, "graft.Bench"]
+    env = dict(os.environ, SPARK_GRAFT_ONLY=query, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_OUT=out)
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(f"  isolated run of {query} FAILED:\n{r.stderr[-2000:]}\n")
+        return None
+    try:
+        t = load_queries(out).get(query)
+    finally:
+        os.unlink(out)
+    return t
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    opts = dict(a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), None)
+                for a in argv if a.startswith("--"))
+
+    def opt(name, default):
+        v = opts.get(name)
+        if v is None:
+            # also accept "--name value" style
+            if f"--{name}" in argv:
+                v = argv[argv.index(f"--{name}") + 1]
+                args.remove(v) if v in args else None
+        return v if v is not None else default
+
+    if len(args) < 2:
+        sys.stderr.write(__doc__)
+        return 2
+    prev_path, curr_path = args[0], args[1]
+    out_path = args[2] if len(args) > 2 else "BENCH_isolated.json"
+    threshold = float(opt("threshold", 2.5))
+    floor = float(opt("floor", 0.5))
+    runs = int(opt("runs", 3))
+    sf_dir = opt("sf-dir", "/root/testdata/sf0.1")
+    cpus = int(opt("cpus", 32))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    prev, curr = load_queries(prev_path), load_queries(curr_path)
+    outliers = sorted(
+        q for q, t in curr.items()
+        if t > floor and q in prev and prev[q] > 0 and t > threshold * prev[q])
+    print(f"{len(outliers)} outlier(s) (> {threshold}x prior and > {floor}s): "
+          f"{outliers or '-'}")
+
+    results = []
+    for q in outliers:
+        times = []
+        for i in range(runs):
+            t = isolated_run(q, sf_dir, cpus, repo_root)
+            print(f"  {q} isolated run {i + 1}/{runs}: "
+                  f"{'%.3f s' % t if t is not None else 'ERROR'}")
+            if t is not None:
+                times.append(t)
+        if not times:
+            verdict = "error: all isolated runs failed — see stderr"
+        elif min(times) <= threshold * prev[q]:
+            verdict = (f"cleared: isolated band {min(times):.2f}-{max(times):.2f}s "
+                       f"does not reproduce the {curr[q]:.2f}s full-bench reading "
+                       f"(prior {prev[q]:.2f}s) — co-located-load variance, not a "
+                       f"code or fixture drift")
+        else:
+            verdict = (f"regressed: isolated min {min(times):.2f}s stays above "
+                       f"{threshold}x the prior {prev[q]:.2f}s — the slowdown is "
+                       f"real; bisect the code/fixture change")
+        results.append({
+            "query": q,
+            "runs_sec": [round(t, 3) for t in times],
+            "min_sec": round(min(times), 3) if times else None,
+            "config": (f"fresh JVM per run, SPARK_GRAFT_ONLY={q}, {sf_dir}, "
+                       f"local[{cpus}], min-of-2 per run"),
+            "context": (f"prior full-bench {prev[q]:.3f}s ({prev_path}); current "
+                        f"full-bench {curr[q]:.3f}s ({curr_path}); threshold "
+                        f"{threshold}x, floor {floor}s"),
+            "verdict": verdict,
+        })
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out_path}")
+    return 1 if any("regressed" in r["verdict"] or "error" in r["verdict"]
+                    for r in results) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
