@@ -8,12 +8,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   * of building a 1-px template and patching offset arrays into it
   * (SURVEY §7.1 step 4, R22/R26).
   *
-  * Structure (BigTIFF, little-endian, version 43):
-  *   file header (16 B) → data IFDs full-resolution-first (TIFF
-  *   overview convention) → 1-bit transparency-mask IFDs per level when
-  *   the profile writes masks (reference interleaves mask pages,
-  *   ccog/ccog.py:704-713) → external arrays (TileOffsets /
-  *   TileByteCounts, long ASCII values).
+  * Structure (little-endian; BigTIFF v43 by default, classic TIFF v42
+  * when `profile.bigtiff = false` — GDAL's sub-4 GiB interop default):
+  *   file header (16 B big / 8 B classic) → data IFDs
+  *   full-resolution-first (TIFF overview convention) → 1-bit
+  *   transparency-mask IFDs per level when the profile writes masks
+  *   (reference interleaves mask pages, ccog/ccog.py:704-713) →
+  *   external arrays (TileOffsets / TileByteCounts, long ASCII values;
+  *   classic adds shared BitsPerSample/SampleFormat arrays at 3+ bands
+  *   and word-aligns every external area per TIFF 6.0 §2).
   *
   * Crucially `headerLength(profile)` depends only on the grid structure,
   * never on tile contents — so absolute tile offsets can be assigned by
@@ -47,11 +50,38 @@ object BigTiff {
 
   private val TypeShort = 3   // 2 B
   private val TypeAscii = 2   // 1 B
+  private val TypeLong = 4    // 4 B (classic offsets/counts)
   private val TypeLong8 = 16  // 8 B
   private val TypeDouble = 12 // 8 B
 
   private val FileHeaderLen = 16L
   private val IfdEntryLen = 20L
+
+  /** The two on-disk layouts the writer emits: BigTIFF v43 (the
+    * default — 16-byte file header, 20-byte IFD entries, 8-byte
+    * counts/offsets/value slots) and classic TIFF v42 (8-byte header,
+    * 12-byte entries, 2-byte IFD counts, 4-byte everything else —
+    * GDAL's default for files under 4 GiB, hence the interop mode).
+    * Every structural width the header emit needs, in one place, so
+    * [[headerLayout]] and [[header]] can never disagree. */
+  private final class TiffLayout(val big: Boolean) {
+    val fileHeaderLen: Long = if (big) FileHeaderLen else 8L
+    val entryLen: Long = if (big) IfdEntryLen else 12L
+    val slotLen: Int = if (big) 8 else 4
+    val countFieldLen: Long = if (big) 8L else 2L
+    val nextPtrLen: Long = if (big) 8L else 4L
+    /** Element width of TileOffsets/TileByteCounts arrays. */
+    val offElemLen: Int = if (big) 8 else 4
+    /** Field type of offset-bearing tags (LONG8 vs LONG). */
+    val offType: Int = if (big) TypeLong8 else TypeLong
+    def ifdLen(entries: Int): Long =
+      countFieldLen + entries * entryLen + nextPtrLen
+    /** Classic TIFF requires value offsets on word (2-byte) boundaries
+      * (TIFF 6.0 §2); BigTIFF areas stay unpadded (byte-stable with
+      * every golden pinned before classic mode existed). */
+    def align(cursor: Long): Long =
+      if (big) cursor else (cursor + 1L) & ~1L
+  }
 
   /** One IFD page: data or mask, per pyramid level. */
   case class PageSpec(level: Int, isMask: Boolean)
@@ -135,9 +165,6 @@ object BigTiff {
   private def gdalMetadataLen(profile: RasterProfile): Long =
     gdalMetadata(profile, Seq.empty).length.toLong
 
-  private def ifdLen(profile: RasterProfile, pg: PageSpec): Long =
-    8L + entryCount(profile, pg) * IfdEntryLen + 8L
-
   /** External bytes of the geo tags: ModelPixelScale 3 doubles +
     * ModelTiepoint 6 doubles + GeoKeyDirectory 16 shorts. */
   private def geoExternalBytes(profile: RasterProfile): Long =
@@ -189,26 +216,68 @@ object BigTiff {
   }
 
   /** External bytes needed by a page's offset/count arrays (0 when the
-    * single value fits inline in the 8-byte entry slot). */
-  private def externalArrayBytes(profile: RasterProfile, pg: PageSpec): Long = {
+    * single value fits inline in the entry's value slot). */
+  private def externalArrayBytes(profile: RasterProfile, pg: PageSpec,
+      lay: TiffLayout): Long = {
     val n = profile.tilesPerLevel(pg.level).toLong
-    if (n > 1) 2 * 8 * n else 0L
+    if (n > 1) 2L * lay.offElemLen * n else 0L
+  }
+
+  /** External bytes of the shared BitsPerSample + SampleFormat SHORT
+    * arrays: 0 when `bands` values fit the entry's value slot (always,
+    * in BigTIFF's 8-byte slot, for the supported 1..4 bands; classic's
+    * 4-byte slot holds only 2), else one copy of each array shared by
+    * every data page. */
+  private def bandArrayBytes(profile: RasterProfile, lay: TiffLayout): Long =
+    if (2 * profile.bands > lay.slotLen) 2L * 2 * profile.bands else 0L
+
+  /** Where every IFD and external area lands, plus the total length —
+    * ONE cursor walk shared by [[headerLength]] and [[header]] so the
+    * two can never disagree. Pure function of the profile. */
+  private final case class HeaderLayout(lay: TiffLayout,
+      ifdOffset: Array[Long], ndOffset: Long, mdOffset: Long,
+      geoScaleOffset: Long, geoTieOffset: Long, geoKeyOffset: Long,
+      colorMapOffset: Long, bandArrOffset: Long, arrOffset: Array[Long],
+      total: Long)
+
+  private def headerLayout(profile: RasterProfile): HeaderLayout = {
+    val lay = new TiffLayout(profile.bigtiff)
+    val pages = pageSpecs(profile)
+    val nd = nodataAscii(profile)
+    var cursor = lay.align(lay.fileHeaderLen + ghostBlock(profile).length)
+    val ifdOffset = new Array[Long](pages.length)
+    for (p <- pages.indices) {
+      ifdOffset(p) = cursor
+      cursor += lay.ifdLen(entryCount(profile, pages(p)))
+    }
+    cursor = lay.align(cursor)
+    val ndOffset = cursor
+    if (nd.length > lay.slotLen) cursor += nd.length
+    cursor = lay.align(cursor)
+    val mdOffset = cursor
+    cursor += gdalMetadataLen(profile)
+    cursor = lay.align(cursor)
+    val geoScaleOffset = cursor
+    val geoTieOffset = geoScaleOffset + (if (profile.geo.isDefined) 24 else 0)
+    val geoKeyOffset = geoTieOffset + (if (profile.geo.isDefined) 48 else 0)
+    cursor += geoExternalBytes(profile)
+    val colorMapOffset = cursor
+    cursor += colorMapBytes(profile)
+    val bandArrOffset = cursor
+    cursor += bandArrayBytes(profile, lay)
+    val arrOffset = new Array[Long](pages.length)
+    for (p <- pages.indices) {
+      arrOffset(p) = cursor
+      cursor += externalArrayBytes(profile, pages(p), lay)
+    }
+    HeaderLayout(lay, ifdOffset, ndOffset, mdOffset, geoScaleOffset,
+      geoTieOffset, geoKeyOffset, colorMapOffset, bandArrOffset, arrOffset,
+      cursor)
   }
 
   /** Total header length — file header + IFDs + external areas. Pure
     * function of the profile: computable before any tile is encoded. */
-  def headerLength(profile: RasterProfile): Long = {
-    val pages = pageSpecs(profile)
-    var len = FileHeaderLen + ghostBlock(profile).length +
-      pages.map(pg => ifdLen(profile, pg)).sum
-    val nd = nodataAscii(profile)
-    if (nd.length > 8) len += nd.length
-    len += gdalMetadataLen(profile)
-    len += geoExternalBytes(profile)
-    len += colorMapBytes(profile)
-    pages.foreach(pg => len += externalArrayBytes(profile, pg))
-    len
-  }
+  def headerLength(profile: RasterProfile): Long = headerLayout(profile).total
 
   /** Emit the complete header. `offsets(p)`/`counts(p)` index
     * [[pageSpecs]] order; each array is the page's tiles in row-major
@@ -236,43 +305,47 @@ object BigTiff {
     }
     val nd = nodataAscii(profile)
 
-    // ---- layout: where each IFD and external area lands
+    // ---- layout: where each IFD and external area lands (shared
+    // cursor walk with headerLength, so the two cannot disagree)
+    val hl = headerLayout(profile)
+    val lay = hl.lay
+    import hl.{ifdOffset, ndOffset, mdOffset, geoScaleOffset, geoTieOffset,
+      geoKeyOffset, colorMapOffset, bandArrOffset, arrOffset}
     val ghost = ghostBlock(profile)
-    val ifdOffset = new Array[Long](pages.length)
-    var cursor = FileHeaderLen + ghost.length
-    for (p <- pages.indices) { ifdOffset(p) = cursor; cursor += ifdLen(profile, pages(p)) }
-    val ndOffset = cursor
-    if (nd.length > 8) cursor += nd.length
     val md = gdalMetadata(profile, stats)
-    val mdOffset = cursor
-    cursor += md.length
-    val geoScaleOffset = cursor
-    val geoTieOffset = geoScaleOffset + (if (profile.geo.isDefined) 24 else 0)
-    val geoKeyOffset = geoTieOffset + (if (profile.geo.isDefined) 48 else 0)
-    cursor += geoExternalBytes(profile)
-    val colorMapOffset = cursor
-    cursor += colorMapBytes(profile)
-    val arrOffset = new Array[Long](pages.length)
-    for (p <- pages.indices) {
-      arrOffset(p) = cursor
-      cursor += externalArrayBytes(profile, pages(p))
+    require(hl.total == total)
+
+    // classic TIFF addresses are unsigned 32-bit: REFUSE a file whose
+    // body would push any tile past 4 GiB instead of silently wrapping
+    // the offsets (GDAL errors the same way without BIGTIFF=YES)
+    if (!lay.big) {
+      var maxEnd = total
+      for (p <- pages.indices; i <- offsets(p).indices)
+        maxEnd = math.max(maxEnd, offsets(p)(i) + counts(p)(i))
+      require(maxEnd <= 0xFFFFFFFFL,
+        f"classic TIFF (bigtiff=false) cannot address $maxEnd%d bytes — " +
+          "the 4 GiB offset limit would be exceeded; write with bigtiff=true")
     }
-    require(cursor == total)
 
     // ---- file header
-    buf.putShort(0x4949.toShort) // "II"
-    buf.putShort(43)             // BigTIFF
-    buf.putShort(8)              // offset size
-    buf.putShort(0)
-    buf.putLong(ifdOffset(0))
-    if (ghost.nonEmpty) { buf.position(FileHeaderLen.toInt); buf.put(ghost) }
+    buf.putShort(0x4949.toShort)   // "II"
+    if (lay.big) {
+      buf.putShort(43)             // BigTIFF
+      buf.putShort(8)              // offset size
+      buf.putShort(0)
+      buf.putLong(ifdOffset(0))
+    } else {
+      buf.putShort(42)             // classic TIFF
+      buf.putInt(ifdOffset(0).toInt)
+    }
+    if (ghost.nonEmpty) { buf.position(lay.fileHeaderLen.toInt); buf.put(ghost) }
 
     // ---- IFDs (tags strictly ascending within each IFD)
     def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
       buf.putShort(tag.toShort)
       buf.putShort(typ.toShort)
-      buf.putLong(count)
-      buf.putLong(value)
+      if (lay.big) { buf.putLong(count); buf.putLong(value) }
+      else { buf.putInt(count.toInt); buf.putInt(value.toInt) }
     }
     for (p <- pages.indices) {
       val pg = pages(p)
@@ -280,21 +353,25 @@ object BigTiff {
       buf.position(ifdOffset(p).toInt)
       val (w, h) = profile.levelDims(l)
       val n = profile.tilesPerLevel(l).toLong
-      buf.putLong(entryCount(profile, pg).toLong)
+      if (lay.big) buf.putLong(entryCount(profile, pg).toLong)
+      else buf.putShort(entryCount(profile, pg).toShort)
       if (pg.isMask)
         // 4 = transparency mask; +1 reduced-resolution for overviews
-        entry(TagNewSubfileType, TypeLong8, 1, if (l > 0) 5 else 4)
+        entry(TagNewSubfileType, lay.offType, 1, if (l > 0) 5 else 4)
       else if (l > 0)
-        entry(TagNewSubfileType, TypeLong8, 1, 1) // reduced-res page
-      entry(TagImageWidth, TypeLong8, 1, w)
-      entry(TagImageLength, TypeLong8, 1, h)
+        entry(TagNewSubfileType, lay.offType, 1, 1) // reduced-res page
+      entry(TagImageWidth, lay.offType, 1, w)
+      entry(TagImageLength, lay.offType, 1, h)
       if (pg.isMask) entry(TagBitsPerSample, TypeShort, 1, 1)
-      else {
-        // count = bands: ≤4 SHORT values pack inline into the value slot
+      else if (2 * profile.bands <= lay.slotLen) {
+        // count = bands: the SHORT values pack inline into the value slot
         var packed = 0L
         for (b <- 0 until profile.bands) packed |= bits.toLong << (16 * b)
         entry(TagBitsPerSample, TypeShort, profile.bands, packed)
-      }
+      } else
+        // classic 4-byte slot holds only 2 SHORTs: point at the shared
+        // external array (one copy serves every data page)
+        entry(TagBitsPerSample, TypeShort, profile.bands, bandArrOffset)
       entry(TagCompression, TypeShort, 1, if (pg.isMask) 8 else compressionCode(l))
       // photometric: 4 = transparency mask, 3 = palette, 6 = YCbCr
       // (what the JDK's JFIF encoder emits for 3-band jpeg), 1 = gray
@@ -319,18 +396,20 @@ object BigTiff {
       entry(TagTileWidth, TypeShort, 1, profile.blockSize)
       entry(TagTileLength, TypeShort, 1, profile.blockSize)
       if (n > 1) {
-        entry(TagTileOffsets, TypeLong8, n, arrOffset(p))
-        entry(TagTileByteCounts, TypeLong8, n, arrOffset(p) + 8 * n)
+        entry(TagTileOffsets, lay.offType, n, arrOffset(p))
+        entry(TagTileByteCounts, lay.offType, n, arrOffset(p) + lay.offElemLen * n)
       } else {
-        entry(TagTileOffsets, TypeLong8, 1, offsets(p)(0))
-        entry(TagTileByteCounts, TypeLong8, 1, counts(p)(0))
+        entry(TagTileOffsets, lay.offType, 1, offsets(p)(0))
+        entry(TagTileByteCounts, lay.offType, 1, counts(p)(0))
       }
       if (pg.isMask) entry(TagSampleFormat, TypeShort, 1, 1)
-      else {
+      else if (2 * profile.bands <= lay.slotLen) {
         var packedSf = 0L
         for (b <- 0 until profile.bands) packedSf |= sampleFormat.toLong << (16 * b)
         entry(TagSampleFormat, TypeShort, profile.bands, packedSf)
-      }
+      } else
+        entry(TagSampleFormat, TypeShort, profile.bands,
+          bandArrOffset + 2 * profile.bands)
       if (!pg.isMask && profile.bands == 3 && profile.compressionFor(l) == "jpeg")
         // (2,2) = 4:2:0, what the JDK's JFIF encoder emits (asserted
         // against the stream's SOF0 sampling factors in JpegSpec)
@@ -342,22 +421,25 @@ object BigTiff {
           entry(TagGeoKeyDirectory, TypeShort, 16, geoKeyOffset)
         }
         entry(TagGdalMetadata, TypeAscii, md.length, mdOffset)
-        if (nd.length > 8) entry(TagGdalNodata, TypeAscii, nd.length, ndOffset)
+        if (nd.length > lay.slotLen)
+          entry(TagGdalNodata, TypeAscii, nd.length, ndOffset)
         else {
           // inline ASCII: value slot holds the bytes
           buf.putShort(TagGdalNodata.toShort)
           buf.putShort(TypeAscii.toShort)
-          buf.putLong(nd.length.toLong)
-          val slot = new Array[Byte](8)
+          if (lay.big) buf.putLong(nd.length.toLong)
+          else buf.putInt(nd.length)
+          val slot = new Array[Byte](lay.slotLen)
           System.arraycopy(nd, 0, slot, 0, nd.length)
           buf.put(slot)
         }
       }
-      buf.putLong(if (p + 1 < pages.length) ifdOffset(p + 1) else 0L) // next IFD
+      val next = if (p + 1 < pages.length) ifdOffset(p + 1) else 0L
+      if (lay.big) buf.putLong(next) else buf.putInt(next.toInt) // next IFD
     }
 
     // ---- external areas
-    if (nd.length > 8) { buf.position(ndOffset.toInt); buf.put(nd) }
+    if (nd.length > lay.slotLen) { buf.position(ndOffset.toInt); buf.put(nd) }
     buf.position(mdOffset.toInt); buf.put(md)
     profile.geo.foreach { g =>
       buf.position(geoScaleOffset.toInt)
@@ -381,10 +463,20 @@ object BigTiff {
       buf.position(colorMapOffset.toInt)
       colorMapShorts(profile).foreach(s => buf.putShort(s.toShort))
     }
+    if (bandArrayBytes(profile, lay) > 0) {
+      buf.position(bandArrOffset.toInt)
+      for (_ <- 0 until profile.bands) buf.putShort(bits.toShort)
+      for (_ <- 0 until profile.bands) buf.putShort(sampleFormat.toShort)
+    }
     for (p <- pages.indices; if profile.tilesPerLevel(pages(p).level) > 1) {
       buf.position(arrOffset(p).toInt)
-      offsets(p).foreach(buf.putLong)
-      counts(p).foreach(buf.putLong)
+      if (lay.big) {
+        offsets(p).foreach(buf.putLong)
+        counts(p).foreach(buf.putLong)
+      } else {
+        offsets(p).foreach(o => buf.putInt(o.toInt))
+        counts(p).foreach(c => buf.putInt(c.toInt))
+      }
     }
     buf.array()
   }

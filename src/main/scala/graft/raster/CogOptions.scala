@@ -19,7 +19,7 @@ object CogOptions {
     "blocksize", "compress", "overview_compress", "overview_resampling",
     "overview_count", "sparse_ok", "zlevel", "quality", "nodata", "dtype",
     "count", "mask_pages", "ghost", "min_overview_size",
-    "epsg", "pixel_size", "origin")
+    "epsg", "pixel_size", "origin", "bigtiff")
 
   /** Build a validated profile from width/height + string options.
     * Throws IllegalArgumentException eagerly on rejected/unknown keys
@@ -60,6 +60,9 @@ object CogOptions {
       sparseOk = b("sparse_ok", dflt = true),
       maskPages = b("mask_pages", dflt = false),
       ghost = b("ghost", dflt = false),
+      // reference default bigtiff="yes" (ccog/ccog.py:26); "no" emits
+      // classic v42 with a loud refusal past the 4 GiB offset limit
+      bigtiff = b("bigtiff", dflt = true),
       geo = geo)
   }
 }

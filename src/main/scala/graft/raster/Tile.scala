@@ -130,7 +130,15 @@ case class RasterProfile(
     jpegTables: Option[Array[Byte]] = None,
     /** FOREIGN "MM" (big-endian) file: multi-byte samples byte-swap at
       * decode. Read-side only — the writer always emits "II". */
-    bigEndianData: Boolean = false) {
+    bigEndianData: Boolean = false,
+    /** Write format: true (default) = BigTIFF v43 (8-byte offsets,
+      * no size ceiling — the reference's own default,
+      * ccog/ccog.py:26 `bigtiff="yes"`); false = classic TIFF v42
+      * (4-byte offsets, 12-byte IFD entries) for interop with
+      * toolchains expecting GDAL's sub-4 GiB default. A classic write
+      * whose assembled size would push any offset past 4 GiB REFUSES
+      * loudly at header-emit time rather than wrapping. */
+    bigtiff: Boolean = true) {
 
   require(width > 0 && height > 0, "raster dims must be positive")
   require(bands >= 1 && bands <= 4,

@@ -429,8 +429,14 @@ object CogWriteSupport {
     // same file — the Set dedups the header parse)
     for (((ry, rx), part) <- Set(existing.maxBy(_._1),
         existing.maxBy { case ((ry, rx), _) => (rx, ry) })) {
-      val prof = CogReader.inferProfile(
-        CogReader.readMeta(part.toString, opts.filter(_._1.startsWith("fs."))))
+      val prof =
+        try CogReader.inferProfile(
+          CogReader.readMeta(part.toString, opts.filter(_._1.startsWith("fs."))))
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"mosaic append could not parse existing part '$part': " +
+              s"${e.getMessage}", e)
+        }
       def ctx = s"mosaic append geometry mismatch vs existing ${part.getName}"
       require(prof.blockSize == bs,
         s"$ctx: blocksize ${prof.blockSize} != incoming $bs")
@@ -535,6 +541,7 @@ object CogWriteSupport {
       dtype = opt("dtype").getOrElse("float64"),
       compression = opt("compression").getOrElse("deflate"),
       maskPages = opt("maskpages").exists(_.toBoolean),
+      bigtiff = opt("bigtiff").forall(_.toBoolean),
       geo = opt("epsg").map(e => graft.raster.GeoRef(
         opt("pixelw").map(_.toDouble).getOrElse(1.0),
         opt("pixelh").map(_.toDouble).getOrElse(1.0),
@@ -857,10 +864,18 @@ class CogScan(path: String, conf: Map[String, String],
     require(files.nonEmpty, s"no .tif files under $path")
 
     // headers are KB-scale but possibly numerous: parse in parallel on
-    // a bounded pool (object stores serve these as ranged GETs)
+    // a bounded pool (object stores serve these as ranged GETs). A
+    // corrupt member must fail NAMING ITS FILE — the parser's own
+    // message (bad magic, truncated IFD, illegal field type) is
+    // useless against a 10k-file mosaic without the path
+    def metaOf(f: String): (String, Seq[BigTiff.PageMeta]) =
+      try (f, CogReader.readMeta(f, merged))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"cog mosaic planning failed to parse '$f': ${e.getMessage}", e)
+      }
     val metas: Seq[(String, Seq[BigTiff.PageMeta])] =
-      if (files.size == 1)
-        files.map(f => (f, CogReader.readMeta(f, merged)))
+      if (files.size == 1) files.map(metaOf)
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, files.size))
@@ -868,9 +883,8 @@ class CogScan(path: String, conf: Map[String, String],
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
         try scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(files.map(f =>
-            scala.concurrent.Future {
-              (f, CogReader.readMeta(f, merged))
-            })), scala.concurrent.duration.Duration.Inf)
+            scala.concurrent.Future(metaOf(f)))),
+          scala.concurrent.duration.Duration.Inf)
         finally pool.shutdown()
       }
 

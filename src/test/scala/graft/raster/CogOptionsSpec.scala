@@ -33,6 +33,13 @@ class CogOptionsSpec extends AnyFunSuite {
     val p = CogOptions.profile(1000, 800, Map.empty)
     assert(p.blockSize == 256 && p.compression == "deflate")
     assert(p.resampling == "average" && p.sparseOk && !p.ghost)
+    assert(p.bigtiff) // reference default bigtiff="yes" (ccog/ccog.py:26)
+  }
+
+  test("bigtiff=no selects the classic v42 writer") {
+    assert(!CogOptions.profile(100, 100, Map("bigtiff" -> "no")).bigtiff)
+    assert(!CogOptions.profile(100, 100, Map("BIGTIFF" -> "FALSE")).bigtiff)
+    assert(CogOptions.profile(100, 100, Map("bigtiff" -> "yes")).bigtiff)
   }
 
   test("geo options build a GeoRef") {

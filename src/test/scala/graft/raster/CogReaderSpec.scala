@@ -104,6 +104,60 @@ class CogReaderSpec extends SparkSpec {
       .where("level = 0").count() == prof.tilesPerLevel(0))
   }
 
+  test("classic write (bigtiff=false) round-trips through CogReader and the DSv2 source") {
+    // same multiband+mask shape as the BigTIFF round trip, but the
+    // writer emits classic v42 (4-byte offsets, 12-byte IFD entries) —
+    // GDAL's default for files under 4 GiB, the interop mode a
+    // reference user exchanging small files with that toolchain hits
+    val prof = RasterProfile(96, 80, blockSize = 16, bands = 2, nodata = ND,
+      minOverviewSize = 32, maskPages = true, bigtiff = false)
+    val (uri, expected) = writeCog(prof, seed = 133L)
+    val head = Files.readAllBytes(Paths.get(new java.net.URI(uri)))
+    assert(head(0) == 0x49 && head(1) == 0x49 &&
+      head(2) == 42 && head(3) == 0, "file header is classic little-endian v42")
+
+    // our own reader: every level reconstructs exactly, masks included
+    for (l <- 0 to prof.maxLevel) {
+      val got = CogReader.read(spark, uri, prof, l).collect()
+      val (gw, gh) = prof.gridDims(l)
+      assert(got.length == gw * gh, s"level $l tile count")
+      for (t <- got) {
+        val e = expected((l, t.ty, t.tx))
+        for (b <- 0 until 2; i <- 0 until t.h * t.w) {
+          val want = if (e.valid(b * e.h * e.w + i, ND)) e.pixels(b * e.h * e.w + i) else ND
+          assert(t.pixels(b * t.h * t.w + i) == want,
+            s"classic level $l tile(${t.ty},${t.tx}) band $b px $i")
+        }
+      }
+    }
+
+    // DSv2 source: profile inference + full read of the same file
+    val df = spark.read.format("cog").load(uri)
+    val got = df.collect()
+    assert(got.length == (0 to prof.maxLevel).map(prof.tilesPerLevel).sum)
+    for (r <- got; if r.getInt(0) == 0) {
+      val e = expected((0, r.getInt(1), r.getInt(2)))
+      val px = r.getSeq[Double](5)
+      for (b <- 0 until 2; i <- 0 until e.h * e.w) {
+        val want = if (e.valid(b * e.h * e.w + i, ND)) e.pixels(b * e.h * e.w + i) else ND
+        assert(px(b * e.h * e.w + i) == want,
+          s"classic dsv2 tile(${r.getInt(1)},${r.getInt(2)}) band $b px $i")
+      }
+    }
+
+    // DSv2 WRITE with option("bigtiff","false") emits classic too
+    val out = Files.createTempDirectory("graft-classicw").toString + "/classic.tif"
+    df.where("level = 0")
+      .write.format("cog")
+      .option("nodata", ND.toString).option("minoverviewsize", "32")
+      .option("bands", "2").option("bigtiff", "false")
+      .mode("append").save(out)
+    val outHead = Files.readAllBytes(Paths.get(out))
+    assert(outHead(2) == 42 && outHead(3) == 0, "DSv2-written file is classic v42")
+    assert(spark.read.format("cog").load("file://" + out)
+      .where("level = 0").count() == prof.tilesPerLevel(0))
+  }
+
   test("DSv2 mosaic: a directory of COGs reads as one table with per-file bbox pruning") {
     // two 48x32 rasters side by side in world space: A at x=[500000,
     // 500480), B at x=[500480, 500960)

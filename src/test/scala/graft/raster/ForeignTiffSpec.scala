@@ -3,10 +3,11 @@ package graft.raster
 import graft.SparkSpec
 import java.nio.file.{Files, Paths}
 
-/** Foreign classic-TIFF (magic 42) read path: GDAL emits classic
-  * little-endian TIFF by default for files under 4 GiB, so most
-  * real-world COGs arrive in this layout even though the reference —
-  * and CogWriter — always write BigTIFF (ccog/ccog.py:26). The fixture
+/** Foreign classic-TIFF (magic 42) read path, plus the structural
+  * vectors for CogWriter's own classic WRITE mode (`bigtiff = false`):
+  * GDAL emits classic little-endian TIFF by default for files under
+  * 4 GiB, so most real-world COGs arrive in this layout (the reference
+  * itself always writes BigTIFF, ccog/ccog.py:26). The foreign fixture
   * bytes come from [[ClassicTiff]], with tiles encoded by the same
   * TileCodec the engine writes with, so expected pixels are exact. */
 class ForeignTiffSpec extends SparkSpec {
@@ -85,6 +86,100 @@ class ForeignTiffSpec extends SparkSpec {
         assert(px(b * e.h * e.w + i) == want, s"dsv2 level $l tile($ty,$tx) band $b px $i")
       }
     }
+  }
+
+  test("writer's classic mode matches TIFF 6.0 layout vectors (independent structural parse)") {
+    // CogWriter with bigtiff=false must emit a file OTHER classic-TIFF
+    // readers accept, so the assertions here parse the raw bytes with
+    // the TIFF 6.0 §2 structure rules directly — NOT BigTiff.readPages
+    // (the writer and reader sharing a bug would hide it).
+    val prof = RasterProfile(64, 48, blockSize = 16, bands = 3,
+      nodata = ND, minOverviewSize = 16, bigtiff = false,
+      geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
+    val dir = Files.createTempDirectory("graft-cvec").toString
+    val (bytes, res) = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, prof, seed = 9L), prof, dir)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def u32(at: Int): Long = buf.getInt(at) & 0xffffffffL
+    def u16(at: Int): Int = buf.getShort(at) & 0xffff
+
+    // file header: "II", magic 42, 4-byte IFD0 offset — 8 bytes total
+    assert(bytes(0) == 0x49 && bytes(1) == 0x49)
+    assert(u16(2) == 42)
+    val ifd0 = u32(4)
+    assert(ifd0 % 2 == 0, "IFD offset word-aligned (TIFF 6.0 §2)")
+
+    // element width per TIFF 6.0 field type (LONG8 is NOT legal in v42)
+    val elemSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 12 -> 8)
+    var ifd = ifd0
+    var nPages = 0
+    var sawExternalBits = false
+    while (ifd != 0) {
+      nPages += 1
+      val n = u16(ifd.toInt) // 2-byte entry count
+      assert(n > 0)
+      var prevTag = -1
+      for (e <- 0 until n) {
+        val base = ifd.toInt + 2 + e * 12 // 12-byte entries
+        val tag = u16(base)
+        val typ = u16(base + 2)
+        val count = u32(base + 4)
+        assert(tag > prevTag, s"tags strictly ascending: $tag after $prevTag")
+        prevTag = tag
+        assert(elemSize.contains(typ), s"tag $tag uses illegal v42 type $typ")
+        val payload = elemSize(typ) * count
+        if (payload > 4) {
+          // external payload: 4-byte offset, word-aligned, in-bounds
+          val off = u32(base + 8)
+          assert(off % 2 == 0, s"tag $tag external payload offset $off unaligned")
+          assert(off + payload <= bytes.length, s"tag $tag payload past EOF")
+          if (tag == 258) { // BitsPerSample: 3 SHORTs no longer fit the slot
+            sawExternalBits = true
+            assert(count == 3 && (0 until 3).forall(i => u16(off.toInt + 2 * i) == 64))
+          }
+          if (tag == 324 || tag == 325) // offsets/counts are LONG, not LONG8
+            assert(typ == 4, s"tag $tag type $typ")
+        }
+      }
+      ifd = u32(ifd.toInt + 2 + n * 12) // 4-byte next-IFD pointer
+    }
+    assert(nPages == prof.maxLevel + 1, "one IFD per pyramid level")
+    assert(sawExternalBits, "3-band BitsPerSample went external")
+    // headerLength stayed a pure function of the profile in v42 too
+    assert(res.headerLen == BigTiff.headerLength(prof))
+
+    // pixels survive the layout change: decode level-0 tile (0,0)
+    // through the engine's own reader for a spot check
+    val pages = BigTiff.readPages(bytes)
+    assert(pages.head.offsets.length == prof.tilesPerLevel(0))
+    val px = TileCodec.decode(java.util.Arrays.copyOfRange(bytes,
+      pages.head.offsets(0).toInt,
+      (pages.head.offsets(0) + pages.head.counts(0)).toInt), prof)
+    val e = SyntheticRaster.generate(spark, prof, seed = 9L)
+      .collect().find(t => t.ty == 0 && t.tx == 0).get
+    for (b <- 0 until 3; i <- 0 until 256) {
+      val want = if (e.valid(b * 256 + i, ND)) e.pixels(b * 256 + i) else ND
+      assert(px(b * 256 + i) == want, s"band $b px $i")
+    }
+  }
+
+  test("classic write refuses past the 4 GiB offset limit instead of wrapping") {
+    val prof = RasterProfile(32, 32, blockSize = 16, nodata = ND,
+      minOverviewSize = 16, bigtiff = false)
+    val pages = BigTiff.pageSpecs(prof)
+    // forge a placement whose last tile sits beyond 2^32: the header
+    // emit must refuse loudly, never emit wrapped 4-byte offsets
+    val offsets = pages.map(pg =>
+      Array.tabulate(prof.tilesPerLevel(pg.level))(i => 5_000_000_000L + i * 100L))
+    val counts = pages.map(pg => Array.fill(prof.tilesPerLevel(pg.level))(100L))
+    val ex = intercept[IllegalArgumentException] {
+      BigTiff.header(prof, offsets, counts)
+    }
+    assert(ex.getMessage.contains("4 GiB") && ex.getMessage.contains("bigtiff=true"),
+      ex.getMessage)
+    // the same placement under BigTIFF (v43) emits fine
+    assert(BigTiff.header(prof.copy(bigtiff = true), offsets, counts).nonEmpty)
   }
 
   test("foreign LZW classic TIFF decodes end-to-end (code 5 + predictor 2)") {

@@ -367,6 +367,83 @@ class MosaicWriteSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxConcurrentFiles"), ex.getMessage)
   }
 
+  test("a corrupt part inside an otherwise-valid mosaic fails loudly naming the file") {
+    val s = spark
+    import s.implicits._
+    // valid 2x2-region mosaic, then corrupt ONE part three ways: the
+    // planner (header-parse pool) and the append gate must both refuse
+    // with the FILE NAME in the message — a parser error without the
+    // path is useless against a many-file mosaic
+    val prof = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+      minOverviewSize = 16, geo = Some(GeoRef(PW, PW, OX, OY, 32633)))
+    val dir = Files.createTempDirectory("graft-mfuzz").toString + "/mosaic"
+    writeMosaic(dir, prof, seed = 59L, grid = 2)
+    val victim = java.nio.file.Paths.get(dir, "part-001-001.tif")
+    val pristine = java.nio.file.Files.readAllBytes(victim)
+    assert(spark.read.format("cog").load(dir).where($"level" === 0).count() == 12)
+
+    def planningError(): String = {
+      val ex = intercept[Exception](
+        spark.read.format("cog").load(dir).where($"level" === 0).count())
+      def chain(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse(""))).mkString(" | ")
+      chain(ex)
+    }
+
+    // 1. truncated mid-header: a ranged read of a partial upload
+    java.nio.file.Files.write(victim, pristine.take(37))
+    val exTrunc = planningError()
+    assert(exTrunc.contains("part-001-001.tif"), exTrunc)
+
+    // 2. tag-corrupted: an illegal field type in the first IFD entry
+    val bad = pristine.clone()
+    // classic/BigTIFF header probe: first IFD offset at byte 8 (v43);
+    // entry 0's type field sits at ifd+8+2 — stamp an illegal 0xFF
+    val ifd0 = java.nio.ByteBuffer.wrap(bad).order(
+      java.nio.ByteOrder.LITTLE_ENDIAN).getLong(8).toInt
+    bad(ifd0 + 8 + 2) = 0xFF.toByte
+    bad(ifd0 + 8 + 3) = 0xFF.toByte
+    java.nio.file.Files.write(victim, bad)
+    val exTag = planningError()
+    assert(exTag.contains("part-001-001.tif"), exTag)
+
+    // 3. not a TIFF at all (wrong object uploaded into the directory)
+    java.nio.file.Files.write(victim, "junk, not a tiff".getBytes("US-ASCII"))
+    val exJunk = planningError()
+    assert(exJunk.contains("part-001-001.tif"), exJunk)
+
+    // the legacy APPEND gate (no manifest → extreme-part header probe)
+    // hits the same corrupt file — it is both bottom-most and
+    // right-most — and must also name it. Simulate the legacy dir with
+    // a region missing so the append has something to add.
+    val manifest = java.nio.file.Paths.get(dir, ".graft_mosaic")
+    java.nio.file.Files.delete(manifest)
+    val nw = java.nio.file.Paths.get(dir, "part-000-000.tif")
+    val nwBytes = java.nio.file.Files.readAllBytes(nw)
+    java.nio.file.Files.delete(nw)
+    val exApp = intercept[Exception] {
+      SyntheticRaster.generate(s, prof, seed = 59L).toDF()
+        .filter($"tx" < 2 && $"ty" < 2).write.format("cog")
+        .option("mosaic.grid", "2").option("blocksize", "16")
+        .option("width", "64").option("height", "48")
+        .option("nodata", ND.toString).option("epsg", "32633")
+        .option("pixelw", PW.toString).option("pixelh", PW.toString)
+        .option("originx", OX.toString).option("originy", OY.toString)
+        .mode("append").save(dir)
+    }
+    def chain(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse(""))).mkString(" | ")
+    assert(chain(exApp).contains("part-001-001.tif"), chain(exApp))
+
+    // restore the pristine bytes: the mosaic reads whole again — the
+    // refusals never modified surviving members
+    java.nio.file.Files.write(victim, pristine)
+    java.nio.file.Files.write(nw, nwBytes)
+    assert(spark.read.format("cog").load(dir).where($"level" === 0).count() == 12)
+  }
+
   test("mosaic write: failure leaves the previous mosaic intact (temp + swap)") {
     val s = spark
     import s.implicits._
