@@ -56,20 +56,31 @@ class PropertySpec extends SparkSpec {
   }
 
   test("header structure: parsed pages mirror the profile for random shapes") {
+    // spans BOTH write formats: BigTIFF v43 and classic v42 (the r12
+    // interop mode), plus the classic-only corners — shared external
+    // band arrays at 3+ bands, word alignment around odd-length
+    // nodata/metadata ASCII areas, geo tag triple, mask pages
     val genProf = for {
       (w, h, bs) <- genDims
       mask <- Gen.oneOf(true, false)
       dtype <- Gen.oneOf(TileCodec.dtypes.keys.toSeq)
+      big <- Gen.oneOf(true, false)
+      bands <- Gen.choose(1, 4)
+      geo <- Gen.oneOf(None, Some(GeoRef(0.25, 0.25, -180.0, 90.0, 4326)))
+      // integer dtypes need a representable sentinel; vary the ASCII
+      // length so inline-vs-external and odd-length padding both fire
+      nd <- Gen.oneOf(0.0, -9999.0, 1.5, -3.25)
     } yield RasterProfile(w, h, blockSize = bs, minOverviewSize = 128,
-      // integer dtypes need a representable sentinel
-      nodata = if (TileCodec.isInteger(dtype)) 0.0 else -9999.0,
-      dtype = dtype, maskPages = mask)
+      nodata = if (TileCodec.isInteger(dtype)) 0.0 else nd,
+      dtype = dtype, maskPages = mask, bands = bands, geo = geo,
+      bigtiff = big)
     check(Prop.forAll(genProf) { p =>
       val pages = BigTiff.pageSpecs(p)
       val offsets = pages.map(pg => new Array[Long](p.tilesPerLevel(pg.level)))
       val counts = pages.map(pg => new Array[Long](p.tilesPerLevel(pg.level)))
       val hdr = BigTiff.header(p, offsets, counts)
       val parsed = BigTiff.readPages(hdr)
+      val inferred = CogReader.inferProfile(parsed)
       hdr.length.toLong == BigTiff.headerLength(p) &&
         parsed.length == pages.length &&
         parsed.zip(pages).forall { case (pm, spec) =>
@@ -77,8 +88,15 @@ class PropertySpec extends SparkSpec {
           pm.width == lw && pm.height == lh &&
             pm.isMask == spec.isMask &&
             pm.offsets.length == p.tilesPerLevel(spec.level)
-        }
-    }, n = 60)
+        } &&
+        // the reader's profile inference must see the same schema back
+        // regardless of which format carried it
+        inferred.bands == p.bands && inferred.dtype == p.dtype &&
+        inferred.nodata == p.nodata &&
+        inferred.geo.map(g => (g.pixelW, g.pixelH, g.originX, g.originY,
+          g.epsg)) == p.geo.map(g => (g.pixelW, g.pixelH, g.originX,
+          g.originY, g.epsg))
+    }, n = 80)
   }
 
   test("codec round-trips: lzw/packbits/zstd restore arbitrary bytes") {
