@@ -406,8 +406,14 @@ object TileCodec {
 
   // ---- TIFF LZW (TIFF 6.0 §13): GDAL's historic default compression.
   // MSB-first bit packing, ClearCode 256 / EOI 257, 9→12-bit codes with
-  // the TIFF "early change" (width bumps when the next free entry
-  // exceeds 2^bits - 2, one code earlier than GIF-style LZW).
+  // the TIFF "early change": the DECODER widens when its table reaches
+  // 511/1023/2047 entries (one earlier than GIF-style LZW — the
+  // convention of libtiff and the JDK's TIFFLZWDecompressor), and the
+  // encoder, whose table add runs one code AHEAD of the decoder's,
+  // widens at 512/1024/2048. Phase pinned against the JDK's
+  // independent decoder in JdkTiffInteropSpec — an off-by-one here
+  // round-trips cleanly through our own encode/decode pair and only a
+  // foreign decoder catches it.
 
   private val LzwClear = 256
   private val LzwEoi = 257
@@ -457,14 +463,16 @@ object TileCodec {
         if (next < 4096) {
           table(next) = old :+ entry(0)
           next += 1
-          // early change, one entry BEFORE the encoder's own bump
-          // (510/1022/2046 vs the encoder's 511/1023/2047): the
-          // decoder's table add for a code happens one code after the
-          // encoder's, so its width switch must anticipate by one to
-          // stay in phase — the classic TIFF-LZW off-by-one
-          if (next == 510) codeSize = 10
-          else if (next == 1022) codeSize = 11
-          else if (next == 2046) codeSize = 12
+          // TIFF "early change" width switch, at 511/1023/2047 AFTER
+          // the add — the convention of libtiff and the JDK's own
+          // TIFFLZWDecompressor.addStringToTable (tableIndex == 511 →
+          // 10 bits), pinned against the JDK decoder by
+          // JdkTiffInteropSpec. The decoder's table add for a code
+          // happens one code after the encoder's, so the matching
+          // encoder boundary is one higher (512/1024/2048).
+          if (next == 511) codeSize = 10
+          else if (next == 1023) codeSize = 11
+          else if (next == 2047) codeSize = 12
         }
         old = entry
       }
@@ -577,11 +585,16 @@ object TileCodec {
           emit(prefix)
           dict.put(k, next)
           next += 1
-          // early change mirrors the decoder; at table-full emit Clear
-          if (next == 511) codeSize = 10
-          else if (next == 1023) codeSize = 11
-          else if (next == 2047) codeSize = 12
-          else if (next == 4095) {
+          // early change one entry ABOVE the decoder's 511/1023/2047
+          // boundaries (the decoder's add lags the encoder's by one
+          // code, so its table hits 511 exactly when ours hits 512) —
+          // pinned against the JDK's independent LZW decoder in
+          // JdkTiffInteropSpec. At 4094 emit Clear like libtiff, a
+          // one-entry margin under the 4096-entry table ceiling.
+          if (next == 512) codeSize = 10
+          else if (next == 1024) codeSize = 11
+          else if (next == 2048) codeSize = 12
+          else if (next == 4094) {
             emit(LzwClear); dict.clear(); next = 258; codeSize = 9
           }
           prefix = b

@@ -1,0 +1,115 @@
+package graft.raster
+
+import graft.SparkSpec
+import java.nio.file.Files
+import javax.imageio.ImageIO
+
+/** Third-party decoder parity for the classic (v42) write mode: every
+  * file is decoded by the JDK's own ImageIO TIFF plugin (javax.imageio,
+  * Java 9+) — a fully independent implementation sharing no code with
+  * this repo — and every sample of every page must equal what our own
+  * reader decodes. This is the closest in-sandbox stand-in for the
+  * reference's GDAL/rasterio byte-parity bar (reference README.md:69;
+  * ccog/ccog.py:112-121): no GDAL exists here, but the JDK plugin
+  * implements the same TIFF 6.0 layout GDAL reads, so agreement pins
+  * the classic header, tile layout, predictor and codec streams against
+  * an implementation we did not write.
+  *
+  * Codecs covered: none, deflate (+ horizontal predictor on integer
+  * dtypes), LZW (+ predictor), PackBits; 1- and 3-band, uint8 and
+  * uint16. JPEG is excluded (lossy — no exact-parity claim) and so is
+  * BigTIFF (the JDK plugin reads classic only, which is exactly why the
+  * v42 mode exists).
+  */
+class JdkTiffInteropSpec extends SparkSpec {
+
+  /** All pages of `file` decoded by the JDK TIFF plugin. */
+  private def jdkPages(file: java.io.File): Seq[java.awt.image.Raster] = {
+    val in = ImageIO.createImageInputStream(file)
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      assert(readers.hasNext, "JDK ImageIO has no TIFF reader")
+      val r = readers.next()
+      r.setInput(in, false, false)
+      try (0 until r.getNumImages(true)).map(i => r.read(i).getRaster)
+      finally r.dispose()
+    } finally in.close()
+  }
+
+  /** Write `prof` in classic mode, then require the JDK plugin and our
+    * reader to agree on every sample of every pyramid level. */
+  private def assertJdkParity(prof0: RasterProfile, seed: Long): Unit = {
+    require(!prof0.bigtiff, "parity fixture must be classic: JDK reads v42 only")
+    val level0 = SyntheticRaster.generate(spark, prof0, seed, withMask = false)
+    val dir = Files.createTempDirectory("graft-jdktiff")
+    val (bytes, _) = CogWriter.writeBytes(level0, prof0, dir.toString)
+    val f = dir.resolve("classic.tif")
+    Files.write(f, bytes)
+
+    val pages = BigTiff.readPages(bytes)
+    val imgs = jdkPages(f.toFile)
+    assert(imgs.length == pages.length,
+      s"JDK saw ${imgs.length} pages, header has ${pages.length}")
+
+    val bs = prof0.blockSize
+    var checked = 0L
+    for ((pg, l) <- pages.zipWithIndex) {
+      val raster = imgs(l)
+      assert(raster.getWidth == pg.width && raster.getHeight == pg.height,
+        s"level $l dims: jdk ${raster.getWidth}x${raster.getHeight} vs " +
+          s"header ${pg.width}x${pg.height}")
+      assert(raster.getNumBands == prof0.bands, s"level $l band count")
+      val (gw, _) = prof0.gridDims(l)
+      for (ti <- pg.offsets.indices if pg.counts(ti) > 0) {
+        val ty = ti / gw
+        val tx = ti % gw
+        val (th, tw) = prof0.tileDims(l, ty, tx)
+        val comp = java.util.Arrays.copyOfRange(bytes,
+          pg.offsets(ti).toInt, (pg.offsets(ti) + pg.counts(ti)).toInt)
+        val ours = TileCodec.decode(comp, prof0, l)
+        for (b <- 0 until prof0.bands; y <- 0 until th; x <- 0 until tw) {
+          val mine = ours(b * bs * bs + y * bs + x)
+          val theirs = raster.getSampleDouble(tx * bs + x, ty * bs + y, b)
+          assert(mine == theirs,
+            s"level $l tile($ty,$tx) band $b px($y,$x): ours=$mine jdk=$theirs")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 8000, s"parity compared only $checked samples")
+  }
+
+  private def prof(dtype: String, bands: Int, compression: String) =
+    RasterProfile(100, 80, blockSize = 16, bands = bands, nodata = 0.0,
+      dtype = dtype, compression = compression, minOverviewSize = 32,
+      resampling = "average", bigtiff = false)
+
+  test("uint8 gray, deflate + predictor: JDK decodes our classic file exactly") {
+    assertJdkParity(prof("uint8", 1, "deflate"), seed = 21L)
+  }
+
+  test("uint8 3-band RGB, LZW + predictor: JDK parity") {
+    assertJdkParity(prof("uint8", 3, "lzw"), seed = 22L)
+  }
+
+  test("uint16 gray, PackBits: JDK parity") {
+    assertJdkParity(prof("uint16", 1, "packbits"), seed = 23L)
+  }
+
+  test("uint16 gray, uncompressed: JDK parity") {
+    assertJdkParity(prof("uint16", 1, "none"), seed = 24L)
+  }
+
+  test("LZW deep-dictionary: 11/12-bit phases + mid-stream Clear, JDK parity") {
+    // 128-px blocks of noisy uint8 = 16 KiB/tile: the LZW dictionary
+    // grows past 2048 entries and hits the 4094 Clear repeatedly, so
+    // every code-width transition and the table-reset path are decoded
+    // by the JDK — the 16-px cases above only reach the 9→10 boundary
+    // (where an early-change off-by-one that round-trips through our
+    // own codec pair was first caught by this suite)
+    assertJdkParity(RasterProfile(300, 260, blockSize = 128, bands = 1,
+      nodata = 0.0, dtype = "uint8", compression = "lzw",
+      minOverviewSize = 128, resampling = "average", bigtiff = false),
+      seed = 25L)
+  }
+}
