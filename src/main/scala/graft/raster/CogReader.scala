@@ -282,7 +282,10 @@ object CogReader {
       case 1 => "none"
       case 5 => "lzw"
       case 7 => "jpeg"
-      case 8 => "deflate"
+      // 8 = Adobe deflate; 32946 = legacy old-style Deflate (the JDK
+      // writer's "Deflate" type, pre-TIFF-TechNote files) — both are
+      // the same zlib stream, only the tag value differs
+      case 8 | 32946 => "deflate"
       case 32773 => "packbits"
       case 50000 => "zstd"
       case c => sys.error(s"unsupported compression code $c")
@@ -369,7 +372,7 @@ object CogReader {
     val codec = pg.compression match {
       case 1 => "none"
       case 5 => "lzw"
-      case 8 => "deflate"
+      case 8 | 32946 => "deflate" // 32946 = legacy old-style Deflate
       case 32773 => "packbits"
       case 50000 => "zstd"
       case c => sys.error(s"unsupported strip compression code $c")

@@ -905,7 +905,7 @@ class CogScan(path: String, conf: Map[String, String],
       val codec = pg.compression match {
         case 1 => "none"
         case 5 => "lzw"
-        case 8 => "deflate"
+        case 8 | 32946 => "deflate" // 32946 = legacy old-style Deflate
         case 32773 => "packbits"
         case 50000 => "zstd"
         case c => sys.error(s"unsupported strip compression code $c")

@@ -1,0 +1,164 @@
+package graft.raster
+
+import graft.SparkSpec
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** The reverse direction of [[JdkTiffInteropSpec]]: there OUR writer is
+  * decoded by the JDK; here the JDK's own TIFF writer (javax.imageio —
+  * an independent implementation sharing no code with this repo)
+  * produces the files and OUR reader must recover every sample
+  * exactly. This pins the read path against foreign-ENCODED streams:
+  * our LZW/deflate/PackBits decoders against an encoder we did not
+  * write, chunky band de-interleave, strip and tile layouts, and
+  * whatever tag dialect the JDK emits (stand-in for the reference's
+  * "read what GDAL writes" bar, reference README.md:69 — no GDAL in
+  * this sandbox).
+  *
+  * Ground truth is the source BufferedImage itself, not a read-back:
+  * if both directions of a codec were wrong in compensating ways, a
+  * round-trip would hide it; comparing to the pixels we drew cannot.
+  */
+class JdkWrittenTiffSpec extends SparkSpec {
+
+  /** Deterministic multiply-shift noise in [0, maxVal]: incompressible
+    * enough to push LZW through its 10/11/12-bit code widths inside a
+    * single strip, so the width-switch phase is exercised against the
+    * JDK's encoder, not just our own. */
+  private def mkImage(w: Int, h: Int, tpe: Int, maxVal: Int,
+      seed: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, tpe)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w; b <- 0 until r.getNumBands) {
+      val z = (x * 2654435761L + y * 40503L + b * 2246822519L + seed) >>> 7
+      r.setSample(x, y, b, (z % (maxVal + 1)).toInt)
+    }
+    img
+  }
+
+  /** Write `img` with the JDK TIFF plugin; strip-organized unless
+    * `tileSize` forces MODE_EXPLICIT tiling. Returns (file uri, bytes). */
+  private def writeJdk(img: BufferedImage, compression: Option[String],
+      tileSize: Option[Int] = None): (String, Array[Byte]) = {
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    assert(writer != null, "JDK ImageIO has no TIFF writer")
+    val param = writer.getDefaultWriteParam
+    compression.foreach { c =>
+      param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType(c)
+    }
+    tileSize.foreach { t =>
+      param.setTilingMode(ImageWriteParam.MODE_EXPLICIT)
+      param.setTiling(t, t, 0, 0)
+    }
+    val bos = new ByteArrayOutputStream()
+    val out = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(out)
+    writer.write(null, new IIOImage(img, null, null), param)
+    out.close()
+    writer.dispose()
+    val bytes = bos.toByteArray
+    val dir = Files.createTempDirectory("graft-jdkwrite").toString
+    val f = Paths.get(dir, "jdk.tif")
+    Files.write(f, bytes)
+    ("file://" + f, bytes)
+  }
+
+  /** Strip path: readStrips' band-major tiles vs the source raster. */
+  private def assertStripParity(img: BufferedImage, compression: Option[String],
+      expectTag: Int): Unit = {
+    val (uri, _) = writeJdk(img, compression)
+    val pg = CogReader.readMeta(uri).head
+    assert(pg.compression == expectTag,
+      s"JDK wrote compression tag ${pg.compression}, expected $expectTag " +
+        s"for $compression — the case no longer tests what it claims")
+    assert(pg.isStriped, "JDK default layout should be strip-organized")
+    val src = img.getRaster
+    val bands = src.getNumBands
+    val tiles = CogReader.readStrips(spark, uri).collect().sortBy(_.ty)
+    assert(tiles.map(_.h).sum == img.getHeight, "strip rows cover the image")
+    var y0 = 0
+    var checked = 0L
+    for (t <- tiles) {
+      assert(t.w == img.getWidth)
+      for (b <- 0 until bands; y <- 0 until t.h; x <- 0 until t.w) {
+        val mine = t.pixels(b * t.h * t.w + y * t.w + x)
+        val theirs = src.getSampleDouble(x, y0 + y, b)
+        assert(mine == theirs,
+          s"strip ${t.ty} band $b px($y,$x): ours=$mine source=$theirs")
+        checked += 1
+      }
+      y0 += t.h
+    }
+    assert(checked == bands.toLong * img.getWidth * img.getHeight)
+  }
+
+  test("JDK-encoded LZW strips decode exactly (foreign encoder, deep dictionary)") {
+    // ~8 KiB noise per default strip drives the JDK's LZW encoder
+    // through the 10/11/12-bit widths our decoder must stay in phase
+    // with — the direction JdkTiffInteropSpec cannot cover
+    assertStripParity(mkImage(210, 170, BufferedImage.TYPE_BYTE_GRAY,
+      maxVal = 255, seed = 31), Some("LZW"), expectTag = 5)
+  }
+
+  test("JDK-encoded ZLib RGB strips decode with chunky de-interleave") {
+    assertStripParity(mkImage(90, 70, BufferedImage.TYPE_3BYTE_BGR,
+      maxVal = 255, seed = 32), Some("ZLib"), expectTag = 8)
+  }
+
+  test("JDK-encoded legacy Deflate (tag 32946) reads as deflate") {
+    assertStripParity(mkImage(80, 60, BufferedImage.TYPE_BYTE_GRAY,
+      maxVal = 255, seed = 33), Some("Deflate"), expectTag = 32946)
+  }
+
+  test("JDK-encoded PackBits uint16 strips decode exactly") {
+    // low maxVal gives PackBits real runs to encode; uint16 checks the
+    // two-byte sample path through a foreign byte order
+    assertStripParity(mkImage(100, 64, BufferedImage.TYPE_USHORT_GRAY,
+      maxVal = 9, seed = 34), Some("PackBits"), expectTag = 32773)
+  }
+
+  test("JDK-encoded uncompressed strips decode exactly") {
+    // no explicit compression type: the JDK default is uncompressed
+    assertStripParity(mkImage(64, 48, BufferedImage.TYPE_BYTE_GRAY,
+      maxVal = 255, seed = 35), None, expectTag = 1)
+  }
+
+  test("JDK-encoded TILED LZW file reads through inferProfile, read and DSv2") {
+    val img = mkImage(100, 80, BufferedImage.TYPE_BYTE_GRAY,
+      maxVal = 255, seed = 36)
+    val src = img.getRaster
+    val (uri, _) = writeJdk(img, Some("LZW"), tileSize = Some(32))
+    val pages = CogReader.readMeta(uri)
+    assert(pages.head.tileW == 32 && !pages.head.isStriped)
+    val prof = CogReader.inferProfile(pages)
+    assert(prof.width == 100 && prof.height == 80 && prof.blockSize == 32 &&
+      prof.bands == 1 && prof.dtype == "uint8" && prof.compression == "lzw")
+    val bs = prof.blockSize
+
+    // read() returns CLIPPED edge tiles: row stride is t.w, not bs
+    def check(l: Int, ty: Int, tx: Int, h: Int, w: Int,
+        px: Int => Double): Unit = {
+      assert(l == 0)
+      for (y <- 0 until h; x <- 0 until w) {
+        val mine = px(y * w + x)
+        val theirs = src.getSampleDouble(tx * bs + x, ty * bs + y, 0)
+        assert(mine == theirs, s"tile($ty,$tx) px($y,$x): $mine vs $theirs")
+      }
+    }
+
+    val tiles = CogReader.read(spark, uri, prof, 0).collect()
+    assert(tiles.length == 4 * 3, "4x3 grid of 32-px tiles over 100x80")
+    tiles.foreach(t => check(t.level, t.ty, t.tx, t.h, t.w, t.pixels))
+
+    val rows = spark.read.format("cog").load(uri).collect()
+    assert(rows.length == tiles.length)
+    rows.foreach { r =>
+      val px = r.getSeq[Double](5)
+      check(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        px)
+    }
+  }
+}
