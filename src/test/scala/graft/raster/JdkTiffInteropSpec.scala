@@ -100,6 +100,27 @@ class JdkTiffInteropSpec extends SparkSpec {
     assertJdkParity(prof("uint16", 1, "none"), seed = 24L)
   }
 
+  test("uint16 gray, LZW without predictor: JDK parity") {
+    // predictor forced to 1: the JDK decompressor REFUSES predictor 2
+    // on 16-bit samples ("16-bit samples are not supported for
+    // Horizontal differencing Predictor"), so the externally-checkable
+    // 16-bit LZW surface is the undifferenced one. The 16-bit
+    // predictor-2 stream stays pinned by CodecSpec round-trips; its
+    // byte-borrow subtract over little-endian bytes is arithmetically
+    // the per-sample mod-2^16 difference libtiff computes.
+    assertJdkParity(prof("uint16", 1, "lzw")
+      .copy(predictorOverride = Some(1)), seed = 26L)
+  }
+
+  test("int16 gray, deflate without predictor: signed samples, JDK parity") {
+    assertJdkParity(prof("int16", 1, "deflate")
+      .copy(predictorOverride = Some(1)), seed = 27L)
+  }
+
+  test("float32 gray, deflate: SampleFormat=3 raw (predictor 1), JDK parity") {
+    assertJdkParity(prof("float32", 1, "deflate"), seed = 28L)
+  }
+
   test("LZW deep-dictionary: 11/12-bit phases + mid-stream Clear, JDK parity") {
     // 128-px blocks of noisy uint8 = 16 KiB/tile: the LZW dictionary
     // grows past 2048 entries and hits the 4094 Clear repeatedly, so
