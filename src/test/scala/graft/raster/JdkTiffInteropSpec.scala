@@ -37,8 +37,9 @@ class JdkTiffInteropSpec extends SparkSpec {
   }
 
   /** Write `prof` in classic mode, then require the JDK plugin and our
-    * reader to agree on every sample of every pyramid level. */
-  private def assertJdkParity(prof0: RasterProfile, seed: Long): Unit = {
+    * reader to agree on every sample of every pyramid level. Returns
+    * the written file for further checks. */
+  private def assertJdkParity(prof0: RasterProfile, seed: Long): java.io.File = {
     require(!prof0.bigtiff, "parity fixture must be classic: JDK reads v42 only")
     val level0 = SyntheticRaster.generate(spark, prof0, seed, withMask = false)
     val dir = Files.createTempDirectory("graft-jdktiff")
@@ -77,6 +78,7 @@ class JdkTiffInteropSpec extends SparkSpec {
       }
     }
     assert(checked > 8000, s"parity compared only $checked samples")
+    f.toFile
   }
 
   private def prof(dtype: String, bands: Int, compression: String) =
@@ -119,6 +121,24 @@ class JdkTiffInteropSpec extends SparkSpec {
 
   test("float32 gray, deflate: SampleFormat=3 raw (predictor 1), JDK parity") {
     assertJdkParity(prof("float32", 1, "deflate"), seed = 28L)
+  }
+
+  test("uint8 palette, deflate: indices and the ColorMap decode in the JDK") {
+    // photometric 3 + ColorMap tag (reference write_colormap): the JDK
+    // reads the page as an indexed image, so its raster samples are the
+    // palette INDICES — assertJdkParity compares those to our decode —
+    // and its IndexColorModel must invert the x257 16-bit scaling back
+    // to the exact 8-bit RGB triples we wrote
+    val cmap = (0 until 256).map(i => i -> ((i, (i * 3) % 256, 255 - i))).toMap
+    val f = assertJdkParity(
+      prof("uint8", 1, "deflate").copy(colormap = Some(cmap)), seed = 29L)
+    val img = ImageIO.read(f)
+    val icm = img.getColorModel.asInstanceOf[java.awt.image.IndexColorModel]
+    for (i <- 0 until 256) {
+      assert(icm.getRed(i) == i, s"palette red($i)")
+      assert(icm.getGreen(i) == (i * 3) % 256, s"palette green($i)")
+      assert(icm.getBlue(i) == 255 - i, s"palette blue($i)")
+    }
   }
 
   test("LZW deep-dictionary: 11/12-bit phases + mid-stream Clear, JDK parity") {
