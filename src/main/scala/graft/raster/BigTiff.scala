@@ -40,6 +40,7 @@ object BigTiff {
   private val TagTileLength = 323
   private val TagTileOffsets = 324
   private val TagTileByteCounts = 325
+  private val TagExtraSamples = 338
   private val TagSampleFormat = 339
   private val TagYCbCrSubSampling = 530
   private val TagModelPixelScale = 33550
@@ -99,6 +100,25 @@ object BigTiff {
     * + NewSubfileType; mask: 10 base + NewSubfileType + SampleFormat
     * (no predictor/nodata/metadata). Palette profiles add a ColorMap
     * entry on every data page (R23, reference ccog/ccog.py:229-235). */
+  /** Samples beyond what the page's photometric interpretation
+    * accounts for (TIFF 6.0 requires tag 338 to describe them; GDAL
+    * writes it, and readers without it GUESS — the JDK reads a 2-band
+    * gray file as gray+alpha). Data pages only; palette is single-band
+    * by RasterProfile's require. uint8 3/4-band pages are RGB(+extra)
+    * — photometric 2 or 6 implies 3 samples — everything else is
+    * min-is-black implying 1. */
+  private def extraSampleCount(profile: RasterProfile): Int =
+    if (profile.colormap.isDefined) 0
+    else if (profile.dtype == "uint8" && profile.bands >= 3) profile.bands - 3
+    else profile.bands - 1
+
+  /** ExtraSamples values (all 0 = unspecified) exceed the classic
+    * 4-byte value slot only at 3 extras (4-band non-uint8), where the
+    * shared band arrays are external too — the values then live after
+    * them in the same area. */
+  private def extraExternal(profile: RasterProfile, lay: TiffLayout): Boolean =
+    2 * extraSampleCount(profile) > lay.slotLen
+
   private def entryCount(profile: RasterProfile, pg: PageSpec): Int = {
     val cm = if (!pg.isMask && profile.colormap.isDefined) 1 else 0
     // 3-band jpeg pages are YCbCr (photometric 6): state the chroma
@@ -106,9 +126,10 @@ object BigTiff {
     // happening to match ImageIO's 4:2:0 (GDAL writes this tag too)
     val yc = if (!pg.isMask && profile.bands == 3 &&
       profile.compressionFor(pg.level) == "jpeg") 1 else 0
+    val ex = if (!pg.isMask && extraSampleCount(profile) > 0) 1 else 0
     if (pg.isMask) 12
-    else if (pg.level == 0) 14 + cm + yc + (if (profile.geo.isDefined) 3 else 0)
-    else 13 + cm + yc
+    else if (pg.level == 0) 14 + cm + yc + ex + (if (profile.geo.isDefined) 3 else 0)
+    else 13 + cm + yc + ex
   }
 
   /** Per-band STATISTICS_* items (reference `_add_stats_to_profile_tags`,
@@ -228,8 +249,11 @@ object BigTiff {
     * in BigTIFF's 8-byte slot, for the supported 1..4 bands; classic's
     * 4-byte slot holds only 2), else one copy of each array shared by
     * every data page. */
-  private def bandArrayBytes(profile: RasterProfile, lay: TiffLayout): Long =
-    if (2 * profile.bands > lay.slotLen) 2L * 2 * profile.bands else 0L
+  private def bandArrayBytes(profile: RasterProfile, lay: TiffLayout): Long = {
+    val shared = if (2 * profile.bands > lay.slotLen) 2L * 2 * profile.bands else 0L
+    val ex = if (extraExternal(profile, lay)) 2L * extraSampleCount(profile) else 0L
+    shared + ex
+  }
 
   /** Where every IFD and external area lands, plus the total length —
     * ONE cursor walk shared by [[headerLength]] and [[header]] so the
@@ -374,11 +398,15 @@ object BigTiff {
         entry(TagBitsPerSample, TypeShort, profile.bands, bandArrOffset)
       entry(TagCompression, TypeShort, 1, if (pg.isMask) 8 else compressionCode(l))
       // photometric: 4 = transparency mask, 3 = palette, 6 = YCbCr
-      // (what the JDK's JFIF encoder emits for 3-band jpeg), 1 = gray
+      // (what the JDK's JFIF encoder emits for 3-band jpeg), 2 = RGB
+      // for uint8 color imagery (GDAL's default for 3/4-band Byte —
+      // photometric 1 here would make GDAL show Gray+Undefined bands),
+      // 1 = gray
       val photometric =
         if (pg.isMask) 4
         else if (profile.colormap.isDefined) 3
         else if (profile.compressionFor(l) == "jpeg" && profile.bands == 3) 6
+        else if (profile.dtype == "uint8" && profile.bands >= 3) 2
         else 1
       entry(TagPhotometric, TypeShort, 1, photometric)
       entry(TagSamplesPerPixel, TypeShort, 1, if (pg.isMask) 1 else profile.bands)
@@ -401,6 +429,14 @@ object BigTiff {
       } else {
         entry(TagTileOffsets, lay.offType, 1, offsets(p)(0))
         entry(TagTileByteCounts, lay.offType, 1, counts(p)(0))
+      }
+      val extra = if (pg.isMask) 0 else extraSampleCount(profile)
+      if (extra > 0) {
+        // all-zero values (unspecified, GDAL's default for bands it
+        // has no interpretation for) pack inline as zeros when they fit
+        if (!extraExternal(profile, lay)) entry(TagExtraSamples, TypeShort, extra, 0L)
+        else entry(TagExtraSamples, TypeShort, extra,
+          bandArrOffset + 2L * 2 * profile.bands)
       }
       if (pg.isMask) entry(TagSampleFormat, TypeShort, 1, 1)
       else if (2 * profile.bands <= lay.slotLen) {
@@ -465,8 +501,12 @@ object BigTiff {
     }
     if (bandArrayBytes(profile, lay) > 0) {
       buf.position(bandArrOffset.toInt)
-      for (_ <- 0 until profile.bands) buf.putShort(bits.toShort)
-      for (_ <- 0 until profile.bands) buf.putShort(sampleFormat.toShort)
+      if (2 * profile.bands > lay.slotLen) {
+        for (_ <- 0 until profile.bands) buf.putShort(bits.toShort)
+        for (_ <- 0 until profile.bands) buf.putShort(sampleFormat.toShort)
+      }
+      if (extraExternal(profile, lay))
+        for (_ <- 0 until extraSampleCount(profile)) buf.putShort(0)
     }
     for (p <- pages.indices; if profile.tilesPerLevel(pages(p).level) > 1) {
       buf.position(arrOffset(p).toInt)
@@ -517,7 +557,12 @@ object BigTiff {
         * samples, what our writer emits), 2 = planar — each band's
         * samples in separate tiles, `offsets`/`counts` holding
         * samplesPerPixel consecutive plane arrays (TIFF 6.0 §14). */
-      planar: Int = 1) {
+      planar: Int = 1,
+      /** ExtraSamples (tag 338): one value per sample beyond the
+        * photometric's count (0 = unspecified, 1/2 = alpha); empty
+        * when absent. Decode treats all bands alike either way — the
+        * tag is surfaced for structural tests and callers. */
+      extraSamples: Array[Int] = Array.empty) {
     def isMask: Boolean = (subfileType & 4L) != 0
     def isStriped: Boolean = tileW == 0 && rowsPerStrip > 0
     /** Spatial tiles per plane: the full array length for chunky pages,
@@ -601,6 +646,7 @@ object BigTiff {
       var keyArr: Array[Int] = Array.empty
       var cmapArr: Array[Int] = Array.empty
       var ycArr: Array[Int] = Array.empty
+      var exArr: Array[Int] = Array.empty
       var spp = 1; var ndAscii = ""
       var offArr: Array[Long] = null; var cntArr: Array[Long] = null
       var rps = 0L
@@ -674,6 +720,7 @@ object BigTiff {
           case TagGeoKeyDirectory => keyArr = shortArray()
           case TagColorMap => cmapArr = shortArray()
           case TagYCbCrSubSampling => ycArr = shortArray()
+          case TagExtraSamples => exArr = shortArray()
           case _ => ()
         }
       }
@@ -689,7 +736,7 @@ object BigTiff {
       pages += PageMeta(width, height, tw, th, comp, pred, bits, sf,
         subType, photo, offArr, cntArr, metaXml, scaleArr, tieArr, keyArr,
         cmapArr, ycArr, spp, ndAscii, rps, jpegTbl, mm,
-        planar = if (spp == 1) 1 else planar)
+        planar = if (spp == 1) 1 else planar, extraSamples = exArr)
       ifd =
         if (big) buf.getLong(entriesBase + n * entryLen)
         else uint(entriesBase + n * entryLen)

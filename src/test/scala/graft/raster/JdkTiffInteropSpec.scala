@@ -90,8 +90,13 @@ class JdkTiffInteropSpec extends SparkSpec {
     assertJdkParity(prof("uint8", 1, "deflate"), seed = 21L)
   }
 
-  test("uint8 3-band RGB, LZW + predictor: JDK parity") {
-    assertJdkParity(prof("uint8", 3, "lzw"), seed = 22L)
+  test("uint8 3-band RGB, LZW + predictor: JDK parity and true-RGB interpretation") {
+    val f = assertJdkParity(prof("uint8", 3, "lzw"), seed = 22L)
+    // photometric 2: a foreign reader must see plain 3-component color,
+    // not gray-plus-guessed bands (what photometric 1 produced)
+    val cm = ImageIO.read(f).getColorModel
+    assert(cm.getNumComponents == 3 && !cm.hasAlpha,
+      s"expected plain RGB, got $cm")
   }
 
   test("uint16 gray, PackBits: JDK parity") {

@@ -126,4 +126,39 @@ class MultibandSpec extends SparkSpec {
       assert(math.abs(gotV - sum / wsum) < 1e-9, s"band $b ($oy,$ox)")
     }
   }
+
+  test("photometric + ExtraSamples matrix: RGB for uint8 color, tag 338 for surplus bands") {
+    // TIFF 6.0 requires ExtraSamples (338) for samples beyond the
+    // photometric's count — without it readers GUESS (the JDK read a
+    // tag-less 2-band gray file as gray+ALPHA); GDAL writes photometric
+    // RGB for 3/4-band Byte imagery, so gray there would surface as
+    // Gray+Undefined bands in its toolchain
+    def pagesOf(prof0: RasterProfile, seed: Long): Seq[BigTiff.PageMeta] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-exs").toString
+      val lvl = SyntheticRaster.generate(spark, prof0, seed, withMask = false)
+      val (bytes, _) = CogWriter.writeBytes(lvl, prof0, dir)
+      BigTiff.readPages(bytes)
+    }
+    def p(bands: Int, dtype: String, bigtiff: Boolean = true) =
+      RasterProfile(48, 32, blockSize = 16, bands = bands, nodata = 0.0,
+        dtype = dtype, compression = "deflate", minOverviewSize = 16,
+        resampling = "average", bigtiff = bigtiff)
+
+    // uint8 3-band: true RGB, no surplus — and on EVERY pyramid page
+    val rgb = pagesOf(p(3, "uint8"), 81L)
+    assert(rgb.forall(pg => pg.photometric == 2 && pg.extraSamples.isEmpty))
+    // uint8 4-band: RGB + one unspecified extra
+    val rgba = pagesOf(p(4, "uint8"), 82L).head
+    assert(rgba.photometric == 2 && rgba.extraSamples.toSeq == Seq(0))
+    // 2-band non-uint8: gray + one unspecified extra (inline value slot)
+    val g2 = pagesOf(p(2, "uint16"), 83L)
+    assert(g2.forall(pg => pg.photometric == 1 && pg.extraSamples.toSeq == Seq(0)))
+    // 4-band float32 CLASSIC: three extras exceed the 4-byte value
+    // slot — the values live in the shared external band area
+    val g4 = pagesOf(p(4, "float32", bigtiff = false), 84L).head
+    assert(g4.photometric == 1 && g4.extraSamples.toSeq == Seq(0, 0, 0))
+    // single band: no tag at all
+    val g1 = pagesOf(p(1, "uint8"), 85L).head
+    assert(g1.photometric == 1 && g1.extraSamples.isEmpty)
+  }
 }
