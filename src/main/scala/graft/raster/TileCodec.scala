@@ -357,14 +357,24 @@ object TileCodec {
 
   def inflate(comp: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new Inflater()
-    inf.setInput(comp)
-    val out = new Array[Byte](expected)
-    var off = 0
-    while (!inf.finished() && off < expected)
-      off += inf.inflate(out, off, expected - off)
-    inf.end()
-    require(off == expected, s"inflated $off of expected $expected bytes")
-    out
+    try {
+      inf.setInput(comp)
+      val out = new Array[Byte](expected)
+      var off = 0
+      var n = -1
+      // all input is set upfront, so a 0 return can never mean "call
+      // again": it means the stream is truncated (needsInput) or wants
+      // a preset dictionary — corrupt input. Without the zero-progress
+      // guard this loop spins forever on a truncated stream (found by
+      // the payload mutation fuzz): inflate() keeps returning 0 and
+      // finished() never turns true.
+      while (!inf.finished() && off < expected && n != 0) {
+        n = inf.inflate(out, off, expected - off)
+        off += n
+      }
+      require(off == expected, s"inflated $off of expected $expected bytes")
+      out
+    } finally inf.end()
   }
 
   /** Decode one STRIP (non-tiled layout; GDAL's default for plain

@@ -441,4 +441,86 @@ class ForeignTiffSpec extends SparkSpec {
     // sanity: the generator itself emits a parseable file
     assert(BigTiff.readPages(valid).nonEmpty)
   }
+
+  test("header mutation fuzz: BigTIFF and JDK-dialect corpora") {
+    // same net over two more realistic baselines than the hand-built
+    // strip file: our own v43 pyramid (8-byte offsets, multi-IFD,
+    // ghost area) and a file another implementation wrote (the JDK's
+    // tag dialect: resolution tags, its own IFD ordering and layout)
+    val prof = RasterProfile(48, 32, blockSize = 16, bands = 1,
+      nodata = 0.0, dtype = "uint8", compression = "deflate",
+      minOverviewSize = 16)
+    val lvl = SyntheticRaster.generate(spark, prof, 91L, withMask = false)
+    val dir = Files.createTempDirectory("graft-fuzz")
+    val (big, _) = CogWriter.writeBytes(lvl, prof, dir.toString)
+
+    val img = new java.awt.image.BufferedImage(40, 30,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 30; x <- 0 until 40)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 13) % 256)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val jdk = bos.toByteArray
+
+    for ((corpus, name) <- Seq((big, "bigtiff"), (jdk, "jdk-lzw"))) {
+      assert(BigTiff.readPages(corpus).nonEmpty, s"$name baseline parses")
+      val rnd = new scala.util.Random(0xBEEFL)
+      var done = 0
+      for (_ <- 0 until 500) {
+        val m = corpus.clone()
+        for (_ <- 0 to rnd.nextInt(4))
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        try { BigTiff.readPages(m); done += 1 }
+        catch { case _: Exception | _: StackOverflowError => done += 1 }
+      }
+      assert(done == 500, s"$name corpus")
+    }
+  }
+
+  test("tile payload fuzz: corrupt compressed streams return or throw, never hang") {
+    // decode-level net: the header nets above never reach the codec
+    // layer with corrupt payloads (counts/offsets change instead).
+    // Valid LZW/deflate/PackBits strips with 1-4 corrupted bytes must
+    // decode or reject in bounded time — the suite timeout is the
+    // hang detector
+    val rows = 16; val width = 64
+    val raw = Array.tabulate[Byte](rows * width)(i => ((i * 31) % 251).toByte)
+
+    // the deterministic case the fuzz first caught: a TRUNCATED deflate
+    // stream made inflate() return 0 forever (needsInput, never
+    // finished) — must reject, not spin
+    val whole = TileCodec.deflate(raw)
+    val ex = intercept[IllegalArgumentException](
+      TileCodec.inflate(whole.take(whole.length / 2), raw.length))
+    assert(ex.getMessage.contains("inflated"), ex.getMessage)
+
+    for (codec <- Seq("lzw", "deflate", "packbits", "zstd")) {
+      val valid = codec match {
+        case "lzw" => TileCodec.lzwEncode(raw)
+        case "deflate" => TileCodec.deflate(raw)
+        case "packbits" => TileCodec.packbitsEncode(raw, rowBytes = width)
+        case "zstd" => com.github.luben.zstd.Zstd.compress(raw)
+      }
+      val rnd = new scala.util.Random(codec.hashCode.toLong)
+      var done = 0
+      for (_ <- 0 until 300) {
+        val m = valid.clone()
+        for (_ <- 0 to rnd.nextInt(4))
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        try {
+          TileCodec.decodeStrip(m, codec, 1, rows, width, 1, "uint8",
+            bigEndian = false)
+          done += 1
+        } catch { case _: Exception => done += 1 }
+      }
+      assert(done == 300, codec)
+    }
+  }
 }
