@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** WAV parity against the JDK's independent javax.sound.sampled
+  * implementation, the same two-directional discipline as the TIFF
+  * suites (JdkTiffInteropSpec / JdkWrittenTiffSpec): our synthetic
+  * fixtures must parse in the JDK with identical header fields and
+  * byte-identical PCM data, and JDK-written WAVs must decode through
+  * [[BinaryCodec.decodeWav]] — so an encoder/decoder pair that only
+  * agrees with ITSELF (compensating header or sample-layout bugs)
+  * cannot stay green. */
+class WavJdkInteropSpec extends AnyFunSuite {
+
+  /** (format, PCM bytes) as the JDK decodes `payload`. */
+  private def jdkDecode(payload: Array[Byte]): (AudioFormat, Array[Byte]) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try (in.getFormat, in.readAllBytes()) finally in.close()
+  }
+
+  /** RMS/zero-crossings over first-channel 16-bit LE samples, the
+    * same formula decodeWav documents — computed here from the JDK's
+    * decoded bytes, not ours. */
+  private def features(pcm: Array[Byte], channels: Int): (Double, Int) = {
+    val bpf = 2 * channels
+    val n = pcm.length / bpf
+    var sumSq = 0.0; var zc = 0; var prev = 0; var i = 0
+    while (i < n) {
+      val raw = (pcm(i * bpf) & 0xFF) | ((pcm(i * bpf + 1) & 0xFF) << 8)
+      val s = (if (raw >= 0x8000) raw - 0x10000 else raw) / 32768.0
+      sumSq += s * s
+      val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+      if (sign != 0 && prev != 0 && sign != prev) zc += 1
+      if (sign != 0) prev = sign
+      i += 1
+    }
+    (if (n == 0) 0.0 else math.sqrt(sumSq / n), zc)
+  }
+
+  test("our synthetic WAV parses identically in the JDK") {
+    val payload = BinaryCodec.syntheticWav(seed = 7L, sampleRate = 16000,
+      nSamples = 4800, freqHz = 440.0)
+    val ours = BinaryCodec.decodeWav(payload)
+    val (fmt, pcm) = jdkDecode(payload)
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    assert(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED)
+    assert(pcm.length == 4800 * 2, "JDK decoded the whole data chunk")
+    // the data chunk bytes the JDK hands back are exactly the ones our
+    // decoder read — and the features agree when computed from them
+    assert(pcm.toSeq == payload.takeRight(4800 * 2).toSeq)
+    val (rms, zc) = features(pcm, channels = 1)
+    assert(ours.nSamples == 4800 && ours.sampleRate == 16000 &&
+      ours.channels == 1 && ours.bitsPerSample == 16)
+    assert(ours.rms == rms && ours.zeroCrossings == zc,
+      s"features ours=(${ours.rms},${ours.zeroCrossings}) jdk-derived=($rms,$zc)")
+  }
+
+  test("JDK-written mono and stereo WAVs decode through decodeWav") {
+    for (channels <- Seq(1, 2)) {
+      val n = 2000
+      val bpf = 2 * channels
+      val pcm = new Array[Byte](n * bpf)
+      val bb = java.nio.ByteBuffer.wrap(pcm)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until n; c <- 0 until channels) {
+        val s = math.sin(2 * math.Pi * (300.0 + 100 * c) * i / 8000)
+        bb.putShort(math.round(s * 12000).toShort)
+      }
+      val fmt = new AudioFormat(8000f, 16, channels, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      val wav = bos.toByteArray
+
+      val meta = BinaryCodec.decodeWav(wav)
+      assert(meta.sampleRate == 8000 && meta.channels == channels &&
+        meta.bitsPerSample == 16 && meta.nSamples == n,
+        s"channels=$channels meta=$meta")
+      assert(math.abs(meta.durationMs - 250.0) < 1e-9)
+      val (rms, zc) = features(pcm, channels)
+      assert(meta.rms == rms && meta.zeroCrossings == zc,
+        s"channels=$channels features")
+    }
+  }
+}
