@@ -161,4 +161,34 @@ class MultibandSpec extends SparkSpec {
     val g1 = pagesOf(p(1, "uint8"), 85L).head
     assert(g1.photometric == 1 && g1.extraSamples.isEmpty)
   }
+
+  test("GDAL_METADATA blob is well-formed XML with one item per band stat") {
+    // the blob is hand-built string concatenation — GDAL parses it as
+    // XML, so validate with the JDK's parser (an independent
+    // implementation), not just our own tag reader
+    val md = BigTiff.gdalMetadata(prof,
+      Seq.fill(3)((0.25, 0.75, 0.5, 0.1, 100.0)))
+    // a TIFF reader strips the ASCII tag's NUL terminator before
+    // handing the value to its XML parser — do the same
+    val xml = new String(md, "US-ASCII").takeWhile(_ != '\u0000')
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(
+        xml.getBytes("US-ASCII"))) // throws if malformed
+    val items = doc.getElementsByTagName("Item")
+    // 5 STATISTICS_* per band + per-band COLORINTERP-style extras are
+    // format details; the invariant is at least bands x 5 stat items
+    // and every item carrying a sample attribute that is a valid band
+    var statItems = 0
+    for (i <- 0 until items.getLength) {
+      val it = items.item(i).getAttributes
+      val name = it.getNamedItem("name").getNodeValue
+      if (name.startsWith("STATISTICS_")) {
+        statItems += 1
+        val b = it.getNamedItem("sample").getNodeValue.toInt
+        assert(b >= 0 && b < 3, s"item $name band $b")
+      }
+    }
+    assert(statItems == 3 * 5, s"expected 15 stat items, got $statItems")
+  }
 }
