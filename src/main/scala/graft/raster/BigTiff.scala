@@ -341,12 +341,18 @@ object BigTiff {
 
     // classic TIFF addresses are unsigned 32-bit: REFUSE a file whose
     // body would push any tile past 4 GiB instead of silently wrapping
-    // the offsets (GDAL errors the same way without BIGTIFF=YES)
+    // the offsets (GDAL errors the same way without BIGTIFF=YES). The
+    // bound is on STORED offsets (<= 0xFFFFFFFF); the exclusive end may
+    // reach exactly 2^32 — a file whose last byte sits at offset 2^32-1
+    // is still addressable.
     if (!lay.big) {
+      var maxOff = 0L
       var maxEnd = total
-      for (p <- pages.indices; i <- offsets(p).indices)
+      for (p <- pages.indices; i <- offsets(p).indices) {
+        maxOff = math.max(maxOff, offsets(p)(i))
         maxEnd = math.max(maxEnd, offsets(p)(i) + counts(p)(i))
-      require(maxEnd <= 0xFFFFFFFFL,
+      }
+      require(maxOff <= 0xFFFFFFFFL && maxEnd <= 0x100000000L,
         f"classic TIFF (bigtiff=false) cannot address $maxEnd%d bytes — " +
           "the 4 GiB offset limit would be exceeded; write with bigtiff=true")
     }

@@ -52,18 +52,42 @@ class HadoopMultipartSink(dirUri: String,
     if (!fs.rename(tmp, dest)) {
       // two duplicate attempts can interleave (A deletes, B deletes, A
       // renames, B's rename hits no-clobber): B's part is already whole
-      // at dest, so a complete destination of the right length IS
-      // success — failing here would force a pointless task retry. Only
-      // a missing/short dest is a real failure. Either way, reap the
-      // losing temp so it doesn't linger until the next start().
-      val landed = try {
-        fs.getFileStatus(dest).getLen == bytes.length.toLong
-      } catch { case _: java.io.FileNotFoundException => false }
+      // at dest, so a complete destination with the SAME CONTENT is
+      // success — failing here would force a pointless task retry.
+      // Length alone can't distinguish a same-length different-content
+      // part (a non-deterministic encode across attempts, or a foreign
+      // writer on the same path), so compare a CRC of the landed bytes
+      // against the bytes this attempt holds; the read-back only runs
+      // on the rare lost-race path. Either way, reap the losing temp so
+      // it doesn't linger until the next start().
+      val landed = raceLanded(dest, bytes)
       fs.delete(tmp, false)
       require(landed,
-        s"rename $tmp -> $dest failed and no whole part exists at $dest")
+        s"rename $tmp -> $dest failed and no whole part with matching " +
+          s"content (length+CRC32) exists at $dest")
     }
     java.lang.Long.toHexString(bytes.length.toLong)
+  }
+
+  /** Lost-rename-race check: the winner's part at `dest` counts as this
+    * attempt's success only if it holds the SAME content (length + CRC32
+    * of the full bytes), not merely the same length. */
+  private[sink] def raceLanded(dest: Path, bytes: Array[Byte]): Boolean = try {
+    fs.getFileStatus(dest).getLen == bytes.length.toLong &&
+      crc32Of(dest) == { val c = new java.util.zip.CRC32; c.update(bytes); c.getValue }
+  } catch { case _: java.io.FileNotFoundException => false }
+
+  /** CRC32 of a landed part, streamed — used only on the lost-rename-race
+    * path to confirm the winner wrote the same content. */
+  private def crc32Of(p: Path): Long = {
+    val crc = new java.util.zip.CRC32
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { crc.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    crc.getValue
   }
 
   override def complete(receipts: Seq[PartReceipt]): Unit = {

@@ -180,6 +180,20 @@ class ForeignTiffSpec extends SparkSpec {
       ex.getMessage)
     // the same placement under BigTIFF (v43) emits fine
     assert(BigTiff.header(prof.copy(bigtiff = true), offsets, counts).nonEmpty)
+
+    // boundary: the limit is on STORED offsets, not ends — a file whose
+    // last byte sits at offset 2^32-1 (exclusive end exactly 2^32) is
+    // fully addressable and must be ACCEPTED...
+    val atEdge = pages.map(pg =>
+      Array.tabulate(prof.tilesPerLevel(pg.level))(i =>
+        0x100000000L - 100L * (i + 1)))
+    assert(BigTiff.header(prof, atEdge, counts).nonEmpty,
+      "end == 2^32 exactly must be accepted: every stored offset fits 32 bits")
+    // ...while a stored offset that itself exceeds 0xFFFFFFFF must refuse
+    val pastEdge = pages.map(pg =>
+      Array.tabulate(prof.tilesPerLevel(pg.level))(i =>
+        0x100000000L + 100L * i))
+    intercept[IllegalArgumentException] { BigTiff.header(prof, pastEdge, counts) }
   }
 
   test("foreign LZW classic TIFF decodes end-to-end (code 5 + predictor 2)") {

@@ -76,4 +76,24 @@ class SinkSpec extends SparkSpec {
     assert(sink.assembled.toSeq == Seq[Byte](1, 2, 3, 4, 4))
     assert(sink.partNumbers == Seq(1, 2))
   }
+
+  test("lost-rename-race check requires matching content, not just length") {
+    val dir = tmp()
+    val sink = new HadoopMultipartSink("file://" + dir)
+    sink.start()
+    val dest = new org.apache.hadoop.fs.Path("file://" + dir, "part-00001.bin")
+    val mine = Array[Byte](1, 2, 3, 4)
+    // missing dest: not landed
+    assert(!sink.raceLanded(dest, mine))
+    // same length, different content: a same-length foreign/non-deterministic
+    // part must NOT be silently accepted as this attempt's success
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-00001.bin"),
+      Array[Byte](9, 9, 9, 9))
+    assert(!sink.raceLanded(dest, mine))
+    // identical content: the winner wrote our bytes — success
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-00001.bin"), mine)
+    assert(sink.raceLanded(dest, mine))
+    // different length: not landed
+    assert(!sink.raceLanded(dest, Array[Byte](1, 2, 3)))
+  }
 }

@@ -29,7 +29,7 @@ mechanical verdict:
 
 Run `sbt compile` (or a full bench) first so the classes are current.
 """
-import sys, json, os, subprocess, tempfile
+import argparse, sys, json, os, subprocess, tempfile
 
 ADD_OPENS_PKGS = [
     "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
@@ -68,29 +68,20 @@ def isolated_run(query, sf_dir, cpus, repo_root):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    opts = dict(a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), None)
-                for a in argv if a.startswith("--"))
-
-    def opt(name, default):
-        v = opts.get(name)
-        if v is None:
-            # also accept "--name value" style
-            if f"--{name}" in argv:
-                v = argv[argv.index(f"--{name}") + 1]
-                args.remove(v) if v in args else None
-        return v if v is not None else default
-
-    if len(args) < 2:
-        sys.stderr.write(__doc__)
-        return 2
-    prev_path, curr_path = args[0], args[1]
-    out_path = args[2] if len(args) > 2 else "BENCH_isolated.json"
-    threshold = float(opt("threshold", 2.5))
-    floor = float(opt("floor", 0.5))
-    runs = int(opt("runs", 3))
-    sf_dir = opt("sf-dir", "/root/testdata/sf0.1")
-    cpus = int(opt("cpus", 32))
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("prev_path", help="previous round's full-bench JSON")
+    p.add_argument("curr_path", help="current full-bench JSON")
+    p.add_argument("out_path", nargs="?", default="BENCH_isolated.json")
+    p.add_argument("--threshold", type=float, default=2.5)
+    p.add_argument("--floor", type=float, default=0.5)
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    p.add_argument("--cpus", type=int, default=32)
+    ns = p.parse_args(argv)
+    prev_path, curr_path, out_path = ns.prev_path, ns.curr_path, ns.out_path
+    threshold, floor, runs = ns.threshold, ns.floor, ns.runs
+    sf_dir, cpus = ns.sf_dir, ns.cpus
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     prev, curr = load_queries(prev_path), load_queries(curr_path)
