@@ -27,6 +27,22 @@ mechanical verdict:
   regressed - isolated min stays above threshold x previous reading
               (the slowdown is real; find the code/fixture cause)
 
+Two known limits of the plain isolated rerun, both fixed by
+--baseline-classes <dir>:
+
+  * a fresh JVM pays cold-JIT/staging (~0.5-1 s floor), so a sub-second
+    query can read above threshold x its warm full-bench prior without
+    any code change;
+  * ambient machine load can drift minute-to-minute by more than the
+    suspected signal, defeating sequential A-then-B comparisons.
+
+--baseline-classes points at a compiled snapshot of the PRIOR round's
+classes (e.g. a git worktree at the previous gate commit after
+`sbt compile`). Each outlier then runs PAIRED ALTERNATION — baseline
+JVM, current JVM, back-to-back, `runs` pairs — and the verdict compares
+the two like-for-like isolated distributions (mean pairwise delta),
+cancelling both the JVM floor and the drift.
+
 Run `sbt compile` (or a full bench) first so the classes are current.
 """
 import argparse, sys, json, os, subprocess, tempfile
@@ -67,6 +83,54 @@ def isolated_run(query, sf_dir, cpus, repo_root):
     return t
 
 
+def paired_adjudication(q, prev, curr, prev_path, curr_path, threshold,
+                        baseline_repo, repo_root, sf_dir, cpus, pairs):
+    """Alternate baseline-classes and current-classes fresh JVMs back-to-back
+    so ambient drift and the cold-JVM floor cancel; judge on the pairwise
+    delta of like-for-like isolated runs, not on the warm full-bench prior."""
+    deltas, base_ts, cur_ts = [], [], []
+    for i in range(pairs):
+        a = isolated_run(q, sf_dir, cpus, baseline_repo)
+        b = isolated_run(q, sf_dir, cpus, repo_root)
+        print(f"  {q} pair {i + 1}/{pairs}: baseline "
+              f"{'%.3f' % a if a is not None else 'ERR'} s, current "
+              f"{'%.3f' % b if b is not None else 'ERR'} s")
+        if a is not None and b is not None:
+            base_ts.append(a); cur_ts.append(b); deltas.append(b - a)
+    if not deltas:
+        verdict = "error: all paired runs failed — see stderr"
+    else:
+        mean_a = sum(base_ts) / len(base_ts)
+        mean_d = sum(deltas) / len(deltas)
+        slower = sum(d > 0 for d in deltas)
+        # systematic = slower in a clear majority of pairs AND by a margin
+        # above like-for-like noise (15% of the baseline mean, 0.1 s min)
+        if mean_d > max(0.15 * mean_a, 0.1) and slower * 3 >= len(deltas) * 2:
+            verdict = (f"regressed: current classes run {mean_d:+.2f}s vs the "
+                       f"baseline snapshot (slower in {slower}/{len(deltas)} "
+                       f"pairs) — the slowdown is in the code, not the "
+                       f"environment; bisect the commit range")
+        else:
+            verdict = (f"cleared: mean pairwise delta {mean_d:+.2f}s vs the "
+                       f"baseline snapshot (slower in {slower}/{len(deltas)} "
+                       f"pairs) — no systematic code slowdown; the "
+                       f"{curr[q]:.2f}s full-bench reading (prior "
+                       f"{prev[q]:.2f}s) was load variance")
+    return {
+        "query": q,
+        "paired_runs_sec": [[round(a, 3), round(b, 3)]
+                            for a, b in zip(base_ts, cur_ts)],
+        "mean_delta_sec": round(sum(deltas) / len(deltas), 3) if deltas else None,
+        "config": (f"paired alternation, fresh JVM per run, SPARK_GRAFT_ONLY={q}, "
+                   f"{sf_dir}, local[{cpus}], baseline classes {baseline_repo}, "
+                   f"current classes {repo_root}"),
+        "context": (f"prior full-bench {prev[q]:.3f}s ({prev_path}); current "
+                    f"full-bench {curr[q]:.3f}s ({curr_path}); threshold "
+                    f"{threshold}x"),
+        "verdict": verdict,
+    }
+
+
 def main(argv):
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -78,6 +142,10 @@ def main(argv):
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     p.add_argument("--cpus", type=int, default=32)
+    p.add_argument("--baseline-classes", default=None, metavar="DIR",
+                   help="repo root (e.g. a worktree at the prior gate commit, "
+                        "after `sbt compile`) whose classes serve as the paired-"
+                        "alternation baseline; enables the drift-proof verdict")
     ns = p.parse_args(argv)
     prev_path, curr_path, out_path = ns.prev_path, ns.curr_path, ns.out_path
     threshold, floor, runs = ns.threshold, ns.floor, ns.runs
@@ -93,6 +161,11 @@ def main(argv):
 
     results = []
     for q in outliers:
+        if ns.baseline_classes:
+            results.append(paired_adjudication(
+                q, prev, curr, prev_path, curr_path, threshold,
+                ns.baseline_classes, repo_root, sf_dir, cpus, runs))
+            continue
         times = []
         for i in range(runs):
             t = isolated_run(q, sf_dir, cpus, repo_root)
