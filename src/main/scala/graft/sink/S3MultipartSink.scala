@@ -1,0 +1,136 @@
+package graft.sink
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** MultipartSink speaking the real S3 REST multipart-upload protocol
+  * (reference ccog/aws_tools.py:59-178 uses the SDK's
+  * create_multipart_upload / upload_part / complete_multipart_upload /
+  * abort_multipart_upload — this is the same wire surface, hand-rolled
+  * on the JDK HttpClient so it carries zero dependencies):
+  *
+  *   start      POST   /{bucket}/{key}?uploads            → UploadId
+  *   uploadPart PUT    /{bucket}/{key}?partNumber=N&uploadId=…  → ETag
+  *   complete   POST   /{bucket}/{key}?uploadId=…  (XML part list)
+  *   abort      DELETE /{bucket}/{key}?uploadId=…
+  *
+  * Aimed at unauthenticated S3-compatible endpoints (localhost
+  * gateways, CI mocks, sigv4-exempt proxies); real AWS additionally
+  * needs request signing, which stays out of scope in this sandbox
+  * (SURVEY §2.1 R31). Semantics matched to S3 proper:
+  *
+  *  - uploadPart is idempotent: re-PUTting a partNumber replaces it
+  *    (Spark task retries/speculation lean on this, R33);
+  *  - executors each hold their own HttpClient (@transient lazy) and
+  *    stream parts directly — the driver never sees part bytes, so the
+  *    path scales with executor count, not driver memory;
+  *  - 5xx and connection failures retry with exponential backoff; 4xx
+  *    fail fast (a NoSuchUpload/EntityTooSmall retried forever would
+  *    mask a real bug);
+  *  - complete() treats an HTTP-200 response whose body is an
+  *    {@code <Error>} document as the failure it is — S3 really does
+  *    return 200-with-error for CompleteMultipartUpload, and swallowing
+  *    it would sign off a torn object.
+  */
+class S3MultipartSink(endpoint: String, bucket: String, key: String,
+    maxAttempts: Int = 4, backoffMs: Long = 50L) extends MultipartSink {
+
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+
+  // set by start() on the driver BEFORE the upload job serializes the
+  // sink into its closure; executors read the captured value
+  private var uploadId: String = _
+
+  @transient private lazy val http: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+
+  private def objectUri(query: String): URI =
+    URI.create(s"$endpoint/$bucket/$key?$query")
+
+  /** Send with bounded retry: 5xx and IOExceptions back off and retry
+    * (S3 throttling/transient contract), 4xx raise immediately. */
+  private def send(req: HttpRequest, what: String): HttpResponse[String] = {
+    var attempt = 0
+    var last: Either[Throwable, HttpResponse[String]] = null
+    while (attempt < maxAttempts) {
+      if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
+      attempt += 1
+      last =
+        try {
+          val r = http.send(req, HttpResponse.BodyHandlers.ofString())
+          if (r.statusCode() < 500) return checkedOk(r, what)
+          Right(r)
+        } catch { case e: java.io.IOException => Left(e) }
+    }
+    last match {
+      case Right(r) => throw new java.io.IOException(
+        s"$what failed after $maxAttempts attempts: HTTP ${r.statusCode()} ${r.body().take(500)}")
+      case Left(e) => throw new java.io.IOException(
+        s"$what failed after $maxAttempts attempts", e)
+    }
+  }
+
+  private def checkedOk(r: HttpResponse[String], what: String): HttpResponse[String] = {
+    require(r.statusCode() / 100 == 2,
+      s"$what rejected: HTTP ${r.statusCode()} ${r.body().take(500)}")
+    r
+  }
+
+  /** Pull one element's text out of a small S3 XML response with the
+    * JDK parser (no regex over XML, no scala-xml dependency). A body
+    * that isn't well-formed XML yields None — callers treat a missing
+    * expected element as the protocol error it is. */
+  private def xmlText(body: String, element: String): Option[String] =
+    try {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(body.getBytes("UTF-8")))
+      val nodes = doc.getElementsByTagName(element)
+      if (nodes.getLength == 0) None else Some(nodes.item(0).getTextContent)
+    } catch { case _: org.xml.sax.SAXException => None }
+
+  override def start(): Unit = {
+    val r = send(HttpRequest.newBuilder(objectUri("uploads"))
+      .POST(HttpRequest.BodyPublishers.noBody()).build(), "initiate multipart upload")
+    uploadId = xmlText(r.body(), "UploadId").getOrElse(
+      throw new java.io.IOException(
+        s"initiate response carried no UploadId: ${r.body().take(500)}"))
+  }
+
+  override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
+    require(uploadId != null, "uploadPart before start()")
+    val r = send(HttpRequest.newBuilder(
+        objectUri(s"partNumber=$partNumber&uploadId=$uploadId"))
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+      s"upload part $partNumber")
+    val etag = r.headers().firstValue("ETag").orElse("")
+    require(etag.nonEmpty, s"part $partNumber response carried no ETag")
+    etag.stripPrefix("\"").stripSuffix("\"")
+  }
+
+  override def complete(receipts: Seq[PartReceipt]): Unit = {
+    require(uploadId != null, "complete before start()")
+    val xml = receipts.map(p =>
+        s"<Part><PartNumber>${p.partNumber}</PartNumber><ETag>\"${p.etag}\"</ETag></Part>")
+      .mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+    val r = send(HttpRequest.newBuilder(objectUri(s"uploadId=$uploadId"))
+      .header("Content-Type", "application/xml")
+      .POST(HttpRequest.BodyPublishers.ofString(xml)).build(),
+      "complete multipart upload")
+    // S3 can answer CompleteMultipartUpload with 200 + an <Error> body;
+    // anything other than a well-formed CompleteMultipartUploadResult
+    // means the object was NOT committed
+    if (xmlText(r.body(), "Error").isDefined ||
+        xmlText(r.body(), "CompleteMultipartUploadResult").isEmpty)
+      throw new java.io.IOException(
+        s"complete returned HTTP 200 without a commit confirmation: ${r.body().take(500)}")
+  }
+
+  override def abort(): Unit = {
+    require(uploadId != null, "abort before start()")
+    send(HttpRequest.newBuilder(objectUri(s"uploadId=$uploadId"))
+      .DELETE().build(), "abort multipart upload")
+    uploadId = null
+  }
+}

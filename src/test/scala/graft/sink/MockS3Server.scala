@@ -1,0 +1,185 @@
+package graft.sink
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.security.MessageDigest
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.concurrent.TrieMap
+import scala.collection.immutable.SortedMap
+
+/** In-process S3 stand-in for the multipart-upload protocol, built on
+  * the JDK's own HTTP server — no egress, no dependencies. Implements
+  * the MPU semantics the real service enforces so S3MultipartSink is
+  * tested against the contract, not against itself:
+  *
+  *  - ETag = quoted hex MD5 of the part body (what S3 returns);
+  *  - complete() validates the part list: upload must exist
+  *    (NoSuchUpload, 404), listed parts must all be uploaded
+  *    (InvalidPart, 400), part numbers strictly ascending
+  *    (InvalidPartOrder, 400), ETags must match (InvalidPart, 400),
+  *    every non-final part >= 5 MiB (EntityTooSmall, 400);
+  *  - re-PUT of a partNumber replaces the part (idempotent retries);
+  *  - abort drops the upload; a later complete sees NoSuchUpload.
+  *
+  * Failure injection for client-retry tests: `failNextRequests(n)`
+  * makes the next n requests answer 500 InternalError;
+  * `errorBodyOnNextComplete()` makes the next complete answer the
+  * infamous HTTP-200-with-<Error>-body that real S3 can produce.
+  */
+class MockS3Server {
+
+  private val uploads = TrieMap.empty[String, TrieMap[Int, (Array[Byte], String)]]
+  private val objects = TrieMap.empty[String, Array[Byte]]
+  private val fail500 = new AtomicInteger(0)
+  private val errorBodyCompletes = new AtomicInteger(0)
+  private val uploadSeq = new AtomicInteger(0)
+  val minPartSize: Long = 5L << 20
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+
+  def failNextRequests(n: Int): Unit = fail500.set(n)
+  def errorBodyOnNextComplete(): Unit = errorBodyCompletes.set(1)
+  def storedObject(bucket: String, key: String): Option[Array[Byte]] =
+    objects.get(s"$bucket/$key")
+  def liveUploadCount: Int = uploads.size
+
+  private def md5hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte],
+      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    // HttpServer: length 0 means chunked/streamed, -1 means empty body
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def s3Error(ex: HttpExchange, http: Int, code: String, msg: String): Unit =
+    respond(ex, http,
+      s"<Error><Code>$code</Code><Message>$msg</Message></Error>".getBytes("UTF-8"),
+      Map("Content-Type" -> "application/xml"))
+
+  private def queryParams(raw: String): Map[String, String] =
+    if (raw == null || raw.isEmpty) Map.empty
+    else raw.split("&").map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> ""
+      }
+    }.toMap
+
+  private def readAll(ex: HttpExchange): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val in = ex.getRequestBody
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    if (fail500.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      s3Error(ex, 500, "InternalError", "injected transient failure"); return
+    }
+    val objKey = ex.getRequestURI.getPath.stripPrefix("/")
+    val q = queryParams(ex.getRequestURI.getRawQuery)
+    val method = ex.getRequestMethod
+    (method, q.contains("uploads"), q.get("uploadId"), q.get("partNumber")) match {
+      case ("POST", true, _, _) => // initiate
+        val id = s"mpu-${uploadSeq.incrementAndGet()}-${java.util.UUID.randomUUID().toString.take(8)}"
+        uploads.put(id, TrieMap.empty)
+        respond(ex, 200,
+          ("<InitiateMultipartUploadResult><Bucket/><Key/>" +
+            s"<UploadId>$id</UploadId></InitiateMultipartUploadResult>").getBytes("UTF-8"),
+          Map("Content-Type" -> "application/xml"))
+      case ("PUT", _, Some(id), Some(pn)) => // upload part
+        uploads.get(id) match {
+          case None => s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
+          case Some(parts) =>
+            val bytes = readAll(ex)
+            val etag = md5hex(bytes)
+            parts.put(pn.toInt, (bytes, etag))
+            respond(ex, 200, Array.emptyByteArray, Map("ETag" -> s""""$etag""""))
+        }
+      case ("POST", _, Some(id), _) => // complete
+        completeUpload(ex, objKey, id, new String(readAll(ex), "UTF-8"))
+      case ("DELETE", _, Some(id), _) => // abort
+        if (uploads.remove(id).isDefined) respond(ex, 204, Array.emptyByteArray)
+        else s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
+      case ("GET", _, _, _) =>
+        objects.get(objKey) match {
+          case Some(b) => respond(ex, 200, b)
+          case None => s3Error(ex, 404, "NoSuchKey", s"no object $objKey")
+        }
+      case _ => s3Error(ex, 400, "InvalidRequest", s"$method ${ex.getRequestURI}")
+    }
+  } catch {
+    case e: Exception => s3Error(ex, 500, "InternalError", e.toString.take(200))
+  }
+
+  private def completeUpload(ex: HttpExchange, objKey: String, id: String,
+      xml: String): Unit = {
+    uploads.get(id) match {
+      case None => s3Error(ex, 404, "NoSuchUpload", s"upload $id not found"); return
+      case Some(parts) =>
+        val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+          .newDocumentBuilder()
+          .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+        val partNodes = doc.getElementsByTagName("Part")
+        val listed = (0 until partNodes.getLength).map { i =>
+          val el = partNodes.item(i).asInstanceOf[org.w3c.dom.Element]
+          val pn = el.getElementsByTagName("PartNumber").item(0).getTextContent.trim.toInt
+          val etag = el.getElementsByTagName("ETag").item(0).getTextContent.trim
+            .stripPrefix("\"").stripSuffix("\"")
+          (pn, etag)
+        }
+        if (listed.isEmpty) {
+          s3Error(ex, 400, "InvalidRequest", "empty part list"); return
+        }
+        if (listed.map(_._1) != listed.map(_._1).sorted ||
+            listed.map(_._1).distinct.length != listed.length) {
+          s3Error(ex, 400, "InvalidPartOrder",
+            "part numbers must be listed in ascending order"); return
+        }
+        for ((pn, etag) <- listed) {
+          parts.get(pn) match {
+            case None =>
+              s3Error(ex, 400, "InvalidPart", s"part $pn was never uploaded"); return
+            case Some((_, stored)) if stored != etag =>
+              s3Error(ex, 400, "InvalidPart", s"part $pn etag mismatch"); return
+            case _ => ()
+          }
+        }
+        for ((pn, _) <- listed.dropRight(1)) {
+          if (parts(pn)._1.length.toLong < minPartSize) {
+            s3Error(ex, 400, "EntityTooSmall",
+              s"part $pn is ${parts(pn)._1.length} bytes, minimum $minPartSize"); return
+          }
+        }
+        if (errorBodyCompletes.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+          // the real-S3 trap: HTTP 200 whose body is an error document
+          respond(ex, 200,
+            "<Error><Code>InternalError</Code><Message>injected 200-with-error</Message></Error>"
+              .getBytes("UTF-8"), Map("Content-Type" -> "application/xml"))
+          return
+        }
+        val assembled = new java.io.ByteArrayOutputStream()
+        SortedMap.from(listed.map(_._1).map(pn => pn -> parts(pn)._1))
+          .values.foreach(assembled.write)
+        objects.put(objKey, assembled.toByteArray)
+        uploads.remove(id)
+        respond(ex, 200,
+          ("<CompleteMultipartUploadResult><Location/><Bucket/><Key/>" +
+            s"""<ETag>"${md5hex(assembled.toByteArray)}-${listed.length}"</ETag>""" +
+            "</CompleteMultipartUploadResult>").getBytes("UTF-8"),
+          Map("Content-Type" -> "application/xml"))
+    }
+  }
+}
