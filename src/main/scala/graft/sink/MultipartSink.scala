@@ -119,7 +119,25 @@ object OrderedMultipartWriter {
     import spark.implicits._
     val target = targetPartSize(totalBytes, maxBlob, defaultPart)
     sink.start()
+    // from here on the upload is live: any failure — job error or a
+    // failed placement audit — must abort it, or the half-uploaded MPU
+    // leaks (on S3 proper, incomplete uploads accrue storage until
+    // aborted; the reference aborts on failure too,
+    // ccog/aws_tools.py:168-175)
+    try {
+      writeStarted(blobs, totalBytes, target, sink)
+    } catch {
+      case e: Throwable =>
+        try sink.abort()
+        catch { case a: Throwable => e.addSuppressed(a) }
+        throw e
+    }
+  }
 
+  private def writeStarted(blobs: Dataset[Blob], totalBytes: Long,
+      target: Long, sink: MultipartSink): Seq[PartReceipt] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
     val receipts = blobs
       .map(b => (((b.offset / target) + 1).toInt, b.offset, b.bytes))
       .toDF("partNumber", "offset", "bytes")

@@ -131,6 +131,23 @@ class S3SinkSpec extends SparkSpec {
     }
   }
 
+  test("a failed write aborts the live upload instead of leaking it") {
+    withServer { srv =>
+      val s = spark
+      val (blobs, expect) = blobStream(6)
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k")
+      // declare the wrong total: parts upload, then the placement audit
+      // fails — the in-flight MPU must be aborted, not left accruing
+      intercept[IllegalArgumentException] {
+        OrderedMultipartWriter.write(
+          s.createDataset(blobs)(org.apache.spark.sql.Encoders.product[Blob]),
+          expect.length.toLong + 1, blobs.map(_.bytes.length.toLong).max, sink)
+      }
+      assert(srv.liveUploadCount == 0, "failed write leaked a live MPU")
+      assert(srv.storedObject("b", "k").isEmpty)
+    }
+  }
+
   test("real COG pipeline through the S3 protocol: GET bytes == local write") {
     withServer { srv =>
       val ND = -9999.0
