@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus,
+  FileSystem, Path, PositionedReadable, Seekable}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Read-only Hadoop FileSystem over HTTP ranged GETs — the seam that
+  * lets every existing read path (CogReader.readMeta/read/readStrips,
+  * the DSv2 single-file and mosaic planners) consume a COG straight
+  * from an object-store or static-file endpoint with NO full-file
+  * download, exactly the access pattern the reference assumes for
+  * COG-on-S3 (ccog/README.md:9 "cloud optimised geotiff" +
+  * aws_tools.py's S3 store): KB-scale header probe, then one bounded
+  * range request per tile/strip.
+  *
+  * This is the same plug-point s3a uses: register with
+  * `fs.http.impl = graft.sources.HttpRangeFileSystem` (and/or
+  * `fs.https.impl` → [[HttpsRangeFileSystem]]) in the session Hadoop
+  * configuration or as a datasource option, then
+  * `spark.read.format("cog").load("http://host/bucket/key")` just
+  * works. Every request is bounded: `open` streams through positioned
+  * range reads and plain `read` advances a cursor with ranged GETs —
+  * the class never issues an unbounded GET, so reading 3 tiles of a
+  * 100 GB object transfers 3 tile-ranges plus the header probe.
+  *
+  * Write/rename/delete/list are unsupported (HTTP has no portable
+  * contract for them); egress goes through the multipart sink instead.
+  */
+class HttpRangeFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+
+  override def getScheme: String = "http"
+
+  @transient private lazy val http: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"$getScheme://${name.getAuthority}")
+  }
+
+  override def getUri: URI = fsUri
+
+  private def targetUri(f: Path): URI = {
+    val p = f.toUri.getPath
+    URI.create(s"$getScheme://${fsUri.getAuthority}$p")
+  }
+
+  private def contentLength(f: Path): Long = {
+    val head = HttpRequest.newBuilder(targetUri(f))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
+    val r = http.send(head, HttpResponse.BodyHandlers.discarding())
+    if (r.statusCode() == 200) {
+      val len = r.headers().firstValueAsLong("Content-Length")
+      if (len.isPresent) return len.getAsLong
+    }
+    if (r.statusCode() == 404)
+      throw new java.io.FileNotFoundException(targetUri(f).toString)
+    // endpoints that refuse HEAD: a 1-byte ranged GET's Content-Range
+    // carries the total ("bytes 0-0/12345")
+    val probe = HttpRequest.newBuilder(targetUri(f))
+      .header("Range", "bytes=0-0").GET().build()
+    val pr = http.send(probe, HttpResponse.BodyHandlers.discarding())
+    if (pr.statusCode() == 404)
+      throw new java.io.FileNotFoundException(targetUri(f).toString)
+    val cr = pr.headers().firstValue("Content-Range").orElse("")
+    require(pr.statusCode() == 206 && cr.contains("/"),
+      s"cannot determine length of ${targetUri(f)}: HEAD ${r.statusCode()}, " +
+        s"ranged GET ${pr.statusCode()} Content-Range '$cr'")
+    cr.substring(cr.indexOf('/') + 1).trim.toLong
+  }
+
+  override def getFileStatus(f: Path): FileStatus =
+    new FileStatus(contentLength(f), false, 1, 64L << 20, 0L,
+      f.makeQualified(fsUri, getWorkingDirectory))
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val len = contentLength(f)
+    new FSDataInputStream(new HttpRangeInputStream(targetUri(f), len, http))
+  }
+
+  override def exists(f: Path): Boolean =
+    try { contentLength(f); true }
+    catch { case _: java.io.FileNotFoundException => false }
+
+  private def ro(op: String) =
+    throw new UnsupportedOperationException(
+      s"$op: ${getScheme}:// is a read-only ranged-GET filesystem; " +
+        "write through the multipart sink instead")
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = ro("create")
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream = ro("append")
+  override def rename(src: Path, dst: Path): Boolean = ro("rename")
+  override def delete(f: Path, recursive: Boolean): Boolean = ro("delete")
+  override def listStatus(f: Path): Array[FileStatus] =
+    // a single object is its own listing; HTTP has no directory contract
+    Array(getFileStatus(f))
+  override def setWorkingDirectory(d: Path): Unit = ()
+  override def getWorkingDirectory: Path = new Path("/")
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = ro("mkdirs")
+}
+
+/** fs.https.impl registration point — same ranged-GET filesystem, TLS. */
+class HttpsRangeFileSystem extends HttpRangeFileSystem {
+  override def getScheme: String = "https"
+}
+
+/** Seekable/PositionedReadable stream where every read is one bounded
+  * HTTP range request; no buffering beyond the caller's own (COG reads
+  * are whole-tile `readFully(pos, …)` calls, so per-call requests map
+  * 1:1 onto tile ranges). */
+private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClient)
+    extends java.io.InputStream with Seekable with PositionedReadable {
+
+  private var pos = 0L
+
+  private def rangedGet(position: Long, length: Int): Array[Byte] = {
+    if (position >= len || length == 0) return Array.emptyByteArray
+    val last = math.min(position + length.toLong, len) - 1
+    val req = HttpRequest.newBuilder(uri)
+      .header("Range", s"bytes=$position-$last").GET().build()
+    val r = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    require(r.statusCode() == 206 || r.statusCode() == 200,
+      s"range GET $uri [$position-$last] failed: HTTP ${r.statusCode()}")
+    val body = r.body()
+    // a 200 answer ignored the Range header — slice locally rather than
+    // report wrong bytes (still bounded: only servers that sent the
+    // whole body land here, and the mock/S3 never do)
+    if (r.statusCode() == 200 && body.length.toLong > last - position + 1)
+      java.util.Arrays.copyOfRange(body, position.toInt, (last + 1).toInt)
+    else body
+  }
+
+  override def read(): Int = {
+    val b = new Array[Byte](1)
+    if (read(b, 0, 1) == -1) -1 else b(0) & 0xFF
+  }
+
+  override def read(b: Array[Byte], off: Int, length: Int): Int = {
+    if (pos >= len) return -1
+    val got = rangedGet(pos, length)
+    System.arraycopy(got, 0, b, off, got.length)
+    pos += got.length
+    if (got.isEmpty) -1 else got.length
+  }
+
+  override def read(position: Long, buffer: Array[Byte], offset: Int,
+      length: Int): Int = {
+    if (position >= len) return -1
+    val got = rangedGet(position, length)
+    System.arraycopy(got, 0, buffer, offset, got.length)
+    if (got.isEmpty) -1 else got.length
+  }
+
+  override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+      length: Int): Unit = {
+    var done = 0
+    while (done < length) {
+      val n = read(position + done, buffer, offset + done, length - done)
+      if (n < 0) throw new java.io.EOFException(
+        s"EOF at ${position + done} of $len reading $length bytes from $uri")
+      done += n
+    }
+  }
+
+  override def readFully(position: Long, buffer: Array[Byte]): Unit =
+    readFully(position, buffer, 0, buffer.length)
+
+  override def seek(p: Long): Unit = {
+    if (p < 0 || p > len) throw new java.io.EOFException(s"seek $p outside [0,$len]")
+    pos = p
+  }
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+}

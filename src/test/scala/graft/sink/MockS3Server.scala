@@ -47,7 +47,22 @@ class MockS3Server {
   def errorBodyOnNextComplete(): Unit = errorBodyCompletes.set(1)
   def storedObject(bucket: String, key: String): Option[Array[Byte]] =
     objects.get(s"$bucket/$key")
+  def putObject(bucket: String, key: String, bytes: Array[Byte]): Unit =
+    objects.put(s"$bucket/$key", bytes)
   def liveUploadCount: Int = uploads.size
+
+  /** Read-side accounting for the ranged-GET reader tests: every GET
+    * without a Range header counts as unbounded (a COG reader must
+    * never issue one); ranged sizes let tests pin "KB-scale header,
+    * tile-scale bodies". */
+  private val unboundedGetCount = new AtomicInteger(0)
+  private val rangedSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  def unboundedGets: Int = unboundedGetCount.get()
+  def rangedGetSizes: Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    rangedSizes.iterator().asScala.toSeq
+  }
+  def resetReadAccounting(): Unit = { unboundedGetCount.set(0); rangedSizes.clear() }
 
   private def md5hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
@@ -113,9 +128,35 @@ class MockS3Server {
       case ("DELETE", _, Some(id), _) => // abort
         if (uploads.remove(id).isDefined) respond(ex, 204, Array.emptyByteArray)
         else s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
+      case ("HEAD", _, _, _) =>
+        objects.get(objKey) match {
+          case Some(b) =>
+            ex.getResponseHeaders.set("Content-Length", b.length.toString)
+            ex.sendResponseHeaders(200, -1); ex.close()
+          case None => respond(ex, 404, Array.emptyByteArray)
+        }
       case ("GET", _, _, _) =>
         objects.get(objKey) match {
-          case Some(b) => respond(ex, 200, b)
+          case Some(b) =>
+            val range = Option(ex.getRequestHeaders.getFirst("Range"))
+            range match {
+              case Some(r) if r.startsWith("bytes=") =>
+                val Array(a, z) = r.stripPrefix("bytes=").split("-", 2)
+                val from = a.toLong
+                val to = math.min(if (z.isEmpty) b.length.toLong - 1 else z.toLong,
+                  b.length.toLong - 1)
+                if (from > to || from >= b.length) {
+                  s3Error(ex, 416, "InvalidRange", s"$r of ${b.length}")
+                } else {
+                  rangedSizes.add(to - from + 1)
+                  respond(ex, 206,
+                    java.util.Arrays.copyOfRange(b, from.toInt, to.toInt + 1),
+                    Map("Content-Range" -> s"bytes $from-$to/${b.length}"))
+                }
+              case _ =>
+                unboundedGetCount.incrementAndGet()
+                respond(ex, 200, b)
+            }
           case None => s3Error(ex, 404, "NoSuchKey", s"no object $objKey")
         }
       case _ => s3Error(ex, 400, "InvalidRequest", s"$method ${ex.getRequestURI}")
