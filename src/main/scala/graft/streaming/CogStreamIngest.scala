@@ -56,7 +56,18 @@ object CogStreamIngest {
     * wins); missing grid positions surface as sparse/nodata tiles via
     * the normal writer path. */
   def finalizeCog(spark: SparkSession, profile: RasterProfile,
-      stageDir: String, workDir: String): (Array[Byte], CogWriter.Result) = {
+      stageDir: String, workDir: String): (Array[Byte], CogWriter.Result) =
+    CogWriter.writeBytes(latestTiles(spark, profile, stageDir), profile, workDir)
+
+  /** Same assembly, but finalize through ANY MultipartSink — a streamed
+    * COG lands on object storage (e.g. [[graft.sink.S3MultipartSink]])
+    * without ever materializing the file on the driver. */
+  def finalizeCogTo(spark: SparkSession, profile: RasterProfile,
+      stageDir: String, sink: graft.sink.MultipartSink): CogWriter.Result =
+    CogWriter.write(latestTiles(spark, profile, stageDir), profile, sink)
+
+  private def latestTiles(spark: SparkSession, profile: RasterProfile,
+      stageDir: String): Dataset[Tile] = {
     import spark.implicits._
     val latest = spark.read.parquet(stageDir)
       .withColumn("rn", row_number().over(
@@ -106,6 +117,6 @@ object CogStreamIngest {
           Tile(0, ty, tx, h, w, px, mask)
         }
       }
-    CogWriter.writeBytes(tiles, profile, workDir)
+    tiles
   }
 }

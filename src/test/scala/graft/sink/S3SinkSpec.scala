@@ -148,6 +148,33 @@ class S3SinkSpec extends SparkSpec {
     }
   }
 
+  test("streamed COG finalizes straight to the S3 sink (finalizeCogTo)") {
+    withServer { srv =>
+      import graft.streaming.CogStreamIngest
+      val s = spark
+      import s.implicits._
+      val ND = -9999.0
+      val prof = RasterProfile(32, 32, blockSize = 16, nodata = ND,
+        minOverviewSize = 32)
+      val rows = for (ty <- 0 until 2; tx <- 0 until 2)
+        yield graft.TileRow(ty, tx, 16, 16,
+          Array.tabulate(256)(i => (ty * 2 + tx) * 100.0 + i), null)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-s3-stream").toString + "/stage"
+      // stageBatch is a plain (DataFrame, batchId) function — drive it
+      // directly; the streaming delivery semantics live in StreamingSpec
+      CogStreamIngest.stageBatch(prof, stage)(rows.toDF(), 0L)
+      val sink = new S3MultipartSink(srv.endpoint, "stream", "live.tif")
+      val res = CogStreamIngest.finalizeCogTo(s, prof, stage, sink)
+      val viaS3 = srv.storedObject("stream", "live.tif").get
+      assert(viaS3.length.toLong == res.totalLen)
+      // byte-identical to the local finalize of the same stage
+      val (local, _) = CogStreamIngest.finalizeCog(s, prof, stage,
+        java.nio.file.Files.createTempDirectory("graft-s3-stream-l").toString)
+      assert(java.util.Arrays.equals(viaS3, local))
+    }
+  }
+
   test("real COG pipeline through the S3 protocol: GET bytes == local write") {
     withServer { srv =>
       val ND = -9999.0
