@@ -52,9 +52,22 @@ class CogDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
-    require(path != null && path.nonEmpty, "cog source requires a path")
-    new CogTable(path, properties.asScala.toMap - "path")
+    // `load(a, b, …)` arrives as a JSON array under "paths" (Spark's
+    // multi-path convention); `load(a)` as plain "path". Multi-path is
+    // how a mosaic spread over explicit object-store URIs reads when
+    // the endpoint has no directory listing (e.g. http://).
+    val pathsJson = properties.get("paths")
+    val paths: Seq[String] =
+      if (pathsJson != null && pathsJson.nonEmpty)
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(pathsJson, classOf[Array[String]]).toSeq
+      else {
+        val p = properties.get("path")
+        require(p != null && p.nonEmpty, "cog source requires a path")
+        Seq(p)
+      }
+    require(paths.nonEmpty, "cog source requires at least one path")
+    new CogTable(paths, properties.asScala.toMap - "path" - "paths")
   }
 }
 
@@ -93,9 +106,9 @@ object CogTable {
   }
 }
 
-class CogTable(path: String, conf: Map[String, String])
+class CogTable(paths: Seq[String], conf: Map[String, String])
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"cog:$path"
+  override def name(): String = s"cog:${paths.mkString(",")}"
   override def schema(): StructType = CogTable.schema
   override def capabilities(): util.Set[TableCapability] =
     // ACCEPT_ANY_SCHEMA: writes take the MINIMAL tile columns
@@ -105,9 +118,12 @@ class CogTable(path: String, conf: Map[String, String])
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CogScanBuilder(path, conf)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new CogWriteBuilder(path, conf ++ info.options.asScala.toMap)
+    new CogScanBuilder(paths, conf)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1,
+      s"cog write takes exactly one target path, got ${paths.size}")
+    new CogWriteBuilder(paths.head, conf ++ info.options.asScala.toMap)
+  }
 }
 
 /** `df.write.format("cog")` — the write-side symmetry of the source
@@ -607,7 +623,7 @@ object CogWriteSupport {
   * predicates stay residual: strict bounds tighten to their inclusive
   * hull and un-georeferenced files can't prune, so Spark re-evaluates
   * them row-level. */
-class CogScanBuilder(path: String, conf: Map[String, String])
+class CogScanBuilder(paths: Seq[String], conf: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -765,9 +781,9 @@ class CogScanBuilder(path: String, conf: Map[String, String])
 
   override def build(): Scan = pushedAgg match {
     case Some((schema, gcs, funcs)) =>
-      new CogAggScan(path, conf, bounds, sets, dbounds, schema, gcs, funcs)
+      new CogAggScan(paths, conf, bounds, sets, dbounds, schema, gcs, funcs)
     case None =>
-      new CogScan(path, conf, bounds, sets, dbounds, required)
+      new CogScan(paths, conf, bounds, sets, dbounds, required)
   }
 }
 
@@ -794,7 +810,7 @@ case class CogInputPartition(uri: String,
     tiles: Seq[CogTileSpec],
     strips: Option[StripSource] = None) extends InputPartition
 
-class CogScan(path: String, conf: Map[String, String],
+class CogScan(paths: Seq[String], conf: Map[String, String],
     bounds: Map[String, (Option[Int], Option[Int])],
     sets: Map[String, Set[Int]],
     dbounds: Map[String, (Option[Double], Option[Double])],
@@ -808,7 +824,7 @@ class CogScan(path: String, conf: Map[String, String],
       sets.map { case (c, vs) => s"$c in {${vs.toSeq.sorted.mkString(",")}}" } ++
       dbounds.map { case (c, (lo, hi)) =>
         s"$c in [${lo.getOrElse("-inf")},${hi.getOrElse("inf")}]" }
-    s"cog $path${if (b.nonEmpty) s" pruned(${b.mkString(", ")})" else ""}" +
+    s"cog ${paths.mkString(",")}${if (b.nonEmpty) s" pruned(${b.mkString(", ")})" else ""}" +
       s" columns(${required.fieldNames.mkString(",")})"
   }
 
@@ -838,30 +854,34 @@ class CogScan(path: String, conf: Map[String, String],
       .map(e => e.getKey -> e.getValue).toMap
     val merged = sessionConf ++ conf
 
-    // expand the path: single file, directory (its *.tif/*.tiff), or
+    // expand each path: single file, directory (its *.tif/*.tiff), or
     // glob — a MOSAIC of many COGs is the realistic 100 TB raster
     // layout (one 5 TiB object is the S3 ceiling), and per-file geo
     // pruning below means a bbox query plans zero partitions for
-    // non-intersecting files
+    // non-intersecting files. Multiple paths (`load(a, b, …)`) expand
+    // independently and concatenate — the listing-free mosaic shape
+    // for endpoints with no directory contract (http://)
     val hc = new Configuration()
     merged.foreach { case (k, v) => hc.set(k, v) }
-    val p = new Path(path)
-    val fs = p.getFileSystem(hc)
     def isTif(n: String): Boolean = {
       val l = n.toLowerCase(java.util.Locale.ROOT)
       l.endsWith(".tif") || l.endsWith(".tiff")
     }
-    val files: Seq[String] =
+    def expandOne(one: String): Seq[String] = {
+      val p = new Path(one)
+      val fs = p.getFileSystem(hc)
       if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(s => s.isFile && isTif(s.getPath.getName))
           .map(_.getPath.toString).sorted.toSeq
-      else if (fs.exists(p)) Seq(path)
+      else if (fs.exists(p)) Seq(one)
       else {
         val g = fs.globStatus(p)
-        require(g != null && g.nonEmpty, s"no cog files match $path")
+        require(g != null && g.nonEmpty, s"no cog files match $one")
         g.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
       }
-    require(files.nonEmpty, s"no .tif files under $path")
+    }
+    val files: Seq[String] = paths.flatMap(expandOne).distinct
+    require(files.nonEmpty, s"no .tif files under ${paths.mkString(",")}")
 
     // headers are KB-scale but possibly numerous: parse in parallel on
     // a bounded pool (object stores serve these as ranged GETs). A
@@ -1029,7 +1049,7 @@ class CogScan(path: String, conf: Map[String, String],
   * per-level inventory the same way. Empty pruned input follows SQL
   * semantics: one count-0/null row for the global form, zero rows for
   * the grouped form. */
-class CogAggScan(path: String, conf: Map[String, String],
+class CogAggScan(paths: Seq[String], conf: Map[String, String],
     bounds: Map[String, (Option[Int], Option[Int])],
     sets: Map[String, Set[Int]],
     dbounds: Map[String, (Option[Double], Option[Double])],
@@ -1039,7 +1059,7 @@ class CogAggScan(path: String, conf: Map[String, String],
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"cog $path AGG-PUSHED(${aggSchema.fieldNames.mkString(",")})"
+    s"cog ${paths.mkString(",")} AGG-PUSHED(${aggSchema.fieldNames.mkString(",")})"
 
   private class Stats {
     var count = 0L
@@ -1059,7 +1079,7 @@ class CogAggScan(path: String, conf: Map[String, String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     // reuse the row scan's planner verbatim: same pruning, same specs
-    val inner = new CogScan(path, conf, bounds, sets, dbounds, StructType(Nil))
+    val inner = new CogScan(paths, conf, bounds, sets, dbounds, StructType(Nil))
     val parts = inner.planInputPartitions().map(_.asInstanceOf[CogInputPartition])
 
     // one driver pass over the (already driver-resident) specs,

@@ -87,6 +87,44 @@ class HttpCogReadSpec extends SparkSpec {
     }
   }
 
+  test("multi-path load: a mosaic over explicit http URIs (no listing needed)") {
+    val srv = new MockS3Server
+    try {
+      // the two-file geo mosaic shape (same as the q_raster_mosaic
+      // fixture): adjacent origins, one COG each — served as two http
+      // objects, since http has no directory contract to list
+      val local = java.nio.file.Files.createTempDirectory("graft-http-mosaic").toString
+      for ((name, originX, seed) <- Seq(("a.tif", 500000.0, 71L), ("b.tif", 500640.0, 72L))) {
+        val p = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+          minOverviewSize = 32,
+          geo = Some(GeoRef(10.0, 10.0, originX, 6400000.0, 32633)))
+        val bytes = CogWriter.writeBytes(
+          SyntheticRaster.generate(spark, p, seed), p,
+          java.nio.file.Files.createTempDirectory("graft-http-mw").toString)._1
+        java.nio.file.Files.write(java.nio.file.Paths.get(local, name), bytes)
+        srv.putObject("mosaic", name, bytes)
+      }
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+      try {
+        val viaHttp = spark.read.format("cog")
+          .load(s"${srv.endpoint}/mosaic/a.tif", s"${srv.endpoint}/mosaic/b.tif")
+        val viaDir = spark.read.format("cog").load(local)
+        assert(viaHttp.count() == viaDir.count())
+        // per-file tile counts and geo extents agree with the listed dir
+        def shape(df: org.apache.spark.sql.DataFrame) = {
+          import org.apache.spark.sql.functions._
+          df.filter("level = 0")
+            .groupBy(element_at(split(col("src"), "/"), -1).as("file"))
+            .agg(count(lit(1)).as("n"), min("minx").as("minx"), max("maxx").as("maxx"))
+            .orderBy("file").collect().map(_.toSeq).toSeq
+        }
+        assert(shape(viaHttp) == shape(viaDir))
+        assert(srv.unboundedGets == 0)
+      } finally hc.unset("fs.http.impl")
+    } finally srv.stop()
+  }
+
   test("missing object surfaces as FileNotFound, not a decode error") {
     withCogServer { (srv, uri, _) =>
       intercept[java.io.FileNotFoundException] {
