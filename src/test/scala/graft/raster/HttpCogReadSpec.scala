@@ -133,6 +133,54 @@ class HttpCogReadSpec extends SparkSpec {
     }
   }
 
+  test("random seek/read sequences match the in-memory reference exactly") {
+    val srv = new MockS3Server
+    try {
+      val rnd = new scala.util.Random(97)
+      val ref = new Array[Byte](300 * 1024 + 17) // deliberately odd length
+      rnd.nextBytes(ref)
+      srv.putObject("fuzz", "blob.bin", ref)
+      val fs = new org.apache.hadoop.fs.Path(s"${srv.endpoint}/fuzz/blob.bin")
+        .getFileSystem(confWith(fsConf))
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"${srv.endpoint}/fuzz/blob.bin"))
+      try {
+        for (_ <- 0 until 200) rnd.nextInt(4) match {
+          case 0 => // positioned readFully at a random window
+            val pos = rnd.nextInt(ref.length)
+            val len = math.min(1 + rnd.nextInt(64 * 1024), ref.length - pos)
+            val buf = new Array[Byte](len)
+            in.readFully(pos.toLong, buf, 0, len)
+            assert(java.util.Arrays.equals(buf,
+              java.util.Arrays.copyOfRange(ref, pos, pos + len)))
+          case 1 => // seek + sequential read, possibly crossing EOF
+            val pos = rnd.nextInt(ref.length)
+            in.seek(pos.toLong)
+            val want = math.min(1 + rnd.nextInt(8 * 1024), ref.length - pos + 5)
+            val buf = new Array[Byte](want)
+            val n = in.read(buf, 0, want)
+            assert(n == math.min(want, ref.length - pos),
+              s"read at $pos want $want got $n")
+            assert(java.util.Arrays.equals(java.util.Arrays.copyOf(buf, n),
+              java.util.Arrays.copyOfRange(ref, pos, pos + n)))
+            assert(in.getPos == pos.toLong + n)
+          case 2 => // single-byte read
+            val pos = rnd.nextInt(ref.length)
+            in.seek(pos.toLong)
+            assert(in.read() == (ref(pos) & 0xFF))
+          case 3 => // EOF behaviors
+            in.seek(ref.length.toLong)
+            assert(in.read() == -1)
+            assert(in.read(ref.length.toLong, new Array[Byte](8), 0, 8) == -1)
+            intercept[java.io.EOFException] {
+              in.readFully(ref.length.toLong - 4, new Array[Byte](8), 0, 8)
+            }
+            intercept[java.io.EOFException] { in.seek(ref.length.toLong + 1) }
+        }
+        assert(srv.unboundedGets == 0)
+      } finally in.close()
+    } finally srv.stop()
+  }
+
   test("the filesystem refuses writes loudly") {
     withCogServer { (srv, uri, _) =>
       val fs = new org.apache.hadoop.fs.Path(uri)
