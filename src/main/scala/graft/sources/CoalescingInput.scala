@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FSDataInputStream, PositionedReadable, Seekable}
+
+/** Range-coalescing wrapper over positioned reads — GDAL's
+  * MERGE_CONSECUTIVE_RANGES for the Spark reader. The partition's tile
+  * ranges are known at plan time; nearby ranges (gap ≤ `gapBytes`)
+  * merge into fetch spans (≤ `maxSpanBytes`), and the first read
+  * touching a span fetches the WHOLE span in one positioned read.
+  * Against an object store that turns one HTTP request per tile into
+  * one per multi-megabyte span — latency and request-count drop by the
+  * merge factor; dead bytes are bounded by `gapBytes` per merge.
+  *
+  * One span is buffered at a time: partitions read their tiles in
+  * file-layout order (contiguous chunking guarantees it), so spans are
+  * consumed front to back and a single buffer suffices. Reads outside
+  * every span, and sequential read()/seek(), delegate to the
+  * underlying stream untouched — correctness never depends on the
+  * plan's ranges being complete.
+  */
+object CoalescingInput {
+
+  val DefaultGap: Long = 128L * 1024
+  val DefaultMaxSpan: Long = 16L << 20
+
+  /** Merge sorted-or-not (offset, length) ranges into fetch spans. */
+  def planSpans(ranges: Seq[(Long, Long)], gapBytes: Long,
+      maxSpanBytes: Long): Array[(Long, Long)] = {
+    val live = ranges.filter(_._2 > 0).sortBy(_._1)
+    if (live.isEmpty) return Array.empty
+    val out = Array.newBuilder[(Long, Long)]
+    var (start, end) = (live.head._1, live.head._1 + live.head._2)
+    for ((o, n) <- live.tail) {
+      val e = o + n
+      // a range overlapping the current span ALWAYS merges (splitting
+      // would emit overlapping spans and break the disjoint-sorted
+      // invariant the reader's binary search relies on); a range at or
+      // past the end joins when the gap is small and the grown span
+      // stays under the cap. A single range larger than the cap stays
+      // whole as its own span.
+      if (o < end || (o <= end + gapBytes && math.max(e, end) - start <= maxSpanBytes))
+        end = math.max(end, e)
+      else { out += ((start, end - start)); start = o; end = e }
+    }
+    out += ((start, end - start))
+    out.result()
+  }
+
+  /** Wrap `raw` so positioned reads inside the planned ranges are
+    * served from coalesced span fetches. Returns `raw` unchanged when
+    * coalescing cannot help (≤1 span or disabled via gap < 0). */
+  def wrap(raw: FSDataInputStream, ranges: Seq[(Long, Long)],
+      gapBytes: Long = DefaultGap,
+      maxSpanBytes: Long = DefaultMaxSpan): FSDataInputStream = {
+    if (gapBytes < 0) return raw
+    val spans = planSpans(ranges, gapBytes, maxSpanBytes)
+    // fewer spans than ranges means real merging; otherwise the wrap
+    // would only add copies
+    if (spans.length >= ranges.count(_._2 > 0)) raw
+    else new FSDataInputStream(new CoalescingStream(raw, spans))
+  }
+}
+
+private[sources] class CoalescingStream(under: FSDataInputStream,
+    spans: Array[(Long, Long)])
+    extends java.io.InputStream with Seekable with PositionedReadable {
+
+  private var curIdx = -1
+  private var curBuf: Array[Byte] = _
+  /** Spans fetched so far — observable for tests/diagnostics. */
+  var fetchCount: Int = 0
+
+  /** Index of the span containing [pos, pos+len), or -1. */
+  private def spanOf(pos: Long, len: Int): Int = {
+    var lo = 0
+    var hi = spans.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val (s, n) = spans(mid)
+      if (pos < s) hi = mid - 1
+      else if (pos + len > s + n) lo = mid + 1
+      else return mid
+    }
+    -1
+  }
+
+  private def ensure(idx: Int): Unit = if (idx != curIdx) {
+    val (s, n) = spans(idx)
+    val buf = new Array[Byte](n.toInt)
+    under.readFully(s, buf, 0, n.toInt)
+    curBuf = buf
+    curIdx = idx
+    fetchCount += 1
+  }
+
+  override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+      length: Int): Unit = {
+    val idx = spanOf(position, length)
+    if (idx < 0) { under.readFully(position, buffer, offset, length); return }
+    ensure(idx)
+    System.arraycopy(curBuf, (position - spans(idx)._1).toInt, buffer, offset, length)
+  }
+
+  override def readFully(position: Long, buffer: Array[Byte]): Unit =
+    readFully(position, buffer, 0, buffer.length)
+
+  override def read(position: Long, buffer: Array[Byte], offset: Int,
+      length: Int): Int = {
+    val idx = spanOf(position, 1)
+    if (idx < 0) return under.read(position, buffer, offset, length)
+    ensure(idx)
+    val (s, n) = spans(idx)
+    val avail = math.min(length.toLong, s + n - position).toInt
+    System.arraycopy(curBuf, (position - s).toInt, buffer, offset, avail)
+    avail
+  }
+
+  // sequential surface: pure delegation (unused by the tile reader)
+  override def read(): Int = under.read()
+  override def read(b: Array[Byte], off: Int, len: Int): Int = under.read(b, off, len)
+  override def seek(pos: Long): Unit = under.seek(pos)
+  override def getPos: Long = under.getPos
+  override def seekToNewSource(targetPos: Long): Boolean = under.seekToNewSource(targetPos)
+  override def close(): Unit = { curBuf = null; under.close() }
+}

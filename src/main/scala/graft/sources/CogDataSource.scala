@@ -958,12 +958,38 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
             (0 until planes).map(b => pg.offsets(b * nStrips + si)) else Nil,
           pCnt = if (planes > 1)
             (0 until planes).map(b => pg.counts(b * nStrips + si)) else Nil))
-      val groups = Array.fill(slicesPerFile)(Seq.newBuilder[CogTileSpec])
-      var i = 0
-      specs.foreach { s => groups(i % slicesPerFile) += s; i += 1 }
-      groups.take(math.max(if (i == 0) 0 else 1, math.min(slicesPerFile, i)))
+      chunkContiguous(specs.toSeq, slicesPerFile)
         .map(g => CogInputPartition(uri, bcConf, placeholder, required,
-          g.result(), Some(ss)): InputPartition).toSeq
+          g, Some(ss)): InputPartition)
+    }
+
+    // CONTIGUOUS byte-balanced grouping (replaced round-robin in r13):
+    // specs arrive in file-layout order, so giving each partition a
+    // contiguous run of roughly-equal bytes (a) keeps every partition
+    // inside one contiguous byte span of its file — the shape range
+    // coalescing and object-store readahead both want — and (b)
+    // balances work by BYTES, not tile count, so a partition of big
+    // level-0 tiles doesn't straggle behind one of tiny overview
+    // tiles. The 4 KiB floor keeps a run of sparse (0-byte) tiles from
+    // collapsing into one partition: their decode cost is real.
+    def chunkContiguous(specs: Seq[CogTileSpec], n: Int): Seq[Seq[CogTileSpec]] = {
+      if (specs.isEmpty) return Seq.empty
+      def sizeOf(s: CogTileSpec): Long = 4096L + s.cnt + s.mCnt + s.pCnt.sum
+      val slices = math.max(1, math.min(n, specs.length))
+      val target = math.max(1L, (specs.map(sizeOf).sum + slices - 1) / slices)
+      val out = Seq.newBuilder[Seq[CogTileSpec]]
+      var cur = Seq.newBuilder[CogTileSpec]
+      var acc = 0L
+      var made = 0
+      specs.foreach { s =>
+        if (acc >= target && made < slices - 1) {
+          out += cur.result(); cur = Seq.newBuilder; acc = 0L; made += 1
+        }
+        cur += s
+        acc += sizeOf(s)
+      }
+      out += cur.result()
+      out.result()
     }
 
     def planTiled(uri: String, pages: Seq[BigTiff.PageMeta]): Seq[InputPartition] = {
@@ -1015,12 +1041,9 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
               pCnt = if (planes > 1)
                 (0 until planes).map(b => pg.counts(b * perPlane + ti)) else Nil))
         }
-      val groups = Array.fill(slicesPerFile)(Seq.newBuilder[CogTileSpec])
-      var i = 0
-      specs.foreach { s => groups(i % slicesPerFile) += s; i += 1 }
-      groups.take(math.max(if (i == 0) 0 else 1, math.min(slicesPerFile, i)))
-        .map(g => CogInputPartition(uri, bcConf, profile, required, g.result())
-          : InputPartition).toSeq
+      chunkContiguous(specs.toSeq, slicesPerFile)
+        .map(g => CogInputPartition(uri, bcConf, profile, required, g)
+          : InputPartition)
     }
 
     metas.flatMap { case (uri, pages) =>
@@ -1181,7 +1204,19 @@ class CogPartitionReader(part: CogInputPartition)
   private var inVar: org.apache.hadoop.fs.FSDataInputStream = _
   private def in = {
     if (!opened) {
-      inVar = fsPath.getFileSystem(hconf).open(fsPath)
+      val raw = fsPath.getFileSystem(hconf).open(fsPath)
+      // coalesce this partition's planned ranges (data + mask + planar
+      // planes) into merged fetch spans: one positioned read per span
+      // instead of one per tile — the request-count lever on object
+      // stores. `range.gap` tunes merging (-1 disables),
+      // `range.maxspan` caps the buffer.
+      val ranges = part.tiles.flatMap(s =>
+        Seq((s.off, s.cnt), (s.mOff, s.mCnt)) ++ s.pOff.zip(s.pCnt))
+      inVar = CoalescingInput.wrap(raw, ranges,
+        part.conf.value.get("range.gap").map(_.toLong)
+          .getOrElse(CoalescingInput.DefaultGap),
+        part.conf.value.get("range.maxspan").map(_.toLong)
+          .getOrElse(CoalescingInput.DefaultMaxSpan))
       opened = true
     }
     inVar

@@ -87,6 +87,38 @@ class HttpCogReadSpec extends SparkSpec {
     }
   }
 
+  test("range coalescing: full DSv2 read issues one fetch per span, not per tile") {
+    withCogServer { (srv, uri, bytes) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+      try {
+        val nTiles = (0 to prof.maxLevel).map(prof.tilesPerLevel).sum
+        srv.resetReadAccounting()
+        val n = spark.read.format("cog").load(uri)
+          .selectExpr("ty", "tx", "pixels").count()
+        assert(n > 0)
+        // contiguous partitions + coalescing: tile-body requests merge
+        // into a handful of spans; without coalescing this would be one
+        // request per non-sparse tile (~nTiles). Budget: header probe +
+        // a few spans per partition (local[4] in tests)
+        val requests = srv.rangedGetSizes.length
+        assert(requests < nTiles / 2,
+          s"$requests range requests for $nTiles tiles — coalescing inactive?")
+        assert(srv.unboundedGets == 0)
+
+        // and the merged read decodes identically to coalescing OFF
+        srv.resetReadAccounting()
+        val off = spark.read.format("cog").option("range.gap", "-1").load(uri)
+          .selectExpr("level", "ty", "tx", "pixels").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getSeq[Double](3)).toMap
+        val on = spark.read.format("cog").load(uri)
+          .selectExpr("level", "ty", "tx", "pixels").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getSeq[Double](3)).toMap
+        assert(on == off, "coalesced read changed decoded pixels")
+      } finally hc.unset("fs.http.impl")
+    }
+  }
+
   test("multi-path load: a mosaic over explicit http URIs (no listing needed)") {
     val srv = new MockS3Server
     try {

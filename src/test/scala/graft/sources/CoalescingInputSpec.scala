@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** planSpans laws: coverage (every input range lies whole inside one
+  * span), order, bounded dead bytes, span cap, and the degenerate
+  * shapes (empty, overlap, single oversized range). */
+class CoalescingInputSpec extends AnyFunSuite {
+
+  def covers(spans: Seq[(Long, Long)], r: (Long, Long)): Boolean =
+    spans.exists { case (s, n) => r._1 >= s && r._1 + r._2 <= s + n }
+
+  test("adjacent ranges merge into one span; each input stays whole") {
+    val ranges = Seq.tabulate(64)(i => (1000L + i * 500L, 500L)) // back-to-back
+    val spans = CoalescingInput.planSpans(ranges, 0L, 1L << 20)
+    assert(spans.length == 1 && spans.head == ((1000L, 32000L)))
+    ranges.foreach(r => assert(covers(spans.toSeq, r)))
+  }
+
+  test("gaps beyond the threshold split spans; dead bytes stay bounded") {
+    val ranges = Seq((0L, 100L), (150L, 100L), (10_000L, 100L)) // 50 B gap, then big
+    val spans = CoalescingInput.planSpans(ranges, 64L, 1L << 20).toSeq
+    assert(spans == Seq((0L, 250L), (10_000L, 100L)))
+    // dead bytes in span 1 = the 50 B gap only
+    assert(spans.head._2 - 200L == 50L)
+  }
+
+  test("the span cap splits long runs; an oversized single range stays whole") {
+    val ranges = Seq.tabulate(100)(i => (i * 1000L, 1000L))
+    val spans = CoalescingInput.planSpans(ranges, 0L, 10_000L).toSeq
+    assert(spans.forall(_._2 <= 10_000L))
+    ranges.foreach(r => assert(covers(spans, r)))
+    val big = CoalescingInput.planSpans(Seq((5L, 50_000L)), 0L, 10_000L).toSeq
+    assert(big == Seq((5L, 50_000L)), "a single range larger than the cap stays whole")
+  }
+
+  test("unsorted and overlapping inputs normalize; zero-length ranges drop") {
+    val ranges = Seq((500L, 100L), (0L, 200L), (100L, 200L), (700L, 0L))
+    val spans = CoalescingInput.planSpans(ranges, 0L, 1L << 20).toSeq
+    assert(spans == Seq((0L, 300L), (500L, 100L)))
+    assert(CoalescingInput.planSpans(Seq.empty, 0L, 1L).isEmpty)
+    assert(CoalescingInput.planSpans(Seq((9L, 0L)), 0L, 1L).isEmpty)
+  }
+
+  test("randomized law: every range served whole, spans sorted and disjoint") {
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 50) {
+      val ranges = Seq.fill(rnd.nextInt(200))(
+        (rnd.nextInt(1 << 20).toLong, (1 + rnd.nextInt(5000)).toLong))
+      val gap = rnd.nextInt(10_000).toLong
+      val cap = (10_000 + rnd.nextInt(1 << 20)).toLong
+      val spans = CoalescingInput.planSpans(ranges, gap, cap).toSeq
+      ranges.filter(_._2 > 0).foreach(r =>
+        assert(covers(spans, r), s"trial $trial: $r not covered by $spans"))
+      spans.sliding(2).foreach {
+        case Seq(a, b) => assert(a._1 + a._2 < b._1, s"trial $trial overlap/order")
+        case _ => ()
+      }
+    }
+  }
+}
