@@ -27,11 +27,22 @@ object CogReader {
   def readMeta(uri: String, confEntries: Map[String, String] = Map.empty): Seq[BigTiff.PageMeta] = {
     val fs = fileSystem(uri, confEntries)
     val len = fs.getFileStatus(new Path(uri)).getLen
-    val probe = math.min(len, 4L << 20).toInt
-    try BigTiff.readPages(readRange(uri, 0L, probe, confEntries))
+    // growing probe ladder (GDAL reads 16 KiB first and grows the same
+    // way): typical COG headers are KBs, so the 64 KiB rung answers
+    // almost every file — at a 10k-file mosaic that is ~640 MB of
+    // planning transfer instead of the 40 GB a flat 4 MiB probe costs.
+    // Headers with big external offset arrays climb to 4 MiB, then the
+    // whole file (bounded: a >64 MiB "header" is rejected as before).
+    def attempt(probe: Long): Seq[BigTiff.PageMeta] =
+      BigTiff.readPages(readRange(uri, 0L, math.min(len, probe).toInt, confEntries))
+    try attempt(64L << 10)
     catch {
-      case _: BigTiff.HeaderProbeTooSmall if len > probe && len <= (64L << 20) =>
-        BigTiff.readPages(readRange(uri, 0L, len.toInt, confEntries))
+      case _: BigTiff.HeaderProbeTooSmall if len > (64L << 10) =>
+        try attempt(4L << 20)
+        catch {
+          case _: BigTiff.HeaderProbeTooSmall if len > (4L << 20) && len <= (64L << 20) =>
+            attempt(len)
+        }
     }
   }
 

@@ -37,10 +37,35 @@ class HttpCogReadSpec extends SparkSpec {
       assert(pages.map(p => (p.width, p.height, p.isMask)) ==
         local.map(p => (p.width, p.height, p.isMask)))
       assert(srv.unboundedGets == 0, "header probe issued an unbounded GET")
+      // this fixture's header fits the FIRST probe rung: the whole meta
+      // read must transfer <= 64 KiB, not the old flat 4 MiB
       assert(srv.rangedGetSizes.nonEmpty &&
-        srv.rangedGetSizes.max <= (4L << 20),
-        s"probe exceeded the 4 MiB header budget: ${srv.rangedGetSizes.max}")
+        srv.rangedGetSizes.max <= (64L << 10),
+        s"probe exceeded the 64 KiB first rung: ${srv.rangedGetSizes.max}")
     }
+  }
+
+  test("probe ladder climbs when the header outgrows the 64 KiB rung") {
+    val srv = new MockS3Server
+    try {
+      // 1024x1024 bs16 = 4096 level-0 tiles (+overviews): offset/count
+      // arrays alone outgrow 64 KiB, so readMeta must climb to the
+      // 4 MiB rung via HeaderProbeTooSmall and still parse
+      val big = RasterProfile(1024, 1024, blockSize = 16, nodata = ND,
+        minOverviewSize = 256)
+      val bytes = CogWriter.writeBytes(
+        SyntheticRaster.generate(spark, big, seed = 41L), big,
+        java.nio.file.Files.createTempDirectory("graft-http-big").toString)._1
+      srv.putObject("rasters", "big.tif", bytes)
+      srv.resetReadAccounting()
+      val pages = CogReader.readMeta(s"${srv.endpoint}/rasters/big.tif", fsConf)
+      assert(pages.nonEmpty && pages.head.width == 1024)
+      val sizes = srv.rangedGetSizes
+      assert(sizes.contains(64L << 10), s"first rung not probed: $sizes")
+      assert(sizes.exists(_ > (64L << 10)), s"ladder never climbed: $sizes")
+      assert(sizes.max <= (4L << 20), s"climbed past the 4 MiB rung: $sizes")
+      assert(srv.unboundedGets == 0)
+    } finally srv.stop()
   }
 
   test("CogReader.read over http decodes pixel-exact at every level") {
