@@ -625,9 +625,19 @@ object CogWriteSupport {
   * them row-level. */
 class CogScanBuilder(paths: Seq[String], conf: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = CogTable.schema
+
+  // one output row == one planned tile/strip spec, and tile-key
+  // predicates are consumed EXACTLY at planning, so truncating the
+  // post-filter spec stream yields exactly min(limit, available) rows:
+  // `load(mosaic).limit(5)` stops planning after 5 tiles instead of
+  // planning a 10k-file mosaic. Spark only offers the limit when every
+  // operator below it was fully pushed (residual geo filters block it).
+  private var limit: Option[Int] = None
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -783,7 +793,7 @@ class CogScanBuilder(paths: Seq[String], conf: Map[String, String])
     case Some((schema, gcs, funcs)) =>
       new CogAggScan(paths, conf, bounds, sets, dbounds, schema, gcs, funcs)
     case None =>
-      new CogScan(paths, conf, bounds, sets, dbounds, required)
+      new CogScan(paths, conf, bounds, sets, dbounds, required, limit)
   }
 }
 
@@ -814,7 +824,8 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
     bounds: Map[String, (Option[Int], Option[Int])],
     sets: Map[String, Set[Int]],
     dbounds: Map[String, (Option[Double], Option[Double])],
-    required: StructType) extends Scan with Batch {
+    required: StructType,
+    limit: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -825,7 +836,8 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
       dbounds.map { case (c, (lo, hi)) =>
         s"$c in [${lo.getOrElse("-inf")},${hi.getOrElse("inf")}]" }
     s"cog ${paths.mkString(",")}${if (b.nonEmpty) s" pruned(${b.mkString(", ")})" else ""}" +
-      s" columns(${required.fieldNames.mkString(",")})"
+      s" columns(${required.fieldNames.mkString(",")})" +
+      limit.map(l => s" limit=$l").getOrElse("")
   }
 
   private def inBounds(col: String, v: Int): Boolean = {
@@ -921,6 +933,10 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
     // strip-organized file: surface strips as (level 0, ty=stripIdx,
     // tx=0) rows so ANY GeoTIFF — COG or plain — reads through the one
     // source; prune on ty and world bounds like tiles
+    // pushed-limit budget across files: planners truncate their spec
+    // streams and later files stop planning entirely once satisfied
+    var remaining = limit.getOrElse(Int.MaxValue)
+
     def planStriped(uri: String, pg: BigTiff.PageMeta): Seq[InputPartition] = {
       val codec = pg.compression match {
         case 1 => "none"
@@ -958,7 +974,9 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
             (0 until planes).map(b => pg.offsets(b * nStrips + si)) else Nil,
           pCnt = if (planes > 1)
             (0 until planes).map(b => pg.counts(b * nStrips + si)) else Nil))
-      chunkContiguous(specs.toSeq, slicesPerFile)
+      val taken = specs.take(remaining).toSeq
+      remaining -= taken.length
+      chunkContiguous(taken, slicesPerFile)
         .map(g => CogInputPartition(uri, bcConf, placeholder, required,
           g, Some(ss)): InputPartition)
     }
@@ -1041,13 +1059,16 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
               pCnt = if (planes > 1)
                 (0 until planes).map(b => pg.counts(b * perPlane + ti)) else Nil))
         }
-      chunkContiguous(specs.toSeq, slicesPerFile)
+      val taken = specs.take(remaining).toSeq
+      remaining -= taken.length
+      chunkContiguous(taken, slicesPerFile)
         .map(g => CogInputPartition(uri, bcConf, profile, required, g)
           : InputPartition)
     }
 
     metas.flatMap { case (uri, pages) =>
-      if (pages.headOption.exists(_.isStriped)) {
+      if (remaining <= 0) Seq.empty // pushed limit satisfied: later files never plan
+      else if (pages.headOption.exists(_.isStriped)) {
         // a multi-image striped file (extra IFDs) would silently drop
         // every page after the first — fail loudly instead, matching
         // the reject-unsupported-layouts rule used for tiles

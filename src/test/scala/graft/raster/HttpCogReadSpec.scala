@@ -182,6 +182,32 @@ class HttpCogReadSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("limit pushdown: limit(2) plans 2 tiles, not the mosaic") {
+    withCogServer { (srv, uri, bytes) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+      try {
+        val df = spark.read.format("cog").load(uri)
+          .selectExpr("level", "ty", "tx", "pixels").limit(2)
+        // the pushed limit is visible in the scan description...
+        assert(df.queryExecution.executedPlan.toString.contains("limit=2"),
+          df.queryExecution.executedPlan.toString.take(2000))
+        assert(df.collect().length == 2)
+        // ...and the IO proves it: header probe + at most a couple of
+        // tile spans, nowhere near a full-file read
+        srv.resetReadAccounting()
+        assert(df.collect().length == 2)
+        assert(srv.rangedGetSizes.length <= 6,
+          s"limit(2) issued ${srv.rangedGetSizes.length} requests")
+        // tile-key filters are consumed exactly at planning, so a
+        // filtered limit stays exact too
+        val lv1 = spark.read.format("cog").load(uri)
+          .where("level = 1").selectExpr("ty", "tx").limit(3)
+        assert(lv1.collect().length == 3)
+      } finally hc.unset("fs.http.impl")
+    }
+  }
+
   test("missing object surfaces as FileNotFound, not a decode error") {
     withCogServer { (srv, uri, _) =>
       intercept[java.io.FileNotFoundException] {
