@@ -83,8 +83,10 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     * expected element as the protocol error it is. */
   private def xmlText(body: String, element: String): Option[String] =
     try {
-      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-        .newDocumentBuilder()
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      // server responses are untrusted input: no doctypes, no entities
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      val doc = f.newDocumentBuilder()
         .parse(new java.io.ByteArrayInputStream(body.getBytes("UTF-8")))
       val nodes = doc.getElementsByTagName(element)
       if (nodes.getLength == 0) None else Some(nodes.item(0).getTextContent)

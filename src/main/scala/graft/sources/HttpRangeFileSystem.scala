@@ -147,6 +147,7 @@ private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClien
   }
 
   override def read(b: Array[Byte], off: Int, length: Int): Int = {
+    if (length == 0) return 0 // InputStream contract: 0-length reads 0
     if (pos >= len) return -1
     val got = rangedGet(pos, length)
     System.arraycopy(got, 0, b, off, got.length)
@@ -156,6 +157,7 @@ private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClien
 
   override def read(position: Long, buffer: Array[Byte], offset: Int,
       length: Int): Int = {
+    if (length == 0) return 0
     if (position >= len) return -1
     val got = rangedGet(position, length)
     System.arraycopy(got, 0, buffer, offset, got.length)

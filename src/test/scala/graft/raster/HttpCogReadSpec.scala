@@ -250,10 +250,14 @@ class HttpCogReadSpec extends SparkSpec {
             val pos = rnd.nextInt(ref.length)
             in.seek(pos.toLong)
             assert(in.read() == (ref(pos) & 0xFF))
-          case 3 => // EOF behaviors
+          case 3 => // EOF + zero-length contracts
             in.seek(ref.length.toLong)
             assert(in.read() == -1)
             assert(in.read(ref.length.toLong, new Array[Byte](8), 0, 8) == -1)
+            in.seek(0L)
+            assert(in.read(new Array[Byte](8), 0, 0) == 0,
+              "zero-length read must return 0, not EOF")
+            assert(in.read(0L, new Array[Byte](8), 0, 0) == 0)
             intercept[java.io.EOFException] {
               in.readFully(ref.length.toLong - 4, new Array[Byte](8), 0, 8)
             }
