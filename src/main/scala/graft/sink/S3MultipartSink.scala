@@ -15,10 +15,12 @@ import java.time.Duration
   *   complete   POST   /{bucket}/{key}?uploadId=…  (XML part list)
   *   abort      DELETE /{bucket}/{key}?uploadId=…
   *
-  * Aimed at unauthenticated S3-compatible endpoints (localhost
-  * gateways, CI mocks, sigv4-exempt proxies); real AWS additionally
-  * needs request signing, which stays out of scope in this sandbox
-  * (SURVEY §2.1 R31). Semantics matched to S3 proper:
+  * With `credentials = Some(SigV4.Credentials(...))` every request is
+  * SigV4-signed (the scheme real AWS requires; [[SigV4]] is pinned
+  * against AWS's published test vectors, and [[MockS3Server]] verifies
+  * our signatures server-side). Without credentials the sink talks to
+  * sigv4-exempt endpoints (localhost gateways, CI mocks, anonymous
+  * proxies) unchanged. Semantics matched to S3 proper:
   *
   *  - uploadPart is idempotent: re-PUTting a partNumber replaces it
   *    (Spark task retries/speculation lean on this, R33);
@@ -34,7 +36,9 @@ import java.time.Duration
   *    it would sign off a torn object.
   */
 class S3MultipartSink(endpoint: String, bucket: String, key: String,
-    maxAttempts: Int = 4, backoffMs: Long = 50L) extends MultipartSink {
+    maxAttempts: Int = 4, backoffMs: Long = 50L,
+    credentials: Option[SigV4.Credentials] = None,
+    region: String = "us-east-1") extends MultipartSink {
 
   require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
 
@@ -45,8 +49,42 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
   @transient private lazy val http: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
 
-  private def objectUri(query: String): URI =
-    URI.create(s"$endpoint/$bucket/$key?$query")
+  private def objectPath: String = s"/$bucket/$key"
+
+  /** Build the request; when credentials are present, SigV4-sign it
+    * (headers host + x-amz-date + x-amz-content-sha256, plus
+    * x-amz-security-token for STS creds). The URL's path/query use the
+    * same encoder the signature is computed over, so server-side
+    * verification sees byte-identical canonical forms. The JDK client
+    * emits the Host header itself from the URI authority — which is
+    * exactly the value signed here. */
+  private def buildRequest(method: String, query: Seq[(String, String)],
+      body: Array[Byte], contentType: Option[String] = None): HttpRequest = {
+    val qs = SigV4.canonicalQuery(query)
+    val uri = URI.create(
+      s"$endpoint${SigV4.uriEncode(objectPath, encodeSlash = false)}" +
+        (if (qs.isEmpty) "" else s"?$qs"))
+    val b = HttpRequest.newBuilder(uri).method(method,
+      if (body == null) HttpRequest.BodyPublishers.noBody()
+      else HttpRequest.BodyPublishers.ofByteArray(body))
+    contentType.foreach(ct => b.header("Content-Type", ct))
+    credentials.foreach { creds =>
+      val ts = SigV4.amzNow()
+      val payloadHash =
+        if (body == null) SigV4.EmptyPayloadHash else SigV4.sha256Hex(body)
+      val signedHeaders = Seq(
+        "host" -> URI.create(endpoint).getAuthority,
+        "x-amz-content-sha256" -> payloadHash,
+        "x-amz-date" -> ts) ++
+        creds.sessionToken.map("x-amz-security-token" -> _).toSeq
+      b.header("x-amz-date", ts)
+      b.header("x-amz-content-sha256", payloadHash)
+      creds.sessionToken.foreach(t => b.header("x-amz-security-token", t))
+      b.header("Authorization", SigV4.authorizationHeader(creds, region, "s3",
+        method, objectPath, query, signedHeaders, payloadHash, ts))
+    }
+    b.build()
+  }
 
   /** Send with bounded retry: 5xx and IOExceptions back off and retry
     * (S3 throttling/transient contract), 4xx raise immediately. */
@@ -93,8 +131,8 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     } catch { case _: org.xml.sax.SAXException => None }
 
   override def start(): Unit = {
-    val r = send(HttpRequest.newBuilder(objectUri("uploads"))
-      .POST(HttpRequest.BodyPublishers.noBody()).build(), "initiate multipart upload")
+    val r = send(buildRequest("POST", Seq("uploads" -> ""), null),
+      "initiate multipart upload")
     uploadId = xmlText(r.body(), "UploadId").getOrElse(
       throw new java.io.IOException(
         s"initiate response carried no UploadId: ${r.body().take(500)}"))
@@ -102,9 +140,8 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
 
   override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
     require(uploadId != null, "uploadPart before start()")
-    val r = send(HttpRequest.newBuilder(
-        objectUri(s"partNumber=$partNumber&uploadId=$uploadId"))
-      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+    val r = send(buildRequest("PUT",
+      Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId), bytes),
       s"upload part $partNumber")
     val etag = r.headers().firstValue("ETag").orElse("")
     require(etag.nonEmpty, s"part $partNumber response carried no ETag")
@@ -116,9 +153,8 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     val xml = receipts.map(p =>
         s"<Part><PartNumber>${p.partNumber}</PartNumber><ETag>\"${p.etag}\"</ETag></Part>")
       .mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
-    val r = send(HttpRequest.newBuilder(objectUri(s"uploadId=$uploadId"))
-      .header("Content-Type", "application/xml")
-      .POST(HttpRequest.BodyPublishers.ofString(xml)).build(),
+    val r = send(buildRequest("POST", Seq("uploadId" -> uploadId),
+      xml.getBytes("UTF-8"), Some("application/xml")),
       "complete multipart upload")
     // S3 can answer CompleteMultipartUpload with 200 + an <Error> body;
     // anything other than a well-formed CompleteMultipartUploadResult
@@ -131,8 +167,8 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
 
   override def abort(): Unit = {
     require(uploadId != null, "abort before start()")
-    send(HttpRequest.newBuilder(objectUri(s"uploadId=$uploadId"))
-      .DELETE().build(), "abort multipart upload")
+    send(buildRequest("DELETE", Seq("uploadId" -> uploadId), null),
+      "abort multipart upload")
     uploadId = null
   }
 }

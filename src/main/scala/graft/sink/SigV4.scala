@@ -1,0 +1,192 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** AWS Signature Version 4 — the request-signing scheme S3 requires —
+  * implemented from the public specification as pure functions over
+  * explicit inputs (method, path, query, headers, payload hash,
+  * timestamp), so every step is testable against the published AWS
+  * test vectors without a clock or network.
+  *
+  * Reference surface covered: `presigned_url(store, expiration=8h)`
+  * (ccog/aws_tools.py:46-56, SURVEY §2.1 R31) maps to [[presignGet]];
+  * header signing makes [[S3MultipartSink]] (R32-R35) speak to real,
+  * authenticated S3-compatible endpoints rather than only sigv4-exempt
+  * ones.
+  *
+  * Algorithm (public AWS docs, "Signature Version 4 signing process"):
+  *
+  *   CanonicalRequest = Method \n CanonicalURI \n CanonicalQuery \n
+  *                      CanonicalHeaders \n SignedHeaders \n PayloadHash
+  *   StringToSign     = "AWS4-HMAC-SHA256" \n Timestamp \n Scope \n
+  *                      HexSHA256(CanonicalRequest)
+  *   SigningKey       = HMAC(HMAC(HMAC(HMAC("AWS4"+secret, date),
+  *                      region), service), "aws4_request")
+  *   Signature        = HexHMAC(SigningKey, StringToSign)
+  *
+  * S3 dialect choices baked in: the canonical URI is single-encoded
+  * and NOT path-normalized (S3 keys may contain `.`/`..` segments and
+  * pre-encoded octets that must survive verbatim), and the payload
+  * hash may be the literal "UNSIGNED-PAYLOAD" (presigned URLs always
+  * use it).
+  */
+object SigV4 {
+
+  /** Static credentials. `sessionToken` carries STS temporary
+    * credentials through the `X-Amz-Security-Token` header/param. */
+  final case class Credentials(accessKey: String, secretKey: String,
+      sessionToken: Option[String] = None)
+
+  val Algorithm = "AWS4-HMAC-SHA256"
+  val UnsignedPayload = "UNSIGNED-PAYLOAD"
+  /** Hex SHA-256 of the empty payload — the hash of bodyless requests. */
+  val EmptyPayloadHash: String =
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+  def sha256Hex(bytes: Array[Byte]): String =
+    hex(MessageDigest.getInstance("SHA-256").digest(bytes))
+
+  def hmacSha256(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  private def hex(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2)
+    for (x <- b) sb.append(f"${x & 0xff}%02x")
+    sb.toString
+  }
+
+  /** RFC 3986 percent-encoding with the AWS unreserved set
+    * (A-Za-z0-9 - _ . ~); `encodeSlash=false` for URI paths, where
+    * `/` separates segments and stays literal. Non-ASCII encodes as
+    * UTF-8 octets. */
+  def uriEncode(s: String, encodeSlash: Boolean): String = {
+    val sb = new StringBuilder
+    for (b <- s.getBytes(UTF_8)) {
+      val c = (b & 0xff).toChar
+      val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~'
+      if (unreserved || (c == '/' && !encodeSlash)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Encoded query params sorted by encoded name then encoded value;
+    * a valueless param keeps a trailing `=` (S3: `?lifecycle` →
+    * `lifecycle=`). */
+  def canonicalQuery(params: Seq[(String, String)]): String =
+    params.map { case (k, v) => (uriEncode(k, encodeSlash = true),
+        uriEncode(v, encodeSlash = true)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  /** Lowercased, sorted headers with trimmed values and runs of
+    * interior whitespace collapsed, per the spec's canonicalization. */
+  private def canonicalHeaders(headers: Seq[(String, String)]): (String, String) = {
+    val canon = headers.map { case (k, v) =>
+      (k.toLowerCase(java.util.Locale.ROOT),
+        v.trim.replaceAll("\\s+", " "))
+    }.sortBy(_._1)
+    (canon.map { case (k, v) => s"$k:$v\n" }.mkString,
+      canon.map(_._1).mkString(";"))
+  }
+
+  /** The canonical request and its signed-headers list. `path` is the
+    * raw (decoded) absolute path; encoding happens here. */
+  def canonicalRequest(method: String, path: String,
+      query: Seq[(String, String)], headers: Seq[(String, String)],
+      payloadHash: String): (String, String) = {
+    val (ch, signed) = canonicalHeaders(headers)
+    val cr = s"$method\n${uriEncode(if (path.isEmpty) "/" else path, encodeSlash = false)}\n" +
+      s"${canonicalQuery(query)}\n$ch\n$signed\n$payloadHash"
+    (cr, signed)
+  }
+
+  /** `date` is `yyyyMMdd` (the first 8 chars of the amz timestamp). */
+  def signingKey(secret: String, date: String, region: String,
+      service: String): Array[Byte] = {
+    val kDate = hmacSha256(s"AWS4$secret".getBytes(UTF_8), date)
+    val kRegion = hmacSha256(kDate, region)
+    val kService = hmacSha256(kRegion, service)
+    hmacSha256(kService, "aws4_request")
+  }
+
+  def scope(date: String, region: String, service: String): String =
+    s"$date/$region/$service/aws4_request"
+
+  def stringToSign(timestamp: String, credScope: String,
+      canonicalRequestHash: String): String =
+    s"$Algorithm\n$timestamp\n$credScope\n$canonicalRequestHash"
+
+  /** Hex signature over an already-built canonical request. */
+  def signature(creds: Credentials, timestamp: String, region: String,
+      service: String, canonicalReq: String): String = {
+    val date = timestamp.take(8)
+    val sts = stringToSign(timestamp, scope(date, region, service),
+      sha256Hex(canonicalReq.getBytes(UTF_8)))
+    hex(hmacSha256(signingKey(creds.secretKey, date, region, service), sts))
+  }
+
+  /** The `Authorization` header value for a header-signed request.
+    * `headers` must already include everything being signed (at
+    * minimum `host` and `x-amz-date`; S3 also requires
+    * `x-amz-content-sha256` equal to `payloadHash`). */
+  def authorizationHeader(creds: Credentials, region: String, service: String,
+      method: String, path: String, query: Seq[(String, String)],
+      headers: Seq[(String, String)], payloadHash: String,
+      timestamp: String): String = {
+    val (cr, signed) = canonicalRequest(method, path, query, headers, payloadHash)
+    val sig = signature(creds, timestamp, region, service, cr)
+    s"$Algorithm Credential=${creds.accessKey}/${scope(timestamp.take(8), region, service)}, " +
+      s"SignedHeaders=$signed, Signature=$sig"
+  }
+
+  /** Presigned URL (query-parameter auth): carries the whole signature
+    * in the URL so the holder needs no credentials — the reference's
+    * `presigned_url` use case (share a result file for `expires`
+    * seconds). Only the `host` header is signed; the payload is
+    * UNSIGNED-PAYLOAD, both per the S3 presigned contract.
+    *
+    * `endpoint` is scheme://host[:port]; `path` the raw object path
+    * (`/bucket/key` for path-style addressing); `timestamp` the amz
+    * time (`yyyyMMdd'T'HHmmss'Z'`) the URL is minted at. */
+  def presignUrl(creds: Credentials, region: String, service: String,
+      method: String, endpoint: String, path: String, expires: Long,
+      timestamp: String, extraQuery: Seq[(String, String)] = Nil): String = {
+    require(expires >= 1 && expires <= 604800,
+      s"X-Amz-Expires must be in [1s, 7d]: $expires") // S3's documented bounds
+    val uri = java.net.URI.create(endpoint)
+    val hostHeader = uri.getAuthority
+    val auth = Seq(
+      "X-Amz-Algorithm" -> Algorithm,
+      "X-Amz-Credential" -> s"${creds.accessKey}/${scope(timestamp.take(8), region, service)}",
+      "X-Amz-Date" -> timestamp,
+      "X-Amz-Expires" -> expires.toString,
+      "X-Amz-SignedHeaders" -> "host") ++
+      creds.sessionToken.map("X-Amz-Security-Token" -> _).toSeq
+    val query = extraQuery ++ auth
+    val (cr, _) = canonicalRequest(method, path, query,
+      Seq("host" -> hostHeader), UnsignedPayload)
+    val sig = signature(creds, timestamp, region, service, cr)
+    s"$endpoint${uriEncode(path, encodeSlash = false)}?${canonicalQuery(query)}&X-Amz-Signature=$sig"
+  }
+
+  /** Reference-shaped helper: presigned GET for `bucket/key`,
+    * default 8-hour expiry (ccog/aws_tools.py:46 `expiration=8*60*60`). */
+  def presignGet(creds: Credentials, region: String, endpoint: String,
+      bucket: String, key: String, expires: Long = 8L * 60 * 60,
+      timestamp: String = amzNow()): String =
+    presignUrl(creds, region, "s3", "GET", endpoint, s"/$bucket/$key",
+      expires, timestamp)
+
+  /** Current UTC time in amz format. */
+  def amzNow(): String = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+    .format(java.time.Instant.now())
+}

@@ -45,6 +45,22 @@ class MockS3Server {
 
   def failNextRequests(n: Int): Unit = fail500.set(n)
   def errorBodyOnNextComplete(): Unit = errorBodyCompletes.set(1)
+
+  /** Authenticated mode: every request must carry a valid SigV4
+    * signature for `creds` (header auth, or query auth for presigned
+    * URLs) or it is refused with 403, like real S3. The mock
+    * recomputes the signature from the request it actually received —
+    * method, path, query, signed headers, and the body it read — so a
+    * client that signs the wrong payload, forgets a header, or signs a
+    * different canonical form than it sends is caught even though both
+    * sides share the [[SigV4]] primitives (whose correctness is pinned
+    * independently by SigV4Spec's published AWS vectors). */
+  def requireSigV4(creds: SigV4.Credentials, region: String = "us-east-1"): Unit =
+    sigCheck = Some((creds, region))
+  def verifiedRequestCount: Int = sigVerified.get()
+
+  @volatile private var sigCheck: Option[(SigV4.Credentials, String)] = None
+  private val sigVerified = new AtomicInteger(0)
   def storedObject(bucket: String, key: String): Option[Array[Byte]] =
     objects.get(s"$bucket/$key")
   def putObject(bucket: String, key: String, bytes: Array[Byte]): Unit =
@@ -99,9 +115,74 @@ class MockS3Server {
     out.toByteArray
   }
 
+  /** Decoded (name, value) pairs in request order — the form the
+    * canonical query is recomputed from. */
+  private def decodedQueryPairs(raw: String): Seq[(String, String)] =
+    if (raw == null || raw.isEmpty) Nil
+    else raw.split("&").toSeq.map { kv =>
+      val Array(k, v) = kv.split("=", 2).padTo(2, "")
+      (java.net.URLDecoder.decode(k, "UTF-8"),
+        java.net.URLDecoder.decode(v, "UTF-8"))
+    }
+
+  private val amzFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+
+  /** None = verified; Some(code, message) = refusal. */
+  private def checkSignature(ex: HttpExchange, body: Array[Byte]): Option[(String, String)] = {
+    val (creds, region) = sigCheck.get
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    val pairs = decodedQueryPairs(ex.getRequestURI.getRawQuery)
+    val qm = pairs.toMap
+    def first(h: String): Option[String] = Option(ex.getRequestHeaders.getFirst(h))
+    if (qm.contains("X-Amz-Signature")) { // presigned / query auth
+      for (p <- Seq("X-Amz-Algorithm", "X-Amz-Credential", "X-Amz-Date",
+          "X-Amz-Expires", "X-Amz-SignedHeaders"))
+        if (!qm.contains(p)) return Some(("AuthorizationQueryParametersError", s"missing $p"))
+      if (qm("X-Amz-Algorithm") != SigV4.Algorithm)
+        return Some(("AuthorizationQueryParametersError", "unsupported algorithm"))
+      val ts = qm("X-Amz-Date")
+      val expScope = s"${creds.accessKey}/${SigV4.scope(ts.take(8), region, "s3")}"
+      if (qm("X-Amz-Credential") != expScope)
+        return Some(("InvalidAccessKeyId", s"credential ${qm("X-Amz-Credential")}"))
+      val minted = java.time.Instant.from(amzFmt.parse(ts))
+      if (java.time.Instant.now().isAfter(minted.plusSeconds(qm("X-Amz-Expires").toLong)))
+        return Some(("AccessDenied", "Request has expired"))
+      val unsigned = pairs.filterNot(_._1 == "X-Amz-Signature")
+      val (cr, _) = SigV4.canonicalRequest(method, path, unsigned,
+        Seq("host" -> first("Host").getOrElse("")), SigV4.UnsignedPayload)
+      if (SigV4.signature(creds, ts, region, "s3", cr) != qm("X-Amz-Signature"))
+        Some(("SignatureDoesNotMatch", "presigned signature mismatch"))
+      else { sigVerified.incrementAndGet(); None }
+    } else first("Authorization") match { // header auth
+      case None => Some(("AccessDenied", "request is neither signed nor presigned"))
+      case Some(auth) =>
+        val sh = "SignedHeaders=([^,]+),".r.findFirstMatchIn(auth)
+          .map(_.group(1)).getOrElse(return Some(("AccessDenied", "malformed Authorization")))
+        val ts = first("x-amz-date").getOrElse(
+          return Some(("AccessDenied", "missing x-amz-date")))
+        val contentSha = first("x-amz-content-sha256").getOrElse(
+          return Some(("InvalidRequest", "missing x-amz-content-sha256"))) // S3 requires it
+        if (contentSha != SigV4.UnsignedPayload && SigV4.sha256Hex(body) != contentSha)
+          return Some(("XAmzContentSHA256Mismatch", "body hash != x-amz-content-sha256"))
+        val signedPairs = sh.split(";").toSeq.map(h =>
+          h -> first(h).getOrElse(return Some(("AccessDenied", s"signed header $h absent"))))
+        val expect = SigV4.authorizationHeader(creds, region, "s3", method,
+          path, pairs, signedPairs, contentSha, ts)
+        if (expect != auth) Some(("SignatureDoesNotMatch", "authorization mismatch"))
+        else { sigVerified.incrementAndGet(); None }
+    }
+  }
+
   private def handle(ex: HttpExchange): Unit = try {
     if (fail500.getAndUpdate(n => math.max(0, n - 1)) > 0) {
       s3Error(ex, 500, "InternalError", "injected transient failure"); return
+    }
+    val body = readAll(ex)
+    if (sigCheck.isDefined) checkSignature(ex, body) match {
+      case Some((code, msg)) => s3Error(ex, 403, code, msg); return
+      case None => ()
     }
     val objKey = ex.getRequestURI.getPath.stripPrefix("/")
     val q = queryParams(ex.getRequestURI.getRawQuery)
@@ -118,13 +199,13 @@ class MockS3Server {
         uploads.get(id) match {
           case None => s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
           case Some(parts) =>
-            val bytes = readAll(ex)
+            val bytes = body
             val etag = md5hex(bytes)
             parts.put(pn.toInt, (bytes, etag))
             respond(ex, 200, Array.emptyByteArray, Map("ETag" -> s""""$etag""""))
         }
       case ("POST", _, Some(id), _) => // complete
-        completeUpload(ex, objKey, id, new String(readAll(ex), "UTF-8"))
+        completeUpload(ex, objKey, id, new String(body, "UTF-8"))
       case ("DELETE", _, Some(id), _) => // abort
         if (uploads.remove(id).isDefined) respond(ex, 204, Array.emptyByteArray)
         else s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")

@@ -1,0 +1,125 @@
+package graft.sink
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** End-to-end SigV4 over the wire: S3MultipartSink signs, MockS3Server
+  * independently recomputes from the request it received (method,
+  * path, query, headers, actual body bytes) and refuses mismatches
+  * with 403, like real S3. Complements SigV4Spec's published-vector
+  * goldens: the vectors prove the math, this proves the wiring — the
+  * signed canonical form is byte-identical to what goes on the wire,
+  * payload hashes cover the real bodies, presigned URLs work bare. */
+class S3AuthSpec extends AnyFunSuite {
+
+  val creds = SigV4.Credentials("AKIDTEST", "test-secret-key")
+
+  def withAuthServer(f: MockS3Server => Unit): Unit = {
+    val srv = new MockS3Server
+    srv.requireSigV4(creds)
+    try f(srv) finally srv.stop()
+  }
+
+  test("signed multipart upload round-trips; every request verified") {
+    withAuthServer { srv =>
+      val sink = new S3MultipartSink(srv.endpoint, "b", "data/out.bin",
+        credentials = Some(creds))
+      sink.start()
+      val part = Array.tabulate(6 << 20)(i => (i * 31).toByte)
+      val e1 = sink.uploadPart(1, part)
+      val e2 = sink.uploadPart(2, Array[Byte](1, 2, 3))
+      sink.complete(Seq(PartReceipt(1, 0L, part.length.toLong, e1),
+        PartReceipt(2, part.length.toLong, 3L, e2)))
+      assert(srv.storedObject("b", "data/out.bin").get.length == part.length + 3)
+      // initiate + 2 parts + complete, each with a fresh verified signature
+      assert(srv.verifiedRequestCount >= 4, srv.verifiedRequestCount)
+    }
+  }
+
+  test("session token rides the signature (STS-style credentials)") {
+    withAuthServer { srv =>
+      // the mock recomputes over the declared signed headers, which
+      // include x-amz-security-token when the client sends one
+      val sts = creds.copy(sessionToken = Some("FwoGZXIvYXdzEB4aD-token"))
+      srv.requireSigV4(sts)
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k",
+        credentials = Some(sts))
+      sink.start()
+      val e = sink.uploadPart(1, Array[Byte](9))
+      sink.complete(Seq(PartReceipt(1, 0L, 1L, e)))
+      assert(srv.storedObject("b", "k").get.sameElements(Array[Byte](9)))
+    }
+  }
+
+  test("wrong secret is refused with 403 SignatureDoesNotMatch, fail-fast") {
+    withAuthServer { srv =>
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k",
+        credentials = Some(creds.copy(secretKey = "not-the-secret")))
+      val ex = intercept[IllegalArgumentException] { sink.start() }
+      assert(ex.getMessage.contains("403"), ex.getMessage)
+      assert(ex.getMessage.contains("SignatureDoesNotMatch"), ex.getMessage)
+    }
+  }
+
+  test("unsigned requests are refused once auth mode is on") {
+    withAuthServer { srv =>
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k") // no creds
+      val ex = intercept[IllegalArgumentException] { sink.start() }
+      assert(ex.getMessage.contains("403"), ex.getMessage)
+    }
+  }
+
+  test("presigned GET: the bare URL fetches the object, R31 shape") {
+    withAuthServer { srv =>
+      val bytes = Array.tabulate(4096)(i => (i ^ (i >> 3)).toByte)
+      srv.putObject("results", "cog/final.tif", bytes)
+      // reference: presigned_url(store, expiration=8h) — ccog/aws_tools.py:46-56
+      val url = SigV4.presignGet(creds, "us-east-1", srv.endpoint,
+        "results", "cog/final.tif")
+      val r = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 200, new String(r.body()).take(300))
+      assert(java.util.Arrays.equals(r.body(), bytes))
+    }
+  }
+
+  test("presigned URL tampering and expiry are refused") {
+    withAuthServer { srv =>
+      srv.putObject("results", "a.bin", Array[Byte](1))
+      val http = HttpClient.newHttpClient()
+      def get(u: String): HttpResponse[String] = http.send(
+        HttpRequest.newBuilder(java.net.URI.create(u)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      val good = SigV4.presignGet(creds, "us-east-1", srv.endpoint, "results", "a.bin")
+      // flip one hex digit of the signature
+      val tampered = good.dropRight(1) + (if (good.last == '0') '1' else '0')
+      val r1 = get(tampered)
+      assert(r1.statusCode() == 403 && r1.body().contains("SignatureDoesNotMatch"), r1.body())
+
+      // swap the key after signing: signature no longer covers the path
+      val otherPath = good.replace("/results/a.bin?", "/results/b.bin?")
+      val r2 = get(otherPath)
+      assert(r2.statusCode() == 403, r2.body())
+
+      // minted in the past with a 1-second life: expired, not mismatched
+      val old = SigV4.presignUrl(creds, "us-east-1", "s3", "GET", srv.endpoint,
+        "/results/a.bin", expires = 1, timestamp = "20200101T000000Z")
+      val r3 = get(old)
+      assert(r3.statusCode() == 403 && r3.body().contains("expired"), r3.body())
+    }
+  }
+
+  test("signed requests still retry through injected 500s") {
+    withAuthServer { srv =>
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k",
+        credentials = Some(creds), backoffMs = 1L)
+      srv.failNextRequests(2)
+      sink.start()
+      val e = sink.uploadPart(1, Array[Byte](5, 6))
+      sink.complete(Seq(PartReceipt(1, 0L, 2L, e)))
+      assert(srv.storedObject("b", "k").get.length == 2)
+    }
+  }
+}

@@ -8,8 +8,8 @@ import graft.raster.{BigTiff, CogWriter, RasterProfile, SyntheticRaster}
   * InvalidPart/Order, NoSuchUpload — so the wire protocol is validated
   * against S3's rules, not our own sink's. Closes the "no run against
   * real/mock S3 exists" gap (SURVEY §2.1 R32-R35) as far as a
-  * zero-egress sandbox allows; real AWS additionally needs sigv4
-  * signing (out of scope, R31). */
+  * zero-egress sandbox allows; sigv4 signing for real AWS is covered
+  * by SigV4Spec (published-vector goldens) + S3AuthSpec (wire). */
 class S3SinkSpec extends SparkSpec {
 
   def withServer(f: MockS3Server => Unit): Unit = {
