@@ -68,23 +68,13 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
       if (body == null) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body))
     contentType.foreach(ct => b.header("Content-Type", ct))
-    credentials.foreach { creds =>
-      val ts = SigV4.amzNow()
-      val payloadHash =
-        if (body == null) SigV4.EmptyPayloadHash else SigV4.sha256Hex(body)
-      val signedHeaders = Seq(
-        "host" -> URI.create(endpoint).getAuthority,
-        "x-amz-content-sha256" -> payloadHash,
-        "x-amz-date" -> ts) ++
-        creds.sessionToken.map("x-amz-security-token" -> _).toSeq
-      b.header("x-amz-date", ts)
-      b.header("x-amz-content-sha256", payloadHash)
-      creds.sessionToken.foreach(t => b.header("x-amz-security-token", t))
-      b.header("Authorization", SigV4.authorizationHeader(creds, region, "s3",
-        method, objectPath, query, signedHeaders, payloadHash, ts))
-    }
+    signer.foreach(_.sign(b, method, uri,
+      if (body == null) SigV4.EmptyPayloadHash else SigV4.sha256Hex(body)))
     b.build()
   }
+
+  @transient private lazy val signer: Option[SigV4.RequestSigner] =
+    credentials.map(new SigV4.RequestSigner(_, region))
 
   /** Send with bounded retry: 5xx and IOExceptions back off and retry
     * (S3 throttling/transient contract), 4xx raise immediately. */

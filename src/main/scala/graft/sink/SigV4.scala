@@ -189,4 +189,38 @@ object SigV4 {
     .ofPattern("yyyyMMdd'T'HHmmss'Z'")
     .withZone(java.time.ZoneOffset.UTC)
     .format(java.time.Instant.now())
+
+  /** Stamps a JDK HttpRequest builder with a live SigV4 signature —
+    * the shared signing step of [[S3MultipartSink]] (writes) and
+    * `HttpRangeFileSystem` (ranged-GET reads). Signs `host` +
+    * `x-amz-date` + `x-amz-content-sha256` (+ session token) plus any
+    * `extraSigned` headers the caller also sets on the request (e.g.
+    * `range`, which the published S3 GET example signs). The query is
+    * taken from the URI so the signed canonical form and the wire
+    * request cannot diverge. */
+  final class RequestSigner(creds: Credentials, region: String,
+      service: String = "s3") extends Serializable {
+    def sign(b: java.net.http.HttpRequest.Builder, method: String,
+        uri: java.net.URI, payloadHash: String = EmptyPayloadHash,
+        extraSigned: Seq[(String, String)] = Nil): Unit = {
+      val ts = amzNow()
+      val query = Option(uri.getRawQuery).filter(_.nonEmpty)
+        .map(_.split("&").toSeq.map { kv =>
+          val Array(k, v) = kv.split("=", 2).padTo(2, "")
+          (java.net.URLDecoder.decode(k, "UTF-8"),
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        }).getOrElse(Nil)
+      val signedHeaders = Seq(
+        "host" -> uri.getAuthority,
+        "x-amz-content-sha256" -> payloadHash,
+        "x-amz-date" -> ts) ++
+        creds.sessionToken.map("x-amz-security-token" -> _).toSeq ++
+        extraSigned
+      b.header("x-amz-date", ts)
+      b.header("x-amz-content-sha256", payloadHash)
+      creds.sessionToken.foreach(t => b.header("x-amz-security-token", t))
+      b.header("Authorization", authorizationHeader(creds, region, service,
+        method, uri.getPath, query, signedHeaders, payloadHash, ts))
+    }
+  }
 }

@@ -30,10 +30,19 @@ import org.apache.hadoop.util.Progressable
   *
   * Write/rename/delete/list are unsupported (HTTP has no portable
   * contract for them); egress goes through the multipart sink instead.
+  *
+  * Authenticated endpoints: setting `fs.http.sigv4.access.key` /
+  * `.secret.key` (plus optional `.region`, `.session.token`) in the
+  * Hadoop conf — session-wide via `spark.hadoop.*` or per-read as
+  * datasource options — SigV4-signs every HEAD and ranged GET, so the
+  * same reader works against real S3-compatible object stores, not
+  * just anonymous ones. Pinned end-to-end by SignedHttpCogReadSpec
+  * against the mock's server-side signature verification.
   */
 class HttpRangeFileSystem extends FileSystem {
 
   private var fsUri: URI = _
+  private var signer: Option[graft.sink.SigV4.RequestSigner] = None
 
   override def getScheme: String = "http"
 
@@ -44,6 +53,22 @@ class HttpRangeFileSystem extends FileSystem {
     super.initialize(name, conf)
     setConf(conf)
     fsUri = URI.create(s"$getScheme://${name.getAuthority}")
+    // authenticated S3-compatible endpoints: when credentials are
+    // configured (s3a-style conf keys, settable per-session via
+    // spark.hadoop.* or per-read as datasource options), every HEAD
+    // and ranged GET carries a SigV4 signature — reads work against
+    // real S3, not just anonymous endpoints
+    val pfx = s"fs.$getScheme.sigv4"
+    val access = conf.get(s"$pfx.access.key")
+    val secret = conf.get(s"$pfx.secret.key")
+    require((access == null) == (secret == null),
+      s"$pfx.access.key and $pfx.secret.key must be set together")
+    signer = Option(access).map { ak =>
+      new graft.sink.SigV4.RequestSigner(
+        graft.sink.SigV4.Credentials(ak, secret,
+          Option(conf.get(s"$pfx.session.token"))),
+        conf.get(s"$pfx.region", "us-east-1"))
+    }
   }
 
   override def getUri: URI = fsUri
@@ -54,9 +79,10 @@ class HttpRangeFileSystem extends FileSystem {
   }
 
   private def contentLength(f: Path): Long = {
-    val head = HttpRequest.newBuilder(targetUri(f))
-      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
-    val r = http.send(head, HttpResponse.BodyHandlers.discarding())
+    val hb = HttpRequest.newBuilder(targetUri(f))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody())
+    signer.foreach(_.sign(hb, "HEAD", targetUri(f)))
+    val r = http.send(hb.build(), HttpResponse.BodyHandlers.discarding())
     if (r.statusCode() == 200) {
       val len = r.headers().firstValueAsLong("Content-Length")
       if (len.isPresent) return len.getAsLong
@@ -65,8 +91,10 @@ class HttpRangeFileSystem extends FileSystem {
       throw new java.io.FileNotFoundException(targetUri(f).toString)
     // endpoints that refuse HEAD: a 1-byte ranged GET's Content-Range
     // carries the total ("bytes 0-0/12345")
-    val probe = HttpRequest.newBuilder(targetUri(f))
-      .header("Range", "bytes=0-0").GET().build()
+    val pb = HttpRequest.newBuilder(targetUri(f)).header("Range", "bytes=0-0")
+    signer.foreach(_.sign(pb, "GET", targetUri(f),
+      extraSigned = Seq("range" -> "bytes=0-0")))
+    val probe = pb.GET().build()
     val pr = http.send(probe, HttpResponse.BodyHandlers.discarding())
     if (pr.statusCode() == 404)
       throw new java.io.FileNotFoundException(targetUri(f).toString)
@@ -83,7 +111,7 @@ class HttpRangeFileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val len = contentLength(f)
-    new FSDataInputStream(new HttpRangeInputStream(targetUri(f), len, http))
+    new FSDataInputStream(new HttpRangeInputStream(targetUri(f), len, http, signer))
   }
 
   override def exists(f: Path): Boolean =
@@ -119,7 +147,8 @@ class HttpsRangeFileSystem extends HttpRangeFileSystem {
   * HTTP range request; no buffering beyond the caller's own (COG reads
   * are whole-tile `readFully(pos, …)` calls, so per-call requests map
   * 1:1 onto tile ranges). */
-private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClient)
+private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClient,
+    signer: Option[graft.sink.SigV4.RequestSigner] = None)
     extends java.io.InputStream with Seekable with PositionedReadable {
 
   private var pos = 0L
@@ -127,8 +156,10 @@ private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClien
   private def rangedGet(position: Long, length: Int): Array[Byte] = {
     if (position >= len || length == 0) return Array.emptyByteArray
     val last = math.min(position + length.toLong, len) - 1
-    val req = HttpRequest.newBuilder(uri)
-      .header("Range", s"bytes=$position-$last").GET().build()
+    val range = s"bytes=$position-$last"
+    val rb = HttpRequest.newBuilder(uri).header("Range", range)
+    signer.foreach(_.sign(rb, "GET", uri, extraSigned = Seq("range" -> range)))
+    val req = rb.GET().build()
     val r = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
     require(r.statusCode() == 206 || r.statusCode() == 200,
       s"range GET $uri [$position-$last] failed: HTTP ${r.statusCode()}")
