@@ -91,6 +91,34 @@ class SignedHttpCogReadSpec extends SparkSpec {
     }
   }
 
+  test("a presigned URL reads the COG with NO credentials on the reader") {
+    withSignedCog { (srv, uri, bytes) =>
+      // the reference's sharing flow (presigned_url, aws_tools.py:46-56):
+      // mint a link with the writer's creds, hand it to a reader that
+      // has none. Hadoop Path round-trips the query (double-encoded
+      // into the path component, decoded back out by toUri.getPath),
+      // and the presigned signature covers only host+query, so the
+      // reader's unsigned Range headers are fine — as on real S3.
+      val link = SigV4.presignGet(creds, "us-east-1", srv.endpoint,
+        "rasters", "auth.tif")
+      val bare = Map("fs.http.impl" -> classOf[HttpRangeFileSystem].getName,
+        "fs.http.impl.disable.cache" -> "true")
+      val pages = CogReader.readMeta(link, bare)
+      assert(pages.map(p => (p.width, p.height)).contains((160, 96)))
+      val df = bare.foldLeft(spark.read.format("cog")) {
+        case (r, (k, v)) => r.option(k, v) }.load(link)
+      assert(df.filter("level = 0").count() ==
+        (prof.width / 16) * (prof.height / 16))
+      assert(srv.unboundedGets == 0, "presigned reads must stay bounded")
+      // an expired link is refused, not silently served
+      val dead = SigV4.presignUrl(creds, "us-east-1", "s3", "GET",
+        srv.endpoint, "/rasters/auth.tif", expires = 1,
+        timestamp = "20200101T000000Z")
+      val ex = intercept[Exception] { CogReader.readMeta(dead, bare) }
+      assert(ex.getMessage.contains("403"), ex.getMessage)
+    }
+  }
+
   test("access key without secret key is rejected at configuration time") {
     withSignedCog { (srv, uri, _) =>
       val half = sigConf(creds) - "fs.http.sigv4.secret.key"
