@@ -43,6 +43,7 @@ class HttpRangeFileSystem extends FileSystem {
 
   private var fsUri: URI = _
   private var signer: Option[graft.sink.SigV4.RequestSigner] = None
+  private var retry: RangeRetryPolicy = RangeRetryPolicy()
 
   override def getScheme: String = "http"
 
@@ -69,6 +70,13 @@ class HttpRangeFileSystem extends FileSystem {
           Option(conf.get(s"$pfx.session.token"))),
         conf.get(s"$pfx.region", "us-east-1"))
     }
+    // at fleet scale the object store WILL throttle (503 SlowDown) and
+    // connections WILL reset; a bounded retry per range request keeps
+    // one transient blip from killing a whole Spark task. 4xx never
+    // retries (it would mask real errors, incl. signature refusals).
+    retry = RangeRetryPolicy(
+      attempts = conf.getInt(s"fs.$getScheme.retry.attempts", 4),
+      backoffMs = conf.getLong(s"fs.$getScheme.retry.backoff.ms", 100L))
   }
 
   override def getUri: URI = fsUri
@@ -79,10 +87,14 @@ class HttpRangeFileSystem extends FileSystem {
   }
 
   private def contentLength(f: Path): Long = {
-    val hb = HttpRequest.newBuilder(targetUri(f))
-      .method("HEAD", HttpRequest.BodyPublishers.noBody())
-    signer.foreach(_.sign(hb, "HEAD", targetUri(f)))
-    val r = http.send(hb.build(), HttpResponse.BodyHandlers.discarding())
+    def mkHead() = {
+      val hb = HttpRequest.newBuilder(targetUri(f))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody())
+      signer.foreach(_.sign(hb, "HEAD", targetUri(f)))
+      hb.build()
+    }
+    val r = retry.send(http, s"HEAD ${targetUri(f)}", () => mkHead(),
+      HttpResponse.BodyHandlers.discarding())
     if (r.statusCode() == 200) {
       val len = r.headers().firstValueAsLong("Content-Length")
       if (len.isPresent) return len.getAsLong
@@ -91,11 +103,14 @@ class HttpRangeFileSystem extends FileSystem {
       throw new java.io.FileNotFoundException(targetUri(f).toString)
     // endpoints that refuse HEAD: a 1-byte ranged GET's Content-Range
     // carries the total ("bytes 0-0/12345")
-    val pb = HttpRequest.newBuilder(targetUri(f)).header("Range", "bytes=0-0")
-    signer.foreach(_.sign(pb, "GET", targetUri(f),
-      extraSigned = Seq("range" -> "bytes=0-0")))
-    val probe = pb.GET().build()
-    val pr = http.send(probe, HttpResponse.BodyHandlers.discarding())
+    def mkProbe() = {
+      val pb = HttpRequest.newBuilder(targetUri(f)).header("Range", "bytes=0-0")
+      signer.foreach(_.sign(pb, "GET", targetUri(f),
+        extraSigned = Seq("range" -> "bytes=0-0")))
+      pb.GET().build()
+    }
+    val pr = retry.send(http, s"probe GET ${targetUri(f)}", () => mkProbe(),
+      HttpResponse.BodyHandlers.discarding())
     if (pr.statusCode() == 404)
       throw new java.io.FileNotFoundException(targetUri(f).toString)
     val cr = pr.headers().firstValue("Content-Range").orElse("")
@@ -111,7 +126,8 @@ class HttpRangeFileSystem extends FileSystem {
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val len = contentLength(f)
-    new FSDataInputStream(new HttpRangeInputStream(targetUri(f), len, http, signer))
+    new FSDataInputStream(
+      new HttpRangeInputStream(targetUri(f), len, http, signer, retry))
   }
 
   override def exists(f: Path): Boolean =
@@ -143,12 +159,43 @@ class HttpsRangeFileSystem extends HttpRangeFileSystem {
   override def getScheme: String = "https"
 }
 
+/** Bounded retry for range requests: IOExceptions and throttle-class
+  * statuses (5xx, 429) back off exponentially and retry with a FRESH
+  * request per attempt — rebuilt through the `mk` thunk so SigV4
+  * signatures are re-minted rather than replayed. Everything else
+  * (2xx, 3xx, 4xx incl. 403 signature refusals and 404) returns to
+  * the caller immediately: retrying those masks real errors. */
+private[sources] final case class RangeRetryPolicy(attempts: Int = 4,
+    backoffMs: Long = 100L) {
+  require(attempts >= 1, s"retry attempts must be >= 1: $attempts")
+
+  def send[T](http: HttpClient, what: String, mk: () => HttpRequest,
+      handler: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
+    var attempt = 0
+    var lastEx: java.io.IOException = null
+    var lastR: HttpResponse[T] = null.asInstanceOf[HttpResponse[T]]
+    while (attempt < attempts) {
+      if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
+      attempt += 1
+      try {
+        val r = http.send(mk(), handler)
+        if (r.statusCode() < 500 && r.statusCode() != 429) return r
+        lastR = r; lastEx = null
+      } catch { case e: java.io.IOException => lastEx = e }
+    }
+    if (lastEx != null) throw new java.io.IOException(
+      s"$what failed after $attempts attempts", lastEx)
+    lastR // exhausted on a retryable status: caller raises with context
+  }
+}
+
 /** Seekable/PositionedReadable stream where every read is one bounded
   * HTTP range request; no buffering beyond the caller's own (COG reads
   * are whole-tile `readFully(pos, …)` calls, so per-call requests map
   * 1:1 onto tile ranges). */
 private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClient,
-    signer: Option[graft.sink.SigV4.RequestSigner] = None)
+    signer: Option[graft.sink.SigV4.RequestSigner] = None,
+    retry: RangeRetryPolicy = RangeRetryPolicy())
     extends java.io.InputStream with Seekable with PositionedReadable {
 
   private var pos = 0L
@@ -157,10 +204,13 @@ private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClien
     if (position >= len || length == 0) return Array.emptyByteArray
     val last = math.min(position + length.toLong, len) - 1
     val range = s"bytes=$position-$last"
-    val rb = HttpRequest.newBuilder(uri).header("Range", range)
-    signer.foreach(_.sign(rb, "GET", uri, extraSigned = Seq("range" -> range)))
-    val req = rb.GET().build()
-    val r = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    def mk() = {
+      val rb = HttpRequest.newBuilder(uri).header("Range", range)
+      signer.foreach(_.sign(rb, "GET", uri, extraSigned = Seq("range" -> range)))
+      rb.GET().build()
+    }
+    val r = retry.send(http, s"range GET $uri [$position-$last]", () => mk(),
+      HttpResponse.BodyHandlers.ofByteArray())
     require(r.statusCode() == 206 || r.statusCode() == 200,
       s"range GET $uri [$position-$last] failed: HTTP ${r.statusCode()}")
     val body = r.body()

@@ -112,6 +112,32 @@ class HttpCogReadSpec extends SparkSpec {
     }
   }
 
+  test("transient 5xx during reads retries with backoff; read still lands") {
+    withCogServer { (srv, uri, bytes) =>
+      val conf = fsConf ++ Map("fs.http.impl.disable.cache" -> "true",
+        "fs.http.retry.backoff.ms" -> "1")
+      srv.failNextRequests(2) // throttle the HEAD, like S3 SlowDown
+      val pages = CogReader.readMeta(uri, conf)
+      assert(pages.nonEmpty, "meta read did not survive transient 500s")
+      srv.failNextRequests(2) // and a tile-range GET mid-read
+      val tiles = CogReader.read(spark, uri, prof, 0, conf).collect()
+      assert(tiles.nonEmpty, "tile read did not survive transient 500s")
+    }
+  }
+
+  test("exhausted read retries fail loudly instead of looping") {
+    withCogServer { (srv, uri, bytes) =>
+      val conf = fsConf ++ Map("fs.http.impl.disable.cache" -> "true",
+        "fs.http.retry.attempts" -> "2", "fs.http.retry.backoff.ms" -> "1")
+      srv.failNextRequests(99)
+      val ex = intercept[Exception] { CogReader.readMeta(uri, conf) }
+      assert(ex.getMessage != null &&
+        (ex.getMessage.contains("500") || ex.getMessage.contains("cannot determine")),
+        s"expected the 5xx to surface: ${ex.getMessage}")
+      srv.failNextRequests(0)
+    }
+  }
+
   test("range coalescing: full DSv2 read issues one fetch per span, not per tile") {
     withCogServer { (srv, uri, bytes) =>
       val hc = spark.sparkContext.hadoopConfiguration
