@@ -1,0 +1,66 @@
+package graft.sink
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Differential fuzz of object-key encoding through the FULL signed
+  * wire path: for keys drawn from a hostile character pool (spaces,
+  * `+`, `%`, `?`, `#`, `&`, `=`, unicode, dots, tildes), the sink's
+  * uriEncode-built URL, its SigV4 canonical form, and the server's
+  * decode-then-re-encode verification must all agree — any asymmetry
+  * between client encoding and server recomputation fails the
+  * signature check and the test. This is where encoding bugs live
+  * (S3 SDKs have shipped several); the mock's verification makes the
+  * round trip self-checking. */
+class S3KeyFuzzSpec extends AnyFunSuite {
+
+  val creds = SigV4.Credentials("AKIDFUZZ", "fuzz-secret")
+
+  // characters that historically break naive URL handling
+  val pool: IndexedSeq[Char] =
+    ("abcXYZ019-_.~" + " +%?#&=@:,;$!'()*[]" + "é漢ß").toIndexedSeq
+
+  def randomKey(rnd: scala.util.Random): String = {
+    val segs = 1 + rnd.nextInt(3)
+    (0 until segs).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      val s = (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+      // a segment of only dots would be path-normalized away; avoid
+      if (s.forall(_ == '.')) s + "x" else s
+    }.mkString("/")
+  }
+
+  test("64 hostile keys: signed MPU lands byte-exact, presigned GET reads back") {
+    val srv = new MockS3Server
+    srv.requireSigV4(creds)
+    val http = HttpClient.newHttpClient()
+    try {
+      val rnd = new scala.util.Random(1311)
+      for (i <- 0 until 64) {
+        val key = randomKey(rnd)
+        val payload = Array.tabulate(256 + rnd.nextInt(512))(j => (j * 7 + i).toByte)
+        val sink = new S3MultipartSink(srv.endpoint, "fuzz", key,
+          credentials = Some(creds))
+        try {
+          sink.start()
+          val etag = sink.uploadPart(1, payload)
+          sink.complete(Seq(PartReceipt(1, 0L, payload.length.toLong, etag)))
+        } catch {
+          case e: Exception => fail(s"signed MPU failed for key '$key': $e")
+        }
+        val stored = srv.storedObject("fuzz", key)
+        assert(stored.exists(java.util.Arrays.equals(_, payload)),
+          s"bytes differ for key '$key'")
+        // and the sharing flow survives the same key
+        val link = SigV4.presignGet(creds, "us-east-1", srv.endpoint, "fuzz", key)
+        val r = http.send(HttpRequest.newBuilder(java.net.URI.create(link))
+          .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+        assert(r.statusCode() == 200,
+          s"presigned GET failed for key '$key': HTTP ${r.statusCode()} " +
+            new String(r.body()).take(200))
+        assert(java.util.Arrays.equals(r.body(), payload),
+          s"presigned bytes differ for key '$key'")
+      }
+    } finally srv.stop()
+  }
+}
