@@ -21,15 +21,25 @@ object Fixtures {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default.
-    * Read it as a raw Long (legacy conf, set at session build time via
-    * [[configure]] — readers stay pure) and truncate to µs — integer
-    * `div` so the ~1.7e18 ns epoch never routes through a double
-    * (2^53 ≈ 9e15 would lose hundreds of ns). DuckDB truncates ns→µs on
-    * read the same way, so the oracle sees identical values. */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.ts normalization, robust to the two encodings the driver
+    * has shipped: TIMESTAMP(NANOS) — which Spark only reads as a raw
+    * Long under the legacy conf set in [[configure]], truncated here to
+    * µs with integer `div` (the ~1.7e18 ns epoch must never route
+    * through a double; 2^53 ≈ 9e15 would lose hundreds of ns) — and
+    * plain TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ and is
+    * cast to the session-TZ (UTC) instant DuckDB also sees. Either way
+    * downstream queries get a µs TimestampType column. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected nanos-as-long or timestamp)")
+    }
+  }
 
   /** Session-level confs every graft session needs; call on the builder
     * (Verify / Bench / test sessions) so readers have no side effects.
