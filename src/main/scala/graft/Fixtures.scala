@@ -34,8 +34,24 @@ object Fixtures {
     import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _: TimestampType => raw
+      case _: TimestampNTZType =>
+        // the NTZ→instant cast interprets wall-clock values in the
+        // SESSION time zone; the DuckDB oracle reads them as UTC. A
+        // session built without [[configure]] would silently shift
+        // every instant by the local offset — fail loudly instead
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: the session time zone must be UTC " +
+            "(build the session via Fixtures.configure) or the cast to " +
+            "TimestampType shifts every instant by the local offset")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType =>
+        // tz-adjusted parquet micros (isAdjustedToUTC=true) are already
+        // instants — no session-TZ dependence on the Spark side. NOTE:
+        // DuckDB reads this encoding as TIMESTAMPTZ, so oracle SQL that
+        // CASTs it to TIMESTAMP is only hash-stable on a UTC oracle
+        // session (the driver's oracle runs UTC; a non-UTC host would
+        // need SET TimeZone='UTC' first)
+        raw
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet type $other (expected nanos-as-long or timestamp)")
     }
