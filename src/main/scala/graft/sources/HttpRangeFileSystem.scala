@@ -120,9 +120,43 @@ class HttpRangeFileSystem extends FileSystem {
     cr.substring(cr.indexOf('/') + 1).trim.toLong
   }
 
+  /** S3 prefix listing for a path that is not an object: the first
+    * path segment is the bucket, the rest (slash-terminated) the key
+    * prefix — `GET /{bucket}?list-type=2` via [[S3Listing]]. None when
+    * the endpoint has no listing (static hosts) or the prefix is
+    * empty, so plain-HTTP behavior is unchanged. This is the listing
+    * half the reference inherits from fsspec's mapper
+    * (ccog/aws_tools.py:31-43): `load("http://host/bucket/prefix/")`
+    * plans a mosaic from the listed objects. */
+  private def listPrefix(f: Path): Option[Seq[FileStatus]] = {
+    val p = f.toUri.getPath.stripPrefix("/")
+    if (p.isEmpty) return None
+    val seg = p.split("/", 2)
+    val bucket = seg(0)
+    val prefix = if (seg.length > 1 && seg(1).nonEmpty) s"${seg(1)}/" else ""
+    S3Listing.list(http, s"$getScheme://${fsUri.getAuthority}", bucket, prefix,
+        signer, retry)
+      .map(_.map { e =>
+        // sizes come from the listing itself — zero per-object HEADs
+        // to stat a 10k-member mosaic
+        new FileStatus(e.size, false, 1, 64L << 20, 0L,
+          new Path(s"$getScheme://${fsUri.getAuthority}/$bucket/${e.key}"))
+      })
+  }
+
   override def getFileStatus(f: Path): FileStatus =
-    new FileStatus(contentLength(f), false, 1, 64L << 20, 0L,
+    try new FileStatus(contentLength(f), false, 1, 64L << 20, 0L,
       f.makeQualified(fsUri, getWorkingDirectory))
+    catch {
+      case e: java.io.FileNotFoundException =>
+        // not an object: an S3 endpoint may still know it as a prefix
+        listPrefix(f) match {
+          case Some(entries) if entries.nonEmpty =>
+            new FileStatus(0L, true, 1, 64L << 20, 0L,
+              f.makeQualified(fsUri, getWorkingDirectory))
+          case _ => throw e
+        }
+    }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val len = contentLength(f)
@@ -131,7 +165,7 @@ class HttpRangeFileSystem extends FileSystem {
   }
 
   override def exists(f: Path): Boolean =
-    try { contentLength(f); true }
+    try { getFileStatus(f); true }
     catch { case _: java.io.FileNotFoundException => false }
 
   private def ro(op: String) =
@@ -147,8 +181,19 @@ class HttpRangeFileSystem extends FileSystem {
   override def rename(src: Path, dst: Path): Boolean = ro("rename")
   override def delete(f: Path, recursive: Boolean): Boolean = ro("delete")
   override def listStatus(f: Path): Array[FileStatus] =
-    // a single object is its own listing; HTTP has no directory contract
-    Array(getFileStatus(f))
+    // a single object is its own listing; a non-object path lists as an
+    // S3 prefix when the endpoint supports ListObjectsV2 (recursive —
+    // S3 "directories" are illusory, and the mosaic planner wants every
+    // object under the prefix)
+    try Array(new FileStatus(contentLength(f), false, 1, 64L << 20, 0L,
+      f.makeQualified(fsUri, getWorkingDirectory)))
+    catch {
+      case e: java.io.FileNotFoundException =>
+        listPrefix(f) match {
+          case Some(entries) if entries.nonEmpty => entries.toArray
+          case _ => throw e
+        }
+    }
   override def setWorkingDirectory(d: Path): Unit = ()
   override def getWorkingDirectory: Path = new Path("/")
   override def mkdirs(f: Path, permission: FsPermission): Boolean = ro("mkdirs")

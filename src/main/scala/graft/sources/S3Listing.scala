@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import graft.sink.SigV4
+import scala.collection.mutable.ArrayBuffer
+
+/** S3 ListObjectsV2 client — the listing half of the store resolver the
+  * reference gets for free from fsspec's `get_mapper`
+  * (ccog/aws_tools.py:31-43): pointing a read at an S3 *prefix* must
+  * enumerate the objects under it. Speaks the public REST dialect
+  *
+  *   GET /{bucket}?list-type=2&prefix=…[&continuation-token=…]
+  *
+  * with continuation-token pagination, optional SigV4 signing (private
+  * buckets), and the same bounded retry policy as the ranged-GET reads.
+  * The response is parsed with a doctype-free DOM (untrusted server
+  * input — same hardening as the multipart sink's XML handling).
+  *
+  * Returns None when the endpoint does not speak ListObjectsV2 at all
+  * (static file hosts answer 404/405 or non-XML) so callers can fall
+  * back to not-found semantics; auth refusals (403) and exhausted 5xx
+  * retries raise — silently treating those as "no listing" would mask
+  * bad credentials or an outage as an empty prefix.
+  */
+object S3Listing {
+
+  final case class Entry(key: String, size: Long)
+
+  /** All keys under `prefix` in `bucket`, across however many pages the
+    * server needs. `maxPages` bounds a server that keeps handing out
+    * tokens (10k pages x 1000 keys = 10M objects, far past any sane
+    * single-load mosaic). */
+  def list(http: HttpClient, endpoint: String, bucket: String, prefix: String,
+      signer: Option[SigV4.RequestSigner], retry: RangeRetryPolicy,
+      maxPages: Int = 10000): Option[Seq[Entry]] = {
+    val out = ArrayBuffer.empty[Entry]
+    var token: Option[String] = None
+    var pages = 0
+    while (pages == 0 || token.isDefined) {
+      if (pages >= maxPages) throw new java.io.IOException(
+        s"ListObjectsV2 of $endpoint/$bucket prefix '$prefix' still truncated " +
+          s"after $maxPages pages")
+      pages += 1
+      val params = Seq("list-type" -> "2") ++
+        (if (prefix.nonEmpty) Seq("prefix" -> prefix) else Nil) ++
+        token.map("continuation-token" -> _).toSeq
+      // canonicalQuery pre-encodes with the SigV4 encoder, so the wire
+      // query and the signed canonical form are byte-identical (the
+      // invariant RequestSigner.sign relies on when re-deriving pairs)
+      val qs = SigV4.canonicalQuery(params)
+      val uri = URI.create(
+        s"$endpoint/${SigV4.uriEncode(bucket, encodeSlash = true)}?$qs")
+      def mk(): HttpRequest = {
+        val b = HttpRequest.newBuilder(uri)
+        signer.foreach(_.sign(b, "GET", uri))
+        b.GET().build()
+      }
+      val r = retry.send(http, s"ListObjectsV2 $uri", () => mk(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      r.statusCode() match {
+        case 200 => ()
+        case 403 => throw new java.io.IOException(
+          s"ListObjectsV2 $uri refused: HTTP 403 " +
+            new String(r.body(), "UTF-8").take(500))
+        case s if s >= 500 || s == 429 => throw new java.io.IOException(
+          s"ListObjectsV2 $uri failed after retries: HTTP $s")
+        case _ => return None // 404/405/400…: endpoint has no listing
+      }
+      parsePage(r.body()) match {
+        case None => return None // non-XML or not a ListBucketResult
+        case Some((entries, next)) => out ++= entries; token = next
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** One page: (entries, Some(continuationToken) if truncated). None if
+    * the body is not a well-formed ListBucketResult. */
+  private def parsePage(body: Array[Byte]): Option[(Seq[Entry], Option[String])] =
+    try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      // server responses are untrusted input: no doctypes, no entities
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      val doc = f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(body))
+      val root = doc.getDocumentElement
+      if (root == null || !root.getTagName.endsWith("ListBucketResult")) return None
+      def text(el: org.w3c.dom.Element, tag: String): Option[String] = {
+        val n = el.getElementsByTagName(tag)
+        if (n.getLength == 0) None else Some(n.item(0).getTextContent)
+      }
+      val contents = doc.getElementsByTagName("Contents")
+      val entries = (0 until contents.getLength).flatMap { i =>
+        val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
+        text(el, "Key").map(k => Entry(k, text(el, "Size").map(_.trim.toLong).getOrElse(0L)))
+      }
+      val truncated = text(root, "IsTruncated").exists(_.trim == "true")
+      val next = if (truncated) {
+        val t = text(root, "NextContinuationToken")
+        require(t.isDefined,
+          "ListObjectsV2 page is IsTruncated without a NextContinuationToken")
+        t
+      } else None
+      Some((entries, next))
+    } catch { case _: org.xml.sax.SAXException => None }
+}

@@ -45,6 +45,17 @@ class MockS3Server {
 
   def failNextRequests(n: Int): Unit = fail500.set(n)
   def errorBodyOnNextComplete(): Unit = errorBodyCompletes.set(1)
+  /** Simulate in-flight corruption of the next checksummed part body:
+    * the server verifies the client's x-amz-checksum-crc32c against
+    * bytes that differ from what was sent → 400 BadDigest. */
+  def corruptNextPartChecksum(): Unit = corruptParts.set(1)
+  /** Answer the next (checksummed) complete with a bogus composite
+    * checksum — the client must refuse it. */
+  def wrongCompositeOnNextComplete(): Unit = wrongComposite.set(1)
+  def checksumVerifiedParts: Int = checksumVerified.get()
+  private val corruptParts = new AtomicInteger(0)
+  private val wrongComposite = new AtomicInteger(0)
+  private val checksumVerified = new AtomicInteger(0)
 
   /** Authenticated mode: every request must carry a valid SigV4
     * signature for `creds` (header auth, or query auth for presigned
@@ -79,6 +90,58 @@ class MockS3Server {
     rangedSizes.iterator().asScala.toSeq
   }
   def resetReadAccounting(): Unit = { unboundedGetCount.set(0); rangedSizes.clear() }
+
+  /** ListObjectsV2 knobs: shrink the page size to force continuation-
+    * token pagination; the request counter proves the client actually
+    * walked the pages. */
+  @volatile var listMaxKeys: Int = 1000
+  private val listRequests = new AtomicInteger(0)
+  def listRequestCount: Int = listRequests.get()
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** GET /{bucket}?list-type=2[&prefix=…][&continuation-token=…] — the
+    * real service's pagination contract: keys in lexical order, pages
+    * of min(max-keys, listMaxKeys), IsTruncated + NextContinuationToken
+    * (opaque to the client; here the last key of the page). */
+  private def listObjectsV2(ex: HttpExchange, rawBucket: String,
+      q: Map[String, String]): Unit = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val bucket = rawBucket.stripSuffix("/")
+    if (bucket.isEmpty || bucket.contains("/")) {
+      s3Error(ex, 400, "InvalidRequest", s"listing needs a bucket, got '$rawBucket'")
+      return
+    }
+    listRequests.incrementAndGet()
+    val prefix = q.get("prefix").map(dec).getOrElse("")
+    val token = q.get("continuation-token").map(dec)
+    val pageSize = math.max(1,
+      math.min(listMaxKeys, q.get("max-keys").map(_.toInt).getOrElse(1000)))
+    val all = objects.keys.toSeq
+      .filter(_.startsWith(s"$bucket/")).map(_.stripPrefix(s"$bucket/"))
+      .filter(_.startsWith(prefix)).sorted
+    val after = token match {
+      case Some(t) => all.dropWhile(_ <= t)
+      case None => all
+    }
+    val page = after.take(pageSize)
+    val truncated = after.length > page.length
+    val contents = page.map { k =>
+      val size = objects(s"$bucket/$k").length
+      s"<Contents><Key>${xmlEscape(k)}</Key><Size>$size</Size>" +
+        s"""<ETag>"${md5hex(objects(s"$bucket/$k"))}"</ETag></Contents>"""
+    }.mkString
+    val next =
+      if (truncated) s"<NextContinuationToken>${xmlEscape(page.last)}</NextContinuationToken>"
+      else ""
+    val xml = "<ListBucketResult>" +
+      s"<Name>${xmlEscape(bucket)}</Name><Prefix>${xmlEscape(prefix)}</Prefix>" +
+      s"<KeyCount>${page.length}</KeyCount><MaxKeys>$pageSize</MaxKeys>" +
+      s"<IsTruncated>$truncated</IsTruncated>$next$contents</ListBucketResult>"
+    respond(ex, 200, xml.getBytes("UTF-8"),
+      Map("Content-Type" -> "application/xml"))
+  }
 
   private def md5hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
@@ -184,7 +247,15 @@ class MockS3Server {
       case Some((code, msg)) => s3Error(ex, 403, code, msg); return
       case None => ()
     }
-    val objKey = ex.getRequestURI.getPath.stripPrefix("/")
+    // virtual-hosted dialect, detected the way real S3 routes it: a
+    // Host of `bucket.<this-endpoint>` addresses that bucket and the
+    // path is just the key; the bare endpoint is path-style
+    val ownAuthority = s"127.0.0.1:${server.getAddress.getPort}"
+    val hostBucket = Option(ex.getRequestHeaders.getFirst("Host"))
+      .filter(_.endsWith(s".$ownAuthority"))
+      .map(h => h.dropRight(ownAuthority.length + 1))
+    val rawPath = ex.getRequestURI.getPath.stripPrefix("/")
+    val objKey = hostBucket.map(b => s"$b/$rawPath").getOrElse(rawPath)
     val q = queryParams(ex.getRequestURI.getRawQuery)
     val method = ex.getRequestMethod
     (method, q.contains("uploads"), q.get("uploadId"), q.get("partNumber")) match {
@@ -200,15 +271,38 @@ class MockS3Server {
           case None => s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
           case Some(parts) =>
             val bytes = body
+            val declared = Option(ex.getRequestHeaders.getFirst("x-amz-checksum-crc32c"))
+            val checksumHeaders = declared match {
+              case Some(c) =>
+                // verify against what the server RECEIVED — optionally
+                // simulating a body corrupted in flight
+                val received =
+                  if (corruptParts.getAndUpdate(n => math.max(0, n - 1)) > 0)
+                    bytes :+ 0x5a.toByte
+                  else bytes
+                if (S3Checksums.crc32cB64(received) != c) {
+                  s3Error(ex, 400, "BadDigest",
+                    s"The CRC32C you specified did not match what the server received")
+                  return
+                }
+                checksumVerified.incrementAndGet()
+                Map("x-amz-checksum-crc32c" -> c)
+              case None => Map.empty[String, String]
+            }
             val etag = md5hex(bytes)
             parts.put(pn.toInt, (bytes, etag))
-            respond(ex, 200, Array.emptyByteArray, Map("ETag" -> s""""$etag""""))
+            respond(ex, 200, Array.emptyByteArray,
+              checksumHeaders + ("ETag" -> s""""$etag""""))
         }
       case ("POST", _, Some(id), _) => // complete
         completeUpload(ex, objKey, id, new String(body, "UTF-8"))
       case ("DELETE", _, Some(id), _) => // abort
         if (uploads.remove(id).isDefined) respond(ex, 204, Array.emptyByteArray)
         else s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
+      case ("PUT", false, None, None) => // plain PutObject (presigned drop-box)
+        objects.put(objKey, body)
+        respond(ex, 200, Array.emptyByteArray,
+          Map("ETag" -> s""""${md5hex(body)}""""))
       case ("HEAD", _, _, _) =>
         objects.get(objKey) match {
           case Some(b) =>
@@ -216,6 +310,10 @@ class MockS3Server {
             ex.sendResponseHeaders(200, -1); ex.close()
           case None => respond(ex, 404, Array.emptyByteArray)
         }
+      case ("GET", _, _, _) if q.contains("list-type") =>
+        if (q("list-type") != "2")
+          s3Error(ex, 400, "InvalidArgument", s"list-type ${q("list-type")}")
+        else listObjectsV2(ex, hostBucket.getOrElse(objKey), q)
       case ("GET", _, _, _) =>
         objects.get(objKey) match {
           case Some(b) =>
@@ -260,7 +358,8 @@ class MockS3Server {
           val pn = el.getElementsByTagName("PartNumber").item(0).getTextContent.trim.toInt
           val etag = el.getElementsByTagName("ETag").item(0).getTextContent.trim
             .stripPrefix("\"").stripSuffix("\"")
-          (pn, etag)
+          val ck = el.getElementsByTagName("ChecksumCRC32C")
+          (pn, etag, if (ck.getLength == 0) None else Some(ck.item(0).getTextContent.trim))
         }
         if (listed.isEmpty) {
           s3Error(ex, 400, "InvalidRequest", "empty part list"); return
@@ -270,16 +369,19 @@ class MockS3Server {
           s3Error(ex, 400, "InvalidPartOrder",
             "part numbers must be listed in ascending order"); return
         }
-        for ((pn, etag) <- listed) {
+        for ((pn, etag, ck) <- listed) {
           parts.get(pn) match {
             case None =>
               s3Error(ex, 400, "InvalidPart", s"part $pn was never uploaded"); return
             case Some((_, stored)) if stored != etag =>
               s3Error(ex, 400, "InvalidPart", s"part $pn etag mismatch"); return
+            case Some((storedBytes, _))
+                if ck.exists(_ != S3Checksums.crc32cB64(storedBytes)) =>
+              s3Error(ex, 400, "InvalidPart", s"part $pn checksum mismatch"); return
             case _ => ()
           }
         }
-        for ((pn, _) <- listed.dropRight(1)) {
+        for ((pn, _, _) <- listed.dropRight(1)) {
           if (parts(pn)._1.length.toLong < minPartSize) {
             s3Error(ex, 400, "EntityTooSmall",
               s"part $pn is ${parts(pn)._1.length} bytes, minimum $minPartSize"); return
@@ -297,10 +399,20 @@ class MockS3Server {
           .values.foreach(assembled.write)
         objects.put(objKey, assembled.toByteArray)
         uploads.remove(id)
+        // checksummed completes answer with the composite
+        // checksum-of-checksums, like the real service
+        val compositeXml =
+          if (listed.forall(_._3.isDefined)) {
+            val answer =
+              if (wrongComposite.getAndUpdate(n => math.max(0, n - 1)) > 0)
+                s"AAAAAA==-${listed.length}" // deliberately bogus
+              else S3Checksums.composite(listed.map(_._3.get))
+            s"<ChecksumCRC32C>$answer</ChecksumCRC32C>"
+          } else ""
         respond(ex, 200,
           ("<CompleteMultipartUploadResult><Location/><Bucket/><Key/>" +
             s"""<ETag>"${md5hex(assembled.toByteArray)}-${listed.length}"</ETag>""" +
-            "</CompleteMultipartUploadResult>").getBytes("UTF-8"),
+            compositeXml + "</CompleteMultipartUploadResult>").getBytes("UTF-8"),
           Map("Content-Type" -> "application/xml"))
     }
   }
