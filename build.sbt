@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // virtual-hosted S3 addressing sets an explicit Host header (the
+  // bucket authority) on JDK HttpClient requests
+  "-Djdk.httpclient.allowRestrictedHeaders=host",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

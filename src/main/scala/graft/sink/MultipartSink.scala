@@ -11,7 +11,11 @@ import org.apache.spark.sql.Dataset
   * bytes (reference ccog/aws_tools.py:181, SURVEY §3.3). */
 case class Blob(offset: Long, bytes: Array[Byte])
 
-case class PartReceipt(partNumber: Int, offset: Long, size: Long, etag: String)
+/** `checksumCrc32c`: base64 big-endian CRC32C of the part bytes when
+  * the sink runs with object-integrity checksums on (modern S3
+  * buckets default to CRC-based integrity), None otherwise. */
+case class PartReceipt(partNumber: Int, offset: Long, size: Long, etag: String,
+    checksumCrc32c: Option[String] = None)
 
 /** S3-multipart-shaped sink lifecycle (reference ccog/aws_tools.py:59-178,
   * R32-R35). uploadPart is idempotent — a Spark task retry re-uploads
@@ -21,6 +25,11 @@ trait MultipartSink extends Serializable {
   def start(): Unit
   /** Executor-side. Returns an ETag-like token. Must be idempotent. */
   def uploadPart(partNumber: Int, bytes: Array[Byte]): String
+  /** The per-part integrity token a receipt should carry for these
+    * bytes — Some(base64 CRC32C) on sinks running with checksums,
+    * None (default) otherwise. Pure function of the bytes, so the
+    * writer can stamp receipts executor-side. */
+  def partChecksum(bytes: Array[Byte]): Option[String] = None
   /** Driver-side finalize; receipts arrive sorted by partNumber. */
   def complete(receipts: Seq[PartReceipt]): Unit
   def abort(): Unit
@@ -152,7 +161,7 @@ object OrderedMultipartWriter {
         def flush(): Unit = if (curPart != -1 && buf.size() > 0) {
           val bytes = buf.toByteArray
           out += PartReceipt(curPart, curOffset, bytes.length.toLong,
-            sink.uploadPart(curPart, bytes))
+            sink.uploadPart(curPart, bytes), sink.partChecksum(bytes))
         }
         it.foreach { case (pn, off, bytes) =>
           if (pn != curPart) {

@@ -38,7 +38,9 @@ import java.time.Duration
 class S3MultipartSink(endpoint: String, bucket: String, key: String,
     maxAttempts: Int = 4, backoffMs: Long = 50L,
     credentials: Option[SigV4.Credentials] = None,
-    region: String = "us-east-1") extends MultipartSink {
+    region: String = "us-east-1",
+    virtualHost: Boolean = false,
+    crc32c: Boolean = false) extends MultipartSink {
 
   require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
 
@@ -49,17 +51,30 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
   @transient private lazy val http: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
 
-  private def objectPath: String = s"/$bucket/$key"
+  /** Virtual-hosted (AWS's default dialect): the bucket rides the Host
+    * header (`bucket.host/key`) and the canonical path is just the key;
+    * path-style keeps `/bucket/key` on the bare endpoint. The socket
+    * always dials `endpoint` — virtual mode presents the bucket
+    * authority via an explicit Host header (what the dialect actually
+    * signs and routes on), so it works against wildcard-DNS services
+    * and fixed-address gateways alike. */
+  private def objectPath: String = if (virtualHost) s"/$key" else s"/$bucket/$key"
+  private def hostHeader: Option[String] =
+    if (virtualHost)
+      Some(URI.create(SigV4.virtualEndpoint(endpoint, bucket)).getAuthority)
+    else None
 
   /** Build the request; when credentials are present, SigV4-sign it
     * (headers host + x-amz-date + x-amz-content-sha256, plus
     * x-amz-security-token for STS creds). The URL's path/query use the
     * same encoder the signature is computed over, so server-side
-    * verification sees byte-identical canonical forms. The JDK client
-    * emits the Host header itself from the URI authority — which is
-    * exactly the value signed here. */
+    * verification sees byte-identical canonical forms. The Host header
+    * is the URI authority (path-style, JDK default) or the explicit
+    * bucket authority (virtual-hosted) — in both cases exactly the
+    * value signed here. */
   private def buildRequest(method: String, query: Seq[(String, String)],
-      body: Array[Byte], contentType: Option[String] = None): HttpRequest = {
+      body: Array[Byte], contentType: Option[String] = None,
+      amzHeaders: Seq[(String, String)] = Nil): HttpRequest = {
     val qs = SigV4.canonicalQuery(query)
     val uri = URI.create(
       s"$endpoint${SigV4.uriEncode(objectPath, encodeSlash = false)}" +
@@ -68,8 +83,15 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
       if (body == null) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body))
     contentType.foreach(ct => b.header("Content-Type", ct))
+    // requires -Djdk.httpclient.allowRestrictedHeaders=host (set for
+    // this repo's forked test/run JVMs in build.sbt)
+    hostHeader.foreach(h => b.header("Host", h))
+    // x-amz-* headers (e.g. checksums) must ride INSIDE the signature —
+    // S3 refuses unsigned amz headers
+    amzHeaders.foreach { case (k, v) => b.header(k, v) }
     signer.foreach(_.sign(b, method, uri,
-      if (body == null) SigV4.EmptyPayloadHash else SigV4.sha256Hex(body)))
+      if (body == null) SigV4.EmptyPayloadHash else SigV4.sha256Hex(body),
+      extraSigned = amzHeaders, hostOverride = hostHeader))
     b.build()
   }
 
@@ -128,11 +150,27 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
         s"initiate response carried no UploadId: ${r.body().take(500)}"))
   }
 
+  /** Object-integrity mode: every part's base64 CRC32C rides the
+    * signed `x-amz-checksum-crc32c` header so the service verifies the
+    * body it RECEIVED (in-flight corruption is refused with 400
+    * BadDigest, not stored). */
+  override def partChecksum(bytes: Array[Byte]): Option[String] =
+    if (crc32c) Some(S3Checksums.crc32cB64(bytes)) else None
+
   override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
     require(uploadId != null, "uploadPart before start()")
+    val checksum = partChecksum(bytes)
     val r = send(buildRequest("PUT",
-      Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId), bytes),
+      Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId), bytes,
+      amzHeaders = checksum.map("x-amz-checksum-crc32c" -> _).toSeq),
       s"upload part $partNumber")
+    // the service echoes the checksum it verified; a missing or
+    // different echo means the stored part is not the one we hashed
+    checksum.foreach { c =>
+      val echoed = r.headers().firstValue("x-amz-checksum-crc32c").orElse("")
+      require(echoed == c,
+        s"part $partNumber checksum echo mismatch: sent $c, service returned '$echoed'")
+    }
     val etag = r.headers().firstValue("ETag").orElse("")
     require(etag.nonEmpty, s"part $partNumber response carried no ETag")
     etag.stripPrefix("\"").stripSuffix("\"")
@@ -140,9 +178,14 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
 
   override def complete(receipts: Seq[PartReceipt]): Unit = {
     require(uploadId != null, "complete before start()")
-    val xml = receipts.map(p =>
-        s"<Part><PartNumber>${p.partNumber}</PartNumber><ETag>\"${p.etag}\"</ETag></Part>")
-      .mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+    val xml = receipts.map { p =>
+      val ck = if (crc32c) {
+        val c = p.checksumCrc32c.getOrElse(throw new IllegalArgumentException(
+          s"crc32c sink: receipt for part ${p.partNumber} carries no checksum"))
+        s"<ChecksumCRC32C>$c</ChecksumCRC32C>"
+      } else ""
+      s"<Part><PartNumber>${p.partNumber}</PartNumber><ETag>\"${p.etag}\"</ETag>$ck</Part>"
+    }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
     val r = send(buildRequest("POST", Seq("uploadId" -> uploadId),
       xml.getBytes("UTF-8"), Some("application/xml")),
       "complete multipart upload")
@@ -153,6 +196,15 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
         xmlText(r.body(), "CompleteMultipartUploadResult").isEmpty)
       throw new java.io.IOException(
         s"complete returned HTTP 200 without a commit confirmation: ${r.body().take(500)}")
+    if (crc32c) {
+      // composite checksum-of-checksums (base64(crc32c(part crc bytes))
+      // + "-N") — the documented multipart form; a silent mismatch here
+      // would sign off an object assembled from different bytes
+      val expect = S3Checksums.composite(receipts.map(_.checksumCrc32c.get))
+      val got = xmlText(r.body(), "ChecksumCRC32C").getOrElse("")
+      if (got != expect) throw new java.io.IOException(
+        s"composite checksum mismatch: expected $expect, service returned '$got'")
+    }
   }
 
   override def abort(): Unit = {
@@ -160,5 +212,32 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     send(buildRequest("DELETE", Seq("uploadId" -> uploadId), null),
       "abort multipart upload")
     uploadId = null
+  }
+}
+
+/** S3 object-integrity checksums (public algorithm spec): per-part
+  * CRC32C as base64 of the 4 big-endian value bytes; the multipart
+  * object's composite is base64(crc32c(concat(part checksum bytes)))
+  * suffixed with `-partCount`. `java.util.zip.CRC32C` is the JDK's
+  * (Castagnoli) implementation. */
+object S3Checksums {
+
+  def crc32cBytes(bytes: Array[Byte]): Array[Byte] = {
+    val c = new java.util.zip.CRC32C()
+    c.update(bytes)
+    val v = c.getValue.toInt
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  }
+
+  def crc32cB64(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(crc32cBytes(bytes))
+
+  /** Composite checksum over the parts' base64 CRC32C values, in part
+    * order: checksum-of-checksums over the decoded 4-byte values. */
+  def composite(partChecksumsB64: Seq[String]): String = {
+    val cat = new java.io.ByteArrayOutputStream()
+    partChecksumsB64.foreach(c =>
+      cat.write(java.util.Base64.getDecoder.decode(c)))
+    s"${crc32cB64(cat.toByteArray)}-${partChecksumsB64.size}"
   }
 }

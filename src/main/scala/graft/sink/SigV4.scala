@@ -177,12 +177,32 @@ object SigV4 {
   }
 
   /** Reference-shaped helper: presigned GET for `bucket/key`,
-    * default 8-hour expiry (ccog/aws_tools.py:46 `expiration=8*60*60`). */
+    * default 8-hour expiry (ccog/aws_tools.py:46 `expiration=8*60*60`).
+    * `virtualHost = true` mints AWS's default dialect — the bucket
+    * rides the authority (`scheme://bucket.host/key`) and the canonical
+    * path is just the key; path-style (`/bucket/key` on the bare host)
+    * stays available for endpoints that only speak it. */
   def presignGet(creds: Credentials, region: String, endpoint: String,
       bucket: String, key: String, expires: Long = 8L * 60 * 60,
-      timestamp: String = amzNow()): String =
-    presignUrl(creds, region, "s3", "GET", endpoint, s"/$bucket/$key",
-      expires, timestamp)
+      timestamp: String = amzNow(), virtualHost: Boolean = false): String =
+    if (virtualHost)
+      presignUrl(creds, region, "s3", "GET", virtualEndpoint(endpoint, bucket),
+        s"/$key", expires, timestamp)
+    else
+      presignUrl(creds, region, "s3", "GET", endpoint, s"/$bucket/$key",
+        expires, timestamp)
+
+  /** scheme://host[:port] → scheme://bucket.host[:port] (the
+    * virtual-hosted authority). Buckets usable in this dialect are
+    * DNS-label-safe by S3's own naming rules. */
+  def virtualEndpoint(endpoint: String, bucket: String): String = {
+    val uri = java.net.URI.create(endpoint)
+    require(bucket.nonEmpty && !bucket.contains("/") && !bucket.contains("."),
+      // dots are legal in bucket names but break TLS wildcard certs and
+      // this simple splice; such buckets must use path-style
+      s"virtual-hosted addressing needs a dot-free bucket label: '$bucket'")
+    s"${uri.getScheme}://$bucket.${uri.getAuthority}"
+  }
 
   /** Current UTC time in amz format. */
   def amzNow(): String = java.time.format.DateTimeFormatter
@@ -200,10 +220,21 @@ object SigV4 {
     * request cannot diverge. */
   final class RequestSigner(creds: Credentials, region: String,
       service: String = "s3") extends Serializable {
+    /** `hostOverride` signs (and callers also send) a Host different
+      * from the connection authority — the virtual-hosted dialect,
+      * where the bucket rides the Host header while the socket still
+      * dials the configured endpoint. */
     def sign(b: java.net.http.HttpRequest.Builder, method: String,
         uri: java.net.URI, payloadHash: String = EmptyPayloadHash,
-        extraSigned: Seq[(String, String)] = Nil): Unit = {
+        extraSigned: Seq[(String, String)] = Nil,
+        hostOverride: Option[String] = None): Unit = {
       val ts = amzNow()
+      // INVARIANT: this re-parse assumes the URI's query was produced
+      // by SigV4.uriEncode/canonicalQuery (every caller in this repo
+      // does). URLDecoder maps '+' to space, so a query built by an
+      // encoder that emits literal '+' for plus-or-space would sign a
+      // different canonical form than the wire carries — keep building
+      // request URIs through canonicalQuery.
       val query = Option(uri.getRawQuery).filter(_.nonEmpty)
         .map(_.split("&").toSeq.map { kv =>
           val Array(k, v) = kv.split("=", 2).padTo(2, "")
@@ -211,7 +242,7 @@ object SigV4 {
             java.net.URLDecoder.decode(v, "UTF-8"))
         }).getOrElse(Nil)
       val signedHeaders = Seq(
-        "host" -> uri.getAuthority,
+        "host" -> hostOverride.getOrElse(uri.getAuthority),
         "x-amz-content-sha256" -> payloadHash,
         "x-amz-date" -> ts) ++
         creds.sessionToken.map("x-amz-security-token" -> _).toSeq ++

@@ -111,6 +111,96 @@ class S3AuthSpec extends AnyFunSuite {
     }
   }
 
+  test("presigned PUT: drop-box upload with the bare URL; tamper/expiry/method refused") {
+    withAuthServer { srv =>
+      val http = HttpClient.newHttpClient()
+      val bytes = Array.tabulate(1024)(i => (i * 7).toByte)
+      def put(u: String, b: Array[Byte]): HttpResponse[String] = http.send(
+        HttpRequest.newBuilder(java.net.URI.create(u))
+          .PUT(HttpRequest.BodyPublishers.ofByteArray(b)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      // the ingest counterpart of the reference's presigned GET: mint a
+      // PUT URL, hand it out, the holder uploads with zero credentials
+      val url = SigV4.presignUrl(creds, "us-east-1", "s3", "PUT",
+        srv.endpoint, "/inbox/drop.bin", expires = 600,
+        timestamp = SigV4.amzNow())
+      val r = put(url, bytes)
+      assert(r.statusCode() == 200, r.body().take(300))
+      assert(srv.storedObject("inbox", "drop.bin").get.sameElements(bytes))
+
+      // tampered signature refused
+      val tampered = url.dropRight(1) + (if (url.last == '0') '1' else '0')
+      assert(put(tampered, bytes).statusCode() == 403)
+
+      // a URL minted for GET does not authorize a PUT: method is signed
+      val getUrl = SigV4.presignGet(creds, "us-east-1", srv.endpoint,
+        "inbox", "drop.bin")
+      val crossMethod = put(getUrl, bytes)
+      assert(crossMethod.statusCode() == 403, crossMethod.body().take(300))
+
+      // expired PUT URL refused as expired
+      val old = SigV4.presignUrl(creds, "us-east-1", "s3", "PUT", srv.endpoint,
+        "/inbox/late.bin", expires = 1, timestamp = "20200101T000000Z")
+      val r3 = put(old, bytes)
+      assert(r3.statusCode() == 403 && r3.body().contains("expired"), r3.body())
+      assert(srv.storedObject("inbox", "late.bin").isEmpty)
+    }
+  }
+
+  test("virtual-hosted MPU: bucket rides the Host header, parity with path-style") {
+    withAuthServer { srv =>
+      val payload = Array.tabulate(2048)(i => (i * 17).toByte)
+      // same object written through both dialects must land identically
+      val ps = new S3MultipartSink(srv.endpoint, "b", "path/style.bin",
+        credentials = Some(creds))
+      ps.start()
+      ps.complete(Seq(PartReceipt(1, 0L, payload.length.toLong,
+        ps.uploadPart(1, payload))))
+      val vh = new S3MultipartSink(srv.endpoint, "b", "virtual/style.bin",
+        credentials = Some(creds), virtualHost = true)
+      vh.start()
+      vh.complete(Seq(PartReceipt(1, 0L, payload.length.toLong,
+        vh.uploadPart(1, payload))))
+      assert(srv.storedObject("b", "virtual/style.bin").get
+        .sameElements(srv.storedObject("b", "path/style.bin").get))
+      // every request in both dialects carried a verified signature
+      assert(srv.verifiedRequestCount >= 6, srv.verifiedRequestCount)
+    }
+  }
+
+  test("virtual-hosted presigned GET verifies against the bucket-in-host form") {
+    withAuthServer { srv =>
+      val bytes = Array.tabulate(512)(i => (i ^ 0x5a).toByte)
+      srv.putObject("vb", "res/out.bin", bytes)
+      val url = SigV4.presignGet(creds, "us-east-1", srv.endpoint,
+        "vb", "res/out.bin", virtualHost = true)
+      val u = java.net.URI.create(url)
+      assert(u.getAuthority.startsWith("vb."), url)
+      assert(u.getRawPath == "/res/out.bin", "path must be key-only")
+      // dial the real socket, present the virtual Host — exactly what
+      // DNS resolution of bucket.endpoint would produce on the wire
+      val wire = java.net.URI.create(
+        s"${srv.endpoint}${u.getRawPath}?${u.getRawQuery}")
+      val r = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(wire).header("Host", u.getAuthority).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 200, new String(r.body()).take(300))
+      assert(java.util.Arrays.equals(r.body(), bytes))
+      // and the path-style URL for the same object is NOT honored under
+      // a virtual Host: the signature covers a different canonical form
+      val pathStyle = SigV4.presignGet(creds, "us-east-1", srv.endpoint,
+        "vb", "res/out.bin")
+      val pu = java.net.URI.create(pathStyle)
+      val cross = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(java.net.URI.create(
+            s"${srv.endpoint}${pu.getRawPath}?${pu.getRawQuery}"))
+          .header("Host", u.getAuthority).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cross.statusCode() == 403, cross.body().take(300))
+    }
+  }
+
   test("signed requests still retry through injected 500s") {
     withAuthServer { srv =>
       val sink = new S3MultipartSink(srv.endpoint, "b", "k",

@@ -148,6 +148,76 @@ class S3SinkSpec extends SparkSpec {
     }
   }
 
+  test("CRC32C vector: the Castagnoli check value pins the algorithm") {
+    // the iSCSI/RFC-3720 check value: CRC32C("123456789") = 0xE3069283
+    assert(S3Checksums.crc32cBytes("123456789".getBytes("UTF-8")).toSeq ==
+      Seq(0xE3.toByte, 0x06.toByte, 0x92.toByte, 0x83.toByte))
+    assert(S3Checksums.crc32cB64("123456789".getBytes("UTF-8")) == "4waSgw==")
+  }
+
+  test("checksummed MPU: every part verified server-side, composite confirmed") {
+    withServer { srv =>
+      val s = spark
+      val (blobs, expect) = blobStream(24)
+      val sink = new S3MultipartSink(srv.endpoint, "b", "ck/out.bin",
+        crc32c = true)
+      val receipts = OrderedMultipartWriter.write(
+        s.createDataset(blobs)(org.apache.spark.sql.Encoders.product[Blob]),
+        expect.length.toLong, blobs.map(_.bytes.length.toLong).max, sink)
+      assert(java.util.Arrays.equals(
+        srv.storedObject("b", "ck/out.bin").get, expect))
+      // each receipt carries the part's CRC32C and the server verified
+      // every one against the body it received
+      assert(receipts.forall(_.checksumCrc32c.isDefined))
+      assert(srv.checksumVerifiedParts == receipts.size,
+        s"${srv.checksumVerifiedParts} of ${receipts.size} parts verified")
+    }
+  }
+
+  test("in-flight part corruption is refused with BadDigest, fail-fast") {
+    withServer { srv =>
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k", crc32c = true)
+      sink.start()
+      srv.corruptNextPartChecksum()
+      val ex = intercept[IllegalArgumentException] {
+        sink.uploadPart(1, Array.fill(64)(9.toByte))
+      }
+      assert(ex.getMessage.contains("BadDigest"), ex.getMessage)
+      // 4xx must not have been retried into success: a clean re-upload works
+      val etag = sink.uploadPart(1, Array.fill(64)(9.toByte))
+      sink.complete(Seq(PartReceipt(1, 0L, 64L, etag,
+        Some(S3Checksums.crc32cB64(Array.fill(64)(9.toByte))))))
+      assert(srv.storedObject("b", "k").get.length == 64)
+    }
+  }
+
+  test("a wrong composite checksum from the service fails the complete") {
+    withServer { srv =>
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k", crc32c = true)
+      sink.start()
+      val bytes = Array.fill(32)(3.toByte)
+      val etag = sink.uploadPart(1, bytes)
+      srv.wrongCompositeOnNextComplete()
+      val ex = intercept[java.io.IOException] {
+        sink.complete(Seq(PartReceipt(1, 0L, 32L, etag,
+          Some(S3Checksums.crc32cB64(bytes)))))
+      }
+      assert(ex.getMessage.contains("composite checksum mismatch"), ex.getMessage)
+    }
+  }
+
+  test("a checksum-mode receipt without a checksum is refused locally") {
+    withServer { srv =>
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k", crc32c = true)
+      sink.start()
+      val etag = sink.uploadPart(1, Array.fill(8)(1.toByte))
+      val ex = intercept[IllegalArgumentException] {
+        sink.complete(Seq(PartReceipt(1, 0L, 8L, etag))) // no checksum
+      }
+      assert(ex.getMessage.contains("carries no checksum"), ex.getMessage)
+    }
+  }
+
   test("streamed COG finalizes straight to the S3 sink (finalizeCogTo)") {
     withServer { srv =>
       import graft.streaming.CogStreamIngest
