@@ -58,18 +58,10 @@ class HttpRangeFileSystem extends FileSystem {
     // configured (s3a-style conf keys, settable per-session via
     // spark.hadoop.* or per-read as datasource options), every HEAD
     // and ranged GET carries a SigV4 signature — reads work against
-    // real S3, not just anonymous endpoints
-    val pfx = s"fs.$getScheme.sigv4"
-    val access = conf.get(s"$pfx.access.key")
-    val secret = conf.get(s"$pfx.secret.key")
-    require((access == null) == (secret == null),
-      s"$pfx.access.key and $pfx.secret.key must be set together")
-    signer = Option(access).map { ak =>
-      new graft.sink.SigV4.RequestSigner(
-        graft.sink.SigV4.Credentials(ak, secret,
-          Option(conf.get(s"$pfx.session.token"))),
-        conf.get(s"$pfx.region", "us-east-1"))
-    }
+    // real S3, not just anonymous endpoints. Key names and precedence
+    // live in ONE place: graft.sink.S3CredentialResolver.
+    signer = graft.sink.S3CredentialResolver
+      .resolveHadoop(conf, getScheme).signer()
     // at fleet scale the object store WILL throttle (503 SlowDown) and
     // connections WILL reset; a bounded retry per range request keeps
     // one transient blip from killing a whole Spark task. 4xx never
