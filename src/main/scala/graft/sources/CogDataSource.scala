@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -825,10 +825,41 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
     sets: Map[String, Set[Int]],
     dbounds: Map[String, (Option[Double], Option[Double])],
     required: StructType,
-    limit: Option[Int] = None) extends Scan with Batch {
+    limit: Option[Int] = None) extends Scan with Batch
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- runtime filtering (dynamic "partition" pruning, DSv2) ----
+  // joining the tile table against a small AOI/file table prunes at
+  // EXECUTION time the way bbox/tile-key literals prune at planning:
+  // Spark collects the build side of the broadcast join, hands the
+  // joined key's values here as In filters, and re-plans the scan.
+  // `src` prunes whole FILES (their headers are never even fetched);
+  // level/ty/tx prune tiles within files through the same allowed-set
+  // mechanism the static pushdown uses. Unhandled runtime filters are
+  // advisory — the join re-filters rows, pruning is pure optimization.
+  private var runtimeSets: Map[String, Set[Int]] = Map.empty
+  private var runtimeSrc: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array("src", "level", "ty", "tx").map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    filters.foreach {
+    case In("src", vs) =>
+      val s = vs.filter(_ != null).map(_.toString).toSet
+      runtimeSrc = Some(runtimeSrc.fold(s)(_ intersect s))
+    case In(c, vs) if Seq("level", "ty", "tx").contains(c) &&
+        vs.forall(_.isInstanceOf[Int]) =>
+      val s = vs.map(_.asInstanceOf[Int]).toSet
+      runtimeSets += c -> runtimeSets.get(c).fold(s)(_ intersect s)
+    case EqualTo("src", v: String) =>
+      runtimeSrc = Some(runtimeSrc.fold(Set(v))(_ intersect Set(v)))
+    case _ => ()
+    }
+  }
   override def description(): String = {
     val b = bounds.map { case (c, (lo, hi)) =>
       s"$c in [${lo.getOrElse("-inf")},${hi.getOrElse("inf")}]" } ++
@@ -842,7 +873,9 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
 
   private def inBounds(col: String, v: Int): Boolean = {
     val (lo, hi) = bounds.getOrElse(col, (None, None))
-    lo.forall(v >= _) && hi.forall(v <= _) && sets.get(col).forall(_.contains(v))
+    lo.forall(v >= _) && hi.forall(v <= _) &&
+      sets.get(col).forall(_.contains(v)) &&
+      runtimeSets.get(col).forall(_.contains(v))
   }
 
   /** World bounds vs every pushed geo range (shared by the tiled and
@@ -892,8 +925,14 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
         g.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
       }
     }
-    val files: Seq[String] = paths.flatMap(expandOne).distinct
-    require(files.nonEmpty, s"no .tif files under ${paths.mkString(",")}")
+    // runtime src pruning happens BEFORE header fetches: a 10k-file
+    // mosaic joined to a 3-file AOI table reads 3 headers, not 10k.
+    // An empty post-filter set is legal (join key matched nothing).
+    val allFiles: Seq[String] = paths.flatMap(expandOne).distinct
+    require(allFiles.nonEmpty, s"no .tif files under ${paths.mkString(",")}")
+    val files: Seq[String] =
+      runtimeSrc.fold(allFiles)(keep => allFiles.filter(keep.contains))
+    if (files.isEmpty) return Array.empty
 
     // headers are KB-scale but possibly numerous: parse in parallel on
     // a bounded pool (object stores serve these as ranged GETs). A
