@@ -44,6 +44,15 @@ class HttpRangeFileSystem extends FileSystem {
   private var fsUri: URI = _
   private var signer: Option[graft.sink.SigV4.RequestSigner] = None
   private var retry: RangeRetryPolicy = RangeRetryPolicy()
+  // virtual-hosted endpoints: the bucket rides the AUTHORITY
+  // (`bucket.host/key`), so paths are keys and listings address the
+  // bucket implied by the Host — AWS's default dialect
+  private var virtualHostMode: Boolean = false
+  // present (and sign) a Host different from the dialed authority —
+  // fixed-address gateways fronting virtual-hosted stores, and the
+  // only way a test can speak bucket-in-host to a loopback mock.
+  // Needs -Djdk.httpclient.allowRestrictedHeaders=host (build.sbt).
+  private var hostOverride: Option[String] = None
 
   override def getScheme: String = "http"
 
@@ -62,6 +71,8 @@ class HttpRangeFileSystem extends FileSystem {
     // live in ONE place: graft.sink.S3CredentialResolver.
     signer = graft.sink.S3CredentialResolver
       .resolveHadoop(conf, getScheme).signer()
+    virtualHostMode = conf.getBoolean(s"fs.$getScheme.s3.virtual.host", false)
+    hostOverride = Option(conf.get(s"fs.$getScheme.host.override"))
     // at fleet scale the object store WILL throttle (503 SlowDown) and
     // connections WILL reset; a bounded retry per range request keeps
     // one transient blip from killing a whole Spark task. 4xx never
@@ -82,7 +93,9 @@ class HttpRangeFileSystem extends FileSystem {
     def mkHead() = {
       val hb = HttpRequest.newBuilder(targetUri(f))
         .method("HEAD", HttpRequest.BodyPublishers.noBody())
-      signer.foreach(_.sign(hb, "HEAD", targetUri(f)))
+      hostOverride.foreach(h => hb.header("Host", h))
+      signer.foreach(_.sign(hb, "HEAD", targetUri(f),
+        hostOverride = hostOverride))
       hb.build()
     }
     val r = retry.send(http, s"HEAD ${targetUri(f)}", () => mkHead(),
@@ -97,8 +110,9 @@ class HttpRangeFileSystem extends FileSystem {
     // carries the total ("bytes 0-0/12345")
     def mkProbe() = {
       val pb = HttpRequest.newBuilder(targetUri(f)).header("Range", "bytes=0-0")
+      hostOverride.foreach(h => pb.header("Host", h))
       signer.foreach(_.sign(pb, "GET", targetUri(f),
-        extraSigned = Seq("range" -> "bytes=0-0")))
+        extraSigned = Seq("range" -> "bytes=0-0"), hostOverride = hostOverride))
       pb.GET().build()
     }
     val pr = retry.send(http, s"probe GET ${targetUri(f)}", () => mkProbe(),
@@ -122,17 +136,23 @@ class HttpRangeFileSystem extends FileSystem {
     * plans a mosaic from the listed objects. */
   private def listPrefix(f: Path): Option[Seq[FileStatus]] = {
     val p = f.toUri.getPath.stripPrefix("/")
-    if (p.isEmpty) return None
-    val seg = p.split("/", 2)
-    val bucket = seg(0)
-    val prefix = if (seg.length > 1 && seg(1).nonEmpty) s"${seg(1)}/" else ""
+    if (p.isEmpty && !virtualHostMode) return None
+    // path-style: first segment is the bucket; virtual-hosted: the
+    // bucket rides the authority, the whole path is the key prefix
+    val (bucket, prefix) =
+      if (virtualHostMode) ("", if (p.nonEmpty) s"$p/" else "")
+      else {
+        val seg = p.split("/", 2)
+        (seg(0), if (seg.length > 1 && seg(1).nonEmpty) s"${seg(1)}/" else "")
+      }
+    val keyBase = if (bucket.isEmpty) "" else s"/$bucket"
     S3Listing.list(http, s"$getScheme://${fsUri.getAuthority}", bucket, prefix,
-        signer, retry)
+        signer, retry, hostOverride = hostOverride)
       .map(_.map { e =>
         // sizes come from the listing itself — zero per-object HEADs
         // to stat a 10k-member mosaic
         new FileStatus(e.size, false, 1, 64L << 20, 0L,
-          new Path(s"$getScheme://${fsUri.getAuthority}/$bucket/${e.key}"))
+          new Path(s"$getScheme://${fsUri.getAuthority}$keyBase/${e.key}"))
       })
   }
 
@@ -153,7 +173,8 @@ class HttpRangeFileSystem extends FileSystem {
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val len = contentLength(f)
     new FSDataInputStream(
-      new HttpRangeInputStream(targetUri(f), len, http, signer, retry))
+      new HttpRangeInputStream(targetUri(f), len, http, signer, retry,
+        hostOverride))
   }
 
   override def exists(f: Path): Boolean =
@@ -202,7 +223,7 @@ class HttpsRangeFileSystem extends HttpRangeFileSystem {
   * signatures are re-minted rather than replayed. Everything else
   * (2xx, 3xx, 4xx incl. 403 signature refusals and 404) returns to
   * the caller immediately: retrying those masks real errors. */
-private[sources] final case class RangeRetryPolicy(attempts: Int = 4,
+private[graft] final case class RangeRetryPolicy(attempts: Int = 4,
     backoffMs: Long = 100L) {
   require(attempts >= 1, s"retry attempts must be >= 1: $attempts")
 
@@ -232,7 +253,8 @@ private[sources] final case class RangeRetryPolicy(attempts: Int = 4,
   * 1:1 onto tile ranges). */
 private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClient,
     signer: Option[graft.sink.SigV4.RequestSigner] = None,
-    retry: RangeRetryPolicy = RangeRetryPolicy())
+    retry: RangeRetryPolicy = RangeRetryPolicy(),
+    hostOverride: Option[String] = None)
     extends java.io.InputStream with Seekable with PositionedReadable {
 
   private var pos = 0L
@@ -243,7 +265,9 @@ private[sources] class HttpRangeInputStream(uri: URI, len: Long, http: HttpClien
     val range = s"bytes=$position-$last"
     def mk() = {
       val rb = HttpRequest.newBuilder(uri).header("Range", range)
-      signer.foreach(_.sign(rb, "GET", uri, extraSigned = Seq("range" -> range)))
+      hostOverride.foreach(h => rb.header("Host", h))
+      signer.foreach(_.sign(rb, "GET", uri, extraSigned = Seq("range" -> range),
+        hostOverride = hostOverride))
       rb.GET().build()
     }
     val r = retry.send(http, s"range GET $uri [$position-$last]", () => mk(),

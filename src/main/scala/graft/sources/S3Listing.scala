@@ -33,7 +33,8 @@ object S3Listing {
     * single-load mosaic). */
   def list(http: HttpClient, endpoint: String, bucket: String, prefix: String,
       signer: Option[SigV4.RequestSigner], retry: RangeRetryPolicy,
-      maxPages: Int = 10000): Option[Seq[Entry]] = {
+      maxPages: Int = 10000,
+      hostOverride: Option[String] = None): Option[Seq[Entry]] = {
     val out = ArrayBuffer.empty[Entry]
     var token: Option[String] = None
     var pages = 0
@@ -49,11 +50,14 @@ object S3Listing {
       // query and the signed canonical form are byte-identical (the
       // invariant RequestSigner.sign relies on when re-deriving pairs)
       val qs = SigV4.canonicalQuery(params)
+      // empty bucket = virtual-hosted dialect: the bucket rides the
+      // authority and the listing addresses the root path
       val uri = URI.create(
         s"$endpoint/${SigV4.uriEncode(bucket, encodeSlash = true)}?$qs")
       def mk(): HttpRequest = {
         val b = HttpRequest.newBuilder(uri)
-        signer.foreach(_.sign(b, "GET", uri))
+        hostOverride.foreach(h => b.header("Host", h))
+        signer.foreach(_.sign(b, "GET", uri, hostOverride = hostOverride))
         b.GET().build()
       }
       val r = retry.send(http, s"ListObjectsV2 $uri", () => mk(),

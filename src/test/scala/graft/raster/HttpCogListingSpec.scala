@@ -131,6 +131,51 @@ class HttpCogListingSpec extends SparkSpec {
     }
   }
 
+  test("virtual-hosted read parity: bucket-in-host listing plans the same mosaic") {
+    withListedMosaic { (srv, local) =>
+      val authority = srv.endpoint.stripPrefix("http://")
+      val hc = spark.sparkContext.hadoopConfiguration
+      // the bucket rides the Host; paths are keys. The override dials
+      // the loopback socket while presenting `mosaic.<endpoint>` — the
+      // same shape a fixed-address gateway fronting virtual-hosted S3
+      // uses in production
+      hc.set("fs.http.s3.virtual.host", "true")
+      hc.set("fs.http.host.override", s"mosaic.$authority")
+      try withHttpFs {
+        val df = spark.read.format("cog").load(s"${srv.endpoint}/tiles/")
+        assert(df.count() == spark.read.format("cog").load(local).count())
+        assert(srv.unboundedGets == 0)
+      } finally {
+        hc.unset("fs.http.s3.virtual.host")
+        hc.unset("fs.http.host.override")
+      }
+    }
+  }
+
+  test("virtual-hosted signed reads: signatures cover the bucket Host") {
+    withListedMosaic { (srv, local) =>
+      val creds = SigV4.Credentials("AKIDVH", "vh-secret")
+      srv.requireSigV4(creds)
+      val authority = srv.endpoint.stripPrefix("http://")
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.http.s3.virtual.host", "true")
+      hc.set("fs.http.host.override", s"mosaic.$authority")
+      hc.set("fs.http.sigv4.access.key", creds.accessKey)
+      hc.set("fs.http.sigv4.secret.key", creds.secretKey)
+      try withHttpFs {
+        val df = spark.read.format("cog").load(s"${srv.endpoint}/tiles/")
+        assert(df.count() == spark.read.format("cog").load(local).count())
+        assert(srv.verifiedRequestCount > 0,
+          "no request was signature-verified under the bucket Host")
+      } finally {
+        hc.unset("fs.http.s3.virtual.host")
+        hc.unset("fs.http.host.override")
+        hc.unset("fs.http.sigv4.access.key")
+        hc.unset("fs.http.sigv4.secret.key")
+      }
+    }
+  }
+
   test("FileSystem surface: prefix stats as a directory, listing carries sizes") {
     withListedMosaic { (srv, _) =>
       val conf = new org.apache.hadoop.conf.Configuration()
