@@ -1,0 +1,148 @@
+package graft.sink
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import scala.collection.mutable.ArrayBuffer
+
+/** Abandoned-MPU housekeeping. An in-flight multipart upload whose
+  * driver died (before the abort-on-failure path could run,
+  * [[OrderedMultipartWriter.write]]) accrues storage invisibly until
+  * aborted — on real S3, indefinitely unless a lifecycle rule exists.
+  * The reference leans on its SDK + bucket lifecycle for this; here
+  * the same two public REST calls are spoken directly:
+  *
+  *   list  GET    /{bucket}?uploads[&prefix=…]   (key/upload-id markers)
+  *   abort DELETE /{bucket}/{key}?uploadId=…
+  *
+  * `reap(endpoint, bucket, prefix)` is the operational sweep: abort
+  * every in-flight upload under a prefix — run it before re-launching
+  * a failed ingest so retries never race abandoned uploads. SigV4 and
+  * both addressing dialects work like the sink's. */
+object S3MpuJanitor {
+
+  final case class LiveUpload(key: String, uploadId: String)
+
+  private def httpClient(): HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  /** Every in-flight multipart upload under `prefix`, across however
+    * many ListMultipartUploads pages the server needs. */
+  def listUploads(endpoint: String, bucket: String, prefix: String = "",
+      credentials: Option[SigV4.Credentials] = None,
+      region: String = S3CredentialResolver.DefaultRegion,
+      virtualHost: Boolean = false,
+      maxPages: Int = 10000): Seq[LiveUpload] = {
+    val http = httpClient()
+    val signer = credentials.map(new SigV4.RequestSigner(_, region))
+    val retry = graft.sources.RangeRetryPolicy()
+    val hostOv = hostOverride(endpoint, bucket, virtualHost)
+    val base = if (virtualHost) "" else s"/${SigV4.uriEncode(bucket, encodeSlash = true)}"
+    val out = ArrayBuffer.empty[LiveUpload]
+    var marker: Option[(String, String)] = None
+    var pages = 0
+    var more = true
+    while (more) {
+      if (pages >= maxPages) throw new java.io.IOException(
+        s"ListMultipartUploads of $endpoint/$bucket prefix '$prefix' still " +
+          s"truncated after $maxPages pages")
+      pages += 1
+      val params = Seq("uploads" -> "") ++
+        (if (prefix.nonEmpty) Seq("prefix" -> prefix) else Nil) ++
+        marker.toSeq.flatMap { case (km, im) =>
+          Seq("key-marker" -> km, "upload-id-marker" -> im) }
+      val uri = URI.create(s"$endpoint$base/?${SigV4.canonicalQuery(params)}")
+      def mk(): HttpRequest = {
+        val b = HttpRequest.newBuilder(uri)
+        hostOv.foreach(h => b.header("Host", h))
+        signer.foreach(_.sign(b, "GET", uri, hostOverride = hostOv))
+        b.GET().build()
+      }
+      val r = retry.send(http, s"ListMultipartUploads $uri", () => mk(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      require(r.statusCode() == 200,
+        s"ListMultipartUploads $uri failed: HTTP ${r.statusCode()} " +
+          new String(r.body(), "UTF-8").take(500))
+      val (entries, next) = parsePage(r.body())
+      out ++= entries
+      marker = next
+      more = next.isDefined
+    }
+    out.toSeq
+  }
+
+  /** Abort every in-flight upload under `prefix`. Returns what was
+    * aborted. Aborting an upload that completed or was aborted in the
+    * meantime (NoSuchUpload) is counted as already-gone, not an error
+    * — two concurrent janitors must not fail each other. */
+  def reap(endpoint: String, bucket: String, prefix: String = "",
+      credentials: Option[SigV4.Credentials] = None,
+      region: String = S3CredentialResolver.DefaultRegion,
+      virtualHost: Boolean = false): Seq[LiveUpload] = {
+    val live = listUploads(endpoint, bucket, prefix, credentials, region,
+      virtualHost)
+    val http = httpClient()
+    val signer = credentials.map(new SigV4.RequestSigner(_, region))
+    val retry = graft.sources.RangeRetryPolicy()
+    val hostOv = hostOverride(endpoint, bucket, virtualHost)
+    val aborted = ArrayBuffer.empty[LiveUpload]
+    for (u <- live) {
+      val path = if (virtualHost) s"/${u.key}" else s"/$bucket/${u.key}"
+      val uri = URI.create(
+        s"$endpoint${SigV4.uriEncode(path, encodeSlash = false)}" +
+          s"?${SigV4.canonicalQuery(Seq("uploadId" -> u.uploadId))}")
+      def mk(): HttpRequest = {
+        val b = HttpRequest.newBuilder(uri)
+          .method("DELETE", HttpRequest.BodyPublishers.noBody())
+        hostOv.foreach(h => b.header("Host", h))
+        signer.foreach(_.sign(b, "DELETE", uri, hostOverride = hostOv))
+        b.build()
+      }
+      val r = retry.send(http, s"AbortMultipartUpload $uri", () => mk(),
+        HttpResponse.BodyHandlers.ofString())
+      if (r.statusCode() / 100 == 2) aborted += u
+      else if (r.statusCode() != 404) throw new java.io.IOException(
+        s"abort of ${u.key} upload ${u.uploadId} failed: " +
+          s"HTTP ${r.statusCode()} ${r.body().take(300)}")
+    }
+    aborted.toSeq
+  }
+
+  private def hostOverride(endpoint: String, bucket: String,
+      virtualHost: Boolean): Option[String] =
+    if (virtualHost)
+      Some(URI.create(SigV4.virtualEndpoint(endpoint, bucket)).getAuthority)
+    else None
+
+  /** (uploads, Some(nextKeyMarker -> nextUploadIdMarker) if truncated).
+    * Doctype-free parse; a malformed page fails loudly — silently
+    * treating it as empty would report a clean bucket that isn't. */
+  private def parsePage(body: Array[Byte])
+      : (Seq[LiveUpload], Option[(String, String)]) = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(body))
+    val root = doc.getDocumentElement
+    require(root != null && root.getTagName.endsWith("ListMultipartUploadsResult"),
+      s"not a ListMultipartUploadsResult: ${new String(body, "UTF-8").take(200)}")
+    def text(el: org.w3c.dom.Element, tag: String): Option[String] = {
+      val n = el.getElementsByTagName(tag)
+      if (n.getLength == 0) None else Some(n.item(0).getTextContent)
+    }
+    val ups = doc.getElementsByTagName("Upload")
+    val entries = (0 until ups.getLength).flatMap { i =>
+      val el = ups.item(i).asInstanceOf[org.w3c.dom.Element]
+      for (k <- text(el, "Key"); id <- text(el, "UploadId"))
+        yield LiveUpload(k, id)
+    }
+    val truncated = text(root, "IsTruncated").exists(_.trim == "true")
+    val next = if (truncated) {
+      val km = text(root, "NextKeyMarker")
+      val im = text(root, "NextUploadIdMarker")
+      require(km.isDefined && im.isDefined,
+        "truncated ListMultipartUploads page without next markers")
+      Some((km.get, im.get))
+    } else None
+    (entries, next)
+  }
+}

@@ -29,6 +29,8 @@ import scala.collection.immutable.SortedMap
 class MockS3Server {
 
   private val uploads = TrieMap.empty[String, TrieMap[Int, (Array[Byte], String)]]
+  // objKey each live upload was initiated for (ListMultipartUploads)
+  private val uploadKeys = TrieMap.empty[String, String]
   private val objects = TrieMap.empty[String, Array[Byte]]
   private val fail500 = new AtomicInteger(0)
   private val errorBodyCompletes = new AtomicInteger(0)
@@ -100,6 +102,54 @@ class MockS3Server {
 
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** GET /{bucket}?uploads — ListMultipartUploads: every in-flight
+    * (initiated, never completed/aborted) upload under the bucket,
+    * optionally prefix-filtered, ordered by (key, uploadId), paginated
+    * via key-marker/upload-id-marker with pages of
+    * min(max-uploads, listMaxKeys). */
+  private def listMultipartUploads(ex: HttpExchange, rawBucket: String,
+      q: Map[String, String]): Unit = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val bucket = rawBucket.stripSuffix("/")
+    if (bucket.isEmpty || bucket.contains("/")) {
+      s3Error(ex, 400, "InvalidRequest",
+        s"ListMultipartUploads needs a bucket, got '$rawBucket'")
+      return
+    }
+    listRequests.incrementAndGet()
+    val prefix = q.get("prefix").map(dec).getOrElse("")
+    val marker = (q.get("key-marker").map(dec), q.get("upload-id-marker").map(dec))
+    val pageSize = math.max(1,
+      math.min(listMaxKeys, q.get("max-uploads").map(_.toInt).getOrElse(1000)))
+    val all = uploadKeys.toSeq
+      .filter(_._2.startsWith(s"$bucket/"))
+      .map { case (id, k) => (k.stripPrefix(s"$bucket/"), id) }
+      .filter(_._1.startsWith(prefix))
+      .sorted
+    import scala.math.Ordering.Implicits._
+    val after = marker match {
+      case (Some(km), Some(im)) => all.dropWhile(e => (e: (String, String)) <= ((km, im)))
+      case (Some(km), None) => all.dropWhile(_._1 <= km)
+      case _ => all
+    }
+    val page = after.take(pageSize)
+    val truncated = after.length > page.length
+    val markers =
+      if (truncated)
+        s"<NextKeyMarker>${xmlEscape(page.last._1)}</NextKeyMarker>" +
+          s"<NextUploadIdMarker>${xmlEscape(page.last._2)}</NextUploadIdMarker>"
+      else ""
+    val entries = page.map { case (k, id) =>
+      s"<Upload><Key>${xmlEscape(k)}</Key><UploadId>${xmlEscape(id)}</UploadId></Upload>"
+    }.mkString
+    val xml = "<ListMultipartUploadsResult>" +
+      s"<Bucket>${xmlEscape(bucket)}</Bucket><Prefix>${xmlEscape(prefix)}</Prefix>" +
+      s"<MaxUploads>$pageSize</MaxUploads><IsTruncated>$truncated</IsTruncated>" +
+      s"$markers$entries</ListMultipartUploadsResult>"
+    respond(ex, 200, xml.getBytes("UTF-8"),
+      Map("Content-Type" -> "application/xml"))
+  }
 
   /** GET /{bucket}?list-type=2[&prefix=…][&continuation-token=…] — the
     * real service's pagination contract: keys in lexical order, pages
@@ -262,6 +312,7 @@ class MockS3Server {
       case ("POST", true, _, _) => // initiate
         val id = s"mpu-${uploadSeq.incrementAndGet()}-${java.util.UUID.randomUUID().toString.take(8)}"
         uploads.put(id, TrieMap.empty)
+        uploadKeys.put(id, objKey)
         respond(ex, 200,
           ("<InitiateMultipartUploadResult><Bucket/><Key/>" +
             s"<UploadId>$id</UploadId></InitiateMultipartUploadResult>").getBytes("UTF-8"),
@@ -297,8 +348,12 @@ class MockS3Server {
       case ("POST", _, Some(id), _) => // complete
         completeUpload(ex, objKey, id, new String(body, "UTF-8"))
       case ("DELETE", _, Some(id), _) => // abort
-        if (uploads.remove(id).isDefined) respond(ex, 204, Array.emptyByteArray)
-        else s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
+        if (uploads.remove(id).isDefined) {
+          uploadKeys.remove(id)
+          respond(ex, 204, Array.emptyByteArray)
+        } else s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
+      case ("GET", true, _, _) => // ListMultipartUploads
+        listMultipartUploads(ex, hostBucket.getOrElse(objKey), q)
       case ("PUT", false, None, None) => // plain PutObject (presigned drop-box)
         objects.put(objKey, body)
         respond(ex, 200, Array.emptyByteArray,
@@ -399,6 +454,7 @@ class MockS3Server {
           .values.foreach(assembled.write)
         objects.put(objKey, assembled.toByteArray)
         uploads.remove(id)
+        uploadKeys.remove(id)
         // checksummed completes answer with the composite
         // checksum-of-checksums, like the real service
         val compositeXml =

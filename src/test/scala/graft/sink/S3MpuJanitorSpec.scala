@@ -1,0 +1,100 @@
+package graft.sink
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Abandoned-MPU housekeeping against the mock's ListMultipartUploads:
+  * a crashed driver's in-flight uploads are found (paginated) and
+  * aborted, completed uploads are invisible, uploads outside the
+  * prefix survive, and the signed path verifies server-side. */
+class S3MpuJanitorSpec extends AnyFunSuite {
+
+  def withServer(f: MockS3Server => Unit): Unit = {
+    val srv = new MockS3Server
+    try f(srv) finally srv.stop()
+  }
+
+  /** Initiate an upload with one part and walk away — the crashed
+    * driver shape. */
+  def abandon(srv: MockS3Server, bucket: String, key: String,
+      creds: Option[SigV4.Credentials] = None): Unit = {
+    val s = new S3MultipartSink(srv.endpoint, bucket, key, credentials = creds)
+    s.start()
+    s.uploadPart(1, Array[Byte](1, 2, 3))
+  }
+
+  test("reap aborts every abandoned upload under the prefix, nothing else") {
+    withServer { srv =>
+      abandon(srv, "b", "stage/run1/out.tif")
+      abandon(srv, "b", "stage/run2/out.tif")
+      abandon(srv, "b", "other/keepme.tif")
+      // a COMPLETED upload must be invisible to the janitor
+      val done = new S3MultipartSink(srv.endpoint, "b", "stage/done.bin")
+      done.start()
+      val e = done.uploadPart(1, Array[Byte](9))
+      done.complete(Seq(PartReceipt(1, 0L, 1L, e)))
+
+      assert(srv.liveUploadCount == 3)
+      val listed = S3MpuJanitor.listUploads(srv.endpoint, "b", "stage/")
+      assert(listed.map(_.key).sorted ==
+        Seq("stage/run1/out.tif", "stage/run2/out.tif"))
+
+      val aborted = S3MpuJanitor.reap(srv.endpoint, "b", "stage/")
+      assert(aborted.map(_.key).sorted ==
+        Seq("stage/run1/out.tif", "stage/run2/out.tif"))
+      // the out-of-prefix upload survives and still completes
+      assert(srv.liveUploadCount == 1)
+      assert(S3MpuJanitor.listUploads(srv.endpoint, "b").map(_.key) ==
+        Seq("other/keepme.tif"))
+      assert(srv.storedObject("b", "stage/done.bin").isDefined)
+    }
+  }
+
+  test("listing paginates with key/upload-id markers") {
+    withServer { srv =>
+      for (i <- 1 to 5) abandon(srv, "b", f"stage/part$i%02d.tif")
+      srv.listMaxKeys = 2 // 5 uploads -> 3 pages
+      val before = srv.listRequestCount
+      val listed = S3MpuJanitor.listUploads(srv.endpoint, "b", "stage/")
+      assert(listed.map(_.key).sorted ==
+        (1 to 5).map(i => f"stage/part$i%02d.tif"))
+      assert(srv.listRequestCount - before >= 3,
+        s"expected paginated listing, saw ${srv.listRequestCount - before} pages")
+    }
+  }
+
+  test("signed janitor: list+abort verify server-side; reap is idempotent") {
+    withServer { srv =>
+      val creds = SigV4.Credentials("AKIDJAN", "janitor-secret")
+      abandon(srv, "b", "stage/a.tif") // abandon BEFORE auth turns on
+      srv.requireSigV4(creds)
+      val aborted = S3MpuJanitor.reap(srv.endpoint, "b", "stage/",
+        credentials = Some(creds))
+      assert(aborted.map(_.key) == Seq("stage/a.tif"))
+      assert(srv.verifiedRequestCount >= 2) // list + abort
+      assert(srv.liveUploadCount == 0)
+      // second sweep finds nothing and doesn't fail
+      assert(S3MpuJanitor.reap(srv.endpoint, "b", "stage/",
+        credentials = Some(creds)).isEmpty)
+    }
+  }
+
+  test("unsigned janitor against a private endpoint fails loudly") {
+    withServer { srv =>
+      srv.requireSigV4(SigV4.Credentials("AK", "SK"))
+      val ex = intercept[IllegalArgumentException] {
+        S3MpuJanitor.listUploads(srv.endpoint, "b")
+      }
+      assert(ex.getMessage.contains("403"), ex.getMessage)
+    }
+  }
+
+  test("virtual-hosted janitor speaks bucket-in-host for list and abort") {
+    withServer { srv =>
+      abandon(srv, "vb", "stage/x.tif")
+      val aborted = S3MpuJanitor.reap(srv.endpoint, "vb", "stage/",
+        virtualHost = true)
+      assert(aborted.map(_.key) == Seq("stage/x.tif"))
+      assert(srv.liveUploadCount == 0)
+    }
+  }
+}
