@@ -43,6 +43,9 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     crc32c: Boolean = false) extends MultipartSink {
 
   require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+  // fail at construction with the -D flag named, not per-task deep in
+  // an executor with the JDK's opaque "restricted header" error
+  if (virtualHost) SigV4.requireHostHeaderAllowed()
 
   // set by start() on the driver BEFORE the upload job serializes the
   // sink into its closure; executors read the captured value
@@ -127,23 +130,22 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     r
   }
 
-  /** Pull one element's text out of a small S3 XML response with the
-    * JDK parser (no regex over XML, no scala-xml dependency). A body
-    * that isn't well-formed XML yields None — callers treat a missing
-    * expected element as the protocol error it is. */
+  /** Pull one element's text out of a small S3 XML response
+    * (doctype-free via [[S3Xml]]). A body that isn't well-formed XML
+    * yields None — callers treat a missing expected element as the
+    * protocol error it is. */
   private def xmlText(body: String, element: String): Option[String] =
     try {
-      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      // server responses are untrusted input: no doctypes, no entities
-      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      val doc = f.newDocumentBuilder()
-        .parse(new java.io.ByteArrayInputStream(body.getBytes("UTF-8")))
-      val nodes = doc.getElementsByTagName(element)
+      val nodes = S3Xml.parse(body.getBytes("UTF-8")).getElementsByTagName(element)
       if (nodes.getLength == 0) None else Some(nodes.item(0).getTextContent)
     } catch { case _: org.xml.sax.SAXException => None }
 
   override def start(): Unit = {
-    val r = send(buildRequest("POST", Seq("uploads" -> ""), null),
+    // checksummed uploads must DECLARE the algorithm at initiation —
+    // real S3 refuses per-part x-amz-checksum-crc32c headers on an
+    // upload created without x-amz-checksum-algorithm
+    val r = send(buildRequest("POST", Seq("uploads" -> ""), null,
+      amzHeaders = if (crc32c) Seq("x-amz-checksum-algorithm" -> "CRC32C") else Nil),
       "initiate multipart upload")
     uploadId = xmlText(r.body(), "UploadId").getOrElse(
       throw new java.io.IOException(
@@ -153,9 +155,22 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
   /** Object-integrity mode: every part's base64 CRC32C rides the
     * signed `x-amz-checksum-crc32c` header so the service verifies the
     * body it RECEIVED (in-flight corruption is refused with 400
-    * BadDigest, not stored). */
+    * BadDigest, not stored). Called twice per part on the executor hot
+    * path (header in uploadPart + receipt stamp in the writer) — the
+    * reference-equality cache hashes each part's bytes once, not
+    * twice. Sinks deserialize per task, so no cross-thread sharing. */
+  @transient private var crcCache: (Array[Byte], String) = _
   override def partChecksum(bytes: Array[Byte]): Option[String] =
-    if (crc32c) Some(S3Checksums.crc32cB64(bytes)) else None
+    if (!crc32c) None
+    else {
+      val c = crcCache
+      if (c != null && (c._1 eq bytes)) Some(c._2)
+      else {
+        val v = S3Checksums.crc32cB64(bytes)
+        crcCache = (bytes, v)
+        Some(v)
+      }
+    }
 
   override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
     require(uploadId != null, "uploadPart before start()")

@@ -31,6 +31,10 @@ class MockS3Server {
   private val uploads = TrieMap.empty[String, TrieMap[Int, (Array[Byte], String)]]
   // objKey each live upload was initiated for (ListMultipartUploads)
   private val uploadKeys = TrieMap.empty[String, String]
+  // declared x-amz-checksum-algorithm per upload: real S3 refuses
+  // per-part checksum headers unless the MPU was created with the
+  // matching algorithm declaration
+  private val uploadAlgorithms = TrieMap.empty[String, String]
   private val objects = TrieMap.empty[String, Array[Byte]]
   private val fail500 = new AtomicInteger(0)
   private val errorBodyCompletes = new AtomicInteger(0)
@@ -313,6 +317,8 @@ class MockS3Server {
         val id = s"mpu-${uploadSeq.incrementAndGet()}-${java.util.UUID.randomUUID().toString.take(8)}"
         uploads.put(id, TrieMap.empty)
         uploadKeys.put(id, objKey)
+        Option(ex.getRequestHeaders.getFirst("x-amz-checksum-algorithm"))
+          .foreach(a => uploadAlgorithms.put(id, a.toUpperCase(java.util.Locale.ROOT)))
         respond(ex, 200,
           ("<InitiateMultipartUploadResult><Bucket/><Key/>" +
             s"<UploadId>$id</UploadId></InitiateMultipartUploadResult>").getBytes("UTF-8"),
@@ -323,6 +329,12 @@ class MockS3Server {
           case Some(parts) =>
             val bytes = body
             val declared = Option(ex.getRequestHeaders.getFirst("x-amz-checksum-crc32c"))
+            if (declared.isDefined && !uploadAlgorithms.get(id).contains("CRC32C")) {
+              s3Error(ex, 400, "InvalidRequest",
+                "checksum type mismatch: upload was not created with " +
+                  "x-amz-checksum-algorithm=CRC32C")
+              return
+            }
             val checksumHeaders = declared match {
               case Some(c) =>
                 // verify against what the server RECEIVED — optionally

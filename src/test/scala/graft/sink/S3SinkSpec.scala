@@ -206,6 +206,37 @@ class S3SinkSpec extends SparkSpec {
     }
   }
 
+  test("checksummed parts need the algorithm declared at initiation (real-S3 pairing)") {
+    withServer { srv =>
+      // hand-roll an MPU initiated WITHOUT x-amz-checksum-algorithm,
+      // then send a checksummed part: the service must refuse it —
+      // the pairing real S3 enforces, so a client that forgets the
+      // declaration cannot pass these tests
+      val http = java.net.http.HttpClient.newHttpClient()
+      val init = http.send(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"${srv.endpoint}/b/bare.bin?uploads="))
+        .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val id = "<UploadId>([^<]+)</UploadId>".r.findFirstMatchIn(init.body())
+        .map(_.group(1)).get
+      val body = Array.fill(16)(7.toByte)
+      val put = http.send(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(
+          s"${srv.endpoint}/b/bare.bin?partNumber=1&uploadId=$id"))
+        .header("x-amz-checksum-crc32c", S3Checksums.crc32cB64(body))
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(put.statusCode() == 400 && put.body().contains("checksum type mismatch"),
+        s"${put.statusCode()} ${put.body().take(200)}")
+      // whereas the crc32c sink declares the algorithm and is accepted
+      val sink = new S3MultipartSink(srv.endpoint, "b", "declared.bin", crc32c = true)
+      sink.start()
+      val e = sink.uploadPart(1, body)
+      sink.complete(Seq(PartReceipt(1, 0L, 16L, e, sink.partChecksum(body))))
+      assert(srv.storedObject("b", "declared.bin").isDefined)
+    }
+  }
+
   test("a checksum-mode receipt without a checksum is refused locally") {
     withServer { srv =>
       val sink = new S3MultipartSink(srv.endpoint, "b", "k", crc32c = true)
