@@ -110,28 +110,23 @@ object S3MpuJanitor {
 
   private def hostOverride(endpoint: String, bucket: String,
       virtualHost: Boolean): Option[String] =
-    if (virtualHost)
+    if (virtualHost) {
+      SigV4.requireHostHeaderAllowed()
       Some(URI.create(SigV4.virtualEndpoint(endpoint, bucket)).getAuthority)
-    else None
+    } else None
 
   /** (uploads, Some(nextKeyMarker -> nextUploadIdMarker) if truncated).
-    * Doctype-free parse; a malformed page fails loudly — silently
-    * treating it as empty would report a clean bucket that isn't. */
+    * Doctype-free parse ([[S3Xml]]); a malformed page fails loudly —
+    * silently treating it as empty would report a clean bucket that
+    * isn't. */
   private def parsePage(body: Array[Byte])
       : (Seq[LiveUpload], Option[(String, String)]) = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    val doc = f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(body))
-    val root = doc.getDocumentElement
-    require(root != null && root.getTagName.endsWith("ListMultipartUploadsResult"),
-      s"not a ListMultipartUploadsResult: ${new String(body, "UTF-8").take(200)}")
-    def text(el: org.w3c.dom.Element, tag: String): Option[String] = {
-      val n = el.getElementsByTagName(tag)
-      if (n.getLength == 0) None else Some(n.item(0).getTextContent)
-    }
-    val ups = doc.getElementsByTagName("Upload")
-    val entries = (0 until ups.getLength).flatMap { i =>
-      val el = ups.item(i).asInstanceOf[org.w3c.dom.Element]
+    import S3Xml.{elements, text}
+    val doc = S3Xml.parse(body)
+    val root = S3Xml.root(doc, "ListMultipartUploadsResult").getOrElse(
+      throw new IllegalArgumentException(
+        s"not a ListMultipartUploadsResult: ${new String(body, "UTF-8").take(200)}"))
+    val entries = elements(doc, "Upload").flatMap { el =>
       for (k <- text(el, "Key"); id <- text(el, "UploadId"))
         yield LiveUpload(k, id)
     }

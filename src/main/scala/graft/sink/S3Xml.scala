@@ -1,0 +1,35 @@
+package graft.sink
+
+/** Shared doctype-free XML handling for S3 REST responses — server
+  * bodies are untrusted input (no doctypes, no entities), and every
+  * S3 client in this repo (multipart sink, object listing, MPU
+  * janitor) parses the same way. One hardening point instead of three
+  * drifting copies. */
+private[graft] object S3Xml {
+
+  /** DOM over an untrusted response body. Throws SAXException on
+    * malformed input — callers decide whether that means "endpoint
+    * does not speak this protocol" or a mid-protocol error. */
+  def parse(body: Array[Byte]): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(body))
+  }
+
+  def text(el: org.w3c.dom.Element, tag: String): Option[String] = {
+    val n = el.getElementsByTagName(tag)
+    if (n.getLength == 0) None else Some(n.item(0).getTextContent)
+  }
+
+  /** The document's root element, when it carries the expected name
+    * (namespace-prefix tolerant). */
+  def root(doc: org.w3c.dom.Document, nameSuffix: String)
+      : Option[org.w3c.dom.Element] =
+    Option(doc.getDocumentElement).filter(_.getTagName.endsWith(nameSuffix))
+
+  /** Typed elements by tag name, document-wide. */
+  def elements(doc: org.w3c.dom.Document, tag: String): Seq[org.w3c.dom.Element] = {
+    val n = doc.getElementsByTagName(tag)
+    (0 until n.getLength).map(n.item(_).asInstanceOf[org.w3c.dom.Element])
+  }
+}

@@ -204,6 +204,21 @@ object SigV4 {
     s"${uri.getScheme}://$bucket.${uri.getAuthority}"
   }
 
+  /** The virtual-hosted dialect and Host overrides send an explicit
+    * Host header, which the JDK HttpClient refuses unless the JVM was
+    * started with `-Djdk.httpclient.allowRestrictedHeaders=host`
+    * (build.sbt sets it for this repo's forked test/run JVMs; cluster
+    * executors need it in their JVM options). Checking up front turns
+    * an opaque per-request "restricted header name" crash into an
+    * actionable configuration error. */
+  def requireHostHeaderAllowed(): Unit = {
+    val allowed = Option(System.getProperty("jdk.httpclient.allowRestrictedHeaders"))
+      .exists(_.split(",").exists(_.trim.equalsIgnoreCase("host")))
+    require(allowed,
+      "explicit Host headers (virtual-hosted addressing / host override) need " +
+        "the JVM flag -Djdk.httpclient.allowRestrictedHeaders=host")
+  }
+
   /** Current UTC time in amz format. */
   def amzNow(): String = java.time.format.DateTimeFormatter
     .ofPattern("yyyyMMdd'T'HHmmss'Z'")

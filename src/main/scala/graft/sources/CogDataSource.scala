@@ -915,14 +915,21 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
     def expandOne(one: String): Seq[String] = {
       val p = new Path(one)
       val fs = p.getFileSystem(hc)
-      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && isTif(s.getPath.getName))
-          .map(_.getPath.toString).sorted.toSeq
-      else if (fs.exists(p)) Seq(one)
-      else {
-        val g = fs.globStatus(p)
-        require(g != null && g.nonEmpty, s"no cog files match $one")
-        g.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+      // one getFileStatus decides file-vs-directory (on an S3-listing
+      // FileSystem a prefix probe is max-keys=1, not a full listing;
+      // separate exists() calls would repeat it)
+      val status =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      status match {
+        case Some(st) if st.isDirectory =>
+          fs.listStatus(p).filter(s => s.isFile && isTif(s.getPath.getName))
+            .map(_.getPath.toString).sorted.toSeq
+        case Some(_) => Seq(one)
+        case None =>
+          val g = fs.globStatus(p)
+          require(g != null && g.nonEmpty, s"no cog files match $one")
+          g.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
       }
     }
     // runtime src pruning happens BEFORE header fetches: a 10k-file

@@ -73,6 +73,7 @@ class HttpRangeFileSystem extends FileSystem {
       .resolveHadoop(conf, getScheme).signer()
     virtualHostMode = conf.getBoolean(s"fs.$getScheme.s3.virtual.host", false)
     hostOverride = Option(conf.get(s"fs.$getScheme.host.override"))
+    hostOverride.foreach(_ => graft.sink.SigV4.requireHostHeaderAllowed())
     // at fleet scale the object store WILL throttle (503 SlowDown) and
     // connections WILL reset; a bounded retry per range request keeps
     // one transient blip from killing a whole Spark task. 4xx never
@@ -85,8 +86,21 @@ class HttpRangeFileSystem extends FileSystem {
   override def getUri: URI = fsUri
 
   private def targetUri(f: Path): URI = {
+    // keys may contain spaces, '#', '%', '+' … (all legal in S3, and
+    // listings feed server-controlled keys here). Encode the wire path
+    // with the SAME encoder the SigV4 canonical form uses, so the
+    // bytes on the wire and the bytes signed cannot diverge — the
+    // discipline the sink already follows. Hadoop Path has no query
+    // concept: a presigned URL's `?X-Amz-…` rides inside the "path",
+    // so split it back out and keep it verbatim (presigning already
+    // encoded it canonically). A key containing a literal '?' must be
+    // passed pre-encoded as %3F.
     val p = f.toUri.getPath
-    URI.create(s"$getScheme://${fsUri.getAuthority}$p")
+    val qIdx = p.indexOf('?')
+    val (path, query) =
+      if (qIdx < 0) (p, "") else (p.substring(0, qIdx), p.substring(qIdx))
+    URI.create(s"$getScheme://${fsUri.getAuthority}" +
+      graft.sink.SigV4.uriEncode(path, encodeSlash = false) + query)
   }
 
   private def contentLength(f: Path): Long = {
@@ -134,7 +148,12 @@ class HttpRangeFileSystem extends FileSystem {
     * half the reference inherits from fsspec's mapper
     * (ccog/aws_tools.py:31-43): `load("http://host/bucket/prefix/")`
     * plans a mosaic from the listed objects. */
-  private def listPrefix(f: Path): Option[Seq[FileStatus]] = {
+  /** `probeOnly` asks the endpoint for AT MOST ONE key (max-keys=1,
+    * single page) — enough to answer "is this prefix non-empty?"
+    * without walking a 10k-key listing, which is all exists/
+    * getFileStatus need. */
+  private def listPrefix(f: Path, probeOnly: Boolean = false)
+      : Option[Seq[FileStatus]] = {
     val p = f.toUri.getPath.stripPrefix("/")
     if (p.isEmpty && !virtualHostMode) return None
     // path-style: first segment is the bucket; virtual-hosted: the
@@ -147,7 +166,7 @@ class HttpRangeFileSystem extends FileSystem {
       }
     val keyBase = if (bucket.isEmpty) "" else s"/$bucket"
     S3Listing.list(http, s"$getScheme://${fsUri.getAuthority}", bucket, prefix,
-        signer, retry, hostOverride = hostOverride)
+        signer, retry, hostOverride = hostOverride, probeOnly = probeOnly)
       .map(_.map { e =>
         // sizes come from the listing itself — zero per-object HEADs
         // to stat a 10k-member mosaic
@@ -162,7 +181,7 @@ class HttpRangeFileSystem extends FileSystem {
     catch {
       case e: java.io.FileNotFoundException =>
         // not an object: an S3 endpoint may still know it as a prefix
-        listPrefix(f) match {
+        listPrefix(f, probeOnly = true) match {
           case Some(entries) if entries.nonEmpty =>
             new FileStatus(0L, true, 1, 64L << 20, 0L,
               f.makeQualified(fsUri, getWorkingDirectory))

@@ -30,21 +30,26 @@ object S3Listing {
   /** All keys under `prefix` in `bucket`, across however many pages the
     * server needs. `maxPages` bounds a server that keeps handing out
     * tokens (10k pages x 1000 keys = 10M objects, far past any sane
-    * single-load mosaic). */
+    * single-load mosaic). `probeOnly` asks max-keys=1 and stops after
+    * one page — the cheap "does this prefix hold anything?" form for
+    * exists/getFileStatus, where fetching a 10k-key listing just to
+    * test nonEmpty would waste every page. */
   def list(http: HttpClient, endpoint: String, bucket: String, prefix: String,
       signer: Option[SigV4.RequestSigner], retry: RangeRetryPolicy,
       maxPages: Int = 10000,
-      hostOverride: Option[String] = None): Option[Seq[Entry]] = {
+      hostOverride: Option[String] = None,
+      probeOnly: Boolean = false): Option[Seq[Entry]] = {
     val out = ArrayBuffer.empty[Entry]
     var token: Option[String] = None
     var pages = 0
-    while (pages == 0 || token.isDefined) {
+    while (pages == 0 || (token.isDefined && !probeOnly)) {
       if (pages >= maxPages) throw new java.io.IOException(
         s"ListObjectsV2 of $endpoint/$bucket prefix '$prefix' still truncated " +
           s"after $maxPages pages")
       pages += 1
       val params = Seq("list-type" -> "2") ++
         (if (prefix.nonEmpty) Seq("prefix" -> prefix) else Nil) ++
+        (if (probeOnly) Seq("max-keys" -> "1") else Nil) ++
         token.map("continuation-token" -> _).toSeq
       // canonicalQuery pre-encodes with the SigV4 encoder, so the wire
       // query and the signed canonical form are byte-identical (the
@@ -62,6 +67,13 @@ object S3Listing {
       }
       val r = retry.send(http, s"ListObjectsV2 $uri", () => mk(),
         HttpResponse.BodyHandlers.ofByteArray())
+      // only the FIRST page may conclude "endpoint has no listing"
+      // (static hosts answer 404/405/non-XML). Once a ListBucketResult
+      // has been seen, a failed or malformed continuation page is a
+      // mid-listing ERROR — returning None here would discard the
+      // fetched pages and make the caller report a populated prefix
+      // as nonexistent.
+      val firstPage = pages == 1
       r.statusCode() match {
         case 200 => ()
         case 403 => throw new java.io.IOException(
@@ -69,10 +81,16 @@ object S3Listing {
             new String(r.body(), "UTF-8").take(500))
         case s if s >= 500 || s == 429 => throw new java.io.IOException(
           s"ListObjectsV2 $uri failed after retries: HTTP $s")
-        case _ => return None // 404/405/400…: endpoint has no listing
+        case _ if firstPage => return None
+        case s => throw new java.io.IOException(
+          s"ListObjectsV2 continuation page $pages of $uri failed: HTTP $s " +
+            new String(r.body(), "UTF-8").take(300))
       }
       parsePage(r.body()) match {
-        case None => return None // non-XML or not a ListBucketResult
+        case None if firstPage => return None // non-XML: no listing support
+        case None => throw new java.io.IOException(
+          s"ListObjectsV2 continuation page $pages of $uri returned a " +
+            s"malformed body: ${new String(r.body(), "UTF-8").take(300)}")
         case Some((entries, next)) => out ++= entries; token = next
       }
     }
@@ -83,20 +101,12 @@ object S3Listing {
     * the body is not a well-formed ListBucketResult. */
   private def parsePage(body: Array[Byte]): Option[(Seq[Entry], Option[String])] =
     try {
-      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      // server responses are untrusted input: no doctypes, no entities
-      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      val doc = f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(body))
-      val root = doc.getDocumentElement
-      if (root == null || !root.getTagName.endsWith("ListBucketResult")) return None
-      def text(el: org.w3c.dom.Element, tag: String): Option[String] = {
-        val n = el.getElementsByTagName(tag)
-        if (n.getLength == 0) None else Some(n.item(0).getTextContent)
-      }
-      val contents = doc.getElementsByTagName("Contents")
-      val entries = (0 until contents.getLength).flatMap { i =>
-        val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
-        text(el, "Key").map(k => Entry(k, text(el, "Size").map(_.trim.toLong).getOrElse(0L)))
+      val doc = graft.sink.S3Xml.parse(body)
+      val root = graft.sink.S3Xml.root(doc, "ListBucketResult").getOrElse(return None)
+      import graft.sink.S3Xml.{elements, text}
+      val entries = elements(doc, "Contents").flatMap { el =>
+        text(el, "Key").map(k =>
+          Entry(k, text(el, "Size").map(_.trim.toLong).getOrElse(0L)))
       }
       val truncated = text(root, "IsTruncated").exists(_.trim == "true")
       val next = if (truncated) {

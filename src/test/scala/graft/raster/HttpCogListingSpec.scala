@@ -176,6 +176,51 @@ class HttpCogListingSpec extends SparkSpec {
     }
   }
 
+  test("hostile keys: listed objects with space/#/%/( read back, signed") {
+    val srv = new MockS3Server
+    try {
+      val creds = SigV4.Credentials("AKIDHK", "hostile-secret")
+      val local = java.nio.file.Files.createTempDirectory("graft-hk").toString
+      // legal-in-S3 key middles that break naive URI splicing: space
+      // (IllegalArgument in URI.create), '#' (parsed as fragment), '%'
+      // (bad escape), '(' (encoded differently by URI vs SigV4)
+      val names = Seq("a b#v2.tif", "c(d)+e.tif", "100%.tif")
+      for ((name, i) <- names.zipWithIndex) {
+        val p = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+          minOverviewSize = 32,
+          geo = Some(GeoRef(10.0, 10.0, 500000.0 + i * 640.0, 6400000.0, 32633)))
+        val bytes = CogWriter.writeBytes(
+          SyntheticRaster.generate(spark, p, 90L + i), p,
+          java.nio.file.Files.createTempDirectory("graft-hk-w").toString)._1
+        java.nio.file.Files.write(java.nio.file.Paths.get(local, name), bytes)
+        srv.putObject("hk", s"tiles/$name", bytes)
+      }
+      srv.requireSigV4(creds)
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.http.sigv4.access.key", creds.accessKey)
+      hc.set("fs.http.sigv4.secret.key", creds.secretKey)
+      try withHttpFs {
+        val viaListing = spark.read.format("cog").load(s"${srv.endpoint}/hk/tiles/")
+        val viaDir = spark.read.format("cog").load(local)
+        assert(viaListing.count() == viaDir.count())
+        // per-file shape parity proves each hostile key was fetched as
+        // ITSELF (a '#' truncated to 'a b' would drop a file entirely)
+        import org.apache.spark.sql.functions._
+        def shape(df: org.apache.spark.sql.DataFrame) =
+          df.filter("level = 0")
+            .groupBy(element_at(split(col("src"), "/"), -1).as("file"))
+            .agg(count(lit(1)).as("n"), min("minx").as("minx"))
+            .orderBy("file").collect().map(_.toSeq).toSeq
+        assert(shape(viaListing) == shape(viaDir))
+        assert(srv.verifiedRequestCount > 0)
+        assert(srv.unboundedGets == 0)
+      } finally {
+        hc.unset("fs.http.sigv4.access.key")
+        hc.unset("fs.http.sigv4.secret.key")
+      }
+    } finally srv.stop()
+  }
+
   test("FileSystem surface: prefix stats as a directory, listing carries sizes") {
     withListedMosaic { (srv, _) =>
       val conf = new org.apache.hadoop.conf.Configuration()
@@ -183,8 +228,16 @@ class HttpCogListingSpec extends SparkSpec {
       conf.set("fs.http.impl.disable.cache", "true")
       val p = new org.apache.hadoop.fs.Path(s"${srv.endpoint}/mosaic/tiles")
       val fs = p.getFileSystem(conf)
+      // exists/getFileStatus only need "is the prefix non-empty?" —
+      // they must probe ONE page (max-keys=1), not walk the listing
+      srv.listMaxKeys = 1 // full listing of 3 keys would be 3 pages
+      val before = srv.listRequestCount
       val st = fs.getFileStatus(p)
       assert(st.isDirectory, "prefix with objects must stat as a directory")
+      assert(srv.listRequestCount - before == 1,
+        s"getFileStatus issued ${srv.listRequestCount - before} list requests, " +
+          "expected a single max-keys=1 probe")
+      srv.listMaxKeys = 1000
       val listed = fs.listStatus(p)
       assert(listed.length == 3, listed.map(_.getPath).mkString(", "))
       val bySuffix = listed.map(s => s.getPath.getName -> s.getLen).toMap
