@@ -186,15 +186,114 @@ object TextQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-style intra-document repetition signals: duplicate word /
+    * 2-gram / 3-gram fractions plus the keep decision the quality
+    * filter would take. Boilerplate and looped generations score high
+    * and get dropped before training. Narrow per-row ops over one
+    * scan — zero shuffles at any scale beyond the oracle-imposed
+    * final sort. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def dupFrac(col: String) =
+      round(when(size(expr(col)) > 0,
+        lit(1.0) - size(array_distinct(expr(col))).cast("double") /
+          size(expr(col)).cast("double")).otherwise(lit(0.0)), 4)
+    Fixtures.documents(spark, sfDir)
+      .withColumn("w", split(lower(trim($"text")), " "))
+      // element_at is 1-based; sequence() picks a NEGATIVE step when
+      // stop < start, so short docs must short-circuit to empty
+      .withColumn("g2", when(size($"w") >= 2, expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("g3", when(size($"w") >= 3, expr(
+        "transform(sequence(1, size(w) - 2), i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("dup_word_frac", dupFrac("w"))
+      .withColumn("dup_2gram_frac", dupFrac("g2"))
+      .withColumn("dup_3gram_frac", dupFrac("g3"))
+      .select($"doc_id", size($"w").cast("long").as("n_words"),
+        $"dup_word_frac", $"dup_2gram_frac", $"dup_3gram_frac",
+        ($"dup_word_frac" <= 0.3 && $"dup_2gram_frac" <= 0.2 &&
+          $"dup_3gram_frac" <= 0.18).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, w,
+      |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS g2,
+      |    list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS g3
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, len(w) AS n_words,
+      |    round(CASE WHEN len(w) > 0
+      |      THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |      ELSE 0.0 END, 4) AS dup_word_frac,
+      |    round(CASE WHEN len(g2) > 0
+      |      THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+      |      ELSE 0.0 END, 4) AS dup_2gram_frac,
+      |    round(CASE WHEN len(g3) > 0
+      |      THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+      |      ELSE 0.0 END, 4) AS dup_3gram_frac
+      |  FROM g)
+      |SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+      |  (dup_word_frac <= 0.3 AND dup_2gram_frac <= 0.2 AND
+      |   dup_3gram_frac <= 0.18) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Token-budget sequence packing: assign each document an offset in
+    * a fixed-size context window stream (budget 2048 whitespace
+    * tokens), packing greedily in doc_id order WITHIN EACH SOURCE —
+    * the realistic 100 TB shape, where each source/shard packs as its
+    * own parallel window instead of one global single-partition sort.
+    * pack_id = exclusive-prefix-sum div budget; a document longer than
+    * the budget still gets a pack of its own. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Fixtures.documents(spark, sfDir)
+      .withColumn("tokens", size(split(trim($"text"), "\\s+")).cast("long"))
+      .withColumn("pre", coalesce(sum($"tokens").over(w), lit(0L)))
+      .select($"source", $"doc_id", $"tokens",
+        ($"pre" / budget).cast("long").as("pack_id"),
+        ($"pre" % budget).as("pack_offset"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, tokens,
+      |    COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM t)
+      |SELECT source, doc_id, tokens,
+      |  CAST(pre // 2048 AS BIGINT) AS pack_id,
+      |  CAST(pre % 2048 AS BIGINT) AS pack_offset
+      |FROM p ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_token_count" -> (textTokenCount _),
+    "q_text_repetition" -> (textRepetition _),
+    "q_pack_sequences" -> (packSequences _),
     "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(
     "q_text_quality" -> textQualitySql,
     "q_text_token_count" -> textTokenCountSql,
+    "q_text_repetition" -> textRepetitionSql,
+    "q_pack_sequences" -> packSequencesSql,
     "q_text_pii" -> textPiiSql)
 }
