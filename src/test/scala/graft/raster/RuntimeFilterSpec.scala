@@ -136,6 +136,27 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("under AQE (the default), the runtime-filtered join stays correct") {
+    // AQE wraps stages so the scan node isn't directly inspectable the
+    // same way; what must hold regardless is correctness under the
+    // default config the cluster actually runs with
+    withConf("spark.sql.adaptive.enabled" -> "true") {
+      import spark.implicits._
+      val fact = spark.read.format("cog").load(mosaicDir)
+      val allSrc = fact.select("src").distinct().as[String].collect().sorted
+      val keep = allSrc.last
+      val dim = dimTable(allSrc.toSeq.map(s =>
+        (s, if (s == keep) "keep" else "drop")), ("file_src", "tag"))
+      val joined = fact.join(broadcast(dim.where($"tag" === "keep")),
+        $"src" === $"file_src")
+      val viaJoin = joined.select("src", "level", "ty", "tx").collect()
+        .map(_.toSeq).toSet
+      val static = fact.where($"src" === keep)
+        .select("src", "level", "ty", "tx").collect().map(_.toSeq).toSet
+      assert(viaJoin == static && viaJoin.nonEmpty)
+    }
+  }
+
   test("a join key matching nothing plans zero partitions, returns zero rows") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       import spark.implicits._

@@ -276,6 +276,30 @@ class S3SinkSpec extends SparkSpec {
     }
   }
 
+  test("everything-on COG write: signed + virtual-hosted + CRC32C, byte-exact") {
+    withServer { srv =>
+      val creds = SigV4.Credentials("AKIDFULL", "full-secret")
+      srv.requireSigV4(creds)
+      val ND = -9999.0
+      val prof = RasterProfile(96, 64, blockSize = 16, nodata = ND,
+        resampling = "average", minOverviewSize = 32, dtype = "float64")
+      val level0 = SyntheticRaster.generate(spark, prof, seed = 29L)
+      val sink = new S3MultipartSink(srv.endpoint, "rasters", "full/out.tif",
+        credentials = Some(creds), virtualHost = true, crc32c = true)
+      val res = CogWriter.write(level0, prof, sink)
+      val viaS3 = srv.storedObject("rasters", "full/out.tif").get
+      assert(viaS3.length.toLong == res.totalLen)
+      val (local, _) = CogWriter.writeBytes(
+        SyntheticRaster.generate(spark, prof, seed = 29L), prof,
+        java.nio.file.Files.createTempDirectory("graft-s3full").toString)
+      assert(java.util.Arrays.equals(viaS3, local))
+      assert(srv.verifiedRequestCount > 0)
+      assert(srv.checksumVerifiedParts > 0,
+        "no part checksum was verified server-side")
+      assert(srv.liveUploadCount == 0)
+    }
+  }
+
   test("real COG pipeline through the S3 protocol: GET bytes == local write") {
     withServer { srv =>
       val ND = -9999.0
