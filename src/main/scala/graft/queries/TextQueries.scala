@@ -246,40 +246,43 @@ object TextQueries {
 
   /** Token-budget sequence packing: assign each document an offset in
     * a fixed-size context window stream (budget 2048 whitespace
-    * tokens), packing greedily in doc_id order WITHIN EACH SOURCE —
-    * the realistic 100 TB shape, where each source/shard packs as its
-    * own parallel window instead of one global single-partition sort.
-    * pack_id = exclusive-prefix-sum div budget; a document longer than
-    * the budget still gets a pack of its own. */
+    * tokens), packing greedily in doc_id order WITHIN EACH
+    * (source, shard) — packing is inherently sequential within its
+    * stream, so the scale unit is the shard (250 docs here, a file in
+    * production): windows parallelize across shards where a per-source
+    * (low-cardinality) or global pack would serialize into a handful
+    * of giant partitions. pack_id = exclusive-prefix-sum div budget;
+    * a document longer than the budget still gets a pack of its own. */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val budget = 2048L
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Fixtures.documents(spark, sfDir)
+      .withColumn("shard", expr("doc_id div 250").cast("long"))
       .withColumn("tokens", size(split(trim($"text"), "\\s+")).cast("long"))
       .withColumn("pre", coalesce(sum($"tokens").over(w), lit(0L)))
-      .select($"source", $"doc_id", $"tokens",
+      .select($"source", $"shard", $"doc_id", $"tokens",
         ($"pre" / budget).cast("long").as("pack_id"),
         ($"pre" % budget).as("pack_offset"))
-      .orderBy($"source", $"doc_id")
+      .orderBy($"source", $"shard", $"doc_id")
   }
 
   val packSequencesSql: String =
     """WITH t AS (
-      |  SELECT source, doc_id,
+      |  SELECT source, CAST(doc_id // 250 AS BIGINT) AS shard, doc_id,
       |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
       |  FROM documents),
       |p AS (
-      |  SELECT source, doc_id, tokens,
-      |    COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |  SELECT source, shard, doc_id, tokens,
+      |    COALESCE(SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
       |  FROM t)
-      |SELECT source, doc_id, tokens,
+      |SELECT source, shard, doc_id, tokens,
       |  CAST(pre // 2048 AS BIGINT) AS pack_id,
       |  CAST(pre % 2048 AS BIGINT) AS pack_offset
-      |FROM p ORDER BY source, doc_id""".stripMargin
+      |FROM p ORDER BY source, shard, doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
