@@ -27,8 +27,14 @@ trait MultipartSink extends Serializable {
   def uploadPart(partNumber: Int, bytes: Array[Byte]): String
   /** The per-part integrity token a receipt should carry for these
     * bytes — Some(base64 CRC32C) on sinks running with checksums,
-    * None (default) otherwise. Pure function of the bytes, so the
-    * writer can stamp receipts executor-side. */
+    * None (default) otherwise. Computed executor-side so the writer
+    * can stamp receipts. CONTRACT: implementations may cache by array
+    * reference (each part is hashed once, for the upload header AND
+    * the receipt), so callers must pass a part's OWN array and must
+    * not mutate or reuse it between uploadPart and partChecksum —
+    * OrderedMultipartWriter allocates per part via toByteArray. A
+    * violated contract fails loudly: the server refuses the part's
+    * stale checksum with 400 BadDigest. */
   def partChecksum(bytes: Array[Byte]): Option[String] = None
   /** Driver-side finalize; receipts arrive sorted by partNumber. */
   def complete(receipts: Seq[PartReceipt]): Unit

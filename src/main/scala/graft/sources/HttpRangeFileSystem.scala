@@ -86,21 +86,18 @@ class HttpRangeFileSystem extends FileSystem {
   override def getUri: URI = fsUri
 
   private def targetUri(f: Path): URI = {
-    // keys may contain spaces, '#', '%', '+' … (all legal in S3, and
-    // listings feed server-controlled keys here). Encode the wire path
-    // with the SAME encoder the SigV4 canonical form uses, so the
-    // bytes on the wire and the bytes signed cannot diverge — the
-    // discipline the sink already follows. Hadoop Path has no query
-    // concept: a presigned URL's `?X-Amz-…` rides inside the "path",
-    // so split it back out and keep it verbatim (presigning already
-    // encoded it canonically). A key containing a literal '?' must be
-    // passed pre-encoded as %3F.
+    // paths are WIRE-FORMAT (percent-encoded) and pass through
+    // verbatim, exactly like a URL in a browser: presigned URLs from
+    // SigV4.presignUrl arrive already canonically encoded (re-encoding
+    // would '%'→'%25' their path and break the signature), and
+    // [[listPrefix]] encodes listed keys at the source — so keys with
+    // spaces, '#', '%', even '?' work end-to-end off a listing. A
+    // caller constructing an object URL BY HAND must encode it the
+    // same way (SigV4.uriEncode), as with any URL. Hadoop Path
+    // round-trips the string: its constructor quotes the '%'s and
+    // getPath un-quotes them, handing back the single-encoded form.
     val p = f.toUri.getPath
-    val qIdx = p.indexOf('?')
-    val (path, query) =
-      if (qIdx < 0) (p, "") else (p.substring(0, qIdx), p.substring(qIdx))
-    URI.create(s"$getScheme://${fsUri.getAuthority}" +
-      graft.sink.SigV4.uriEncode(path, encodeSlash = false) + query)
+    URI.create(s"$getScheme://${fsUri.getAuthority}$p")
   }
 
   private def contentLength(f: Path): Long = {
@@ -169,9 +166,14 @@ class HttpRangeFileSystem extends FileSystem {
         signer, retry, hostOverride = hostOverride, probeOnly = probeOnly)
       .map(_.map { e =>
         // sizes come from the listing itself — zero per-object HEADs
-        // to stat a 10k-member mosaic
+        // to stat a 10k-member mosaic. Keys are server-controlled and
+        // may hold any legal S3 character (space, '#', '%', '?'):
+        // encode them HERE so every downstream path is wire-format —
+        // [[targetUri]] then passes it through verbatim, the same
+        // convention presigned URLs arrive in.
         new FileStatus(e.size, false, 1, 64L << 20, 0L,
-          new Path(s"$getScheme://${fsUri.getAuthority}$keyBase/${e.key}"))
+          new Path(s"$getScheme://${fsUri.getAuthority}$keyBase/" +
+            graft.sink.SigV4.uriEncode(e.key, encodeSlash = false)))
       })
   }
 

@@ -183,8 +183,9 @@ class HttpCogListingSpec extends SparkSpec {
       val local = java.nio.file.Files.createTempDirectory("graft-hk").toString
       // legal-in-S3 key middles that break naive URI splicing: space
       // (IllegalArgument in URI.create), '#' (parsed as fragment), '%'
-      // (bad escape), '(' (encoded differently by URI vs SigV4)
-      val names = Seq("a b#v2.tif", "c(d)+e.tif", "100%.tif")
+      // (bad escape), '(' (encoded differently by URI vs SigV4), '?'
+      // (parsed as a query delimiter)
+      val names = Seq("a b#v2.tif", "c(d)+e.tif", "100%.tif", "q?v.tif")
       for ((name, i) <- names.zipWithIndex) {
         val p = RasterProfile(64, 48, blockSize = 16, nodata = ND,
           minOverviewSize = 32,
@@ -203,15 +204,23 @@ class HttpCogListingSpec extends SparkSpec {
         val viaListing = spark.read.format("cog").load(s"${srv.endpoint}/hk/tiles/")
         val viaDir = spark.read.format("cog").load(local)
         assert(viaListing.count() == viaDir.count())
-        // per-file shape parity proves each hostile key was fetched as
-        // ITSELF (a '#' truncated to 'a b' would drop a file entirely)
+        // per-file shape parity, keyed by each file's distinct origin
+        // (listed src basenames are wire-encoded, local ones raw):
+        // proves each hostile key was fetched as ITSELF — a '#'
+        // truncated to 'a b' or a '?' split as a query would drop or
+        // corrupt that file's tiles
         import org.apache.spark.sql.functions._
         def shape(df: org.apache.spark.sql.DataFrame) =
           df.filter("level = 0")
-            .groupBy(element_at(split(col("src"), "/"), -1).as("file"))
-            .agg(count(lit(1)).as("n"), min("minx").as("minx"))
-            .orderBy("file").collect().map(_.toSeq).toSeq
+            .groupBy(col("minx")).agg(count(lit(1)).as("n"))
+            .orderBy("minx").collect().map(_.toSeq).toSeq
         assert(shape(viaListing) == shape(viaDir))
+        // every hostile-keyed file contributed tiles from ITS origin
+        val origins = viaListing.filter("level = 0")
+          .selectExpr("cast(floor((minx - 500000) / 640) as long) as f")
+          .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        assert(origins == (0 until names.length).map(_.toLong),
+          s"expected one origin per hostile key, got $origins")
         assert(srv.verifiedRequestCount > 0)
         assert(srv.unboundedGets == 0)
       } finally {

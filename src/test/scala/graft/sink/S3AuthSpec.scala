@@ -111,6 +111,30 @@ class S3AuthSpec extends AnyFunSuite {
     }
   }
 
+  test("a presigned URL for a hostile key reads through the range FileSystem") {
+    withAuthServer { srv =>
+      // the regression shape: presigned paths arrive ALREADY encoded,
+      // and the FileSystem must pass them through verbatim — a
+      // re-encode turns %20 into %2520 and breaks the signature
+      val bytes = Array.tabulate(2048)(i => (i * 13).toByte)
+      srv.putObject("res", "dir sub/a b#1%x.bin", bytes)
+      val url = SigV4.presignUrl(creds, "us-east-1", "s3", "GET", srv.endpoint,
+        "/res/dir sub/a b#1%x.bin", expires = 600, timestamp = SigV4.amzNow())
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.http.impl",
+        classOf[graft.sources.HttpRangeFileSystem].getName)
+      conf.set("fs.http.impl.disable.cache", "true")
+      val p = new org.apache.hadoop.fs.Path(url)
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p) // reader holds NO credentials: query auth only
+      try {
+        val buf = new Array[Byte](bytes.length)
+        in.readFully(0L, buf)
+        assert(buf.sameElements(bytes))
+      } finally in.close()
+    }
+  }
+
   test("presigned PUT: drop-box upload with the bare URL; tamper/expiry/method refused") {
     withAuthServer { srv =>
       val http = HttpClient.newHttpClient()
