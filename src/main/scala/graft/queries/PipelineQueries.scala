@@ -309,12 +309,65 @@ object PipelineQueries {
       .toDF("rows_kept", "rows_seen", "high_discount", "min_qty", "max_qty")
   }
 
+  /** Corpus-level span dedup, the C4-style sibling of whole-document
+    * dedup: chop each document into consecutive non-overlapping 8-word
+    * spans, count how many DISTINCT documents each normalized span
+    * occurs in corpus-wide, and report per-document the fraction of
+    * its spans shared with at least one other document — the signal
+    * behind "remove any three-sentence span occurring twice" rules.
+    * Shape at 100 TB: explode is narrow, the span table groups on a
+    * well-distributed hash-like key (spans), the doc re-aggregation
+    * groups on doc_id — two honest shuffles, no quadratic term, and
+    * span cardinality ≈ token count / 8. */
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Fixtures.documents(spark, sfDir)
+      .withColumn("w", split(lower(trim($"text")), "\\s+"))
+      .withColumn("span", explode(expr(
+        "transform(sequence(0, greatest(size(w) div 8 - 1, 0)), i -> array_join(slice(w, i * 8 + 1, 8), ' '))")))
+      .select($"doc_id", $"span")
+    val shared = spans.groupBy($"span")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .where($"n_docs" >= 2)
+    spans.join(shared, Seq("span"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"n_docs".isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round($"n_shared".cast("double") / $"n_spans", 4))
+      .where($"n_shared" > 0)
+      .select($"doc_id", $"n_spans", $"n_shared", $"shared_frac")
+      .orderBy($"doc_id")
+  }
+
+  val dedupSpansSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, greatest(len(w) // 8 - 1, 0) + 1),
+      |    i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' '))) AS span
+      |  FROM d),
+      |g AS (
+      |  SELECT span, count(DISTINCT doc_id) AS n_docs
+      |  FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+      |j AS (
+      |  SELECT s.doc_id, count(*) AS n_spans,
+      |    CAST(sum(CASE WHEN g.n_docs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |  FROM s LEFT JOIN g USING (span)
+      |  GROUP BY s.doc_id)
+      |SELECT doc_id, n_spans, n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / n_spans, 4) AS shared_frac
+      |FROM j WHERE n_shared > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_observe" -> (pipelineObserve _),
     "q_dedup_url" -> (dedupUrl _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_cross_source" -> (dedupCrossSource _),
     "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_spans" -> (dedupSpans _),
     "q_sim_topk" -> (simTopk _),
     "q_text_tokens" -> (textTokens _))
 
@@ -323,6 +376,7 @@ object PipelineQueries {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_cross_source" -> dedupCrossSourceSql,
     "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_spans" -> dedupSpansSql,
     "q_sim_topk" -> simTopkSql,
     "q_text_tokens" -> textTokensSql)
 }

@@ -53,10 +53,63 @@ object SamplingQueries {
       .orderBy($"lang")
   }
 
+  /** Domain-mixture reweighting: per-source token counts → the
+    * sampling weight that hits a declared target mixture (equal token
+    * share per source here; any target vector works the same way) and
+    * the expected post-sampling token count. THE knob of data mixing —
+    * run before every ablation to answer "repeat web 0.3x, books
+    * 2.1x". One groupBy (sources are few) + a window total over the
+    * GROUPED result — the window input is n_sources rows, not the
+    * corpus, so the plan is one real shuffle plus metadata-scale
+    * post-processing at any corpus size. */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Fixtures.documents(spark, sfDir)
+      .withColumn("tokens", size(split(trim($"text"), "\\s+")).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("tokens"))
+    val all = Window.partitionBy()
+    perSource
+      .withColumn("total", sum($"tokens").over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .withColumn("share", $"tokens".cast("double") / $"total")
+      // equal-token target: weight = target_share / actual_share
+      .withColumn("wt", (lit(1.0) / $"n_sources") / $"share")
+      .select($"source", $"n_docs", $"tokens",
+        round($"share", 4).as("token_share"),
+        round($"wt", 4).as("weight"),
+        round($"tokens" * $"wt", 2).as("expected_tokens"))
+      .orderBy($"source")
+  }
+
+  val mixWeightsSql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |t AS (
+      |  SELECT source, n_docs, tokens,
+      |    CAST(sum(tokens) OVER () AS BIGINT) AS total,
+      |    count(*) OVER () AS n_sources
+      |  FROM s),
+      |w AS (
+      |  SELECT source, n_docs, tokens,
+      |    CAST(tokens AS DOUBLE) / total AS share,
+      |    (1.0 / n_sources) / (CAST(tokens AS DOUBLE) / total) AS wt
+      |  FROM t)
+      |SELECT source, n_docs, tokens,
+      |  round(share, 4) AS token_share,
+      |  round(wt, 4) AS weight,
+      |  round(tokens * wt, 2) AS expected_tokens
+      |FROM w ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_train" -> (splitTrain _),
-    "q_sample_stratified" -> (sampleStratified _))
+    "q_sample_stratified" -> (sampleStratified _),
+    "q_mix_weights" -> (mixWeights _))
 
   val oracle: Map[String, String] = Map(
-    "q_split_train" -> splitTrainSql)
+    "q_split_train" -> splitTrainSql,
+    "q_mix_weights" -> mixWeightsSql)
 }
