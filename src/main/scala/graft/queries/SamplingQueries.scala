@@ -66,7 +66,7 @@ object SamplingQueries {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val perSource = Fixtures.documents(spark, sfDir)
-      .withColumn("tokens", size(split(trim($"text"), "\\s+")).cast("long"))
+      .withColumn("tokens", TextQueries.tokenCount($"text"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("tokens"))
     val all = Window.partitionBy()

@@ -13,6 +13,13 @@ import graft.text.{LangId, Winnowing}
   * PipelineQueries. */
 object TextQueries {
 
+  /** THE whitespace token count — shared by packing, mixture weights,
+    * and any future consumer so the token definition cannot drift
+    * between the corpus stats and the decisions made from them.
+    * Oracle twin: `len(regexp_split_to_array(trim(text), '\s+'))`. */
+  def tokenCount(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(split(trim(c), "\\s+")).cast("long")
+
   /** Per-document quality signals: word/BPE-ish token counts, distinct
     * ratio (soup repetition), stopword ratio, mean word length, and a
     * bounded composite score. All narrow ops over one scan — at 100 TB
@@ -261,7 +268,7 @@ object TextQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     Fixtures.documents(spark, sfDir)
       .withColumn("shard", expr("doc_id div 250").cast("long"))
-      .withColumn("tokens", size(split(trim($"text"), "\\s+")).cast("long"))
+      .withColumn("tokens", tokenCount($"text"))
       .withColumn("pre", coalesce(sum($"tokens").over(w), lit(0L)))
       .select($"source", $"shard", $"doc_id", $"tokens",
         ($"pre" / budget).cast("long").as("pack_id"),

@@ -149,9 +149,33 @@ class HttpRangeFileSystem extends FileSystem {
     * single page) — enough to answer "is this prefix non-empty?"
     * without walking a 10k-key listing, which is all exists/
     * getFileStatus need. */
+  /** Percent-decode a wire-format path component. '+' stays literal
+    * (URL *path* semantics — URLDecoder's form-encoding '+'→space rule
+    * would corrupt keys containing a real plus). */
+  private def percentDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else {
+        out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   private def listPrefix(f: Path, probeOnly: Boolean = false)
       : Option[Seq[FileStatus]] = {
-    val p = f.toUri.getPath.stripPrefix("/")
+    // paths arrive WIRE-FORMAT (see [[targetUri]]); the ListObjectsV2
+    // prefix parameter wants the DECODED key prefix — S3Listing
+    // re-encodes it canonically into the query string. Without this
+    // decode, a prefix like `my%20tiles/` would be double-encoded and
+    // silently match nothing.
+    val p = percentDecode(f.toUri.getPath).stripPrefix("/")
     if (p.isEmpty && !virtualHostMode) return None
     // path-style: first segment is the bucket; virtual-hosted: the
     // bucket rides the authority, the whole path is the key prefix
@@ -170,7 +194,16 @@ class HttpRangeFileSystem extends FileSystem {
         // may hold any legal S3 character (space, '#', '%', '?'):
         // encode them HERE so every downstream path is wire-format —
         // [[targetUri]] then passes it through verbatim, the same
-        // convention presigned URLs arrive in.
+        // convention presigned URLs arrive in. The ONE unrepresentable
+        // class: empty path segments ('//', or a leading '/') — Hadoop
+        // Path normalization collapses them, so the request would
+        // silently address a DIFFERENT key; refuse loudly instead
+        // (encoding the slashes would break SigV4 parity on real S3,
+        // which canonicalizes the path as received).
+        require(!e.key.contains("//") && !e.key.startsWith("/"),
+          s"listed key '${e.key}' has empty path segments, which Hadoop " +
+            "Path cannot represent — rename the object or load it via a " +
+            "presigned URL")
         new FileStatus(e.size, false, 1, 64L << 20, 0L,
           new Path(s"$getScheme://${fsUri.getAuthority}$keyBase/" +
             graft.sink.SigV4.uriEncode(e.key, encodeSlash = false)))

@@ -230,6 +230,42 @@ class HttpCogListingSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("an encodable-character PREFIX lists and reads (wire-format in, decoded out)") {
+    val srv = new MockS3Server
+    try {
+      val p = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+        minOverviewSize = 32,
+        geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
+      val bytes = CogWriter.writeBytes(
+        SyntheticRaster.generate(spark, p, 95L), p,
+        java.nio.file.Files.createTempDirectory("graft-pfx-w").toString)._1
+      srv.putObject("hk", "my tiles/a.tif", bytes)
+      withHttpFs {
+        // the prefix is passed wire-format (my%20tiles); the listing
+        // must decode it before re-encoding into the query, or it
+        // double-encodes and silently matches nothing
+        val df = spark.read.format("cog").load(s"${srv.endpoint}/hk/my%20tiles/")
+        assert(df.count() > 0)
+      }
+    } finally srv.stop()
+  }
+
+  test("a listed key with empty path segments is refused loudly, not misread") {
+    val srv = new MockS3Server
+    try {
+      srv.putObject("hk", "tiles//bad.tif", Array[Byte](1, 2, 3))
+      withHttpFs {
+        val ex = intercept[Exception] {
+          spark.read.format("cog").load(s"${srv.endpoint}/hk/tiles/").count()
+        }
+        val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+        assert(msgs.contains("empty path segments"),
+          s"expected the unrepresentable key to be named: $msgs")
+      }
+    } finally srv.stop()
+  }
+
   test("FileSystem surface: prefix stats as a directory, listing carries sizes") {
     withListedMosaic { (srv, _) =>
       val conf = new org.apache.hadoop.conf.Configuration()
