@@ -136,6 +136,42 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("the STRIPED planner honors runtime filters too (ty In from a join)") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      import spark.implicits._
+      // a strip-organized plain TIFF (GDAL's default layout) routed
+      // through the same DSv2 source: runtime ty pruning must flow
+      // through planStriped's shared inBounds path
+      val width = 40; val height = 25; val rps = 8
+      val nStrips = (height + rps - 1) / rps
+      val strips = (0 until nStrips).map { si =>
+        val rows = math.min(rps, height - si * rps)
+        TileCodec.deflate(Array.tabulate(rows * width)(i => (i % 251).toByte))
+      }.toArray
+      val f = java.nio.file.Files.createTempDirectory("graft-dpp-strip")
+        .resolve("s.tif")
+      java.nio.file.Files.write(f, ClassicTiff.emitStripped(width, height, rps, 8, strips))
+      val fact = spark.read.format("cog").load("file://" + f)
+
+      val dim = dimTable(
+        (0 until nStrips).map(i => (i.toString, if (i == 1) "keep" else "drop")),
+        ("sid", "tag"))
+      val joined = fact.join(
+        broadcast(dim.where($"tag" === "keep").withColumn("sid_i", $"sid".cast("int"))),
+        $"ty" === $"sid_i")
+      val rows2 = joined.collect()
+      assert(rows2.map(_.getAs[Int]("ty")).toSeq == Seq(1))
+
+      val scan = cogScans(joined.queryExecution.executedPlan).head
+      if (scan.runtimeFilters.nonEmpty) {
+        val planned = scan.scan.toBatch.planInputPartitions()
+          .map(_.asInstanceOf[CogInputPartition])
+        assert(planned.flatMap(_.tiles).map(_.ti).toSeq == Seq(1),
+          s"striped runtime pruning planned strips ${planned.flatMap(_.tiles).map(_.ti).toSeq}")
+      }
+    }
+  }
+
   test("under AQE (the default), the runtime-filtered join stays correct") {
     // AQE wraps stages so the scan node isn't directly inspectable the
     // same way; what must hold regardless is correctness under the
