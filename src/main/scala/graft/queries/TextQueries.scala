@@ -291,6 +291,43 @@ object TextQueries {
       |  CAST(pre % 2048 AS BIGINT) AS pack_offset
       |FROM p ORDER BY source, shard, doc_id""".stripMargin
 
+  /** Materialize the packed sequences: concatenate each pack's
+    * documents with an <eod> separator in doc_id order — the step that
+    * turns the packing PLAN (q_pack_sequences) into actual training
+    * payloads. Deterministic ordered concat in a distributed engine
+    * needs sort-then-join over collected structs (collect_list alone
+    * is merge-order-nondeterministic — same discipline as
+    * q_agg_string_agg). Output carries sizes + a payload prefix, not
+    * the whole payload, so the oracle hash stays row-shaped. */
+  def packMaterialize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val packed = packSequences(spark, sfDir)
+      .select($"source", $"shard", $"doc_id", $"tokens", $"pack_id")
+    val docs = Fixtures.documents(spark, sfDir).select($"doc_id", $"text")
+    packed.join(docs, Seq("doc_id"))
+      .groupBy($"source", $"shard", $"pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"tokens").as("pack_tokens"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(doc_id, text))), x -> x.text)"),
+          "<eod>").as("payload"))
+      .select($"source", $"shard", $"pack_id", $"n_docs", $"pack_tokens",
+        length($"payload").cast("long").as("payload_len"),
+        substring($"payload", 1, 64).as("payload_head"))
+      .orderBy($"source", $"shard", $"pack_id")
+  }
+
+  val packMaterializeSql: String =
+    s"""WITH packed AS ($packSequencesSql)
+       |SELECT p.source, p.shard, p.pack_id, count(*) AS n_docs,
+       |  CAST(sum(p.tokens) AS BIGINT) AS pack_tokens,
+       |  CAST(length(string_agg(d.text, '<eod>' ORDER BY p.doc_id)) AS BIGINT) AS payload_len,
+       |  substr(string_agg(d.text, '<eod>' ORDER BY p.doc_id), 1, 64) AS payload_head
+       |FROM packed p JOIN documents d USING (doc_id)
+       |GROUP BY p.source, p.shard, p.pack_id
+       |ORDER BY p.source, p.shard, p.pack_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangid _),
@@ -298,6 +335,7 @@ object TextQueries {
     "q_text_token_count" -> (textTokenCount _),
     "q_text_repetition" -> (textRepetition _),
     "q_pack_sequences" -> (packSequences _),
+    "q_pack_materialize" -> (packMaterialize _),
     "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(
@@ -305,5 +343,6 @@ object TextQueries {
     "q_text_token_count" -> textTokenCountSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_pack_materialize" -> packMaterializeSql,
     "q_text_pii" -> textPiiSql)
 }
