@@ -1,0 +1,44 @@
+package graft
+
+import graft.queries.{PipelineQueries, SamplingQueries, TextQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Plan-shape pins for the round-14 pipeline operators: the SCALE.md
+  * claims ("narrow map, no shuffle", "two honest shuffles") asserted
+  * against the actual physical plans, so a refactor that silently
+  * introduces an extra exchange fails here instead of surfacing as a
+  * bench regression three rounds later. Counts are UPPER bounds — the
+  * oracle-imposed final ORDER BY contributes one range exchange to
+  * every query. */
+class PlanShapeSpec extends SparkSpec {
+
+  def shuffles(df: DataFrame): Int = {
+    df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeLike => s
+    }.length
+  }
+
+  test("q_text_repetition is a narrow map: only the final sort shuffles") {
+    assert(shuffles(TextQueries.textRepetition(spark, sfDir)) <= 1)
+  }
+
+  test("q_pack_sequences: one window shuffle + the final sort") {
+    assert(shuffles(TextQueries.packSequences(spark, sfDir)) <= 2)
+  }
+
+  test("q_mix_weights: corpus groupBy + metadata-scale window/sort only") {
+    // groupBy (1) + single-partition window over N_SOURCES rows (1) +
+    // final sort (1) — the window/sort exchanges move rows counted in
+    // sources, not documents
+    assert(shuffles(SamplingQueries.mixWeights(spark, sfDir)) <= 3)
+  }
+
+  test("q_dedup_spans: span groupBy, join, doc groupBy, sort — no more") {
+    assert(shuffles(PipelineQueries.dedupSpans(spark, sfDir)) <= 5)
+  }
+
+  test("q_pack_materialize: packing window + doc join + pack groupBy + sort") {
+    assert(shuffles(TextQueries.packMaterialize(spark, sfDir)) <= 5)
+  }
+}
