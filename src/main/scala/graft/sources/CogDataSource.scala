@@ -843,8 +843,13 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
   private var runtimeSets: Map[String, Set[Int]] = Map.empty
   private var runtimeSrc: Option[Set[String]] = None
 
+  // Only advertise columns that survived column pruning: Spark resolves
+  // these against readSchema(), and a reference to a pruned-away column
+  // fails the whole query at planning time.
   override def filterAttributes(): Array[NamedReference] =
-    Array("src", "level", "ty", "tx").map(Expressions.column)
+    Array("src", "level", "ty", "tx")
+      .filter(required.fieldNames.contains)
+      .map(Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
     filters.foreach {

@@ -97,7 +97,16 @@ class HttpRangeFileSystem extends FileSystem {
     // round-trips the string: its constructor quotes the '%'s and
     // getPath un-quotes them, handing back the single-encoded form.
     val p = f.toUri.getPath
-    URI.create(s"$getScheme://${fsUri.getAuthority}$p")
+    try URI.create(s"$getScheme://${fsUri.getAuthority}$p")
+    catch {
+      case e: IllegalArgumentException =>
+        // a bare/truncated '%' means the caller handed us a RAW path;
+        // say so instead of surfacing URI.create's bare complaint
+        throw new IllegalArgumentException(
+          s"malformed percent-escape in path '$p' — paths on this " +
+            "filesystem are wire-format (percent-encoded per " +
+            "SigV4.uriEncode); encode literal '%' as '%25'", e)
+    }
   }
 
   private def contentLength(f: Path): Long = {
@@ -154,11 +163,21 @@ class HttpRangeFileSystem extends FileSystem {
     * would corrupt keys containing a real plus). */
   private def percentDecode(s: String): String = {
     if (!s.contains('%')) return s
+    def isHex(c: Char) =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
+      if (c == '%') {
+        // paths on this filesystem are wire-format (every '%' starts a
+        // valid escape — see [[targetUri]] / SigV4.uriEncode); a bare or
+        // malformed '%' means the caller handed us a raw, un-encoded path
+        if (i + 2 >= s.length || !isHex(s.charAt(i + 1)) || !isHex(s.charAt(i + 2)))
+          throw new IllegalArgumentException(
+            s"malformed percent-escape at offset $i of path '$s' — paths " +
+              "must be wire-format (percent-encoded per SigV4.uriEncode); " +
+              "encode literal '%' as '%25'")
         out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
       } else {
         out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -188,7 +207,12 @@ class HttpRangeFileSystem extends FileSystem {
     val keyBase = if (bucket.isEmpty) "" else s"/$bucket"
     S3Listing.list(http, s"$getScheme://${fsUri.getAuthority}", bucket, prefix,
         signer, retry, hostOverride = hostOverride, probeOnly = probeOnly)
-      .map(_.map { e =>
+      .map(_.filterNot(e => e.size == 0L && e.key.endsWith("/")).map { e =>
+        // zero-byte keys with a trailing '/' are conventional directory
+        // markers (the AWS console creates them) — skipped above, they
+        // name no data. A NON-empty key ending in '/' falls into the
+        // unrepresentable class below: Hadoop Path normalization strips
+        // the trailing slash, silently addressing a different key.
         // sizes come from the listing itself — zero per-object HEADs
         // to stat a 10k-member mosaic. Keys are server-controlled and
         // may hold any legal S3 character (space, '#', '%', '?'):
@@ -200,7 +224,8 @@ class HttpRangeFileSystem extends FileSystem {
         // silently address a DIFFERENT key; refuse loudly instead
         // (encoding the slashes would break SigV4 parity on real S3,
         // which canonicalizes the path as received).
-        require(!e.key.contains("//") && !e.key.startsWith("/"),
+        require(!e.key.contains("//") && !e.key.startsWith("/") &&
+            !e.key.endsWith("/"),
           s"listed key '${e.key}' has empty path segments, which Hadoop " +
             "Path cannot represent — rename the object or load it via a " +
             "presigned URL")

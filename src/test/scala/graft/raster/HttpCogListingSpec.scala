@@ -266,6 +266,62 @@ class HttpCogListingSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("zero-byte directory-marker keys ('sub/') are skipped, not misread") {
+    // the AWS console creates zero-byte keys ending in '/' as folder
+    // markers; Hadoop Path strips the trailing slash, so surfacing one
+    // would silently address the DIFFERENT key 'tiles/sub'. They name
+    // no data — the listing must drop them.
+    val srv = new MockS3Server
+    try {
+      srv.putObject("hk", "tiles/sub/", Array.empty[Byte])
+      srv.putObject("hk", "tiles/real.bin", Array[Byte](1, 2, 3, 4))
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+      conf.set("fs.http.impl.disable.cache", "true")
+      val p = new org.apache.hadoop.fs.Path(s"${srv.endpoint}/hk/tiles")
+      val listed = p.getFileSystem(conf).listStatus(p)
+      assert(listed.map(_.getPath.getName).toSeq == Seq("real.bin"),
+        listed.map(_.getPath).mkString(", "))
+    } finally srv.stop()
+  }
+
+  test("a NON-empty key with a trailing slash is refused loudly") {
+    val srv = new MockS3Server
+    try {
+      srv.putObject("hk", "tiles/data/", Array[Byte](1, 2, 3))
+      withHttpFs {
+        val ex = intercept[Exception] {
+          spark.read.format("cog").load(s"${srv.endpoint}/hk/tiles/").count()
+        }
+        val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+        assert(msgs.contains("empty path segments"),
+          s"expected the unrepresentable key to be named: $msgs")
+      }
+    } finally srv.stop()
+  }
+
+  test("a malformed percent-escape in a hand-written path fails naming the path") {
+    val srv = new MockS3Server
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+      conf.set("fs.http.impl.disable.cache", "true")
+      // '100%.tif' is a RAW path (its '%' starts no valid escape): the
+      // wire-format convention wants '100%25.tif'. The error must say so
+      // and name the offending path, not surface a bare
+      // NumberFormatException about '.t'.
+      for (raw <- Seq("100%.tif", "trunc%a")) {
+        val p = new org.apache.hadoop.fs.Path(s"${srv.endpoint}/hk/$raw/")
+        val ex = intercept[Exception] { p.getFileSystem(conf).listStatus(p) }
+        val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+        assert(msgs.contains("percent-escape") && msgs.contains(raw),
+          s"expected a wire-format error naming '$raw': $msgs")
+      }
+    } finally srv.stop()
+  }
+
   test("FileSystem surface: prefix stats as a directory, listing carries sizes") {
     withListedMosaic { (srv, _) =>
       val conf = new org.apache.hadoop.conf.Configuration()

@@ -193,6 +193,30 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("a column-pruned projection still joins (filterAttributes ⊆ readSchema)") {
+    // regression: filterAttributes() must only advertise columns that
+    // survived column pruning — advertising a pruned-away column (src
+    // here) makes Spark's PartitionPruning fail resolution at planning
+    // with 'Unable to resolve src given [level, h]'
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      import spark.implicits._
+      val fact = spark.read.format("cog").load(mosaicDir).select("level", "h")
+      val dim = dimTable(Seq(("1", "keep"), ("0", "drop")), ("lvl", "tag"))
+      val joined = fact.join(
+        broadcast(dim.where($"tag" === "keep").withColumn("lvl_i", $"lvl".cast("int"))),
+        $"level" === $"lvl_i")
+      val rows = joined.collect()   // planning itself was the failure mode
+      assert(rows.nonEmpty && rows.forall(_.getAs[Int]("level") == 1))
+      // and the surviving column may still be runtime-filtered
+      val scan = cogScans(joined.queryExecution.executedPlan).head
+      if (scan.runtimeFilters.nonEmpty) {
+        val planned = scan.scan.toBatch.planInputPartitions()
+          .map(_.asInstanceOf[CogInputPartition])
+        assert(planned.flatMap(_.tiles).forall(_.level == 1))
+      }
+    }
+  }
+
   test("a join key matching nothing plans zero partitions, returns zero rows") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       import spark.implicits._
