@@ -64,9 +64,30 @@ object SamplingQueries {
     * post-processing at any corpus size. */
   def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    mixFromPerDocTokens(spark, Fixtures.documents(spark, sfDir)
+      .withColumn("tokens", TextQueries.tokenCount($"text")))
+  }
+
+  /** q_mix_weights with the trained BPE tokenizer supplying the token
+    * currency (see TextQueries.bpeTable) — the real-budget variant an
+    * ablation run mixes with. NATIVE: the merge table is engine-side;
+    * the mixture algebra is pinned against the whitespace twin in
+    * SamplingSpec. */
+  def mixWeightsBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = spark.sparkContext.broadcast(
+      TextQueries.bpeTable(spark, sfDir))
+    val docs = Fixtures.documents(spark, sfDir)
+      .select($"source", $"text").as[(String, String)]
+      .map { case (src, t) => (src, graft.text.Bpe.countTokens(t, table.value)) }
+      .toDF("source", "tokens")
+    mixFromPerDocTokens(spark, docs)
+  }
+
+  private def mixFromPerDocTokens(spark: SparkSession, docsWithTokens: DataFrame): DataFrame = {
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val perSource = Fixtures.documents(spark, sfDir)
-      .withColumn("tokens", TextQueries.tokenCount($"text"))
+    val perSource = docsWithTokens
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("tokens"))
     val all = Window.partitionBy()
@@ -107,7 +128,8 @@ object SamplingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_train" -> (splitTrain _),
     "q_sample_stratified" -> (sampleStratified _),
-    "q_mix_weights" -> (mixWeights _))
+    "q_mix_weights" -> (mixWeights _),
+    "q_mix_weights_bpe" -> (mixWeightsBpe _))
 
   val oracle: Map[String, String] = Map(
     "q_split_train" -> splitTrainSql,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Fixtures
-import graft.text.{LangId, Winnowing}
+import graft.text.{Bpe, LangId, Winnowing}
 
 /** Text-analysis operators of the LLM-data pipeline: quality scoring
   * (ORACLE — pure string arithmetic both engines express identically),
@@ -104,14 +104,12 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  /** GPT-2-style pretokenizer regex, restricted to the lookahead-free
-    * ASCII subset both Java regex and DuckDB's RE2 evaluate
-    * identically: contraction suffixes, space-attached letter runs /
-    * digit runs / punctuation runs, stray apostrophes, whitespace
-    * runs. The "how many BPE-ish tokens is this document" estimator a
-    * training-data pipeline budgets with. */
-  val BpeishPattern =
-    "'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+|'| +"
+  /** GPT-2-style pretokenizer regex — canonical definition in
+    * [[graft.text.Bpe.PretokenPattern]] so the count estimator and the
+    * real tokenizer cannot drift apart. The "how many BPE-ish tokens
+    * is this document" estimator a training-data pipeline budgets
+    * with. */
+  val BpeishPattern: String = Bpe.PretokenPattern
 
   /** Per-document token counts: whitespace tokens AND BPE-ish
     * pretokenizer matches — both single-pass narrow maps. */
@@ -260,20 +258,27 @@ object TextQueries {
     * (low-cardinality) or global pack would serialize into a handful
     * of giant partitions. pack_id = exclusive-prefix-sum div budget;
     * a document longer than the budget still gets a pack of its own. */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The packing plan given per-doc token counts (a `tokens` column
+    * alongside source/doc_id): one window per (source, shard). */
+  private def packPlan(spark: SparkSession, docsWithTokens: DataFrame,
+      budget: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val budget = 2048L
     val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Fixtures.documents(spark, sfDir)
+    docsWithTokens
       .withColumn("shard", expr("doc_id div 250").cast("long"))
-      .withColumn("tokens", tokenCount($"text"))
       .withColumn("pre", coalesce(sum($"tokens").over(w), lit(0L)))
       .select($"source", $"shard", $"doc_id", $"tokens",
         ($"pre" / budget).cast("long").as("pack_id"),
         ($"pre" % budget).as("pack_offset"))
       .orderBy($"source", $"shard", $"doc_id")
+  }
+
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    packPlan(spark, Fixtures.documents(spark, sfDir)
+      .withColumn("tokens", tokenCount($"text")), budget = 2048L)
   }
 
   val packSequencesSql: String =
@@ -328,6 +333,68 @@ object TextQueries {
        |GROUP BY p.source, p.shard, p.pack_id
        |ORDER BY p.source, p.shard, p.pack_id""".stripMargin
 
+  // ---- byte-level BPE: train distributed-histogram -> driver merge
+  // loop -> broadcast table -> narrow encode map ----
+
+  /** Merges trained per corpus. The distributed half is ONE flatMap +
+    * groupBy count whose output is the pretoken HISTOGRAM — bounded by
+    * vocabulary (Zipf), not corpus size, so the driver collect stays
+    * ~MB at 100 TB. The driver-side merge loop then runs on that
+    * histogram alone. Memoized per (session, sfDir): verify + bench
+    * call three BPE consumers against the same corpus. */
+  val BpeMerges = 512
+
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Bpe.Table]()
+
+  def bpeTable(spark: SparkSession, sfDir: String): Bpe.Table =
+    bpeMemo.computeIfAbsent((spark, sfDir), { _ =>
+      import spark.implicits._
+      val histogram = Fixtures.documents(spark, sfDir)
+        .select($"text").as[String]
+        .flatMap(t => Bpe.pretokenize(t))
+        .groupBy($"value").agg(count(lit(1)).as("n"))
+        // deterministic top-K: ties on count break on the token itself
+        .orderBy(desc("n"), asc("value"))
+        .limit(Bpe.MaxTrainWords)
+        .as[(String, Long)].collect().toMap
+      Bpe.train(histogram, BpeMerges)
+    })
+
+  /** Per-doc REAL BPE token counts next to the whitespace estimate —
+    * the budget correction the packer and mixer consume. Encoding is a
+    * narrow map with the broadcast merge table: zero shuffles beyond
+    * the final sort at any corpus size. NATIVE (the merge table is
+    * engine-side state; determinism/round-trip/goldens in
+    * TokenizerSpec). */
+  def textBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = spark.sparkContext.broadcast(bpeTable(spark, sfDir))
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+        val bpe = Bpe.countTokens(t, table.value)
+        val ws = t.trim.split("\\s+").length.toLong
+        (id, ws, bpe, bytes,
+          if (bpe == 0) 0.0 else math.round(bytes.toDouble / bpe * 10000) / 10000.0)
+      }
+      .toDF("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_bytes", "bytes_per_token")
+      .orderBy($"doc_id")
+  }
+
+  /** q_pack_sequences with the trained tokenizer supplying the budget
+    * currency — same plan shape, real token counts. NATIVE. */
+  def packSequencesBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = spark.sparkContext.broadcast(bpeTable(spark, sfDir))
+    val docs = Fixtures.documents(spark, sfDir)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .map { case (src, id, t) => (src, id, Bpe.countTokens(t, table.value)) }
+      .toDF("source", "doc_id", "tokens")
+    packPlan(spark, docs, budget = 2048L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangid _),
@@ -336,6 +403,8 @@ object TextQueries {
     "q_text_repetition" -> (textRepetition _),
     "q_pack_sequences" -> (packSequences _),
     "q_pack_materialize" -> (packMaterialize _),
+    "q_text_bpe" -> (textBpe _),
+    "q_pack_sequences_bpe" -> (packSequencesBpe _),
     "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,180 @@
+package graft.text
+
+/** Byte-level byte-pair encoding — the tokenizer a training-data
+  * pipeline budgets with. Whitespace counts (the previous estimator)
+  * under-count code and CJK by 2-10x; a real merge table closes that
+  * gap. The design follows the published GPT-2 BPE scheme (Sennrich et
+  * al. 2016 merges over Radford et al. 2019 byte-level alphabet):
+  *
+  *   - the base alphabet is the 256 byte values, so ANY string
+  *     round-trips with zero out-of-vocabulary cases;
+  *   - a pretokenizer splits text into chunks and merges never cross
+  *     chunk boundaries (keeps merges word-local and the training
+  *     histogram Zipf-bounded);
+  *   - training repeatedly merges the most frequent adjacent pair;
+  *     encoding replays merges in training order (lowest rank first).
+  *
+  * Everything is deterministic: ties in pair frequency break on the
+  * ascending (left, right) id pair, so the same corpus histogram always
+  * yields the same merge table on any JVM — the property that lets a
+  * 1000-executor cluster broadcast one table and re-derive it
+  * reproducibly.
+  *
+  * Scale shape: training consumes a (pretoken -> count) HISTOGRAM, not
+  * the corpus — the distributed part is one flatMap + groupBy count
+  * (see TextQueries.bpeRanks), and the driver-side merge loop is
+  * O(vocab x merges) over at most `MaxTrainWords` distinct pretokens.
+  * Encoding is a narrow per-row map with the broadcast table.
+  */
+object Bpe {
+
+  /** GPT-2-style pretokenizer regex, restricted to the lookahead-free
+    * ASCII subset Java regex and DuckDB's RE2 evaluate identically:
+    * contraction suffixes, space-attached letter/digit/punctuation
+    * runs, stray apostrophes, whitespace runs. Non-ASCII (CJK, accents)
+    * falls in the punctuation-run class and still byte-encodes. */
+  val PretokenPattern =
+    "'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+|'| +"
+
+  private val pretokenRe = java.util.regex.Pattern.compile(PretokenPattern)
+
+  /** Cap on distinct pretokens fed to training — Zipf means the tail
+    * beyond this carries negligible pair mass, and the cap bounds
+    * driver memory no matter the corpus size. */
+  val MaxTrainWords = 65536
+
+  def pretokenize(text: String): Vector[String] = {
+    val m = pretokenRe.matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** A trained tokenizer: `merges(i)` = the pair merged at step i,
+    * producing token id `256 + i`. */
+  final case class Table(merges: Vector[(Int, Int)]) {
+    val vocabSize: Int = 256 + merges.length
+    /** (left, right) -> rank; lower rank = earlier merge = applied first. */
+    val ranks: Map[(Int, Int), Int] = merges.iterator.zipWithIndex.toMap
+    /** token id -> the byte sequence it expands to. */
+    lazy val vocab: Vector[Array[Byte]] = {
+      val v = Vector.newBuilder[Array[Byte]]
+      val acc = new scala.collection.mutable.ArrayBuffer[Array[Byte]](vocabSize)
+      var i = 0
+      while (i < 256) { acc += Array(i.toByte); i += 1 }
+      merges.foreach { case (a, b) => acc += (acc(a) ++ acc(b)) }
+      v ++= acc
+      v.result()
+    }
+  }
+
+  private def toByteIds(chunk: String): Array[Int] =
+    chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(_ & 0xff)
+
+  /** Train a merge table from a (pretoken -> count) histogram.
+    * Deterministic: the winning pair is max by (count, then ascending
+    * (left, right)); training stops early when no adjacent pair occurs
+    * twice (further merges would memorize single strings). */
+  def train(wordCounts: Map[String, Long], numMerges: Int): Table = {
+    // working state: each distinct pretoken as its current id sequence
+    var words: Vector[(Array[Int], Long)] = wordCounts.toVector
+      .sortBy(_._1) // deterministic iteration order
+      .map { case (w, c) => (toByteIds(w), c) }
+      .filter(_._1.length >= 2)
+    val merges = Vector.newBuilder[(Int, Int)]
+    var step = 0
+    var nextId = 256
+    while (step < numMerges && words.nonEmpty) {
+      val counts = new scala.collection.mutable.HashMap[(Int, Int), Long]
+      words.foreach { case (ids, c) =>
+        var i = 0
+        while (i < ids.length - 1) {
+          val k = (ids(i), ids(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      val best = counts.foldLeft(Option.empty[((Int, Int), Long)]) {
+        case (acc, (pair, n)) =>
+          acc match {
+            case Some((bp, bn)) if bn > n || (bn == n &&
+              (bp._1 < pair._1 || (bp._1 == pair._1 && bp._2 <= pair._2))) => acc
+            case _ => Some((pair, n))
+          }
+      }
+      best match {
+        case Some((pair, n)) if n >= 2 =>
+          merges += pair
+          val id = nextId
+          words = words.map { case (ids, c) => (mergePair(ids, pair, id), c) }
+            .filter(_._1.length >= 2)
+          nextId += 1
+          step += 1
+        case _ => step = numMerges // nothing worth merging — stop
+      }
+    }
+    Table(merges.result())
+  }
+
+  /** Replace every non-overlapping (left-to-right) occurrence of
+    * `pair` in `ids` with `newId`. */
+  private def mergePair(ids: Array[Int], pair: (Int, Int), newId: Int): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      if (i < ids.length - 1 && ids(i) == pair._1 && ids(i + 1) == pair._2) {
+        out += newId; i += 2
+      } else { out += ids(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode one pretoken chunk: repeatedly merge the lowest-ranked
+    * adjacent pair until none ranks. */
+  private def encodeChunk(chunk: String, t: Table): Array[Int] = {
+    var ids = toByteIds(chunk)
+    if (t.merges.isEmpty) return ids
+    var done = false
+    while (!done && ids.length >= 2) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < ids.length - 1) {
+        val r = t.ranks.getOrElse((ids(i), ids(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else ids = mergePair(ids, t.merges(bestRank), 256 + bestRank)
+    }
+    ids
+  }
+
+  /** Encode a full text: pretokenize, encode each chunk, concatenate. */
+  def encode(text: String, t: Table): Array[Int] =
+    pretokenize(text).iterator.flatMap(c => encodeChunk(c, t)).toArray
+
+  def countTokens(text: String, t: Table): Long = {
+    // same result as encode(...).length without materializing the ids
+    var n = 0L
+    pretokenize(text).foreach(c => n += encodeChunk(c, t).length)
+    n
+  }
+
+  /** Inverse of encode for ANY id sequence over the table's vocab —
+    * byte-level alphabet means lossless round-trip. */
+  def decode(ids: Array[Int], t: Table): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    ids.foreach { id =>
+      require(id >= 0 && id < t.vocabSize, s"token id $id outside vocab of ${t.vocabSize}")
+      bos.write(t.vocab(id))
+    }
+    new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Wire form of a merge table (a Vector[(Int,Int)] serializes fine,
+    * but a flat Array[Int] broadcast is half the size and versioned). */
+  def toFlat(t: Table): Array[Int] =
+    t.merges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toArray
+  def fromFlat(flat: Array[Int]): Table =
+    Table(flat.grouped(2).map(p => (p(0), p(1))).toVector)
+}
