@@ -1,0 +1,74 @@
+package graft.sink
+
+/** Server-side small-file compaction over S3 — `q_sink_compact`'s
+  * object-store sibling. A lakehouse layout degrades into thousands of
+  * small objects per prefix; compacting them through a worker means
+  * egressing and re-uploading every byte. UploadPartCopy
+  * (`x-amz-copy-source` [+ `x-amz-copy-source-range`]) assembles the
+  * compacted object INSIDE the store: the compactor issues only
+  * metadata-sized requests, the data never crosses the wire, and the
+  * whole pass parallelizes per-prefix across executors at fleet scale.
+  *
+  * Constraints honored (the same table [[OrderedMultipartWriter]]
+  * enforces for byte uploads, reference ccog/aws_tools.py:20-28):
+  * every non-final part must be >= 5 MiB — S3 makes the SAME demand of
+  * copied parts, so objects smaller than that cannot be compacted by
+  * copy alone; [[compact]] refuses them loudly rather than silently
+  * falling back to egress. Sources larger than the 5 GiB part ceiling
+  * are range-split into ceiling-sized copy parts.
+  *
+  * With the sink's `crc32c`, the service computes each copied part's
+  * checksum (the compactor never sees the bytes) and the composite is
+  * verified on complete — integrity without egress. With `ifNoneMatch`,
+  * the compacted object is a conditional create: a concurrent
+  * compactor of the same target loses with a loud 412, and its MPU is
+  * aborted.
+  */
+object S3Compactor {
+
+  final case class Source(key: String, size: Long)
+
+  /** Compact `sources` (in order) from `sourceBucket` into the sink's
+    * target object. Returns the total compacted byte count. */
+  def compact(sink: S3MultipartSink, sourceBucket: String,
+      sources: Seq[Source]): Long = {
+    require(sources.nonEmpty, "nothing to compact")
+    sources.dropRight(1).foreach { s =>
+      require(s.size >= OrderedMultipartWriter.S3MinPart,
+        s"source '${s.key}' is ${s.size} bytes — S3 refuses copied parts " +
+          s"under ${OrderedMultipartWriter.S3MinPart} except the final one; " +
+          "objects this small need a read-and-reupload pass, not a copy")
+    }
+    // plan: one part per source; range-split any source past the part
+    // ceiling. Pure size arithmetic — deterministic, no requests yet.
+    final case class Plan(key: String, range: Option[(Long, Long)], size: Long)
+    val plans = sources.flatMap { s =>
+      if (s.size <= OrderedMultipartWriter.S3MaxPart) Seq(Plan(s.key, None, s.size))
+      else {
+        val chunk = OrderedMultipartWriter.S3MaxPart
+        (0L until s.size by chunk).map { from =>
+          val to = math.min(from + chunk, s.size) - 1
+          Plan(s.key, Some((from, to)), to - from + 1)
+        }
+      }
+    }
+    require(plans.length <= OrderedMultipartWriter.S3MaxPartCount,
+      s"${plans.length} copy parts exceed S3's ${OrderedMultipartWriter.S3MaxPartCount}-part limit")
+    sink.start()
+    try {
+      var offset = 0L
+      val receipts = plans.zipWithIndex.map { case (p, i) =>
+        val r = sink.uploadPartCopy(i + 1, sourceBucket, p.key,
+          size = p.size, offset = offset, range = p.range)
+        offset += p.size
+        r
+      }
+      sink.complete(receipts)
+      offset
+    } catch {
+      case e: Throwable =>
+        try sink.abort() catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
+    }
+  }
+}

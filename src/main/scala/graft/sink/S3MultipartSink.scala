@@ -40,7 +40,8 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     credentials: Option[SigV4.Credentials] = None,
     region: String = "us-east-1",
     virtualHost: Boolean = false,
-    crc32c: Boolean = false) extends MultipartSink {
+    crc32c: Boolean = false,
+    ifNoneMatch: Boolean = false) extends MultipartSink {
 
   require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
   // fail at construction with the -D flag named, not per-task deep in
@@ -191,6 +192,45 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     etag.stripPrefix("\"").stripSuffix("\"")
   }
 
+  /** Upload a part whose bytes come from an EXISTING object — S3's
+    * server-side UploadPartCopy: no data leaves the store, so
+    * compaction of N objects moves zero bytes through the compactor.
+    * `range` is an inclusive (from, to) byte window of the source.
+    * Returns the part's ETag (from the CopyPartResult BODY — unlike
+    * uploadPart, the copy dialect answers in XML, and a 200 here can
+    * still carry an <Error> document, same trap as complete). */
+  def uploadPartCopy(partNumber: Int, sourceBucket: String, sourceKey: String,
+      size: Long, offset: Long = 0L,
+      range: Option[(Long, Long)] = None): PartReceipt = {
+    require(uploadId != null, "uploadPartCopy before start()")
+    val headers = Seq("x-amz-copy-source" ->
+        SigV4.uriEncode(s"/$sourceBucket/$sourceKey", encodeSlash = false)) ++
+      range.map { case (from, to) =>
+        require(from >= 0 && to >= from, s"bad copy range $from-$to")
+        "x-amz-copy-source-range" -> s"bytes=$from-$to"
+      }.toSeq
+    val r = send(buildRequest("PUT",
+      Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
+      null, amzHeaders = headers), s"upload part copy $partNumber")
+    if (xmlText(r.body(), "Error").isDefined ||
+        xmlText(r.body(), "CopyPartResult").isEmpty)
+      throw new java.io.IOException(
+        s"part copy $partNumber returned no CopyPartResult: ${r.body().take(500)}")
+    val etag = xmlText(r.body(), "ETag").getOrElse(throw new java.io.IOException(
+      s"CopyPartResult for part $partNumber carried no ETag"))
+      .trim.stripPrefix("\"").stripSuffix("\"")
+    // checksummed uploads: the service computes the copied part's
+    // checksum (we never saw the bytes) and the complete() part list
+    // must carry it
+    val ck = if (crc32c) {
+      val c = xmlText(r.body(), "ChecksumCRC32C")
+      if (c.isEmpty) throw new java.io.IOException(
+        s"crc32c upload: CopyPartResult for part $partNumber carried no ChecksumCRC32C")
+      c.map(_.trim)
+    } else None
+    PartReceipt(partNumber, offset, size, etag, ck)
+  }
+
   override def complete(receipts: Seq[PartReceipt]): Unit = {
     require(uploadId != null, "complete before start()")
     val xml = receipts.map { p =>
@@ -201,8 +241,13 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
       } else ""
       s"<Part><PartNumber>${p.partNumber}</PartNumber><ETag>\"${p.etag}\"</ETag>$ck</Part>"
     }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+    // conditional create (`If-None-Match: *`): the service refuses with
+    // 412 if the key already exists — the append-race safety RENAME
+    // provides on a real filesystem but S3 has no rename for. 4xx
+    // fail-fast makes the losing writer fail loudly, not overwrite.
     val r = send(buildRequest("POST", Seq("uploadId" -> uploadId),
-      xml.getBytes("UTF-8"), Some("application/xml")),
+      xml.getBytes("UTF-8"), Some("application/xml"),
+      amzHeaders = if (ifNoneMatch) Seq("If-None-Match" -> "*") else Nil),
       "complete multipart upload")
     // S3 can answer CompleteMultipartUpload with 200 + an <Error> body;
     // anything other than a well-formed CompleteMultipartUploadResult
@@ -220,6 +265,23 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
       if (got != expect) throw new java.io.IOException(
         s"composite checksum mismatch: expected $expect, service returned '$got'")
     }
+  }
+
+  /** Single-request PutObject through the same signing/retry/dialect
+    * machinery — the small-object path (an MPU costs 3 round-trips and
+    * S3 refuses parts under 5 MiB anyway). With the sink's
+    * `ifNoneMatch`, the PUT is a conditional CREATE: exactly one of N
+    * concurrent writers of the same key succeeds, the rest fail
+    * loudly with 412. */
+  def putObject(bytes: Array[Byte]): String = {
+    val checksum = partChecksum(bytes)
+    val r = send(buildRequest("PUT", Nil, bytes,
+      amzHeaders = checksum.map("x-amz-checksum-crc32c" -> _).toSeq ++
+        (if (ifNoneMatch) Seq("If-None-Match" -> "*") else Nil)),
+      s"put object $key")
+    val etag = r.headers().firstValue("ETag").orElse("")
+    require(etag.nonEmpty, s"put object response carried no ETag")
+    etag.stripPrefix("\"").stripSuffix("\"")
   }
 
   override def abort(): Unit = {
@@ -242,13 +304,14 @@ object S3MultipartSink {
       credentials: Option[SigV4.Credentials] = None,
       region: Option[String] = None,
       virtualHost: Boolean = false,
-      crc32c: Boolean = false): S3MultipartSink = {
+      crc32c: Boolean = false,
+      ifNoneMatch: Boolean = false): S3MultipartSink = {
     val scheme = java.net.URI.create(endpoint).getScheme
     val r = S3CredentialResolver.resolve(conf.get, scheme,
       explicitCreds = credentials, explicitRegion = region)
     new S3MultipartSink(endpoint, bucket, key,
       credentials = r.credentials, region = r.region,
-      virtualHost = virtualHost, crc32c = crc32c)
+      virtualHost = virtualHost, crc32c = crc32c, ifNoneMatch = ifNoneMatch)
   }
 }
 

@@ -53,6 +53,11 @@ class HttpRangeFileSystem extends FileSystem {
   // only way a test can speak bucket-in-host to a loopback mock.
   // Needs -Djdk.httpclient.allowRestrictedHeaders=host (build.sbt).
   private var hostOverride: Option[String] = None
+  // directory-style exploration: listStatus pages ONE level via
+  // delimiter/CommonPrefixes (subprefixes surface as directories)
+  // instead of the default recursive every-key-under-the-prefix walk
+  // the mosaic planner wants
+  private var delimitedMode: Boolean = false
 
   override def getScheme: String = "http"
 
@@ -72,6 +77,7 @@ class HttpRangeFileSystem extends FileSystem {
     signer = graft.sink.S3CredentialResolver
       .resolveHadoop(conf, getScheme).signer()
     virtualHostMode = conf.getBoolean(s"fs.$getScheme.s3.virtual.host", false)
+    delimitedMode = conf.getBoolean(s"fs.$getScheme.list.delimited", false)
     hostOverride = Option(conf.get(s"fs.$getScheme.host.override"))
     hostOverride.foreach(_ => graft.sink.SigV4.requireHostHeaderAllowed())
     // at fleet scale the object store WILL throttle (503 SlowDown) and
@@ -187,8 +193,8 @@ class HttpRangeFileSystem extends FileSystem {
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private def listPrefix(f: Path, probeOnly: Boolean = false)
-      : Option[Seq[FileStatus]] = {
+  private def listPrefix(f: Path, probeOnly: Boolean = false,
+      delimited: Boolean = false): Option[Seq[FileStatus]] = {
     // paths arrive WIRE-FORMAT (see [[targetUri]]); the ListObjectsV2
     // prefix parameter wants the DECODED key prefix — S3Listing
     // re-encodes it canonically into the query string. Without this
@@ -205,6 +211,33 @@ class HttpRangeFileSystem extends FileSystem {
         (seg(0), if (seg.length > 1 && seg(1).nonEmpty) s"${seg(1)}/" else "")
       }
     val keyBase = if (bucket.isEmpty) "" else s"/$bucket"
+    def wirePath(key: String) =
+      new Path(s"$getScheme://${fsUri.getAuthority}$keyBase/" +
+        graft.sink.SigV4.uriEncode(key, encodeSlash = false))
+    if (delimited) {
+      // one-level exploration: delimiter rollup means sibling subtrees
+      // cost ONE CommonPrefixes row each, never their leaf pages
+      return S3Listing.listDelimited(http,
+          s"$getScheme://${fsUri.getAuthority}", bucket, prefix,
+          signer, retry, hostOverride = hostOverride)
+        .map { l =>
+          val dirs = l.prefixes.map { cp =>
+            new FileStatus(0L, true, 1, 64L << 20, 0L,
+              wirePath(cp.stripSuffix("/")))
+          }
+          val files = l.entries
+            .filterNot(e => e.size == 0L && e.key.endsWith("/"))
+            .map { e =>
+              require(!e.key.contains("//") && !e.key.startsWith("/") &&
+                  !e.key.endsWith("/"),
+                s"listed key '${e.key}' has empty path segments, which " +
+                  "Hadoop Path cannot represent — rename the object or " +
+                  "load it via a presigned URL")
+              new FileStatus(e.size, false, 1, 64L << 20, 0L, wirePath(e.key))
+            }
+          dirs ++ files
+        }
+    }
     S3Listing.list(http, s"$getScheme://${fsUri.getAuthority}", bucket, prefix,
         signer, retry, hostOverride = hostOverride, probeOnly = probeOnly)
       .map(_.filterNot(e => e.size == 0L && e.key.endsWith("/")).map { e =>
@@ -281,7 +314,7 @@ class HttpRangeFileSystem extends FileSystem {
       f.makeQualified(fsUri, getWorkingDirectory)))
     catch {
       case e: java.io.FileNotFoundException =>
-        listPrefix(f) match {
+        listPrefix(f, delimited = delimitedMode) match {
           case Some(entries) if entries.nonEmpty => entries.toArray
           case _ => throw e
         }

@@ -27,6 +27,10 @@ object S3Listing {
 
   final case class Entry(key: String, size: Long)
 
+  /** One level of a delimited listing: objects directly under the
+    * prefix plus the rolled-up CommonPrefixes ("subdirectories"). */
+  final case class Listing(entries: Seq[Entry], prefixes: Seq[String])
+
   /** All keys under `prefix` in `bucket`, across however many pages the
     * server needs. `maxPages` bounds a server that keeps handing out
     * tokens (10k pages x 1000 keys = 10M objects, far past any sane
@@ -38,8 +42,32 @@ object S3Listing {
       signer: Option[SigV4.RequestSigner], retry: RangeRetryPolicy,
       maxPages: Int = 10000,
       hostOverride: Option[String] = None,
-      probeOnly: Boolean = false): Option[Seq[Entry]] = {
+      probeOnly: Boolean = false): Option[Seq[Entry]] =
+    listPaged(http, endpoint, bucket, prefix, signer, retry, maxPages,
+      hostOverride, probeOnly, delimiter = None).map(_.entries)
+
+  /** ONE directory level: `delimiter`-rolled listing — objects directly
+    * under the prefix as entries, deeper keys collapsed into
+    * CommonPrefixes. The exploration dialect: walking a two-level tree
+    * pages only the level being explored, never sibling prefixes' leaf
+    * keys (a 10k-leaf sibling costs ONE CommonPrefixes row, not 10
+    * pages). */
+  def listDelimited(http: HttpClient, endpoint: String, bucket: String,
+      prefix: String, signer: Option[SigV4.RequestSigner],
+      retry: RangeRetryPolicy, maxPages: Int = 10000,
+      hostOverride: Option[String] = None,
+      delimiter: String = "/"): Option[Listing] =
+    listPaged(http, endpoint, bucket, prefix, signer, retry, maxPages,
+      hostOverride, probeOnly = false, delimiter = Some(delimiter))
+
+  private def listPaged(http: HttpClient, endpoint: String, bucket: String,
+      prefix: String, signer: Option[SigV4.RequestSigner],
+      retry: RangeRetryPolicy, maxPages: Int,
+      hostOverride: Option[String],
+      probeOnly: Boolean,
+      delimiter: Option[String]): Option[Listing] = {
     val out = ArrayBuffer.empty[Entry]
+    val cps = ArrayBuffer.empty[String]
     var token: Option[String] = None
     var pages = 0
     while (pages == 0 || (token.isDefined && !probeOnly)) {
@@ -48,6 +76,7 @@ object S3Listing {
           s"after $maxPages pages")
       pages += 1
       val params = Seq("list-type" -> "2") ++
+        delimiter.map("delimiter" -> _).toSeq ++
         (if (prefix.nonEmpty) Seq("prefix" -> prefix) else Nil) ++
         (if (probeOnly) Seq("max-keys" -> "1") else Nil) ++
         token.map("continuation-token" -> _).toSeq
@@ -91,15 +120,20 @@ object S3Listing {
         case None => throw new java.io.IOException(
           s"ListObjectsV2 continuation page $pages of $uri returned a " +
             s"malformed body: ${new String(r.body(), "UTF-8").take(300)}")
-        case Some((entries, next)) => out ++= entries; token = next
+        case Some((entries, prefixes, next)) =>
+          out ++= entries; cps ++= prefixes; token = next
       }
     }
-    Some(out.toSeq)
+    // CommonPrefixes may repeat across pages (a rollup group can
+    // straddle a page boundary) — dedupe preserving order
+    Some(Listing(out.toSeq, cps.distinct.toSeq))
   }
 
-  /** One page: (entries, Some(continuationToken) if truncated). None if
-    * the body is not a well-formed ListBucketResult. */
-  private def parsePage(body: Array[Byte]): Option[(Seq[Entry], Option[String])] =
+  /** One page: (entries, commonPrefixes, Some(continuationToken) if
+    * truncated). None if the body is not a well-formed
+    * ListBucketResult. */
+  private def parsePage(body: Array[Byte])
+      : Option[(Seq[Entry], Seq[String], Option[String])] =
     try {
       val doc = graft.sink.S3Xml.parse(body)
       val root = graft.sink.S3Xml.root(doc, "ListBucketResult").getOrElse(return None)
@@ -108,6 +142,7 @@ object S3Listing {
         text(el, "Key").map(k =>
           Entry(k, text(el, "Size").map(_.trim.toLong).getOrElse(0L)))
       }
+      val prefixes = elements(doc, "CommonPrefixes").flatMap(el => text(el, "Prefix"))
       val truncated = text(root, "IsTruncated").exists(_.trim == "true")
       val next = if (truncated) {
         val t = text(root, "NextContinuationToken")
@@ -115,6 +150,6 @@ object S3Listing {
           "ListObjectsV2 page is IsTruncated without a NextContinuationToken")
         t
       } else None
-      Some((entries, next))
+      Some((entries, prefixes, next))
     } catch { case _: org.xml.sax.SAXException => None }
 }

@@ -322,6 +322,43 @@ class HttpCogListingSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("delimited exploration: a two-level tree pages one level, sibling leaves cost one row") {
+    val srv = new MockS3Server
+    try {
+      srv.putObject("tree", "root/index.bin", Array[Byte](1, 2, 3))
+      for (sub <- Seq("sub1", "sub2"); i <- 0 until 10)
+        srv.putObject("tree", s"root/$sub/leaf-$i.bin", Array.fill(i + 1)(i.toByte))
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.http.impl", classOf[graft.sources.HttpRangeFileSystem].getName)
+      conf.set("fs.http.impl.disable.cache", "true")
+      conf.set("fs.http.list.delimited", "true")
+      val root = new org.apache.hadoop.fs.Path(s"${srv.endpoint}/tree/root")
+      val fs = root.getFileSystem(conf)
+
+      // one level: 2 subdirectories + 1 file, NOT the 21 leaf keys.
+      // With 2-key pages, the rolled listing is 3 items = 2 pages; a
+      // recursive walk of 21 keys would be 11 — the rollup is what
+      // makes exploring a million-leaf tree affordable.
+      srv.listMaxKeys = 2
+      val before = srv.listRequestCount
+      val level1 = fs.listStatus(root)
+      assert(srv.listRequestCount - before == 2,
+        s"expected 2 delimited pages, got ${srv.listRequestCount - before}")
+      assert(level1.count(_.isDirectory) == 2 && level1.count(_.isFile) == 1,
+        level1.map(s => s"${s.getPath.getName}:${s.isDirectory}").mkString(", "))
+      assert(level1.filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq ==
+        Seq("sub1", "sub2"))
+
+      // recursing into one subdirectory lists ITS leaves (with sizes),
+      // never touching the sibling's
+      val sub1 = level1.filter(_.isDirectory).minBy(_.getPath.getName)
+      val leaves = fs.listStatus(sub1.getPath)
+      assert(leaves.length == 10 && leaves.forall(_.isFile))
+      assert(leaves.map(_.getLen).sorted.toSeq == (1L to 10L).toSeq)
+      assert(leaves.forall(_.getPath.toString.contains("sub1")))
+    } finally srv.stop()
+  }
+
   test("FileSystem surface: prefix stats as a directory, listing carries sizes") {
     withListedMosaic { (srv, _) =>
       val conf = new org.apache.hadoop.conf.Configuration()

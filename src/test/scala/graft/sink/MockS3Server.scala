@@ -62,6 +62,9 @@ class MockS3Server {
   private val corruptParts = new AtomicInteger(0)
   private val wrongComposite = new AtomicInteger(0)
   private val checksumVerified = new AtomicInteger(0)
+  /** Parts assembled server-side via x-amz-copy-source (no body egress). */
+  def copyParts: Int = copyPartCount.get()
+  private val copyPartCount = new AtomicInteger(0)
 
   /** Authenticated mode: every request must carry a valid SigV4
     * signature for `creds` (header auth, or query auth for presigned
@@ -170,32 +173,62 @@ class MockS3Server {
     listRequests.incrementAndGet()
     val prefix = q.get("prefix").map(dec).getOrElse("")
     val token = q.get("continuation-token").map(dec)
+    val delimiter = q.get("delimiter").map(dec).filter(_.nonEmpty)
     val pageSize = math.max(1,
       math.min(listMaxKeys, q.get("max-keys").map(_.toInt).getOrElse(1000)))
-    val all = objects.keys.toSeq
+    val keys = objects.keys.toSeq
       .filter(_.startsWith(s"$bucket/")).map(_.stripPrefix(s"$bucket/"))
       .filter(_.startsWith(prefix)).sorted
+    // delimiter rollup, the documented semantics: keys whose remainder
+    // (after prefix) contains the delimiter collapse into ONE
+    // CommonPrefixes entry (prefix..through first delimiter); rolled-up
+    // groups count toward MaxKeys and paginate interleaved in lexical
+    // order with plain keys. Left = plain key, Right = common prefix.
+    val rolled: Seq[Either[String, String]] = delimiter match {
+      case None => keys.map(Left(_))
+      case Some(d) =>
+        val out = ArrayBufferOfRolled()
+        keys.foreach { k =>
+          val rest = k.substring(prefix.length)
+          val i = rest.indexOf(d)
+          if (i < 0) out += Left(k)
+          else {
+            val cp = prefix + rest.substring(0, i + d.length)
+            if (!out.lastOption.contains(Right(cp))) out += Right(cp)
+          }
+        }
+        out.toSeq
+    }
+    def sortKey(e: Either[String, String]) = e.fold(identity, identity)
     val after = token match {
-      case Some(t) => all.dropWhile(_ <= t)
-      case None => all
+      case Some(t) => rolled.dropWhile(e => sortKey(e) <= t)
+      case None => rolled
     }
     val page = after.take(pageSize)
     val truncated = after.length > page.length
-    val contents = page.map { k =>
+    val contents = page.collect { case Left(k) =>
       val size = objects(s"$bucket/$k").length
       s"<Contents><Key>${xmlEscape(k)}</Key><Size>$size</Size>" +
         s"""<ETag>"${md5hex(objects(s"$bucket/$k"))}"</ETag></Contents>"""
     }.mkString
+    val prefixes = page.collect { case Right(cp) =>
+      s"<CommonPrefixes><Prefix>${xmlEscape(cp)}</Prefix></CommonPrefixes>"
+    }.mkString
     val next =
-      if (truncated) s"<NextContinuationToken>${xmlEscape(page.last)}</NextContinuationToken>"
+      if (truncated)
+        s"<NextContinuationToken>${xmlEscape(sortKey(page.last))}</NextContinuationToken>"
       else ""
     val xml = "<ListBucketResult>" +
       s"<Name>${xmlEscape(bucket)}</Name><Prefix>${xmlEscape(prefix)}</Prefix>" +
+      delimiter.map(d => s"<Delimiter>${xmlEscape(d)}</Delimiter>").getOrElse("") +
       s"<KeyCount>${page.length}</KeyCount><MaxKeys>$pageSize</MaxKeys>" +
-      s"<IsTruncated>$truncated</IsTruncated>$next$contents</ListBucketResult>"
+      s"<IsTruncated>$truncated</IsTruncated>$next$contents$prefixes</ListBucketResult>"
     respond(ex, 200, xml.getBytes("UTF-8"),
       Map("Content-Type" -> "application/xml"))
   }
+
+  private def ArrayBufferOfRolled() =
+    scala.collection.mutable.ArrayBuffer.empty[Either[String, String]]
 
   private def md5hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
@@ -323,6 +356,49 @@ class MockS3Server {
           ("<InitiateMultipartUploadResult><Bucket/><Key/>" +
             s"<UploadId>$id</UploadId></InitiateMultipartUploadResult>").getBytes("UTF-8"),
           Map("Content-Type" -> "application/xml"))
+      case ("PUT", _, Some(id), Some(pn))
+          if ex.getRequestHeaders.getFirst("x-amz-copy-source") != null =>
+        // UploadPartCopy: the part body comes from an EXISTING object
+        // (optionally a byte range of it) — server-side, zero egress
+        uploads.get(id) match {
+          case None => s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
+          case Some(parts) =>
+            val src = java.net.URLDecoder.decode(
+              ex.getRequestHeaders.getFirst("x-amz-copy-source"), "UTF-8")
+              .stripPrefix("/")
+            objects.get(src) match {
+              case None => s3Error(ex, 404, "NoSuchKey", s"copy source $src not found")
+              case Some(srcBytes) =>
+                val sliced = Option(
+                    ex.getRequestHeaders.getFirst("x-amz-copy-source-range")) match {
+                  case Some(r) if r.startsWith("bytes=") =>
+                    val Array(a, z) = r.stripPrefix("bytes=").split("-", 2)
+                    val (from, to) = (a.toLong, z.toLong)
+                    if (from > to || to >= srcBytes.length) {
+                      s3Error(ex, 400, "InvalidRange",
+                        s"copy range $r of ${srcBytes.length}-byte source")
+                      return
+                    }
+                    java.util.Arrays.copyOfRange(srcBytes, from.toInt, to.toInt + 1)
+                  case Some(r) =>
+                    s3Error(ex, 400, "InvalidArgument", s"bad copy range '$r'"); return
+                  case None => srcBytes
+                }
+                val etag = md5hex(sliced)
+                parts.put(pn.toInt, (sliced, etag))
+                copyPartCount.incrementAndGet()
+                // checksummed uploads get the service-computed part
+                // checksum in the result, like real S3
+                val ck =
+                  if (uploadAlgorithms.get(id).contains("CRC32C"))
+                    s"<ChecksumCRC32C>${S3Checksums.crc32cB64(sliced)}</ChecksumCRC32C>"
+                  else ""
+                respond(ex, 200,
+                  (s"""<CopyPartResult><ETag>"$etag"</ETag>$ck</CopyPartResult>""")
+                    .getBytes("UTF-8"),
+                  Map("Content-Type" -> "application/xml"))
+            }
+        }
       case ("PUT", _, Some(id), Some(pn)) => // upload part
         uploads.get(id) match {
           case None => s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
@@ -358,7 +434,8 @@ class MockS3Server {
               checksumHeaders + ("ETag" -> s""""$etag""""))
         }
       case ("POST", _, Some(id), _) => // complete
-        completeUpload(ex, objKey, id, new String(body, "UTF-8"))
+        completeUpload(ex, objKey, id, new String(body, "UTF-8"),
+          ifNoneMatch = ex.getRequestHeaders.getFirst("If-None-Match") != null)
       case ("DELETE", _, Some(id), _) => // abort
         if (uploads.remove(id).isDefined) {
           uploadKeys.remove(id)
@@ -367,7 +444,15 @@ class MockS3Server {
       case ("GET", true, _, _) => // ListMultipartUploads
         listMultipartUploads(ex, hostBucket.getOrElse(objKey), q)
       case ("PUT", false, None, None) => // plain PutObject (presigned drop-box)
-        objects.put(objKey, body)
+        if (ex.getRequestHeaders.getFirst("If-None-Match") != null) {
+          // conditional create: atomic putIfAbsent decides the race —
+          // EXACTLY one concurrent writer wins, like real S3 (2024 API)
+          if (objects.putIfAbsent(objKey, body).isDefined) {
+            s3Error(ex, 412, "PreconditionFailed",
+              s"At least one of the pre-conditions you specified did not hold: $objKey exists")
+            return
+          }
+        } else objects.put(objKey, body)
         respond(ex, 200, Array.emptyByteArray,
           Map("ETag" -> s""""${md5hex(body)}""""))
       case ("HEAD", _, _, _) =>
@@ -412,7 +497,7 @@ class MockS3Server {
   }
 
   private def completeUpload(ex: HttpExchange, objKey: String, id: String,
-      xml: String): Unit = {
+      xml: String, ifNoneMatch: Boolean = false): Unit = {
     uploads.get(id) match {
       case None => s3Error(ex, 404, "NoSuchUpload", s"upload $id not found"); return
       case Some(parts) =>
@@ -464,7 +549,15 @@ class MockS3Server {
         val assembled = new java.io.ByteArrayOutputStream()
         SortedMap.from(listed.map(_._1).map(pn => pn -> parts(pn)._1))
           .values.foreach(assembled.write)
-        objects.put(objKey, assembled.toByteArray)
+        if (ifNoneMatch) {
+          // conditional complete: atomic putIfAbsent decides the race;
+          // on refusal the MPU stays alive (abortable), like real S3
+          if (objects.putIfAbsent(objKey, assembled.toByteArray).isDefined) {
+            s3Error(ex, 412, "PreconditionFailed",
+              s"At least one of the pre-conditions you specified did not hold: $objKey exists")
+            return
+          }
+        } else objects.put(objKey, assembled.toByteArray)
         uploads.remove(id)
         uploadKeys.remove(id)
         // checksummed completes answer with the composite

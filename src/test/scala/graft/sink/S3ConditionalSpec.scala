@@ -1,0 +1,189 @@
+package graft.sink
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 S3 endgame: conditional creates (`If-None-Match: *`) as the
+  * append-race safety rename provides on filesystems but S3 lacks, and
+  * UploadPartCopy server-side compaction (zero data egress). All
+  * against MockS3Server's server-side enforcement: atomic putIfAbsent
+  * decides races, 412 refuses losers, copy parts assemble from stored
+  * bytes the client never sees. */
+class S3ConditionalSpec extends AnyFunSuite {
+
+  def withServer(f: MockS3Server => Unit): Unit = {
+    val srv = new MockS3Server
+    try f(srv) finally srv.stop()
+  }
+
+  def bytes(n: Int, seed: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    new scala.util.Random(seed).nextBytes(b)
+    b
+  }
+
+  test("MPU append race: two concurrent completes, exactly one wins, loser 412s loudly") {
+    withServer { srv =>
+      val a = new S3MultipartSink(srv.endpoint, "m", "regions/r7.tif",
+        ifNoneMatch = true, backoffMs = 1L)
+      val b = new S3MultipartSink(srv.endpoint, "m", "regions/r7.tif",
+        ifNoneMatch = true, backoffMs = 1L)
+      val pa = bytes(4096, 1); val pb = bytes(4096, 2)
+      a.start(); b.start()
+      val ra = PartReceipt(1, 0L, pa.length.toLong, a.uploadPart(1, pa))
+      val rb = PartReceipt(1, 0L, pb.length.toLong, b.uploadPart(1, pb))
+      // complete CONCURRENTLY: the mock's putIfAbsent decides the race
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(Future.sequence(
+        Seq((a, Seq(ra), pa), (b, Seq(rb), pb)).map { case (sink, rs, payload) =>
+          Future(
+            try { sink.complete(rs); Right(payload) }
+            catch { case e: Exception => Left(e) })
+        }), 30.seconds)
+      val winners = results.collect { case Right(p) => p }
+      val losers = results.collect { case Left(e) => e }
+      assert(winners.length == 1 && losers.length == 1,
+        s"expected exactly one winner, got ${winners.length}")
+      // the stored object is the WINNER's bytes, untouched by the loser
+      assert(java.util.Arrays.equals(
+        srv.storedObject("m", "regions/r7.tif").get, winners.head))
+      // the loser failed LOUDLY with the precondition, not a silent overwrite
+      val msg = losers.head.getMessage
+      assert(msg.contains("412") || msg.contains("PreconditionFailed"), msg)
+      // real-S3 semantics: the refused MPU stays alive (abortable), so
+      // the janitor — not silent data loss — owns cleanup
+      assert(srv.liveUploadCount == 1, "loser's MPU should survive the 412")
+      (if (java.util.Arrays.equals(winners.head, pa)) b else a).abort()
+      assert(srv.liveUploadCount == 0)
+    }
+  }
+
+  test("conditional single PUT: second writer of the same key is refused") {
+    withServer { srv =>
+      val first = new S3MultipartSink(srv.endpoint, "m", "regions/r3.bin",
+        ifNoneMatch = true, backoffMs = 1L)
+      val payload = bytes(1024, 3)
+      assert(first.putObject(payload).matches("[0-9a-f]{32}"))
+      val second = new S3MultipartSink(srv.endpoint, "m", "regions/r3.bin",
+        ifNoneMatch = true, backoffMs = 1L)
+      val ex = intercept[Exception] { second.putObject(bytes(1024, 4)) }
+      assert(ex.getMessage.contains("412") ||
+        ex.getMessage.contains("PreconditionFailed"), ex.getMessage)
+      assert(java.util.Arrays.equals(srv.storedObject("m", "regions/r3.bin").get, payload))
+      // without the condition, PUT keeps last-writer-wins semantics
+      val plain = new S3MultipartSink(srv.endpoint, "m", "regions/r3.bin",
+        backoffMs = 1L)
+      val replaced = bytes(512, 5)
+      plain.putObject(replaced)
+      assert(java.util.Arrays.equals(srv.storedObject("m", "regions/r3.bin").get, replaced))
+    }
+  }
+
+  test("server-side compaction: N objects -> one, ZERO data egress, signed") {
+    withServer { srv =>
+      val creds = SigV4.Credentials("AKIDCOMPACT", "compact-secret")
+      val a = bytes(5 << 20, 11); val b = bytes((5 << 20) + 333, 12)
+      val c = bytes(300 << 10, 13) // final part may be small
+      srv.putObject("lake", "small/p1.bin", a)
+      srv.putObject("lake", "small/p2.bin", b)
+      srv.putObject("lake", "small/p3.bin", c)
+      srv.requireSigV4(creds)
+      val sink = new S3MultipartSink(srv.endpoint, "lake", "compact/all.bin",
+        credentials = Some(creds), backoffMs = 1L)
+      val total = S3Compactor.compact(sink, "lake", Seq(
+        S3Compactor.Source("small/p1.bin", a.length.toLong),
+        S3Compactor.Source("small/p2.bin", b.length.toLong),
+        S3Compactor.Source("small/p3.bin", c.length.toLong)))
+      assert(total == a.length.toLong + b.length + c.length)
+      assert(java.util.Arrays.equals(
+        srv.storedObject("lake", "compact/all.bin").get, a ++ b ++ c))
+      // the whole point: bytes moved INSIDE the store — the compactor
+      // issued no GET at all, bounded or not
+      assert(srv.unboundedGets == 0 && srv.rangedGetSizes.isEmpty,
+        "compaction must not egress source bytes")
+      assert(srv.copyParts == 3)
+      assert(srv.verifiedRequestCount > 0, "copy requests must be signed")
+      assert(srv.liveUploadCount == 0)
+    }
+  }
+
+  test("compaction in crc32c mode: service-computed part checksums, composite verified") {
+    withServer { srv =>
+      val a = bytes(5 << 20, 21); val b = bytes(64 << 10, 22)
+      srv.putObject("lake", "x/a.bin", a)
+      srv.putObject("lake", "x/b.bin", b)
+      val sink = new S3MultipartSink(srv.endpoint, "lake", "x/all.bin",
+        crc32c = true, backoffMs = 1L)
+      S3Compactor.compact(sink, "lake", Seq(
+        S3Compactor.Source("x/a.bin", a.length.toLong),
+        S3Compactor.Source("x/b.bin", b.length.toLong)))
+      assert(java.util.Arrays.equals(srv.storedObject("lake", "x/all.bin").get, a ++ b))
+      // a bogus composite from the service must still be refused
+      srv.putObject("lake", "y/a.bin", a)
+      srv.putObject("lake", "y/b.bin", b)
+      val sink2 = new S3MultipartSink(srv.endpoint, "lake", "y/all.bin",
+        crc32c = true, backoffMs = 1L)
+      srv.wrongCompositeOnNextComplete()
+      val ex = intercept[java.io.IOException] {
+        S3Compactor.compact(sink2, "lake", Seq(
+          S3Compactor.Source("y/a.bin", a.length.toLong),
+          S3Compactor.Source("y/b.bin", b.length.toLong)))
+      }
+      assert(ex.getMessage.contains("composite checksum mismatch"), ex.getMessage)
+    }
+  }
+
+  test("copy ranges: one large source splits into ranged parts, byte-exact") {
+    withServer { srv =>
+      val src = bytes(12 << 20, 31)
+      srv.putObject("lake", "big/src.bin", src)
+      val sink = new S3MultipartSink(srv.endpoint, "lake", "big/copy.bin",
+        backoffMs = 1L)
+      sink.start()
+      val cut = (6 << 20) - 1
+      val r1 = sink.uploadPartCopy(1, "lake", "big/src.bin",
+        size = cut + 1L, offset = 0L, range = Some((0L, cut.toLong)))
+      val r2 = sink.uploadPartCopy(2, "lake", "big/src.bin",
+        size = src.length - cut - 1L, offset = cut + 1L,
+        range = Some((cut + 1L, src.length - 1L)))
+      sink.complete(Seq(r1, r2))
+      assert(java.util.Arrays.equals(srv.storedObject("lake", "big/copy.bin").get, src))
+      assert(srv.unboundedGets == 0 && srv.rangedGetSizes.isEmpty)
+    }
+  }
+
+  test("sub-minimum non-final sources are refused loudly, naming the key") {
+    withServer { srv =>
+      srv.putObject("lake", "tiny/a.bin", bytes(1024, 41))
+      srv.putObject("lake", "tiny/b.bin", bytes(1024, 42))
+      val sink = new S3MultipartSink(srv.endpoint, "lake", "tiny/all.bin",
+        backoffMs = 1L)
+      val ex = intercept[IllegalArgumentException] {
+        S3Compactor.compact(sink, "lake", Seq(
+          S3Compactor.Source("tiny/a.bin", 1024L),
+          S3Compactor.Source("tiny/b.bin", 1024L)))
+      }
+      assert(ex.getMessage.contains("tiny/a.bin") &&
+        ex.getMessage.contains("read-and-reupload"), ex.getMessage)
+      assert(srv.liveUploadCount == 0, "refusal must not leak an MPU")
+    }
+  }
+
+  test("a copy source that does not exist fails the compaction and aborts the MPU") {
+    withServer { srv =>
+      srv.putObject("lake", "z/a.bin", bytes(5 << 20, 51))
+      val sink = new S3MultipartSink(srv.endpoint, "lake", "z/all.bin",
+        backoffMs = 1L)
+      val ex = intercept[Exception] {
+        S3Compactor.compact(sink, "lake", Seq(
+          S3Compactor.Source("z/a.bin", (5 << 20).toLong),
+          S3Compactor.Source("z/MISSING.bin", (5 << 20).toLong)))
+      }
+      assert(ex.getMessage.contains("404") || ex.getMessage.contains("NoSuchKey"),
+        ex.getMessage)
+      assert(srv.liveUploadCount == 0, "failed compaction must abort its MPU")
+      assert(srv.storedObject("lake", "z/all.bin").isEmpty)
+    }
+  }
+}
