@@ -112,18 +112,22 @@ object CogReader {
     val bs = profile.blockSize
     val bands = pOff.length
     val planeProfile = profile.copy(bands = 1)
-    val px = new Array[Double](bands * th * tw)
+    // complex samples are (re, im) double PAIRS in every pixel plane
+    val spu = if (TileCodec.isComplex(profile.dtype)) 2 else 1
+    val px = new Array[Double](bands * th * tw * spu)
     var b = 0
     while (b < bands) {
       if (pCnt(b) == 0) {
-        java.util.Arrays.fill(px, b * th * tw, (b + 1) * th * tw, profile.nodata)
+        java.util.Arrays.fill(px, b * th * tw * spu, (b + 1) * th * tw * spu,
+          profile.nodata)
       } else {
         val comp = new Array[Byte](pCnt(b).toInt)
         in.readFully(pOff(b), comp, 0, pCnt(b).toInt)
         val full = TileCodec.decode(comp, planeProfile, level) // bs*bs padded
         var y = 0
         while (y < th) {
-          System.arraycopy(full, y * bs, px, b * th * tw + y * tw, tw)
+          System.arraycopy(full, y * bs * spu,
+            px, (b * th * tw + y * tw) * spu, tw * spu)
           y += 1
         }
       }
@@ -188,17 +192,20 @@ object CogReader {
       codec: String, predictor: Int, dtype: String,
       bigEndian: Boolean, nodata: Double): Array[Double] = {
     val bands = offs.length
-    val out = new Array[Double](bands * rows * width)
+    val spu = if (TileCodec.isComplex(dtype)) 2 else 1
+    val out = new Array[Double](bands * rows * width * spu)
     var b = 0
     while (b < bands) {
       if (cnts(b) == 0) {
-        java.util.Arrays.fill(out, b * rows * width, (b + 1) * rows * width, nodata)
+        java.util.Arrays.fill(out, b * rows * width * spu,
+          (b + 1) * rows * width * spu, nodata)
       } else {
         val comp = new Array[Byte](cnts(b).toInt)
         in.readFully(offs(b), comp, 0, cnts(b).toInt)
         val plane = TileCodec.decodeStrip(comp, codec, predictor, rows,
           width, 1, dtype, bigEndian)
-        System.arraycopy(plane, 0, out, b * rows * width, rows * width)
+        System.arraycopy(plane, 0, out, b * rows * width * spu,
+          rows * width * spu)
       }
       b += 1
     }
@@ -213,21 +220,24 @@ object CogReader {
     val (th, tw) = profile.tileDims(level, ty, tx)
     val bs = profile.blockSize
     val bands = profile.bands
+    // complex samples are (re, im) double PAIRS in every pixel plane
+    val spu = if (TileCodec.isComplex(profile.dtype)) 2 else 1
     if (cnt == 0) {
       // sparse: all nodata, all invalid — no file access
-      val px = new Array[Double](bands * th * tw)
+      val px = new Array[Double](bands * th * tw * spu)
       java.util.Arrays.fill(px, profile.nodata)
       Tile(level, ty, tx, th, tw, px, new Array[Byte](th * tw))
     } else {
       val comp = new Array[Byte](cnt.toInt)
       in.readFully(off, comp, 0, cnt.toInt)
       val full = TileCodec.decode(comp, profile, level) // bs*bs padded
-      val px = new Array[Double](bands * th * tw)
+      val px = new Array[Double](bands * th * tw * spu)
       var b = 0
       while (b < bands) {
         var y = 0
         while (y < th) {
-          System.arraycopy(full, b * bs * bs + y * bs, px, b * th * tw + y * tw, tw)
+          System.arraycopy(full, (b * bs * bs + y * bs) * spu,
+            px, (b * th * tw + y * tw) * spu, tw * spu)
           y += 1
         }
         b += 1
@@ -275,6 +285,8 @@ object CogReader {
       case (32, 2) => "int32"
       case (32, 3) => "float32"
       case (64, 3) => "float64"
+      case (64, 5) => "complex64"   // SAR/interferometry (GDAL CFloat32)
+      case (128, 5) => "complex128" // GDAL CFloat64
       case (b, s) => sys.error(s"unsupported bits/sampleFormat $b/$s")
     }
 

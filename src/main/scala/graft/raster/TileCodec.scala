@@ -24,7 +24,9 @@ import java.util.zip.{Deflater, Inflater}
 object TileCodec {
 
   /** dtype name → (bitsPerSample, TIFF SampleFormat, bytes/sample).
-    * SampleFormat: 1 = unsigned int, 2 = signed int, 3 = IEEE float. */
+    * SampleFormat: 1 = unsigned int, 2 = signed int, 3 = IEEE float,
+    * 5 = complex IEEE float (TIFF 6.0 tech note / GDAL CFloat32/64 —
+    * the SAR/interferometry dtype). */
   val dtypes: Map[String, (Int, Int, Int)] = Map(
     "uint8"   -> (8, 1, 1),
     "int8"    -> (8, 2, 1),
@@ -33,9 +35,32 @@ object TileCodec {
     "uint32"  -> (32, 1, 4),
     "int32"   -> (32, 2, 4),
     "float32" -> (32, 3, 4),
-    "float64" -> (64, 3, 8))
+    "float64" -> (64, 3, 8),
+    "complex64"  -> (64, 5, 8),   // 2×float32 (re, im) per sample
+    "complex128" -> (128, 5, 16)) // 2×float64 (re, im) per sample
 
-  def isInteger(dtype: String): Boolean = dtypes(dtype)._2 != 3
+  def isInteger(dtype: String): Boolean = {
+    val sf = dtypes(dtype)._2
+    sf == 1 || sf == 2
+  }
+
+  /** Complex samples ride as INTERLEAVED (re, im) double pairs in every
+    * `Array[Double]` pixel plane — 2 doubles per sample, so a band
+    * plane holds 2*h*w values. On the wire they are the scalar IEEE
+    * stream (complex64 ≡ float32 pairs, complex128 ≡ float64 pairs):
+    * byte-identical to GDAL's CFloat layout. */
+  def isComplex(dtype: String): Boolean = dtypes(dtype)._2 == 5
+
+  /** Scalar dtype whose wire format carries this dtype's components. */
+  def scalarOf(dtype: String): String = dtype match {
+    case "complex64" => "float32"
+    case "complex128" => "float64"
+    case d => d
+  }
+
+  /** Width of one IEEE lane on the wire (byte-swap granularity): the
+    * component width for complex, the sample width otherwise. */
+  def laneBytes(dtype: String): Int = dtypes(scalarOf(dtype))._3
 
   /** TIFF Predictor tag value for this dtype (2 = horizontal diff). */
   def predictor(dtype: String): Int = if (isInteger(dtype)) 2 else 1
@@ -46,8 +71,11 @@ object TileCodec {
 
   /** Serialize one row-major (bs×bs padded) pixel plane to raw
     * little-endian sample bytes of `dtype`. */
-  private def serialize(px: Array[Double], dtype: String): Array[Byte] = {
+  private def serialize(px: Array[Double], dtypeIn: String): Array[Byte] = {
     val n = px.length
+    // complex planes are (re, im) double pairs: the wire form is the
+    // component scalar stream, so serialization routes through it
+    val dtype = scalarOf(dtypeIn)
     dtype match {
       case "uint8" =>
         val out = new Array[Byte](n)
@@ -137,7 +165,8 @@ object TileCodec {
   }
 
   /** Parse raw little-endian sample bytes back to doubles (tests). */
-  def deserialize(raw: Array[Byte], dtype: String): Array[Double] = {
+  def deserialize(raw: Array[Byte], dtypeIn: String): Array[Double] = {
+    val dtype = scalarOf(dtypeIn) // complex: decode the component stream
     val bp = dtypes(dtype)._3
     val n = raw.length / bp
     val out = new Array[Double](n)
@@ -394,18 +423,28 @@ object TileCodec {
       case "none" => if (bigEndian && bp > 1) bytes.clone() else bytes
       case c => sys.error(s"unsupported strip codec $c")
     }
-    if (bigEndian && bp > 1) byteSwap(raw, bp)
-    if (predictorCodecs(codec) && predictorTag == 2)
+    if (bigEndian && bp > 1) byteSwap(raw, laneBytes(dtype))
+    if (predictorCodecs(codec) && predictorTag == 2) {
+      require(!isComplex(dtype),
+        s"$dtype strip declares Predictor=2: horizontal differencing is " +
+          "undefined for complex samples — refusing to guess")
       undoPredictor(raw, width * bands, bp, bands)
+    }
     val interleaved = deserialize(raw, dtype)
+    val spu = if (isComplex(dtype)) 2 else 1
     if (bands == 1) interleaved
     else {
       val out = new Array[Double](interleaved.length)
+      val plane = rows * width * spu
       var i = 0
       while (i < rows * width) {
         var b = 0
         while (b < bands) {
-          out(b * rows * width + i) = interleaved(i * bands + b)
+          var c = 0
+          while (c < spu) {
+            out(b * plane + i * spu + c) = interleaved((i * bands + b) * spu + c)
+            c += 1
+          }
           b += 1
         }
         i += 1
@@ -622,6 +661,7 @@ object TileCodec {
     * bands (TIFF chunky layout), serialize, predictor, compress — plus
     * the fused per-band stats partials over VALID pixels. */
   def encode(t: Tile, profile: RasterProfile): EncodedTile = {
+    if (isComplex(profile.dtype)) return encodeComplex(t, profile)
     val bs = profile.blockSize
     val nodata = profile.nodata
     val dtype = profile.dtype
@@ -688,6 +728,84 @@ object TileCodec {
             case "packbits" => packbitsEncode(raw, bs * bands * dtypes(dtype)._3)
             case _ => raw
           }
+      }
+      val decorated = if (profile.ghost) ghostDecorate(comp) else comp
+      EncodedTile(t.level, t.ty, t.tx, PageData, decorated.length, decorated,
+        totalPx, bValid, bSum, bSumSq, bMin, bMax)
+    }
+  }
+
+  /** Complex-tile encode (SampleFormat=5): the tile's band planes hold
+    * 2*h*w doubles each — interleaved (re, im) pairs. Pixel validity is
+    * "either component differs from nodata" (a complex nodata sentinel
+    * is (nodata, nodata), GDAL's CFloat convention); the fused stats
+    * partials run over the MAGNITUDE |z| of valid pixels — the only
+    * scalar summary with a defined order (GDAL likewise refuses
+    * component-wise min/max for complex bands). Predictor never
+    * applies (TIFF 6.0 limits differencing to integer data); JPEG is
+    * structurally impossible for 64/128-bit samples and refused. */
+  private def encodeComplex(t: Tile, profile: RasterProfile): EncodedTile = {
+    val bs = profile.blockSize
+    val nodata = profile.nodata
+    val bands = profile.bands
+    require(profile.compressionFor(t.level) != "jpeg",
+      s"jpeg cannot encode ${profile.dtype} samples")
+    val plane = t.h * t.w * 2
+    val padded = new Array[Double](bs * bs * 2 * bands)
+    java.util.Arrays.fill(padded, nodata)
+    var validAny = 0L
+    val bValid = new Array[Long](bands)
+    val bSum = new Array[Double](bands)
+    val bSumSq = new Array[Double](bands)
+    val bMin = Array.fill(bands)(Double.PositiveInfinity)
+    val bMax = Array.fill(bands)(Double.NegativeInfinity)
+    val nodataIsNaN = java.lang.Double.isNaN(nodata)
+    def isNd(v: Double): Boolean =
+      if (nodataIsNaN) java.lang.Double.isNaN(v) else v == nodata
+    var b = 0
+    while (b < bands) {
+      var y = 0
+      while (y < t.h) {
+        var x = 0
+        while (x < t.w) {
+          val i = b * plane + (y * t.w + x) * 2
+          val re = t.pixels(i)
+          val im = t.pixels(i + 1)
+          val maskOk = t.mask == null || t.mask(y * t.w + x) != 0
+          if (maskOk && (!isNd(re) || !isNd(im))) {
+            val o = ((y * bs + x) * bands + b) * 2
+            padded(o) = re
+            padded(o + 1) = im
+            val mag = math.hypot(re, im)
+            bValid(b) += 1
+            bSum(b) += mag
+            bSumSq(b) += mag * mag
+            if (mag < bMin(b)) bMin(b) = mag
+            if (mag > bMax(b)) bMax(b) = mag
+          }
+          x += 1
+        }
+        y += 1
+      }
+      validAny += bValid(b)
+      b += 1
+    }
+    for (i <- 0 until bands) {
+      if (bValid(i) == 0) { bMin(i) = 0.0; bMax(i) = 0.0 }
+    }
+    val totalPx = t.h.toLong * t.w
+    if (validAny == 0 && profile.sparseOk) {
+      EncodedTile(t.level, t.ty, t.tx, PageData, 0, Array.emptyByteArray,
+        totalPx, bValid, bSum, bSumSq, bMin, bMax)
+    } else {
+      val raw = serialize(padded, profile.dtype)
+      val comp = profile.compressionFor(t.level) match {
+        case "deflate" => deflate(raw, profile.zlevel)
+        case "lzw" => lzwEncode(raw)
+        case "zstd" => zstdEncode(raw)
+        case "packbits" =>
+          packbitsEncode(raw, bs * bands * 2 * laneBytes(profile.dtype))
+        case _ => raw
       }
       val decorated = if (profile.ghost) ghostDecorate(comp) else comp
       EncodedTile(t.level, t.ty, t.tx, PageData, decorated.length, decorated,
@@ -807,23 +925,39 @@ object TileCodec {
         }
         // an MM file's samples are big-endian: swap to LE BEFORE the
         // predictor undo — differencing is value-level, and the
-        // byte-wise borrow below assumes LE lanes
-        if (profile.bigEndianData && bp > 1) byteSwap(raw, bp)
+        // byte-wise borrow below assumes LE lanes. Lane width is the
+        // IEEE COMPONENT for complex (a complex128 sample is two
+        // independently-swapped float64 lanes, not one 16-byte lane).
+        if (profile.bigEndianData && bp > 1)
+          byteSwap(raw, laneBytes(profile.dtype))
         // effectivePredictor, not dtype-derived: a foreign file may
         // declare predictor 1 for an integer dtype, and un-differencing
         // bytes that were never differenced corrupts silently
-        if (predictorCodecs(codec) && profile.effectivePredictor == 2)
+        if (predictorCodecs(codec) && profile.effectivePredictor == 2) {
+          require(!isComplex(profile.dtype),
+            s"${profile.dtype} tile declares Predictor=2: horizontal " +
+              "differencing is undefined for complex samples (TIFF 6.0 " +
+              "limits it to integer data) — refusing to guess")
           undoPredictor(raw, bs * bands, bp, bands)
+        }
         deserialize(raw, profile.dtype)
       }
+    // complex samples occupy 2 consecutive doubles; the de-interleave
+    // moves (re, im) units
+    val spu = if (isComplex(profile.dtype)) 2 else 1
     if (bands == 1) interleaved
     else {
       val out = new Array[Double](interleaved.length)
+      val plane = bs * bs * spu
       var i = 0
       while (i < bs * bs) {
         var b = 0
         while (b < bands) {
-          out(b * bs * bs + i) = interleaved(i * bands + b)
+          var c = 0
+          while (c < spu) {
+            out(b * plane + i * spu + c) = interleaved((i * bands + b) * spu + c)
+            c += 1
+          }
           b += 1
         }
         i += 1

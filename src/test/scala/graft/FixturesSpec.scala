@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fixtures.events must read IDENTICAL instants from every ts encoding
+  * the driver's testdata generator has shipped — TIMESTAMP(NANOS)
+  * (read as raw Long under the legacy nanosAsLong conf), TIMESTAMP
+  * (MICROS) NTZ (isAdjustedToUTC=false), and tz-adjusted TIMESTAMP
+  * (MICROS) (isAdjustedToUTC=true) — so a testdata regeneration can
+  * never silently shift every event by a time-zone offset or truncate
+  * sub-ms detail. The nanos file is written with the low-level parquet
+  * API (Spark cannot emit TIMESTAMP(NANOS) itself). */
+class FixturesSpec extends SparkSpec {
+
+  // instants with sub-millisecond detail — the part an encoding bug
+  // truncates or shifts first. Micros precision: all three encodings
+  // can carry it exactly (nanos carries more; events() floors to µs).
+  val instantsMicros: Seq[(Long, Long)] = Seq(
+    1L -> 1767270896789012L, // 2026-01-01T12:34:56.789012Z
+    2L -> 1767270896000001L,
+    3L -> 1780000000123456L)
+
+  def dirFor(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-fx-$name").toString
+
+  /** Encoding 1: tz-adjusted micros (isAdjustedToUTC=true) — what
+    * Spark's own TimestampType writes. */
+  lazy val adjustedDir: String = {
+    import spark.implicits._
+    val d = dirFor("adj")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    instantsMicros.toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  /** Encoding 2: NTZ micros (isAdjustedToUTC=false) — wall-clock
+    * values; under the UTC session they denote the same instants. */
+  lazy val ntzDir: String = {
+    import spark.implicits._
+    val d = dirFor("ntz")
+    instantsMicros.toDF("event_id", "us")
+      .select($"event_id",
+        timestamp_micros($"us").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  /** Encoding 3: TIMESTAMP(NANOS, adjusted) int64 — parquet-mr direct,
+    * exactly the type the pre-r13 testdata shipped. */
+  lazy val nanosDir: String = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val d = dirFor("nanos")
+    val schema: MessageType = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$d/events.parquet"))
+      .withConf(conf).withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    instantsMicros.foreach { case (id, us) =>
+      // +123 sub-µs nanos on one row: events() must FLOOR to µs via
+      // integer div, never round-trip through a double
+      val extra = if (id == 1L) 123L else 0L
+      w.write(f.newGroup().append("event_id", id).append("ts", us * 1000L + extra))
+    }
+    w.close()
+    d
+  }
+
+  def readBack(dir: String): Seq[(Long, java.sql.Timestamp)] = {
+    val df = Fixtures.events(spark, dir)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"events() must normalize to TimestampType, got ${df.schema("ts").dataType}")
+    df.select(col("event_id").cast("long"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq
+  }
+
+  test("the three ts encodings read identical instants through Fixtures.events") {
+    val adj = readBack(adjustedDir)
+    val ntz = readBack(ntzDir)
+    val nan = readBack(nanosDir)
+    assert(adj == ntz, s"adjusted vs NTZ:\n$adj\n$ntz")
+    assert(adj == nan, s"adjusted vs nanos:\n$adj\n$nan")
+    // and they are the RIGHT instants, not merely consistent ones
+    val expect = instantsMicros.map { case (id, us) =>
+      id -> java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        us / 1000000L, (us % 1000000L) * 1000L))
+    }
+    assert(adj == expect, s"instants drifted:\n$adj\n$expect")
+  }
+
+  test("sub-microsecond nanos floor to µs (no double round-trip)") {
+    // row 1 carries +123ns — identical µs after the div-1000 floor
+    val nan = readBack(nanosDir).toMap
+    assert(nan(1L).getNanos % 1000 == 0, s"sub-µs residue survived: ${nan(1L)}")
+  }
+
+  test("an NTZ read outside a UTC session fails loudly instead of shifting instants") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Fixtures.events(spark, ntzDir).collect()
+      }
+      assert(ex.getMessage.contains("UTC"), ex.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+}

@@ -1,0 +1,211 @@
+package graft.raster
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** SampleFormat=5 (complex IEEE) — the SAR/interferometry dtype, the
+  * last reference dtype delta. Pixel-plane convention: 2 doubles per
+  * sample, interleaved (re, im); wire layout = the component scalar
+  * stream (complex64 ≡ float32 pairs), byte-identical to GDAL CFloat.
+  * Covers codec round-trips per compression, magnitude stats, sparse
+  * elision, edge padding, foreign tiled + strip reads end-to-end
+  * (incl. big-endian lane swap), and loud refusals (predictor 2,
+  * jpeg). JDK interop is excluded by the JDK itself: its TIFF plugin
+  * only accepts SampleFormat 1/2/3 (checked in the exclusion test). */
+class ComplexDtypeSpec extends SparkSpec {
+
+  val ND = -9999.0
+
+  def profile(dtype: String, compression: String = "deflate",
+      bands: Int = 1, w: Int = 40, h: Int = 25) =
+    RasterProfile(w, h, blockSize = 16, bands = bands, nodata = ND,
+      dtype = dtype, compression = compression, minOverviewSize = 64,
+      bigtiff = false)
+
+  /** Deterministic complex tile: band-major planes of 2*h*w doubles. */
+  def complexTile(h: Int, w: Int, bands: Int, seed: Int): Tile = {
+    val px = new Array[Double](bands * h * w * 2)
+    for (b <- 0 until bands; i <- 0 until h * w) {
+      px((b * h * w + i) * 2) = (i * 37 + b * 1000 + seed) % 251 - 17.5
+      px((b * h * w + i) * 2 + 1) = -((i * 13 + b * 500 + seed) % 97) + 3.25
+    }
+    Tile(0, 0, 0, h, w, px, null)
+  }
+
+  def f32(v: Double): Double = v.toFloat.toDouble
+
+  test("deserialize: complex64 is the float32 component stream, complex128 exact") {
+    // 0x3fc00000 LE = 1.5f — one float32 component per 4 bytes
+    assert(TileCodec.deserialize(
+      Array[Byte](0, 0, 0xc0.toByte, 0x3f.toByte), "complex64").toSeq == Seq(1.5))
+    val raw128 = new Array[Byte](16)
+    val bb = java.nio.ByteBuffer.wrap(raw128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(3.141592653589793); bb.putDouble(-2.5)
+    assert(TileCodec.deserialize(raw128, "complex128").toSeq ==
+      Seq(3.141592653589793, -2.5))
+  }
+
+  test("tile round-trip per codec: complex64 to float precision, complex128 exact") {
+    for (dtype <- Seq("complex64", "complex128");
+        codec <- Seq("none", "deflate", "lzw", "zstd", "packbits")) {
+      val prof = profile(dtype, codec, w = 16, h = 16)
+      val t = complexTile(16, 16, 1, seed = 5)
+      val enc = TileCodec.encode(t, prof)
+      val dec = TileCodec.decode(enc.bytes, prof)
+      assert(dec.length == 16 * 16 * 2)
+      for (i <- 0 until 16 * 16 * 2) {
+        val want = if (dtype == "complex64") f32(t.pixels(i)) else t.pixels(i)
+        assert(dec(i) == want, s"$dtype/$codec component $i")
+      }
+    }
+  }
+
+  test("edge tile pads with (nodata, nodata) pairs; mask/nodata pixels blank out") {
+    val prof = profile("complex128", "deflate", w = 16, h = 16)
+    val t0 = complexTile(10, 12, 1, seed = 9)
+    // invalidate pixel 7 via mask, pixel 8 via the (nd, nd) sentinel
+    val mask = Array.fill[Byte](10 * 12)(1); mask(7) = 0
+    val px = t0.pixels.clone()
+    px(16) = ND; px(17) = ND
+    val t = t0.copy(pixels = px, mask = mask)
+    val dec = TileCodec.decode(TileCodec.encode(t, prof).bytes, prof)
+    for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 2) {
+      val v = dec((y * 16 + x) * 2 + c)
+      val want =
+        if (y >= 10 || x >= 12) ND // padding
+        else if (y * 12 + x == 7 || y * 12 + x == 8) ND // masked / sentinel
+        else t.pixels((y * 12 + x) * 2 + c)
+      assert(v == want, s"($y,$x,$c)")
+    }
+  }
+
+  test("half-valid complex pixels survive: (re, nodata) is DATA, not a hole") {
+    val prof = profile("complex128", "none", w = 16, h = 16)
+    val px = new Array[Double](16 * 16 * 2)
+    java.util.Arrays.fill(px, ND)
+    px(0) = 42.0 // re valid, im == nodata — still a valid pixel
+    val t = Tile(0, 0, 0, 16, 16, px, null)
+    val enc = TileCodec.encode(t, prof)
+    assert(enc.bandValid.head == 1L)
+    val dec = TileCodec.decode(enc.bytes, prof)
+    assert(dec(0) == 42.0 && dec(1) == ND)
+  }
+
+  test("fused stats are magnitude stats over valid pixels") {
+    val prof = profile("complex128", "deflate", w = 16, h = 16)
+    val t = complexTile(16, 16, 1, seed = 3)
+    val enc = TileCodec.encode(t, prof)
+    val mags = (0 until 16 * 16).map(i =>
+      math.hypot(t.pixels(2 * i), t.pixels(2 * i + 1)))
+    assert(enc.bandValid.head == 256L)
+    assert(math.abs(enc.bandSum.head - mags.sum) < 1e-9)
+    assert(math.abs(enc.bandSumSq.head - mags.map(m => m * m).sum) < 1e-6)
+    assert(enc.bandMin.head == mags.min && enc.bandMax.head == mags.max)
+  }
+
+  test("all-nodata complex tile elides to sparse (0 bytes)") {
+    val prof = profile("complex64", "deflate", w = 16, h = 16)
+    val px = Array.fill(16 * 16 * 2)(ND)
+    val enc = TileCodec.encode(Tile(0, 0, 0, 16, 16, px, null), prof)
+    assert(enc.bytes.isEmpty && enc.bandValid.head == 0L)
+  }
+
+  test("predictor 2 on complex data is refused loudly, jpeg refused at encode") {
+    val prof = profile("complex64", "deflate", w = 16, h = 16)
+      .copy(predictorOverride = Some(2))
+    val t = complexTile(16, 16, 1, seed = 1)
+    // decode side: a foreign file DECLARING predictor 2 for complex
+    val enc = TileCodec.encode(t, prof.copy(predictorOverride = Some(1)))
+    val ex = intercept[IllegalArgumentException] {
+      TileCodec.decode(enc.bytes, prof)
+    }
+    assert(ex.getMessage.contains("Predictor=2"), ex.getMessage)
+    // jpeg cannot carry 64/128-bit samples: the profile itself refuses
+    val ex2 = intercept[IllegalArgumentException] {
+      profile("complex64", "deflate").copy(overviewCompression = Some("jpeg"))
+    }
+    assert(ex2.getMessage.contains("jpeg"), ex2.getMessage)
+    val ex3 = intercept[IllegalArgumentException] {
+      profile("complex64", "jpeg")
+    }
+    assert(ex3.getMessage.contains("jpeg"), ex3.getMessage)
+  }
+
+  test("foreign tiled classic complex64 reads end-to-end at every tile") {
+    val prof = profile("complex64", "deflate", w = 40, h = 25)
+    val (gw, gh) = prof.gridDims(0)
+    val tiles = for (ty <- 0 until gh; tx <- 0 until gw) yield {
+      val (th, tw) = prof.tileDims(0, ty, tx)
+      complexTile(th, tw, 1, seed = ty * 10 + tx).copy(ty = ty, tx = tx)
+    }
+    val blobs = tiles.map(t => TileCodec.encode(t, prof).bytes).toArray
+    val bytes = ClassicTiff.emit(prof, Seq(blobs))
+    val f = Paths.get(Files.createTempDirectory("graft-cplx").toString, "c.tif")
+    Files.write(f, bytes)
+    val uri = "file://" + f
+
+    val pages = CogReader.readMeta(uri)
+    assert(pages.head.bits == 64 && pages.head.sampleFormat == 5)
+    val inferred = CogReader.inferProfile(pages)
+    assert(inferred.dtype == "complex64" && inferred.nodata == ND)
+
+    val got = CogReader.read(spark, uri, inferred, 0).collect()
+    assert(got.length == gw * gh)
+    for (g <- got) {
+      val e = tiles.find(t => t.ty == g.ty && t.tx == g.tx).get
+      assert(g.h == e.h && g.w == e.w)
+      assert(g.pixels.length == 2 * e.h * e.w, "complex planes are (re,im) pairs")
+      for (i <- 0 until 2 * e.h * e.w)
+        assert(g.pixels(i) == f32(e.pixels(i)), s"tile(${g.ty},${g.tx}) comp $i")
+    }
+  }
+
+  test("foreign STRIP complex128 reads, incl. big-endian lane swap") {
+    val width = 20; val height = 9; val rps = 4
+    val nStrips = (height + rps - 1) / rps
+    val vals = Array.tabulate(height * width * 2)(i => (i * 11 % 103) - 12.5)
+    for (bigEndian <- Seq(false, true)) {
+      val ord = if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN
+      val strips = (0 until nStrips).map { si =>
+        val rows = math.min(rps, height - si * rps)
+        val bb = java.nio.ByteBuffer.allocate(rows * width * 16).order(ord)
+        for (i <- 0 until rows * width * 2)
+          bb.putDouble(vals((si * rps * width * 2) + i))
+        TileCodec.deflate(bb.array())
+      }.toArray
+      val bytes = ClassicTiff.emitStripped(width, height, rps, 8, strips,
+        nodata = Some(-9999L), bigEndian = bigEndian, bits = 128, sampleFormat = 5)
+      val f = Paths.get(Files.createTempDirectory("graft-cstrip").toString, "s.tif")
+      Files.write(f, bytes)
+      val tiles = CogReader.readStrips(spark, "file://" + f).collect().sortBy(_.ty)
+      assert(tiles.length == nStrips)
+      for (t <- tiles; i <- 0 until t.h * t.w * 2)
+        assert(t.pixels(i) == vals(t.ty * rps * width * 2 + i),
+          s"bigEndian=$bigEndian strip ${t.ty} comp $i")
+    }
+  }
+
+  test("JDK exclusion is real: ImageIO's TIFF plugin refuses SampleFormat=5") {
+    // pin the reason complex is absent from JdkTiffInteropSpec — if a
+    // future JDK learns complex TIFF, this fails and interop rows
+    // should be added
+    val prof = profile("complex64", "deflate", w = 16, h = 16)
+    val t = complexTile(16, 16, 1, seed = 2)
+    val blob = TileCodec.encode(t, prof).bytes
+    val bytes = ClassicTiff.emit(prof.copy(width = 16, height = 16), Seq(Array(blob)))
+    val refusedOrMangled =
+      try {
+        val r = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        // a mangled raster instead of a refusal is still not a
+        // faithful complex decode
+        r == null ||
+          !r.getData.getDataBuffer.isInstanceOf[java.awt.image.DataBufferFloat] ||
+          r.getRaster.getNumBands * r.getWidth * r.getHeight < 16 * 16 * 2
+      } catch {
+        case _: javax.imageio.IIOException => true // the observed refusal
+      }
+    assert(refusedOrMangled,
+      "the JDK decoded SampleFormat=5 — add complex interop rows to JdkTiffInteropSpec")
+  }
+}
