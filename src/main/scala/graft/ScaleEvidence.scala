@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence fixture generator: replicate the driver's sf0.1
+  * tables `factor`× with key/content shifts chosen so the WORKLOAD
+  * grows linearly — turning SCALE.md's plan-inspection claims into
+  * measured runtime curves (bench at sf0.1 vs the scaled dir; a
+  * linear-ish ratio means the plan scales, a superlinear one names a
+  * real bottleneck).
+  *
+  * The shifts are the point. Naive replication multiplies DUPLICATE
+  * GROUPS, and pair-producing operators (near-dup joins, band
+  * self-joins) are quadratic in group size BY SEMANTICS — their
+  * runtime would explode on replicated data even with a perfect plan,
+  * poisoning the curve. So:
+  *  - documents: copy 0 is verbatim (preserving the planted near-dup
+  *    structure); copies 1+ get a per-copy seeded word SHUFFLE — same
+  *    vocabulary, same lengths, same row widths, but no shingle/
+  *    minhash/span matches across copies;
+  *  - events: value shifted by copy*1000 (disjoint range-join bands),
+  *    ids/user_ids/ts shifted into fresh ranges;
+  *  - orders/lineitem: order keys shifted per copy, so the join fan-in
+  *    per key is unchanged;
+  *  - dimension tables (customer/nation/region/supplier/part) stay
+  *    as-is, exactly like production: facts grow, dims don't.
+  *
+  * Usage: runMain graft.ScaleEvidence <srcSfDir> <outDir> <factor>
+  */
+object ScaleEvidence {
+
+  def shuffleWords(text: String, seed: Long): String = {
+    val w = text.split(" ")
+    val rnd = new java.util.Random(seed)
+    var i = w.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = w(i); w(i) = w(j); w(j) = t
+      i -= 1
+    }
+    w.mkString(" ")
+  }
+
+  def scaledDocuments(spark: SparkSession, src: String, factor: Int): DataFrame = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    val maxId = base.agg(max($"doc_id")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) base
+      else base.select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .as[(Long, String, String, String, Long)]
+        .map { case (id, text, lang, source, _) =>
+          val t = shuffleWords(text, k.toLong * 1000000007L + id)
+          (id + k * maxId, t, lang, source, t.length.toLong)
+        }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }.reduce(_ unionByName _)
+  }
+
+  def scaledEvents(spark: SparkSession, src: String, factor: Int): DataFrame = {
+    import spark.implicits._
+    val base = Fixtures.events(spark, src)
+    val maxEid = base.agg(max($"event_id")).head().getLong(0) + 1
+    val maxUid = base.agg(max($"user_id")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      base.select(
+        ($"event_id" + k * maxEid).as("event_id"),
+        // fresh day range per copy: windows/gapfill stay per-copy local
+        ($"ts" + expr(s"make_interval(0, 0, 0, ${k * 64}, 0, 0, 0)")).as("ts"),
+        ($"user_id" + k * maxUid).as("user_id"),
+        $"event_type",
+        // disjoint value bands per copy: the range self-join's pair
+        // output scales 4x, not 16x
+        ($"value" + k * 1000.0).as("value"),
+        $"props")
+    }.reduce(_ unionByName _)
+  }
+
+  def scaledByKeyShift(spark: SparkSession, src: String, table: String,
+      factor: Int, keyCols: Map[String, String]): DataFrame = {
+    val base = spark.read.parquet(s"$src/$table.parquet")
+    val shifts = keyCols.map { case (col0, maxOf) =>
+      col0 -> (base.agg(max(col(maxOf))).head().getLong(0) + 1)
+    }
+    (0 until factor).map { k =>
+      shifts.foldLeft(base) { case (df, (c, m)) =>
+        df.withColumn(c, col(c) + lit(k * m))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    write(scaledDocuments(spark, src, factor), "documents")
+    write(scaledEvents(spark, src, factor), "events")
+    write(scaledByKeyShift(spark, src, "orders", factor,
+      Map("o_orderkey" -> "o_orderkey")), "orders")
+    write(scaledByKeyShift(spark, src, "lineitem", factor,
+      Map("l_orderkey" -> "l_orderkey")), "lineitem")
+    // dims ride along unchanged (facts grow, dims don't — the
+    // production shape broadcast joins rely on)
+    for (t <- Seq("customer", "nation", "region", "supplier", "part", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleEvidence <srcSfDir> <outDir> [factor]")
+    val factor = if (args.length >= 3) args(2).toInt else 4
+    val spark = Fixtures.configure(
+      SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .appName("graft-scale-evidence")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    try generate(spark, args(0), args(1), factor)
+    finally spark.stop()
+  }
+}
