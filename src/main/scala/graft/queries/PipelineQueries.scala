@@ -361,7 +361,57 @@ object PipelineQueries {
       |  round(CAST(n_shared AS DOUBLE) / n_spans, 4) AS shared_frac
       |FROM j WHERE n_shared > 0 ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination — the eval-set overlap scrub every
+    * training corpus runs before a model trains: any document sharing
+    * a 5-word shingle with the held-out benchmark set (stand-in:
+    * doc_id % 97 == 0, ~1% of the corpus) is flagged with its hit
+    * count. Plan shape at 100 TB: the benchmark side is FIXED-SIZE →
+    * its distinct shingles broadcast; the corpus side is one narrow
+    * flatMap + a broadcast semi-ish join + one groupBy(doc_id) — no
+    * corpus self-join anywhere. Planted near-dup pairs make some
+    * contamination real in the fixture. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def shingle5(df: DataFrame): DataFrame =
+      df.select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w = text.trim.toLowerCase(java.util.Locale.ROOT).split(" ")
+          if (w.length < 5) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            (0 to w.length - 5).iterator
+              .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)} ${w(i + 3)} ${w(i + 4)}")
+              .filter(seen.add)
+              .map(sh => (id, sh))
+          }
+        }
+        .toDF("doc_id", "shingle")
+    val docs = Fixtures.documents(spark, sfDir)
+    val bench = shingle5(docs.filter($"doc_id" % 97 === 0))
+      .select($"shingle").distinct()
+    shingle5(docs.filter($"doc_id" % 97 =!= 0))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits")) // shingles are per-doc distinct
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 3),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingles
+      |  FROM w WHERE len(w) >= 5),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0)
+      |SELECT ex.doc_id, count(*) AS n_hits
+      |FROM ex JOIN bench USING (shingle)
+      |WHERE ex.doc_id % 97 <> 0
+      |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (decontaminate _),
     "q_pipeline_observe" -> (pipelineObserve _),
     "q_dedup_url" -> (dedupUrl _),
     "q_dedup_exact" -> (dedupExact _),
@@ -372,6 +422,7 @@ object PipelineQueries {
     "q_text_tokens" -> (textTokens _))
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" -> decontaminateSql,
     "q_dedup_url" -> dedupUrlSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_cross_source" -> dedupCrossSourceSql,

@@ -84,6 +84,58 @@ object SamplingQueries {
     mixFromPerDocTokens(spark, docs)
   }
 
+  /** Temperature-scaled mixture (p_i^alpha / Σ p_j^alpha, alpha=0.7) —
+    * the multilingual-sampling standard: flattens the source
+    * distribution toward uniform without inverting it (alpha=1 keeps
+    * natural proportions, alpha=0 is equal share; 0.7 is the published
+    * mBERT/XLM-R compromise). Same metadata-scale plan as
+    * q_mix_weights: one corpus groupBy, then window algebra over the
+    * n_sources grouped rows. */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val alpha = 0.7
+    val perSource = Fixtures.documents(spark, sfDir)
+      .withColumn("tokens", TextQueries.tokenCount($"text"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("tokens"))
+    val all = Window.partitionBy()
+    perSource
+      .withColumn("share", $"tokens".cast("double") / sum($"tokens").over(all))
+      .withColumn("p_alpha", pow($"share", alpha))
+      .withColumn("temp_share", $"p_alpha" / sum($"p_alpha").over(all))
+      .withColumn("wt", $"temp_share" / $"share")
+      .select($"source", $"n_docs", $"tokens",
+        round($"share", 4).as("token_share"),
+        round($"temp_share", 4).as("temp_share"),
+        round($"wt", 4).as("weight"),
+        round($"tokens" * $"wt", 2).as("expected_tokens"))
+      .orderBy($"source")
+  }
+
+  val mixTemperatureSql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |sh AS (
+      |  SELECT source, n_docs, tokens,
+      |    CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS share
+      |  FROM s),
+      |p AS (
+      |  SELECT source, n_docs, tokens, share, pow(share, 0.7) AS p_alpha
+      |  FROM sh),
+      |t AS (
+      |  SELECT source, n_docs, tokens, share,
+      |    p_alpha / sum(p_alpha) OVER () AS temp_share
+      |  FROM p)
+      |SELECT source, n_docs, tokens,
+      |  round(share, 4) AS token_share,
+      |  round(temp_share, 4) AS temp_share,
+      |  round(temp_share / share, 4) AS weight,
+      |  round(tokens * (temp_share / share), 2) AS expected_tokens
+      |FROM t ORDER BY source""".stripMargin
+
   private def mixFromPerDocTokens(spark: SparkSession, docsWithTokens: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -129,9 +181,11 @@ object SamplingQueries {
     "q_split_train" -> (splitTrain _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_mix_weights" -> (mixWeights _),
-    "q_mix_weights_bpe" -> (mixWeightsBpe _))
+    "q_mix_weights_bpe" -> (mixWeightsBpe _),
+    "q_mix_temperature" -> (mixTemperature _))
 
   val oracle: Map[String, String] = Map(
     "q_split_train" -> splitTrainSql,
-    "q_mix_weights" -> mixWeightsSql)
+    "q_mix_weights" -> mixWeightsSql,
+    "q_mix_temperature" -> mixTemperatureSql)
 }

@@ -333,6 +333,44 @@ object TextQueries {
        |GROUP BY p.source, p.shard, p.pack_id
        |ORDER BY p.source, p.shard, p.pack_id""".stripMargin
 
+  /** Unigram-LM scoring: per-document mean negative log-likelihood
+    * under the corpus's own unigram distribution — the cheap
+    * perplexity-style quality signal (rare-word soup scores high,
+    * stopword-heavy boilerplate low) every curation pipeline computes
+    * before a real LM ever runs. Plan at 100 TB: one word explode (the
+    * only data-scale shuffle keys on `word` for counts and re-joins on
+    * it — both well-distributed), the corpus total is a window over the
+    * GROUPED vocab rows (metadata scale), then one groupBy(doc_id).
+    * Every word exists in its own corpus, so no OOV smoothing term. */
+  def textNll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("w"))
+    val vocab = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
+      .withColumn("total", sum($"n_w").over(Window.partitionBy()))
+      .withColumn("logp", log($"n_w".cast("double") / $"total"))
+    words.join(vocab.select($"w", $"logp"), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(-avg($"logp"), 4).as("nll_nats"))
+      .orderBy($"doc_id")
+  }
+
+  val textNllSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT w, count(*) AS n_w FROM words GROUP BY w),
+      |v AS (
+      |  SELECT w, ln(CAST(n_w AS DOUBLE) / sum(n_w) OVER ()) AS logp
+      |  FROM vocab)
+      |SELECT doc_id, count(*) AS n_words,
+      |  round(-avg(logp), 4) AS nll_nats
+      |FROM words JOIN v USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- byte-level BPE: train distributed-histogram -> driver merge
   // loop -> broadcast table -> narrow encode map ----
 
@@ -397,6 +435,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
+    "q_text_nll" -> (textNll _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_token_count" -> (textTokenCount _),
@@ -409,6 +448,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q_text_quality" -> textQualitySql,
+    "q_text_nll" -> textNllSql,
     "q_text_token_count" -> textTokenCountSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_pack_sequences" -> packSequencesSql,

@@ -172,7 +172,7 @@ case class RasterProfile(
 
   // integer dtypes silently clamp on serialize; an unrepresentable
   // nodata sentinel would corrupt the invalid-pixel round trip
-  require(TileCodec.dtypes(dtype)._2 == 3 || {
+  require(!TileCodec.isInteger(dtype) || {
     val (lo, hi) = dtype match {
       case "uint8"  => (0.0, 255.0)
       case "int8"   => (Byte.MinValue.toDouble, Byte.MaxValue.toDouble)
