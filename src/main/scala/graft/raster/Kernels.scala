@@ -29,6 +29,71 @@ object Kernels {
     "cubic" -> 4, "cubicspline" -> 4,
     "lanczos" -> 6)
 
+  /** Complex (SampleFormat=5) 2× downsample: pixels are interleaved
+    * (re, im) double pairs; a pixel is valid when the shared mask bit
+    * is set AND the pair differs from (nodata, nodata). Kernels:
+    * `average` = component-wise mean over valid pixels (the linear-map
+    * definition — correct for complex because averaging commutes with
+    * the (re, im) decomposition), `nearest` = the block's top-left
+    * valid pair. `mode`/`rms`/halo kernels are refused: complex values
+    * have no total order (mode's tie-break) and |z|-based rms discards
+    * phase — GDAL similarly restricts complex overview resampling. */
+  def downsampleComplex2x(kernel: String, t: Tile, nodata: Double): (Array[Double], Array[Byte]) = {
+    require(kernel == "average" || kernel == "nearest",
+      s"complex resampling supports nearest/average only, got '$kernel'")
+    val oh = (t.h + 1) / 2
+    val ow = (t.w + 1) / 2
+    val plane = t.h * t.w
+    val bands = t.pixels.length / (plane * 2)
+    val out = new Array[Double](bands * oh * ow * 2)
+    val omask = new Array[Byte](oh * ow)
+    val nodataIsNaN = java.lang.Double.isNaN(nodata)
+    def isNd(v: Double): Boolean =
+      if (nodataIsNaN) java.lang.Double.isNaN(v) else v == nodata
+    def validAt(b: Int, y: Int, x: Int): Boolean = {
+      val i = (b * plane + y * t.w + x) * 2
+      (t.mask == null || t.mask(y * t.w + x) != 0) &&
+        !(isNd(t.pixels(i)) && isNd(t.pixels(i + 1)))
+    }
+    var b = 0
+    while (b < bands) {
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          val y0 = oy * 2; val x0 = ox * 2
+          val y1 = math.min(y0 + 1, t.h - 1)
+          val x1 = math.min(x0 + 1, t.w - 1)
+          var n = 0
+          var sRe = 0.0; var sIm = 0.0
+          var firstRe = 0.0; var firstIm = 0.0
+          def acc(y: Int, x: Int): Unit = if (validAt(b, y, x)) {
+            val i = (b * plane + y * t.w + x) * 2
+            if (n == 0) { firstRe = t.pixels(i); firstIm = t.pixels(i + 1) }
+            sRe += t.pixels(i); sIm += t.pixels(i + 1)
+            n += 1
+          }
+          acc(y0, x0)
+          if (x1 != x0) acc(y0, x1)
+          if (y1 != y0) acc(y1, x0)
+          if (y1 != y0 && x1 != x0) acc(y1, x1)
+          val oi = (b * oh * ow + oy * ow + ox) * 2
+          if (n == 0) {
+            out(oi) = nodata; out(oi + 1) = nodata
+          } else {
+            omask(oy * ow + ox) = 1
+            if (kernel == "average") { out(oi) = sRe / n; out(oi + 1) = sIm / n }
+            else { out(oi) = firstRe; out(oi + 1) = firstIm } // nearest: first valid in scan order (top-left preferred)
+          }
+          ox += 1
+        }
+        oy += 1
+      }
+      b += 1
+    }
+    (out, omask)
+  }
+
   /** Downsample one tile 2×: (h,w) → (ceil(h/2), ceil(w/2)). Returns
     * (pixels, mask) of the shrunken quadrant, band-major. The output
     * mask is shared across bands (like the input): a cell is masked

@@ -35,8 +35,11 @@ object Pyramid {
     require(Kernels.haloWidth(kernel) == 0,
       s"halo kernel '$kernel' must go through HaloExchange.nextLevel")
 
+    val complexPx = TileCodec.isComplex(profile.dtype)
     val quads = tiles.map { t =>
-      val (px, mk) = Kernels.downsample2x(kernel, t, nodata)
+      val (px, mk) =
+        if (complexPx) Kernels.downsampleComplex2x(kernel, t, nodata)
+        else Kernels.downsample2x(kernel, t, nodata)
       // quadrant of the next-level tile this shrunken block lands in
       Quadrant(t.level + 1, t.ty / 2, t.tx / 2, t.ty % 2, t.tx % 2,
         (t.h + 1) / 2, (t.w + 1) / 2, px, mk)
@@ -52,12 +55,14 @@ object Pyramid {
     val half = profile.blockSize / 2
     val nodata = profile.nodata
     val bands = profile.bands
+    // complex planes carry (re, im) pairs — stitch moves sample UNITS
+    val spu = if (TileCodec.isComplex(profile.dtype)) 2 else 1
     quads
       .groupByKey(q => (q.level, q.ty, q.tx))
       .mapGroups { (key: (Int, Int, Int), qs: Iterator[Quadrant]) =>
         val (level, ty, tx) = key
         val (th, tw) = profile.tileDims(level, ty, tx)
-        val pixels = new Array[Double](bands * th * tw)
+        val pixels = new Array[Double](bands * th * tw * spu)
         java.util.Arrays.fill(pixels, nodata)
         val mask = new Array[Byte](th * tw)
         qs.foreach { q =>
@@ -65,14 +70,14 @@ object Pyramid {
           val offX = q.qx * half
           var b = 0
           while (b < bands) {
-            val srcBase = b * q.h * q.w
-            val dstBase = b * th * tw
+            val srcBase = b * q.h * q.w * spu
+            val dstBase = b * th * tw * spu
             var y = 0
             while (y < q.h) {
               var x = 0
-              while (x < q.w) {
-                pixels(dstBase + (offY + y) * tw + (offX + x)) =
-                  q.pixels(srcBase + y * q.w + x)
+              while (x < q.w * spu) {
+                pixels(dstBase + ((offY + y) * tw + offX) * spu + x) =
+                  q.pixels(srcBase + (y * q.w) * spu + x)
                 x += 1
               }
               y += 1

@@ -151,6 +151,12 @@ case class RasterProfile(
     s"blockSize must be a multiple of 16, got $blockSize")
   require(Kernels.haloWidth.contains(resampling),
     s"unknown resampling '$resampling' (have ${Kernels.haloWidth.keys.mkString(",")})")
+  require(!TileCodec.isComplex(dtype) ||
+      resampling == "average" || resampling == "nearest",
+    // complex values have no total order (mode) and |z| discards phase
+    // (rms); halo kernels would need complex-aware border math — GDAL
+    // similarly restricts complex overview resampling
+    s"complex resampling supports nearest/average only, got '$resampling'")
   require(TileCodec.dtypes.contains(dtype), s"unknown dtype '$dtype'")
   require(Seq("deflate", "none", "jpeg", "lzw", "zstd", "packbits")
     .contains(compression), s"unknown compression '$compression'")

@@ -186,6 +186,78 @@ class ComplexDtypeSpec extends SparkSpec {
     }
   }
 
+  test("complex COG writes end-to-end: pyramid + fused stats + read-back") {
+    import spark.implicits._
+    // 64x48, bs 16 -> 4x3 tiles at level 0; minOverviewSize 32 -> one
+    // overview level, built by the complex-aware average kernel
+    val prof = RasterProfile(64, 48, blockSize = 16, nodata = ND,
+      dtype = "complex128", minOverviewSize = 32, resampling = "average")
+    val W = 64; val H = 48
+    val full = new Array[Double](H * W * 2)
+    for (y <- 0 until H; x <- 0 until W) {
+      full((y * W + x) * 2) = (x * 31 + y * 7) % 211 - 20.5
+      full((y * W + x) * 2 + 1) = -((x * 13 + y * 17) % 97) + 8.25
+    }
+    // punch a nodata hole so average blocks see partial validity
+    for (y <- 10 until 14; x <- 20 until 26; c <- 0 until 2)
+      full((y * W + x) * 2 + c) = ND
+    val (gw, gh) = prof.gridDims(0)
+    val tiles = for (ty <- 0 until gh; tx <- 0 until gw) yield {
+      val (th, tw) = prof.tileDims(0, ty, tx)
+      val px = new Array[Double](th * tw * 2)
+      for (y <- 0 until th; x <- 0 until tw; c <- 0 until 2)
+        px((y * tw + x) * 2 + c) = full(((ty * 16 + y) * W + tx * 16 + x) * 2 + c)
+      Tile(0, ty, tx, th, tw, px, null)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cplx-w").toString
+    val bytes = CogWriter.writeBytes(
+      spark.createDataset(tiles), prof, dir)._1
+    val f = java.nio.file.Paths.get(dir, "complex.tif")
+    java.nio.file.Files.write(f, bytes)
+    val uri = "file://" + f
+
+    val inferred = CogReader.inferProfile(CogReader.readMeta(uri))
+    assert(inferred.dtype == "complex128" && inferred.maxLevel == 1)
+
+    // level 0: byte-exact round trip (complex128 components are
+    // float64 on the wire)
+    val l0 = CogReader.read(spark, uri, inferred, 0).collect()
+    assert(l0.length == gw * gh)
+    for (g <- l0; e = tiles.find(t => t.ty == g.ty && t.tx == g.tx).get;
+         i <- 0 until 2 * e.h * e.w)
+      assert(g.pixels(i) == e.pixels(i), s"L0 tile(${g.ty},${g.tx}) comp $i")
+
+    // level 1: component-wise average of each valid 2x2 block of the
+    // full image, recomputed here independently
+    val oW = W / 2; val oH = H / 2
+    def isNdPair(y: Int, x: Int) =
+      full((y * W + x) * 2) == ND && full((y * W + x) * 2 + 1) == ND
+    val l1 = CogReader.read(spark, uri, inferred, 1).collect()
+    for (g <- l1; y <- 0 until g.h; x <- 0 until g.w) {
+      val gy = g.ty * 16 + y; val gx = g.tx * 16 + x
+      val srcs = for (dy <- 0 to 1; dx <- 0 to 1;
+        sy = gy * 2 + dy; sx = gx * 2 + dx;
+        if sy < H && sx < W && !isNdPair(sy, sx)) yield (sy, sx)
+      val i = (y * g.w + x) * 2
+      if (srcs.isEmpty) {
+        assert(g.pixels(i) == ND && g.pixels(i + 1) == ND, s"L1 ($gy,$gx) hole")
+      } else {
+        val re = srcs.map { case (sy, sx) => full((sy * W + sx) * 2) }.sum / srcs.size
+        val im = srcs.map { case (sy, sx) => full((sy * W + sx) * 2 + 1) }.sum / srcs.size
+        assert(math.abs(g.pixels(i) - re) < 1e-12 &&
+          math.abs(g.pixels(i + 1) - im) < 1e-12, s"L1 ($gy,$gx)")
+      }
+    }
+
+    // mode/rms/halo kernels refuse at profile construction
+    for (k <- Seq("mode", "rms", "bilinear")) {
+      val ex = intercept[IllegalArgumentException] {
+        prof.copy(resampling = k)
+      }
+      assert(ex.getMessage.contains("nearest/average"), ex.getMessage)
+    }
+  }
+
   test("JDK exclusion is real: ImageIO's TIFF plugin refuses SampleFormat=5") {
     // pin the reason complex is absent from JdkTiffInteropSpec — if a
     // future JDK learns complex TIFF, this fails and interop rows
