@@ -13,11 +13,24 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   * every query. */
 class PlanShapeSpec extends SparkSpec {
 
-  def shuffles(df: DataFrame): Int = {
-    df.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeLike => s
-    }.length
+  /** Plan the query with AQE OFF and count exchanges. Under AQE the
+    * executedPlan root is an AdaptiveSparkPlanExec whose TreeNode
+    * children are EMPTY, so a naive collect counts 0 exchanges for
+    * every query and the pin is vacuous (the r14 version of this spec
+    * had exactly that bug — all pins passed on any plan). Planning
+    * non-adaptively makes the counted tree the real one; AQE can only
+    * REMOVE exchanges at runtime, so the pins stay upper bounds. */
+  def plan(mk: => DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect { case s: ShuffleExchangeLike => s }.length
+
+  def shuffles(df: => DataFrame): Int = shuffles(plan(df))
 
   test("q_text_repetition is a narrow map: only the final sort shuffles") {
     assert(shuffles(TextQueries.textRepetition(spark, sfDir)) <= 1)
@@ -40,5 +53,46 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_pack_materialize: packing window + doc join + pack groupBy + sort") {
     assert(shuffles(TextQueries.packMaterialize(spark, sfDir)) <= 5)
+  }
+
+  // ---- round-15 operators ----
+
+  def broadcasts(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => b
+    }.length
+
+  test("q_decontaminate: benchmark side BROADCASTS — no corpus self-shuffle-join") {
+    val p = plan(PipelineQueries.decontaminate(spark, sfDir))
+    assert(broadcasts(p) >= 1,
+      "the fixed-size benchmark shingle set must broadcast")
+    // bench distinct (1) + doc groupBy (1) + final sort (1); the
+    // corpus side must NOT shuffle on shingle for the join itself
+    assert(shuffles(p) <= 3, p.toString)
+  }
+
+  test("q_text_nll: word-explode groupBy + re-join + doc groupBy + sort") {
+    // vocab groupBy (1) + single-partition window over VOCAB rows (1) +
+    // the word join's two sides (2) + doc groupBy (1) + sort (1)
+    assert(shuffles(TextQueries.textNll(spark, sfDir)) <= 6)
+  }
+
+  test("q_mix_temperature: same metadata-scale shape as q_mix_weights") {
+    assert(shuffles(SamplingQueries.mixTemperature(spark, sfDir)) <= 3)
+  }
+
+  test("q_text_bpe: histogram train is memoized; encode is a narrow map + sort") {
+    TextQueries.bpeTable(spark, sfDir) // pay training outside the pin
+    assert(shuffles(TextQueries.textBpe(spark, sfDir)) <= 1)
+  }
+
+  test("q_pack_sequences_bpe: encode map + pack window + sort, like the ws twin") {
+    TextQueries.bpeTable(spark, sfDir)
+    assert(shuffles(TextQueries.packSequencesBpe(spark, sfDir)) <= 2)
+  }
+
+  test("q_mix_weights_bpe: encode map + the q_mix_weights shape") {
+    TextQueries.bpeTable(spark, sfDir)
+    assert(shuffles(SamplingQueries.mixWeightsBpe(spark, sfDir)) <= 3)
   }
 }
