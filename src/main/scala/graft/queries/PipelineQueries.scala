@@ -370,29 +370,61 @@ object PipelineQueries {
     * flatMap + a broadcast semi-ish join + one groupBy(doc_id) — no
     * corpus self-join anywhere. Planted near-dup pairs make some
     * contamination real in the fixture. */
+  private[queries] def shingle5(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.trim.toLowerCase(java.util.Locale.ROOT).split(" ")
+        if (w.length < 5) Iterator.empty
+        else {
+          val seen = new java.util.HashSet[String]()
+          (0 to w.length - 5).iterator
+            .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)} ${w(i + 3)} ${w(i + 4)}")
+            .filter(seen.add)
+            .map(sh => (id, sh))
+        }
+      }
+      .toDF("doc_id", "shingle")
+  }
+
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    def shingle5(df: DataFrame): DataFrame =
-      df.select($"doc_id", $"text").as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val w = text.trim.toLowerCase(java.util.Locale.ROOT).split(" ")
-          if (w.length < 5) Iterator.empty
-          else {
-            val seen = new java.util.HashSet[String]()
-            (0 to w.length - 5).iterator
-              .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)} ${w(i + 3)} ${w(i + 4)}")
-              .filter(seen.add)
-              .map(sh => (id, sh))
-          }
-        }
-        .toDF("doc_id", "shingle")
     val docs = Fixtures.documents(spark, sfDir)
-    val bench = shingle5(docs.filter($"doc_id" % 97 === 0))
+    val bench = shingle5(spark, docs.filter($"doc_id" % 97 === 0))
       .select($"shingle").distinct()
-    shingle5(docs.filter($"doc_id" % 97 =!= 0))
+    shingle5(spark, docs.filter($"doc_id" % 97 =!= 0))
       .join(broadcast(bench), Seq("shingle"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_hits")) // shingles are per-doc distinct
+      .orderBy($"doc_id")
+  }
+
+  /** q_decontaminate's 100 TB form: the benchmark shingle set rides as
+    * a BLOOM FILTER, not an exact broadcast set — a real benchmark
+    * suite's 5-gram universe is GBs as strings but MBs as a 1% -FPP
+    * filter, and the corpus side drops from a broadcast JOIN to a
+    * narrow mightContain FILTER (no join at all; candidate docs then
+    * get the exact check only if a second pass wants it). Guarantee:
+    * zero false NEGATIVES — every exact hit from q_decontaminate is
+    * found; candidates are a small superset bounded by the configured
+    * false-positive rate (DecontaminateBloomSpec measures both).
+    * NATIVE: the filter's hash bits are engine-side. */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, sfDir)
+    val bench = shingle5(spark, docs.filter($"doc_id" % 97 === 0))
+      .select($"shingle").distinct()
+    // sizing: expected items from a cheap count of the SMALL side; the
+    // fpp knob trades filter MBs against second-pass work
+    val nBench = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("shingle", nBench, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    shingle5(spark, docs.filter($"doc_id" % 97 =!= 0))
+      .as[(Long, String)]
+      .filter(t => bc.value.mightContainString(t._2))
+      .toDF("doc_id", "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_candidate_hits"))
       .orderBy($"doc_id")
   }
 
@@ -412,6 +444,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate _),
+    "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_pipeline_observe" -> (pipelineObserve _),
     "q_dedup_url" -> (dedupUrl _),
     "q_dedup_exact" -> (dedupExact _),

@@ -433,6 +433,41 @@ object TextQueries {
     packPlan(spark, docs, budget = 2048L)
   }
 
+  /** Materialize BPE packs as TOKEN-ID payloads — the artifact a
+    * training job actually consumes (q_pack_materialize concatenates
+    * text; this emits the ids). Each pack's documents are encoded with
+    * the broadcast table (narrow map), ordered deterministically by
+    * doc_id (array_sort over collected structs — collect_list alone is
+    * merge-order-nondeterministic), and joined by the <eod> separator
+    * id = vocabSize (the first id outside the trained vocab, the
+    * GPT-2 convention of a reserved special token). Output carries
+    * sizes + an id-prefix, not whole payloads, so results stay
+    * row-shaped. NATIVE: ids are table-dependent; TokenizerSpec checks
+    * the id-count law and decodes a pack back to its source texts. */
+  def packTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = spark.sparkContext.broadcast(bpeTable(spark, sfDir))
+    val eodId = bpeTable(spark, sfDir).vocabSize
+    val encoded = Fixtures.documents(spark, sfDir)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .map { case (src, id, t) =>
+        (src, id, Bpe.encode(t, table.value)) }
+      .toDF("source", "doc_id", "ids")
+    val plan = packSequencesBpe(spark, sfDir)
+      .select($"source", $"shard", $"doc_id", $"tokens", $"pack_id")
+    plan.join(encoded.drop("source"), Seq("doc_id"))
+      .groupBy($"source", $"shard", $"pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"tokens").as("pack_tokens"),
+        expr(s"flatten(transform(array_sort(collect_list(struct(doc_id, ids))), " +
+          s"x -> concat(x.ids, array($eodId))))").as("payload"))
+      .select($"source", $"shard", $"pack_id", $"n_docs", $"pack_tokens",
+        size($"payload").cast("long").as("n_ids"),
+        array_join(slice($"payload", 1, 8), "-").as("ids_head"))
+      .orderBy($"source", $"shard", $"pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
     "q_text_nll" -> (textNll _),
@@ -444,6 +479,7 @@ object TextQueries {
     "q_pack_materialize" -> (packMaterialize _),
     "q_text_bpe" -> (textBpe _),
     "q_pack_sequences_bpe" -> (packSequencesBpe _),
+    "q_pack_tokens" -> (packTokens _),
     "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(

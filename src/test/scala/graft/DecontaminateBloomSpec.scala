@@ -1,0 +1,39 @@
+package graft
+
+import graft.queries.PipelineQueries
+
+/** The Bloom-filter decontamination path vs its exact twin: zero false
+  * negatives (the guarantee training-data scrubbing actually needs —
+  * a missed contamination poisons an eval), and a false-positive
+  * surplus bounded by the configured 1% FPP. */
+class DecontaminateBloomSpec extends SparkSpec {
+
+  test("zero false negatives: every exact hit is found, with >= its hit count") {
+    val exact = PipelineQueries.decontaminate(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    val bloom = PipelineQueries.decontaminateBloom(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_candidate_hits")).toMap
+    assert(exact.nonEmpty, "fixture should contain planted contamination")
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"doc $id contaminated but not a candidate")
+      assert(bloom(id) >= n, s"doc $id candidate hits ${bloom(id)} < exact $n")
+    }
+  }
+
+  test("false-positive surplus is bounded by the FPP knob") {
+    import spark.implicits._
+    val exactDocs = PipelineQueries.decontaminate(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val candDocs = PipelineQueries.decontaminateBloom(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val corpus = Fixtures.documents(spark, sfDir)
+      .filter($"doc_id" % 97 =!= 0).count()
+    // at 1% FPP per shingle, spurious CANDIDATE DOCS are bounded well
+    // under the corpus (a doc becomes a candidate if ANY of its ~100
+    // shingles false-positives, so allow generous slack — the point is
+    // it's a small second-pass worklist, not the whole corpus)
+    val surplus = (candDocs -- exactDocs).size
+    assert(surplus <= corpus / 2,
+      s"$surplus spurious candidates of $corpus docs — filter is not filtering")
+  }
+}

@@ -137,6 +137,47 @@ class TokenizerSpec extends SparkSpec {
       }
   }
 
+  test("q_pack_tokens: id-count law holds and a pack decodes to its source texts") {
+    import spark.implicits._
+    val rows = TextQueries.packTokens(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // law: every pack's id count = its token count + one <eod> per doc
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ids") ==
+        r.getAs[Long]("pack_tokens") + r.getAs[Long]("n_docs"), r.toString)
+    }
+    // decode one real pack end-to-end: rebuild its payload locally and
+    // split on the <eod> id — texts must round-trip exactly
+    val t = TextQueries.bpeTable(spark, sfDir)
+    val eod = t.vocabSize
+    val docs = graft.Fixtures.documents(spark, sfDir)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)].collect()
+    val plan = TextQueries.packSequencesBpe(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("doc_id")))
+    val (src, shard, pid, _) = plan.head
+    val members = plan.filter(p => p._1 == src && p._2 == shard && p._3 == pid)
+      .map(_._4).sorted
+    assert(members.nonEmpty)
+    val payload = members.flatMap { id =>
+      val text = docs.find(d => d._2 == id).get._3
+      Bpe.encode(text, t).toSeq :+ eod
+    }
+    val decoded = {
+      // split payload on eod, decode each segment
+      val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[Int]
+      payload.foreach { id =>
+        if (id == eod) { segs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty[Int] }
+        else cur += id
+      }
+      segs.map(s => Bpe.decode(s.toArray, t))
+    }
+    val expected = members.map(id => docs.find(d => d._2 == id).get._3)
+    assert(decoded.toSeq == expected.toSeq,
+      "pack payload must decode back to its member texts in doc_id order")
+  }
+
   test("q_mix_weights_bpe: shares sum to 1, weights hit the equal-token target") {
     val rows = graft.queries.SamplingQueries.mixWeightsBpe(spark, sfDir).collect()
     assert(rows.length >= 2)
