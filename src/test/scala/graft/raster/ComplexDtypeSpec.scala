@@ -258,6 +258,31 @@ class ComplexDtypeSpec extends SparkSpec {
     }
   }
 
+  test("complex COG reads through the DSv2 source with tile pruning") {
+    import spark.implicits._
+    val prof = RasterProfile(48, 32, blockSize = 16, nodata = ND,
+      dtype = "complex64", minOverviewSize = 64)
+    val (gw, gh) = prof.gridDims(0)
+    val tiles = for (ty <- 0 until gh; tx <- 0 until gw) yield {
+      val (th, tw) = prof.tileDims(0, ty, tx)
+      complexTile(th, tw, 1, seed = ty * 100 + tx).copy(ty = ty, tx = tx)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-cplx-dsv2").toString
+    val bytes = CogWriter.writeBytes(spark.createDataset(tiles), prof, dir)._1
+    val f = java.nio.file.Paths.get(dir, "c.tif")
+    java.nio.file.Files.write(f, bytes)
+    val df = spark.read.format("cog").load("file://" + f)
+    assert(df.count() == gw * gh)
+    val row = df.where("level = 0 AND ty = 1 AND tx = 2")
+      .select("h", "w", "pixels").head()
+    val e = tiles.find(t => t.ty == 1 && t.tx == 2).get
+    assert(row.getInt(0) == e.h && row.getInt(1) == e.w)
+    val px = row.getSeq[Double](2)
+    assert(px.length == 2 * e.h * e.w, "DSv2 pixels carry (re,im) pairs")
+    for (i <- 0 until 2 * e.h * e.w)
+      assert(px(i) == f32(e.pixels(i)), s"dsv2 comp $i")
+  }
+
   test("JDK exclusion is real: ImageIO's TIFF plugin refuses SampleFormat=5") {
     // pin the reason complex is absent from JdkTiffInteropSpec — if a
     // future JDK learns complex TIFF, this fails and interop rows
