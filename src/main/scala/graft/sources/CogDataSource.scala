@@ -179,6 +179,63 @@ object CogWriteSupport {
     if (opts.contains("mosaic.grid")) insertMosaic(path, opts, overwrite, data)
     else insertSingle(path, opts, overwrite, data)
 
+  /** An http(s) write target is an S3 object: the writer speaks the
+    * real multipart protocol straight to the endpoint — no staging
+    * filesystem anywhere. Path-style (`/bucket/key`) or virtual-hosted
+    * (`fs.<scheme>.s3.virtual.host=true`: the bucket rides the
+    * authority, the whole path is the key). */
+  private[sources] final case class S3Dest(endpoint: String, bucket: String,
+      key: String, virtualHost: Boolean, scheme: String)
+
+  private[sources] def s3Target(path: String,
+      opts: Map[String, String]): Option[S3Dest] = {
+    val u = java.net.URI.create(path)
+    val scheme = u.getScheme
+    if (scheme != "http" && scheme != "https") None
+    else {
+      val vh = opts.get(s"fs.$scheme.s3.virtual.host").exists(_.toBoolean)
+      val p = Option(u.getPath).getOrElse("").stripPrefix("/")
+      if (vh) {
+        require(p.nonEmpty, s"S3 write target needs a key: $path")
+        Some(S3Dest(s"$scheme://${u.getAuthority}", "", p, true, scheme))
+      } else {
+        val seg = p.split("/", 2)
+        require(seg.length == 2 && seg(1).nonEmpty,
+          s"S3 write target needs /bucket/key: $path")
+        Some(S3Dest(s"$scheme://${u.getAuthority}", seg(0), seg(1), false, scheme))
+      }
+    }
+  }
+
+  private def s3Sink(d: S3Dest, opts: Map[String, String],
+      ifNoneMatch: Boolean): graft.sink.S3MultipartSink =
+    graft.sink.S3MultipartSink.fromConf(d.endpoint, d.bucket, d.key, opts,
+      virtualHost = d.virtualHost,
+      crc32c = opts.get("s3.crc32c").exists(_.toBoolean),
+      ifNoneMatch = ifNoneMatch)
+
+  /** Single-COG write straight to S3: the MPU complete IS the atomic
+    * commit (the local path's temp+rename has no object-store
+    * equivalent), and mode semantics map to conditional creates —
+    * errorIfExists/append ride `If-None-Match: *` so a concurrent
+    * writer of the same key loses with a loud 412 instead of silently
+    * clobbering; overwrite completes unconditionally (atomic
+    * last-writer-wins, S3's native replace). */
+  private def insertSingleS3(d: S3Dest, opts: Map[String, String],
+      overwrite: Boolean, data: DataFrame): Unit = {
+    val (profile, tiles) = buildProfileAndTiles(opts, data)
+    try CogWriter.write(tiles, profile, s3Sink(d, opts, ifNoneMatch = !overwrite))
+    catch {
+      case e: Exception if !overwrite &&
+          Option(e.getMessage).exists(m =>
+            m.contains("412") || m.contains("PreconditionFailed")) =>
+        throw new IllegalArgumentException(
+          s"cog target exists: ${d.endpoint}/${if (d.bucket.isEmpty) ""
+            else d.bucket + "/"}${d.key} (COGs are immutable — use " +
+            "mode(\"overwrite\"); refused atomically by If-None-Match)", e)
+    }
+  }
+
   /** One COG per `mosaic.grid`×`mosaic.grid` block of level-0 tiles,
     * written as `part-<ry>-<rx>.tif` under the target DIRECTORY and
     * readable back through the existing mosaic reader. Scale shape:
@@ -201,7 +258,25 @@ object CogWriteSupport {
     val hconf = new Configuration()
     opts.foreach { case (k, v) => hconf.set(k, v) }
     val target = new Path(path)
-    val fs = target.getFileSystem(hconf)
+    // direct-S3 mosaics: regions are conditional creates straight to
+    // their final keys (If-None-Match — the atomic no-clobber an
+    // object store offers instead of rename); the listing FileSystem
+    // below is still needed for append detection, the collision
+    // fast-fail, and manifest validation
+    val s3 = s3Target(path, opts)
+    if (s3.isDefined) require(!overwrite,
+      "cog mosaic overwrite is not supported on object-store targets — " +
+        "there is no atomic directory swap: write the rebuilt mosaic to a " +
+        "fresh prefix and repoint readers")
+    val fs =
+      try target.getFileSystem(hconf)
+      catch {
+        case e: Exception if s3.isDefined =>
+          throw new IllegalArgumentException(
+            s"S3 mosaic writes need the listing filesystem: pass " +
+              s"fs.${s3.get.scheme}.impl=graft.sources.HttpRangeFileSystem " +
+              "(and credentials/virtual-host conf) as write options", e)
+      }
     // append-into-existing: new regions join the directory as new
     // files. NOTE geometry inference sees only the appended frame — an
     // append that doesn't span the full raster must pass width/height
@@ -244,7 +319,12 @@ object CogWriteSupport {
 
     val tmpDir = new Path(target.getParent,
       s".${target.getName}._cog_mosaic_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    fs.mkdirs(tmpDir)
+    if (s3.isEmpty) fs.mkdirs(tmpDir)
+    // S3: regions land at their FINAL keys (there is no rename); each
+    // region file is whole-or-absent thanks to MPU-complete atomicity,
+    // and If-None-Match turns a concurrent duplicate append into a
+    // loud 412 for the loser
+    val regionParent = if (s3.isDefined) path else tmpDir.toString
     // concurrent region jobs: each is itself a distributed CogWriter
     // job, so the pool bounds DRIVER-side job submission, not work.
     // Tunable because the sweet spot depends on cluster size vs region
@@ -283,14 +363,21 @@ object CogWriteSupport {
                 Map("originx" -> (ox + rx * regionPx * pw).toString,
                   "originy" -> (oy - ry * regionPx * ph).toString)
               } else Map.empty[String, String]
-            insertSingle(new Path(tmpDir, f"part-$ry%03d-$rx%03d.tif").toString,
+            insertSingle(f"$regionParent%s/part-$ry%03d-$rx%03d.tif",
               (opts - "mosaic.grid") ++ Map("blocksize" -> bs.toString,
                 "width" -> rw.toString, "height" -> rh.toString,
                 "bands" -> bands.toString) ++ geoShift,
               overwrite = false, sub)
           }
         }), scala.concurrent.duration.Duration.Inf)
-      if (appendInto) {
+      if (s3.isDefined) {
+        // regions already committed at their final keys; the sidecar
+        // rides a plain PUT (idempotent rewrite — no If-None-Match)
+        val d = s3.get
+        s3Sink(d.copy(key = s"${d.key.stripSuffix("/")}/$ManifestName"), opts,
+          ifNoneMatch = false)
+          .putObject(manifestBytes(opts, bs, width, height, bands))
+      } else if (appendInto) {
         // all region COGs staged complete — move each into the live
         // directory. A failure BEFORE this point leaves the mosaic
         // byte-identical; the move loop itself is per-file atomic (a
@@ -321,7 +408,18 @@ object CogWriteSupport {
         // it and orphan a ._cog_mosaic_tmp_* directory.
         pool.shutdownNow()
         pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
-        try fs.delete(tmpDir, true) catch { case _: Exception => () }
+        if (s3.isEmpty)
+          try fs.delete(tmpDir, true) catch { case _: Exception => () }
+        else
+          // object stores have no staging dir: regions that completed
+          // before the failure persist at their final keys as WHOLE,
+          // valid COGs. Say so — the operator reruns the append (the
+          // committed regions 412 and can be skipped) or deletes them.
+          throw new java.io.IOException(
+            "S3 mosaic write failed part-way: regions committed before the " +
+              "failure remain at their final keys (each is a whole, valid " +
+              "COG); rerun the append for the missing regions or remove " +
+              "the partial set", e)
         throw e
     } finally pool.shutdown()
   }
@@ -335,9 +433,8 @@ object CogWriteSupport {
     * pattern nor the read side's .tif listing ever sees it. */
   private[sources] val ManifestName = ".graft_mosaic"
 
-  private def writeMosaicManifest(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path, opts: Map[String, String], bs: Int, width: Int,
-      height: Int, bands: Int): Unit = {
+  private def manifestBytes(opts: Map[String, String], bs: Int, width: Int,
+      height: Int, bands: Int): Array[Byte] = {
     val p = new java.util.Properties()
     p.setProperty("blocksize", bs.toString)
     p.setProperty("width", width.toString)
@@ -351,8 +448,17 @@ object CogWriteSupport {
       p.setProperty("pixelw", opts.getOrElse("pixelw", "1.0"))
       p.setProperty("pixelh", opts.getOrElse("pixelh", "1.0"))
     }
+    val bos = new java.io.ByteArrayOutputStream()
+    p.store(bos, "graft mosaic global geometry")
+    bos.toByteArray
+  }
+
+  private def writeMosaicManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, opts: Map[String, String], bs: Int, width: Int,
+      height: Int, bands: Int): Unit = {
     val out = fs.create(new Path(dir, ManifestName), true)
-    try p.store(out, "graft mosaic global geometry") finally out.close()
+    try out.write(manifestBytes(opts, bs, width, height, bands))
+    finally out.close()
   }
 
   private def readMosaicManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -521,32 +627,19 @@ object CogWriteSupport {
     (bs, width, height, bands)
   }
 
-  private def insertSingle(path: String, opts: Map[String, String],
-      overwrite: Boolean, data: DataFrame): Unit = {
+  /** Column checks + profile (explicit options win; geometry infers
+    * from tile METADATA columns only — header-only for a cog-source
+    * input) + the typed level-0 tile Dataset. Shared by the staging
+    * (Hadoop) and direct-S3 write paths. */
+  private def buildProfileAndTiles(opts: Map[String, String],
+      data: DataFrame): (RasterProfile, Dataset[Tile]) = {
     import org.apache.spark.sql.functions.{col, lit}
     val spark = data.sparkSession
     import spark.implicits._
-
-    val hconf = new Configuration()
-    opts.foreach { case (k, v) => hconf.set(k, v) }
-    val target = new Path(path)
-    val fs = target.getFileSystem(hconf)
-    // existence is checked up front, but the OLD file is only deleted
-    // after the replacement fully assembles (temp + rename below): a
-    // failed overwrite leaves the previous COG intact
-    if (fs.exists(target) && !overwrite) throw new IllegalArgumentException(
-      s"cog target exists: $path (COGs are immutable — use mode(\"overwrite\"))")
-
     val cols = data.columns.toSet
     Seq("ty", "tx", "h", "w", "pixels").foreach(c =>
       require(cols.contains(c), s"cog write needs column '$c'"))
     val level0 = if (cols.contains("level")) data.filter(col("level") === 0) else data
-
-    // profile: explicit options win; geometry infers from the tile
-    // METADATA columns only (ty/tx/h/w — when the source is a cog scan
-    // these aggs are header-only: pixels are never decoded), and bands
-    // from a single-row probe. At scale, passing the options skips the
-    // inference jobs entirely.
     def opt(k: String): Option[String] = opts.get(k)
     val (bs, width, height, bands) = inferGeometry(level0, opts)
     val profile = RasterProfile(width, height, blockSize = bs, bands = bands,
@@ -564,7 +657,6 @@ object CogWriteSupport {
         opt("originx").map(_.toDouble).getOrElse(0.0),
         opt("originy").map(_.toDouble).getOrElse(0.0),
         e.toInt, geographic = opt("geographic").map(_.toBoolean))))
-
     val tiles: Dataset[Tile] = {
       val maskCol = if (cols.contains("mask")) col("mask")
         else lit(null).cast(BinaryType)
@@ -574,6 +666,26 @@ object CogWriteSupport {
         .as[(Int, Int, Int, Int, Array[Double], Array[Byte])]
         .map { case (ty, tx, h, w, px, mk) => Tile(0, ty, tx, h, w, px, mk) }
     }
+    (profile, tiles)
+  }
+
+  private def insertSingle(path: String, opts: Map[String, String],
+      overwrite: Boolean, data: DataFrame): Unit = {
+    s3Target(path, opts) match {
+      case Some(d) => return insertSingleS3(d, opts, overwrite, data)
+      case None => ()
+    }
+    val hconf = new Configuration()
+    opts.foreach { case (k, v) => hconf.set(k, v) }
+    val target = new Path(path)
+    val fs = target.getFileSystem(hconf)
+    // existence is checked up front, but the OLD file is only deleted
+    // after the replacement fully assembles (temp + rename below): a
+    // failed overwrite leaves the previous COG intact
+    if (fs.exists(target) && !overwrite) throw new IllegalArgumentException(
+      s"cog target exists: $path (COGs are immutable — use mode(\"overwrite\"))")
+
+    val (profile, tiles) = buildProfileAndTiles(opts, data)
 
     // parts → temp dir beside the target, then ordered stream-concat
     // into a TEMP file (the local/HDFS stand-in for S3 MPU complete;

@@ -1,0 +1,202 @@
+package graft.raster
+
+import graft.SparkSpec
+import graft.sink.{MockS3Server, SigV4}
+import graft.sources.HttpRangeFileSystem
+
+/** Direct-S3 DSv2 COG writes: `df.write.format("cog")` straight at an
+  * S3 endpoint — parts stream from executors through the real MPU
+  * wire protocol, complete is the atomic commit, If-None-Match gives
+  * mode semantics an object store can honor (errorIfExists/append race
+  * safely, overwrite is native atomic replace), and mosaic regions
+  * land at their final keys with the manifest as a plain PUT. All
+  * against MockS3Server's server-side enforcement, signed. */
+class S3CogWriteSpec extends SparkSpec {
+
+  val ND = -9999.0
+  val OX = 500000.0
+  val OY = 6400000.0
+  val PW = 10.0
+
+  def withServer(f: MockS3Server => Unit): Unit = {
+    val srv = new MockS3Server
+    try f(srv) finally srv.stop()
+  }
+
+  def withHttpFs[T](body: => T): T = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+    hc.set("fs.http.impl.disable.cache", "true")
+    try body
+    finally { hc.unset("fs.http.impl"); hc.unset("fs.http.impl.disable.cache") }
+  }
+
+  def prof(w: Int = 64, h: Int = 48): RasterProfile =
+    RasterProfile(w, h, blockSize = 16, nodata = ND, minOverviewSize = 16,
+      geo = Some(GeoRef(PW, PW, OX, OY, 32633)))
+
+  def writeOpts(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write.format("cog")
+      .option("nodata", ND.toString)
+      .option("minoverviewsize", "16")
+      .option("epsg", "32633")
+      .option("pixelw", PW.toString).option("pixelh", PW.toString)
+      .option("originx", OX.toString).option("originy", OY.toString)
+
+  test("single COG writes straight to S3 and reads back pixel-exact, signed") {
+    withServer { srv =>
+      val creds = SigV4.Credentials("AKIDWRITE", "write-secret")
+      srv.requireSigV4(creds)
+      val p = prof()
+      val tiles = SyntheticRaster.generate(spark, p, seed = 301L)
+      val expected = tiles.collect().map(t => (t.ty, t.tx) -> t).toMap
+      writeOpts(tiles.toDF())
+        .option("fs.http.sigv4.access.key", creds.accessKey)
+        .option("fs.http.sigv4.secret.key", creds.secretKey)
+        .mode("append").save(s"${srv.endpoint}/rasters/out.tif")
+      assert(srv.storedObject("rasters", "out.tif").isDefined,
+        "MPU complete must commit the object")
+      assert(srv.verifiedRequestCount > 0, "write requests must be signed")
+
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.http.sigv4.access.key", creds.accessKey)
+      hc.set("fs.http.sigv4.secret.key", creds.secretKey)
+      try withHttpFs {
+        val back = spark.read.format("cog")
+          .load(s"${srv.endpoint}/rasters/out.tif")
+          .where("level = 0").collect()
+        assert(back.length == expected.size)
+        for (r <- back) {
+          val e = expected((r.getInt(1), r.getInt(2)))
+          val px = r.getSeq[Double](r.fieldIndex("pixels"))
+          for (i <- 0 until e.h * e.w) {
+            val want = if (e.valid(i, ND)) e.pixels(i) else ND
+            assert(px(i) == want, s"tile(${e.ty},${e.tx}) px $i")
+          }
+        }
+        assert(srv.unboundedGets == 0)
+      } finally {
+        hc.unset("fs.http.sigv4.access.key")
+        hc.unset("fs.http.sigv4.secret.key")
+      }
+    }
+  }
+
+  test("mode semantics on S3: errorIfExists 412s loudly, overwrite replaces") {
+    withServer { srv =>
+      val p = prof(32, 32)
+      val t1 = SyntheticRaster.generate(spark, p, seed = 311L)
+      writeOpts(t1.toDF()).mode("append")
+        .save(s"${srv.endpoint}/rasters/immutable.tif")
+      val first = srv.storedObject("rasters", "immutable.tif").get
+
+      val ex = intercept[Exception] {
+        writeOpts(SyntheticRaster.generate(spark, p, seed = 312L).toDF())
+          .mode("append").save(s"${srv.endpoint}/rasters/immutable.tif")
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("immutable") || msgs.contains("412"), msgs)
+      assert(srv.storedObject("rasters", "immutable.tif").get sameElements first,
+        "losing writer must not alter the object")
+
+      writeOpts(SyntheticRaster.generate(spark, p, seed = 312L).toDF())
+        .mode("overwrite").save(s"${srv.endpoint}/rasters/immutable.tif")
+      assert(!(srv.storedObject("rasters", "immutable.tif").get sameElements first),
+        "overwrite must replace")
+      assert(srv.liveUploadCount == 0, "no MPU may leak across any of this")
+    }
+  }
+
+  test("mosaic append to S3: regions at final keys, manifest PUT, read parity") {
+    withServer { srv =>
+      val p = prof()
+      val grid = 2
+      val tiles = SyntheticRaster.generate(spark, p, seed = 321L)
+      val local = java.nio.file.Files.createTempDirectory("graft-s3m").toString + "/mosaic"
+      // local twin for parity
+      writeOpts(tiles.toDF()).option("mosaic.grid", grid.toString)
+        .mode("append").save(local)
+
+      def s3write(pred: org.apache.spark.sql.Column): Unit = withHttpFs {
+        writeOpts(tiles.toDF().filter(pred))
+          .option("mosaic.grid", grid.toString)
+          .option("blocksize", "16")
+          .option("width", "64").option("height", "48")
+          .option("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+          .option("fs.http.impl.disable.cache", "true")
+          .mode("append").save(s"${srv.endpoint}/lake/mosaic")
+      }
+      import org.apache.spark.sql.functions.col
+      s3write(col("tx") < grid)       // left half
+      s3write(col("tx") >= grid)      // appended right half
+      assert(srv.storedObject("lake", s"mosaic/.graft_mosaic").isDefined,
+        "manifest sidecar must land")
+
+      withHttpFs {
+        val viaS3 = spark.read.format("cog").load(s"${srv.endpoint}/lake/mosaic/")
+        val viaLocal = spark.read.format("cog").load(local)
+        assert(viaS3.count() == viaLocal.count())
+        import org.apache.spark.sql.functions._
+        def shape(df: org.apache.spark.sql.DataFrame) =
+          df.filter("level = 0")
+            .groupBy(col("minx")).agg(count(lit(1)).as("n"), sum("ty").as("sty"))
+            .orderBy("minx").collect().map(_.toSeq).toSeq
+        assert(shape(viaS3) == shape(viaLocal))
+      }
+
+      // duplicate region append fails loudly (collision fast-fail or
+      // the 412 atomic guard behind it) and changes nothing
+      val before = srv.storedObject("lake", "mosaic/part-000-000.tif").get
+      val ex = intercept[Exception] { s3write(col("tx") < grid) }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("overwrite existing regions") ||
+        msgs.contains("412") || msgs.contains("immutable"), msgs)
+      assert(srv.storedObject("lake", "mosaic/part-000-000.tif").get
+        sameElements before)
+      assert(srv.liveUploadCount == 0)
+    }
+  }
+
+  test("mosaic overwrite on S3 is refused: no atomic directory swap exists") {
+    withServer { srv =>
+      val p = prof(32, 32)
+      val ex = intercept[Exception] {
+        withHttpFs {
+          writeOpts(SyntheticRaster.generate(spark, p, seed = 331L).toDF())
+            .option("mosaic.grid", "1")
+            .option("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+            .mode("overwrite").save(s"${srv.endpoint}/lake/m2")
+        }
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("fresh prefix"), msgs)
+    }
+  }
+
+  test("append geometry gate holds over S3: a contradicting append is refused") {
+    withServer { srv =>
+      val p = prof()
+      def w(width: String, pred: org.apache.spark.sql.Column): Unit = withHttpFs {
+        writeOpts(SyntheticRaster.generate(spark, p, seed = 341L).toDF()
+            .filter(pred))
+          .option("mosaic.grid", "2")
+          .option("blocksize", "16")
+          .option("width", width).option("height", "48")
+          .option("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+          .option("fs.http.impl.disable.cache", "true")
+          .mode("append").save(s"${srv.endpoint}/lake/m3")
+      }
+      import org.apache.spark.sql.functions.col
+      w("64", col("tx") < 2)
+      // NEW regions (no collision) whose declared global width
+      // contradicts the manifest — the gate must fire before any write
+      val ex = intercept[Exception] { w("96", col("tx") >= 2) }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("geometry mismatch"), msgs)
+    }
+  }
+}
