@@ -33,9 +33,18 @@ object SimilarityQueries {
     CosineLsh.lshTopK(Fixtures.embeddings(spark, sfDir),
       queryIds(spark, sfDir), k = 5, nBits = 10, nTables = 8)
 
+  /** Top-5 by product quantization: ADC shortlist over m=8 one-byte
+    * codes (32x smaller than the float vectors), exact rerank — the
+    * memory-side scale path next to IVF's compute-side one. NATIVE
+    * (codebooks are engine-side; recall/compression in PqSpec). */
+  def simPq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.similarity.Pq.pqTopK(Fixtures.embeddings(spark, sfDir),
+      queryIds(spark, sfDir), k = 5, m = 8, shortlist = 32)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann" -> (simAnn _),
-    "q_sim_lsh" -> (simLsh _))
+    "q_sim_lsh" -> (simLsh _),
+    "q_sim_pq" -> (simPq _))
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -1,0 +1,229 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory half of the
+  * 100 TB ANN story the IVF path ([[Ann]]) leaves open: a 64-d float32
+  * embedding is 256 bytes; its PQ code is `m` bytes (8 here). At 10^9
+  * vectors that is 256 GB of floats vs 8 GB of codes — the difference
+  * between "the index needs its own cluster" and "each executor holds
+  * its shard in memory".
+  *
+  * Shape: vectors are L2-normalized, split into `m` subspaces of
+  * dim/m components; each subspace gets its own k=256-centroid
+  * codebook (seeded deterministic Lloyd iterations on a driver-side
+  * sample — same discipline as IVF's sampled centroids), and a vector
+  * is stored as the m nearest-centroid indices, one byte each.
+  * Queries score codes with the asymmetric distance computation
+  * (ADC): one m×k table of partial dots per query, then each code's
+  * approximate cosine is m table lookups — no decode, no float
+  * vector in the hot loop. A shortlist of ADC candidates is reranked
+  * with exact cosine (the standard two-stage design; recall pinned in
+  * PqSpec).
+  */
+object Pq {
+
+  /** `centroids(s)(c)` = centroid c of subspace s, length dim/m. */
+  final case class Codebooks(m: Int, k: Int, dsub: Int,
+      centroids: Array[Array[Array[Double]]]) extends Serializable {
+    def dim: Int = m * dsub
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def normalize(v: Array[Float]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = if (n == 0) 0.0 else v(i) / n; i += 1 }
+    out
+  }
+
+  /** Train per-subspace codebooks on (already collected) sample
+    * vectors. Deterministic: seeded distinct-index init, fixed Lloyd
+    * iteration count, lowest-index tie-break; an emptied cluster keeps
+    * its previous centroid. */
+  def train(sample: Array[Array[Float]], m: Int, k: Int = 256,
+      iters: Int = 10, seed: Long = 42L): Codebooks = {
+    require(sample.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = sample.head.length
+    require(dim % m == 0,
+      s"embedding dim $dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val vecs = sample.map(normalize)
+    val kk = math.min(k, vecs.length)
+    val books = Array.tabulate(m) { s =>
+      val off = s * dsub
+      // seeded distinct sample indices as initial centroids
+      val init = new scala.collection.mutable.LinkedHashSet[Int]
+      var t = 0
+      while (init.size < kk && t < vecs.length * 20) {
+        init += ((mix(seed + s * 7919 + t) >>> 1) % vecs.length).toInt
+        t += 1
+      }
+      var idx = 0
+      while (init.size < kk) { init += idx; idx += 1 } // pathological fallback
+      val cent = init.iterator.take(kk)
+        .map(i => java.util.Arrays.copyOfRange(vecs(i), off, off + dsub))
+        .toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.ofDim[Double](kk, dsub)
+        val counts = new Array[Long](kk)
+        vecs.foreach { v =>
+          val c = nearestSub(v, off, cent)
+          counts(c) += 1
+          var j = 0
+          while (j < dsub) { sums(c)(j) += v(off + j); j += 1 }
+        }
+        var c = 0
+        while (c < kk) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dsub) { cent(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          } // empty cluster: keep previous centroid (deterministic)
+          c += 1
+        }
+        it += 1
+      }
+      cent
+    }
+    Codebooks(m, kk, dsub, books)
+  }
+
+  /** Nearest centroid of one subspace (squared L2, lowest index on
+    * ties). */
+  private def nearestSub(v: Array[Double], off: Int,
+      cent: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cent.length) {
+      var d = 0.0
+      var j = 0
+      while (j < cent(c).length) {
+        val x = v(off + j) - cent(c)(j)
+        d += x * x
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ code of a (normalized) vector: m centroid indices, one byte
+    * each (k <= 256). */
+  def encode(v: Array[Double], cb: Codebooks): Array[Byte] = {
+    require(v.length == cb.dim, s"dim ${v.length} != codebook dim ${cb.dim}")
+    val out = new Array[Byte](cb.m)
+    var s = 0
+    while (s < cb.m) {
+      out(s) = nearestSub(v, s * cb.dsub, cb.centroids(s)).toByte
+      s += 1
+    }
+    out
+  }
+
+  /** ADC table for a (normalized) query: `table(s)(c)` = the partial
+    * dot the query earns if a code picks centroid c in subspace s. */
+  def adcTable(q: Array[Double], cb: Codebooks): Array[Array[Double]] = {
+    require(q.length == cb.dim, s"dim ${q.length} != codebook dim ${cb.dim}")
+    Array.tabulate(cb.m) { s =>
+      val off = s * cb.dsub
+      Array.tabulate(cb.k) { c =>
+        var d = 0.0
+        var j = 0
+        while (j < cb.dsub) { d += q(off + j) * cb.centroids(s)(c)(j); j += 1 }
+        d
+      }
+    }
+  }
+
+  /** Approximate cosine of a code against a query's ADC table: m
+    * lookups, zero float-vector work. */
+  def adcDot(code: Array[Byte], table: Array[Array[Double]]): Double = {
+    var s = 0
+    var d = 0.0
+    while (s < code.length) { d += table(s)(code(s) & 0xff); s += 1 }
+    d
+  }
+
+  /** Two-stage PQ top-k over an `(vec_id, embedding)` frame: ADC
+    * shortlist (`shortlist` candidates per query, O(shortlist)-memory
+    * heaps on one small shuffle) then exact-cosine rerank of the
+    * shortlist only. Codebooks train on a seeded deterministic sample
+    * (bounded driver collect, like IVF's centroids). At fleet scale
+    * the scan side would read STORED codes (m bytes/vector); here they
+    * are derived in the same pass to keep the fixture read-only. */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, shortlist: Int = 32,
+      sampleCap: Int = 2048): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+
+    // deterministic bounded training sample: hash-spread over ids
+    val sample = typed.map { case (id, v) => (mix(id), v) }
+      .orderBy($"_1").limit(sampleCap).map(_._2).collect()
+    val cb = spark.sparkContext.broadcast(train(sample, m))
+
+    val qSet = queryIds.toSet
+    val queries = typed.filter(t => qSet.contains(t._1))
+      .map { case (id, v) => (id, normalize(v)) }.collect()
+    val bcQ = spark.sparkContext.broadcast(
+      queries.map { case (id, v) => (id, adcTable(v, cb.value)) })
+
+    // narrow: encode each vector once, score against every query table
+    val cands = typed.mapPartitions { it =>
+      val qs = bcQ.value
+      val books = cb.value
+      it.flatMap { case (id, raw) =>
+        val code = encode(normalize(raw), books)
+        qs.iterator.collect {
+          case (qid, table) if qid != id => (qid, id, adcDot(code, table))
+        }
+      }
+    }
+    // stage 1: ADC shortlist per query (one small shuffle)
+    val short = cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val top = new BoundedTopK(shortlist)
+        it.foreach { case (_, id, d) => top.offer(id, d) }
+        top.result().iterator.map { case (id, _) => (qid, id) }
+      }
+      .toDF("query_id", "vec_id")
+    // stage 2: exact rerank of shortlist ids only (broadcast-sized)
+    val qVecs = spark.sparkContext.broadcast(queries.toMap)
+    short.join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+      .select($"query_id", $"vec_id", $"embedding")
+      .as[(Long, Long, Array[Float])]
+      .map { case (qid, id, raw) =>
+        val v = normalize(raw)
+        val qv = qVecs.value(qid)
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { d += v(i) * qv(i); i += 1 }
+        (qid, id, d)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val top = new BoundedTopK(k)
+        it.foreach { case (_, id, cos) => top.offer(id, cos) }
+        top.result().iterator.zipWithIndex.map { case ((id, cos), r) =>
+          Ann.Neighbor(qid, id, math.round(cos * 10000) / 10000.0, r + 1)
+        }
+      }
+      .toDF()
+      .orderBy($"query_id", $"rank")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+/** Product quantization: deterministic training, ADC approximation
+  * quality, 32x compression, recall on planted clusters (the fixture
+  * embeddings are near-uniform — structure to recall is planted, same
+  * discipline as AnnSpec), and loud refusals. */
+class PqSpec extends SparkSpec {
+
+  /** Same planted-cluster generator shape as AnnSpec: 30 clusters x 40
+    * points in 32-d. */
+  def planted: Seq[(Long, Array[Float])] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long): Array[Double] = {
+      val v = Array.tabulate(32)(j => (mix(seed * 131 + j).toDouble / Long.MaxValue))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    for (c <- 0 until 30; p <- 0 until 40) yield {
+      val cent = unit(c + 1)
+      val noise = unit(c * 1000 + p + 7)
+      val vec = cent.zip(noise).map { case (a, b) => a + 0.15 * b }
+      ((c * 40 + p).toLong, vec.map(_.toFloat))
+    }
+  }
+
+  test("training is deterministic and codes are m bytes (32x compression here)") {
+    val sample = planted.take(400).map(_._2).toArray
+    val a = Pq.train(sample, m = 8)
+    val b = Pq.train(sample, m = 8)
+    assert(a.m == 8 && a.dsub == 4 && a.k == 256)
+    for (s <- 0 until a.m; c <- 0 until a.k)
+      assert(java.util.Arrays.equals(a.centroids(s)(c), b.centroids(s)(c)))
+    val code = Pq.encode(Pq.normalize(planted.head._2), a)
+    assert(code.length == 8, "code must be m bytes")
+    // 32 floats = 128 bytes raw -> 8 bytes coded
+    assert(32 * 4 / code.length == 16)
+  }
+
+  test("ADC approximates the true cosine closely on planted data") {
+    val data = planted
+    val cb = Pq.train(data.map(_._2).toArray, m = 8)
+    val q = Pq.normalize(data(17)._2)
+    val table = Pq.adcTable(q, cb)
+    val errs = data.take(300).map { case (_, raw) =>
+      val v = Pq.normalize(raw)
+      val truth = v.zip(q).map { case (a, b) => a * b }.sum
+      val approx = Pq.adcDot(Pq.encode(v, cb), table)
+      math.abs(truth - approx)
+    }
+    assert(errs.sum / errs.length < 0.03,
+      s"mean ADC error ${errs.sum / errs.length} too large")
+    assert(errs.max < 0.15, s"worst ADC error ${errs.max} too large")
+  }
+
+  test("recall@5 >= 0.9 vs brute force on clustered data") {
+    val s = spark
+    import s.implicits._
+    val data = planted
+    val df = data.toDF("vec_id", "embedding")
+    val queryIds = (0 until 30).map(c => (c * 40).toLong)
+    // brute-force truth on the driver
+    val byId = data.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val na = Pq.normalize(a); val nb = Pq.normalize(b)
+      na.zip(nb).map { case (x, y) => x * y }.sum
+    }
+    val truth = queryIds.map { q =>
+      q -> data.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(byId(q), v)) }
+        .sortBy(-_._2).take(5).map(_._1).toSet
+    }.toMap
+    val got = Pq.pqTopK(df, queryIds, k = 5, m = 8, shortlist = 32)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    val recall = queryIds.map(q =>
+      (truth(q) intersect got.getOrElse(q, Set.empty)).size / 5.0).sum / queryIds.size
+    assert(recall >= 0.9, s"PQ recall@5 $recall < 0.9")
+  }
+
+  test("exact rerank orders the output by true cosine, dense ranks") {
+    val s = spark
+    import s.implicits._
+    val df = planted.toDF("vec_id", "embedding")
+    val rows = Pq.pqTopK(df, Seq(0L, 40L), k = 5).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("a dim not divisible by m refuses loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      Pq.train(Array(Array.fill(30)(1.0f)), m = 8)
+    }
+    assert(ex.getMessage.contains("not divisible"), ex.getMessage)
+  }
+}
