@@ -62,6 +62,32 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  test("PROPERTY: decode(encode(s)) == s for arbitrary unicode under arbitrary tables") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genTable: Gen[Bpe.Table] = for {
+      words <- Gen.mapOf(Gen.zip(
+        Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+        Gen.choose(1L, 50L)))
+      merges <- Gen.choose(0, 128)
+    } yield Bpe.train(words, merges)
+    // full-unicode strings by CODEPOINT (never an unpaired surrogate —
+    // those are invalid UTF-8 and outside any tokenizer's contract):
+    // ascii, CJK, astral emoji, control chars
+    val genText: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.asciiPrintableChar.map(_.toString),
+      2 -> Gen.choose(0x4e00, 0x9fff).map(cp => new String(Character.toChars(cp))),
+      1 -> Gen.choose(0x1F300, 0x1F6FF).map(cp => new String(Character.toChars(cp))),
+      1 -> Gen.oneOf("\n", "\t", " ", "é", "€")))
+      .map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)),
+      Prop.forAll(genTable, genText) { (t, s) =>
+        Bpe.decode(Bpe.encode(s, t), t) == s
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("flat wire form round-trips the table") {
     val t = Bpe.train(Map("aaab" -> 3L, "ab" -> 2L), 10)
     val back = Bpe.fromFlat(Bpe.toFlat(t))
