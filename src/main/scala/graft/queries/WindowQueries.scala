@@ -571,7 +571,73 @@ object WindowQueries {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** Streaming document-ingest pipeline — the LLM-data shape on a
+    * live stream: watermarked dedup-on-arrival (first occurrence wins,
+    * per-key state bounded by the watermark) followed by the quality
+    * gate (length + repetition, the same Gopher-style signals as
+    * q_text_repetition) as NARROW expressions — stateless, so the only
+    * streaming state is the dedup store. Two micro-batches plant
+    * in-batch dupes, cross-batch dupes, repetitive spam, and
+    * too-short docs; the result is per-(source, kept) counts. NATIVE
+    * (streaming runtime; StreamingSpec proves exact equality with the
+    * batch fold of the same rows through the same gate). */
+  /** Deterministic document generator shared with StreamingSpec's
+    * batch-fold equality check. */
+  def pipelineDoc(i: Int, base: Long,
+      sources: Seq[String]): (Long, java.sql.Timestamp, String, String) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val text =
+      if (i % 17 == 0) Seq.fill(30)("spam").mkString(" ") // repetition-gated
+      else if (i % 23 == 0) "tiny doc" // length-gated
+      else (0 until 20 + (i % 30)).map(k =>
+        s"w${(mix(i.toLong * 131 + k) & 0x3f)}").mkString(" ")
+    (i.toLong, new java.sql.Timestamp(base + i * 37000L), sources(i % 3), text)
+  }
+
+  def streamPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val sources = Seq("web", "books", "code")
+    def doc(i: Int) = pipelineDoc(i, base, sources)
+    // batch 1: 0..149, every 10th doc emitted twice (in-batch dupes);
+    // batch 2: 120..249 — 120..149 re-arrive as cross-batch dupes
+    val b1 = (0 until 150).flatMap(i => if (i % 10 == 0) Seq(doc(i), doc(i)) else Seq(doc(i)))
+    val b2 = (120 until 250).map(doc)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    withShufflePartitions(spark, 4) {
+      val q = mem.toDF().toDF("doc_id", "ts", "source", "text")
+        .withWatermark("ts", "60 minutes")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .withColumn("w", split(lower(trim($"text")), " "))
+        .withColumn("n_words", size($"w"))
+        .withColumn("dup_frac",
+          lit(1.0) - size(array_distinct($"w")).cast("double") / size($"w"))
+        .withColumn("kept", $"n_words" >= 5 && $"dup_frac" <= 0.3)
+        .select($"doc_id", $"source", $"kept")
+        .writeStream.format("memory").queryName("q_stream_pipeline_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        mem.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.table("q_stream_pipeline_out")
+      .groupBy($"source", $"kept")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source", $"kept")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_pipeline" -> (streamPipeline _),
     "q_win_rank" -> (winRank _),
     "q_win_ntile" -> (winNtile _),
     "q_win_lag" -> (winLag _),

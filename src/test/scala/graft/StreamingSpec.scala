@@ -371,4 +371,25 @@ class StreamingSpec extends SparkSpec {
     for ((ad, n, _) <- got)
       assert(n == (if (ad % 10 == 0) 2L else 1L), s"ad $ad attributed $n times")
   }
+
+  test("streaming document pipeline == batch fold: dedup + quality gate") {
+    import graft.queries.WindowQueries
+    val got = WindowQueries.streamPipeline(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Boolean]("kept")) ->
+        r.getAs[Long]("n_docs")).toMap
+    // batch fold of the SAME 250 unique documents through the same
+    // gate: duplicates (in-batch doubles + cross-batch 120..149
+    // re-arrivals) must count exactly once
+    val sources = Seq("web", "books", "code")
+    val expected = (0 until 250).map { i =>
+      val (_, _, src, text) = WindowQueries.pipelineDoc(i, 1700000000000L, sources)
+      val w = text.trim.toLowerCase.split(" ")
+      val dupFrac = 1.0 - w.distinct.length.toDouble / w.length
+      (src, w.length >= 5 && dupFrac <= 0.3)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // both gates actually fired: dropped docs exist for every source
+    assert(sources.forall(s => got.getOrElse((s, false), 0L) > 0L),
+      "planted spam/short docs must be gated in every source")
+  }
 }
