@@ -41,10 +41,19 @@ object SimilarityQueries {
     graft.similarity.Pq.pqTopK(Fixtures.embeddings(spark, sfDir),
       queryIds(spark, sfDir), k = 5, m = 8, shortlist = 32)
 
+  /** Top-5 by IVF-PQ (the faiss-canonical composition): coarse probing
+    * touches only nProbe/nCentroids of the corpus, PQ-on-residuals
+    * scores m-byte codes — compute AND memory scale wins in one index.
+    * NATIVE (PqSpec: residual recall, exact score decomposition). */
+  def simIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.similarity.Pq.ivfPqTopK(Fixtures.embeddings(spark, sfDir),
+      queryIds(spark, sfDir), k = 5, nCentroids = 32, nProbe = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann" -> (simAnn _),
     "q_sim_lsh" -> (simLsh _),
-    "q_sim_pq" -> (simPq _))
+    "q_sim_pq" -> (simPq _),
+    "q_sim_ivfpq" -> (simIvfPq _))
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -21,7 +21,7 @@ object Ann {
 
   case class Neighbor(query_id: Long, vec_id: Long, cosine: Double, rank: Int)
 
-  private def normalize(v: Array[Float]): Array[Double] = {
+  private[similarity] def normalize(v: Array[Float]): Array[Double] = {
     var s = 0.0
     var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
@@ -32,7 +32,7 @@ object Ann {
     out
   }
 
-  @inline private def dot(a: Array[Double], b: Array[Double]): Double = {
+  @inline private[similarity] def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -47,7 +47,7 @@ object Ann {
     * ids usually do). orderBy+limit compiles to a distributed top-k
     * (TakeOrdered), so the driver receives n rows even at 10^9
     * vectors. */
-  private def sampleCentroids(emb: DataFrame, n: Int): Array[Array[Double]] = {
+  private[similarity] def sampleCentroids(emb: DataFrame, n: Int): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     // 2× oversample, then greedy near-duplicate merge: a duplicate-
@@ -77,7 +77,7 @@ object Ann {
 
   /** Indices of the `n` centroids nearest to `v` (linear partial
     * selection — no per-row full sort allocation). */
-  private def topCentroids(cent: Array[Array[Double]], v: Array[Double],
+  private[similarity] def topCentroids(cent: Array[Array[Double]], v: Array[Double],
       n: Int): Array[Int] = {
     val k = math.min(n, cent.length)
     val out = new Array[Int](k)

@@ -53,13 +53,18 @@ object Pq {
     * iteration count, lowest-index tie-break; an emptied cluster keeps
     * its previous centroid. */
   def train(sample: Array[Array[Float]], m: Int, k: Int = 256,
+      iters: Int = 10, seed: Long = 42L): Codebooks =
+    trainRaw(sample.map(normalize), m, k, iters, seed)
+
+  /** Training WITHOUT normalization — for residual vectors (IVF-PQ),
+    * which are deliberately not unit-length. */
+  def trainRaw(vecs: Array[Array[Double]], m: Int, k: Int = 256,
       iters: Int = 10, seed: Long = 42L): Codebooks = {
-    require(sample.nonEmpty, "PQ training needs a non-empty sample")
-    val dim = sample.head.length
+    require(vecs.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = vecs.head.length
     require(dim % m == 0,
       s"embedding dim $dim is not divisible by m=$m subspaces")
     val dsub = dim / m
-    val vecs = sample.map(normalize)
     val kk = math.min(k, vecs.length)
     val books = Array.tabulate(m) { s =>
       val off = s * dsub
@@ -158,6 +163,107 @@ object Pq {
     d
   }
 
+  /** IVF-PQ (the faiss-canonical composition, Jégou §V): coarse IVF
+    * centroids route vectors into buckets, PQ encodes each vector's
+    * RESIDUAL v − c(v) — residuals have far less variance than raw
+    * vectors, so the same m bytes quantize much more precisely.
+    * Scoring decomposes exactly: dot(q, v) = dot(q, c) + dot(q, r),
+    * i.e. a per-bucket constant plus one shared ADC table lookup — a
+    * query touches only its probed buckets (IVF's compute win) over
+    * m-byte codes (PQ's memory win). Shortlist + exact rerank as in
+    * [[pqTopK]]. */
+  def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCentroids: Int, nProbe: Int, m: Int = 8, shortlist: Int = 32,
+      sampleCap: Int = 2048): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    val bcCent = spark.sparkContext.broadcast(
+      Ann.sampleCentroids(emb, nCentroids))
+
+    // codebooks train on RESIDUALS of the deterministic sample
+    val sample = typed.map { case (id, v) => (mix(id), v) }
+      .orderBy($"_1").limit(sampleCap).map(_._2).collect()
+    val cb = {
+      val cent = bcCent.value
+      val residuals = sample.map { raw =>
+        val v = Pq.normalize(raw)
+        val c = cent(Ann.topCentroids(cent, v, 1).head)
+        val r = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) { r(i) = (v(i) - c(i)).toFloat; i += 1 }
+        r
+      }
+      spark.sparkContext.broadcast(trainRaw(residuals.map(_.map(_.toDouble)), m))
+    }
+
+    val qSet = queryIds.toSet
+    val queries = typed.filter(t => qSet.contains(t._1))
+      .map { case (id, v) => (id, normalize(v)) }.collect()
+    val bcQ = spark.sparkContext.broadcast(queries.map { case (id, v) =>
+      // probe set + per-bucket dot(q, c) constants + ONE shared ADC table
+      val cent = bcCent.value
+      val probes = Ann.topCentroids(cent, v, math.min(nProbe, cent.length)).toSet
+      val centDots = cent.map(c => Ann.dot(v, c))
+      (id, probes, centDots, adcTable(v, cb.value))
+    })
+
+    val cands = typed.mapPartitions { it =>
+      val cent = bcCent.value
+      val books = cb.value
+      val qs = bcQ.value
+      it.flatMap { case (id, raw) =>
+        val v = normalize(raw)
+        val b = Ann.topCentroids(cent, v, 1).head
+        val r = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { r(i) = v(i) - cent(b)(i); i += 1 }
+        val code = encode(r, books)
+        qs.iterator.collect {
+          case (qid, probes, centDots, table) if probes.contains(b) && qid != id =>
+            (qid, id, centDots(b) + adcDot(code, table))
+        }
+      }
+    }
+    val short = cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val top = new BoundedTopK(shortlist)
+        it.foreach { case (_, id, d) => top.offer(id, d) }
+        top.result().iterator.map { case (id, _) => (qid, id) }
+      }
+      .toDF("query_id", "vec_id")
+    rerank(emb, short, queries.toMap, k)
+  }
+
+  /** Exact-cosine rerank of a (query_id, vec_id) shortlist. */
+  private def rerank(emb: DataFrame, short: DataFrame,
+      qVecsLocal: Map[Long, Array[Double]], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qVecs = spark.sparkContext.broadcast(qVecsLocal)
+    short.join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+      .select($"query_id", $"vec_id", $"embedding")
+      .as[(Long, Long, Array[Float])]
+      .map { case (qid, id, raw) =>
+        val v = normalize(raw)
+        val qv = qVecs.value(qid)
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { d += v(i) * qv(i); i += 1 }
+        (qid, id, d)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val top = new BoundedTopK(k)
+        it.foreach { case (_, id, cos) => top.offer(id, cos) }
+        top.result().iterator.zipWithIndex.map { case ((id, cos), r) =>
+          Ann.Neighbor(qid, id, math.round(cos * 10000) / 10000.0, r + 1)
+        }
+      }
+      .toDF()
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Two-stage PQ top-k over an `(vec_id, embedding)` frame: ADC
     * shortlist (`shortlist` candidates per query, O(shortlist)-memory
     * heaps on one small shuffle) then exact-cosine rerank of the
@@ -203,27 +309,6 @@ object Pq {
       }
       .toDF("query_id", "vec_id")
     // stage 2: exact rerank of shortlist ids only (broadcast-sized)
-    val qVecs = spark.sparkContext.broadcast(queries.toMap)
-    short.join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
-      .select($"query_id", $"vec_id", $"embedding")
-      .as[(Long, Long, Array[Float])]
-      .map { case (qid, id, raw) =>
-        val v = normalize(raw)
-        val qv = qVecs.value(qid)
-        var d = 0.0
-        var i = 0
-        while (i < v.length) { d += v(i) * qv(i); i += 1 }
-        (qid, id, d)
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (qid, it) =>
-        val top = new BoundedTopK(k)
-        it.foreach { case (_, id, cos) => top.offer(id, cos) }
-        top.result().iterator.zipWithIndex.map { case ((id, cos), r) =>
-          Ann.Neighbor(qid, id, math.round(cos * 10000) / 10000.0, r + 1)
-        }
-      }
-      .toDF()
-      .orderBy($"query_id", $"rank")
+    rerank(emb, short, queries.toMap, k)
   }
 }

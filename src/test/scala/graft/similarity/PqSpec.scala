@@ -98,6 +98,45 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: recall@5 >= 0.9 on planted clusters, probing only nProbe buckets") {
+    val s = spark
+    import s.implicits._
+    val data = planted
+    val df = data.toDF("vec_id", "embedding")
+    val queryIds = (0 until 30).map(c => (c * 40).toLong)
+    val byId = data.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val na = Pq.normalize(a); val nb = Pq.normalize(b)
+      na.zip(nb).map { case (x, y) => x * y }.sum
+    }
+    val truth = queryIds.map { q =>
+      q -> data.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(byId(q), v)) }
+        .sortBy(-_._2).take(5).map(_._1).toSet
+    }.toMap
+    val got = Pq.ivfPqTopK(df, queryIds, k = 5, nCentroids = 32, nProbe = 8)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    val recall = queryIds.map(q =>
+      (truth(q) intersect got.getOrElse(q, Set.empty)).size / 5.0).sum / queryIds.size
+    assert(recall >= 0.9, s"IVF-PQ recall@5 $recall < 0.9")
+  }
+
+  test("residual decomposition is exact: dot(q,v) == dot(q,c) + dot(q,r)") {
+    val data = planted.take(50)
+    val q = Pq.normalize(data.head._2)
+    val c = Pq.normalize(data(5)._2) // any vector as a stand-in centroid
+    data.foreach { case (_, raw) =>
+      val v = Pq.normalize(raw)
+      val r = v.zip(c).map { case (a, b) => a - b }
+      val full = v.zip(q).map { case (a, b) => a * b }.sum
+      val split = c.zip(q).map { case (a, b) => a * b }.sum +
+        r.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(full - split) < 1e-12)
+    }
+  }
+
   test("a dim not divisible by m refuses loudly") {
     val ex = intercept[IllegalArgumentException] {
       Pq.train(Array(Array.fill(30)(1.0f)), m = 8)
