@@ -177,15 +177,64 @@ object SamplingQueries {
       |  round(tokens * wt, 2) AS expected_tokens
       |FROM w ORDER BY source""".stripMargin
 
+  /** Quality-weighted deterministic sampling: each document keeps with
+    * probability proportional to its quality proxy (length here; any
+    * per-doc score plugs in the same way), decided by a Knuth
+    * multiplicative hash of doc_id instead of an engine RNG — so the
+    * draw is reproducible across engines, partitionings, and reruns
+    * (the property a training pipeline needs when the same corpus is
+    * re-sampled by many jobs). Pure per-row integer arithmetic both
+    * engines compute identically: join-free, shuffle-free until the
+    * final per-source rollup. */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, sfDir)
+      .withColumn("p", least(lit(1.0), $"n_chars".cast("double") / 800.0))
+      // Knuth multiplicative hash → uniform u in [0,1) with 6 decimal
+      // digits of resolution; doc_id * 2654435761 stays far inside
+      // int64 at any realistic corpus size (ids ≤ ~3.4e9 are safe)
+      .withColumn("u",
+        (($"doc_id" * lit(2654435761L)) % 1000000L).cast("double") / 1000000.0)
+      .withColumn("keep", $"u" < $"p")
+    docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        // expected_rate from an INTEGER sum (least(800, n_chars)) so
+        // the pre-round double is identical regardless of partial-agg
+        // summation order — avg(p) landed exactly on a .00005 rounding
+        // boundary at sf0.01 and flipped between engines
+        round(sum(least(lit(800L), $"n_chars")).cast("double") /
+          (count(lit(1)) * 800.0), 4).as("expected_rate"),
+        round(sum(when($"keep", 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("actual_rate"))
+      .orderBy($"source")
+  }
+
+  val sampleWeightedSql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars,
+      |    least(1.0, CAST(n_chars AS DOUBLE) / 800.0) AS p,
+      |    CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 AS u
+      |  FROM documents)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CAST(sum(least(800, n_chars)) AS DOUBLE) / (count(*) * 800.0), 4)
+      |    AS expected_rate,
+      |  round(sum(CASE WHEN u < p THEN 1.0 ELSE 0.0 END) / count(*), 4)
+      |    AS actual_rate
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_train" -> (splitTrain _),
     "q_sample_stratified" -> (sampleStratified _),
+    "q_sample_weighted" -> (sampleWeighted _),
     "q_mix_weights" -> (mixWeights _),
     "q_mix_weights_bpe" -> (mixWeightsBpe _),
     "q_mix_temperature" -> (mixTemperature _))
 
   val oracle: Map[String, String] = Map(
     "q_split_train" -> splitTrainSql,
+    "q_sample_weighted" -> sampleWeightedSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_mix_temperature" -> mixTemperatureSql)
 }

@@ -49,11 +49,20 @@ object SimilarityQueries {
     graft.similarity.Pq.ivfPqTopK(Fixtures.embeddings(spark, sfDir),
       queryIds(spark, sfDir), k = 5, nCentroids = 32, nProbe = 8)
 
+  /** Distributed PCA: one-pass second-moment accumulation (executor-
+    * side partial merge via Dataset.reduce), driver-side 64×64 Jacobi,
+    * broadcast projection onto the top-4 axes, per-label summary.
+    * NATIVE (eigensolver is engine-side; orthonormality, trace law,
+    * variance ordering and projected-variance≡eigenvalue in PcaSpec). */
+  def embPca(spark: SparkSession, sfDir: String): DataFrame =
+    graft.similarity.Pca.pcaByLabel(Fixtures.embeddings(spark, sfDir), k = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann" -> (simAnn _),
     "q_sim_lsh" -> (simLsh _),
     "q_sim_pq" -> (simPq _),
-    "q_sim_ivfpq" -> (simIvfPq _))
+    "q_sim_ivfpq" -> (simIvfPq _),
+    "q_emb_pca" -> (embPca _))
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -468,9 +468,152 @@ object TextQueries {
       .orderBy($"source", $"shard", $"pack_id")
   }
 
+  /** TF-IDF top terms per document — the classic keyword extractor a
+    * curation pipeline runs for topic tagging / domain routing. Plan at
+    * 100 TB: one word explode whose groupBy keys on (doc_id, term)
+    * (well-distributed), a vocabulary-scale document-frequency
+    * aggregate BROADCAST back onto the term-frequency side (the tf
+    * side keeps its partitioning — no second corpus shuffle), the
+    * 1-row corpus count crossed in as a broadcast, and one window on
+    * doc_id for the top-3 cut. Ranking uses the ROUNDED score with a
+    * term tie-break so both engines order identically (raw doubles
+    * tie-break on 1-ulp noise). */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Fixtures.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = Fixtures.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy(desc("tfidf"), asc("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val textTfidfSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |  FROM s)
+      |SELECT doc_id, rank, term, tf, df, tfidf
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Per-document character entropy — the Shannon-entropy quality
+    * signal (near-zero for looped garbage, ~4.2 nats for natural
+    * English; binary junk mislabeled as text scores far higher). The
+    * Spark side is the 100 TB-right plan: a NARROW typed map building
+    * each doc's code-point histogram in one pass — no explode, zero
+    * shuffles beyond the final sort. The oracle recomputes it the
+    * SQL-only way (position explode + two groupBys); equality of the
+    * two plans is exactly the check. */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .filter(length($"text") > 0)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val counts = new java.util.TreeMap[Int, Long]()
+        val it = t.codePoints().iterator()
+        var n = 0L
+        while (it.hasNext) {
+          counts.merge(it.next(), 1L, (a, b) => a + b); n += 1
+        }
+        var h = 0.0
+        counts.values().forEach { c =>
+          val p = c.toDouble / n; h -= p * math.log(p)
+        }
+        (id, n, counts.size.toLong, math.round(h * 10000) / 10000.0)
+      }
+      .toDF("doc_id", "n_chars_seen", "n_distinct_chars", "char_entropy")
+      .orderBy($"doc_id")
+  }
+
+  val textEntropySql: String =
+    """WITH i AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, length(text))) AS pos
+      |  FROM documents WHERE length(text) > 0),
+      |c AS (SELECT doc_id, substr(text, pos, 1) AS ch FROM i),
+      |h AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+      |n AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_distinct
+      |  FROM h GROUP BY 1)
+      |SELECT h.doc_id, n.n AS n_chars_seen, n.n_distinct AS n_distinct_chars,
+      |  round(-sum((CAST(cnt AS DOUBLE) / n.n) * ln(CAST(cnt AS DOUBLE) / n.n)), 4)
+      |    AS char_entropy
+      |FROM h JOIN n ON h.doc_id = n.doc_id
+      |GROUP BY h.doc_id, n.n, n.n_distinct ORDER BY h.doc_id""".stripMargin
+
+  /** Overlapping token-window chunking — the RAG / long-context
+    * preprocessing step that slices each document into windows of 50
+    * tokens advancing by 40 (10-token overlap so no sentence is lost
+    * at a boundary). Entirely narrow at any scale: split + sequence +
+    * posexplode + slice are all per-row; chunk count is ⌈n/stride⌉ so
+    * output rows ≈ 1.25 tokens/40 per doc — linear, no shuffle beyond
+    * the oracle-imposed sort. */
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val win = 50
+    val stride = 40
+    Fixtures.documents(spark, sfDir)
+      .withColumn("w", expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"))
+      .withColumn("n", size($"w"))
+      .filter($"n" >= 1)
+      .select($"doc_id", $"w", $"n",
+        posexplode(expr(s"sequence(0, n - 1, $stride)")).as(Seq("chunk_id", "start")))
+      .select($"doc_id",
+        $"chunk_id".cast("long").as("chunk_id"),
+        $"start".cast("long").as("start"),
+        least(lit(win), $"n" - $"start").cast("long").as("n_tokens"),
+        array_join(slice($"w", $"start" + 1, lit(win)), " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val chunkDocsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> len(x) > 0) AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, w, len(w) AS n,
+      |    unnest(generate_series(0, len(w) - 1, 40)) AS start
+      |  FROM d WHERE len(w) >= 1)
+      |SELECT doc_id,
+      |  CAST(start // 40 AS BIGINT) AS chunk_id,
+      |  CAST(start AS BIGINT) AS start,
+      |  CAST(least(50, n - start) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(w, start + 1, start + 50), ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_quality" -> (textQuality _),
     "q_text_nll" -> (textNll _),
+    "q_text_tfidf" -> (textTfidf _),
+    "q_text_entropy" -> (textEntropy _),
+    "q_chunk_docs" -> (chunkDocs _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_token_count" -> (textTokenCount _),
@@ -485,6 +628,9 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "q_text_quality" -> textQualitySql,
     "q_text_nll" -> textNllSql,
+    "q_text_tfidf" -> textTfidfSql,
+    "q_text_entropy" -> textEntropySql,
+    "q_chunk_docs" -> chunkDocsSql,
     "q_text_token_count" -> textTokenCountSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_pack_sequences" -> packSequencesSql,

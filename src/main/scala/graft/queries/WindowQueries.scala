@@ -636,8 +636,61 @@ object WindowQueries {
       .orderBy($"source", $"kept")
   }
 
+  /** Sequential conversion funnel over the event stream: of the users
+    * who ever VIEWed, how many later CLICKed, and of those how many
+    * later PURCHASEd — strictly ordered (each stage's timestamp must
+    * exceed the previous stage's), the product-analytics query every
+    * event warehouse runs. Plan at 100 TB: each stage is a pushed-
+    * filter scan + groupBy(user_id) min — three shuffles all keyed on
+    * user_id, so a co-partitioned exchange reuse / storage-bucketed
+    * layout makes stages 2-3 shuffle-free; per-stage frames are
+    * per-user (small) and the final rollup is 3 rows. */
+  def tsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Fixtures.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts")
+    val viewed = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val clicked = ev.filter($"event_type" === "click")
+      .join(viewed, "user_id").filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val purchased = ev.filter($"event_type" === "purchase")
+      .join(clicked, "user_id").filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val reached = viewed.select(lit("1_view").as("stage"), $"user_id")
+      .unionAll(clicked.select(lit("2_click").as("stage"), $"user_id"))
+      .unionAll(purchased.select(lit("3_purchase").as("stage"), $"user_id"))
+    import org.apache.spark.sql.expressions.Window
+    reached.groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      .withColumn("reach_rate",
+        round($"n_users".cast("double") /
+          max($"n_users").over(Window.partitionBy()), 4))
+      .orderBy($"stage")
+  }
+
+  val tsFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |u AS (
+      |  SELECT '1_view' AS stage, user_id FROM v
+      |  UNION ALL SELECT '2_click', user_id FROM c
+      |  UNION ALL SELECT '3_purchase', user_id FROM p)
+      |SELECT stage, count(*) AS n_users,
+      |  round(CAST(count(*) AS DOUBLE) / max(count(*)) OVER (), 4) AS reach_rate
+      |FROM u GROUP BY stage ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_pipeline" -> (streamPipeline _),
+    "q_ts_funnel" -> (tsFunnel _),
     "q_win_rank" -> (winRank _),
     "q_win_ntile" -> (winNtile _),
     "q_win_lag" -> (winLag _),
@@ -656,6 +709,7 @@ object WindowQueries {
     "q_stream_recovery" -> (streamRecovery _))
 
   val oracle: Map[String, String] = Map(
+    "q_ts_funnel" -> tsFunnelSql,
     "q_win_rank" -> winRankSql,
     "q_win_ntile" -> winNtileSql,
     "q_win_lag" -> winLagSql,

@@ -1,0 +1,216 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Distributed PCA over an embedding column — the dimensionality
+  * reduction a pipeline runs before ANN indexing or visualization
+  * (and the whitening precursor of OPQ-style quantizers).
+  *
+  * Spark-first split of the work: the corpus-scale half is ONE pass
+  * that accumulates per-partition second-moment partials (count, sum
+  * vector, upper-triangular Σx·xᵀ — ~d²/2 doubles, d=64 → 2 KB) and
+  * combines them associatively with `Dataset.reduce` (partial merge
+  * happens executor-side, so the driver sees one partial, not one per
+  * partition). The d×d eigendecomposition is driver-side cyclic
+  * Jacobi — O(d³) on a 64×64 symmetric matrix is microseconds and
+  * independent of corpus size. Projection is a narrow map with the
+  * broadcast model.
+  *
+  * Determinism: partial combination is floating-point and therefore
+  * partition-order-sensitive in the last ulp, but Jacobi's rotations
+  * are a deterministic function of the combined matrix; eigenvectors
+  * get a fixed sign convention (largest-|component| positive) so two
+  * fits of the same data agree to rounding. */
+object Pca {
+
+  /** Fitted model: `components(i)` is the i-th principal axis (unit
+    * norm, rows of the projection), `eigenvalues(i)` its captured
+    * variance, both sorted non-increasing. */
+  case class Model(mean: Array[Double], components: Array[Array[Double]],
+      eigenvalues: Array[Double], totalVariance: Double) {
+    def project(v: Array[Float], k: Int): Array[Double] = {
+      val out = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        val c = components(j)
+        var s = 0.0
+        var i = 0
+        while (i < c.length) { s += (v(i) - mean(i)) * c(i); i += 1 }
+        out(j) = s
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** One partition's moment accumulator. Arrays make the Spark encoder
+    * cheap; `tri` is the upper triangle of Σ x xᵀ in row-major packed
+    * order. */
+  case class Partial(n: Long, sum: Array[Double], tri: Array[Double])
+
+  private def combine(a: Partial, b: Partial): Partial = {
+    if (a.n == 0) return b
+    if (b.n == 0) return a
+    val sum = new Array[Double](a.sum.length)
+    var i = 0
+    while (i < sum.length) { sum(i) = a.sum(i) + b.sum(i); i += 1 }
+    val tri = new Array[Double](a.tri.length)
+    i = 0
+    while (i < tri.length) { tri(i) = a.tri(i) + b.tri(i); i += 1 }
+    Partial(a.n + b.n, sum, tri)
+  }
+
+  /** Fit on `emb` (must have an `embedding: array<float>` column):
+    * one corpus pass + a driver-side 64×64 Jacobi. */
+  def fit(emb: DataFrame): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.select("embedding").as[Array[Float]]
+    val partial = ds.mapPartitions { it =>
+      var n = 0L
+      var sum: Array[Double] = null
+      var tri: Array[Double] = null
+      it.foreach { v =>
+        if (sum == null) {
+          sum = new Array[Double](v.length)
+          tri = new Array[Double](v.length * (v.length + 1) / 2)
+        }
+        var t = 0
+        var i = 0
+        while (i < v.length) {
+          val vi = v(i).toDouble
+          sum(i) += vi
+          var j = i
+          while (j < v.length) { tri(t) += vi * v(j); t += 1; j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single(Partial(n, sum, tri))
+    }.reduce(combine _)
+    require(partial.n > 1, s"PCA needs >1 vectors, got ${partial.n}")
+
+    val d = partial.sum.length
+    val mean = partial.sum.map(_ / partial.n)
+    // cov = E[xxᵀ] − mean meanᵀ, unpacked to a full symmetric matrix
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = partial.tri(t) / partial.n - mean(i) * mean(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until d).map(k => cov(k)(k)).sum
+
+    val (values, vectors) = jacobi(cov)
+    // sort non-increasing; fixed sign convention for determinism
+    val order = values.zipWithIndex.sortBy { case (v, idx) => (-v, idx) }
+    val eigenvalues = order.map(_._1)
+    val components = order.map { case (_, idx) =>
+      val c = vectors.map(_(idx))
+      var big = 0
+      var k = 1
+      while (k < d) { if (math.abs(c(k)) > math.abs(c(big))) big = k; k += 1 }
+      if (c(big) < 0) c.map(x => -x) else c
+    }
+    Model(mean, components, eigenvalues, trace)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (Golub &
+    * Van Loan §8.5): repeatedly zero the largest-sweep off-diagonal
+    * entries with Givens rotations until the off-diagonal Frobenius
+    * norm vanishes. Returns (eigenvalues, column-eigenvector matrix).
+    * Destroys `a0` via a working copy. */
+  private[similarity] def jacobi(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-18 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-30) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val tSign = if (theta >= 0) 1.0 else -1.0
+            val tTan = tSign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tTan * tTan + 1.0)
+            val s = tTan * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p)
+              val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k)
+              val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p)
+              val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** The query surface: fit on the corpus, project every vector onto
+    * the top-`k` axes (narrow map with the broadcast model), then
+    * summarize per planted label — mean coordinates + captured
+    * variance share. The per-label rollup keeps the NATIVE result
+    * row-shaped (n_labels rows) at any corpus size. */
+  def pcaByLabel(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val model = fit(emb)
+    val bc = spark.sparkContext.broadcast(model)
+    val explained = model.eigenvalues.take(k).sum / model.totalVariance
+    import org.apache.spark.sql.functions._
+    emb.select($"label", $"embedding").as[(Int, Array[Float])]
+      .map { case (label, vec) =>
+        val p = bc.value.project(vec, k)
+        (label, p(0), p(1), p(2), p(3))
+      }
+      .toDF("label", "pc1", "pc2", "pc3", "pc4")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"pc1"), 3).as("mean_pc1"),
+        round(avg($"pc2"), 3).as("mean_pc2"),
+        round(avg($"pc3"), 3).as("mean_pc3"),
+        round(avg($"pc4"), 3).as("mean_pc4"))
+      .withColumn("explained_var", round(lit(explained), 4))
+      .orderBy($"label")
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.queries.{SamplingQueries, TextQueries, WindowQueries}
+import org.apache.spark.sql.Row
+
+/** Semantic invariants of the round-15 curation/analytics operators —
+  * the laws behind the oracle rows: TF-IDF ordering and idf-zero,
+  * entropy closed forms, chunk coverage/overlap reconstruction,
+  * weighted-sampling determinism, and funnel monotonicity. */
+class CurationQuerySpec extends SparkSpec {
+
+  test("q_text_tfidf: per-doc top-3, contiguous ranks, non-increasing score") {
+    val rows = TextQueries.textTfidf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getLong(1))
+      assert(ranked.length <= 3)
+      assert(ranked.map(_.getLong(1)).toSeq == (1L to ranked.length).toSeq)
+      val scores = ranked.map(_.getDouble(5)).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse),
+        s"tfidf must be non-increasing in rank: $scores")
+    }
+    // idf law: a term in every document scores exactly 0, so it can
+    // only surface when a doc has fewer than 3 positive-idf terms —
+    // and then its tf * ln(1) is still 0
+    rows.foreach { r =>
+      if (r.getLong(4) == byDoc.size) assert(r.getDouble(5) == 0.0)
+    }
+  }
+
+  test("q_text_entropy closed forms: constant doc → 0, uniform pair → ln 2") {
+    import spark.implicits._
+    // same typed kernel the query uses, exercised via a temp fixture
+    val docs = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcdefgh"))
+      .toDF("doc_id", "text")
+    val out = docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val counts = new java.util.TreeMap[Int, Long]()
+        val it = t.codePoints().iterator()
+        var n = 0L
+        while (it.hasNext) { counts.merge(it.next(), 1L, (a, b) => a + b); n += 1 }
+        var h = 0.0
+        counts.values().forEach { c => val p = c.toDouble / n; h -= p * math.log(p) }
+        (id, math.round(h * 10000) / 10000.0)
+      }.collect().toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - math.log(2)) < 1e-4)
+    assert(math.abs(out(3L) - math.log(8)) < 1e-4)
+    // and the real query emits one row per non-empty doc with H >= 0
+    val real = TextQueries.textEntropy(spark, sfDir).collect()
+    assert(real.nonEmpty && real.forall(_.getDouble(3) >= 0.0))
+  }
+
+  test("q_chunk_docs: stride-40 windows of 50 cover every token exactly") {
+    val chunks = TextQueries.chunkDocs(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    val docs = Fixtures.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+      .toMap
+    docs.foreach { case (id, w) =>
+      val cs = chunks.getOrElse(id, Array.empty).sortBy(_.getLong(1))
+      assert(cs.length == (w.length + 39) / 40, s"doc $id chunk count")
+      cs.zipWithIndex.foreach { case (c, i) =>
+        val start = c.getLong(2).toInt
+        assert(start == i * 40)
+        val expect = w.slice(start, math.min(start + 50, w.length))
+        assert(c.getLong(3) == expect.length)
+        assert(c.getString(4) == expect.mkString(" "),
+          s"doc $id chunk $i text mismatch")
+      }
+      // dropping each chunk's 10-token overlap tail reconstructs the doc
+      val rebuilt = cs.zipWithIndex.flatMap { case (c, i) =>
+        val toks = c.getString(4).split(" ").filter(_.nonEmpty)
+        if (i == cs.length - 1) toks else toks.take(40)
+      }
+      assert(rebuilt.toSeq == w.toSeq, s"doc $id reconstruction")
+    }
+  }
+
+  test("q_sample_weighted: deterministic, long docs always kept") {
+    val a = SamplingQueries.sampleWeighted(spark, sfDir).collect()
+    val b = SamplingQueries.sampleWeighted(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "the draw must be reproducible")
+    a.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // p = 1 docs (n_chars >= 800) always keep: u has 6 decimal digits
+    // so u <= 0.999999 < 1.0
+    import org.apache.spark.sql.functions._
+    val longDocs = Fixtures.documents(spark, sfDir)
+      .filter(col("n_chars") >= 800)
+      .withColumn("u",
+        ((col("doc_id") * lit(2654435761L)) % 1000000L).cast("double") / 1000000.0)
+    assert(longDocs.filter(col("u") >= 1.0).count() == 0)
+  }
+
+  test("q_ts_funnel: stage counts are monotone and rates normalized") {
+    val rows = WindowQueries.tsFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val n = rows.map(_.getLong(1))
+    assert(n(0) >= n(1) && n(1) >= n(2), s"funnel must narrow: ${n.toSeq}")
+    assert(rows.head.getDouble(2) == 1.0)
+    // brute-force twin on the small fixture
+    val ev = Fixtures.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    def stageUsers: (Int, Int, Int) = {
+      var v = 0; var c = 0; var p = 0
+      byUser.foreach { case (_, es) =>
+        val views = es.filter(_._2 == "view").map(_._3)
+        if (views.nonEmpty) {
+          v += 1
+          val t1 = views.min
+          val clicks = es.filter(e => e._2 == "click" && e._3 > t1).map(_._3)
+          if (clicks.nonEmpty) {
+            c += 1
+            val t2 = clicks.min
+            if (es.exists(e => e._2 == "purchase" && e._3 > t2)) p += 1
+          }
+        }
+      }
+      (v, c, p)
+    }
+    val (v, c, p) = stageUsers
+    assert((n(0), n(1), n(2)) == (v.toLong, c.toLong, p.toLong))
+  }
+}

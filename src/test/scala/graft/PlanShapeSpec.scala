@@ -95,4 +95,39 @@ class PlanShapeSpec extends SparkSpec {
     TextQueries.bpeTable(spark, sfDir)
     assert(shuffles(SamplingQueries.mixWeightsBpe(spark, sfDir)) <= 3)
   }
+
+  // ---- round-15, second batch ----
+
+  test("q_text_tfidf: df side BROADCASTS — tf keeps its partitioning") {
+    val p = plan(TextQueries.textTfidf(spark, sfDir))
+    assert(broadcasts(p) >= 2,
+      "document frequencies and the 1-row corpus count must broadcast")
+    // tf groupBy runs TWICE (the df branch re-derives it — the
+    // standard TF-IDF two-pass: re-scanning the corpus beats
+    // materializing the doc×term table at 100 TB) + df groupBy (1) +
+    // rank window on doc_id (1) + final sort (1) = 6; NO shuffle for
+    // the tf-df join itself and the 1-row corpus count rides the
+    // broadcast nested-loop build side.
+    assert(shuffles(p) <= 6, p.toString)
+  }
+
+  test("q_text_entropy is a narrow typed map: only the final sort shuffles") {
+    assert(shuffles(TextQueries.textEntropy(spark, sfDir)) <= 1)
+  }
+
+  test("q_chunk_docs is narrow: split/sequence/posexplode/slice + sort only") {
+    assert(shuffles(TextQueries.chunkDocs(spark, sfDir)) <= 1)
+  }
+
+  test("q_sample_weighted: join-free — one rollup groupBy + the final sort") {
+    val p = plan(SamplingQueries.sampleWeighted(spark, sfDir))
+    assert(shuffles(p) <= 2, p.toString)
+    assert(broadcasts(p) == 0, "the draw is arithmetic, not a join")
+  }
+
+  test("q_ts_funnel: every stage keys on user_id; rollup is 3 rows") {
+    // stage groupBys (3) + up to 2 join-side exchanges + stage-union
+    // groupBy (1) + 3-row window (1) + final sort (1)
+    assert(shuffles(queries.WindowQueries.tsFunnel(spark, sfDir)) <= 8)
+  }
 }

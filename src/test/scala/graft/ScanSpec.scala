@@ -44,10 +44,11 @@ class ScanSpec extends SparkSpec {
   test("no quadratic joins anywhere: every declared query avoids cartesian/BNLJ") {
     // banded/keyed shapes must never degrade to CartesianProduct or
     // BroadcastNestedLoopJoin — the scale contract of SURVEY §4. The
-    // sole sanctioned exception is q_sim_topk's 1-row broadcast
-    // crossJoin (a constant-size side by construction).
+    // sanctioned exceptions are 1-row broadcast crossJoins (a
+    // constant-size side by construction): q_sim_topk's query vector
+    // and q_text_tfidf's corpus document count.
     for ((name, fn) <- SparkEntry.queries
-         if !Set("q_sim_topk").contains(name)
+         if !Set("q_sim_topk", "q_text_tfidf").contains(name)
          // raster/cog queries run whole pipelines eagerly; their plan
          // shapes are asserted in graft.raster specs instead. Clusters
          // and the live streaming entry execute jobs during

@@ -1,0 +1,100 @@
+package graft.similarity
+
+import graft.{Fixtures, SparkSpec}
+
+/** Laws of the distributed PCA: orthonormal components, trace
+  * preservation, non-increasing eigenvalues that EQUAL the projected
+  * sample variance, exactness on a planted low-rank distribution, and
+  * fit determinism. */
+class PcaSpec extends SparkSpec {
+
+  lazy val model: Pca.Model = Pca.fit(Fixtures.embeddings(spark, sfDir))
+  lazy val data: Array[Array[Float]] = {
+    import spark.implicits._
+    Fixtures.embeddings(spark, sfDir)
+      .select("embedding").as[Array[Float]].collect()
+  }
+
+  def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("components are orthonormal") {
+    val c = model.components
+    for (i <- c.indices; j <- i until c.length) {
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot(c(i), c(j)) - expect) < 1e-8, s"C$i · C$j")
+    }
+  }
+
+  test("eigenvalues are non-increasing, non-negative, and sum to the trace") {
+    val ev = model.eigenvalues
+    ev.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-12) }
+    ev.foreach(v => assert(v >= -1e-9, s"negative variance $v"))
+    assert(math.abs(ev.sum - model.totalVariance) < 1e-6 * math.max(1.0, model.totalVariance),
+      s"trace law: ${ev.sum} vs ${model.totalVariance}")
+  }
+
+  test("projected sample variance along axis i equals eigenvalue i") {
+    val n = data.length
+    for (i <- 0 until 4) {
+      val coords = data.map(v => model.project(v, i + 1)(i))
+      val mean = coords.sum / n
+      val variance = coords.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(variance - model.eigenvalues(i)) <
+        1e-6 * math.max(1.0, model.eigenvalues(i)),
+        s"axis $i: var $variance vs eig ${model.eigenvalues(i)}")
+      // projection is centered: mean coordinate ~ 0
+      assert(math.abs(mean) < 1e-8)
+    }
+  }
+
+  test("planted rank-2 data: two positive eigenvalues, the rest ~0") {
+    import spark.implicits._
+    // x = a*u + b*w in R^8 with fixed deterministic coefficients
+    val u = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val w = Array(0f, 1f, 0f, 0f, 0f, -1f, 0f, 0f)
+    val rows = (0 until 200).map { i =>
+      val a = math.sin(i * 0.7).toFloat * 3f
+      val b = math.cos(i * 1.3).toFloat
+      Array.tabulate(8)(j => a * u(j) + b * w(j))
+    }
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val m = Pca.fit(df)
+    assert(m.eigenvalues(0) > 1e-3 && m.eigenvalues(1) > 1e-4)
+    m.eigenvalues.drop(2).foreach(v => assert(math.abs(v) < 1e-9, s"rank leak $v"))
+    // top-2 subspace spans u and w: projecting u/w onto it loses nothing
+    def residual(x: Array[Float]): Double = {
+      val p = Array(m.components(0), m.components(1))
+      val coords = p.map(c => c.zipWithIndex.map { case (ci, j) => ci * x(j) }.sum)
+      val rec = Array.tabulate(8)(j => coords(0) * p(0)(j) + coords(1) * p(1)(j))
+      math.sqrt(x.zipWithIndex.map { case (xi, j) =>
+        (xi - rec(j)) * (xi - rec(j)) }.sum)
+    }
+    assert(residual(u) < 1e-6 && residual(w) < 1e-6)
+  }
+
+  test("fit is deterministic across runs and repartitionings") {
+    val again = Pca.fit(Fixtures.embeddings(spark, sfDir).repartition(7))
+    model.eigenvalues.zip(again.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9 * math.max(1.0, math.abs(a)))
+    }
+    // top axes only: trailing (noise) eigenvalues can be near-
+    // degenerate, where any basis of the shared subspace is a valid
+    // eigenvector set and single-axis comparison is meaningless
+    model.components.take(4).zip(again.components.take(4)).foreach {
+      case (ca, cb) =>
+        assert(math.abs(math.abs(dot(ca, cb)) - 1.0) < 1e-6,
+          "same leading axes up to rounding")
+    }
+  }
+
+  test("q_emb_pca rollup: one row per label, explained_var in (0, 1]") {
+    val rows = graft.queries.SimilarityQueries.embPca(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      val ev = r.getDouble(6)
+      assert(ev > 0.0 && ev <= 1.0)
+    }
+  }
+}
