@@ -1,0 +1,152 @@
+package graft.similarity
+
+import graft.{Fixtures, SparkSpec}
+
+/** OPQ laws: the rotation is orthonormal and cosine-preserving, the
+  * eigenvalue allocation balances subspace variance products, rotated
+  * PQ quantizes anisotropic data strictly better than blind-slice PQ,
+  * and the end-to-end query keeps brute-force recall. */
+class OpqSpec extends SparkSpec {
+
+  def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  /** Deterministic anisotropic correlated sample: strong decaying
+    * variance mixed by a fixed dense rotation, so raw coordinate
+    * slices have wildly unbalanced variance — the case OPQ exists
+    * for. */
+  lazy val aniso: Array[Array[Double]] = {
+    val d = 16
+    val mixer = {
+      // fixed full-rank mixing matrix, orthonormalized by Gram-Schmidt
+      val raw = Array.tabulate(d, d)((i, j) =>
+        math.sin(i * 3.7 + j * 1.3) + math.cos(i * j * 0.31))
+      val q = Array.ofDim[Double](d, d)
+      for (i <- 0 until d) {
+        val v = raw(i).clone()
+        for (p <- 0 until i) {
+          val c = dot(v, q(p))
+          for (j <- 0 until d) v(j) -= c * q(p)(j)
+        }
+        val n = math.sqrt(dot(v, v))
+        for (j <- 0 until d) q(i)(j) = v(j) / n
+      }
+      q
+    }
+    (0 until 800).map { i =>
+      val z = Array.tabulate(d) { j =>
+        // variance decays 1, 1/4, 1/9, ... and lands entirely in the
+        // first coordinates before mixing; a DISTINCT frequency per
+        // coordinate keeps the sample full-rank (a shared frequency
+        // makes every sin(α_j + iβ) column live in the same 2-dim
+        // sin/cos span and collapses the spectrum to rank 2)
+        math.sin(i * (0.37 + 0.83 * j) + 1.7 * j) /
+          ((j + 1.0) * (j + 1.0))
+      }
+      Array.tabulate(d)(r => dot(mixer(r), z))
+    }.toArray
+  }
+
+  test("rotation rows are orthonormal and preserve dot products") {
+    import spark.implicits._
+    val df = aniso.map(v => Tuple1(v.map(_.toFloat))).toSeq.toDF("embedding")
+    val model = Pca.fit(df)
+    val r = Opq.rotation(model, m = 4)
+    for (i <- r.indices; j <- i until r.length) {
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot(r(i), r(j)) - expect) < 1e-8)
+    }
+    val a = aniso(3)
+    val b = aniso(17)
+    assert(math.abs(dot(Opq.rotate(a, r), Opq.rotate(b, r)) - dot(a, b)) < 1e-8)
+  }
+
+  test("eigenvalue allocation balances subspace variance products") {
+    import spark.implicits._
+    val df = aniso.map(v => Tuple1(v.map(_.toFloat))).toSeq.toDF("embedding")
+    val model = Pca.fit(df)
+    val m = 4
+    val dsub = model.components.length / m
+    val r = Opq.rotation(model, m)
+    // per-subspace log variance product under the allocation
+    def logProd(rows: Array[Array[Double]]): Double =
+      rows.map { row =>
+        // which eigenvalue does this row carry?
+        val idx = model.components.indexWhere(c =>
+          math.abs(math.abs(dot(c, row)) - 1.0) < 1e-9)
+        math.log(math.max(model.eigenvalues(idx), 1e-300))
+      }.sum
+    val balanced = (0 until m).map(s =>
+      logProd(r.slice(s * dsub, (s + 1) * dsub)))
+    // blind allocation in sorted order: first dsub eigenvalues to
+    // subspace 0, next to 1, ... — maximally unbalanced
+    val blind = (0 until m).map(s =>
+      (s * dsub until (s + 1) * dsub)
+        .map(i => math.log(math.max(model.eigenvalues(i), 1e-300))).sum)
+    def spread(xs: Seq[Double]): Double = xs.max - xs.min
+    assert(spread(balanced) < spread(blind),
+      s"allocation spread ${spread(balanced)} !< blind ${spread(blind)}")
+  }
+
+  test("OPQ quantization error < plain PQ on anisotropic data") {
+    import spark.implicits._
+    // axis-aligned decaying-variance Gaussians — the parametric-OPQ
+    // regime (Ge et al. §4 assume Gaussian data): blind slices give
+    // subspace 0 nearly all the variance; the allocation rebalances
+    val d = 16
+    val rnd = new java.util.Random(12345L)
+    val axisAniso = Array.fill(800)(
+      Array.tabulate(d)(j => rnd.nextGaussian() / (j + 1.0)))
+    val df = axisAniso.map(v => Tuple1(v.map(_.toFloat))).toSeq.toDF("embedding")
+    val model = Pca.fit(df)
+    val m = 4
+    val r = Opq.rotation(model, m)
+    val k = 16 // small codebooks exaggerate the allocation effect
+    val plainCb = Pq.trainRaw(axisAniso, m, k)
+    val rotated = axisAniso.map(v => Opq.rotate(v, r))
+    val opqCb = Pq.trainRaw(rotated, m, k)
+    val plainErr = Opq.quantizationError(axisAniso, plainCb)
+    val opqErr = Opq.quantizationError(rotated, opqCb)
+    assert(opqErr < plainErr,
+      s"OPQ error $opqErr !< plain $plainErr")
+    // and the rotation itself is lossless: rotating back and forth
+    // reconstructs exactly (orthogonality, not quantization)
+    val v = axisAniso(5)
+    val y = Opq.rotate(v, r)
+    val back = Array.tabulate(v.length)(j =>
+      r.indices.map(i => r(i)(j) * y(i)).sum)
+    v.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("q_sim_opq end-to-end: recall@5 >= 0.9 vs brute force on planted clusters") {
+    import spark.implicits._
+    val emb = Fixtures.embeddings(spark, sfDir)
+    val queryIds = Seq(0L, 100L, 200L, 300L, 400L)
+    val got = Opq.opqTopK(emb, queryIds, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // brute force twin
+    val all = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, Pq.normalize(v)) }
+    val byId = all.toMap
+    var hit = 0
+    var total = 0
+    queryIds.foreach { q =>
+      val qv = byId(q)
+      val expect = all.filter(_._1 != q)
+        .map { case (id, v) => (id, dot(qv, v)) }
+        .sortBy(-_._2).take(5).map(_._1).toSet
+      val mine = got.getOrElse(q, Array.empty).map(_._2).toSet
+      hit += expect.intersect(mine).size
+      total += expect.size
+    }
+    assert(hit.toDouble / total >= 0.9, s"recall ${hit.toDouble / total}")
+  }
+
+  test("OPQ is deterministic across runs") {
+    import spark.implicits._
+    val emb = Fixtures.embeddings(spark, sfDir)
+    val a = Opq.opqTopK(emb, Seq(0L, 100L), k = 5).collect().toSeq
+    val b = Opq.opqTopK(emb, Seq(0L, 100L), k = 5).collect().toSeq
+    assert(a == b)
+  }
+}
