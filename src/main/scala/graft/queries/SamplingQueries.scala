@@ -191,10 +191,15 @@ object SamplingQueries {
     val docs = Fixtures.documents(spark, sfDir)
       .withColumn("p", least(lit(1.0), $"n_chars".cast("double") / 800.0))
       // Knuth multiplicative hash → uniform u in [0,1) with 6 decimal
-      // digits of resolution; doc_id * 2654435761 stays far inside
-      // int64 at any realistic corpus size (ids ≤ ~3.4e9 are safe)
+      // digits of resolution. The draw reads the HIGH bits of the
+      // 64-bit product (>> 20 before the modulus) — a low-residue
+      // (product % 1e6) draw would depend only on doc_id mod 1e6 and
+      // repeat with period 1M on larger corpora. doc_id * 2654435761
+      // stays inside int64 for ids ≤ ~3.4e9 (both engines would
+      // otherwise diverge on overflow: Spark wraps, DuckDB raises)
       .withColumn("u",
-        (($"doc_id" * lit(2654435761L)) % 1000000L).cast("double") / 1000000.0)
+        (shiftright($"doc_id" * lit(2654435761L), 20) % 1000000L)
+          .cast("double") / 1000000.0)
       .withColumn("keep", $"u" < $"p")
     docs.groupBy($"source")
       .agg(count(lit(1)).as("n_total"),
@@ -214,7 +219,7 @@ object SamplingQueries {
     """WITH d AS (
       |  SELECT source, n_chars,
       |    least(1.0, CAST(n_chars AS DOUBLE) / 800.0) AS p,
-      |    CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) / 1000000.0 AS u
+      |    CAST(((doc_id * 2654435761) >> 20) % 1000000 AS DOUBLE) / 1000000.0 AS u
       |  FROM documents)
       |SELECT source, count(*) AS n_total,
       |  CAST(sum(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

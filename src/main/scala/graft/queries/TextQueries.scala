@@ -475,9 +475,14 @@ object TextQueries {
     * aggregate BROADCAST back onto the term-frequency side (the tf
     * side keeps its partitioning — no second corpus shuffle), the
     * 1-row corpus count crossed in as a broadcast, and one window on
-    * doc_id for the top-3 cut. Ranking uses the ROUNDED score with a
-    * term tie-break so both engines order identically (raw doubles
-    * tie-break on 1-ulp noise). */
+    * doc_id for the top-3 cut. Ranking uses the ROUNDED score, then
+    * INTEGER keys (tf desc, df asc, term) so every tie among
+    * equal-rounded scores is decided by exact arithmetic both engines
+    * share. Accepted residual risk: the pre-round double comes from
+    * log(), so a score landing EXACTLY on a .00005 boundary could
+    * round differently if the two engines' log differ by 1 ulp there
+    * — that would flip the rounded VALUE itself (a hash risk no sort
+    * key ordering can absorb); no fixture score sits on a boundary. */
   def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -488,7 +493,8 @@ object TextQueries {
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val nDocs = Fixtures.documents(spark, sfDir)
       .agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy($"doc_id").orderBy(desc("tfidf"), asc("term"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(desc("tfidf"), desc("tf"), asc("df"), asc("term"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
@@ -514,7 +520,7 @@ object TextQueries {
       |  FROM tf JOIN df USING (term) CROSS JOIN n),
       |r AS (
       |  SELECT *, row_number() OVER (
-      |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, tf DESC, df, term) AS rank
       |  FROM s)
       |SELECT doc_id, rank, term, tf, df, tfidf
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin

@@ -112,9 +112,17 @@ object Opq {
       m: Int = 8, shortlist: Int = 32, sampleCap: Int = 2048): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val model = Pca.fit(emb)
-    val rot = spark.sparkContext.broadcast(rotation(model, m))
     val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    // PQ quantizes L2-NORMALIZED vectors, so the PCA that drives the
+    // eigenvalue allocation is fit on the normalized corpus too —
+    // fitting on raw vectors balances the variance of a distribution
+    // the quantizer never sees (uncentered raw scale), giving a
+    // suboptimal subspace balance
+    val normalized = typed
+      .map { case (id, v) => (id, Pq.normalize(v).map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val model = Pca.fit(normalized)
+    val rot = spark.sparkContext.broadcast(rotation(model, m))
     // rotated corpus rides the SAME schema, so pqTopK's whole two-
     // stage machinery applies unchanged; rerank happens on exact
     // rotated cosines == exact original cosines

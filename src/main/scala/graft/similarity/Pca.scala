@@ -198,18 +198,16 @@ object Pca {
     val bc = spark.sparkContext.broadcast(model)
     val explained = model.eigenvalues.take(k).sum / model.totalVariance
     import org.apache.spark.sql.functions._
+    // projected columns are built FROM k — a hardcoded 4-column select
+    // would throw for k < 4 and silently drop axes for k > 4 while
+    // explained_var still reported k of them
+    val meanCols = (0 until k).map(i =>
+      round(avg(element_at($"pc", i + 1)), 3).as(s"mean_pc${i + 1}"))
     emb.select($"label", $"embedding").as[(Int, Array[Float])]
-      .map { case (label, vec) =>
-        val p = bc.value.project(vec, k)
-        (label, p(0), p(1), p(2), p(3))
-      }
-      .toDF("label", "pc1", "pc2", "pc3", "pc4")
+      .map { case (label, vec) => (label, bc.value.project(vec, k)) }
+      .toDF("label", "pc")
       .groupBy($"label")
-      .agg(count(lit(1)).as("n"),
-        round(avg($"pc1"), 3).as("mean_pc1"),
-        round(avg($"pc2"), 3).as("mean_pc2"),
-        round(avg($"pc3"), 3).as("mean_pc3"),
-        round(avg($"pc4"), 3).as("mean_pc4"))
+      .agg(count(lit(1)).as("n"), meanCols: _*)
       .withColumn("explained_var", round(lit(explained), 4))
       .orderBy($"label")
   }

@@ -23,9 +23,13 @@ class CurationQuerySpec extends SparkSpec {
     }
     // idf law: a term in every document scores exactly 0, so it can
     // only surface when a doc has fewer than 3 positive-idf terms —
-    // and then its tf * ln(1) is still 0
+    // and then its tf * ln(1) is still 0. df is compared against the
+    // FULL corpus count (what the query's n_docs uses), not the count
+    // of docs that produced output rows — an empty/whitespace-only doc
+    // would make those differ and the law would misfire
+    val nDocs = graft.Fixtures.documents(spark, sfDir).count()
     rows.foreach { r =>
-      if (r.getLong(4) == byDoc.size) assert(r.getDouble(5) == 0.0)
+      if (r.getLong(4) == nDocs) assert(r.getDouble(5) == 0.0)
     }
   }
 
@@ -93,7 +97,8 @@ class CurationQuerySpec extends SparkSpec {
     val longDocs = Fixtures.documents(spark, sfDir)
       .filter(col("n_chars") >= 800)
       .withColumn("u",
-        ((col("doc_id") * lit(2654435761L)) % 1000000L).cast("double") / 1000000.0)
+        (shiftright(col("doc_id") * lit(2654435761L), 20) % 1000000L)
+          .cast("double") / 1000000.0)
     assert(longDocs.filter(col("u") >= 1.0).count() == 0)
   }
 
