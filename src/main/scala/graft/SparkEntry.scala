@@ -23,7 +23,8 @@ object SparkEntry {
       PipelineQueries.queries ++ RasterQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      SamplingQueries.queries ++ SubqueryQueries.queries
+      SamplingQueries.queries ++ SubqueryQueries.queries ++
+      AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       PipelineQueries.oracle ++ RasterQueries.oracle ++
       DedupQueries.oracle ++ TextQueries.oracle ++
       SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
-      SamplingQueries.oracle ++ SubqueryQueries.oracle
+      SamplingQueries.oracle ++ SubqueryQueries.oracle ++
+      AnalyticsQueries.oracle
 }

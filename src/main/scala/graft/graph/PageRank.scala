@@ -1,0 +1,75 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank by power iteration — the link-quality signal
+  * web-scale curation pipelines rank crawl domains with (Common
+  * Crawl's domain ranking, OPIC-style crawl prioritization; Page et
+  * al. 1998, public).
+  *
+  * DataFrame-first dataflow, same discipline as the connected-
+  * components operator (`DedupQueries.q_dedup_clusters`):
+  *
+  *  - `edges(src, dst)` is deduped once; out-degrees come from ONE
+  *    groupBy and ride along as an `(src, dst, deg)` frame cached for
+  *    the whole run (the only corpus-scale state).
+  *  - each iteration is one shuffle pair: join ranks onto the edge
+  *    frame by src (both sides hash-partitioned on the node id — AQE
+  *    plans the join), then `groupBy(dst).sum(rank/deg)`.
+  *  - dangling mass (nodes with no out-edges) is ONE scalar aggregate
+  *    per iteration, redistributed uniformly — metadata-scale driver
+  *    traffic (a single double), never node-scale.
+  *  - `localCheckpoint` per iteration truncates the growing lineage —
+  *    without it the plan tree doubles every round and the driver,
+  *    not the data, becomes the bottleneck at iteration 20.
+  *
+  * Iteration count is fixed (power iteration converges geometrically
+  * at rate `damping`; 10 rounds ≈ 0.85¹⁰ ≈ 20% residual on the slowest
+  * mode, plenty for ranking). Exactness vs a single-machine reference
+  * and the Σrank = 1 invariant are pinned in PageRankSpec. */
+object PageRank {
+
+  /** Ranks after `iters` power iterations over directed `edges(src,
+    * dst)`. Returns (node, rank) for every node appearing as a src or
+    * dst; ranks sum to 1. */
+  def run(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .distinct()
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    require(n > 0, "pagerank needs a non-empty graph")
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val linked = e.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    linked.count() // materialize once; every iteration reuses the cache
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      // mass sitting on dangling nodes (no out-edges) this round:
+      // one scalar to the driver, redistributed uniformly
+      val dangling = ranks.join(deg.withColumnRenamed("src", "node"),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum($"rank"), lit(0.0))).first().getDouble(0)
+      val contribs = linked.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node"))
+        .agg(sum($"rank" / $"deg").as("in_mass"))
+      val base = (1.0 - damping) / n + damping * dangling / n
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select($"node",
+          (lit(base) + lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    nodes.unpersist()
+    linked.unpersist()
+    ranks
+  }
+}

@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Fixtures
+import graft.text.{Dsir, FuzzyJoin, QualityClassifier}
+import graft.graph.PageRank
+
+/** Round-16 analytics + learned-curation surface (SURVEY.md §2.2):
+  * cohort retention, Markov transitions, robust (MAD) anomaly
+  * detection, incremental aggregate maintenance, edit-distance
+  * similarity join, distilled quality classifier, DSIR importance
+  * weights, and link-graph PageRank.
+  *
+  * ORACLE rows keep every float that reaches the hash exactly
+  * reproducible: ratios of exact integers, decimal-exact sums, and
+  * medians both engines interpolate identically from the same doubles.
+  */
+object AnalyticsQueries {
+
+  /** Cohort retention — the canonical product-analytics rollup, and
+    * the shape a data pipeline uses to audit crawl freshness (cohort =
+    * first-seen week of a user/domain, retention = share still active
+    * N weeks later). Plan at 100 TB: one distinct over (user, week)
+    * cuts the event stream to at most |users|·|weeks| rows BEFORE any
+    * join; cohorts come from one groupBy(user); the activity⋈cohort
+    * join shuffles on user_id (the well-distributed key); cohort SIZES
+    * are calendar-week-scale metadata and ride back in as a broadcast.
+    * count(*) is exact distinct-users because (user, wk) is distinct
+    * and wk is determined by (cohort, week_n). */
+  def tsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val act = Fixtures.events(spark, sfDir)
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
+      .distinct()
+    val cohort = act.groupBy($"user_id").agg(min($"wk").as("cwk"))
+    val sizes = cohort.groupBy($"cwk").agg(count(lit(1)).as("n_cohort"))
+    act.join(cohort, "user_id")
+      .groupBy($"cwk", expr("datediff(wk, cwk) div 7").cast("long").as("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cwk")
+      .select(date_format($"cwk", "yyyy-MM-dd").as("cohort_week"),
+        $"week_n", $"n_users", $"n_cohort",
+        round($"n_users".cast("double") / $"n_cohort", 4).as("retention"))
+      .orderBy($"cohort_week", $"week_n")
+  }
+
+  val tsRetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cwk FROM a GROUP BY 1),
+      |s AS (SELECT cwk, count(*) AS n_cohort FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT c.cwk, date_diff('day', c.cwk, a.wk) // 7 AS week_n,
+      |    count(*) AS n_users
+      |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT strftime(r.cwk, '%Y-%m-%d') AS cohort_week,
+      |  CAST(week_n AS BIGINT) AS week_n, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_cohort AS BIGINT) AS n_cohort,
+      |  round(CAST(n_users AS DOUBLE) / n_cohort, 4) AS retention
+      |FROM r JOIN s USING (cwk) ORDER BY cohort_week, week_n""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the session-behavior model behind bot filtering and
+    * funnel diagnostics. One window (lag over user_id — the shuffle
+    * key that scales), one groupBy on the 25-cell state-pair space;
+    * the row-normalizing window runs over the GROUPED result
+    * (states², metadata scale). p is an exact-integer ratio rounded
+    * once. */
+  def tsTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Fixtures.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("from_state", lag($"event_type", 1).over(w))
+      .filter($"from_state".isNotNull)
+      .groupBy($"from_state", $"event_type".as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy($"from_state")
+    pairs
+      .withColumn("p",
+        round($"n".cast("double") / sum($"n").over(byFrom), 4))
+      .select($"from_state", $"to_state", $"n", $"p")
+      .orderBy($"from_state", $"to_state")
+  }
+
+  val tsTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |    ) AS from_state
+      |  FROM events),
+      |g AS (
+      |  SELECT from_state, event_type AS to_state, count(*) AS n
+      |  FROM t WHERE from_state IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_state), 4) AS p
+      |FROM g ORDER BY from_state, to_state""".stripMargin
+
+  /** Robust anomaly detection: median/MAD z-scores per group (Iglewicz
+    * & Hoaglin's modified z-score, |z| > 3.5) — the outlier gate that
+    * survives the heavy tails that wreck mean/stddev gates. Three
+    * passes (median, MAD, flag+rollup); the per-group stats frames are
+    * GROUP-scale metadata and broadcast back onto the stream both
+    * times, so the event side never reshuffles. Exact-integer counts;
+    * med/mad are interpolated medians both engines compute identically
+    * from the same doubles. At 100 TB swap `percentile` for
+    * `approx_percentile` and keep the identical dataflow. */
+  def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Fixtures.events(spark, sfDir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(max($"med").as("med"),
+        percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .withColumn("rz", lit(0.6745) * ($"value" - $"med") / $"mad")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"med").as("med0"), max($"mad").as("mad0"),
+        sum(when(abs($"rz") > 3.5, 1L).otherwise(0L)).as("n_outliers"))
+      .select($"event_type", $"n", round($"med0", 4).as("med"),
+        round($"mad0", 4).as("mad"), $"n_outliers",
+        round($"n_outliers".cast("double") / $"n", 4).as("outlier_rate"))
+      .orderBy($"event_type")
+  }
+
+  val anomalyMadSql: String =
+    """WITH m AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT e.event_type, any_value(m.med) AS med,
+      |    median(abs(e.value - m.med)) AS mad
+      |  FROM events e JOIN m USING (event_type) GROUP BY 1)
+      |SELECT s.event_type, count(*) AS n, round(s.med, 4) AS med,
+      |  round(s.mad, 4) AS mad,
+      |  CAST(sum(CASE WHEN abs(0.6745*(e.value-s.med)/s.mad) > 3.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(CAST(sum(CASE WHEN abs(0.6745*(e.value-s.med)/s.mad) > 3.5
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS outlier_rate
+      |FROM events e JOIN s ON e.event_type = s.event_type
+      |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
+
+  /** Incremental aggregate maintenance — the materialized-view pattern
+    * behind every lakehouse rollup: per-batch PARTIAL aggregates
+    * (count / decimal-exact sum / min / max — all algebraically
+    * mergeable; avg derived at read time) merged WITHOUT touching the
+    * old batch's raw rows. The oracle recomputes from scratch, so the
+    * gate proves merge ≡ recompute. At 100 TB the partials frame is
+    * the only state a nightly batch rewrites: group-cardinality rows,
+    * not corpus rows. */
+  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val partials = Fixtures.events(spark, sfDir)
+      .withColumn("batch",
+        when($"ts" < lit("2024-01-20").cast("timestamp"), lit("b_old"))
+          .otherwise(lit("b_new")))
+      .groupBy($"batch", $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast("decimal(18,2)")).as("s"),
+        min($"value").as("mn"), max($"value").as("mx"))
+    partials.groupBy($"event_type")
+      .agg(sum($"cnt").as("n"), sum($"s").as("sd"),
+        min($"mn").as("vmin"), max($"mx").as("vmax"))
+      .select($"event_type", $"n",
+        round($"sd".cast("double"), 2).as("total"), $"vmin", $"vmax",
+        round($"sd".cast("double") / $"n", 4).as("vavg"))
+      .orderBy($"event_type")
+  }
+
+  val aggIncrementalSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+      |  min(value) AS vmin, max(value) AS vmax,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+      |    AS vavg
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Edit-distance similarity join over the corpus vocabulary (typo /
+    * variant detection) via PassJoin segment blocking — see
+    * [[graft.text.FuzzyJoin]]. The oracle is the naive all-pairs join,
+    * so the gate doubles as a blocking-completeness proof on real
+    * data. Tokenization matches q_text_tfidf's exactly. */
+  def joinFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Fixtures.documents(spark, sfDir)
+      .select(explode(expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)"))
+        .as("term"))
+      .distinct().as[String]
+    FuzzyJoin.termPairs(terms, k = 2)
+      .select($"term_a", $"term_b", $"dist".cast("long").as("dist"))
+      .orderBy($"term_a", $"term_b")
+  }
+
+  val joinFuzzySql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> len(x) > 0)) AS term
+      |  FROM documents)
+      |SELECT a.term AS term_a, b.term AS term_b,
+      |  CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+      |FROM w a JOIN w b
+      |  ON a.term < b.term AND levenshtein(a.term, b.term) <= 2
+      |ORDER BY term_a, term_b""".stripMargin
+
+  /** Distilled quality classifier — train logistic regression against
+    * the cheap Gopher-style length gate on an 80% hash split, score
+    * the 20% holdout (the fastText-classifier pattern: distill a
+    * heuristic, then apply the model where the heuristic doesn't
+    * reach). The split key is the HIGH bits of the multiplicative hash
+    * (same mixer as q_sample_weighted) — a plain `doc_id % 5` split
+    * collides with the fixture's source assignment (source = doc_id
+    * mod n_sources) and would hold out only a source subset. Training
+    * passes run on the cached featurized split; scoring is a narrow
+    * map with the broadcast model. NATIVE (ClassifierSpec:
+    * separable-corpus learnability, monotone loss, bit-deterministic
+    * fits). */
+  def textClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 256
+    val feat = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text",
+        ($"n_chars" >= 400).cast("double").as("label"))
+      .as[(Long, String, String, Double)]
+      .map { case (id, src, text, y) =>
+        (id, src, QualityClassifier.featurize(text, dim), y)
+      }
+      .toDF("doc_id", "source", "features", "label")
+      .withColumn("fold",
+        shiftright($"doc_id" * lit(2654435761L), 20) % 5)
+    val train = feat.filter($"fold" =!= 0)
+      .select($"features", $"label").as[(Array[Double], Double)]
+      .cache()
+    val model = QualityClassifier.train(train,
+      dim + QualityClassifier.ExtraFeatures, iters = 40)
+    train.unpersist()
+    val bc = spark.sparkContext.broadcast(model)
+    feat.filter($"fold" === 0)
+      .select($"source", $"features", $"label")
+      .as[(String, Array[Double], Double)]
+      .map { case (src, f, y) =>
+        val p = bc.value.score(f)
+        (src, y, if (p >= 0.5) 1.0 else 0.0, p)
+      }
+      .toDF("source", "label", "pred", "p")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"label" === $"pred", 1L).otherwise(0L)).as("n_correct"),
+        round(avg($"p"), 3).as("mean_p"))
+      .withColumn("acc", round($"n_correct".cast("double") / $"n", 3))
+      .orderBy($"source")
+  }
+
+  /** DSIR importance weights (hashed-unigram log-likelihood ratio vs
+    * the long-doc target slice) rolled up per source — see
+    * [[graft.text.Dsir]]. Two bucket-bounded histogram passes, then a
+    * zero-shuffle scoring map. NATIVE (DsirSpec: planted-distribution
+    * discrimination, determinism, smoothing bounds). */
+  def mixDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text", $"n_chars")
+    val ratio = spark.sparkContext.broadcast(
+      Dsir.ratioTable(docs, $"n_chars" >= 400))
+    docs.select($"source", $"text").as[(String, String)]
+      .map { case (src, text) => (src, Dsir.score(text, ratio.value)) }
+      .toDF("source", "w")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"w") * 1000, 3).as("mean_w_x1000"),
+        sum(when($"w" > 0, 1L).otherwise(0L)).as("n_target_like"))
+      .orderBy($"source")
+  }
+
+  /** PageRank over the part↔supplier supply graph (both directions of
+    * every lineitem link, so no dangling nodes at fixture scale —
+    * dangling mass is still handled) — see [[graft.graph.PageRank]].
+    * Top-20 hubs by rounded rank with integer tie-breaks. NATIVE
+    * (PageRankSpec: closed-form graphs, local-replica equality,
+    * Σrank = 1). */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Fixtures.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey")
+    val edges = li
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .union(li.select(($"l_suppkey" * 2 + 1).as("src"),
+        ($"l_partkey" * 2).as("dst")))
+    PageRank.run(edges, iters = 8)
+      .select(
+        when($"node" % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("node_type"),
+        shiftright($"node", 1).as("entity_id"),
+        round($"rank", 7).as("rank"))
+      .orderBy(desc("rank"), $"node_type", $"entity_id")
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_retention" -> (tsRetention _),
+    "q_ts_transitions" -> (tsTransitions _),
+    "q_anomaly_mad" -> (anomalyMad _),
+    "q_agg_incremental" -> (aggIncremental _),
+    "q_join_fuzzy" -> (joinFuzzy _),
+    "q_text_classifier" -> (textClassifier _),
+    "q_mix_dsir" -> (mixDsir _),
+    "q_graph_pagerank" -> (graphPagerank _))
+
+  val oracle: Map[String, String] = Map(
+    "q_ts_retention" -> tsRetentionSql,
+    "q_ts_transitions" -> tsTransitionsSql,
+    "q_anomaly_mad" -> anomalyMadSql,
+    "q_agg_incremental" -> aggIncrementalSql,
+    "q_join_fuzzy" -> joinFuzzySql)
+}

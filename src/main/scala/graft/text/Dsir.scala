@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Data Selection via Importance Resampling (Xie et al., NeurIPS 2023
+  * — public): reweight a raw crawl toward a small trusted target
+  * corpus using the log-likelihood ratio of two hashed n-gram language
+  * models. The per-doc importance weight
+  *
+  *    w(doc) = (1/|doc|) · Σ_tokens [ log p_target(h(tok)) − log p_raw(h(tok)) ]
+  *
+  * is the average per-token evidence that the doc came from the target
+  * distribution; resampling by w shifts the mixture toward
+  * target-looking text without any trained classifier.
+  *
+  * Spark shape at 100 TB: BOTH language models are hashed-bucket
+  * histograms — each one `flatMap` + `groupBy(bucket)` whose output is
+  * bounded by the bucket count (4096 here), not the corpus; the two
+  * tiny histograms are collected (bucket-count-bounded, never
+  * corpus-bounded), smoothed, log-transformed and BROADCAST; scoring
+  * is a zero-shuffle narrow map. Laplace (+1) smoothing keeps unseen
+  * buckets finite. Discrimination on planted two-distribution corpora
+  * and determinism are pinned in DsirSpec. */
+object Dsir {
+
+  val Buckets = 4096
+
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  def bucket(tok: String): Int =
+    math.floorMod(MurmurHash3.stringHash(tok, 0x7f4a7c15), Buckets)
+
+  /** Bucket → token-count histogram of `docs.text` restricted to
+    * `pred`. Bucket-count-bounded driver state. */
+  private def histogram(docs: DataFrame, pred: Column): Map[Int, Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(pred).select($"text").as[String]
+      .flatMap(t => tokenize(t).map(bucket))
+      .groupBy($"value").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+  }
+
+  /** The broadcast-ready per-bucket log-ratio table
+    * log p_target − log p_raw: two histogram passes, 4096 doubles out.
+    * `targetPred` selects the trusted target subset.
+    *
+    * Laplace smoothing adds +1 over the buckets the RAW corpus
+    * occupies (plus one escape slot), NOT over all 4096 hash slots:
+    * smoothing over thousands of never-hit buckets drains a
+    * corpus-size-dependent mass fraction from each LM, which injects a
+    * constant negative bias into every ratio (the smaller target
+    * corpus loses proportionally more) and buries the actual
+    * distributional signal. */
+  def ratioTable(docs: DataFrame, targetPred: Column): Array[Double] = {
+    val target = histogram(docs, targetPred)
+    val raw = histogram(docs, lit(true))
+    val vocab = raw.size + 1
+    val tTot = target.values.sum.toDouble + vocab
+    val rTot = raw.values.sum.toDouble + vocab
+    Array.tabulate(Buckets) { b =>
+      math.log((target.getOrElse(b, 0L) + 1.0) / tTot) -
+        math.log((raw.getOrElse(b, 0L) + 1.0) / rTot)
+    }
+  }
+
+  /** Score one doc against a ratio table: mean per-token log evidence.
+    * Called from a typed narrow map with the table broadcast — no UDF,
+    * no shuffle. */
+  def score(text: String, ratio: Array[Double]): Double = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) 0.0
+    else {
+      var s = 0.0
+      toks.foreach(t => s += ratio(bucket(t)))
+      s / toks.length
+    }
+  }
+}

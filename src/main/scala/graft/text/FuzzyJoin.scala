@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join over a string column — the
+  * typo/variant detector a curation pipeline runs over its vocabulary
+  * (spelling normalization, near-duplicate entity names, OCR noise).
+  *
+  * The naive join is |V|² levenshtein calls; this implements the
+  * PassJoin candidate scheme (Li, Deng & Feng, "PassJoin: A
+  * Partition-based Method for Similarity Joins", PVLDB 2011 — public):
+  * partition every indexed string of length `l` into `k+1` contiguous
+  * segments. If lev(a, b) ≤ k then at least one of a's k+1 segments
+  * survives untouched in b (pigeonhole over ≤ k edits), at a start
+  * position shifted by at most k. So:
+  *
+  *  - INDEX side: each string emits its k+1 (length, segIdx, segment)
+  *    keys — O(1) rows per string.
+  *  - PROBE side: each string b emits, for every indexed length `la`
+  *    within ±k of len(b) and every segment slot, the substrings of b
+  *    of that segment's length starting within ±k of the segment's
+  *    home position — O(k²) rows per string, corpus-linear.
+  *  - candidates = equi-join on (la, segIdx, segment) — a
+  *    well-distributed shuffle key (segment text) with bucket sizes
+  *    bounded by segment selectivity, never the |V|² cross product.
+  *  - verify: exact `levenshtein` (Spark's codegen'd built-in) on the
+  *    DISTINCT candidate pairs.
+  *
+  * Completeness (every true pair survives the blocking) is pinned in
+  * FuzzyJoinSpec against a brute-force oracle over random strings. */
+object FuzzyJoin {
+
+  /** The k+1 (start, len) segments of a length-`l` string: as even as
+    * possible, shorter segments first (the PassJoin convention —
+    * deterministic, covers [0, l) exactly). */
+  def segments(l: Int, k: Int): Array[(Int, Int)] = {
+    val parts = k + 1
+    val base = l / parts
+    val rem = l % parts
+    val out = new Array[(Int, Int)](parts)
+    var start = 0
+    var i = 0
+    while (i < parts) {
+      val len = if (i < parts - rem) base else base + 1
+      out(i) = (start, len)
+      start += len
+      i += 1
+    }
+    out
+  }
+
+  /** All pairs (a, b) with a < b and lev(a, b) <= k from a distinct
+    * term dataset. Returns (term_a, term_b, dist). */
+  def termPairs(terms: Dataset[String], k: Int): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    // INDEX: (la, segIdx, segment, term)
+    val index = terms.flatMap { a =>
+      val segs = segments(a.length, k)
+      segs.iterator.zipWithIndex.collect {
+        case ((s, len), i) if len > 0 => (a.length, i, a.substring(s, s + len), a)
+      }
+    }.toDF("la", "seg_idx", "seg", "term_a")
+    // PROBE: for each candidate indexed length and slot, the substrings
+    // of b that could equal that slot's untouched segment
+    val probe = terms.flatMap { b =>
+      val lb = b.length
+      for {
+        la <- (lb - k) to (lb + k)
+        if la > 0
+        ((segStart, segLen), i) <- segments(la, k).iterator.zipWithIndex
+        if segLen > 0
+        start <- math.max(0, segStart - k) to math.min(lb - segLen, segStart + k)
+      } yield (la, i, b.substring(start, start + segLen), b)
+    }.toDF("la", "seg_idx", "seg", "term_b")
+    index.join(probe, Seq("la", "seg_idx", "seg"))
+      .filter($"term_a" < $"term_b")
+      .select($"term_a", $"term_b")
+      .distinct()
+      .withColumn("dist", levenshtein($"term_a", $"term_b"))
+      .filter($"dist" <= k)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import scala.util.hashing.MurmurHash3
+
+/** Model-based quality filtering — the fastText-style linear
+  * classifier a training-data pipeline distills its cheap heuristics
+  * into (and then applies at corpus scale where the heuristic's
+  * hand-written form doesn't transfer). From-scratch logistic
+  * regression on hashed bag-of-words features, built Spark-first:
+  *
+  *  - featurize ONCE into a cached typed Dataset (narrow map; hashed
+  *    unigram frequencies + a log-length column — the hashing trick
+  *    bounds model size to `dim` regardless of vocabulary),
+  *  - full-batch gradient descent where EACH iteration is one
+  *    distributed pass: `mapPartitionsWithIndex` emits a (dim+2)-double
+  *    gradient partial per partition (~8·dim bytes), the driver sums
+  *    partials IN PARTITION-INDEX ORDER — deterministic floating-point
+  *    accumulation, so two fits of the same data produce bit-identical
+  *    weights (a plain `reduce` combines in race order and drifts in
+  *    the last ulp),
+  *  - scoring is a narrow map with the broadcast weight vector.
+  *
+  * At 100 TB you train on a deterministic hash-sample (training needs
+  * thousands of examples, not the corpus) and SCORE the full corpus —
+  * scoring is the embarrassingly-parallel half and the only
+  * corpus-scale pass. Learnability on separable data, loss monotonicity
+  * and fit determinism are pinned in ClassifierSpec. */
+object QualityClassifier {
+
+  /** `weights` acts on STANDARDIZED features ((f−mean)·invStd) — raw
+    * bag-of-words features span four orders of magnitude, and without
+    * standardization full-batch GD spends its whole budget fixing the
+    * intercept (the fit parks at always-majority-class). `score` takes
+    * raw features and standardizes internally. */
+  case class Model(weights: Array[Double], bias: Double,
+      mean: Array[Double], invStd: Array[Double], losses: Array[Double]) {
+    def score(features: Array[Double]): Double = {
+      var z = bias
+      var i = 0
+      while (i < features.length) {
+        z += weights(i) * (features(i) - mean(i)) * invStd(i)
+        i += 1
+      }
+      1.0 / (1.0 + math.exp(-z))
+    }
+  }
+
+  /** Hashed unigram frequencies (sum to 1 over `dim` buckets) plus two
+    * length slots: log1p(tokens) at `dim` and tokens/100 at `dim`+1
+    * (the linear slot makes any token-count threshold exactly
+    * realizable by a linear boundary). MurmurHash3 with a fixed seed —
+    * deterministic across JVMs and sessions. */
+  val ExtraFeatures = 2
+
+  def featurize(text: String, dim: Int): Array[Double] = {
+    val f = new Array[Double](dim + ExtraFeatures)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.nonEmpty) {
+      val w = 1.0 / toks.length
+      toks.foreach { t =>
+        val h = math.floorMod(MurmurHash3.stringHash(t, 0x9747b28c), dim)
+        f(h) += w
+      }
+    }
+    f(dim) = math.log1p(toks.length.toDouble)
+    f(dim + 1) = toks.length / 100.0
+    f
+  }
+
+  /** Fit on a cached (features, label∈{0,1}) dataset whose vectors are
+    * `d` long. One distributed gradient pass per iteration; partials
+    * summed in partition order for bit-deterministic weights. */
+  def train(data: Dataset[(Array[Double], Double)], d: Int,
+      iters: Int = 40, lr: Double = 2.0, l2: Double = 1e-4): Model = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    var weights = new Array[Double](d)
+    var bias = 0.0
+    val losses = new Array[Double](iters)
+    val n = data.count().toDouble
+    require(n > 0, "classifier needs training rows")
+
+    // ONE standardization pass: per-feature sum + sum-of-squares
+    // partials, summed in partition order (same determinism discipline
+    // as the gradient passes)
+    val statPartials = data.mapPartitions { rows =>
+      val s = new Array[Double](2 * d)
+      rows.foreach { case (f, _) =>
+        var i = 0
+        while (i < d) { s(i) += f(i); s(d + i) += f(i) * f(i); i += 1 }
+      }
+      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), s))
+    }.collect().sortBy(_._1)
+    val stats = new Array[Double](2 * d)
+    statPartials.foreach { case (_, p) =>
+      var i = 0
+      while (i < p.length) { stats(i) += p(i); i += 1 }
+    }
+    val mean = Array.tabulate(d)(i => stats(i) / n)
+    val invStd = Array.tabulate(d) { i =>
+      val v = stats(d + i) / n - mean(i) * mean(i)
+      if (v > 1e-12) 1.0 / math.sqrt(v) else 0.0 // constant feature → drop
+    }
+    val bcStats = spark.sparkContext.broadcast((mean, invStd))
+
+    var it = 0
+    while (it < iters) {
+      val bcW = spark.sparkContext.broadcast((weights, bias))
+      // partial = [grad(0..d-1), gradBias, loss] tagged with partition id
+      val partials = data.mapPartitions { rows =>
+        val (w, b) = bcW.value
+        val (mu, is) = bcStats.value
+        val g = new Array[Double](d + 2)
+        val x = new Array[Double](d)
+        rows.foreach { case (f, y) =>
+          var z = b
+          var i = 0
+          while (i < d) {
+            x(i) = (f(i) - mu(i)) * is(i)
+            z += w(i) * x(i)
+            i += 1
+          }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val err = p - y
+          i = 0
+          while (i < d) { g(i) += err * x(i); i += 1 }
+          g(d) += err
+          // numerically-stable log-loss: log(1+e^z) - y·z
+          g(d + 1) += (if (z > 0) z + math.log1p(math.exp(-z))
+                       else math.log1p(math.exp(z))) - y * z
+        }
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), g))
+      }.collect().sortBy(_._1)
+      bcW.destroy()
+      val g = new Array[Double](d + 2)
+      partials.foreach { case (_, p) =>
+        var i = 0
+        while (i < p.length) { g(i) += p(i); i += 1 }
+      }
+      val next = new Array[Double](d)
+      var i = 0
+      while (i < d) { next(i) = weights(i) - lr * (g(i) / n + l2 * weights(i)); i += 1 }
+      bias -= lr * g(d) / n
+      losses(it) = g(d + 1) / n
+      weights = next
+      it += 1
+    }
+    Model(weights, bias, mean, invStd, losses)
+  }
+}

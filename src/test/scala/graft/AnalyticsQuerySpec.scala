@@ -1,0 +1,121 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-16 analytics operators — the laws
+  * behind the oracle rows (the DuckDB gate checks equivalence; these
+  * check the answers MEAN what they claim). */
+class AnalyticsQuerySpec extends SparkSpec {
+
+  test("q_ts_retention: week 0 is the full cohort; retention never exceeds 1") {
+    val rows = AnalyticsQueries.tsRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (weekN, nUsers, nCohort, ret) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nUsers <= nCohort)
+      assert(ret > 0.0 && ret <= 1.0)
+      if (weekN == 0L) assert(nUsers == nCohort,
+        "every cohort member is by definition active in their first week")
+    }
+    // cohort sizes partition the user population exactly once
+    val users = Fixtures.events(spark, sfDir)
+      .select(countDistinct("user_id")).first().getLong(0)
+    val cohortTotal = rows.filter(_.getLong(1) == 0L).map(_.getLong(3)).sum
+    assert(cohortTotal == users)
+  }
+
+  test("q_ts_transitions: rows per from-state normalize to ~1 and count every adjacent pair") {
+    val rows = AnalyticsQueries.tsTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val psum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(psum - 1.0) < 0.002, s"row-stochastic violated: $psum")
+    }
+    val nPairs = rows.map(_.getLong(2)).sum
+    val ev = Fixtures.events(spark, sfDir)
+    val expected = ev.count() - ev.select(countDistinct("user_id")).first().getLong(0)
+    assert(nPairs == expected, "each user contributes (events-1) transitions")
+  }
+
+  test("q_anomaly_mad: outliers exist on the heavy-tailed value column, rates consistent") {
+    val rows = AnalyticsQueries.anomalyMad(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var totalN = 0L
+    rows.foreach { r =>
+      val (n, mad, nOut, rate) =
+        (r.getLong(1), r.getDouble(3), r.getLong(4), r.getDouble(5))
+      totalN += n
+      assert(mad > 0.0)
+      assert(nOut >= 0 && nOut < n)
+      assert(math.abs(rate - nOut.toDouble / n) < 1e-3)
+    }
+    assert(totalN == Fixtures.events(spark, sfDir).count())
+    assert(rows.map(_.getLong(4)).sum > 0, "fixture tail should produce outliers")
+  }
+
+  test("q_agg_incremental: partial-merge result equals a direct one-pass recompute") {
+    import spark.implicits._
+    val merged = AnalyticsQueries.aggIncremental(spark, sfDir).collect()
+    val direct = Fixtures.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("total"),
+        min($"value").as("vmin"), max($"value").as("vmax"),
+        round(sum($"value".cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 4).as("vavg"))
+      .orderBy($"event_type")
+      .collect()
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  test("q_join_fuzzy matches brute force over the fixture vocabulary") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val vocab = Fixtures.documents(spark, sfDir)
+      .select(explode(expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)"))
+        .as("term")).distinct().as[String].collect()
+    val expected = (for {
+      a <- vocab; b <- vocab if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    val got = AnalyticsQueries.joinFuzzy(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q_text_classifier: distillation reaches high holdout accuracy on sf0.001") {
+    val rows = AnalyticsQueries.textClassifier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1)).sum
+    val correct = rows.map(_.getLong(2)).sum
+    assert(n > 0)
+    assert(correct.toDouble / n >= 0.8,
+      s"holdout accuracy ${correct.toDouble / n} on $n docs")
+  }
+
+  test("q_mix_dsir: per-source rollup is complete and weights are finite") {
+    val rows = AnalyticsQueries.mixDsir(spark, sfDir).collect()
+    val docs = Fixtures.documents(spark, sfDir)
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    rows.foreach { r =>
+      val w = r.getDouble(2)
+      assert(!w.isNaN && !w.isInfinite)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(1))
+    }
+  }
+}

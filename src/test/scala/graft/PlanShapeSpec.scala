@@ -130,4 +130,36 @@ class PlanShapeSpec extends SparkSpec {
     // groupBy (1) + 3-row window (1) + final sort (1)
     assert(shuffles(queries.WindowQueries.tsFunnel(spark, sfDir)) <= 8)
   }
+
+  test("q_ts_retention: activity/cohort shuffle on user_id; cohort sizes broadcast") {
+    // (user,wk) distinct (1) + cohort groupBy (1) + act⋈cohort join
+    // sides (2) + (cwk, week_n) groupBy (1) + final sort (1) = 6; the
+    // calendar-week-scale sizes frame must NOT add a shuffled join
+    val p = plan(queries.AnalyticsQueries.tsRetention(spark, sfDir))
+    assert(shuffles(p) <= 6, p.toString)
+    assert(broadcasts(p) >= 1, "cohort sizes must ride a broadcast join")
+  }
+
+  test("q_ts_transitions: lag window on user_id + pair groupBy; normalizer over grouped rows") {
+    assert(shuffles(queries.AnalyticsQueries.tsTransitions(spark, sfDir)) <= 4)
+  }
+
+  test("q_anomaly_mad: three rollups; group stats broadcast back, events never reshuffle") {
+    val p = plan(queries.AnalyticsQueries.anomalyMad(spark, sfDir))
+    assert(shuffles(p) <= 4, p.toString)
+    assert(broadcasts(p) == 2, "med and mad frames must broadcast onto the stream")
+  }
+
+  test("q_agg_incremental: two-level partial merge = two groupBys + the sort") {
+    assert(shuffles(queries.AnalyticsQueries.aggIncremental(spark, sfDir)) <= 3)
+  }
+
+  test("q_join_fuzzy: segment-blocked join, never a cartesian product") {
+    val p = plan(queries.AnalyticsQueries.joinFuzzy(spark, sfDir))
+    assert(shuffles(p) <= 5, p.toString)
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "blocking must produce an equi-join")
+  }
 }

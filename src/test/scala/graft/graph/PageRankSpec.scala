@@ -1,0 +1,76 @@
+package graft.graph
+
+import graft.SparkSpec
+import graft.queries.AnalyticsQueries
+
+/** PageRank correctness: closed-form graphs, exact equality with a
+  * single-machine reference on random graphs (incl. dangling nodes),
+  * the Σrank = 1 conservation law, and the query's fixture shape. */
+class PageRankSpec extends SparkSpec {
+
+  /** Driver-side reference replica of the same power iteration. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+      damping: Double): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length.toDouble
+    val out = e.groupBy(_._1).map { case (s, es) => (s, es.length) }
+    var ranks = nodes.map(v => (v, 1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(ranks).sum
+      val base = (1.0 - damping) / n + damping * dangling / n
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        (d, es.map { case (s, _) => ranks(s) / out(s) }.sum)
+      }
+      ranks = nodes.map(v => (v, base + damping * in.getOrElse(v, 0.0))).toMap
+    }
+    ranks
+  }
+
+  private def runPairs(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    import spark.implicits._
+    PageRank.run(edges.toDF("src", "dst"), iters)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+  }
+
+  test("2-node cycle converges to the uniform fixed point exactly") {
+    val ranks = runPairs(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(math.abs(ranks(1L) - 0.5) < 1e-12)
+    assert(math.abs(ranks(2L) - 0.5) < 1e-12)
+  }
+
+  test("random graph with dangling nodes matches the reference; ranks sum to 1") {
+    val rnd = new scala.util.Random(19)
+    // node 40..49 get no out-edges → genuine dangling mass every round
+    val edges = (1 to 200).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(50).toLong)
+    }.filter(e => e._1 != e._2)
+    val got = runPairs(edges, iters = 10)
+    val want = reference(edges, iters = 10, damping = 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - want(v)) < 1e-9, s"node $v: $r vs ${want(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("hub attracts rank: star graph center outranks every leaf") {
+    val leaves = (2L to 9L)
+    val edges = leaves.flatMap(l => Seq((l, 1L), (1L, l)))
+    val ranks = runPairs(edges, iters = 10)
+    leaves.foreach(l => assert(ranks(1L) > ranks(l)))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+  }
+
+  test("q_graph_pagerank: 20 rows, rank-ordered, sane node encoding") {
+    val rows = AnalyticsQueries.graphPagerank(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getDouble(2))
+    assert(ranks.toSeq == ranks.sorted(Ordering[Double].reverse).toSeq)
+    rows.foreach { r =>
+      assert(Set("part", "supplier").contains(r.getString(0)))
+      assert(r.getLong(1) >= 0L)
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Learnability, optimization and determinism laws of the distributed
+  * logistic-regression trainer — on PLANTED corpora where the right
+  * answer is known (the fixture corpus is word-soup; real separability
+  * has to be constructed). */
+class ClassifierSpec extends SparkSpec {
+
+  private val dim = 64
+  private val vocabA = Array("alpha", "beta", "gamma", "delta", "epsilon")
+  private val vocabB = Array("zero", "one", "two", "three", "four")
+
+  /** 240 docs, disjoint vocabularies per class — linearly separable in
+    * hashed bag-of-words space. */
+  private def planted(seed: Int): Seq[(String, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to 240).map { i =>
+      val y = i % 2
+      val vocab = if (y == 1) vocabA else vocabB
+      val text = (1 to 8 + rnd.nextInt(10))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (text, y.toDouble)
+    }
+  }
+
+  private def featurized(docs: Seq[(String, Double)]) = {
+    import spark.implicits._
+    docs.map { case (t, y) => (QualityClassifier.featurize(t, dim), y) }.toDS()
+  }
+
+  test("separable planted corpus: holdout accuracy >= 0.95") {
+    val docs = planted(11)
+    val (train, hold) = docs.splitAt(180)
+    val data = featurized(train).cache()
+    val model = QualityClassifier.train(data,
+      dim + QualityClassifier.ExtraFeatures, iters = 40)
+    data.unpersist()
+    val correct = hold.count { case (t, y) =>
+      val p = model.score(QualityClassifier.featurize(t, dim))
+      (if (p >= 0.5) 1.0 else 0.0) == y
+    }
+    assert(correct.toDouble / hold.size >= 0.95,
+      s"holdout accuracy ${correct.toDouble / hold.size}")
+  }
+
+  test("loss decreases under training") {
+    val data = featurized(planted(12)).cache()
+    val model = QualityClassifier.train(data,
+      dim + QualityClassifier.ExtraFeatures, iters = 30)
+    data.unpersist()
+    val l = model.losses
+    assert(l.head > l.last, s"loss did not drop: ${l.head} -> ${l.last}")
+    assert(l.last < 0.2, s"separable corpus should reach low loss, got ${l.last}")
+    // full-batch GD with a fixed step: allow tiny transient upticks,
+    // but the loss curve must be essentially monotone
+    l.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-6, s"loss jumped $a -> $b")
+      case _ =>
+    }
+  }
+
+  test("fit is bit-deterministic (partition-ordered partial sums)") {
+    val data = featurized(planted(13)).repartition(5).cache()
+    data.count()
+    val d = dim + QualityClassifier.ExtraFeatures
+    val m1 = QualityClassifier.train(data, d, iters = 15)
+    val m2 = QualityClassifier.train(data, d, iters = 15)
+    data.unpersist()
+    assert(m1.bias == m2.bias)
+    assert(m1.weights.toSeq == m2.weights.toSeq)
+    assert(m1.losses.toSeq == m2.losses.toSeq)
+  }
+
+  test("constant features are dropped by standardization (invStd = 0)") {
+    val data = featurized(planted(14)).cache()
+    val d = dim + QualityClassifier.ExtraFeatures
+    val model = QualityClassifier.train(data, d, iters = 5)
+    data.unpersist()
+    // hashed slots no vocabulary word maps to are constant zero
+    val used = (vocabA ++ vocabB).map(t =>
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c), dim)).toSet
+    (0 until dim).filterNot(used).foreach { i =>
+      assert(model.invStd(i) == 0.0, s"slot $i should be constant")
+      assert(model.weights(i) == 0.0, s"constant slot $i trained anyway")
+    }
+    assert(model.invStd.exists(_ != 0.0))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSIR importance-weight laws on planted two-distribution corpora:
+  * the log-ratio table must DISCRIMINATE (target-vocabulary docs score
+  * positive, off-target docs negative), stay finite under smoothing,
+  * and be a deterministic function of the corpus. */
+class DsirSpec extends SparkSpec {
+
+  private val vocabT = Array("clean", "trusted", "quality", "curated")
+  private val vocabO = Array("spam", "junk", "noise", "random", "filler")
+
+  private def corpus() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 300L).map { i =>
+      val isTarget = i % 3 == 0
+      val vocab = if (isTarget) vocabT else vocabO
+      val text = (1 to 10 + rnd.nextInt(8))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i, if (isTarget) "tgt" else "raw", text)
+    }
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("planted discrimination: target vocab scores positive, off-target negative") {
+    val docs = corpus()
+    val ratio = Dsir.ratioTable(docs, col("source") === "tgt")
+    val pureTarget = vocabT.mkString(" ")
+    val pureOther = vocabO.mkString(" ")
+    assert(Dsir.score(pureTarget, ratio) > 0.5,
+      s"target text should score high, got ${Dsir.score(pureTarget, ratio)}")
+    assert(Dsir.score(pureOther, ratio) < -0.5,
+      s"off-target text should score low, got ${Dsir.score(pureOther, ratio)}")
+    assert(Dsir.score(pureTarget, ratio) > Dsir.score(pureOther, ratio))
+  }
+
+  test("ratio table is finite everywhere and deterministic") {
+    val docs = corpus()
+    val a = Dsir.ratioTable(docs, col("source") === "tgt")
+    val b = Dsir.ratioTable(docs, col("source") === "tgt")
+    assert(a.length == Dsir.Buckets)
+    assert(a.forall(v => !v.isNaN && !v.isInfinite))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("empty text scores 0; scoring is pure") {
+    val docs = corpus()
+    val ratio = Dsir.ratioTable(docs, col("source") === "tgt")
+    assert(Dsir.score("", ratio) == 0.0)
+    assert(Dsir.score("   ", ratio) == 0.0)
+    val t = "clean spam clean"
+    assert(Dsir.score(t, ratio) == Dsir.score(t, ratio))
+  }
+}

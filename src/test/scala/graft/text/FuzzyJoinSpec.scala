@@ -1,0 +1,81 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** PassJoin blocking laws: segment schemes cover the string exactly,
+  * and the blocked join finds EXACTLY the brute-force pair set (the
+  * pigeonhole argument is easy to get subtly wrong in the shift
+  * bounds — completeness is the property that matters, so it's pinned
+  * against exhaustive verification on adversarially-similar random
+  * strings). */
+class FuzzyJoinSpec extends SparkSpec {
+
+  /** Reference edit distance (full DP). */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0)
+      dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("segments: k+1 parts, exact cover, deterministic") {
+    for (l <- 1 to 12; k <- 0 to 3) {
+      val segs = FuzzyJoin.segments(l, k)
+      assert(segs.length == k + 1)
+      assert(segs.head._1 == 0)
+      assert(segs.map(_._2).sum == l)
+      segs.sliding(2).foreach {
+        case Array((s1, l1), (s2, _)) => assert(s2 == s1 + l1)
+        case _ =>
+      }
+      assert(FuzzyJoin.segments(l, k).toSeq == segs.toSeq)
+    }
+  }
+
+  test("termPairs k=2 equals brute force on a dense random vocabulary") {
+    import spark.implicits._
+    // small alphabet + short lengths → many true near-pairs, plus the
+    // shifted-segment cases (insertions near segment boundaries)
+    val rnd = new scala.util.Random(7)
+    val terms = (1 to 120).map { _ =>
+      val l = 3 + rnd.nextInt(6)
+      (1 to l).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }.distinct
+    val expected = (for {
+      a <- terms; b <- terms
+      if a < b
+      d = lev(a, b)
+      if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    val got = FuzzyJoin.termPairs(terms.toDS(), 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2).toLong))
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got}, spurious=${got -- expected}")
+    assert(expected.nonEmpty, "vacuous fixture: no true pairs generated")
+  }
+
+  test("termPairs k=1 equals brute force incl. pure insert/delete pairs") {
+    import spark.implicits._
+    val terms = Seq("cat", "cats", "bat", "cart", "dog", "dot", "do",
+      "scat", "at", "art")
+    val expected = (for {
+      a <- terms; b <- terms
+      if a < b
+      d = lev(a, b)
+      if d <= 1
+    } yield (a, b, d.toLong)).toSet
+    val got = FuzzyJoin.termPairs(terms.toDS(), 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2).toLong))
+      .toSet
+    assert(got == expected)
+  }
+}
