@@ -293,7 +293,17 @@ object AnalyticsQueries {
       .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .union(li.select(($"l_suppkey" * 2 + 1).as("src"),
         ($"l_partkey" * 2).as("dst")))
-    PageRank.run(edges, iters = 8)
+    // iterative jobs pay fixed per-task scheduling cost 8× over; size
+    // shuffle partitions to the graph (node-scale ranks, ~1M edges at
+    // sf0.1), exactly as a production run sizes them to edge volume —
+    // the streaming demos apply the same discipline
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    val ranks =
+      try PageRank.run(edges, iters = 8)
+      finally spark.conf.set(key, prev)
+    ranks
       .select(
         when($"node" % 2 === 0, lit("part")).otherwise(lit("supplier"))
           .as("node_type"),
