@@ -313,6 +313,158 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Distributed Lloyd's k-means over the embedding corpus — the
+    * SemDeDup / IVF-coarse-quantizer workhorse; see
+    * [[graft.similarity.Kmeans]]. One map-side-combined pass per
+    * iteration (driver traffic O(partitions·k·d)); the purity rollup
+    * joins assignments against the fixture's label column. The fixture
+    * labels are GEOMETRY-INDEPENDENT (measured within/cross-label mean
+    * cosine 0.0016 vs 0.0003), so purity ≈ 1/k is the correct answer
+    * here — the rollup is the diagnostic a pipeline runs to discover
+    * exactly that; actual planted-cluster recovery is pinned on
+    * KmeansSpec's synthetic corpus. NATIVE (KmeansSpec: planted
+    * recovery ≥0.9, Lloyd inertia monotonicity, bit-determinism). */
+  def embKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Fixtures.embeddings(spark, sfDir)
+    val model = graft.similarity.Kmeans.fit(emb, k = 10, iters = 10)
+    val bc = spark.sparkContext.broadcast(model)
+    val assigned = emb.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)]
+      .map { case (_, v, lbl) => (bc.value.assign(v), lbl) }
+      .toDF("cluster", "label")
+      .groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
+    // dominant planted label per cluster: window over the k×labels
+    // GROUPED frame — metadata scale
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy(desc("n"), $"label")
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_cluster", sum($"n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster")))
+      .filter($"rn" === 1)
+      .select($"cluster", $"n_cluster".as("n"), $"label".as("top_label"),
+        round($"n".cast("double") / $"n_cluster", 3).as("purity"))
+      .orderBy($"cluster")
+  }
+
+  /** Mergeable Count-Min frequency rollup — the two-level sketch
+    * pattern (store a KB-scale sketch per day/partition, answer later
+    * frequency questions without re-reading raw data; Cormode &
+    * Muthukrishnan 2005): per-day `count_min_sketch` aggregates,
+    * day sketches merged driver-side (O(days) KB-scale blobs), then
+    * heavy-hitter candidates probed against the merged sketch.
+    * Candidates here are the exact top-10 (fixture-checkable); at
+    * 100 TB candidates come from per-partition local tops and the
+    * sketch supplies the global counts. NATIVE (CmsSpec: the
+    * overestimate-only law, the ε·N error bound, merge ≡ whole-corpus
+    * sketch). */
+  def aggCms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Fixtures.events(spark, sfDir)
+      .select(to_date($"ts").as("day"), $"user_id")
+    val daily = ev.groupBy($"day")
+      .agg(count_min_sketch($"user_id", lit(0.001), lit(0.99), lit(42))
+        .as("sk"))
+    val merged = daily.select($"sk").as[Array[Byte]].collect()
+      .map(org.apache.spark.util.sketch.CountMinSketch.readFrom)
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val bcm = spark.sparkContext.broadcast(merged)
+    ev.groupBy($"user_id").agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), $"user_id").limit(10)
+      .as[(Long, Long)]
+      .map { case (u, exact) =>
+        (u, exact, bcm.value.estimateCount(u), exact <= bcm.value.estimateCount(u))
+      }
+      .toDF("user_id", "exact", "est", "overestimate_ok")
+      .orderBy(desc("exact"), $"user_id")
+  }
+
+  /** Online scoring with the offline-fitted model — the
+    * train-offline / score-on-ingest shape of a production data
+    * pipeline: the distilled classifier fits on the BATCH corpus, the
+    * broadcast model then gates a live watermarked stream
+    * (dedup-on-arrival + model quality gate, both inside one
+    * Structured Streaming query; scoring is a stateless narrow map so
+    * it adds ZERO streaming state). NATIVE (StreamScoreSpec: exact
+    * equality with the batch fold of the same docs through the same
+    * model). */
+  def streamScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 256
+    val model = trainDistilled(spark, sfDir)
+    val bc = spark.sparkContext.broadcast(model)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = mem.toDF().toDF("doc_id", "ts", "source", "text")
+        .withWatermark("ts", "60 minutes")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .as[(Long, java.sql.Timestamp, String, String)]
+        .map { case (id, _, src, text) =>
+          (id, src, bc.value.score(QualityClassifier.featurize(text, dim)))
+        }
+        .toDF("doc_id", "source", "p")
+        .withColumn("kept", $"p" >= 0.5)
+        .writeStream.format("memory").queryName("q_stream_score_out")
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = streamScoreDocs()
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        mem.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table("q_stream_score_out")
+      .groupBy($"source", $"kept")
+      .agg(count(lit(1)).as("n_docs"), round(avg($"p"), 3).as("mean_p"))
+      .orderBy($"source", $"kept")
+  }
+
+  /** The offline half of q_stream_score: the same distillation fit
+    * q_text_classifier runs, trained on the full batch corpus. */
+  private[graft] def trainDistilled(spark: SparkSession, sfDir: String)
+      : QualityClassifier.Model = {
+    import spark.implicits._
+    val dim = 256
+    val data = Fixtures.documents(spark, sfDir)
+      .select($"text", ($"n_chars" >= 400).cast("double").as("label"))
+      .as[(String, Double)]
+      .map { case (t, y) => (QualityClassifier.featurize(t, dim), y) }
+      .cache()
+    val model = QualityClassifier.train(data,
+      dim + QualityClassifier.ExtraFeatures, iters = 25)
+    data.unpersist()
+    model
+  }
+
+  /** Deterministic two-batch stream feed: lengths straddle the
+    * length-gate boundary in every source, every 10th doc duplicated
+    * in-batch, 30 docs re-delivered cross-batch. */
+  private[graft] def streamScoreDocs()
+      : (Seq[(Long, java.sql.Timestamp, String, String)],
+         Seq[(Long, java.sql.Timestamp, String, String)]) = {
+    val base = 1700000000000L
+    val sources = Seq("web", "books", "code")
+    val words = Array("data", "query", "spark", "stream", "batch", "join",
+      "filter", "sort", "hash", "merge")
+    def doc(i: Int) = {
+      val nWords = 20 + (i * 37) % 120 // 20..139 words ↔ both gate sides
+      val text = (0 until nWords).map(k => words((i + k) % words.length))
+        .mkString(" ")
+      (i.toLong, new java.sql.Timestamp(base + i * 41000L), sources(i % 3), text)
+    }
+    val b1 = (0 until 150).flatMap(i =>
+      if (i % 10 == 0) Seq(doc(i), doc(i)) else Seq(doc(i)))
+    val b2 = (120 until 250).map(doc)
+    (b1, b2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_retention" -> (tsRetention _),
     "q_ts_transitions" -> (tsTransitions _),
@@ -321,7 +473,10 @@ object AnalyticsQueries {
     "q_join_fuzzy" -> (joinFuzzy _),
     "q_text_classifier" -> (textClassifier _),
     "q_mix_dsir" -> (mixDsir _),
-    "q_graph_pagerank" -> (graphPagerank _))
+    "q_graph_pagerank" -> (graphPagerank _),
+    "q_emb_kmeans" -> (embKmeans _),
+    "q_agg_cms" -> (aggCms _),
+    "q_stream_score" -> (streamScore _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,

@@ -1,0 +1,112 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+
+/** Distributed Lloyd's k-means — the clustering workhorse behind
+  * SemDeDup-style semantic dedup, IVF coarse quantizers, and corpus
+  * topic bucketing (Lloyd 1982; the scalable formulation is the
+  * classic map-side-combine one every MPP implements).
+  *
+  * Spark-first split, same discipline as [[Pca.fit]] and the
+  * logistic-regression trainer:
+  *
+  *  - init: the k seed vectors are chosen by a DETERMINISTIC
+  *    multiplicative-hash order over vec_id (no engine RNG — two fits
+  *    of the same corpus pick the same seeds),
+  *  - each iteration is ONE distributed pass: `mapPartitions` assigns
+  *    every vector to its nearest centroid (broadcast, k·d doubles)
+  *    and emits a k×(d+2) partial (per-cluster count, coordinate sums,
+  *    squared-distance sum) — map-side combine collapses a partition
+  *    to k rows regardless of its size, so driver traffic is
+  *    O(partitions·k·d), never corpus-scale,
+  *  - partials are summed in partition-index order → bit-deterministic
+  *    fits,
+  *  - an emptied cluster keeps its previous centroid (the standard
+  *    fallback; re-seeding would break determinism).
+  *
+  * Inertia (Σ min-distance²) is accumulated in the SAME pass and is
+  * non-increasing across iterations — the Lloyd monotonicity law
+  * KmeansSpec pins, alongside planted-cluster recovery. */
+object Kmeans {
+
+  case class Model(centroids: Array[Array[Double]], inertia: Array[Double]) {
+    def assign(v: Array[Float]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < cent.length) {
+          val diff = v(i) - cent(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Fit on `emb` (needs vec_id: long, embedding: array<float>). */
+  def fit(emb: DataFrame, k: Int, iters: Int = 10): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    // deterministic seed pick: k lowest multiplicative-hash values
+    // (ties broken by vec_id) — a bounded sort, k rows to the driver
+    val seeds = emb
+      .withColumn("h", shiftright($"vec_id" * lit(2654435761L), 20))
+      .orderBy($"h", $"vec_id")
+      .limit(k)
+      .select($"embedding").as[Array[Float]]
+      .collect()
+    require(seeds.length == k, s"corpus smaller than k=$k")
+    var centroids = seeds.map(_.map(_.toDouble))
+    val d = centroids(0).length
+    val inertia = new Array[Double](iters)
+
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(Model(centroids, Array.empty))
+      // partial layout: k blocks of [count, sum(0..d-1), sqDistSum]
+      val width = d + 2
+      val partials = typed.mapPartitions { rows =>
+        val m = bc.value
+        val g = new Array[Double](k * width)
+        rows.foreach { case (_, v) =>
+          val c = m.assign(v)
+          val cent = m.centroids(c)
+          var dist = 0.0
+          var i = 0
+          while (i < d) {
+            val diff = v(i) - cent(i); dist += diff * diff; i += 1
+          }
+          val off = c * width
+          g(off) += 1.0
+          i = 0
+          while (i < d) { g(off + 1 + i) += v(i); i += 1 }
+          g(off + 1 + d) += dist
+        }
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), g))
+      }.collect().sortBy(_._1)
+      bc.destroy()
+      val g = new Array[Double](k * width)
+      partials.foreach { case (_, p) =>
+        var i = 0
+        while (i < p.length) { g(i) += p(i); i += 1 }
+      }
+      val next = Array.tabulate(k) { c =>
+        val off = c * width
+        val n = g(off)
+        if (n == 0) centroids(c) // emptied cluster keeps its centroid
+        else Array.tabulate(d)(i => g(off + 1 + i) / n)
+      }
+      inertia(it) = (0 until k).map(c => g(c * width + 1 + d)).sum
+      centroids = next
+      it += 1
+    }
+    Model(centroids, inertia)
+  }
+}

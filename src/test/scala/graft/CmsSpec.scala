@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Count-Min rollup laws: the sketch NEVER undercounts, stays within
+  * the ε·N additive bound, and merging per-day sketches answers
+  * exactly like one sketch over the whole corpus — the property that
+  * makes the per-partition-sketch storage pattern sound. */
+class CmsSpec extends SparkSpec {
+
+  test("q_agg_cms: estimates never undercount and respect the eps*N bound") {
+    val rows = AnalyticsQueries.aggCms(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val n = Fixtures.events(spark, sfDir).count()
+    rows.foreach { r =>
+      val (exact, est, ok) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(ok)
+      assert(est >= exact, "Count-Min can only overcount")
+      assert(est <= exact + math.ceil(0.001 * n).toLong + 1,
+        s"estimate $est breaches the eps*N bound around $exact")
+    }
+  }
+
+  test("merged daily sketches answer exactly like one whole-corpus sketch") {
+    import spark.implicits._
+    val ev = Fixtures.events(spark, sfDir)
+      .select(to_date($"ts").as("day"), $"user_id")
+    val daily = ev.groupBy($"day")
+      .agg(count_min_sketch($"user_id", lit(0.001), lit(0.99), lit(42)).as("sk"))
+      .select($"sk").as[Array[Byte]].collect()
+    assert(daily.length > 1, "need multiple days for the merge to mean anything")
+    val merged = daily.map(CountMinSketch.readFrom)
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val whole = CountMinSketch.readFrom(
+      ev.agg(count_min_sketch($"user_id", lit(0.001), lit(0.99), lit(42))
+        .as("sk")).select($"sk").as[Array[Byte]].head())
+    val users = ev.select($"user_id").distinct().as[Long].collect()
+    users.foreach { u =>
+      assert(merged.estimateCount(u) == whole.estimateCount(u),
+        s"user $u: merged ${merged.estimateCount(u)} vs whole ${whole.estimateCount(u)}")
+    }
+    assert(merged.totalCount() == ev.count())
+  }
+}

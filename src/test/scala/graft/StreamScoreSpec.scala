@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+import graft.text.QualityClassifier
+import org.apache.spark.sql.functions._
+
+/** The online-scoring contract of q_stream_score: the streamed result
+  * must equal the BATCH fold of the same unique docs through the same
+  * broadcast model — duplicates deduped on arrival, scores identical
+  * to driver-side model evaluation, both gate outcomes present in
+  * every source. */
+class StreamScoreSpec extends SparkSpec {
+
+  test("streamed rollup equals the batch fold through the same model") {
+    import spark.implicits._
+    val streamed = AnalyticsQueries.streamScore(spark, sfDir).collect()
+
+    val model = AnalyticsQueries.trainDistilled(spark, sfDir)
+    val (b1, b2) = AnalyticsQueries.streamScoreDocs()
+    val unique = (b1 ++ b2).groupBy(_._1).map(_._2.head).toSeq
+    assert(unique.size == 250, "the feed plants 250 unique doc_ids")
+    val batch = unique
+      .map { case (id, _, src, text) =>
+        (id, src, model.score(QualityClassifier.featurize(text, 256)))
+      }
+      .toDF("doc_id", "source", "p")
+      .withColumn("kept", $"p" >= 0.5)
+      .groupBy($"source", $"kept")
+      .agg(count(lit(1)).as("n_docs"), round(avg($"p"), 3).as("mean_p"))
+      .orderBy($"source", $"kept")
+      .collect()
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=${streamed.toSeq}\nbatch=${batch.toSeq}")
+  }
+
+  test("the feed exercises dedup and both gate outcomes per source") {
+    val rows = AnalyticsQueries.streamScore(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == 250,
+      "in-batch and cross-batch duplicates must be dropped exactly")
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.keySet == Set("web", "books", "code"))
+    bySource.values.foreach { rs =>
+      assert(rs.map(_.getBoolean(1)).toSet == Set(true, false),
+        "every source must see kept AND dropped docs")
+    }
+    rows.foreach { r =>
+      val meanP = r.getDouble(3)
+      if (r.getBoolean(1)) assert(meanP >= 0.5) else assert(meanP < 0.5)
+    }
+  }
+}
