@@ -313,6 +313,86 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Batch sessionization — the gap-based session assignment every
+    * event warehouse materializes (the BATCH twin of
+    * q_stream_session's `session_window`): a 30-minute inactivity gap
+    * opens a new session; session ids are the running sum of boundary
+    * flags — one lag + one prefix-sum over the SAME user_id window
+    * (one shuffle), then a groupBy on (user, session). Durations are
+    * exact integer epoch-second differences. */
+  def tsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Fixtures.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("gap_s",
+        unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w)))
+      .withColumn("boundary",
+        when($"gap_s".isNull || $"gap_s" > 1800, 1L).otherwise(0L))
+      .withColumn("sess_n", sum($"boundary").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_n")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts")))
+          .as("duration_s"))
+      .orderBy($"user_id", $"sess_n")
+  }
+
+  val tsSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    date_diff('second',
+      |      lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |b AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS boundary
+      |  FROM g),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(boundary) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess_n
+      |  FROM b)
+      |SELECT user_id, CAST(sess_n AS BIGINT) AS sess_n,
+      |  count(*) AS n_events,
+      |  CAST(date_diff('second', min(CAST(ts AS TIMESTAMP)),
+      |    max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS duration_s
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_n""".stripMargin
+
+  /** Vector math as first-class columns — the brief-named
+    * `zip_with`/`aggregate` dot-product pattern, ORACLE-checked:
+    * cosine between consecutive embeddings with every arithmetic step
+    * an ORDER-DETERMINED sequential fold over double-cast arrays (both
+    * engines fold lists front-to-back, so the pre-round doubles are
+    * identical; a shuffle-order explode+sum would not be). The join
+    * key is vec_id+1 — an equi-join, broadcast-eligible. */
+  def scalarVector(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Fixtures.embeddings(spark, sfDir)
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))")
+        .as("v"))
+    def dot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        round(dot("a.v", "b.v") /
+          (sqrt(dot("a.v", "a.v")) * sqrt(dot("b.v", "b.v"))), 4).as("cos_next"),
+        round(sqrt(dot("a.v", "a.v")), 4).as("norm"))
+      .orderBy($"vec_id")
+  }
+
+  val scalarVectorSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS vec_id,
+      |  round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+      |    4) AS cos_next,
+      |  round(sqrt(list_dot_product(a.v, a.v)), 4) AS norm
+      |FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id
+      |ORDER BY vec_id""".stripMargin
+
   /** Distributed Lloyd's k-means over the embedding corpus — the
     * SemDeDup / IVF-coarse-quantizer workhorse; see
     * [[graft.similarity.Kmeans]]. One map-side-combined pass per
@@ -476,12 +556,16 @@ object AnalyticsQueries {
     "q_graph_pagerank" -> (graphPagerank _),
     "q_emb_kmeans" -> (embKmeans _),
     "q_agg_cms" -> (aggCms _),
-    "q_stream_score" -> (streamScore _))
+    "q_stream_score" -> (streamScore _),
+    "q_ts_sessionize" -> (tsSessionize _),
+    "q_scalar_vector" -> (scalarVector _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,
     "q_ts_transitions" -> tsTransitionsSql,
     "q_anomaly_mad" -> anomalyMadSql,
     "q_agg_incremental" -> aggIncrementalSql,
-    "q_join_fuzzy" -> joinFuzzySql)
+    "q_join_fuzzy" -> joinFuzzySql,
+    "q_ts_sessionize" -> tsSessionizeSql,
+    "q_scalar_vector" -> scalarVectorSql)
 }

@@ -108,6 +108,35 @@ class AnalyticsQuerySpec extends SparkSpec {
       s"holdout accuracy ${correct.toDouble / n} on $n docs")
   }
 
+  test("q_ts_sessionize: sessions partition the event stream; durations bounded by gaps") {
+    val rows = AnalyticsQueries.tsSessionize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == Fixtures.events(spark, sfDir).count(),
+      "every event lands in exactly one session")
+    rows.foreach { r =>
+      val (sessN, nEvents, dur) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sessN >= 1L)
+      assert(dur >= 0L)
+      // a session of n events with every internal gap <= 1800s
+      assert(dur <= (nEvents - 1) * 1800L,
+        s"session duration $dur exceeds ${nEvents - 1} max-length gaps")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (1L to ids.length).toSeq, "contiguous session ids")
+    }
+  }
+
+  test("q_scalar_vector: cosine bounded, norms positive, n-1 consecutive pairs") {
+    val rows = AnalyticsQueries.scalarVector(spark, sfDir).collect()
+    val n = Fixtures.embeddings(spark, sfDir).count()
+    assert(rows.length.toLong == n - 1)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1)) <= 1.0001)
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
   test("q_mix_dsir: per-source rollup is complete and weights are finite") {
     val rows = AnalyticsQueries.mixDsir(spark, sfDir).collect()
     val docs = Fixtures.documents(spark, sfDir)

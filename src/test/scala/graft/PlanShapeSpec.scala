@@ -154,6 +154,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(queries.AnalyticsQueries.aggIncremental(spark, sfDir)) <= 3)
   }
 
+  test("q_ts_sessionize: lag + prefix-sum share ONE user window; rollup + sort") {
+    assert(shuffles(queries.AnalyticsQueries.tsSessionize(spark, sfDir)) <= 3)
+  }
+
+  test("q_scalar_vector: vec_id+1 equi-join, never a cartesian") {
+    val p = plan(queries.AnalyticsQueries.scalarVector(spark, sfDir))
+    assert(shuffles(p) <= 4, p.toString)
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "vec_id+1 must plan as an equi-join")
+  }
+
   test("q_join_fuzzy: segment-blocked join, never a cartesian product") {
     val p = plan(queries.AnalyticsQueries.joinFuzzy(spark, sfDir))
     assert(shuffles(p) <= 5, p.toString)
