@@ -545,6 +545,38 @@ object AnalyticsQueries {
     (b1, b2)
   }
 
+  /** Unicode canonicalization before hashing/dedup — see
+    * [[graft.text.Normalize]]. Like q_text_pii, the fixture corpus is
+    * clean ASCII, so every third doc gets a deterministic
+    * unicode-noisy decoration planted (ligatures, fullwidth forms,
+    * accents, NBSP/ideographic spaces) and the rollup proves the
+    * normalizer fixes EXACTLY those docs and leaves clean text
+    * byte-identical. Narrow typed map, zero shuffle. NATIVE
+    * (NormalizeSpec: UAX#15 goldens, idempotence, clean-text
+    * fixpoint). */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val noise = Array("Ｃａｆé ", "ﬁnal　ﬂow ", "naïve Ａ ")
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        // decoration index derives from id/3 — id % 3 would always
+        // pick decoration 0 on the id % 3 == 0 planted set
+        val raw = if (id % 3 == 0) noise(((id / 3) % noise.length).toInt) + text
+                  else text
+        val norm = graft.text.Normalize.normalize(raw)
+        // delta can go EITHER way: accents/marks shrink, ligatures
+        // EXPAND (ﬁ → fi) — report the signed net fold
+        (src, if (norm != raw) 1L else 0L,
+          (norm.length - raw.length).toLong)
+      }
+      .toDF("source", "changed", "chars_delta")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"changed").as("n_changed"),
+        sum($"chars_delta").as("chars_delta"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_retention" -> (tsRetention _),
     "q_ts_transitions" -> (tsTransitions _),
@@ -558,7 +590,8 @@ object AnalyticsQueries {
     "q_agg_cms" -> (aggCms _),
     "q_stream_score" -> (streamScore _),
     "q_ts_sessionize" -> (tsSessionize _),
-    "q_scalar_vector" -> (scalarVector _))
+    "q_scalar_vector" -> (scalarVector _),
+    "q_text_normalize" -> (textNormalize _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,

@@ -50,30 +50,61 @@ object FuzzyJoin {
     out
   }
 
+  /** Blocking keys of an INDEXED string: its k+1 (len, segIdx,
+    * segment) triples. Pure — the pigeonhole completeness law
+    * (lev(a,b) ≤ k ⇒ indexKeys(a) ∩ probeKeys(b) ≠ ∅) is
+    * property-tested over random strings without touching Spark
+    * (FuzzyJoinPropertySpec — which caught the short-string hole the
+    * fixture never exercised).
+    *
+    * SHORT STRINGS (len ≤ k): the pigeonhole needs k+1 NONEMPTY
+    * segments, so a string shorter than k+1 can have ALL its real
+    * segments touched by ≤ k edits ("b"→"a" at k=1 shares no
+    * segment). Such strings emit a WILDCARD key (len, -1, "") on both
+    * sides; the candidate blowup is semantic, not a blocking flaw —
+    * a length-≤k string is genuinely within distance k of most
+    * same-length-band strings, and the exact verify still decides. */
+  def indexKeys(a: String, k: Int): Seq[(Int, Int, String)] = {
+    val segs = segments(a.length, k).iterator.zipWithIndex.collect {
+      case ((s, len), i) if len > 0 => (a.length, i, a.substring(s, s + len))
+    }.toSeq
+    if (a.length <= k) segs :+ ((a.length, -1, "")) else segs
+  }
+
+  /** Blocking keys of a PROBING string: for each candidate indexed
+    * length within ±k and each segment slot, the substrings of `b`
+    * starting within ±k of the slot's home position — plus the
+    * wildcard for short indexed lengths. */
+  def probeKeys(b: String, k: Int): Seq[(Int, Int, String)] = {
+    val lb = b.length
+    val segKeys = for {
+      la <- (lb - k) to (lb + k)
+      if la > 0
+      ((segStart, segLen), i) <- segments(la, k).iterator.zipWithIndex
+      if segLen > 0
+      start <- math.max(0, segStart - k) to math.min(lb - segLen, segStart + k)
+    } yield (la, i, b.substring(start, start + segLen))
+    val wildcards = for {
+      la <- (lb - k) to (lb + k)
+      if la > 0 && la <= k
+    } yield (la, -1, "")
+    segKeys ++ wildcards
+  }
+
   /** All pairs (a, b) with a < b and lev(a, b) <= k from a distinct
     * term dataset. Returns (term_a, term_b, dist). */
   def termPairs(terms: Dataset[String], k: Int): DataFrame = {
     val spark = terms.sparkSession
     import spark.implicits._
     // INDEX: (la, segIdx, segment, term)
-    val index = terms.flatMap { a =>
-      val segs = segments(a.length, k)
-      segs.iterator.zipWithIndex.collect {
-        case ((s, len), i) if len > 0 => (a.length, i, a.substring(s, s + len), a)
-      }
-    }.toDF("la", "seg_idx", "seg", "term_a")
+    val index = terms.flatMap(a => indexKeys(a, k).map {
+      case (la, i, seg) => (la, i, seg, a)
+    }).toDF("la", "seg_idx", "seg", "term_a")
     // PROBE: for each candidate indexed length and slot, the substrings
     // of b that could equal that slot's untouched segment
-    val probe = terms.flatMap { b =>
-      val lb = b.length
-      for {
-        la <- (lb - k) to (lb + k)
-        if la > 0
-        ((segStart, segLen), i) <- segments(la, k).iterator.zipWithIndex
-        if segLen > 0
-        start <- math.max(0, segStart - k) to math.min(lb - segLen, segStart + k)
-      } yield (la, i, b.substring(start, start + segLen), b)
-    }.toDF("la", "seg_idx", "seg", "term_b")
+    val probe = terms.flatMap(b => probeKeys(b, k).map {
+      case (la, i, seg) => (la, i, seg, b)
+    }).toDF("la", "seg_idx", "seg", "term_b")
     index.join(probe, Seq("la", "seg_idx", "seg"))
       .filter($"term_a" < $"term_b")
       .select($"term_a", $"term_b")

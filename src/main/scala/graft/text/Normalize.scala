@@ -1,0 +1,41 @@
+package graft.text
+
+import java.text.Normalizer
+
+/** Unicode text normalization — the canonicalization pass a curation
+  * pipeline runs before dedup/hashing so that visually-identical text
+  * hashes identically (the fastText/CCNet preprocessing step):
+  *
+  *  1. NFKC compatibility fold (ligatures ﬁ→fi, fullwidth Ａ→A,
+  *     superscripts, squared forms),
+  *  2. accent strip via NFD + combining-mark removal (é→e, ñ→n) —
+  *     applied AFTER NFKC so compatibility-composed chars decompose
+  *     too,
+  *  3. lowercase (locale-independent Character semantics),
+  *  4. whitespace fold: every Unicode whitespace run (incl. NBSP,
+  *     ideographic space) → one ASCII space, trimmed.
+  *
+  * Pure JDK (`java.text.Normalizer` implements UAX #15 — public spec),
+  * deterministic, idempotent (NormalizeSpec pins goldens +
+  * idempotence). Runs as a narrow typed map — zero shuffle. */
+object Normalize {
+
+  def normalize(s: String): String = {
+    val nfkc = Normalizer.normalize(s, Normalizer.Form.NFKC)
+    val nfd = Normalizer.normalize(nfkc, Normalizer.Form.NFD)
+    val sb = new StringBuilder(nfd.length)
+    var lastWasSpace = false
+    nfd.codePoints().forEach { cp =>
+      if (Character.getType(cp) == Character.NON_SPACING_MARK) ()
+      else if (Character.isWhitespace(cp)) {
+        if (!lastWasSpace && sb.nonEmpty) { sb.append(' '); lastWasSpace = true }
+      } else {
+        sb.appendAll(Character.toChars(Character.toLowerCase(cp)))
+        lastWasSpace = false
+      }
+    }
+    // drop a trailing space left by inner whitespace before end-trim
+    if (sb.nonEmpty && sb.last == ' ') sb.setLength(sb.length - 1)
+    sb.result()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.text
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck pigeonhole law for the PassJoin blocking, checked as a
+  * PURE property (no Spark): for ANY pair within edit distance k, the
+  * indexed string's segment keys intersect the probing string's
+  * substring keys — i.e. the blocked join can never miss a true pair.
+  * Small alphabets + short lengths maximize near-pair density. */
+class FuzzyJoinPropertySpec extends AnyFunSuite {
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  private def check(prop: Prop, n: Int = 500): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genTerm: Gen[String] = for {
+    l <- Gen.choose(1, 10)
+    cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  test("pigeonhole completeness: lev(a,b) <= k => blocking keys intersect") {
+    for (k <- 1 to 3) {
+      check(Prop.forAll(genTerm, genTerm) { (a, b) =>
+        val d = lev(a, b)
+        d > k || {
+          val ik = FuzzyJoin.indexKeys(a, k).toSet
+          val pk = FuzzyJoin.probeKeys(b, k).toSet
+          ik.intersect(pk).nonEmpty
+        }
+      })
+    }
+  }
+
+  test("key volume is bounded: O(1) index keys, O(k^2·len) probe keys") {
+    check(Prop.forAll(genTerm) { a =>
+      val k = 2
+      FuzzyJoin.indexKeys(a, k).size <= k + 1 &&
+        FuzzyJoin.probeKeys(a, k).size <= (2 * k + 1) * (k + 1) * (2 * k + 1)
+    })
+  }
+}

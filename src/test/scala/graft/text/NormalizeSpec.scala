@@ -1,0 +1,40 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.queries.AnalyticsQueries
+
+/** UAX#15 normalization laws: pinned goldens for each fold class,
+  * idempotence, the clean-ASCII fixpoint, and the query's
+  * planted-noise accounting. */
+class NormalizeSpec extends SparkSpec {
+
+  test("goldens: ligatures, fullwidth, accents, case, whitespace runs") {
+    assert(Normalize.normalize("ﬁne ﬂow") == "fine flow")
+    assert(Normalize.normalize("Ｃａｆé") == "cafe")
+    assert(Normalize.normalize("naïve Ñandú") == "naive nandu")
+    assert(Normalize.normalize("A B　C") == "a b c")
+    assert(Normalize.normalize("  spaced\t\n out  ") == "spaced out")
+    assert(Normalize.normalize("x²") == "x2") // NFKC folds superscripts
+    assert(Normalize.normalize("a b") == "a b") // NBSP is whitespace post-NFKC
+  }
+
+  test("idempotent, and a fixpoint on clean lowercase ASCII") {
+    val samples = Seq("ﬁne Ｃａｆé  naïve", "already clean text", "", "a")
+    samples.foreach { s =>
+      val once = Normalize.normalize(s)
+      assert(Normalize.normalize(once) == once, s"not idempotent on '$s'")
+    }
+    assert(Normalize.normalize("plain spark query text") == "plain spark query text")
+  }
+
+  test("q_text_normalize: exactly the planted-noise docs change") {
+    import org.apache.spark.sql.functions._
+    val rows = AnalyticsQueries.textNormalize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Fixtures.documents(spark, sfDir)
+    val planted = docs.filter(col("doc_id") % 3 === 0).count()
+    assert(rows.map(_.getLong(2)).sum == planted,
+      "every decorated doc must change, every clean doc must not")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+  }
+}
