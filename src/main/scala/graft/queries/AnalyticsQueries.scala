@@ -545,6 +545,53 @@ object AnalyticsQueries {
     (b1, b2)
   }
 
+  /** Mergeable histogram quantiles — the third sketch family beside
+    * HLL (q_agg_hll_union) and Count-Min (q_agg_cms), in the
+    * HdrHistogram/monitoring-system shape but RELATIONAL: the per-day
+    * "sketch" is a (key, bin, n) row set at fixed-point cent
+    * resolution (round(value·100) is EXACT for 2-decimal doubles, so
+    * bin/100 reconstructs the value bit-identically), merge is a
+    * groupBy SUM, and quantiles are an inverse-CDF walk (cumulative
+    * window over the BIN-bounded merged rows — metadata scale).
+    * Ranks use pure integer arithmetic (⌈q·n⌉ = (q·100·n + 99) div
+    * 100) — a float q·n product can land ε above an exact integer and
+    * shift the rank by one, which is exactly the class of
+    * engine-divergence the oracle hash would catch. ORACLE = direct
+    * rank-k selection per group, so the gate proves
+    * sketch-merge ≡ exact nearest-rank quantiles. */
+  def aggQuantileHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val binned = Fixtures.events(spark, sfDir)
+      .select($"event_type", to_date($"ts").as("day"),
+        round($"value" * 100).cast("long").as("bin"))
+    val daily = binned.groupBy($"event_type", $"day", $"bin")
+      .agg(count(lit(1)).as("n"))
+    val merged = daily.groupBy($"event_type", $"bin").agg(sum($"n").as("n"))
+    val byType = Window.partitionBy($"event_type")
+    val cum = merged
+      .withColumn("cum", sum($"n").over(byType.orderBy($"bin")))
+      .withColumn("total", sum($"n").over(byType))
+    def q(pct: Int) = min(when(
+      $"cum" >= expr(s"(total * $pct + 99) div 100"), $"bin"))
+      .cast("double") / 100.0
+    cum.groupBy($"event_type")
+      .agg(max($"total").as("n"), round(q(50), 2).as("p50"),
+        round(q(95), 2).as("p95"), round(q(99), 2).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  val aggQuantileHistSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  round(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END), 2) AS p50,
+      |  round(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END), 2) AS p95,
+      |  round(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END), 2) AS p99
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Unicode canonicalization before hashing/dedup — see
     * [[graft.text.Normalize]]. Like q_text_pii, the fixture corpus is
     * clean ASCII, so every third doc gets a deterministic
@@ -591,7 +638,8 @@ object AnalyticsQueries {
     "q_stream_score" -> (streamScore _),
     "q_ts_sessionize" -> (tsSessionize _),
     "q_scalar_vector" -> (scalarVector _),
-    "q_text_normalize" -> (textNormalize _))
+    "q_text_normalize" -> (textNormalize _),
+    "q_agg_quantile_hist" -> (aggQuantileHist _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,
@@ -600,5 +648,6 @@ object AnalyticsQueries {
     "q_agg_incremental" -> aggIncrementalSql,
     "q_join_fuzzy" -> joinFuzzySql,
     "q_ts_sessionize" -> tsSessionizeSql,
-    "q_scalar_vector" -> scalarVectorSql)
+    "q_scalar_vector" -> scalarVectorSql,
+    "q_agg_quantile_hist" -> aggQuantileHistSql)
 }

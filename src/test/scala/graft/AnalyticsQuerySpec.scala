@@ -137,6 +137,28 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("q_agg_quantile_hist: monotone quantiles that are real data values; counts complete") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.aggQuantileHist(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val values = Fixtures.events(spark, sfDir)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).toSet) }
+    var total = 0L
+    rows.foreach { r =>
+      val (et, n, p50, p95, p99) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      total += n
+      assert(p50 <= p95 && p95 <= p99, "quantiles must be monotone")
+      // nearest-rank on an exact fixed-point histogram returns an
+      // OBSERVED value, never an interpolated one
+      Seq(p50, p95, p99).foreach(p => assert(values(et).contains(p),
+        s"$et quantile $p is not an observed value"))
+    }
+    assert(total == Fixtures.events(spark, sfDir).count(),
+      "per-type totals must cover every event exactly once")
+  }
+
   test("q_mix_dsir: per-source rollup is complete and weights are finite") {
     val rows = AnalyticsQueries.mixDsir(spark, sfDir).collect()
     val docs = Fixtures.documents(spark, sfDir)

@@ -167,6 +167,12 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "vec_id+1 must plan as an equi-join")
   }
 
+  test("q_agg_quantile_hist: two histogram groupBys + the bin-bounded window + sort") {
+    // daily-sketch groupBy (1) + merge groupBy (1) + the cumulative
+    // window & final rollup run over BIN-bounded rows (1-2) + sort (1)
+    assert(shuffles(queries.AnalyticsQueries.aggQuantileHist(spark, sfDir)) <= 5)
+  }
+
   test("q_join_fuzzy: segment-blocked join, never a cartesian product") {
     val p = plan(queries.AnalyticsQueries.joinFuzzy(spark, sfDir))
     assert(shuffles(p) <= 5, p.toString)
