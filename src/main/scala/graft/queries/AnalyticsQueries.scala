@@ -545,6 +545,94 @@ object AnalyticsQueries {
     (b1, b2)
   }
 
+  /** Deequ-style data-quality constraint suite — the dbt-test /
+    * AWS-Deequ pattern (public): declarative rules evaluated as ONE
+    * relational query per rule family, emitting (rule, n_violations)
+    * — completeness (NOT NULL), uniqueness, referential integrity
+    * (anti join on the key), and domain checks. Each rule is an
+    * aggregate or anti-join the optimizer pushes down; nothing is
+    * row-at-a-time. The oracle recomputes every rule in SQL, so the
+    * gate proves the rule semantics, not just the plumbing. */
+  def checkQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Fixtures.orders(spark, sfDir)
+    val customer = Fixtures.customer(spark, sfDir)
+    val lineitem = Fixtures.lineitem(spark, sfDir)
+    val docs = Fixtures.documents(spark, sfDir)
+    val events = Fixtures.events(spark, sfDir)
+    // each rule is a 1-row LAZY count; the union is one plan, so the
+    // whole suite is a single job and the optimizer prunes each rule's
+    // scan to the columns it touches
+    def rule(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), $"n_violations")
+    Seq(
+      rule("events_ts_not_null", events.filter($"ts".isNull)),
+      rule("documents_doc_id_unique",
+        docs.groupBy($"doc_id").agg(count(lit(1)).as("c")).filter($"c" > 1)),
+      rule("orders_custkey_in_customer",
+        orders.join(customer, orders("o_custkey") === customer("c_custkey"),
+          "left_anti")),
+      rule("lineitem_quantity_positive", lineitem.filter($"l_quantity" <= 0)),
+      rule("lineitem_orderkey_in_orders",
+        lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"),
+          "left_anti")),
+      rule("documents_n_chars_matches_text",
+        docs.filter(length($"text") =!= $"n_chars")))
+      .reduce(_ unionByName _)
+      .orderBy($"rule")
+  }
+
+  val checkQualitySql: String =
+    """SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+      |  SELECT 'events_ts_not_null' AS rule,
+      |    (SELECT count(*) FROM events WHERE ts IS NULL) AS n_violations
+      |  UNION ALL SELECT 'documents_doc_id_unique',
+      |    (SELECT count(*) FROM (
+      |       SELECT doc_id FROM documents GROUP BY 1 HAVING count(*) > 1))
+      |  UNION ALL SELECT 'orders_custkey_in_customer',
+      |    (SELECT count(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                       WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL SELECT 'lineitem_quantity_positive',
+      |    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+      |  UNION ALL SELECT 'lineitem_orderkey_in_orders',
+      |    (SELECT count(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL SELECT 'documents_n_chars_matches_text',
+      |    (SELECT count(*) FROM documents WHERE len(text) <> n_chars))
+      |ORDER BY rule""".stripMargin
+
+  /** Deterministic per-group top-k sampling — the exemplar picker a
+    * curation pipeline uses for eval sets and demo slices: the k
+    * docs per source with the SMALLEST multiplicative-hash draw (the
+    * same high-bit mixer as q_sample_weighted), i.e. a fixed
+    * pseudo-random k-subset that is stable across engines, reruns and
+    * partitionings — `LIMIT k` or RAND() give neither. One window
+    * shuffle on the group key. */
+  def sampleTopkHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"h", $"doc_id")
+    Fixtures.documents(spark, sfDir)
+      .withColumn("h", shiftright($"doc_id" * lit(2654435761L), 20) % 1000000L)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"source", $"rn", $"doc_id", $"n_chars")
+      .orderBy($"source", $"rn")
+  }
+
+  val sampleTopkHashSql: String =
+    """SELECT source, rn, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY source
+      |      ORDER BY ((doc_id * 2654435761) >> 20) % 1000000, doc_id
+      |    ) AS BIGINT) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3 ORDER BY source, rn""".stripMargin
+
   /** Mergeable histogram quantiles — the third sketch family beside
     * HLL (q_agg_hll_union) and Count-Min (q_agg_cms), in the
     * HdrHistogram/monitoring-system shape but RELATIONAL: the per-day
@@ -639,7 +727,9 @@ object AnalyticsQueries {
     "q_ts_sessionize" -> (tsSessionize _),
     "q_scalar_vector" -> (scalarVector _),
     "q_text_normalize" -> (textNormalize _),
-    "q_agg_quantile_hist" -> (aggQuantileHist _))
+    "q_agg_quantile_hist" -> (aggQuantileHist _),
+    "q_check_quality" -> (checkQuality _),
+    "q_sample_topk_hash" -> (sampleTopkHash _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,
@@ -649,5 +739,7 @@ object AnalyticsQueries {
     "q_join_fuzzy" -> joinFuzzySql,
     "q_ts_sessionize" -> tsSessionizeSql,
     "q_scalar_vector" -> scalarVectorSql,
-    "q_agg_quantile_hist" -> aggQuantileHistSql)
+    "q_agg_quantile_hist" -> aggQuantileHistSql,
+    "q_check_quality" -> checkQualitySql,
+    "q_sample_topk_hash" -> sampleTopkHashSql)
 }

@@ -159,6 +159,35 @@ class AnalyticsQuerySpec extends SparkSpec {
       "per-type totals must cover every event exactly once")
   }
 
+  test("q_check_quality: clean fixture passes every rule; rules FIRE on planted violations") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.checkQuality(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(r.getLong(1) == 0L,
+      s"fixture should satisfy ${r.getString(0)}"))
+    // the rule SHAPES must detect violations — prove on planted data
+    // (an all-zero result would otherwise be indistinguishable from
+    // rules that never fire)
+    val badOrders = Seq((1L, 10L), (2L, 99L)).toDF("o_orderkey", "o_custkey")
+    val customers = Seq(Tuple1(10L)).toDF("c_custkey")
+    val orphans = badOrders.join(customers,
+      badOrders("o_custkey") === customers("c_custkey"), "left_anti").count()
+    assert(orphans == 1L, "referential rule must catch the orphan key")
+    val dups = Seq(1L, 1L, 2L).toDF("doc_id")
+      .groupBy($"doc_id").agg(count(lit(1)).as("c")).filter($"c" > 1).count()
+    assert(dups == 1L, "uniqueness rule must catch the duplicate key")
+  }
+
+  test("q_sample_topk_hash: stable across repartitionings, k per group, hash-ordered") {
+    val a = AnalyticsQueries.sampleTopkHash(spark, sfDir).collect()
+    val b = AnalyticsQueries.sampleTopkHash(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+    a.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
   test("q_mix_dsir: per-source rollup is complete and weights are finite") {
     val rows = AnalyticsQueries.mixDsir(spark, sfDir).collect()
     val docs = Fixtures.documents(spark, sfDir)

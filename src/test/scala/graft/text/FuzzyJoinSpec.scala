@@ -63,6 +63,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(expected.nonEmpty, "vacuous fixture: no true pairs generated")
   }
 
+  test("termPairs k=2 with length-<=k terms rides the wildcard keys (brute-force equal)") {
+    import spark.implicits._
+    // "a"/"b"-class pairs have NO surviving segment — the case the
+    // ScalaCheck pigeonhole property caught; must flow through the
+    // (len, -1, "") wildcard block end-to-end
+    val terms = Seq("a", "b", "ab", "ba", "abc", "xy", "x", "cab", "bc")
+    val expected = (for {
+      a <- terms; b <- terms if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    val got = FuzzyJoin.termPairs(terms.toDS(), 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2).toLong))
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got}, spurious=${got -- expected}")
+  }
+
   test("termPairs k=1 equals brute force incl. pure insert/delete pairs") {
     import spark.implicits._
     val terms = Seq("cat", "cats", "bat", "cart", "dog", "dot", "do",
