@@ -320,7 +320,9 @@ object AnalyticsQueries {
     * flags — one lag + one prefix-sum over the SAME user_id window
     * (one shuffle), then a groupBy on (user, session). Durations are
     * exact integer epoch-second differences. */
-  def tsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-session frame (user_id, sess_n, n_events, smin, smax) —
+    * shared by q_ts_sessionize and the interval-overlap join. */
+  private def sessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Fixtures.events(spark, sfDir)
@@ -333,8 +335,14 @@ object AnalyticsQueries {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"sess_n")
       .agg(count(lit(1)).as("n_events"),
-        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts")))
-          .as("duration_s"))
+        min($"ts").as("smin"), max($"ts").as("smax"))
+  }
+
+  def tsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sessions(spark, sfDir)
+      .select($"user_id", $"sess_n", $"n_events",
+        (unix_timestamp($"smax") - unix_timestamp($"smin")).as("duration_s"))
       .orderBy($"user_id", $"sess_n")
   }
 
@@ -360,6 +368,64 @@ object AnalyticsQueries {
       |  CAST(date_diff('second', min(CAST(ts AS TIMESTAMP)),
       |    max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS duration_s
       |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_n""".stripMargin
+
+  /** Interval-overlap join — the third temporal-join family beside
+    * q_join_range (point-in-band) and q_join_asof (nearest-preceding):
+    * which user sessions overlap the corpus's worst error-burst hours.
+    * A raw overlap predicate (s.start < w.end AND s.end >= w.start)
+    * would plan as BroadcastNestedLoopJoin — the per-row interval
+    * comparison this repo bans; instead sessions EXPLODE into the
+    * hour buckets they span (bounded: sessions are minutes long) and
+    * the join is an EQUI-join on the hour — the standard
+    * interval-bucketing rewrite, same family as the PassJoin segment
+    * blocking. The incident side is top-12-by-count (deterministic
+    * tie-break on the hour), metadata-scale, broadcast. */
+  def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val incidents = Fixtures.events(spark, sfDir)
+      .filter($"event_type" === "error")
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n_err"))
+      .orderBy(desc("n_err"), $"h").limit(12)
+    val spanned = sessions(spark, sfDir)
+      .withColumn("h", explode(sequence(
+        date_trunc("hour", $"smin"), date_trunc("hour", $"smax"),
+        expr("interval 1 hour"))))
+    spanned.join(broadcast(incidents), "h")
+      .groupBy($"h", $"n_err")
+      .agg(count(lit(1)).as("n_sessions"))
+      .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"n_err", $"n_sessions")
+      .orderBy($"window_start")
+  }
+
+  val joinIntervalSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    date_diff('second',
+      |      lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |b AS (
+      |  SELECT user_id, ts,
+      |    sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sess_n
+      |  FROM g),
+      |s AS (
+      |  SELECT user_id, sess_n, min(CAST(ts AS TIMESTAMP)) AS smin,
+      |    max(CAST(ts AS TIMESTAMP)) AS smax
+      |  FROM b GROUP BY 1, 2),
+      |i AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    count(*) AS n_err
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY 1 ORDER BY n_err DESC, h LIMIT 12)
+      |SELECT strftime(i.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  CAST(i.n_err AS BIGINT) AS n_err, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM i JOIN s
+      |  ON s.smin < i.h + INTERVAL 1 HOUR AND s.smax >= i.h
+      |GROUP BY 1, 2 ORDER BY window_start""".stripMargin
 
   /** Vector math as first-class columns — the brief-named
     * `zip_with`/`aggregate` dot-product pattern, ORACLE-checked:
@@ -729,7 +795,8 @@ object AnalyticsQueries {
     "q_text_normalize" -> (textNormalize _),
     "q_agg_quantile_hist" -> (aggQuantileHist _),
     "q_check_quality" -> (checkQuality _),
-    "q_sample_topk_hash" -> (sampleTopkHash _))
+    "q_sample_topk_hash" -> (sampleTopkHash _),
+    "q_join_interval" -> (joinInterval _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,
@@ -741,5 +808,6 @@ object AnalyticsQueries {
     "q_scalar_vector" -> scalarVectorSql,
     "q_agg_quantile_hist" -> aggQuantileHistSql,
     "q_check_quality" -> checkQualitySql,
-    "q_sample_topk_hash" -> sampleTopkHashSql)
+    "q_sample_topk_hash" -> sampleTopkHashSql,
+    "q_join_interval" -> joinIntervalSql)
 }

@@ -127,6 +127,42 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("q_join_interval: hour-bucket blocking equals the naive overlap join") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.joinInterval(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 12)
+    // brute-force recompute: sessions x incident hours, raw overlap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = Fixtures.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("gap", unix_timestamp($"ts") -
+        unix_timestamp(lag($"ts", 1).over(w)))
+      .withColumn("sess_n", sum(when($"gap".isNull || $"gap" > 1800, 1L)
+        .otherwise(0L)).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sess_n")
+      .agg(min(unix_timestamp($"ts")).as("smin"),
+        max(unix_timestamp($"ts")).as("smax"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val incidents = Fixtures.events(spark, sfDir)
+      .filter($"event_type" === "error")
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), $"h").limit(12)
+      .select(unix_timestamp($"h"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = incidents.map { case (h, _) =>
+      (h, sess.count { case (smin, smax) => smin < h + 3600 && smax >= h })
+    }.filter(_._2 > 0).toMap
+    val got = rows.map { r =>
+      val h = java.time.LocalDateTime.parse(r.getString(0),
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      (h, r.getLong(2).toInt)
+    }.toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("q_scalar_vector: cosine bounded, norms positive, n-1 consecutive pairs") {
     val rows = AnalyticsQueries.scalarVector(spark, sfDir).collect()
     val n = Fixtures.embeddings(spark, sfDir).count()

@@ -173,6 +173,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(queries.AnalyticsQueries.aggQuantileHist(spark, sfDir)) <= 5)
   }
 
+  test("q_join_interval: hour-bucket rewrite keeps the overlap join equi (no BNLJ)") {
+    val p = plan(queries.AnalyticsQueries.joinInterval(spark, sfDir))
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "interval overlap must block into an equi-join")
+    assert(broadcasts(p) >= 1, "the incident side is metadata-scale")
+  }
+
   test("q_join_fuzzy: segment-blocked join, never a cartesian product") {
     val p = plan(queries.AnalyticsQueries.joinFuzzy(spark, sfDir))
     assert(shuffles(p) <= 5, p.toString)
