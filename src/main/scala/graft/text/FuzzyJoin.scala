@@ -109,7 +109,10 @@ object FuzzyJoin {
       .filter($"term_a" < $"term_b")
       .select($"term_a", $"term_b")
       .distinct()
-      .withColumn("dist", levenshtein($"term_a", $"term_b"))
-      .filter($"dist" <= k)
+      // threshold form = Ukkonen-banded O(k·len) per verify instead of
+      // the O(len²) full DP; returns -1 past the threshold, the exact
+      // distance (same value the unbounded form gives) within it
+      .withColumn("dist", levenshtein($"term_a", $"term_b", k))
+      .filter($"dist" >= 0)
   }
 }

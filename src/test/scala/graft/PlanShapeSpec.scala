@@ -131,6 +131,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(queries.WindowQueries.tsFunnel(spark, sfDir)) <= 8)
   }
 
+  test("rank-filter windows get Catalyst's WindowGroupLimit pushdown (top-k never full-sorts groups)") {
+    // the Spark-first payoff pin: `row_number <= k` over a window is
+    // rewritten by InferWindowGroupLimit into a per-partition bounded
+    // group-limit before the shuffle — the declarative plan gets the
+    // bounded-heap physical strategy for free. If a refactor breaks
+    // eligibility (e.g. filtering on a derived column), top-k silently
+    // degrades to full per-group sorts at 100 TB.
+    val rank = plan(queries.WindowQueries.winRank(spark, sfDir))
+    assert(rank.toString.contains("WindowGroupLimit"), rank.toString)
+    val topk = plan(queries.AnalyticsQueries.sampleTopkHash(spark, sfDir))
+    assert(topk.toString.contains("WindowGroupLimit"), topk.toString)
+    val tfidf = plan(TextQueries.textTfidf(spark, sfDir))
+    assert(tfidf.toString.contains("WindowGroupLimit"), tfidf.toString)
+  }
+
   test("q_ts_retention: activity/cohort shuffle on user_id; cohort sizes broadcast") {
     // (user,wk) distinct (1) + cohort groupBy (1) + act⋈cohort join
     // sides (2) + (cwk, week_n) groupBy (1) + final sort (1) = 6; the
