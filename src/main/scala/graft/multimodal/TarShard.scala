@@ -1,0 +1,121 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** Minimal USTAR (POSIX.1-1988 tar, public spec) writer/reader — the
+  * container behind WebDataset-style multimodal training shards: a
+  * sample is a group of adjacent members sharing a basename
+  * (`000042.png` + `000042.json`), a shard is one tar, a dataset is a
+  * directory of shards streamed sequentially by the training job. Tar
+  * (not zip/parquet) because training readers want pure sequential IO
+  * with zero central directory.
+  *
+  * Only the subset shards need: regular files (typeflag '0'), names up
+  * to 100 bytes, sizes below 8 GiB (12-digit octal). Headers are exact
+  * USTAR: 512-byte blocks, zero-padded octal fields, checksum computed
+  * with the checksum field blanked to spaces and stored as 6 octal
+  * digits + NUL + space, "ustar" NUL magic + "00" version, data padded
+  * to 512, two zero blocks as the archive trailer. TarShardSpec pins
+  * the byte layout against the published offsets, round-trips, and
+  * cross-checks against Python's tarfile when available. */
+object TarShard {
+
+  case class Entry(name: String, data: Array[Byte])
+
+  private val Block = 512
+
+  private def octal(value: Long, width: Int): Array[Byte] = {
+    // width-1 zero-padded octal digits + space terminator (POSIX
+    // readers accept NUL or space; GNU tar writes the space form for
+    // several fields)
+    val s = java.lang.Long.toOctalString(value)
+    val padded = ("0" * (width - 1 - s.length)) + s
+    require(padded.length == width - 1,
+      s"value $value overflows $width-byte octal field")
+    (padded + " ").getBytes("US-ASCII")
+  }
+
+  private def header(name: String, size: Long): Array[Byte] = {
+    val nameBytes = name.getBytes("US-ASCII")
+    require(nameBytes.length <= 100, s"tar member name too long: $name")
+    val h = new Array[Byte](Block)
+    System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
+    System.arraycopy(octal(420, 8), 0, h, 100, 8) // mode 0644
+    System.arraycopy(octal(0, 8), 0, h, 108, 8) // uid
+    System.arraycopy(octal(0, 8), 0, h, 116, 8) // gid
+    System.arraycopy(octal(size, 12), 0, h, 124, 12)
+    System.arraycopy(octal(0, 12), 0, h, 136, 12) // mtime 0: deterministic shards
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum blanked for the sum
+    h(156) = '0' // typeflag: regular file
+    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+    h(262) = 0 // magic NUL terminator
+    h(263) = '0'; h(264) = '0' // version "00"
+    var sum = 0L
+    var i = 0
+    while (i < Block) { sum += (h(i) & 0xff); i += 1 }
+    // the POSIX checksum form: 6 octal digits, NUL, space
+    val cs = java.lang.Long.toOctalString(sum)
+    val csPad = ("0" * (6 - cs.length)) + cs
+    System.arraycopy(csPad.getBytes("US-ASCII"), 0, h, 148, 6)
+    h(154) = 0
+    h(155) = ' '
+    h
+  }
+
+  def write(entries: Seq[Entry]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    entries.foreach { e =>
+      out.write(header(e.name, e.data.length.toLong))
+      out.write(e.data)
+      val pad = (Block - e.data.length % Block) % Block
+      if (pad > 0) out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](2 * Block)) // end-of-archive
+    out.toByteArray
+  }
+
+  private def parseOctal(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    while (i < end && b(i) != 0 && b(i) != ' ') {
+      require(b(i) >= '0' && b(i) <= '7', s"bad octal digit at $i")
+      v = v * 8 + (b(i) - '0')
+      i += 1
+    }
+    v
+  }
+
+  def read(tar: Array[Byte]): Seq[Entry] = {
+    val out = Seq.newBuilder[Entry]
+    var off = 0
+    while (off + Block <= tar.length && tar(off) != 0) {
+      val nameEnd = {
+        var i = off
+        while (i < off + 100 && tar(i) != 0) i += 1
+        i
+      }
+      val name = new String(tar, off, nameEnd - off, "US-ASCII")
+      val magic = new String(tar, off + 257, 5, "US-ASCII")
+      require(magic == "ustar", s"not a ustar header at offset $off: '$magic'")
+      // verify the stored checksum against a blanked-field recompute —
+      // a corrupt shard fails HERE, naming the offset, not downstream
+      val stored = parseOctal(tar, off + 148, 8)
+      var sum = 0L
+      var i = off
+      while (i < off + Block) {
+        sum += (if (i >= off + 148 && i < off + 156) ' '.toByte
+                else tar(i)) & 0xff
+        i += 1
+      }
+      require(sum == stored, s"tar checksum mismatch at offset $off")
+      val size = parseOctal(tar, off + 124, 12)
+      val data = java.util.Arrays.copyOfRange(tar, off + Block,
+        off + Block + size.toInt)
+      out += Entry(name, data)
+      val dataBlocks = ((size + Block - 1) / Block).toInt
+      off += Block * (1 + dataBlocks)
+    }
+    out.result()
+  }
+}

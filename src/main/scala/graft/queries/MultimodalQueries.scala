@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Fixtures
-import graft.multimodal.BinaryCodec
+import graft.multimodal.{BinaryCodec, TarShard}
 
 /** Multimodal-column surface: media as opaque binary + typed metadata,
   * feature extraction batched in mapPartitions (SURVEY-adjacent; the
@@ -124,11 +124,54 @@ object MultimodalQueries {
       .orderBy($"doc_id")
   }
 
+  /** WebDataset-style shard materialization + read-back: pack the
+    * image payloads into USTAR shards (per sample: `<key>.png` +
+    * `<key>.json` metadata, the WebDataset adjacency convention —
+    * see [[graft.multimodal.TarShard]]), one shard per range
+    * partition via `mapPartitions` (range partitioning makes shard
+    * CONTENT deterministic, not just the set), then re-read every
+    * shard, re-decode every image, and roll up — the full
+    * materialize→consume loop a multimodal training job runs. Shard
+    * build and re-read are both narrow map stages; the only shuffle
+    * is the deterministic range partition. NATIVE (TarShardSpec:
+    * USTAR byte-offset goldens, checksum refusal, round-trip, Python
+    * tarfile interop). */
+  def mmShards(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val shards = pngPayloads(spark, sfDir)
+      .toDF("doc_id", "payload")
+      .repartitionByRange(4, $"doc_id")
+      .mapPartitions { it =>
+        val entries = it.flatMap { r =>
+          val id = r.getLong(0)
+          val png = r.getAs[Array[Byte]](1)
+          val meta = s"""{"key":$id,"bytes":${png.length}}"""
+          Seq(TarShard.Entry(f"$id%08d.png", png),
+            TarShard.Entry(f"$id%08d.json", meta.getBytes("UTF-8")))
+        }.toSeq.sortBy(_.name) // deterministic member order per shard
+        if (entries.isEmpty) Iterator.empty
+        else Iterator.single(TarShard.write(entries))
+      }
+    shards
+      .flatMap { tar =>
+        val entries = TarShard.read(tar)
+        val images = entries.filter(_.name.endsWith(".png"))
+        val metas = entries.filter(_.name.endsWith(".json"))
+        val decoded = images.map(e => BinaryCodec.decodeImage(e.data))
+        Iterator.single((entries.size.toLong, images.size.toLong,
+          metas.size.toLong, tar.length.toLong,
+          decoded.map(_.width.toLong).sum))
+      }
+      .toDF("n_members", "n_images", "n_meta", "shard_bytes", "width_sum")
+      .orderBy($"shard_bytes", $"n_members")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_extract" -> (mmExtract _),
     "q_mm_frames" -> (mmFrames _),
     "q_mm_resize" -> (mmResize _),
-    "q_mm_audio" -> (mmAudio _))
+    "q_mm_audio" -> (mmAudio _),
+    "q_mm_shards" -> (mmShards _))
 
   val oracle: Map[String, String] = Map.empty
 }

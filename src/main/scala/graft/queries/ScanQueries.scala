@@ -251,12 +251,50 @@ object ScanQueries {
       .toDF("n_input_files", "n_output_files", "rows_in", "rows_out")
   }
 
+  /** JSONL sink + ingest with a corrupt-record policy — the LLM-data
+    * interchange loop (crawl dumps, annotation exports and eval sets
+    * all move as JSON Lines): write the documents table as JSONL,
+    * plant one malformed line and one schema-drifting line the way a
+    * real feed breaks, then read back PERMISSIVE with an explicit
+    * schema + `_corrupt_record` column — broken lines become
+    * QUARANTINED rows, never a job failure and never silent drops.
+    * Returns the conservation report. NATIVE (filesystem round-trip;
+    * JsonlSpec asserts exact row conservation, quarantine content,
+    * and clean-row equality with the source). */
+  def sinkJsonl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.TmpDirs.create("graft_jsonl")
+    val docs = Fixtures.documents(spark, sfDir)
+    docs.write.mode("overwrite").json(dir)
+    // plant the two classic feed breaks in their own part file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.json"),
+      "{\"doc_id\": 1e999, nope}\n{\"doc_id\": \"not-a-number\", \"text\": 42}\n"
+        .getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    val back = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache()
+    val nGood = back.filter($"_corrupt_record".isNull).count()
+    val nQuarantined = back.filter($"_corrupt_record".isNotNull).count()
+    val idsMatch = back.filter($"_corrupt_record".isNull)
+      .select($"doc_id").except(docs.select($"doc_id")).count() == 0
+    back.unpersist()
+    Seq((docs.count(), nGood, nQuarantined, idsMatch))
+      .toDF("rows_in", "rows_good", "rows_quarantined", "ids_match")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project" -> (scanProject _),
     "q_sink_partitioned" -> (sinkPartitioned _),
     "q_layout_zorder" -> (layoutZorder _),
     "q_scan_unpivot" -> (scanUnpivot _),
     "q_sink_compact" -> (sinkCompact _),
+    "q_sink_jsonl" -> (sinkJsonl _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_topk" -> (topk _),
     "q_setops" -> (setops _))

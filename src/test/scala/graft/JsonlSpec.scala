@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries.ScanQueries
+import org.apache.spark.sql.functions._
+
+/** JSONL round-trip laws: every source row survives, planted broken
+  * lines are QUARANTINED (not dropped, not fatal), and the clean rows
+  * are value-identical to the source table. */
+class JsonlSpec extends SparkSpec {
+
+  test("q_sink_jsonl: conservation + exactly the two planted breaks quarantined") {
+    val rows = ScanQueries.sinkJsonl(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (in, good, quarantined, idsMatch) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    assert(good == in, "every well-formed row must survive the round trip")
+    assert(quarantined == 2L, "both planted breaks must quarantine")
+    assert(idsMatch, "clean-row ids must equal the source ids")
+  }
+
+  test("clean rows are value-identical to the source after the round trip") {
+    import spark.implicits._
+    val dir = TmpDirs.create("graft_jsonl_spec")
+    val docs = Fixtures.documents(spark, sfDir)
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.count() == docs.count())
+    // exact multiset equality both directions
+    assert(back.except(docs).count() == 0)
+    assert(docs.except(back).count() == 0)
+    // quarantined rows carry the RAW offending line for triage
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-bad.json"),
+      "not json at all\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    // cache first: Spark refuses corrupt-column-only queries straight
+    // off the raw files (the parse that would produce the column is
+    // what's being skipped by pruning)
+    val parsed = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record").json(dir)
+      .cache()
+    val raw = parsed.filter($"_corrupt_record".isNotNull)
+      .select($"_corrupt_record").as[String].collect()
+    parsed.unpersist()
+    assert(raw.toSeq == Seq("not json at all"))
+  }
+}

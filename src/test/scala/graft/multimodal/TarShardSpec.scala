@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.queries.MultimodalQueries
+
+/** USTAR layout laws pinned against the published POSIX.1-1988 field
+  * offsets, plus an INDEPENDENT-reader interop check (Python's
+  * tarfile — the sandbox's stand-in for GNU tar, exactly like the
+  * JDK-ImageIO pins on the TIFF side). */
+class TarShardSpec extends SparkSpec {
+
+  private val sample = Seq(
+    TarShard.Entry("00000001.png", Array.tabulate(700)(i => (i % 251).toByte)),
+    TarShard.Entry("00000001.json", """{"key":1}""".getBytes("UTF-8")))
+
+  test("header bytes sit at the published USTAR offsets") {
+    val tar = TarShard.write(sample)
+    // name at 0
+    assert(new String(tar, 0, 12, "US-ASCII") == "00000001.png")
+    assert(tar(12) == 0)
+    // size at 124: 700 = 0o1274, 11 zero-padded digits + space
+    assert(new String(tar, 124, 12, "US-ASCII") == "00000001274 ")
+    // typeflag '0' at 156
+    assert(tar(156) == '0')
+    // magic "ustar\0" at 257, version "00" at 263
+    assert(new String(tar, 257, 5, "US-ASCII") == "ustar")
+    assert(tar(262) == 0 && tar(263) == '0' && tar(264) == '0')
+    // checksum field: 6 octal digits, NUL, space at 148
+    (148 until 154).foreach(i => assert(tar(i) >= '0' && tar(i) <= '7'))
+    assert(tar(154) == 0 && tar(155) == ' ')
+    // data starts at 512; next header at 512 + roundup(700) = 1536
+    assert(tar(512) == 0.toByte && tar(513) == 1.toByte)
+    assert(new String(tar, 1536, 13, "US-ASCII") == "00000001.json")
+    // trailer: two zero blocks
+    val total = tar.length
+    assert(total % 512 == 0)
+    assert(tar.slice(total - 1024, total).forall(_ == 0))
+  }
+
+  test("round-trip preserves names, order and bytes") {
+    val back = TarShard.read(TarShard.write(sample))
+    assert(back.map(_.name) == sample.map(_.name))
+    back.zip(sample).foreach { case (a, b) =>
+      assert(a.data.toSeq == b.data.toSeq)
+    }
+    assert(TarShard.read(TarShard.write(Nil)).isEmpty)
+  }
+
+  test("a flipped byte is refused with the offending offset") {
+    val tar = TarShard.write(sample)
+    tar(200) = (tar(200) ^ 0x7).toByte // inside the first header
+    val e = intercept[IllegalArgumentException](TarShard.read(tar))
+    assert(e.getMessage.contains("checksum mismatch at offset 0"))
+  }
+
+  test("python tarfile (independent reader) lists our members exactly") {
+    if (new java.io.File("/usr/bin/python3").exists()) {
+      val f = java.io.File.createTempFile("graft_tar", ".tar")
+      try {
+        java.nio.file.Files.write(f.toPath, TarShard.write(sample))
+        val out = new StringBuilder
+        val p = new ProcessBuilder("/usr/bin/python3", "-c",
+          s"""import tarfile
+             |t = tarfile.open('${f.getAbsolutePath}')
+             |for m in t.getmembers():
+             |    print(m.name, m.size, m.isfile())
+             |""".stripMargin).redirectErrorStream(true).start()
+        scala.io.Source.fromInputStream(p.getInputStream).getLines()
+          .foreach(l => out.append(l).append('\n'))
+        assert(p.waitFor() == 0, s"python tarfile rejected our shard:\n$out")
+        assert(out.toString ==
+          "00000001.png 700 True\n00000001.json 9 True\n")
+      } finally { f.delete(); () }
+    }
+  }
+
+  test("q_mm_shards: every doc packed exactly once across deterministic shards") {
+    val rows = MultimodalQueries.mmShards(spark, sfDir).collect()
+    assert(rows.length == 4, "range partitioning fixes the shard count")
+    val docs = graft.Fixtures.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == docs, "one image member per doc")
+    assert(rows.map(_.getLong(2)).sum == docs, "one json member per doc")
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) + r.getLong(2))
+      assert(r.getLong(3) % 512 == 0, "shards are whole tar blocks")
+      assert(r.getLong(4) > 0, "decoded widths prove real image payloads")
+    }
+    val again = MultimodalQueries.mmShards(spark, sfDir).collect()
+    assert(rows.toSeq == again.toSeq, "shard content must be deterministic")
+  }
+}
