@@ -464,6 +464,66 @@ object WindowQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Streaming CDC apply — the continuous twin of q_merge_upsert: a
+    * stream of upserts/deletes folded into per-key last-write-wins
+    * state via `mapGroupsWithState` (Update mode, tombstones visible)
+    * — see [[graft.streaming.CdcState]]. The feed plants every CDC
+    * ordering hazard: in-batch disorder, cross-batch revive-after-
+    * delete, and a LATE STALE update that must NOT roll its key back.
+    * NATIVE (CdcSpec: exact equality with the single-pass batch fold,
+    * batch-split invariance, the late-event no-rollback law). */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.streaming.CdcState
+    import graft.streaming.CdcState.Change
+    implicit val sqlCtx = spark.sqlContext
+    val (b1, b2, b3) = streamUpsertFeed()
+    val mem = MemoryStream[Change]
+    withShufflePartitions(spark, 4) {
+      val q = mem.toDS()
+        .groupByKey(_.key)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(CdcState.apply)
+        .writeStream.format("memory").queryName("q_stream_upsert_out")
+        .outputMode("update").start()
+      try {
+        for (b <- Seq(b1, b2, b3)) { mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    // the key's CURRENT row = its last emitted state (ts is monotone
+    // within a key by the LWW fold)
+    val w = Window.partitionBy($"key").orderBy(desc("ts"), desc("deleted"))
+    spark.table("q_stream_upsert_out")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"key", round($"value", 4).as("value"),
+        when($"deleted", lit("tombstone")).otherwise(lit("live")).as("status"))
+      .orderBy($"key")
+  }
+
+  /** The planted CDC feed shared with CdcSpec. */
+  private[graft] def streamUpsertFeed(): (Seq[graft.streaming.CdcState.Change],
+      Seq[graft.streaming.CdcState.Change], Seq[graft.streaming.CdcState.Change]) = {
+    import graft.streaming.CdcState.Change
+    val base = 1700000000000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000L)
+    val b1 = (0L until 10L).map(k => Change("upsert", k, k * 1.5 + 0.25, ts(k))) ++
+      Seq(Change("delete", 0L, 0.0, ts(100)), Change("delete", 1L, 0.0, ts(100)),
+        Change("delete", 2L, 0.0, ts(100)))
+    val b2 = Seq(
+      Change("upsert", 0L, 42.5, ts(200)), // revive after delete
+      Change("upsert", 5L, -1.0, ts(2)), // LATE STALE: must be ignored
+      Change("upsert", 10L, 10.75, ts(210)),
+      Change("upsert", 11L, 11.75, ts(211)),
+      Change("upsert", 12L, 12.75, ts(212)),
+      Change("delete", 3L, 0.0, ts(220)))
+    val b3 = Seq(
+      Change("upsert", 1L, 17.25, ts(300)), // second revive
+      Change("delete", 12L, 0.0, ts(301)))
+    (b1, b2, b3)
+  }
+
   /** Stream-stream inner join — ad-click attribution as a REAL
     * two-MemoryStream run: impressions ⋈ clicks on ad_id with the
     * time-range predicate `click_ts ∈ [imp_ts, imp_ts + 10 min]`.
@@ -705,6 +765,7 @@ object WindowQueries {
     "q_stream_watermark" -> (streamWatermark _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_custom_state" -> (streamCustomState _),
+    "q_stream_upsert" -> (streamUpsert _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_recovery" -> (streamRecovery _))
 

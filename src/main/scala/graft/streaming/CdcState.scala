@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.GroupState
+
+/** Streaming CDC apply — the change-data-capture half of the lakehouse
+  * loop (`q_merge_upsert` is the batch MERGE; this is the same
+  * semantics applied continuously to a stream of upserts/deletes):
+  * per-key LAST-WRITE-WINS state folded with `mapGroupsWithState`,
+  * emitting the key's current state every time it changes (Update
+  * mode), tombstones included so downstream readers see deletes.
+  *
+  * Ordering discipline: events inside a micro-batch arrive unordered —
+  * the fold sorts by (event ts, op, value) so it is deterministic and
+  * BATCH-SPLIT-INVARIANT (the same events through any batch boundaries
+  * fold to the same state — CdcSpec proves equality with the
+  * single-pass batch fold). A change OLDER than the key's current
+  * state is ignored (late duplicate delivery must not roll a key
+  * back), which is exactly the idempotence/out-of-order contract a
+  * CDC consumer needs.
+  *
+  * Scale contract: state per key is ONE [[CdcState.KeyState]] (ts +
+  * value + tombstone flag, O(1)); with a watermark-expired retention
+  * policy the state store stays O(live keys). */
+object CdcState {
+
+  /** One change event: op ∈ {"upsert", "delete"}. */
+  case class Change(op: String, key: Long, value: Double, ts: Timestamp)
+
+  /** Per-key current state (the tombstone keeps deletes visible). */
+  case class KeyState(tsMs: Long, value: Double, deleted: Boolean)
+
+  /** Update-mode output row: the key's state AFTER this batch. */
+  case class Current(key: Long, ts: Timestamp, value: Double,
+      deleted: Boolean)
+
+  def apply(key: Long, changes: Iterator[Change],
+      state: GroupState[KeyState]): Current = {
+    var st = state.getOption.getOrElse(KeyState(Long.MinValue, 0.0, true))
+    // deterministic, batch-split-invariant fold order
+    for (c <- changes.toSeq.sortBy(c => (c.ts.getTime, c.op, c.value))) {
+      val t = c.ts.getTime
+      if (t >= st.tsMs) {
+        st = c.op match {
+          case "upsert" => KeyState(t, c.value, deleted = false)
+          case "delete" => KeyState(t, 0.0, deleted = true)
+          case other => throw new IllegalArgumentException(
+            s"unknown CDC op '$other' for key $key")
+        }
+      } // older than current state: late re-delivery, ignored
+    }
+    state.update(st)
+    Current(key, new Timestamp(st.tsMs), st.value, st.deleted)
+  }
+
+  /** The reference single-pass batch fold (shared by CdcSpec and the
+    * oracle-style equality assertions): the state every key ends in
+    * when ALL changes are applied in deterministic order. */
+  def batchFold(changes: Seq[Change]): Map[Long, KeyState] =
+    changes.groupBy(_.key).map { case (k, cs) =>
+      var st = KeyState(Long.MinValue, 0.0, true)
+      for (c <- cs.sortBy(c => (c.ts.getTime, c.op, c.value))) {
+        val t = c.ts.getTime
+        if (t >= st.tsMs) {
+          st = c.op match {
+            case "upsert" => KeyState(t, c.value, deleted = false)
+            case "delete" => KeyState(t, 0.0, deleted = true)
+            case other => throw new IllegalArgumentException(
+              s"unknown CDC op '$other' for key $k")
+          }
+        }
+      }
+      (k, st)
+    }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries.WindowQueries
+import graft.streaming.CdcState
+import graft.streaming.CdcState.Change
+
+/** CDC-apply laws: the streamed per-key state equals the single-pass
+  * batch fold, the fold is batch-split-invariant, and late stale
+  * deliveries never roll a key back. */
+class CdcSpec extends SparkSpec {
+
+  test("q_stream_upsert equals the batch fold; hazards resolve as planted") {
+    val (b1, b2, b3) = WindowQueries.streamUpsertFeed()
+    val want = CdcState.batchFold(b1 ++ b2 ++ b3).map { case (k, st) =>
+      (k, (math.round(st.value * 10000) / 10000.0,
+        if (st.deleted) "tombstone" else "live"))
+    }
+    val gotFull = WindowQueries.streamUpsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getString(2)))).toMap
+    assert(gotFull == want, s"got=$gotFull\nwant=$want")
+    // the planted hazards, called out individually:
+    assert(gotFull(0L) == ((42.5, "live")), "revive after delete")
+    assert(gotFull(1L) == ((17.25, "live")), "second-batch revive")
+    assert(gotFull(2L)._2 == "tombstone", "un-revived delete stays dead")
+    assert(gotFull(3L)._2 == "tombstone")
+    assert(gotFull(5L) == ((5 * 1.5 + 0.25, "live")),
+      "late stale update must NOT roll the key back")
+    assert(gotFull(12L)._2 == "tombstone", "insert-then-delete across batches")
+  }
+
+  test("batch fold is split-invariant and ignores stale ops deterministically") {
+    val (b1, b2, b3) = WindowQueries.streamUpsertFeed()
+    val all = b1 ++ b2 ++ b3
+    val once = CdcState.batchFold(all)
+    // any re-partitioning of the same events folds identically
+    val shuffled = CdcState.batchFold(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(all))
+    assert(once == shuffled)
+    // idempotence under duplicate delivery
+    assert(CdcState.batchFold(all ++ b2) == once)
+  }
+
+  test("unknown op is refused loudly") {
+    val e = intercept[IllegalArgumentException] {
+      CdcState.batchFold(Seq(
+        Change("replace", 1L, 1.0, new java.sql.Timestamp(1L))))
+    }
+    assert(e.getMessage.contains("unknown CDC op 'replace'"))
+  }
+}
