@@ -288,6 +288,39 @@ object ScanQueries {
       .toDF("rows_in", "rows_good", "rows_quarantined", "ids_match")
   }
 
+  /** Parquet schema evolution — every long-lived table's reality: an
+    * early ingest batch wrote (doc_id, text), a later pipeline version
+    * added (lang, quality). `mergeSchema` unions the file schemas at
+    * read time; rows from the old batch surface the new columns as
+    * NULL — no rewrite of the old data, no reader fork. The report
+    * proves: all rows visible, the merged width, and that exactly the
+    * old batch's rows are null in the added columns (a miscounted
+    * null set means silent column misalignment). NATIVE
+    * (SchemaEvolutionSpec adds the narrowing direction and the
+    * no-mergeSchema contrast). */
+  def scanEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.TmpDirs.create("graft_evolve")
+    val docs = Fixtures.documents(spark, sfDir)
+    val old = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val nu = docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"text", $"lang",
+        ($"n_chars" >= 400).as("quality"))
+    old.write.mode("overwrite").parquet(s"$dir/batch=1")
+    nu.write.mode("overwrite").parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir).cache()
+    val out = Seq((
+      merged.count(),
+      merged.schema.fields.length.toLong,
+      merged.filter($"lang".isNull).count(),
+      merged.filter($"quality".isNull).count(),
+      old.count()))
+      .toDF("rows_total", "n_cols", "lang_nulls", "quality_nulls",
+        "rows_old_batch")
+    merged.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project" -> (scanProject _),
     "q_sink_partitioned" -> (sinkPartitioned _),
@@ -295,6 +328,7 @@ object ScanQueries {
     "q_scan_unpivot" -> (scanUnpivot _),
     "q_sink_compact" -> (sinkCompact _),
     "q_sink_jsonl" -> (sinkJsonl _),
+    "q_scan_evolution" -> (scanEvolution _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_topk" -> (topk _),
     "q_setops" -> (setops _))

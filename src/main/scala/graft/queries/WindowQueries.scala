@@ -464,6 +464,70 @@ object WindowQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Streaming windowed quantiles via the mergeable histogram — the
+    * q_agg_quantile_hist sketch running ON the stream: per (tumbling
+    * window, cent-resolution bin) counts are the ENTIRE streaming
+    * state (KB per window regardless of event volume — the reason
+    * monitoring systems stream histograms, never raw latencies), and
+    * the inverse-CDF walk happens batch-side on the final histogram
+    * with the same integer rank arithmetic as the batch twin.
+    * Complete-mode aggregation over a bounded demo feed; a production
+    * stream appends watermark-finalized windows instead — identical
+    * state shape. NATIVE (StreamQuantileSpec: exact equality with
+    * nearest-rank quantiles of the same rows computed directly). */
+  def streamQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val feed = streamQuantileFeed()
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    withShufflePartitions(spark, 4) {
+      val q = mem.toDF().toDF("ts", "value")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window($"ts", "10 minutes"),
+          round($"value" * 100).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("q_stream_quantile_out")
+        .outputMode("complete").start()
+      try {
+        val (b1, b2) = feed.splitAt(feed.length / 2)
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val hist = spark.table("q_stream_quantile_out")
+      .select(date_format($"window.start", fmtS).as("window_start"),
+        $"bin", $"n")
+    val byW = Window.partitionBy($"window_start")
+    def qAt(pct: Int) = min(when(
+      $"cum" >= expr(s"(total * $pct + 99) div 100"), $"bin"))
+      .cast("double") / 100.0
+    hist
+      .withColumn("cum", sum($"n").over(byW.orderBy($"bin")))
+      .withColumn("total", sum($"n").over(byW))
+      .groupBy($"window_start")
+      .agg(max($"total").as("n"), round(qAt(50), 2).as("p50"),
+        round(qAt(95), 2).as("p95"))
+      .orderBy($"window_start")
+  }
+
+  /** Deterministic heavy-tailed two-window feed shared with the spec. */
+  private[graft] def streamQuantileFeed(): Seq[(java.sql.Timestamp, Double)] = {
+    val base = 1700000000000L
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until 600).map { i =>
+      val u = math.abs(mix(i.toLong)).toDouble / Long.MaxValue
+      // exponential-ish tail, 2-decimal fixed point like events.value
+      val v = math.round(-40.0 * math.log(1.0 - u * 0.999) * 100) / 100.0
+      (new java.sql.Timestamp(base + i * 2000L), v)
+    }
+  }
+
   /** Streaming CDC apply — the continuous twin of q_merge_upsert: a
     * stream of upserts/deletes folded into per-key last-write-wins
     * state via `mapGroupsWithState` (Update mode, tombstones visible)
@@ -766,6 +830,7 @@ object WindowQueries {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_custom_state" -> (streamCustomState _),
     "q_stream_upsert" -> (streamUpsert _),
+    "q_stream_quantile" -> (streamQuantile _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_recovery" -> (streamRecovery _))
 

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.{ScanQueries, WindowQueries}
+import org.apache.spark.sql.functions._
+
+/** Schema-evolution and streaming-quantile laws (round 16). */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  test("q_scan_evolution: merged read sees every row; exactly the old batch nulls the added columns") {
+    val r = ScanQueries.scanEvolution(spark, sfDir).collect().head
+    val (total, nCols, langNulls, qualNulls, oldRows) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(total == Fixtures.documents(spark, sfDir).count())
+    assert(nCols == 5L, "doc_id + text + lang + quality + batch partition col")
+    assert(langNulls == oldRows, "added columns are null for EXACTLY the old rows")
+    assert(qualNulls == oldRows)
+  }
+
+  test("without mergeSchema the first-listed file schema wins silently — the hazard the option exists for") {
+    import spark.implicits._
+    val dir = TmpDirs.create("graft_evolve_spec")
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    Seq((2L, "b", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val plain = spark.read.parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.contains("lang"))
+    assert(merged.count() == 2)
+    // the plain read may or may not surface lang depending on which
+    // footer Spark samples — the point is merged ALWAYS does
+    assert(plain.count() == 2)
+  }
+
+  test("q_stream_quantile equals nearest-rank quantiles computed directly from the feed") {
+    val got = WindowQueries.streamQuantile(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val feed = WindowQueries.streamQuantileFeed()
+    val byWindow = feed.groupBy { case (ts, _) =>
+      val w = ts.getTime - math.floorMod(ts.getTime, 10 * 60 * 1000L)
+      java.time.Instant.ofEpochMilli(w)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    }
+    assert(got.length == byWindow.size, "every fed window must surface")
+    got.foreach { r =>
+      val (ws, n, p50, p95) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val vs = byWindow(ws).map(_._2).sorted
+      assert(n == vs.length.toLong)
+      def rank(pct: Int) = ((vs.length.toLong * pct + 99) / 100).toInt
+      assert(p50 == vs(rank(50) - 1), s"$ws p50: $p50 vs ${vs(rank(50) - 1)}")
+      assert(p95 == vs(rank(95) - 1), s"$ws p95: $p95 vs ${vs(rank(95) - 1)}")
+      assert(p50 <= p95)
+    }
+  }
+}
