@@ -182,6 +182,16 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "vec_id+1 must plan as an equi-join")
   }
 
+  test("q_mix_dsir scoring is a narrow map: rollup groupBy + sort only") {
+    // the histogram passes run EAGERLY at construction; the returned
+    // frame is the zero-shuffle scoring map + one groupBy + the sort
+    assert(shuffles(queries.AnalyticsQueries.mixDsir(spark, sfDir)) <= 2)
+  }
+
+  test("q_text_normalize is a narrow typed map: rollup groupBy + sort only") {
+    assert(shuffles(queries.AnalyticsQueries.textNormalize(spark, sfDir)) <= 2)
+  }
+
   test("q_agg_quantile_hist: two histogram groupBys + the bin-bounded window + sort") {
     // daily-sketch groupBy (1) + merge groupBy (1) + the cumulative
     // window & final rollup run over BIN-bounded rows (1-2) + sort (1)
