@@ -611,6 +611,116 @@ object AnalyticsQueries {
     (b1, b2)
   }
 
+  /** Classifier evaluation — the third leg of the ML loop (train =
+    * q_text_classifier, apply = q_stream_score, evaluate = THIS):
+    * confusion counts, precision/recall/F1 at the 0.5 threshold, and
+    * threshold-free AUC via the Mann-Whitney rank-sum identity
+    *    AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N)
+    * computed with ONE global rank window over (score, doc_id) — the
+    * doc_id tie-break makes ranks (and therefore the AUC on tied
+    * scores) deterministic. The global window ranks the HOLDOUT only
+    * (eval sets are bounded by design); a corpus-scale AUC would bin
+    * scores first (the q_agg_quantile_hist histogram) and rank-sum
+    * the bin-bounded rollup. Counts are exact integers; AUC is a
+    * ratio of exact integers rounded once. NATIVE (model scores are
+    * engine-side; MetricsSpec pins the closed forms — perfect
+    * separation → 1, inverted → 0, the rank-sum identity against a
+    * driver replica, and confusion-count conservation). */
+  def evalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 256
+    val feat = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        ($"n_chars" >= 400).cast("double").as("label"))
+      .as[(Long, String, Double)]
+      .map { case (id, text, y) =>
+        (id, QualityClassifier.featurize(text, dim), y)
+      }
+      .toDF("doc_id", "features", "label")
+      .withColumn("fold",
+        shiftright($"doc_id" * lit(2654435761L), 20) % 5)
+    val train = feat.filter($"fold" =!= 0)
+      .select($"features", $"label").as[(Array[Double], Double)].cache()
+    val model = QualityClassifier.train(train,
+      dim + QualityClassifier.ExtraFeatures, iters = 40)
+    train.unpersist()
+    val bc = spark.sparkContext.broadcast(model)
+    val scored = feat.filter($"fold" === 0)
+      .select($"doc_id", $"features", $"label")
+      .as[(Long, Array[Double], Double)]
+      .map { case (id, f, y) => (id, y, bc.value.score(f)) }
+      .toDF("doc_id", "label", "p")
+    val ranked = scored.withColumn("r",
+      row_number().over(Window.orderBy($"p", $"doc_id")).cast("long"))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(when($"label" === 1.0 && $"p" >= 0.5, 1L).otherwise(0L)).as("tp"),
+      sum(when($"label" === 0.0 && $"p" >= 0.5, 1L).otherwise(0L)).as("fp"),
+      sum(when($"label" === 0.0 && $"p" < 0.5, 1L).otherwise(0L)).as("tn"),
+      sum(when($"label" === 1.0 && $"p" < 0.5, 1L).otherwise(0L)).as("fn"),
+      sum(when($"label" === 1.0, $"r").otherwise(0L)).as("rank_sum"),
+      sum(when($"label" === 1.0, 1L).otherwise(0L)).as("pos"),
+      sum(when($"label" === 0.0, 1L).otherwise(0L)).as("neg"))
+      .select($"n", $"tp", $"fp", $"tn", $"fn",
+        round($"tp".cast("double") / ($"tp" + $"fp"), 4).as("precision"),
+        round($"tp".cast("double") / ($"tp" + $"fn"), 4).as("recall"),
+        round(lit(2.0) * $"tp" / (lit(2.0) * $"tp" + $"fp" + $"fn"), 4)
+          .as("f1"),
+        round(($"rank_sum" - $"pos" * ($"pos" + 1) / 2).cast("double") /
+          ($"pos" * $"neg"), 4).as("auc"))
+  }
+
+  /** Snapshot diff / reconciliation — the "what changed between
+    * yesterday's table and today's" audit every pipeline runs before
+    * promoting a snapshot: FULL OUTER join on the key, rows classified
+    * added / removed / changed (content hash differs) / unchanged.
+    * The new snapshot is derived from the old one by deterministic
+    * planted rules (drop doc_id%97=0, edit text for doc_id%53=0) so
+    * the ORACLE reproduces it exactly; one shuffle on the join key at
+    * any scale, md5 comparison instead of column-by-column so wide
+    * tables diff at hash cost. */
+  def scanDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val old = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+    val nu = old
+      .filter($"doc_id" % 97 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 53 === 0, concat($"text", lit(" [edited]")))
+          .otherwise($"text"))
+      .unionByName(old.filter($"doc_id" % 89 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+          concat($"text", lit(" [new]")).as("text")))
+    old.as("a").join(nu.as("b"), Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when(col("a.text").isNull, lit("added"))
+          .when(col("b.text").isNull, lit("removed"))
+          .when(md5(col("a.text")) =!= md5(col("b.text")), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+      .groupBy($"change_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"change_type")
+  }
+
+  val scanDiffSql: String =
+    """WITH old AS (SELECT doc_id, source, text FROM documents),
+      |new AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 53 = 0 THEN text || ' [edited]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, source, text || ' [new]' AS text
+      |  FROM documents WHERE doc_id % 89 = 0),
+      |d AS (
+      |  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+      |    CASE WHEN old.text IS NULL THEN 'added'
+      |         WHEN new.text IS NULL THEN 'removed'
+      |         WHEN md5(old.text) <> md5(new.text) THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+      |SELECT change_type, count(*) AS n FROM d
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Deequ-style data-quality constraint suite — the dbt-test /
     * AWS-Deequ pattern (public): declarative rules evaluated as ONE
     * relational query per rule family, emitting (rule, n_violations)
@@ -796,7 +906,9 @@ object AnalyticsQueries {
     "q_agg_quantile_hist" -> (aggQuantileHist _),
     "q_check_quality" -> (checkQuality _),
     "q_sample_topk_hash" -> (sampleTopkHash _),
-    "q_join_interval" -> (joinInterval _))
+    "q_join_interval" -> (joinInterval _),
+    "q_eval_metrics" -> (evalMetrics _),
+    "q_scan_diff" -> (scanDiff _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,
@@ -809,5 +921,6 @@ object AnalyticsQueries {
     "q_agg_quantile_hist" -> aggQuantileHistSql,
     "q_check_quality" -> checkQualitySql,
     "q_sample_topk_hash" -> sampleTopkHashSql,
-    "q_join_interval" -> joinIntervalSql)
+    "q_join_interval" -> joinIntervalSql,
+    "q_scan_diff" -> scanDiffSql)
 }

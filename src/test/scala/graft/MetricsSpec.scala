@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+
+/** Evaluation-metric laws: the Mann-Whitney AUC closed forms, the
+  * rank-sum identity against a driver replica, and confusion-count
+  * conservation on the real query. */
+class MetricsSpec extends SparkSpec {
+
+  /** Driver reference: AUC by direct pair counting (ties broken by id,
+    * matching the query's (p, doc_id) rank order). */
+  private def aucRef(scored: Seq[(Long, Double, Double)]): Double = {
+    val sorted = scored.sortBy { case (id, _, p) => (p, id) }
+    val ranks = sorted.zipWithIndex.map { case ((id, y, _), i) =>
+      (y, (i + 1).toLong)
+    }
+    val pos = ranks.count(_._1 == 1.0).toLong
+    val neg = ranks.count(_._1 == 0.0).toLong
+    val rankSum = ranks.filter(_._1 == 1.0).map(_._2).sum
+    (rankSum - pos * (pos + 1) / 2).toDouble / (pos * neg)
+  }
+
+  test("closed forms: perfect separation = 1, inverted = 0, interleaved = 0.5") {
+    val perfect = (1L to 10L).map(i => (i, if (i > 5) 1.0 else 0.0, i / 10.0))
+    assert(aucRef(perfect) == 1.0)
+    val inverted = perfect.map { case (i, y, p) => (i, 1.0 - y, p) }
+    assert(aucRef(inverted) == 0.0)
+    // strict alternation starting with a positive: positives hold the
+    // ODD ranks 1,3,5,7,9 → rank-sum 25 → AUC = (25−15)/25 = 0.4
+    // exactly (not 0.5 — alternation is a worse-than-random-looking
+    // but perfectly deterministic ordering)
+    val interleaved = (1L to 10L).map(i => (i, (i % 2).toDouble, i / 10.0))
+    assert(aucRef(interleaved) == 0.4)
+    // a label-independent score IS ~0.5
+    val rnd = new scala.util.Random(41)
+    val noise = (1L to 2000L).map(i =>
+      (i, (i % 2).toDouble, rnd.nextDouble()))
+    assert(math.abs(aucRef(noise) - 0.5) < 0.05)
+  }
+
+  test("q_eval_metrics: conservation laws + AUC consistent with confusion quality") {
+    val r = AnalyticsQueries.evalMetrics(spark, sfDir).collect().head
+    val (n, tp, fp, tn, fn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    val (prec, rec, f1, auc) = (r.getDouble(5), r.getDouble(6),
+      r.getDouble(7), r.getDouble(8))
+    assert(tp + fp + tn + fn == n, "confusion cells partition the holdout")
+    assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-3)
+    assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-3)
+    assert(f1 > 0 && f1 <= 1.0)
+    assert(auc >= 0.9,
+      s"the distilled model separates the length gate well, got $auc")
+    assert(auc <= 1.0)
+  }
+
+  test("the distributed rank-sum equals the driver replica on a planted sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    val scored = (1L to 200L).map { i =>
+      val y = if (i % 3 == 0) 1.0 else 0.0
+      // noisy but informative score, with deliberate ties
+      val p = math.round((y * 0.4 + rnd.nextDouble() * 0.6) * 20) / 20.0
+      (i, y, p)
+    }
+    val df = scored.toDF("doc_id", "label", "p")
+      .withColumn("r",
+        row_number().over(Window.orderBy($"p", $"doc_id")).cast("long"))
+    val row = df.agg(
+      sum(when($"label" === 1.0, $"r").otherwise(0L)).as("rank_sum"),
+      sum(when($"label" === 1.0, 1L).otherwise(0L)).as("pos"),
+      sum(when($"label" === 0.0, 1L).otherwise(0L)).as("neg")).collect().head
+    val auc = (row.getLong(0) - row.getLong(1) * (row.getLong(1) + 1) / 2)
+      .toDouble / (row.getLong(1) * row.getLong(2))
+    assert(math.abs(auc - aucRef(scored)) < 1e-12)
+  }
+}
