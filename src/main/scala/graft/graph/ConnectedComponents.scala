@@ -1,0 +1,58 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Generic connected components by min-label propagation + pointer
+  * jumping — the reusable core of the near-dup clustering operator
+  * (`DedupQueries.dedupClusters` keeps its own fused version with
+  * shared-cache bookkeeping; this standalone form serves any edge
+  * list, e.g. the fuzzy-term graph of entity resolution).
+  *
+  * Same iterative discipline as [[PageRank]]: edges deduped,
+  * bidirected and cached ONCE; each round is one join + one groupBy
+  * (min over neighbor labels) plus a self-join pointer jump that
+  * shortcuts chain components (labels only decrease, so jumping to the
+  * label's label is always sound); `localCheckpoint` per round keeps
+  * lineage O(1); convergence = zero label changes, O(diameter/2)
+  * rounds. */
+object ConnectedComponents {
+
+  /** (node, cluster) for every node in `edges(src, dst)`; cluster is
+    * the MIN node id of the component — deterministic. */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .union(edges.select($"dst".cast("long").as("src"),
+        $"src".cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select($"src".as("node")).distinct()
+      .withColumn("cluster", $"node")
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val msgs = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy($"dst".as("node"))
+        .agg(min($"cluster").as("nbr_min"))
+      val adopted = labels.join(msgs, Seq("node"), "left")
+        .select($"node", $"cluster".as("old"),
+          least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
+        .localCheckpoint()
+      val next = adopted
+        .join(adopted.select($"node".as("cluster"), $"cluster".as("jump")),
+          Seq("cluster"), "left")
+        .select($"node", $"old",
+          least($"cluster", coalesce($"jump", $"cluster")).as("cluster"))
+        .localCheckpoint()
+      changed = next.filter($"cluster" =!= $"old").count()
+      labels = next.select($"node", $"cluster")
+      iter += 1
+    }
+    e.unpersist()
+    labels
+  }
+}

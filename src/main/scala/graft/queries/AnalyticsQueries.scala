@@ -611,6 +611,52 @@ object AnalyticsQueries {
     (b1, b2)
   }
 
+  /** Entity resolution end-to-end — the composition the similarity
+    * join exists FOR: fuzzy pairs over the vocabulary (PassJoin
+    * blocking, lev ≤ 2) become the edge list of a variant graph, a
+    * generic connected-components pass groups the variants
+    * ([[graft.graph.ConnectedComponents]]), and each group
+    * canonicalizes to its lexicographically-smallest member — the
+    * dedupe-to-canonical-form pipeline for entity names / spelling
+    * variants. Terms get deterministic dense ids (row_number over the
+    * sorted vocabulary) so the numeric CC labels map back stably.
+    * NATIVE (iterative; EntityResolveSpec pins exact equality with
+    * brute-force components of the brute-force pair graph, plus the
+    * canonical-member law). */
+  def entityResolve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Fixtures.documents(spark, sfDir)
+      .select(explode(expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)"))
+        .as("term"))
+      .distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy($"term")).cast("long"))
+      .cache()
+    val pairs = FuzzyJoin.termPairs(terms.select($"term").as[String], k = 2)
+    val edges = pairs
+      .join(terms.withColumnRenamed("term", "term_a")
+        .withColumnRenamed("id", "src"), Seq("term_a"))
+      .join(terms.withColumnRenamed("term", "term_b")
+        .withColumnRenamed("id", "dst"), Seq("term_b"))
+      .select($"src", $"dst")
+    val cc = graft.graph.ConnectedComponents.run(edges)
+    // singletons (no near-variant) are their own canonical form
+    val labeled = terms.join(cc.withColumnRenamed("node", "id"),
+        Seq("id"), "left")
+      .withColumn("cluster", coalesce($"cluster", $"id"))
+    val out = labeled
+      .groupBy($"cluster")
+      .agg(min($"term").as("canonical"),
+        count(lit(1)).as("n_variants"),
+        array_join(array_sort(collect_list($"term")), ",").as("variants"))
+      .filter($"n_variants" > 1) // report the groups that resolved
+      .select($"canonical", $"n_variants", $"variants")
+      .orderBy($"canonical")
+    terms.unpersist()
+    out
+  }
+
   /** Classifier evaluation — the third leg of the ML loop (train =
     * q_text_classifier, apply = q_stream_score, evaluate = THIS):
     * confusion counts, precision/recall/F1 at the 0.5 threshold, and
@@ -908,7 +954,8 @@ object AnalyticsQueries {
     "q_sample_topk_hash" -> (sampleTopkHash _),
     "q_join_interval" -> (joinInterval _),
     "q_eval_metrics" -> (evalMetrics _),
-    "q_scan_diff" -> (scanDiff _))
+    "q_scan_diff" -> (scanDiff _),
+    "q_entity_resolve" -> (entityResolve _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,

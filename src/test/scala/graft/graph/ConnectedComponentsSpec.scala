@@ -1,0 +1,86 @@
+package graft.graph
+
+import graft.SparkSpec
+import graft.queries.AnalyticsQueries
+
+/** Generic connected-components laws + the entity-resolution
+  * composition pinned against brute force. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  /** Driver reference: union-find over the edge list. */
+  private def ccRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => (k, find(k))).toMap
+  }
+
+  test("random graph: labels equal union-find, label = component min") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val got = ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = ccRef(edges)
+    assert(got == want)
+    // the label IS the min node of the component
+    got.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min)
+    }
+  }
+
+  test("chain component converges (pointer jumping shortcuts the diameter)") {
+    import spark.implicits._
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = ConnectedComponents.run(chain.toDF("src", "dst")).collect()
+    assert(got.length == 40)
+    assert(got.forall(_.getLong(1) == 0L), "one component labeled by node 0")
+  }
+
+  test("q_entity_resolve equals brute-force components of brute-force pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val vocab = graft.Fixtures.documents(spark, sfDir)
+      .select(explode(expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)"))
+        .as("term")).distinct().as[String].collect().sorted
+    val ids = vocab.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }.toMap
+    val pairEdges = for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 2
+    } yield (ids(a), ids(b))
+    val comp = ccRef(pairEdges)
+    val wantGroups = vocab
+      .map(t => (comp.getOrElse(ids(t), ids(t)), t))
+      .groupBy(_._1).values
+      .map(_.map(_._2).sorted)
+      .filter(_.length > 1)
+      .map(g => (g.head, g.length.toLong, g.mkString(",")))
+      .toSet
+    val got = AnalyticsQueries.entityResolve(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == wantGroups, s"got=$got\nwant=$wantGroups")
+    assert(got.nonEmpty, "the fixture vocabulary has lev<=2 variant groups")
+  }
+}
