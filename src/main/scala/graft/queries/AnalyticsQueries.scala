@@ -611,6 +611,131 @@ object AnalyticsQueries {
     (b1, b2)
   }
 
+  /** Distribution-drift detection via the Population Stability Index —
+    * the monitoring gate between a reference window and a current
+    * window (model-serving and data-ingest teams both page on it):
+    *    PSI = Σ_bins (p₂ − p₁) · ln(p₂ / p₁)
+    * over FIXED value bins (percentile-derived edges would reintroduce
+    * engine-interpolation risk), +1-smoothed counts so empty bins stay
+    * finite. Both halves of the month aggregate in ONE pass (pivot on
+    * the period flag); the PSI fold runs over the bins×groups GROUPED
+    * frame — metadata scale. Every ratio is exact-integer before the
+    * one ln(); rounded once. */
+  def driftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Fixtures.events(spark, sfDir)
+      .select($"event_type",
+        when($"ts" < lit("2024-01-16").cast("timestamp"), lit("p1"))
+          .otherwise(lit("p2")).as("period"),
+        least(lit(9L), floor($"value" / 50).cast("long")).as("bin"))
+    val counts = ev.groupBy($"event_type", $"bin")
+      .agg(sum(when($"period" === "p1", 1L).otherwise(0L)).as("c1"),
+        sum(when($"period" === "p2", 1L).otherwise(0L)).as("c2"))
+    val byType = Window.partitionBy($"event_type")
+    counts
+      .withColumn("n1", sum($"c1").over(byType))
+      .withColumn("n2", sum($"c2").over(byType))
+      .withColumn("p1", ($"c1" + 1).cast("double") / ($"n1" + 10))
+      .withColumn("p2", ($"c2" + 1).cast("double") / ($"n2" + 10))
+      .groupBy($"event_type")
+      .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+        round(sum(($"p2" - $"p1") * log($"p2" / $"p1")), 4).as("psi"))
+      .orderBy($"event_type")
+  }
+
+  val driftPsiSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+      |      THEN 'p1' ELSE 'p2' END AS period,
+      |    least(9, CAST(floor(value / 50) AS BIGINT)) AS bin
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, bin,
+      |    sum(CASE WHEN period = 'p1' THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN period = 'p2' THEN 1 ELSE 0 END) AS c2
+      |  FROM b GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, c1, c2,
+      |    sum(c1) OVER (PARTITION BY event_type) AS n1,
+      |    sum(c2) OVER (PARTITION BY event_type) AS n2
+      |  FROM c)
+      |SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+      |  CAST(max(n2) AS BIGINT) AS n2,
+      |  round(sum((CAST(c2 + 1 AS DOUBLE) / (n2 + 10) -
+      |             CAST(c1 + 1 AS DOUBLE) / (n1 + 10)) *
+      |    ln((CAST(c2 + 1 AS DOUBLE) / (n2 + 10)) /
+      |       (CAST(c1 + 1 AS DOUBLE) / (n1 + 10)))), 4) AS psi
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Deterministic grouped mode — most frequent value per group with
+    * an explicit total order on ties (count desc, then value):
+    * engines' built-in mode() functions each pick their own tie
+    * winner, so the portable form is the count + rank window over the
+    * GROUPED frame (groups × distinct values — bounded). */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy(desc("n"), $"o_orderstatus")
+    Fixtures.orders(spark, sfDir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderpriority", $"o_orderstatus".as("mode_status"), $"n")
+      .orderBy($"o_orderpriority")
+  }
+
+  val aggModeSql: String =
+    """SELECT o_orderpriority, mode_status, n FROM (
+      |  SELECT o_orderpriority, o_orderstatus AS mode_status,
+      |    count(*) AS n,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY count(*) DESC, o_orderstatus) AS rn
+      |  FROM orders GROUP BY 1, 2)
+      |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** Gaps & islands — contiguous activity runs (the
+    * missing-data/continuity audit): per user, group CONSECUTIVE
+    * active days into islands with the classic day − dense-day-rank
+    * constant-per-run trick; emit each island's span and length plus
+    * the gap to the previous island. Pure integer arithmetic over one
+    * user-keyed window — the same single-shuffle shape as
+    * sessionization, at day granularity. */
+  def tsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = Fixtures.events(spark, sfDir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    days
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("island", $"day" - $"rk")
+      .groupBy($"user_id", $"island")
+      .agg(min($"day").as("start_day"), max($"day").as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select($"user_id", $"start_day", $"end_day", $"n_days")
+      .orderBy($"user_id", $"start_day")
+  }
+
+  val tsIslandsSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS day
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island
+      |  FROM d)
+      |SELECT user_id, CAST(min(day) AS BIGINT) AS start_day,
+      |  CAST(max(day) AS BIGINT) AS end_day, count(*) AS n_days
+      |FROM i GROUP BY user_id, island
+      |ORDER BY user_id, start_day""".stripMargin
+
   /** Entity resolution end-to-end — the composition the similarity
     * join exists FOR: fuzzy pairs over the vocabulary (PassJoin
     * blocking, lev ≤ 2) become the edge list of a variant graph, a
@@ -955,7 +1080,10 @@ object AnalyticsQueries {
     "q_join_interval" -> (joinInterval _),
     "q_eval_metrics" -> (evalMetrics _),
     "q_scan_diff" -> (scanDiff _),
-    "q_entity_resolve" -> (entityResolve _))
+    "q_entity_resolve" -> (entityResolve _),
+    "q_drift_psi" -> (driftPsi _),
+    "q_agg_mode" -> (aggMode _),
+    "q_ts_islands" -> (tsIslands _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,
@@ -969,5 +1097,8 @@ object AnalyticsQueries {
     "q_check_quality" -> checkQualitySql,
     "q_sample_topk_hash" -> sampleTopkHashSql,
     "q_join_interval" -> joinIntervalSql,
-    "q_scan_diff" -> scanDiffSql)
+    "q_scan_diff" -> scanDiffSql,
+    "q_drift_psi" -> driftPsiSql,
+    "q_agg_mode" -> aggModeSql,
+    "q_ts_islands" -> tsIslandsSql)
 }

@@ -224,6 +224,69 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("q_drift_psi: PSI is non-negative, zero iff distributions identical") {
+    val rows = AnalyticsQueries.driftPsi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // PSI is a symmetrized KL-style divergence: each term
+      // (p2-p1)·ln(p2/p1) is >= 0 because the factors share sign
+      assert(r.getDouble(3) >= 0.0, s"${r.getString(0)} psi negative")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+    // closed form: identical halves → psi 0 (checked on a planted frame)
+    import spark.implicits._
+    val c1 = Seq((10L, 10L), (20L, 20L), (5L, 5L))
+    val psi = c1.map { case (a, b) =>
+      val n1 = c1.map(_._1).sum + c1.size
+      val n2 = c1.map(_._2).sum + c1.size
+      val p1 = (a + 1).toDouble / n1
+      val p2 = (b + 1).toDouble / n2
+      (p2 - p1) * math.log(p2 / p1)
+    }.sum
+    assert(math.abs(psi) < 1e-12)
+  }
+
+  test("q_agg_mode: the mode really is the max count, tie-broken by value") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.aggMode(spark, sfDir).collect()
+    val counts = Fixtures.orders(spark, sfDir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (prio, mode, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      val groupCounts = counts.filter(_._1._1 == prio)
+      assert(n == groupCounts.values.max)
+      val winners = groupCounts.filter(_._2 == n).keys.map(_._2)
+      assert(mode == winners.min, "ties break to the smallest value")
+    }
+  }
+
+  test("q_ts_islands: islands partition active days into maximal consecutive runs") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.tsIslands(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val activeDays = Fixtures.events(spark, sfDir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct().count()
+    assert(rows.map(_.getLong(3)).sum == activeDays,
+      "every active day lands in exactly one island")
+    rows.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) + 1 == r.getLong(3),
+        "island span equals its day count — i.e. runs are CONSECUTIVE")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) > a.getLong(2) + 1,
+            "adjacent islands must be separated by a real gap (maximality)")
+        case _ =>
+      }
+    }
+  }
+
   test("q_mix_dsir: per-source rollup is complete and weights are finite") {
     val rows = AnalyticsQueries.mixDsir(spark, sfDir).collect()
     val docs = Fixtures.documents(spark, sfDir)
