@@ -611,6 +611,72 @@ object AnalyticsQueries {
     (b1, b2)
   }
 
+  /** The end-to-end curation pipeline as ONE query — the capstone
+    * composition (what a user actually submits nightly): exact dedup
+    * on normalized text (keep the min-doc_id representative) →
+    * Gopher-style repetition gate (word-duplication fraction, the
+    * q_text_repetition rule) → length gate → per-source yield report
+    * (raw → unique → kept with the kept rate). Three stages, two
+    * shuffles (the dedup groupBy and the rollup); every predicate is a
+    * narrow expression between them, and Catalyst fuses the gates
+    * into the dedup output scan. */
+  def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, sfDir)
+      .withColumn("norm", lower(trim($"text")))
+    val keep = docs
+      .groupBy(md5($"norm").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+    val unique = docs.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("w", split($"norm", " "))
+      .withColumn("dup_frac",
+        when(size($"w") > 0, lit(1.0) -
+          size(array_distinct($"w")).cast("double") / size($"w"))
+          .otherwise(lit(0.0)))
+      // thresholds sized to the fixture's 31-word vocabulary: long
+      // word-soup docs are INHERENTLY repetitive (distinct/total <=
+      // vocab/len), so the discriminating band is 0.75 / 200 chars —
+      // a real crawl would run the Gopher 0.3 band unchanged
+      .withColumn("kept",
+        $"dup_frac" <= 0.75 && $"n_chars" >= 200 && $"n_chars" <= 1000)
+    val raw = docs.groupBy($"source").agg(count(lit(1)).as("n_raw"))
+    unique.groupBy($"source")
+      .agg(count(lit(1)).as("n_unique"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+      .join(broadcast(raw), "source")
+      .select($"source", $"n_raw", $"n_unique", $"n_kept",
+        round($"n_kept".cast("double") / $"n_raw", 4).as("yield"))
+      .orderBy($"source")
+  }
+
+  val pipelineE2eSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, n_chars, lower(trim(text)) AS norm
+      |  FROM documents),
+      |keep AS (
+      |  SELECT md5(norm) AS h, min(doc_id) AS doc_id
+      |  FROM docs GROUP BY 1),
+      |uniq AS (
+      |  SELECT d.source, d.n_chars,
+      |    string_split(d.norm, ' ') AS w
+      |  FROM docs d WHERE d.doc_id IN (SELECT doc_id FROM keep)),
+      |gated AS (
+      |  SELECT source,
+      |    CASE WHEN len(w) > 0
+      |      THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+      |      ELSE 0.0 END AS dup_frac,
+      |    n_chars
+      |  FROM uniq),
+      |r AS (SELECT source, count(*) AS n_raw FROM docs GROUP BY 1)
+      |SELECT g.source, CAST(r.n_raw AS BIGINT) AS n_raw,
+      |  count(*) AS n_unique,
+      |  CAST(sum(CASE WHEN dup_frac <= 0.75 AND n_chars BETWEEN 200 AND 1000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CAST(sum(CASE WHEN dup_frac <= 0.75 AND n_chars BETWEEN 200 AND 1000
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / r.n_raw, 4) AS yield
+      |FROM gated g JOIN r ON g.source = r.source
+      |GROUP BY 1, 2, r.n_raw ORDER BY g.source""".stripMargin
+
   /** Distribution-drift detection via the Population Stability Index —
     * the monitoring gate between a reference window and a current
     * window (model-serving and data-ingest teams both page on it):
@@ -1083,7 +1149,8 @@ object AnalyticsQueries {
     "q_entity_resolve" -> (entityResolve _),
     "q_drift_psi" -> (driftPsi _),
     "q_agg_mode" -> (aggMode _),
-    "q_ts_islands" -> (tsIslands _))
+    "q_ts_islands" -> (tsIslands _),
+    "q_pipeline_e2e" -> (pipelineE2e _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,
@@ -1100,5 +1167,6 @@ object AnalyticsQueries {
     "q_scan_diff" -> scanDiffSql,
     "q_drift_psi" -> driftPsiSql,
     "q_agg_mode" -> aggModeSql,
-    "q_ts_islands" -> tsIslandsSql)
+    "q_ts_islands" -> tsIslandsSql,
+    "q_pipeline_e2e" -> pipelineE2eSql)
 }

@@ -287,6 +287,23 @@ class AnalyticsQuerySpec extends SparkSpec {
     }
   }
 
+  test("q_pipeline_e2e: counts are monotone through the stages; yield consistent") {
+    val rows = AnalyticsQueries.pipelineE2e(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var (raw, kept) = (0L, 0L)
+    rows.foreach { r =>
+      val (nRaw, nUnique, nKept, y) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      raw += nRaw; kept += nKept
+      assert(nUnique <= nRaw, "dedup can only shrink")
+      assert(nKept <= nUnique, "the gate can only shrink further")
+      assert(math.abs(y - nKept.toDouble / nRaw) < 1e-3)
+    }
+    assert(raw == Fixtures.documents(spark, sfDir).count())
+    assert(kept > 0 && kept < raw,
+      "the calibrated gate must discriminate, not pass/reject wholesale")
+  }
+
   test("q_mix_dsir: per-source rollup is complete and weights are finite") {
     val rows = AnalyticsQueries.mixDsir(spark, sfDir).collect()
     val docs = Fixtures.documents(spark, sfDir)
