@@ -734,6 +734,58 @@ object AnalyticsQueries {
       |       (CAST(c1 + 1 AS DOUBLE) / (n1 + 10)))), 4) AS psi
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Higher-moment distribution profiling — skewness and excess
+    * kurtosis per group, computed FROM EXACT power sums: the built-in
+    * `skewness`/`kurtosis` functions differ between engines (sample
+    * vs population corrections), so the portable form accumulates
+    * Σv, Σv², Σv³, Σv⁴ as DECIMALS (order-independent, exact at any
+    * partitioning) and derives the population moments
+    *    skew = m₃/m₂^1.5,  exkurt = m₄/m₂² − 3
+    * from identical doubles on both engines. One pass, one groupBy;
+    * the moment algebra is also what a MERGEABLE profile store keeps
+    * per partition (power sums add). */
+  def aggMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = $"value".cast("decimal(28,6)")
+    Fixtures.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(d).as("s1"), sum(d * d).as("s2"),
+        sum(d * d * d).as("s3"), sum(d * d * d * d).as("s4"))
+      .select($"event_type", $"n",
+        round($"s1".cast("double") / $"n", 4).as("mean"),
+        round(expr("""
+          (cast(s3 as double)/n - 3*(cast(s1 as double)/n)*(cast(s2 as double)/n) + 2*pow(cast(s1 as double)/n, 3))
+          / pow(cast(s2 as double)/n - pow(cast(s1 as double)/n, 2), 1.5)"""), 4)
+          .as("skew"),
+        round(expr("""
+          (cast(s4 as double)/n - 4*(cast(s1 as double)/n)*(cast(s3 as double)/n) + 6*pow(cast(s1 as double)/n, 2)*(cast(s2 as double)/n) - 3*pow(cast(s1 as double)/n, 4))
+          / pow(cast(s2 as double)/n - pow(cast(s1 as double)/n, 2), 2) - 3"""), 4)
+          .as("exkurt"))
+      .orderBy($"event_type")
+  }
+
+  val aggMomentsSql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(28,6))) AS s1,
+      |    sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS s2,
+      |    sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)) *
+      |        CAST(value AS DECIMAL(28,6))) AS s3,
+      |    sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)) *
+      |        CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS s4
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round(CAST(s1 AS DOUBLE) / n, 4) AS mean,
+      |  round((CAST(s3 AS DOUBLE)/n - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+      |      + 2*pow(CAST(s1 AS DOUBLE)/n, 3))
+      |    / pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2), 1.5), 4) AS skew,
+      |  round((CAST(s4 AS DOUBLE)/n - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+      |      + 6*pow(CAST(s1 AS DOUBLE)/n, 2)*(CAST(s2 AS DOUBLE)/n)
+      |      - 3*pow(CAST(s1 AS DOUBLE)/n, 4))
+      |    / pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2), 2) - 3, 4) AS exkurt
+      |FROM m ORDER BY 1""".stripMargin
+
   /** Deterministic grouped mode — most frequent value per group with
     * an explicit total order on ties (count desc, then value):
     * engines' built-in mode() functions each pick their own tie
@@ -1150,7 +1202,8 @@ object AnalyticsQueries {
     "q_drift_psi" -> (driftPsi _),
     "q_agg_mode" -> (aggMode _),
     "q_ts_islands" -> (tsIslands _),
-    "q_pipeline_e2e" -> (pipelineE2e _))
+    "q_pipeline_e2e" -> (pipelineE2e _),
+    "q_agg_moments" -> (aggMoments _))
 
   val oracle: Map[String, String] = Map(
     "q_ts_retention" -> tsRetentionSql,
@@ -1168,5 +1221,6 @@ object AnalyticsQueries {
     "q_drift_psi" -> driftPsiSql,
     "q_agg_mode" -> aggModeSql,
     "q_ts_islands" -> tsIslandsSql,
-    "q_pipeline_e2e" -> pipelineE2eSql)
+    "q_pipeline_e2e" -> pipelineE2eSql,
+    "q_agg_moments" -> aggMomentsSql)
 }

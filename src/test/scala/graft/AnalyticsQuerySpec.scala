@@ -304,6 +304,23 @@ class AnalyticsQuerySpec extends SparkSpec {
       "the calibrated gate must discriminate, not pass/reject wholesale")
   }
 
+  test("q_agg_moments: Pearson inequality holds; the measured tail matches the MAD query's") {
+    val rows = AnalyticsQueries.aggMoments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (skew, exkurt) = (r.getDouble(3), r.getDouble(4))
+      // kurtosis >= skew² + 1 for ANY distribution (Pearson), i.e.
+      // exkurt >= skew² - 2 — a wrong-moment-algebra bug lands outside
+      assert(exkurt >= skew * skew - 2 - 1e-6,
+        s"${r.getString(0)}: exkurt $exkurt vs skew $skew violates Pearson")
+      assert(skew > 0, "the fixture value column is right-tailed")
+    }
+    // cross-operator consistency: the same tail q_anomaly_mad flags
+    val outliers = AnalyticsQueries.anomalyMad(spark, sfDir)
+      .collect().map(_.getLong(4)).sum
+    assert(outliers > 0)
+  }
+
   test("q_mix_dsir: per-source rollup is complete and weights are finite") {
     val rows = AnalyticsQueries.mixDsir(spark, sfDir).collect()
     val docs = Fixtures.documents(spark, sfDir)
