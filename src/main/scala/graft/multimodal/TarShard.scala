@@ -110,6 +110,13 @@ object TarShard {
       }
       require(sum == stored, s"tar checksum mismatch at offset $off")
       val size = parseOctal(tar, off + 124, 12)
+      // copyOfRange silently ZERO-PADS past the array end — a shard
+      // truncated mid-member would otherwise come back with corrupt
+      // zero-filled data instead of an error (caught by the
+      // truncation spec)
+      require(off + Block + size <= tar.length,
+        s"truncated tar: member '$name' needs $size bytes at offset $off, " +
+          s"archive ends at ${tar.length}")
       val data = java.util.Arrays.copyOfRange(tar, off + Block,
         off + Block + size.toInt)
       out += Entry(name, data)

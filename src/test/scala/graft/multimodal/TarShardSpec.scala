@@ -74,6 +74,42 @@ class TarShardSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: random corruption either fails loudly or parses valid members — never hangs or reads OOB") {
+    val rnd = new scala.util.Random(97)
+    val tar = TarShard.write(sample)
+    var refused = 0
+    (1 to 300).foreach { _ =>
+      val bad = tar.clone()
+      val flips = 1 + rnd.nextInt(4)
+      (1 to flips).foreach { _ =>
+        val i = rnd.nextInt(bad.length)
+        bad(i) = (bad(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try {
+        val entries = TarShard.read(bad)
+        // parsed despite corruption (flip hit padding/trailer): every
+        // surviving entry must still be structurally sane
+        entries.foreach { e =>
+          assert(e.name.nonEmpty && e.data != null)
+        }
+      } catch {
+        case _: IllegalArgumentException => refused += 1 // loud refusal
+        case _: ArrayIndexOutOfBoundsException =>
+          fail("corrupt shard caused an out-of-bounds read")
+        case _: NegativeArraySizeException =>
+          fail("corrupt size field caused a negative allocation")
+      }
+    }
+    assert(refused > 100, s"checksums should catch most header flips, got $refused")
+  }
+
+  test("truncated shards are refused, not silently shortened") {
+    val tar = TarShard.write(sample)
+    // cut inside the second member's data blocks
+    val cut = java.util.Arrays.copyOfRange(tar, 0, 1536 + 512 + 3)
+    intercept[RuntimeException](TarShard.read(cut))
+  }
+
   test("q_mm_shards: every doc packed exactly once across deterministic shards") {
     val rows = MultimodalQueries.mmShards(spark, sfDir).collect()
     assert(rows.length == 4, "range partitioning fixes the shard count")
