@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   *    DISTINCT candidate pairs.
   *
   * Completeness (every true pair survives the blocking) is pinned in
-  * FuzzyJoinSpec against a brute-force oracle over random strings. */
+  * FuzzyJoinSpec against a brute-force oracle over random strings.
+  *
+  * Unit note: segmentation and `levenshtein` both operate on UTF-16
+  * chars here; for astral-plane text (chars ≠ codepoints) run the
+  * terms through [[Normalize.normalize]] first or the distance counts
+  * surrogate halves individually. */
 object FuzzyJoin {
 
   /** The k+1 (start, len) segments of a length-`l` string: as even as
