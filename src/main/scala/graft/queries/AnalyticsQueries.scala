@@ -764,22 +764,29 @@ object AnalyticsQueries {
     * kurtosis per group, computed FROM EXACT power sums: the built-in
     * `skewness`/`kurtosis` functions differ between engines (sample
     * vs population corrections), so the portable form accumulates
-    * Σv, Σv², Σv³, Σv⁴ as DECIMALS (order-independent, exact at any
-    * partitioning) and derives the population moments
+    * Σq, Σq², Σq³, Σq⁴ over the SCALED-INTEGER representation
+    * q = round(value·100) as decimal(9,0). `value` is 2-decimal
+    * fixed-point, so q is integral and every product stays at scale 0
+    * — no fractional truncation at ANY magnitude (a decimal(28,6)
+    * accumulation truncates v³/v⁴ to 6 fractional digits once the
+    * product precision exceeds 38). Skewness and kurtosis are
+    * scale-invariant, so the scaled sums feed the same formulas
     *    skew = m₃/m₂^1.5,  exkurt = m₄/m₂² − 3
-    * from identical doubles on both engines. One pass, one groupBy;
-    * the moment algebra is also what a MERGEABLE profile store keeps
-    * per partition (power sums add). */
+    * unchanged; only the mean divides the 100 back out. Sums are
+    * order-independent integers — exact at any partitioning — for
+    * |value| < 10⁷ (decimal(9,0) domain) and Σq⁴ < 10³⁸; one pass,
+    * one groupBy, and the power-sum vector is what a MERGEABLE
+    * profile store keeps per partition (power sums add). */
   def aggMoments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = $"value".cast("decimal(28,6)")
+    val d = round($"value" * lit(100)).cast("decimal(9,0)")
     Fixtures.events(spark, sfDir)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum(d).as("s1"), sum(d * d).as("s2"),
         sum(d * d * d).as("s3"), sum(d * d * d * d).as("s4"))
       .select($"event_type", $"n",
-        round($"s1".cast("double") / $"n", 4).as("mean"),
+        round($"s1".cast("double") / $"n" / 100d, 4).as("mean"),
         round(expr("""
           (cast(s3 as double)/n - 3*(cast(s1 as double)/n)*(cast(s2 as double)/n) + 2*pow(cast(s1 as double)/n, 3))
           / pow(cast(s2 as double)/n - pow(cast(s1 as double)/n, 2), 1.5)"""), 4)
@@ -792,17 +799,23 @@ object AnalyticsQueries {
   }
 
   val aggMomentsSql: String =
-    """WITH m AS (
+    """WITH q AS (
+      |  SELECT event_type, CAST(round(value * 100) AS DECIMAL(9,0)) AS q
+      |  FROM events),
+      |p AS (
+      |  -- explicit step-widening: DuckDB does not auto-widen chained
+      |  -- decimal products the way Spark does; q^2 <= 19 digits here,
+      |  -- so (19,0)x(19,0) -> (38,0) keeps q^4 exact at scale 0
+      |  SELECT event_type, q,
+      |    CAST(q * q AS DECIMAL(19,0)) AS q2
+      |  FROM q),
+      |m AS (
       |  SELECT event_type, count(*) AS n,
-      |    sum(CAST(value AS DECIMAL(28,6))) AS s1,
-      |    sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS s2,
-      |    sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)) *
-      |        CAST(value AS DECIMAL(28,6))) AS s3,
-      |    sum(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)) *
-      |        CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS s4
-      |  FROM events GROUP BY 1)
+      |    sum(q) AS s1, sum(q2) AS s2,
+      |    sum(CAST(q2 AS DECIMAL(28,0)) * q) AS s3, sum(q2 * q2) AS s4
+      |  FROM p GROUP BY 1)
       |SELECT event_type, CAST(n AS BIGINT) AS n,
-      |  round(CAST(s1 AS DOUBLE) / n, 4) AS mean,
+      |  round(CAST(s1 AS DOUBLE) / n / 100, 4) AS mean,
       |  round((CAST(s3 AS DOUBLE)/n - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
       |      + 2*pow(CAST(s1 AS DOUBLE)/n, 3))
       |    / pow(CAST(s2 AS DOUBLE)/n - pow(CAST(s1 AS DOUBLE)/n, 2), 1.5), 4) AS skew,

@@ -127,31 +127,44 @@ object MultimodalQueries {
   /** WebDataset-style shard materialization + read-back: pack the
     * image payloads into USTAR shards (per sample: `<key>.png` +
     * `<key>.json` metadata, the WebDataset adjacency convention —
-    * see [[graft.multimodal.TarShard]]), one shard per range
-    * partition via `mapPartitions` (range partitioning makes shard
-    * CONTENT deterministic, not just the set), then re-read every
-    * shard, re-decode every image, and roll up — the full
-    * materialize→consume loop a multimodal training job runs. Shard
-    * build and re-read are both narrow map stages; the only shuffle
-    * is the deterministic range partition. NATIVE (TarShardSpec:
-    * USTAR byte-offset goldens, checksum refusal, round-trip, Python
-    * tarfile interop). */
-  def mmShards(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val shards = pngPayloads(spark, sfDir)
-      .toDF("doc_id", "payload")
-      .repartitionByRange(4, $"doc_id")
-      .mapPartitions { it =>
-        val entries = it.flatMap { r =>
-          val id = r.getLong(0)
-          val png = r.getAs[Array[Byte]](1)
+    * see [[graft.multimodal.TarShard]]), FIXED-CAPACITY shards keyed
+    * by `shard_id = doc_id / 128` — a pure function of the key, so
+    * shard membership (hence shard bytes and this query's output) is
+    * deterministic at ANY input partitioning and corpus size, and
+    * shard size is bounded by construction. (A range-partition
+    * derivation is only deterministic while each input partition
+    * stays under the range sampler's reservoir size: RangePartitioner
+    * seeds its sample by RDD id, so at larger inputs shard boundaries
+    * become run-dependent.) Then re-read every shard, re-decode every
+    * image, and roll up — the full materialize→consume loop a
+    * multimodal training job runs. One shuffle, keyed on shard_id;
+    * build and re-read are narrow per-group/map stages. NATIVE
+    * (TarShardSpec: USTAR byte-offset goldens, checksum refusal,
+    * round-trip, Python tarfile interop; MultimodalSpec pins the
+    * repartitioning-invariance of the shard bytes). */
+  /** One USTAR shard per fixed-capacity doc_id bucket — shard bytes
+    * are a pure function of the input ROWS, independent of their
+    * partitioning (pinned by TarShardSpec). */
+  private[graft] def packShards(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      shardCapacity: Long = 128L)
+      : org.apache.spark.sql.Dataset[Array[Byte]] = {
+    import ds.sparkSession.implicits._
+    ds.map { case (id, png) => (id / shardCapacity, id, png) }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val entries = it.flatMap { case (_, id, png) =>
           val meta = s"""{"key":$id,"bytes":${png.length}}"""
           Seq(TarShard.Entry(f"$id%08d.png", png),
             TarShard.Entry(f"$id%08d.json", meta.getBytes("UTF-8")))
         }.toSeq.sortBy(_.name) // deterministic member order per shard
-        if (entries.isEmpty) Iterator.empty
-        else Iterator.single(TarShard.write(entries))
+        Iterator.single(TarShard.write(entries))
       }
+  }
+
+  def mmShards(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val shards = packShards(pngPayloads(spark, sfDir))
     shards
       .flatMap { tar =>
         val entries = TarShard.read(tar)

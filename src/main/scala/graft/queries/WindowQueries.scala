@@ -555,9 +555,12 @@ object WindowQueries {
         for (b <- Seq(b1, b2, b3)) { mem.addData(b: _*); q.processAllAvailable() }
       } finally q.stop()
     }
-    // the key's CURRENT row = its last emitted state (ts is monotone
-    // within a key by the LWW fold)
-    val w = Window.partitionBy($"key").orderBy(desc("ts"), desc("deleted"))
+    // the key's CURRENT row = its LAST EMISSION, picked by the
+    // per-key emission counter CdcState maintains: ordering by
+    // (ts, deleted) instead would prefer the tombstone when a delete
+    // and an equal-ts upsert land in different batches, the opposite
+    // of the fold's delete-then-upsert LWW resolution
+    val w = Window.partitionBy($"key").orderBy(desc("seq"))
     spark.table("q_stream_upsert_out")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
@@ -581,10 +584,16 @@ object WindowQueries {
       Change("upsert", 10L, 10.75, ts(210)),
       Change("upsert", 11L, 11.75, ts(211)),
       Change("upsert", 12L, 12.75, ts(212)),
-      Change("delete", 3L, 0.0, ts(220)))
+      Change("delete", 3L, 0.0, ts(220)),
+      Change("delete", 13L, 0.0, ts(400))) // equal-ts pair, part 1
     val b3 = Seq(
       Change("upsert", 1L, 17.25, ts(300)), // second revive
-      Change("delete", 12L, 0.0, ts(301)))
+      Change("delete", 12L, 0.0, ts(301)),
+      // EQUAL-TS upsert in a LATER batch than the delete: the LWW
+      // fold applies upsert after delete at the same ts (op order +
+      // >=), so the key is LIVE — a picker tie-breaking on the
+      // deleted flag would wrongly report the tombstone
+      Change("upsert", 13L, 13.5, ts(400)))
     (b1, b2, b3)
   }
 

@@ -28,16 +28,25 @@ object CdcState {
   /** One change event: op ∈ {"upsert", "delete"}. */
   case class Change(op: String, key: Long, value: Double, ts: Timestamp)
 
-  /** Per-key current state (the tombstone keeps deletes visible). */
-  case class KeyState(tsMs: Long, value: Double, deleted: Boolean)
+  /** Per-key current state (the tombstone keeps deletes visible).
+    * `seq` is the per-key EMISSION counter — bumped once per
+    * micro-batch that touched the key, so downstream "current row"
+    * pickers can order by it instead of guessing tie-breaks from the
+    * payload: event ts alone is ambiguous when a delete and an
+    * equal-ts upsert land in different batches (the fold's op order
+    * applies the upsert after the delete, so the LIVE row is current,
+    * but a (ts, deleted)-ordered picker would prefer the tombstone). */
+  case class KeyState(tsMs: Long, value: Double, deleted: Boolean,
+      seq: Long = 0L)
 
   /** Update-mode output row: the key's state AFTER this batch. */
   case class Current(key: Long, ts: Timestamp, value: Double,
-      deleted: Boolean)
+      deleted: Boolean, seq: Long)
 
   def apply(key: Long, changes: Iterator[Change],
       state: GroupState[KeyState]): Current = {
-    var st = state.getOption.getOrElse(KeyState(Long.MinValue, 0.0, true))
+    val prev = state.getOption.getOrElse(KeyState(Long.MinValue, 0.0, true))
+    var st = prev
     // deterministic, batch-split-invariant fold order
     for (c <- changes.toSeq.sortBy(c => (c.ts.getTime, c.op, c.value))) {
       val t = c.ts.getTime
@@ -50,8 +59,9 @@ object CdcState {
         }
       } // older than current state: late re-delivery, ignored
     }
-    state.update(st)
-    Current(key, new Timestamp(st.tsMs), st.value, st.deleted)
+    val out = st.copy(seq = prev.seq + 1)
+    state.update(out)
+    Current(key, new Timestamp(out.tsMs), out.value, out.deleted, out.seq)
   }
 
   /** The reference single-pass batch fold (shared by CdcSpec and the

@@ -319,6 +319,36 @@ class AnalyticsQuerySpec extends SparkSpec {
     val outliers = AnalyticsQueries.anomalyMad(spark, sfDir)
       .collect().map(_.getLong(4)).sum
     assert(outliers > 0)
+    // EXACTNESS vs a driver-side BigDecimal replica: the scaled-integer
+    // power sums must reproduce the moments bit-for-bit — a decimal
+    // accumulation that truncates v³/v⁴ fractions (the r16 bug: (28,6)
+    // products rounded to 6 fractional digits once precision capped at
+    // 38) diverges on small-magnitude values; integer cents cannot.
+    val byType = Fixtures.events(spark, sfDir)
+      .selectExpr("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)))
+    rows.foreach { r =>
+      val vs = byType(r.getString(0))
+      val q = vs.map(v => BigInt(math.round(v * 100)))
+      val n = BigDecimal(q.length)
+      def s(p: Int) = BigDecimal(q.map(_.pow(p)).sum)
+      val (s1, s2, s3, s4) =
+        (s(1).toDouble, s(2).toDouble, s(3).toDouble, s(4).toDouble)
+      val nn = n.toDouble
+      val mean = s1 / nn
+      val m2 = s2 / nn - math.pow(mean, 2)
+      val m3 = s3 / nn - 3 * mean * (s2 / nn) + 2 * math.pow(mean, 3)
+      val m4 = s4 / nn - 4 * mean * (s3 / nn) +
+        6 * math.pow(mean, 2) * (s2 / nn) - 3 * math.pow(mean, 4)
+      def rd(x: Double) = BigDecimal(x).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == rd(mean / 100.0),
+        s"${r.getString(0)}: mean mismatch")
+      assert(r.getDouble(3) == rd(m3 / math.pow(m2, 1.5)),
+        s"${r.getString(0)}: skew not bit-exact vs integer power sums")
+      assert(r.getDouble(4) == rd(m4 / (m2 * m2) - 3),
+        s"${r.getString(0)}: exkurt not bit-exact vs integer power sums")
+    }
   }
 
   test("q_mix_dsir: per-source rollup is complete and weights are finite") {

@@ -26,6 +26,9 @@ class CdcSpec extends SparkSpec {
     assert(gotFull(5L) == ((5 * 1.5 + 0.25, "live")),
       "late stale update must NOT roll the key back")
     assert(gotFull(12L)._2 == "tombstone", "insert-then-delete across batches")
+    assert(gotFull(13L) == ((13.5, "live")),
+      "equal-ts upsert in a LATER batch than the delete wins (emission-" +
+        "counter picker; a (ts, deleted) tie-break would report tombstone)")
   }
 
   test("batch fold is split-invariant and ignores stale ops deterministically") {

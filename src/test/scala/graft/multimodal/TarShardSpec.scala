@@ -112,8 +112,9 @@ class TarShardSpec extends SparkSpec {
 
   test("q_mm_shards: every doc packed exactly once across deterministic shards") {
     val rows = MultimodalQueries.mmShards(spark, sfDir).collect()
-    assert(rows.length == 4, "range partitioning fixes the shard count")
     val docs = graft.Fixtures.documents(spark, sfDir).count()
+    assert(rows.length == ((docs + 127) / 128),
+      "fixed 128-doc shard capacity fixes the shard count")
     assert(rows.map(_.getLong(1)).sum == docs, "one image member per doc")
     assert(rows.map(_.getLong(2)).sum == docs, "one json member per doc")
     rows.foreach { r =>
@@ -123,5 +124,27 @@ class TarShardSpec extends SparkSpec {
     }
     val again = MultimodalQueries.mmShards(spark, sfDir).collect()
     assert(rows.toSeq == again.toSeq, "shard content must be deterministic")
+  }
+
+  test("shard bytes are invariant under input repartitioning") {
+    import spark.implicits._
+    val payloads = (0L until 300L).map(id =>
+      (id, graft.multimodal.BinaryCodec.syntheticPng(id * 7919L,
+        8 + (id % 9).toInt, 6 + (id % 7).toInt)))
+    def digest(n: Int): Seq[(Int, String)] =
+      MultimodalQueries.packShards(payloads.toDS().repartition(n))
+        .collect()
+        .map { tar =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          (tar.length, md.digest(tar).map("%02x".format(_)).mkString)
+        }
+        .sortBy(_._2).toSeq
+    val a = digest(1)
+    val b = digest(7)
+    val c = digest(32)
+    assert(a == b && b == c,
+      "shard membership is a pure function of doc_id, so the exact " +
+        "shard bytes must not depend on how the input rows were split")
+    assert(a.length == 3, "300 docs / 128 capacity -> 3 shards")
   }
 }
