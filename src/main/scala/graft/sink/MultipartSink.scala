@@ -41,6 +41,23 @@ trait MultipartSink extends Serializable {
   def abort(): Unit
 }
 
+/** A sink that can ADOPT an in-flight upload of its key instead of
+  * always starting fresh — the crash-RESUME half of the MPU lifecycle
+  * (reference analog ccog/aws_tools.py:59-178 leans on the SDK; real
+  * S3 exposes it as ListMultipartUploads + ListParts). A writer that
+  * died mid-upload of a 5 TiB object must not restart from byte 0:
+  * [[OrderedMultipartWriter.writeResuming]] verifies each remembered
+  * part against the local plan and re-uploads only what's missing. */
+trait ResumableMultipartSink extends MultipartSink {
+  /** Adopt the key's in-flight upload if exactly one exists (else
+    * start a fresh one). Returns the parts the adopted upload already
+    * holds, keyed by partNumber — empty after a fresh start. More
+    * than one in-flight upload for the key fails loudly: resuming an
+    * arbitrary one of several silently drops the others' storage cost
+    * and races their writers — reap first, then retry. */
+  def startOrResume(): Map[Int, PartReceipt]
+}
+
 /** Zero-egress local-filesystem stand-in for the S3 MPU sink
   * (the reference's Mpu(store=None) no-op mode is its own testing
   * stand-in, ccog/aws_tools.py:76-79). Parts land as `part-%05d.bin`
@@ -140,7 +157,7 @@ object OrderedMultipartWriter {
     // aborted; the reference aborts on failure too,
     // ccog/aws_tools.py:168-175)
     try {
-      writeStarted(blobs, totalBytes, target, sink)
+      writeStarted(blobs, totalBytes, target, sink, Map.empty)
     } catch {
       case e: Throwable =>
         try sink.abort()
@@ -149,8 +166,50 @@ object OrderedMultipartWriter {
     }
   }
 
+  /** Crash-resume variant: adopt the key's in-flight upload, verify
+    * every already-stored part against the locally re-derived plan
+    * (size + CRC32C when the sink checksums, size + MD5-vs-ETag
+    * otherwise), upload ONLY the missing/mismatched parts, and
+    * finalize with the full receipt list. partNumber is a pure
+    * function of byte offset and `targetPartSize` is deterministic in
+    * (totalBytes, maxBlob, defaultPart), so a restarted writer derives
+    * the identical part plan — which is what makes verified reuse
+    * sound. Unlike [[write]], a failure here does NOT abort the
+    * upload: the half-done MPU is exactly what the next resume picks
+    * up (true crashes never run abort anyway; abandoned uploads are
+    * the janitor's job, [[S3MpuJanitor.reap]]). */
+  def writeResuming(blobs: Dataset[Blob], totalBytes: Long, maxBlob: Long,
+      sink: ResumableMultipartSink,
+      defaultPart: Long = 16L << 20): Seq[PartReceipt] = {
+    val target = targetPartSize(totalBytes, maxBlob, defaultPart)
+    writeStarted(blobs, totalBytes, target, sink, sink.startOrResume())
+  }
+
+  /** True iff the locally assembled bytes are byte-identical to what
+    * the store already holds for this part, proven by integrity token
+    * — never by size alone. */
+  private def verifiedSame(remote: PartReceipt, bytes: Array[Byte],
+      sink: MultipartSink): Boolean = {
+    if (remote.size != bytes.length.toLong) return false
+    sink.partChecksum(bytes) match {
+      case Some(local) => remote.checksumCrc32c.contains(local)
+      case None =>
+        // plain uploads: a multipart part's ETag is the hex MD5 of its
+        // bytes (un-encrypted path); anything else is unverifiable →
+        // re-upload (idempotent re-PUT), never trust blindly
+        remote.etag.length == 32 &&
+          remote.etag.forall(c => Character.digit(c, 16) >= 0) &&
+          md5hex(bytes) == remote.etag.toLowerCase(java.util.Locale.ROOT)
+    }
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
   private def writeStarted(blobs: Dataset[Blob], totalBytes: Long,
-      target: Long, sink: MultipartSink): Seq[PartReceipt] = {
+      target: Long, sink: MultipartSink,
+      preUploaded: Map[Int, PartReceipt]): Seq[PartReceipt] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     val receipts = blobs
@@ -166,8 +225,16 @@ object OrderedMultipartWriter {
         var buf: java.io.ByteArrayOutputStream = null
         def flush(): Unit = if (curPart != -1 && buf.size() > 0) {
           val bytes = buf.toByteArray
-          out += PartReceipt(curPart, curOffset, bytes.length.toLong,
-            sink.uploadPart(curPart, bytes), sink.partChecksum(bytes))
+          out += (preUploaded.get(curPart) match {
+            case Some(remote) if verifiedSame(remote, bytes, sink) =>
+              // the store already holds these exact bytes: reuse the
+              // remote receipt, zero bytes re-uploaded
+              PartReceipt(curPart, curOffset, bytes.length.toLong,
+                remote.etag, sink.partChecksum(bytes))
+            case _ =>
+              PartReceipt(curPart, curOffset, bytes.length.toLong,
+                sink.uploadPart(curPart, bytes), sink.partChecksum(bytes))
+          })
         }
         it.foreach { case (pn, off, bytes) =>
           if (pn != curPart) {

@@ -41,7 +41,7 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     region: String = "us-east-1",
     virtualHost: Boolean = false,
     crc32c: Boolean = false,
-    ifNoneMatch: Boolean = false) extends MultipartSink {
+    ifNoneMatch: Boolean = false) extends ResumableMultipartSink {
 
   require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
   // fail at construction with the -D flag named, not per-task deep in
@@ -151,6 +151,73 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     uploadId = xmlText(r.body(), "UploadId").getOrElse(
       throw new java.io.IOException(
         s"initiate response carried no UploadId: ${r.body().take(500)}"))
+  }
+
+  /** Crash-resume entry: adopt the key's single in-flight upload
+    * (discovered with the janitor's ListMultipartUploads walk) and
+    * return what it already holds via [[listParts]]; no in-flight
+    * upload → fresh [[start]], empty map. Several in-flight uploads
+    * for the same key are refused loudly — S3 allows them, but
+    * resuming an arbitrary one races the others' writers and strands
+    * their storage; `S3MpuJanitor.reap` first, then retry. */
+  override def startOrResume(): Map[Int, PartReceipt] = {
+    val live = S3MpuJanitor.listUploads(endpoint, bucket, prefix = key,
+        credentials, region, virtualHost)
+      .filter(_.key == key)
+    live match {
+      case Seq() => start(); Map.empty
+      case Seq(u) =>
+        uploadId = u.uploadId
+        listParts().map(p => p.partNumber -> p).toMap
+      case many => throw new java.io.IOException(
+        s"cannot resume $bucket/$key: ${many.size} in-flight multipart " +
+          s"uploads (${many.map(_.uploadId).mkString(", ")}) — reap the " +
+          "stale ones (S3MpuJanitor.reap) before retrying")
+    }
+  }
+
+  /** Every part the in-flight upload holds, across however many
+    * ListParts pages the server needs:
+    *
+    *   GET /{bucket}/{key}?uploadId=…[&part-number-marker=N]
+    *
+    * Receipt offsets are 0 (unknown to the service — the resume path
+    * re-derives placement locally and verifies by size + checksum,
+    * never by offset). */
+  def listParts(maxPages: Int = 10000): Seq[PartReceipt] = {
+    require(uploadId != null, "listParts before start()/startOrResume()")
+    import S3Xml.{elements, text}
+    val out = scala.collection.mutable.ArrayBuffer.empty[PartReceipt]
+    var marker: Option[String] = None
+    var pages = 0
+    var more = true
+    while (more) {
+      if (pages >= maxPages) throw new java.io.IOException(
+        s"ListParts of $bucket/$key upload $uploadId still truncated " +
+          s"after $maxPages pages")
+      pages += 1
+      val r = send(buildRequest("GET", Seq("uploadId" -> uploadId) ++
+        marker.map("part-number-marker" -> _).toSeq, null), "list parts")
+      val doc = S3Xml.parse(r.body().getBytes("UTF-8"))
+      val root = S3Xml.root(doc, "ListPartsResult").getOrElse(
+        throw new java.io.IOException(
+          s"not a ListPartsResult: ${r.body().take(300)}"))
+      out ++= elements(doc, "Part").flatMap { el =>
+        for (pn <- text(el, "PartNumber"); etag <- text(el, "ETag");
+            size <- text(el, "Size"))
+          yield PartReceipt(pn.trim.toInt, 0L, size.trim.toLong,
+            etag.trim.stripPrefix("\"").stripSuffix("\""),
+            text(el, "ChecksumCRC32C").map(_.trim))
+      }
+      val truncated = text(root, "IsTruncated").exists(_.trim == "true")
+      marker =
+        if (truncated) Some(text(root, "NextPartNumberMarker").getOrElse(
+          throw new java.io.IOException(
+            "truncated ListParts page without NextPartNumberMarker")).trim)
+        else None
+      more = truncated
+    }
+    out.sortBy(_.partNumber).toSeq
   }
 
   /** Object-integrity mode: every part's base64 CRC32C rides the

@@ -66,6 +66,16 @@ class MockS3Server {
   def copyParts: Int = copyPartCount.get()
   private val copyPartCount = new AtomicInteger(0)
 
+  /** Every body-carrying UploadPart the server accepted, in arrival
+    * order: (uploadId, partNumber, bytes). Resume tests diff this
+    * ledger around a restart to prove zero re-uploaded bytes. */
+  def partUploads: Seq[(String, Int, Long)] = {
+    import scala.jdk.CollectionConverters._
+    partPutLog.iterator().asScala.toSeq
+  }
+  private val partPutLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
+
   /** Authenticated mode: every request must carry a valid SigV4
     * signature for `creds` (header auth, or query auth for presigned
     * URLs) or it is refused with 403, like real S3. The mock
@@ -156,6 +166,43 @@ class MockS3Server {
       s"$markers$entries</ListMultipartUploadsResult>"
     respond(ex, 200, xml.getBytes("UTF-8"),
       Map("Content-Type" -> "application/xml"))
+  }
+
+  /** GET /{bucket}/{key}?uploadId=…[&part-number-marker=N] — ListParts:
+    * the in-flight upload's stored parts in ascending partNumber order,
+    * paginated via part-number-marker with pages of
+    * min(max-parts, listMaxKeys); checksummed uploads carry each part's
+    * service-computed ChecksumCRC32C like real S3. */
+  private def listParts(ex: HttpExchange, id: String,
+      q: Map[String, String]): Unit = {
+    uploads.get(id) match {
+      case None => s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
+      case Some(parts) =>
+        listRequests.incrementAndGet()
+        val marker = q.get("part-number-marker").map(_.toInt).getOrElse(0)
+        val pageSize = math.max(1,
+          math.min(listMaxKeys, q.get("max-parts").map(_.toInt).getOrElse(1000)))
+        val after = parts.toSeq.sortBy(_._1).dropWhile(_._1 <= marker)
+        val page = after.take(pageSize)
+        val truncated = after.length > page.length
+        val withCk = uploadAlgorithms.get(id).contains("CRC32C")
+        val entries = page.map { case (pn, (bytes, etag)) =>
+          val ck = if (withCk)
+            s"<ChecksumCRC32C>${S3Checksums.crc32cB64(bytes)}</ChecksumCRC32C>"
+          else ""
+          s"""<Part><PartNumber>$pn</PartNumber><ETag>"$etag"</ETag>""" +
+            s"<Size>${bytes.length}</Size>$ck</Part>"
+        }.mkString
+        val markers =
+          if (truncated) s"<NextPartNumberMarker>${page.last._1}</NextPartNumberMarker>"
+          else ""
+        val xml = "<ListPartsResult>" +
+          s"<UploadId>${xmlEscape(id)}</UploadId>" +
+          s"<MaxParts>$pageSize</MaxParts><IsTruncated>$truncated</IsTruncated>" +
+          s"$markers$entries</ListPartsResult>"
+        respond(ex, 200, xml.getBytes("UTF-8"),
+          Map("Content-Type" -> "application/xml"))
+    }
   }
 
   /** GET /{bucket}?list-type=2[&prefix=…][&continuation-token=…] — the
@@ -430,6 +477,7 @@ class MockS3Server {
             }
             val etag = md5hex(bytes)
             parts.put(pn.toInt, (bytes, etag))
+            partPutLog.add((id, pn.toInt, bytes.length.toLong))
             respond(ex, 200, Array.emptyByteArray,
               checksumHeaders + ("ETag" -> s""""$etag""""))
         }
@@ -443,6 +491,8 @@ class MockS3Server {
         } else s3Error(ex, 404, "NoSuchUpload", s"upload $id not found")
       case ("GET", true, _, _) => // ListMultipartUploads
         listMultipartUploads(ex, hostBucket.getOrElse(objKey), q)
+      case ("GET", _, Some(id), _) => // ListParts
+        listParts(ex, id, q)
       case ("PUT", false, None, None) => // plain PutObject (presigned drop-box)
         if (ex.getRequestHeaders.getFirst("If-None-Match") != null) {
           // conditional create: atomic putIfAbsent decides the race —

@@ -1,0 +1,230 @@
+package graft.sink
+
+import graft.SparkSpec
+import org.apache.spark.sql.Encoders
+
+/** MPU crash-RESUME laws (reference analog ccog/aws_tools.py:59-178):
+  * a writer that dies mid-upload must complete the object on restart
+  * WITHOUT re-uploading the parts the store already holds — discovered
+  * via ListMultipartUploads, enumerated via ListParts, verified by
+  * size + CRC32C (or MD5-vs-ETag), and only then reused. The mock's
+  * part-PUT ledger proves the zero-re-upload claim byte-for-byte. */
+/** Top-level (NOT spec-inner: an inner class would drag the
+  * non-serializable suite into the task closure): a sink whose
+  * uploadPart dies on every even part number — the "writer killed
+  * mid-upload" stand-in. Parts the injected crash never reached stay
+  * un-uploaded; completed sibling tasks' parts stay in the store (no
+  * abort runs — that is the point). */
+private class CrashingSink(endpoint: String, bucket: String, key: String,
+    crc: Boolean) extends S3MultipartSink(endpoint, bucket, key, crc32c = crc) {
+  override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
+    if (partNumber % 2 == 0)
+      throw new java.io.IOException(s"injected writer death at part $partNumber")
+    super.uploadPart(partNumber, bytes)
+  }
+}
+
+class S3ResumeSpec extends SparkSpec {
+
+  def withServer(f: MockS3Server => Unit): Unit = {
+    val srv = new MockS3Server
+    try f(srv) finally srv.stop()
+  }
+
+  /** Deterministic blob stream totalling ~`totalMiB` (same shape as
+    * S3SinkSpec's). */
+  def blobStream(totalMiB: Int): (Seq[Blob], Array[Byte]) = {
+    val rnd = new scala.util.Random(11)
+    val blobs = Seq.newBuilder[Blob]
+    var off = 0L
+    val whole = new java.io.ByteArrayOutputStream()
+    while (off < (totalMiB.toLong << 20)) {
+      val n = 64 * 1024 + rnd.nextInt(2 << 20)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      blobs += Blob(off, b)
+      whole.write(b)
+      off += n
+    }
+    (blobs.result(), whole.toByteArray)
+  }
+
+  private val part8MiB = 8L << 20
+
+  /** The same partNumber ← offset grouping the writer derives — the
+    * determinism of this plan is exactly what resume relies on. */
+  private def partPlan(blobs: Seq[Blob], target: Long): Map[Int, Array[Byte]] =
+    blobs.sortBy(_.offset).groupBy(b => ((b.offset / target) + 1).toInt)
+      .map { case (pn, bs) =>
+        val buf = new java.io.ByteArrayOutputStream()
+        bs.foreach(b => buf.write(b.bytes))
+        pn -> buf.toByteArray
+      }
+
+  private def runResumeRoundTrip(crc: Boolean): Unit = withServer { srv =>
+    val s = spark
+    val (blobs, expect) = blobStream(40)
+    val ds = s.createDataset(blobs)(Encoders.product[Blob])
+    val maxBlob = blobs.map(_.bytes.length.toLong).max
+    val target = OrderedMultipartWriter.targetPartSize(expect.length.toLong,
+      maxBlob, part8MiB)
+    // phase 1: the writer uploads parts 1..k, then dies — no abort, no
+    // complete; the MPU stays live with exactly those parts stored
+    val plan = partPlan(blobs, target)
+    val k = plan.size / 2
+    assert(k >= 2 && plan.size > k, s"fixture too small: ${plan.size} parts")
+    val dying = new S3MultipartSink(srv.endpoint, "b", "big.bin", crc32c = crc)
+    dying.start()
+    (1 to k).foreach(pn => dying.uploadPart(pn, plan(pn)))
+    assert(srv.liveUploadCount == 1)
+    val before = srv.partUploads
+    val crashedId = before.head._1
+    assert(before.map(_._2).sorted == (1 to k),
+      s"phase 1 must store exactly parts 1..$k")
+    // phase 2: a FRESH sink instance (restarted writer) resumes.
+    // Shrunken list pages force ListParts/ListMultipartUploads
+    // pagination on the discovery walk.
+    srv.listMaxKeys = 2
+    val resumed = new S3MultipartSink(srv.endpoint, "b", "big.bin", crc32c = crc)
+    val receipts = OrderedMultipartWriter.writeResuming(ds,
+      expect.length.toLong, maxBlob, resumed, defaultPart = part8MiB)
+    val stored = srv.storedObject("b", "big.bin")
+    assert(stored.isDefined, "resume did not complete the object")
+    assert(java.util.Arrays.equals(stored.get, expect),
+      "resumed object must be byte-exact")
+    assert(srv.liveUploadCount == 0, "completed upload must be reaped")
+    // the zero-re-upload law: every part the crashed writer stored was
+    // adopted — its partNumber never re-appears in the PUT ledger
+    val after = srv.partUploads.drop(before.length)
+    assert(after.map(_._1).distinct == Seq(crashedId),
+      "resume must adopt the crashed upload, not initiate a new one")
+    val reUploaded = after.map(_._2).toSet.intersect(before.map(_._2).toSet)
+    assert(reUploaded.isEmpty,
+      s"parts ${reUploaded.toSeq.sorted} were re-uploaded despite being stored")
+    assert(before.map(_._2).toSet.union(after.map(_._2).toSet) ==
+      receipts.map(_.partNumber).toSet, "every part uploaded exactly once overall")
+    if (crc) {
+      // composite checksum still verified over ALL parts (reused ones
+      // carry their locally recomputed CRC32C in the receipt)
+      assert(receipts.forall(_.checksumCrc32c.isDefined))
+      assert(srv.checksumVerifiedParts == before.length + after.length,
+        "only body-carrying uploads verify server-side; adopted parts must not")
+    }
+  }
+
+  test("kill-and-resume completes the object with zero re-uploaded bytes (CRC32C)") {
+    runResumeRoundTrip(crc = true)
+  }
+
+  test("kill-and-resume verifies adopted parts by MD5-vs-ETag when unchecksummed") {
+    runResumeRoundTrip(crc = false)
+  }
+
+  test("a stored part whose bytes differ from the plan is re-uploaded, not trusted") {
+    withServer { srv =>
+      val s = spark
+      val (blobs, expect) = blobStream(40)
+      val ds = s.createDataset(blobs)(Encoders.product[Blob])
+      val maxBlob = blobs.map(_.bytes.length.toLong).max
+      // the dying writer stored a CORRUPTED part 1 (same size — only
+      // the checksum can tell) and a clean part 2, then died
+      val target = OrderedMultipartWriter.targetPartSize(expect.length.toLong,
+        maxBlob, part8MiB)
+      val plan = partPlan(blobs, target)
+      val corrupting = new S3MultipartSink(srv.endpoint, "b", "t.bin",
+        crc32c = true)
+      corrupting.start()
+      val garbled = plan(1).clone()
+      garbled(0) = (garbled(0) ^ 0x5a).toByte
+      corrupting.uploadPart(1, garbled)
+      corrupting.uploadPart(2, plan(2))
+      val before = srv.partUploads
+      assert(before.map(_._2).contains(1), "the garbled part 1 must be stored")
+      val resumed = new S3MultipartSink(srv.endpoint, "b", "t.bin", crc32c = true)
+      OrderedMultipartWriter.writeResuming(ds, expect.length.toLong, maxBlob,
+        resumed, defaultPart = part8MiB)
+      assert(java.util.Arrays.equals(srv.storedObject("b", "t.bin").get, expect),
+        "the final object must carry the PLAN's bytes, not the garbled part")
+      val after = srv.partUploads.drop(before.length)
+      assert(after.map(_._2).contains(1),
+        "the checksum-mismatched part must be re-uploaded")
+      val cleanBefore = before.map(_._2).toSet - 1
+      assert(after.map(_._2).toSet.intersect(cleanBefore).isEmpty,
+        "verified-clean parts must still not re-upload")
+    }
+  }
+
+  test("a failed writeResuming leaves the upload LIVE for the next resume (no abort)") {
+    withServer { srv =>
+      val s = spark
+      val (blobs, expect) = blobStream(24)
+      val ds = s.createDataset(blobs)(Encoders.product[Blob])
+      val maxBlob = blobs.map(_.bytes.length.toLong).max
+      val dying = new CrashingSink(srv.endpoint, "b", "live.bin", crc = true)
+      intercept[Exception] {
+        OrderedMultipartWriter.writeResuming(ds, expect.length.toLong, maxBlob,
+          dying, defaultPart = part8MiB)
+      }
+      assert(srv.liveUploadCount == 1,
+        "unlike write(), writeResuming must NOT abort on failure — the " +
+          "half-done MPU is what the next resume picks up")
+      // and the next resume does pick it up and finish
+      val resumed = new S3MultipartSink(srv.endpoint, "b", "live.bin", crc32c = true)
+      OrderedMultipartWriter.writeResuming(ds, expect.length.toLong, maxBlob,
+        resumed, defaultPart = part8MiB)
+      assert(java.util.Arrays.equals(srv.storedObject("b", "live.bin").get, expect))
+      assert(srv.liveUploadCount == 0)
+    }
+  }
+
+  test("two in-flight uploads for the key are refused loudly, not raced") {
+    withServer { srv =>
+      val a = new S3MultipartSink(srv.endpoint, "b", "dup.bin")
+      val b = new S3MultipartSink(srv.endpoint, "b", "dup.bin")
+      a.start(); b.start()
+      val e = intercept[java.io.IOException] {
+        new S3MultipartSink(srv.endpoint, "b", "dup.bin").startOrResume()
+      }
+      assert(e.getMessage.contains("2 in-flight"))
+      assert(e.getMessage.contains("reap"))
+      // after the prescribed reap, resume degrades to a fresh start
+      S3MpuJanitor.reap(srv.endpoint, "b", "dup.bin")
+      val fresh = new S3MultipartSink(srv.endpoint, "b", "dup.bin")
+      assert(fresh.startOrResume().isEmpty)
+    }
+  }
+
+  test("startOrResume on a clean bucket is exactly a fresh start") {
+    withServer { srv =>
+      val s = spark
+      val (blobs, expect) = blobStream(24)
+      val sink = new S3MultipartSink(srv.endpoint, "b", "fresh.bin", crc32c = true)
+      val receipts = OrderedMultipartWriter.writeResuming(
+        s.createDataset(blobs)(Encoders.product[Blob]),
+        expect.length.toLong, blobs.map(_.bytes.length.toLong).max, sink)
+      assert(java.util.Arrays.equals(srv.storedObject("b", "fresh.bin").get, expect))
+      assert(receipts.nonEmpty && srv.liveUploadCount == 0)
+    }
+  }
+
+  test("listParts paginates: all parts recovered across shrunken pages") {
+    withServer { srv =>
+      val sink = new S3MultipartSink(srv.endpoint, "b", "pag.bin", crc32c = true)
+      sink.start()
+      val bodies = (1 to 5).map { pn =>
+        val b = new Array[Byte](1024 + pn); scala.util.Random.nextBytes(b)
+        sink.uploadPart(pn, b); pn -> b
+      }
+      srv.listMaxKeys = 2 // 5 parts -> 3 pages
+      val pagesBefore = srv.listRequestCount
+      val parts = sink.listParts()
+      assert(srv.listRequestCount - pagesBefore >= 3, "pagination must be walked")
+      assert(parts.map(_.partNumber) == (1 to 5).toSeq)
+      bodies.foreach { case (pn, b) =>
+        val p = parts.find(_.partNumber == pn).get
+        assert(p.size == b.length.toLong)
+        assert(p.checksumCrc32c.contains(S3Checksums.crc32cB64(b)))
+      }
+    }
+  }
+}
