@@ -35,4 +35,20 @@ object TmpDirs {
     dirs.add(dir.toPath)
     dir
   }
+
+  /** A DETERMINISTIC staging directory (`/tmp/graft_stage/<name>`)
+    * that deliberately SURVIVES JVM exit. For queries whose DuckDB
+    * oracle must re-read the exact files the Spark side wrote: the
+    * oracle SQL is a static string, so the path has to be knowable at
+    * authoring time (a fresh random tempdir can't be), and the
+    * differential check runs in a SEPARATE process after this JVM has
+    * exited (so the exit sweep must not reap it). Bounded: each name
+    * is one fixed dir, overwritten per run. Hardcoded `/tmp` (not
+    * java.io.tmpdir) so the SQL text and the writer can never
+    * disagree. */
+  def fixed(name: String): String = {
+    val d = java.nio.file.Paths.get("/tmp/graft_stage", name)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
 }

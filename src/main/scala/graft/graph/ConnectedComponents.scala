@@ -48,6 +48,14 @@ object ConnectedComponents {
         .select($"node", $"old",
           least($"cluster", coalesce($"jump", $"cluster")).as("cluster"))
         .localCheckpoint()
+      // convergence test is a SEPARATE count() job per round, over the
+      // just-checkpointed (cached) blocks — deliberately not an
+      // accumulator folded into the jump pass: accumulators on
+      // transformations are not exactly-once under task retry, and an
+      // over-counted "changed" merely wastes a round while an
+      // UNDER-count would terminate early and return wrong components.
+      // The count scans O(nodes) in-memory rows; immaterial next to
+      // the two joins per round.
       changed = next.filter($"cluster" =!= $"old").count()
       labels = next.select($"node", $"cluster")
       iter += 1

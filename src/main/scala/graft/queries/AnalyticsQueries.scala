@@ -228,13 +228,18 @@ object AnalyticsQueries {
   // sweep (classifier + eval on the split, stream scoring on the full
   // corpus), with Bench's min-of-2 doubling each. Same pattern as the
   // memoized BPE table / bucketed warehouse.
+  // Bounded like TextQueries.bpeMemo: a few entries per JVM normally;
+  // the cap keeps a many-sfDir session from growing models (and their
+  // broadcasts) without bound — eviction just refits on next use.
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       QualityClassifier.Model]()
+  private val ModelCacheCap = 16
 
   /** The 80%-split distillation fit shared by q_text_classifier and
     * q_eval_metrics. */
-  private def splitModel(spark: SparkSession, sfDir: String): QualityClassifier.Model =
+  private def splitModel(spark: SparkSession, sfDir: String): QualityClassifier.Model = {
+    if (modelCache.size > ModelCacheCap) modelCache.clear()
     modelCache.computeIfAbsent((sfDir, "split80"), _ => {
       import spark.implicits._
       val dim = 256
@@ -250,6 +255,7 @@ object AnalyticsQueries {
       train.unpersist()
       m
     })
+  }
 
   def textClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -30,12 +30,28 @@ object RasterQueries {
   /** 1024×768, 3 pyramid levels, average kernel. Per level: tile count,
     * valid-pixel count, mean of valid pixels (rounded) — stable under
     * partitioning because kernels are pure and the grid is fixed. */
-  def rasterPyramid(spark: SparkSession, sfDir: String): DataFrame = {
+  def rasterPyramid(spark: SparkSession, sfDir: String): DataFrame =
+    pyramidRollup(spark, sfDir, "average")
+
+  /** The same pyramid under the WIDEST kernel (lanczos, halo k=6):
+    * every level is a stencil join — halo pad (one shuffle) + 6-tap
+    * separable filter + quadrant regroup (one shuffle) — so the
+    * reference's SLOW resampling path (ccog/ccog.py:43-53 calls these
+    * out; dask pays `overlap` exchanges exactly here) sits on the
+    * measured bench surface, not only inside HaloSpec. NATIVE
+    * (HaloSpec: tiled step ≡ single-array reference per kernel;
+    * PyramidSpec: this query's full rollup ≡ an independent
+    * driver-side multi-level replica, bit-exact). */
+  def rasterPyramidLanczos(spark: SparkSession, sfDir: String): DataFrame =
+    pyramidRollup(spark, sfDir, "lanczos")
+
+  private[graft] def pyramidRollup(spark: SparkSession, sfDir: String,
+      kernel: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val e = edge(sfDir)
     val prof = RasterProfile(e, e * 3 / 4, blockSize = 128, nodata = ND,
-      resampling = "average", minOverviewSize = 128)
+      resampling = kernel, minOverviewSize = 128)
     val levels = Pyramid.build(SyntheticRaster.generate(spark, prof, seed = 5L), prof)
     val perLevel = levels.map { ds =>
       ds.map { t =>
@@ -435,6 +451,7 @@ object RasterQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_raster_inventory" -> rasterInventory,
     "q_raster_pyramid" -> rasterPyramid,
+    "q_raster_pyramid_lanczos" -> rasterPyramidLanczos,
     "q_raster_halo" -> rasterHalo,
     "q_raster_assemble" -> rasterAssemble,
     "q_raster_read" -> rasterRead,

@@ -258,12 +258,15 @@ object ScanQueries {
     * real feed breaks, then read back PERMISSIVE with an explicit
     * schema + `_corrupt_record` column — broken lines become
     * QUARANTINED rows, never a job failure and never silent drops.
-    * Returns the conservation report. NATIVE (filesystem round-trip;
-    * JsonlSpec asserts exact row conservation, quarantine content,
-    * and clean-row equality with the source). */
+    * Returns the conservation report. ORACLE since r17: the staged
+    * files land at a FIXED path so DuckDB independently re-reads the
+    * same JSONL (`read_json` for the parseable rows, a raw line count
+    * for the quarantine arithmetic) and must derive the identical
+    * report; JsonlSpec retains the content-level laws (quarantine
+    * payloads, clean-row equality) the rollup can't see. */
   def sinkJsonl(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = graft.TmpDirs.create("graft_jsonl")
+    val dir = graft.TmpDirs.fixed("jsonl")
     val docs = Fixtures.documents(spark, sfDir)
     docs.write.mode("overwrite").json(dir)
     // plant the two classic feed breaks in their own part file
@@ -295,12 +298,15 @@ object ScanQueries {
     * NULL — no rewrite of the old data, no reader fork. The report
     * proves: all rows visible, the merged width, and that exactly the
     * old batch's rows are null in the added columns (a miscounted
-    * null set means silent column misalignment). NATIVE
-    * (SchemaEvolutionSpec adds the narrowing direction and the
-    * no-mergeSchema contrast). */
+    * null set means silent column misalignment). ORACLE since r17:
+    * the two batches land at a FIXED path so DuckDB independently
+    * performs the same evolution read (`read_parquet` with
+    * union_by_name + hive partitioning) over the same files and must
+    * derive the identical report; SchemaEvolutionSpec retains the
+    * narrowing direction and the no-mergeSchema contrast. */
   def scanEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = graft.TmpDirs.create("graft_evolve")
+    val dir = graft.TmpDirs.fixed("evolution")
     val docs = Fixtures.documents(spark, sfDir)
     val old = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
     val nu = docs.filter($"doc_id" % 2 =!= 0)
@@ -321,6 +327,45 @@ object ScanQueries {
     out
   }
 
+  /** DuckDB re-reads the SAME staged files (fixed path, see
+    * [[graft.TmpDirs.fixed]]) and performs its own evolution read:
+    * union_by_name is DuckDB's mergeSchema, hive_partitioning its
+    * directory-column inference — two independent engines must agree
+    * on the whole report. */
+  val scanEvolutionSql: String =
+    """WITH m AS (
+      |  SELECT * FROM read_parquet('/tmp/graft_stage/evolution/batch=*/*.parquet',
+      |    union_by_name=true, hive_partitioning=true))
+      |SELECT count(*) AS rows_total,
+      |  (SELECT count(*) FROM (DESCRIBE SELECT * FROM read_parquet(
+      |    '/tmp/graft_stage/evolution/batch=*/*.parquet',
+      |    union_by_name=true, hive_partitioning=true))) AS n_cols,
+      |  count(*) FILTER (lang IS NULL) AS lang_nulls,
+      |  count(*) FILTER (quality IS NULL) AS quality_nulls,
+      |  (SELECT count(*) FROM m WHERE batch = 1) AS rows_old_batch
+      |FROM m""".stripMargin
+
+  /** DuckDB's PERMISSIVE twin: `read_json(ignore_errors)` SKIPS what
+    * Spark QUARANTINES (the malformed line and the doc_id type
+    * mismatch), so good-row counts must agree; the quarantine count is
+    * recovered as raw-line count minus parseable rows (read_csv with
+    * no delimiter = one row per physical line). */
+  val sinkJsonlSql: String =
+    """WITH good AS (
+      |  SELECT doc_id FROM read_json('/tmp/graft_stage/jsonl/*.json',
+      |    format='newline_delimited', ignore_errors=true,
+      |    columns={doc_id: 'BIGINT'})
+      |  WHERE doc_id IS NOT NULL),
+      |lines AS (
+      |  SELECT count(*) AS n FROM read_csv('/tmp/graft_stage/jsonl/*.json',
+      |    columns={'line': 'VARCHAR'}, header=false, delim='', quote='', escape=''))
+      |SELECT (SELECT count(*) FROM documents) AS rows_in,
+      |  (SELECT count(*) FROM good) AS rows_good,
+      |  (SELECT n FROM lines) - (SELECT count(*) FROM good) AS rows_quarantined,
+      |  (SELECT count(*) FROM
+      |    (SELECT doc_id FROM good EXCEPT SELECT doc_id FROM documents)) = 0
+      |    AS ids_match""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project" -> (scanProject _),
     "q_sink_partitioned" -> (sinkPartitioned _),
@@ -337,6 +382,8 @@ object ScanQueries {
     "q_scan_project" -> scanProjectSql,
     "q_scan_unpivot" -> scanUnpivotSql,
     "q_filter_pushdown" -> filterPushdownSql,
+    "q_scan_evolution" -> scanEvolutionSql,
+    "q_sink_jsonl" -> sinkJsonlSql,
     "q_topk" -> topkSql,
     "q_setops" -> setopsSql)
 }

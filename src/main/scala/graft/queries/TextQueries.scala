@@ -382,10 +382,16 @@ object TextQueries {
     * call three BPE consumers against the same corpus. */
   val BpeMerges = 512
 
+  // Bounded: one entry per (session, scale dir) this JVM sweeps —
+  // normally ≤3. The guard below keeps a pathological long-lived
+  // session (many sfDirs) from accumulating tables and their broadcast
+  // refs without bound; eviction just means the next caller refits.
   private val bpeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Bpe.Table]()
+  private val MemoCap = 16
 
-  def bpeTable(spark: SparkSession, sfDir: String): Bpe.Table =
+  def bpeTable(spark: SparkSession, sfDir: String): Bpe.Table = {
+    if (bpeMemo.size > MemoCap) bpeMemo.clear()
     bpeMemo.computeIfAbsent((spark, sfDir), { _ =>
       import spark.implicits._
       val histogram = Fixtures.documents(spark, sfDir)
@@ -398,6 +404,7 @@ object TextQueries {
         .as[(String, Long)].collect().toMap
       Bpe.train(histogram, BpeMerges)
     })
+  }
 
   /** Per-doc REAL BPE token counts next to the whitespace estimate —
     * the budget correction the packer and mixer consume. Encoding is a

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import graft.queries.DedupQueries
+import graft.similarity.Kmeans
+
+/** SemDeDup composition laws: planted near-dup groups collapse to
+  * exactly their min-id representative, pair work rides the cluster
+  * equi-key (never a cartesian), and the kept set does not depend on
+  * how the input rows were partitioned. */
+class SemDedupSpec extends SparkSpec {
+
+  /** Planted corpus: 3 orthogonal "topic" blobs (the k-means
+    * clusters), each holding 3 distinct DIRECTIONS ~40° apart (cos
+    * ≈ 0.77 < τ) with several near-identical members per direction
+    * (cos ≈ 0.9998 ≥ τ). Group g of blob b gets ids b*100 + g*10 + i,
+    * so every group's expected representative is its i=0 member. */
+  private def planted: (Seq[(Long, Array[Float])], Set[Long], Set[Long]) = {
+    val dims = 12
+    val rows = Seq.newBuilder[(Long, Array[Float])]
+    val expectKept = Set.newBuilder[Long]
+    val expectDropped = Set.newBuilder[Long]
+    for (blob <- 0 until 3; group <- 0 until 3) {
+      val theta = group * math.Pi * 40 / 180
+      val sizes = Seq(4, 1, 3)(group)
+      for (i <- 0 until sizes) {
+        val jitter = i * math.Pi * 1 / 180 // ≤3°: cos ≥ 0.998 within group
+        val v = new Array[Float](dims)
+        v(4 * blob) = math.cos(theta + jitter).toFloat
+        v(4 * blob + 1) = math.sin(theta + jitter).toFloat
+        val id = blob * 100L + group * 10L + i
+        rows += ((id, v))
+        if (i == 0) expectKept += id else expectDropped += id
+      }
+    }
+    (rows.result(), expectKept.result(), expectDropped.result())
+  }
+
+  private def run(df: DataFrame, k: Int): DataFrame = {
+    val model = Kmeans.fit(df, k, iters = 8)
+    DedupQueries.semanticDedup(df, model, tau = 0.95)
+  }
+
+  test("planted near-dup groups collapse to exactly their min-id representative") {
+    import spark.implicits._
+    val (rows, expectKept, expectDropped) = planted
+    val df = rows.toDF("vec_id", "embedding")
+    val out = run(df, k = 3).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(out.length == rows.length, "every vector is judged exactly once")
+    assert(out.filter(!_._2).map(_._1).toSet == expectKept,
+      "kept = the min id of each planted direction group")
+    assert(out.filter(_._2).map(_._1).toSet == expectDropped)
+  }
+
+  test("the pair stage is a cluster equi-join — no cartesian, no BNLJ") {
+    import spark.implicits._
+    val (rows, _, _) = planted
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Kmeans.fit(df, 3, iters = 8)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = DedupQueries.semanticDedup(df, model, tau = 0.95)
+        .queryExecution.executedPlan
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        "Σ(cluster size)² requires the cluster key on the join, got a cartesian")
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("kept set is invariant under input repartitioning") {
+    import spark.implicits._
+    val (rows, expectKept, _) = planted
+    def keptAt(n: Int): Set[Long] = {
+      val df = rows.toDF("vec_id", "embedding").repartition(n)
+      run(df, k = 3).collect().filter(!_.getBoolean(2)).map(_.getLong(1)).toSet
+    }
+    assert(keptAt(1) == expectKept)
+    assert(keptAt(7) == expectKept)
+    assert(keptAt(32) == expectKept)
+  }
+
+  test("q_dedup_semantic fixture rollup is complete and actually prunes") {
+    val rows = DedupQueries.dedupSemantic(spark, sfDir).collect()
+    val total = Fixtures.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "every vector lands in a cluster")
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+      s"cluster ${r.getInt(0)}: kept + dropped must cover it"))
+    assert(rows.map(_.getLong(3)).sum > 0,
+      "the fixture's within-cluster near-dups must produce some pruning")
+    val again = DedupQueries.dedupSemantic(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.toSeq.map(_.toSeq), "deterministic")
+  }
+}

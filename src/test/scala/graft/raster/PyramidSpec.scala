@@ -100,4 +100,83 @@ class PyramidSpec extends SparkSpec {
     }
     levels.foreach(_.unpersist())
   }
+
+  test("q_raster_pyramid_lanczos rollup == independent driver-side replica, bit-exact") {
+    val ND = -9999.0
+    val got = graft.queries.RasterQueries.pyramidRollup(spark, sfDir, "lanczos")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    // independent multi-level replica on the full array: same 512×384
+    // synthetic raster (seed 5), same Lanczos-3 taps and validity rule,
+    // same PER-TILE double accumulation then decimal(38,10)
+    // quantization — so the comparison is EXACT equality, no tolerance
+    val prof = RasterProfile(512, 384, blockSize = 128, nodata = ND,
+      resampling = "lanczos", minOverviewSize = 128)
+    def lz(x: Double) = {
+      val px = math.Pi * x
+      3 * math.sin(px) * math.sin(px / 3) / (px * px)
+    }
+    val wt = Array(lz(2.5), lz(1.5), lz(0.5), lz(0.5), lz(1.5), lz(2.5))
+    val s = -2
+    var w = 512
+    var h = 384
+    var px = Array.tabulate(h * w)(i =>
+      SyntheticRaster.pixelAt(5L, i / w, i % w, ND))
+    var avail = Array.tabulate(h * w)(i =>
+      SyntheticRaster.maskAt(5L, i / w, i % w) != 0 && px(i) != ND)
+
+    def rollup(level: Int): (Long, Long, Double) = {
+      val bs = 128
+      val (gw, gh) = ((w + bs - 1) / bs, (h + bs - 1) / bs)
+      var valid = 0L
+      var sumDec = BigDecimal(0)
+      for (ty <- 0 until gh; tx <- 0 until gw) {
+        var tileSum = 0.0 // per-tile DOUBLE accumulation, row-major
+        val (th, tw) = (math.min(bs, h - ty * bs), math.min(bs, w - tx * bs))
+        for (y <- 0 until th; x <- 0 until tw) {
+          val gi = (ty * bs + y) * w + tx * bs + x
+          if (avail(gi)) { valid += 1; tileSum += px(gi) }
+        }
+        sumDec += BigDecimal(java.math.BigDecimal.valueOf(tileSum)
+          .setScale(10, java.math.RoundingMode.HALF_UP))
+      }
+      val mean = java.math.BigDecimal.valueOf(sumDec.toDouble / valid)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      (gw.toLong * gh, valid, mean)
+    }
+
+    def next(): Unit = {
+      val (oh, ow) = ((h + 1) / 2, (w + 1) / 2)
+      val out = new Array[Double](oh * ow)
+      val oav = new Array[Boolean](oh * ow)
+      for (oy <- 0 until oh; ox <- 0 until ow) {
+        var sum = 0.0
+        var wsum = 0.0
+        for (iy <- 0 until 6; ix <- 0 until 6) { // engine tap order
+          val sy = 2 * oy + s + iy
+          val sx = 2 * ox + s + ix
+          if (sy >= 0 && sy < h && sx >= 0 && sx < w && avail(sy * w + sx)) {
+            val wgt = wt(iy) * wt(ix)
+            sum += wgt * px(sy * w + sx)
+            wsum += wgt
+          }
+        }
+        val oi = oy * ow + ox
+        if (math.abs(wsum) < 1e-9) { out(oi) = ND; oav(oi) = false }
+        else { out(oi) = sum / wsum; oav(oi) = true }
+      }
+      px = out; avail = oav; h = oh; w = ow
+    }
+
+    assert(got.keySet == (0 to prof.maxLevel).toSet)
+    for (l <- 0 to prof.maxLevel) {
+      val want = rollup(l)
+      assert(got(l) == want,
+        s"level $l: got ${got(l)}, replica $want — the stencil-join " +
+          "pyramid must reproduce the single-array lanczos exactly")
+      if (l < prof.maxLevel) next()
+    }
+  }
 }

@@ -1,0 +1,81 @@
+package graft.sink
+
+import graft.SparkSpec
+import graft.TileRow
+import graft.raster.{CogReader, RasterProfile, SyntheticRaster}
+import graft.sources.HttpRangeFileSystem
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The stream→object-store path pinned END-TO-END: a REAL Structured
+  * Streaming query stages tile micro-batches, finalize commits the
+  * assembled COG through the SigV4-SIGNED multipart sink (server
+  * verifying every signature), and the object is read back pixel-exact
+  * over SIGNED HTTP ranged GETs — ingest-to-serve with real auth on
+  * every hop, no backdoors. */
+class S3CogStreamSpec extends SparkSpec {
+
+  val ND = -9999.0
+  val creds = SigV4.Credentials("AKIDSTREAM", "stream-secret")
+
+  def sigConf(c: SigV4.Credentials): Map[String, String] = Map(
+    "fs.http.impl" -> classOf[HttpRangeFileSystem].getName,
+    "fs.http.impl.disable.cache" -> "true",
+    "fs.http.sigv4.access.key" -> c.accessKey,
+    "fs.http.sigv4.secret.key" -> c.secretKey)
+
+  test("two micro-batches -> signed MPU commit -> pixel-exact signed HTTP read-back") {
+    import graft.streaming.CogStreamIngest
+    val srv = new MockS3Server
+    srv.requireSigV4(creds)
+    try {
+      val sparkS = spark
+      import sparkS.implicits._
+      val prof = RasterProfile(96, 80, blockSize = 16, nodata = ND,
+        minOverviewSize = 32)
+      val src = SyntheticRaster.generate(sparkS, prof, seed = 53L)
+        .collect().sortBy(t => (t.ty, t.tx))
+      val rows = src.map(t => TileRow(t.ty, t.tx, t.h, t.w, t.pixels, t.mask))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-s3cogstream").toString + "/stage"
+
+      implicit val sqlCtx = sparkS.sqlContext
+      val mem = MemoryStream[TileRow]
+      val q = mem.toDF().writeStream
+        .foreachBatch(CogStreamIngest.stageBatch(prof, stage) _)
+        .start()
+      try {
+        // batch 1: first half; batch 2: second half + a re-delivered
+        // tile (restart semantics — last write wins)
+        val half = rows.length / 2
+        mem.addData(rows.take(half): _*)
+        q.processAllAvailable()
+        mem.addData(rows.drop(half) ++ rows.take(1): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val sink = new S3MultipartSink(srv.endpoint, "stream", "live.tif",
+        credentials = Some(creds))
+      val res = CogStreamIngest.finalizeCogTo(sparkS, prof, stage, sink)
+      assert(srv.liveUploadCount == 0, "finalize must complete the MPU")
+      assert(srv.verifiedRequestCount > 0, "the commit hops must be signed")
+      val stored = srv.storedObject("stream", "live.tif").get
+      assert(stored.length.toLong == res.totalLen)
+
+      // pixel-exact read-back over SIGNED HTTP — the serve half of the
+      // loop, against the same server that verified the write half
+      val uri = s"${srv.endpoint}/stream/live.tif"
+      val got = CogReader.read(sparkS, uri, prof, 0, sigConf(creds)).collect()
+      assert(got.length == prof.tilesPerLevel(0))
+      val expected = src.map(t => (t.ty, t.tx) -> t).toMap
+      for (t <- got; i <- 0 until t.h * t.w) {
+        val e = expected((t.ty, t.tx))
+        val want = if (e.valid(i, ND)) e.pixels(i) else ND
+        assert(t.pixels(i) == want, s"tile(${t.ty},${t.tx}) px $i")
+      }
+      // overview chain exists and serves over the same signed path
+      assert(CogReader.read(sparkS, uri, prof, prof.maxLevel, sigConf(creds))
+        .collect().nonEmpty)
+      assert(srv.unboundedGets == 0, "the COG reader must only range-GET")
+    } finally srv.stop()
+  }
+}
