@@ -23,7 +23,10 @@ object RasterQueries {
     * pixel throughput, not just stage-orchestration overhead:
     * sf0.001 → 512², sf0.01 → 1024², sf0.1 → 2048² (32 MB float64). */
   private def edge(sfDir: String): Int =
-    if (sfDir.contains("sf0.1")) 2048
+    // "sfx4" = the ScaleEvidence 4x replica of sf0.1: raster inputs
+    // are synthetic (not fixture-derived), so the scale-gate runs them
+    // at the sf0.1 edge — cap/flatness evidence, not a data curve
+    if (sfDir.contains("sf0.1") || sfDir.contains("sfx4")) 2048
     else if (sfDir.contains("sf0.01")) 1024
     else 512
 

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Memory-bounded scale gate (round 17+): run the most expensive
+queries at sf0.1 AND the ScaleEvidence 4x replica with the WHOLE
+local[32] JVM capped (default -Xmx4g) — proving no operator silently
+relies on the sandbox's 128 GiB headroom, and that the 4x curve stays
+flat-to-linear under the cap.
+
+Usage:
+  scale_gate.py [--queries q1,q2,...] [--heap 4g] [--out SCALE_EVIDENCE_rN.json]
+      [--sf-dir /root/testdata/sf0.1] [--x4-dir /tmp/graft_sfx4] [--cpus 32]
+
+Launches java straight from target/scala-2.13/classes (run `sbt compile`
+first). A query that OOMs or errors records -1.0 and fails the gate.
+"""
+import argparse, json, os, subprocess, sys, tempfile
+
+ADD_OPENS_PKGS = [
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+    "sun.security.action", "sun.util.calendar",
+]
+
+DEFAULT_QUERIES = [
+    # top-8 of BENCH_r16_full + the two new round-17 operators
+    "q_raster_mosaic_write", "q_graph_pagerank", "q_stream_join",
+    "q_dedup_clusters", "q_raster_dsv2_write", "q_cog_write_bytes",
+    "q_dedup_ngram", "q_raster_assemble",
+    "q_dedup_semantic", "q_raster_pyramid_lanczos",
+]
+
+
+def run_one(query, sf_dir, cpus, repo_root, heap):
+    cp = os.path.join(repo_root, "target/scala-2.13/classes") + ":/opt/spark/jars/*"
+    out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
+    cmd = ["java"]
+    for p in ADD_OPENS_PKGS:
+        cmd += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
+    cmd += ["-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            f"-Xmx{heap}", "-cp", cp, "graft.Bench"]
+    env = dict(os.environ, SPARK_GRAFT_ONLY=query, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_OUT=out)
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    try:
+        if r.returncode != 0:
+            sys.stderr.write(f"  {query} @ {sf_dir} FAILED (heap {heap}):\n"
+                             f"{r.stderr[-1500:]}\n")
+            return None
+        with open(out) as f:
+            rec = json.load(f)
+        return float(rec.get("queries", rec).get(query, -1.0))
+    finally:
+        os.unlink(out)
+
+
+def main(argv):
+    p = argparse.ArgumentParser(description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    p.add_argument("--heap", default="4g")
+    p.add_argument("--out", default="SCALE_EVIDENCE_r17.json")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    p.add_argument("--x4-dir", default="/tmp/graft_sfx4")
+    p.add_argument("--cpus", type=int, default=32)
+    p.add_argument("--factor", type=int, default=4)
+    ns = p.parse_args(argv)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    queries = ns.queries.split(",")
+    results, failed = {}, []
+    for q in queries:
+        a = run_one(q, ns.sf_dir, ns.cpus, repo_root, ns.heap)
+        b = run_one(q, ns.x4_dir, ns.cpus, repo_root, ns.heap)
+        print(f"  {q}: sf0.1 {a if a is not None else 'OOM/ERR'} s, "
+              f"x4 {b if b is not None else 'OOM/ERR'} s (heap {ns.heap})")
+        if a is None or b is None or a < 0 or b < 0:
+            failed.append(q)
+            results[q] = {"sf01_sec": a, "x4_sec": b, "verdict": "FAILED under cap"}
+            continue
+        ratio = round(b / a, 2) if a > 0 else None
+        if q.startswith("q_raster") or q in ("q_cog_write_bytes", "q_stream_join"):
+            verdict = "completed under cap (input not fixture-scaled: cap evidence)"
+        elif ratio is not None and ratio <= ns.factor * 1.25:
+            verdict = "flat-to-linear under cap"
+        else:
+            verdict = f"SUPERLINEAR ({ratio}x at {ns.factor}x data)"
+        results[q] = {"sf01_sec": round(a, 3), "x4_sec": round(b, 3),
+                      "ratio": ratio, "verdict": verdict}
+    rec = {
+        "round": 17,
+        "factor": ns.factor,
+        "heap_cap": ns.heap,
+        "config": f"fresh JVM per (query, dir), -Xmx{ns.heap}, local[{ns.cpus}], "
+                  f"min-of-2 (graft.Bench), {ns.sf_dir} vs {ns.x4_dir}",
+        "note": "the whole local[32] JVM (driver+executors) runs inside the "
+                "cap — 32x less headroom than the sandbox default; raster/"
+                "stream inputs are synthetic or demo-sized (not fixture-"
+                "scaled), so their rows are cap evidence, not data curves",
+        "queries": results,
+        "gate": "PASS" if not failed else f"FAIL: {failed}",
+    }
+    with open(ns.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {ns.out}: {rec['gate']}")
+    return 0 if not failed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
