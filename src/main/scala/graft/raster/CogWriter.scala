@@ -29,8 +29,19 @@ object CogWriter {
     * target so parts stay near-target-sized. */
   private val HeaderChunk = 8 << 20
 
+  /** `resume = true` adopts an in-flight multipart upload of the
+    * target key instead of restarting from byte 0 (the sink must be a
+    * [[graft.sink.ResumableMultipartSink]]): the whole encode pipeline
+    * is deterministic (fixed tile loops, decimal stats, deflate), so a
+    * restarted writer re-derives byte-identical parts and
+    * [[OrderedMultipartWriter.writeResuming]] verifies + skips the
+    * ones the store already holds. `partTarget` is the packing target
+    * passed through to the part planner — the default matches
+    * [[OrderedMultipartWriter.write]]'s; a resume must use the SAME
+    * value as the crashed attempt or no part verifies. */
   def write(level0: Dataset[Tile], profile: RasterProfile,
-      sink: MultipartSink): Result = {
+      sink: MultipartSink, resume: Boolean = false,
+      partTarget: Long = 16L << 20): Result = {
     val spark = level0.sparkSession
     import spark.implicits._
 
@@ -138,7 +149,17 @@ object CogWriter {
       val blobs = spark.createDataset(headerBlobs)
         .union(placement.placed.filter(_.nbytes > 0).map(p => Blob(p.offset, p.bytes)))
       val totalLen = headerLen + tileBytes
-      val receipts = OrderedMultipartWriter.write(blobs, totalLen, maxBlob, sink)
+      val receipts =
+        if (resume) sink match {
+          case r: graft.sink.ResumableMultipartSink =>
+            OrderedMultipartWriter.writeResuming(blobs, totalLen, maxBlob, r,
+              partTarget)
+          case other => throw new IllegalArgumentException(
+            s"cog resume requested but sink ${other.getClass.getName} " +
+              "cannot adopt in-flight uploads (ResumableMultipartSink)")
+        }
+        else OrderedMultipartWriter.write(blobs, totalLen, maxBlob, sink,
+          partTarget)
 
       Result(headerLen, totalLen, tileBytes, nTiles, nSparse,
         receipts.size, nLevels, stats, receipts)
@@ -151,9 +172,9 @@ object CogWriter {
   /** Bytes-in-memory path for small outputs / tests — the reference's
     * store=None mode (ccog/ccog.py:970,973-978). */
   def writeBytes(level0: Dataset[Tile], profile: RasterProfile,
-      dir: String): (Array[Byte], Result) = {
+      dir: String, partTarget: Long = 16L << 20): (Array[Byte], Result) = {
     val sink = new LocalMultipartSink(dir)
-    val res = write(level0, profile, sink)
+    val res = write(level0, profile, sink, partTarget = partTarget)
     (sink.assembled, res)
   }
 }

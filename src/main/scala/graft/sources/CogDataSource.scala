@@ -224,7 +224,14 @@ object CogWriteSupport {
   private def insertSingleS3(d: S3Dest, opts: Map[String, String],
       overwrite: Boolean, data: DataFrame): Unit = {
     val (profile, tiles) = buildProfileAndTiles(opts, data)
-    try CogWriter.write(tiles, profile, s3Sink(d, opts, ifNoneMatch = !overwrite))
+    // crash-resume (`s3.resume=true`): adopt the key's in-flight MPU
+    // and re-upload only unverified parts — the restarted-ingest path
+    // for multi-TiB objects. The encode pipeline is deterministic, so
+    // a changed INPUT simply fails verification part-by-part and
+    // re-uploads; a same-input restart moves only the missing bytes.
+    val resume = opts.get("s3.resume").exists(_.toBoolean)
+    try CogWriter.write(tiles, profile,
+      s3Sink(d, opts, ifNoneMatch = !overwrite), resume = resume)
     catch {
       case e: Exception if !overwrite &&
           Option(e.getMessage).exists(m =>

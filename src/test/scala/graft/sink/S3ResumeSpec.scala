@@ -207,6 +207,73 @@ class S3ResumeSpec extends SparkSpec {
     }
   }
 
+  test("crashed COG S3 write resumes: stored parts adopted, object byte-exact") {
+    import graft.raster.{CogWriter, RasterProfile, SyntheticRaster}
+    withServer { srv =>
+      val s = spark
+      val prof = RasterProfile(2048, 1024, blockSize = 128, nodata = -9999.0,
+        resampling = "average", minOverviewSize = 512, dtype = "float64")
+      val T = 6L << 20
+      // the deterministic ground truth: local write of the same input
+      // fixes the exact bytes AND the part plan a restarted S3 writer
+      // must re-derive
+      val (bytes, res) = CogWriter.writeBytes(
+        SyntheticRaster.generate(s, prof, seed = 61L), prof,
+        java.nio.file.Files.createTempDirectory("graft-cogresume").toString,
+        partTarget = T)
+      assert(res.receipts.size >= 3,
+        s"fixture must pack >= 3 parts, got ${res.receipts.size}")
+      // phase 1: a writer landed the first two parts, then died
+      val dying = new S3MultipartSink(srv.endpoint, "b", "big.tif", crc32c = true)
+      dying.start()
+      for (r <- res.receipts.take(2))
+        dying.uploadPart(r.partNumber, java.util.Arrays.copyOfRange(
+          bytes, r.offset.toInt, (r.offset + r.size).toInt))
+      val before = srv.partUploads
+      assert(before.map(_._2).sorted == Seq(1, 2))
+      // phase 2: restart through the REAL distributed pipeline
+      val resumed = new S3MultipartSink(srv.endpoint, "b", "big.tif", crc32c = true)
+      val res2 = CogWriter.write(SyntheticRaster.generate(s, prof, seed = 61L),
+        prof, resumed, resume = true, partTarget = T)
+      assert(java.util.Arrays.equals(srv.storedObject("b", "big.tif").get, bytes),
+        "resumed COG must be byte-identical to the uncrashed local write")
+      assert(res2.receipts.map(r => (r.partNumber, r.offset, r.size)) ==
+        res.receipts.map(r => (r.partNumber, r.offset, r.size)),
+        "the restarted writer must re-derive the identical part plan")
+      val after = srv.partUploads.drop(before.length)
+      assert(after.map(_._2).toSet.intersect(Set(1, 2)).isEmpty,
+        "the crashed writer's parts must not re-upload")
+      assert(srv.liveUploadCount == 0)
+    }
+  }
+
+  test("DSv2 s3.resume option adopts the key's in-flight upload") {
+    import graft.raster.{GeoRef, RasterProfile, SyntheticRaster}
+    withServer { srv =>
+      val s = spark
+      import s.implicits._
+      val prof = RasterProfile(64, 48, blockSize = 16, nodata = -9999.0,
+        minOverviewSize = 16,
+        geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
+      val tiles = SyntheticRaster.generate(s, prof, seed = 71L)
+      // an earlier writer initiated the upload and died before any part
+      val stale = new S3MultipartSink(srv.endpoint, "rasters", "resume.tif")
+      stale.start()
+      assert(srv.liveUploadCount == 1)
+      tiles.toDF().write.format("cog")
+        .option("nodata", "-9999.0").option("minoverviewsize", "16")
+        .option("epsg", "32633")
+        .option("pixelw", "10.0").option("pixelh", "10.0")
+        .option("originx", "500000.0").option("originy", "6400000.0")
+        .option("s3.resume", "true")
+        .mode("append").save(s"${srv.endpoint}/rasters/resume.tif")
+      assert(srv.liveUploadCount == 0, "resume must complete, not abandon")
+      assert(srv.storedObject("rasters", "resume.tif").isDefined)
+      // every part rode the ADOPTED upload — no second initiate
+      assert(srv.partUploads.map(_._1).distinct.length == 1)
+    }
+  }
+
   test("listParts paginates: all parts recovered across shrunken pages") {
     withServer { srv =>
       val sink = new S3MultipartSink(srv.endpoint, "b", "pag.bin", crc32c = true)
