@@ -821,7 +821,58 @@ object WindowQueries {
       |  round(CAST(count(*) AS DOUBLE) / max(count(*)) OVER (), 4) AS reach_rate
       |FROM u GROUP BY stage ORDER BY stage""".stripMargin
 
+  /** MinHash near-dup detection ON ARRIVAL — the streaming twin of the
+    * batch LSH path, as a REAL two-micro-batch run over the documents
+    * corpus: each arriving doc is banded into LSH buckets
+    * (`flatMapGroupsWithState` keyed on (band, bucket)), compared
+    * against the signatures its buckets already hold, and flagged at
+    * signature-estimate ≥ τ — the admit/reject verdict a continuous
+    * ingest pipeline needs AT arrival, not after a nightly join. See
+    * [[graft.streaming.StreamMinHash]] for the state/scale contract
+    * (≈400 B per doc per bucket, Σ(bucket)² pair work, capped
+    * buckets). Output: per-source arrivals vs flagged near-dups.
+    * NATIVE (StreamMinHashSpec: exact equality with a driver-side
+    * arrival-order replica, batch-split invariance, planted-dup
+    * recall, re-delivery idempotence). */
+  def streamDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.StreamMinHash
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val half = docs.length / 2
+    val mem = MemoryStream[(Long, String, String)]
+    withShufflePartitions(spark, 4) {
+      val q = mem.toDS()
+        .flatMap { case (id, src, text) => StreamMinHash.bandRows(id, src, text) }
+        .groupByKey(r => (r._1, r._2))
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(StreamMinHash.matcher)
+        .writeStream.format("memory").queryName("q_stream_dedup_minhash_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(docs.take(half): _*); q.processAllAvailable()
+        mem.addData(docs.drop(half): _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    // per-doc verdict = any band flagged it (bands agree on the
+    // signature estimate; distinct collapses the multiplicity)
+    val flagged = spark.table("q_stream_dedup_minhash_out")
+      .select($"docId".as("doc_id"), $"source").distinct()
+      .groupBy($"source").agg(count(lit(1)).as("n_flagged"))
+    spark.createDataset(docs.toSeq).toDF("doc_id", "source", "text")
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(flagged, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_flagged", lit(0L)).as("n_flagged"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dedup_minhash" -> (streamDedupMinhash _),
     "q_stream_pipeline" -> (streamPipeline _),
     "q_ts_funnel" -> (tsFunnel _),
     "q_win_rank" -> (winRank _),

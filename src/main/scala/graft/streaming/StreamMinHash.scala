@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.GroupState
+import graft.text.MinHashLSH
+
+/** MinHash near-duplicate detection ON ARRIVAL — the streaming twin of
+  * the batch MinHash-LSH path (`graft.text.MinHashLSH`): every
+  * arriving document is banded into LSH buckets, compared against the
+  * signatures its buckets have already seen (keyed state), and flagged
+  * if its estimated Jaccard to any earlier document clears τ. This is
+  * the admit/reject gate a continuously-ingesting training-data
+  * pipeline runs: the verdict is available AT ARRIVAL, not after a
+  * nightly batch join.
+  *
+  * Parameterization is deliberately SMALLER than the batch path's
+  * 192/64×3: the streaming variant carries its signature through the
+  * band shuffle and the state store, so it uses k=48 hashes in 16
+  * bands of 3 — ~400 B per doc per bucket, collision probability
+  * ≈0.88 at J=0.5 and ≈0.9998 at J=0.8. The operating point is
+  * STRONG near-dups (τ=0.5 signature estimate); the batch path with
+  * its 192-hash signature and exact verification remains the
+  * completeness tool at the 0.35 threshold.
+  *
+  * Determinism/idempotence: within a micro-batch, bucket members fold
+  * in ascending doc_id (arrival inside a batch is unordered);
+  * re-delivered doc_ids are ignored (state already holds them), so a
+  * restart that replays a batch cannot re-flag or self-match.
+  *
+  * Scale contract: state per bucket is its occupancy × ~400 B, and
+  * bucket occupancy is exactly the banded-LSH Σ(bucket)² argument —
+  * near-dup clusters, not the corpus. `MaxPerBucket` caps a
+  * pathological bucket: beyond it, newcomers are still COMPARED
+  * against the kept representatives (a near-dup cluster needs only
+  * one rep to flag against) but no longer enlarge the state. On an
+  * unbounded stream, production would additionally expire buckets
+  * with an event-time timeout; the demo feed is bounded. */
+object StreamMinHash {
+
+  val NumHashes = 48
+  val Rows = 3
+  val Bands = 16 // NumHashes / Rows
+  val Tau = 0.5
+  val MaxPerBucket = 256
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // own permutation family (seed-disjoint from MinHashLSH's)
+  private val permA = Array.tabulate(NumHashes)(i => mix(0x5eedfeedL + 2L * i) | 1L)
+  private val permB = Array.tabulate(NumHashes)(i => mix(0xcafef00dL + 2L * i + 1L))
+
+  /** Distinct word trigrams — same shingle definition as the batch
+    * n-gram universe (PipelineQueries.buildKeptShingles), WITHOUT the
+    * global df cap (a per-doc pure function must not depend on corpus
+    * statistics it cannot see on arrival). */
+  def shingles(text: String): Set[String] = {
+    val w = text.trim.toLowerCase(java.util.Locale.ROOT).split(" ")
+    if (w.length < 3) Set.empty
+    else (0 to w.length - 3).iterator
+      .map(i => w(i) + " " + w(i + 1) + " " + w(i + 2)).toSet
+  }
+
+  def signature(text: String): Array[Long] = {
+    val sig = Array.fill(NumHashes)(-1L)
+    shingles(text).foreach { s =>
+      val h = MinHashLSH.hash64(s)
+      var i = 0
+      while (i < NumHashes) {
+        val v = permA(i) * h + permB(i)
+        if (java.lang.Long.compareUnsigned(v, sig(i)) < 0) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  def bandKey(sig: Array[Long], b: Int): Long = {
+    var h = mix(0x5ca1ab1eL + b.toLong)
+    var r = 0
+    while (r < Rows) { h = mix(h ^ sig(b * Rows + r)); r += 1 }
+    h
+  }
+
+  /** Standard MinHash Jaccard estimate: equal-position fraction. */
+  def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < NumHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / NumHashes
+  }
+
+  /** One row per (band, bucket) for an arriving document. Documents
+    * with no shingles (< 3 words) emit NOTHING: an all-sentinel
+    * signature would collide every empty doc with every other in every
+    * band — emptiness is a length gate's job, not near-dup's. */
+  def bandRows(docId: Long, source: String, text: String)
+      : Iterator[(Int, Long, Long, String, Array[Long])] = {
+    if (shingles(text).isEmpty) Iterator.empty
+    else {
+      val sig = signature(text)
+      (0 until Bands).iterator.map(b => (b, bandKey(sig, b), docId, source, sig))
+    }
+  }
+
+  case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
+
+  /** Flag emitted the first time a document matches ANY earlier
+    * bucket-mate at est ≥ τ (per band; downstream dedups per doc). */
+  case class Flag(docId: Long, source: String, dupOf: Long, est: Double)
+
+  def matcher(key: (Int, Long),
+      rows: Iterator[(Int, Long, Long, String, Array[Long])],
+      state: GroupState[BucketState]): Iterator[Flag] = {
+    val have = state.getOption.getOrElse(BucketState(Array.empty, Array.empty))
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    ids ++= have.ids
+    sigs ++= have.sigs
+    val known = scala.collection.mutable.HashSet.empty[Long]
+    known ++= have.ids
+    val out = Seq.newBuilder[Flag]
+    // ascending doc_id: deterministic under in-batch disorder AND
+    // batch-split-invariant for id-ordered feeds
+    for ((_, _, id, source, sig) <- rows.toSeq.sortBy(_._3)
+         if !known.contains(id)) {
+      var bestId = -1L
+      var bestEst = 0.0
+      var j = 0
+      while (j < ids.length) {
+        val e = estJaccard(sigs(j), sig)
+        // deterministic pick: highest estimate, ties to the SMALLEST id
+        if (e >= Tau && (e > bestEst || (e == bestEst && ids(j) < bestId) ||
+            bestId == -1L)) {
+          bestId = ids(j); bestEst = e
+        }
+        j += 1
+      }
+      if (bestId >= 0L)
+        out += Flag(id, source, bestId, math.round(bestEst * 10000) / 10000.0)
+      known += id
+      if (ids.length < MaxPerBucket) { ids += id; sigs += sig }
+    }
+    state.update(BucketState(ids.toArray, sigs.toArray))
+    out.result().iterator
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import graft.streaming.StreamMinHash
+
+/** Laws of the streaming MinHash near-dup gate: exact equality with a
+  * driver-side arrival-order replica on the REAL corpus, planted-dup
+  * recall with clean originals, batch-split invariance, and
+  * re-delivery idempotence. */
+class StreamMinHashSpec extends SparkSpec {
+
+  private def runStream(batches: Seq[Seq[(Long, String, String)]],
+      sinkName: String): Set[Long] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDS()
+      .flatMap { case (id, src, text) => StreamMinHash.bandRows(id, src, text) }
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(StreamMinHash.matcher)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    s.table(sinkName).select($"docId").distinct()
+      .as[Long].collect().toSet
+  }
+
+  /** Pure driver replica of the streamed semantics: docs arrive in
+    * ascending id; each is flagged iff ANY of its band buckets holds a
+    * kept earlier signature at est ≥ τ; buckets keep at most
+    * MaxPerBucket reps. Independent code path — only the published
+    * pure functions are shared. */
+  private def replica(docs: Seq[(Long, String, String)]): Set[Long] = {
+    val buckets = scala.collection.mutable.HashMap
+      .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Array[Long]]]
+    val flagged = Set.newBuilder[Long]
+    for ((id, _, text) <- docs.sortBy(_._1)
+         if StreamMinHash.shingles(text).nonEmpty) {
+      val sig = StreamMinHash.signature(text)
+      val keys = (0 until StreamMinHash.Bands)
+        .map(b => (b, StreamMinHash.bandKey(sig, b)))
+      val hit = keys.exists { k =>
+        buckets.get(k).exists(_.exists(other =>
+          StreamMinHash.estJaccard(other, sig) >= StreamMinHash.Tau))
+      }
+      if (hit) flagged += id
+      for (k <- keys) {
+        val buf = buckets.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer.empty)
+        if (buf.length < StreamMinHash.MaxPerBucket) buf += sig
+      }
+    }
+    flagged.result()
+  }
+
+  private def fixtureDocs: Seq[(Long, String, String)] = {
+    val s = spark
+    import s.implicits._
+    Fixtures.documents(s, sfDir).select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+  }
+
+  test("streamed flags == driver arrival-order replica on the real corpus") {
+    val docs = fixtureDocs
+    val half = docs.length / 2
+    val got = runStream(Seq(docs.take(half), docs.drop(half)), "smh_real")
+    val want = replica(docs)
+    assert(got == want,
+      s"stream-vs-replica diff: extra=${(got -- want).toSeq.sorted.take(5)} " +
+        s"missing=${(want -- got).toSeq.sorted.take(5)}")
+    assert(want.nonEmpty,
+      "the fixture's planted near-dups must trip the streaming gate")
+  }
+
+  private def plantedFeed: (Seq[(Long, String, String)], Set[Long]) = {
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "nov",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    def doc(seed: Int) = {
+      val r = new java.util.Random(seed)
+      (0 until 60).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
+    }
+    val rows = Seq.newBuilder[(Long, String, String)]
+    val dups = Set.newBuilder[Long]
+    for (i <- 0 until 20) {
+      val base = doc(1000 + i * 7)
+      rows += ((i * 10L, "src", base))
+      if (i % 3 == 0) {
+        // near-dup: same words, ONE substitution — high Jaccard
+        val w = base.split(" "); w(7) = "zulu"
+        rows += ((i * 10L + 1, "src", w.mkString(" ")))
+        dups += i * 10L + 1
+      }
+    }
+    // a short doc (< 3 words) must be ignored, never self-matched
+    rows += ((9999L, "src", "too short"))
+    (rows.result(), dups.result())
+  }
+
+  test("planted near-dups flag; originals and the short doc stay clean") {
+    val (rows, dups) = plantedFeed
+    val got = runStream(Seq(rows), "smh_planted")
+    assert(got == dups, s"got=$got want=$dups")
+  }
+
+  test("flags are batch-split invariant") {
+    val (rows, dups) = plantedFeed
+    val one = runStream(Seq(rows), "smh_split1")
+    val three = runStream(Seq(rows.take(7), rows.slice(7, 15), rows.drop(15)),
+      "smh_split3")
+    assert(one == three && one == dups)
+  }
+
+  test("re-delivered batch is idempotent: no new flags, no self-matches") {
+    val (rows, dups) = plantedFeed
+    val got = runStream(Seq(rows, rows.take(12)), "smh_redeliver")
+    assert(got == dups,
+      "replaying arrivals must not re-flag or self-match")
+  }
+
+  test("q_stream_dedup_minhash rollup conserves arrivals per source") {
+    val out = graft.queries.WindowQueries
+      .streamDedupMinhash(spark, sfDir).collect()
+    val total = Fixtures.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    out.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+    assert(out.map(_.getLong(2)).sum > 0, "fixture near-dups must flag")
+  }
+}
