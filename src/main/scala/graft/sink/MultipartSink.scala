@@ -63,8 +63,12 @@ trait ResumableMultipartSink extends MultipartSink {
   * stand-in, ccog/aws_tools.py:76-79). Parts land as `part-%05d.bin`
   * plus a `manifest.json`; `assembled` re-concatenates for
   * decode-and-compare tests. An S3 implementation replaces file writes
-  * with UploadPart calls — the interface is the S3 one. */
-class LocalMultipartSink(dir: String) extends MultipartSink {
+  * with UploadPart calls — the interface is the S3 one, INCLUDING
+  * crash-resume: `startOrResume` adopts whatever part files a dead
+  * writer left (no manifest = never completed), with MD5 ETags so the
+  * resume path's content verification works exactly as it does
+  * against S3's multipart ETags. */
+class LocalMultipartSink(dir: String) extends ResumableMultipartSink {
 
   private def partPath(n: Int) = Paths.get(dir, f"part-$n%05d.bin")
 
@@ -80,12 +84,32 @@ class LocalMultipartSink(dir: String) extends MultipartSink {
       .foreach(_.delete())
   }
 
+  /** Adopt the crashed write's part files instead of wiping them. A
+    * COMPLETED target (manifest present) starts fresh — resume is for
+    * half-done uploads, not for silently re-opening committed objects. */
+  override def startOrResume(): Map[Int, PartReceipt] = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    if (Files.exists(Paths.get(dir, "manifest.json"))) { start(); return Map.empty }
+    // orphaned temp files are garbage either way
+    val old = d.toFile.listFiles()
+    if (old != null) old.filter(_.getName.startsWith(".part-")).foreach(_.delete())
+    partNumbers.map { n =>
+      val bytes = Files.readAllBytes(partPath(n))
+      n -> PartReceipt(n, 0L, bytes.length.toLong, md5hex(bytes))
+    }.toMap
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
   override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
     val tmp = Paths.get(dir, f".part-$partNumber%05d.tmp-${Thread.currentThread().getId}")
     Files.write(tmp, bytes)
     Files.move(tmp, partPath(partNumber), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    java.lang.Long.toHexString(bytes.length.toLong) // cheap etag stand-in
+    md5hex(bytes) // MD5, like S3's multipart part ETags — resume verifies it
   }
 
   override def complete(receipts: Seq[PartReceipt]): Unit = {

@@ -1,0 +1,110 @@
+package graft.sink
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkSpec
+import org.apache.spark.sql.Encoders
+
+/** Randomized resume laws over the filesystem resumable sink: for ANY
+  * blob stream, ANY pre-uploaded subset of the part plan, and an
+  * optionally corrupted stored part, `writeResuming` must (a) assemble
+  * the exact bytes, (b) never re-write a verified-clean stored part,
+  * (c) always re-write a corrupted one. The counting subclass observes
+  * actual uploadPart calls — invariants hold by observation, not by
+  * construction. */
+/** Static upload ledger: the sink deserializes per task, so instance
+  * fields would count in throwaway copies — a JVM-wide map keyed by
+  * target dir observes every copy's calls (single-JVM local mode). */
+private object UploadCounters {
+  val counts = new java.util.concurrent.ConcurrentHashMap[(String, Int),
+    java.util.concurrent.atomic.AtomicInteger]()
+  def bump(dir: String, pn: Int): Unit =
+    counts.computeIfAbsent((dir, pn),
+      _ => new java.util.concurrent.atomic.AtomicInteger()).incrementAndGet()
+  def get(dir: String, pn: Int): Int =
+    Option(counts.get((dir, pn))).map(_.get()).getOrElse(0)
+}
+
+/** Top-level (a spec-inner subclass drags the non-serializable suite
+  * into the task closure). */
+private class CountingLocalSink(dir: String) extends LocalMultipartSink(dir) {
+  override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
+    UploadCounters.bump(dir, partNumber)
+    super.uploadPart(partNumber, bytes)
+  }
+}
+
+class ResumePropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genCase: Gen[(Long, Int, Int, Boolean)] = for {
+    seed <- Gen.choose(0L, Long.MaxValue)
+    nBlobs <- Gen.choose(12, 24)
+    preMask <- Gen.choose(0, 255) // bitmask of pre-uploaded parts
+    corrupt <- Gen.oneOf(true, false)
+  } yield (seed, nBlobs, preMask, corrupt)
+
+  test("resume laws: byte-exact assembly, clean parts skipped, corrupt parts re-written") {
+    val s = spark
+    check(Prop.forAll(genCase) { case (seed, nBlobs, preMask, corrupt) =>
+      val rnd = new java.util.Random(seed)
+      var off = 0L
+      val whole = new java.io.ByteArrayOutputStream()
+      val blobs = (0 until nBlobs).map { _ =>
+        val b = new Array[Byte](64 * 1024 + rnd.nextInt(1 << 20))
+        rnd.nextBytes(b)
+        val blob = Blob(off, b)
+        whole.write(b); off += b.length
+        blob
+      }
+      val expect = whole.toByteArray
+      val maxBlob = blobs.map(_.bytes.length.toLong).max
+      val target = OrderedMultipartWriter.targetPartSize(
+        expect.length.toLong, maxBlob, 5L << 20)
+      // the local part plan a crashed writer would have derived
+      val plan = blobs.groupBy(b => ((b.offset / target) + 1).toInt)
+        .toSeq.sortBy(_._1)
+        .map { case (pn, bs) =>
+          val buf = new java.io.ByteArrayOutputStream()
+          bs.sortBy(_.offset).foreach(b => buf.write(b.bytes))
+          pn -> buf.toByteArray
+        }
+      val dir = graft.TmpDirs.create("graft-resume-prop")
+      // phase 1: the crashed writer stored an arbitrary subset, one
+      // part of it possibly corrupted in place (same size)
+      val crashed = new LocalMultipartSink(dir)
+      val pre = plan.zipWithIndex.collect {
+        case ((pn, bytes), i) if ((preMask >> (i % 8)) & 1) == 1 => (pn, bytes)
+      }
+      val corrupted = if (corrupt && pre.nonEmpty) Some(pre.head._1) else None
+      pre.foreach { case (pn, bytes) =>
+        val body = if (corrupted.contains(pn)) {
+          val g = bytes.clone(); g(3) = (g(3) ^ 0x77).toByte; g
+        } else bytes
+        crashed.uploadPart(pn, body)
+      }
+      // phase 2: restart
+      val resumed = new CountingLocalSink(dir)
+      val receipts = OrderedMultipartWriter.writeResuming(
+        s.createDataset(blobs)(Encoders.product[Blob]),
+        expect.length.toLong, maxBlob, resumed, 5L << 20)
+      val cleanPre = pre.map(_._1).toSet -- corrupted
+      def n(pn: Int) = UploadCounters.get(dir, pn)
+      val assembled = resumed.assembled
+      Prop.all(
+        Prop(java.util.Arrays.equals(assembled, expect)) :| "byte-exact assembly",
+        Prop(receipts.map(_.partNumber) == plan.map(_._1)) :| "plan re-derived",
+        Prop(cleanPre.forall(pn => n(pn) == 0)) :|
+          s"clean stored parts re-uploaded: ${cleanPre.filter(n(_) > 0)}",
+        Prop(corrupted.forall(pn => n(pn) == 1)) :|
+          s"corrupted part not re-written exactly once (corrupted=$corrupted)",
+        Prop((plan.map(_._1).toSet -- cleanPre).forall(pn => n(pn) == 1)) :|
+          "every missing part uploaded exactly once")
+    }, n = 20)
+  }
+}
