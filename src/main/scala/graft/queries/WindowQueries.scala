@@ -871,7 +871,54 @@ object WindowQueries {
       .orderBy($"source")
   }
 
+  /** Streaming heavy hitters — Misra–Gries summaries as keyed state
+    * over the REAL events corpus (two micro-batches in ts order):
+    * per event_type, k=8 counters answer "who are the frequent
+    * user_ids and with what deterministic bound" AT INGEST, in O(k)
+    * state per key on an unbounded stream — the streaming twin of the
+    * batch Count-Min rollup (q_agg_cms). Output: the final summary's
+    * candidates with their floor estimates and the n/(k+1) error
+    * bound. NATIVE (HeavyHitterSpec: the Misra–Gries guarantee under
+    * any batch split, exact equality with a single-pass replica,
+    * planted-skew recovery). */
+  def streamHeavy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.streaming.HeavyHitters
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Fixtures.events(spark, sfDir)
+      .select($"ts", $"event_id", $"event_type", $"user_id")
+      .as[(java.sql.Timestamp, Long, String, Long)]
+      .collect().sortBy(r => (r._1.getTime, r._2))
+      .map(r => (r._3, r._4))
+    val half = ev.length / 2
+    val mem = MemoryStream[(String, Long)]
+    withShufflePartitions(spark, 4) {
+      val q = mem.toDS()
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(HeavyHitters.matcher)
+        .writeStream.format("memory").queryName("q_stream_heavy_out")
+        .outputMode("update").start()
+      try {
+        mem.addData(ev.take(half): _*); q.processAllAvailable()
+        mem.addData(ev.drop(half): _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val w = Window.partitionBy($"group").orderBy(desc("seq"))
+    spark.table("q_stream_heavy_out")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"group".as("event_type"), $"n",
+        posexplode(arrays_zip($"ids", $"counts")))
+      .select($"event_type", $"col.ids".as("user_id"),
+        $"col.counts".as("est"), $"n",
+        ($"n" / (HeavyHitters.K + 1)).cast("long").as("max_undercount"))
+      .orderBy($"event_type", desc("est"), $"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_heavy" -> (streamHeavy _),
     "q_stream_dedup_minhash" -> (streamDedupMinhash _),
     "q_stream_pipeline" -> (streamPipeline _),
     "q_ts_funnel" -> (tsFunnel _),

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.GroupState
+
+/** Streaming heavy hitters — a Misra–Gries summary (Misra & Gries
+  * 1982; the "frequent" algorithm) as keyed streaming state: per group
+  * (here: event_type), k counters track candidate items (user_ids)
+  * with the classic deterministic guarantee after n arrivals
+  *
+  *    est(x) ≤ true(x) ≤ est(x) + n/(k+1),
+  *
+  * and every item with true frequency > n/(k+1) is GUARANTEED present
+  * in the summary — under ANY arrival order and any micro-batch
+  * split, which is what makes a bounded-memory sketch usable on an
+  * unbounded stream. State per key is O(k) (k item ids + counts + one
+  * Long), never the stream.
+  *
+  * Determinism: arrivals inside a micro-batch fold in (itemId,
+  * arrival-multiplicity) canonical order (batch contents are
+  * unordered); the summary CONTENT is still split-dependent — that is
+  * inherent to Misra–Gries — but the guarantee above is not, and
+  * HeavyHitterSpec pins both (plus exact equality with a single-pass
+  * driver replica folding the same canonical order).
+  *
+  * The two-level pattern matches the batch Count-Min rollup
+  * (q_agg_cms): sketches answer candidate/bound queries cheaply at
+  * ingest; exact counts, if needed, come from one targeted batch
+  * aggregate over the candidates only. */
+object HeavyHitters {
+
+  val K = 8
+
+  case class MgState(ids: Array[Long], counts: Array[Long], n: Long,
+      seq: Long)
+
+  /** Update-mode emission: the group's summary AFTER this batch;
+    * `seq` is the per-key emission counter (pick max downstream). */
+  case class Summary(group: String, ids: Array[Long], counts: Array[Long],
+      n: Long, seq: Long)
+
+  /** Fold a batch of items into a Misra–Gries summary. Pure — shared
+    * by the streaming matcher and the spec's replica. */
+  def fold(ids0: Array[Long], counts0: Array[Long], n0: Long,
+      items: Seq[Long]): (Array[Long], Array[Long], Long) = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    ids0.indices.foreach(i => m(ids0(i)) = counts0(i))
+    // canonical in-batch order: by item id, multiplicities together —
+    // batch contents arrive unordered, so the fold imposes its own
+    for (x <- items.sorted) {
+      if (m.contains(x)) m(x) = m(x) + 1
+      else if (m.size < K) m(x) = 1L
+      else {
+        // decrement-all step; drop zeros
+        val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for ((k, v) <- m) { if (v == 1L) dead += k else m(k) = v - 1 }
+        dead.foreach(m.remove)
+      }
+    }
+    val kept = m.toSeq.sortBy { case (id, c) => (-c, id) }
+    (kept.map(_._1).toArray, kept.map(_._2).toArray, n0 + items.length)
+  }
+
+  def matcher(group: String, rows: Iterator[(String, Long)],
+      state: GroupState[MgState]): Summary = {
+    val st = state.getOption.getOrElse(
+      MgState(Array.empty, Array.empty, 0L, 0L))
+    val (ids, counts, n) = fold(st.ids, st.counts, st.n,
+      rows.map(_._2).toSeq)
+    val out = MgState(ids, counts, n, st.seq + 1)
+    state.update(out)
+    Summary(group, ids, counts, n, out.seq)
+  }
+}

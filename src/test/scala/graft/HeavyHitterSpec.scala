@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import graft.streaming.HeavyHitters
+
+/** Misra–Gries streaming laws: the deterministic frequency guarantee
+  * under ANY micro-batch split, exact state equality with a
+  * single-pass driver replica for a fixed split, planted-skew
+  * recovery, and the fixture rollup's bound arithmetic. */
+class HeavyHitterSpec extends SparkSpec {
+
+  private def runStream(batches: Seq[Seq[(String, Long)]],
+      sinkName: String): Map[String, (Seq[Long], Seq[Long], Long)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(HeavyHitters.matcher)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("update").start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    s.table(sinkName).as[HeavyHitters.Summary].collect()
+      .groupBy(_.group).map { case (g, emissions) =>
+        val last = emissions.maxBy(_.seq)
+        g -> ((last.ids.toSeq, last.counts.toSeq, last.n))
+      }
+  }
+
+  /** Skewed planted feed: one 40% item, one 20% item, uniform tail. */
+  private def plantedFeed: Seq[(String, Long)] = {
+    val rnd = new java.util.Random(7)
+    (0 until 2000).map { _ =>
+      val r = rnd.nextDouble()
+      val id = if (r < 0.4) 1000L
+        else if (r < 0.6) 2000L
+        else 1L + rnd.nextInt(50)
+      ("g", id)
+    }
+  }
+
+  private def exact(feed: Seq[(String, Long)]): Map[Long, Long] =
+    feed.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+
+  private def assertGuarantee(feed: Seq[(String, Long)],
+      got: (Seq[Long], Seq[Long], Long)): Unit = {
+    val (ids, counts, n) = got
+    val truth = exact(feed)
+    assert(n == feed.length.toLong)
+    val bound = n / (HeavyHitters.K + 1)
+    ids.zip(counts).foreach { case (id, est) =>
+      val t = truth(id)
+      assert(est <= t, s"item $id over-estimated: $est > $t")
+      assert(t - est <= bound, s"item $id undercount ${t - est} > $bound")
+    }
+    // completeness: every item with true count > n/(k+1) is present
+    truth.foreach { case (id, t) =>
+      if (t > bound) assert(ids.contains(id),
+        s"item $id with true count $t > bound $bound missing from summary")
+    }
+  }
+
+  test("Misra-Gries guarantee holds under any batch split; hot items recovered") {
+    val feed = plantedFeed
+    for ((splits, name) <- Seq(
+        (Seq(feed), "hh_s1"),
+        (Seq(feed.take(500), feed.slice(500, 1300), feed.drop(1300)), "hh_s3"))) {
+      val got = runStream(splits, name)("g")
+      assertGuarantee(feed, got)
+      assert(got._1.contains(1000L) && got._1.contains(2000L),
+        "the 40%/20% planted items must be in the summary")
+    }
+  }
+
+  test("streamed state == single-pass driver replica for a fixed split") {
+    val feed = plantedFeed
+    val splits = Seq(feed.take(700), feed.drop(700))
+    val got = runStream(splits, "hh_replica")("g")
+    var ids = Array.empty[Long]
+    var counts = Array.empty[Long]
+    var n = 0L
+    for (b <- splits) {
+      val r = HeavyHitters.fold(ids, counts, n, b.map(_._2))
+      ids = r._1; counts = r._2; n = r._3
+    }
+    assert(got == ((ids.toSeq, counts.toSeq, n)),
+      s"stream $got vs replica ${(ids.toSeq, counts.toSeq, n)}")
+  }
+
+  test("q_stream_heavy: bound arithmetic and conservation on the real corpus") {
+    val s = spark
+    import s.implicits._
+    val out = graft.queries.WindowQueries.streamHeavy(s, sfDir).collect()
+    assert(out.nonEmpty)
+    // per event_type: n equals that type's true arrival count
+    val perType = Fixtures.events(s, sfDir)
+      .groupBy($"event_type").count().as[(String, Long)].collect().toMap
+    val truth = Fixtures.events(s, sfDir)
+      .groupBy($"event_type", $"user_id").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (t, u, c) => (t, u) -> c }.toMap
+    out.foreach { r =>
+      val (t, u, est, n) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == perType(t), s"$t: n $n != arrivals ${perType(t)}")
+      assert(r.getLong(4) == n / (HeavyHitters.K + 1))
+      assert(est <= truth((t, u)), s"($t,$u): floor estimate above truth")
+      assert(truth((t, u)) - est <= r.getLong(4), s"($t,$u): bound violated")
+    }
+    val again = graft.queries.WindowQueries.streamHeavy(s, sfDir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "deterministic")
+  }
+}
