@@ -251,9 +251,20 @@ object DedupQueries {
   }
 
   /** The keep/drop frame behind [[dedupSemantic]], shared with the
-    * spec's planted-corpus laws: (cluster, vec_id, dropped). */
+    * spec's planted-corpus laws: (cluster, vec_id, dropped).
+    *
+    * Skew guard (`clusterCap`): a duplicate-heavy corpus concentrates
+    * exactly where SemDeDup looks, so one mega-cluster would land its
+    * whole quadratic pair work on ONE join task. Clusters above the
+    * cap are salt-split with the same variable-salt scheme as
+    * [[graft.similarity.Ann.saltedSides]] — left side hash-salted into
+    * ceil(n/cap) groups, right side replicated to every salt — which
+    * changes NOTHING about which pairs are compared (each same-cluster
+    * pair meets in exactly one salt group), only bounds any single
+    * task's left group at ~cap rows. */
   private[graft] def semanticDedup(emb: DataFrame,
-      model: graft.similarity.Kmeans.Model, tau: Double): DataFrame = {
+      model: graft.similarity.Kmeans.Model, tau: Double,
+      clusterCap: Int = 100000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
@@ -261,12 +272,25 @@ object DedupQueries {
       .as[(Long, Array[Float])]
       .map { case (id, v) => (bc.value.assign(v), id, v) }
       .toDF("cluster", "vec_id", "embedding")
-    val a = assigned.select($"cluster", $"vec_id".as("id_a"), $"embedding".as("va"))
-    val b = assigned.select($"cluster", $"vec_id".as("id_b"), $"embedding".as("vb"))
+    // oversize-cluster salt counts: O(k) rows to the driver
+    val saltCount: Map[Int, Int] = assigned.groupBy($"cluster").count()
+      .filter($"count" > clusterCap).select($"cluster", $"count")
+      .as[(Int, Long)].collect()
+      .map { case (c, n) => c -> ((n + clusterCap - 1) / clusterCap).toInt }
+      .toMap
+    val salts =
+      if (saltCount.isEmpty) lit(1)
+      else coalesce(element_at(typedLit(saltCount), $"cluster"), lit(1))
+    val a = assigned.select($"cluster",
+      pmod(xxhash64($"vec_id"), salts).cast("int").as("salt"),
+      $"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = assigned.select($"cluster",
+      explode(sequence(lit(0), salts - 1)).as("salt"),
+      $"vec_id".as("id_b"), $"embedding".as("vb"))
     // a member is DROPPED iff any same-cluster smaller id is within τ
     // — semi-join shape, so the pair frame never materializes more
     // than the per-bucket qualifying pairs
-    val dropped = a.join(b, Seq("cluster"))
+    val dropped = a.join(b, Seq("cluster", "salt"))
       .filter($"id_a" < $"id_b")
       .filter(expr(s"cosine_sim(va, vb)") >= tau)
       .select($"id_b".as("vec_id"))

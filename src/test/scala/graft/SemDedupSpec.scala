@@ -83,6 +83,20 @@ class SemDedupSpec extends SparkSpec {
     assert(keptAt(32) == expectKept)
   }
 
+  test("salt-split clusters compare exactly the same pairs (clusterCap=2)") {
+    import spark.implicits._
+    val (rows, expectKept, expectDropped) = planted
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Kmeans.fit(df, 3, iters = 8)
+    // a cap of 2 forces every planted cluster through the salt path;
+    // the verdicts must be bit-identical to the unsalted join's
+    val salted = DedupQueries.semanticDedup(df, model, tau = 0.95,
+      clusterCap = 2).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2))).toMap
+    assert(salted.filter(!_._2).keySet == expectKept)
+    assert(salted.filter(_._2).keySet == expectDropped)
+  }
+
   test("q_dedup_semantic fixture rollup is complete and actually prunes") {
     val rows = DedupQueries.dedupSemantic(spark, sfDir).collect()
     val total = Fixtures.embeddings(spark, sfDir).count()
