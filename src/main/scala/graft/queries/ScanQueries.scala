@@ -87,29 +87,16 @@ object ScanQueries {
     * ScanSpec asserts the physical plan prunes at PartitionFilters
     * (the non-matching partitions never reach the scan) and the
     * written tree has one directory per lang. */
-  // one sink directory per scale dir, reused across calls (overwrite
-  // mode), and ONE JVM-exit hook for all of them: a hook per call would
-  // accumulate threads forever in a long-lived session, and
-  // File.deleteOnExit on a non-empty parquet directory is a silent
-  // no-op (it leaked a copy of documents to tmp per call before this)
-  private val partSinkDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
-  private lazy val partSinkHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      partSinkDirs.values.forEach(out =>
-        try {
-          java.nio.file.Files.walk(out.toPath)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        } catch { case _: Exception => () })))
-
+  // ORACLE since r17: the hive-partitioned tree lands at a FIXED path
+  // that survives JVM exit ([[graft.TmpDirs.fixed]]) so DuckDB
+  // independently re-reads the SAME written files (hive_partitioning
+  // recovering lang from the directory names) and must derive the
+  // identical pruned rollup — verifying the partitioned write's
+  // directory encoding and written values against a second engine,
+  // not just Spark's own read-back.
   def sinkPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    partSinkHook
-    val out = partSinkDirs.computeIfAbsent(sfDir, _ => new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_part_sink_${java.util.UUID.randomUUID().toString.take(8)}"))
-    val dir = out.getAbsolutePath
+    val dir = graft.TmpDirs.fixed("part_sink")
     Fixtures.documents(spark, sfDir)
       .select($"doc_id", $"source", $"lang", length($"text").as("n_chars"))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
@@ -117,9 +104,17 @@ object ScanQueries {
     spark.read.parquet(dir)
       .where($"lang" === "en")
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars".cast("long")).as("n_chars"))
       .orderBy($"source")
   }
+
+  val sinkPartitionedSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM read_parquet('/tmp/graft_stage/part_sink/lang=*/*.parquet',
+      |  hive_partitioning=true)
+      |WHERE lang = 'en' GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Z-order vs row-major data layout — the file-skipping experiment,
     * run end-to-end: the same 128×128 tile grid is written as 32
@@ -228,9 +223,13 @@ object ScanQueries {
     * the before/after file counts + row conservation. NATIVE
     * (filesystem layout isn't DuckDB-SQL); CompactionSpec asserts
     * row-exact conservation and the output count law. */
+  // ORACLE since r17 (fixed-path staging): DuckDB re-counts the
+  // fragmented and compacted trees' files (read_parquet filename=true)
+  // and rows over the same written parquet — an independent reader
+  // verifying the compaction conserved every row across the rewrite.
   def sinkCompact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val root = graft.TmpDirs.create("graft_compact")
+    val root = graft.TmpDirs.fixed("compact")
     val frag = s"$root/frag"
     val compact = s"$root/compact"
     Fixtures.documents(spark, sfDir)
@@ -247,9 +246,23 @@ object ScanQueries {
       .write.mode("overwrite").parquet(compact)
     val rowsIn = spark.read.parquet(frag).count()
     val rowsOut = spark.read.parquet(compact).count()
-    Seq((inFiles.length, parquetFiles(compact).length, rowsIn, rowsOut))
+    Seq((inFiles.length.toLong, parquetFiles(compact).length.toLong,
+        rowsIn, rowsOut))
       .toDF("n_input_files", "n_output_files", "rows_in", "rows_out")
   }
+
+  val sinkCompactSql: String =
+    """SELECT
+      |  (SELECT count(DISTINCT filename) FROM read_parquet(
+      |    '/tmp/graft_stage/compact/frag/*.parquet', filename=true))
+      |    AS n_input_files,
+      |  (SELECT count(DISTINCT filename) FROM read_parquet(
+      |    '/tmp/graft_stage/compact/compact/*.parquet', filename=true))
+      |    AS n_output_files,
+      |  (SELECT count(*) FROM read_parquet(
+      |    '/tmp/graft_stage/compact/frag/*.parquet')) AS rows_in,
+      |  (SELECT count(*) FROM read_parquet(
+      |    '/tmp/graft_stage/compact/compact/*.parquet')) AS rows_out""".stripMargin
 
   /** JSONL sink + ingest with a corrupt-record policy — the LLM-data
     * interchange loop (crawl dumps, annotation exports and eval sets
@@ -384,6 +397,8 @@ object ScanQueries {
     "q_filter_pushdown" -> filterPushdownSql,
     "q_scan_evolution" -> scanEvolutionSql,
     "q_sink_jsonl" -> sinkJsonlSql,
+    "q_sink_partitioned" -> sinkPartitionedSql,
+    "q_sink_compact" -> sinkCompactSql,
     "q_topk" -> topkSql,
     "q_setops" -> setopsSql)
 }

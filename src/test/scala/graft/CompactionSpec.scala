@@ -8,7 +8,7 @@ class CompactionSpec extends SparkSpec {
     val sparkS = spark
     import sparkS.implicits._
     val r = graft.queries.ScanQueries.sinkCompact(spark, sfDir)
-      .as[(Int, Int, Long, Long)].head()
+      .as[(Long, Long, Long, Long)].head()
     val (nIn, nOut, rowsIn, rowsOut) = r
     assert(nIn == 32, s"fragmentation produced $nIn files")
     assert(rowsIn == rowsOut, s"compaction lost rows: $rowsIn -> $rowsOut")
