@@ -133,9 +133,13 @@ object ScanQueries {
     * predicates on either dimension, which is what makes it the right
     * 100 TB layout when query boxes aren't known in advance (the same
     * reason the COG mosaic prunes by 2-D bbox, and what Delta's
-    * OPTIMIZE ZORDER does for lake tables). NATIVE (filesystem layout
-    * isn't DuckDB-SQL); ZOrderSpec pins the interleave against a
-    * reference implementation and asserts the touched-file counts. */
+    * OPTIMIZE ZORDER does for lake tables). ORACLE since r17
+    * (fixed-path staging): DuckDB re-derives each written file's
+    * (tx, ty) bounds from the SAME parquet (group-by filename) and
+    * re-runs the box-intersection count — an independent reader
+    * agreeing on exactly which files a stats skipper touches.
+    * ZOrderSpec still pins the Morton interleave itself against a
+    * reference implementation. */
   def layoutZorder(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.ZOrder
@@ -145,7 +149,7 @@ object ScanQueries {
         (col("id") % n).cast("int").as("tx"),
         (col("id") / n).cast("int").as("ty"))
       .withColumn("payload", ($"tx" * 31 + $"ty").cast("double"))
-    val root = graft.TmpDirs.create("graft_zorder")
+    val root = graft.TmpDirs.fixed("zorder")
     grid.repartitionByRange(files, $"ty", $"tx")
       .sortWithinPartitions($"ty", $"tx")
       .write.mode("overwrite").parquet(s"$root/rowmajor")
@@ -177,6 +181,27 @@ object ScanQueries {
     rows.toDF("layout", "box", "n_files", "files_touched")
       .orderBy($"layout", $"box")
   }
+
+  val layoutZorderSql: String =
+    """WITH s AS (
+      |  SELECT 'rowmajor' AS layout, filename,
+      |    min(tx) AS fx0, max(tx) AS fx1, min(ty) AS fy0, max(ty) AS fy1
+      |  FROM read_parquet('/tmp/graft_stage/zorder/rowmajor/*.parquet',
+      |    filename=true) GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'zorder', filename,
+      |    min(tx), max(tx), min(ty), max(ty)
+      |  FROM read_parquet('/tmp/graft_stage/zorder/zorder/*.parquet',
+      |    filename=true) GROUP BY 1, 2),
+      |boxes AS (
+      |  SELECT * FROM (VALUES
+      |    ('ty_selective', 0, 127, 40, 55),
+      |    ('tx_selective', 40, 55, 0, 127)) t(box, x0, x1, y0, y1))
+      |SELECT s.layout, b.box, count(*) AS n_files,
+      |  count(*) FILTER (s.fx1 >= b.x0 AND s.fx0 <= b.x1 AND
+      |                   s.fy1 >= b.y0 AND s.fy0 <= b.y1) AS files_touched
+      |FROM s CROSS JOIN boxes b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Unpivot (melt): wide → long reshaping, three measure columns into
     * (metric, value) rows — how a feature table normalizes for
@@ -399,6 +424,7 @@ object ScanQueries {
     "q_sink_jsonl" -> sinkJsonlSql,
     "q_sink_partitioned" -> sinkPartitionedSql,
     "q_sink_compact" -> sinkCompactSql,
+    "q_layout_zorder" -> layoutZorderSql,
     "q_topk" -> topkSql,
     "q_setops" -> setopsSql)
 }
