@@ -229,7 +229,46 @@ object SamplingQueries {
       |    AS actual_rate
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** Epoch-seeded deterministic corpus shuffle — the training-order
+    * randomization every run performs before packing/sharding, with
+    * NO engine RNG: shuffle_key is the high-bit multiplicative hash of
+    * (doc_id + epoch·7919), so the order is reproducible across
+    * engines, runs and partitionings, and bumping the epoch constant
+    * reshuffles. The head-of-order probe here is a distributed top-k
+    * (orderBy + limit lowers to TakeOrderedAndProject — per-partition
+    * heaps, never a global sort); ranking the 100-row result is
+    * metadata-scale. At 100 TB the SAME key drives
+    * `repartitionByRange(shuffle_key) + sortWithinPartitions` so the
+    * full shuffled order materializes without any global window. */
+  def shuffleCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val epoch = 3L
+    val head = Fixtures.documents(spark, sfDir)
+      .select($"doc_id",
+        (shiftright(($"doc_id" + lit(epoch * 7919L)) * lit(2654435761L), 20)
+          % 1000000L).as("shuffle_key"))
+      .orderBy($"shuffle_key", $"doc_id")
+      .limit(100)
+    head
+      .withColumn("position", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"shuffle_key", $"doc_id")).cast("long"))
+      .select($"position", $"doc_id", $"shuffle_key")
+      .orderBy($"position")
+  }
+
+  val shuffleCorpusSql: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    (((doc_id + 23757) * 2654435761) >> 20) % 1000000 AS shuffle_key
+      |  FROM documents),
+      |t AS (SELECT * FROM k ORDER BY shuffle_key, doc_id LIMIT 100)
+      |SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) AS position,
+      |  doc_id, shuffle_key
+      |FROM t ORDER BY position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shuffle_corpus" -> (shuffleCorpus _),
     "q_split_train" -> (splitTrain _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_sample_weighted" -> (sampleWeighted _),
@@ -238,6 +277,7 @@ object SamplingQueries {
     "q_mix_temperature" -> (mixTemperature _))
 
   val oracle: Map[String, String] = Map(
+    "q_shuffle_corpus" -> shuffleCorpusSql,
     "q_split_train" -> splitTrainSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_mix_weights" -> mixWeightsSql,

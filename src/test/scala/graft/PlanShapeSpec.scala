@@ -215,4 +215,11 @@ class PlanShapeSpec extends SparkSpec {
       case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
     }.isEmpty, "blocking must produce an equi-join")
   }
+
+  test("q_shuffle_corpus head probe lowers to TakeOrderedAndProject, not a global sort") {
+    val p = plan(SamplingQueries.shuffleCorpus(spark, sfDir))
+    assert(p.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"orderBy+limit must plan per-partition heaps:\n$p")
+  }
 }
