@@ -621,7 +621,44 @@ object TextQueries {
       |  array_to_string(list_slice(w, start + 1, start + 50), ' ') AS chunk_text
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** HTML → text extraction over a synthetic crawl: every document's
+    * text is wrapped in a deterministic page (nav, script, style,
+    * comment, link-dense ad line, footer — the chrome a crawl really
+    * carries; see [[graft.text.HtmlExtract.syntheticPage]]) and
+    * extraction must shed ALL of it while preserving the body
+    * paragraphs exactly. A narrow map at any corpus size — the first
+    * stage of a web-crawl curation pipeline. NATIVE (HtmlExtractSpec:
+    * goldens for tags/entities/comments, the anchor-density
+    * boilerplate law, malformed-markup degradation; the rollup here
+    * pins exact body recovery on the whole corpus). */
+  def textExtractHtml(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.HtmlExtract
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        val extracted = HtmlExtract.extract(HtmlExtract.syntheticPage(id, text))
+        // the body the page embedded, post the same whitespace collapse
+        val words = text.split(" ")
+        val half = math.max(1, words.length / 2)
+        val expect = Seq(words.take(half).mkString(" "),
+            words.drop(half).mkString(" ") + " & more")
+          .map(_.split("\\s+").filter(_.nonEmpty).mkString(" "))
+          .filter(_.nonEmpty).mkString("\n")
+        (src, if (extracted == expect) 1L else 0L,
+          extracted.length.toLong, text.length.toLong)
+      }
+      .toDF("source", "exact", "n_extracted", "n_original")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"exact").as("n_exact"),
+        round(sum($"n_extracted").cast("double") / sum($"n_original"), 4)
+          .as("char_ratio"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_extract" -> (textExtractHtml _),
     "q_text_quality" -> (textQuality _),
     "q_text_nll" -> (textNll _),
     "q_text_tfidf" -> (textTfidf _),

@@ -1,0 +1,200 @@
+package graft.text
+
+/** HTML → text extraction with boilerplate removal — the first step of
+  * every web-crawl curation pipeline (the trafilatura/jusText niche,
+  * re-expressed as a deterministic pure function so it runs as a
+  * narrow map over a crawl table at any scale):
+  *
+  *  1. drop non-content subtrees wholesale: <script>, <style>,
+  *     <noscript>, <template> and comments;
+  *  2. convert block-level boundaries (<p>, <div>, <li>, <br>,
+  *     <h1-6>, <tr>, <section>, <article>) to line breaks, strip every
+  *     other tag;
+  *  3. decode the common entities (&amp; &lt; &gt; &quot; &#39;
+  *     &nbsp; plus numeric &#NNN; / &#xHH;);
+  *  4. per line: collapse whitespace, drop empties, and drop
+  *     BOILERPLATE lines by anchor density — a line whose characters
+  *     are mostly link text (> 0.5) is navigation/footer chrome, the
+  *     jusText signal that needs no DOM.
+  *
+  * Single pass, no regex backtracking (a hand-rolled scanner — crawl
+  * HTML is adversarial; catastrophic regex on it is a classic outage),
+  * O(|html|) time and memory. Malformed markup degrades gracefully:
+  * an unclosed tag swallows to the next '>' or end-of-input, an
+  * unclosed script subtree drops the tail (never emitted as text).
+  * HtmlExtractSpec pins goldens, entity/edge cases, and the
+  * anchor-density boilerplate law. */
+object HtmlExtract {
+
+  private val BlockTags = Set("p", "div", "li", "br", "h1", "h2", "h3",
+    "h4", "h5", "h6", "tr", "section", "article", "ul", "ol", "table",
+    "header", "footer", "nav", "blockquote")
+  // title is head metadata, not body text — dropped like scripts
+  private val DropTags = Set("script", "style", "noscript", "template",
+    "title")
+
+  /** Line with its total and anchor-text char counts (pre-collapse). */
+  private final class LineBuf {
+    val sb = new StringBuilder
+    var anchorChars = 0
+    var totalChars = 0
+  }
+
+  def extract(html: String): String = {
+    val out = new StringBuilder
+    var line = new LineBuf
+    var anchorDepth = 0
+    var i = 0
+    val n = html.length
+
+    def flushLine(): Unit = {
+      // collapse whitespace runs, trim
+      val raw = line.sb.toString
+      val collapsed = raw.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      if (collapsed.nonEmpty) {
+        val density =
+          if (line.totalChars == 0) 0.0
+          else line.anchorChars.toDouble / line.totalChars
+        if (density <= 0.5) {
+          if (out.nonEmpty) out.append('\n')
+          out.append(collapsed)
+        }
+      }
+      line = new LineBuf
+    }
+
+    def emit(c: Char): Unit = {
+      line.sb.append(c)
+      if (!c.isWhitespace) {
+        line.totalChars += 1
+        if (anchorDepth > 0) line.anchorChars += 1
+      }
+    }
+
+    def tagNameAt(start: Int): (String, Boolean) = {
+      var j = start
+      val closing = j < n && html.charAt(j) == '/'
+      if (closing) j += 1
+      val b = new StringBuilder
+      while (j < n && (html.charAt(j).isLetterOrDigit)) {
+        b.append(Character.toLowerCase(html.charAt(j))); j += 1
+      }
+      (b.toString, closing)
+    }
+
+    def skipTag(start: Int): Int = {
+      var j = start
+      while (j < n && html.charAt(j) != '>') j += 1
+      math.min(j + 1, n)
+    }
+
+    def skipDroppedSubtree(start: Int, tag: String): Int = {
+      // scan for the matching </tag>, case-insensitive; unclosed →
+      // swallow to end (never emit script bodies as text)
+      val close = s"</$tag"
+      var j = start
+      while (j < n) {
+        if (html.charAt(j) == '<' &&
+            html.regionMatches(true, j, close, 0, close.length)) {
+          return skipTag(j + 1)
+        }
+        j += 1
+      }
+      n
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n &&
+            (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          // <!DOCTYPE ...>, <![CDATA[...]]>, <?xml ...?> — declarations,
+          // not content
+          i = skipTag(i + 1)
+        } else {
+          val (name, closing) = tagNameAt(i + 1)
+          if (name.isEmpty) { emit('<'); i += 1 } // literal '<'
+          else {
+            val after = skipTag(i + 1)
+            if (!closing && DropTags.contains(name)) {
+              i = skipDroppedSubtree(after, name)
+            } else {
+              if (name == "a") {
+                if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+                else anchorDepth += 1
+              }
+              if (BlockTags.contains(name)) flushLine()
+              else line.sb.append(' ') // inline tag boundary = spacing
+              i = after
+            }
+          }
+        }
+      } else if (c == '&') {
+        val (decoded, skip) = entityAt(html, i)
+        decoded.foreach(emit)
+        i += skip
+      } else {
+        emit(c)
+        i += 1
+      }
+    }
+    flushLine()
+    out.toString
+  }
+
+  /** Decode the entity at `i` (which points at '&'); returns the
+    * decoded text and how many input chars it consumed. Unknown
+    * entities pass through literally. */
+  private def entityAt(s: String, i: Int): (String, Int) = {
+    val named = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+    for ((e, d) <- named)
+      if (s.regionMatches(true, i, e, 0, e.length)) return (d, e.length)
+    if (i + 2 < s.length && s.charAt(i + 1) == '#') {
+      val hex = s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X'
+      var j = i + (if (hex) 3 else 2)
+      val digits = new StringBuilder
+      while (j < s.length && digits.length <= 7 &&
+          (if (hex) Character.digit(s.charAt(j), 16) >= 0
+           else s.charAt(j).isDigit)) {
+        digits.append(s.charAt(j)); j += 1
+      }
+      if (digits.nonEmpty && j < s.length && s.charAt(j) == ';') {
+        val cp = try Integer.parseInt(digits.toString, if (hex) 16 else 10)
+          catch { case _: NumberFormatException => -1 }
+        if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp))
+          return (new String(Character.toChars(cp)), j + 1 - i)
+      }
+    }
+    ("&", 1)
+  }
+
+  /** Deterministic synthetic page around a document's text — the
+    * fixture generator for the extraction query (the testdata corpus
+    * is plain text; a crawl table would carry real HTML in this
+    * column). Chrome: a nav of links, a script, an inline ad line
+    * that is mostly anchor text, and a footer — all of which
+    * extraction must shed, keeping the body paragraphs. */
+  def syntheticPage(docId: Long, text: String): String = {
+    val words = text.split(" ")
+    val half = math.max(1, words.length / 2)
+    val para1 = words.take(half).mkString(" ")
+    val para2 = words.drop(half).mkString(" ")
+    s"""<!DOCTYPE html><html><head><title>doc $docId</title>
+       |<style>body { margin: 0; }</style>
+       |<script>var tracking = "$docId"; load();</script>
+       |</head><body>
+       |<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact us</a></nav>
+       |<!-- rendered ${docId % 7} ms -->
+       |<div id="main">
+       |<p>$para1</p>
+       |<p>$para2 &amp; more</p>
+       |</div>
+       |<div class="ad"><a href="/buy">BUY NOW</a> <a href="/deal">hot deal</a> x</div>
+       |<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer>
+       |</body></html>""".stripMargin
+  }
+}

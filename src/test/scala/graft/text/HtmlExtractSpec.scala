@@ -1,0 +1,75 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** HtmlExtract laws: golden extractions, entity decoding, the
+  * anchor-density boilerplate rule, malformed-markup degradation, and
+  * whole-corpus exact body recovery through the declared query. */
+class HtmlExtractSpec extends SparkSpec {
+
+  import HtmlExtract.extract
+
+  test("golden: tags stripped, blocks become lines, scripts/styles/comments vanish") {
+    val html =
+      """<html><head><title>T</title><style>a{b}</style>
+        |<script>alert("<p>fake</p>")</script></head>
+        |<body><!-- note --><p>hello <b>bold</b> world</p>
+        |<div>second   block</div></body></html>""".stripMargin
+    assert(extract(html) == "hello bold world\nsecond block")
+  }
+
+  test("entities: named, decimal, hex; unknown pass through literally") {
+    assert(extract("<p>a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;</p>") ==
+      "a & b <c> \"d\" 'e'")
+    assert(extract("<p>x &#65;&#x42; y</p>") == "x AB y")
+    assert(extract("<p>AT&T &notanentity; z</p>") == "AT&T &notanentity; z")
+    assert(extract("<p>tight&nbsp;space</p>") == "tight space")
+  }
+
+  test("anchor density: link-dominated lines drop, text-dominated lines keep") {
+    // all-anchor nav: density 1.0 -> dropped
+    assert(extract("""<nav><a href="/">Home</a> <a href="/a">About</a></nav>
+      |<p>real content line</p>""".stripMargin) == "real content line")
+    // a line that MENTIONS a link but is mostly prose: kept, link text kept
+    val prose = extract(
+      """<p>read the <a href="/docs">documentation</a> for details on everything here</p>""")
+    assert(prose == "read the documentation for details on everything here")
+    // exactly half anchor chars (density == 0.5) is kept, not dropped
+    assert(extract("""<p><a href="x">abcde</a> fghij</p>""") == "abcde fghij")
+  }
+
+  test("malformed markup degrades, never explodes") {
+    // unclosed tag swallows to end-of-input
+    assert(extract("<p>ok</p><div attr=oops") == "ok")
+    // unclosed script drops the tail rather than leaking code as text
+    assert(extract("<p>keep</p><script>var x = 1;") == "keep")
+    // a bare '<' that is not a tag stays literal
+    assert(extract("<p>1 < 2 and 3 > 2</p>") == "1 < 2 and 3 > 2")
+    // nested anchors unwind without going negative
+    assert(extract("<p><a><a>x</a></a> plain text here now ok</p>") ==
+      "x plain text here now ok")
+  }
+
+  test("plain text passes through: a second pass only joins lines") {
+    val page = HtmlExtract.syntheticPage(7L, "alpha beta gamma delta")
+    val once = extract(page)
+    // no tags survive a pass, so re-extraction changes NOTHING except
+    // that line breaks — plain whitespace to a second pass — join
+    assert(extract(once) == once.replace("\n", " "))
+    assert(extract("just words, no markup") == "just words, no markup")
+  }
+
+  test("q_text_extract: exact body recovery across the whole corpus") {
+    val rows = graft.queries.TextQueries.textExtractHtml(spark, sfDir).collect()
+    val total = graft.Fixtures.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1),
+        s"${r.getString(0)}: ${r.getLong(1) - r.getLong(2)} docs lost " +
+          "body text through extraction")
+      // extracted ≈ original + the "\n"/"& more" the page injects
+      assert(r.getDouble(3) >= 1.0 && r.getDouble(3) < 1.2,
+        s"${r.getString(0)}: char ratio ${r.getDouble(3)} out of band")
+    }
+  }
+}
