@@ -282,6 +282,90 @@ object PipelineQueries {
       |SELECT canonical, count(*) AS n_docs, min(doc_id) AS min_doc
       |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin
 
+  /** URL quality filtering — the FETCH-LIST curation stage that runs
+    * before a crawler spends bandwidth (CCNet/RefinedWeb-style URL
+    * rules): parse each URL and reject, first matching reason wins,
+    *   scheme    — not http(s),
+    *   domain    — block-listed host suffix (.spam.com here),
+    *   binary    — asset extensions a text pipeline never wants,
+    *   depth     — path nesting > 5 (calendar/faceted-nav traps),
+    *   params    — > 3 query params (session/tracking explosions).
+    * URLs are synthesized from doc_id with every hazard planted (same
+    * convention as q_dedup_url), and BOTH engines parse the actual
+    * string — scheme/host/path/extension via regexp, depth and param
+    * counts by character arithmetic — so the oracle verifies the
+    * parsing, not just the plant. Narrow map + one rollup groupBy. */
+  def filterUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val url = concat(
+      when($"doc_id" % 31 === 0, "ftp://").otherwise(lit("https://")),
+      lit("www.site"), ($"doc_id" % 11).cast("string"),
+      when(($"doc_id" % 11).isin(4, 7), ".spam").otherwise(lit("")),
+      lit(".com"),
+      repeat(lit("/part"), (($"doc_id" % 8) + 1).cast("int")),
+      lit("/page"),
+      when($"doc_id" % 13 === 0, ".jpg").otherwise(lit(".html")),
+      when($"doc_id" % 6 === 0, "?a=1&b=2&c=3&d=4")
+        .when($"doc_id" % 6 === 3, "?a=1").otherwise(lit("")))
+    val parsed = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", url.as("url"))
+      .withColumn("scheme", regexp_extract($"url", "^([a-z]+)://", 1))
+      .withColumn("host", regexp_extract($"url", "^[a-z]+://([^/?#]+)", 1))
+      .withColumn("path", regexp_extract($"url", "^[a-z]+://[^/?#]+([^?#]*)", 1))
+      .withColumn("ext", regexp_extract($"path", "\\.([a-z0-9]+)$", 1))
+      .withColumn("depth",
+        (length($"path") - length(regexp_replace($"path", "/", ""))))
+      .withColumn("params",
+        when(instr($"url", "?") === 0, 0)
+          .otherwise(length(regexp_replace($"url", "[^&]", "")) + 1))
+    parsed
+      .withColumn("verdict",
+        when($"scheme" =!= "http" && $"scheme" =!= "https", "bad_scheme")
+          .when($"host".endsWith(".spam.com"), "blocked_domain")
+          .when($"ext".isin("jpg", "png", "gif", "exe", "zip"), "binary_ext")
+          .when($"depth" > 5, "too_deep")
+          .when($"params" > 3, "too_many_params")
+          .otherwise(lit("kept")))
+      .groupBy($"verdict")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("min_doc"))
+      .orderBy($"verdict")
+  }
+
+  val filterUrlSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 31 = 0 THEN 'ftp://' ELSE 'https://' END) ||
+      |    'www.site' || CAST(doc_id % 11 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 11 IN (4, 7) THEN '.spam' ELSE '' END) ||
+      |    '.com' || repeat('/part', CAST(doc_id % 8 AS INT) + 1) || '/page' ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN '.jpg' ELSE '.html' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '?a=1&b=2&c=3&d=4'
+      |          WHEN doc_id % 6 = 3 THEN '?a=1' ELSE '' END) AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, url,
+      |    regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+      |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+      |  FROM u),
+      |q AS (
+      |  SELECT doc_id, scheme, host, path,
+      |    regexp_extract(path, '\.([a-z0-9]+)$', 1) AS ext,
+      |    length(path) - length(regexp_replace(path, '/', '', 'g')) AS depth,
+      |    CASE WHEN strpos(url, '?') = 0 THEN 0
+      |         ELSE length(regexp_replace(url, '[^&]', '', 'g')) + 1 END
+      |      AS params
+      |  FROM p)
+      |SELECT CASE
+      |    WHEN scheme NOT IN ('http', 'https') THEN 'bad_scheme'
+      |    WHEN host LIKE '%.spam.com' THEN 'blocked_domain'
+      |    WHEN ext IN ('jpg', 'png', 'gif', 'exe', 'zip') THEN 'binary_ext'
+      |    WHEN depth > 5 THEN 'too_deep'
+      |    WHEN params > 3 THEN 'too_many_params'
+      |    ELSE 'kept' END AS verdict,
+      |  count(*) AS n, min(doc_id) AS min_doc
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** In-job observability: `observe()` attaches metric aggregates to a
     * running job — row counts, quality-gate counters, extrema — that
     * are collected AS THE JOB RUNS, not by a second pass over the
@@ -447,6 +531,7 @@ object PipelineQueries {
     "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_pipeline_observe" -> (pipelineObserve _),
     "q_dedup_url" -> (dedupUrl _),
+    "q_filter_url" -> (filterUrl _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_cross_source" -> (dedupCrossSource _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -457,6 +542,7 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_url" -> dedupUrlSql,
+    "q_filter_url" -> filterUrlSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_cross_source" -> dedupCrossSourceSql,
     "q_dedup_ngram" -> dedupNgramSql,
