@@ -47,6 +47,7 @@ object Bench {
         // query is timed against a clean storage layer, like an
         // isolated rerun.
         queries.DedupQueries.releaseClusterCheckpoints()
+        queries.DedupQueries.releaseSemanticFrames()
         queries.PipelineQueries.evictShingleCache()
         similarity.Ann.releaseBucketedFrames()
         text.MinHashLSH.releaseCachedFrames()

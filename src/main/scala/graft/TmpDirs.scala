@@ -45,7 +45,15 @@ object TmpDirs {
     * exited (so the exit sweep must not reap it). Bounded: each name
     * is one fixed dir, overwritten per run. Hardcoded `/tmp` (not
     * java.io.tmpdir) so the SQL text and the writer can never
-    * disagree. */
+    * disagree.
+    *
+    * ORDERING CONTRACT (because the path is keyed by name only, NOT
+    * by scale dir): the staged files reflect the LAST invocation —
+    * run the DuckDB compare immediately after the Verify dump of the
+    * SAME sfDir, with no other Verify/Bench/test sweep in between.
+    * The driver does exactly this; interleaving a different sfDir
+    * makes the compare fail LOUDLY against the wrong corpus (a false
+    * mismatch, never a false pass). */
   def fixed(name: String): String = {
     val d = java.nio.file.Paths.get("/tmp/graft_stage", name)
     java.nio.file.Files.createDirectories(d)

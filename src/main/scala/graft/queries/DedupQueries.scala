@@ -262,16 +262,34 @@ object DedupQueries {
     * changes NOTHING about which pairs are compared (each same-cluster
     * pair meets in exactly one salt group), only bounds any single
     * task's left group at ~cap rows. */
+  // assignment frames pinned by semanticDedup (4 consumers: the salt
+  // scan, both join sides, the verdict join), registered for release —
+  // same pattern as Ann.releaseBucketedFrames
+  private val retainedSemantic =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
+  /** Unpersist every assignment frame semanticDedup pinned (Bench
+    * calls this between queries; long-lived sessions when done). */
+  def releaseSemanticFrames(): Unit = {
+    retainedSemantic.forEach(df => df.unpersist(blocking = false))
+    retainedSemantic.clear()
+  }
+
   private[graft] def semanticDedup(emb: DataFrame,
       model: graft.similarity.Kmeans.Model, tau: Double,
       clusterCap: Int = 100000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
+    // cache: the salt-count scan, BOTH pair-join sides, and the final
+    // verdict join all read this frame — uncached, the embeddings scan
+    // + assignment map would run four times per call
     val assigned = emb.select($"vec_id", $"embedding")
       .as[(Long, Array[Float])]
       .map { case (id, v) => (bc.value.assign(v), id, v) }
       .toDF("cluster", "vec_id", "embedding")
+      .cache()
+    retainedSemantic.add(assigned)
     // oversize-cluster salt counts: O(k) rows to the driver
     val saltCount: Map[Int, Int] = assigned.groupBy($"cluster").count()
       .filter($"count" > clusterCap).select($"cluster", $"count")

@@ -42,6 +42,11 @@ object CogWriter {
   def write(level0: Dataset[Tile], profile: RasterProfile,
       sink: MultipartSink, resume: Boolean = false,
       partTarget: Long = 16L << 20): Result = {
+    // fail in milliseconds, not after the full distributed encode:
+    // a non-resumable sink can never honor resume=true
+    require(!resume || sink.isInstanceOf[graft.sink.ResumableMultipartSink],
+      s"cog resume requested but sink ${sink.getClass.getName} cannot " +
+        "adopt in-flight uploads (ResumableMultipartSink)")
     val spark = level0.sparkSession
     import spark.implicits._
 
@@ -150,14 +155,9 @@ object CogWriter {
         .union(placement.placed.filter(_.nbytes > 0).map(p => Blob(p.offset, p.bytes)))
       val totalLen = headerLen + tileBytes
       val receipts =
-        if (resume) sink match {
-          case r: graft.sink.ResumableMultipartSink =>
-            OrderedMultipartWriter.writeResuming(blobs, totalLen, maxBlob, r,
-              partTarget)
-          case other => throw new IllegalArgumentException(
-            s"cog resume requested but sink ${other.getClass.getName} " +
-              "cannot adopt in-flight uploads (ResumableMultipartSink)")
-        }
+        if (resume)
+          OrderedMultipartWriter.writeResuming(blobs, totalLen, maxBlob,
+            sink.asInstanceOf[graft.sink.ResumableMultipartSink], partTarget)
         else OrderedMultipartWriter.write(blobs, totalLen, maxBlob, sink,
           partTarget)
 

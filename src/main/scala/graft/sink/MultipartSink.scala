@@ -58,6 +58,14 @@ trait ResumableMultipartSink extends MultipartSink {
   def startOrResume(): Map[Int, PartReceipt]
 }
 
+/** Shared digest helper for the ETag-as-MD5 convention both the local
+  * sink and the resume verification rely on. */
+private[sink] object Digests {
+  def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+}
+
 /** Zero-egress local-filesystem stand-in for the S3 MPU sink
   * (the reference's Mpu(store=None) no-op mode is its own testing
   * stand-in, ccog/aws_tools.py:76-79). Parts land as `part-%05d.bin`
@@ -96,23 +104,29 @@ class LocalMultipartSink(dir: String) extends ResumableMultipartSink {
     if (old != null) old.filter(_.getName.startsWith(".part-")).foreach(_.delete())
     partNumbers.map { n =>
       val bytes = Files.readAllBytes(partPath(n))
-      n -> PartReceipt(n, 0L, bytes.length.toLong, md5hex(bytes))
+      n -> PartReceipt(n, 0L, bytes.length.toLong, Digests.md5hex(bytes))
     }.toMap
   }
-
-  private def md5hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
 
   override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
     val tmp = Paths.get(dir, f".part-$partNumber%05d.tmp-${Thread.currentThread().getId}")
     Files.write(tmp, bytes)
     Files.move(tmp, partPath(partNumber), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    md5hex(bytes) // MD5, like S3's multipart part ETags — resume verifies it
+    // MD5, like S3's multipart part ETags — resume verifies it
+    Digests.md5hex(bytes)
   }
 
   override def complete(receipts: Seq[PartReceipt]): Unit = {
+    // discard stored parts NOT in the receipt list — real S3 does
+    // exactly this at CompleteMultipartUpload. Matters for resume: a
+    // restarted write whose re-derived plan has FEWER parts than the
+    // crashed attempt (different partTarget, shrunken input) would
+    // otherwise leave the old tail parts to corrupt assembled/
+    // partNumbers behind a passing contiguity audit.
+    val listed = receipts.map(_.partNumber).toSet
+    partNumbers.filterNot(listed).foreach(n =>
+      Files.deleteIfExists(partPath(n)))
     val json = receipts.map(r =>
       s"""{"partNumber":${r.partNumber},"offset":${r.offset},"size":${r.size},"etag":"${r.etag}"}""")
       .mkString("[", ",", "]")
@@ -223,13 +237,9 @@ object OrderedMultipartWriter {
         // re-upload (idempotent re-PUT), never trust blindly
         remote.etag.length == 32 &&
           remote.etag.forall(c => Character.digit(c, 16) >= 0) &&
-          md5hex(bytes) == remote.etag.toLowerCase(java.util.Locale.ROOT)
+          Digests.md5hex(bytes) == remote.etag.toLowerCase(java.util.Locale.ROOT)
     }
   }
-
-  private def md5hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
 
   private def writeStarted(blobs: Dataset[Blob], totalBytes: Long,
       target: Long, sink: MultipartSink,

@@ -64,9 +64,13 @@ object StreamMinHash {
       .map(i => w(i) + " " + w(i + 1) + " " + w(i + 2)).toSet
   }
 
-  def signature(text: String): Array[Long] = {
+  def signature(text: String): Array[Long] = signatureOf(shingles(text))
+
+  /** Signature from an already-built shingle set (the per-arrival hot
+    * path shingles once and reuses the set for the emptiness guard). */
+  def signatureOf(sh: Set[String]): Array[Long] = {
     val sig = Array.fill(NumHashes)(-1L)
-    shingles(text).foreach { s =>
+    sh.foreach { s =>
       val h = MinHashLSH.hash64(s)
       var i = 0
       while (i < NumHashes) {
@@ -99,9 +103,10 @@ object StreamMinHash {
     * band — emptiness is a length gate's job, not near-dup's. */
   def bandRows(docId: Long, source: String, text: String)
       : Iterator[(Int, Long, Long, String, Array[Long])] = {
-    if (shingles(text).isEmpty) Iterator.empty
+    val sh = shingles(text)
+    if (sh.isEmpty) Iterator.empty
     else {
-      val sig = signature(text)
+      val sig = signatureOf(sh)
       (0 until Bands).iterator.map(b => (b, bandKey(sig, b), docId, source, sig))
     }
   }

@@ -75,6 +75,10 @@ object HtmlExtract {
       var j = start
       val closing = j < n && html.charAt(j) == '/'
       if (closing) j += 1
+      // the HTML5 rule (and browser behavior): a tag name must START
+      // with a letter — "<3", "5<6", "<2020" are literal text, and
+      // treating them as tags would swallow content to the next '>'
+      if (j >= n || !html.charAt(j).isLetter) return ("", closing)
       val b = new StringBuilder
       while (j < n && (html.charAt(j).isLetterOrDigit)) {
         b.append(Character.toLowerCase(html.charAt(j))); j += 1
@@ -165,7 +169,11 @@ object HtmlExtract {
       if (digits.nonEmpty && j < s.length && s.charAt(j) == ';') {
         val cp = try Integer.parseInt(digits.toString, if (hex) 16 else 10)
           catch { case _: NumberFormatException => -1 }
-        if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp))
+        // exclude the surrogate range: Character.isValidCodePoint(0xD800)
+        // is TRUE, but decoding it would embed a lone surrogate in the
+        // output String (malformed on any later UTF-8 write); browsers
+        // map these to U+FFFD
+        if (cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
           return (new String(Character.toChars(cp)), j + 1 - i)
       }
     }

@@ -49,6 +49,25 @@ class ResumePropertySpec extends SparkSpec {
     corrupt <- Gen.oneOf(true, false)
   } yield (seed, nBlobs, preMask, corrupt)
 
+  test("complete discards stored parts absent from the receipt list (S3 semantics)") {
+    val dir = graft.TmpDirs.create("graft-resume-discard")
+    val sink = new LocalMultipartSink(dir)
+    sink.start()
+    val big = new Array[Byte](6 << 20)
+    new java.util.Random(3).nextBytes(big)
+    // a crashed attempt (smaller partTarget) left parts 1..3; the
+    // resumed plan only has parts 1..2
+    (1 to 3).foreach(pn => sink.uploadPart(pn, big))
+    val receipts = Seq(
+      PartReceipt(1, 0L, big.length.toLong, Digests.md5hex(big)),
+      PartReceipt(2, big.length.toLong, big.length.toLong, Digests.md5hex(big)))
+    sink.complete(receipts)
+    assert(sink.partNumbers == Seq(1, 2),
+      "unlisted stale part 3 must be discarded at complete, like real S3 — " +
+        "otherwise assembled() appends the crashed attempt's old tail")
+    assert(sink.assembled.length == 2 * big.length)
+  }
+
   test("resume laws: byte-exact assembly, clean parts skipped, corrupt parts re-written") {
     val s = spark
     check(Prop.forAll(genCase) { case (seed, nBlobs, preMask, corrupt) =>

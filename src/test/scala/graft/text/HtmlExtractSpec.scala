@@ -45,6 +45,12 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("<p>keep</p><script>var x = 1;") == "keep")
     // a bare '<' that is not a tag stays literal
     assert(extract("<p>1 < 2 and 3 > 2</p>") == "1 < 2 and 3 > 2")
+    // '<' + digit is TEXT (HTML5 rule), not a tag that swallows forward
+    assert(extract("<p>win <3 all</p>") == "win <3 all")
+    assert(extract("<p>5<6 but 7>6</p>") == "5<6 but 7>6")
+    // surrogate-range numeric entities are refused (lone surrogates
+    // would be malformed on any later UTF-8 write), left literal
+    assert(extract("<p>x &#xD800; y</p>") == "x &#xD800; y")
     // nested anchors unwind without going negative
     assert(extract("<p><a><a>x</a></a> plain text here now ok</p>") ==
       "x plain text here now ok")
