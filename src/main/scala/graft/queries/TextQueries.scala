@@ -657,7 +657,56 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** End-to-end crawl ingest — the shape CommonCrawl data actually
+    * arrives in: fixed-capacity WARC shards (per-record-gzipped
+    * members, ISO 28500 framing; [[graft.text.Warc]]), each record an
+    * HTTP response carrying a synthetic HTML page around the
+    * document's text. The pipeline reads every shard back, parses the
+    * WARC + HTTP framing, extracts text through [[graft.text
+    * .HtmlExtract]], and rolls up per crawl host: records seen, exact
+    * body recoveries, extracted bytes. Shard build and read are
+    * narrow per-group/map stages around ONE fixed-capacity keyed
+    * shuffle (the mmShards determinism pattern — shard membership is
+    * a pure function of doc_id). NATIVE (WarcSpec: framing goldens,
+    * truncation/corruption refusals, Python-gzip interop; the rollup
+    * pins whole-corpus exact recovery). */
+  def crawlWarc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.{HtmlExtract, Warc}
+    val shardCapacity = 128L
+    val shards = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)]
+      .map { case (id, src, text) => (id / shardCapacity, id, src, text) }
+      .groupByKey(_._1)
+      .mapGroups { (_, it) =>
+        val recs = it.toSeq.sortBy(_._2).map { case (_, id, src, text) =>
+          Warc.writeRecord(s"https://$src.example/doc/$id", f"$id%032x",
+            HtmlExtract.syntheticPage(id, text).getBytes("UTF-8"))
+        }
+        Warc.writeShard(recs)
+      }
+    shards
+      .flatMap { shard =>
+        Warc.readShard(shard).iterator.map { r =>
+          val (status, body) = Warc.httpBody(r.payload)
+          val host = r.targetUri.stripPrefix("https://").takeWhile(_ != '/')
+          val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+          val extracted = HtmlExtract.extract(new String(body, "UTF-8"))
+          (host, if (status.startsWith("HTTP/1.1 200")) 1L else 0L,
+            extracted.length.toLong, id)
+        }
+      }
+      .toDF("host", "ok", "n_extracted", "doc_id")
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_records"), sum($"ok").as("n_ok"),
+        sum($"n_extracted").as("extracted_chars"),
+        countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"host")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crawl_warc" -> (crawlWarc _),
     "q_text_extract" -> (textExtractHtml _),
     "q_text_quality" -> (textQuality _),
     "q_text_nll" -> (textNll _),

@@ -1,0 +1,144 @@
+package graft.text
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** WARC 1.0 reader/writer — the container CommonCrawl actually ships
+  * (ISO 28500, a public spec): each record is
+  *
+  *   WARC/1.0\r\n
+  *   <header: name ': ' value pairs, one per line>\r\n
+  *   \r\n
+  *   <Content-Length payload bytes>\r\n\r\n
+  *
+  * concatenated back to back, the whole file usually gzipped with one
+  * gzip MEMBER PER RECORD so readers can split on member boundaries.
+  * This implementation covers the subset a text-curation ingest needs:
+  * response records whose payload is an HTTP response (status line +
+  * headers + body), written per-record-gzipped, read back with LOUD
+  * refusals — a truncated payload, a missing Content-Length, or
+  * malformed framing raises with the byte offset, never silently
+  * yields a short corpus (the tar-shard lesson: zero-padded
+  * truncation hid corruption; WarcSpec fuzzes the same).
+  *
+  * Multi-member gzip note: `java.util.zip.GZIPInputStream` already
+  * consumes concatenated members, so a per-record-gzipped shard reads
+  * through one stream; records are then split on WARC framing, not on
+  * member boundaries — simpler and equally correct. */
+object Warc {
+
+  case class Record(headers: Map[String, String], payload: Array[Byte]) {
+    def recordType: String = headers.getOrElse("WARC-Type", "")
+    def targetUri: String = headers.getOrElse("WARC-Target-URI", "")
+  }
+
+  /** One response record's bytes (uncompressed WARC framing). */
+  def writeRecord(targetUri: String, recordId: String,
+      httpBody: Array[Byte], contentType: String = "text/html"): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${httpBody.length}\r\n\r\n").getBytes(UTF_8) ++ httpBody
+    val header = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$recordId>\r\n" +
+      s"WARC-Target-URI: $targetUri\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8)
+    header ++ http ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  /** Shard = each record gzipped as its own member, concatenated —
+    * the CommonCrawl layout. */
+  def writeShard(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(r)
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  private def gunzipAll(shard: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(shard))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 << 10)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Parse every record of a (per-record-gzipped) shard. Loud on any
+    * framing violation. */
+  def readShard(shard: Array[Byte]): Seq[Record] = {
+    val raw = try gunzipAll(shard)
+    catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"WARC shard is not valid gzip: ${e.getMessage}", e)
+    }
+    val out = Seq.newBuilder[Record]
+    var i = 0
+    while (i < raw.length) {
+      i = parseRecord(raw, i, out)
+    }
+    out.result()
+  }
+
+  private def lineAt(raw: Array[Byte], off: Int): (String, Int) = {
+    var j = off
+    while (j + 1 < raw.length && !(raw(j) == '\r' && raw(j + 1) == '\n')) j += 1
+    if (j + 1 >= raw.length) throw new IllegalArgumentException(
+      s"WARC framing: unterminated header line at byte $off")
+    (new String(raw, off, j - off, UTF_8), j + 2)
+  }
+
+  private def parseRecord(raw: Array[Byte], start: Int,
+      out: scala.collection.mutable.Builder[Record, Seq[Record]]): Int = {
+    val (magic, afterMagic) = lineAt(raw, start)
+    if (magic != "WARC/1.0") throw new IllegalArgumentException(
+      s"WARC framing: expected version line at byte $start, got '${magic.take(40)}'")
+    var i = afterMagic
+    val headers = Map.newBuilder[String, String]
+    var done = false
+    while (!done) {
+      val (line, next) = lineAt(raw, i)
+      i = next
+      if (line.isEmpty) done = true
+      else line.indexOf(": ") match {
+        case -1 => throw new IllegalArgumentException(
+          s"WARC framing: malformed header '${line.take(60)}' before byte $i")
+        case k => headers += line.substring(0, k) -> line.substring(k + 2)
+      }
+    }
+    val hm = headers.result()
+    val len = hm.get("Content-Length").map(_.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"WARC record at byte $start carries no Content-Length"))
+    if (len < 0 || i + len > raw.length) throw new IllegalArgumentException(
+      s"WARC record at byte $start truncated: payload $len bytes, " +
+        s"${raw.length - i} remain")
+    val payload = java.util.Arrays.copyOfRange(raw, i, (i + len).toInt)
+    i = (i + len).toInt
+    // record terminator: two CRLF
+    if (i + 4 > raw.length || raw(i) != '\r' || raw(i + 1) != '\n' ||
+        raw(i + 2) != '\r' || raw(i + 3) != '\n')
+      throw new IllegalArgumentException(
+        s"WARC record at byte $start missing its CRLFCRLF terminator")
+    out += Record(hm, payload)
+    i + 4
+  }
+
+  /** Split an application/http response payload into (status, body).
+    * Loud on missing header/body separator. */
+  def httpBody(payload: Array[Byte]): (String, Array[Byte]) = {
+    var i = 0
+    while (i + 3 < payload.length &&
+        !(payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n')) i += 1
+    if (i + 3 >= payload.length) throw new IllegalArgumentException(
+      "HTTP payload has no header/body separator")
+    val head = new String(payload, 0, i, UTF_8)
+    val status = head.linesIterator.next()
+    (status, java.util.Arrays.copyOfRange(payload, i + 4, payload.length))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** WARC framing laws: byte-level goldens, round trip, loud refusal of
+  * truncation/corruption/missing lengths, multi-member gzip reading,
+  * Python-gzip interop, and the crawl query's whole-corpus recovery. */
+class WarcSpec extends SparkSpec {
+
+  private def rec(uri: String, body: String): Array[Byte] =
+    Warc.writeRecord(uri, "0" * 32, body.getBytes("UTF-8"))
+
+  test("framing golden: version line, headers, Content-Length, CRLFCRLF terminator") {
+    val r = rec("https://h.example/d/1", "<p>hi</p>")
+    val s = new String(r, "UTF-8")
+    assert(s.startsWith("WARC/1.0\r\n"))
+    assert(s.contains("WARC-Type: response\r\n"))
+    assert(s.contains("WARC-Target-URI: https://h.example/d/1\r\n"))
+    assert(s.endsWith("\r\n\r\n"))
+    // the declared Content-Length is exactly the HTTP payload size
+    val len = "Content-Length: (\\d+)\r\n\r\n".r
+      .findFirstMatchIn(s).get.group(1).toInt
+    val httpStart = s.indexOf("\r\n\r\n") + 4
+    assert(r.length - httpStart - 4 == len, "payload size must match header")
+  }
+
+  test("round trip: N records through a per-member-gzipped shard") {
+    val recs = (0 until 5).map(i => rec(s"https://h$i.example/d/$i", s"<p>body $i</p>"))
+    val back = Warc.readShard(Warc.writeShard(recs))
+    assert(back.length == 5)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.recordType == "response")
+      assert(r.targetUri == s"https://h$i.example/d/$i")
+      val (status, body) = Warc.httpBody(r.payload)
+      assert(status == "HTTP/1.1 200 OK")
+      assert(new String(body, "UTF-8") == s"<p>body $i</p>")
+    }
+  }
+
+  test("single-member gzip of concatenated records also reads (robustness)") {
+    val raw = rec("https://a.example/1", "<p>x</p>") ++
+      rec("https://a.example/2", "<p>y</p>")
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(raw); gz.finish()
+    assert(Warc.readShard(out.toByteArray).map(_.targetUri) ==
+      Seq("https://a.example/1", "https://a.example/2"))
+  }
+
+  test("truncation and corruption are refused loudly, never short-read") {
+    val shard = Warc.writeShard(Seq(rec("https://h.example/1", "<p>payload</p>")))
+    // corrupt gzip
+    val corrupt = shard.clone(); corrupt(corrupt.length / 2) = 0x55
+    intercept[IllegalArgumentException](Warc.readShard(corrupt))
+    // valid gzip of a TRUNCATED record (cut inside the payload)
+    val raw = rec("https://h.example/1", "<p>a much longer payload body</p>")
+    val cut = java.util.Arrays.copyOfRange(raw, 0, raw.length - 12)
+    val e = intercept[IllegalArgumentException](
+      Warc.readShard(Warc.writeShard(Seq(cut))))
+    assert(e.getMessage.contains("truncated") ||
+      e.getMessage.contains("unterminated") ||
+      e.getMessage.contains("terminator"), e.getMessage)
+    // missing Content-Length
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n").getBytes("UTF-8")
+    val e2 = intercept[IllegalArgumentException](
+      Warc.readShard(Warc.writeShard(Seq(noLen))))
+    assert(e2.getMessage.contains("Content-Length"), e2.getMessage)
+    // junk before the version line
+    val junk = "HELLO\r\n".getBytes("UTF-8") ++ rec("https://h.example/1", "x")
+    intercept[IllegalArgumentException](Warc.readShard(Warc.writeShard(Seq(junk))))
+  }
+
+  test("Python gzip interop: an independent reader parses our shard") {
+    val recs = (0 until 3).map(i => rec(s"https://py.example/d/$i", s"<p>r$i</p>"))
+    val f = java.nio.file.Files.createTempFile("graft-warc", ".warc.gz")
+    java.nio.file.Files.write(f, Warc.writeShard(recs))
+    val script =
+      """import gzip, sys
+        |raw = gzip.open(sys.argv[1], 'rb').read()
+        |n = raw.count(b'WARC/1.0\r\n')
+        |uris = [l.split(b': ',1)[1] for l in raw.split(b'\r\n')
+        |        if l.startswith(b'WARC-Target-URI')]
+        |print(n, uris[0].decode())
+        |""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft-warc", ".py")
+    java.nio.file.Files.write(p, script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder("python3", p.toString, f.toString)
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+    assert(proc.waitFor() == 0, s"python reader failed: $out")
+    assert(out == "3 https://py.example/d/0", out)
+  }
+
+  test("q_crawl_warc: whole-corpus exact recovery through WARC + HTTP + extraction") {
+    val rows = graft.queries.TextQueries.crawlWarc(spark, sfDir).collect()
+    val total = graft.Fixtures.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "every doc arrives as a record")
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1),
+        s"${r.getString(0)}: non-200 statuses out of thin air")
+      assert(r.getLong(4) == r.getLong(1), "doc_ids must be distinct per host")
+      assert(r.getLong(3) > 0)
+    }
+    val again = graft.queries.TextQueries.crawlWarc(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "deterministic")
+  }
+}
