@@ -91,6 +91,38 @@ class WarcSpec extends SparkSpec {
     assert(out == "3 https://py.example/d/0", out)
   }
 
+  test("fuzz: 300 single-byte framing corruptions refuse or parse consistently — never crash, hang, or short-read silently") {
+    val raw = (0 until 3).map(i =>
+      rec(s"https://f.example/d/$i", s"<p>fuzz body $i</p>")).reduce(_ ++ _)
+    val rnd = new java.util.Random(17)
+    var refused = 0
+    for (_ <- 0 until 300) {
+      val mut = raw.clone()
+      val pos = rnd.nextInt(mut.length)
+      mut(pos) = (mut(pos) ^ (1 + rnd.nextInt(255))).toByte
+      try {
+        val parsed = Warc.readShard(Warc.writeShard(Seq(mut)))
+        // a successful parse must be SELF-CONSISTENT: each record's
+        // payload length equals its declared Content-Length (payload
+        // corruption is WARC-legal — we write no block digests — but
+        // framing lies must never produce inconsistent records)
+        parsed.foreach { r =>
+          assert(r.headers("Content-Length").trim.toLong == r.payload.length)
+        }
+      } catch {
+        case _: IllegalArgumentException => refused += 1
+        case e: Throwable => fail(s"flip at byte $pos escaped the framing " +
+          s"guards with ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    // most flips land in PAYLOAD bytes, which parse legitimately
+    // (WARC carries no mandatory digest); the refusal floor just
+    // proves the framing guards are live, the real law is totality +
+    // per-record self-consistency above
+    assert(refused > 30,
+      s"framing flips should be caught when hit, got $refused/300 refusals")
+  }
+
   test("q_crawl_warc: whole-corpus exact recovery through WARC + HTTP + extraction") {
     val rows = graft.queries.TextQueries.crawlWarc(spark, sfDir).collect()
     val total = graft.Fixtures.documents(spark, sfDir).count()
