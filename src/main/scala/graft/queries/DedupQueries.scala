@@ -320,7 +320,54 @@ object DedupQueries {
         coalesce($"dropped", lit(false)).as("dropped"))
   }
 
+  /** Train/eval SPLIT LEAKAGE — the contamination check a pipeline
+    * must run before trusting any held-out metric: near-duplicate
+    * pairs (the exact n-gram frame, shared with q_dedup_ngram via the
+    * cached shingle universe) classified by the split each side lands
+    * in. A `test`↔`train` row here means the eval set contains
+    * near-copies of training documents and the benchmark number is
+    * inflated — q_decontaminate guards against EXTERNAL benchmark
+    * contamination; this guards the pipeline's own split. Split rule
+    * identical to q_split_train. Pair work rides the already-bounded
+    * shingle join; the classification is two broadcast-size joins. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val split = Fixtures.documents(spark, sfDir).select($"doc_id",
+      when($"doc_id" % 100 < 90, "train")
+        .when($"doc_id" % 100 < 95, "val")
+        .otherwise("test").as("split"))
+    PipelineQueries.dedupNgram(spark, sfDir)
+      .select($"id_a", $"id_b")
+      .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
+      .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+      .select(least($"sa", $"sb").as("split_a"),
+        greatest($"sa", $"sb").as("split_b"), $"id_a", $"id_b")
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"), min($"id_a").as("example_a"),
+        min($"id_b").as("example_b"))
+      .orderBy($"split_a", $"split_b")
+  }
+
+  val splitLeakageSql: String =
+    graft.queries.DedupOracleSql.ngramPairsCte + """,
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 100 < 90 THEN 'train'
+      |         WHEN doc_id % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |t AS (
+      |  SELECT least(sa.split, sb.split) AS split_a,
+      |    greatest(sa.split, sb.split) AS split_b, id_a, id_b
+      |  FROM pairs2
+      |  JOIN s sa ON sa.doc_id = id_a
+      |  JOIN s sb ON sb.doc_id = id_b)
+      |SELECT split_a, split_b, count(*) AS n_pairs,
+      |  min(id_a) AS example_a, min(id_b) AS example_b
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> (splitLeakage _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embed" -> (dedupEmbed _),
@@ -330,6 +377,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_embed" -> dedupEmbedSql,
+    "q_split_leakage" -> splitLeakageSql,
     "q_dedup_clusters" -> dedupClustersSql)
 }
 
