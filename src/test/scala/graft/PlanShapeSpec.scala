@@ -222,4 +222,19 @@ class PlanShapeSpec extends SparkSpec {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }.isDefined, s"orderBy+limit must plan per-partition heaps:\n$p")
   }
+
+  test("q_filter_url: one rollup shuffle over a narrow parse map") {
+    assert(shuffles(PipelineQueries.filterUrl(spark, sfDir)) <= 2)
+  }
+
+  test("q_text_extract: one rollup shuffle over a narrow extract map") {
+    assert(shuffles(TextQueries.textExtractHtml(spark, sfDir)) <= 2)
+  }
+
+  test("q_crawl_warc: the shard shuffle, the rollup, and countDistinct's extra stage") {
+    // shard build (groupByKey on doc_id bucket) + per-host rollup +
+    // the exact-distinct doc count's own exchange + the final sort;
+    // read/parse/extract stages are narrow
+    assert(shuffles(TextQueries.crawlWarc(spark, sfDir)) <= 4)
+  }
 }
