@@ -343,8 +343,12 @@ object DedupQueries {
       .select(least($"sa", $"sb").as("split_a"),
         greatest($"sa", $"sb").as("split_b"), $"id_a", $"id_b")
       .groupBy($"split_a", $"split_b")
-      .agg(count(lit(1)).as("n_pairs"), min($"id_a").as("example_a"),
-        min($"id_b").as("example_b"))
+      // lexicographic struct min = a REAL leaked pair (independent
+      // min(id_a), min(id_b) could name two ids that never paired)
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct($"id_a", $"id_b")).as("ex"))
+      .select($"split_a", $"split_b", $"n_pairs",
+        $"ex.id_a".as("example_a"), $"ex.id_b".as("example_b"))
       .orderBy($"split_a", $"split_b")
   }
 
@@ -363,7 +367,8 @@ object DedupQueries {
       |  JOIN s sa ON sa.doc_id = id_a
       |  JOIN s sb ON sb.doc_id = id_b)
       |SELECT split_a, split_b, count(*) AS n_pairs,
-      |  min(id_a) AS example_a, min(id_b) AS example_b
+      |  (min({'id_a': id_a, 'id_b': id_b})).id_a AS example_a,
+      |  (min({'id_a': id_a, 'id_b': id_b})).id_b AS example_b
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -686,6 +686,21 @@ object TextQueries {
         }
         Warc.writeShard(recs)
       }
+    // originals keyed by id so the read side can prove EXACT body
+    // recovery, not just a 200 status: ok = the extracted text equals
+    // the body the page embedded, post the extractor's whitespace
+    // collapse (same construction as q_text_extract's law)
+    val expected = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split(" ")
+        val half = math.max(1, words.length / 2)
+        (id, Seq(words.take(half).mkString(" "),
+            words.drop(half).mkString(" ") + " & more")
+          .map(_.split("\\s+").filter(_.nonEmpty).mkString(" "))
+          .filter(_.nonEmpty).mkString("\n"))
+      }
+      .toDF("doc_id", "expect")
     shards
       .flatMap { shard =>
         Warc.readShard(shard).iterator.map { r =>
@@ -693,11 +708,14 @@ object TextQueries {
           val host = r.targetUri.stripPrefix("https://").takeWhile(_ != '/')
           val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
           val extracted = HtmlExtract.extract(new String(body, "UTF-8"))
-          (host, if (status.startsWith("HTTP/1.1 200")) 1L else 0L,
-            extracted.length.toLong, id)
+          (host, status.startsWith("HTTP/1.1 200"),
+            extracted, extracted.length.toLong, id)
         }
       }
-      .toDF("host", "ok", "n_extracted", "doc_id")
+      .toDF("host", "status_ok", "extracted", "n_extracted", "doc_id")
+      .join(expected, Seq("doc_id"))
+      .withColumn("ok",
+        when($"status_ok" && $"extracted" === $"expect", 1L).otherwise(0L))
       .groupBy($"host")
       .agg(count(lit(1)).as("n_records"), sum($"ok").as("n_ok"),
         sum($"n_extracted").as("extracted_chars"),

@@ -47,24 +47,82 @@ object Warc {
   }
 
   /** Shard = each record gzipped as its own member, concatenated —
-    * the CommonCrawl layout. */
+    * the CommonCrawl layout. close() (not just finish()) releases each
+    * member's native Deflater immediately; ByteArrayOutputStream
+    * ignores the close. */
   def writeShard(records: Seq[Array[Byte]]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     records.foreach { r =>
       val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(r)
-      gz.finish()
+      try { gz.write(r); gz.finish() } finally gz.close()
     }
     out.toByteArray
   }
 
+  /** Decompress EVERY gzip member, walking boundaries ourselves with
+    * per-member CRC32 + ISIZE verification. The JDK's multi-member
+    * GZIPInputStream treats a malformed SUBSEQUENT member header (or
+    * trailing garbage) as clean EOF — which would silently return a
+    * SHORT corpus, the exact failure this module promises to refuse.
+    * Manual member walking turns every boundary/content corruption
+    * into a loud error with the member index and byte offset. */
   private def gunzipAll(shard: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(shard))
+    def le16(p: Int) = (shard(p) & 0xff) | ((shard(p + 1) & 0xff) << 8)
+    def le32(p: Int) = (shard(p) & 0xffL) | ((shard(p + 1) & 0xffL) << 8) |
+      ((shard(p + 2) & 0xffL) << 16) | ((shard(p + 3) & 0xffL) << 24)
     val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](64 << 10)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    var pos = 0
+    var member = 0
+    if (shard.isEmpty) throw new IllegalArgumentException("empty WARC shard")
+    while (pos < shard.length) {
+      member += 1
+      def bad(msg: String) = throw new IllegalArgumentException(
+        s"gzip member $member at byte $pos: $msg")
+      if (pos + 10 > shard.length) bad("truncated header")
+      if ((shard(pos) & 0xff) != 0x1f || (shard(pos + 1) & 0xff) != 0x8b)
+        bad(f"bad magic ${shard(pos) & 0xff}%02x${shard(pos + 1) & 0xff}%02x")
+      if (shard(pos + 2) != 8) bad(s"unsupported compression method ${shard(pos + 2)}")
+      val flg = shard(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > shard.length) bad("truncated FEXTRA")
+        p += 2 + le16(p)
+      }
+      if ((flg & 8) != 0) { // FNAME
+        while (p < shard.length && shard(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (p < shard.length && shard(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p > shard.length) bad("truncated optional header fields")
+      val inflater = new java.util.zip.Inflater(true)
+      val crc = new java.util.zip.CRC32()
+      var memberBytes = 0L
+      try {
+        inflater.setInput(shard, p, shard.length - p)
+        val buf = new Array[Byte](64 << 10)
+        while (!inflater.finished()) {
+          val n =
+            try inflater.inflate(buf)
+            catch { case e: java.util.zip.DataFormatException =>
+              bad(s"corrupt deflate stream: ${e.getMessage}") }
+          if (n == 0 && !inflater.finished())
+            bad(if (inflater.needsInput()) "deflate stream truncated"
+                else "deflate stream stalled (dictionary?)") // no spin
+          crc.update(buf, 0, n)
+          out.write(buf, 0, n)
+          memberBytes += n
+        }
+        p += inflater.getBytesRead.toInt
+      } finally inflater.end()
+      if (p + 8 > shard.length) bad("truncated trailer")
+      if (le32(p) != crc.getValue) bad("CRC32 mismatch — member content corrupted")
+      if (le32(p + 4) != (memberBytes & 0xffffffffL)) bad("ISIZE mismatch")
+      pos = p + 8
+    }
     out.toByteArray
   }
 
@@ -138,6 +196,8 @@ object Warc {
     if (i + 3 >= payload.length) throw new IllegalArgumentException(
       "HTTP payload has no header/body separator")
     val head = new String(payload, 0, i, UTF_8)
+    if (head.isEmpty) throw new IllegalArgumentException(
+      "HTTP payload has an empty header block (no status line)")
     val status = head.linesIterator.next()
     (status, java.util.Arrays.copyOfRange(payload, i + 4, payload.length))
   }

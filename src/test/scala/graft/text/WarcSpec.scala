@@ -123,13 +123,62 @@ class WarcSpec extends SparkSpec {
       s"framing flips should be caught when hit, got $refused/300 refusals")
   }
 
+  test("a corrupted SECOND gzip member refuses — never a silently short corpus") {
+    // the JDK's multi-member GZIPInputStream treats a malformed
+    // subsequent member header as clean EOF; the member walker must
+    // refuse instead (this was a real found-and-fixed bug)
+    val shard = Warc.writeShard(Seq(
+      rec("https://m.example/1", "<p>first</p>"),
+      rec("https://m.example/2", "<p>second</p>")))
+    // locate the second member's magic and break it
+    var j = 2
+    while (!((shard(j) & 0xff) == 0x1f && (shard(j + 1) & 0xff) == 0x8b)) j += 1
+    val badMagic = shard.clone(); badMagic(j) = 0x00
+    val e = intercept[IllegalArgumentException](Warc.readShard(badMagic))
+    assert(e.getMessage.contains("member 2"), e.getMessage)
+    // trailing garbage after the last member also refuses
+    val trailing = shard ++ Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException](Warc.readShard(trailing))
+    // and a truncated tail
+    val cut = java.util.Arrays.copyOfRange(shard, 0, shard.length - 5)
+    intercept[IllegalArgumentException](Warc.readShard(cut))
+  }
+
+  test("fuzz: 300 COMPRESSED-domain flips refuse or reproduce the exact records") {
+    val recs = (0 until 3).map(i =>
+      rec(s"https://cf.example/d/$i", s"<p>compressed fuzz $i</p>"))
+    val shard = Warc.writeShard(recs)
+    val want = Warc.readShard(shard).map(r =>
+      (r.targetUri, r.payload.toSeq))
+    val rnd = new java.util.Random(23)
+    var refused = 0
+    for (_ <- 0 until 300) {
+      val mut = shard.clone()
+      val pos = rnd.nextInt(mut.length)
+      mut(pos) = (mut(pos) ^ (1 + rnd.nextInt(255))).toByte
+      try {
+        val got = Warc.readShard(mut).map(r => (r.targetUri, r.payload.toSeq))
+        // per-member CRC32/ISIZE means a surviving parse must be the
+        // EXACT original records (a colliding flip is ~2^-32)
+        assert(got == want, s"flip at byte $pos silently changed the corpus")
+      } catch {
+        case _: IllegalArgumentException => refused += 1
+        case e: Throwable => fail(s"flip at byte $pos escaped the guards " +
+          s"with ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    assert(refused > 250,
+      s"CRC-verified members should refuse nearly every flip, got $refused/300")
+  }
+
   test("q_crawl_warc: whole-corpus exact recovery through WARC + HTTP + extraction") {
     val rows = graft.queries.TextQueries.crawlWarc(spark, sfDir).collect()
     val total = graft.Fixtures.documents(spark, sfDir).count()
     assert(rows.map(_.getLong(1)).sum == total, "every doc arrives as a record")
     rows.foreach { r =>
       assert(r.getLong(2) == r.getLong(1),
-        s"${r.getString(0)}: non-200 statuses out of thin air")
+        s"${r.getString(0)}: bodies lost through WARC+HTTP+extraction " +
+          "(n_ok counts EXACT extracted-vs-embedded equality)")
       assert(r.getLong(4) == r.getLong(1), "doc_ids must be distinct per host")
       assert(r.getLong(3) > 0)
     }
