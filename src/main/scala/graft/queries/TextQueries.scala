@@ -723,7 +723,48 @@ object TextQueries {
       .orderBy($"host")
   }
 
+  /** Sliding-window chunking WITH overlap — the RAG/embedding prep
+    * step (q_chunk_docs is the non-overlapping packer): 300-char
+    * windows every 200 chars, so consecutive chunks share 100 chars
+    * of context and no boundary sentence is ever lost to a cut.
+    * Emitted per chunk with the md5 of its ACTUAL text, so the DuckDB
+    * oracle verifies the extraction arithmetic character-for-character
+    * (both engines index 1-based by character; the fixture is ASCII so
+    * the unit agrees). Typed flatMap per the HOF-performance lesson —
+    * a narrow 1→⌈n/stride⌉ expansion, no shuffle before the sort. */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val size = 300
+    val stride = 200
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val n = text.length
+        val nChunks = math.max(1L, (n.toLong + stride - 1) / stride)
+        (0L until nChunks).iterator.map { i =>
+          val start = (i * stride).toInt
+          val chunk = text.substring(start, math.min(start + size, n))
+          (id, i, start.toLong, chunk.length.toLong, chunk)
+        }
+      }
+      .toDF("doc_id", "chunk_id", "start", "chunk_len", "chunk")
+      .select($"doc_id", $"chunk_id", $"start", $"chunk_len",
+        md5($"chunk").as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val chunkOverlapSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(greatest((length(text) + 199) // 200, 1))) AS chunk_id
+      |  FROM documents)
+      |SELECT doc_id, chunk_id, chunk_id * 200 AS start,
+      |  length(substr(text, CAST(chunk_id * 200 + 1 AS INT), 300)) AS chunk_len,
+      |  md5(substr(text, CAST(chunk_id * 200 + 1 AS INT), 300)) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap" -> (chunkOverlap _),
     "q_crawl_warc" -> (crawlWarc _),
     "q_text_extract" -> (textExtractHtml _),
     "q_text_quality" -> (textQuality _),
@@ -743,6 +784,7 @@ object TextQueries {
     "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(
+    "q_chunk_overlap" -> chunkOverlapSql,
     "q_text_quality" -> textQualitySql,
     "q_text_nll" -> textNllSql,
     "q_text_tfidf" -> textTfidfSql,
