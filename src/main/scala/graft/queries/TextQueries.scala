@@ -763,7 +763,135 @@ object TextQueries {
       |  md5(substr(text, CAST(chunk_id * 200 + 1 AS INT), 300)) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Inverted-index build — the retrieval side of the RAG prep that
+    * q_chunk_docs/q_chunk_overlap feed: per term, document frequency,
+    * total term frequency, and the head of the sorted posting list
+    * (first 20 doc_ids). Plan shape at 100 TB: the posting head goes
+    * through `row_number() <= 20` on (term, doc_id) — Spark 4 lowers
+    * that to WindowGroupLimit, so every map partition keeps at most
+    * 20 rows per term BEFORE the shuffle and a stopword-hot term
+    * never funnels its full posting list through one reducer; df and
+    * tf_total are plain count aggs (map-side combined). Production
+    * indexes range-shard full postings; the cap marks that seam. */
+  def textInvert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("term"))
+    val posts = words.select($"term", $"doc_id").distinct()
+    val df = posts.groupBy($"term").agg(count(lit(1)).as("df"))
+    val tfTotal = words.groupBy($"term").agg(count(lit(1)).as("tf_total"))
+    val head = posts
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"term").orderBy($"doc_id")))
+      .filter($"rn" <= 20)
+      .groupBy($"term")
+      .agg(array_join(
+        transform(array_sort(collect_list($"doc_id")), _.cast("string")),
+        ",").as("postings_head"))
+    df.join(tfTotal, Seq("term")).join(head, Seq("term"))
+      .select($"term", $"df", $"tf_total", $"postings_head")
+      .orderBy($"term")
+  }
+
+  val textInvertSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      |  FROM documents),
+      |p AS (SELECT DISTINCT term, doc_id FROM w),
+      |df AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+      |tf AS (SELECT term, count(*) AS tf_total FROM w GROUP BY term),
+      |r AS (
+      |  SELECT term, doc_id,
+      |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |  FROM p),
+      |h AS (
+      |  SELECT term, array_to_string(list(doc_id ORDER BY doc_id), ',')
+      |    AS postings_head
+      |  FROM r WHERE rn <= 20 GROUP BY term)
+      |SELECT term, df, tf_total, postings_head
+      |FROM df JOIN tf USING (term) JOIN h USING (term)
+      |ORDER BY term""".stripMargin
+
+  /** BM25 top-10 retrieval for a fixed 3-term query — the scoring
+    * half of the retrieval pair (q_text_invert builds the index).
+    * Lucene's positive-idf form: ln(1 + (N - df + .5)/(df + .5)),
+    * k1 = 1.2, b = 0.75. Determinism across engines: every float op
+    * mirrors the oracle's association exactly, the 3 per-term
+    * contributions are PIVOTED into columns and added in fixed
+    * left-to-right order (a float `sum()` re-associates per
+    * partitioning and can park on a rounding boundary), the final
+    * score rounds ONCE, and ranking uses the ROUNDED score with
+    * doc_id tiebreak. Shape at 100 TB: corpus stats (N, Σdl) and the
+    * per-query-term df are metadata-scale broadcasts; tf is one
+    * groupBy over the query-term-filtered explode (the filter prunes
+    * the corpus to matching postings first); top-10 lowers to
+    * TakeOrderedAndProject — no global sort materializes. */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qterms = Seq("spark", "merge", "window")
+    val words = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("w"))
+    val dl = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = words.filter($"w".isin(qterms: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val contrib =
+      log((($"n_docs" - $"df").cast("double") + lit(0.5)) /
+            ($"df".cast("double") + lit(0.5)) + lit(1.0)) *
+        (($"tf" * lit(2.2)) /
+          ($"tf" + (lit(1.2) * (lit(0.25) +
+            (lit(0.75) * (($"dl" * $"n_docs").cast("double") / $"sum_dl"))))))
+    val perTerm = tf.join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c", contrib)
+    perTerm.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        max(when($"w" === qterms(0), $"c")).as("c1"),
+        max(when($"w" === qterms(1), $"c")).as("c2"),
+        max(when($"w" === qterms(2), $"c")).as("c3"))
+      .withColumn("score",
+        round(coalesce($"c1", lit(0.0)) + coalesce($"c2", lit(0.0)) +
+          coalesce($"c3", lit(0.0)), 4))
+      .select($"doc_id", $"n_terms", $"score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val textBm25Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM w
+      |  WHERE w IN ('spark', 'merge', 'window') GROUP BY doc_id, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |c AS (
+      |  SELECT tf.doc_id, tf.w,
+      |    ln((CAST(n_docs - df AS DOUBLE) + 0.5) /
+      |         (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+      |      ((tf * 2.2) /
+      |        (tf + (1.2 * (0.25 +
+      |          (0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))))) AS c
+      |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |g AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    max(CASE WHEN w = 'spark' THEN c END) AS c1,
+      |    max(CASE WHEN w = 'merge' THEN c END) AS c2,
+      |    max(CASE WHEN w = 'window' THEN c END) AS c3
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_terms,
+      |  round(coalesce(c1, 0.0) + coalesce(c2, 0.0) + coalesce(c3, 0.0), 4)
+      |    AS score
+      |FROM g ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_invert" -> (textInvert _),
+    "q_text_bm25" -> (textBm25 _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_crawl_warc" -> (crawlWarc _),
     "q_text_extract" -> (textExtractHtml _),
@@ -784,6 +912,8 @@ object TextQueries {
     "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(
+    "q_text_invert" -> textInvertSql,
+    "q_text_bm25" -> textBm25Sql,
     "q_chunk_overlap" -> chunkOverlapSql,
     "q_text_quality" -> textQualitySql,
     "q_text_nll" -> textNllSql,
