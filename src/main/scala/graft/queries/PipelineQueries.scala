@@ -295,7 +295,13 @@ object PipelineQueries {
     * string — scheme/host/path/extension via regexp, depth and param
     * counts by character arithmetic — so the oracle verifies the
     * parsing, not just the plant. Narrow map + one rollup groupBy. */
-  def filterUrl(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The synthesized fetch list shared by the crawl-curation trio
+    * (q_filter_url / q_crawl_robots / q_crawl_schedule): every URL
+    * parsed back from its string form with scheme/host/path/ext and
+    * the depth/param counts, plus the first-match-wins filter
+    * verdict. host_num rides along so per-host policy (robots
+    * variants, crawl delays) derives without re-parsing. */
+  private[queries] def crawlUrls(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val url = concat(
       when($"doc_id" % 31 === 0, "ftp://").otherwise(lit("https://")),
@@ -307,8 +313,9 @@ object PipelineQueries {
       when($"doc_id" % 13 === 0, ".jpg").otherwise(lit(".html")),
       when($"doc_id" % 6 === 0, "?a=1&b=2&c=3&d=4")
         .when($"doc_id" % 6 === 3, "?a=1").otherwise(lit("")))
-    val parsed = Fixtures.documents(spark, sfDir)
-      .select($"doc_id", url.as("url"))
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", ($"doc_id" % 11).cast("int").as("host_num"),
+        url.as("url"))
       .withColumn("scheme", regexp_extract($"url", "^([a-z]+)://", 1))
       .withColumn("host", regexp_extract($"url", "^[a-z]+://([^/?#]+)", 1))
       .withColumn("path", regexp_extract($"url", "^[a-z]+://[^/?#]+([^?#]*)", 1))
@@ -318,7 +325,6 @@ object PipelineQueries {
       .withColumn("params",
         when(instr($"url", "?") === 0, 0)
           .otherwise(length(regexp_replace($"url", "[^&]", "")) + 1))
-    parsed
       .withColumn("verdict",
         when($"scheme" =!= "http" && $"scheme" =!= "https", "bad_scheme")
           .when($"host".endsWith(".spam.com"), "blocked_domain")
@@ -326,10 +332,173 @@ object PipelineQueries {
           .when($"depth" > 5, "too_deep")
           .when($"params" > 3, "too_many_params")
           .otherwise(lit("kept")))
+  }
+
+  def filterUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    crawlUrls(spark, sfDir)
       .groupBy($"verdict")
       .agg(count(lit(1)).as("n"), min($"doc_id").as("min_doc"))
       .orderBy($"verdict")
   }
+
+  /** Per-host robots.txt bodies for the fetch list — three policy
+    * variants cycling by host number, chosen to exercise the REP
+    * corners RobotsSpec pins: wildcard-vs-anchor precedence by
+    * pattern length (v0), a crawler-specific group overriding the
+    * `*` group plus query-string blocking (v1), and an
+    * empty-Disallow allow-all group beside a blocked stranger (v2). */
+  private[queries] def robotsBody(hostNum: Int): String = (hostNum % 3) match {
+    case 0 =>
+      """# v0: precedence between a deep-path block and an anchored allow
+        |User-agent: *
+        |Disallow: /part/part/part
+        |Allow: /*/page.html$
+        |Crawl-delay: 2
+        |""".stripMargin
+    case 1 =>
+      """User-agent: graftbot
+        |Disallow: /*?
+        |Crawl-delay: 1
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    case _ =>
+      """User-agent: otherbot
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow:
+        |""".stripMargin
+  }
+
+  /** Crawl-policy gate — RFC 9309 robots.txt decisions over the
+    * fetch list, the stage between URL-quality filtering and the
+    * fetch itself (q_crawl_warc ingests what survives). Policies are
+    * parsed ONCE on the driver (one robots.txt per host — metadata
+    * scale by construction: a crawl frontier has orders of magnitude
+    * fewer hosts than URLs) and broadcast; the decision is a narrow
+    * map, and the per-host rollup is the only shuffle. NATIVE: the
+    * wildcard/anchor/longest-match precedence engine is Scala-side
+    * (RobotsSpec pins RFC vectors + a differential property vs a
+    * regex-compiled reference matcher). */
+  def crawlRobots(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val policies: Map[Int, Vector[graft.text.Robots.Group]] =
+      (0 until 11).map(h => h -> graft.text.Robots.parse(robotsBody(h))).toMap
+    val bc = spark.sparkContext.broadcast(policies)
+    crawlUrls(spark, sfDir)
+      // rules match on path + query (fragments never reach the server)
+      .withColumn("pathq", regexp_extract($"url", "^[a-z]+://[^/]+(/.*)$", 1))
+      .select($"doc_id", $"host_num", $"host", $"pathq")
+      .as[(Long, Int, String, String)]
+      .map { case (id, hn, host, pathq) =>
+        val d = graft.text.Robots.decide(bc.value(hn), "graftbot/1.0", pathq)
+        (id, hn, host, d.allowed, d.matched, d.crawlDelay.getOrElse(-1.0))
+      }
+      .toDF("doc_id", "host_num", "host", "allowed", "matched", "delay_s")
+      .groupBy($"host")
+      .agg(max($"host_num" % 3).as("variant"),
+        count(lit(1)).as("n_urls"),
+        sum(when($"allowed", 1L).otherwise(0L)).as("n_allowed"),
+        sum(when($"allowed", 0L).otherwise(1L)).as("n_blocked"),
+        max($"delay_s").as("delay_s"),
+        min(when(!$"allowed", $"doc_id")).as("first_blocked"),
+        array_join(array_sort(collect_set(when(!$"allowed", $"matched"))), "|")
+          .as("block_patterns"))
+      .orderBy($"host")
+  }
+
+  /** Politeness scheduling — turn the filter-kept fetch list into a
+    * per-host timeline: each host serves 2 parallel connections with
+    * its own crawl delay (1 + host_num % 3 seconds between requests
+    * per connection), so URL i of a host fetches at
+    * t = ((rank-1) div 2) * delay. Reported per host: list size,
+    * delay, makespan, and the busiest 10-second bucket — the numbers
+    * a frontier scheduler balances shard assignments with. Shape at
+    * 100 TB: one window keyed on host (the natural partition key of
+    * a frontier) + two metadata-scale rollups; all-integer
+    * arithmetic, so the DuckDB twin matches exactly. */
+  def crawlSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val kept = crawlUrls(spark, sfDir).filter($"verdict" === "kept")
+      .withColumn("delay_s", ($"host_num" % 3 + 1).cast("long"))
+    val w = Window.partitionBy($"host").orderBy($"doc_id")
+    val timed = kept.withColumn("rank", row_number().over(w))
+      .withColumn("t_s", expr("((rank - 1) div 2) * delay_s"))
+      .withColumn("bucket", expr("t_s div 10"))
+    val perHost = timed.groupBy($"host")
+      .agg(count(lit(1)).as("n_urls"), max($"delay_s").as("delay_s"),
+        max($"t_s").as("makespan_s"))
+    val wb = Window.partitionBy($"host")
+      .orderBy(desc("busy_n"), asc("bucket"))
+    val busiest = timed.groupBy($"host", $"bucket")
+      .agg(count(lit(1)).as("busy_n"))
+      .withColumn("rn", row_number().over(wb))
+      .filter($"rn" === 1)
+      .select($"host", $"bucket".as("busy_bucket"), $"busy_n")
+    perHost.join(busiest, Seq("host"))
+      .select($"host", $"n_urls", $"delay_s", $"makespan_s",
+        $"busy_bucket", $"busy_n")
+      .orderBy($"host")
+  }
+
+  val crawlScheduleSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, CAST(doc_id % 11 AS INT) AS host_num,
+      |    (CASE WHEN doc_id % 31 = 0 THEN 'ftp://' ELSE 'https://' END) ||
+      |    'www.site' || CAST(doc_id % 11 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 11 IN (4, 7) THEN '.spam' ELSE '' END) ||
+      |    '.com' || repeat('/part', CAST(doc_id % 8 AS INT) + 1) || '/page' ||
+      |    (CASE WHEN doc_id % 13 = 0 THEN '.jpg' ELSE '.html' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '?a=1&b=2&c=3&d=4'
+      |          WHEN doc_id % 6 = 3 THEN '?a=1' ELSE '' END) AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, host_num, url,
+      |    regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+      |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+      |  FROM u),
+      |q AS (
+      |  SELECT doc_id, host_num, scheme, host, path,
+      |    regexp_extract(path, '\.([a-z0-9]+)$', 1) AS ext,
+      |    length(path) - length(regexp_replace(path, '/', '', 'g')) AS depth,
+      |    CASE WHEN strpos(url, '?') = 0 THEN 0
+      |         ELSE length(regexp_replace(url, '[^&]', '', 'g')) + 1 END
+      |      AS params
+      |  FROM p),
+      |kept AS (
+      |  SELECT doc_id, host_num, host, (host_num % 3 + 1) AS delay_s
+      |  FROM q
+      |  WHERE scheme IN ('http', 'https') AND host NOT LIKE '%.spam.com'
+      |    AND ext NOT IN ('jpg', 'png', 'gif', 'exe', 'zip')
+      |    AND depth <= 5 AND params <= 3),
+      |timed AS (
+      |  SELECT host, delay_s,
+      |    ((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1) // 2)
+      |      * delay_s AS t_s
+      |  FROM kept),
+      |per_host AS (
+      |  SELECT host, count(*) AS n_urls, max(delay_s) AS delay_s,
+      |    max(t_s) AS makespan_s
+      |  FROM timed GROUP BY host),
+      |buckets AS (
+      |  SELECT host, t_s // 10 AS bucket, count(*) AS busy_n
+      |  FROM timed GROUP BY host, t_s // 10),
+      |busiest AS (
+      |  SELECT host, bucket AS busy_bucket, busy_n,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY busy_n DESC, bucket) AS rn
+      |  FROM buckets)
+      |SELECT per_host.host, n_urls,
+      |  CAST(per_host.delay_s AS BIGINT) AS delay_s,
+      |  CAST(makespan_s AS BIGINT) AS makespan_s,
+      |  CAST(busy_bucket AS BIGINT) AS busy_bucket, busy_n
+      |FROM per_host JOIN busiest USING (host)
+      |WHERE rn = 1 ORDER BY host""".stripMargin
 
   val filterUrlSql: String =
     """WITH u AS (
@@ -532,6 +701,8 @@ object PipelineQueries {
     "q_pipeline_observe" -> (pipelineObserve _),
     "q_dedup_url" -> (dedupUrl _),
     "q_filter_url" -> (filterUrl _),
+    "q_crawl_robots" -> (crawlRobots _),
+    "q_crawl_schedule" -> (crawlSchedule _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_cross_source" -> (dedupCrossSource _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -543,6 +714,7 @@ object PipelineQueries {
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_url" -> dedupUrlSql,
     "q_filter_url" -> filterUrlSql,
+    "q_crawl_schedule" -> crawlScheduleSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_cross_source" -> dedupCrossSourceSql,
     "q_dedup_ngram" -> dedupNgramSql,

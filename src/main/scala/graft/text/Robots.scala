@@ -1,0 +1,132 @@
+package graft.text
+
+/** robots.txt parsing and matching per RFC 9309 (Robots Exclusion
+  * Protocol) — the crawl-policy gate that sits between URL-quality
+  * filtering (q_filter_url) and fetching (q_crawl_warc ingests the
+  * fetched shards). Pure functions, so the distributed query is a
+  * narrow map over (host-policy, url) rows.
+  *
+  * Semantics implemented (each pinned in RobotsSpec):
+  *   - groups: consecutive `User-agent:` lines share the rule block
+  *     that follows; rules before any user-agent line are ignored;
+  *     unknown fields are skipped without terminating the group.
+  *   - group selection: the group whose agent token is the LONGEST
+  *     case-insensitive prefix of the crawler's product token wins;
+  *     `*` is the fallback; all groups tied on that agent merge.
+  *   - rule matching: `*` matches any octet sequence, a trailing `$`
+  *     anchors the end; otherwise a rule matches any path it
+  *     prefix-matches. Most-specific (longest pattern, octet length)
+  *     wins; on a tie, allow wins. No matching rule → allowed.
+  *   - empty `Disallow:` value means allow-everything (a rule that
+  *     can never match is simply dropped).
+  *   - `Crawl-delay` (de-facto extension): seconds per group.
+  */
+object Robots {
+
+  final case class Rule(allow: Boolean, pattern: String)
+  final case class Group(agents: Vector[String], rules: Vector[Rule],
+      crawlDelay: Option[Double])
+  final case class Decision(allowed: Boolean, matched: String,
+      crawlDelay: Option[Double])
+
+  /** Parse a robots.txt body into groups. Never throws: malformed
+    * lines are skipped (the REP is explicitly lenient — a crawler
+    * must get SOMETHING out of real-world files). */
+  def parse(body: String): Vector[Group] = {
+    val groups = Vector.newBuilder[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[Rule]
+    var delay: Option[Double] = None
+    var collectingAgents = true
+    var inGroup = false
+    def flush(): Unit = {
+      if (inGroup) groups += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None
+    }
+    for (raw <- body.split("\r\n|\n|\r", -1)) {
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!collectingAgents) { flush(); collectingAgents = true }
+            inGroup = true
+            if (value.nonEmpty)
+              agents :+= value.toLowerCase(java.util.Locale.ROOT)
+          case "disallow" | "allow" if inGroup =>
+            collectingAgents = false
+            // empty Disallow == allow everything: drop the no-op rule
+            if (value.nonEmpty) rules :+= Rule(field == "allow", value)
+          case "crawl-delay" if inGroup =>
+            collectingAgents = false
+            delay = value.toDoubleOption.filter(_ >= 0).orElse(delay)
+          case _ => // unknown field or rule outside any group: skip
+        }
+      }
+    }
+    flush()
+    groups.result()
+  }
+
+  /** True iff `pattern` (with `*` wildcards, optional trailing `$`
+    * anchor) matches a PREFIX of `path` (the whole path if anchored).
+    * Iterative two-pointer wildcard scan — no regex, no backtracking
+    * blow-up on adversarial robots files. */
+  def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    // greedy two-pointer scan with single-star backtracking: star/mark
+    // remember the last '*' and how much it has absorbed so far
+    var p = 0; var s = 0
+    var star = -1; var mark = 0
+    while (s < path.length) {
+      if (!anchored && p >= pat.length) return true // prefix consumed
+      if (p < pat.length && pat(p) == '*') { star = p; mark = s; p += 1 }
+      else if (p < pat.length && pat(p) == path(s)) { p += 1; s += 1 }
+      else if (star >= 0) { p = star + 1; mark += 1; s = mark }
+      else return false
+    }
+    // path exhausted: any remaining pattern must be all-'*'
+    (p until pat.length).forall(pat(_) == '*')
+  }
+
+  /** Pick the governing group for a crawler product token: longest
+    * agent that is a case-insensitive prefix of the token; `*` as
+    * fallback; ties on the winning agent merge their rules. */
+  def selectGroup(groups: Vector[Group], userAgent: String): Option[Group] = {
+    val token = userAgent.toLowerCase(java.util.Locale.ROOT)
+    val scored = groups.flatMap { g =>
+      val best = g.agents.collect {
+        case a if a == "*" => 0
+        case a if token.startsWith(a) => a.length
+      }
+      if (best.isEmpty) None else Some((best.max, g))
+    }
+    if (scored.isEmpty) None
+    else {
+      val top = scored.map(_._1).max
+      val winning = scored.filter(_._1 == top).map(_._2)
+      Some(Group(winning.flatMap(_.agents),
+        winning.flatMap(_.rules),
+        winning.flatMap(_.crawlDelay).headOption))
+    }
+  }
+
+  /** Decide a path against a parsed file for a crawler token.
+    * Longest matching pattern wins; allow wins ties; no match or no
+    * governing group → allowed. */
+  def decide(groups: Vector[Group], userAgent: String, path: String): Decision =
+    selectGroup(groups, userAgent) match {
+      case None => Decision(allowed = true, "", None)
+      case Some(g) =>
+        val hits = g.rules.filter(r => matches(r.pattern, path))
+        if (hits.isEmpty) Decision(allowed = true, "", g.crawlDelay)
+        else {
+          val best = hits.maxBy(r => (r.pattern.length, r.allow))
+          Decision(best.allow, best.pattern, g.crawlDelay)
+        }
+    }
+}

@@ -1,0 +1,172 @@
+package graft.text
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 robots.txt engine: parser vectors, precedence laws, and a
+  * differential ScalaCheck property comparing the hand-rolled
+  * wildcard matcher against a regex-compiled reference. */
+class RobotsSpec extends AnyFunSuite {
+  import Robots._
+
+  private def check(prop: Prop, n: Int = 500): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n)
+        .withInitialSeed(org.scalacheck.rng.Seed(1309L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // --- pattern matcher ------------------------------------------------
+
+  test("plain patterns are prefix matches") {
+    assert(matches("/tmp", "/tmp"))
+    assert(matches("/tmp", "/tmp/file.html"))
+    assert(matches("/tmp", "/tmpdir/x")) // REP prefix is byte-wise
+    assert(!matches("/tmp", "/tm"))
+    assert(!matches("/tmp", "/a/tmp"))
+    assert(matches("", "/anything"))
+  }
+
+  test("* spans any octet sequence including /") {
+    assert(matches("/*.php", "/index.php"))
+    assert(matches("/*.php", "/a/b/index.php?p=1")) // prefix then tail ok
+    assert(matches("/a*b", "/axxxb"))
+    assert(matches("/a*b", "/ab"))
+    assert(!matches("/a*b", "/ac"))
+    assert(matches("/*?", "/page.html?a=1"))
+    assert(!matches("/*?", "/page.html"))
+  }
+
+  test("trailing $ anchors the end, mid-pattern $ is literal") {
+    assert(matches("/*.php$", "/index.php"))
+    assert(matches("/*.php$", "/a/deep/index.php"))
+    assert(!matches("/*.php$", "/index.php5"))
+    assert(!matches("/*.php$", "/index.php?x=1"))
+    assert(matches("/a$b", "/a$b/c")) // '$' not at end: literal
+    assert(!matches("/a$b", "/ab"))
+    assert(matches("$", "")) // bare anchor: empty path only
+    assert(!matches("$", "/x"))
+    assert(matches("/x*$", "/x/anything")) // star before anchor
+  }
+
+  test("literal * in the path cannot eat the wildcard") {
+    assert(matches("*a", "/*ba")) // wildcard absorbs '*b'
+    assert(matches("/*a", "/*"  + "xa"))
+  }
+
+  // --- parser ---------------------------------------------------------
+
+  test("groups, comments, CRLF, case-insensitive fields") {
+    val g = parse(
+      "# top comment\r\nUser-Agent: GraftBot # inline\r\nDISALLOW: /x\r\n" +
+        "allow: /x/ok\r\ncrawl-delay: 2.5\r\n\r\nuser-agent: *\r\ndisallow: /\r\n")
+    assert(g.length == 2)
+    assert(g(0).agents == Vector("graftbot"))
+    assert(g(0).rules == Vector(Rule(allow = false, "/x"), Rule(allow = true, "/x/ok")))
+    assert(g(0).crawlDelay.contains(2.5))
+    assert(g(1).agents == Vector("*"))
+  }
+
+  test("consecutive user-agent lines share one rule block") {
+    val g = parse("User-agent: a\nUser-agent: b\nDisallow: /x\n")
+    assert(g.length == 1 && g(0).agents == Vector("a", "b"))
+  }
+
+  test("rules before any group are ignored; empty Disallow dropped; bad delay ignored") {
+    val g = parse("Disallow: /orphan\nUser-agent: *\nDisallow:\nCrawl-delay: soon\nDisallow: /x\n")
+    assert(g.length == 1)
+    assert(g(0).rules == Vector(Rule(allow = false, "/x")))
+    assert(g(0).crawlDelay.isEmpty)
+  }
+
+  test("unknown fields do not terminate a group") {
+    val g = parse("User-agent: *\nSitemap: https://x/s.xml\nDisallow: /a\n")
+    assert(g(0).rules == Vector(Rule(allow = false, "/a")))
+  }
+
+  // --- group selection ------------------------------------------------
+
+  test("longest agent prefix wins; * is fallback; ties merge") {
+    val g = parse(
+      "User-agent: googlebot-news\nDisallow: /n\n\nUser-agent: googlebot\nDisallow: /g\n\n" +
+        "User-agent: *\nDisallow: /all\n\nUser-agent: googlebot\nDisallow: /g2\n")
+    assert(selectGroup(g, "googlebot-news/2.1").get.rules.map(_.pattern) == Vector("/n"))
+    // both googlebot groups merge
+    assert(selectGroup(g, "googlebot/2.1").get.rules.map(_.pattern) == Vector("/g", "/g2"))
+    assert(selectGroup(g, "otherbot").get.rules.map(_.pattern) == Vector("/all"))
+    assert(selectGroup(Vector.empty, "x").isEmpty)
+  }
+
+  // --- decide ---------------------------------------------------------
+
+  test("longest pattern wins; allow wins ties; no match allows") {
+    val g = parse("User-agent: *\nAllow: /page\nDisallow: /*.htm\n")
+    assert(!decide(g, "bot", "/page.htm").allowed)  // 6 > 5
+    assert(decide(g, "bot", "/page.html").allowed === false) // /*.htm still longer
+    val tie = parse("User-agent: *\nAllow: /folder\nDisallow: /folder\n")
+    assert(decide(tie, "bot", "/folder/page").allowed)
+    assert(decide(parse("User-agent: *\nDisallow: /x\n"), "bot", "/y").allowed)
+    assert(decide(Vector.empty, "bot", "/y").allowed)
+  }
+
+  test("decide is rule-order independent") {
+    val rules = Vector(Rule(true, "/a"), Rule(false, "/a/b"), Rule(true, "/a/b/c"),
+      Rule(false, "/*x$"))
+    for (perm <- rules.permutations.take(12)) {
+      val g = Vector(Group(Vector("*"), perm, None))
+      for (p <- Seq("/a", "/a/b", "/a/b/c", "/a/b/cx", "/zx"))
+        assert(decide(g, "bot", p).allowed ==
+          decide(Vector(Group(Vector("*"), rules, None)), "bot", p).allowed, p)
+    }
+  }
+
+  // --- differential property vs regex reference -----------------------
+
+  private def regexMatch(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val body = pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
+    val re = java.util.regex.Pattern.compile("^" + body + (if (anchored) "$" else ""))
+    if (anchored) re.matcher(path).matches()
+    else re.matcher(path).lookingAt()
+  }
+
+  private val genPat: Gen[String] = for {
+    l <- Gen.choose(0, 8)
+    cs <- Gen.listOfN(l, Gen.frequency(
+      (4, Gen.oneOf('a', 'b', '/')), (2, Gen.const('*')), (1, Gen.const('$'))))
+    anchor <- Gen.oneOf("", "$")
+  } yield cs.mkString + anchor
+
+  private val genPath: Gen[String] = for {
+    l <- Gen.choose(0, 12)
+    cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', '/', '*', '$'))
+  } yield cs.mkString
+
+  test("matcher agrees with a regex-compiled reference on random patterns") {
+    check(Prop.forAll(genPat, genPath) { (pat, path) =>
+      matches(pat, path) == regexMatch(pat, path)
+    }, n = 2000)
+  }
+
+  test("no-wildcard laws: prefix and anchored-equality") {
+    val genPlain = Gen.listOf(Gen.oneOf('a', 'b', '/')).map(_.mkString)
+    check(Prop.forAll(genPlain, genPlain) { (p, path) =>
+      matches(p, path) == path.startsWith(p) &&
+        matches(p + "$", path) == (path == p)
+    })
+  }
+
+  test("allow-tie law and shuffle invariance under random rule sets") {
+    val genRule = for {
+      allow <- Gen.oneOf(true, false)
+      p <- genPat
+    } yield Rule(allow, p)
+    check(Prop.forAll(Gen.listOf(genRule), genPath, Gen.long) { (rs, path, seed) =>
+      val g1 = Vector(Group(Vector("*"), rs.toVector, None))
+      val shuffled = new scala.util.Random(seed).shuffle(rs).toVector
+      val g2 = Vector(Group(Vector("*"), shuffled, None))
+      decide(g1, "bot", path).allowed == decide(g2, "bot", path).allowed
+    })
+  }
+}
