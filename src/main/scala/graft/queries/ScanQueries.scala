@@ -404,7 +404,90 @@ object ScanQueries {
       |    (SELECT doc_id FROM good EXCEPT SELECT doc_id FROM documents)) = 0
       |    AS ids_match""".stripMargin
 
+  /** Messy-CSV ingest with quarantine — the RFC 4180 sibling of
+    * q_sink_jsonl and a genuine DIFFERENTIAL parser test: Spark
+    * writes the corpus as quoted CSV (embedded commas, newlines and
+    * doubled quotes planted in the payload; `escape="` so the writer
+    * emits RFC-style `""` instead of univocity's default `\"`), a
+    * hand-planted part file adds the classic feed breaks (surplus
+    * column, non-numeric numeric, truncated row), and BOTH engines
+    * parse the same staged bytes — Spark PERMISSIVE+multiLine with a
+    * corrupt-record column, DuckDB `read_csv(ignore_errors)`. The
+    * per-payload-class rollup (counts, id/byte sums, min/max payload
+    * including the embedded control characters) hash-matches only if
+    * the two parsers agree row-for-row on quoting AND on what counts
+    * as malformed. Scale note (in-code, honest): multiLine CSV is
+    * NOT splittable — quoted newlines force whole-file parsing, so a
+    * 100 TB feed wants newline-escaped or JSONL layout upstream; this
+    * query is the quarantine gate for feeds you don't control. */
+  def scanCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.TmpDirs.fixed("csv")
+    val docs = Fixtures.documents(spark, sfDir)
+    val payload =
+      when($"doc_id" % 7 === 0,
+        concat(lit("comma, and\nnewline "), $"doc_id"))
+        .when($"doc_id" % 7 === 1,
+          concat(lit("say \"hi\" "), $"doc_id"))
+        .otherwise(concat(lit("plain "), $"doc_id"))
+    docs.select($"doc_id", payload.as("payload"), $"n_chars")
+      .write.mode("overwrite")
+      .option("header", true).option("escape", "\"")
+      .csv(dir)
+    // feed breaks in their own part file (header line per file: the
+    // reader skips line 1 of EVERY file when header=true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.csv"),
+      ("doc_id,payload,n_chars\n" +
+        "9000001,surplus column,5,extra\n" +
+        "9000002,not a number,notanum\n" +
+        "9000003,truncated row\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema)
+      .option("header", true).option("multiLine", true)
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .cache()
+      .filter($"_corrupt_record".isNull)
+      .withColumn("kind",
+        when($"payload".startsWith("comma"), "quoted_newline")
+          .when($"payload".startsWith("say"), "quoted_quote")
+          .otherwise(lit("plain")))
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_id"),
+        sum($"n_chars").as("sum_chars"),
+        min($"payload").as("min_payload"), max($"payload").as("max_payload"))
+      .orderBy($"kind")
+  }
+
+  val scanCsvSql: String =
+    """WITH rows AS (
+      |  SELECT * FROM read_csv('/tmp/graft_stage/csv/*.csv',
+      |    header=true, ignore_errors=true,
+      |    columns={'doc_id': 'BIGINT', 'payload': 'VARCHAR',
+      |             'n_chars': 'BIGINT'})),
+      |k AS (
+      |  SELECT *, CASE WHEN payload LIKE 'comma%' THEN 'quoted_newline'
+      |                 WHEN payload LIKE 'say%' THEN 'quoted_quote'
+      |                 ELSE 'plain' END AS kind
+      |  FROM rows)
+      |SELECT kind, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(payload) AS min_payload, max(payload) AS max_payload
+      |FROM k GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_csv" -> (scanCsv _),
     "q_scan_project" -> (scanProject _),
     "q_sink_partitioned" -> (sinkPartitioned _),
     "q_layout_zorder" -> (layoutZorder _),
@@ -417,6 +500,7 @@ object ScanQueries {
     "q_setops" -> (setops _))
 
   val oracle: Map[String, String] = Map(
+    "q_scan_csv" -> scanCsvSql,
     "q_scan_project" -> scanProjectSql,
     "q_scan_unpivot" -> scanUnpivotSql,
     "q_filter_pushdown" -> filterPushdownSql,

@@ -889,7 +889,37 @@ object TextQueries {
       |    AS score
       |FROM g ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Compression-ratio quality gate — deflate compressibility as the
+    * cheap entropy probe (the CCNet/Gopher-era trick): looped
+    * boilerplate compresses to a sliver, encrypted/garbled text
+    * barely compresses, clean prose sits between. One narrow typed
+    * map (Deflater per row, released in a finally), zero shuffle
+    * before the output sort — the 100 TB shape is embarrassingly
+    * parallel. NATIVE: compressed lengths are zlib-build-specific;
+    * DeflateSpec pins the response laws (repetition → tiny ratio,
+    * high-entropy → near-raw, duplication bounded by the 32 KiB
+    * window, stored-block ceiling). */
+  def textCompress(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val nBytes =
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+        val cLen = graft.text.Deflate.compressedLen(t)
+        val r = if (nBytes == 0) 1.0 else cLen.toDouble / nBytes
+        val verdict =
+          if (r < 0.25) "too_repetitive"
+          else if (r > 0.8) "high_entropy"
+          else "kept"
+        (id, nBytes, cLen, math.round(r * 10000).toDouble / 10000, verdict)
+      }
+      .toDF("doc_id", "n_bytes", "c_len", "ratio", "verdict")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_compress" -> (textCompress _),
     "q_text_invert" -> (textInvert _),
     "q_text_bm25" -> (textBm25 _),
     "q_chunk_overlap" -> (chunkOverlap _),

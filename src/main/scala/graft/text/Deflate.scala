@@ -1,0 +1,42 @@
+package graft.text
+
+/** Deflate-based compressibility probe — the classic cheap quality
+  * signal (used by CCNet/Gopher-era pipelines as a pre-LM gate):
+  * near-duplicate boilerplate and looped generations compress to a
+  * tiny fraction of their size, while encrypted/binary/garbled text
+  * barely compresses at all. Pure function of the input bytes at a
+  * fixed level, so the distributed query is a narrow map.
+  *
+  * The compressed LENGTH is deterministic for a given zlib build and
+  * level but NOT a cross-engine contract (DuckDB has no deflate
+  * surface and zlib versions may pack differently) — the query is
+  * NATIVE; DeflateSpec pins the laws that matter: monotone response
+  * to planted repetition, near-1 ratio on high-entropy input, and
+  * bounded growth under duplication (the 32 KiB window actually
+  * finding the first copy). */
+object Deflate {
+
+  /** Raw-deflate length of the UTF-8 bytes at the default level.
+    * Always `end()`s the native Deflater — `finish()` alone leaks
+    * off-heap state in tight mapPartitions loops. */
+  def compressedLen(text: String): Long = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION,
+      /* nowrap = raw stream, no zlib header */ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  /** compressed / raw byte ratio; 1.0 for the empty string (an empty
+    * doc is "incompressible junk", not "perfectly compressed"). */
+  def ratio(text: String): Double = {
+    val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    if (raw == 0) 1.0 else compressedLen(text).toDouble / raw
+  }
+}

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the deflate compressibility probe backing q_text_compress.
+  * The exact compressed byte count is zlib-build-specific, so the spec
+  * pins RESPONSE laws, not golden lengths. */
+class DeflateSpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n)
+        .withInitialSeed(org.scalacheck.rng.Seed(1951L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("empty input is defined (ratio 1.0) and calls are deterministic") {
+    assert(Deflate.ratio("") == 1.0)
+    val s = "some stable text " * 10
+    assert(Deflate.compressedLen(s) == Deflate.compressedLen(s))
+  }
+
+  test("looped boilerplate compresses to a sliver") {
+    assert(Deflate.ratio("lorem ipsum dolor sit amet " * 100) < 0.1)
+    assert(Deflate.ratio("ab" * 500) < 0.05)
+  }
+
+  test("high-entropy printable text barely compresses") {
+    val rnd = new scala.util.Random(7)
+    val s = Array.fill(4000)((33 + rnd.nextInt(94)).toChar).mkString
+    assert(Deflate.ratio(s) > 0.7, Deflate.ratio(s).toString)
+  }
+
+  test("prose sits between the gates") {
+    val prose = ("the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronauts debated quantum chromodynamics near zanzibar ") * 8
+    val r = Deflate.ratio(prose)
+    assert(r > 0.1 && r < 0.8, r.toString)
+  }
+
+  test("duplication is bounded: the 32 KiB window finds the first copy") {
+    val genText = for {
+      l <- Gen.choose(1, 1000)
+      cs <- Gen.listOfN(l, Gen.frequency(
+        (8, Gen.alphaNumChar), (2, Gen.oneOf(' ', '\n', 'é', '中'))))
+    } yield cs.mkString
+    check(Prop.forAll(genText) { s =>
+      Deflate.compressedLen(s + s) <= Deflate.compressedLen(s) + 24
+    })
+  }
+
+  test("stored-block ceiling: never blows past raw size + block overhead") {
+    val genText = Gen.listOf(Gen.choose(32.toChar, 0x2fff.toChar)).map(_.mkString)
+    check(Prop.forAll(genText) { s =>
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      Deflate.compressedLen(s) <= raw + 5 * (raw / 65535 + 1) + 11
+    })
+  }
+
+  test("monotone response to planted repetition fraction") {
+    // same length budget, growing duplicated share -> ratio non-increasing
+    val unique = new scala.util.Random(11)
+    def doc(repFrac: Double): String = {
+      val n = 2000
+      val rep = (n * repFrac).toInt
+      val tail = Array.fill(n - rep)((33 + unique.nextInt(94)).toChar).mkString
+      ("spam " * (rep / 5)).take(rep) + tail
+    }
+    val rs = Seq(0.0, 0.25, 0.5, 0.75, 0.95).map(f => Deflate.ratio(doc(f)))
+    assert(rs.sliding(2).forall { case Seq(a, b) => b <= a + 0.02 }, rs.toString)
+  }
+}
