@@ -695,7 +695,112 @@ object PipelineQueries {
       |WHERE ex.doc_id % 97 <> 0
       |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Maximal duplicated-RUN detection — the "remove any 50-token span
+    * occurring twice" rule (Lee et al. 2022 exact-substring dedup) in
+    * its distributed form: q_dedup_spans marks which 8-word spans are
+    * shared corpus-wide; this query merges CONSECUTIVE shared spans
+    * into maximal runs per document (classic gaps-and-islands:
+    * span_idx − row_number is constant within a run) and reports each
+    * doc's longest duplicated stretch in words. A doc whose max run
+    * is ≥ 2 spans carries a ≥ 16-word verbatim duplicate — the actual
+    * removal threshold a production pass would cut at. Shape at
+    * 100 TB: the span-sharing shuffle q_dedup_spans already pays,
+    * plus one per-doc window and two keyed aggs — no new quadratic
+    * term anywhere. */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spans = Fixtures.documents(spark, sfDir)
+      .withColumn("w", split(lower(trim($"text")), "\\s+"))
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, greatest(size(w) div 8 - 1, 0)), i -> array_join(slice(w, i * 8 + 1, 8), ' '))")))
+      .toDF("doc_id", "span_idx", "span")
+    val shared = spans.groupBy($"span")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .where($"n_docs" >= 2)
+    val mine = spans.join(shared, Seq("span"))
+      .withColumn("grp", $"span_idx" -
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"span_idx")))
+    val runs = mine.groupBy($"doc_id", $"grp")
+      .agg(count(lit(1)).as("run_len"),
+        min($"span_idx").cast("long").as("run_start"))
+    runs.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        sum($"run_len").as("n_shared_spans"),
+        max($"run_len").as("max_run_spans"),
+        (max($"run_len") * 8).as("max_run_words"),
+        min(when($"run_len" >= 2, $"run_start")).as("first_long_run_at"))
+      .where($"max_run_spans" >= 2)
+      .orderBy($"doc_id")
+  }
+
+  val dedupSubstringSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest(len(w) // 8 - 1, 0) + 1)) AS span_idx,
+      |    unnest(list_transform(range(0, greatest(len(w) // 8 - 1, 0) + 1),
+      |      i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' '))) AS span
+      |  FROM d),
+      |g AS (
+      |  SELECT span FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+      |mine AS (
+      |  SELECT s.doc_id, s.span_idx,
+      |    s.span_idx - row_number() OVER (
+      |      PARTITION BY s.doc_id ORDER BY s.span_idx) AS grp
+      |  FROM s JOIN g USING (span)),
+      |runs AS (
+      |  SELECT doc_id, grp, count(*) AS run_len, min(span_idx) AS run_start
+      |  FROM mine GROUP BY doc_id, grp)
+      |SELECT doc_id, count(*) AS n_runs,
+      |  CAST(sum(run_len) AS BIGINT) AS n_shared_spans,
+      |  max(run_len) AS max_run_spans,
+      |  max(run_len) * 8 AS max_run_words,
+      |  min(CASE WHEN run_len >= 2 THEN run_start END) AS first_long_run_at
+      |FROM runs GROUP BY doc_id HAVING max(run_len) >= 2
+      |ORDER BY doc_id""".stripMargin
+
+  /** Incremental (delta) dedup — the PRODUCTION dedup shape: a new
+    * batch arrives and is checked against the standing corpus's
+    * fingerprint store, never re-clustering the whole corpus. The
+    * arriving 20% (high-bit multiplicative hash split — doc_id % m
+    * correlates with `source` in this fixture) anti-joins the
+    * standing set on the normalized-text md5. Shape at 100 TB: the
+    * fingerprint store is far too big to broadcast — this is an
+    * honest shuffle join keyed on the hash itself (perfectly spread
+    * by construction); only the DELTA's size drives the work. */
+  def dedupDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Fixtures.documents(spark, sfDir)
+      .withColumn("sig", md5(lower(trim($"text"))))
+      .withColumn("arriving",
+        shiftright($"doc_id" * lit(2654435761L), 20) % 5 === 0)
+    val standing = hashed.filter(!$"arriving")
+      .select($"sig").distinct().withColumn("known", lit(true))
+    hashed.filter($"arriving")
+      .join(standing, Seq("sig"), "left")
+      .select($"doc_id", $"sig",
+        when($"known", "dup_of_corpus").otherwise(lit("new")).as("status"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupDeltaSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS sig,
+      |    ((doc_id * 2654435761) >> 20) % 5 = 0 AS arriving
+      |  FROM documents),
+      |standing AS (SELECT DISTINCT sig FROM h WHERE NOT arriving)
+      |SELECT h.doc_id, h.sig,
+      |  CASE WHEN standing.sig IS NOT NULL THEN 'dup_of_corpus'
+      |       ELSE 'new' END AS status
+      |FROM h LEFT JOIN standing USING (sig)
+      |WHERE h.arriving ORDER BY h.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substring" -> (dedupSubstring _),
+    "q_dedup_delta" -> (dedupDelta _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_pipeline_observe" -> (pipelineObserve _),
@@ -711,6 +816,8 @@ object PipelineQueries {
     "q_text_tokens" -> (textTokens _))
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_substring" -> dedupSubstringSql,
+    "q_dedup_delta" -> dedupDeltaSql,
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_url" -> dedupUrlSql,
     "q_filter_url" -> filterUrlSql,

@@ -918,7 +918,64 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Bigram-LM scoring with add-one smoothing — the next rung above
+    * q_text_nll's unigram gate: per-doc mean negative log-likelihood
+    * under P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), where c(w1·)
+    * counts bigram STARTS (the proper conditioning denominator) and
+    * V is the corpus vocabulary. Every ratio entering ln() is
+    * exact-integer (the log-oracle discipline), rounded ONCE. Shape
+    * at 100 TB: the model is vocab²-bounded (groupBy on well-spread
+    * bigram keys), V and nothing else is a driver scalar; scoring is
+    * one join back on the bigram key + one groupBy(doc_id). */
+  def textNll2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bi = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", split(lower(trim($"text")), " ").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = Fixtures.documents(spark, sfDir)
+      .select(explode(split(lower(trim($"text")), " ")).as("w"))
+      .agg(countDistinct($"w").as("v"))
+    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log(($"c2" + 1).cast("double") / ($"c1" + $"v")))
+      .select($"w1", $"w2", $"logp")
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg($"logp"), 4).as("nll2_nats"))
+      .orderBy($"doc_id")
+  }
+
+  val textNll2Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+      |  FROM d WHERE len(w) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+      |v AS (
+      |  SELECT count(DISTINCT word) AS v FROM (
+      |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+      |    FROM documents)),
+      |model AS (
+      |  SELECT w1, w2, ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v)) AS logp
+      |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(-avg(logp), 4) AS nll2_nats
+      |FROM bi JOIN model USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_nll2" -> (textNll2 _),
     "q_text_compress" -> (textCompress _),
     "q_text_invert" -> (textInvert _),
     "q_text_bm25" -> (textBm25 _),
@@ -942,6 +999,7 @@ object TextQueries {
     "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(
+    "q_text_nll2" -> textNll2Sql,
     "q_text_invert" -> textInvertSql,
     "q_text_bm25" -> textBm25Sql,
     "q_chunk_overlap" -> chunkOverlapSql,
