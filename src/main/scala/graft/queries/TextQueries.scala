@@ -974,7 +974,57 @@ object TextQueries {
       |FROM bi JOIN model USING (w1, w2)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Host-level link graph from the synthetic crawl — the web
+    * pipeline's last missing stage (filter → robots → fetch → extract
+    * → LINK GRAPH → rank): every page's hrefs extracted by the same
+    * single-pass scanner family as the text extractor (all three
+    * attribute-quoting forms), relative links resolved against the
+    * page's own host, cross-host edges ranked by the shared PageRank
+    * operator. Shape at 100 TB: link extraction is a narrow flatMap;
+    * the host-level graph is domains-scale (≪ pages); rank joins per
+    * PageRank's cached-edge-frame discipline. NATIVE: page synthesis
+    * and the href scanner are engine-side (LinkGraphSpec: scanner
+    * goldens, per-page link census, distributed-vs-driver edge
+    * equality, Σrank = 1). */
+  def crawlLinks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val src = id % 11
+        graft.text.HtmlExtract
+          .links(graft.text.HtmlExtract.linkedPage(id, text))
+          .iterator.map { href =>
+            val dst =
+              if (href.startsWith("https://www.site"))
+                href.stripPrefix("https://www.site")
+                  .takeWhile(_.isDigit).toLong
+              else src // relative: resolves against the page's host
+            (src, dst)
+          }
+      }
+      .toDF("src", "dst")
+      .cache()
+    val ext = edges.filter($"src" =!= $"dst")
+    val ranks = graft.graph.PageRank.run(ext, iters = 10)
+      .select($"node".as("host_num"), round($"rank", 6).as("rank"))
+    val outAll = edges.groupBy($"src".as("host_num"))
+      .agg(count(lit(1)).as("out_links"))
+    val extOut = ext.groupBy($"src".as("host_num"))
+      .agg(count(lit(1)).as("ext_out"))
+    val extIn = ext.groupBy($"dst".as("host_num"))
+      .agg(count(lit(1)).as("ext_in"))
+    outAll.join(extOut, Seq("host_num"), "left")
+      .join(extIn, Seq("host_num"), "left")
+      .join(ranks, Seq("host_num"))
+      .select($"host_num", $"out_links",
+        coalesce($"ext_out", lit(0L)).as("ext_out"),
+        coalesce($"ext_in", lit(0L)).as("ext_in"), $"rank")
+      .orderBy($"host_num")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crawl_links" -> (crawlLinks _),
     "q_text_nll2" -> (textNll2 _),
     "q_text_compress" -> (textCompress _),
     "q_text_invert" -> (textInvert _),

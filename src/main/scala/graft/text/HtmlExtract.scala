@@ -205,4 +205,70 @@ object HtmlExtract {
        |<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer>
        |</body></html>""".stripMargin
   }
+
+  /** syntheticPage plus an outlink block — the fixture for the link
+    * graph (q_crawl_links): 1–3 ABSOLUTE references to other hosts
+    * (cycling by doc_id) and two same-host links in the single-quoted
+    * and unquoted href forms, so extraction must handle all three
+    * attribute syntaxes. */
+  def linkedPage(docId: Long, text: String): String = {
+    val nOut = (docId % 3 + 1).toInt
+    val refs = (1 to nOut).map { k =>
+      val h = (docId + k) % 11
+      s"""<a href="https://www.site$h.com/page${docId % 97}.html">ref $k</a>"""
+    }.mkString(" ")
+    syntheticPage(docId, text).replace("</body>",
+      s"""<div id="refs">$refs</div><p>see also """ +
+        s"""<a href='/local${docId % 5}'>local</a> and """ +
+        s"""<a href=/rel${docId % 5}>rel</a></p></body>""")
+  }
+
+  /** Every href value of every `<a>` tag, document order — all three
+    * attribute forms (double-quoted, single-quoted, unquoted),
+    * case-insensitive tag/attribute names, anchors without href
+    * skipped. Single pass, no regex. */
+  def links(html: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html(i) == '<' && i + 1 < n) {
+        val c = html(i + 1)
+        val isAnchor = (c == 'a' || c == 'A') &&
+          (i + 2 >= n || !html(i + 2).isLetterOrDigit)
+        if (isAnchor) {
+          // scan the tag body for href=
+          var j = i + 2
+          while (j < n && html(j) != '>') {
+            if ((html(j) == 'h' || html(j) == 'H') && j + 5 <= n &&
+              html.substring(j, j + 4).equalsIgnoreCase("href")) {
+              var k = j + 4
+              while (k < n && html(k).isWhitespace) k += 1
+              if (k < n && html(k) == '=') {
+                k += 1
+                while (k < n && html(k).isWhitespace) k += 1
+                if (k < n) {
+                  val quote = html(k)
+                  if (quote == '"' || quote == '\'') {
+                    val end = html.indexOf(quote, k + 1)
+                    if (end > k) { out += html.substring(k + 1, end); j = end }
+                    else j = n
+                  } else {
+                    var end = k
+                    while (end < n && !html(end).isWhitespace &&
+                      html(end) != '>') end += 1
+                    if (end > k) out += html.substring(k, end)
+                    j = end - 1
+                  }
+                }
+              }
+            }
+            j += 1
+          }
+          i = j
+        } else i += 1
+      } else i += 1
+    }
+    out.result()
+  }
 }

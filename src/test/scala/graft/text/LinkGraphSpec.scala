@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** Href scanner goldens + the link-graph query's invariants:
+  * distributed edge extraction equals a driver-side replica over the
+  * real fixture corpus, and the host ranks form a distribution. */
+class LinkGraphSpec extends SparkSpec {
+
+  test("links(): all three quoting forms, attribute order, case") {
+    val html =
+      """<a href="/a">x</a> <A HREF='/b'>y</A> <a rel=nofollow href=/c>z</a>
+        |<a name="no-href">skip</a> <abbr href="/not-anchor">skip</abbr>
+        |<a
+        |  href = "https://h/x">spread</a>""".stripMargin
+    assert(HtmlExtract.links(html) ==
+      Vector("/a", "/b", "/c", "https://h/x"))
+  }
+
+  test("links() ignores href outside anchor tags and handles empty") {
+    assert(HtmlExtract.links("<link href=\"/style.css\">text") == Vector.empty)
+    assert(HtmlExtract.links("") == Vector.empty)
+    assert(HtmlExtract.links("<a href=>") == Vector.empty)
+  }
+
+  test("linkedPage census: 7 chrome + (id % 3 + 1) external + 2 extra") {
+    for (id <- 0L to 12L) {
+      val ls = HtmlExtract.links(HtmlExtract.linkedPage(id, "w1 w2 w3 w4"))
+      val ext = ls.filter(_.startsWith("https://www.site"))
+      assert(ext.size == (id % 3 + 1).toInt, s"doc $id")
+      assert(ls.size == 7 + ext.size + 2, s"doc $id: $ls")
+      // external refs resolve to real fetchable hosts (no .spam forms)
+      ext.foreach(h => assert(h.matches("https://www\\.site\\d+\\.com/page\\d+\\.html"), h))
+    }
+  }
+
+  test("q_crawl_links: distributed edges equal a driver replica; ranks sum to 1") {
+    import spark.implicits._
+    val docs = graft.Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // driver replica of the edge multiset
+    val replica = docs.flatMap { case (id, text) =>
+      HtmlExtract.links(HtmlExtract.linkedPage(id, text)).map { href =>
+        val src = id % 11
+        val dst =
+          if (href.startsWith("https://www.site"))
+            href.stripPrefix("https://www.site").takeWhile(_.isDigit).toLong
+          else src
+        (src, dst)
+      }
+    }
+    val extReplica = replica.filter { case (s, d) => s != d }
+    val out = graft.queries.TextQueries.crawlLinks(spark, sfDir).collect()
+    val byHost = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    for (h <- 0L until 11L) {
+      val (outLinks, extOut, extIn, _) = byHost(h)
+      assert(outLinks == replica.count(_._1 == h).toLong, s"out $h")
+      assert(extOut == extReplica.count(_._1 == h).toLong, s"ext_out $h")
+      assert(extIn == extReplica.count(_._2 == h).toLong, s"ext_in $h")
+    }
+    val rankSum = out.map(_.getDouble(4)).sum
+    assert(math.abs(rankSum - 1.0) < 1e-3, rankSum.toString)
+    // the graph is strongly-ish connected by construction: every host
+    // must receive external links from its 1..3-step predecessors
+    assert(out.forall(_.getLong(3) > 0))
+  }
+}
