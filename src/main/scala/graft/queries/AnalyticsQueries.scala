@@ -1218,7 +1218,56 @@ object AnalyticsQueries {
       .orderBy($"source")
   }
 
+  /** Join-key skew diagnostics — the pre-flight check a 100 TB join
+    * runs BEFORE shuffling: per candidate key column, the key-count
+    * distribution (cardinality, max, interpolated p50/p99 of the
+    * per-key counts) and the skew factor max/avg — the number that
+    * decides between a plain shuffle join, salting (q_join_salted),
+    * or AQE skew splitting. Shape: one count shuffle per column
+    * (map-side combined), then all stats over the KEYS-scale counts
+    * frame; nothing row-scale leaves the aggregation. */
+  def checkSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Fixtures.events(spark, sfDir)
+    def profile(colName: String): DataFrame = {
+      val counts = ev.groupBy(col(colName).cast("string").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total"),
+          max($"cnt").as("max_cnt"),
+          expr("percentile(cnt, 0.5)").as("p50r"),
+          expr("percentile(cnt, 0.99)").as("p99r"))
+        .select(lit(colName).as("key_col"), $"n_keys", $"total", $"max_cnt",
+          round($"p50r", 4).as("p50"), round($"p99r", 4).as("p99"),
+          round(($"max_cnt" * $"n_keys") / $"total", 4).as("skew"))
+    }
+    profile("user_id").union(profile("event_type")).orderBy($"key_col")
+  }
+
+  val checkSkewSql: String =
+    """WITH cu AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |ce AS (
+      |  SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),
+      |pu AS (
+      |  SELECT 'user_id' AS key_col, count(*) AS n_keys,
+      |    CAST(sum(cnt) AS BIGINT) AS total, max(cnt) AS max_cnt,
+      |    round(quantile_cont(cnt, 0.5), 4) AS p50,
+      |    round(quantile_cont(cnt, 0.99), 4) AS p99,
+      |    round((max(cnt) * count(*)) / CAST(sum(cnt) AS BIGINT), 4) AS skew
+      |  FROM cu),
+      |pe AS (
+      |  SELECT 'event_type' AS key_col, count(*) AS n_keys,
+      |    CAST(sum(cnt) AS BIGINT) AS total, max(cnt) AS max_cnt,
+      |    round(quantile_cont(cnt, 0.5), 4) AS p50,
+      |    round(quantile_cont(cnt, 0.99), 4) AS p99,
+      |    round((max(cnt) * count(*)) / CAST(sum(cnt) AS BIGINT), 4) AS skew
+      |  FROM ce)
+      |SELECT * FROM pu UNION ALL SELECT * FROM pe
+      |ORDER BY key_col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_check_skew" -> (checkSkew _),
     "q_ts_retention" -> (tsRetention _),
     "q_ts_transitions" -> (tsTransitions _),
     "q_anomaly_mad" -> (anomalyMad _),
@@ -1247,6 +1296,7 @@ object AnalyticsQueries {
     "q_agg_moments" -> (aggMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_check_skew" -> checkSkewSql,
     "q_ts_retention" -> tsRetentionSql,
     "q_ts_transitions" -> tsTransitionsSql,
     "q_anomaly_mad" -> anomalyMadSql,

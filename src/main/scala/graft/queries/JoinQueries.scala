@@ -413,7 +413,68 @@ object JoinQueries {
       |  GROUP BY o_orderkey, o_orderstatus)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  private val dppWarehouse =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Stage the date-partitioned fact layout + a parquet dim table
+    * once per (session, sfDir) — same memo discipline as the
+    * bucketed warehouse. The dim is WRITTEN AND READ BACK on
+    * purpose: a literal local dim gets its selective filter
+    * constant-folded into the LocalRelation and DPP never fires
+    * (the RuntimeFilterSpec lesson). */
+  private def ensureDppLayout(spark: SparkSession, sfDir: String): String =
+    dppWarehouse.computeIfAbsent((spark, sfDir), { case (s, d) =>
+      val base = graft.TmpDirs.create("graft_dpp")
+      Fixtures.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year")
+        .parquet(s"$base/orders")
+      Fixtures.orders(s, d)
+        .select(year(col("o_orderdate")).as("o_year")).distinct()
+        // a LITERAL comparison, not a bare boolean column: Spark's
+        // PartitionPruning only inserts the DPP subquery when the dim
+        // filter is "likely selective" (EqualTo/In/Like on a literal);
+        // a naked BooleanType attribute fails that heuristic silently
+        .withColumn("status",
+          when(col("o_year") === 1995, "target").otherwise("other"))
+        .write.mode("overwrite").parquet(s"$base/years")
+      base
+    })
+
+  /** Dynamic partition pruning — THE scan-elision mechanism for a
+    * date-partitioned 100 TB fact table: the fact side is laid out
+    * `partitionBy(o_year)`, the dim side carries the selective
+    * predicate (`is_target`, one year), and Spark turns the
+    * broadcast dim into a runtime IN-filter on the fact's partition
+    * column, so only the matching year's files are ever read —
+    * pruning that static predicate pushdown cannot do because the
+    * year list only exists at runtime. PlanShapeSpec pins the
+    * `dynamicpruning` subquery in the fact scan; the oracle computes
+    * the same rollup from the unpartitioned base table. */
+  def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureDppLayout(spark, sfDir)
+    val fact = spark.read.parquet(s"$base/orders")
+    val dim = spark.read.parquet(s"$base/years")
+      .filter($"status" === "target")
+    fact.join(broadcast(dim), Seq("o_year"))
+      .groupBy($"o_year", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy($"o_year", $"o_orderpriority")
+  }
+
+  val joinDppSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE year(o_orderdate) = 1995
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_dpp" -> (joinDpp _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_join_salted" -> (joinSalted _),
     "q_join_bucketed" -> (joinBucketed _),
@@ -427,6 +488,7 @@ object JoinQueries {
     "q_join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
+    "q_join_dpp" -> joinDppSql,
     "q_merge_upsert" -> mergeUpsertSql,
     "q_join_salted" -> joinSaltedSql,
     "q_join_bucketed" -> joinBucketedSql,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{PipelineQueries, SamplingQueries, TextQueries}
+import graft.queries.{JoinQueries, PipelineQueries, SamplingQueries, TextQueries}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
@@ -236,5 +236,26 @@ class PlanShapeSpec extends SparkSpec {
     // the exact-distinct doc count's own exchange + the final sort;
     // read/parse/extract stages are narrow
     assert(shuffles(TextQueries.crawlWarc(spark, sfDir)) <= 4)
+  }
+
+  test("q_join_dpp: the fact scan carries a dynamicpruning subquery") {
+    // a DPP that silently fails to plan degrades to a full scan of
+    // every partition — the query still returns correct rows, so only
+    // the plan pin catches it
+    val p = plan(JoinQueries.joinDpp(spark, sfDir))
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery]))) ||
+      scans.exists(f => f.partitionFilters.mkString.contains("dynamicpruning")),
+      s"no dynamicpruning filter on the fact scan:\n$p")
+  }
+
+  test("q_text_invert: the posting-head filter lowers to WindowGroupLimit") {
+    val p = plan(TextQueries.textInvert(spark, sfDir))
+    assert(p.toString.contains("WindowGroupLimit"),
+      s"row_number<=20 must push a per-partition group limit:\n$p")
   }
 }
