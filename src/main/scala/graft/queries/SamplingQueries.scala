@@ -267,7 +267,126 @@ object SamplingQueries {
       |  doc_id, shuffle_key
       |FROM t ORDER BY position""".stripMargin
 
+  /** Curriculum mixture annealing — the epoch-indexed generalization
+    * of q_mix_temperature: per-source sampling weights re-derived for
+    * each of 4 training epochs as p^t with the temperature annealing
+    * 1.0 → 0.3 (epoch 0 trains on the natural distribution, later
+    * epochs flatten toward uniform — the published multilingual /
+    * multi-source curriculum compromise, run as ONE query so the
+    * whole schedule ships to the trainer as a table). Shape: the
+    * per-source frame is metadata-scale; epochs explode it ×4 and
+    * each epoch normalizes over its own grouped window. */
+  def mixAnneal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Fixtures.documents(spark, sfDir)
+      .withColumn("tokens", TextQueries.tokenCount($"text"))
+      .groupBy($"source")
+      .agg(sum($"tokens").as("tokens"))
+    val all = Window.partitionBy()
+    val byEpoch = Window.partitionBy($"epoch")
+    perSource
+      .withColumn("share", $"tokens".cast("double") / sum($"tokens").over(all))
+      .withColumn("epoch", explode(expr("sequence(0L, 3L)")))
+      .withColumn("temp", lit(1.0) - (lit(0.7) * $"epoch") / lit(3.0))
+      .withColumn("p_t", pow($"share", $"temp"))
+      .withColumn("epoch_share", $"p_t" / sum($"p_t").over(byEpoch))
+      .select($"epoch", $"source", round($"temp", 4).as("temp"),
+        round($"share", 4).as("token_share"),
+        round($"epoch_share", 4).as("epoch_share"),
+        round($"epoch_share" / $"share", 4).as("weight"))
+      .orderBy($"epoch", $"source")
+  }
+
+  val mixAnnealSql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS tokens
+      |  FROM documents GROUP BY source),
+      |sh AS (
+      |  SELECT source, CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS share
+      |  FROM s),
+      |e AS (
+      |  SELECT source, share, unnest(range(0, 4)) AS epoch FROM sh),
+      |p AS (
+      |  SELECT epoch, source, share,
+      |    1.0 - (0.7 * epoch) / 3.0 AS temp,
+      |    pow(share, 1.0 - (0.7 * epoch) / 3.0) AS p_t
+      |  FROM e),
+      |t AS (
+      |  SELECT epoch, source, share, temp,
+      |    p_t / sum(p_t) OVER (PARTITION BY epoch) AS epoch_share
+      |  FROM p)
+      |SELECT epoch, source, round(temp, 4) AS temp,
+      |  round(share, 4) AS token_share,
+      |  round(epoch_share, 4) AS epoch_share,
+      |  round(epoch_share / share, 4) AS weight
+      |FROM t ORDER BY epoch, source""".stripMargin
+
+  /** Deterministic contrastive negative sampling — the embedding-
+    * training prep step: for each anchor (~10% of the corpus by the
+    * high-bit hash), 4 cross-source negatives drawn by pure hash
+    * arithmetic (no engine RNG, so resumable and engine-agnostic),
+    * oversampled ×2 then filtered to other-source and ranked by draw
+    * index. Shape at 100 TB: anchors are a narrow filter, candidates
+    * a ×8 explode, the only corpus-scale work is the candidate join
+    * keyed on doc_id (perfectly spread); the window ranks ≤ 8 rows
+    * per anchor. */
+  def sampleNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Fixtures.documents(spark, sfDir)
+    val maxId = docs.agg(max($"doc_id").as("max_id"))
+    val anchors = docs
+      .filter(shiftright($"doc_id" * lit(2654435761L), 20) % 10 === 0)
+      .select($"doc_id".as("anchor_id"), $"source".as("anchor_source"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("j", explode(expr("sequence(1, 8)")))
+      .withColumn("neg_id",
+        (shiftright($"anchor_id" * lit(2654435761L), 20) + $"j" * 7919L)
+          % ($"max_id" + 1L))
+      .filter($"neg_id" =!= $"anchor_id")
+    val w = Window.partitionBy($"anchor_id").orderBy($"j")
+    anchors
+      .join(docs.select($"doc_id".as("neg_id"), $"source".as("neg_source")),
+        Seq("neg_id"))
+      .filter($"neg_source" =!= $"anchor_source")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 4)
+      .select($"anchor_id", $"rank", $"neg_id", $"neg_source")
+      .orderBy($"anchor_id", $"rank")
+  }
+
+  val sampleNegativesSql: String =
+    """WITH m AS (SELECT max(doc_id) AS max_id FROM documents),
+      |a AS (
+      |  SELECT doc_id AS anchor_id, source AS anchor_source
+      |  FROM documents
+      |  WHERE ((doc_id * 2654435761) >> 20) % 10 = 0),
+      |c AS (
+      |  SELECT anchor_id, anchor_source,
+      |    unnest(range(1, 9)) AS j
+      |  FROM a),
+      |n AS (
+      |  SELECT anchor_id, anchor_source, j,
+      |    (((anchor_id * 2654435761) >> 20) + j * 7919) % (max_id + 1)
+      |      AS neg_id
+      |  FROM c CROSS JOIN m),
+      |jn AS (
+      |  SELECT n.anchor_id, n.j, n.neg_id, d.source AS neg_source
+      |  FROM n JOIN documents d ON n.neg_id = d.doc_id
+      |  WHERE n.neg_id <> n.anchor_id AND d.source <> n.anchor_source),
+      |r AS (
+      |  SELECT anchor_id, neg_id, neg_source,
+      |    row_number() OVER (PARTITION BY anchor_id ORDER BY j) AS rank
+      |  FROM jn)
+      |SELECT anchor_id, rank, neg_id, neg_source
+      |FROM r WHERE rank <= 4 ORDER BY anchor_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_anneal" -> (mixAnneal _),
+    "q_sample_negatives" -> (sampleNegatives _),
     "q_shuffle_corpus" -> (shuffleCorpus _),
     "q_split_train" -> (splitTrain _),
     "q_sample_stratified" -> (sampleStratified _),
@@ -277,6 +396,8 @@ object SamplingQueries {
     "q_mix_temperature" -> (mixTemperature _))
 
   val oracle: Map[String, String] = Map(
+    "q_mix_anneal" -> mixAnnealSql,
+    "q_sample_negatives" -> sampleNegativesSql,
     "q_shuffle_corpus" -> shuffleCorpusSql,
     "q_split_train" -> splitTrainSql,
     "q_sample_weighted" -> sampleWeightedSql,
