@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.Fixtures
 import graft.similarity.{Ann, CosineLsh}
 
@@ -67,7 +68,45 @@ object SimilarityQueries {
     graft.similarity.Opq.opqTopK(Fixtures.embeddings(spark, sfDir),
       queryIds(spark, sfDir), k = 5, m = 8, shortlist = 32)
 
+  /** Int8 embedding quantization — the STORE-compression rung below
+    * PQ: 4× smaller than float32, no codebook, neighbor order
+    * preserved (Int8Spec pins recall on planted clusters). Per vector
+    * the scale, reconstruction error, and the float-vs-int32 dot
+    * product against vector 0 (the integer-SIMD scoring path a
+    * 100 TB serving fleet actually runs). One narrow map, zero
+    * shuffle; vector 0 is a broadcast single row. */
+  def embInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Fixtures.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val q0 = emb.filter(_._1 == 0L).head()._2
+    val (s0, c0) = graft.similarity.Int8.quantize(q0)
+    val bc = spark.sparkContext.broadcast((q0, s0, c0))
+    emb.map { case (id, v) =>
+      val (s, q) = graft.similarity.Int8.quantize(v)
+      val dq = graft.similarity.Int8.dequantize(s, q)
+      var maxErr = 0.0
+      var i = 0
+      while (i < v.length) {
+        val e = math.abs((v(i) - dq(i)).toDouble)
+        if (e > maxErr) maxErr = e
+        i += 1
+      }
+      val (qv, qs, qc) = bc.value
+      var dotF = 0.0
+      i = 0
+      while (i < v.length) { dotF += v(i).toDouble * qv(i); i += 1 }
+      val dotI = graft.similarity.Int8.dot(s, q, qs, qc)
+      (id, math.round(s * 1e6) / 1e6, math.round(maxErr * 1e6) / 1e6,
+        math.round(dotF * 1e4) / 1e4, math.round(dotI * 1e4) / 1e4)
+    }
+      .toDF("vec_id", "scale", "max_err", "dot0_f32", "dot0_i8")
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_int8" -> (embInt8 _),
     "q_sim_ann" -> (simAnn _),
     "q_sim_lsh" -> (simLsh _),
     "q_sim_pq" -> (simPq _),

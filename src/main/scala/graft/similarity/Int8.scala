@@ -1,0 +1,49 @@
+package graft.similarity
+
+/** Symmetric per-vector int8 quantization — the embedding-STORE
+  * compression rung below PQ ([[Pq]]): 4× smaller than float32 with
+  * no codebook to train, exact enough that nearest-neighbor order
+  * survives (Int8Spec pins recall on planted clusters). scale =
+  * max|v|/127, q_i = round(v_i/scale) ∈ [-127, 127]; dot products run
+  * in int32 and rescale by scale_a·scale_b — integer SIMD width is
+  * the practical speedup on a scoring fleet.
+  *
+  * Pure per-vector functions: the distributed query is one narrow
+  * map, zero shuffle. */
+object Int8 {
+
+  /** (scale, codes). The zero vector quantizes to scale 0, all-zero
+    * codes (dequantizes exactly). */
+  def quantize(v: Array[Float]): (Float, Array[Byte]) = {
+    var m = 0f
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+    if (m == 0f) return (0f, new Array[Byte](v.length))
+    val scale = m / 127f
+    val q = new Array[Byte](v.length)
+    i = 0
+    while (i < v.length) {
+      val r = math.round(v(i) / scale)
+      q(i) = math.max(-127, math.min(127, r)).toByte
+      i += 1
+    }
+    (scale, q)
+  }
+
+  def dequantize(scale: Float, q: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](q.length)
+    var i = 0
+    while (i < q.length) { out(i) = q(i) * scale; i += 1 }
+    out
+  }
+
+  /** Integer-accumulated dot product, rescaled — the int32 sum is
+    * exact (64 dims × 127² ≪ 2³¹), only the final rescale rounds. */
+  def dot(scaleA: Float, a: Array[Byte], scaleB: Float, b: Array[Byte]): Double = {
+    require(a.length == b.length, s"dim mismatch: ${a.length} vs ${b.length}")
+    var acc = 0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc.toDouble * scaleA * scaleB
+  }
+}

@@ -1,0 +1,94 @@
+package graft.similarity
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Int8 quantization laws: per-element error bounded by scale/2, the
+  * integer dot product tracks the float one, and nearest-neighbor
+  * order survives on planted clusters (the fixture embeddings are
+  * near-isotropic noise where top-5 sets are unstable ties — recovery
+  * must be proven on constructed geometry, the KmeansSpec lesson). */
+class Int8Spec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n)
+        .withInitialSeed(org.scalacheck.rng.Seed(127L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genVec: Gen[Array[Float]] = for {
+    d <- Gen.choose(1, 96)
+    vs <- Gen.listOfN(d, Gen.chooseNum(-2.0f, 2.0f))
+  } yield vs.toArray
+
+  test("reconstruction error is bounded by scale/2 per element") {
+    check(Prop.forAll(genVec) { v =>
+      val (s, q) = Int8.quantize(v)
+      val dq = Int8.dequantize(s, q)
+      v.indices.forall(i =>
+        math.abs(v(i) - dq(i)) <= s / 2 + 1e-6) && q.forall(b =>
+        b >= -127 && b <= 127)
+    })
+  }
+
+  test("zero vector and determinism") {
+    val (s, q) = Int8.quantize(Array(0f, 0f, 0f))
+    assert(s == 0f && q.forall(_ == 0))
+    val v = Array(0.3f, -1.7f, 0.001f)
+    assert(Int8.quantize(v)._2.toSeq == Int8.quantize(v)._2.toSeq)
+  }
+
+  test("integer dot tracks the float dot within the error budget") {
+    val genUnit = genVec.map { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v.map(_ => 0f) else v.map(x => (x / n).toFloat)
+    }
+    check(Prop.forAll(genUnit, genUnit) { (a, b) =>
+      val d = math.min(a.length, b.length)
+      val av = a.take(d); val bv = b.take(d)
+      val (sa, qa) = Int8.quantize(av)
+      val (sb, qb) = Int8.quantize(bv)
+      val dotF = (0 until d).map(i => av(i).toDouble * bv(i)).sum
+      val dotI = Int8.dot(sa, qa, sb, qb)
+      // |Δ| ≤ ||a||₁·s_b/2 + ||b||₁·s_a/2 + d·s_a·s_b/4
+      val l1a = av.map(x => math.abs(x.toDouble)).sum
+      val l1b = bv.map(x => math.abs(x.toDouble)).sum
+      val bound = l1a * sb / 2 + l1b * sa / 2 + d * sa * sb / 4.0 + 1e-5
+      math.abs(dotI - dotF) <= bound
+    })
+  }
+
+  test("nearest-neighbor order survives on planted clusters (recall@5 >= 0.9)") {
+    val d = 16
+    val rnd = new scala.util.Random(8191)
+    val vecs = (0 until 120).map { i =>
+      val c = i % 3
+      val raw = Array.tabulate(d)(j =>
+        (if (j == c * 5) 1.0f else 0.0f) + (rnd.nextGaussian() * 0.05).toFloat)
+      val n = math.sqrt(raw.map(x => x.toDouble * x).sum)
+      raw.map(x => (x / n).toFloat)
+    }
+    def top5(score: Int => Double, self: Int): Seq[Int] =
+      vecs.indices.filter(_ != self)
+        .sortBy(j => (-score(j), j)).take(5)
+    val quant = vecs.map(Int8.quantize)
+    // effective recall: a returned neighbor whose TRUE score is within
+    // the quantization error band of the true 5th-best counts as a hit
+    // (int8 cannot be expected to order exact near-ties; a swap inside
+    // the band loses nothing). Band = 2× the per-dot error bound seen
+    // in the dot-tracking law for unit vectors at these scales.
+    val band = 0.005
+    val recalls = (0 until 10).map { qi =>
+      def trueScore(j: Int): Double =
+        (0 until d).map(k => vecs(qi)(k).toDouble * vecs(j)(k)).sum
+      val fl = top5(trueScore, qi)
+      val i8 = top5(j => Int8.dot(quant(qi)._1, quant(qi)._2,
+        quant(j)._1, quant(j)._2), qi)
+      val fifth = trueScore(fl.last)
+      i8.count(j => fl.contains(j) || trueScore(j) >= fifth - band) / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.95, s"mean effective recall $mean: $recalls")
+  }
+}
