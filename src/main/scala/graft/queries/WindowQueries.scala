@@ -917,7 +917,65 @@ object WindowQueries {
       .orderBy($"event_type", desc("est"), $"user_id")
   }
 
+  /** Streaming prequential anomaly detection — Welford running
+    * moments as O(1)-per-key state over the REAL events corpus in ts
+    * order (three micro-batches): each value is z-scored against its
+    * event_type's statistics BEFORE updating them (test-then-train,
+    * so anomaly bursts cannot mask themselves), flagged at |z| > 3
+    * after a 30-arrival warm-up. Every ~97th event's value is
+    * amplified ×8 — a deterministic plant so the corpus carries
+    * true anomalies. Output: per event_type arrivals vs flags vs
+    * recovered plants. NATIVE (StreamAnomalySpec: exact equality
+    * with a sequential driver replica, micro-batch-split INVARIANCE
+    * — prequential folds have no split-dependent content — and
+    * planted-anomaly recovery). */
+  def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.streaming.StreamAnomaly
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Fixtures.events(spark, sfDir)
+      .select($"ts", $"event_id", $"event_type", $"value")
+      .as[(java.sql.Timestamp, Long, String, Double)]
+      .collect().sortBy(r => (r._1.getTime, r._2))
+      .map(r => (r._3, r._1.getTime, r._2,
+        if (r._2 % 97 == 0) r._4 * 8.0 else r._4))
+    val third = ev.length / 3
+    val mem = MemoryStream[(String, Long, Long, Double)]
+    withShufflePartitions(spark, 4) {
+      val q = mem.toDS()
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(StreamAnomaly.matcher)
+        .writeStream.format("memory").queryName("q_stream_anomaly_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(ev.take(third): _*); q.processAllAvailable()
+        mem.addData(ev.slice(third, 2 * third): _*); q.processAllAvailable()
+        mem.addData(ev.drop(2 * third): _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val flags = spark.table("q_stream_anomaly_out")
+      .groupBy($"key".as("event_type"))
+      .agg(count(lit(1)).as("n_flagged"),
+        sum(when($"eventId" % 97 === 0, 1L).otherwise(0L))
+          .as("n_planted_caught"),
+        round(max(abs($"z")), 4).as("max_abs_z"))
+    spark.createDataset(ev.toSeq).toDF("event_type", "ts_ms", "event_id", "value")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"event_id" % 97 === 0, 1L).otherwise(0L)).as("n_planted"))
+      .join(flags, Seq("event_type"), "left")
+      .select($"event_type", $"n_events", $"n_planted",
+        coalesce($"n_flagged", lit(0L)).as("n_flagged"),
+        coalesce($"n_planted_caught", lit(0L)).as("n_planted_caught"),
+        coalesce($"max_abs_z", lit(0.0)).as("max_abs_z"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_anomaly" -> (streamAnomaly _),
     "q_stream_heavy" -> (streamHeavy _),
     "q_stream_dedup_minhash" -> (streamDedupMinhash _),
     "q_stream_pipeline" -> (streamPipeline _),

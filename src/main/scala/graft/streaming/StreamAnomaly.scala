@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.GroupState
+
+/** Streaming prequential anomaly detection — Welford running moments
+  * as keyed state: each arriving value is scored against the key's
+  * statistics BEFORE it updates them (the prequential / test-then-
+  * train discipline, so a burst of anomalies cannot mask itself by
+  * inflating the variance it is judged against), flagged when
+  * |z| > 3 once the key has a warm-up history (n ≥ 30). State per key
+  * is THREE numbers (n, mean, M2) — O(1) on an unbounded stream, the
+  * property that makes per-key anomaly detection feasible at ingest.
+  *
+  * Determinism: arrivals inside a micro-batch fold in (ts, eventId)
+  * canonical order, so the verdict stream equals a single-pass
+  * driver replica folding the same order and is INVARIANT to how the
+  * stream is split into micro-batches (StreamAnomalySpec pins both —
+  * unlike the Misra–Gries summary, prequential scoring has no
+  * split-dependent content at all, because the fold is exactly
+  * sequential). */
+object StreamAnomaly {
+
+  val WarmUp = 30
+  val Threshold = 3.0
+
+  case class Moments(n: Long, mean: Double, m2: Double)
+
+  case class Flag(key: String, eventId: Long, value: Double, z: Double,
+      nSeen: Long)
+
+  /** Score-then-update one value against running moments. Pure. */
+  def step(m: Moments, value: Double): (Moments, Option[Double]) = {
+    val z =
+      if (m.n >= WarmUp && m.m2 > 0) {
+        val varPop = m.m2 / m.n
+        Some((value - m.mean) / math.sqrt(varPop))
+      } else None
+    val n1 = m.n + 1
+    val d = value - m.mean
+    val mean1 = m.mean + d / n1
+    val m21 = m.m2 + d * (value - mean1)
+    (Moments(n1, mean1, m21), z)
+  }
+
+  /** Fold a batch in canonical (ts, eventId) order, emitting flags.
+    * Shared by the streaming matcher and the spec replica. */
+  def fold(key: String, m0: Moments,
+      rows: Seq[(Long, Long, Double)]): (Moments, Seq[Flag]) = {
+    var m = m0
+    val flags = Seq.newBuilder[Flag]
+    for ((ts, id, v) <- rows.sortBy(r => (r._1, r._2))) {
+      val (m1, z) = step(m, v)
+      z.filter(z => math.abs(z) > Threshold)
+        .foreach(z => flags += Flag(key, id,
+          v, math.round(z * 10000) / 10000.0, m.n))
+      m = m1
+    }
+    (m, flags.result())
+  }
+
+  def matcher(key: String, rows: Iterator[(String, Long, Long, Double)],
+      state: GroupState[Moments]): Iterator[Flag] = {
+    val m0 = state.getOption.getOrElse(Moments(0L, 0.0, 0.0))
+    val (m1, flags) = fold(key, m0, rows.map(r => (r._2, r._3, r._4)).toSeq)
+    state.update(m1)
+    flags.iterator
+  }
+}

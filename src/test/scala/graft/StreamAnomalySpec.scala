@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import graft.streaming.StreamAnomaly
+
+/** Prequential anomaly laws: exact equality with a sequential driver
+  * replica, micro-batch-split INVARIANCE (the fold is exactly
+  * sequential, so unlike Misra–Gries there is no split-dependent
+  * content), planted-spike recovery, and warm-up suppression. */
+class StreamAnomalySpec extends SparkSpec {
+
+  private def runStream(batches: Seq[Seq[(String, Long, Long, Double)]],
+      sinkName: String): Seq[StreamAnomaly.Flag] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Long, Double)]
+    val q = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(StreamAnomaly.matcher)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    s.table(sinkName).as[StreamAnomaly.Flag].collect().toSeq
+      .sortBy(f => (f.key, f.nSeen))
+  }
+
+  /** Gaussian-ish base feed with planted 10σ spikes. */
+  private def feed: Seq[(String, Long, Long, Double)] = {
+    val rnd = new java.util.Random(42)
+    (0 until 600).map { i =>
+      val key = "k" + (i % 2)
+      val v = rnd.nextGaussian() + (if (i % 101 == 0 && i > 80) 10.0 else 0.0)
+      (key, i.toLong, i.toLong, v)
+    }
+  }
+
+  private def replica(rows: Seq[(String, Long, Long, Double)])
+      : Seq[StreamAnomaly.Flag] =
+    rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      StreamAnomaly.fold(k, StreamAnomaly.Moments(0, 0, 0),
+        rs.map(r => (r._2, r._3, r._4)))._2
+    }.sortBy(f => (f.key, f.nSeen))
+
+  test("streamed flags equal the sequential driver replica") {
+    val f = feed
+    val got = runStream(Seq(f.take(200), f.slice(200, 400), f.drop(400)),
+      "anomaly_eq")
+    assert(got == replica(f))
+    assert(got.nonEmpty, "the planted spikes must surface")
+  }
+
+  test("flags are invariant to the micro-batch split") {
+    val f = feed
+    val a = runStream(Seq(f), "anomaly_one")
+    val b = runStream(f.grouped(97).toSeq, "anomaly_many")
+    assert(a == b)
+  }
+
+  test("planted spikes are caught; warm-up suppresses early flags") {
+    val f = feed
+    val flags = replica(f)
+    val plantedIds = f.filter(r => r._3 % 101 == 0 && r._3 > 80)
+      .filter { case (_, _, id, _) => id >= 0 }.map(_._3).toSet
+    // every flag fires after warm-up
+    assert(flags.forall(_.nSeen >= StreamAnomaly.WarmUp))
+    // every planted spike that lands after its key's warm-up is caught
+    val lateSpikes = f.filter(r => plantedIds(r._3))
+      .filter { case (k, _, id, _) =>
+        f.count(x => x._1 == k && x._3 < id) >= StreamAnomaly.WarmUp }
+    assert(lateSpikes.nonEmpty)
+    val caught = flags.map(_.eventId).toSet
+    assert(lateSpikes.forall(s => caught(s._3)),
+      s"missed: ${lateSpikes.map(_._3).filterNot(caught)}")
+    // and z magnitudes are the planted order of magnitude
+    assert(flags.map(_.z).max > 5.0)
+  }
+
+  test("step() Welford identities: mean/variance match two-pass") {
+    val rnd = new java.util.Random(7)
+    val vs = Seq.fill(500)(rnd.nextDouble() * 10 - 5)
+    var m = StreamAnomaly.Moments(0, 0, 0)
+    vs.foreach(v => m = StreamAnomaly.step(m, v)._1)
+    val mean = vs.sum / vs.size
+    val varPop = vs.map(v => (v - mean) * (v - mean)).sum / vs.size
+    assert(math.abs(m.mean - mean) < 1e-9)
+    assert(math.abs(m.m2 / m.n - varPop) < 1e-9)
+  }
+}
