@@ -337,15 +337,16 @@ object SamplingQueries {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Fixtures.documents(spark, sfDir)
-    val maxId = docs.agg(max($"doc_id").as("max_id"))
+    // the id-space bound is ONE scalar — driver-collected (a 1-row
+    // crossJoin would plan a BroadcastNestedLoopJoin)
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
     val anchors = docs
       .filter(shiftright($"doc_id" * lit(2654435761L), 20) % 10 === 0)
       .select($"doc_id".as("anchor_id"), $"source".as("anchor_source"))
-      .crossJoin(broadcast(maxId))
       .withColumn("j", explode(expr("sequence(1, 8)")))
       .withColumn("neg_id",
         (shiftright($"anchor_id" * lit(2654435761L), 20) + $"j" * 7919L)
-          % ($"max_id" + 1L))
+          % lit(maxId + 1L))
       .filter($"neg_id" =!= $"anchor_id")
     val w = Window.partitionBy($"anchor_id").orderBy($"j")
     anchors

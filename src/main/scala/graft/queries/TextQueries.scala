@@ -822,8 +822,9 @@ object TextQueries {
     * left-to-right order (a float `sum()` re-associates per
     * partitioning and can park on a rounding boundary), the final
     * score rounds ONCE, and ranking uses the ROUNDED score with
-    * doc_id tiebreak. Shape at 100 TB: corpus stats (N, Σdl) and the
-    * per-query-term df are metadata-scale broadcasts; tf is one
+    * doc_id tiebreak. Shape at 100 TB: corpus stats (N, Σdl) are
+    * driver-collected scalars (one metadata-scale action), the
+    * per-query-term df is a broadcast; tf is one
     * groupBy over the query-term-filtered explode (the filter prunes
     * the corpus to matching postings first); top-10 lowers to
     * TakeOrderedAndProject — no global sort materializes. */
@@ -833,19 +834,25 @@ object TextQueries {
     val words = Fixtures.documents(spark, sfDir)
       .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("w"))
     val dl = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    // corpus stats are ONE row — collected driver-side and embedded
+    // as literals (metadata-scale action; a crossJoin of the 1-row
+    // frame would plan a BroadcastNestedLoopJoin, tripping the
+    // no-quadratic pin for a join that isn't really there)
+    val statsRow = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      .head()
+    val nDocs = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
     val tf = words.filter($"w".isin(qterms: _*))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
     val contrib =
-      log((($"n_docs" - $"df").cast("double") + lit(0.5)) /
+      log(((lit(nDocs) - $"df").cast("double") + lit(0.5)) /
             ($"df".cast("double") + lit(0.5)) + lit(1.0)) *
         (($"tf" * lit(2.2)) /
           ($"tf" + (lit(1.2) * (lit(0.25) +
-            (lit(0.75) * (($"dl" * $"n_docs").cast("double") / $"sum_dl"))))))
+            (lit(0.75) * (($"dl" * lit(nDocs)).cast("double") / lit(sumDl)))))))
     val perTerm = tf.join(broadcast(df), Seq("w"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
       .withColumn("c", contrib)
     perTerm.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_terms"),
@@ -937,12 +944,14 @@ object TextQueries {
       .select($"doc_id", $"b.w1", $"b.w2")
     val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val vocab = Fixtures.documents(spark, sfDir)
+    // V is ONE scalar — driver-collected and embedded (the 1-row
+    // crossJoin alternative plans a BroadcastNestedLoopJoin)
+    val v = Fixtures.documents(spark, sfDir)
       .select(explode(split(lower(trim($"text")), " ")).as("w"))
-      .agg(countDistinct($"w").as("v"))
-    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .agg(countDistinct($"w")).head().getLong(0)
+    val model = c2.join(c1, Seq("w1"))
       .withColumn("logp",
-        log(($"c2" + 1).cast("double") / ($"c1" + $"v")))
+        log(($"c2" + 1).cast("double") / ($"c1" + lit(v))))
       .select($"w1", $"w2", $"logp")
     bi.join(model, Seq("w1", "w2"))
       .groupBy($"doc_id")
