@@ -354,6 +354,10 @@ object JoinQueries {
       } catch { case _: Exception => () } // stopped session: nothing to drop
     }
     bucketedWarehouse.clear()
+    // the DPP layout memo has the same lifecycle hazards (stale layout
+    // after fixture regeneration, stopped sessions pinned in the map);
+    // its staging dirs are TmpDirs-swept, so forgetting them suffices
+    dppWarehouse.clear()
   }
 
   private def ensureBucketedTables(spark: SparkSession, sfDir: String): String =

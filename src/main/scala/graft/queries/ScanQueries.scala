@@ -451,13 +451,18 @@ object ScanQueries {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("_corrupt_record",
         org.apache.spark.sql.types.StringType)))
-    spark.read.schema(schema)
+    val parsed = spark.read.schema(schema)
       .option("header", true).option("multiLine", true)
       .option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(dir)
-      .cache()
+      .cache() // corrupt-column-only filters are refused off raw files
+    // the rollup is payload-class-scale (3 rows) — collect it so the
+    // cache can be RELEASED before returning (the file's pairing
+    // discipline; an unreleased cache accumulates across invocations
+    // in a long-lived session)
+    val rows = parsed
       .filter($"_corrupt_record".isNull)
       .withColumn("kind",
         when($"payload".startsWith("comma"), "quoted_newline")
@@ -467,6 +472,11 @@ object ScanQueries {
       .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_id"),
         sum($"n_chars").as("sum_chars"),
         min($"payload").as("min_payload"), max($"payload").as("max_payload"))
+      .orderBy($"kind")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    parsed.unpersist(blocking = false)
+    spark.createDataset(rows.toSeq)
+      .toDF("kind", "n", "sum_id", "sum_chars", "min_payload", "max_payload")
       .orderBy($"kind")
   }
 

@@ -778,9 +778,13 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val words = Fixtures.documents(spark, sfDir)
       .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("term"))
+    // df and tf_total ride ONE aggregation (countDistinct plans its
+    // own two-phase expand); posts then has a single consumer, so the
+    // distinct shuffle runs exactly once — re-deriving the narrow
+    // explode twice is cheap, duplicating shuffles is not
+    val stats = words.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf_total"))
     val posts = words.select($"term", $"doc_id").distinct()
-    val df = posts.groupBy($"term").agg(count(lit(1)).as("df"))
-    val tfTotal = words.groupBy($"term").agg(count(lit(1)).as("tf_total"))
     val head = posts
       .withColumn("rn",
         row_number().over(Window.partitionBy($"term").orderBy($"doc_id")))
@@ -789,7 +793,7 @@ object TextQueries {
       .agg(array_join(
         transform(array_sort(collect_list($"doc_id")), _.cast("string")),
         ",").as("postings_head"))
-    df.join(tfTotal, Seq("term")).join(head, Seq("term"))
+    stats.join(head, Seq("term"))
       .select($"term", $"df", $"tf_total", $"postings_head")
       .orderBy($"term")
   }
@@ -834,14 +838,13 @@ object TextQueries {
     val words = Fixtures.documents(spark, sfDir)
       .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("w"))
     val dl = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    // corpus stats are ONE row — collected driver-side and embedded
-    // as literals (metadata-scale action; a crossJoin of the 1-row
-    // frame would plan a BroadcastNestedLoopJoin, tripping the
-    // no-quadratic pin for a join that isn't really there)
-    val statsRow = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
-      .head()
-    val nDocs = statsRow.getLong(0)
-    val sumDl = statsRow.getLong(1)
+    // corpus stats are scalars, driver-collected and embedded as
+    // literals (a 1-row crossJoin would plan a BroadcastNestedLoopJoin,
+    // and deriving them from dl would run dl's shuffle twice): N = one
+    // doc count — split() always yields ≥ 1 token so every doc has a
+    // dl row — and Σdl = the word-row count, both narrow actions
+    val nDocs = Fixtures.documents(spark, sfDir).count()
+    val sumDl = words.count()
     val tf = words.filter($"w".isin(qterms: _*))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
@@ -1006,29 +1009,40 @@ object TextQueries {
           .iterator.map { href =>
             val dst =
               if (href.startsWith("https://www.site"))
+                // toLongOption: a corpus document whose TEXT embeds a
+                // www.site… URL with no digits would otherwise throw
+                // inside the task; unresolvable hosts fall back to a
+                // self-link (dropped from the external graph)
                 href.stripPrefix("https://www.site")
-                  .takeWhile(_.isDigit).toLong
+                  .takeWhile(_.isDigit).toLongOption.getOrElse(src)
               else src // relative: resolves against the page's host
             (src, dst)
           }
       }
       .toDF("src", "dst")
       .cache()
+    // the host-pair matrix is domains²-bounded — collect it ONCE,
+    // derive all three degree columns driver-side, and release the
+    // edge cache as soon as PageRank (which consumes it eagerly
+    // inside run()) is done
     val ext = edges.filter($"src" =!= $"dst")
     val ranks = graft.graph.PageRank.run(ext, iters = 10)
       .select($"node".as("host_num"), round($"rank", 6).as("rank"))
-    val outAll = edges.groupBy($"src".as("host_num"))
-      .agg(count(lit(1)).as("out_links"))
-    val extOut = ext.groupBy($"src".as("host_num"))
-      .agg(count(lit(1)).as("ext_out"))
-    val extIn = ext.groupBy($"dst".as("host_num"))
-      .agg(count(lit(1)).as("ext_in"))
-    outAll.join(extOut, Seq("host_num"), "left")
-      .join(extIn, Seq("host_num"), "left")
+    val pairCounts = edges.groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    edges.unpersist(blocking = false)
+    val hosts = pairCounts.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val stats = hosts.map { h =>
+      val outAll = pairCounts.filter(_._1 == h).map(_._3).sum
+      val extOut = pairCounts.filter(p => p._1 == h && p._2 != h).map(_._3).sum
+      val extIn = pairCounts.filter(p => p._2 == h && p._1 != h).map(_._3).sum
+      (h, outAll, extOut, extIn)
+    }.toSeq
+    spark.createDataset(stats)
+      .toDF("host_num", "out_links", "ext_out", "ext_in")
       .join(ranks, Seq("host_num"))
-      .select($"host_num", $"out_links",
-        coalesce($"ext_out", lit(0L)).as("ext_out"),
-        coalesce($"ext_in", lit(0L)).as("ext_in"), $"rank")
+      .select($"host_num", $"out_links", $"ext_out", $"ext_in", $"rank")
       .orderBy($"host_num")
   }
 

@@ -237,10 +237,18 @@ object HtmlExtract {
         val isAnchor = (c == 'a' || c == 'A') &&
           (i + 2 >= n || !html(i + 2).isLetterOrDigit)
         if (isAnchor) {
-          // scan the tag body for href=
+          // scan the tag body for href= at an ATTRIBUTE-NAME position:
+          // quoted attribute VALUES are skipped wholesale, so an
+          // href= inside title="…" or onclick="…" never matches, and
+          // the name must follow whitespace (attribute boundary)
           var j = i + 2
           while (j < n && html(j) != '>') {
-            if ((html(j) == 'h' || html(j) == 'H') && j + 5 <= n &&
+            val c = html(j)
+            if (c == '"' || c == '\'') {
+              val close = html.indexOf(c, j + 1)
+              j = if (close < 0) n else close
+            } else if ((c == 'h' || c == 'H') && j + 5 <= n &&
+              html(j - 1).isWhitespace &&
               html.substring(j, j + 4).equalsIgnoreCase("href")) {
               var k = j + 4
               while (k < n && html(k).isWhitespace) k += 1
@@ -251,7 +259,9 @@ object HtmlExtract {
                   val quote = html(k)
                   if (quote == '"' || quote == '\'') {
                     val end = html.indexOf(quote, k + 1)
-                    if (end > k) { out += html.substring(k + 1, end); j = end }
+                    // end > k + 1: empty href="" is not a link
+                    if (end > k + 1) { out += html.substring(k + 1, end); j = end }
+                    else if (end >= 0) j = end
                     else j = n
                   } else {
                     var end = k

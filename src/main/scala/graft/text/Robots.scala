@@ -125,7 +125,12 @@ object Robots {
         val hits = g.rules.filter(r => matches(r.pattern, path))
         if (hits.isEmpty) Decision(allowed = true, "", g.crawlDelay)
         else {
-          val best = hits.maxBy(r => (r.pattern.length, r.allow))
+          // RFC 9309 measures specificity in OCTETS (UTF-8 bytes), not
+          // UTF-16 chars — a non-ASCII Disallow must outrank a shorter
+          // ASCII Allow that ties on char count
+          val best = hits.maxBy(r =>
+            (r.pattern.getBytes(java.nio.charset.StandardCharsets.UTF_8).length,
+              r.allow))
           Decision(best.allow, best.pattern, g.crawlDelay)
         }
     }

@@ -23,6 +23,33 @@ class LinkGraphSpec extends SparkSpec {
     assert(HtmlExtract.links("<a href=>") == Vector.empty)
   }
 
+  test("links() is not fooled by href= inside other attribute values") {
+    assert(HtmlExtract.links(
+      """<a title="see href=/promo here" href="/real">x</a>""") ==
+      Vector("/real"))
+    assert(HtmlExtract.links(
+      """<a onclick='go("href=/fake")' href='/y'>x</a>""") == Vector("/y"))
+    assert(HtmlExtract.links("""<a href="">empty</a>""") == Vector.empty)
+    assert(HtmlExtract.links("""<a data-href="/not-it">x</a>""") == Vector.empty)
+  }
+
+  test("unresolvable site-prefixed hrefs fall back to self-links, never crash") {
+    import spark.implicits._
+    // a doc whose TEXT carries a digitless www.site URL inside an anchor
+    val hostile = "<a href=\"https://www.sitemap.com/x\">w</a> plain words here"
+    val page = HtmlExtract.linkedPage(3L, hostile)
+    val ls = HtmlExtract.links(page)
+    assert(ls.exists(_.startsWith("https://www.sitemap")))
+    // the resolution lambda must not throw on it (replicates crawlLinks)
+    val resolved = ls.map { href =>
+      if (href.startsWith("https://www.site"))
+        href.stripPrefix("https://www.site")
+          .takeWhile(_.isDigit).toLongOption.getOrElse(3L % 11)
+      else 3L % 11
+    }
+    assert(resolved.nonEmpty)
+  }
+
   test("linkedPage census: 7 chrome + (id % 3 + 1) external + 2 extra") {
     for (id <- 0L to 12L) {
       val ls = HtmlExtract.links(HtmlExtract.linkedPage(id, "w1 w2 w3 w4"))

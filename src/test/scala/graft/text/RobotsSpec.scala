@@ -109,6 +109,14 @@ class RobotsSpec extends AnyFunSuite {
     assert(decide(Vector.empty, "bot", "/y").allowed)
   }
 
+  test("specificity counts UTF-8 octets, not UTF-16 chars (RFC 9309)") {
+    // Disallow "/фб" is 3 chars but 5 octets; Allow "/*b" is 3 chars /
+    // 3 octets — octet-length precedence must pick the Disallow (a
+    // char-length tie would let the allow-wins tiebreak flip it)
+    val g = parse("User-agent: *\nAllow: /*b\nDisallow: /фб\n")
+    assert(!decide(g, "bot", "/фбb").allowed)
+  }
+
   test("decide is rule-order independent") {
     val rules = Vector(Rule(true, "/a"), Rule(false, "/a/b"), Rule(true, "/a/b/c"),
       Rule(false, "/*x$"))
