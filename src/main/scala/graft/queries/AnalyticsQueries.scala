@@ -1266,7 +1266,67 @@ object AnalyticsQueries {
       |SELECT * FROM pu UNION ALL SELECT * FROM pe
       |ORDER BY key_col""".stripMargin
 
+  /** CUSUM changepoint detection — where did the daily event level
+    * shift? The offline cumulative-sum statistic CUSUM_t = Σ_{i≤t}
+    * (x_i − x̄) peaks (in |·|) at the most likely level-shift point
+    * (Page 1954). Computed EXACTLY in integers: CUSUM_t scaled by
+    * n_days is n_days·prefix_t − t·total — no float enters the
+    * ranking, so the hash match is arithmetic-free. Shape at 100 TB:
+    * one day-rollup shuffle; every window runs over the DAYS-scale
+    * grouped frame (metadata), the established window-over-grouped
+    * idiom. Top-3 candidate days reported. */
+  def tsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Fixtures.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.orderBy($"day")
+    val all = Window.partitionBy()
+    daily
+      .withColumn("t", row_number().over(byDay).cast("long"))
+      .withColumn("prefix", sum($"n").over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"n").over(all))
+      .withColumn("n_days", count(lit(1)).over(all))
+      .withColumn("cusum_scaled", $"n_days" * $"prefix" - $"t" * $"total")
+      .withColumn("cusum",
+        round($"cusum_scaled".cast("double") / $"n_days", 4))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs($"cusum_scaled").desc, $"day")).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"rank", $"day", $"n", $"cusum_scaled", $"cusum")
+      .orderBy($"rank")
+  }
+
+  val tsChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT day, n,
+      |    row_number() OVER (ORDER BY day) AS t,
+      |    sum(n) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+      |    CAST(sum(n) OVER () AS BIGINT) AS total,
+      |    count(*) OVER () AS n_days
+      |  FROM daily),
+      |s AS (
+      |  SELECT day, n,
+      |    CAST(n_days * prefix - t * total AS BIGINT) AS cusum_scaled,
+      |    round(CAST(n_days * prefix - t * total AS DOUBLE) / n_days, 4)
+      |      AS cusum
+      |  FROM c),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    ORDER BY abs(cusum_scaled) DESC, day) AS rank
+      |  FROM s)
+      |SELECT rank, day, n, cusum_scaled, cusum
+      |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_changepoint" -> (tsChangepoint _),
     "q_check_skew" -> (checkSkew _),
     "q_ts_retention" -> (tsRetention _),
     "q_ts_transitions" -> (tsTransitions _),
@@ -1296,6 +1356,7 @@ object AnalyticsQueries {
     "q_agg_moments" -> (aggMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_ts_changepoint" -> tsChangepointSql,
     "q_check_skew" -> checkSkewSql,
     "q_ts_retention" -> tsRetentionSql,
     "q_ts_transitions" -> tsTransitionsSql,

@@ -1046,7 +1046,110 @@ object TextQueries {
       .orderBy($"host_num")
   }
 
+  /** PMI-ranked collocations — the corpus-lexicon probe (Church &
+    * Hanks 1990): top-20 bigrams by pointwise mutual information
+    * ln(p(w1 w2) / (p(w1)p(w2))) with a min-count floor of 5 (PMI is
+    * degenerate on hapaxes). Every probability is an exact-integer
+    * ratio entering ln() once (the log-oracle discipline); ranking
+    * uses the once-rounded PMI with (w1, w2) tiebreak and lowers to
+    * TakeOrderedAndProject. Shape at 100 TB: two count shuffles on
+    * well-spread n-gram keys; the ranked frame is vocab²-bounded. */
+  def textCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", split(lower(trim($"text")), " ").as("w"))
+    val bi = words.filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select($"b.w1", $"b.w2")
+    val uni = words.select(explode($"w").as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c1"))
+    val totalWords = uni.agg(sum($"c1")).head().getLong(0)
+    val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val totalBi = c2.agg(sum($"c2")).head().getLong(0)
+    c2.filter($"c2" >= 5)
+      .join(uni.withColumnRenamed("word", "w1")
+        .withColumnRenamed("c1", "c1a"), Seq("w1"))
+      .join(uni.withColumnRenamed("word", "w2")
+        .withColumnRenamed("c1", "c1b"), Seq("w2"))
+      .withColumn("pmi", round(
+        log(($"c2".cast("double") / lit(totalBi)) /
+          (($"c1a".cast("double") / lit(totalWords)) *
+            ($"c1b".cast("double") / lit(totalWords)))), 4))
+      .select($"w1", $"w2", $"c2", $"c1a", $"c1b", $"pmi")
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(20)
+  }
+
+  val textCollocationsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      |  FROM documents),
+      |uni AS (
+      |  SELECT word, count(*) AS c1 FROM (
+      |    SELECT unnest(w) AS word FROM d) GROUP BY word),
+      |tw AS (SELECT CAST(sum(c1) AS BIGINT) AS total_words FROM uni),
+      |bi AS (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+      |  FROM d WHERE len(w) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+      |tb AS (SELECT CAST(sum(c2) AS BIGINT) AS total_bi FROM c2),
+      |j AS (
+      |  SELECT c2.w1, c2.w2, c2.c2, a.c1 AS c1a, b.c1 AS c1b,
+      |    round(ln((CAST(c2.c2 AS DOUBLE) / total_bi) /
+      |      ((CAST(a.c1 AS DOUBLE) / total_words) *
+      |        (CAST(b.c1 AS DOUBLE) / total_words))), 4) AS pmi
+      |  FROM c2 JOIN uni a ON c2.w1 = a.word
+      |  JOIN uni b ON c2.w2 = b.word
+      |  CROSS JOIN tw CROSS JOIN tb
+      |  WHERE c2.c2 >= 5)
+      |SELECT w1, w2, c2, c1a, c1b, pmi
+      |FROM j ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
+  /** Flesch reading-ease scoring — the classic text-difficulty gate:
+    * words, sentence marks (floored at 1 — the fixture's word soup
+    * has none), vowel-group syllable estimate, and the published
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W) formula, every term an
+    * exact-integer ratio and the score rounded once. Zero-shuffle
+    * narrow map + the output sort. */
+  def textReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Fixtures.documents(spark, sfDir)
+      .select($"doc_id", lower(trim($"text")).as("t"))
+      .withColumn("n_words", size(split($"t", " ")).cast("long"))
+      .withColumn("n_sentences",
+        greatest(size(expr("regexp_extract_all(t, '[.!?]+', 0)")), lit(1))
+          .cast("long"))
+      .withColumn("n_syllables",
+        size(expr("regexp_extract_all(t, '[aeiou]+', 0)")).cast("long"))
+      .withColumn("flesch", round(
+        lit(206.835) -
+          lit(1.015) * ($"n_words".cast("double") / $"n_sentences") -
+          lit(84.6) * ($"n_syllables".cast("double") / $"n_words"), 4))
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables", $"flesch")
+      .orderBy($"doc_id")
+  }
+
+  val textReadabilitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lower(trim(text)) AS t FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT)
+      |    AS n_sentences,
+      |  CAST(len(regexp_extract_all(t, '[aeiou]+')) AS BIGINT)
+      |    AS n_syllables,
+      |  round(206.835 -
+      |    1.015 * (CAST(len(string_split(t, ' ')) AS DOUBLE) /
+      |      greatest(len(regexp_extract_all(t, '[.!?]+')), 1)) -
+      |    84.6 * (CAST(len(regexp_extract_all(t, '[aeiou]+')) AS DOUBLE) /
+      |      len(string_split(t, ' '))), 4) AS flesch
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_collocations" -> (textCollocations _),
+    "q_text_readability" -> (textReadability _),
     "q_crawl_links" -> (crawlLinks _),
     "q_text_nll2" -> (textNll2 _),
     "q_text_compress" -> (textCompress _),
@@ -1072,6 +1175,8 @@ object TextQueries {
     "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(
+    "q_text_collocations" -> textCollocationsSql,
+    "q_text_readability" -> textReadabilitySql,
     "q_text_nll2" -> textNll2Sql,
     "q_text_invert" -> textInvertSql,
     "q_text_bm25" -> textBm25Sql,
