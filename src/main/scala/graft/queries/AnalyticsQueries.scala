@@ -1325,7 +1325,64 @@ object AnalyticsQueries {
       |SELECT rank, day, n, cusum_scaled, cusum
       |FROM r WHERE rank <= 3 ORDER BY rank""".stripMargin
 
+  /** Iterative BFS — min-hop levels from node 0 over a deterministic
+    * arithmetic graph (two out-edges per node), proven against a
+    * DuckDB RECURSIVE CTE oracle: the driver loop (frontier join →
+    * anti-join vs visited → union, `localCheckpoint` per round, NO
+    * convergence count() action — the fixed 10-hop budget bounds the
+    * loop and empty frontiers join for free) must reproduce the
+    * recursive fixpoint's min(hop) exactly. The iterative-loop
+    * discipline of PageRank/CC, with cross-engine semantics instead
+    * of a spec replica. Shape at 100 TB: each round is one keyed
+    * join + one anti-join on node ids; frontier and visited are
+    * node-scale, lineage capped per round. */
+  def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = 150L
+    val base = Fixtures.documents(spark, sfDir)
+      .select($"doc_id").filter($"doc_id" < n)
+    val edges = base.select($"doc_id".as("src"))
+      .withColumn("dst", explode(array(
+        ($"src" * 2 + 3) % n, ($"src" * 5 + 7) % n)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var visited = Seq((0L, 0L)).toDF("node", "hop").localCheckpoint(true)
+      var frontier = visited
+      for (h <- 1 to 10) {
+        val next = frontier.join(edges, frontier("node") === edges("src"))
+          .select($"dst".as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("hop", lit(h.toLong))
+          .localCheckpoint(true)
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      visited.groupBy($"hop")
+        .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
+          max($"node").as("max_node"))
+        .orderBy($"hop")
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val graphBfsSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT doc_id AS src, (doc_id * 2 + 3) % 150 AS dst
+      |  FROM documents WHERE doc_id < 150
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 5 + 7) % 150
+      |  FROM documents WHERE doc_id < 150),
+      |bfs(node, hop) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+      |  UNION
+      |  SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON bfs.node = e.src
+      |  WHERE bfs.hop < 10),
+      |m AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+      |SELECT hop, count(*) AS n_nodes, min(node) AS min_node,
+      |  max(node) AS max_node
+      |FROM m GROUP BY hop ORDER BY hop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_bfs" -> (graphBfs _),
     "q_ts_changepoint" -> (tsChangepoint _),
     "q_check_skew" -> (checkSkew _),
     "q_ts_retention" -> (tsRetention _),
@@ -1356,6 +1413,7 @@ object AnalyticsQueries {
     "q_agg_moments" -> (aggMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_graph_bfs" -> graphBfsSql,
     "q_ts_changepoint" -> tsChangepointSql,
     "q_check_skew" -> checkSkewSql,
     "q_ts_retention" -> tsRetentionSql,

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** RFC 4180 round-trip fuzz for the q_scan_csv path: ANY payload —
+  * embedded commas, quotes, newlines, unicode — written by Spark's
+  * CSV writer with `escape="` (the RFC-style doubling q_scan_csv's
+  * DuckDB twin requires) must read back bit-identically under
+  * multiLine PERMISSIVE. The uncompressed-framing cousin of the WARC
+  * compressed-bytes fuzz lesson: fuzz the actual serialized layer. */
+class CsvRoundTripSpec extends SparkSpec {
+
+  private val genPayload: Gen[String] = Gen.listOf(Gen.frequency(
+    (6, Gen.alphaNumChar),
+    (2, Gen.oneOf(',', '"', '\'', ' ', '\n', '\t')),
+    (1, Gen.oneOf('é', '中', '\r', ';', '|')))).map(_.mkString)
+
+  test("hostile payloads survive the write/read round trip exactly") {
+    import spark.implicits._
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(1)
+    // one deterministic corpus of 300 generated payloads (a per-case
+    // Spark write would take minutes); the variety lives in the rows
+    val seeded = org.scalacheck.rng.Seed(4180L)
+    val rows = (0 until 300).scanLeft((seeded, "")) { case ((s, _), i) =>
+      val (v, s2) = genPayload.apply(Gen.Parameters.default, s)
+        .map(x => (x, s.next)).getOrElse(("fallback", s.next))
+      (s2, v)
+    }.drop(1).map(_._2).zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val dir = TmpDirs.create("csv_fuzz")
+    rows.toDF("id", "payload")
+      .write.mode("overwrite").option("header", true)
+      .option("escape", "\"")
+      // Spark's CSV WRITER trims leading/trailing whitespace (incl.
+      // \r and \t) by default — ignoreLeading/TrailingWhiteSpace
+      // default TRUE on write, false on read. Caught by this fuzz:
+      // "ab\r" wrote as "ab". Exact round-trips must disable both.
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .csv(dir)
+    val back = spark.read
+      .schema("id LONG, payload STRING, _corrupt_record STRING")
+      .option("header", true).option("multiLine", true)
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    try {
+      assert(back.filter($"_corrupt_record".isNotNull).count() == 0,
+        "no generated row may parse as corrupt")
+      val got = back.select($"id", $"payload").as[(Long, String)]
+        .collect().toMap
+      // the writer serializes null for "" (CSV cannot distinguish) —
+      // normalize that single lossy case, everything else is exact
+      for ((id, p) <- rows)
+        assert(Option(got(id)).getOrElse("") == p,
+          s"row $id: ${Option(got(id))} != $p")
+      assert(got.size == rows.size)
+    } finally back.unpersist(blocking = false)
+  }
+}
