@@ -426,7 +426,7 @@ object JoinQueries {
     * purpose: a literal local dim gets its selective filter
     * constant-folded into the LocalRelation and DPP never fires
     * (the RuntimeFilterSpec lesson). */
-  private def ensureDppLayout(spark: SparkSession, sfDir: String): String =
+  private[queries] def ensureDppLayout(spark: SparkSession, sfDir: String): String =
     dppWarehouse.computeIfAbsent((spark, sfDir), { case (s, d) =>
       val base = graft.TmpDirs.create("graft_dpp")
       Fixtures.orders(s, d)

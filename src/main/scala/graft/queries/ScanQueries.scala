@@ -496,7 +496,69 @@ object ScanQueries {
       |  min(payload) AS min_payload, max(payload) AS max_payload
       |FROM k GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Parquet-footer inventory — table health WITHOUT reading data:
+    * per partition of the date-partitioned orders layout (the
+    * q_join_dpp staging), every file's row count, row-group count,
+    * on-disk vs uncompressed bytes, and the o_totalprice column's
+    * footer min/max — the numbers a 100 TB table owner reads before
+    * deciding to compact, re-sort, or trust min/max pruning. Footers
+    * are KBs regardless of file size, so the scan is file-count-
+    * scale: the file list is a driver listing (metadata), footer
+    * reads fan out over the cluster via mapPartitions. NATIVE
+    * (InventorySpec: footer aggregates equal a data-side recompute —
+    * rows, min/max per partition — the stats-are-truthful law). */
+  def scanInventory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = JoinQueries.ensureDppLayout(spark, sfDir)
+    val files = new java.io.File(s"$base/orders").listFiles()
+      .filter(_.isDirectory).flatMap { part =>
+        part.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (part.getName.stripPrefix("o_year=").toLong,
+            f.getAbsolutePath))
+      }.toSeq
+    spark.createDataset(files).repartition(8)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { case (year, path) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = r.getFooter.getBlocks
+            var rows = 0L; var comp = 0L; var raw = 0L
+            var mn = Double.MaxValue; var mx = Double.MinValue
+            blocks.forEach { b =>
+              rows += b.getRowCount
+              comp += b.getCompressedSize
+              raw += b.getTotalByteSize
+              b.getColumns.forEach { c =>
+                if (c.getPath.toDotString == "o_totalprice" &&
+                  c.getStatistics != null && !c.getStatistics.isEmpty) {
+                  mn = math.min(mn, c.getStatistics.genericGetMin
+                    .asInstanceOf[java.lang.Double])
+                  mx = math.max(mx, c.getStatistics.genericGetMax
+                    .asInstanceOf[java.lang.Double])
+                }
+              }
+            }
+            (year, rows, blocks.size().toLong, comp, raw, mn, mx)
+          } finally r.close()
+        }
+      }
+      .toDF("o_year", "rows", "row_groups", "compressed_bytes",
+        "total_bytes", "stat_min_price", "stat_max_price")
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_files"), sum($"rows").as("rows"),
+        sum($"row_groups").as("row_groups"),
+        sum($"compressed_bytes").as("compressed_bytes"),
+        sum($"total_bytes").as("total_bytes"),
+        round(min($"stat_min_price"), 2).as("stat_min_price"),
+        round(max($"stat_max_price"), 2).as("stat_max_price"))
+      .orderBy($"o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_inventory" -> (scanInventory _),
     "q_scan_csv" -> (scanCsv _),
     "q_scan_project" -> (scanProject _),
     "q_sink_partitioned" -> (sinkPartitioned _),

@@ -1,0 +1,36 @@
+package graft
+
+import graft.queries.ScanQueries
+
+/** The stats-are-truthful law for the parquet-footer inventory:
+  * everything q_scan_inventory reports from FOOTERS alone must equal
+  * a recompute from the DATA — per-partition row counts and the
+  * min/max of the statistics column — and the byte accounting must be
+  * sane (compressed ≤ uncompressed, nothing zero). */
+class InventorySpec extends SparkSpec {
+
+  test("footer aggregates equal the data-side recompute per partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val inv = ScanQueries.scanInventory(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val truth = Fixtures.orders(spark, sfDir)
+      .withColumn("o_year", year($"o_orderdate").cast("long"))
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("rows"),
+        round(min($"o_totalprice"), 2).as("mn"),
+        round(max($"o_totalprice"), 2).as("mx"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(inv.keySet == truth.keySet, "partition sets differ")
+    for ((y, t) <- truth) {
+      val i = inv(y)
+      assert(i.getLong(2) == t.getLong(1), s"rows for $y") // rows
+      assert(i.getDouble(6) == t.getDouble(2), s"min for $y")
+      assert(i.getDouble(7) == t.getDouble(3), s"max for $y")
+      assert(i.getLong(1) >= 1, s"files for $y")
+      assert(i.getLong(3) >= i.getLong(1), s"row groups >= files for $y")
+      assert(i.getLong(4) > 0 && i.getLong(5) >= i.getLong(4),
+        s"byte accounting for $y (compressed <= total)")
+    }
+  }
+}
