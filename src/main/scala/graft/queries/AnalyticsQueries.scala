@@ -1381,7 +1381,59 @@ object AnalyticsQueries {
       |  max(node) AS max_node
       |FROM m GROUP BY hop ORDER BY hop""".stripMargin
 
+  /** SCD2 dimension build — change events folded into validity
+    * intervals (the slowly-changing-dimension type-2 shape every
+    * warehouse carries): per user, each (ts, value) snapshot is valid
+    * from its ts until the next change (`lead`), the last version
+    * stays open. Reported per user: version count, the total CLOSED
+    * validity in exact microseconds (µs integers — second-truncating
+    * unix_timestamp would diverge between engines on sub-second ts),
+    * the current value, and whether some interval covers a fixed
+    * probe timestamp (the point-in-time lookup the dimension exists
+    * for). One window keyed on the dimension's natural key. */
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t0 = lit("2024-01-04 00:00:00").cast("timestamp")
+    val snaps = Fixtures.events(spark, sfDir)
+      .groupBy($"user_id", $"ts")
+      .agg(max_by($"value", $"event_id").as("v"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    snaps
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when($"valid_to".isNotNull,
+          unix_micros($"valid_to") - unix_micros($"ts")).otherwise(0L))
+          .as("closed_us"),
+        round(max_by($"v", $"ts"), 4).as("current_value"),
+        max(when($"ts" <= t0 &&
+          ($"valid_to".isNull || $"valid_to" > t0), 1L).otherwise(0L))
+          .as("covers_t0"))
+      .orderBy($"user_id")
+  }
+
+  val scd2BuildSql: String =
+    """WITH snaps AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    max_by(value, event_id) AS v
+      |  FROM events GROUP BY 1, 2),
+      |iv AS (
+      |  SELECT user_id, ts, v,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      |  FROM snaps)
+      |SELECT user_id, count(*) AS n_versions,
+      |  CAST(sum(CASE WHEN valid_to IS NOT NULL
+      |    THEN epoch_us(valid_to) - epoch_us(ts) ELSE 0 END) AS BIGINT)
+      |    AS closed_us,
+      |  round(max_by(v, ts), 4) AS current_value,
+      |  CAST(max(CASE WHEN ts <= TIMESTAMP '2024-01-04 00:00:00'
+      |    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-04 00:00:00')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS covers_t0
+      |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_build" -> (scd2Build _),
     "q_graph_bfs" -> (graphBfs _),
     "q_ts_changepoint" -> (tsChangepoint _),
     "q_check_skew" -> (checkSkew _),
@@ -1413,6 +1465,7 @@ object AnalyticsQueries {
     "q_agg_moments" -> (aggMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_build" -> scd2BuildSql,
     "q_graph_bfs" -> graphBfsSql,
     "q_ts_changepoint" -> tsChangepointSql,
     "q_check_skew" -> checkSkewSql,

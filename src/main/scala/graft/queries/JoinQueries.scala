@@ -477,7 +477,60 @@ object JoinQueries {
       |WHERE year(o_orderdate) = 1995
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Point-in-time feature assembly — the FEATURE-STORE correctness
+    * shape: each label (click) is joined against TWO feature streams
+    * with independent update cadences (latest prior view value,
+    * latest prior purchase value), each as-of the label's timestamp —
+    * never a value from the future, the leakage rule a training-set
+    * builder must hold per feature. Composition of the AsOfJoin
+    * operator (one shuffle pair per feature stream, keyed on user);
+    * the DuckDB twin is two ASOF JOINs. */
+  def joinPit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Fixtures.events(spark, sfDir)
+    def feature(kind: String, out: String) =
+      e.filter($"event_type" === kind)
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"value", $"event_id").as(out))
+    val labels = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val withView = graft.operators.AsOfJoin.leftAsOf(
+      labels, feature("view", "f_view"),
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("f_view"))
+    val withBoth = graft.operators.AsOfJoin.leftAsOf(
+      withView, feature("purchase", "f_purchase"),
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("f_purchase"))
+    withBoth
+      .select($"event_id", $"user_id",
+        round($"f_view", 4).as("f_view"),
+        round($"f_purchase", 4).as("f_purchase"))
+      .orderBy($"event_id")
+  }
+
+  val joinPitSql: String =
+    """WITH v AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    max_by(value, event_id) AS f_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    max_by(value, event_id) AS f_purchase
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT l.event_id, l.user_id,
+      |  round(v.f_view, 4) AS f_view,
+      |  round(p.f_purchase, 4) AS f_purchase
+      |FROM l
+      |ASOF LEFT JOIN v ON l.user_id = v.user_id AND l.ts >= v.ts
+      |ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+      |ORDER BY l.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_pit" -> (joinPit _),
     "q_join_dpp" -> (joinDpp _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_join_salted" -> (joinSalted _),
@@ -492,6 +545,7 @@ object JoinQueries {
     "q_join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
+    "q_join_pit" -> joinPitSql,
     "q_join_dpp" -> joinDppSql,
     "q_merge_upsert" -> mergeUpsertSql,
     "q_join_salted" -> joinSaltedSql,
