@@ -529,7 +529,45 @@ object JoinQueries {
       |ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** Bloom-pruned join — the semi-join reduction for a fact⋈selective-
+    * dim at 100 TB: the dim keys ride to the fact side as a 1%-FPP
+    * Bloom filter (MBs where the key set is GBs), the fact pre-filters
+    * BEFORE its shuffle (≈99% of shuffled bytes never move), and the
+    * exact join afterwards removes the false positives — so the
+    * result is BIT-IDENTICAL to the plain join, which is exactly what
+    * the oracle checks (the q_join_salted proof pattern: the rewrite
+    * must be invisible in the answer). Spark's own InjectRuntimeFilter
+    * does this automatically for some plans; the explicit form covers
+    * the shapes it declines and makes the mechanism testable. */
+  def joinBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Fixtures.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        year($"o_orderdate") === 1995)
+      .select($"o_orderkey", $"o_orderdate")
+    val nDim = math.max(dim.count(), 1L)
+    val bloom = dim.stat.bloomFilter("o_orderkey", nDim, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val fact = Fixtures.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_returnflag")
+      .filter(r => bc.value.mightContainLong(r.getLong(0)))
+    fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  val joinBloomSql: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bloom" -> (joinBloom _),
     "q_join_pit" -> (joinPit _),
     "q_join_dpp" -> (joinDpp _),
     "q_merge_upsert" -> (mergeUpsert _),
@@ -545,6 +583,7 @@ object JoinQueries {
     "q_join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
+    "q_join_bloom" -> joinBloomSql,
     "q_join_pit" -> joinPitSql,
     "q_join_dpp" -> joinDppSql,
     "q_merge_upsert" -> mergeUpsertSql,
