@@ -1432,7 +1432,64 @@ object AnalyticsQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS covers_t0
       |FROM iv GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Autocorrelation profile of the daily event series — lags 1..7 in
+    * one pass: seven lagged columns over one day-ordered window, seven
+    * Pearson corr aggregates, reshaped to (lag, acf) rows via stack.
+    * The weekly-seasonality probe a forecasting pipeline reads before
+    * choosing its season length; corr ignores the lag-truncated null
+    * pairs identically in both engines, rounded once (the q_agg_corr
+    * precedent). Day rollup shuffle + one DAYS-scale window. */
+  def tsAcf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Fixtures.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.orderBy($"day")
+    val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lag($"n", k).over(w))
+    }
+    val acfCols = (1 to 7).map(k =>
+      round(corr($"n", col(s"l$k")), 4).as(s"acf$k"))
+    lagged
+      .agg(acfCols.head, acfCols.tail: _*)
+      .select(expr(
+        "stack(7, 1L, acf1, 2L, acf2, 3L, acf3, 4L, acf4, 5L, acf5, 6L, acf6, 7L, acf7) AS (lag, acf)"))
+      .orderBy($"lag")
+  }
+
+  val tsAcfSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1),
+      |lagged AS (
+      |  SELECT n,
+      |    lag(n, 1) OVER (ORDER BY day) AS l1,
+      |    lag(n, 2) OVER (ORDER BY day) AS l2,
+      |    lag(n, 3) OVER (ORDER BY day) AS l3,
+      |    lag(n, 4) OVER (ORDER BY day) AS l4,
+      |    lag(n, 5) OVER (ORDER BY day) AS l5,
+      |    lag(n, 6) OVER (ORDER BY day) AS l6,
+      |    lag(n, 7) OVER (ORDER BY day) AS l7
+      |  FROM daily),
+      |a AS (
+      |  SELECT round(corr(n, l1), 4) AS acf1, round(corr(n, l2), 4) AS acf2,
+      |    round(corr(n, l3), 4) AS acf3, round(corr(n, l4), 4) AS acf4,
+      |    round(corr(n, l5), 4) AS acf5, round(corr(n, l6), 4) AS acf6,
+      |    round(corr(n, l7), 4) AS acf7
+      |  FROM lagged)
+      |SELECT CAST(1 AS BIGINT) AS lag, acf1 AS acf FROM a
+      |UNION ALL SELECT 2, acf2 FROM a
+      |UNION ALL SELECT 3, acf3 FROM a
+      |UNION ALL SELECT 4, acf4 FROM a
+      |UNION ALL SELECT 5, acf5 FROM a
+      |UNION ALL SELECT 6, acf6 FROM a
+      |UNION ALL SELECT 7, acf7 FROM a
+      |ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_acf" -> (tsAcf _),
     "q_scd2_build" -> (scd2Build _),
     "q_graph_bfs" -> (graphBfs _),
     "q_ts_changepoint" -> (tsChangepoint _),
@@ -1465,6 +1522,7 @@ object AnalyticsQueries {
     "q_agg_moments" -> (aggMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_ts_acf" -> tsAcfSql,
     "q_scd2_build" -> scd2BuildSql,
     "q_graph_bfs" -> graphBfsSql,
     "q_ts_changepoint" -> tsChangepointSql,

@@ -798,7 +798,65 @@ object PipelineQueries {
       |FROM h LEFT JOIN standing USING (sig)
       |WHERE h.arriving ORDER BY h.doc_id""".stripMargin
 
+  /** Asymmetric containment dedup — the axis symmetric Jaccard
+    * misses: a short document wholly embedded in a longer one scores
+    * low Jaccard (the union is large) but containment
+    * |A∩B| / min(|A|,|B|) ≈ 1. The standard quote/excerpt/boilerplate-
+    * wrapper detector. Same df-capped shingle universe and pair join
+    * as q_dedup_ngram (the cached frame is shared — no extra
+    * shingling, no extra quadratic term); only the verdict changes,
+    * and the contained side is named (the smaller set). */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keptEx = keptShingles(spark, sfDir)
+    val sizes = keptEx.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = keptEx.select($"doc_id".as("id_a"), $"shingle")
+      .join(keptEx.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .filter($"n_common".cast("double") / least($"n_a", $"n_b") >= 0.6)
+      .withColumn("containment",
+        round($"n_common".cast("double") / least($"n_a", $"n_b"), 4))
+      .withColumn("contained_id",
+        when($"n_a" <= $"n_b", $"id_a").otherwise($"id_b"))
+      .select($"id_a", $"id_b", $"n_common", $"containment", $"contained_id")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val dedupContainmentSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(lower(trim(text)), ' ')) - 1, 1)),
+      |    i -> string_split(lower(trim(text)), ' ')[i] || ' ' ||
+      |         string_split(lower(trim(text)), ' ')[i+1] || ' ' ||
+      |         string_split(lower(trim(text)), ' ')[i+2])) AS shingles
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |kept AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100),
+      |kx AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN kept USING (shingle)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kx GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM kx a JOIN kx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common,
+      |  round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4)
+      |    AS containment,
+      |  CASE WHEN sa.n_sh <= sb.n_sh THEN id_a ELSE id_b END AS contained_id
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_substring" -> (dedupSubstring _),
     "q_dedup_delta" -> (dedupDelta _),
     "q_decontaminate" -> (decontaminate _),
@@ -816,6 +874,7 @@ object PipelineQueries {
     "q_text_tokens" -> (textTokens _))
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_substring" -> dedupSubstringSql,
     "q_dedup_delta" -> dedupDeltaSql,
     "q_decontaminate" -> decontaminateSql,
