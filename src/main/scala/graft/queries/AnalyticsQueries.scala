@@ -1488,7 +1488,56 @@ object AnalyticsQueries {
       |UNION ALL SELECT 7, acf7 FROM a
       |ORDER BY lag""".stripMargin
 
+  /** Audience-overlap matrix — for every event-type pair, how many
+    * users do BOTH (plus the Jaccard of the audiences): the
+    * cross-product-of-segments question behind every funnel/cohort
+    * design. Exact form of what the HLL-sketch path answers
+    * approximately (q_agg_hll_union's two-level rollup): distinct
+    * (type, user) pairs once, then a self-join keyed on user —
+    * audiences-scale, never events-scale. */
+  def aggOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val audience = Fixtures.events(spark, sfDir)
+      .select($"event_type", $"user_id").distinct()
+    val sizes = audience.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"))
+    audience.select($"event_type".as("type_a"), $"user_id")
+      .join(audience.select($"event_type".as("type_b"), $"user_id"),
+        Seq("user_id"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_both"))
+      .join(sizes.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_users", "n_a"), Seq("type_a"))
+      .join(sizes.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_users", "n_b"), Seq("type_b"))
+      .withColumn("jaccard",
+        round($"n_both".cast("double") / ($"n_a" + $"n_b" - $"n_both"), 4))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both", $"jaccard")
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val aggOverlapSql: String =
+    """WITH audience AS (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |sizes AS (
+      |  SELECT event_type, count(*) AS n_users FROM audience GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_both
+      |  FROM audience a JOIN audience b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+      |  round(CAST(n_both AS DOUBLE) /
+      |    (sa.n_users + sb.n_users - n_both), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.event_type = type_a
+      |JOIN sizes sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_overlap" -> (aggOverlap _),
     "q_ts_acf" -> (tsAcf _),
     "q_scd2_build" -> (scd2Build _),
     "q_graph_bfs" -> (graphBfs _),
@@ -1522,6 +1571,7 @@ object AnalyticsQueries {
     "q_agg_moments" -> (aggMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_agg_overlap" -> aggOverlapSql,
     "q_ts_acf" -> tsAcfSql,
     "q_scd2_build" -> scd2BuildSql,
     "q_graph_bfs" -> graphBfsSql,

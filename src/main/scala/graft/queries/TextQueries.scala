@@ -1147,7 +1147,53 @@ object TextQueries {
       |      len(string_split(t, ' '))), 4) AS flesch
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Zipf rank-frequency fit — is the corpus naturally distributed or
+    * synthetic/templated? ln(freq) regressed on ln(rank) over the
+    * top-100 vocabulary: natural language slopes ≈ −1, boilerplate
+    * and generated spam flatten or cliff. Exercises `regr_slope` /
+    * `regr_r2` parity between engines (both implement the same
+    * least-squares moments); ranks and counts are exact integers
+    * entering ln(), results rounded once. Vocab-scale after one count
+    * shuffle. */
+  def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freq = Fixtures.documents(spark, sfDir)
+      .select(explode(split(lower(trim($"text")), " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("f"), asc("w"))).cast("long"))
+      .filter($"rank" <= 100)
+      .withColumn("ln_rank", log($"rank".cast("double")))
+      .withColumn("ln_f", log($"f".cast("double")))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      round(expr("regr_slope(ln_f, ln_rank)"), 4).as("zipf_slope"),
+      round(expr("regr_intercept(ln_f, ln_rank)"), 4).as("zipf_intercept"),
+      round(expr("regr_r2(ln_f, ln_rank)"), 4).as("r2"))
+  }
+
+  val textZipfSql: String =
+    """WITH freq AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+      |    FROM documents) GROUP BY w),
+      |ranked AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rank
+      |  FROM freq),
+      |top AS (
+      |  SELECT ln(CAST(rank AS DOUBLE)) AS ln_rank,
+      |    ln(CAST(f AS DOUBLE)) AS ln_f
+      |  FROM ranked WHERE rank <= 100)
+      |SELECT count(*) AS n_terms,
+      |  round(regr_slope(ln_f, ln_rank), 4) AS zipf_slope,
+      |  round(regr_intercept(ln_f, ln_rank), 4) AS zipf_intercept,
+      |  round(regr_r2(ln_f, ln_rank), 4) AS r2
+      |FROM top""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_zipf" -> (textZipf _),
     "q_text_collocations" -> (textCollocations _),
     "q_text_readability" -> (textReadability _),
     "q_crawl_links" -> (crawlLinks _),
@@ -1175,6 +1221,7 @@ object TextQueries {
     "q_text_pii" -> (textPii _))
 
   val oracle: Map[String, String] = Map(
+    "q_text_zipf" -> textZipfSql,
     "q_text_collocations" -> textCollocationsSql,
     "q_text_readability" -> textReadabilitySql,
     "q_text_nll2" -> textNll2Sql,
