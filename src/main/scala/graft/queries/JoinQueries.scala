@@ -545,8 +545,14 @@ object JoinQueries {
       .filter($"o_orderpriority" === "1-URGENT" &&
         year($"o_orderdate") === 1995)
       .select($"o_orderkey", $"o_orderdate")
-    val nDim = math.max(dim.count(), 1L)
-    val bloom = dim.stat.bloomFilter("o_orderkey", nDim, 0.01)
+      // two ACTIONS consume the dim here (sizing count + bloom build):
+      // persist across them, then release — the exact join at the end
+      // re-reads the dim once at execution time, so the total is two
+      // dim scans instead of three, with nothing left pinned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = dim.stat.bloomFilter("o_orderkey",
+      math.max(dim.count(), 1L), 0.01)
+    dim.unpersist(blocking = false)
     val bc = spark.sparkContext.broadcast(bloom)
     val fact = Fixtures.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_extendedprice", $"l_returnflag")

@@ -526,7 +526,12 @@ object ScanQueries {
           try {
             val blocks = r.getFooter.getBlocks
             var rows = 0L; var comp = 0L; var raw = 0L
-            var mn = Double.MaxValue; var mx = Double.MinValue
+            // null (not a sentinel) when NO row group carries stats —
+            // a writer with stats disabled, or a NaN-bearing double
+            // column (parquet omits min/max), must read as "unknown",
+            // never as ±1.8e308 price bounds
+            var mn: Option[Double] = None
+            var mx: Option[Double] = None
             blocks.forEach { b =>
               rows += b.getRowCount
               comp += b.getCompressedSize
@@ -534,10 +539,12 @@ object ScanQueries {
               b.getColumns.forEach { c =>
                 if (c.getPath.toDotString == "o_totalprice" &&
                   c.getStatistics != null && !c.getStatistics.isEmpty) {
-                  mn = math.min(mn, c.getStatistics.genericGetMin
-                    .asInstanceOf[java.lang.Double])
-                  mx = math.max(mx, c.getStatistics.genericGetMax
-                    .asInstanceOf[java.lang.Double])
+                  val lo = c.getStatistics.genericGetMin
+                    .asInstanceOf[java.lang.Double].doubleValue()
+                  val hi = c.getStatistics.genericGetMax
+                    .asInstanceOf[java.lang.Double].doubleValue()
+                  mn = Some(mn.fold(lo)(math.min(_, lo)))
+                  mx = Some(mx.fold(hi)(math.max(_, hi)))
                 }
               }
             }

@@ -1,6 +1,6 @@
 package graft
 
-import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Gen
 
 /** RFC 4180 round-trip fuzz for the q_scan_csv path: ANY payload —
   * embedded commas, quotes, newlines, unicode — written by Spark's
@@ -17,15 +17,15 @@ class CsvRoundTripSpec extends SparkSpec {
 
   test("hostile payloads survive the write/read round trip exactly") {
     import spark.implicits._
-    val params = SCTest.Parameters.default.withMinSuccessfulTests(1)
     // one deterministic corpus of 300 generated payloads (a per-case
-    // Spark write would take minutes); the variety lives in the rows
-    val seeded = org.scalacheck.rng.Seed(4180L)
-    val rows = (0 until 300).scanLeft((seeded, "")) { case ((s, _), i) =>
-      val (v, s2) = genPayload.apply(Gen.Parameters.default, s)
-        .map(x => (x, s.next)).getOrElse(("fallback", s.next))
-      (s2, v)
-    }.drop(1).map(_._2).zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    // Spark write would take minutes); each row gets its OWN seed —
+    // threading one stream via seed.next yields sliding-window-
+    // correlated samples, not independent draws
+    val rows = (0 until 300).map { i =>
+      val p = genPayload.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(4180L + i))
+      (i.toLong, p)
+    }
     val dir = TmpDirs.create("csv_fuzz")
     rows.toDF("id", "payload")
       .write.mode("overwrite").option("header", true)
