@@ -118,6 +118,69 @@ object BinaryCodec {
     bos.toByteArray
   }
 
+  /** 64-bit average hash (aHash) — the classic perceptual image
+    * fingerprint: box-resize to 8×8 (the bit-deterministic exact
+    * filter above), gray = per-pixel channel mean, bit i set iff
+    * gray_i exceeds the 64-pixel mean. Small pixel noise moves every
+    * box average by ≪ the content contrast, so near-duplicate images
+    * collapse to the SAME 64-bit value and dedup becomes an exact
+    * groupBy — no pair joins (PhashSpec pins the robustness and
+    * inversion laws). */
+  def averageHash(payload: Array[Byte]): Long = {
+    val (_, _, samples) = resizeImage(payload, 8, 8)
+    val ch = samples.length / 64
+    val gray = Array.tabulate(64) { i =>
+      var s = 0.0
+      var b = 0
+      while (b < ch) { s += samples(i * ch + b); b += 1 }
+      s / ch
+    }
+    val mean = gray.sum / 64
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (gray(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** Near-duplicate image fixture: the group's 64-bit splitmix
+    * pattern rendered as an 8×8 grid of dark(60)/bright(200) blocks
+    * ALIGNED to the aHash resize boxes — every box is uniform, its
+    * average sits ~70 gray levels from the global mean, and the ±3
+    * per-pixel variant noise cannot flip a bit (robustness by
+    * construction, not by luck; a mere TONE change would not work —
+    * aHash quantizes intensity away, only spatial structure
+    * survives). Same `group` → same hash for every `variant`;
+    * distinct groups get distinct 64-bit patterns (bit 0 forced set,
+    * bit 63 forced clear so both tones always exist). */
+  def syntheticStepPng(group: Long, variant: Long, w: Int = 32,
+      h: Int = 24): Array[Byte] = {
+    var p = group + 0x9e3779b97f4a7c15L
+    p = (p ^ (p >>> 30)) * 0xbf58476d1ce4e5b9L
+    p = (p ^ (p >>> 27)) * 0x94d049bb133111ebL
+    val pat = ((p ^ (p >>> 31)) | 1L) & ~(1L << 63)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y * 8 / h) * 8 + (x * 8 / w)
+        var z = (group * 31 + variant) ^
+          (y.toLong * 2654435761L + x * 40503L) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        val noise = ((z >>> 40) % 7).toInt - 3 // ±3
+        val base = if (((pat >>> cell) & 1L) == 1L) 200 else 60
+        val v = math.max(0, math.min(255, base + noise))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batched REAL-image extraction: fixed-size batches inside one
     * mapPartitions pass (the arrow-batch shape), decoding genuine
     * payloads via ImageIO. */

@@ -179,7 +179,32 @@ object MultimodalQueries {
       .orderBy($"shard_bytes", $"n_members")
   }
 
+  /** Perceptual-hash image dedup — the multimodal twin of exact text
+    * dedup: every image's 64-bit aHash (REAL ImageIO decode + the
+    * bit-deterministic box resize), then dedup is ONE exact groupBy
+    * on the hash — near-duplicate images collapse to the same value,
+    * so no pair join exists anywhere (contrast MinHash's banded
+    * join: perceptual hashes are locality-COLLAPSING, not just
+    * locality-sensitive). The fixture plants triples (ids sharing
+    * id/3 differ only by ±3 pixel noise); the rollup reports each
+    * cluster. Narrow decode+hash map + one hash-keyed shuffle. */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    stagedPayloads(spark, sfDir, "phash")(id =>
+      BinaryCodec.syntheticStepPng(id / 3, id % 3))
+      .map { case (id, payload) =>
+        (id, BinaryCodec.averageHash(payload))
+      }
+      .toDF("doc_id", "hash")
+      .groupBy(format_string("%016x", $"hash").as("phash"))
+      .agg(count(lit(1)).as("n_images"), min($"doc_id").as("keep_id"),
+        array_join(transform(array_sort(collect_list($"doc_id")),
+          _.cast("string")), ",").as("members"))
+      .orderBy($"keep_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_phash" -> (mmPhash _),
     "q_mm_extract" -> (mmExtract _),
     "q_mm_frames" -> (mmFrames _),
     "q_mm_resize" -> (mmResize _),

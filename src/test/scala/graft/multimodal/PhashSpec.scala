@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** aHash laws: noise robustness by construction (grid-aligned step
+  * fixture), group separation, inversion complement, and the
+  * query-level planted-triple collapse. */
+class PhashSpec extends SparkSpec {
+
+  test("variants of one group hash identically; groups separate") {
+    val hashes = (0L until 40L).map { g =>
+      val hs = (0L until 3L).map(v =>
+        BinaryCodec.averageHash(BinaryCodec.syntheticStepPng(g, v)))
+      assert(hs.distinct.size == 1, s"group $g variants diverged: $hs")
+      hs.head
+    }
+    // each group carries its own 64-bit splitmix pattern: 40 draws
+    // from 2^62 are pairwise distinct
+    assert(hashes.distinct.size == 40, s"only ${hashes.distinct.size} distinct")
+  }
+
+  test("hash is deterministic and robust to independent noise draws") {
+    val a = BinaryCodec.averageHash(BinaryCodec.syntheticStepPng(5, 0))
+    assert(a == BinaryCodec.averageHash(BinaryCodec.syntheticStepPng(5, 0)))
+    // different variant = an entirely different ±3 noise field
+    assert(a == BinaryCodec.averageHash(BinaryCodec.syntheticStepPng(5, 2)))
+  }
+
+  test("inverting an image complements the hash (within tie tolerance)") {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(BinaryCodec.syntheticStepPng(3, 0)))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      img.setRGB(x, y, ~img.getRGB(x, y) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val h = BinaryCodec.averageHash(BinaryCodec.syntheticStepPng(3, 0))
+    val hInv = BinaryCodec.averageHash(bos.toByteArray)
+    // strict > ties can flip a bit or two; the structure must invert
+    assert(java.lang.Long.bitCount(h ^ ~hInv) <= 2,
+      f"h=$h%016x inv=$hInv%016x")
+  }
+
+  test("q_mm_phash: every planted triple collapses to one cluster") {
+    val out = graft.queries.MultimodalQueries.mmPhash(spark, sfDir).collect()
+    val nDocs = graft.Fixtures.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == nDocs, "every image accounted for")
+    // the expected size of each id/3 group (the last one may be a
+    // partial triple when the corpus size is not a multiple of 3)
+    val groupSize = (0L until nDocs).groupBy(_ / 3).view
+      .mapValues(_.size).toMap
+    for (r <- out) {
+      val members = r.getString(3).split(",").map(_.toLong)
+      val keep = r.getLong(2)
+      // a cluster is a union of complete groups (groups can collide
+      // only by sharing a hash, never split): ids group by id/3
+      assert(members.groupBy(_ / 3).forall { case (g, ms) =>
+        ms.length == groupSize(g) },
+        s"cluster at $keep splits a group: ${r.getString(3)}")
+    }
+    // and clusters strictly smaller than the corpus (dedup happened)
+    assert(out.length < nDocs && out.length >= nDocs / 3 / 2)
+  }
+}
