@@ -105,7 +105,47 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-store QA — per-DIMENSION health stats (mean, spread,
+    * near-zero fraction, range): the observability table that catches
+    * collapsed dimensions, dead ReLU-style channels, and scale drift
+    * between embedding-model versions before they poison ANN recall.
+    * One narrow posexplode + one groupBy on the (dims-cardinality)
+    * key; output is dims-scale. ORACLE: both engines aggregate the
+    * same parquet floats (zipped-unnest twin). */
+  def embStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    Fixtures.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")))
+      .toDF("dim", "v")
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"v"), 4).as("mean"),
+        round(stddev_pop($"v"), 4).as("std"),
+        round(sum(when(abs($"v") < 0.01, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("near_zero_frac"),
+        round(min($"v").cast("double"), 4).as("v_min"),
+        round(max($"v").cast("double"), 4).as("v_max"))
+      .orderBy($"dim")
+  }
+
+  val embStatsSql: String =
+    """WITH x AS (
+      |  SELECT unnest(range(0, len(embedding))) AS dim,
+      |    unnest(embedding) AS v
+      |  FROM embeddings)
+      |SELECT CAST(dim AS INT) AS dim, count(*) AS n,
+      |  round(avg(v), 4) AS mean,
+      |  round(stddev_pop(v), 4) AS std,
+      |  round(CAST(sum(CASE WHEN abs(v) < 0.01 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 4) AS near_zero_frac,
+      |  round(CAST(min(v) AS DOUBLE), 4) AS v_min,
+      |  round(CAST(max(v) AS DOUBLE), 4) AS v_max
+      |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_stats" -> (embStats _),
     "q_emb_int8" -> (embInt8 _),
     "q_sim_ann" -> (simAnn _),
     "q_sim_lsh" -> (simLsh _),
@@ -114,5 +154,6 @@ object SimilarityQueries {
     "q_sim_opq" -> (simOpq _),
     "q_emb_pca" -> (embPca _))
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q_emb_stats" -> embStatsSql)
 }
