@@ -60,4 +60,78 @@ object AsOfJoin {
       valueCols.map(c => col("__asof").getField(c).as(c))
     matched.select(out: _*)
   }
+
+  /** Skew-safe as-of: identical semantics to [[leftAsOf]], but the
+    * ordered window runs per (keys, TIME SEGMENT) — a hot key's
+    * timeline splits across partitions instead of serializing into
+    * one — and a second, SEGMENTS-scale pass merges the carry-in
+    * (the last right values of any earlier segment) into rows whose
+    * segment has no prior right row. The distributed-prefix-scan
+    * shape (same family as the COG offset scan, R25): phase 1 local
+    * scans, phase 2 an exclusive scan over per-segment summaries,
+    * phase 3 apply. `segment` must be a PURE function of the time
+    * column (deterministic, data-independent — a sampled range
+    * partitioner here would make results run-dependent).
+    *
+    * The right side must be pre-reduced to one row per (keys, time),
+    * same as [[leftAsOf]]'s tie rule. AsOfSaltedSpec pins exact
+    * equality with the unsegmented operator under ANY segmentation. */
+  def leftAsOfSegmented(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String])(
+      segment: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty && valueCols.nonEmpty)
+    import org.apache.spark.sql.types.StructType
+    val leftCols = left.columns.toSeq
+    val valsType = StructType(valueCols.map(c => right.schema(c)))
+    val rowType = StructType(leftCols.map(c => left.schema(c)))
+
+    val taggedRight = right.filter(col(rightTime).isNotNull).select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__vals"),
+        lit(null).cast(rowType).as("__row")): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast(valsType).as("__vals"),
+        struct(leftCols.map(col): _*).as("__row")): _*)
+    val union = taggedRight.unionByName(taggedLeft)
+      .withColumn("__seg", segment(col("__t")))
+
+    // phase 1: within-segment as-of — the hot key now spreads over
+    // as many partitions as it has segments
+    val segKeys = keys :+ "__seg"
+    val wSeg = Window.partitionBy(segKeys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = union
+      .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(wSeg))
+
+    // phase 2: per-(keys, segment) summary = that segment's LAST right
+    // values (max_by ignores rows whose ordering expr is null, i.e.
+    // left rows); then an EXCLUSIVE scan over the segments-scale frame
+    // gives each segment its carry-in from strictly earlier segments
+    val summaries = union.groupBy(segKeys.map(col): _*)
+      .agg(max_by(when(col("__side") === 0, col("__vals")),
+        when(col("__side") === 0, col("__t"))).as("__last"))
+    val wCarry = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summaries
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .select(segKeys.map(col) :+ col("__carry"): _*)
+
+    // phase 3: apply — a row with no within-segment match takes the
+    // carry-in; the join is keyed on (keys, segment), both sides
+    // already co-partitioned by construction
+    val matched = within.filter(col("__side") === 1)
+      .join(carry, segKeys, "left")
+      .withColumn("__final", coalesce(col("__asof"), col("__carry")))
+
+    val out = leftCols.map(c => col("__row").getField(c).as(c)) ++
+      valueCols.map(c => col("__final").getField(c).as(c))
+    matched.select(out: _*)
+  }
 }

@@ -572,7 +572,52 @@ object JoinQueries {
       |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Skew-safe as-of join — the composition SURVEY §7.1b promised
+    * (SaltedJoin's problem × AsOfJoin's semantics): every 7th event
+    * collapses onto one synthetic hot user, whose timeline would
+    * serialize the plain as-of's ordered window into a single
+    * straggler task; the segmented operator splits it by hour bucket
+    * (a PURE function of ts — sampled range boundaries would be
+    * run-dependent) and merges carry-ins in a segments-scale second
+    * pass. The DuckDB oracle runs the PLAIN ASOF JOIN, so the hash
+    * match proves the segmentation is semantics-invisible — the
+    * q_join_salted proof pattern. */
+  def joinAsofSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Fixtures.events(spark, sfDir)
+      .withColumn("user_id",
+        when($"event_id" % 7 === 0, lit(999999L)).otherwise($"user_id"))
+    val views = e.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts")
+      .agg(max_by($"value", $"event_id").as("view_value"))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    graft.operators.AsOfJoin.leftAsOfSegmented(clicks, views,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("view_value"))(
+        t => floor(unix_micros(t) / lit(3600000000L)).cast("long"))
+      .select($"event_id", $"user_id",
+        round($"view_value", 4).as("prior_view_value"))
+      .orderBy($"event_id")
+  }
+
+  val joinAsofSaltedSql: String =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN 999999 ELSE user_id END AS user_id,
+      |    CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, ts, max_by(value, event_id) AS view_value
+      |  FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      |l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click')
+      |SELECT l.event_id, l.user_id,
+      |  round(v.view_value, 4) AS prior_view_value
+      |FROM l ASOF LEFT JOIN v ON l.user_id = v.user_id AND l.ts >= v.ts
+      |ORDER BY l.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_salted" -> (joinAsofSalted _),
     "q_join_bloom" -> (joinBloom _),
     "q_join_pit" -> (joinPit _),
     "q_join_dpp" -> (joinDpp _),
@@ -589,6 +634,7 @@ object JoinQueries {
     "q_join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
+    "q_join_asof_salted" -> joinAsofSaltedSql,
     "q_join_bloom" -> joinBloomSql,
     "q_join_pit" -> joinPitSql,
     "q_join_dpp" -> joinDppSql,

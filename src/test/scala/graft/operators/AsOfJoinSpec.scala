@@ -8,6 +8,41 @@ import org.apache.spark.sql.functions._
   * the oracle-checked q_join_asof query on the events fixture. */
 class AsOfJoinSpec extends SparkSpec {
 
+  test("segmented as-of equals the plain operator under ANY pure segmentation") {
+    val s = spark
+    import s.implicits._
+    // a hot key whose timeline spans many segments + cold keys; right
+    // rows land at segment boundaries, just inside, and far away
+    val rnd = new scala.util.Random(31)
+    val right = (0 until 120).map { i =>
+      val k = if (i % 3 == 0) 7L else (i % 5).toLong
+      (k, (rnd.nextInt(1000)).toLong, i * 1.5)
+    }.toDF("k", "t", "v")
+      // the operator's contract: one right row per (keys, time)
+      .groupBy($"k", $"t").agg(max($"v").as("v"))
+    val left = (0 until 200).map { i =>
+      val k = if (i % 2 == 0) 7L else (i % 5).toLong
+      (k, rnd.nextInt(1000).toLong, i.toLong)
+    }.toDF("k", "t", "id")
+    val plain = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    // segmentations: coarse buckets, fine buckets, everything-in-one,
+    // and the pathological one-segment-per-timestamp
+    val segs = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      t => (t / 100).cast("long"),
+      t => (t / 7).cast("long"),
+      t => org.apache.spark.sql.functions.lit(0L),
+      t => t)
+    for ((seg, i) <- segs.zipWithIndex) {
+      val got = AsOfJoin.leftAsOfSegmented(left, right,
+          Seq("k"), "t", "t", Seq("v"))(seg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      assert(got == plain, s"segmentation $i diverged")
+    }
+  }
+
   test("hand-computed golden: <= semantics, nulls, key isolation") {
     val s = spark
     import s.implicits._
