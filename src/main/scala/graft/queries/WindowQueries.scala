@@ -974,7 +974,54 @@ object WindowQueries {
       .orderBy($"event_type")
   }
 
+  /** Streaming SCD2 maintenance — the live twin of the ORACLE-checked
+    * batch dimension build (q_scd2_build): per user, O(1) keyed state
+    * closes the open validity interval and opens the next AS CHANGES
+    * ARRIVE (three micro-batches of the real events corpus in ts
+    * order), with the batch side's equal-ts max_by tie rule mirrored
+    * so the fold is split-safe. Output: the final per-user summary —
+    * versions, exact closed-validity µs, current value, point-in-time
+    * coverage. NATIVE (Scd2StreamSpec: EXACT equality with
+    * q_scd2_build's collected output on the same corpus, plus
+    * batch-split invariance). */
+  def streamScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.streaming.Scd2State
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Fixtures.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"value")
+      .as[(Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._2, r._3))
+    val third = ev.length / 3
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    withShufflePartitions(spark, 4) {
+      val q = mem.toDS()
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(Scd2State.matcher)
+        .writeStream.format("memory").queryName("q_stream_scd2_out")
+        .outputMode("update").start()
+      try {
+        mem.addData(ev.take(third): _*); q.processAllAvailable()
+        mem.addData(ev.slice(third, 2 * third): _*); q.processAllAvailable()
+        mem.addData(ev.drop(2 * third): _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val w = Window.partitionBy($"userId").orderBy(desc("seq"))
+    spark.table("q_stream_scd2_out")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"userId".as("user_id"), $"nVersions".as("n_versions"),
+        $"closedUs".as("closed_us"),
+        round($"currentValue", 4).as("current_value"),
+        $"coversT0".as("covers_t0"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_scd2" -> (streamScd2 _),
     "q_stream_anomaly" -> (streamAnomaly _),
     "q_stream_heavy" -> (streamHeavy _),
     "q_stream_dedup_minhash" -> (streamDedupMinhash _),

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.GroupState
+
+/** Streaming SCD2 maintenance — the type-2 dimension kept current ON
+  * ARRIVAL instead of rebuilt nightly: per natural key the state is
+  * O(1) (current version's start/id/value + three accumulators), each
+  * arriving snapshot closes the open interval and opens the next, and
+  * the running summary equals the batch build (q_scd2_build, itself
+  * ORACLE-verified against DuckDB) under ANY micro-batch split —
+  * Scd2StreamSpec pins exact equality on the real corpus.
+  *
+  * Tie rule mirrors the batch side's `max_by(value, event_id)` per
+  * (key, ts): an equal-ts arrival with a higher event_id REPLACES the
+  * current version's value (no interval closes, no version counts) —
+  * which also makes the fold arrival-order-safe when equal-ts rows
+  * split across micro-batches. */
+object Scd2State {
+
+  /** The batch build's point-in-time probe (2024-01-04T00:00:00Z). */
+  val T0Us: Long =
+    java.time.Instant.parse("2024-01-04T00:00:00Z").getEpochSecond * 1000000L
+
+  case class St(ts: Long, eventId: Long, v: Double, nVersions: Long,
+      closedUs: Long, covered: Boolean, seq: Long)
+
+  case class Summary(userId: Long, nVersions: Long, closedUs: Long,
+      currentValue: Double, coversT0: Long, seq: Long)
+
+  /** Fold a batch of (tsUs, eventId, value) in canonical order. Pure —
+    * shared by the matcher and the spec replica. */
+  def fold(st0: Option[St], rows: Seq[(Long, Long, Double)]): St = {
+    var st = st0.orNull
+    for ((ts, id, v) <- rows.sortBy(r => (r._1, r._2))) {
+      if (st == null) st = St(ts, id, v, 1L, 0L, covered = false, 0L)
+      else if (ts == st.ts) {
+        if (id > st.eventId) st = st.copy(eventId = id, v = v)
+      } else {
+        // close [st.ts, ts), open the next version
+        st = St(ts, id, v, st.nVersions + 1,
+          st.closedUs + (ts - st.ts),
+          st.covered || (st.ts <= T0Us && T0Us < ts), st.seq)
+      }
+    }
+    st
+  }
+
+  def matcher(user: Long, rows: Iterator[(Long, Long, Long, Double)],
+      state: GroupState[St]): Summary = {
+    val st = fold(state.getOption, rows.map(r => (r._2, r._3, r._4)).toSeq)
+    val out = st.copy(seq = st.seq + 1)
+    state.update(out)
+    Summary(user, out.nVersions, out.closedUs, out.v,
+      if (out.covered || out.ts <= T0Us) 1L else 0L, out.seq)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.queries.{AnalyticsQueries, WindowQueries}
+
+/** The streaming SCD2 twin must equal the batch dimension build — the
+  * batch side is ORACLE-verified against DuckDB, so equality here
+  * chains the stream to the cross-engine truth. Plus split invariance
+  * of the pure fold. */
+class Scd2StreamSpec extends SparkSpec {
+
+  test("stream summaries equal the batch build exactly on the real corpus") {
+    val batch = AnalyticsQueries.scd2Build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    val stream = WindowQueries.streamScd2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+  }
+
+  test("the fold is invariant to the batch split, incl. equal-ts splits") {
+    import graft.streaming.Scd2State
+    val rows = Seq(
+      (100L, 1L, 1.0), (100L, 5L, 2.0), // equal ts: id 5 wins, 1 version
+      (200L, 7L, 3.0), (300L, 8L, 4.0), (300L, 2L, 9.0)) // id 2 ignored
+    val whole = Scd2State.fold(None, rows)
+    for (k <- 1 until rows.length) {
+      val (a, b) = rows.splitAt(k)
+      val st = Scd2State.fold(Some(Scd2State.fold(None, a)), b)
+      assert(st == whole, s"split at $k")
+    }
+    assert(whole.nVersions == 3 && whole.closedUs == 200L && whole.v == 4.0)
+  }
+}
