@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * join. Right rows order before left rows at equal time, giving the
   * standard <= semantics. At 100 TB this is one exchange + one sort,
   * the same cost as any keyed window; a skewed hot key is the residual
-  * risk (pair with SaltedJoin's detection or AQE skew handling).
+  * risk ([[leftAsOfSegmented]] is the skew-safe form).
   *
   * Ties among RIGHT rows at identical (keys, time) are resolved by
   * `last()` in window order and are NOT deterministic — pre-reduce the
@@ -22,14 +22,17 @@ import org.apache.spark.sql.functions._
   * q_join_asof query does exactly that with max_by). */
 object AsOfJoin {
 
-  def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+  /** The tagged union both operators scan: right rows as (__t, side 0,
+    * __vals, null), left rows as (__t, side 1, null, __row). Returns
+    * the union and the left column names for the final projection. */
+  private def taggedUnion(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      valueCols: Seq[String]): (DataFrame, Seq[String]) = {
     require(keys.nonEmpty && valueCols.nonEmpty)
     import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
     val valsType = StructType(valueCols.map(c => right.schema(c)))
     val rowType = StructType(leftCols.map(c => left.schema(c)))
-
     // drop null-time right rows UP FRONT: the window's orderBy sorts
     // NULL first, so a null-ts right row would act as time = -infinity
     // and match every left row — `rightTime <= leftTime` is never true
@@ -47,18 +50,27 @@ object AsOfJoin {
         lit(1).as("__side"),
         lit(null).cast(valsType).as("__vals"),
         struct(leftCols.map(col): _*).as("__row")): _*)
+    (taggedRight.unionByName(taggedLeft), leftCols)
+  }
 
+  private def project(matched: DataFrame, leftCols: Seq[String],
+      valueCols: Seq[String], asofCol: String): DataFrame = {
+    val out = leftCols.map(c => col("__row").getField(c).as(c)) ++
+      valueCols.map(c => col(asofCol).getField(c).as(c))
+    matched.select(out: _*)
+  }
+
+  def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    val (union, leftCols) =
+      taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matched = taggedRight.unionByName(taggedLeft)
+    val matched = union
       .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-
-    val out = leftCols.map(c => col("__row").getField(c).as(c)) ++
-      valueCols.map(c => col("__asof").getField(c).as(c))
-    matched.select(out: _*)
+    project(matched, leftCols, valueCols, "__asof")
   }
 
   /** Skew-safe as-of: identical semantics to [[leftAsOf]], but the
@@ -69,36 +81,28 @@ object AsOfJoin {
     * segment has no prior right row. The distributed-prefix-scan
     * shape (same family as the COG offset scan, R25): phase 1 local
     * scans, phase 2 an exclusive scan over per-segment summaries,
-    * phase 3 apply. `segment` must be a PURE function of the time
-    * column (deterministic, data-independent — a sampled range
-    * partitioner here would make results run-dependent).
+    * phase 3 apply.
+    *
+    * CONTRACT on `segment`: it must be a pure, deterministic function
+    * of the time column (a sampled range partitioner would make
+    * results run-dependent) AND MONOTONICALLY NON-DECREASING in it —
+    * segments must be time INTERVALS (hour buckets `t div 3600`,
+    * day buckets, fixed ranges). A pure but NON-monotone function
+    * such as hour-OF-DAY (`t % 24h`) silently leaks FUTURE right rows
+    * through the carry scan (segment "later" would no longer mean
+    * time-later) — it is not detectable cheaply at runtime, so it is
+    * a contract, not a require().
     *
     * The right side must be pre-reduced to one row per (keys, time),
-    * same as [[leftAsOf]]'s tie rule. AsOfSaltedSpec pins exact
-    * equality with the unsegmented operator under ANY segmentation. */
+    * same as [[leftAsOf]]'s tie rule. AsOfJoinSpec pins exact
+    * equality with the unsegmented operator under four monotone
+    * segmentations including the pathological per-timestamp one. */
   def leftAsOfSegmented(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String])(
       segment: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
-    require(keys.nonEmpty && valueCols.nonEmpty)
-    import org.apache.spark.sql.types.StructType
-    val leftCols = left.columns.toSeq
-    val valsType = StructType(valueCols.map(c => right.schema(c)))
-    val rowType = StructType(leftCols.map(c => left.schema(c)))
-
-    val taggedRight = right.filter(col(rightTime).isNotNull).select(
-      keys.map(col) ++ Seq(
-        col(rightTime).as("__t"),
-        lit(0).as("__side"),
-        struct(valueCols.map(col): _*).as("__vals"),
-        lit(null).cast(rowType).as("__row")): _*)
-    val taggedLeft = left.select(
-      keys.map(col) ++ Seq(
-        col(leftTime).as("__t"),
-        lit(1).as("__side"),
-        lit(null).cast(valsType).as("__vals"),
-        struct(leftCols.map(col): _*).as("__row")): _*)
-    val union = taggedRight.unionByName(taggedLeft)
-      .withColumn("__seg", segment(col("__t")))
+    val (union0, leftCols) =
+      taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
+    val union = union0.withColumn("__seg", segment(col("__t")))
 
     // phase 1: within-segment as-of — the hot key now spreads over
     // as many partitions as it has segments
@@ -110,12 +114,14 @@ object AsOfJoin {
       .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(wSeg))
 
     // phase 2: per-(keys, segment) summary = that segment's LAST right
-    // values (max_by ignores rows whose ordering expr is null, i.e.
-    // left rows); then an EXCLUSIVE scan over the segments-scale frame
-    // gives each segment its carry-in from strictly earlier segments
-    val summaries = union.groupBy(segKeys.map(col): _*)
-      .agg(max_by(when(col("__side") === 0, col("__vals")),
-        when(col("__side") === 0, col("__t"))).as("__last"))
+    // values — read off phase 1's OWN output (the __asof of the
+    // segment's max-(__t,__side) row already folds every right row in
+    // the segment), so the union lineage is scanned once, not twice;
+    // then an EXCLUSIVE scan over the segments-scale frame gives each
+    // segment its carry-in from strictly earlier segments
+    val summaries = within.groupBy(segKeys.map(col): _*)
+      .agg(max_by(col("__asof"), struct(col("__t"), col("__side")))
+        .as("__last"))
     val wCarry = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__seg"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -129,9 +135,6 @@ object AsOfJoin {
     val matched = within.filter(col("__side") === 1)
       .join(carry, segKeys, "left")
       .withColumn("__final", coalesce(col("__asof"), col("__carry")))
-
-    val out = leftCols.map(c => col("__row").getField(c).as(c)) ++
-      valueCols.map(c => col("__final").getField(c).as(c))
-    matched.select(out: _*)
+    project(matched, leftCols, valueCols, "__final")
   }
 }

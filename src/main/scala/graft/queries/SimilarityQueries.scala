@@ -114,8 +114,7 @@ object SimilarityQueries {
     * same parquet floats (zipped-unnest twin). */
   def embStats(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val spark2 = spark
-    import spark2.implicits._
+    import spark.implicits._
     Fixtures.embeddings(spark, sfDir)
       .select(posexplode(col("embedding")))
       .toDF("dim", "v")
