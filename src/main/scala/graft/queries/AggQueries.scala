@@ -414,7 +414,59 @@ object AggQueries {
       .orderBy($"event_type")
   }
 
+  /** Gini concentration per segment — "how unequal are account
+    * balances inside each market segment", the standard inequality /
+    * revenue-concentration statistic: with x sorted ascending and
+    * i the 1-based rank, G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. The two sums
+    * accumulate EXACTLY in decimal cents (rank·DECIMAL products —
+    * DuckDB does not auto-widen chained decimal products, so the
+    * oracle step-casts), one float division at the end, rounded once;
+    * ranks tiebreak on the unique key so both engines sort
+    * identically. Shape: one window keyed on segment + one groupBy —
+    * the same cost class as any ranked aggregate. */
+  def aggGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"x", $"c_custkey")
+    Fixtures.customer(spark, sfDir)
+      .select($"c_mktsegment", $"c_custkey",
+        $"c_acctbal".cast("decimal(18,2)").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"),
+        sum($"i" * $"x").as("six"))
+      .select($"c_mktsegment", $"n",
+        round($"sx".cast("double"), 2).as("total_bal"),
+        round(
+          (lit(2.0) * $"six".cast("double")) /
+            ($"n".cast("double") * $"sx".cast("double")) -
+            ($"n" + 1).cast("double") / $"n".cast("double"), 4)
+          .as("gini"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val aggGiniSql: String =
+    """WITH r AS (
+      |  SELECT c_mktsegment,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS x,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS i
+      |  FROM customer),
+      |g AS (
+      |  SELECT c_mktsegment, count(*) AS n, sum(x) AS sx,
+      |    sum(CAST(i AS DECIMAL(18,0)) * x) AS six
+      |  FROM r GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, n,
+      |  round(CAST(sx AS DOUBLE), 2) AS total_bal,
+      |  round((2.0 * CAST(six AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
+      |      CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS gini
+      |FROM g ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_gini" -> (aggGini _),
     "q_agg_hll_union" -> (aggHllUnion _),
     "q_agg_string_agg" -> (aggStringAgg _),
     "q_agg_bool" -> (aggBool _),
@@ -431,6 +483,7 @@ object AggQueries {
     "q_agg_approx" -> (aggApprox _))
 
   val oracle: Map[String, String] = Map(
+    "q_agg_gini" -> aggGiniSql,
     "q_agg_string_agg" -> aggStringAggSql,
     "q_agg_bool" -> aggBoolSql,
     "q_agg_pivot" -> aggPivotSql,
