@@ -36,16 +36,86 @@ object TmpDirs {
     dir
   }
 
-  /** A DETERMINISTIC staging directory (`/tmp/graft_stage/<name>`)
-    * that deliberately SURVIVES JVM exit. For queries whose DuckDB
-    * oracle must re-read the exact files the Spark side wrote: the
-    * oracle SQL is a static string, so the path has to be knowable at
-    * authoring time (a fresh random tempdir can't be), and the
+  /** Per-user, per-process root for [[fixed]] staging. NOT the shared
+    * `/tmp/graft_stage` of earlier rounds: a world-shared fixed path
+    * let two concurrent JVMs overwrite each other's staged evidence
+    * mid-compare, and on a multi-user host a pre-planted symlink at
+    * the predictable path could redirect Spark's overwrite-mode
+    * delete+write (classic predictable-tmp hazard). The root is
+    * `/tmp/graft_stage-<user>/<pid>`:
+    *
+    *  - the user level is verified to be a REAL directory owned by
+    *    this user (a foreign or symlinked entry at the predictable
+    *    name fails loudly rather than being adopted);
+    *  - the pid level is created fresh by THIS process — a leftover
+    *    entry at our pid (recycled pid, planted symlink) is deleted
+    *    NOFOLLOW and never reused;
+    *  - stale sibling roots (dead pid AND mtime > 1 h) are reaped
+    *    best-effort at init, bounding growth while never racing the
+    *    minutes-scale dump→compare window of a just-exited Verify.
+    *
+    * Oracle SQL must NOT hardcode the path: query authors interpolate
+    * `TmpDirs.fixed(name)` into the SQL text at runtime, and Verify
+    * dumps that text — writer and oracle read the same string by
+    * construction. */
+  lazy val stageRoot: String = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    initStageRoot(java.nio.file.Paths.get(s"/tmp/graft_stage-$user"),
+      ProcessHandle.current().pid()).toString
+  }
+
+  /** [[stageRoot]]'s logic with the user root and pid injected — split
+    * out so the spec can exercise the refusal/reap/recycle branches
+    * against a scratch base without touching the real root. */
+  private[graft] def initStageRoot(userRoot: java.nio.file.Path,
+      pid: Long): java.nio.file.Path = {
+    import java.nio.file.{Files, LinkOption}
+    if (Files.exists(userRoot, LinkOption.NOFOLLOW_LINKS)) {
+      require(Files.isDirectory(userRoot, LinkOption.NOFOLLOW_LINKS),
+        s"staging root $userRoot exists but is not a plain directory " +
+          "(symlink/file planted at the predictable path?) — refusing")
+      require(Files.getOwner(userRoot).getName == sys.props("user.name"),
+        s"staging root $userRoot is owned by a different user — refusing")
+    } else Files.createDirectories(userRoot)
+    // reap roots whose creating process is gone AND that are stale
+    // (>1 h): never races a live JVM or the dump→compare window
+    try {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      Files.list(userRoot).forEach { p =>
+        val owner = scala.util.Try(p.getFileName.toString.toLong).toOption
+        val dead = owner.exists(id => !ProcessHandle.of(id).isPresent)
+        if (dead && Files.getLastModifiedTime(p, LinkOption.NOFOLLOW_LINKS)
+              .toMillis < cutoff)
+          try {
+            Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(q => { Files.deleteIfExists(q); () })
+          } catch { case _: Exception => () }
+      }
+    } catch { case _: Exception => () }
+    val mine = userRoot.resolve(pid.toString)
+    if (Files.exists(mine, LinkOption.NOFOLLOW_LINKS)) {
+      // recycled pid or planted entry — remove it NOFOLLOW, never adopt
+      if (Files.isDirectory(mine, LinkOption.NOFOLLOW_LINKS))
+        Files.walk(mine)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => { Files.deleteIfExists(q); () })
+      else Files.delete(mine)
+    }
+    Files.createDirectory(mine)
+    mine
+  }
+
+  /** A DETERMINISTIC staging directory (`<stageRoot>/<name>`) that
+    * deliberately SURVIVES JVM exit. For queries whose DuckDB oracle
+    * must re-read the exact files the Spark side wrote: the
     * differential check runs in a SEPARATE process after this JVM has
-    * exited (so the exit sweep must not reap it). Bounded: each name
-    * is one fixed dir, overwritten per run. Hardcoded `/tmp` (not
-    * java.io.tmpdir) so the SQL text and the writer can never
-    * disagree.
+    * exited (so the exit sweep must not reap it), and the oracle SQL
+    * interpolates THIS path at construction time so both engines
+    * address the same bytes. Bounded: each name is one fixed dir per
+    * process, overwritten per run; stale process roots are reaped by
+    * [[stageRoot]].
     *
     * ORDERING CONTRACT (because the path is keyed by name only, NOT
     * by scale dir): the staged files reflect the LAST invocation —
@@ -55,7 +125,7 @@ object TmpDirs {
     * makes the compare fail LOUDLY against the wrong corpus (a false
     * mismatch, never a false pass). */
   def fixed(name: String): String = {
-    val d = java.nio.file.Paths.get("/tmp/graft_stage", name)
+    val d = java.nio.file.Paths.get(stageRoot, name)
     java.nio.file.Files.createDirectories(d)
     d.toString
   }

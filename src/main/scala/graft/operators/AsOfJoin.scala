@@ -90,19 +90,26 @@ object AsOfJoin {
     * day buckets, fixed ranges). A pure but NON-monotone function
     * such as hour-OF-DAY (`t % 24h`) silently leaks FUTURE right rows
     * through the carry scan (segment "later" would no longer mean
-    * time-later) — it is not detectable cheaply at runtime, so it is
-    * a contract, not a require().
+    * time-later). `checkSegment = true` (test mode) runs
+    * [[requireMonotoneSegment]], a sampled assertion that catches
+    * this misuse class at the cost of one extra bounded job; the
+    * production default leaves it a documented contract.
+    *
+    * NULL keys are ordinary partition values on BOTH phases (the
+    * carry join is null-safe, `<=>`), matching [[leftAsOf]] exactly.
     *
     * The right side must be pre-reduced to one row per (keys, time),
     * same as [[leftAsOf]]'s tie rule. AsOfJoinSpec pins exact
     * equality with the unsegmented operator under four monotone
     * segmentations including the pathological per-timestamp one. */
   def leftAsOfSegmented(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, valueCols: Seq[String])(
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      checkSegment: Boolean = false)(
       segment: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val (union0, leftCols) =
       taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
     val union = union0.withColumn("__seg", segment(col("__t")))
+    if (checkSegment) requireMonotoneSegment(union)
 
     // phase 1: within-segment as-of — the hot key now spreads over
     // as many partitions as it has segments
@@ -131,10 +138,45 @@ object AsOfJoin {
 
     // phase 3: apply — a row with no within-segment match takes the
     // carry-in; the join is keyed on (keys, segment), both sides
-    // already co-partitioned by construction
+    // already co-partitioned by construction. NULL-SAFE equality
+    // (<=>) on every key: the window side treats NULL as an ordinary
+    // partition value, so a null-key left row must still meet its
+    // carry frame — a plain equi-join would drop it (SQL null-join
+    // semantics) and return null where leftAsOf returns the prior
+    // right value (r17 ADVICE).
+    val carryR = carry.select(
+      segKeys.map(c => col(c).as(s"__c_$c")) :+ col("__carry"): _*)
+    val cond = segKeys.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
     val matched = within.filter(col("__side") === 1)
-      .join(carry, segKeys, "left")
+      .join(carryR, cond, "left")
       .withColumn("__final", coalesce(col("__asof"), col("__carry")))
     project(matched, leftCols, valueCols, "__final")
+  }
+
+  /** Test-mode guard for [[leftAsOfSegmented]]'s monotonicity
+    * contract: samples up to `n` distinct times from the tagged union
+    * and requires the segment mapping to be non-decreasing in time —
+    * catches the hour-OF-DAY misuse class (t % 24h), which silently
+    * leaks future right rows through the carry scan. Sampled (hash
+    * order, not time order, so the probe spans the whole timeline):
+    * a pass is strong evidence, not proof; never enabled on the
+    * production path (one extra bounded job per call). */
+  private[graft] def requireMonotoneSegment(union: DataFrame,
+      n: Int = 2048): Unit = {
+    val sampled = union.select(col("__t"), col("__seg"))
+      .where(col("__t").isNotNull)
+      .distinct()
+      .orderBy(hash(col("__t")))
+      .limit(n)
+    val w = Window.orderBy(col("__t"), col("__seg"))
+    val bad = sampled
+      .withColumn("__prev", lag(col("__seg"), 1).over(w))
+      .where(col("__prev") > col("__seg"))
+      .count()
+    require(bad == 0,
+      s"leftAsOfSegmented: segment function is NOT monotone in time " +
+        s"($bad sampled inversions) — segments must be time INTERVALS " +
+        "(e.g. t div 3600), not cyclic buckets like hour-of-day; a " +
+        "non-monotone segmentation leaks future rows through the carry scan")
   }
 }

@@ -110,9 +110,9 @@ object ScanQueries {
   }
 
   val sinkPartitionedSql: String =
-    """SELECT source, count(*) AS n_docs,
+    s"""SELECT source, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
-      |FROM read_parquet('/tmp/graft_stage/part_sink/lang=*/*.parquet',
+      |FROM read_parquet('${graft.TmpDirs.fixed("part_sink")}/lang=*/*.parquet',
       |  hive_partitioning=true)
       |WHERE lang = 'en' GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -183,15 +183,15 @@ object ScanQueries {
   }
 
   val layoutZorderSql: String =
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT 'rowmajor' AS layout, filename,
       |    min(tx) AS fx0, max(tx) AS fx1, min(ty) AS fy0, max(ty) AS fy1
-      |  FROM read_parquet('/tmp/graft_stage/zorder/rowmajor/*.parquet',
+      |  FROM read_parquet('${graft.TmpDirs.fixed("zorder")}/rowmajor/*.parquet',
       |    filename=true) GROUP BY 1, 2
       |  UNION ALL
       |  SELECT 'zorder', filename,
       |    min(tx), max(tx), min(ty), max(ty)
-      |  FROM read_parquet('/tmp/graft_stage/zorder/zorder/*.parquet',
+      |  FROM read_parquet('${graft.TmpDirs.fixed("zorder")}/zorder/*.parquet',
       |    filename=true) GROUP BY 1, 2),
       |boxes AS (
       |  SELECT * FROM (VALUES
@@ -277,17 +277,17 @@ object ScanQueries {
   }
 
   val sinkCompactSql: String =
-    """SELECT
+    s"""SELECT
       |  (SELECT count(DISTINCT filename) FROM read_parquet(
-      |    '/tmp/graft_stage/compact/frag/*.parquet', filename=true))
+      |    '${graft.TmpDirs.fixed("compact")}/frag/*.parquet', filename=true))
       |    AS n_input_files,
       |  (SELECT count(DISTINCT filename) FROM read_parquet(
-      |    '/tmp/graft_stage/compact/compact/*.parquet', filename=true))
+      |    '${graft.TmpDirs.fixed("compact")}/compact/*.parquet', filename=true))
       |    AS n_output_files,
       |  (SELECT count(*) FROM read_parquet(
-      |    '/tmp/graft_stage/compact/frag/*.parquet')) AS rows_in,
+      |    '${graft.TmpDirs.fixed("compact")}/frag/*.parquet')) AS rows_in,
       |  (SELECT count(*) FROM read_parquet(
-      |    '/tmp/graft_stage/compact/compact/*.parquet')) AS rows_out""".stripMargin
+      |    '${graft.TmpDirs.fixed("compact")}/compact/*.parquet')) AS rows_out""".stripMargin
 
   /** JSONL sink + ingest with a corrupt-record policy — the LLM-data
     * interchange loop (crawl dumps, annotation exports and eval sets
@@ -371,12 +371,12 @@ object ScanQueries {
     * directory-column inference — two independent engines must agree
     * on the whole report. */
   val scanEvolutionSql: String =
-    """WITH m AS (
-      |  SELECT * FROM read_parquet('/tmp/graft_stage/evolution/batch=*/*.parquet',
+    s"""WITH m AS (
+      |  SELECT * FROM read_parquet('${graft.TmpDirs.fixed("evolution")}/batch=*/*.parquet',
       |    union_by_name=true, hive_partitioning=true))
       |SELECT count(*) AS rows_total,
       |  (SELECT count(*) FROM (DESCRIBE SELECT * FROM read_parquet(
-      |    '/tmp/graft_stage/evolution/batch=*/*.parquet',
+      |    '${graft.TmpDirs.fixed("evolution")}/batch=*/*.parquet',
       |    union_by_name=true, hive_partitioning=true))) AS n_cols,
       |  count(*) FILTER (lang IS NULL) AS lang_nulls,
       |  count(*) FILTER (quality IS NULL) AS quality_nulls,
@@ -389,13 +389,13 @@ object ScanQueries {
     * recovered as raw-line count minus parseable rows (read_csv with
     * no delimiter = one row per physical line). */
   val sinkJsonlSql: String =
-    """WITH good AS (
-      |  SELECT doc_id FROM read_json('/tmp/graft_stage/jsonl/*.json',
+    s"""WITH good AS (
+      |  SELECT doc_id FROM read_json('${graft.TmpDirs.fixed("jsonl")}/*.json',
       |    format='newline_delimited', ignore_errors=true,
       |    columns={doc_id: 'BIGINT'})
       |  WHERE doc_id IS NOT NULL),
       |lines AS (
-      |  SELECT count(*) AS n FROM read_csv('/tmp/graft_stage/jsonl/*.json',
+      |  SELECT count(*) AS n FROM read_csv('${graft.TmpDirs.fixed("jsonl")}/*.json',
       |    columns={'line': 'VARCHAR'}, header=false, delim='', quote='', escape=''))
       |SELECT (SELECT count(*) FROM documents) AS rows_in,
       |  (SELECT count(*) FROM good) AS rows_good,
@@ -481,8 +481,8 @@ object ScanQueries {
   }
 
   val scanCsvSql: String =
-    """WITH rows AS (
-      |  SELECT * FROM read_csv('/tmp/graft_stage/csv/*.csv',
+    s"""WITH rows AS (
+      |  SELECT * FROM read_csv('${graft.TmpDirs.fixed("csv")}/*.csv',
       |    header=true, ignore_errors=true,
       |    columns={'doc_id': 'BIGINT', 'payload': 'VARCHAR',
       |             'n_chars': 'BIGINT'})),

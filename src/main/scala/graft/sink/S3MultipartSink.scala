@@ -159,7 +159,19 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     * upload → fresh [[start]], empty map. Several in-flight uploads
     * for the same key are refused loudly — S3 allows them, but
     * resuming an arbitrary one races the others' writers and strands
-    * their storage; `S3MpuJanitor.reap` first, then retry. */
+    * their storage; `S3MpuJanitor.reap` first, then retry.
+    *
+    * HARD PRECONDITION — single writer per key: adoption has no
+    * liveness or ownership check, because S3 exposes none that can
+    * tell a crashed writer's upload from a still-running one under
+    * the same principal (ListMultipartUploads returns only
+    * Initiator/Initiated; initiate-time metadata is not listable).
+    * A resume racing a live writer of the same key would interleave
+    * uploadPart/complete on one MPU. Callers must ensure the prior
+    * writer is DEAD before resuming — the `s3.resume=true` write
+    * option documents the same contract at the API surface, and the
+    * multi-upload refusal above still catches the two-Initiate shape
+    * of the race. */
   override def startOrResume(): Map[Int, PartReceipt] = {
     val live = S3MpuJanitor.listUploads(endpoint, bucket, prefix = key,
         credentials, region, virtualHost)

@@ -229,6 +229,11 @@ object CogWriteSupport {
     // for multi-TiB objects. The encode pipeline is deterministic, so
     // a changed INPUT simply fails verification part-by-part and
     // re-uploads; a same-input restart moves only the missing bytes.
+    // HARD PRECONDITION: single writer per key — resume only after
+    // the prior writer is known dead (S3 cannot distinguish a crashed
+    // writer's MPU from a live one under the same principal; see
+    // S3MultipartSink.startOrResume). A live-writer race is on the
+    // caller, exactly like pointing two Spark jobs at one output path.
     val resume = opts.get("s3.resume").exists(_.toBoolean)
     try CogWriter.write(tiles, profile,
       s3Sink(d, opts, ifNoneMatch = !overwrite), resume = resume)

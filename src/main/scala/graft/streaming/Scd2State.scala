@@ -28,11 +28,20 @@ object Scd2State {
       currentValue: Double, coversT0: Long, seq: Long)
 
   /** Fold a batch of (tsUs, eventId, value) in canonical order. Pure —
-    * shared by the matcher and the spec replica. */
+    * shared by the matcher and the spec replica.
+    *
+    * Late-arrival guard (CdcState's discipline, r17 ADVICE): a row
+    * with ts BEFORE the current version's start is a late or
+    * re-delivered event — it is DROPPED, never folded. Without the
+    * guard it would "close" a negative-length interval (corrupting
+    * closedUs) and replace the current value with stale data. Within
+    * one batch the canonical sort makes this unreachable; the guard
+    * matters across batches (restart replay, out-of-order feeds). */
   def fold(st0: Option[St], rows: Seq[(Long, Long, Double)]): St = {
     var st = st0.orNull
     for ((ts, id, v) <- rows.sortBy(r => (r._1, r._2))) {
       if (st == null) st = St(ts, id, v, 1L, 0L, covered = false, 0L)
+      else if (ts < st.ts) () // late re-delivery: ignore
       else if (ts == st.ts) {
         if (id > st.eventId) st = st.copy(eventId = id, v = v)
       } else {

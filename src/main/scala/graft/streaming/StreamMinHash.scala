@@ -31,7 +31,9 @@ import graft.text.MinHashLSH
   * near-dup clusters, not the corpus. `MaxPerBucket` caps a
   * pathological bucket: beyond it, newcomers are still COMPARED
   * against the kept representatives (a near-dup cluster needs only
-  * one rep to flag against) but no longer enlarge the state. On an
+  * one rep to flag against) and only their 8-byte id is retained
+  * (the overflow set — re-delivery idempotence must hold at the cap
+  * too, see [[BucketState]]), never another ~400 B signature. On an
   * unbounded stream, production would additionally expire buckets
   * with an event-time timeout; the demo feed is bounded. */
 object StreamMinHash {
@@ -111,7 +113,14 @@ object StreamMinHash {
     }
   }
 
-  case class BucketState(ids: Array[Long], sigs: Array[Array[Long]])
+  /** `overflow` holds ids that arrived while the bucket was at
+    * [[MaxPerBucket]]: their signatures are NOT kept (the cap's whole
+    * point), but the ids must persist or a replayed batch would
+    * re-flag them — 8 B per overflow doc vs ~400 B per kept one, and
+    * production would age it out with the same event-time timeout as
+    * the bucket itself. */
+  case class BucketState(ids: Array[Long], sigs: Array[Array[Long]],
+      overflow: Array[Long])
 
   /** Flag emitted the first time a document matches ANY earlier
     * bucket-mate at est ≥ τ (per band; downstream dedups per doc). */
@@ -120,13 +129,19 @@ object StreamMinHash {
   def matcher(key: (Int, Long),
       rows: Iterator[(Int, Long, Long, String, Array[Long])],
       state: GroupState[BucketState]): Iterator[Flag] = {
-    val have = state.getOption.getOrElse(BucketState(Array.empty, Array.empty))
+    val have = state.getOption
+      .getOrElse(BucketState(Array.empty, Array.empty, Array.empty))
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
     ids ++= have.ids
     sigs ++= have.sigs
+    val overflow = scala.collection.mutable.ArrayBuffer.empty[Long]
+    overflow ++= have.overflow
     val known = scala.collection.mutable.HashSet.empty[Long]
     known ++= have.ids
+    // at-cap arrivals are remembered too: idempotence must hold in
+    // exactly the pathological-bucket case the cap exists for
+    known ++= have.overflow
     val out = Seq.newBuilder[Flag]
     // ascending doc_id: deterministic under in-batch disorder AND
     // batch-split-invariant for id-ordered feeds
@@ -148,8 +163,9 @@ object StreamMinHash {
         out += Flag(id, source, bestId, math.round(bestEst * 10000) / 10000.0)
       known += id
       if (ids.length < MaxPerBucket) { ids += id; sigs += sig }
+      else overflow += id
     }
-    state.update(BucketState(ids.toArray, sigs.toArray))
+    state.update(BucketState(ids.toArray, sigs.toArray, overflow.toArray))
     out.result().iterator
   }
 }

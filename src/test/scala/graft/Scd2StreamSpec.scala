@@ -32,4 +32,18 @@ class Scd2StreamSpec extends SparkSpec {
     }
     assert(whole.nVersions == 3 && whole.closedUs == 200L && whole.v == 4.0)
   }
+
+  test("late re-delivery across batches is dropped, never folded") {
+    import graft.streaming.Scd2State
+    val fresh = Scd2State.fold(None, Seq((100L, 1L, 1.0), (300L, 8L, 4.0)))
+    // a later batch replays an OLD row (restart re-delivery) plus a
+    // genuinely stale out-of-order event: both must be ignored —
+    // pre-guard, each "closed" a negative interval and regressed v
+    val replayed = Scd2State.fold(Some(fresh),
+      Seq((100L, 1L, 1.0), (250L, 9L, 7.7)))
+    assert(replayed == fresh,
+      s"late rows corrupted the state: $replayed != $fresh")
+    // exact re-delivery of the CURRENT version is a no-op too
+    assert(Scd2State.fold(Some(fresh), Seq((300L, 8L, 4.0))) == fresh)
+  }
 }

@@ -122,6 +122,40 @@ class StreamMinHashSpec extends SparkSpec {
       "replaying arrivals must not re-flag or self-match")
   }
 
+  test("at-cap arrivals are remembered: a replay at MaxPerBucket cannot re-flag") {
+    // the pathological-bucket case the cap exists for (r17 ADVICE):
+    // drive the matcher directly with a bucket already AT the cap
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val rep = StreamMinHash.signature(
+      "alpha bravo charlie delta echo fox golf hotel india")
+    val full = StreamMinHash.BucketState(
+      Array.tabulate(StreamMinHash.MaxPerBucket)(_.toLong),
+      Array.fill(StreamMinHash.MaxPerBucket)(rep),
+      Array.empty)
+    val key = (0, 42L)
+    val newId = 9000L
+    def arrive = Iterator((0, 42L, newId, "src", rep))
+    val s1 = TestGroupState.create[StreamMinHash.BucketState](
+      Optional.of(full), GroupStateTimeout.NoTimeout(), 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val first = StreamMinHash.matcher(key, arrive, s1).toSeq
+    assert(first.map(_.docId) == Seq(newId),
+      "the at-cap arrival still compares against kept reps and flags")
+    val st = s1.get
+    assert(st.ids.length == StreamMinHash.MaxPerBucket,
+      "the cap must hold — no new signature kept")
+    assert(st.overflow.contains(newId), "the 8-byte id IS kept")
+    // replayed batch (restart re-delivery): must be silent
+    val s2 = TestGroupState.create[StreamMinHash.BucketState](
+      Optional.of(st), GroupStateTimeout.NoTimeout(), 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val replay = StreamMinHash.matcher(key, arrive, s2).toSeq
+    assert(replay.isEmpty, "replayed at-cap doc must not re-flag")
+    // and the overflow set does not duplicate the id
+    assert(s2.get.overflow.count(_ == newId) == 1)
+  }
+
   test("q_stream_dedup_minhash rollup conserves arrivals per source") {
     val out = graft.queries.WindowQueries
       .streamDedupMinhash(spark, sfDir).collect()

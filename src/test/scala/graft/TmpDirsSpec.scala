@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, LinkOption, Path, Paths}
+import java.nio.file.attribute.FileTime
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The predictable-tmp-path hazard class (r17 ADVICE, medium): the
+  * fixed staging tree must be per-user + per-process, never adopt a
+  * pre-existing entry at its predictable path, and bound its own
+  * growth by reaping dead-process roots — without ever racing the
+  * minutes-scale Verify-dump → DuckDB-compare window. */
+class TmpDirsSpec extends AnyFunSuite {
+
+  private def scratch(): Path = {
+    val d = Files.createTempDirectory("tmpdirs_spec")
+    TmpDirs.track(d.toFile)
+    d
+  }
+
+  /** A pid with no live process; distinct per `slot`. */
+  private def deadPid(slot: Int = 0): Long = {
+    var id = 999999L - slot * 1000L
+    while (ProcessHandle.of(id).isPresent) id -= 1
+    id
+  }
+
+  test("stageRoot is per-user per-process and fixed() nests under it") {
+    val root = TmpDirs.stageRoot
+    val user = sys.props("user.name").replaceAll("[^A-Za-z0-9._-]", "_")
+    val pid = ProcessHandle.current().pid()
+    assert(root == s"/tmp/graft_stage-$user/$pid")
+    val d = TmpDirs.fixed("spec_probe")
+    assert(d == s"$root/spec_probe")
+    assert(Files.isDirectory(Paths.get(d)))
+    // stable within the JVM: staging memoization depends on it
+    assert(TmpDirs.fixed("spec_probe") == d)
+  }
+
+  test("oracle SQL interpolates the per-process root, not a shared path") {
+    // the whole point of the fix: no dumped SQL may address the old
+    // world-shared /tmp/graft_stage/ tree
+    val sqls = graft.queries.ScanQueries.oracle.values
+    assert(sqls.forall(!_.contains("/tmp/graft_stage/")))
+    assert(graft.queries.ScanQueries.oracle("q_scan_csv")
+      .contains(TmpDirs.stageRoot))
+  }
+
+  test("a symlink planted at the user root is refused, never adopted") {
+    val base = scratch()
+    val target = base.resolve("elsewhere")
+    Files.createDirectory(target)
+    val planted = base.resolve("root")
+    Files.createSymbolicLink(planted, target)
+    val e = intercept[IllegalArgumentException] {
+      TmpDirs.initStageRoot(planted, 1L)
+    }
+    assert(e.getMessage.contains("refusing"))
+  }
+
+  test("a plain file planted at the user root is refused") {
+    val base = scratch()
+    val planted = base.resolve("root")
+    Files.write(planted, "gotcha".getBytes)
+    intercept[IllegalArgumentException] {
+      TmpDirs.initStageRoot(planted, 1L)
+    }
+  }
+
+  test("a planted entry at the pid slot is removed NOFOLLOW, not reused") {
+    val base = scratch()
+    val userRoot = base.resolve("root")
+    Files.createDirectory(userRoot)
+    val victim = base.resolve("victim")
+    Files.createDirectory(victim)
+    Files.write(victim.resolve("precious"), "keep".getBytes)
+    val pid = deadPid()
+    Files.createSymbolicLink(userRoot.resolve(pid.toString), victim)
+    val mine = TmpDirs.initStageRoot(userRoot, pid)
+    // the slot is now a REAL fresh directory…
+    assert(Files.isDirectory(mine, LinkOption.NOFOLLOW_LINKS))
+    assert(Files.list(mine).count() == 0)
+    // …and the symlink's target was never touched (only the link died)
+    assert(Files.exists(victim.resolve("precious")))
+  }
+
+  test("stale dead-pid roots are reaped; fresh and live ones survive") {
+    val base = scratch()
+    val userRoot = base.resolve("root")
+    Files.createDirectory(userRoot)
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000
+    // dead pid + stale mtime → reaped
+    val stale = userRoot.resolve(deadPid().toString)
+    Files.createDirectories(stale.resolve("evidence"))
+    Files.setLastModifiedTime(stale, FileTime.fromMillis(old))
+    // dead pid but RECENT → kept (a just-exited Verify awaiting compare)
+    val recent = userRoot.resolve(deadPid(1).toString)
+    Files.createDirectory(recent)
+    // live pid (ours) + stale mtime → kept
+    val live = userRoot.resolve(ProcessHandle.current().pid().toString)
+    Files.createDirectory(live)
+    Files.setLastModifiedTime(live, FileTime.fromMillis(old))
+    TmpDirs.initStageRoot(userRoot, deadPid(2))
+    assert(!Files.exists(stale))
+    assert(Files.exists(recent))
+    assert(Files.exists(live))
+  }
+}

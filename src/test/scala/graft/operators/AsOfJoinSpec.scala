@@ -43,6 +43,47 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("segmented: NULL keys keep their cross-segment carry (null-safe phase 3)") {
+    val s = spark
+    import s.implicits._
+    // a null-key timeline whose left row sits in a segment with NO
+    // right row — its match must arrive via the carry join, which a
+    // plain equi-join on the key would drop (r17 ADVICE)
+    val right = Seq(
+      (Option.empty[Long], 10L, 5.0),   // segment 0 under t/100
+      (Option.empty[Long], 210L, 6.0),  // segment 2
+      (Some(7L), 10L, 1.0)).toDF("k", "t", "v")
+    val left = Seq(
+      (Option.empty[Long], 150L, "carry"), // segment 1: carry-in = 5.0
+      (Option.empty[Long], 5L, "none"),    // before any right → null
+      (Some(7L), 150L, "key7")).toDF("k", "t", "tag")
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1),
+        r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val plain = shape(AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t", Seq("v")))
+    val seg = shape(AsOfJoin.leftAsOfSegmented(left, right,
+      Seq("k"), "t", "t", Seq("v"))(t => (t / 100).cast("long")))
+    assert(plain.contains((None, 150L, "carry", Some(5.0))),
+      "fixture must exercise the null-key cross-segment carry")
+    assert(seg == plain, s"segmented diverged on null keys: $seg vs $plain")
+  }
+
+  test("checkSegment catches a non-monotone (hour-of-day) segmentation") {
+    val s = spark
+    import s.implicits._
+    val right = (0 until 60).map(i => (1L, i * 10L, i.toDouble)).toDF("k", "t", "v")
+    val left = (0 until 60).map(i => (1L, i * 10L + 5, i.toLong)).toDF("k", "t", "id")
+    // monotone hour buckets pass the sampled guard
+    AsOfJoin.leftAsOfSegmented(left, right, Seq("k"), "t", "t", Seq("v"),
+      checkSegment = true)(t => (t / 100).cast("long")).collect()
+    // cyclic hour-OF-DAY (t % 240) must be caught
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOfSegmented(left, right, Seq("k"), "t", "t", Seq("v"),
+        checkSegment = true)(t => (t % 240).cast("long")).collect()
+    }
+    assert(e.getMessage.contains("NOT monotone"))
+  }
+
   test("hand-computed golden: <= semantics, nulls, key isolation") {
     val s = spark
     import s.implicits._
