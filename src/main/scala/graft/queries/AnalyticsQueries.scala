@@ -312,9 +312,17 @@ object AnalyticsQueries {
   /** PageRank over the part↔supplier supply graph (both directions of
     * every lineitem link, so no dangling nodes at fixture scale —
     * dangling mass is still handled) — see [[graft.graph.PageRank]].
-    * Top-20 hubs by rounded rank with integer tie-breaks. NATIVE
-    * (PageRankSpec: closed-form graphs, local-replica equality,
-    * Σrank = 1). */
+    * Top-20 hubs by rounded rank with integer tie-breaks. ORACLE
+    * since r18: the DuckDB twin runs the SAME fixed-iteration power
+    * method as a recursive CTE ([[graphPagerankSql]], the q_graph_bfs
+    * pattern) — the bidirectional construction means every node has
+    * in-edges, so the recursive term needs no left join and the
+    * single-recursive-reference restriction holds. PageRankSpec
+    * retains the closed-form graphs, local-replica equality and
+    * Σrank = 1 (dangling redistribution is exercised there; this
+    * graph has none by construction). The output column is `pr_rank`,
+    * not `rank` — a bare `rank` identifier reads as the window
+    * function in DuckDB re-selects. */
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Fixtures.lineitem(spark, sfDir)
@@ -338,10 +346,45 @@ object AnalyticsQueries {
         when($"node" % 2 === 0, lit("part")).otherwise(lit("supplier"))
           .as("node_type"),
         shiftright($"node", 1).as("entity_id"),
-        round($"rank", 7).as("rank"))
-      .orderBy(desc("rank"), $"node_type", $"entity_id")
+        round($"rank", 7).as("pr_rank"))
+      .orderBy(desc("pr_rank"), $"node_type", $"entity_id")
       .limit(20)
   }
+
+  /** Fixed-iteration power method as a DuckDB recursive CTE: the
+    * working table holds exactly the previous iteration's (node,
+    * rank) rows (UNION ALL semantics), so each recursive step is one
+    * join-onto-edges + group-by-dst — the same single shuffle pair
+    * the distributed loop runs. Iteration count and damping match
+    * [[graphPagerank]] exactly; base term (1-d)/n only, because the
+    * bidirectional graph has no dangling mass. */
+  val graphPagerankSql: String =
+    """WITH RECURSIVE
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT CAST(l_partkey*2 AS BIGINT) AS src,
+      |           CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem
+      |    UNION ALL
+      |    SELECT CAST(l_suppkey*2+1 AS BIGINT),
+      |           CAST(l_partkey*2 AS BIGINT) FROM lineitem)),
+      |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+      |deg AS MATERIALIZED (
+      |  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+      |params AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |pr(it, node, r) AS (
+      |  SELECT 0, node, 1.0/(SELECT n FROM params) FROM nodes
+      |  UNION ALL
+      |  SELECT it + 1, dst, 0.15/(SELECT n FROM params) + 0.85*mass FROM (
+      |    SELECT p.it AS it, e.dst AS dst, sum(p.r / d.deg) AS mass
+      |    FROM pr p JOIN e ON e.src = p.node JOIN deg d ON d.src = p.node
+      |    WHERE p.it < 8
+      |    GROUP BY 1, 2))
+      |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+      |    AS node_type,
+      |  node // 2 AS entity_id, round(r, 7) AS pr_rank
+      |FROM pr WHERE it = 8
+      |ORDER BY pr_rank DESC, node_type, entity_id LIMIT 20""".stripMargin
 
   /** Batch sessionization — the gap-based session assignment every
     * event warehouse materializes (the BATCH twin of
@@ -1626,6 +1669,7 @@ object AnalyticsQueries {
     "q_agg_moments" -> (aggMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> graphPagerankSql,
     "q_ts_concurrency" -> tsConcurrencySql,
     "q_agg_overlap" -> aggOverlapSql,
     "q_ts_acf" -> tsAcfSql,

@@ -420,15 +420,24 @@ object JoinQueries {
   private val dppWarehouse =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** Stage the date-partitioned fact layout + a parquet dim table
-    * once per (session, sfDir) — same memo discipline as the
-    * bucketed warehouse. The dim is WRITTEN AND READ BACK on
-    * purpose: a literal local dim gets its selective filter
-    * constant-folded into the LocalRelation and DPP never fires
-    * (the RuntimeFilterSpec lesson). */
+  /** Stage the date-partitioned fact layout + a parquet dim table at
+    * the FIXED `dpp` staging path (survives JVM exit:
+    * q_scan_inventory's DuckDB twin re-reads these very footers in a
+    * later process). Memoized per (session, sfDir) like the bucketed
+    * warehouse, BUT the path is name-only, so a request for a
+    * DIFFERENT sfDir in the same JVM evicts the memo and RE-STAGES —
+    * last-writer-wins, the standard fixed-path ordering contract;
+    * without the eviction a second sfDir would silently read the
+    * first one's files. The dim is WRITTEN AND READ BACK on purpose:
+    * a literal local dim gets its selective filter constant-folded
+    * into the LocalRelation and DPP never fires (the
+    * RuntimeFilterSpec lesson). */
   private[queries] def ensureDppLayout(spark: SparkSession, sfDir: String): String =
-    dppWarehouse.computeIfAbsent((spark, sfDir), { case (s, d) =>
-      val base = graft.TmpDirs.create("graft_dpp")
+    dppWarehouse.synchronized {
+      if (!dppWarehouse.containsKey((spark, sfDir)) && !dppWarehouse.isEmpty)
+        dppWarehouse.clear() // sfDir/session switch: force a re-stage
+      dppWarehouse.computeIfAbsent((spark, sfDir), { case (s, d) =>
+      val base = graft.TmpDirs.fixed("dpp")
       Fixtures.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year")
@@ -444,6 +453,7 @@ object JoinQueries {
         .write.mode("overwrite").parquet(s"$base/years")
       base
     })
+    }
 
   /** Dynamic partition pruning — THE scan-elision mechanism for a
     * date-partitioned 100 TB fact table: the fact side is laid out

@@ -541,9 +541,12 @@ object PipelineQueries {
     * data. At 100 TB that second pass is exactly what a monitoring
     * query can't afford: here the pipeline action (a count over the
     * filtered frame) and the metrics (total rows seen pre-filter,
-    * high-discount rows, date extrema) come out of ONE scan. The
-    * metrics row is the query result; ObserveSpec proves the values
-    * equal independently-computed aggregates. */
+    * high-discount rows, date extrema) come out of ONE scan. ORACLE
+    * since r18: the observed metrics row is plain aggregates, so the
+    * DuckDB twin is the direct aggregation SQL — cross-engine proof
+    * that observe() reports the true values; ObserveSpec retains the
+    * same-scan law (metrics equal independently-computed aggregates
+    * without a second pass). */
   def pipelineObserve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val obs = org.apache.spark.sql.Observation()
@@ -561,6 +564,17 @@ object PipelineQueries {
       m("min_qty").asInstanceOf[Double], m("max_qty").asInstanceOf[Double]))
       .toDF("rows_kept", "rows_seen", "high_discount", "min_qty", "max_qty")
   }
+
+  val pipelineObserveSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity >= 10.0)
+      |    AS rows_kept,
+      |  count(*) AS rows_seen,
+      |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS high_discount,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty
+      |FROM lineitem""".stripMargin
 
   /** Corpus-level span dedup, the C4-style sibling of whole-document
     * dedup: chop each document into consecutive non-overlapping 8-word
@@ -874,6 +888,7 @@ object PipelineQueries {
     "q_text_tokens" -> (textTokens _))
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_observe" -> pipelineObserveSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_substring" -> dedupSubstringSql,
     "q_dedup_delta" -> dedupDeltaSql,

@@ -504,21 +504,49 @@ object ScanQueries {
     * deciding to compact, re-sort, or trust min/max pruning. Footers
     * are KBs regardless of file size, so the scan is file-count-
     * scale: the file list is a driver listing (metadata), footer
-    * reads fan out over the cluster via mapPartitions. NATIVE
-    * (InventorySpec: footer aggregates equal a data-side recompute —
-    * rows, min/max per partition — the stats-are-truthful law). */
-  def scanInventory(spark: SparkSession, sfDir: String): DataFrame = {
+    * reads fan out over the cluster via mapPartitions. ORACLE since
+    * r18 (DuckDB parquet_metadata over the same staged files, see
+    * [[scanInventorySql]]); InventorySpec retains the
+    * stats-are-truthful law (footer aggregates equal a data-side
+    * recompute) and drives the same code path over a
+    * MockS3Server-backed HTTP layout. */
+  def scanInventory(spark: SparkSession, sfDir: String): DataFrame =
+    inventoryOf(spark, s"${JoinQueries.ensureDppLayout(spark, sfDir)}/orders")
+
+  /** The reusable inventory over ANY Hadoop-resolvable `o_year=`
+    * layout — local paths, s3a, or the repo's ranged-HTTP filesystem:
+    * the listing goes through `FileSystem.listStatus` (never
+    * `java.io.File`, which only speaks local disk), and the SESSION's
+    * Hadoop conf rides to executors via a broadcast
+    * [[graft.sources.SerializableHadoopConf]] so custom scheme
+    * registrations (`fs.http.impl`, SigV4 keys) resolve inside tasks
+    * too. InventorySpec drives this same code path against a
+    * MockS3Server-backed HTTP layout. */
+  def inventoryOf(spark: SparkSession, ordersBase: String): DataFrame = {
     import spark.implicits._
-    val base = JoinQueries.ensureDppLayout(spark, sfDir)
-    val files = new java.io.File(s"$base/orders").listFiles()
-      .filter(_.isDirectory).flatMap { part =>
-        part.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => (part.getName.stripPrefix("o_year=").toLong,
-            f.getAbsolutePath))
+    val hconf = spark.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(ordersBase)
+    val fs = basePath.getFileSystem(hconf)
+    // wire-format filesystems (the ranged-HTTP FS) list names
+    // percent-encoded ('=' → %3D); local filesystems list them raw —
+    // one pattern accepts both, and the year value is digits either way
+    val yearDir = "(?i)^o_year(?:=|%3D)([0-9]+)$".r
+    val files = fs.listStatus(basePath)
+      .filter(_.isDirectory)
+      .flatMap { part =>
+        part.getPath.getName match {
+          case yearDir(y) =>
+            fs.listStatus(part.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map(f => (y.toLong, f.getPath.toString))
+          case _ => Array.empty[(Long, String)]
+        }
       }.toSeq
+    val bc = spark.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(hconf))
     spark.createDataset(files).repartition(8)
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = bc.value.value
         it.map { case (year, path) =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(path), conf)
@@ -552,16 +580,50 @@ object ScanQueries {
           } finally r.close()
         }
       }
-      .toDF("o_year", "rows", "row_groups", "compressed_bytes",
+      .toDF("o_year", "n_rows", "row_groups", "compressed_bytes",
         "total_bytes", "stat_min_price", "stat_max_price")
       .groupBy($"o_year")
-      .agg(count(lit(1)).as("n_files"), sum($"rows").as("rows"),
+      .agg(count(lit(1)).as("n_files"), sum($"n_rows").as("n_rows"),
         sum($"row_groups").as("row_groups"),
         sum($"compressed_bytes").as("compressed_bytes"),
         sum($"total_bytes").as("total_bytes"),
         round(min($"stat_min_price"), 2).as("stat_min_price"),
         round(max($"stat_max_price"), 2).as("stat_max_price"))
       .orderBy($"o_year")
+  }
+
+  /** ORACLE twin (r18, VERDICT item 2): DuckDB `parquet_metadata()`
+    * over the SAME staged files re-derives every number from its own
+    * independent footer parser — per-row-group rows, per-column
+    * compressed/uncompressed byte totals, and the o_totalprice
+    * min/max statistics — flipping the footer-truthfulness law from
+    * a self-check to a cross-engine hash match. The o_year partition
+    * value comes back out of the file path, exactly like Spark's
+    * directory inference. */
+  def scanInventorySql: String = {
+    val base = graft.TmpDirs.fixed("dpp")
+    s"""WITH md AS (
+      |  SELECT CAST(regexp_extract(file_name, 'o_year=(\\d+)', 1) AS BIGINT)
+      |      AS o_year, *
+      |  FROM parquet_metadata('$base/orders/o_year=*/*.parquet')),
+      |rg AS (
+      |  SELECT o_year, file_name, row_group_id,
+      |    any_value(row_group_num_rows) AS rg_rows,
+      |    sum(total_compressed_size) AS comp,
+      |    sum(total_uncompressed_size) AS raw,
+      |    min(CASE WHEN path_in_schema = 'o_totalprice'
+      |        THEN CAST(stats_min_value AS DOUBLE) END) AS mn,
+      |    max(CASE WHEN path_in_schema = 'o_totalprice'
+      |        THEN CAST(stats_max_value AS DOUBLE) END) AS mx
+      |  FROM md GROUP BY 1, 2, 3)
+      |SELECT o_year, count(DISTINCT file_name) AS n_files,
+      |  CAST(sum(rg_rows) AS BIGINT) AS n_rows,
+      |  count(*) AS row_groups,
+      |  CAST(sum(comp) AS BIGINT) AS compressed_bytes,
+      |  CAST(sum(raw) AS BIGINT) AS total_bytes,
+      |  round(min(mn), 2) AS stat_min_price,
+      |  round(max(mx), 2) AS stat_max_price
+      |FROM rg GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -579,6 +641,7 @@ object ScanQueries {
     "q_setops" -> (setops _))
 
   val oracle: Map[String, String] = Map(
+    "q_scan_inventory" -> scanInventorySql,
     "q_scan_csv" -> scanCsvSql,
     "q_scan_project" -> scanProjectSql,
     "q_scan_unpivot" -> scanUnpivotSql,

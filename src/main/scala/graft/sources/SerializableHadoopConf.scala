@@ -1,0 +1,25 @@
+package graft.sources
+
+/** Hadoop `Configuration` is not `java.io.Serializable`, so a task
+  * closure cannot carry the session's conf (custom filesystem
+  * registrations like `fs.http.impl`, endpoints, SigV4 keys) to
+  * executors directly. This wrapper serializes it via the conf's own
+  * Writable contract — the same pattern Spark uses internally; a
+  * fresh `new Configuration()` inside a task would silently LOSE all
+  * session-level settings and only resolve default schemes. Broadcast
+  * it rather than capturing per-task (the conf is KBs). */
+class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}

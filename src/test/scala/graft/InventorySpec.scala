@@ -33,4 +33,42 @@ class InventorySpec extends SparkSpec {
         s"byte accounting for $y (compressed <= total)")
     }
   }
+
+  test("the same inventory runs over a MockS3Server-backed HTTP layout, ranged-only") {
+    import graft.sink.MockS3Server
+    import graft.sources.HttpRangeFileSystem
+    // stage the local layout first (also the memoized source of truth)
+    val localInv = ScanQueries.scanInventory(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val ordersDir = java.nio.file.Paths.get(graft.TmpDirs.fixed("dpp"), "orders")
+    val srv = new MockS3Server
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      java.nio.file.Files.walk(ordersDir).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val key = "orders/" + ordersDir.relativize(p).toString
+          srv.putObject("inv", key, java.nio.file.Files.readAllBytes(p))
+        }
+      }
+      hc.set("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+      hc.set("fs.http.impl.disable.cache", "true")
+      // one-level exploration: o_year= partitions surface as
+      // CommonPrefixes directories, exactly like a real S3 layout
+      hc.set("fs.http.list.delimited", "true")
+      val httpInv = ScanQueries
+        .inventoryOf(spark, s"${srv.endpoint}/inv/orders")
+        .collect().map(_.toSeq).toSeq
+      assert(httpInv == localInv,
+        s"HTTP inventory diverged:\n$httpInv\nvs local\n$localInv")
+      // the 100 TB law: footer reads are RANGED GETs only — an
+      // unbounded GET would stream whole data files to read KBs
+      assert(srv.unboundedGets == 0,
+        s"inventory issued ${srv.unboundedGets} unbounded GETs")
+    } finally {
+      srv.stop()
+      hc.unset("fs.http.impl")
+      hc.unset("fs.http.impl.disable.cache")
+      hc.unset("fs.http.list.delimited")
+    }
+  }
 }
