@@ -992,12 +992,16 @@ object TextQueries {
     * single-pass scanner family as the text extractor (all three
     * attribute-quoting forms), relative links resolved against the
     * page's own host, cross-host edges ranked by the shared PageRank
-    * operator. Shape at 100 TB: link extraction is a narrow flatMap;
-    * the host-level graph is domains-scale (≪ pages); rank joins per
-    * PageRank's cached-edge-frame discipline. NATIVE: page synthesis
-    * and the href scanner are engine-side (LinkGraphSpec: scanner
-    * goldens, per-page link census, distributed-vs-driver edge
-    * equality, Σrank = 1). */
+    * power method. Shape at 100 TB: link extraction is a narrow
+    * flatMap; ONE distributed groupBy collapses page-scale links to
+    * the domains²-bounded host-pair matrix; everything after —
+    * degrees AND the rank fixed point ([[graft.graph.PageRank.runLocal]],
+    * pinned ≡ the distributed operator in PageRankSpec) — is
+    * driver-side arithmetic on that metadata-scale matrix, so the
+    * rank iterations cost microseconds instead of 2·iters shuffles.
+    * NATIVE: page synthesis and the href scanner are engine-side
+    * (LinkGraphSpec: scanner goldens, per-page link census,
+    * distributed-vs-driver edge equality, Σrank = 1). */
   def crawlLinks(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val edges = Fixtures.documents(spark, sfDir)
@@ -1020,29 +1024,28 @@ object TextQueries {
           }
       }
       .toDF("src", "dst")
-      .cache()
-    // the host-pair matrix is domains²-bounded — collect it ONCE,
-    // derive all three degree columns driver-side, and release the
-    // edge cache as soon as PageRank (which consumes it eagerly
-    // inside run()) is done
-    val ext = edges.filter($"src" =!= $"dst")
-    val ranks = graft.graph.PageRank.run(ext, iters = 10)
-      .select($"node".as("host_num"), round($"rank", 6).as("rank"))
+    // ONE distributed aggregation collapses page-scale links to the
+    // domains²-bounded host-pair matrix; a single collect of that
+    // matrix feeds the degree columns AND the rank fixed point — no
+    // further cluster round-trips
     val pairCounts = edges.groupBy($"src", $"dst")
       .agg(count(lit(1)).as("n"))
       .as[(Long, Long, Long)].collect()
-    edges.unpersist(blocking = false)
+    val extPairs = pairCounts.collect {
+      case (s, d, _) if s != d => (s, d)
+    }.toSeq
+    val ranks = graft.graph.PageRank.runLocal(extPairs, iters = 10)
+    // hosts with only self-links have no rank (same semantics as the
+    // old inner join onto the distributed rank frame)
     val hosts = pairCounts.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    val stats = hosts.map { h =>
+    val stats = hosts.filter(ranks.contains).map { h =>
       val outAll = pairCounts.filter(_._1 == h).map(_._3).sum
       val extOut = pairCounts.filter(p => p._1 == h && p._2 != h).map(_._3).sum
       val extIn = pairCounts.filter(p => p._2 == h && p._1 != h).map(_._3).sum
-      (h, outAll, extOut, extIn)
+      (h, outAll, extOut, extIn, math.round(ranks(h) * 1e6) / 1e6)
     }.toSeq
     spark.createDataset(stats)
-      .toDF("host_num", "out_links", "ext_out", "ext_in")
-      .join(ranks, Seq("host_num"))
-      .select($"host_num", $"out_links", $"ext_out", $"ext_in", $"rank")
+      .toDF("host_num", "out_links", "ext_out", "ext_in", "rank")
       .orderBy($"host_num")
   }
 

@@ -62,6 +62,20 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
   }
 
+  test("runLocal equals the distributed operator (dangling + cyclic graphs)") {
+    val rnd = new scala.util.Random(23)
+    val edges = ((1 to 120).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(30).toLong)
+    } ++ Seq((0L, 1L), (1L, 0L))).filter(e => e._1 != e._2).distinct
+    val dist = runPairs(edges, iters = 10)
+    val local = PageRank.runLocal(edges, iters = 10)
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (v, r) =>
+      assert(math.abs(r - dist(v)) < 1e-9, s"node $v: $r vs ${dist(v)}")
+    }
+    assert(math.abs(local.values.sum - 1.0) < 1e-9)
+  }
+
   test("q_graph_pagerank: 20 rows, rank-ordered, sane node encoding") {
     val rows = AnalyticsQueries.graphPagerank(spark, sfDir).collect()
     assert(rows.length == 20)
