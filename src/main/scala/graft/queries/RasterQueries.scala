@@ -49,6 +49,12 @@ object RasterQueries {
     pyramidRollup(spark, sfDir, "lanczos")
 
   private[graft] def pyramidRollup(spark: SparkSession, sfDir: String,
+      kernel: String): DataFrame =
+    WindowQueries.withShufflePartitions(spark, 8) {
+      pyramidRollupBody(spark, sfDir, kernel)
+    }
+
+  private def pyramidRollupBody(spark: SparkSession, sfDir: String,
       kernel: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -117,7 +123,13 @@ object RasterQueries {
   /** Encode + distributed prefix-sum placement WITHOUT the sink: the
     * (level, ty, tx, offset, nbytes) plan rows, file-ordered — directly
     * the reference's parts_info table (ccog/ccog.py:717-773). */
-  def rasterAssemble(spark: SparkSession, sfDir: String): DataFrame = {
+  def rasterAssemble(spark: SparkSession, sfDir: String): DataFrame =
+    // size-to-grid shuffle partitions, same rationale as mosaic_write
+    WindowQueries.withShufflePartitions(spark, 8) {
+      rasterAssembleBody(spark, sfDir)
+    }
+
+  private def rasterAssembleBody(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = edge(sfDir)
     val prof = RasterProfile(e, e, blockSize = 128, nodata = ND,
@@ -139,7 +151,12 @@ object RasterQueries {
   /** Full write_ccog analog: synthetic raster → assembled COG bytes via
     * the local multipart sink; returns the file's structural fingerprint
     * (deflate is deterministic, so sha256 is a golden). */
-  def cogWriteBytes(spark: SparkSession, sfDir: String): DataFrame = {
+  def cogWriteBytes(spark: SparkSession, sfDir: String): DataFrame =
+    WindowQueries.withShufflePartitions(spark, 8) {
+      cogWriteBytesBody(spark, sfDir)
+    }
+
+  private def cogWriteBytesBody(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = edge(sfDir)
     val prof = RasterProfile(e, e, blockSize = 128, nodata = ND,
@@ -256,7 +273,12 @@ object RasterQueries {
     * pipeline via the SQL surface (geometry inferred from the tile
     * columns), then the new file is read back and rolled up with the
     * same per-level invariant as the read queries. */
-  def rasterDsv2Write(spark: SparkSession, sfDir: String): DataFrame = {
+  def rasterDsv2Write(spark: SparkSession, sfDir: String): DataFrame =
+    WindowQueries.withShufflePartitions(spark, 8) {
+      rasterDsv2WriteBody(spark, sfDir)
+    }
+
+  private def rasterDsv2WriteBody(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (uri, prof) = writeReadbackCog(spark)
     val dir = graft.TmpDirs.create("graft-dsv2w")
@@ -376,7 +398,16 @@ object RasterQueries {
     * each batch of new spatial regions lands as new immutable COG
     * files, and appends carry explicit geometry because inference
     * would clip to the partial extent (CogWriteSupport scaladoc). */
-  def rasterMosaicWrite(spark: SparkSession, sfDir: String): DataFrame = {
+  def rasterMosaicWrite(spark: SparkSession, sfDir: String): DataFrame =
+    // shuffle partitions sized to the tile grid (the prefix-sum sort
+    // and stats agg inside each region's CogWriter job otherwise fan
+    // 48-tile regions across 32 near-empty tasks) — the same
+    // size-to-volume discipline as the streaming demos and PageRank
+    WindowQueries.withShufflePartitions(spark, 8) {
+      rasterMosaicWriteBody(spark, sfDir)
+    }
+
+  private def rasterMosaicWriteBody(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val e = edge(sfDir)
@@ -385,7 +416,13 @@ object RasterQueries {
       minOverviewSize = 128,
       geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
     val dir = graft.TmpDirs.create("graft-qmwrite") + "/mosaic"
+    // persist the SYNTHETIC input: each region sub-write re-filters
+    // its source on purpose (at 100 TB that re-scan is a pruned
+    // parquet/cog read — the right trade), but a generated frame has
+    // no storage to prune against, so without the cache every region
+    // job and geometry probe would re-run the generator
     val tiles = SyntheticRaster.generate(spark, prof, seed = 83L).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (pred <- Seq(col("tx") < grid, col("tx") >= grid)) {
       tiles.filter(pred)
         .write.format("cog")
@@ -399,6 +436,7 @@ object RasterQueries {
         .option("originx", "500000.0").option("originy", "6400000.0")
         .mode("append").save(dir)
     }
+    tiles.unpersist(blocking = false) // read-back below scans the files
     val perTile = spark.read.format("cog").load(dir).where($"level" === 0)
       .select($"src", $"h", $"w", $"pixels")
       .as[(String, Int, Int, Array[Double])]

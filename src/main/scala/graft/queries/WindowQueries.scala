@@ -32,7 +32,7 @@ object WindowQueries {
     * rows by design — the operator SEMANTICS are what's exercised; a
     * production stream would size partitions to its volume exactly the
     * same way. */
-  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[queries] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)

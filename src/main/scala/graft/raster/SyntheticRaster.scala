@@ -42,7 +42,13 @@ object SyntheticRaster {
 
   /** Level-0 tile grid, one Spark task per tile; band-major planes
     * (band b uses seed+1000003*b so bands differ but stay coupled to
-    * the shared mask). */
+    * the shared mask). Partitioning stays at defaultParallelism ON
+    * PURPOSE: the downstream per-tile ENCODE (deflate) inherits this
+    * width, and shrinking it to "a few tiles per task" serialized the
+    * CPU-heavy codec (q_cog_write_bytes 3.2 s → 9.4 s measured).
+    * Shuffle-side task-count overhead is handled where it belongs —
+    * the write queries set spark.sql.shuffle.partitions to the grid
+    * scale around their prefix-sum/stats shuffles. */
   def generate(spark: SparkSession, profile: RasterProfile, seed: Long,
       withMask: Boolean = true): Dataset[Tile] = {
     import spark.implicits._
