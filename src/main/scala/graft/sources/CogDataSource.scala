@@ -314,15 +314,30 @@ object CogWriteSupport {
       .distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1))).sortBy(identity).toSeq
     require(keys.nonEmpty, "cog mosaic write got zero level-0 tiles")
-    if (appendInto) {
-      val existing = fs.listStatus(target).map(_.getPath.getName).collect {
+    // mosaic crash-RESUME (`s3.resume=true`, object-store targets):
+    // regions the dead writer COMPLETED persist as whole, valid COGs
+    // at their final keys (MPU complete is atomic — whole-or-absent),
+    // so a resumed append SKIPS them instead of 412-colliding; the
+    // region it died INSIDE still has a live MPU, which the per-region
+    // insertSingleS3 adopts part-by-part (verified, zero re-upload);
+    // never-started regions write fresh. Same contract as the
+    // single-object path: the INPUT must be unchanged (the encode
+    // pipeline is deterministic, so completed regions' bytes are the
+    // reran plan's bytes) and single-writer-per-mosaic is a hard
+    // precondition.
+    val resume = s3.isDefined && opts.get("s3.resume").exists(_.toBoolean)
+    val existing: Set[(Int, Int)] =
+      if (!appendInto) Set.empty
+      else fs.listStatus(target).map(_.getPath.getName).collect {
         case PartName(ry, rx) => (ry.toInt, rx.toInt)
       }.toSet
+    if (appendInto && !resume) {
       val collide = keys.filter(existing)
       require(collide.isEmpty,
         s"mosaic append would overwrite existing regions ${collide.take(5).mkString(",")}" +
           " — region COGs are immutable; use mode(\"overwrite\") to rebuild the mosaic")
     }
+    val pending = if (resume) keys.filterNot(existing) else keys
     val (bs, width, height, bands) = inferGeometry(level0, opts)
     val regionPx = grid.toLong * bs
     require(regionPx < Int.MaxValue, s"mosaic region too large: $regionPx px")
@@ -347,12 +362,12 @@ object CogWriteSupport {
     require(maxConcurrent > 0,
       s"mosaic.maxConcurrentFiles must be positive (got $maxConcurrent)")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(maxConcurrent, keys.size))
+      math.max(1, math.min(maxConcurrent, pending.size)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
       scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(keys.map { case (ry, rx) =>
+        scala.concurrent.Future.sequence(pending.map { case (ry, rx) =>
           scala.concurrent.Future {
             require(ry >= 0 && rx >= 0, s"negative tile index in region ($ry,$rx)")
             val rw = math.min(regionPx, width - rx * regionPx).toInt
@@ -395,7 +410,7 @@ object CogWriteSupport {
         // byte-identical; the move loop itself is per-file atomic (a
         // crash mid-loop leaves a prefix of whole, valid region files,
         // never a torn one).
-        for ((ry, rx) <- keys) {
+        for ((ry, rx) <- pending) {
           val name = f"part-$ry%03d-$rx%03d.tif"
           require(fs.rename(new Path(tmpDir, name), new Path(target, name)),
             s"rename $tmpDir/$name -> $target/$name failed")
@@ -430,8 +445,9 @@ object CogWriteSupport {
           throw new java.io.IOException(
             "S3 mosaic write failed part-way: regions committed before the " +
               "failure remain at their final keys (each is a whole, valid " +
-              "COG); rerun the append for the missing regions or remove " +
-              "the partial set", e)
+              "COG); rerun the SAME write with s3.resume=true to skip them " +
+              "and adopt the in-flight region's upload, or remove the " +
+              "partial set", e)
         throw e
     } finally pool.shutdown()
   }

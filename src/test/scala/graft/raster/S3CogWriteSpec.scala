@@ -159,6 +159,112 @@ class S3CogWriteSpec extends SparkSpec {
     }
   }
 
+  test("mosaic kill-and-resume: completed regions skipped, in-flight MPU adopted, zero re-upload") {
+    withServer { srv =>
+      val p = prof()
+      val grid = 2
+      val names = Seq("part-000-000.tif", "part-000-001.tif",
+        "part-001-000.tif", "part-001-001.tif")
+      def mosaicWrite(prefix: String, resume: Boolean): Unit = withHttpFs {
+        val w = writeOpts(SyntheticRaster.generate(spark, p, seed = 351L).toDF())
+          .option("mosaic.grid", grid.toString)
+          .option("blocksize", "16")
+          .option("width", "64").option("height", "48")
+          .option("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+          .option("fs.http.impl.disable.cache", "true")
+        (if (resume) w.option("s3.resume", "true") else w)
+          .mode("append").save(s"${srv.endpoint}/lake/$prefix")
+      }
+      // ground truth: the uncrashed mosaic fixes every region's exact
+      // bytes (the encode pipeline is deterministic — resume relies on
+      // exactly this)
+      mosaicWrite("truth", resume = false)
+      val truth = names.map(n => n -> srv.storedObject("lake", s"truth/$n").get).toMap
+      assert(truth.size == 4)
+
+      // crash fixture at lake/m4: region (0,0) COMPLETED before the
+      // writer died (whole object at its final key, MPU complete is
+      // atomic); region (0,1) died MID-UPLOAD — its MPU is live with
+      // its (single, verifiable) part stored; (1,0)/(1,1) never started
+      srv.putObject("lake", "m4/part-000-000.tif", truth("part-000-000.tif"))
+      val preStage = srv.partUploads.length
+      val stale = new graft.sink.S3MultipartSink(srv.endpoint, "lake",
+        "m4/part-000-001.tif")
+      stale.start()
+      stale.uploadPart(1, truth("part-000-001.tif"))
+      val staged = srv.partUploads.drop(preStage)
+      val staleId = staged.head._1
+      assert(staged.map(_._2) == Seq(1) && srv.liveUploadCount == 1)
+      val preResume = srv.partUploads.length
+
+      // the restarted writer reruns the SAME write with s3.resume=true
+      mosaicWrite("m4", resume = true)
+
+      names.foreach { n =>
+        assert(java.util.Arrays.equals(
+          srv.storedObject("lake", s"m4/$n").get, truth(n)),
+          s"$n must be byte-identical to the uncrashed mosaic")
+      }
+      assert(srv.storedObject("lake", "m4/.graft_mosaic").isDefined,
+        "resume must still land the geometry manifest")
+      val delta = srv.partUploads.drop(preResume)
+      // per-region zero-re-upload ledger: the adopted region's stored
+      // part never re-uploads (its uploadId is absent from the delta),
+      // the completed region initiates nothing, and exactly the two
+      // never-started regions upload — 2 fresh uploadIds, no more
+      assert(!delta.map(_._1).contains(staleId),
+        "the in-flight region's stored part must be adopted, not re-uploaded")
+      assert(delta.map(_._1).distinct.length == 2,
+        s"exactly the two never-started regions may upload, got ${delta.length} " +
+          s"part PUTs over ${delta.map(_._1).distinct.length} uploads")
+      assert(srv.liveUploadCount == 0, "every MPU must be completed")
+    }
+  }
+
+  test("mosaic resume with a CHANGED input re-uploads the mismatched part, not trusts it") {
+    withServer { srv =>
+      val p = prof(32, 32) // single region (grid 2 covers 2x2 tiles)
+      def write(seed: Long, resume: Boolean): Unit = withHttpFs {
+        val w = writeOpts(SyntheticRaster.generate(spark, p, seed).toDF())
+          .option("mosaic.grid", "2")
+          .option("blocksize", "16")
+          .option("width", "32").option("height", "32")
+          .option("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+          .option("fs.http.impl.disable.cache", "true")
+        (if (resume) w.option("s3.resume", "true") else w)
+          .mode("append").save(s"${srv.endpoint}/lake/m5")
+      }
+      // a dead writer left an MPU whose stored part belongs to a
+      // DIFFERENT input (seed 362): the resumed writer's plan must
+      // fail verification and re-upload, never complete stale bytes
+      write(362L, resume = false)
+      val wrong = srv.storedObject("lake", "m5/part-000-000.tif").get
+      // clear the object, re-stage it as an in-flight MPU part
+      val stale = new graft.sink.S3MultipartSink(srv.endpoint, "lake",
+        "m6/part-000-000.tif")
+      stale.start()
+      stale.uploadPart(1, wrong)
+      val pre = srv.partUploads.length
+      def writeM6(): Unit = withHttpFs {
+        writeOpts(SyntheticRaster.generate(spark, p, 361L).toDF())
+          .option("mosaic.grid", "2")
+          .option("blocksize", "16")
+          .option("width", "32").option("height", "32")
+          .option("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+          .option("fs.http.impl.disable.cache", "true")
+          .option("s3.resume", "true")
+          .mode("append").save(s"${srv.endpoint}/lake/m6")
+      }
+      writeM6()
+      val delta = srv.partUploads.drop(pre)
+      assert(delta.nonEmpty, "the mismatched part must be re-uploaded")
+      val got = srv.storedObject("lake", "m6/part-000-000.tif").get
+      assert(!java.util.Arrays.equals(got, wrong),
+        "the final object must carry the resumed plan's bytes, not the stale input's")
+      assert(srv.liveUploadCount == 0)
+    }
+  }
+
   test("mosaic overwrite on S3 is refused: no atomic directory swap exists") {
     withServer { srv =>
       val p = prof(32, 32)
