@@ -951,9 +951,13 @@ object AnalyticsQueries {
     * dedupe-to-canonical-form pipeline for entity names / spelling
     * variants. Terms get deterministic dense ids (row_number over the
     * sorted vocabulary) so the numeric CC labels map back stably.
-    * NATIVE (iterative; EntityResolveSpec pins exact equality with
-    * brute-force components of the brute-force pair graph, plus the
-    * canonical-member law). */
+    * ORACLE since r18 ([[entityResolveSql]]): DuckDB brute-forces the
+    * lev ≤ 2 pair graph (the fixture vocabulary is closed and small,
+    * so V² is trivial there — the ENGINE side still runs the PassJoin
+    * blocking that scales) and closes it with the q_dedup_clusters
+    * recursive-CTE pattern, making the PassJoin-completeness law a
+    * cross-engine hash match. EntityResolveSpec retains exact equality
+    * with brute-force components plus the canonical-member law. */
   def entityResolve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val terms = Fixtures.documents(spark, sfDir)
@@ -987,6 +991,38 @@ object AnalyticsQueries {
     terms.unpersist()
     out
   }
+
+  /** Brute-force lev ≤ 2 pair graph + recursive-CTE transitive
+    * closure — cross-engine truth for [[entityResolve]]. The oracle
+    * may brute-force V² because the fixture vocabulary is closed; the
+    * engine's PassJoin blocking must produce EXACTLY the same pair
+    * set or the component hash diverges (this is the completeness law
+    * EntityResolveSpec proves locally, now cross-engine). Dense ids
+    * are rank-by-term on both sides, so min-id == min-term. */
+  val entityResolveSql: String =
+    """WITH RECURSIVE
+      |vocab AS MATERIALIZED (
+      |  SELECT term, row_number() OVER (ORDER BY term) AS id FROM (
+      |    SELECT DISTINCT
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |    FROM documents) WHERE length(term) > 0),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.id AS ida, b.id AS idb FROM vocab a JOIN vocab b
+      |    ON a.id < b.id AND levenshtein(a.term, b.term) <= 2),
+      |edges AS (SELECT ida AS u, idb AS v FROM pairs
+      |          UNION ALL SELECT idb, ida FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lab AS (SELECT u AS id, least(u, min(v)) AS cluster
+      |        FROM reach GROUP BY u)
+      |SELECT min(term) AS canonical, count(*) AS n_variants,
+      |  string_agg(term, ',' ORDER BY term) AS variants
+      |FROM (SELECT v.term, coalesce(l.cluster, v.id) AS cluster
+      |      FROM vocab v LEFT JOIN lab l ON l.id = v.id)
+      |GROUP BY cluster HAVING count(*) > 1
+      |ORDER BY canonical""".stripMargin
 
   /** Classifier evaluation — the third leg of the ML loop (train =
     * q_text_classifier, apply = q_stream_score, evaluate = THIS):
@@ -1693,5 +1729,6 @@ object AnalyticsQueries {
     "q_agg_mode" -> aggModeSql,
     "q_ts_islands" -> tsIslandsSql,
     "q_pipeline_e2e" -> pipelineE2eSql,
-    "q_agg_moments" -> aggMomentsSql)
+    "q_agg_moments" -> aggMomentsSql,
+    "q_entity_resolve" -> entityResolveSql)
 }
