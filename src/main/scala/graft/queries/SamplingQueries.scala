@@ -37,6 +37,47 @@ object SamplingQueries {
       |FROM documents
       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
+  /** Per-source document cap — the RefinedWeb/C4-style "no domain may
+    * contribute more than N documents" guard against template-farm
+    * domination of a crawl corpus. Ranking is a DETERMINISTIC
+    * multiplicative hash of doc_id (no RNG state): a rerun — or a
+    * different engine — keeps exactly the same documents, which is the
+    * property that lets incremental pipeline runs at 100 TB not churn
+    * the kept set. Shape: one row_number window partitioned by source
+    * (at scale sources ≫ cores, so partitions spread; no global sort
+    * exists), then a sources-scale rollup. ORACLE: DuckDB replays the
+    * identical hash-rank arithmetic. */
+  def sampleDomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 10
+    val rk = row_number().over(Window.partitionBy($"source")
+      .orderBy(($"doc_id" * lit(2654435761L)) % lit(4294967296L), $"doc_id"))
+    Fixtures.documents(spark, sfDir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("kept", (rk <= cap).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+        sum($"kept").as("n_kept"),
+        (count(lit(1)) - sum($"kept")).as("n_dropped"),
+        sum(when($"kept" === 1L, $"n_chars").otherwise(0L)).as("kept_chars"))
+      .orderBy($"source")
+  }
+
+  val sampleDomainCapSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(count(*) - sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(sum(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS kept_chars
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Stratified subsample: per-language sampling fractions (the "data
     * mixing" knob — upsample rare strata, downsample dominant ones),
     * seeded Bernoulli via sampleBy. NATIVE: the draw sequence is
@@ -391,6 +432,7 @@ object SamplingQueries {
     "q_shuffle_corpus" -> (shuffleCorpus _),
     "q_split_train" -> (splitTrain _),
     "q_sample_stratified" -> (sampleStratified _),
+    "q_sample_domain_cap" -> (sampleDomainCap _),
     "q_sample_weighted" -> (sampleWeighted _),
     "q_mix_weights" -> (mixWeights _),
     "q_mix_weights_bpe" -> (mixWeightsBpe _),
@@ -401,6 +443,7 @@ object SamplingQueries {
     "q_sample_negatives" -> sampleNegativesSql,
     "q_shuffle_corpus" -> shuffleCorpusSql,
     "q_split_train" -> splitTrainSql,
+    "q_sample_domain_cap" -> sampleDomainCapSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_mix_temperature" -> mixTemperatureSql)

@@ -53,6 +53,27 @@ class MetricsSpec extends SparkSpec {
     assert(auc <= 1.0)
   }
 
+  test("q_eval_calibration: bins partition the holdout, mean_p inside bin bounds") {
+    val m = AnalyticsQueries.evalMetrics(spark, sfDir).collect().head
+    val bins = AnalyticsQueries.evalCalibration(spark, sfDir).collect()
+    assert(bins.nonEmpty)
+    assert(bins.map(_.getLong(1)).sum == m.getLong(0),
+      "calibration bins must partition the same holdout q_eval_metrics scores")
+    bins.foreach { r =>
+      val (bin, meanP, fracPos) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(bin >= 0 && bin <= 9)
+      // rounding at 4 decimals can nudge the mean by <= 5e-5 past an edge
+      assert(meanP >= bin / 10.0 - 1e-4 && meanP <= (bin + 1) / 10.0 + 1e-4,
+        s"bin $bin mean_p $meanP outside its bounds")
+      assert(fracPos >= 0.0 && fracPos <= 1.0)
+    }
+    // a well-separating model (AUC >= 0.9 above) must be directionally
+    // calibrated: the lowest populated bin has a lower positive rate
+    // than the highest
+    assert(bins.head.getDouble(3) <= bins.last.getDouble(3),
+      "positive rate must not decrease from the bottom bin to the top")
+  }
+
   test("the distributed rank-sum equals the driver replica on a planted sample") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

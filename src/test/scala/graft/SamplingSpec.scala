@@ -40,4 +40,34 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == kept)
   }
+
+  test("q_sample_domain_cap: cap law, partition law, hash-rank determinism") {
+    val cap = 10L
+    val out = graft.queries.SamplingQueries.sampleDomainCap(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (total, kept, dropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept == math.min(cap, total), s"${r.getString(0)}: kept=$kept")
+      assert(kept + dropped == total, "kept + dropped must partition")
+    }
+    // the kept SET (not just the count) is a pure function of doc_id:
+    // replicate one source's hash ranking on the driver and match the
+    // query's kept_chars exactly
+    val src = out.head.getString(0)
+    val docs = Fixtures.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars")
+      .collect()
+      .filter(_.getString(0) == src)
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val expectKeptChars = docs
+      .sortBy { case (id, _) => ((id * 2654435761L) % 4294967296L, id) }
+      .take(cap.toInt).map(_._2).sum
+    assert(out.head.getLong(4) == expectKeptChars,
+      s"driver replica of the kept set for $src")
+    // rerun → byte-identical rollup (no RNG state anywhere)
+    val again = graft.queries.SamplingQueries.sampleDomainCap(spark, sfDir)
+      .collect()
+    assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
 }
