@@ -296,6 +296,61 @@ object TextQueries {
       |  CAST(pre % 2048 AS BIGINT) AS pack_offset
       |FROM p ORDER BY source, shard, doc_id""".stripMargin
 
+  /** Length-bucketed batching audit — the OTHER way to spend a token
+    * budget (q_pack_sequences concatenates; THIS pads): docs are routed
+    * to power-of-two length buckets (32..2048, the dynamic-batching
+    * scheme of every serving/finetune stack) and the rollup prices the
+    * padding: per bucket the doc count, real tokens, padded slots
+    * (cap × docs) and the waste ratio — the number that decides
+    * between bucketed padding and sequence packing for a corpus. The
+    * bucket ladder is explicit integer CASE arms (no float log2 —
+    * cross-engine exactness); docs beyond the top cap are truncated to
+    * it, exactly like a max_seq_len trainer. One map-side bucket key +
+    * one 7-row groupBy: nothing here shuffles more than the bucket
+    * cardinality at any corpus size. ORACLE: DuckDB replays the ladder
+    * and the integer padding algebra. */
+  def packBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = Fixtures.documents(spark, sfDir)
+      .withColumn("tokens", tokenCount($"text"))
+    val cap = when($"tokens" <= 32, 32L).when($"tokens" <= 64, 64L)
+      .when($"tokens" <= 128, 128L).when($"tokens" <= 256, 256L)
+      .when($"tokens" <= 512, 512L).when($"tokens" <= 1024, 1024L)
+      .otherwise(2048L)
+    t.withColumn("cap", cap)
+      .withColumn("eff", least($"tokens", lit(2048L)))
+      .groupBy($"cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"eff").as("real_tokens"))
+      .withColumn("padded_tokens", $"cap" * $"n_docs")
+      .select($"cap", $"n_docs", $"real_tokens", $"padded_tokens",
+        round(($"padded_tokens" - $"real_tokens").cast("double") /
+          $"padded_tokens", 4).as("waste_pct"))
+      .orderBy($"cap")
+  }
+
+  val packBucketsSql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT CASE WHEN tokens <= 32 THEN 32 WHEN tokens <= 64 THEN 64
+      |              WHEN tokens <= 128 THEN 128 WHEN tokens <= 256 THEN 256
+      |              WHEN tokens <= 512 THEN 512 WHEN tokens <= 1024 THEN 1024
+      |              ELSE 2048 END AS cap,
+      |    least(tokens, 2048) AS eff
+      |  FROM t),
+      |g AS (
+      |  SELECT CAST(cap AS BIGINT) AS cap, count(*) AS n_docs,
+      |    CAST(sum(eff) AS BIGINT) AS real_tokens,
+      |    CAST(cap * count(*) AS BIGINT) AS padded_tokens
+      |  FROM b GROUP BY cap)
+      |SELECT cap, n_docs, real_tokens, padded_tokens,
+      |  round(CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens, 4)
+      |    AS waste_pct
+      |FROM g ORDER BY cap""".stripMargin
+
   /** Materialize the packed sequences: concatenate each pack's
     * documents with an <eod> separator in doc_id order — the step that
     * turns the packing PLAN (q_pack_sequences) into actual training
@@ -1217,6 +1272,7 @@ object TextQueries {
     "q_text_token_count" -> (textTokenCount _),
     "q_text_repetition" -> (textRepetition _),
     "q_pack_sequences" -> (packSequences _),
+    "q_pack_buckets" -> (packBuckets _),
     "q_pack_materialize" -> (packMaterialize _),
     "q_text_bpe" -> (textBpe _),
     "q_pack_sequences_bpe" -> (packSequencesBpe _),
@@ -1239,6 +1295,7 @@ object TextQueries {
     "q_text_token_count" -> textTokenCountSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_pack_sequences" -> packSequencesSql,
+    "q_pack_buckets" -> packBucketsSql,
     "q_pack_materialize" -> packMaterializeSql,
     "q_text_pii" -> textPiiSql)
 }

@@ -226,4 +226,28 @@ class TokenizerSpec extends SparkSpec {
       assert(r.getAs[Long]("tokens") == local(r.getAs[String]("source")))
     }
   }
+
+  test("q_pack_buckets: ladder caps only, docs partitioned, padding algebra exact") {
+    val ladder = Set(32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+    val rows = TextQueries.packBuckets(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val corpus = graft.Fixtures.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus,
+      "every doc lands in exactly one bucket")
+    rows.foreach { r =>
+      val (cap, n, real, padded) = (r.getAs[Long]("cap"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("real_tokens"),
+        r.getAs[Long]("padded_tokens"))
+      assert(ladder.contains(cap), s"cap $cap not on the ladder")
+      assert(padded == cap * n, "padded slots are cap x docs by definition")
+      assert(real <= padded, "real tokens fit inside the padded slots")
+      // every doc in a cap-c bucket has tokens > previous cap (else it
+      // would have landed there), so real > n * prev_cap
+      val prev = ladder.filter(_ < cap).reduceOption(_ max _).getOrElse(0L)
+      assert(real > n * prev, s"bucket $cap holds docs the $prev bucket fits")
+      val waste = r.getAs[Double]("waste_pct")
+      assert(waste >= 0.0 && waste < 1.0)
+      assert(math.abs(waste - (padded - real).toDouble / padded) < 1e-4)
+    }
+  }
 }
