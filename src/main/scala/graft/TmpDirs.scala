@@ -70,37 +70,60 @@ object TmpDirs {
     * against a scratch base without touching the real root. */
   private[graft] def initStageRoot(userRoot: java.nio.file.Path,
       pid: Long): java.nio.file.Path = {
-    import java.nio.file.{Files, LinkOption}
-    if (Files.exists(userRoot, LinkOption.NOFOLLOW_LINKS)) {
-      require(Files.isDirectory(userRoot, LinkOption.NOFOLLOW_LINKS),
-        s"staging root $userRoot exists but is not a plain directory " +
-          "(symlink/file planted at the predictable path?) — refusing")
-      require(Files.getOwner(userRoot).getName == sys.props("user.name"),
-        s"staging root $userRoot is owned by a different user — refusing")
-    } else Files.createDirectories(userRoot)
-    // reap roots whose creating process is gone AND that are stale
-    // (>1 h): never races a live JVM or the dump→compare window
+    import java.nio.file.{Files, FileAlreadyExistsException, LinkOption}
+    // create-then-verify, never verify-then-create: an exists() probe
+    // followed by createDirectories() leaves a race window where a
+    // symlink planted between the two is silently followed (and
+    // createDirectories resolves links). createDirectory is atomic —
+    // either WE made a real directory, or something already holds the
+    // name and the NOFOLLOW + ownership checks below run against it
+    // unconditionally.
+    try { Files.createDirectory(userRoot); () }
+    catch { case _: FileAlreadyExistsException => () }
+    require(Files.isDirectory(userRoot, LinkOption.NOFOLLOW_LINKS),
+      s"staging root $userRoot exists but is not a plain directory " +
+        "(symlink/file planted at the predictable path?) — refusing")
+    require(Files.getOwner(userRoot).getName ==
+        sys.props.getOrElse("user.name", "anon"),
+      s"staging root $userRoot is owned by a different user — refusing")
+    // streams from Files.list/walk hold directory fds until closed —
+    // leak-free even when the spec calls this repeatedly
+    def usingStream[T](s: java.util.stream.Stream[T])(f: java.util.stream.Stream[T] => Unit): Unit =
+      try f(s) finally s.close()
+    def deleteTree(p: java.nio.file.Path): Unit =
+      usingStream(Files.walk(p))(_.sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => { Files.deleteIfExists(q); () }))
+    // reap sibling roots whose creating process is gone AND whose
+    // NEWEST entry is stale (>1 h). Staleness from the deepest mtime,
+    // not the root's: fixed() creates each <name> dir at run START, so
+    // a >1 h Verify run would look "stale" by root mtime the moment
+    // its JVM exits — exactly during the dump→compare window the
+    // contract promises never to race. The newest file in the tree
+    // moves with the LAST write, so a just-finished run is never
+    // reap-eligible for an hour after its final stage.
     try {
       val cutoff = System.currentTimeMillis() - 3600L * 1000
-      Files.list(userRoot).forEach { p =>
+      usingStream(Files.list(userRoot))(_.forEach { p =>
         val owner = scala.util.Try(p.getFileName.toString.toLong).toOption
         val dead = owner.exists(id => !ProcessHandle.of(id).isPresent)
-        if (dead && Files.getLastModifiedTime(p, LinkOption.NOFOLLOW_LINKS)
-              .toMillis < cutoff)
-          try {
-            Files.walk(p)
-              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(q => { Files.deleteIfExists(q); () })
-          } catch { case _: Exception => () }
-      }
+        if (dead) {
+          var newest = 0L
+          try usingStream(Files.walk(p))(_.forEach { q =>
+            val t = Files.getLastModifiedTime(q, LinkOption.NOFOLLOW_LINKS)
+              .toMillis
+            if (t > newest) newest = t
+          }) catch { case _: Exception => newest = Long.MaxValue }
+          if (newest < cutoff)
+            try deleteTree(p) catch { case _: Exception => () }
+        }
+      })
     } catch { case _: Exception => () }
     val mine = userRoot.resolve(pid.toString)
     if (Files.exists(mine, LinkOption.NOFOLLOW_LINKS)) {
       // recycled pid or planted entry — remove it NOFOLLOW, never adopt
       if (Files.isDirectory(mine, LinkOption.NOFOLLOW_LINKS))
-        Files.walk(mine)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(q => { Files.deleteIfExists(q); () })
+        deleteTree(mine)
       else Files.delete(mine)
     }
     Files.createDirectory(mine)
@@ -129,4 +152,20 @@ object TmpDirs {
     java.nio.file.Files.createDirectories(d)
     d.toString
   }
+
+  /** Last-writer-wins memo for fixed-path staged fixtures — the ONE
+    * home of the eviction discipline every [[fixed]]-backed stage
+    * needs (dpp warehouse, eval scores, …): a request under a
+    * DIFFERENT key (new sfDir or session) evicts the whole memo and
+    * re-stages, because the staged path is name-only and a stale memo
+    * would silently serve the previous corpus' files. Synchronized on
+    * the map so a concurrent caller can't observe the window between
+    * clear and restage. */
+  def stagedMemo[K, V](memo: java.util.concurrent.ConcurrentHashMap[K, V],
+      key: K)(build: K => V): V =
+    memo.synchronized {
+      if (!memo.containsKey(key) && !memo.isEmpty)
+        memo.clear() // key switch: force a re-stage
+      memo.computeIfAbsent(key, k => build(k))
+    }
 }

@@ -1059,26 +1059,22 @@ object AnalyticsQueries {
     * rank-sum AUC, calibration bins — recomputed by DuckDB from the
     * same staged bytes. */
   private[graft] def ensureEvalScores(spark: SparkSession, sfDir: String): String =
-    evalScoresStage.synchronized {
-      if (!evalScoresStage.containsKey((spark, sfDir)) && !evalScoresStage.isEmpty)
-        evalScoresStage.clear() // sfDir/session switch: force a re-stage
-      evalScoresStage.computeIfAbsent((spark, sfDir), { case (s, d) =>
-        import s.implicits._
-        val dim = 256
-        val bc = s.sparkContext.broadcast(splitModel(s, d))
-        val scored = Fixtures.documents(s, d)
-          .select($"doc_id", $"text",
-            ($"n_chars" >= 400).cast("double").as("label"))
-          .filter(shiftright($"doc_id" * lit(2654435761L), 20) % 5 === 0)
-          .as[(Long, String, Double)]
-          .map { case (id, text, y) =>
-            (id, y, bc.value.score(QualityClassifier.featurize(text, dim)))
-          }
-          .toDF("doc_id", "label", "p")
-        val base = graft.TmpDirs.fixed("evalscores")
-        scored.coalesce(1).write.mode("overwrite").parquet(base)
-        base
-      })
+    graft.TmpDirs.stagedMemo(evalScoresStage, (spark, sfDir)) { case (s, d) =>
+      import s.implicits._
+      val dim = 256
+      val bc = s.sparkContext.broadcast(splitModel(s, d))
+      val scored = Fixtures.documents(s, d)
+        .select($"doc_id", $"text",
+          ($"n_chars" >= 400).cast("double").as("label"))
+        .filter(shiftright($"doc_id" * lit(2654435761L), 20) % 5 === 0)
+        .as[(Long, String, Double)]
+        .map { case (id, text, y) =>
+          (id, y, bc.value.score(QualityClassifier.featurize(text, dim)))
+        }
+        .toDF("doc_id", "label", "p")
+      val base = graft.TmpDirs.fixed("evalscores")
+      scored.coalesce(1).write.mode("overwrite").parquet(base)
+      base
     }
 
   def evalMetrics(spark: SparkSession, sfDir: String): DataFrame = {

@@ -433,10 +433,7 @@ object JoinQueries {
     * into the LocalRelation and DPP never fires (the
     * RuntimeFilterSpec lesson). */
   private[queries] def ensureDppLayout(spark: SparkSession, sfDir: String): String =
-    dppWarehouse.synchronized {
-      if (!dppWarehouse.containsKey((spark, sfDir)) && !dppWarehouse.isEmpty)
-        dppWarehouse.clear() // sfDir/session switch: force a re-stage
-      dppWarehouse.computeIfAbsent((spark, sfDir), { case (s, d) =>
+    graft.TmpDirs.stagedMemo(dppWarehouse, (spark, sfDir)) { case (s, d) =>
       val base = graft.TmpDirs.fixed("dpp")
       Fixtures.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
@@ -452,7 +449,6 @@ object JoinQueries {
           when(col("o_year") === 1995, "target").otherwise("other"))
         .write.mode("overwrite").parquet(s"$base/years")
       base
-    })
     }
 
   /** Dynamic partition pruning — THE scan-elision mechanism for a

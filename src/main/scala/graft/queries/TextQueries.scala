@@ -1093,11 +1093,21 @@ object TextQueries {
     // hosts with only self-links have no rank (same semantics as the
     // old inner join onto the distributed rank frame)
     val hosts = pairCounts.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    // one linear pre-grouping pass, then O(1) lookups per host — the
+    // naive per-host filter scan is O(hosts × pairs), which at the
+    // thousands-of-hosts scale this rollup advertises would dwarf the
+    // rank fixed point itself
+    def grouped(f: ((Long, Long, Long)) => Boolean,
+        key: ((Long, Long, Long)) => Long): Map[Long, Long] =
+      pairCounts.filter(f).groupBy(key).map { case (k, ps) =>
+        k -> ps.map(_._3).sum
+      }
+    val outAllBy = grouped(_ => true, _._1)
+    val extOutBy = grouped(p => p._1 != p._2, _._1)
+    val extInBy = grouped(p => p._1 != p._2, _._2)
     val stats = hosts.filter(ranks.contains).map { h =>
-      val outAll = pairCounts.filter(_._1 == h).map(_._3).sum
-      val extOut = pairCounts.filter(p => p._1 == h && p._2 != h).map(_._3).sum
-      val extIn = pairCounts.filter(p => p._2 == h && p._1 != h).map(_._3).sum
-      (h, outAll, extOut, extIn, math.round(ranks(h) * 1e6) / 1e6)
+      (h, outAllBy.getOrElse(h, 0L), extOutBy.getOrElse(h, 0L),
+        extInBy.getOrElse(h, 0L), math.round(ranks(h) * 1e6) / 1e6)
     }.toSeq
     spark.createDataset(stats)
       .toDF("host_num", "out_links", "ext_out", "ext_in", "rank")

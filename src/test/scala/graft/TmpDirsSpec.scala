@@ -88,9 +88,10 @@ class TmpDirsSpec extends AnyFunSuite {
     val userRoot = base.resolve("root")
     Files.createDirectory(userRoot)
     val old = System.currentTimeMillis() - 2 * 3600L * 1000
-    // dead pid + stale mtime → reaped
+    // dead pid + WHOLE TREE stale → reaped
     val stale = userRoot.resolve(deadPid().toString)
     Files.createDirectories(stale.resolve("evidence"))
+    Files.setLastModifiedTime(stale.resolve("evidence"), FileTime.fromMillis(old))
     Files.setLastModifiedTime(stale, FileTime.fromMillis(old))
     // dead pid but RECENT → kept (a just-exited Verify awaiting compare)
     val recent = userRoot.resolve(deadPid(1).toString)
@@ -103,5 +104,26 @@ class TmpDirsSpec extends AnyFunSuite {
     assert(!Files.exists(stale))
     assert(Files.exists(recent))
     assert(Files.exists(live))
+  }
+
+  test("staleness is the NEWEST mtime in the tree, not the root's (long-run window)") {
+    // the >1 h Verify scenario: fixed() created every <name> dir at run
+    // START (root mtime is old), but the LAST stage wrote recently —
+    // the just-exited run must survive the reaper during its
+    // dump→compare window
+    val base = scratch()
+    val userRoot = base.resolve("root")
+    Files.createDirectory(userRoot)
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000
+    val longRun = userRoot.resolve(deadPid().toString)
+    val stageDir = longRun.resolve("evalscores")
+    Files.createDirectories(stageDir)
+    Files.write(stageDir.resolve("part-0.parquet"), "fresh".getBytes)
+    // root + stage dir look old; only the deep file is fresh
+    Files.setLastModifiedTime(longRun, FileTime.fromMillis(old))
+    Files.setLastModifiedTime(stageDir, FileTime.fromMillis(old))
+    TmpDirs.initStageRoot(userRoot, deadPid(1))
+    assert(Files.exists(stageDir.resolve("part-0.parquet")),
+      "a dead-pid root with ANY fresh file must not be reaped")
   }
 }
