@@ -725,22 +725,78 @@ object TextQueries {
     * a pure function of doc_id). NATIVE (WarcSpec: framing goldens,
     * truncation/corruption refusals, Python-gzip interop; the rollup
     * pins whole-corpus exact recovery). */
-  def crawlWarc(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The corpus as fixed-capacity WARC shards, keyed by shard id —
+    * shared by q_crawl_warc (in-memory round-trip) and the staged
+    * file layout the `warc` DSv2 source reads (q_scan_warc_dsv2). */
+  private[queries] def warcShardDs(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.text.{HtmlExtract, Warc}
     val shardCapacity = 128L
-    val shards = Fixtures.documents(spark, sfDir)
+    Fixtures.documents(spark, sfDir)
       .select($"doc_id", $"source", $"text")
       .as[(Long, String, String)]
       .map { case (id, src, text) => (id / shardCapacity, id, src, text) }
       .groupByKey(_._1)
-      .mapGroups { (_, it) =>
+      .mapGroups { (sid, it) =>
         val recs = it.toSeq.sortBy(_._2).map { case (_, id, src, text) =>
           Warc.writeRecord(s"https://$src.example/doc/$id", f"$id%032x",
             HtmlExtract.syntheticPage(id, text).getBytes("UTF-8"))
         }
-        Warc.writeShard(recs)
+        (sid, Warc.writeShard(recs))
       }
+  }
+
+  // staged .warc.gz files for the DSv2 source — one file per shard,
+  // written from executors, memoized per (session, sfDir); TmpDirs
+  // sweeps the directory at JVM exit (engine-only: no oracle reads it)
+  private val warcStage =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def ensureWarcShards(spark: SparkSession, sfDir: String): String =
+    graft.TmpDirs.stagedMemo(warcStage, (spark, sfDir)) { case (s, d) =>
+      val dir = graft.TmpDirs.create("warc_shards")
+      warcShardDs(s, d).foreachPartition {
+        it: Iterator[(Long, Array[Byte])] =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.foreach { case (sid, bytes) =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/shard-$sid.warc.gz")
+            val fs = p.getFileSystem(conf)
+            val out = fs.create(p, true)
+            try out.write(bytes) finally out.close()
+          }
+      }
+      dir
+    }
+
+  /** The crawl corpus through `spark.read.format("warc")` — the DSv2
+    * face of the WARC stack ([[graft.sources.WarcDataSource]]): a
+    * host-filtered per-host yield rollup over the staged shard files.
+    * The selective host IN-list is PUSHED to the scan (visible in the
+    * scan description) so non-matching records skip the HTTP split and
+    * HtmlExtract entirely, and column pruning keeps `body` out of the
+    * read path — the two savings that matter when the corpus is 100 TB
+    * of CommonCrawl shards. NATIVE (no DuckDB WARC reader;
+    * WarcSourceSpec pins scan-vs-reference equality, pruning, pushdown
+    * and loud corruption). */
+  def scanWarcDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureWarcShards(spark, sfDir)
+    spark.read.format("warc").load(dir)
+      .filter($"host".isin("src0.example", "src1.example", "src2.example",
+        "src3.example", "src4.example"))
+      .select($"host", $"url", $"text")
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_records"),
+        sum(length($"text")).as("extracted_chars"),
+        countDistinct($"url").as("n_urls"))
+      .orderBy($"host")
+  }
+
+  def crawlWarc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.{HtmlExtract, Warc}
+    val shards = warcShardDs(spark, sfDir).map(_._2)
     // originals keyed by id so the read side can prove EXACT body
     // recovery, not just a 200 status: ok = the extracted text equals
     // the body the page embedded, post the extractor's whitespace
@@ -1271,6 +1327,7 @@ object TextQueries {
     "q_text_bm25" -> (textBm25 _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_crawl_warc" -> (crawlWarc _),
+    "q_scan_warc_dsv2" -> (scanWarcDsv2 _),
     "q_text_extract" -> (textExtractHtml _),
     "q_text_quality" -> (textQuality _),
     "q_text_nll" -> (textNll _),

@@ -1,0 +1,301 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.{HtmlExtract, Warc}
+
+/** `spark.read.format("warc")` — crawl archives as a DataSource V2
+  * table. At 100 TB a web corpus IS WARC files (the CommonCrawl
+  * layout [[graft.text.Warc]] reads/writes: ISO 28500 records, one
+  * gzip member per record); before this source, WARC parsing lived
+  * inside a query's typed `flatMap` — now it is a first-class source
+  * with the two scan optimizations that matter at that scale:
+  *
+  *  - COLUMN PRUNING reaches the DECODE work, not just the row width:
+  *    `text` (the boilerplate-shedding [[HtmlExtract]] pass) is only
+  *    computed when the query asks for it, and the HTTP payload split
+  *    only runs when status/content_type/body/text are required — a
+  *    `count of urls per host` query does WARC framing and nothing
+  *    else.
+  *  - RECORD FILTERS short-circuit the same way: pushed host / url /
+  *    warc_type predicates are evaluated on the cheap framing columns
+  *    BEFORE any payload work, so filtered-out records never pay
+  *    HTTP-split or extraction. Filters stay residual (Spark re-applies
+  *    them on rows) — the skip is pure optimization, never semantics,
+  *    the same contract as the COG source's planning-time pruning.
+  *
+  * Scale unit: ONE InputPartition PER SHARD FILE (writer-bounded
+  * capacity, exactly how CommonCrawl splits at ~1 GB) — a million-file
+  * corpus plans a million cheap partitions and every task's memory is
+  * bounded by one shard. Paths may be a file, a directory (its
+  * *.warc.gz), or a glob; the session's Hadoop conf merges under the
+  * options so s3a:// / the ranged-HTTP filesystem work exactly as for
+  * parquet. Malformed framing stays LOUD (the [[Warc]] contract):
+  * a corrupt shard fails naming its file, never a short corpus. */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcTable.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val pathsJson = properties.get("paths")
+    val paths: Seq[String] =
+      if (pathsJson != null && pathsJson.nonEmpty)
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(pathsJson, classOf[Array[String]]).toSeq
+      else {
+        val p = properties.get("path")
+        require(p != null && p.nonEmpty, "warc source requires a path")
+        Seq(p)
+      }
+    require(paths.nonEmpty, "warc source requires at least one path")
+    new WarcTable(paths, properties.asScala.toMap - "path" - "paths")
+  }
+}
+
+object WarcTable {
+  /** One row per WARC record. `host` is derived from the target URI
+    * (scheme stripped, authority up to the first '/': the same rule
+    * the crawl queries use); `status` is the HTTP status line and
+    * `content_type` the HTTP Content-Type header, both null for
+    * records whose payload is not an HTTP response; `body` is the raw
+    * HTTP body; `text` is the [[HtmlExtract]] extraction of it. */
+  val schema: StructType = StructType(Seq(
+    StructField("src", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = true),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("status", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = true),
+    StructField("text", StringType, nullable = true)))
+
+  def hostOf(url: String): String = {
+    val rest = url.indexOf("://") match {
+      case -1 => url
+      case i => url.substring(i + 3)
+    }
+    rest.takeWhile(_ != '/')
+  }
+}
+
+class WarcTable(paths: Seq[String], conf: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"warc:${paths.mkString(",")}"
+  override def schema(): StructType = WarcTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths, conf)
+}
+
+class WarcScanBuilder(paths: Seq[String], conf: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = WarcTable.schema
+  private var pushed = Array.empty[Filter]
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept predicates the reader can evaluate on the cheap framing
+    * columns; EVERYTHING stays residual (the returned array), so Spark
+    * re-applies each filter on the emitted rows — the reader's
+    * short-circuit is an optimization with no correctness surface. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(WarcRecordFilter.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new WarcScan(paths, conf, required, pushed)
+}
+
+/** The subset of [[org.apache.spark.sql.sources.Filter]] the reader
+  * evaluates early, against (url, host, warc_type) only. Unsupported
+  * shapes are simply not pushed — Spark's residual evaluation keeps
+  * semantics. */
+object WarcRecordFilter {
+  private val cheapCols = Set("url", "host", "warc_type")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(c, _: String) => cheapCols(c)
+    case In(c, vs) => cheapCols(c) && vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(c, _) => cheapCols(c)
+    case IsNotNull(c) => cheapCols(c)
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  def eval(f: Filter, url: String, host: String, warcType: String): Boolean = {
+    def v(c: String): String = c match {
+      case "url" => url
+      case "host" => host
+      case _ => warcType
+    }
+    f match {
+      case EqualTo(c, x: String) => v(c) == x
+      case In(c, vs) => vs.exists(_ == v(c))
+      case StringStartsWith(c, p) => v(c).startsWith(p)
+      case IsNotNull(_) => true
+      case And(l, r) => eval(l, url, host, warcType) && eval(r, url, host, warcType)
+      case _ => true // never skip on a shape we don't understand
+    }
+  }
+}
+
+class WarcScan(paths: Seq[String], conf: Map[String, String],
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warc ${paths.mkString(",")} PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val sessionConf = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val merged = sessionConf ++ conf
+    val hc = new Configuration()
+    merged.foreach { case (k, v) => hc.set(k, v) }
+    def isWarc(n: String): Boolean = {
+      val l = n.toLowerCase(java.util.Locale.ROOT)
+      l.endsWith(".warc.gz") || l.endsWith(".warc")
+    }
+    def expandOne(one: String): Seq[String] = {
+      val p = new Path(one)
+      val fs = p.getFileSystem(hc)
+      val status =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      status match {
+        case Some(st) if st.isDirectory =>
+          fs.listStatus(p).filter(s => s.isFile && isWarc(s.getPath.getName))
+            .map(_.getPath.toString).sorted.toSeq
+        case Some(_) => Seq(one)
+        case None =>
+          val g = fs.globStatus(p)
+          require(g != null && g.nonEmpty, s"no warc files match $one")
+          g.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+      }
+    }
+    val files = paths.flatMap(expandOne).distinct
+    require(files.nonEmpty, s"no .warc.gz files under ${paths.mkString(",")}")
+    val bcConf = spark.sparkContext.broadcast(merged)
+    files.map(f => WarcInputPartition(f, bcConf): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required.fieldNames, pushed)
+}
+
+case class WarcInputPartition(uri: String,
+    conf: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+  extends InputPartition
+
+class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[WarcInputPartition]
+    new PartitionReader[InternalRow] {
+      private val needPayload =
+        cols.exists(Set("status", "content_type", "body", "text"))
+      private val needText = cols.contains("text")
+
+      private val records: Iterator[Warc.Record] = {
+        val hc = new Configuration()
+        part.conf.value.foreach { case (k, v) => hc.set(k, v) }
+        val p = new Path(part.uri)
+        val fs = p.getFileSystem(hc)
+        val st = fs.getFileStatus(p)
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        try Warc.readShard(buf).iterator
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"warc scan failed to parse '${part.uri}': ${e.getMessage}", e)
+        }
+      }
+
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        current = null
+        while (current == null && records.hasNext) {
+          val r = records.next()
+          val url = r.targetUri
+          val host = WarcTable.hostOf(url)
+          val wtype = r.recordType
+          // cheap-column short-circuit: a pushed filter that rejects
+          // here skips the HTTP split and extraction entirely
+          if (pushed.forall(WarcRecordFilter.eval(_, url, host, wtype))) {
+            // the HTTP split runs at most once per surviving record
+            val http: Option[(String, Array[Byte])] =
+              if (needPayload)
+                try Some(Warc.httpBody(r.payload))
+                catch { case _: IllegalArgumentException => None }
+              else None
+            val values: Array[Any] = cols.map {
+              case "src" => UTF8String.fromString(part.uri)
+              case "url" => UTF8String.fromString(url)
+              case "host" => UTF8String.fromString(host)
+              case "record_id" =>
+                r.headers.get("WARC-Record-ID")
+                  .map(UTF8String.fromString).orNull
+              case "warc_type" => UTF8String.fromString(wtype)
+              case "status" =>
+                http.map(h => UTF8String.fromString(h._1)).orNull
+              case "content_type" =>
+                http.flatMap { case (_, _) =>
+                  // Content-Type lives in the HTTP header block, which
+                  // httpBody consumed — re-scan the head cheaply
+                  val head = new String(r.payload, 0,
+                    math.min(r.payload.length, 1024), "ISO-8859-1")
+                  head.linesIterator
+                    .find(_.toLowerCase.startsWith("content-type:"))
+                    .map(l => UTF8String.fromString(
+                      l.substring(l.indexOf(':') + 1).trim))
+                }.orNull
+              case "body" => http.map(_._2).orNull
+              case "text" =>
+                http.map { case (_, b) => UTF8String.fromString(
+                  HtmlExtract.extract(new String(b, "UTF-8")))
+                }.orNull
+              case other => throw new IllegalStateException(
+                s"warc scan asked for unknown column '$other'")
+            }
+            // needText documents the intent; the match above only runs
+            // the extractor when "text" is in cols
+            val _ = needText
+            current = new GenericInternalRow(values)
+          }
+        }
+        current != null
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

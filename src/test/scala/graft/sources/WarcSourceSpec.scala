@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.SparkSpec
+import graft.text.Warc
+
+/** `spark.read.format("warc")` — the DSv2 crawl-archive source:
+  * scan-vs-reference equality on the staged shard corpus, column
+  * pruning reaching the scan schema, filter pushdown visible in the
+  * scan and semantically invisible in the result, multi-path/glob
+  * listing, and loud per-file corruption. */
+class WarcSourceSpec extends SparkSpec {
+
+  private lazy val dir =
+    graft.queries.TextQueries.ensureWarcShards(spark, sfDir)
+
+  /** Reference parse: the same shard files through Warc.readShard
+    * directly (no Spark source in the loop). */
+  private lazy val reference: Seq[(String, String, String)] = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+    files.flatMap { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      Warc.readShard(bytes).map { r =>
+        val (status, body) = Warc.httpBody(r.payload)
+        (r.targetUri, status,
+          graft.text.HtmlExtract.extract(new String(body, "UTF-8")))
+      }
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Plan with AQE off so BatchScanExec is reachable in the tree (the
+    * PlanShapeSpec discipline). */
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("full scan equals the direct Warc.readShard reference") {
+    val rows = spark.read.format("warc").load(dir)
+      .select("url", "status", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq.sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows == reference)
+  }
+
+  test("every record is a response with a 200 status and a host derived from its url") {
+    val rows = spark.read.format("warc").load(dir)
+      .select("url", "host", "warc_type", "status", "content_type")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2) == "response")
+      assert(r.getString(3).startsWith("HTTP/1.1 200"))
+      assert(r.getString(4) == "text/html")
+      assert(r.getString(0).contains(r.getString(1)))
+    }
+  }
+
+  test("column pruning reaches the scan: a metadata query reads no payload columns") {
+    val df = spark.read.format("warc").load(dir).select("host", "url")
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.toSet == Set("host", "url"),
+      s"scan schema was ${scan.scan.readSchema().fieldNames.mkString(",")}")
+    // and the pruned read still returns every record
+    assert(df.count() == reference.size)
+  }
+
+  test("host filter is pushed (visible in the scan) and semantically invisible") {
+    val df = spark.read.format("warc").load(dir)
+      .filter("host = 'src3.example'")
+      .select("url", "text")
+    assert(scanOf(df).scan.description().contains("EqualTo(host,src3.example)"),
+      "pushed filter must appear in the scan description")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq.sortBy(_._1)
+    val want = reference.filter(r => WarcTable.hostOf(r._1) == "src3.example")
+      .map(r => (r._1, r._3))
+    assert(got == want)
+  }
+
+  test("glob and multi-path loads list the same corpus; a bogus glob is loud") {
+    val viaGlob = spark.read.format("warc").load(s"$dir/shard-*.warc.gz").count()
+    assert(viaGlob == reference.size)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.toString).sorted
+    val viaMulti = spark.read.format("warc").load(files.take(2): _*).count()
+    val firstTwo = files.take(2).map { f =>
+      Warc.readShard(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f))).size
+    }.sum
+    assert(viaMulti == firstTwo)
+    val e = intercept[Exception] {
+      spark.read.format("warc").load(s"$dir/nothing-*.warc.gz").count()
+    }
+    assert(e.getMessage.contains("no warc files match"))
+  }
+
+  test("a corrupt shard fails loudly, naming its file") {
+    val bad = java.nio.file.Files.createTempDirectory("warc_bad")
+    graft.TmpDirs.track(bad.toFile)
+    val good = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    java.nio.file.Files.copy(good.toPath,
+      bad.resolve("ok.warc.gz"))
+    java.nio.file.Files.write(bad.resolve("evil.warc.gz"),
+      "junk, not gzip".getBytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(bad.toString).count()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("evil.warc.gz"), s"error must name the file: $msg")
+  }
+}
