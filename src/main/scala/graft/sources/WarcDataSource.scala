@@ -97,13 +97,123 @@ object WarcTable {
 }
 
 class WarcTable(paths: Seq[String], conf: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc:${paths.mkString(",")}"
   override def schema(): StructType = WarcTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    // ACCEPT_ANY_SCHEMA: writes take (url, body|text) rows, not the
+    // full 9-column read schema — WarcWriteSupport validates itself
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths, conf)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.size == 1,
+      s"warc write takes exactly one target directory, got ${paths.size}")
+    new WarcWriteBuilder(paths.head, conf ++ info.options.asScala.toMap)
+  }
+}
+
+/** `df.write.format("warc")` — re-shard a (filtered, deduped,
+  * re-mixed) corpus back into the CommonCrawl layout. Input rows are
+  * `url` (string) plus `body` (binary) or `text` (string, UTF-8
+  * encoded on write); optional `record_id`. Each task writes its
+  * partition as `part-<pid>-<seq>.warc.gz` files of at most
+  * `shard.capacity` records (default 128) — the standard per-task
+  * file-writer contract (parquet does the same), so a petabyte write
+  * is embarrassingly parallel and task memory stays one-shard-bounded.
+  * Overwrite clears only this source's own part files; append onto an
+  * existing layout is refused loudly (a half-merged corpus is the
+  * silent-corruption shape the loud-refusal discipline exists for). */
+class WarcWriteBuilder(path: String, opts: Map[String, String])
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              ow: Boolean): Unit =
+            WarcWriteSupport.insert(path, opts, overwrite || ow, data)
+        }
+    }
+}
+
+object WarcWriteSupport {
+  private val PartName = raw"part-(\d+)-(\d+)\.warc\.gz".r
+
+  def insert(path: String, opts: Map[String, String], overwrite: Boolean,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    val fields = data.schema.fieldNames.toSet
+    require(fields.contains("url"), "warc write requires a 'url' column")
+    require(fields.contains("body") || fields.contains("text"),
+      "warc write requires a 'body' (binary) or 'text' (string) column")
+    val capacity = opts.get("shard.capacity").map(_.toInt).getOrElse(128)
+    require(capacity > 0, s"shard.capacity must be positive, got $capacity")
+    val contentType = opts.getOrElse("content.type", "text/html")
+
+    val sessionConf = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap ++ opts
+    }
+    val dirPath = new Path(path)
+    val hc = new Configuration()
+    sessionConf.foreach { case (k, v) => hc.set(k, v) }
+    val fs = dirPath.getFileSystem(hc)
+    if (fs.exists(dirPath)) {
+      val existing = fs.listStatus(dirPath)
+        .filter(s => s.isFile && PartName.matches(s.getPath.getName))
+      if (overwrite) existing.foreach(s => fs.delete(s.getPath, false))
+      else require(existing.isEmpty,
+        s"warc target $path already holds ${existing.length} part files — " +
+          "appending onto an existing layout is refused; use overwrite")
+    } else fs.mkdirs(dirPath)
+
+    import org.apache.spark.sql.functions.{col, encode, lit, md5, when}
+    val normalized = data.select(
+      col("url").cast(StringType).as("url"),
+      (if (fields.contains("body")) col("body")
+       else encode(col("text"), "UTF-8")).as("body"),
+      (if (fields.contains("record_id")) col("record_id").cast(StringType)
+       else md5(col("url"))).as("record_id"),
+      lit(contentType).as("ct"))
+      .select(col("url"),
+        when(col("body").isNull, lit(Array.empty[Byte])).otherwise(col("body"))
+          .as("body"),
+        col("record_id"), col("ct"))
+
+    val bcConf = spark.sparkContext.broadcast(sessionConf)
+    normalized.foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = new Configuration()
+        bcConf.value.foreach { case (k, v) => tc.set(k, v) }
+        val tfs = new Path(path).getFileSystem(tc)
+        var seq = 0
+        it.grouped(capacity).foreach { group =>
+          val records = group.map { row =>
+            Warc.writeRecord(row.getString(0), row.getString(2),
+              row.getAs[Array[Byte]](1), row.getString(3))
+          }
+          val shard = Warc.writeShard(records)
+          val f = new Path(path, f"part-$pid%05d-$seq%05d.warc.gz")
+          val out = tfs.create(f, true)
+          try out.write(shard) finally out.close()
+          seq += 1
+        }
+    }
+  }
 }
 
 class WarcScanBuilder(paths: Seq[String], conf: Map[String, String])
