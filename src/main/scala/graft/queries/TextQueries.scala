@@ -73,17 +73,41 @@ object TextQueries {
     * counts per (labelled, predicted). The fixture text is one shared
     * English-ish vocabulary, so the classifier legitimately predicts
     * 'en'/'und' everywhere — real multilingual behavior is asserted in
-    * LangIdSpec on genuine sentences. NATIVE (classifier tables are
-    * engine-side). */
+    * LangIdSpec on genuine sentences. ORACLE since r18 (the
+    * eval-metrics staging pattern): the per-doc predictions are staged
+    * as parquet — the n-gram tables stay engine-side — and DuckDB
+    * re-derives the confusion rollup from the identical bytes, so the
+    * dump/rollup leg is cross-engine while LangIdSpec keeps owning the
+    * classifier itself. */
+  private val langidStage =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def ensureLangidPredictions(spark: SparkSession,
+      sfDir: String): String =
+    graft.TmpDirs.stagedMemo(langidStage, (spark, sfDir)) { case (s, d) =>
+      import s.implicits._
+      val base = graft.TmpDirs.fixed("langid")
+      Fixtures.documents(s, d)
+        .select($"doc_id", $"lang", $"text").as[(Long, String, String)]
+        .map { case (id, lang, text) => (id, lang, LangId.classify(text)) }
+        .toDF("doc_id", "lang", "predicted")
+        .coalesce(1).write.mode("overwrite").parquet(base)
+      base
+    }
+
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Fixtures.documents(spark, sfDir)
-      .select($"lang", $"text").as[(String, String)]
-      .map { case (lang, text) => (lang, LangId.classify(text)) }
-      .toDF("lang", "predicted")
+    spark.read.parquet(ensureLangidPredictions(spark, sfDir))
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"predicted")
+  }
+
+  def textLangidSql: String = {
+    val base = graft.TmpDirs.fixed("langid")
+    s"""SELECT lang, predicted, count(*) AS n_docs
+      |FROM read_parquet('$base/*.parquet')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** Winnowing fingerprints per document: k-gram count, fingerprint
@@ -1355,6 +1379,7 @@ object TextQueries {
     "q_text_bm25" -> textBm25Sql,
     "q_chunk_overlap" -> chunkOverlapSql,
     "q_text_quality" -> textQualitySql,
+    "q_text_langid" -> textLangidSql,
     "q_text_nll" -> textNllSql,
     "q_text_tfidf" -> textTfidfSql,
     "q_text_entropy" -> textEntropySql,
