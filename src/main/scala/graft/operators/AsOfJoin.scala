@@ -137,18 +137,32 @@ object AsOfJoin {
       .select(segKeys.map(col) :+ col("__carry"): _*)
 
     // phase 3: apply — a row with no within-segment match takes the
-    // carry-in; the join is keyed on (keys, segment), both sides
-    // already co-partitioned by construction. NULL-SAFE equality
-    // (<=>) on every key: the window side treats NULL as an ordinary
-    // partition value, so a null-key left row must still meet its
-    // carry frame — a plain equi-join would drop it (SQL null-join
-    // semantics) and return null where leftAsOf returns the prior
-    // right value (r17 ADVICE).
-    val carryR = carry.select(
+    // carry-in. NULL keys must match their carry frame exactly like
+    // leftAsOf (whose window treats NULL as an ordinary partition
+    // value; r17 ADVICE) — but a blanket null-safe (<=>) join is
+    // expensive: Spark rewrites <=> keys as coalesce/isnull
+    // EXPRESSIONS, which the windows' (keys, segment) output
+    // partitioning no longer satisfies, so BOTH sides re-exchange
+    // (measured 2x on the salted as-of bench, paired alternation).
+    // Split instead: rows with all keys non-null take the original
+    // plain USING equi-join (co-partitioned by construction — under
+    // plain equality a non-null row only ever matches a non-null
+    // carry, so the fast path is exactly null-safe semantics); the
+    // null-key remainder (usually EMPTY, and segments-scale at worst)
+    // joins null-safely against only the null-key carry rows (a carry
+    // row matching a null-key left row must itself carry that null).
+    val base = within.filter(col("__side") === 1)
+    val anyNull = keys.map(c => col(c).isNull).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val matchedNN = base.filter(!anyNull)
+      .join(carry.filter(!anyNull), segKeys, "left")
+    val carryN = carry.filter(anyNull).select(
       segKeys.map(c => col(c).as(s"__c_$c")) :+ col("__carry"): _*)
-    val cond = segKeys.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
-    val matched = within.filter(col("__side") === 1)
-      .join(carryR, cond, "left")
+    val condN = segKeys.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
+    val matchedN = base.filter(anyNull)
+      .join(carryN, condN, "left")
+      .drop(segKeys.map(c => s"__c_$c"): _*)
+    val matched = matchedNN.unionByName(matchedN)
       .withColumn("__final", coalesce(col("__asof"), col("__carry")))
     project(matched, leftCols, valueCols, "__final")
   }
