@@ -1160,11 +1160,16 @@ object TextQueries {
       }
       .toDF("src", "dst")
     // ONE distributed aggregation collapses page-scale links to the
-    // domains²-bounded host-pair matrix; a single collect of that
-    // matrix feeds the degree columns AND the rank fixed point — no
-    // further cluster round-trips
-    val pairCounts = edges.groupBy($"src", $"dst")
+    // domains²-bounded host-pair matrix; it is STAGED (the DuckDB twin
+    // re-reads the same bytes and re-runs degrees + the 10-iteration
+    // power method as a recursive CTE) and a single collect of it
+    // feeds the degree columns AND the rank fixed point — no further
+    // cluster round-trips
+    val base = graft.TmpDirs.fixed("crawl_pairs")
+    edges.groupBy($"src", $"dst")
       .agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(base)
+    val pairCounts = spark.read.parquet(base)
       .as[(Long, Long, Long)].collect()
     val extPairs = pairCounts.collect {
       case (s, d, _) if s != d => (s, d)
@@ -1189,9 +1194,66 @@ object TextQueries {
       (h, outAllBy.getOrElse(h, 0L), extOutBy.getOrElse(h, 0L),
         extInBy.getOrElse(h, 0L), math.round(ranks(h) * 1e6) / 1e6)
     }.toSeq
+    // pr_rank, not rank: a bare `rank` identifier reads as the window
+    // function in DuckDB re-selects (the q_graph_pagerank lesson)
     spark.createDataset(stats)
-      .toDF("host_num", "out_links", "ext_out", "ext_in", "rank")
+      .toDF("host_num", "out_links", "ext_out", "ext_in", "pr_rank")
       .orderBy($"host_num")
+  }
+
+  /** ORACLE twin (r18): DuckDB re-derives the degree columns from the
+    * staged pair matrix and re-runs the SAME damping-0.85,
+    * 10-iteration power method as a recursive CTE — including the
+    * dangling-mass redistribution [[graph.PageRank.runLocal]] does,
+    * expressed as explicit dangling→all-nodes edges of weight 1/n so
+    * the recursive term keeps its single `pr` reference (DuckDB's
+    * restriction); zero-weight self-edges keep in-edge-less nodes
+    * alive at their base rank. Cross-engine this proves the
+    * driver-local rank replica, not just the scanner. */
+  def crawlLinksSql: String = {
+    val base = graft.TmpDirs.fixed("crawl_pairs")
+    s"""WITH RECURSIVE
+      |pc AS MATERIALIZED (SELECT src, dst, n FROM read_parquet('$base/*.parquet')),
+      |e AS MATERIALIZED (SELECT src, dst FROM pc WHERE src <> dst),
+      |nodes AS MATERIALIZED (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM e UNION SELECT dst FROM e)),
+      |deg AS MATERIALIZED (
+      |  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+      |params AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |e2 AS MATERIALIZED (
+      |  SELECT e.src AS src, e.dst AS dst, 1.0/d.deg AS w
+      |  FROM e JOIN deg d ON d.src = e.src
+      |  UNION ALL
+      |  SELECT dn.node, n2.node, 1.0/(SELECT n FROM params)
+      |  FROM (SELECT node FROM nodes
+      |        WHERE node NOT IN (SELECT src FROM e)) dn, nodes n2
+      |  UNION ALL
+      |  SELECT node, node, 0.0 FROM nodes),
+      |pr(it, node, r) AS (
+      |  SELECT 0, node, 1.0/(SELECT n FROM params) FROM nodes
+      |  UNION ALL
+      |  SELECT it + 1, dst, 0.15/(SELECT n FROM params) + 0.85*mass FROM (
+      |    SELECT p.it AS it, e2.dst AS dst, sum(p.r * e2.w) AS mass
+      |    FROM pr p JOIN e2 ON e2.src = p.node
+      |    WHERE p.it < 10
+      |    GROUP BY 1, 2)),
+      |stats AS (
+      |  SELECT nd.node AS host_num,
+      |    CAST(COALESCE((SELECT sum(pc.n) FROM pc
+      |        WHERE pc.src = nd.node), 0) AS BIGINT) AS out_links,
+      |    CAST(COALESCE((SELECT sum(pc.n) FROM pc
+      |        WHERE pc.src = nd.node AND pc.dst <> nd.node), 0) AS BIGINT)
+      |      AS ext_out,
+      |    CAST(COALESCE((SELECT sum(pc.n) FROM pc
+      |        WHERE pc.dst = nd.node AND pc.src <> nd.node), 0) AS BIGINT)
+      |      AS ext_in
+      |  FROM nodes nd)
+      |SELECT s.host_num, s.out_links, s.ext_out, s.ext_in,
+      |  round(p.r, 6) AS pr_rank
+      |FROM stats s JOIN pr p ON p.node = s.host_num AND p.it = 10
+      |ORDER BY s.host_num""".stripMargin
   }
 
   /** PMI-ranked collocations — the corpus-lexicon probe (Church &
@@ -1380,6 +1442,7 @@ object TextQueries {
     "q_chunk_overlap" -> chunkOverlapSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangidSql,
+    "q_crawl_links" -> crawlLinksSql,
     "q_text_nll" -> textNllSql,
     "q_text_tfidf" -> textTfidfSql,
     "q_text_entropy" -> textEntropySql,
