@@ -817,6 +817,53 @@ object TextQueries {
       .orderBy($"host")
   }
 
+  /** Streaming WARC ingest — crawl results arrive over a REAL
+    * two-batch MemoryStream run and land as batch-id-tagged `.warc.gz`
+    * part files ([[graft.streaming.WarcStreamIngest]]: names AND bytes
+    * are pure functions of (batch, rows), so a replayed batch
+    * rewrites itself — exactly-once without a log), including a
+    * deliberately re-delivered batch; the finalize read goes through
+    * the `warc` DSv2 source and rolls up per host. The MemoryStream
+    * feed is driver-fed by design (it simulates a source); a
+    * production crawler swaps in Kafka/files and everything
+    * downstream is identical. NATIVE (streaming runtime;
+    * WarcStreamSpec pins stream-vs-batch corpus equality and
+    * re-delivery idempotence at the BYTE level). */
+  def streamWarc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    val dir = graft.TmpDirs.create("warc_stream")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = WindowQueries.withShufflePartitions(spark, 4) {
+      mem.toDF().toDF("doc_id", "source", "text")
+        .writeStream
+        .foreachBatch(graft.streaming.WarcStreamIngest.stageBatch(dir) _)
+        .start()
+    }
+    try {
+      val half = docs.length / 2
+      mem.addData(docs.take(half): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(half): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart semantics: replay batch 0 out-of-band — byte-identical
+    // files overwrite themselves, the read below must see no dupes
+    graft.streaming.WarcStreamIngest.stageBatch(dir)(
+      spark.createDataset(docs.take(docs.length / 2))
+        .toDF("doc_id", "source", "text"), 0L)
+    spark.read.format("warc").load(dir)
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct($"url").as("n_urls"),
+        sum(length($"text")).as("extracted_chars"))
+      .orderBy($"host")
+  }
+
   def crawlWarc(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.text.{HtmlExtract, Warc}
@@ -1414,6 +1461,7 @@ object TextQueries {
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_crawl_warc" -> (crawlWarc _),
     "q_scan_warc_dsv2" -> (scanWarcDsv2 _),
+    "q_stream_warc" -> (streamWarc _),
     "q_text_extract" -> (textExtractHtml _),
     "q_text_quality" -> (textQuality _),
     "q_text_nll" -> (textNll _),

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.text.{HtmlExtract, Warc}
+
+/** Streaming WARC ingest — the crawl-side twin of [[CogStreamIngest]]:
+  * crawl results (doc_id, source host, text) arrive in micro-batches
+  * and each batch lands as BATCH-ID-TAGGED `.warc.gz` part files in
+  * the shard directory, so the corpus is readable mid-stream through
+  * the `warc` DataSource and grows monotonically.
+  *
+  * Exactly-once without a transaction log: file names are a pure
+  * function of (batchId, partition, sequence) and file CONTENTS are a
+  * pure function of the batch's rows (hash-repartitioned on doc_id,
+  * sorted within the partition before packing) — a restart that
+  * replays a batch rewrites byte-identical files over themselves, the
+  * idempotent-file-sink discipline (same contract the parquet stage of
+  * [[CogStreamIngest]] gets from last-write-wins dedup). */
+object WarcStreamIngest {
+
+  /** One micro-batch → `b<batchId>-p<pid>-<seq>.warc.gz` files of at
+    * most `capacity` records under `dir`. */
+  def stageBatch(dir: String, capacity: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select("doc_id", "source", "text")
+      .as[(Long, String, String)]
+      .repartition(2, org.apache.spark.sql.functions.col("doc_id"))
+      .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val dp = new org.apache.hadoop.fs.Path(dir)
+        val fs = dp.getFileSystem(conf)
+        var seq = 0
+        it.toSeq.sortBy(_._1).grouped(capacity).foreach { group =>
+          val recs = group.map { case (id, src, text) =>
+            Warc.writeRecord(s"https://$src.example/doc/$id", f"$id%032x",
+              HtmlExtract.syntheticPage(id, text).getBytes("UTF-8"))
+          }
+          val f = new org.apache.hadoop.fs.Path(dir,
+            f"b$batchId%05d-p$pid%03d-$seq%03d.warc.gz")
+          val out = fs.create(f, true)
+          try out.write(Warc.writeShard(recs)) finally out.close()
+          seq += 1
+        }
+      }
+  }
+}

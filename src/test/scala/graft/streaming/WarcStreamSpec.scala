@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Streaming WARC ingest laws: the stream-built shard directory holds
+  * exactly the batch corpus (url → extracted text, no dupes from the
+  * planted re-delivery), and a replayed batch is BYTE-idempotent —
+  * same file names, same bytes. */
+class WarcStreamSpec extends SparkSpec {
+
+  private def md5s(dir: String): Map[String, String] = {
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+      .map { f =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getName -> d.map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("stream ingest equals the batch corpus; replay is byte-idempotent") {
+    val s = spark
+    import s.implicits._
+    val out = graft.queries.TextQueries.streamWarc(s, sfDir).collect()
+    val bySource = graft.Fixtures.documents(s, sfDir)
+      .groupBy($"source").count().collect()
+      .map(r => s"${r.getString(0)}.example" -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == bySource(r.getString(0)),
+        s"${r.getString(0)}: records must equal the source's doc count " +
+          "(the re-delivered batch must not duplicate)")
+      assert(r.getLong(2) == r.getLong(1), "urls are unique per record")
+    }
+    assert(out.map(_.getLong(1)).sum ==
+      graft.Fixtures.documents(s, sfDir).count())
+
+    // byte idempotence: replay batch 0 against the directory the query
+    // just built and prove nothing changed
+    val dir = {
+      // rebuild a fresh dir deterministically for the file-level law
+      val d = graft.TmpDirs.create("warc_stream_spec")
+      val docs = graft.Fixtures.documents(s, sfDir)
+        .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+        .collect().sortBy(_._1)
+      val half = docs.length / 2
+      WarcStreamIngest.stageBatch(d)(
+        s.createDataset(docs.take(half)).toDF("doc_id", "source", "text"), 0L)
+      WarcStreamIngest.stageBatch(d)(
+        s.createDataset(docs.drop(half)).toDF("doc_id", "source", "text"), 1L)
+      val before = md5s(d)
+      WarcStreamIngest.stageBatch(d)(
+        s.createDataset(docs.take(half)).toDF("doc_id", "source", "text"), 0L)
+      val after = md5s(d)
+      assert(after == before,
+        "a replayed batch must rewrite byte-identical files")
+      d
+    }
+    // and the rebuilt dir reads back to the same per-host rollup
+    val again = s.read.format("warc").load(dir)
+      .groupBy($"host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(again(r.getString(0)) == r.getLong(1)))
+  }
+}
