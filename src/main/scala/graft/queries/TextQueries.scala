@@ -749,13 +749,24 @@ object TextQueries {
     * a pure function of doc_id). NATIVE (WarcSpec: framing goldens,
     * truncation/corruption refusals, Python-gzip interop; the rollup
     * pins whole-corpus exact recovery). */
+  /** One synthetic corpus WARC record — the ONE definition shared by
+    * [[warcShardDs]] (batch shards) and
+    * [[graft.streaming.WarcStreamIngest]] (streaming): WarcStreamSpec
+    * pins stream-vs-batch equality at the BYTE level, which only holds
+    * while both paths build records identically. */
+  private[graft] def corpusWarcRecord(id: Long, src: String,
+      text: String): Array[Byte] =
+    graft.text.Warc.writeRecord(s"https://$src.example/doc/$id",
+      f"$id%032x",
+      graft.text.HtmlExtract.syntheticPage(id, text).getBytes("UTF-8"))
+
   /** The corpus as fixed-capacity WARC shards, keyed by shard id —
     * shared by q_crawl_warc (in-memory round-trip) and the staged
     * file layout the `warc` DSv2 source reads (q_scan_warc_dsv2). */
   private[queries] def warcShardDs(spark: SparkSession, sfDir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    import graft.text.{HtmlExtract, Warc}
+    import graft.text.Warc
     val shardCapacity = 128L
     Fixtures.documents(spark, sfDir)
       .select($"doc_id", $"source", $"text")
@@ -764,8 +775,7 @@ object TextQueries {
       .groupByKey(_._1)
       .mapGroups { (sid, it) =>
         val recs = it.toSeq.sortBy(_._2).map { case (_, id, src, text) =>
-          Warc.writeRecord(s"https://$src.example/doc/$id", f"$id%032x",
-            HtmlExtract.syntheticPage(id, text).getBytes("UTF-8"))
+          corpusWarcRecord(id, src, text)
         }
         (sid, Warc.writeShard(recs))
       }
@@ -838,19 +848,22 @@ object TextQueries {
       .collect().sortBy(_._1)
     val dir = graft.TmpDirs.create("warc_stream")
     val mem = MemoryStream[(Long, String, String)]
-    val q = WindowQueries.withShufflePartitions(spark, 4) {
-      mem.toDF().toDF("doc_id", "source", "text")
+    // the wrapper must cover the WHOLE run (micro-batches plan during
+    // processAllAvailable, not at start()) — the sibling streaming
+    // queries' discipline
+    WindowQueries.withShufflePartitions(spark, 4) {
+      val q = mem.toDF().toDF("doc_id", "source", "text")
         .writeStream
         .foreachBatch(graft.streaming.WarcStreamIngest.stageBatch(dir) _)
         .start()
+      try {
+        val half = docs.length / 2
+        mem.addData(docs.take(half): _*)
+        q.processAllAvailable()
+        mem.addData(docs.drop(half): _*)
+        q.processAllAvailable()
+      } finally q.stop()
     }
-    try {
-      val half = docs.length / 2
-      mem.addData(docs.take(half): _*)
-      q.processAllAvailable()
-      mem.addData(docs.drop(half): _*)
-      q.processAllAvailable()
-    } finally q.stop()
     // restart semantics: replay batch 0 out-of-band — byte-identical
     // files overwrite themselves, the read below must see no dupes
     graft.streaming.WarcStreamIngest.stageBatch(dir)(

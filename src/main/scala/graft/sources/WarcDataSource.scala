@@ -149,8 +149,6 @@ class WarcWriteBuilder(path: String, opts: Map[String, String])
 }
 
 object WarcWriteSupport {
-  private val PartName = raw"part-(\d+)-(\d+)\.warc\.gz".r
-
   def insert(path: String, opts: Map[String, String], overwrite: Boolean,
       data: org.apache.spark.sql.DataFrame): Unit = {
     val spark = data.sparkSession
@@ -171,12 +169,19 @@ object WarcWriteSupport {
     val hc = new Configuration()
     sessionConf.foreach { case (k, v) => hc.set(k, v) }
     val fs = dirPath.getFileSystem(hc)
+    // refusal/overwrite operate on EVERY readable warc file (both the
+    // batch writer's part-* and the streaming ingest's b*-p*-* names,
+    // and foreign *.warc.gz) — counting only our own pattern would let
+    // an append silently merge two layouts into one corpus
+    def warcFiles() = fs.listStatus(dirPath).filter(s => s.isFile && {
+      val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
+      n.endsWith(".warc.gz") || n.endsWith(".warc")
+    })
     if (fs.exists(dirPath)) {
-      val existing = fs.listStatus(dirPath)
-        .filter(s => s.isFile && PartName.matches(s.getPath.getName))
+      val existing = warcFiles()
       if (overwrite) existing.foreach(s => fs.delete(s.getPath, false))
       else require(existing.isEmpty,
-        s"warc target $path already holds ${existing.length} part files — " +
+        s"warc target $path already holds ${existing.length} warc files — " +
           "appending onto an existing layout is refused; use overwrite")
     } else fs.mkdirs(dirPath)
 
@@ -203,13 +208,37 @@ object WarcWriteSupport {
         var seq = 0
         it.grouped(capacity).foreach { group =>
           val records = group.map { row =>
-            Warc.writeRecord(row.getString(0), row.getString(2),
+            // the READER surfaces record_id as the raw header value
+            // ('<urn:uuid:...>') and writeRecord wraps again — unwrap
+            // a wrapped id so read->write round trips keep identity
+            val rid0 = row.getString(2)
+            val rid =
+              if (rid0.startsWith("<urn:uuid:") && rid0.endsWith(">"))
+                rid0.substring("<urn:uuid:".length, rid0.length - 1)
+              else rid0
+            Warc.writeRecord(row.getString(0), rid,
               row.getAs[Array[Byte]](1), row.getString(3))
           }
           val shard = Warc.writeShard(records)
-          val f = new Path(path, f"part-$pid%05d-$seq%05d.warc.gz")
-          val out = tfs.create(f, true)
+          // write to a task-attempt-unique temp name, then rename into
+          // place: a speculative/zombie attempt can never interleave
+          // bytes with the winner inside one final file (rename is the
+          // atom; on a name race the loser's rename fails or the files
+          // are byte-identical by determinism). Job-LEVEL atomicity is
+          // the append-refusal's job: a died-midway write leaves part
+          // files that force an explicit overwrite on retry, never a
+          // silent half-merge.
+          val fin = new Path(path, f"part-$pid%05d-$seq%05d.warc.gz")
+          val tmp = new Path(path,
+            f".part-$pid%05d-$seq%05d.warc.gz.${java.util.UUID.randomUUID}%s.tmp")
+          val out = tfs.create(tmp, true)
           try out.write(shard) finally out.close()
+          if (!tfs.rename(tmp, fin)) {
+            tfs.delete(tmp, false)
+            require(tfs.exists(fin),
+              s"warc write could not commit $fin (rename failed and no " +
+                "winner exists)")
+          }
           seq += 1
         }
     }
@@ -338,6 +367,15 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
         val p = new Path(part.uri)
         val fs = p.getFileSystem(hc)
         val st = fs.getFileStatus(p)
+        // one shard = one in-memory buffer by design (the writer caps
+        // shards at shard.capacity records); a >2 GiB file would
+        // truncate through toInt — possibly landing ON a gzip member
+        // boundary and silently shortening the corpus — so refuse it
+        // loudly instead
+        require(st.getLen <= Int.MaxValue.toLong,
+          s"warc shard '${part.uri}' is ${st.getLen} bytes — beyond the " +
+            "2 GiB single-buffer reader; re-shard it (the warc writer's " +
+            "shard.capacity bounds files well below this)")
         val buf = new Array[Byte](st.getLen.toInt)
         val in = fs.open(p)
         try in.readFully(0, buf) finally in.close()
@@ -360,12 +398,33 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
           // cheap-column short-circuit: a pushed filter that rejects
           // here skips the HTTP split and extraction entirely
           if (pushed.forall(WarcRecordFilter.eval(_, url, host, wtype))) {
-            // the HTTP split runs at most once per surviving record
+            // the HTTP split runs at most once per surviving record.
+            // LOUD on a response record whose payload is malformed
+            // (the module's refusal contract — a silently-nulled row
+            // would mask corruption that survived the gzip layer);
+            // non-response records (warcinfo, request, metadata)
+            // legitimately carry non-HTTP payloads and yield nulls.
             val http: Option[(String, Array[Byte])] =
-              if (needPayload)
+              if (needPayload && wtype == "response")
                 try Some(Warc.httpBody(r.payload))
-                catch { case _: IllegalArgumentException => None }
+                catch {
+                  case e: IllegalArgumentException =>
+                    throw new IllegalArgumentException(
+                      s"warc scan: response record '$url' in " +
+                        s"'${part.uri}' has a malformed HTTP payload: " +
+                        e.getMessage, e)
+                }
               else None
+            // the HTTP header block = payload up to the CRLFCRLF
+            // separator (bounded; never scans into the body)
+            lazy val httpHead: String = {
+              val p = r.payload
+              var i = 0
+              while (i + 3 < p.length &&
+                  !(p(i) == '\r' && p(i + 1) == '\n' &&
+                    p(i + 2) == '\r' && p(i + 3) == '\n')) i += 1
+              new String(p, 0, math.min(i, p.length), "ISO-8859-1")
+            }
             val values: Array[Any] = cols.map {
               case "src" => UTF8String.fromString(part.uri)
               case "url" => UTF8String.fromString(url)
@@ -377,12 +436,8 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
               case "status" =>
                 http.map(h => UTF8String.fromString(h._1)).orNull
               case "content_type" =>
-                http.flatMap { case (_, _) =>
-                  // Content-Type lives in the HTTP header block, which
-                  // httpBody consumed — re-scan the head cheaply
-                  val head = new String(r.payload, 0,
-                    math.min(r.payload.length, 1024), "ISO-8859-1")
-                  head.linesIterator
+                http.flatMap { _ =>
+                  httpHead.linesIterator
                     .find(_.toLowerCase.startsWith("content-type:"))
                     .map(l => UTF8String.fromString(
                       l.substring(l.indexOf(':') + 1).trim))

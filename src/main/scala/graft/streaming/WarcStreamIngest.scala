@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 
-import graft.text.{HtmlExtract, Warc}
+import graft.text.Warc
 
 /** Streaming WARC ingest — the crawl-side twin of [[CogStreamIngest]]:
   * crawl results (doc_id, source host, text) arrive in micro-batches
@@ -35,9 +35,10 @@ object WarcStreamIngest {
         val fs = dp.getFileSystem(conf)
         var seq = 0
         it.toSeq.sortBy(_._1).grouped(capacity).foreach { group =>
+          // record bytes come from the ONE shared builder — the
+          // stream-vs-batch byte-equality law depends on it
           val recs = group.map { case (id, src, text) =>
-            Warc.writeRecord(s"https://$src.example/doc/$id", f"$id%032x",
-              HtmlExtract.syntheticPage(id, text).getBytes("UTF-8"))
+            graft.queries.TextQueries.corpusWarcRecord(id, src, text)
           }
           val f = new org.apache.hadoop.fs.Path(dir,
             f"b$batchId%05d-p$pid%03d-$seq%03d.warc.gz")

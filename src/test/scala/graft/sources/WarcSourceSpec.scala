@@ -150,6 +150,46 @@ class WarcSourceSpec extends SparkSpec {
     assert(new String(t._2, "UTF-8") == "hello wörld")
   }
 
+  test("record_id survives a read->write->read round trip without nesting") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("warc_rid")
+    graft.TmpDirs.track(out.toFile)
+    val src = spark.read.format("warc").load(dir)
+      .select($"url", $"body", $"record_id")
+    val want = src.select($"url", $"record_id").as[(String, String)]
+      .collect().toMap
+    src.write.format("warc").mode("overwrite").save(out.toString)
+    val back = spark.read.format("warc").load(out.toString)
+      .select($"url", $"record_id").as[(String, String)]
+      .collect().toMap
+    assert(back == want, "the raw '<urn:uuid:...>' header value must be " +
+      "unwrapped on write, never double-wrapped")
+    back.values.foreach(v => assert(!v.contains("<urn:uuid:<"), v))
+  }
+
+  test("append is refused onto stream-ingested (b*-p*) layouts too") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("warc_mix")
+    graft.TmpDirs.track(d.toFile)
+    graft.streaming.WarcStreamIngest.stageBatch(d.toString)(
+      Seq((1L, "src0", "hello world")).toDF("doc_id", "source", "text"), 0L)
+    val e = intercept[Exception] {
+      Seq(("https://x.example/a", "body")).toDF("url", "text")
+        .write.format("warc").mode("append").save(d.toString)
+    }
+    assert(e.getMessage.contains("refused"),
+      s"stream shards must block a batch append: ${e.getMessage}")
+    // overwrite clears the stream shards as well — no layout mixing
+    Seq(("https://x.example/a", "body")).toDF("url", "text")
+      .write.format("warc").mode("overwrite").save(d.toString)
+    val names = new java.io.File(d.toString).listFiles()
+      .map(_.getName).filter(_.endsWith(".warc.gz"))
+    assert(names.forall(_.startsWith("part-")), names.mkString(","))
+    assert(spark.read.format("warc").load(d.toString).count() == 1)
+  }
+
   test("a corrupt shard fails loudly, naming its file") {
     val bad = java.nio.file.Files.createTempDirectory("warc_bad")
     graft.TmpDirs.track(bad.toFile)
