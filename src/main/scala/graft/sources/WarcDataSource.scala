@@ -256,16 +256,46 @@ class WarcScanBuilder(paths: Seq[String], conf: Map[String, String])
     required = requiredSchema
 
   /** Accept predicates the reader can evaluate on the cheap framing
-    * columns; EVERYTHING stays residual (the returned array), so Spark
-    * re-applies each filter on the emitted rows — the reader's
-    * short-circuit is an optimization with no correctness surface. */
+    * columns — plus `src` predicates, which prune whole FILES at
+    * planning (src IS the file path, so an equality/prefix/contains
+    * constraint decides a partition's fate before any IO; the COG
+    * source's strongest optimization, here for free). EVERYTHING
+    * stays residual (the returned array), so Spark re-applies each
+    * filter on the emitted rows — the planner's and reader's
+    * short-circuits are optimizations with no correctness surface. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(WarcRecordFilter.supported)
+    pushed = filters.filter(f =>
+      WarcRecordFilter.supported(f) || WarcSrcFilter.supported(f))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new WarcScan(paths, conf, required, pushed)
+}
+
+/** `src` predicates the PLANNER evaluates against candidate file
+  * paths — a rejected file plans no partition and costs zero IO.
+  * Conservative: an unsupported shape keeps every file (Spark's
+  * residual evaluation keeps semantics either way). */
+object WarcSrcFilter {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("src", _: String) => true
+    case In("src", vs) => vs.forall(_.isInstanceOf[String])
+    case StringStartsWith("src", _) => true
+    case StringContains("src", _) => true
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  /** true = the file at `uri` may satisfy the filter (keep it). */
+  def keep(f: Filter, uri: String): Boolean = f match {
+    case EqualTo("src", v: String) => uri == v
+    case In("src", vs) => vs.exists(_ == uri)
+    case StringStartsWith("src", p) => uri.startsWith(p)
+    case StringContains("src", s) => uri.contains(s)
+    case And(l, r) => keep(l, uri) && keep(r, uri)
+    case _ => true
+  }
 }
 
 /** The subset of [[org.apache.spark.sql.sources.Filter]] the reader
@@ -337,14 +367,23 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
           g.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
       }
     }
-    val files = paths.flatMap(expandOne).distinct
-    require(files.nonEmpty, s"no .warc.gz files under ${paths.mkString(",")}")
+    val all = paths.flatMap(expandOne).distinct
+    require(all.nonEmpty, s"no .warc.gz files under ${paths.mkString(",")}")
+    // planning-time file pruning: a pushed src predicate decides each
+    // file's fate before any IO (an empty plan is legal — the filter
+    // matched nothing)
+    val srcPushed = pushed.filter(WarcSrcFilter.supported)
+    val files = all.filter(f => srcPushed.forall(WarcSrcFilter.keep(_, f)))
     val bcConf = spark.sparkContext.broadcast(merged)
     files.map(f => WarcInputPartition(f, bcConf): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required.fieldNames, pushed)
+    // only RECORD-level filters reach the reader: src filters are
+    // consumed at planning, and the record evaluator's column routing
+    // must never see them
+    new WarcReaderFactory(required.fieldNames,
+      pushed.filter(WarcRecordFilter.supported))
 }
 
 case class WarcInputPartition(uri: String,

@@ -190,6 +190,37 @@ class WarcSourceSpec extends SparkSpec {
     assert(spark.read.format("warc").load(d.toString).count() == 1)
   }
 
+  test("src predicates prune whole files at planning, zero IO for the rest") {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.toString).sorted
+    assume(files.length >= 2, "needs a multi-shard corpus")
+    val s = spark
+    import s.implicits._
+    // src values carry the filesystem scheme (file:/...) — take the
+    // real value from a metadata scan, exactly as a user would
+    val srcs = spark.read.format("warc").load(dir)
+      .select($"src").distinct().as[String].collect().sorted
+    assert(srcs.length == files.length)
+    val target = srcs.head
+    val df = spark.read.format("warc").load(dir)
+      .filter($"src" === target)
+      .select($"url")
+    val scan = scanOf(df)
+    val planned = scan.scan.toBatch.planInputPartitions()
+    assert(planned.length == 1,
+      s"src equality must plan exactly the matching file, got ${planned.length}")
+    // …and the result is exactly that file's records
+    val localPath = target.stripPrefix("file:")
+    val want = Warc.readShard(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(localPath))).map(_.targetUri).sorted
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == want)
+    // a contains-nothing predicate plans ZERO partitions and returns 0
+    val none = spark.read.format("warc").load(dir)
+      .filter($"src".contains("no-such-shard"))
+    assert(scanOf(none).scan.toBatch.planInputPartitions().isEmpty)
+    assert(none.count() == 0)
+  }
+
   test("a corrupt shard fails loudly, naming its file") {
     val bad = java.nio.file.Files.createTempDirectory("warc_bad")
     graft.TmpDirs.track(bad.toFile)
