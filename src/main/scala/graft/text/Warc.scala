@@ -33,8 +33,23 @@ object Warc {
   }
 
   /** One response record's bytes (uncompressed WARC framing). */
+  /** A header VALUE may not contain CR/LF — an embedded newline would
+    * inject headers / corrupt the CRLF framing (the container analog
+    * of HTTP response splitting). Refused loudly: the writer's inputs
+    * are user-supplied on the `df.write.format("warc")` path, and a
+    * silently-mangled record would fail far from its cause. */
+  private def requireHeaderSafe(field: String, v: String): String = {
+    require(v.indexOf('\r') < 0 && v.indexOf('\n') < 0,
+      s"WARC $field may not contain CR/LF (header-injection hazard): " +
+        s"'${v.take(60)}'")
+    v
+  }
+
   def writeRecord(targetUri: String, recordId: String,
       httpBody: Array[Byte], contentType: String = "text/html"): Array[Byte] = {
+    requireHeaderSafe("target URI", targetUri)
+    requireHeaderSafe("record id", recordId)
+    requireHeaderSafe("content type", contentType)
     val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
       s"Content-Length: ${httpBody.length}\r\n\r\n").getBytes(UTF_8) ++ httpBody
     val header = ("WARC/1.0\r\n" +

@@ -185,4 +185,51 @@ class WarcSpec extends SparkSpec {
     val again = graft.queries.TextQueries.crawlWarc(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "deterministic")
   }
+
+  test("hostile-body fuzz: arbitrary binary bodies round-trip byte-exact") {
+    val rnd = new scala.util.Random(181)
+    // bodies engineered to stress the framing: empty, embedded
+    // CRLFCRLF (the header/body separator — Content-Length framing
+    // must protect it), gzip magic, raw WARC magic, all byte values
+    val hostile = Seq(
+      Array.empty[Byte],
+      "\r\n\r\n".getBytes("UTF-8"),
+      "a\r\n\r\nWARC/1.0\r\n\r\n".getBytes("UTF-8"),
+      Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0),
+      (0 until 256).map(_.toByte).toArray)
+    val random = (0 until 40).map { i =>
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b); b
+    }
+    val bodies = hostile ++ random
+    val recs = bodies.zipWithIndex.map { case (b, i) =>
+      Warc.writeRecord(s"https://fuzz.example/$i", f"$i%032x", b)
+    }
+    val back = Warc.readShard(Warc.writeShard(recs))
+    assert(back.size == bodies.size)
+    back.zip(bodies).zipWithIndex.foreach { case ((r, want), i) =>
+      val (status, body) = Warc.httpBody(r.payload)
+      assert(status == "HTTP/1.1 200 OK")
+      assert(java.util.Arrays.equals(body, want),
+        s"body $i corrupted through the container")
+      assert(r.targetUri == s"https://fuzz.example/$i")
+    }
+  }
+
+  test("header values with CR/LF are refused loudly (injection hazard)") {
+    for (evil <- Seq("https://x/\r\nWARC-Type: warcinfo",
+        "https://x/a\nb", "a\rb")) {
+      val e = intercept[IllegalArgumentException] {
+        Warc.writeRecord(evil, "00", "x".getBytes("UTF-8"))
+      }
+      assert(e.getMessage.contains("header-injection"), e.getMessage)
+    }
+    intercept[IllegalArgumentException] {
+      Warc.writeRecord("https://ok/", "id\r\nX: y", "x".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.writeRecord("https://ok/", "00", "x".getBytes("UTF-8"),
+        contentType = "text/html\r\nEvil: 1")
+    }
+  }
 }
