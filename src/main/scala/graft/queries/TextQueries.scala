@@ -790,9 +790,18 @@ object TextQueries {
   private[graft] def ensureWarcShards(spark: SparkSession, sfDir: String): String =
     graft.TmpDirs.stagedMemo(warcStage, (spark, sfDir)) { case (s, d) =>
       val dir = graft.TmpDirs.create("warc_shards")
+      // ship the SESSION Hadoop conf (a bare Configuration drops s3a
+      // credentials / custom filesystems on executor-side writes)
+      val bcConf = {
+        import scala.jdk.CollectionConverters._
+        s.sparkContext.broadcast(
+          s.sparkContext.hadoopConfiguration.iterator().asScala
+            .map(e => e.getKey -> e.getValue).toMap)
+      }
       warcShardDs(s, d).foreachPartition {
         it: Iterator[(Long, Array[Byte])] =>
           val conf = new org.apache.hadoop.conf.Configuration()
+          bcConf.value.foreach { case (k, v) => conf.set(k, v) }
           it.foreach { case (sid, bytes) =>
             val p = new org.apache.hadoop.fs.Path(s"$dir/shard-$sid.warc.gz")
             val fs = p.getFileSystem(conf)
@@ -1193,11 +1202,30 @@ object TextQueries {
     * degrees AND the rank fixed point ([[graft.graph.PageRank.runLocal]],
     * pinned ≡ the distributed operator in PageRankSpec) — is
     * driver-side arithmetic on that metadata-scale matrix, so the
-    * rank iterations cost microseconds instead of 2·iters shuffles.
+    * rank iterations cost microseconds instead of 2·iters shuffles —
+    * GATED on the matrix's measured size ([[crawlLinksGated]]): past
+    * 10⁶ pairs (a real web-host graph) the identical math runs
+    * through the distributed operator instead of the driver.
     * NATIVE: page synthesis and the href scanner are engine-side
     * (LinkGraphSpec: scanner goldens, per-page link census,
     * distributed-vs-driver edge equality, Σrank = 1). */
-  def crawlLinks(spark: SparkSession, sfDir: String): DataFrame = {
+  def crawlLinks(spark: SparkSession, sfDir: String): DataFrame =
+    crawlLinksGated(spark, sfDir, maxLocalPairs = 1000000L)
+
+  /** [[crawlLinks]] with an explicit driver-rank gate. The host-pair
+    * matrix is "domains²-bounded = metadata-scale" at THIS pipeline's
+    * host cardinality, but a real web corpus has ~10⁸ hosts and a
+    * 10⁹-edge host graph — collecting that to the driver is the
+    * classic silent scale-killer. So the collect is GATED on the
+    * matrix's measured row count: at or below `maxLocalPairs` the
+    * rank fixed point runs driver-local (microseconds, no per-
+    * iteration job overhead); above it the SAME math runs through the
+    * distributed [[graft.graph.PageRank.run]] operator and the degree
+    * columns come from distributed aggregations of the staged matrix
+    * — identical output (LinkGraphSpec pins forced-fallback equality),
+    * different execution shape. */
+  private[graft] def crawlLinksGated(spark: SparkSession, sfDir: String,
+      maxLocalPairs: Long): DataFrame = {
     import spark.implicits._
     val edges = Fixtures.documents(spark, sfDir)
       .select($"doc_id", $"text").as[(Long, String)]
@@ -1229,36 +1257,64 @@ object TextQueries {
     edges.groupBy($"src", $"dst")
       .agg(count(lit(1)).as("n"))
       .coalesce(1).write.mode("overwrite").parquet(base)
-    val pairCounts = spark.read.parquet(base)
-      .as[(Long, Long, Long)].collect()
-    val extPairs = pairCounts.collect {
-      case (s, d, _) if s != d => (s, d)
-    }.toSeq
-    val ranks = graft.graph.PageRank.runLocal(extPairs, iters = 10)
-    // hosts with only self-links have no rank (same semantics as the
-    // old inner join onto the distributed rank frame)
-    val hosts = pairCounts.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    // one linear pre-grouping pass, then O(1) lookups per host — the
-    // naive per-host filter scan is O(hosts × pairs), which at the
-    // thousands-of-hosts scale this rollup advertises would dwarf the
-    // rank fixed point itself
-    def grouped(f: ((Long, Long, Long)) => Boolean,
-        key: ((Long, Long, Long)) => Long): Map[Long, Long] =
-      pairCounts.filter(f).groupBy(key).map { case (k, ps) =>
-        k -> ps.map(_._3).sum
-      }
-    val outAllBy = grouped(_ => true, _._1)
-    val extOutBy = grouped(p => p._1 != p._2, _._1)
-    val extInBy = grouped(p => p._1 != p._2, _._2)
-    val stats = hosts.filter(ranks.contains).map { h =>
-      (h, outAllBy.getOrElse(h, 0L), extOutBy.getOrElse(h, 0L),
-        extInBy.getOrElse(h, 0L), math.round(ranks(h) * 1e6) / 1e6)
-    }.toSeq
-    // pr_rank, not rank: a bare `rank` identifier reads as the window
-    // function in DuckDB re-selects (the q_graph_pagerank lesson)
-    spark.createDataset(stats)
-      .toDF("host_num", "out_links", "ext_out", "ext_in", "pr_rank")
-      .orderBy($"host_num")
+    val pairDf = spark.read.parquet(base)
+    // the gate: ONE metadata-scale count decides whether the rank
+    // fixed point may run driver-local at all
+    val nPairs = pairDf.count()
+    if (nPairs <= maxLocalPairs) {
+      val pairCounts = pairDf.as[(Long, Long, Long)].collect()
+      val extPairs = pairCounts.collect {
+        case (s, d, _) if s != d => (s, d)
+      }.toSeq
+      val ranks = graft.graph.PageRank.runLocal(extPairs, iters = 10)
+      // hosts with only self-links have no rank (same semantics as the
+      // old inner join onto the distributed rank frame)
+      val hosts = pairCounts.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      // one linear pre-grouping pass, then O(1) lookups per host — the
+      // naive per-host filter scan is O(hosts × pairs), which at the
+      // thousands-of-hosts scale this rollup advertises would dwarf the
+      // rank fixed point itself
+      def grouped(f: ((Long, Long, Long)) => Boolean,
+          key: ((Long, Long, Long)) => Long): Map[Long, Long] =
+        pairCounts.filter(f).groupBy(key).map { case (k, ps) =>
+          k -> ps.map(_._3).sum
+        }
+      val outAllBy = grouped(_ => true, _._1)
+      val extOutBy = grouped(p => p._1 != p._2, _._1)
+      val extInBy = grouped(p => p._1 != p._2, _._2)
+      val stats = hosts.filter(ranks.contains).map { h =>
+        (h, outAllBy.getOrElse(h, 0L), extOutBy.getOrElse(h, 0L),
+          extInBy.getOrElse(h, 0L), math.round(ranks(h) * 1e6) / 1e6)
+      }.toSeq
+      // pr_rank, not rank: a bare `rank` identifier reads as the window
+      // function in DuckDB re-selects (the q_graph_pagerank lesson)
+      spark.createDataset(stats)
+        .toDF("host_num", "out_links", "ext_out", "ext_in", "pr_rank")
+        .orderBy($"host_num")
+    } else {
+      // distributed fallback: identical math, never collects the
+      // matrix — ranks from the distributed power-method operator,
+      // degrees from three shuffle aggregations of the staged matrix
+      val ext = pairDf.filter($"src" =!= $"dst")
+      val ranks = graft.graph.PageRank.run(
+        ext.select($"src", $"dst"), iters = 10)
+      val outAll = pairDf.groupBy($"src".as("host_num"))
+        .agg(sum($"n").as("out_links"))
+      val extOut = ext.groupBy($"src".as("host_num"))
+        .agg(sum($"n").as("ext_out"))
+      val extIn = ext.groupBy($"dst".as("host_num"))
+        .agg(sum($"n").as("ext_in"))
+      ranks.select($"node".as("host_num"), $"rank")
+        .join(outAll, Seq("host_num"), "left")
+        .join(extOut, Seq("host_num"), "left")
+        .join(extIn, Seq("host_num"), "left")
+        .select($"host_num",
+          coalesce($"out_links", lit(0L)).as("out_links"),
+          coalesce($"ext_out", lit(0L)).as("ext_out"),
+          coalesce($"ext_in", lit(0L)).as("ext_in"),
+          (round($"rank" * 1e6) / 1e6).as("pr_rank"))
+        .orderBy($"host_num")
+    }
   }
 
   /** ORACLE twin (r18): DuckDB re-derives the degree columns from the

@@ -40,8 +40,11 @@ import graft.text.{HtmlExtract, Warc}
   *
   * Scale unit: ONE InputPartition PER SHARD FILE (writer-bounded
   * capacity, exactly how CommonCrawl splits at ~1 GB) — a million-file
-  * corpus plans a million cheap partitions and every task's memory is
-  * bounded by one shard. Paths may be a file, a directory (its
+  * corpus plans a million cheap partitions, and the reader walks each
+  * file's gzip members INCREMENTALLY ([[Warc.streamRecords]]) so task
+  * memory is O(one record + one member), never O(file): a foreign
+  * multi-gigabyte shard scans in a bounded heap. Paths may be a file,
+  * a directory (its
   * *.warc.gz), or a glob; the session's Hadoop conf merges under the
   * options so s3a:// / the ranged-HTTP filesystem work exactly as for
   * parquet. Malformed framing stays LOUD (the [[Warc]] contract):
@@ -185,18 +188,31 @@ object WarcWriteSupport {
           "appending onto an existing layout is refused; use overwrite")
     } else fs.mkdirs(dirPath)
 
-    import org.apache.spark.sql.functions.{col, encode, lit, md5, when}
+    import org.apache.spark.sql.functions.{coalesce, col, encode, lit, md5, when}
     val normalized = data.select(
       col("url").cast(StringType).as("url"),
       (if (fields.contains("body")) col("body")
        else encode(col("text"), "UTF-8")).as("body"),
-      (if (fields.contains("record_id")) col("record_id").cast(StringType)
-       else md5(col("url"))).as("record_id"),
+      // record_id is nullable on the READ side (records without a
+      // WARC-Record-ID header surface null) — coalesce to the md5(url)
+      // fallback whether the column is absent OR null-valued, so a
+      // read→write round trip of such a corpus writes cleanly instead
+      // of dying on a bare NPE
+      (if (fields.contains("record_id"))
+        coalesce(col("record_id").cast(StringType), md5(col("url")))
+      else md5(col("url"))).as("record_id"),
       lit(contentType).as("ct"))
       .select(col("url"),
         when(col("body").isNull, lit(Array.empty[Byte])).otherwise(col("body"))
           .as("body"),
         col("record_id"), col("ct"))
+      // a shuffle's within-partition arrival order is NOT stable across
+      // task attempts; shard bytes must be a pure function of the
+      // partition's row SET or a speculative/retried attempt would
+      // commit differently-grouped records — the total order below
+      // makes every attempt byte-identical, which the commit protocol
+      // then verifies
+      .sortWithinPartitions("url", "record_id", "body")
 
     val bcConf = spark.sparkContext.broadcast(sessionConf)
     normalized.foreachPartition {
@@ -220,11 +236,16 @@ object WarcWriteSupport {
               row.getAs[Array[Byte]](1), row.getString(3))
           }
           val shard = Warc.writeShard(records)
-          // write to a task-attempt-unique temp name, then rename into
-          // place: a speculative/zombie attempt can never interleave
-          // bytes with the winner inside one final file (rename is the
-          // atom; on a name race the loser's rename fails or the files
-          // are byte-identical by determinism). Job-LEVEL atomicity is
+          // commit = write to a task-attempt-unique temp name, then
+          // rename into place. The sortWithinPartitions above makes
+          // `shard` a pure function of the partition's row set, so
+          // EVERY attempt produces the same bytes — and the protocol
+          // verifies that instead of assuming it: a final file that
+          // already exists (POSIX rename would silently REPLACE it;
+          // HDFS rename would fail onto it) is read back and must be
+          // byte-identical, else the write refuses loudly (a zombie
+          // attempt racing a non-deterministic input is the silent
+          // duplicate/drop shape this guards). Job-LEVEL atomicity is
           // the append-refusal's job: a died-midway write leaves part
           // files that force an explicit overwrite on retry, never a
           // silent half-merge.
@@ -233,11 +254,31 @@ object WarcWriteSupport {
             f".part-$pid%05d-$seq%05d.warc.gz.${java.util.UUID.randomUUID}%s.tmp")
           val out = tfs.create(tmp, true)
           try out.write(shard) finally out.close()
-          if (!tfs.rename(tmp, fin)) {
+          def winnerMatches(): Boolean = {
+            val st = tfs.getFileStatus(fin)
+            if (st.getLen != shard.length.toLong) false
+            else {
+              val got = new Array[Byte](shard.length)
+              val s = tfs.open(fin)
+              try s.readFully(0, got) finally s.close()
+              java.util.Arrays.equals(got, shard)
+            }
+          }
+          if (tfs.exists(fin)) {
+            // a prior attempt already committed: adopt it only if its
+            // bytes match ours exactly (attempt-determinism verified)
+            require(winnerMatches(),
+              s"warc write: $fin already exists with DIFFERENT bytes — " +
+                "a concurrent writer or a non-deterministic input; " +
+                "refusing to overwrite a committed shard")
             tfs.delete(tmp, false)
-            require(tfs.exists(fin),
+          } else if (!tfs.rename(tmp, fin)) {
+            // lost a commit race (HDFS-style no-replace rename): the
+            // winner must exist and carry our exact bytes
+            require(tfs.exists(fin) && winnerMatches(),
               s"warc write could not commit $fin (rename failed and no " +
-                "winner exists)")
+                "byte-identical winner exists)")
+            tfs.delete(tmp, false)
           }
           seq += 1
         }
@@ -284,6 +325,10 @@ object WarcSrcFilter {
     case StringStartsWith("src", _) => true
     case StringContains("src", _) => true
     case And(l, r) => supported(l) && supported(r)
+    // Or of supported shapes — the common "this shard or that shard"
+    // query; keep() is a may-satisfy test so disjunction stays
+    // conservative (either side keeping the file keeps it)
+    case Or(l, r) => supported(l) && supported(r)
     case _ => false
   }
 
@@ -294,6 +339,7 @@ object WarcSrcFilter {
     case StringStartsWith("src", p) => uri.startsWith(p)
     case StringContains("src", s) => uri.contains(s)
     case And(l, r) => keep(l, uri) && keep(r, uri)
+    case Or(l, r) => keep(l, uri) || keep(r, uri)
     case _ => true
   }
 }
@@ -311,6 +357,10 @@ object WarcRecordFilter {
     case StringStartsWith(c, _) => cheapCols(c)
     case IsNotNull(c) => cheapCols(c)
     case And(l, r) => supported(l) && supported(r)
+    // Or of supported shapes: `host = 'a' OR host = 'b'` — the common
+    // multi-host query — short-circuits the payload work exactly like
+    // an IN-list (exact evaluation on cheap columns, still residual)
+    case Or(l, r) => supported(l) && supported(r)
     case _ => false
   }
 
@@ -326,6 +376,7 @@ object WarcRecordFilter {
       case StringStartsWith(c, p) => v(c).startsWith(p)
       case IsNotNull(_) => true
       case And(l, r) => eval(l, url, host, warcType) && eval(r, url, host, warcType)
+      case Or(l, r) => eval(l, url, host, warcType) || eval(r, url, host, warcType)
       case _ => true // never skip on a shape we don't understand
     }
   }
@@ -360,7 +411,12 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
         case Some(st) if st.isDirectory =>
           fs.listStatus(p).filter(s => s.isFile && isWarc(s.getPath.getName))
             .map(_.getPath.toString).sorted.toSeq
-        case Some(_) => Seq(one)
+        // qualify the direct-file form too (directory/glob expansion
+        // already yields fully-qualified paths): the `src` column — and
+        // what a pushed src predicate must match — must not change form
+        // with load style, or `filter($"src" === "file:/...")` after a
+        // direct-path load silently returns zero rows
+        case Some(_) => Seq(fs.makeQualified(p).toString)
         case None =>
           val g = fs.globStatus(p)
           require(g != null && g.nonEmpty, s"no warc files match $one")
@@ -400,28 +456,30 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
         cols.exists(Set("status", "content_type", "body", "text"))
       private val needText = cols.contains("text")
 
+      private var in: java.io.InputStream = _
+
       private val records: Iterator[Warc.Record] = {
         val hc = new Configuration()
         part.conf.value.foreach { case (k, v) => hc.set(k, v) }
         val p = new Path(part.uri)
         val fs = p.getFileSystem(hc)
-        val st = fs.getFileStatus(p)
-        // one shard = one in-memory buffer by design (the writer caps
-        // shards at shard.capacity records); a >2 GiB file would
-        // truncate through toInt — possibly landing ON a gzip member
-        // boundary and silently shortening the corpus — so refuse it
-        // loudly instead
-        require(st.getLen <= Int.MaxValue.toLong,
-          s"warc shard '${part.uri}' is ${st.getLen} bytes — beyond the " +
-            "2 GiB single-buffer reader; re-shard it (the warc writer's " +
-            "shard.capacity bounds files well below this)")
-        val buf = new Array[Byte](st.getLen.toInt)
-        val in = fs.open(p)
-        try in.readFully(0, buf) finally in.close()
-        try Warc.readShard(buf).iterator
-        catch {
-          case e: Exception => throw new IllegalArgumentException(
-            s"warc scan failed to parse '${part.uri}': ${e.getMessage}", e)
+        // incremental member-walk ([[Warc.streamRecords]]): task memory
+        // is O(one record + one gzip member), never O(file), so a
+        // foreign multi-gigabyte CommonCrawl shard scans in a bounded
+        // task heap — the same reason the COG source reads ranged.
+        // Every violation stays LOUD and is re-raised naming the file
+        // (corruption surfaces mid-iteration here, not at open).
+        in = fs.open(p)
+        val raw = Warc.streamRecords(in)
+        new Iterator[Warc.Record] {
+          private def naming[T](f: => T): T =
+            try f
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"warc scan failed to parse '${part.uri}': ${e.getMessage}", e)
+            }
+          override def hasNext: Boolean = naming(raw.hasNext)
+          override def next(): Warc.Record = naming(raw.next())
         }
       }
 
@@ -499,7 +557,7 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
       }
 
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = if (in != null) in.close()
     }
   }
 }

@@ -74,131 +74,268 @@ object Warc {
     out.toByteArray
   }
 
-  /** Decompress EVERY gzip member, walking boundaries ourselves with
-    * per-member CRC32 + ISIZE verification. The JDK's multi-member
-    * GZIPInputStream treats a malformed SUBSEQUENT member header (or
-    * trailing garbage) as clean EOF — which would silently return a
-    * SHORT corpus, the exact failure this module promises to refuse.
-    * Manual member walking turns every boundary/content corruption
-    * into a loud error with the member index and byte offset. */
-  private def gunzipAll(shard: Array[Byte]): Array[Byte] = {
-    def le16(p: Int) = (shard(p) & 0xff) | ((shard(p + 1) & 0xff) << 8)
-    def le32(p: Int) = (shard(p) & 0xffL) | ((shard(p + 1) & 0xffL) << 8) |
-      ((shard(p + 2) & 0xffL) << 16) | ((shard(p + 3) & 0xffL) << 24)
-    val out = new ByteArrayOutputStream()
-    var pos = 0
-    var member = 0
-    if (shard.isEmpty) throw new IllegalArgumentException("empty WARC shard")
-    while (pos < shard.length) {
-      member += 1
-      def bad(msg: String) = throw new IllegalArgumentException(
-        s"gzip member $member at byte $pos: $msg")
-      if (pos + 10 > shard.length) bad("truncated header")
-      if ((shard(pos) & 0xff) != 0x1f || (shard(pos + 1) & 0xff) != 0x8b)
-        bad(f"bad magic ${shard(pos) & 0xff}%02x${shard(pos + 1) & 0xff}%02x")
-      if (shard(pos + 2) != 8) bad(s"unsupported compression method ${shard(pos + 2)}")
-      val flg = shard(pos + 3) & 0xff
-      var p = pos + 10
-      if ((flg & 4) != 0) { // FEXTRA
-        if (p + 2 > shard.length) bad("truncated FEXTRA")
-        p += 2 + le16(p)
-      }
-      if ((flg & 8) != 0) { // FNAME
-        while (p < shard.length && shard(p) != 0) p += 1
-        p += 1
-      }
-      if ((flg & 16) != 0) { // FCOMMENT
-        while (p < shard.length && shard(p) != 0) p += 1
-        p += 1
-      }
-      if ((flg & 2) != 0) p += 2 // FHCRC
-      if (p > shard.length) bad("truncated optional header fields")
-      val inflater = new java.util.zip.Inflater(true)
-      val crc = new java.util.zip.CRC32()
-      var memberBytes = 0L
-      try {
-        inflater.setInput(shard, p, shard.length - p)
-        val buf = new Array[Byte](64 << 10)
-        while (!inflater.finished()) {
-          val n =
-            try inflater.inflate(buf)
-            catch { case e: java.util.zip.DataFormatException =>
-              bad(s"corrupt deflate stream: ${e.getMessage}") }
-          if (n == 0 && !inflater.finished())
-            bad(if (inflater.needsInput()) "deflate stream truncated"
-                else "deflate stream stalled (dictionary?)") // no spin
-          crc.update(buf, 0, n)
-          out.write(buf, 0, n)
-          memberBytes += n
-        }
-        p += inflater.getBytesRead.toInt
-      } finally inflater.end()
-      if (p + 8 > shard.length) bad("truncated trailer")
-      if (le32(p) != crc.getValue) bad("CRC32 mismatch — member content corrupted")
-      if (le32(p + 4) != (memberBytes & 0xffffffffL)) bad("ISIZE mismatch")
-      pos = p + 8
-    }
-    out.toByteArray
-  }
-
-  /** Parse every record of a (per-record-gzipped) shard. Loud on any
-    * framing violation. */
+  /** Parse every record of a (per-record-gzipped) shard held in
+    * memory. Loud on any framing violation — delegates to the
+    * incremental [[streamRecords]] walker and drains it strictly, so
+    * in-memory and streaming reads share ONE set of refusal laws. */
   def readShard(shard: Array[Byte]): Seq[Record] = {
-    val raw = try gunzipAll(shard)
-    catch {
-      case e: java.io.IOException => throw new IllegalArgumentException(
-        s"WARC shard is not valid gzip: ${e.getMessage}", e)
-    }
+    val it = streamRecords(new java.io.ByteArrayInputStream(shard))
     val out = Seq.newBuilder[Record]
-    var i = 0
-    while (i < raw.length) {
-      i = parseRecord(raw, i, out)
-    }
+    while (it.hasNext) out += it.next()
     out.result()
   }
 
-  private def lineAt(raw: Array[Byte], off: Int): (String, Int) = {
-    var j = off
-    while (j + 1 < raw.length && !(raw(j) == '\r' && raw(j + 1) == '\n')) j += 1
-    if (j + 1 >= raw.length) throw new IllegalArgumentException(
-      s"WARC framing: unterminated header line at byte $off")
-    (new String(raw, off, j - off, UTF_8), j + 2)
+  /** Incremental record stream over a compressed WARC shard of ANY
+    * size — gzip members are walked one at a time with the same
+    * per-member CRC32 + ISIZE verification as the in-memory reader
+    * (the JDK's multi-member GZIPInputStream treats a malformed
+    * SUBSEQUENT member header, or trailing garbage, as clean EOF —
+    * which would silently return a SHORT corpus, the exact failure
+    * this module promises to refuse), and records parse off a rolling
+    * buffer as their bytes complete. Memory is O(one record + one
+    * member), never O(shard): at 100 TB the corpus is ~1 GiB
+    * CommonCrawl files with thousands of members, and a scan task
+    * must not hold a whole file (a single record above 2 GiB is still
+    * refused loudly — a rolling JVM buffer is Int-indexed). The
+    * caller owns `in` and closes it; the iterator never closes the
+    * stream. Every framing/member violation raises
+    * IllegalArgumentException with the member index and byte offset,
+    * exactly as the in-memory reader did. */
+  def streamRecords(in: java.io.InputStream): Iterator[Record] = new Iterator[Record] {
+    // compressed-side rolling window: [cstart, cend) of cbuf is
+    // unconsumed input; cbase = absolute stream offset of cbuf(0)
+    private var cbuf = new Array[Byte](128 << 10)
+    private var cstart = 0
+    private var cend = 0
+    private var cbase = 0L
+    private var ceof = false
+    private var member = 0
+
+    // uncompressed-side rolling window, same layout
+    private var ubuf = new Array[Byte](128 << 10)
+    private var ustart = 0
+    private var uend = 0
+    private var ubase = 0L
+
+    private var nextRec: Record = _
+    private var drained = false
+
+    /** Ensure n compressed bytes are available at cstart (compacting /
+      * growing / refilling as needed); false when EOF leaves fewer. */
+    private def ensureC(n: Int): Boolean = {
+      while (cend - cstart < n) {
+        if (ceof) return false
+        if (cstart > 0) {
+          System.arraycopy(cbuf, cstart, cbuf, 0, cend - cstart)
+          cbase += cstart; cend -= cstart; cstart = 0
+        }
+        if (n > cbuf.length)
+          cbuf = java.util.Arrays.copyOf(cbuf, math.max(n, cbuf.length * 2))
+        if (cend == cbuf.length)
+          cbuf = java.util.Arrays.copyOf(cbuf, cbuf.length * 2)
+        val r = in.read(cbuf, cend, cbuf.length - cend)
+        if (r < 0) ceof = true else cend += r
+      }
+      true
+    }
+
+    private def uappend(b: Array[Byte], off: Int, n: Int): Unit = {
+      if (uend + n > ubuf.length) {
+        if (ustart > 0) { // drop the consumed prefix before growing
+          System.arraycopy(ubuf, ustart, ubuf, 0, uend - ustart)
+          ubase += ustart; uend -= ustart; ustart = 0
+        }
+        if (uend + n > ubuf.length)
+          ubuf = java.util.Arrays.copyOf(ubuf,
+            math.max(uend + n, ubuf.length * 2))
+      }
+      System.arraycopy(b, off, ubuf, uend, n)
+      uend += n
+    }
+
+    /** Inflate the next gzip member (cstart sits on a member boundary
+      * with ≥1 byte available) into the uncompressed window, verifying
+      * header framing, CRC32, and ISIZE — loud with member index and
+      * the member's absolute byte offset on any violation. */
+    private def inflateMember(): Unit = {
+      member += 1
+      val memberPos = cbase + cstart
+      def bad(msg: String) = throw new IllegalArgumentException(
+        s"gzip member $member at byte $memberPos: $msg")
+      if (!ensureC(10)) bad("truncated header")
+      def cb(d: Int) = cbuf(cstart + d) & 0xff
+      if (cb(0) != 0x1f || cb(1) != 0x8b)
+        bad(f"bad magic ${cb(0)}%02x${cb(1)}%02x")
+      if (cbuf(cstart + 2) != 8)
+        bad(s"unsupported compression method ${cbuf(cstart + 2)}")
+      val flg = cb(3)
+      var d = 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (!ensureC(d + 2)) bad("truncated FEXTRA")
+        d += 2 + (cb(d) | (cb(d + 1) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME, zero-terminated
+        var done = false
+        while (!done) {
+          if (!ensureC(d + 1)) bad("truncated optional header fields")
+          done = cbuf(cstart + d) == 0
+          d += 1
+        }
+      }
+      if ((flg & 16) != 0) { // FCOMMENT, zero-terminated
+        var done = false
+        while (!done) {
+          if (!ensureC(d + 1)) bad("truncated optional header fields")
+          done = cbuf(cstart + d) == 0
+          d += 1
+        }
+      }
+      if ((flg & 2) != 0) d += 2 // FHCRC
+      if (!ensureC(d)) bad("truncated optional header fields")
+      cstart += d
+
+      val inflater = new java.util.zip.Inflater(true)
+      val crc = new java.util.zip.CRC32()
+      var memberBytes = 0L
+      val obuf = new Array[Byte](64 << 10)
+      try {
+        if (!ensureC(1)) bad("deflate stream truncated")
+        inflater.setInput(cbuf, cstart, cend - cstart)
+        // index just past the bytes handed to the inflater, in CURRENT
+        // cbuf coordinates — ensureC only compacts inside the
+        // needsInput branch below, which re-hands input immediately,
+        // so givenEnd is always coordinate-fresh when read
+        var givenEnd = cend
+        while (!inflater.finished()) {
+          if (inflater.needsInput()) {
+            cstart = givenEnd // the inflater consumed everything given
+            if (!ensureC(1)) bad("deflate stream truncated")
+            inflater.setInput(cbuf, cstart, cend - cstart)
+            givenEnd = cend
+          }
+          val n =
+            try inflater.inflate(obuf)
+            catch { case e: java.util.zip.DataFormatException =>
+              bad(s"corrupt deflate stream: ${e.getMessage}") }
+          if (n == 0 && !inflater.finished() && !inflater.needsInput())
+            bad("deflate stream stalled (dictionary?)") // no spin
+          if (n > 0) {
+            crc.update(obuf, 0, n)
+            uappend(obuf, 0, n)
+            memberBytes += n
+          }
+        }
+        cstart = givenEnd - inflater.getRemaining
+      } finally inflater.end()
+      if (!ensureC(8)) bad("truncated trailer")
+      def le32(d0: Int) = (cb(d0) & 0xffL) | ((cb(d0 + 1) & 0xffL) << 8) |
+        ((cb(d0 + 2) & 0xffL) << 16) | ((cb(d0 + 3) & 0xffL) << 24)
+      if (le32(0) != crc.getValue) bad("CRC32 mismatch — member content corrupted")
+      if (le32(4) != (memberBytes & 0xffffffffL)) bad("ISIZE mismatch")
+      cstart += 8
+    }
+
+    private def advance(): Unit = {
+      while (nextRec == null && !drained) {
+        val eofAll = ceof && cstart == cend
+        parseRecordAt(ubuf, ustart, uend, eofAll, ubase) match {
+          case Some((r, next)) =>
+            nextRec = r
+            ustart = next
+          case None =>
+            if (eofAll) {
+              // parseRecordAt at EOF returns None only on a clean
+              // record boundary (ustart == uend) — anything else threw
+              if (member == 0 && cbase + cend == 0)
+                throw new IllegalArgumentException("empty WARC shard")
+              drained = true
+            } else if (ensureC(1)) {
+              inflateMember()
+            } // else ceof flipped: loop re-evaluates with eofAll=true
+        }
+      }
+    }
+
+    override def hasNext: Boolean = {
+      if (nextRec == null && !drained) advance()
+      nextRec != null
+    }
+
+    override def next(): Record = {
+      if (!hasNext) throw new NoSuchElementException("WARC record stream exhausted")
+      val r = nextRec
+      nextRec = null
+      r
+    }
   }
 
-  private def parseRecord(raw: Array[Byte], start: Int,
-      out: scala.collection.mutable.Builder[Record, Seq[Record]]): Int = {
-    val (magic, afterMagic) = lineAt(raw, start)
+  /** Parse one record from `raw[start, end)`. Some((record, next))
+    * when a full record (including its CRLFCRLF terminator) is
+    * present; None when the bytes are a proper prefix of a record and
+    * more input may arrive (`eof = false`) — or when `start == end`
+    * at EOF (a clean end). With `eof = true`, any incomplete record
+    * raises the same loud truncation errors the one-shot reader
+    * always raised; `base` is the absolute stream offset of raw(0) so
+    * messages name real byte positions. */
+  private def parseRecordAt(raw: Array[Byte], start: Int, end: Int,
+      eof: Boolean, base: Long): Option[(Record, Int)] = {
+    if (start >= end) return None
+    def lineAt(off: Int): (String, Int) = {
+      var j = off
+      while (j + 1 < end && !(raw(j) == '\r' && raw(j + 1) == '\n')) j += 1
+      if (j + 1 >= end) {
+        if (eof) throw new IllegalArgumentException(
+          s"WARC framing: unterminated header line at byte ${base + off}")
+        null // incomplete — more bytes may complete the line
+      } else (new String(raw, off, j - off, UTF_8), j + 2)
+    }
+    val m = lineAt(start)
+    if (m == null) return None
+    val (magic, afterMagic) = m
     if (magic != "WARC/1.0") throw new IllegalArgumentException(
-      s"WARC framing: expected version line at byte $start, got '${magic.take(40)}'")
+      s"WARC framing: expected version line at byte ${base + start}, " +
+        s"got '${magic.take(40)}'")
     var i = afterMagic
     val headers = Map.newBuilder[String, String]
     var done = false
     while (!done) {
-      val (line, next) = lineAt(raw, i)
-      i = next
-      if (line.isEmpty) done = true
-      else line.indexOf(": ") match {
+      val ln = lineAt(i)
+      if (ln == null) return None
+      i = ln._2
+      if (ln._1.isEmpty) done = true
+      else ln._1.indexOf(": ") match {
         case -1 => throw new IllegalArgumentException(
-          s"WARC framing: malformed header '${line.take(60)}' before byte $i")
-        case k => headers += line.substring(0, k) -> line.substring(k + 2)
+          s"WARC framing: malformed header '${ln._1.take(60)}' " +
+            s"before byte ${base + i}")
+        case k => headers += ln._1.substring(0, k) -> ln._1.substring(k + 2)
       }
     }
     val hm = headers.result()
     val len = hm.get("Content-Length").map(_.trim.toLong).getOrElse(
       throw new IllegalArgumentException(
-        s"WARC record at byte $start carries no Content-Length"))
-    if (len < 0 || i + len > raw.length) throw new IllegalArgumentException(
-      s"WARC record at byte $start truncated: payload $len bytes, " +
-        s"${raw.length - i} remain")
-    val payload = java.util.Arrays.copyOfRange(raw, i, (i + len).toInt)
-    i = (i + len).toInt
-    // record terminator: two CRLF
-    if (i + 4 > raw.length || raw(i) != '\r' || raw(i + 1) != '\n' ||
-        raw(i + 2) != '\r' || raw(i + 3) != '\n')
+        s"WARC record at byte ${base + start} carries no Content-Length"))
+    if (len < 0) throw new IllegalArgumentException(
+      s"WARC record at byte ${base + start} truncated: payload $len bytes, " +
+        s"${end - i} remain")
+    if (len > (Int.MaxValue - 8).toLong) throw new IllegalArgumentException(
+      s"WARC record at byte ${base + start} declares a $len-byte payload — " +
+        "beyond the 2 GiB single-record limit (JVM arrays are Int-indexed)")
+    if (i.toLong + len + 4 > end) {
+      if (!eof) return None // wait for the rest of the payload/terminator
+      if (i.toLong + len > end) throw new IllegalArgumentException(
+        s"WARC record at byte ${base + start} truncated: payload $len bytes, " +
+          s"${end - i} remain")
       throw new IllegalArgumentException(
-        s"WARC record at byte $start missing its CRLFCRLF terminator")
-    out += Record(hm, payload)
-    i + 4
+        s"WARC record at byte ${base + start} missing its CRLFCRLF terminator")
+    }
+    val pEnd = i + len.toInt
+    // record terminator: two CRLF
+    if (raw(pEnd) != '\r' || raw(pEnd + 1) != '\n' ||
+        raw(pEnd + 2) != '\r' || raw(pEnd + 3) != '\n')
+      throw new IllegalArgumentException(
+        s"WARC record at byte ${base + start} missing its CRLFCRLF terminator")
+    val payload = java.util.Arrays.copyOfRange(raw, i, pEnd)
+    Some((Record(hm, payload), pEnd + 4))
   }
 
   /** Split an application/http response payload into (status, body).

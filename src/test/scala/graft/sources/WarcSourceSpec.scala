@@ -221,6 +221,103 @@ class WarcSourceSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("OR of host equalities is pushed, short-circuits decode, and stays invisible") {
+    val s = spark
+    import s.implicits._
+    val df = spark.read.format("warc").load(dir)
+      .filter($"host" === "src1.example" || $"host" === "src4.example")
+      .select("url", "text")
+    assert(scanOf(df).scan.description().contains("Or(EqualTo(host,src1.example)"),
+      s"pushed OR must appear in the scan: ${scanOf(df).scan.description()}")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq.sortBy(_._1)
+    val want = reference.filter { r =>
+      val h = WarcTable.hostOf(r._1)
+      h == "src1.example" || h == "src4.example"
+    }.map(r => (r._1, r._3))
+    assert(got == want)
+    // Or wrapping an unsupported side is NOT pushed (residual-only)
+    val mixed = spark.read.format("warc").load(dir)
+      .filter($"host" === "src1.example" ||
+        org.apache.spark.sql.functions.length($"text") > 3)
+    assert(!scanOf(mixed).scan.description().contains("Or("),
+      "an Or with an unsupported side must not be pushed")
+    assert(mixed.count() == reference.size) // every doc's text beats 3 chars
+  }
+
+  test("OR of src predicates prunes files at planning") {
+    val s = spark
+    import s.implicits._
+    val srcs = spark.read.format("warc").load(dir)
+      .select($"src").distinct().as[String].collect().sorted
+    assume(srcs.length >= 3, "needs ≥3 shards")
+    val df = spark.read.format("warc").load(dir)
+      .filter($"src" === srcs.head || $"src" === srcs.last)
+      .select("url")
+    val planned = scanOf(df).scan.toBatch.planInputPartitions()
+    assert(planned.length == 2,
+      s"src OR must plan exactly the two matching files, got ${planned.length}")
+    val want = Seq(srcs.head, srcs.last).flatMap { sp =>
+      Warc.readShard(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sp.stripPrefix("file:")))).map(_.targetUri)
+    }.sorted
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == want)
+  }
+
+  test("a direct-file load qualifies src exactly like directory expansion") {
+    val s = spark
+    import s.implicits._
+    val qualified = spark.read.format("warc").load(dir)
+      .select($"src").distinct().as[String].collect().sorted.head
+    // load the same file DIRECTLY by its local (unqualified) path: the
+    // src value must come back fully qualified, so a user's
+    // `src = 'file:/…'` predicate matches regardless of load style
+    val local = qualified.stripPrefix("file:")
+    val direct = spark.read.format("warc").load(local)
+      .select($"src").distinct().as[String].collect()
+    assert(direct.toSeq == Seq(qualified),
+      s"direct-file src must be qualified: got ${direct.mkString(",")}")
+    assert(spark.read.format("warc").load(local)
+      .filter($"src" === qualified).count() > 0)
+  }
+
+  test("a shard far beyond the reader's internal buffers scans green (streaming member walk)") {
+    // ~6 MiB of incompressible body across 12 records vs the reader's
+    // 128 KiB windows: the old one-buffer design is unreachable here —
+    // this pins the O(record) streaming path end to end through Spark
+    val big = java.nio.file.Files.createTempDirectory("warc_big")
+    graft.TmpDirs.track(big.toFile)
+    val rnd = new scala.util.Random(59)
+    val recs = (0 until 12).map { i =>
+      val body = new Array[Byte](512 << 10)
+      rnd.nextBytes(body)
+      Warc.writeRecord(s"https://huge.example/d/$i", f"$i%032x", body,
+        contentType = "application/octet-stream")
+    }
+    java.nio.file.Files.write(big.resolve("big.warc.gz"), Warc.writeShard(recs))
+    val s = spark
+    import s.implicits._
+    val got = spark.read.format("warc").load(big.toString)
+      .select($"url", org.apache.spark.sql.functions.length($"body").as("n"))
+      .as[(String, Int)].collect().sortBy(_._1)
+    assert(got.length == 12)
+    got.foreach { case (u, n) => assert(n == (512 << 10), s"$u: $n") }
+    // null record_id write path: a corpus whose records carry no
+    // WARC-Record-ID round-trips via the md5(url) fallback, not an NPE
+    val noId = spark.read.format("warc").load(big.toString)
+      .select($"url", $"body",
+        org.apache.spark.sql.functions.lit(null: String).as("record_id"))
+    val out = java.nio.file.Files.createTempDirectory("warc_noid")
+    graft.TmpDirs.track(out.toFile)
+    noId.write.format("warc").mode("overwrite").save(out.toString)
+    val back = spark.read.format("warc").load(out.toString)
+      .select($"url", $"record_id").as[(String, String)].collect()
+    assert(back.length == 12)
+    back.foreach { case (u, rid) =>
+      assert(rid != null && rid.nonEmpty, s"$u must get the md5 fallback id")
+    }
+  }
+
   test("a corrupt shard fails loudly, naming its file") {
     val bad = java.nio.file.Files.createTempDirectory("warc_bad")
     graft.TmpDirs.track(bad.toFile)

@@ -92,4 +92,19 @@ class LinkGraphSpec extends SparkSpec {
     // must receive external links from its 1..3-step predecessors
     assert(out.forall(_.getLong(3) > 0))
   }
+
+  test("q_crawl_links size gate: the forced distributed fallback produces the identical table") {
+    // maxLocalPairs = 0 forces the distributed PageRank.run + shuffle-
+    // aggregated degrees path; the default path (driver-local rank of
+    // the collected matrix) must be row-for-row identical — proving
+    // the gate is an execution-shape switch with zero semantics
+    val local = graft.queries.TextQueries.crawlLinks(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val dist = graft.queries.TextQueries
+      .crawlLinksGated(spark, sfDir, maxLocalPairs = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(dist.nonEmpty)
+    assert(dist == local,
+      "distributed fallback must match the driver-local path exactly")
+  }
 }
