@@ -266,19 +266,23 @@ object WarcWriteSupport {
           }
           if (tfs.exists(fin)) {
             // a prior attempt already committed: adopt it only if its
-            // bytes match ours exactly (attempt-determinism verified)
-            require(winnerMatches(),
+            // bytes match ours exactly (attempt-determinism verified);
+            // the tmp is moot either way — remove it BEFORE any refusal
+            // so a loud abort never litters the target dir
+            val matches = winnerMatches()
+            tfs.delete(tmp, false)
+            require(matches,
               s"warc write: $fin already exists with DIFFERENT bytes — " +
                 "a concurrent writer or a non-deterministic input; " +
                 "refusing to overwrite a committed shard")
-            tfs.delete(tmp, false)
           } else if (!tfs.rename(tmp, fin)) {
             // lost a commit race (HDFS-style no-replace rename): the
             // winner must exist and carry our exact bytes
-            require(tfs.exists(fin) && winnerMatches(),
+            val matches = tfs.exists(fin) && winnerMatches()
+            tfs.delete(tmp, false)
+            require(matches,
               s"warc write could not commit $fin (rename failed and no " +
                 "byte-identical winner exists)")
-            tfs.delete(tmp, false)
           }
           seq += 1
         }

@@ -100,16 +100,20 @@ object WarcStreamIngest {
             }
           }
           if (fs.exists(fin)) {
-            require(winnerMatches(),
+            // the tmp is moot once a winner exists — remove it BEFORE
+            // any refusal so a loud abort never litters the corpus dir
+            val matches = winnerMatches()
+            fs.delete(tmp, false)
+            require(matches,
               s"warc stream ingest: replayed batch $batchId produced " +
                 s"DIFFERENT bytes for $fin — the feed is not replay-" +
                 "deterministic; refusing to overwrite a committed shard")
-            fs.delete(tmp, false)
           } else if (!fs.rename(tmp, fin)) {
-            require(fs.exists(fin) && winnerMatches(),
+            val matches = fs.exists(fin) && winnerMatches()
+            fs.delete(tmp, false)
+            require(matches,
               s"warc stream ingest could not commit $fin (rename failed " +
                 "and no byte-identical winner exists)")
-            fs.delete(tmp, false)
           }
           seq += 1
         }

@@ -61,4 +61,66 @@ class WarcStreamSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     out.foreach(r => assert(again(r.getString(0)) == r.getLong(1)))
   }
+
+  test("a replayed batch with DIFFERENT rows refuses — never silently overwrites a committed shard") {
+    val s = spark
+    import s.implicits._
+    val d = graft.TmpDirs.create("warc_stream_replay")
+    WarcStreamIngest.stageBatch(d)(
+      Seq((1L, "src0", "original")).toDF("doc_id", "source", "text"), 0L)
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcStreamIngest.stageBatch(d)(
+        Seq((1L, "src0", "MUTATED")).toDF("doc_id", "source", "text"), 0L)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("replay"), s"must refuse loudly: $msg")
+    // the committed shard is untouched and no tmp litter remains
+    val files = new java.io.File(d).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".warc.gz")) == 1)
+    assert(!files.exists(_.endsWith(".tmp")),
+      s"tmp litter after refusal: ${files.mkString(",")}")
+    // extraction includes the page template's boilerplate — assert the
+    // committed text survived and the mutated one never landed
+    val back = s.read.format("warc").load(d)
+      .select($"text").as[String].collect()
+    assert(back.length == 1 && back.head.contains("original") &&
+      !back.head.contains("MUTATED"), back.mkString("|"))
+  }
+
+  test("duplicate doc_id in one micro-batch refuses (byte-idempotence precondition)") {
+    val s = spark
+    import s.implicits._
+    val d = graft.TmpDirs.create("warc_stream_dup")
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcStreamIngest.stageBatch(d)(
+        Seq((7L, "src0", "a"), (7L, "src1", "b"))
+          .toDF("doc_id", "source", "text"), 0L)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("duplicate doc_id"), msg)
+  }
+
+  test("partitions option spreads the write; corpus and bytes stay deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L).map(i => (i, s"src${i % 3}", s"text $i"))
+    def build(partitions: Int): (Map[String, String], Map[String, Long]) = {
+      val d = graft.TmpDirs.create(s"warc_stream_p$partitions")
+      WarcStreamIngest.stageBatch(d, capacity = 8, partitions = partitions)(
+        s.createDataset(docs).toDF("doc_id", "source", "text"), 0L)
+      val rollup = s.read.format("warc").load(d)
+        .groupBy($"host").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (md5s(d), rollup)
+    }
+    val (files4, roll4) = build(4)
+    val (files4b, roll4b) = build(4)
+    assert(files4 == files4b, "same partitions => byte-identical files")
+    assert(roll4 == roll4b)
+    val pids = files4.keySet.map(_.split("-")(1)).filter(_.startsWith("p"))
+    assert(pids.size > 1, s"4 partitions should write >1 pid: $pids")
+    // a different partition count changes file layout, never the corpus
+    val (_, roll2) = build(2)
+    assert(roll2 == roll4)
+  }
 }
