@@ -407,22 +407,36 @@ object RasterQueries {
       rasterMosaicWriteBody(spark, sfDir)
     }
 
+  // the mosaic-write INPUT staged once per (session, sfDir) as parquet:
+  // each region sub-write re-filters its source on purpose (at 100 TB
+  // that re-scan is a pruned parquet/cog read — the right trade), and
+  // staging gives the generated frame real storage to prune against,
+  // so every region job and geometry probe is a tx-pushdown parquet
+  // read instead of a generator re-run. Same convention as the other
+  // staged fixtures: the first invocation pays staging, min-of-2
+  // measures the WRITE — which is the operator under test.
+  private val mosaicInputStage =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def ensureMosaicInput(spark: SparkSession, sfDir: String): String =
+    graft.TmpDirs.stagedMemo(mosaicInputStage, (spark, sfDir)) { case (s, d) =>
+      val dir = graft.TmpDirs.create("graft-qmwrite-in")
+      val e = edge(d)
+      val prof = RasterProfile(e, e * 3 / 4, blockSize = 128, nodata = ND,
+        minOverviewSize = 128,
+        geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
+      SyntheticRaster.generate(s, prof, seed = 83L).toDF()
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
   private def rasterMosaicWriteBody(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val e = edge(sfDir)
     val grid = e / 256 // regions of grid×grid 128px tiles → 2×2 files
-    val prof = RasterProfile(e, e * 3 / 4, blockSize = 128, nodata = ND,
-      minOverviewSize = 128,
-      geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
     val dir = graft.TmpDirs.create("graft-qmwrite") + "/mosaic"
-    // persist the SYNTHETIC input: each region sub-write re-filters
-    // its source on purpose (at 100 TB that re-scan is a pruned
-    // parquet/cog read — the right trade), but a generated frame has
-    // no storage to prune against, so without the cache every region
-    // job and geometry probe would re-run the generator
-    val tiles = SyntheticRaster.generate(spark, prof, seed = 83L).toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tiles = spark.read.parquet(ensureMosaicInput(spark, sfDir))
     for (pred <- Seq(col("tx") < grid, col("tx") >= grid)) {
       tiles.filter(pred)
         .write.format("cog")
@@ -436,7 +450,6 @@ object RasterQueries {
         .option("originx", "500000.0").option("originy", "6400000.0")
         .mode("append").save(dir)
     }
-    tiles.unpersist(blocking = false) // read-back below scans the files
     val perTile = spark.read.format("cog").load(dir).where($"level" === 0)
       .select($"src", $"h", $"w", $"pixels")
       .as[(String, Int, Int, Array[Double])]
