@@ -792,12 +792,7 @@ object TextQueries {
       val dir = graft.TmpDirs.create("warc_shards")
       // ship the SESSION Hadoop conf (a bare Configuration drops s3a
       // credentials / custom filesystems on executor-side writes)
-      val bcConf = {
-        import scala.jdk.CollectionConverters._
-        s.sparkContext.broadcast(
-          s.sparkContext.hadoopConfiguration.iterator().asScala
-            .map(e => e.getKey -> e.getValue).toMap)
-      }
+      val bcConf = graft.sources.SessionConf.broadcast(s)
       warcShardDs(s, d).foreachPartition {
         it: Iterator[(Long, Array[Byte])] =>
           val conf = new org.apache.hadoop.conf.Configuration()

@@ -1,0 +1,80 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+
+/** Byte-verified atomic shard commit — the ONE home of the protocol
+  * both WARC sinks (the batch `df.write.format("warc")` path and the
+  * streaming ingest) share, so its subtleties are maintained once:
+  *
+  *  - write to the attempt-unique dot-prefixed `tmp`, then rename to
+  *    `fin`: files appear ATOMICALLY (a concurrent reader never sees
+  *    a truncation that could parse as a silently-short shard);
+  *  - an existing `fin` (a replayed batch, a prior attempt's commit —
+  *    or, on POSIX filesystems where rename silently REPLACES, a
+  *    winner we must not clobber) is read back and must be
+  *    byte-identical to ours, else the commit REFUSES loudly: callers
+  *    guarantee attempt-deterministic bytes, and this verifies the
+  *    guarantee instead of assuming it;
+  *  - a failed rename (HDFS-style no-replace semantics losing a race)
+  *    adopts the winner only after the same byte check;
+  *  - the tmp file is removed BEFORE any refusal, so a loud abort
+  *    never litters the target directory.
+  *
+  * The read-back compare buffers one shard — callers bound shards by
+  * capacity, so this is capped work, not corpus-scale. */
+private[graft] object WarcCommit {
+
+  /** Commit `shard` to `fin` via `tmp`. `context` prefixes refusal
+    * messages (e.g. "warc write", "warc stream ingest: replayed batch
+    * 3"); `mismatchDetail` explains what a byte mismatch means at this
+    * call site. */
+  def commit(fs: FileSystem, tmp: Path, fin: Path, shard: Array[Byte],
+      context: String, mismatchDetail: String): Unit = {
+    val out = fs.create(tmp, true)
+    try out.write(shard) finally out.close()
+    def winnerMatches(): Boolean = {
+      val st = fs.getFileStatus(fin)
+      st.getLen == shard.length.toLong && {
+        val got = new Array[Byte](shard.length)
+        val s = fs.open(fin)
+        try s.readFully(0, got) finally s.close()
+        java.util.Arrays.equals(got, shard)
+      }
+    }
+    if (fs.exists(fin)) {
+      val matches = winnerMatches()
+      fs.delete(tmp, false)
+      require(matches,
+        s"$context: $fin already exists with DIFFERENT bytes — " +
+          s"$mismatchDetail; refusing to overwrite a committed shard")
+    } else if (!fs.rename(tmp, fin)) {
+      val matches = fs.exists(fin) && winnerMatches()
+      fs.delete(tmp, false)
+      require(matches,
+        s"$context could not commit $fin (rename failed and no " +
+          "byte-identical winner exists)")
+    }
+  }
+}
+
+/** The session `hadoopConfiguration` as a broadcast `Map` — what an
+  * executor-side `new Configuration()` must be seeded with or s3a
+  * credentials / custom filesystems silently vanish on that one code
+  * path. Memoized per session: the conf is a SNAPSHOT taken at the
+  * session's first use (re-broadcasting hundreds of entries per
+  * micro-batch was pure waste; a mid-session conf mutation is not a
+  * supported pattern anywhere in this engine). */
+private[graft] object SessionConf {
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, Broadcast[Map[String, String]]]()
+
+  def broadcast(spark: SparkSession): Broadcast[Map[String, String]] =
+    memo.computeIfAbsent(spark, s =>
+      s.sparkContext.broadcast(
+        s.sparkContext.hadoopConfiguration.iterator().asScala
+          .map(e => e.getKey -> e.getValue).toMap))
+}

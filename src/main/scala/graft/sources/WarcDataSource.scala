@@ -163,14 +163,9 @@ object WarcWriteSupport {
     require(capacity > 0, s"shard.capacity must be positive, got $capacity")
     val contentType = opts.getOrElse("content.type", "text/html")
 
-    val sessionConf = {
-      import scala.jdk.CollectionConverters._
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap ++ opts
-    }
     val dirPath = new Path(path)
-    val hc = new Configuration()
-    sessionConf.foreach { case (k, v) => hc.set(k, v) }
+    val hc = new Configuration(spark.sparkContext.hadoopConfiguration)
+    opts.foreach { case (k, v) => hc.set(k, v) }
     val fs = dirPath.getFileSystem(hc)
     // refusal/overwrite operate on EVERY readable warc file (both the
     // batch writer's part-* and the streaming ingest's b*-p*-* names,
@@ -214,12 +209,13 @@ object WarcWriteSupport {
       // then verifies
       .sortWithinPartitions("url", "record_id", "body")
 
-    val bcConf = spark.sparkContext.broadcast(sessionConf)
+    val bcConf = SessionConf.broadcast(spark)
     normalized.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val tc = new Configuration()
         bcConf.value.foreach { case (k, v) => tc.set(k, v) }
+        opts.foreach { case (k, v) => tc.set(k, v) } // small map, closure-shipped
         val tfs = new Path(path).getFileSystem(tc)
         var seq = 0
         it.grouped(capacity).foreach { group =>
@@ -236,54 +232,19 @@ object WarcWriteSupport {
               row.getAs[Array[Byte]](1), row.getString(3))
           }
           val shard = Warc.writeShard(records)
-          // commit = write to a task-attempt-unique temp name, then
-          // rename into place. The sortWithinPartitions above makes
-          // `shard` a pure function of the partition's row set, so
-          // EVERY attempt produces the same bytes — and the protocol
-          // verifies that instead of assuming it: a final file that
-          // already exists (POSIX rename would silently REPLACE it;
-          // HDFS rename would fail onto it) is read back and must be
-          // byte-identical, else the write refuses loudly (a zombie
-          // attempt racing a non-deterministic input is the silent
-          // duplicate/drop shape this guards). Job-LEVEL atomicity is
-          // the append-refusal's job: a died-midway write leaves part
-          // files that force an explicit overwrite on retry, never a
-          // silent half-merge.
+          // the sortWithinPartitions above makes `shard` a pure
+          // function of the partition's row set, so EVERY attempt
+          // produces the same bytes — [[WarcCommit.commit]] verifies
+          // that instead of assuming it (a zombie attempt racing a
+          // non-deterministic input is the silent duplicate/drop shape
+          // this guards). Job-LEVEL atomicity is the append-refusal's
+          // job: a died-midway write leaves part files that force an
+          // explicit overwrite on retry, never a silent half-merge.
           val fin = new Path(path, f"part-$pid%05d-$seq%05d.warc.gz")
           val tmp = new Path(path,
             f".part-$pid%05d-$seq%05d.warc.gz.${java.util.UUID.randomUUID}%s.tmp")
-          val out = tfs.create(tmp, true)
-          try out.write(shard) finally out.close()
-          def winnerMatches(): Boolean = {
-            val st = tfs.getFileStatus(fin)
-            if (st.getLen != shard.length.toLong) false
-            else {
-              val got = new Array[Byte](shard.length)
-              val s = tfs.open(fin)
-              try s.readFully(0, got) finally s.close()
-              java.util.Arrays.equals(got, shard)
-            }
-          }
-          if (tfs.exists(fin)) {
-            // a prior attempt already committed: adopt it only if its
-            // bytes match ours exactly (attempt-determinism verified);
-            // the tmp is moot either way — remove it BEFORE any refusal
-            // so a loud abort never litters the target dir
-            val matches = winnerMatches()
-            tfs.delete(tmp, false)
-            require(matches,
-              s"warc write: $fin already exists with DIFFERENT bytes — " +
-                "a concurrent writer or a non-deterministic input; " +
-                "refusing to overwrite a committed shard")
-          } else if (!tfs.rename(tmp, fin)) {
-            // lost a commit race (HDFS-style no-replace rename): the
-            // winner must exist and carry our exact bytes
-            val matches = tfs.exists(fin) && winnerMatches()
-            tfs.delete(tmp, false)
-            require(matches,
-              s"warc write could not commit $fin (rename failed and no " +
-                "byte-identical winner exists)")
-          }
+          WarcCommit.commit(tfs, tmp, fin, shard, "warc write",
+            "a concurrent writer or a non-deterministic input")
           seq += 1
         }
     }
@@ -396,11 +357,8 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val sessionConf = spark.sparkContext.hadoopConfiguration.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toMap
-    val merged = sessionConf ++ conf
-    val hc = new Configuration()
-    merged.foreach { case (k, v) => hc.set(k, v) }
+    val hc = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.foreach { case (k, v) => hc.set(k, v) }
     def isWarc(n: String): Boolean = {
       val l = n.toLowerCase(java.util.Locale.ROOT)
       l.endsWith(".warc.gz") || l.endsWith(".warc")
@@ -434,8 +392,10 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
     // matched nothing)
     val srcPushed = pushed.filter(WarcSrcFilter.supported)
     val files = all.filter(f => srcPushed.forall(WarcSrcFilter.keep(_, f)))
-    val bcConf = spark.sparkContext.broadcast(merged)
-    files.map(f => WarcInputPartition(f, bcConf): InputPartition).toArray
+    // session conf rides the memoized broadcast; the table's own (tiny)
+    // option map rides the partition itself
+    val bcConf = SessionConf.broadcast(spark)
+    files.map(f => WarcInputPartition(f, bcConf, conf): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -447,7 +407,8 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
 }
 
 case class WarcInputPartition(uri: String,
-    conf: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+    conf: org.apache.spark.broadcast.Broadcast[Map[String, String]],
+    tableOpts: Map[String, String])
   extends InputPartition
 
 class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
@@ -465,6 +426,7 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
       private val records: Iterator[Warc.Record] = {
         val hc = new Configuration()
         part.conf.value.foreach { case (k, v) => hc.set(k, v) }
+        part.tableOpts.foreach { case (k, v) => hc.set(k, v) }
         val p = new Path(part.uri)
         val fs = p.getFileSystem(hc)
         // incremental member-walk ([[Warc.streamRecords]]): task memory

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
@@ -51,10 +49,9 @@ object WarcStreamIngest {
     import spark.implicits._
     // ship the SESSION Hadoop conf to the tasks (a bare Configuration
     // would drop s3a credentials / custom filesystems that work on
-    // every other write path)
-    val bcConf = spark.sparkContext.broadcast(
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap)
+    // every other write path); memoized — a long-running stream pays
+    // the broadcast once, not per micro-batch
+    val bcConf = graft.sources.SessionConf.broadcast(spark)
     batch.select("doc_id", "source", "text")
       .repartition(partitions, org.apache.spark.sql.functions.col("doc_id"))
       .sortWithinPartitions("doc_id")
@@ -86,35 +83,12 @@ object WarcStreamIngest {
           val tmp = new Path(dir,
             f".b$batchId%05d-p$pid%03d-$seq%03d.warc.gz." +
               f"${java.util.UUID.randomUUID}%s.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(shard) finally out.close()
-          // atomic appearance + replay verification: an existing final
-          // file (a replayed batch) must carry our exact bytes
-          def winnerMatches(): Boolean = {
-            val st = fs.getFileStatus(fin)
-            st.getLen == shard.length.toLong && {
-              val got = new Array[Byte](shard.length)
-              val s = fs.open(fin)
-              try s.readFully(0, got) finally s.close()
-              java.util.Arrays.equals(got, shard)
-            }
-          }
-          if (fs.exists(fin)) {
-            // the tmp is moot once a winner exists — remove it BEFORE
-            // any refusal so a loud abort never litters the corpus dir
-            val matches = winnerMatches()
-            fs.delete(tmp, false)
-            require(matches,
-              s"warc stream ingest: replayed batch $batchId produced " +
-                s"DIFFERENT bytes for $fin — the feed is not replay-" +
-                "deterministic; refusing to overwrite a committed shard")
-          } else if (!fs.rename(tmp, fin)) {
-            val matches = fs.exists(fin) && winnerMatches()
-            fs.delete(tmp, false)
-            require(matches,
-              s"warc stream ingest could not commit $fin (rename failed " +
-                "and no byte-identical winner exists)")
-          }
+          // atomic appearance + replay verification through the shared
+          // protocol: an existing final file (a replayed batch) must
+          // carry our exact bytes or the commit refuses loudly
+          graft.sources.WarcCommit.commit(fs, tmp, fin, shard,
+            s"warc stream ingest (replayed batch $batchId)",
+            "the feed is not replay-deterministic")
           seq += 1
         }
       }

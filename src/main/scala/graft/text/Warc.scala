@@ -120,19 +120,30 @@ object Warc {
     private var nextRec: Record = _
     private var drained = false
 
+    // hard ceiling on either rolling window: past this, the input is a
+    // hostile/foreign blob (a deflate bomb, a CRLF-free non-WARC file,
+    // a gigabyte gzip FNAME), not a record the Int-indexed JVM array
+    // could ever hold — refuse loudly BEFORE growth arithmetic can
+    // overflow Int and degrade into copy-storms or a bare
+    // ArrayIndexOutOfBounds with no context
+    private val maxWindow = Int.MaxValue - 8
+
     /** Ensure n compressed bytes are available at cstart (compacting /
       * growing / refilling as needed); false when EOF leaves fewer. */
     private def ensureC(n: Int): Boolean = {
+      if (n < 0 || n > maxWindow) throw new IllegalArgumentException(
+        s"gzip member $member at byte ${cbase + cstart}: header fields " +
+          "exceed the 2 GiB window — not a WARC shard")
       while (cend - cstart < n) {
         if (ceof) return false
         if (cstart > 0) {
           System.arraycopy(cbuf, cstart, cbuf, 0, cend - cstart)
           cbase += cstart; cend -= cstart; cstart = 0
         }
-        if (n > cbuf.length)
-          cbuf = java.util.Arrays.copyOf(cbuf, math.max(n, cbuf.length * 2))
-        if (cend == cbuf.length)
-          cbuf = java.util.Arrays.copyOf(cbuf, cbuf.length * 2)
+        if (n > cbuf.length || cend == cbuf.length)
+          cbuf = java.util.Arrays.copyOf(cbuf,
+            math.min(maxWindow.toLong,
+              math.max(n.toLong, cbuf.length * 2L)).toInt)
         val r = in.read(cbuf, cend, cbuf.length - cend)
         if (r < 0) ceof = true else cend += r
       }
@@ -140,14 +151,21 @@ object Warc {
     }
 
     private def uappend(b: Array[Byte], off: Int, n: Int): Unit = {
-      if (uend + n > ubuf.length) {
+      val pending = (uend - ustart).toLong + n
+      if (pending > maxWindow) throw new IllegalArgumentException(
+        s"gzip member $member at byte ${cbase + cstart}: " +
+          s"$pending bytes inflated without completing a record — beyond " +
+          "the 2 GiB single-record limit (a deflate bomb or non-WARC " +
+          "content inside valid gzip)")
+      if (uend + n.toLong > ubuf.length) {
         if (ustart > 0) { // drop the consumed prefix before growing
           System.arraycopy(ubuf, ustart, ubuf, 0, uend - ustart)
           ubase += ustart; uend -= ustart; ustart = 0
         }
-        if (uend + n > ubuf.length)
+        if (uend + n.toLong > ubuf.length)
           ubuf = java.util.Arrays.copyOf(ubuf,
-            math.max(uend + n, ubuf.length * 2))
+            math.min(maxWindow.toLong,
+              math.max(uend.toLong + n, ubuf.length * 2L)).toInt)
       }
       System.arraycopy(b, off, ubuf, uend, n)
       uend += n

@@ -307,6 +307,20 @@ class WarcSpec extends SparkSpec {
       s"CRC-verified members should refuse nearly every flip, got $refused/200")
   }
 
+  test("valid gzip wrapping non-WARC content refuses loudly at EOF, never a hang or bare crash") {
+    // a well-formed .gz whose content is a CRLF-free blob (a minified
+    // JSON loaded by mistake): the incremental reader buffers it, and
+    // at EOF the framing refusal names the offset — IllegalArgument,
+    // not OOM/ArrayIndexOutOfBounds
+    val blob = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(blob, 'a'.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(blob); gz.finish(); gz.close()
+    val e = intercept[IllegalArgumentException](Warc.readShard(out.toByteArray))
+    assert(e.getMessage.contains("unterminated header line"), e.getMessage)
+  }
+
   test("Python differential reader: an independent member-walking parser recovers the exact records") {
     // a from-scratch stdlib reader (zlib member walk + manual WARC
     // framing, CRC32/ISIZE verified) — the same differential-interop
