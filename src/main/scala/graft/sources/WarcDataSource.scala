@@ -253,13 +253,23 @@ object WarcWriteSupport {
 
 class WarcScanBuilder(paths: Seq[String], conf: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var required: StructType = WarcTable.schema
   private var pushed = Array.empty[Filter]
+  private var limit = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT reaches the reader: the incremental member walk is lazy,
+    * so "peek at 10 records of a petabyte corpus" decompresses ~10
+    * records per task instead of whole shards. PARTIALLY pushed —
+    * each partition stops after `limit` rows but the union of
+    * partitions can exceed it, so Spark keeps the global limit
+    * operator (semantics never move). */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Accept predicates the reader can evaluate on the cheap framing
     * columns — plus `src` predicates, which prune whole FILES at
@@ -276,7 +286,7 @@ class WarcScanBuilder(paths: Seq[String], conf: Map[String, String])
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(paths, conf, required, pushed)
+  override def build(): Scan = new WarcScan(paths, conf, required, pushed, limit)
 }
 
 /** `src` predicates the PLANNER evaluates against candidate file
@@ -348,14 +358,19 @@ object WarcRecordFilter {
 }
 
 class WarcScan(paths: Seq[String], conf: Map[String, String],
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter], limit: Int)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"warc ${paths.mkString(",")} PushedFilters: [${pushed.mkString(", ")}]"
+    s"warc ${paths.mkString(",")} PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" PushedLimit: $limit" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The candidate file list — (qualified path, byte length) — after
+    * planning-time `src` pruning. ONE listing feeds both the
+    * partition plan and the statistics report. */
+  private lazy val prunedFiles: Seq[(String, Long)] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val hc = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.foreach { case (k, v) => hc.set(k, v) }
@@ -363,7 +378,7 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
       val l = n.toLowerCase(java.util.Locale.ROOT)
       l.endsWith(".warc.gz") || l.endsWith(".warc")
     }
-    def expandOne(one: String): Seq[String] = {
+    def expandOne(one: String): Seq[(String, Long)] = {
       val p = new Path(one)
       val fs = p.getFileSystem(hc)
       val status =
@@ -372,30 +387,49 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
       status match {
         case Some(st) if st.isDirectory =>
           fs.listStatus(p).filter(s => s.isFile && isWarc(s.getPath.getName))
-            .map(_.getPath.toString).sorted.toSeq
+            .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1).toSeq
         // qualify the direct-file form too (directory/glob expansion
         // already yields fully-qualified paths): the `src` column — and
         // what a pushed src predicate must match — must not change form
         // with load style, or `filter($"src" === "file:/...")` after a
         // direct-path load silently returns zero rows
-        case Some(_) => Seq(fs.makeQualified(p).toString)
+        case Some(st) => Seq((fs.makeQualified(p).toString, st.getLen))
         case None =>
           val g = fs.globStatus(p)
           require(g != null && g.nonEmpty, s"no warc files match $one")
-          g.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+          g.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+            .sortBy(_._1).toSeq
       }
     }
-    val all = paths.flatMap(expandOne).distinct
+    val all = paths.flatMap(expandOne).distinctBy(_._1)
     require(all.nonEmpty, s"no .warc.gz files under ${paths.mkString(",")}")
     // planning-time file pruning: a pushed src predicate decides each
     // file's fate before any IO (an empty plan is legal — the filter
     // matched nothing)
     val srcPushed = pushed.filter(WarcSrcFilter.supported)
-    val files = all.filter(f => srcPushed.forall(WarcSrcFilter.keep(_, f)))
+    all.filter { case (f, _) => srcPushed.forall(WarcSrcFilter.keep(_, f)) }
+  }
+
+  /** Post-pruning size to the optimizer: a small (or src-pruned-small)
+    * crawl corpus joined against a big table gets broadcast instead of
+    * shuffled — the join-side payoff of honest source statistics.
+    * Compressed bytes, the same convention as file sources; row count
+    * is unknowable without decoding, so it stays empty. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(prunedFiles.map(_._2).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
     // session conf rides the memoized broadcast; the table's own (tiny)
     // option map rides the partition itself
     val bcConf = SessionConf.broadcast(spark)
-    files.map(f => WarcInputPartition(f, bcConf, conf): InputPartition).toArray
+    prunedFiles
+      .map { case (f, _) => WarcInputPartition(f, bcConf, conf): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -403,7 +437,7 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
     // consumed at planning, and the record evaluator's column routing
     // must never see them
     new WarcReaderFactory(required.fieldNames,
-      pushed.filter(WarcRecordFilter.supported))
+      pushed.filter(WarcRecordFilter.supported), limit)
 }
 
 case class WarcInputPartition(uri: String,
@@ -411,7 +445,8 @@ case class WarcInputPartition(uri: String,
     tableOpts: Map[String, String])
   extends InputPartition
 
-class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
+class WarcReaderFactory(cols: Array[String], pushed: Array[Filter],
+    limit: Int = -1)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -450,9 +485,15 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
       }
 
       private var current: InternalRow = _
+      private var emitted = 0
 
       override def next(): Boolean = {
         current = null
+        // pushed per-partition limit: the record stream is LAZY, so
+        // stopping here means the rest of the shard is never even
+        // decompressed (Spark's global limit stays on top — partial
+        // push, semantics unmoved)
+        if (limit >= 0 && emitted >= limit) return false
         while (current == null && records.hasNext) {
           val r = records.next()
           val url = r.targetUri
@@ -517,6 +558,7 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter])
             // the extractor when "text" is in cols
             val _ = needText
             current = new GenericInternalRow(values)
+            emitted += 1
           }
         }
         current != null

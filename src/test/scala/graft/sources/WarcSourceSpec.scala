@@ -318,6 +318,67 @@ class WarcSourceSpec extends SparkSpec {
     }
   }
 
+  test("limit pushdown reaches the reader (visible in the scan) and stays semantically exact") {
+    val df = spark.read.format("warc").load(dir).limit(3)
+    val scans = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    assert(scans.nonEmpty && scans.head.scan.description().contains("PushedLimit: 3"),
+      s"pushed limit must appear in the scan: ${scans.map(_.scan.description())}")
+    val rows = df.select("url").collect().map(_.getString(0))
+    assert(rows.length == 3, s"global limit must hold: ${rows.length}")
+    val all = reference.map(_._1).toSet
+    rows.foreach(u => assert(all(u), s"limit returned a non-corpus row: $u"))
+    // limit composes with a pushed filter — both appear, result exact
+    val s = spark
+    import s.implicits._
+    val one = spark.read.format("warc").load(dir)
+      .filter($"host" === "src2.example").limit(2)
+    assert(one.count() == 2)
+  }
+
+  test("planning statistics report post-pruning file bytes; a small corpus broadcasts in a join") {
+    val s = spark
+    import s.implicits._
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    val total = files.map(_.length).sum
+    val scan = scanOf(spark.read.format("warc").load(dir).select("url")).scan
+    val stats = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.sizeInBytes.getAsLong == total,
+      s"stats ${stats.sizeInBytes} must equal the corpus bytes $total")
+    // src pruning shrinks the reported size with it
+    val srcs = spark.read.format("warc").load(dir)
+      .select($"src").distinct().as[String].collect().sorted
+    val pruned = scanOf(spark.read.format("warc").load(dir)
+      .filter($"src" === srcs.head).select("url")).scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(pruned.sizeInBytes.getAsLong < total && pruned.sizeInBytes.getAsLong > 0)
+    // the payoff: a join against a big frame plans the WARC side as the
+    // broadcast build (small corpus ≪ the 10 MB threshold)
+    val big = spark.range(0, 100000).toDF("n")
+    val joined = spark.read.format("warc").load(dir)
+      .select($"url", $"host")
+      .join(big, org.apache.spark.sql.functions.length($"url") % 100000 === $"n")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = joined.queryExecution.executedPlan
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        s"small warc side must broadcast, got:\n${plan.treeString.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("a corrupt shard fails loudly, naming its file") {
     val bad = java.nio.file.Files.createTempDirectory("warc_bad")
     graft.TmpDirs.track(bad.toFile)
