@@ -966,10 +966,47 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
     dbounds: Map[String, (Option[Double], Option[Double])],
     required: StructType,
     limit: Option[Int] = None) extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Post-pruning statistics to the optimizer. Rows are EXACT — tile
+    * keys are exact at planning, one output row per planned tile (or
+    * strip), so the count is a fact, not an estimate. Bytes are the
+    * planned compressed tile bytes for pixel reads (what the scan will
+    * actually fetch), or the in-memory row estimate for a scan pruned
+    * to metadata columns — which is what lets a mosaic INVENTORY
+    * (src/level/ty/tx/bbox, thousands of rows, ~100 B each) BROADCAST
+    * when joined against an AOI or catalog table instead of shuffling
+    * the other side. */
+  override def estimateStatistics(): Statistics = {
+    val parts = planInputPartitions().map(_.asInstanceOf[CogInputPartition])
+    var rows = 0L
+    var ioBytes = 0L
+    parts.foreach { p =>
+      p.strips match {
+        case Some(s) =>
+          rows += (s.height.toLong + s.rowsPerStrip - 1) / s.rowsPerStrip
+          // strip specs carry no per-strip counts: decoded upper bound
+          // (over-estimating never wrongly broadcasts)
+          ioBytes += s.width.toLong * s.height * s.bands * 8
+        case None =>
+          rows += p.tiles.size
+          ioBytes += p.tiles.iterator.map(t => t.cnt + t.mCnt + t.pCnt.sum).sum
+      }
+    }
+    val needPayload = required.fieldNames.exists(Set("pixels", "mask"))
+    val size =
+      if (needPayload) math.max(ioBytes, rows * math.max(required.defaultSize, 1))
+      else rows * math.max(required.defaultSize, 1)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   // ---- runtime filtering (dynamic "partition" pruning, DSv2) ----
   // joining the tile table against a small AOI/file table prunes at
@@ -1032,7 +1069,18 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
         lo.forall(v >= _) && hi.forall(v <= _)
       }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // the static (no-runtime-filter) plan memoized: estimateStatistics,
+  // Spark's own repeated planInputPartitions calls, and the aggregate
+  // scan's inner re-plan all share ONE header-parsing pass per query
+  // instead of re-fetching every file's header each time; a runtime
+  // filter arriving later re-plans from scratch (it prunes further)
+  private lazy val staticPartitions: Array[InputPartition] = computePartitions()
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (runtimeSets.isEmpty && runtimeSrc.isEmpty) staticPartitions
+    else computePartitions()
+
+  private def computePartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     // merge the SESSION's Hadoop configuration under the datasource
     // options (options win): spark.hadoop.* credentials/endpoints must

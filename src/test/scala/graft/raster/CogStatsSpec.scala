@@ -1,0 +1,90 @@
+package graft.raster
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.SparkSpec
+
+/** DSv2 planning statistics on the COG source: row counts are EXACT
+  * (one row per planned tile), bytes follow the planned tile specs and
+  * shrink under pruning, a metadata-pruned mosaic inventory broadcasts
+  * in a join, and the static plan is memoized (one header-parsing pass
+  * feeds stats + partitions). */
+class CogStatsSpec extends SparkSpec {
+
+  private lazy val uri: String = {
+    val prof = RasterProfile(256, 192, blockSize = 64, nodata = -9999.0,
+      minOverviewSize = 64,
+      geo = Some(GeoRef(10.0, 10.0, 500000.0, 6400000.0, 32633)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cogstats").toString
+    graft.TmpDirs.track(new java.io.File(dir))
+    val (bytes, _) = CogWriter.writeBytes(
+      SyntheticRaster.generate(spark, prof, seed = 53L), prof, dir)
+    val f = java.nio.file.Paths.get(dir, "stats.tif")
+    java.nio.file.Files.write(f, bytes)
+    "file://" + f
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.connector.read.SupportsReportStatistics = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+      .scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("numRows is exact and sizeInBytes shrinks under level pruning") {
+    val s = spark
+    import s.implicits._
+    val all = spark.read.format("cog").load(uri).select("level", "ty", "tx")
+    val stats = scanOf(all).estimateStatistics()
+    assert(stats.numRows.getAsLong == all.count(),
+      s"rows ${stats.numRows} must equal the real count ${all.count()}")
+    assert(stats.sizeInBytes.getAsLong > 0)
+    val l0 = spark.read.format("cog").load(uri)
+      .filter($"level" === 0).select("level", "ty", "tx")
+    val pruned = scanOf(l0).estimateStatistics()
+    assert(pruned.numRows.getAsLong == l0.count())
+    assert(pruned.numRows.getAsLong < stats.numRows.getAsLong)
+    assert(pruned.sizeInBytes.getAsLong <= stats.sizeInBytes.getAsLong)
+    // a pixels read reports the PLANNED tile bytes (what it will fetch),
+    // far above the metadata row estimate
+    val px = spark.read.format("cog").load(uri).select("level", "pixels")
+    assert(scanOf(px).estimateStatistics().sizeInBytes.getAsLong >
+      stats.sizeInBytes.getAsLong)
+  }
+
+  test("a metadata-pruned inventory broadcasts when joined to a big frame") {
+    val s = spark
+    import s.implicits._
+    val inv = spark.read.format("cog").load(uri)
+      .select($"level", $"ty", $"tx")
+    val big = spark.range(0, 200000).toDF("n")
+    val joined = inv.join(big, $"ty".cast("long") === $"n" % 7)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bhj = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, "small inventory side must broadcast:\n" +
+        joined.queryExecution.executedPlan.treeString.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("the static plan is memoized: stats + partitions share one header pass") {
+    val df = spark.read.format("cog").load(uri).select("level", "ty", "tx")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case b: BatchScanExec => b }.get.scan
+      val batch = scan.toBatch
+      // same array INSTANCE on repeated calls — the memo, not a re-plan
+      assert(batch.planInputPartitions() eq batch.planInputPartitions())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
