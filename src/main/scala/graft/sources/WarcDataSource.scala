@@ -359,13 +359,38 @@ object WarcRecordFilter {
 
 class WarcScan(paths: Seq[String], conf: Map[String, String],
     required: StructType, pushed: Array[Filter], limit: Int)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"warc ${paths.mkString(",")} PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s" PushedLimit: $limit" else "")
+
+  // ---- runtime filtering (dynamic file pruning, DSv2) ----
+  // joining the corpus against a small shard-manifest/selection table
+  // prunes whole FILES at EXECUTION time the way a literal src
+  // predicate prunes at planning: Spark collects the broadcast build
+  // side, hands the join key's values here as an In filter, and
+  // re-plans the scan — a million-shard corpus joined to a 100-shard
+  // manifest reads 100 files. Unhandled shapes are advisory (the join
+  // re-filters rows); same contract as the COG source.
+  private var runtimeSrc: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array("src").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("src", vs) =>
+      val s = vs.filter(_ != null).map(_.toString).toSet
+      runtimeSrc = Some(runtimeSrc.fold(s)(_ intersect s))
+    case EqualTo("src", v: String) =>
+      runtimeSrc = Some(runtimeSrc.fold(Set(v))(_ intersect Set(v)))
+    case _ => ()
+  }
 
   /** The candidate file list — (qualified path, byte length) — after
     * planning-time `src` pruning. ONE listing feeds both the
@@ -424,10 +449,15 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
+    // runtime src pruning layers on top of the static (pushed-literal)
+    // pruning; an empty post-filter plan is legal — the join key
+    // matched nothing
+    val files = runtimeSrc.fold(prunedFiles)(keep =>
+      prunedFiles.filter { case (f, _) => keep.contains(f) })
     // session conf rides the memoized broadcast; the table's own (tiny)
     // option map rides the partition itself
     val bcConf = SessionConf.broadcast(spark)
-    prunedFiles
+    files
       .map { case (f, _) => WarcInputPartition(f, bcConf, conf): InputPartition }
       .toArray
   }

@@ -379,6 +379,54 @@ class WarcSourceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("runtime filtering: a shard-manifest join prunes whole files at execution") {
+    val s = spark
+    import s.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = spark.read.format("warc").load(dir)
+      val allSrc = fact.select($"src").distinct().as[String].collect().sorted
+      assume(allSrc.length >= 2, "needs a multi-shard corpus")
+      val keep = allSrc.head
+      // dim from storage: a literal LocalRelation gets its selective
+      // filter constant-folded away and the runtime filter never fires
+      // (the RuntimeFilterSpec lesson)
+      val dimPath = java.nio.file.Files.createTempDirectory("warc-dpp-dim").toString
+      graft.TmpDirs.track(new java.io.File(dimPath))
+      allSrc.toSeq.map(p => (p, if (p == keep) "keep" else "drop"))
+        .toDF("shard", "tag").write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+      val joined = fact.join(
+        org.apache.spark.sql.functions.broadcast(dim.where($"tag" === "keep")),
+        $"src" === $"shard")
+      // execute THIS df: the runtime-filter subquery only runs in the
+      // executed plan (a derived .select() re-plans without the
+      // subquery result — the RuntimeFilterSpec lesson)
+      val viaJoin = joined.collect().map(_.getAs[String]("url")).toSet
+      val static = fact.where($"src" === keep)
+        .select($"url").collect().map(_.getString(0)).toSet
+      assert(viaJoin == static && viaJoin.nonEmpty)
+      val scan = joined.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.description().startsWith("warc") => b
+      }.head
+      assert(scan.runtimeFilters.nonEmpty,
+        s"no runtime filter reached the warc scan:\n${joined.queryExecution.executedPlan}")
+      // the EXECUTED partitions read only the joined file
+      val executedUris = scan.inputRDD.partitions.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions.map(_.asInstanceOf[WarcInputPartition].uri)
+      }.toSet
+      assert(executedUris == Set(keep),
+        s"executed scan read $executedUris, expected only $keep")
+      // re-planning after the delivered filter agrees; nothing matched →
+      // zero partitions is legal (checked via an impossible manifest)
+      val planned = scan.scan.toBatch.planInputPartitions()
+        .map(_.asInstanceOf[WarcInputPartition].uri).toSet
+      assert(planned == Set(keep))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("a corrupt shard fails loudly, naming its file") {
     val bad = java.nio.file.Files.createTempDirectory("warc_bad")
     graft.TmpDirs.track(bad.toFile)
