@@ -831,6 +831,69 @@ object TextQueries {
       .orderBy($"host")
   }
 
+  // staged rows of the manifest-joined DSv2 scan, memoized per
+  // (session, sfDir); the DuckDB twin re-reads the same bytes
+  private val warcManifestStage =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def ensureWarcManifestRows(spark: SparkSession,
+      sfDir: String): String =
+    graft.TmpDirs.stagedMemo(warcManifestStage, (spark, sfDir)) { case (s, d) =>
+      import s.implicits._
+      val dir = ensureWarcShards(s, d)
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val srcs = fs.listStatus(dp)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".warc.gz"))
+        .map(_.getPath.toString).sorted
+      // the manifest: every other shard, by deterministic rank — the
+      // "re-process this subset" selection a real pipeline derives from
+      // a catalog; parquet-backed so the broadcast join hands the scan
+      // a runtime In(src) filter (a LocalRelation would constant-fold)
+      val kept = srcs.zipWithIndex.collect { case (p, i) if i % 2 == 0 => p }
+      val manifestPath = graft.TmpDirs.fixed("warc_manifest")
+      s.createDataset(kept.toSeq).toDF("shard")
+        .coalesce(1).write.mode("overwrite").parquet(manifestPath)
+      val manifest = s.read.parquet(manifestPath)
+      val joined = s.read.format("warc").load(dir)
+        .select($"src", $"host", $"url", $"text")
+        .join(org.apache.spark.sql.functions.broadcast(manifest),
+          $"src" === $"shard")
+        .select($"host", $"url", length($"text").cast("long").as("n_chars"))
+      val out = graft.TmpDirs.fixed("warc_manifest_rows")
+      joined.coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** Selective re-crawl through the manifest join — the "process only
+    * THESE shards" shape every incremental 100 TB pipeline runs: a
+    * parquet shard manifest broadcast-joins the WARC DSv2 corpus, and
+    * the scan's runtime `src` filtering turns the join into whole-file
+    * pruning (a million-shard corpus joined to a 100-shard manifest
+    * reads 100 files — WarcSourceSpec pins the executed-partition
+    * URIs). The joined per-record rows STAGE as parquet and DuckDB
+    * re-derives this per-host rollup from identical bytes (the
+    * staged-twin convention), so the join+rollup math is cross-engine
+    * even though no DuckDB WARC reader exists. */
+  def scanWarcManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(ensureWarcManifestRows(spark, sfDir))
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct($"url").as("n_urls"),
+        sum($"n_chars").as("n_chars"))
+      .orderBy($"host")
+  }
+
+  def scanWarcManifestSql: String = {
+    val base = graft.TmpDirs.fixed("warc_manifest_rows")
+    s"""SELECT host, count(*) AS n_records,
+      |  count(DISTINCT url) AS n_urls,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM read_parquet('$base/*.parquet')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Streaming WARC ingest — crawl results arrive over a REAL
     * two-batch MemoryStream run and land as batch-id-tagged `.warc.gz`
     * part files ([[graft.streaming.WarcStreamIngest]]: names AND bytes
@@ -1525,6 +1588,7 @@ object TextQueries {
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_crawl_warc" -> (crawlWarc _),
     "q_scan_warc_dsv2" -> (scanWarcDsv2 _),
+    "q_scan_warc_manifest" -> (scanWarcManifest _),
     "q_stream_warc" -> (streamWarc _),
     "q_text_extract" -> (textExtractHtml _),
     "q_text_quality" -> (textQuality _),
@@ -1554,6 +1618,7 @@ object TextQueries {
     "q_chunk_overlap" -> chunkOverlapSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangidSql,
+    "q_scan_warc_manifest" -> scanWarcManifestSql,
     "q_crawl_links" -> crawlLinksSql,
     "q_text_nll" -> textNllSql,
     "q_text_tfidf" -> textTfidfSql,
