@@ -958,7 +958,14 @@ case class CogInputPartition(uri: String,
     conf: org.apache.spark.broadcast.Broadcast[Map[String, String]],
     profile: RasterProfile, schema: StructType,
     tiles: Seq[CogTileSpec],
-    strips: Option[StripSource] = None) extends InputPartition
+    strips: Option[StripSource] = None,
+    // the table's own (tiny) option map — rides the partition itself
+    // while the session conf rides the memoized broadcast; options WIN
+    // over session entries when merged task-side
+    tableOpts: Map[String, String] = Map.empty) extends InputPartition {
+  /** Task-side view: session conf under table options (options win). */
+  def mergedConf: Map[String, String] = conf.value ++ tableOpts
+}
 
 class CogScan(paths: Seq[String], conf: Map[String, String],
     bounds: Map[String, (Option[Int], Option[Int])],
@@ -985,16 +992,12 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
     var rows = 0L
     var ioBytes = 0L
     parts.foreach { p =>
-      p.strips match {
-        case Some(s) =>
-          rows += (s.height.toLong + s.rowsPerStrip - 1) / s.rowsPerStrip
-          // strip specs carry no per-strip counts: decoded upper bound
-          // (over-estimating never wrongly broadcasts)
-          ioBytes += s.width.toLong * s.height * s.bands * 8
-        case None =>
-          rows += p.tiles.size
-          ioBytes += p.tiles.iterator.map(t => t.cnt + t.mCnt + t.pCnt.sum).sum
-      }
+      // one output row per planned spec — strip partitions carry their
+      // planned strips in `tiles` too (one CogTileSpec per surviving
+      // strip, per-strip byte counts included), so BOTH layouts count
+      // the actual post-pruning plan, never the whole file
+      rows += p.tiles.size
+      ioBytes += p.tiles.iterator.map(t => t.cnt + t.mCnt + t.pCnt.sum).sum
     }
     val needPayload = required.fieldNames.exists(Set("pixels", "mask"))
     val size =
@@ -1159,7 +1162,10 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
         finally pool.shutdown()
       }
 
-    val bcConf = spark.sparkContext.broadcast(merged)
+    // session conf rides the ONE memoized broadcast per context (a
+    // fresh multi-hundred-entry broadcast per scan/re-plan was pure
+    // waste); the table's tiny option map rides each partition
+    val bcConf = SessionConf.broadcast(spark)
     // NOTE (scale): the InputPartitions necessarily hold one
     // CogTileSpec per surviving tile on the driver (~40 B each — a few
     // GB at a 50M-tile grid, the same inherent-to-TIFF driver ceiling
@@ -1217,7 +1223,7 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
       remaining -= taken.length
       chunkContiguous(taken, slicesPerFile)
         .map(g => CogInputPartition(uri, bcConf, placeholder, required,
-          g, Some(ss)): InputPartition)
+          g, Some(ss), tableOpts = conf): InputPartition)
     }
 
     // CONTIGUOUS byte-balanced grouping (replaced round-robin in r13):
@@ -1301,8 +1307,8 @@ class CogScan(paths: Seq[String], conf: Map[String, String],
       val taken = specs.take(remaining).toSeq
       remaining -= taken.length
       chunkContiguous(taken, slicesPerFile)
-        .map(g => CogInputPartition(uri, bcConf, profile, required, g)
-          : InputPartition)
+        .map(g => CogInputPartition(uri, bcConf, profile, required, g,
+          tableOpts = conf): InputPartition)
     }
 
     metas.flatMap { case (uri, pages) =>
@@ -1451,9 +1457,10 @@ class CogPartitionReaderFactory extends PartitionReaderFactory {
 class CogPartitionReader(part: CogInputPartition)
     extends PartitionReader[InternalRow] {
 
+  private val merged = part.mergedConf
   private val hconf = {
     val c = new Configuration()
-    part.conf.value.foreach { case (k, v) => c.set(k, v) }
+    merged.foreach { case (k, v) => c.set(k, v) }
     c
   }
   private val fsPath = new Path(part.uri)
@@ -1473,9 +1480,9 @@ class CogPartitionReader(part: CogInputPartition)
       val ranges = part.tiles.flatMap(s =>
         Seq((s.off, s.cnt), (s.mOff, s.mCnt)) ++ s.pOff.zip(s.pCnt))
       inVar = CoalescingInput.wrap(raw, ranges,
-        part.conf.value.get("range.gap").map(_.toLong)
+        merged.get("range.gap").map(_.toLong)
           .getOrElse(CoalescingInput.DefaultGap),
-        part.conf.value.get("range.maxspan").map(_.toLong)
+        merged.get("range.maxspan").map(_.toLong)
           .getOrElse(CoalescingInput.DefaultMaxSpan))
       opened = true
     }

@@ -64,17 +64,35 @@ private[graft] object WarcCommit {
 /** The session `hadoopConfiguration` as a broadcast `Map` — what an
   * executor-side `new Configuration()` must be seeded with or s3a
   * credentials / custom filesystems silently vanish on that one code
-  * path. Memoized per session: the conf is a SNAPSHOT taken at the
-  * session's first use (re-broadcasting hundreds of entries per
-  * micro-batch was pure waste; a mid-session conf mutation is not a
-  * supported pattern anywhere in this engine). */
+  * path. Memoized per SparkCONTEXT, not per session: the conf object
+  * is context-level state shared by every session clone (each
+  * streaming query's foreachBatch runs in a cloned session — keying
+  * by session would rebuild the broadcast per stream and pin every
+  * clone forever), so the map stays bounded at one entry per context.
+  * The LIVE conf is snapshotted and fingerprinted on EVERY call —
+  * building the map is trivial; only the broadcast is skipped when
+  * nothing changed — so a caller that mutates the conf between
+  * queries (credentials rotation, a test pointing at a fresh mock
+  * endpoint) always ships current values, while the steady-state
+  * per-micro-batch cost drops from a multi-hundred-entry broadcast
+  * to a map hash. */
 private[graft] object SessionConf {
+  private final case class Snap(hash: Int,
+      bc: Broadcast[Map[String, String]])
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, Broadcast[Map[String, String]]]()
+    org.apache.spark.SparkContext, Snap]()
 
-  def broadcast(spark: SparkSession): Broadcast[Map[String, String]] =
-    memo.computeIfAbsent(spark, s =>
-      s.sparkContext.broadcast(
-        s.sparkContext.hadoopConfiguration.iterator().asScala
-          .map(e => e.getKey -> e.getValue).toMap))
+  def broadcast(spark: SparkSession): Broadcast[Map[String, String]] = {
+    val sc = spark.sparkContext
+    val snap = sc.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val h = snap.hashCode()
+    val cur = memo.get(sc)
+    if (cur != null && cur.hash == h) cur.bc
+    else {
+      val bc = sc.broadcast(snap)
+      memo.put(sc, Snap(h, bc))
+      bc
+    }
+  }
 }

@@ -16,4 +16,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false"))
     .getOrCreate()
+
+  /** Plan with AQE off so BatchScanExec is reachable in the tree (the
+    * PlanShapeSpec discipline) — the ONE home of the AQE-toggle
+    * helper every DSv2 plan-pin spec needs. */
+  def batchScanOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.datasources.v2.BatchScanExec = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      .getOrElse(fail("no BatchScanExec in plan"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

@@ -25,16 +25,9 @@ class CogStatsSpec extends SparkSpec {
   }
 
   private def scanOf(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.connector.read.SupportsReportStatistics = {
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.queryExecution.executedPlan
-      .collectFirst { case b: BatchScanExec => b }
-      .getOrElse(fail("no BatchScanExec in plan"))
-      .scan.asInstanceOf[
-        org.apache.spark.sql.connector.read.SupportsReportStatistics]
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-  }
+      : org.apache.spark.sql.connector.read.SupportsReportStatistics =
+    batchScanOf(df).scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
 
   test("numRows is exact and sizeInBytes shrinks under level pruning") {
     val s = spark
@@ -73,6 +66,46 @@ class CogStatsSpec extends SparkSpec {
       assert(bhj.nonEmpty, "small inventory side must broadcast:\n" +
         joined.queryExecution.executedPlan.treeString.take(1500))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("strip-organized files report exact post-pruning rows too (not whole-file counts)") {
+    // a 6-strip deflate TIFF: statistics must count the PLANNED strips
+    // (which chunk into multiple partitions), never strips-per-file ×
+    // partition count, and must shrink under a ty filter
+    val s = spark
+    import s.implicits._
+    val width = 8; val height = 23; val rps = 4 // 6 strips, short last
+    val nStrips = (height + rps - 1) / rps
+    val vals = Array.tabulate(height * width)(i => (i % 251).toByte)
+    val strips = (0 until nStrips).map { si =>
+      val rows = math.min(rps, height - si * rps)
+      val raw = new Array[Byte](rows * width)
+      for (r <- 0 until rows; x <- 0 until width)
+        raw(r * width + x) = vals((si * rps + r) * width + x)
+      TileCodec.deflate(raw)
+    }.toArray
+    val bytes = ClassicTiff.emitStripped(width, height, rps, 8, strips)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stripstats")
+    graft.TmpDirs.track(dir.toFile)
+    val f = dir.resolve("strips.tif")
+    java.nio.file.Files.write(f, bytes)
+    val uri = "file://" + f
+    val df = spark.read.format("cog").load(uri).select("level", "ty", "tx")
+    val stats = scanOf(df).estimateStatistics()
+    assert(stats.numRows.getAsLong == nStrips.toLong,
+      s"strip rows ${stats.numRows} must equal the $nStrips planned strips")
+    // a PIXELS read reports the planned per-strip compressed bytes
+    // (strips chunk into several partitions — whole-file × partitions
+    // would read 3× this)
+    val px = spark.read.format("cog").load(uri).select("ty", "pixels")
+    assert(scanOf(px).estimateStatistics().sizeInBytes.getAsLong ==
+      strips.map(_.length.toLong).sum,
+      "strip bytes must be the planned per-strip counts")
+    val one = spark.read.format("cog").load(uri)
+      .filter($"ty" === 2).select("ty", "pixels")
+    val pruned = scanOf(one).estimateStatistics()
+    assert(pruned.numRows.getAsLong == 1L, s"ty prune: ${pruned.numRows}")
+    assert(pruned.sizeInBytes.getAsLong == strips(2).length.toLong)
   }
 
   test("the static plan is memoized: stats + partitions share one header pass") {

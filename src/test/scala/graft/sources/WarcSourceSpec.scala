@@ -30,16 +30,8 @@ class WarcSourceSpec extends SparkSpec {
     }.toSeq.sortBy(_._1)
   }
 
-  /** Plan with AQE off so BatchScanExec is reachable in the tree (the
-    * PlanShapeSpec discipline). */
-  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.queryExecution.executedPlan
-      .collectFirst { case b: BatchScanExec => b }
-      .getOrElse(fail("no BatchScanExec in plan"))
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-  }
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    batchScanOf(df) // the shared SparkSpec AQE-off plan-pin helper
 
   test("full scan equals the direct Warc.readShard reference") {
     val rows = spark.read.format("warc").load(dir)
