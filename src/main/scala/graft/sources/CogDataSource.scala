@@ -1366,9 +1366,14 @@ class CogAggScan(paths: Seq[String], conf: Map[String, String],
     }
   }
 
+  // reuse the row scan's planner verbatim: same pruning, same specs —
+  // held as a FIELD so repeated (re-)plans of this agg scan hit the
+  // inner scan's memoized staticPartitions instead of re-fetching
+  // every file header per call
+  private lazy val inner =
+    new CogScan(paths, conf, bounds, sets, dbounds, StructType(Nil))
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // reuse the row scan's planner verbatim: same pruning, same specs
-    val inner = new CogScan(paths, conf, bounds, sets, dbounds, StructType(Nil))
     val parts = inner.planInputPartitions().map(_.asInstanceOf[CogInputPartition])
 
     // one driver pass over the (already driver-resident) specs,

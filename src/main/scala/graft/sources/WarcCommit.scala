@@ -77,7 +77,7 @@ private[graft] object WarcCommit {
   * per-micro-batch cost drops from a multi-hundred-entry broadcast
   * to a map hash. */
 private[graft] object SessionConf {
-  private final case class Snap(hash: Int,
+  private final case class Snap(conf: Map[String, String],
       bc: Broadcast[Map[String, String]])
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.SparkContext, Snap]()
@@ -86,12 +86,15 @@ private[graft] object SessionConf {
     val sc = spark.sparkContext
     val snap = sc.hadoopConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
-    val h = snap.hashCode()
     val cur = memo.get(sc)
-    if (cur != null && cur.hash == h) cur.bc
+    // FULL equality, not a hash: a collision would silently ship
+    // rotated-out credentials. A superseded broadcast is left to the
+    // driver GC / ContextCleaner — destroy() could kill an in-flight
+    // query still holding it in its partitions.
+    if (cur != null && cur.conf == snap) cur.bc
     else {
       val bc = sc.broadcast(snap)
-      memo.put(sc, Snap(h, bc))
+      memo.put(sc, Snap(snap, bc))
       bc
     }
   }

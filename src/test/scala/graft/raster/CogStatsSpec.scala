@@ -55,7 +55,11 @@ class CogStatsSpec extends SparkSpec {
     import s.implicits._
     val inv = spark.read.format("cog").load(uri)
       .select($"level", $"ty", $"tx")
-    val big = spark.range(0, 200000).toDF("n")
+    // the big side must sit ABOVE the 10 MB broadcast threshold (2M
+    // rows × 8 B ≈ 16 MB) or the test is vacuous: Spark would happily
+    // broadcast the range side instead and a BroadcastHashJoin would
+    // appear regardless of the inventory's reported statistics
+    val big = spark.range(0, 2000000).toDF("n")
     val joined = inv.join(big, $"ty".cast("long") === $"n" % 7)
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -110,14 +114,8 @@ class CogStatsSpec extends SparkSpec {
 
   test("the static plan is memoized: stats + partitions share one header pass") {
     val df = spark.read.format("cog").load(uri).select("level", "ty", "tx")
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val scan = df.queryExecution.executedPlan
-        .collectFirst { case b: BatchScanExec => b }.get.scan
-      val batch = scan.toBatch
-      // same array INSTANCE on repeated calls — the memo, not a re-plan
-      assert(batch.planInputPartitions() eq batch.planInputPartitions())
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val batch = batchScanOf(df).scan.toBatch
+    // same array INSTANCE on repeated calls — the memo, not a re-plan
+    assert(batch.planInputPartitions() eq batch.planInputPartitions())
   }
 }

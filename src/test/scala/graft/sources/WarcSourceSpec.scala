@@ -355,10 +355,12 @@ class WarcSourceSpec extends SparkSpec {
     assert(pruned.sizeInBytes.getAsLong < total && pruned.sizeInBytes.getAsLong > 0)
     // the payoff: a join against a big frame plans the WARC side as the
     // broadcast build (small corpus ≪ the 10 MB threshold)
-    val big = spark.range(0, 100000).toDF("n")
+    // big side above the 10 MB broadcast threshold (2M × 8 B ≈ 16 MB),
+    // or Spark broadcasts the range side and the pin is vacuous
+    val big = spark.range(0, 2000000).toDF("n")
     val joined = spark.read.format("warc").load(dir)
       .select($"url", $"host")
-      .join(big, org.apache.spark.sql.functions.length($"url") % 100000 === $"n")
+      .join(big, org.apache.spark.sql.functions.length($"url") % 2000000 === $"n")
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -411,11 +413,18 @@ class WarcSourceSpec extends SparkSpec {
       }.toSet
       assert(executedUris == Set(keep),
         s"executed scan read $executedUris, expected only $keep")
-      // re-planning after the delivered filter agrees; nothing matched →
-      // zero partitions is legal (checked via an impossible manifest)
+      // re-planning after the delivered filter agrees…
       val planned = scan.scan.toBatch.planInputPartitions()
         .map(_.asInstanceOf[WarcInputPartition].uri).toSet
       assert(planned == Set(keep))
+      // …and an impossible manifest (key matching nothing) legally
+      // plans ZERO partitions — the empty post-filter branch, pinned
+      scan.scan.asInstanceOf[
+          org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+        .filter(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("src", Array("no-such-shard"))))
+      assert(scan.scan.toBatch.planInputPartitions().isEmpty,
+        "an empty post-runtime-filter plan must be legal")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
