@@ -861,6 +861,11 @@ object TextQueries {
           $"src" === $"shard")
         .select($"host", $"url", length($"text").cast("long").as("n_chars"))
       val out = graft.TmpDirs.fixed("warc_manifest_rows")
+      // coalesce(1) is the fixture-scale STAGING convention (one file
+      // for the DuckDB twin to glob), not the production shape — the
+      // manifest join above (broadcast + runtime file pruning) is the
+      // shape that scales; a production pipeline writes the joined
+      // rows at natural parallelism
       joined.coalesce(1).write.mode("overwrite").parquet(out)
       out
     }
@@ -872,9 +877,11 @@ object TextQueries {
     * pruning (a million-shard corpus joined to a 100-shard manifest
     * reads 100 files — WarcSourceSpec pins the executed-partition
     * URIs). The joined per-record rows STAGE as parquet and DuckDB
-    * re-derives this per-host rollup from identical bytes (the
-    * staged-twin convention), so the join+rollup math is cross-engine
-    * even though no DuckDB WARC reader exists. */
+    * re-derives this per-host ROLLUP from identical bytes (the
+    * staged-twin convention) — so the rollup math is cross-engine over
+    * the staged post-join rows, while the join and its file pruning
+    * are engine-side, pinned by WarcSourceSpec (no DuckDB WARC reader
+    * exists to twin the scan itself). */
   def scanWarcManifest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(ensureWarcManifestRows(spark, sfDir))

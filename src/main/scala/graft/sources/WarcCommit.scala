@@ -21,6 +21,17 @@ import org.apache.spark.sql.SparkSession
   *    guarantee instead of assuming it;
   *  - a failed rename (HDFS-style no-replace semantics losing a race)
   *    adopts the winner only after the same byte check;
+  *  - a SUCCESSFUL rename is byte-verified too: on rename-REPLACE
+  *    filesystems (POSIX local, RawLocalFileSystem) two racing first
+  *    attempts can both observe `fin` absent and the later rename
+  *    silently replaces the earlier — the one interleaving the
+  *    exists-branch check cannot see. The post-rename read-back
+  *    closes it: whatever bytes actually landed must equal ours. The
+  *    residual window (a racer replacing `fin` AFTER our verify) is
+  *    covered by the callers' contract — shard bytes are a pure
+  *    function of the row set, so every legal racer writes identical
+  *    bytes, and the verify exists to catch contract VIOLATIONS, not
+  *    to serialize writers;
   *  - the tmp file is removed BEFORE any refusal, so a loud abort
   *    never litters the target directory.
   *
@@ -57,6 +68,14 @@ private[graft] object WarcCommit {
       require(matches,
         s"$context could not commit $fin (rename failed and no " +
           "byte-identical winner exists)")
+    } else {
+      // rename succeeded — verify what actually landed (see scaladoc:
+      // on rename-replace filesystems this is the only check the
+      // two-racing-first-attempts interleaving ever gets)
+      require(winnerMatches(),
+        s"$context: $fin holds DIFFERENT bytes after a successful " +
+          s"rename — $mismatchDetail; a racing writer with " +
+          "non-deterministic bytes replaced this commit")
     }
   }
 }
@@ -68,7 +87,9 @@ private[graft] object WarcCommit {
   * is context-level state shared by every session clone (each
   * streaming query's foreachBatch runs in a cloned session — keying
   * by session would rebuild the broadcast per stream and pin every
-  * clone forever), so the map stays bounded at one entry per context.
+  * clone forever), so the map stays bounded at one entry per LIVE
+  * context — stopped contexts are swept on the next call, so a JVM
+  * that cycles contexts (test suites) never accumulates dead ones.
   * The LIVE conf is snapshotted and fingerprinted on EVERY call —
   * building the map is trivial; only the broadcast is skipped when
   * nothing changed — so a caller that mutates the conf between
@@ -84,6 +105,10 @@ private[graft] object SessionConf {
 
   def broadcast(spark: SparkSession): Broadcast[Map[String, String]] = {
     val sc = spark.sparkContext
+    // sweep entries whose context has STOPPED: a long-lived JVM that
+    // cycles SparkContexts (test suites, repeated local runs) must not
+    // strongly retain each dead context and its broadcast forever
+    memo.keySet.removeIf(k => (k ne sc) && k.isStopped)
     val snap = sc.hadoopConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
     val cur = memo.get(sc)

@@ -438,11 +438,21 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
   /** Post-pruning size to the optimizer: a small (or src-pruned-small)
     * crawl corpus joined against a big table gets broadcast instead of
     * shuffled — the join-side payoff of honest source statistics.
-    * Compressed bytes, the same convention as file sources; row count
-    * is unknowable without decoding, so it stays empty. */
+    * Gzipped files are scaled by `spark.sql.sources.fileCompressionFactor`
+    * (the FileScan convention, default 1.0): crawl text inflates ~5-10×
+    * in memory, and a corpus just under the broadcast threshold on disk
+    * must not blow past it after decode. Row count is unknowable
+    * without decoding, so it stays empty. */
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(prunedFiles.map(_._2).sum)
+    override def sizeInBytes(): java.util.OptionalLong = {
+      val factor = org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+      java.util.OptionalLong.of(prunedFiles.map { case (f, len) =>
+        if (f.toLowerCase(java.util.Locale.ROOT).endsWith(".gz"))
+          math.ceil(len * factor).toLong
+        else len
+      }.sum)
+    }
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }

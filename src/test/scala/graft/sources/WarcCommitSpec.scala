@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path}
+
+import graft.SparkSpec
+
+/** The shared byte-verified commit protocol, branch by branch:
+  * idempotent replay, different-bytes refusal on an existing winner,
+  * rename-failure winner adoption — and the round-20 post-rename
+  * verify that closes the POSIX rename-replace window (two racing
+  * first attempts, the later rename silently replacing the earlier:
+  * the one interleaving the exists-branch check could never see). */
+class WarcCommitSpec extends SparkSpec {
+
+  private def fs(): FileSystem =
+    FileSystem.getLocal(new Configuration()).getRawFileSystem
+
+  private def dir(): Path = {
+    val d = java.nio.file.Files.createTempDirectory("warc_commit")
+    graft.TmpDirs.track(d.toFile)
+    new Path(d.toString)
+  }
+
+  private def bytes(s: String) = s.getBytes("UTF-8")
+
+  private def readAll(f: FileSystem, p: Path): Array[Byte] = {
+    val st = f.getFileStatus(p)
+    val b = new Array[Byte](st.getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(0, b) finally in.close()
+    b
+  }
+
+  test("first commit lands atomically; byte-identical replay is a no-op; no tmp litter") {
+    val f = fs(); val d = dir()
+    val fin = new Path(d, "s.warc.gz")
+    WarcCommit.commit(f, new Path(d, ".s.1.tmp"), fin, bytes("shard-A"),
+      "test", "detail")
+    assert(new String(readAll(f, fin), "UTF-8") == "shard-A")
+    // replay (same bytes, fresh tmp) adopts the winner silently
+    WarcCommit.commit(f, new Path(d, ".s.2.tmp"), fin, bytes("shard-A"),
+      "test", "detail")
+    assert(new String(readAll(f, fin), "UTF-8") == "shard-A")
+    // directory holds exactly the final file — refusal/replay paths
+    // must never litter tmp files
+    assert(f.listStatus(d).map(_.getPath.getName).toSet == Set("s.warc.gz"))
+  }
+
+  test("an existing winner with DIFFERENT bytes refuses loudly and keeps the winner") {
+    val f = fs(); val d = dir()
+    val fin = new Path(d, "s.warc.gz")
+    WarcCommit.commit(f, new Path(d, ".s.1.tmp"), fin, bytes("winner"),
+      "test", "detail")
+    val e = intercept[IllegalArgumentException] {
+      WarcCommit.commit(f, new Path(d, ".s.2.tmp"), fin, bytes("loser!"),
+        "test ctx", "the feed is not replay-deterministic")
+    }
+    assert(e.getMessage.contains("DIFFERENT bytes") &&
+      e.getMessage.contains("test ctx"), e.getMessage)
+    assert(new String(readAll(f, fin), "UTF-8") == "winner",
+      "the committed winner must survive the refused attempt")
+    assert(f.listStatus(d).map(_.getPath.getName).toSet == Set("s.warc.gz"),
+      "refusal must clean its tmp file")
+  }
+
+  test("rename-failure adopts a byte-identical winner; refuses a different one") {
+    val f = fs(); val d = dir()
+    // simulate HDFS no-replace semantics: rename always fails, the
+    // winner (or nothing) is already at fin
+    val noReplace = new FilterFileSystem(f) {
+      override def rename(src: Path, dst: Path): Boolean = false
+      // the exists-branch must still see fin absent so the rename path
+      // runs; FilterFileSystem delegates everything else
+    }
+    val fin = new Path(d, "s.warc.gz")
+    // no winner at all: loud
+    val e = intercept[IllegalArgumentException] {
+      WarcCommit.commit(noReplace, new Path(d, ".s.1.tmp"), fin,
+        bytes("shard"), "test", "detail")
+    }
+    assert(e.getMessage.contains("rename failed"), e.getMessage)
+    // a byte-identical winner landed by the racer: adopted silently
+    val out = f.create(fin, true)
+    try out.write(bytes("shard")) finally out.close()
+    WarcCommit.commit(noReplace, new Path(d, ".s.2.tmp"), fin,
+      bytes("shard"), "test", "detail")
+    // a different-bytes winner: loud
+    val out2 = f.create(fin, true)
+    try out2.write(bytes("other")) finally out2.close()
+    intercept[IllegalArgumentException] {
+      WarcCommit.commit(noReplace, new Path(d, ".s.3.tmp"), fin,
+        bytes("shard"), "test", "detail")
+    }
+  }
+
+  test("POSIX rename-replace race: a racer landing inside the window is caught post-rename") {
+    val f = fs(); val d = dir()
+    val fin = new Path(d, "s.warc.gz")
+    // simulate the racing writer winning the window: after OUR rename
+    // succeeds, the racer's (contract-violating, different-bytes)
+    // commit replaces fin before the verify reads it back — the
+    // post-rename byte check is the only guard this interleaving has
+    val racing = new FilterFileSystem(f) {
+      override def rename(src: Path, dst: Path): Boolean = {
+        val ok = fs.rename(src, dst)
+        if (ok && dst.getName == "s.warc.gz") {
+          val o = fs.create(dst, true)
+          try o.write(bytes("racer-bytes")) finally o.close()
+        }
+        ok
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      WarcCommit.commit(racing, new Path(d, ".s.1.tmp"), fin,
+        bytes("our-bytes!!"), "test ctx", "a non-deterministic racer")
+    }
+    assert(e.getMessage.contains("after a successful rename"), e.getMessage)
+    // and when the racer is byte-identical (the CONTRACT), the same
+    // interleaving commits cleanly — the verify serializes nothing
+    val d2 = dir()
+    val fin2 = new Path(d2, "s.warc.gz")
+    val benign = new FilterFileSystem(f) {
+      override def rename(src: Path, dst: Path): Boolean = {
+        val ok = fs.rename(src, dst)
+        if (ok && dst.getName == "s.warc.gz") {
+          val o = fs.create(dst, true)
+          try o.write(bytes("same-bytes")) finally o.close()
+        }
+        ok
+      }
+    }
+    WarcCommit.commit(benign, new Path(d2, ".s.1.tmp"), fin2,
+      bytes("same-bytes"), "test", "detail")
+    assert(new String(readAll(f, fin2), "UTF-8") == "same-bytes")
+  }
+}

@@ -345,6 +345,20 @@ class WarcSourceSpec extends SparkSpec {
       .estimateStatistics()
     assert(stats.sizeInBytes.getAsLong == total,
       s"stats ${stats.sizeInBytes} must equal the corpus bytes $total")
+    // gzip files scale by the FileScan compression-factor convention:
+    // crawl text inflates ~5-10x in memory, and the optimizer's
+    // broadcast decision must see the in-memory size, not disk bytes
+    val key = "spark.sql.sources.fileCompressionFactor"
+    spark.conf.set(key, "4.0")
+    try {
+      val scaled = scanOf(spark.read.format("warc").load(dir).select("url"))
+        .scan.asInstanceOf[
+          org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      assert(scaled.sizeInBytes.getAsLong == files.map(f =>
+        math.ceil(f.length * 4.0).toLong).sum,
+        s"factor 4.0 must scale gz bytes: got ${scaled.sizeInBytes}")
+    } finally spark.conf.unset(key)
     // src pruning shrinks the reported size with it
     val srcs = spark.read.format("warc").load(dir)
       .select($"src").distinct().as[String].collect().sorted
