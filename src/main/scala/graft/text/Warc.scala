@@ -21,10 +21,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   * yields a short corpus (the tar-shard lesson: zero-padded
   * truncation hid corruption; WarcSpec fuzzes the same).
   *
-  * Multi-member gzip note: `java.util.zip.GZIPInputStream` already
-  * consumes concatenated members, so a per-record-gzipped shard reads
-  * through one stream; records are then split on WARC framing, not on
-  * member boundaries — simpler and equally correct. */
+  * Multi-member gzip note: members are walked by OUR OWN reader
+  * ([[streamRecords]]), not `java.util.zip.GZIPInputStream` — the JDK
+  * stream treats a malformed SUBSEQUENT member header or trailing
+  * garbage as clean EOF, which would silently return a short corpus.
+  * Records are split on WARC framing, not on member boundaries, so
+  * both the CommonCrawl member-per-record layout and a legal
+  * whole-file-single-member shard parse identically. */
 object Warc {
 
   case class Record(headers: Map[String, String], payload: Array[Byte]) {
@@ -92,13 +95,25 @@ object Warc {
     * SUBSEQUENT member header, or trailing garbage, as clean EOF —
     * which would silently return a SHORT corpus, the exact failure
     * this module promises to refuse), and records parse off a rolling
-    * buffer as their bytes complete. Memory is O(one record + one
-    * member), never O(shard): at 100 TB the corpus is ~1 GiB
-    * CommonCrawl files with thousands of members, and a scan task
-    * must not hold a whole file (a single record above 2 GiB is still
-    * refused loudly — a rolling JVM buffer is Int-indexed). The
-    * caller owns `in` and closes it; the iterator never closes the
-    * stream. Every framing/member violation raises
+    * buffer as their bytes complete — INSIDE a member too: the
+    * Inflater survives across records, so a legal whole-file-
+    * single-member shard (wget-style, vs CommonCrawl's
+    * member-per-record) streams at the same O(one record) task
+    * memory as the per-record layout instead of buffering the whole
+    * uncompressed file before the first record emits. Memory is
+    * O(one record + the unparsed tail), never O(shard) or O(member)
+    * (a single record above 2 GiB is still refused loudly — a
+    * rolling JVM buffer is Int-indexed). Within-member streaming
+    * means a record can emit BEFORE its member's CRC32/ISIZE trailer
+    * is reached; a later corruption in the same member still refuses
+    * loudly mid-iteration (strict drains like [[readShard]] never
+    * return short), it just can't retract already-emitted records —
+    * the per-record-member layout both engine sinks write keeps
+    * verification per-record. The caller owns `in` and closes it;
+    * the iterator never closes the stream, and it releases its
+    * native Inflater deterministically on refusal or member end
+    * (an iterator abandoned mid-member leaves that to the JDK's
+    * Cleaner). Every framing/member violation raises
     * IllegalArgumentException with the member index and byte offset,
     * exactly as the in-memory reader did. */
   def streamRecords(in: java.io.InputStream): Iterator[Record] = new Iterator[Record] {
@@ -119,6 +134,16 @@ object Warc {
 
     private var nextRec: Record = _
     private var drained = false
+
+    // in-flight gzip member: non-null while a member's deflate stream
+    // is only partially consumed — records parse out of the partial
+    // inflation, which is what makes single-member shards O(record)
+    private var inflater: java.util.zip.Inflater = _
+    private var crc: java.util.zip.CRC32 = _
+    private var memberBytes = 0L
+    private var memberPos = 0L
+    private var givenEnd = 0
+    private val obuf = new Array[Byte](64 << 10)
 
     // hard ceiling on either rolling window: past this, the input is a
     // hostile/foreign blob (a deflate bomb, a CRLF-free non-WARC file,
@@ -171,13 +196,14 @@ object Warc {
       uend += n
     }
 
-    /** Inflate the next gzip member (cstart sits on a member boundary
-      * with ≥1 byte available) into the uncompressed window, verifying
-      * header framing, CRC32, and ISIZE — loud with member index and
-      * the member's absolute byte offset on any violation. */
-    private def inflateMember(): Unit = {
+    /** Open the next gzip member (cstart sits on a member boundary
+      * with ≥1 byte available): verify header framing and hand the
+      * deflate stream to a fresh Inflater that [[pumpMember]] then
+      * drives incrementally — loud with member index and the member's
+      * absolute byte offset on any violation. */
+    private def startMember(): Unit = {
       member += 1
-      val memberPos = cbase + cstart
+      memberPos = cbase + cstart
       def bad(msg: String) = throw new IllegalArgumentException(
         s"gzip member $member at byte $memberPos: $msg")
       if (!ensureC(10)) bad("truncated header")
@@ -211,66 +237,90 @@ object Warc {
       if ((flg & 2) != 0) d += 2 // FHCRC
       if (!ensureC(d)) bad("truncated optional header fields")
       cstart += d
+      inflater = new java.util.zip.Inflater(true)
+      crc = new java.util.zip.CRC32()
+      memberBytes = 0L
+      if (!ensureC(1)) bad("deflate stream truncated")
+      inflater.setInput(cbuf, cstart, cend - cstart)
+      // givenEnd = index just past the bytes handed to the inflater,
+      // in CURRENT cbuf coordinates — between setInput and the next
+      // needsInput-refill no compressed-side compaction/growth runs
+      // (parse and uappend touch ubuf only), so it stays
+      // coordinate-fresh across pump calls
+      givenEnd = cend
+    }
 
-      val inflater = new java.util.zip.Inflater(true)
-      val crc = new java.util.zip.CRC32()
-      var memberBytes = 0L
-      val obuf = new Array[Byte](64 << 10)
-      try {
-        if (!ensureC(1)) bad("deflate stream truncated")
-        inflater.setInput(cbuf, cstart, cend - cstart)
-        // index just past the bytes handed to the inflater, in CURRENT
-        // cbuf coordinates — ensureC only compacts inside the
-        // needsInput branch below, which re-hands input immediately,
-        // so givenEnd is always coordinate-fresh when read
-        var givenEnd = cend
-        while (!inflater.finished()) {
-          if (inflater.needsInput()) {
-            cstart = givenEnd // the inflater consumed everything given
-            if (!ensureC(1)) bad("deflate stream truncated")
-            inflater.setInput(cbuf, cstart, cend - cstart)
-            givenEnd = cend
-          }
-          val n =
-            try inflater.inflate(obuf)
-            catch { case e: java.util.zip.DataFormatException =>
-              bad(s"corrupt deflate stream: ${e.getMessage}") }
-          if (n == 0 && !inflater.finished() && !inflater.needsInput())
-            bad("deflate stream stalled (dictionary?)") // no spin
-          if (n > 0) {
-            crc.update(obuf, 0, n)
-            uappend(obuf, 0, n)
-            memberBytes += n
-          }
+    /** Inflate until the in-flight member yields ≥1 output chunk or
+      * finishes — the caller then re-tries the record parse, so no
+      * more than the unparsed tail is ever buffered, whatever the
+      * member layout. On finish, verifies CRC32 + ISIZE and releases
+      * the Inflater. */
+    private def pumpMember(): Unit = {
+      def bad(msg: String) = throw new IllegalArgumentException(
+        s"gzip member $member at byte $memberPos: $msg")
+      var progressed = false
+      while (!progressed && !inflater.finished()) {
+        if (inflater.needsInput()) {
+          cstart = givenEnd // the inflater consumed everything given
+          if (!ensureC(1)) bad("deflate stream truncated")
+          inflater.setInput(cbuf, cstart, cend - cstart)
+          givenEnd = cend
         }
+        val n =
+          try inflater.inflate(obuf)
+          catch { case e: java.util.zip.DataFormatException =>
+            bad(s"corrupt deflate stream: ${e.getMessage}") }
+        if (n == 0 && !inflater.finished() && !inflater.needsInput())
+          bad("deflate stream stalled (dictionary?)") // no spin
+        if (n > 0) {
+          crc.update(obuf, 0, n)
+          uappend(obuf, 0, n)
+          memberBytes += n
+          progressed = true
+        }
+      }
+      if (inflater.finished()) {
         cstart = givenEnd - inflater.getRemaining
-      } finally inflater.end()
-      if (!ensureC(8)) bad("truncated trailer")
-      def le32(d0: Int) = (cb(d0) & 0xffL) | ((cb(d0 + 1) & 0xffL) << 8) |
-        ((cb(d0 + 2) & 0xffL) << 16) | ((cb(d0 + 3) & 0xffL) << 24)
-      if (le32(0) != crc.getValue) bad("CRC32 mismatch — member content corrupted")
-      if (le32(4) != (memberBytes & 0xffffffffL)) bad("ISIZE mismatch")
-      cstart += 8
+        inflater.end()
+        inflater = null
+        if (!ensureC(8)) bad("truncated trailer")
+        def cb(d: Int) = cbuf(cstart + d) & 0xff
+        def le32(d0: Int) = (cb(d0) & 0xffL) | ((cb(d0 + 1) & 0xffL) << 8) |
+          ((cb(d0 + 2) & 0xffL) << 16) | ((cb(d0 + 3) & 0xffL) << 24)
+        if (le32(0) != crc.getValue) bad("CRC32 mismatch — member content corrupted")
+        if (le32(4) != (memberBytes & 0xffffffffL)) bad("ISIZE mismatch")
+        cstart += 8
+      }
     }
 
     private def advance(): Unit = {
-      while (nextRec == null && !drained) {
-        val eofAll = ceof && cstart == cend
-        parseRecordAt(ubuf, ustart, uend, eofAll, ubase) match {
-          case Some((r, next)) =>
-            nextRec = r
-            ustart = next
-          case None =>
-            if (eofAll) {
-              // parseRecordAt at EOF returns None only on a clean
-              // record boundary (ustart == uend) — anything else threw
-              if (member == 0 && cbase + cend == 0)
-                throw new IllegalArgumentException("empty WARC shard")
-              drained = true
-            } else if (ensureC(1)) {
-              inflateMember()
-            } // else ceof flipped: loop re-evaluates with eofAll=true
+      try {
+        while (nextRec == null && !drained) {
+          val eofAll = ceof && cstart == cend && inflater == null
+          parseRecordAt(ubuf, ustart, uend, eofAll, ubase) match {
+            case Some((r, next)) =>
+              nextRec = r
+              ustart = next
+            case None =>
+              if (inflater != null) {
+                pumpMember()
+              } else if (eofAll) {
+                // parseRecordAt at EOF returns None only on a clean
+                // record boundary (ustart == uend) — anything else threw
+                if (member == 0 && cbase + cend == 0)
+                  throw new IllegalArgumentException("empty WARC shard")
+                drained = true
+              } else if (ensureC(1)) {
+                startMember()
+              } // else ceof flipped: loop re-evaluates with eofAll=true
+          }
         }
+      } catch {
+        case e: Throwable =>
+          // deterministic native-resource release on every refusal
+          // path (ensureC/uappend/parse throws included)
+          if (inflater != null) { inflater.end(); inflater = null }
+          throw e
       }
     }
 

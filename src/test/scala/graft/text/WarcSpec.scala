@@ -390,6 +390,97 @@ class WarcSpec extends SparkSpec {
     assert(got == want, "python-recovered (url, body-md5, len) must match exactly")
   }
 
+  test("foreign whole-file-single-member gzip: parses exactly, streams at O(record), refuses truncation") {
+    // a legal WARC gzipped as ONE member for the entire file (wget
+    // and plain `gzip corpus.warc` produce this; CommonCrawl's
+    // member-per-record is a convention, not the spec) — written by
+    // PYTHON's gzip module with an FNAME header field, so the foreign
+    // header-field walk is exercised too, not just our own writer's
+    // minimal headers
+    val rnd = new scala.util.Random(73)
+    val bodies = (0 until 24).map { i =>
+      val b = new Array[Byte](96 << 10) // 24 × 96 KiB ≈ 2.25 MiB raw
+      rnd.nextBytes(b); b
+    }
+    val recs = bodies.zipWithIndex.map { case (b, i) =>
+      Warc.writeRecord(s"https://one.example/d/$i", f"$i%032x", b,
+        contentType = "application/octet-stream")
+    }
+    val raw = recs.reduce(_ ++ _)
+    val rawFile = java.nio.file.Files.createTempFile("graft-onemember", ".warc")
+    java.nio.file.Files.write(rawFile, raw)
+    val gzFile = java.nio.file.Files.createTempFile("graft-onemember", ".warc.gz")
+    val script =
+      """import gzip, sys
+        |data = open(sys.argv[1], 'rb').read()
+        |with open(sys.argv[2], 'wb') as out:
+        |    with gzip.GzipFile(filename='corpus.warc', mode='wb',
+        |                       fileobj=out) as gz:
+        |        gz.write(data)
+        |""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft-onemember", ".py")
+    java.nio.file.Files.write(p, script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder("python3", p.toString,
+      rawFile.toString, gzFile.toString).redirectErrorStream(true).start()
+    val pyOut = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() == 0, s"python gzip writer failed: $pyOut")
+    val shard = java.nio.file.Files.readAllBytes(gzFile)
+    // sanity: it really is ONE member (exactly one magic at offset 0;
+    // random payload bytes could collide with 1f 8b, so check via the
+    // compressed structure instead — our reader reports member 1 only)
+    // 1) exact parse through the in-memory path
+    val got = Warc.readShard(shard).map(r => (r.targetUri, r.payload.toSeq))
+    val want = recs.map { r =>
+      val one = Warc.readShard(Warc.writeShard(Seq(r))).head
+      (one.targetUri, one.payload.toSeq)
+    }
+    assert(got == want, "single-member parse must equal per-member parse")
+    // 2) INCREMENTAL: the first record emits long before the stream
+    //    is consumed — the O(record) law for the single-member layout
+    class CountingStream(data: Array[Byte]) extends java.io.InputStream {
+      var consumed = 0
+      override def read(): Int =
+        if (consumed >= data.length) -1
+        else { val b = data(consumed) & 0xff; consumed += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (consumed >= data.length) return -1
+        val n = math.min(32 << 10, math.min(len, data.length - consumed))
+        System.arraycopy(data, consumed, b, off, n)
+        consumed += n
+        n
+      }
+    }
+    val cs = new CountingStream(shard)
+    val it = Warc.streamRecords(cs)
+    assert(it.next().targetUri == "https://one.example/d/0")
+    assert(cs.consumed < shard.length / 4,
+      s"first record must emit from a partially-read member: consumed " +
+        s"${cs.consumed} of ${shard.length} compressed bytes")
+    assert(it.map(_.targetUri).toVector.last == "https://one.example/d/23")
+    // 3) truncations refuse loudly, never short-read: inside the
+    //    deflate stream, and inside the trailer
+    for (cut <- Seq(shard.length / 3, shard.length - 4)) {
+      val e = intercept[IllegalArgumentException] {
+        val it2 = Warc.streamRecords(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(shard, 0, cut)))
+        while (it2.hasNext) it2.next()
+      }
+      assert(e.getMessage.contains("truncated") ||
+        e.getMessage.contains("corrupt"), s"cut=$cut: ${e.getMessage}")
+    }
+    // 4) a one-member gzip of a MID-RECORD-truncated corpus (valid
+    //    gzip, short content) refuses at EOF with the record offset
+    val cutRaw = java.util.Arrays.copyOfRange(raw, 0, raw.length - 1000)
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(cutRaw); gz.finish(); gz.close()
+    val e2 = intercept[IllegalArgumentException] {
+      val it3 = Warc.streamRecords(new java.io.ByteArrayInputStream(out.toByteArray))
+      while (it3.hasNext) it3.next()
+    }
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+  }
+
   test("header values with CR/LF are refused loudly (injection hazard)") {
     for (evil <- Seq("https://x/\r\nWARC-Type: warcinfo",
         "https://x/a\nb", "a\rb")) {
