@@ -38,17 +38,21 @@ import graft.text.{HtmlExtract, Warc}
   *    them on rows) — the skip is pure optimization, never semantics,
   *    the same contract as the COG source's planning-time pruning.
   *
-  * Scale unit: ONE InputPartition PER SHARD FILE (writer-bounded
-  * capacity, exactly how CommonCrawl splits at ~1 GB) — a million-file
-  * corpus plans a million cheap partitions, and the reader walks each
-  * file's gzip members INCREMENTALLY ([[Warc.streamRecords]]) so task
-  * memory is O(one record + one member), never O(file): a foreign
-  * multi-gigabyte shard scans in a bounded heap. Paths may be a file,
-  * a directory (its
+  * Scale unit: one InputPartition per shard file — OR per
+  * member-aligned byte range of it when the shard is large and its
+  * sidecar member index exists ([[WarcSplit]]: both engine sinks
+  * write one), so parallelism scales with BYTES, not file count: a
+  * million-file corpus plans a million cheap partitions AND a corpus
+  * of few 1 GiB shards still fans ~8-wide per shard. The reader
+  * walks its range's gzip members INCREMENTALLY
+  * ([[Warc.streamRecords]]) so task memory is O(one record), never
+  * O(file): a foreign multi-gigabyte shard scans in a bounded heap.
+  * Paths may be a file, a directory (its
   * *.warc.gz), or a glob; the session's Hadoop conf merges under the
   * options so s3a:// / the ranged-HTTP filesystem work exactly as for
   * parquet. Malformed framing stays LOUD (the [[Warc]] contract):
-  * a corrupt shard fails naming its file, never a short corpus. */
+  * a corrupt shard fails naming its file and byte range, never a
+  * short corpus. */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
 
@@ -177,8 +181,16 @@ object WarcWriteSupport {
     })
     if (fs.exists(dirPath)) {
       val existing = warcFiles()
-      if (overwrite) existing.foreach(s => fs.delete(s.getPath, false))
-      else require(existing.isEmpty,
+      if (overwrite) {
+        existing.foreach(s => fs.delete(s.getPath, false))
+        // sidecar member indexes go with their shards — a stale index
+        // surviving an overwrite would refuse loudly on the next
+        // same-named shard of a different length ([[WarcSplit]])
+        fs.listStatus(dirPath).filter(s => s.isFile && {
+          val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
+          n.endsWith(".warc.gz.idx") || n.endsWith(".warc.idx")
+        }).foreach(s => fs.delete(s.getPath, false))
+      } else require(existing.isEmpty,
         s"warc target $path already holds ${existing.length} warc files — " +
           "appending onto an existing layout is refused; use overwrite")
     } else fs.mkdirs(dirPath)
@@ -231,7 +243,7 @@ object WarcWriteSupport {
             Warc.writeRecord(row.getString(0), rid,
               row.getAs[Array[Byte]](1), row.getString(3))
           }
-          val shard = Warc.writeShard(records)
+          val (shard, offsets) = Warc.writeShardWithIndex(records)
           // the sortWithinPartitions above makes `shard` a pure
           // function of the partition's row set, so EVERY attempt
           // produces the same bytes — [[WarcCommit.commit]] verifies
@@ -244,6 +256,15 @@ object WarcWriteSupport {
           val tmp = new Path(path,
             f".part-$pid%05d-$seq%05d.warc.gz.${java.util.UUID.randomUUID}%s.tmp")
           WarcCommit.commit(tfs, tmp, fin, shard, "warc write",
+            "a concurrent writer or a non-deterministic input")
+          // the sidecar member index ([[WarcSplit]]): a pure function
+          // of the shard bytes, so the same commit protocol gives it
+          // the same replay idempotence
+          val idx = WarcSplit.indexBytes(shard.length.toLong, offsets)
+          WarcCommit.commit(tfs,
+            new Path(path, s".${WarcSplit.indexPath(fin).getName}" +
+              s".${java.util.UUID.randomUUID}.tmp"),
+            WarcSplit.indexPath(fin), idx, "warc write (member index)",
             "a concurrent writer or a non-deterministic input")
           seq += 1
         }
@@ -467,9 +488,23 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
     // session conf rides the memoized broadcast; the table's own (tiny)
     // option map rides the partition itself
     val bcConf = SessionConf.broadcast(spark)
-    files
-      .map { case (f, _) => WarcInputPartition(f, bcConf, conf): InputPartition }
-      .toArray
+    // within-file splitting: a shard larger than split.size whose
+    // sidecar member index exists fans out across tasks at member
+    // boundaries ([[WarcSplit]]) — parallelism scales with BYTES, not
+    // file count, on corpora of few large shards; sidecar-less files
+    // plan one partition exactly as before. Probed only for
+    // post-pruning SURVIVORS larger than the threshold, so planning
+    // cost is zero for the small-file common case.
+    val splitSize = conf.get("split.size").map(_.toLong)
+      .getOrElse(WarcSplit.DefaultSplitSize)
+    require(splitSize > 0, s"split.size must be positive, got $splitSize")
+    val hc = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.foreach { case (k, v) => hc.set(k, v) }
+    files.flatMap { case (f, len) =>
+      WarcSplit.ranges(new Path(f), len, splitSize, hc).map { case (s, e) =>
+        WarcInputPartition(f, s, e, bcConf, conf): InputPartition
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -480,7 +515,30 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
       pushed.filter(WarcRecordFilter.supported), limit)
 }
 
-case class WarcInputPartition(uri: String,
+/** Reads at most `limit` bytes of `in`, then reports EOF — the
+  * split-partition reader's range bound (the range end is a gzip
+  * member boundary, so the member walker sees a clean EOF there, and
+  * a LYING index turns into its loud truncation refusal instead of a
+  * silent short read). Closing closes `in`. */
+private[graft] final class BoundedRangeStream(in: java.io.InputStream,
+    limit: Long) extends java.io.InputStream {
+  private var remaining = limit
+  override def read(): Int =
+    if (remaining <= 0) -1
+    else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (remaining <= 0) return -1
+    val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+    if (n > 0) remaining -= n
+    n
+  }
+  override def close(): Unit = in.close()
+}
+
+/** One scan task: byte range [start, end) of `uri` — the whole file,
+  * or one member-aligned slice of it when a sidecar index let the
+  * planner split ([[WarcSplit]]). */
+case class WarcInputPartition(uri: String, start: Long, end: Long,
     conf: org.apache.spark.broadcast.Broadcast[Map[String, String]],
     tableOpts: Map[String, String])
   extends InputPartition
@@ -505,19 +563,27 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter],
         val p = new Path(part.uri)
         val fs = p.getFileSystem(hc)
         // incremental member-walk ([[Warc.streamRecords]]): task memory
-        // is O(one record + one gzip member), never O(file), so a
-        // foreign multi-gigabyte CommonCrawl shard scans in a bounded
-        // task heap — the same reason the COG source reads ranged.
+        // is O(one record), never O(file) or O(member), so a foreign
+        // multi-gigabyte CommonCrawl shard scans in a bounded task
+        // heap — the same reason the COG source reads ranged. A
+        // split partition seeks to its member-aligned start and reads
+        // exactly its range (the range END is a member boundary by
+        // [[WarcSplit]] construction, so the bounded stream ends on a
+        // clean record edge — anything else refuses loudly below).
         // Every violation stays LOUD and is re-raised naming the file
-        // (corruption surfaces mid-iteration here, not at open).
-        in = fs.open(p)
+        // and byte range (corruption surfaces mid-iteration here, not
+        // at open).
+        val opened = fs.open(p)
+        if (part.start > 0) opened.seek(part.start)
+        in = new BoundedRangeStream(opened, part.end - part.start)
         val raw = Warc.streamRecords(in)
         new Iterator[Warc.Record] {
           private def naming[T](f: => T): T =
             try f
             catch {
               case e: Exception => throw new IllegalArgumentException(
-                s"warc scan failed to parse '${part.uri}': ${e.getMessage}", e)
+                s"warc scan failed to parse '${part.uri}' " +
+                  s"(bytes ${part.start}-${part.end}): ${e.getMessage}", e)
             }
           override def hasNext: Boolean = naming(raw.hasNext)
           override def next(): Warc.Record = naming(raw.next())

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Within-file splitting for WARC shards — the sidecar member index.
+  *
+  * One InputPartition per shard file caps scan parallelism at FILE
+  * count: a corpus of few large shards (a re-packed 1 GiB export, a
+  * consolidated crawl) leaves most of a cluster idle. CommonCrawl
+  * compresses each record as its own gzip member precisely so readers
+  * can split INSIDE a file at member boundaries — but gzip headers
+  * don't record compressed length, so boundaries are only
+  * discoverable by walking the deflate stream, which costs the whole
+  * read the split exists to avoid. The engine owns both WARC sinks,
+  * so boundaries are captured where they're free: at WRITE time, as a
+  * tiny sidecar `<shard>.warc.gz.idx` committed through the same
+  * byte-verified [[WarcCommit]] protocol as the shard (bytes are a
+  * pure function of the shard bytes, so replay idempotence carries
+  * over). The scan then fans ONE large shard across tasks — the same
+  * move the COG source makes with tile-range partitions.
+  *
+  * Format (text, one offset per line after the header):
+  *
+  *   GRAFT-WARC-IDX 1 <shardByteLength> <memberCount>
+  *   0
+  *   <member 1 start>
+  *   ...
+  *
+  * The recorded shard length makes staleness DETECTABLE: an index
+  * whose length disagrees with the actual file refuses loudly (a
+  * stale index could otherwise split mid-member and the scan would
+  * fail with a confusing framing error — or worse, a lying index
+  * could silently skip records if refusals were lenient). A shard
+  * with NO sidecar simply doesn't split — foreign corpora scan
+  * exactly as before.
+  *
+  * Splitting at member boundaries is only record-safe when records
+  * don't SPAN members (true of both engine sinks: member == record).
+  * A sidecar claiming boundaries inside records parses into loud
+  * framing refusals on both sides of the cut — never a silent
+  * short/duplicated corpus. */
+private[graft] object WarcSplit {
+
+  /** Default split target: well under a typical 1 GiB CommonCrawl
+    * shard (so those fan out ~8-wide) while far above the per-task
+    * fixed cost. Override with `option("split.size", bytes)`. */
+  val DefaultSplitSize: Long = 128L << 20
+
+  private val Magic = "GRAFT-WARC-IDX"
+  private val Version = 1
+
+  def indexPath(shard: Path): Path =
+    new Path(shard.getParent, shard.getName + ".idx")
+
+  def indexBytes(shardLen: Long, offsets: Array[Long]): Array[Byte] = {
+    val sb = new StringBuilder(16 + 12 * offsets.length)
+    sb.append(Magic).append(' ').append(Version).append(' ')
+      .append(shardLen).append(' ').append(offsets.length).append('\n')
+    offsets.foreach(o => sb.append(o).append('\n'))
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Member start offsets from a sidecar, validated against the
+    * actual shard length — loud on any malformation or staleness
+    * (delete or regenerate the sidecar to recover). */
+  def readIndex(fs: FileSystem, idx: Path, shard: Path,
+      shardLen: Long): Array[Long] = {
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"warc sidecar index $idx: $msg — delete or regenerate it " +
+        "(the shard itself scans fine without one, as a single partition)")
+    val st = fs.getFileStatus(idx)
+    // offsets are ~12 B/member; a shard holds len/~300 B members at
+    // minimum, so a legitimate index is orders of magnitude smaller
+    // than its shard — a "sidecar" rivaling the shard is not ours
+    if (st.getLen > (64L << 20)) bad(s"${st.getLen} bytes is not a member index")
+    val text = {
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(idx)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8")
+    }
+    val lines = text.split('\n')
+    val head = lines.headOption.getOrElse("").split(' ')
+    if (head.length != 4 || head(0) != Magic) bad("missing header")
+    if (head(1) != Version.toString) bad(s"unsupported version ${head(1)}")
+    val declaredLen =
+      try head(2).toLong catch { case _: NumberFormatException => bad("malformed header") }
+    val n =
+      try head(3).toInt catch { case _: NumberFormatException => bad("malformed header") }
+    if (declaredLen != shardLen) bad(
+      s"STALE: records shard length $declaredLen but $shard is $shardLen bytes")
+    if (n < 1 || lines.length - 1 != n) bad(
+      s"declares $n members but carries ${lines.length - 1} offsets")
+    val offsets = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      offsets(i) =
+        try lines(i + 1).toLong
+        catch { case _: NumberFormatException => bad(s"malformed offset line ${i + 2}") }
+      if (i == 0 && offsets(0) != 0L) bad("first member must start at 0")
+      if (i > 0 && offsets(i) <= offsets(i - 1)) bad(
+        s"offsets not strictly increasing at line ${i + 2}")
+      if (offsets(i) >= shardLen) bad(
+        s"offset ${offsets(i)} beyond the $shardLen-byte shard")
+      i += 1
+    }
+    offsets
+  }
+
+  /** Byte ranges covering exactly [0, len): member-boundary splits of
+    * ≥ splitSize when a valid sidecar exists, else the whole file.
+    * Only files LARGER than splitSize even probe for a sidecar, so
+    * planning cost stays zero for the small-file common case. */
+  def ranges(file: Path, len: Long, splitSize: Long,
+      hc: Configuration): Seq[(Long, Long)] = {
+    if (len <= splitSize) return Seq((0L, len))
+    val fs = file.getFileSystem(hc)
+    val idx = indexPath(file)
+    if (!fs.exists(idx)) return Seq((0L, len))
+    val offsets = readIndex(fs, idx, file, len)
+    val b = Seq.newBuilder[(Long, Long)]
+    var start = 0L
+    var i = 1
+    while (i < offsets.length) {
+      if (offsets(i) - start >= splitSize) {
+        b += ((start, offsets(i)))
+        start = offsets(i)
+      }
+      i += 1
+    }
+    b += ((start, len))
+    b.result()
+  }
+}

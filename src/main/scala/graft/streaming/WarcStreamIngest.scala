@@ -78,7 +78,7 @@ object WarcStreamIngest {
             first = false
             graft.queries.TextQueries.corpusWarcRecord(id, src, text)
           }
-          val shard = Warc.writeShard(recs)
+          val (shard, offsets) = Warc.writeShardWithIndex(recs)
           val fin = new Path(dir, f"b$batchId%05d-p$pid%03d-$seq%03d.warc.gz")
           val tmp = new Path(dir,
             f".b$batchId%05d-p$pid%03d-$seq%03d.warc.gz." +
@@ -88,6 +88,16 @@ object WarcStreamIngest {
           // carry our exact bytes or the commit refuses loudly
           graft.sources.WarcCommit.commit(fs, tmp, fin, shard,
             s"warc stream ingest (replayed batch $batchId)",
+            "the feed is not replay-deterministic")
+          // sidecar member index ([[graft.sources.WarcSplit]]): pure
+          // function of the shard bytes — same idempotence, and the
+          // mid-stream DSv2 reads fan large shards across tasks
+          val idxFin = graft.sources.WarcSplit.indexPath(fin)
+          graft.sources.WarcCommit.commit(fs,
+            new Path(dir, s".${idxFin.getName}.${java.util.UUID.randomUUID}.tmp"),
+            idxFin,
+            graft.sources.WarcSplit.indexBytes(shard.length.toLong, offsets),
+            s"warc stream ingest (member index, replayed batch $batchId)",
             "the feed is not replay-deterministic")
           seq += 1
         }

@@ -68,13 +68,26 @@ object Warc {
     * the CommonCrawl layout. close() (not just finish()) releases each
     * member's native Deflater immediately; ByteArrayOutputStream
     * ignores the close. */
-  def writeShard(records: Seq[Array[Byte]]): Array[Byte] = {
+  def writeShard(records: Seq[Array[Byte]]): Array[Byte] =
+    writeShardWithIndex(records)._1
+
+  /** [[writeShard]] plus the member START offsets (one per record,
+    * first always 0) — the write-side source of the sidecar member
+    * index ([[graft.sources.WarcSplit]]) that lets the scan split ONE
+    * large shard across tasks at member boundaries. Offsets fall out
+    * of the write for free; deriving them later would mean
+    * re-inflating the whole shard (gzip headers don't record
+    * compressed length, so member boundaries are only discoverable by
+    * walking the deflate stream). */
+  def writeShardWithIndex(records: Seq[Array[Byte]]): (Array[Byte], Array[Long]) = {
     val out = new ByteArrayOutputStream()
-    records.foreach { r =>
+    val offsets = new Array[Long](records.length)
+    records.zipWithIndex.foreach { case (r, i) =>
+      offsets(i) = out.size().toLong
       val gz = new java.util.zip.GZIPOutputStream(out)
       try { gz.write(r); gz.finish() } finally gz.close()
     }
-    out.toByteArray
+    (out.toByteArray, offsets)
   }
 
   /** Parse every record of a (per-record-gzipped) shard held in

@@ -15,6 +15,15 @@ class WarcSourceSpec extends SparkSpec {
   private lazy val dir =
     graft.queries.TextQueries.ensureWarcShards(spark, sfDir)
 
+  /** Direct (out-of-band) file mutation for corruption tests: drops
+    * Hadoop LocalFileSystem's `.crc` sidecar too, so the engine's OWN
+    * refusal fires instead of the checksum layer's. */
+  private def rawWrite(f: java.io.File, bytes: Array[Byte]): Unit = {
+    java.nio.file.Files.write(f.toPath, bytes)
+    val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+    if (crc.exists) crc.delete()
+  }
+
   /** Reference parse: the same shard files through Warc.readShard
     * directly (no Spark source in the loop). */
   private lazy val reference: Seq[(String, String, String)] = {
@@ -440,6 +449,145 @@ class WarcSourceSpec extends SparkSpec {
       assert(scan.scan.toBatch.planInputPartitions().isEmpty,
         "an empty post-runtime-filter plan must be legal")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("within-file splitting: one multi-member shard fans across partitions via its sidecar index") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("warc_split")
+    graft.TmpDirs.track(out.toFile)
+    // incompressible bodies so members have real size; ONE partition +
+    // capacity > rows => exactly one shard file (plus its sidecar)
+    val rnd = new scala.util.Random(67)
+    val rows = (0 until 120).map { i =>
+      val b = new Array[Byte](8 << 10)
+      rnd.nextBytes(b)
+      (f"https://split.example/d/$i%03d", b)
+    }
+    s.createDataset(rows).toDF("url", "body").repartition(1)
+      .write.format("warc").option("shard.capacity", "1000")
+      .mode("overwrite").save(out.toString)
+    val files = new java.io.File(out.toString).listFiles()
+    val shard = files.filter(_.getName.endsWith(".warc.gz")) match {
+      case Array(one) => one
+      case other => fail(s"expected one shard, got ${other.mkString(",")}")
+    }
+    val idx = files.filter(_.getName.endsWith(".idx")) match {
+      case Array(one) => one
+      case other => fail(s"expected one sidecar, got ${other.mkString(",")}")
+    }
+    // the sidecar is honest: header matches the shard, every offset
+    // sits on a gzip member magic, one member per record
+    val shardBytes = java.nio.file.Files.readAllBytes(shard.toPath)
+    val idxLines = new String(
+      java.nio.file.Files.readAllBytes(idx.toPath), "UTF-8").split('\n')
+    val head = idxLines.head.split(' ')
+    assert(head(0) == "GRAFT-WARC-IDX" && head(1) == "1" &&
+      head(2).toLong == shardBytes.length && head(3).toInt == 120,
+      idxLines.head)
+    val offsets = idxLines.tail.map(_.toLong)
+    assert(offsets.length == 120 && offsets.head == 0L)
+    offsets.foreach { o =>
+      assert((shardBytes(o.toInt) & 0xff) == 0x1f &&
+        (shardBytes(o.toInt + 1) & 0xff) == 0x8b,
+        s"offset $o must sit on a gzip member boundary")
+    }
+    // default split.size: a small shard plans ONE partition
+    val whole = scanOf(spark.read.format("warc").load(out.toString)
+      .select("url")).scan.toBatch.planInputPartitions()
+    assert(whole.length == 1)
+    // small split.size: the SAME file fans out, ranges tile [0, len)
+    val df = spark.read.format("warc")
+      .option("split.size", (100 << 10).toString)
+      .load(out.toString).select("url", "body")
+    val parts = scanOf(df).scan.toBatch.planInputPartitions()
+      .map(_.asInstanceOf[WarcInputPartition])
+    assert(parts.length > 3,
+      s"a ~1 MiB shard at 100 KiB split.size must fan out, got ${parts.length}")
+    assert(parts.forall(_.uri.endsWith(shard.getName)))
+    val ranges = parts.map(p => (p.start, p.end)).sortBy(_._1)
+    assert(ranges.head._1 == 0L && ranges.last._2 == shardBytes.length.toLong)
+    ranges.sliding(2).foreach {
+      case Array((_, e1), (s2, _)) => assert(e1 == s2, "ranges must tile")
+      case _ =>
+    }
+    ranges.foreach { case (st, _) =>
+      if (st > 0) assert((shardBytes(st.toInt) & 0xff) == 0x1f,
+        s"split at $st must be member-aligned")
+    }
+    // scan ≡ direct parse, exactly, through the splits
+    val got = df.as[(String, Array[Byte])].collect()
+      .map { case (u, b) => (u, b.toSeq) }.sortBy(_._1)
+    val want = graft.text.Warc.readShard(shardBytes).map { r =>
+      val (_, body) = graft.text.Warc.httpBody(r.payload)
+      (r.targetUri, body.toSeq)
+    }.sortBy(_._1)
+    assert(got.length == 120 && got.sameElements(want))
+    // corruption refusals still fire per split: flip a byte in the
+    // LAST member's payload region — only that split's task sees it,
+    // and it must refuse naming the file and range, never short-read
+    val bad = shardBytes.clone()
+    bad(offsets.last.toInt + 20) = (bad(offsets.last.toInt + 20) ^ 0x55).toByte
+    rawWrite(shard, bad)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc")
+        .option("split.size", (100 << 10).toString)
+        .load(out.toString).select("url").count()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains(shard.getName) && msg.contains("bytes "), msg)
+    rawWrite(shard, shardBytes) // restore
+  }
+
+  test("stale or malformed sidecars refuse loudly at planning; an absent sidecar scans unsplit") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("warc_split_stale")
+    graft.TmpDirs.track(out.toFile)
+    val rnd = new scala.util.Random(71)
+    val rows = (0 until 40).map { i =>
+      val b = new Array[Byte](8 << 10); rnd.nextBytes(b)
+      (s"https://stale.example/d/$i", b)
+    }
+    s.createDataset(rows).toDF("url", "body").repartition(1)
+      .write.format("warc").option("shard.capacity", "1000")
+      .mode("overwrite").save(out.toString)
+    val shard = new java.io.File(out.toString).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val idxPath = new java.io.File(out.toString, shard.getName + ".idx")
+    def planSmall() = scanOf(spark.read.format("warc")
+      .option("split.size", (64 << 10).toString)
+      .load(out.toString).select("url")).scan.toBatch.planInputPartitions()
+    assert(planSmall().length > 1, "sanity: the honest sidecar splits")
+    // STALE: the shard grows after the index was written — loud, at
+    // planning, naming the sidecar (a stale index could split
+    // mid-member)
+    val orig = java.nio.file.Files.readAllBytes(shard.toPath)
+    rawWrite(shard, orig ++ Array[Byte](0))
+    val e = intercept[Exception] { planSmall() }
+    assert(e.getMessage.contains("STALE") && e.getMessage.contains(".idx"),
+      e.getMessage)
+    rawWrite(shard, orig)
+    // MALFORMED: garbage sidecar — loud
+    val origIdx = java.nio.file.Files.readAllBytes(idxPath.toPath)
+    rawWrite(idxPath, "junk\n1\n2\n".getBytes("UTF-8"))
+    val e2 = intercept[Exception] { planSmall() }
+    assert(e2.getMessage.contains("missing header"), e2.getMessage)
+    // ABSENT: no sidecar — the shard scans fine as one partition
+    java.nio.file.Files.delete(idxPath.toPath)
+    assert(planSmall().length == 1)
+    assert(spark.read.format("warc")
+      .option("split.size", (64 << 10).toString)
+      .load(out.toString).count() == 40)
+    rawWrite(idxPath, origIdx) // restore
+    // overwrite clears sidecars along with shards — no stale leftovers
+    s.createDataset(rows.take(5)).toDF("url", "body").repartition(1)
+      .write.format("warc").mode("overwrite").save(out.toString)
+    val names = new java.io.File(out.toString).listFiles().map(_.getName)
+    val shards = names.filter(_.endsWith(".warc.gz"))
+    val idxs = names.filter(_.endsWith(".idx"))
+    assert(idxs.toSet == shards.map(_ + ".idx").toSet,
+      s"every shard gets exactly its own sidecar: ${names.mkString(",")}")
   }
 
   test("a corrupt shard fails loudly, naming its file") {

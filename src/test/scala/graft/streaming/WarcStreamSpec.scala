@@ -8,8 +8,12 @@ import graft.SparkSpec
   * same file names, same bytes. */
 class WarcStreamSpec extends SparkSpec {
 
+  // shards AND their sidecar member indexes: replay byte-idempotence
+  // must cover both (a drifting index would split a future scan
+  // differently across replays)
   private def md5s(dir: String): Map[String, String] = {
-    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    new java.io.File(dir).listFiles().filter(f =>
+      f.getName.endsWith(".warc.gz") || f.getName.endsWith(".idx"))
       .map { f =>
         val d = java.security.MessageDigest.getInstance("MD5")
           .digest(java.nio.file.Files.readAllBytes(f.toPath))
