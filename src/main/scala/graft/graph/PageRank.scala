@@ -17,7 +17,12 @@ import org.apache.spark.storage.StorageLevel
   *    the whole run (the only corpus-scale state).
   *  - each iteration is one shuffle pair: join ranks onto the edge
   *    frame by src (both sides hash-partitioned on the node id — AQE
-  *    plans the join), then `groupBy(dst).sum(rank/deg)`.
+  *    plans the join), then ONE `groupBy(node)` over the edge
+  *    contributions unioned with a zero row per node — the union
+  *    keeps sink nodes in the frame without the separate
+  *    left-join-onto-nodes the r19 shape paid (3 shuffles/iteration
+  *    → 2; paired-alternation-measured −0.9 s at sf0.1,
+  *    BENCH_r20_isolated_pagerank.json, output oracle-identical).
   *  - dangling mass (nodes with no out-edges) is ONE scalar aggregate
   *    per iteration, redistributed uniformly — metadata-scale driver
   *    traffic (a single double), never node-scale.
@@ -81,13 +86,19 @@ object PageRank {
         if (!anyDangling) 0.0
         else ranks.join(danglingNodes, Seq("node"), "left_semi")
           .agg(coalesce(sum($"rank"), lit(0.0))).first().getDouble(0)
-      val contribs = linked.join(ranks.withColumnRenamed("node", "src"), "src")
-        .groupBy($"dst".as("node"))
-        .agg(sum($"rank" / $"deg").as("in_mass"))
       val base = (1.0 - damping) / n + damping * dangling / n
-      val next = nodes.join(contribs, Seq("node"), "left")
-        .select($"node",
-          (lit(base) + lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"))
+      // contributions and the keep-every-node union fold into ONE
+      // aggregation: edge mass (rank/deg per out-edge) unioned with a
+      // zero row per node, then a single groupBy(node) — two shuffles
+      // per iteration (the rank join + this agg) where the previous
+      // groupBy(dst) + left-join-onto-nodes shape paid three. The
+      // zero rows keep sink nodes (no in-edges) in the frame exactly
+      // as the left join did, and adding 0.0 to a double sum is exact.
+      val next = linked.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), ($"rank" / $"deg").as("m"))
+        .union(nodes.select($"node", lit(0.0).as("m")))
+        .groupBy($"node")
+        .agg((lit(base) + lit(damping) * sum($"m")).as("rank"))
       // checkpoint every SECOND iteration: lineage stays bounded (two
       // join+agg rounds per barrier) while the job count — the real
       // fixed cost of an iterative dataflow at any scale — halves.
