@@ -63,6 +63,8 @@ def main(argv):
     p.add_argument("--x4-dir", default="/tmp/graft_sfx4")
     p.add_argument("--cpus", type=int, default=32)
     p.add_argument("--factor", type=int, default=4)
+    p.add_argument("--round", type=int, default=17, dest="round_no",
+                   help="round number recorded in the output JSON")
     ns = p.parse_args(argv)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     queries = ns.queries.split(",")
@@ -86,7 +88,7 @@ def main(argv):
         results[q] = {"sf01_sec": round(a, 3), "x4_sec": round(b, 3),
                       "ratio": ratio, "verdict": verdict}
     rec = {
-        "round": 17,
+        "round": ns.round_no,
         "factor": ns.factor,
         "heap_cap": ns.heap,
         "config": f"fresh JVM per (query, dir), -Xmx{ns.heap}, local[{ns.cpus}], "
