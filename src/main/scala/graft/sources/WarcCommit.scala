@@ -21,17 +21,20 @@ import org.apache.spark.sql.SparkSession
   *    guarantee instead of assuming it;
   *  - a failed rename (HDFS-style no-replace semantics losing a race)
   *    adopts the winner only after the same byte check;
-  *  - a SUCCESSFUL rename is byte-verified too: on rename-REPLACE
-  *    filesystems (POSIX local, RawLocalFileSystem) two racing first
-  *    attempts can both observe `fin` absent and the later rename
-  *    silently replaces the earlier — the one interleaving the
-  *    exists-branch check cannot see. The post-rename read-back
-  *    closes it: whatever bytes actually landed must equal ours. The
-  *    residual window (a racer replacing `fin` AFTER our verify) is
-  *    covered by the callers' contract — shard bytes are a pure
-  *    function of the row set, so every legal racer writes identical
-  *    bytes, and the verify exists to catch contract VIOLATIONS, not
-  *    to serialize writers;
+  *  - a SUCCESSFUL rename is byte-verified too, on the filesystems
+  *    where that matters: POSIX-local rename REPLACES silently, so
+  *    two racing first attempts can both observe `fin` absent and
+  *    the later rename replaces the earlier — the one interleaving
+  *    the exists-branch check cannot see. The post-rename read-back
+  *    closes it there; HDFS/S3A refuse a rename onto an existing
+  *    file (those races land in the failed-rename branch below), so
+  *    the verify is gated to URI scheme "file" rather than doubling
+  *    every object-store write with a full GET. The residual window
+  *    (a racer replacing `fin` AFTER our verify) is covered by the
+  *    callers' contract — shard bytes are a pure function of the row
+  *    set, so every legal racer writes identical bytes, and the
+  *    verify exists to catch contract VIOLATIONS, not to serialize
+  *    writers;
   *  - the tmp file is removed BEFORE any refusal, so a loud abort
   *    never litters the target directory.
   *
@@ -68,10 +71,16 @@ private[graft] object WarcCommit {
       require(matches,
         s"$context could not commit $fin (rename failed and no " +
           "byte-identical winner exists)")
-    } else {
+    } else if ("file" == fs.getUri.getScheme) {
       // rename succeeded — verify what actually landed (see scaladoc:
-      // on rename-replace filesystems this is the only check the
-      // two-racing-first-attempts interleaving ever gets)
+      // on rename-REPLACE filesystems this is the only check the
+      // two-racing-first-attempts interleaving ever gets). Gated to
+      // POSIX-local ("file"): HDFS and S3A refuse a rename onto an
+      // existing file, so their races land in the failed-rename
+      // branch above and the read-back there stays race-rare — an
+      // unconditional verify would double write-path IO (a full GET
+      // per shard on an object store) to guard an interleaving that
+      // cannot occur on those semantics.
       require(winnerMatches(),
         s"$context: $fin holds DIFFERENT bytes after a successful " +
           s"rename — $mismatchDetail; a racing writer with " +

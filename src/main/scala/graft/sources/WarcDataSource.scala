@@ -179,20 +179,33 @@ object WarcWriteSupport {
       val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
       n.endsWith(".warc.gz") || n.endsWith(".warc")
     })
+    def idxFiles() = fs.listStatus(dirPath).filter(s => s.isFile && {
+      val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
+      n.endsWith(".warc.gz.idx") || n.endsWith(".warc.idx")
+    })
     if (fs.exists(dirPath)) {
       val existing = warcFiles()
       if (overwrite) {
+        // sidecar member indexes delete FIRST: a crash mid-overwrite
+        // then leaves shards without indexes (benign — they scan
+        // unsplit), never an orphaned index whose stale bytes would
+        // abort a later same-named commit with a misleading
+        // concurrent-writer refusal
+        idxFiles().foreach(s => fs.delete(s.getPath, false))
         existing.foreach(s => fs.delete(s.getPath, false))
-        // sidecar member indexes go with their shards — a stale index
-        // surviving an overwrite would refuse loudly on the next
-        // same-named shard of a different length ([[WarcSplit]])
-        fs.listStatus(dirPath).filter(s => s.isFile && {
-          val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
-          n.endsWith(".warc.gz.idx") || n.endsWith(".warc.idx")
-        }).foreach(s => fs.delete(s.getPath, false))
-      } else require(existing.isEmpty,
-        s"warc target $path already holds ${existing.length} warc files — " +
-          "appending onto an existing layout is refused; use overwrite")
+      } else {
+        require(existing.isEmpty,
+          s"warc target $path already holds ${existing.length} warc files — " +
+            "appending onto an existing layout is refused; use overwrite")
+        // orphaned sidecars block too: a fresh write would collide
+        // with their stale bytes at the index commit, far from the
+        // cause — refuse here, naming the real problem
+        val orphans = idxFiles()
+        require(orphans.isEmpty,
+          s"warc target $path holds ${orphans.length} orphaned sidecar " +
+            "index files (a previously interrupted overwrite?) — use " +
+            "overwrite, or delete them")
+      }
     } else fs.mkdirs(dirPath)
 
     import org.apache.spark.sql.functions.{coalesce, col, encode, lit, md5, when}
@@ -257,14 +270,10 @@ object WarcWriteSupport {
             f".part-$pid%05d-$seq%05d.warc.gz.${java.util.UUID.randomUUID}%s.tmp")
           WarcCommit.commit(tfs, tmp, fin, shard, "warc write",
             "a concurrent writer or a non-deterministic input")
-          // the sidecar member index ([[WarcSplit]]): a pure function
-          // of the shard bytes, so the same commit protocol gives it
-          // the same replay idempotence
-          val idx = WarcSplit.indexBytes(shard.length.toLong, offsets)
-          WarcCommit.commit(tfs,
-            new Path(path, s".${WarcSplit.indexPath(fin).getName}" +
-              s".${java.util.UUID.randomUUID}.tmp"),
-            WarcSplit.indexPath(fin), idx, "warc write (member index)",
+          // the sidecar member index — shared size-gated commit
+          // ([[WarcSplit.commitIndex]])
+          WarcSplit.commitIndex(tfs, new Path(path), fin,
+            shard.length.toLong, offsets, "warc write (member index)",
             "a concurrent writer or a non-deterministic input")
           seq += 1
         }
@@ -442,8 +451,14 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
         case Some(st) => Seq((fs.makeQualified(p).toString, st.getLen))
         case None =>
           val g = fs.globStatus(p)
-          require(g != null && g.nonEmpty, s"no warc files match $one")
-          g.filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+          // the glob filters to warc files exactly like the directory
+          // branch — a bare `dir/*` must not plan the sidecar member
+          // indexes (or any other non-warc neighbor) as shards
+          val matched =
+            if (g == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+            else g.filter(s => s.isFile && isWarc(s.getPath.getName))
+          require(matched.nonEmpty, s"no warc files match $one")
+          matched.map(s => (s.getPath.toString, s.getLen))
             .sortBy(_._1).toSeq
       }
     }
@@ -555,6 +570,7 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter],
       private val needText = cols.contains("text")
 
       private var in: java.io.InputStream = _
+      private var raw: Iterator[Warc.Record] = _
 
       private val records: Iterator[Warc.Record] = {
         val hc = new Configuration()
@@ -576,7 +592,7 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter],
         val opened = fs.open(p)
         if (part.start > 0) opened.seek(part.start)
         in = new BoundedRangeStream(opened, part.end - part.start)
-        val raw = Warc.streamRecords(in)
+        raw = Warc.streamRecords(in)
         new Iterator[Warc.Record] {
           private def naming[T](f: => T): T =
             try f
@@ -671,7 +687,16 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter],
       }
 
       override def get(): InternalRow = current
-      override def close(): Unit = if (in != null) in.close()
+      override def close(): Unit = {
+        // release the walker's in-flight native Inflater FIRST — a
+        // pushed LIMIT abandons the iterator mid-member, and the
+        // stream close below can't reach it
+        raw match {
+          case c: java.io.Closeable => c.close()
+          case _ => ()
+        }
+        if (in != null) in.close()
+      }
     }
   }
 }

@@ -53,6 +53,28 @@ private[graft] object WarcSplit {
   def indexPath(shard: Path): Path =
     new Path(shard.getParent, shard.getName + ".idx")
 
+  /** Serialized-index size past which the WRITE side skips the
+    * sidecar entirely — the shard then simply scans unsplit. Half the
+    * read-side 64 MiB guard, so an engine-written index can never
+    * trip the reader's refusal (a pathological high-capacity
+    * tiny-record shard could otherwise write an honest index the
+    * scan would then refuse at planning). */
+  val MaxIndexBytes: Long = 32L << 20
+
+  /** The ONE home of the sidecar commit both sinks share (the
+    * [[WarcCommit]] doctrine): serialize, size-gate, and commit
+    * through the byte-verified protocol with an attempt-unique
+    * dot-tmp. Bytes are a pure function of the shard bytes, so
+    * replay idempotence carries over from the shard commit. */
+  def commitIndex(fs: FileSystem, dir: Path, shard: Path, shardLen: Long,
+      offsets: Array[Long], context: String, mismatchDetail: String): Unit = {
+    val bytes = indexBytes(shardLen, offsets)
+    if (bytes.length > MaxIndexBytes) return
+    val fin = indexPath(shard)
+    val tmp = new Path(dir, s".${fin.getName}.${java.util.UUID.randomUUID}.tmp")
+    WarcCommit.commit(fs, tmp, fin, bytes, context, mismatchDetail)
+  }
+
   def indexBytes(shardLen: Long, offsets: Array[Long]): Array[Byte] = {
     val sb = new StringBuilder(16 + 12 * offsets.length)
     sb.append(Magic).append(' ').append(Version).append(' ')

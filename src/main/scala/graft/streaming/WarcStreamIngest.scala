@@ -89,14 +89,12 @@ object WarcStreamIngest {
           graft.sources.WarcCommit.commit(fs, tmp, fin, shard,
             s"warc stream ingest (replayed batch $batchId)",
             "the feed is not replay-deterministic")
-          // sidecar member index ([[graft.sources.WarcSplit]]): pure
-          // function of the shard bytes — same idempotence, and the
-          // mid-stream DSv2 reads fan large shards across tasks
-          val idxFin = graft.sources.WarcSplit.indexPath(fin)
-          graft.sources.WarcCommit.commit(fs,
-            new Path(dir, s".${idxFin.getName}.${java.util.UUID.randomUUID}.tmp"),
-            idxFin,
-            graft.sources.WarcSplit.indexBytes(shard.length.toLong, offsets),
+          // sidecar member index — shared size-gated commit
+          // ([[graft.sources.WarcSplit.commitIndex]]): pure function
+          // of the shard bytes, so replay idempotence carries over,
+          // and mid-stream DSv2 reads fan large shards across tasks
+          graft.sources.WarcSplit.commitIndex(fs, new Path(dir), fin,
+            shard.length.toLong, offsets,
             s"warc stream ingest (member index, replayed batch $batchId)",
             "the feed is not replay-deterministic")
           seq += 1

@@ -123,13 +123,17 @@ object Warc {
     * return short), it just can't retract already-emitted records —
     * the per-record-member layout both engine sinks write keeps
     * verification per-record. The caller owns `in` and closes it;
-    * the iterator never closes the stream, and it releases its
-    * native Inflater deterministically on refusal or member end
-    * (an iterator abandoned mid-member leaves that to the JDK's
-    * Cleaner). Every framing/member violation raises
+    * the iterator never closes the stream. The native Inflater is
+    * released deterministically on refusal and at member end, and
+    * the returned iterator is also `java.io.Closeable` — a caller
+    * abandoning it mid-member (a pushed LIMIT stopping inside a
+    * single-member shard) should close() it to free the in-flight
+    * Inflater immediately instead of waiting on the JDK's Cleaner.
+    * Every framing/member violation raises
     * IllegalArgumentException with the member index and byte offset,
     * exactly as the in-memory reader did. */
-  def streamRecords(in: java.io.InputStream): Iterator[Record] = new Iterator[Record] {
+  def streamRecords(in: java.io.InputStream): Iterator[Record] =
+    new Iterator[Record] with java.io.Closeable {
     // compressed-side rolling window: [cstart, cend) of cbuf is
     // unconsumed input; cbase = absolute stream offset of cbuf(0)
     private var cbuf = new Array[Byte](128 << 10)
@@ -347,6 +351,15 @@ object Warc {
       val r = nextRec
       nextRec = null
       r
+    }
+
+    /** Release the in-flight member's native Inflater (idempotent;
+      * a no-op between members or after a refusal, which already
+      * released it). Does NOT close the input stream — the caller
+      * owns it. The iterator must not be used after close. */
+    override def close(): Unit = {
+      if (inflater != null) { inflater.end(); inflater = null }
+      drained = true
     }
   }
 

@@ -515,6 +515,9 @@ class WarcSourceSpec extends SparkSpec {
       if (st > 0) assert((shardBytes(st.toInt) & 0xff) == 0x1f,
         s"split at $st must be member-aligned")
     }
+    // a bare glob over the directory must NOT plan the sidecars as
+    // shards (the .idx files are permanent neighbors now)
+    assert(spark.read.format("warc").load(s"$out/*").count() == 120)
     // scan ≡ direct parse, exactly, through the splits
     val got = df.as[(String, Array[Byte])].collect()
       .map { case (u, b) => (u, b.toSeq) }.sortBy(_._1)
@@ -588,6 +591,22 @@ class WarcSourceSpec extends SparkSpec {
     val idxs = names.filter(_.endsWith(".idx"))
     assert(idxs.toSet == shards.map(_ + ".idx").toSet,
       s"every shard gets exactly its own sidecar: ${names.mkString(",")}")
+    // an ORPHANED sidecar (interrupted overwrite) blocks a fresh
+    // non-overwrite write with a message naming the real cause, and
+    // overwrite clears it
+    val orphanDir = java.nio.file.Files.createTempDirectory("warc_orphan")
+    graft.TmpDirs.track(orphanDir.toFile)
+    java.nio.file.Files.write(
+      orphanDir.resolve("part-00000-00000.warc.gz.idx"),
+      "GRAFT-WARC-IDX 1 999 1\n0\n".getBytes("UTF-8"))
+    val e3 = intercept[Exception] {
+      s.createDataset(rows.take(2)).toDF("url", "body")
+        .write.format("warc").mode("append").save(orphanDir.toString)
+    }
+    assert(e3.getMessage.contains("orphaned sidecar"), e3.getMessage)
+    s.createDataset(rows.take(2)).toDF("url", "body").repartition(1)
+      .write.format("warc").mode("overwrite").save(orphanDir.toString)
+    assert(spark.read.format("warc").load(orphanDir.toString).count() == 2)
   }
 
   test("a corrupt shard fails loudly, naming its file") {

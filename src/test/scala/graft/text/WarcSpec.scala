@@ -479,6 +479,15 @@ class WarcSpec extends SparkSpec {
       while (it3.hasNext) it3.next()
     }
     assert(e2.getMessage.contains("truncated"), e2.getMessage)
+    // 5) abandonment: an iterator dropped mid-member (the pushed-LIMIT
+    //    shape) is Closeable — close() releases the in-flight native
+    //    Inflater immediately and is idempotent
+    val it4 = Warc.streamRecords(new java.io.ByteArrayInputStream(shard))
+    assert(it4.next().targetUri == "https://one.example/d/0")
+    it4 match {
+      case c: java.io.Closeable => c.close(); c.close() // idempotent
+      case _ => fail("streamRecords iterator must be Closeable")
+    }
   }
 
   test("header values with CR/LF are refused loudly (injection hazard)") {
