@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sink.MockS3Server
+import graft.text.Warc
+
+/** WARC consumption straight off an HTTP object store through
+  * HttpRangeFileSystem — the CommonCrawl-on-S3 access pattern (the
+  * real CommonCrawl corpus is served exactly this way): every read
+  * must be a bounded range request, never a full-object download, the
+  * sidecar member index must work over HTTP (HEAD probe + one bounded
+  * read), and split partitions must SEEK into the object — ranged
+  * reads starting mid-file — while the scan stays byte-identical to a
+  * local parse. */
+class HttpWarcReadSpec extends SparkSpec {
+
+  private val fsConf = Map("fs.http.impl" -> classOf[HttpRangeFileSystem].getName)
+
+  test("warc scan over http: bounded ranged reads only, sidecar splits seek mid-object, scan ≡ local") {
+    val srv = new MockS3Server
+    try {
+      val rnd = new scala.util.Random(91)
+      val bodies = (0 until 60).map { _ =>
+        val b = new Array[Byte](8 << 10); rnd.nextBytes(b); b
+      }
+      val recs = bodies.zipWithIndex.map { case (b, i) =>
+        Warc.writeRecord(f"https://h.example/d/$i%03d", f"$i%032x", b,
+          contentType = "application/octet-stream")
+      }
+      val (shard, offsets) = Warc.writeShardWithIndex(recs)
+      srv.putObject("crawl", "shard-0.warc.gz", shard)
+      srv.putObject("crawl", "shard-0.warc.gz.idx",
+        WarcSplit.indexBytes(shard.length.toLong, offsets))
+      srv.resetReadAccounting()
+      val uri = s"${srv.endpoint}/crawl/shard-0.warc.gz"
+      val opts = fsConf + ("split.size" -> (100 << 10).toString)
+
+      val s = spark
+      import s.implicits._
+      val df = spark.read.format("warc").options(opts).load(uri)
+        .select($"url")
+      // the sidecar is probed and honored OVER HTTP: >1 member-aligned
+      // range partitions for the ~500 KiB object at 100 KiB split.size
+      val parts = batchScanOf(df).scan.toBatch.planInputPartitions()
+        .map(_.asInstanceOf[WarcInputPartition])
+      assert(parts.length > 2,
+        s"sidecar must split the object over http, got ${parts.length}")
+      assert(parts.exists(_.start > 0), "some partition must seek mid-object")
+      // scan ≡ local parse, through seeks and range reads
+      val got = df.as[String].collect().sorted
+      val want = Warc.readShard(shard).map(_.targetUri).sorted.toArray
+      assert(got.sameElements(want))
+      // the access pattern law: zero unbounded GETs, every request a
+      // bounded range (the reader's refill window caps request size)
+      assert(srv.unboundedGets == 0, "warc-over-http issued an unbounded GET")
+      assert(srv.rangedGetSizes.nonEmpty &&
+        srv.rangedGetSizes.max <= (256L << 10),
+        s"range requests must stay window-bounded: ${srv.rangedGetSizes.max}")
+
+      // pushed filters still short-circuit over http: a host filter
+      // that matches nothing decodes no payloads and returns empty
+      assert(spark.read.format("warc").options(opts).load(uri)
+        .filter($"host" === "nobody.example").count() == 0)
+
+      // without a sidecar the object scans unsplit (one partition) —
+      // the foreign-corpus path over http
+      srv.putObject("crawl2", "plain.warc.gz", shard)
+      val plain = spark.read.format("warc").options(opts)
+        .load(s"${srv.endpoint}/crawl2/plain.warc.gz").select($"url")
+      assert(batchScanOf(plain).scan.toBatch.planInputPartitions().length == 1)
+      assert(plain.as[String].collect().sorted.sameElements(want))
+    } finally srv.stop()
+  }
+}
