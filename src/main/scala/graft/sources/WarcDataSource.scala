@@ -174,16 +174,20 @@ object WarcWriteSupport {
     // refusal/overwrite operate on EVERY readable warc file (both the
     // batch writer's part-* and the streaming ingest's b*-p*-* names,
     // and foreign *.warc.gz) — counting only our own pattern would let
-    // an append silently merge two layouts into one corpus
-    def warcFiles() = fs.listStatus(dirPath).filter(s => s.isFile && {
-      val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
-      n.endsWith(".warc.gz") || n.endsWith(".warc")
-    })
-    def idxFiles() = fs.listStatus(dirPath).filter(s => s.isFile && {
-      val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
-      n.endsWith(".warc.gz.idx") || n.endsWith(".warc.idx")
-    })
-    if (fs.exists(dirPath)) {
+    // an append silently merge two layouts into one corpus. ONE
+    // listing serves both suffix classes (a remote store must not pay
+    // per-class listings on every write)
+    val listed =
+      if (fs.exists(dirPath)) fs.listStatus(dirPath).filter(_.isFile)
+      else null
+    def bySuffix(suffixes: String*) =
+      listed.filter { s =>
+        val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
+        suffixes.exists(n.endsWith)
+      }
+    def warcFiles() = bySuffix(".warc.gz", ".warc")
+    def idxFiles() = bySuffix(".warc.gz.idx", ".warc.idx")
+    if (listed != null) {
       val existing = warcFiles()
       if (overwrite) {
         // sidecar member indexes delete FIRST: a crash mid-overwrite
@@ -422,10 +426,19 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
     case _ => ()
   }
 
-  /** The candidate file list — (qualified path, byte length) — after
-    * planning-time `src` pruning. ONE listing feeds both the
-    * partition plan and the statistics report. */
-  private lazy val prunedFiles: Seq[(String, Long)] = {
+  /** One candidate shard: qualified path, byte length, and whether a
+    * sidecar member index is KNOWN present/absent from the same
+    * listing that found the shard (None = not listed — direct-file
+    * and glob loads — so the split planner probes only then). */
+  private case class Candidate(path: String, len: Long,
+      idxKnown: Option[Boolean])
+
+  /** The candidate file list after planning-time `src` pruning. ONE
+    * listing feeds the partition plan, the statistics report, AND
+    * sidecar presence — a directory of N large shards must not pay N
+    * extra exists-probes at planning (4 RPCs/file on an object
+    * store). */
+  private lazy val prunedFiles: Seq[Candidate] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val hc = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.foreach { case (k, v) => hc.set(k, v) }
@@ -433,7 +446,7 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
       val l = n.toLowerCase(java.util.Locale.ROOT)
       l.endsWith(".warc.gz") || l.endsWith(".warc")
     }
-    def expandOne(one: String): Seq[(String, Long)] = {
+    def expandOne(one: String): Seq[Candidate] = {
       val p = new Path(one)
       val fs = p.getFileSystem(hc)
       val status =
@@ -441,34 +454,41 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
         catch { case _: java.io.FileNotFoundException => None }
       status match {
         case Some(st) if st.isDirectory =>
-          fs.listStatus(p).filter(s => s.isFile && isWarc(s.getPath.getName))
-            .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1).toSeq
+          val listed = fs.listStatus(p).filter(_.isFile)
+          val names = listed.map(_.getPath.getName).toSet
+          listed.filter(s => isWarc(s.getPath.getName))
+            .map(s => Candidate(s.getPath.toString, s.getLen,
+              idxKnown = Some(names.contains(s.getPath.getName + ".idx"))))
+            .sortBy(_.path).toSeq
         // qualify the direct-file form too (directory/glob expansion
         // already yields fully-qualified paths): the `src` column — and
         // what a pushed src predicate must match — must not change form
         // with load style, or `filter($"src" === "file:/...")` after a
         // direct-path load silently returns zero rows
-        case Some(st) => Seq((fs.makeQualified(p).toString, st.getLen))
+        case Some(st) =>
+          Seq(Candidate(fs.makeQualified(p).toString, st.getLen, None))
         case None =>
           val g = fs.globStatus(p)
-          // the glob filters to warc files exactly like the directory
-          // branch — a bare `dir/*` must not plan the sidecar member
-          // indexes (or any other non-warc neighbor) as shards
+          // an explicit glob keeps the user's selection — including
+          // foreign names like CommonCrawl's *.warc.wet.gz that the
+          // directory branch's extension filter would not list — and
+          // excludes only OUR OWN sidecar indexes, so a bare `dir/*`
+          // never plans the .idx neighbors as shards
           val matched =
             if (g == null) Array.empty[org.apache.hadoop.fs.FileStatus]
-            else g.filter(s => s.isFile && isWarc(s.getPath.getName))
+            else g.filter(s => s.isFile && !s.getPath.getName.endsWith(".idx"))
           require(matched.nonEmpty, s"no warc files match $one")
-          matched.map(s => (s.getPath.toString, s.getLen))
-            .sortBy(_._1).toSeq
+          matched.map(s => Candidate(s.getPath.toString, s.getLen, None))
+            .sortBy(_.path).toSeq
       }
     }
-    val all = paths.flatMap(expandOne).distinctBy(_._1)
+    val all = paths.flatMap(expandOne).distinctBy(_.path)
     require(all.nonEmpty, s"no .warc.gz files under ${paths.mkString(",")}")
     // planning-time file pruning: a pushed src predicate decides each
     // file's fate before any IO (an empty plan is legal — the filter
     // matched nothing)
     val srcPushed = pushed.filter(WarcSrcFilter.supported)
-    all.filter { case (f, _) => srcPushed.forall(WarcSrcFilter.keep(_, f)) }
+    all.filter(c => srcPushed.forall(WarcSrcFilter.keep(_, c.path)))
   }
 
   /** Post-pruning size to the optimizer: a small (or src-pruned-small)
@@ -483,10 +503,10 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
     override def sizeInBytes(): java.util.OptionalLong = {
       val factor = org.apache.spark.sql.SparkSession.active.conf
         .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
-      java.util.OptionalLong.of(prunedFiles.map { case (f, len) =>
-        if (f.toLowerCase(java.util.Locale.ROOT).endsWith(".gz"))
-          math.ceil(len * factor).toLong
-        else len
+      java.util.OptionalLong.of(prunedFiles.map { c =>
+        if (c.path.toLowerCase(java.util.Locale.ROOT).endsWith(".gz"))
+          math.ceil(c.len * factor).toLong
+        else c.len
       }.sum)
     }
     override def numRows(): java.util.OptionalLong =
@@ -499,7 +519,7 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
     // pruning; an empty post-filter plan is legal — the join key
     // matched nothing
     val files = runtimeSrc.fold(prunedFiles)(keep =>
-      prunedFiles.filter { case (f, _) => keep.contains(f) })
+      prunedFiles.filter(c => keep.contains(c.path)))
     // session conf rides the memoized broadcast; the table's own (tiny)
     // option map rides the partition itself
     val bcConf = SessionConf.broadcast(spark)
@@ -507,18 +527,20 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
     // sidecar member index exists fans out across tasks at member
     // boundaries ([[WarcSplit]]) — parallelism scales with BYTES, not
     // file count, on corpora of few large shards; sidecar-less files
-    // plan one partition exactly as before. Probed only for
-    // post-pruning SURVIVORS larger than the threshold, so planning
-    // cost is zero for the small-file common case.
+    // plan one partition exactly as before. Sidecar PRESENCE rides the
+    // directory listing that found the shard (idxKnown), so the common
+    // case pays zero extra planning RPCs; only direct-file/glob loads
+    // of oversize files probe, and only the present indexes are read.
     val splitSize = conf.get("split.size").map(_.toLong)
       .getOrElse(WarcSplit.DefaultSplitSize)
     require(splitSize > 0, s"split.size must be positive, got $splitSize")
     val hc = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.foreach { case (k, v) => hc.set(k, v) }
-    files.flatMap { case (f, len) =>
-      WarcSplit.ranges(new Path(f), len, splitSize, hc).map { case (s, e) =>
-        WarcInputPartition(f, s, e, bcConf, conf): InputPartition
-      }
+    files.flatMap { c =>
+      WarcSplit.ranges(new Path(c.path), c.len, splitSize, hc, c.idxKnown)
+        .map { case (s, e) =>
+          WarcInputPartition(c.path, s, e, bcConf, conf): InputPartition
+        }
     }.toArray
   }
 
@@ -590,8 +612,13 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter],
         // and byte range (corruption surfaces mid-iteration here, not
         // at open).
         val opened = fs.open(p)
-        if (part.start > 0) opened.seek(part.start)
-        in = new BoundedRangeStream(opened, part.end - part.start)
+        // if the seek throws (a split planned against a file that was
+        // since replaced shorter), the stream must not leak — close()
+        // is never called on a reader whose construction failed
+        try {
+          if (part.start > 0) opened.seek(part.start)
+          in = new BoundedRangeStream(opened, part.end - part.start)
+        } catch { case e: Throwable => opened.close(); throw e }
         raw = Warc.streamRecords(in)
         new Iterator[Warc.Record] {
           private def naming[T](f: => T): T =

@@ -132,14 +132,18 @@ private[graft] object WarcSplit {
 
   /** Byte ranges covering exactly [0, len): member-boundary splits of
     * ≥ splitSize when a valid sidecar exists, else the whole file.
-    * Only files LARGER than splitSize even probe for a sidecar, so
-    * planning cost stays zero for the small-file common case. */
+    * Only files LARGER than splitSize even consider a sidecar, and
+    * `idxKnown` (sidecar presence from the directory listing that
+    * found the shard) skips the per-file exists-probe entirely —
+    * planning over an object store must not pay one RPC per shard
+    * for information one listing already returned. */
   def ranges(file: Path, len: Long, splitSize: Long,
-      hc: Configuration): Seq[(Long, Long)] = {
+      hc: Configuration, idxKnown: Option[Boolean] = None): Seq[(Long, Long)] = {
     if (len <= splitSize) return Seq((0L, len))
+    if (idxKnown.contains(false)) return Seq((0L, len))
     val fs = file.getFileSystem(hc)
     val idx = indexPath(file)
-    if (!fs.exists(idx)) return Seq((0L, len))
+    if (idxKnown.isEmpty && !fs.exists(idx)) return Seq((0L, len))
     val offsets = readIndex(fs, idx, file, len)
     val b = Seq.newBuilder[(Long, Long)]
     var start = 0L

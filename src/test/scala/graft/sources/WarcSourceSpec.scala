@@ -609,6 +609,29 @@ class WarcSourceSpec extends SparkSpec {
     assert(spark.read.format("warc").load(orphanDir.toString).count() == 2)
   }
 
+  test("explicit globs keep foreign WARC names (*.warc.wet.gz), excluding only sidecars") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("warc_wet")
+    graft.TmpDirs.track(d.toFile)
+    val recs = (0 until 7).map(i =>
+      Warc.writeRecord(s"https://wet.example/d/$i", f"$i%032x",
+        s"<p>wet $i</p>".getBytes("UTF-8")))
+    val (shard, offsets) = Warc.writeShardWithIndex(recs)
+    // CommonCrawl's WET naming — the directory branch's extension
+    // filter would skip it, but an EXPLICIT glob is the user's own
+    // selection and must plan it
+    java.nio.file.Files.write(d.resolve("crawl.warc.wet.gz"), shard)
+    java.nio.file.Files.write(d.resolve("crawl.warc.wet.gz.idx"),
+      WarcSplit.indexBytes(shard.length.toLong, offsets))
+    assert(spark.read.format("warc").load(s"$d/*.wet.gz").count() == 7)
+    // a bare dir/* glob excludes the sidecar, keeps the foreign shard
+    assert(spark.read.format("warc").load(s"$d/*").count() == 7)
+    // and a direct load of the foreign name works (no filter at all)
+    assert(spark.read.format("warc")
+      .load(d.resolve("crawl.warc.wet.gz").toString).count() == 7)
+  }
+
   test("a corrupt shard fails loudly, naming its file") {
     val bad = java.nio.file.Files.createTempDirectory("warc_bad")
     graft.TmpDirs.track(bad.toFile)
