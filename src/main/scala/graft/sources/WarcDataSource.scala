@@ -175,42 +175,48 @@ object WarcWriteSupport {
     // batch writer's part-* and the streaming ingest's b*-p*-* names,
     // and foreign *.warc.gz) — counting only our own pattern would let
     // an append silently merge two layouts into one corpus. ONE
-    // listing serves both suffix classes (a remote store must not pay
-    // per-class listings on every write)
-    val listed =
-      if (fs.exists(dirPath)) fs.listStatus(dirPath).filter(_.isFile)
-      else null
-    def bySuffix(suffixes: String*) =
-      listed.filter { s =>
-        val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
-        suffixes.exists(n.endsWith)
-      }
-    def warcFiles() = bySuffix(".warc.gz", ".warc")
-    def idxFiles() = bySuffix(".warc.gz.idx", ".warc.idx")
-    if (listed != null) {
-      val existing = warcFiles()
-      if (overwrite) {
-        // sidecar member indexes delete FIRST: a crash mid-overwrite
-        // then leaves shards without indexes (benign — they scan
-        // unsplit), never an orphaned index whose stale bytes would
-        // abort a later same-named commit with a misleading
-        // concurrent-writer refusal
-        idxFiles().foreach(s => fs.delete(s.getPath, false))
-        existing.foreach(s => fs.delete(s.getPath, false))
-      } else {
-        require(existing.isEmpty,
-          s"warc target $path already holds ${existing.length} warc files — " +
-            "appending onto an existing layout is refused; use overwrite")
-        // orphaned sidecars block too: a fresh write would collide
-        // with their stale bytes at the index commit, far from the
-        // cause — refuse here, naming the real problem
-        val orphans = idxFiles()
-        require(orphans.isEmpty,
-          s"warc target $path holds ${orphans.length} orphaned sidecar " +
-            "index files (a previously interrupted overwrite?) — use " +
-            "overwrite, or delete them")
-      }
-    } else fs.mkdirs(dirPath)
+    // listing serves every suffix class in one RPC (listStatus throws
+    // FileNotFoundException for a missing directory — no exists
+    // pre-probe, the expandOne pattern)
+    val listed: Option[Array[org.apache.hadoop.fs.FileStatus]] =
+      try Some(fs.listStatus(dirPath).filter(_.isFile))
+      catch { case _: java.io.FileNotFoundException => None }
+    listed match {
+      case Some(entries) =>
+        def bySuffix(suffixes: String*) = entries.filter { s =>
+          val n = s.getPath.getName.toLowerCase(java.util.Locale.ROOT)
+          suffixes.exists(n.endsWith)
+        }
+        val existing = bySuffix(".warc.gz", ".warc")
+        val idxs = bySuffix(".warc.gz.idx", ".warc.idx")
+        if (overwrite) {
+          // sidecar member indexes delete FIRST: a crash mid-overwrite
+          // then leaves shards without indexes (benign — they scan
+          // unsplit), never an orphaned index whose stale bytes would
+          // abort a later same-named commit with a misleading
+          // concurrent-writer refusal. Dot-prefixed commit tmp litter
+          // (a killed attempt's leftovers) sweeps with them.
+          entries.filter { s =>
+            val n = s.getPath.getName
+            n.startsWith(".") &&
+              n.toLowerCase(java.util.Locale.ROOT).endsWith(".tmp")
+          }.foreach(s => fs.delete(s.getPath, false))
+          idxs.foreach(s => fs.delete(s.getPath, false))
+          existing.foreach(s => fs.delete(s.getPath, false))
+        } else {
+          require(existing.isEmpty,
+            s"warc target $path already holds ${existing.length} warc files — " +
+              "appending onto an existing layout is refused; use overwrite")
+          // orphaned sidecars block too: a fresh write would collide
+          // with their stale bytes at the index commit, far from the
+          // cause — refuse here, naming the real problem
+          require(idxs.isEmpty,
+            s"warc target $path holds ${idxs.length} orphaned sidecar " +
+              "index files (a previously interrupted overwrite?) — use " +
+              "overwrite, or delete them")
+        }
+      case None => fs.mkdirs(dirPath)
+    }
 
     import org.apache.spark.sql.functions.{coalesce, col, encode, lit, md5, when}
     val normalized = data.select(
@@ -429,7 +435,10 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
   /** One candidate shard: qualified path, byte length, and whether a
     * sidecar member index is KNOWN present/absent from the same
     * listing that found the shard (None = not listed — direct-file
-    * and glob loads — so the split planner probes only then). */
+    * and glob loads — so the split planner probes only then).
+    * Presence is as-of THAT listing: a sidecar deleted afterwards
+    * degrades to the unsplit scan (ranges() treats the vanished file
+    * as absent), one added afterwards is seen on the next listing. */
   private case class Candidate(path: String, len: Long,
       idxKnown: Option[Boolean])
 
@@ -471,12 +480,22 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
           val g = fs.globStatus(p)
           // an explicit glob keeps the user's selection — including
           // foreign names like CommonCrawl's *.warc.wet.gz that the
-          // directory branch's extension filter would not list — and
-          // excludes only OUR OWN sidecar indexes, so a bare `dir/*`
-          // never plans the .idx neighbors as shards
+          // directory branch's extension filter would not list — but
+          // excludes what is never a shard: OUR sidecar indexes and
+          // commit tmp litter (Hadoop globs match dot-prefixed names,
+          // and a '.…tmp' left by a killed attempt holds the SAME
+          // record bytes as its committed shard — planning both would
+          // silently DUPLICATE the shard), plus _-prefixed job
+          // markers (_SUCCESS), case-insensitively like every other
+          // suffix check in this source
           val matched =
             if (g == null) Array.empty[org.apache.hadoop.fs.FileStatus]
-            else g.filter(s => s.isFile && !s.getPath.getName.endsWith(".idx"))
+            else g.filter { s =>
+              val n = s.getPath.getName
+              val l = n.toLowerCase(java.util.Locale.ROOT)
+              s.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+                !l.endsWith(".idx") && !l.endsWith(".tmp")
+            }
           require(matched.nonEmpty, s"no warc files match $one")
           matched.map(s => Candidate(s.getPath.toString, s.getLen, None))
             .sortBy(_.path).toSeq
@@ -618,7 +637,14 @@ class WarcReaderFactory(cols: Array[String], pushed: Array[Filter],
         try {
           if (part.start > 0) opened.seek(part.start)
           in = new BoundedRangeStream(opened, part.end - part.start)
-        } catch { case e: Throwable => opened.close(); throw e }
+        } catch {
+          case e: Throwable =>
+            // a close() failure on the now-broken stream must not
+            // mask the informative seek error
+            try opened.close()
+            catch { case c: Throwable => e.addSuppressed(c) }
+            throw e
+        }
         raw = Warc.streamRecords(in)
         new Iterator[Warc.Record] {
           private def naming[T](f: => T): T =

@@ -144,7 +144,13 @@ private[graft] object WarcSplit {
     val fs = file.getFileSystem(hc)
     val idx = indexPath(file)
     if (idxKnown.isEmpty && !fs.exists(idx)) return Seq((0L, len))
-    val offsets = readIndex(fs, idx, file, len)
+    // a sidecar that vanished between the listing (idxKnown) or probe
+    // and this read — an overwrite deletes indexes first by design, or
+    // an operator followed readIndex's own delete-to-recover advice —
+    // degrades to the documented unsplit scan, never a planning crash
+    val offsets =
+      try readIndex(fs, idx, file, len)
+      catch { case _: java.io.FileNotFoundException => return Seq((0L, len)) }
     val b = Seq.newBuilder[(Long, Long)]
     var start = 0L
     var i = 1

@@ -625,7 +625,16 @@ class WarcSourceSpec extends SparkSpec {
     java.nio.file.Files.write(d.resolve("crawl.warc.wet.gz.idx"),
       WarcSplit.indexBytes(shard.length.toLong, offsets))
     assert(spark.read.format("warc").load(s"$d/*.wet.gz").count() == 7)
-    // a bare dir/* glob excludes the sidecar, keeps the foreign shard
+    // commit tmp litter from a killed attempt holds the SAME record
+    // bytes as its committed shard — Hadoop globs match dot-prefixed
+    // names, so planning it would silently DUPLICATE every record;
+    // job markers and uppercase foreign sidecars are excluded too
+    java.nio.file.Files.write(
+      d.resolve(".crawl.warc.wet.gz.11112222-3333.tmp"), shard)
+    java.nio.file.Files.write(d.resolve("_SUCCESS"), Array.empty[Byte])
+    java.nio.file.Files.write(d.resolve("UPPER.WARC.GZ.IDX"),
+      WarcSplit.indexBytes(shard.length.toLong, offsets))
+    // a bare dir/* glob excludes all of those, keeps the foreign shard
     assert(spark.read.format("warc").load(s"$d/*").count() == 7)
     // and a direct load of the foreign name works (no filter at all)
     assert(spark.read.format("warc")
