@@ -37,12 +37,10 @@ object SplitEvidence {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // stage ONE shard of incompressible bodies (so inflate work is
-    // real and the compressed size ≈ raw size), written from the
-    // executors through the production sink so the sidecar is the
-    // real artifact, not a hand-built one
-    val dir = java.nio.file.Files.createTempDirectory("graft_split_ev")
-    TmpDirs.track(dir.toFile)
+    // stage ONE shard of crawl-text-like compressible bodies, written
+    // from the executors through the production sink so the sidecar is
+    // the real artifact, not a hand-built one
+    val dir = TmpDirs.create("graft_split_ev")
     val kib = bodyKiB // avoid capturing `args` in the task closure
     val rows = spark.range(0, records.toLong).as[Long].map { id =>
       // TEXT-like bodies, not random bytes: incompressible data
@@ -60,8 +58,8 @@ object SplitEvidence {
     rows.repartition(1)
       .write.format("warc")
       .option("shard.capacity", records.toString)
-      .mode("overwrite").save(dir.toString)
-    val shard = new java.io.File(dir.toString).listFiles()
+      .mode("overwrite").save(dir)
+    val shard = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".warc.gz")).head
     val shardMb = shard.length / (1 << 20)
 
@@ -72,7 +70,7 @@ object SplitEvidence {
       // identical scan) — min-of-2 is only honest over fresh plans
       def df() = spark.read.format("warc")
         .option("split.size", splitSize.toString)
-        .load(dir.toString)
+        .load(dir)
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.length($"body")).as("bytes"),
           org.apache.spark.sql.functions.count(
@@ -101,7 +99,12 @@ object SplitEvidence {
       (times.min, parts)
     }
 
-    run(shard.length + 1) // warm-up: page cache + JIT, not timed
+    // warm-up (page cache + JIT), one untimed pass — not the full
+    // min-of-2 routine, which would pay a redundant extra scan
+    spark.read.format("warc")
+      .option("split.size", (shard.length + 1).toString).load(dir)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()
     val (unsplitSec, p1) = run(shard.length + 1)
     val (splitSec, pN) = run(splitMiB.toLong << 20)
     require(p1 == 1 && pN > 1, s"expected 1 vs many partitions, got $p1/$pN")

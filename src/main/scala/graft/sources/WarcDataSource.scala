@@ -455,6 +455,17 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
       val l = n.toLowerCase(java.util.Locale.ROOT)
       l.endsWith(".warc.gz") || l.endsWith(".warc")
     }
+    // what is NEVER a shard, whatever its suffix: hidden/marker names
+    // (dot-prefixed commit tmp litter holds the SAME record bytes as
+    // its committed shard — planning both would silently DUPLICATE it;
+    // _SUCCESS-style job markers aren't data) and our own sidecar/tmp
+    // suffixes. ONE predicate for both load styles, so `dir` and
+    // `dir/*` can never disagree about litter.
+    def neverAShard(n: String): Boolean = {
+      val l = n.toLowerCase(java.util.Locale.ROOT)
+      n.startsWith(".") || n.startsWith("_") ||
+        l.endsWith(".idx") || l.endsWith(".tmp")
+    }
     def expandOne(one: String): Seq[Candidate] = {
       val p = new Path(one)
       val fs = p.getFileSystem(hc)
@@ -465,7 +476,10 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
         case Some(st) if st.isDirectory =>
           val listed = fs.listStatus(p).filter(_.isFile)
           val names = listed.map(_.getPath.getName).toSet
-          listed.filter(s => isWarc(s.getPath.getName))
+          listed.filter { s =>
+            val n = s.getPath.getName
+            isWarc(n) && !neverAShard(n)
+          }
             .map(s => Candidate(s.getPath.toString, s.getLen,
               idxKnown = Some(names.contains(s.getPath.getName + ".idx"))))
             .sortBy(_.path).toSeq
@@ -480,22 +494,11 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
           val g = fs.globStatus(p)
           // an explicit glob keeps the user's selection — including
           // foreign names like CommonCrawl's *.warc.wet.gz that the
-          // directory branch's extension filter would not list — but
-          // excludes what is never a shard: OUR sidecar indexes and
-          // commit tmp litter (Hadoop globs match dot-prefixed names,
-          // and a '.…tmp' left by a killed attempt holds the SAME
-          // record bytes as its committed shard — planning both would
-          // silently DUPLICATE the shard), plus _-prefixed job
-          // markers (_SUCCESS), case-insensitively like every other
-          // suffix check in this source
+          // directory branch's extension filter would not list — minus
+          // the shared never-a-shard litter classes
           val matched =
             if (g == null) Array.empty[org.apache.hadoop.fs.FileStatus]
-            else g.filter { s =>
-              val n = s.getPath.getName
-              val l = n.toLowerCase(java.util.Locale.ROOT)
-              s.isFile && !n.startsWith(".") && !n.startsWith("_") &&
-                !l.endsWith(".idx") && !l.endsWith(".tmp")
-            }
+            else g.filter(s => s.isFile && !neverAShard(s.getPath.getName))
           require(matched.nonEmpty, s"no warc files match $one")
           matched.map(s => Candidate(s.getPath.toString, s.getLen, None))
             .sortBy(_.path).toSeq
