@@ -48,23 +48,32 @@ class HadoopMultipartSink(dirUri: String,
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     val dest = partPath(partNumber)
-    fs.delete(dest, false) // rename refuses to clobber on HDFS
+    // rename FIRST, delete only when genuinely replacing: the old
+    // delete-then-rename order let a zombie duplicate attempt delete a
+    // winner's COMPLETED part and die before its own rename — the part
+    // vanished after the first attempt had already returned success.
+    // Now a duplicate attempt (same bytes, the deterministic-writer
+    // contract) ADOPTS the winner without ever issuing a delete; only
+    // a re-PUT with DIFFERENT bytes — S3's documented
+    // re-upload-replaces semantics — takes the delete+rename path,
+    // where last-writer-wins is the semantics anyway.
     if (!fs.rename(tmp, dest)) {
-      // two duplicate attempts can interleave (A deletes, B deletes, A
-      // renames, B's rename hits no-clobber): B's part is already whole
-      // at dest, so a complete destination with the SAME CONTENT is
-      // success — failing here would force a pointless task retry.
-      // Length alone can't distinguish a same-length different-content
-      // part (a non-deterministic encode across attempts, or a foreign
-      // writer on the same path), so compare a CRC of the landed bytes
-      // against the bytes this attempt holds; the read-back only runs
-      // on the rare lost-race path. Either way, reap the losing temp so
-      // it doesn't linger until the next start().
-      val landed = raceLanded(dest, bytes)
-      fs.delete(tmp, false)
-      require(landed,
-        s"rename $tmp -> $dest failed and no whole part with matching " +
-          s"content (length+CRC32) exists at $dest")
+      // dest exists (no-clobber semantics). Same content → the race's
+      // winner already holds this attempt's part: adopt it. Length
+      // alone can't distinguish same-length different-content, so the
+      // check is length + CRC32 of the landed bytes (read-back only
+      // on this rare path).
+      if (raceLanded(dest, bytes)) fs.delete(tmp, false)
+      else {
+        fs.delete(dest, false) // the genuine replace path
+        if (!fs.rename(tmp, dest)) {
+          val landed = raceLanded(dest, bytes)
+          fs.delete(tmp, false)
+          require(landed,
+            s"rename $tmp -> $dest failed and no whole part with matching " +
+              s"content (length+CRC32) exists at $dest")
+        }
+      }
     }
     java.lang.Long.toHexString(bytes.length.toLong)
   }
@@ -103,7 +112,10 @@ class HadoopMultipartSink(dirUri: String,
   /** Ordered concat for tests / small outputs. */
   def assembled: Array[Byte] = {
     val outBuf = new java.io.ByteArrayOutputStream()
-    val parts = fs.globStatus(new Path(dirUri, "part-*.bin"))
+    // globStatus returns null (not empty) for a nonexistent parent —
+    // same guard start() has always had
+    val parts = Option(fs.globStatus(new Path(dirUri, "part-*.bin")))
+      .getOrElse(Array.empty)
       .map(_.getPath).sortBy(_.getName)
     parts.foreach { p =>
       val in = fs.open(p)

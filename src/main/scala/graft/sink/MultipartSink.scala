@@ -185,8 +185,6 @@ object OrderedMultipartWriter {
   /** Pack + upload + finalize. Returns receipts sorted by partNumber. */
   def write(blobs: Dataset[Blob], totalBytes: Long, maxBlob: Long,
       sink: MultipartSink, defaultPart: Long = 16L << 20): Seq[PartReceipt] = {
-    val spark = blobs.sparkSession
-    import spark.implicits._
     val target = targetPartSize(totalBytes, maxBlob, defaultPart)
     sink.start()
     // from here on the upload is live: any failure — job error or a

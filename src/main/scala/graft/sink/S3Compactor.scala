@@ -28,6 +28,25 @@ object S3Compactor {
 
   final case class Source(key: String, size: Long)
 
+  /** Inclusive (from, to) copy ranges for a source LARGER than the
+    * part ceiling — BALANCED, not fixed-size-with-remainder: a
+    * 5 GiB+1 source chunked at the ceiling would leave a 1-byte tail
+    * part, and S3 rejects any non-final part under 5 MiB with
+    * EntityTooSmall at complete. The fewest chunks that fit the
+    * ceiling, every chunk within one byte of size/n — so any source
+    * ≥ 2× the 5 MiB floor yields floor-clearing chunks by
+    * construction (sources between floor and ceiling never split at
+    * all). Pure arithmetic, law-pinned in CompactionSpec. */
+  private[sink] def chunkBounds(size: Long, ceiling: Long): Seq[(Long, Long)] = {
+    require(size > ceiling && ceiling > 0, s"no split needed: $size / $ceiling")
+    val n = ((size + ceiling - 1) / ceiling).toInt
+    val base = size / n
+    val extra = size % n // the first `extra` chunks carry one more byte
+    (0 until n).scanLeft(0L) { (from, i) =>
+      from + base + (if (i < extra) 1L else 0L)
+    }.sliding(2).map { case Seq(from, until) => (from, until - 1) }.toSeq
+  }
+
   /** Compact `sources` (in order) from `sourceBucket` into the sink's
     * target object. Returns the total compacted byte count. */
   def compact(sink: S3MultipartSink, sourceBucket: String,
@@ -44,13 +63,8 @@ object S3Compactor {
     final case class Plan(key: String, range: Option[(Long, Long)], size: Long)
     val plans = sources.flatMap { s =>
       if (s.size <= OrderedMultipartWriter.S3MaxPart) Seq(Plan(s.key, None, s.size))
-      else {
-        val chunk = OrderedMultipartWriter.S3MaxPart
-        (0L until s.size by chunk).map { from =>
-          val to = math.min(from + chunk, s.size) - 1
-          Plan(s.key, Some((from, to)), to - from + 1)
-        }
-      }
+      else S3Compactor.chunkBounds(s.size, OrderedMultipartWriter.S3MaxPart)
+        .map { case (from, to) => Plan(s.key, Some((from, to)), to - from + 1) }
     }
     require(plans.length <= OrderedMultipartWriter.S3MaxPartCount,
       s"${plans.length} copy parts exceed S3's ${OrderedMultipartWriter.S3MaxPartCount}-part limit")

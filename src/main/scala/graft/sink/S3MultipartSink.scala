@@ -103,8 +103,19 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     credentials.map(new SigV4.RequestSigner(_, region))
 
   /** Send with bounded retry: 5xx and IOExceptions back off and retry
-    * (S3 throttling/transient contract), 4xx raise immediately. */
-  private def send(req: HttpRequest, what: String): HttpResponse[String] = {
+    * (S3 throttling/transient contract), 4xx raise immediately. The
+    * request is RE-BUILT (and therefore re-SIGNED) per attempt — a
+    * replayed x-amz-date can drift past SigV4's 15-minute skew window
+    * under long backoffs and turn a transient outage into a
+    * misleading 403 RequestTimeTooSkewed (the read path's
+    * RangeRetryPolicy re-mints for exactly this reason).
+    * `transientBody` marks 2xx responses that must retry anyway —
+    * AWS documents CompleteMultipartUpload/UploadPartCopy answering
+    * HTTP 200 with an `<Error><Code>InternalError</Code>` body the
+    * client should treat like a 5xx; aborting there would discard a
+    * fully-uploaded MPU over a transient commit hiccup. */
+  private def send(mk: () => HttpRequest, what: String,
+      transientBody: String => Boolean = _ => false): HttpResponse[String] = {
     var attempt = 0
     var last: Either[Throwable, HttpResponse[String]] = null
     while (attempt < maxAttempts) {
@@ -112,9 +123,11 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
       attempt += 1
       last =
         try {
-          val r = http.send(req, HttpResponse.BodyHandlers.ofString())
-          if (r.statusCode() < 500) return checkedOk(r, what)
-          Right(r)
+          val r = http.send(mk(), HttpResponse.BodyHandlers.ofString())
+          if (r.statusCode() >= 500) Right(r)
+          else if (r.statusCode() / 100 == 2 && transientBody(r.body()))
+            Right(r)
+          else return checkedOk(r, what)
         } catch { case e: java.io.IOException => Left(e) }
     }
     last match {
@@ -125,27 +138,35 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     }
   }
 
+  /** The documented retry-a-200 case: an embedded Error document whose
+    * Code is InternalError. Any OTHER embedded Error stays a loud
+    * protocol failure at the call site. */
+  private def transient200(body: String): Boolean =
+    xmlText(body, "Error").isDefined &&
+      xmlText(body, "Code").contains("InternalError")
+
   private def checkedOk(r: HttpResponse[String], what: String): HttpResponse[String] = {
     require(r.statusCode() / 100 == 2,
       s"$what rejected: HTTP ${r.statusCode()} ${r.body().take(500)}")
     r
   }
 
-  /** Pull one element's text out of a small S3 XML response
-    * (doctype-free via [[S3Xml]]). A body that isn't well-formed XML
-    * yields None — callers treat a missing expected element as the
-    * protocol error it is. */
+  /** Pull one element's text out of a small S3 XML response — through
+    * [[S3Xml]]'s shared (doctype-free, namespace-prefix-tolerant)
+    * lookup, not a private re-implementation that would drift from
+    * the janitor's and listing's parsing. A body that isn't
+    * well-formed XML yields None — callers treat a missing expected
+    * element as the protocol error it is. */
   private def xmlText(body: String, element: String): Option[String] =
-    try {
-      val nodes = S3Xml.parse(body.getBytes("UTF-8")).getElementsByTagName(element)
-      if (nodes.getLength == 0) None else Some(nodes.item(0).getTextContent)
-    } catch { case _: org.xml.sax.SAXException => None }
+    try S3Xml.elements(S3Xml.parse(body.getBytes("UTF-8")), element)
+      .headOption.map(_.getTextContent)
+    catch { case _: org.xml.sax.SAXException => None }
 
   override def start(): Unit = {
     // checksummed uploads must DECLARE the algorithm at initiation —
     // real S3 refuses per-part x-amz-checksum-crc32c headers on an
     // upload created without x-amz-checksum-algorithm
-    val r = send(buildRequest("POST", Seq("uploads" -> ""), null,
+    val r = send(() => buildRequest("POST", Seq("uploads" -> ""), null,
       amzHeaders = if (crc32c) Seq("x-amz-checksum-algorithm" -> "CRC32C") else Nil),
       "initiate multipart upload")
     uploadId = xmlText(r.body(), "UploadId").getOrElse(
@@ -208,7 +229,7 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
         s"ListParts of $bucket/$key upload $uploadId still truncated " +
           s"after $maxPages pages")
       pages += 1
-      val r = send(buildRequest("GET", Seq("uploadId" -> uploadId) ++
+      val r = send(() => buildRequest("GET", Seq("uploadId" -> uploadId) ++
         marker.map("part-number-marker" -> _).toSeq, null), "list parts")
       val doc = S3Xml.parse(r.body().getBytes("UTF-8"))
       val root = S3Xml.root(doc, "ListPartsResult").getOrElse(
@@ -255,7 +276,7 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
   override def uploadPart(partNumber: Int, bytes: Array[Byte]): String = {
     require(uploadId != null, "uploadPart before start()")
     val checksum = partChecksum(bytes)
-    val r = send(buildRequest("PUT",
+    val r = send(() => buildRequest("PUT",
       Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId), bytes,
       amzHeaders = checksum.map("x-amz-checksum-crc32c" -> _).toSeq),
       s"upload part $partNumber")
@@ -288,9 +309,10 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
         require(from >= 0 && to >= from, s"bad copy range $from-$to")
         "x-amz-copy-source-range" -> s"bytes=$from-$to"
       }.toSeq
-    val r = send(buildRequest("PUT",
+    val r = send(() => buildRequest("PUT",
       Seq("partNumber" -> partNumber.toString, "uploadId" -> uploadId),
-      null, amzHeaders = headers), s"upload part copy $partNumber")
+      null, amzHeaders = headers), s"upload part copy $partNumber",
+      transientBody = transient200)
     if (xmlText(r.body(), "Error").isDefined ||
         xmlText(r.body(), "CopyPartResult").isEmpty)
       throw new java.io.IOException(
@@ -324,10 +346,10 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     // 412 if the key already exists — the append-race safety RENAME
     // provides on a real filesystem but S3 has no rename for. 4xx
     // fail-fast makes the losing writer fail loudly, not overwrite.
-    val r = send(buildRequest("POST", Seq("uploadId" -> uploadId),
+    val r = send(() => buildRequest("POST", Seq("uploadId" -> uploadId),
       xml.getBytes("UTF-8"), Some("application/xml"),
       amzHeaders = if (ifNoneMatch) Seq("If-None-Match" -> "*") else Nil),
-      "complete multipart upload")
+      "complete multipart upload", transientBody = transient200)
     // S3 can answer CompleteMultipartUpload with 200 + an <Error> body;
     // anything other than a well-formed CompleteMultipartUploadResult
     // means the object was NOT committed
@@ -354,7 +376,7 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
     * loudly with 412. */
   def putObject(bytes: Array[Byte]): String = {
     val checksum = partChecksum(bytes)
-    val r = send(buildRequest("PUT", Nil, bytes,
+    val r = send(() => buildRequest("PUT", Nil, bytes,
       amzHeaders = checksum.map("x-amz-checksum-crc32c" -> _).toSeq ++
         (if (ifNoneMatch) Seq("If-None-Match" -> "*") else Nil)),
       s"put object $key")
@@ -365,7 +387,7 @@ class S3MultipartSink(endpoint: String, bucket: String, key: String,
 
   override def abort(): Unit = {
     require(uploadId != null, "abort before start()")
-    send(buildRequest("DELETE", Seq("uploadId" -> uploadId), null),
+    send(() => buildRequest("DELETE", Seq("uploadId" -> uploadId), null),
       "abort multipart upload")
     uploadId = null
   }

@@ -16,9 +16,23 @@ private[graft] object S3Xml {
     f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(body))
   }
 
+  /** Namespace-prefix-tolerant name match — the SAME tolerance
+    * [[root]] has always had. An S3-compatible endpoint emitting
+    * `<s3:Upload>` used to pass the root check and then parse as
+    * EMPTY (exact-name descendant lookups found nothing): the janitor
+    * would report a clean bucket and strand abandoned MPUs, resume
+    * would re-upload everything — the silent-clean outcome this
+    * module's header promises to refuse. */
+  private def named(tag: String)(e: org.w3c.dom.Element): Boolean = {
+    val n = e.getTagName
+    n == tag || n.endsWith(":" + tag)
+  }
+
   def text(el: org.w3c.dom.Element, tag: String): Option[String] = {
-    val n = el.getElementsByTagName(tag)
-    if (n.getLength == 0) None else Some(n.item(0).getTextContent)
+    val n = el.getElementsByTagName("*")
+    (0 until n.getLength).iterator
+      .map(n.item(_).asInstanceOf[org.w3c.dom.Element])
+      .find(named(tag)).map(_.getTextContent)
   }
 
   /** The document's root element, when it carries the expected name
@@ -27,9 +41,11 @@ private[graft] object S3Xml {
       : Option[org.w3c.dom.Element] =
     Option(doc.getDocumentElement).filter(_.getTagName.endsWith(nameSuffix))
 
-  /** Typed elements by tag name, document-wide. */
+  /** Typed elements by tag name, document-wide, document order
+    * (namespace-prefix tolerant, like [[root]] and [[text]]). */
   def elements(doc: org.w3c.dom.Document, tag: String): Seq[org.w3c.dom.Element] = {
-    val n = doc.getElementsByTagName(tag)
+    val n = doc.getElementsByTagName("*")
     (0 until n.getLength).map(n.item(_).asInstanceOf[org.w3c.dom.Element])
+      .filter(named(tag))
   }
 }

@@ -50,7 +50,15 @@ class MockS3Server {
   def stop(): Unit = server.stop(0)
 
   def failNextRequests(n: Int): Unit = fail500.set(n)
-  def errorBodyOnNextComplete(): Unit = errorBodyCompletes.set(1)
+  def errorBodyOnNextComplete(): Unit = errorBodyOnCompletes(1)
+  /** Inject `n` consecutive 200-with-<Error> complete answers carrying
+    * `code` — InternalError is AWS's documented retry-me case; any
+    * other code must stay a loud client-side protocol failure. */
+  def errorBodyOnCompletes(n: Int, code: String = "InternalError"): Unit = {
+    errorBodyCode = code
+    errorBodyCompletes.set(n)
+  }
+  @volatile private var errorBodyCode: String = "InternalError"
   /** Simulate in-flight corruption of the next checksummed part body:
     * the server verifies the client's x-amz-checksum-crc32c against
     * bytes that differ from what was sent → 400 BadDigest. */
@@ -592,7 +600,8 @@ class MockS3Server {
         if (errorBodyCompletes.getAndUpdate(n => math.max(0, n - 1)) > 0) {
           // the real-S3 trap: HTTP 200 whose body is an error document
           respond(ex, 200,
-            "<Error><Code>InternalError</Code><Message>injected 200-with-error</Message></Error>"
+            (s"<Error><Code>$errorBodyCode</Code>" +
+              "<Message>injected 200-with-error</Message></Error>")
               .getBytes("UTF-8"), Map("Content-Type" -> "application/xml"))
           return
         }

@@ -1,0 +1,76 @@
+package graft.sink
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-20 sink-stack hardening laws: balanced copy-part splitting
+  * (EntityTooSmall-proof by construction) and namespace-prefix
+  * tolerance across ALL of S3Xml's lookups, not just the root check. */
+class S3ProtocolHardeningSpec extends AnyFunSuite {
+
+  private val GiB = 1L << 30
+  private val MiB = 1L << 20
+
+  test("chunkBounds: balanced splits tile the source, respect the ceiling, and clear the 5 MiB floor") {
+    val ceiling = 5 * GiB
+    // the regression case: 5 GiB + 1 byte used to split 5 GiB + 1 BYTE
+    // — the 1-byte non-final part is an EntityTooSmall at complete
+    val bounds = S3Compactor.chunkBounds(5 * GiB + 1, ceiling)
+    assert(bounds.length == 2)
+    bounds.foreach { case (from, to) =>
+      assert(to - from + 1 >= 5 * MiB, s"chunk [$from,$to] under the floor")
+    }
+    // law over a size sweep: chunks tile [0, size), every chunk is
+    // within the ceiling, chunk count is minimal, and sizes differ by
+    // at most one byte (so the floor holds whenever size >= 2x floor)
+    val rnd = new scala.util.Random(7)
+    val sizes = Seq(5 * GiB + 1, 6 * GiB, 10 * GiB - 1, 10 * GiB + 7,
+      123456789012L) ++ (0 until 50).map(_ =>
+      ceiling + 1 + (rnd.nextLong(40 * GiB).abs))
+    for (size <- sizes) {
+      val bs = S3Compactor.chunkBounds(size, ceiling)
+      assert(bs.head._1 == 0L && bs.last._2 == size - 1, s"size $size: no tile")
+      bs.sliding(2).foreach {
+        case Seq((_, t1), (f2, _)) => assert(t1 + 1 == f2, s"size $size: gap")
+        case _ =>
+      }
+      val lens = bs.map { case (f, t) => t - f + 1 }
+      assert(lens.forall(l => l >= 1 && l <= ceiling), s"size $size: ceiling")
+      assert(lens.max - lens.min <= 1, s"size $size: unbalanced $lens")
+      assert(bs.length == ((size + ceiling - 1) / ceiling).toInt,
+        s"size $size: not the minimal chunk count")
+      assert(lens.sum == size)
+    }
+  }
+
+  test("S3Xml: namespace-prefixed responses parse identically to unprefixed ones") {
+    // an S3-compatible endpoint emitting <s3:...> used to pass the
+    // root check and then silently parse EMPTY (the janitor would
+    // report a clean bucket and strand abandoned MPUs)
+    val plain =
+      """<ListPartsResult><IsTruncated>false</IsTruncated>
+        |<Part><PartNumber>1</PartNumber><ETag>"e1"</ETag></Part>
+        |<Part><PartNumber>2</PartNumber><ETag>"e2"</ETag></Part>
+        |</ListPartsResult>""".stripMargin
+    val prefixed =
+      """<s3:ListPartsResult xmlns:s3="http://s3.amazonaws.com/doc/2006-03-01/">
+        |<s3:IsTruncated>false</s3:IsTruncated>
+        |<s3:Part><s3:PartNumber>1</s3:PartNumber><s3:ETag>"e1"</s3:ETag></s3:Part>
+        |<s3:Part><s3:PartNumber>2</s3:PartNumber><s3:ETag>"e2"</s3:ETag></s3:Part>
+        |</s3:ListPartsResult>""".stripMargin
+    for (body <- Seq(plain, prefixed)) {
+      val doc = S3Xml.parse(body.getBytes("UTF-8"))
+      val root = S3Xml.root(doc, "ListPartsResult")
+      assert(root.isDefined, body.take(40))
+      assert(S3Xml.text(root.get, "IsTruncated").contains("false"))
+      val parts = S3Xml.elements(doc, "Part")
+      assert(parts.length == 2, s"found ${parts.length} parts in ${body.take(40)}")
+      assert(S3Xml.text(parts.head, "PartNumber").contains("1"))
+      assert(S3Xml.text(parts.last, "ETag").contains("\"e2\""))
+    }
+    // exact-name matching must not be fooled by a SUFFIX-similar tag
+    // (named() requires the whole local name, not an endsWith on it)
+    val decoy = "<R><XPart><PartNumber>9</PartNumber></XPart></R>"
+    assert(S3Xml.elements(S3Xml.parse(decoy.getBytes("UTF-8")), "Part").isEmpty,
+      "XPart must not match Part")
+  }
+}

@@ -78,12 +78,38 @@ class S3SinkSpec extends SparkSpec {
     }
   }
 
-  test("HTTP-200-with-<Error>-body on complete is a failure, not success") {
+  test("HTTP-200-with-<Error> on complete: transient InternalError retries, persistent or foreign codes fail") {
     withServer { srv =>
+      // ONE injected 200+InternalError: AWS documents this as a
+      // transient the client should retry like a 5xx — aborting here
+      // would discard a fully-uploaded MPU. The retry must commit.
       val sink = new S3MultipartSink(srv.endpoint, "b", "k")
       sink.start()
       val etag = sink.uploadPart(1, Array.fill(8)(1.toByte))
       srv.errorBodyOnNextComplete()
+      sink.complete(Seq(PartReceipt(1, 0L, 8L, etag)))
+      assert(srv.storedObject("b", "k").nonEmpty,
+        "a single transient 200+InternalError must retry to a commit")
+    }
+    withServer { srv =>
+      // PERSISTENT InternalError (beyond maxAttempts): loud, no commit
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k", maxAttempts = 2)
+      sink.start()
+      val etag = sink.uploadPart(1, Array.fill(8)(2.toByte))
+      srv.errorBodyOnCompletes(5)
+      val ex = intercept[java.io.IOException] {
+        sink.complete(Seq(PartReceipt(1, 0L, 8L, etag)))
+      }
+      assert(ex.getMessage.contains("failed after 2 attempts"), ex.getMessage)
+      assert(srv.storedObject("b", "k").isEmpty, "errored complete must not commit")
+    }
+    withServer { srv =>
+      // a NON-InternalError 200-error body is a protocol failure, not
+      // a transient: no retry, loud refusal
+      val sink = new S3MultipartSink(srv.endpoint, "b", "k")
+      sink.start()
+      val etag = sink.uploadPart(1, Array.fill(8)(3.toByte))
+      srv.errorBodyOnCompletes(1, code = "NoSuchUpload")
       val ex = intercept[java.io.IOException] {
         sink.complete(Seq(PartReceipt(1, 0L, 8L, etag)))
       }
