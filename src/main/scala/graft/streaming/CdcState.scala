@@ -32,33 +32,51 @@ object CdcState {
     * `seq` is the per-key EMISSION counter — bumped once per
     * micro-batch that touched the key, so downstream "current row"
     * pickers can order by it instead of guessing tie-breaks from the
-    * payload: event ts alone is ambiguous when a delete and an
-    * equal-ts upsert land in different batches (the fold's op order
-    * applies the upsert after the delete, so the LIVE row is current,
-    * but a (ts, deleted)-ordered picker would prefer the tombstone). */
+    * payload. `rankValue` is the APPLIED change's own value (a
+    * delete's too, whose stored `value` resets to 0.0) — the state
+    * half of the equal-ts tie-break below. */
   case class KeyState(tsMs: Long, value: Double, deleted: Boolean,
-      seq: Long = 0L)
+      seq: Long = 0L, rankValue: Double = 0.0)
 
   /** Update-mode output row: the key's state AFTER this batch. */
   case class Current(key: Long, ts: Timestamp, value: Double,
       deleted: Boolean, seq: Long)
 
+  /** ONE pure fold step shared by [[apply]] and [[batchFold]] (the
+    * package's fold convention — two drifting copies of the tie-break
+    * would silently break the stream-equals-batch law the spec pins).
+    * Acceptance is ORDER-INVARIANT: a strictly newer change always
+    * applies; at EQUAL event time the change applies only if its
+    * (op, value) sorts at-or-after the state's applied change in
+    * exactly the order the in-batch sort uses — so an equal-ts pair
+    * SPLIT ACROSS micro-batches folds to the same winner as the pair
+    * arriving in one batch. (Previously the guard was `t >= tsMs`:
+    * arrival order decided equal-ts winners across batches, so an
+    * equal-ts delete in a later batch beat the upsert the in-batch
+    * order prefers, and an equal-ts re-delivered upsert could revive
+    * a tombstone — the batch-split-invariance this file promises.) */
+  private def step(key: Long, st: KeyState, c: Change): KeyState = {
+    val t = c.ts.getTime
+    val stOp = if (st.deleted) "delete" else "upsert"
+    val applies = t > st.tsMs || (t == st.tsMs &&
+      Ordering.Tuple2[String, Double].gteq((c.op, c.value), (stOp, st.rankValue)))
+    if (!applies) st // older / equal-ts-loser: late re-delivery, ignored
+    else c.op match {
+      case "upsert" =>
+        KeyState(t, c.value, deleted = false, st.seq, rankValue = c.value)
+      case "delete" =>
+        KeyState(t, 0.0, deleted = true, st.seq, rankValue = c.value)
+      case other => throw new IllegalArgumentException(
+        s"unknown CDC op '$other' for key $key")
+    }
+  }
+
   def apply(key: Long, changes: Iterator[Change],
       state: GroupState[KeyState]): Current = {
     val prev = state.getOption.getOrElse(KeyState(Long.MinValue, 0.0, true))
-    var st = prev
     // deterministic, batch-split-invariant fold order
-    for (c <- changes.toSeq.sortBy(c => (c.ts.getTime, c.op, c.value))) {
-      val t = c.ts.getTime
-      if (t >= st.tsMs) {
-        st = c.op match {
-          case "upsert" => KeyState(t, c.value, deleted = false)
-          case "delete" => KeyState(t, 0.0, deleted = true)
-          case other => throw new IllegalArgumentException(
-            s"unknown CDC op '$other' for key $key")
-        }
-      } // older than current state: late re-delivery, ignored
-    }
+    val st = changes.toSeq.sortBy(c => (c.ts.getTime, c.op, c.value))
+      .foldLeft(prev)(step(key, _, _))
     val out = st.copy(seq = prev.seq + 1)
     state.update(out)
     Current(key, new Timestamp(out.tsMs), out.value, out.deleted, out.seq)
@@ -69,18 +87,7 @@ object CdcState {
     * when ALL changes are applied in deterministic order. */
   def batchFold(changes: Seq[Change]): Map[Long, KeyState] =
     changes.groupBy(_.key).map { case (k, cs) =>
-      var st = KeyState(Long.MinValue, 0.0, true)
-      for (c <- cs.sortBy(c => (c.ts.getTime, c.op, c.value))) {
-        val t = c.ts.getTime
-        if (t >= st.tsMs) {
-          st = c.op match {
-            case "upsert" => KeyState(t, c.value, deleted = false)
-            case "delete" => KeyState(t, 0.0, deleted = true)
-            case other => throw new IllegalArgumentException(
-              s"unknown CDC op '$other' for key $k")
-          }
-        }
-      }
-      (k, st)
+      (k, cs.sortBy(c => (c.ts.getTime, c.op, c.value))
+        .foldLeft(KeyState(Long.MinValue, 0.0, true))(step(k, _, _)))
     }
 }

@@ -7,8 +7,15 @@ import org.apache.spark.sql.streaming.GroupState
   * O(1) (current version's start/id/value + three accumulators), each
   * arriving snapshot closes the open interval and opens the next, and
   * the running summary equals the batch build (q_scd2_build, itself
-  * ORACLE-verified against DuckDB) under ANY micro-batch split —
-  * Scd2StreamSpec pins exact equality on the real corpus.
+  * ORACLE-verified against DuckDB) under any TIME-ORDERED micro-batch
+  * split — Scd2StreamSpec pins exact equality on the real corpus.
+  * "Time-ordered" is a real precondition, not decoration: the
+  * late-arrival guard below DROPS a strictly-older row that lands in
+  * a later batch (a split placing version 1 after version 2 would
+  * fold to nVersions=1 where the batch build counts 2). An O(1)-state
+  * fold cannot insert a version into the middle of history; feeds
+  * that can reorder across batches need the batch rebuild, and the
+  * streaming caller (q_stream_scd2) feeds in event-time order.
   *
   * Tie rule mirrors the batch side's `max_by(value, event_id)` per
   * (key, ts): an equal-ts arrival with a higher event_id REPLACES the

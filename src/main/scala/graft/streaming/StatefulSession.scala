@@ -37,6 +37,50 @@ object StatefulSession {
       session_end: Timestamp, n_events: Long, total_value: Double,
       closed_by: String)
 
+  /** ONE pure per-event step shared by [[sessionize]] and
+    * [[sessionizeBatch]] (the package's fold convention): the gap
+    * close, the cap split, the bounded backward extension, and the
+    * too-early-straggler branch are defined once, so the spec's
+    * stream-equals-batch assertion compares the same algorithm to
+    * itself plus micro-batching, never two drifting copies.
+    *
+    * Backward extension is BOUNDED at one gap: a watermark-admitted
+    * cross-batch straggler within `gapMs` of the live session's START
+    * merges (extending session_start backward exactly as the batch
+    * order would have), but one MORE than a gap earlier cannot belong
+    * to that session under the batch order — it closes immediately as
+    * its own single-event session. (Previously it merged regardless,
+    * stretching session_start arbitrarily far back and diverging from
+    * the batch oracle, which would have emitted a separate earlier
+    * session.) In a sorted in-batch fold the straggler branch never
+    * fires (events only move forward) and the min() is a no-op, so
+    * the batch oracle IS this same step over the complete sorted
+    * list. Exactness contract: streamed == batch whenever per-key
+    * cross-batch lateness is bounded by the gap (watermark delay ≤
+    * gap — the configuration every session store effectively demands,
+    * since state times out at last+gap anyway); an isolated straggler
+    * beyond that now degrades to the SAME two-session answer as the
+    * oracle, while a straggler whose would-be session partners were
+    * already absorbed remains a documented divergence (exact repair
+    * would require buffering events until the watermark). */
+  private def stepEvent(gapMs: Long, maxEvents: Int)(
+      st: Option[Sess], e: SEvent,
+      close: (Sess, String) => Unit): Option[Sess] = {
+    val t = e.ts.getTime
+    st match {
+      case Some(s) if t - s.lastMs > gapMs =>
+        close(s, "gap"); Some(Sess(t, t, 1, e.value))
+      case Some(s) if s.n >= maxEvents =>
+        close(s, "cap"); Some(Sess(t, t, 1, e.value))
+      case Some(s) if t < s.startMs - gapMs =>
+        close(Sess(t, t, 1, e.value), "gap"); st
+      case Some(s) =>
+        Some(Sess(math.min(s.startMs, t), math.max(s.lastMs, t),
+          s.n + 1, s.total + e.value))
+      case None => Some(Sess(t, t, 1, e.value))
+    }
+  }
+
   /** The flatMapGroupsWithState function. Events inside a micro-batch
     * arrive unordered — sort by (ts, value) before folding so the
     * fold is deterministic and batch-split-invariant. Emits only
@@ -57,27 +101,8 @@ object StatefulSession {
       state.remove()
     } else {
       var st = state.getOption
-      for (e <- events.toSeq.sortBy(ev => (ev.ts.getTime, ev.value))) {
-        val t = e.ts.getTime
-        st match {
-          case Some(s) if t - s.lastMs > gapMs =>
-            close(s, "gap")
-            st = Some(Sess(t, t, 1, e.value))
-          case Some(s) if s.n >= maxEvents =>
-            close(s, "cap")
-            st = Some(Sess(t, t, 1, e.value))
-          case Some(s) =>
-            // min on start: a prior micro-batch may have seeded the
-            // session with a LATER event (watermark-admitted lateness
-            // crosses batches); the batch oracle sees globally-sorted
-            // time, so the stream must extend session_start backward
-            // to match it
-            st = Some(Sess(math.min(s.startMs, t), math.max(s.lastMs, t),
-              s.n + 1, s.total + e.value))
-          case None =>
-            st = Some(Sess(t, t, 1, e.value))
-        }
-      }
+      for (e <- events.toSeq.sortBy(ev => (ev.ts.getTime, ev.value)))
+        st = stepEvent(gapMs, maxEvents)(st, e, close)
       st match {
         case Some(s) =>
           state.update(s)
@@ -92,32 +117,23 @@ object StatefulSession {
     out.iterator
   }
 
-  /** Batch oracle for the spec: the same gap+cap fold over an already
-    * complete, per-user-sorted event list — what the streamed run must
-    * reproduce regardless of micro-batch boundaries. Open tails are
+  /** Batch oracle for the spec: THE SAME [[stepEvent]] fold over an
+    * already complete, per-user-sorted event list — what the streamed
+    * run must reproduce regardless of micro-batch boundaries (see the
+    * exactness contract on [[stepEvent]]). Over sorted input the
+    * straggler branch never fires and the backward extension is a
+    * no-op, so this is the plain forward gap+cap fold. Open tails are
     * closed with reason "gap" (the stream closes them via timeout once
     * the watermark passes). */
   def sessionizeBatch(gapMs: Long, maxEvents: Int)(
       events: Seq[SEvent]): Seq[SessionOut] =
     events.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var st: Option[Sess] = None
       def close(s: Sess, why: String): Unit =
         out += SessionOut(uid, new Timestamp(s.startMs),
           new Timestamp(s.lastMs), s.n, s.total, why)
-      for (e <- evs.sortBy(ev => (ev.ts.getTime, ev.value))) {
-        val t = e.ts.getTime
-        st match {
-          case Some(s) if t - s.lastMs > gapMs =>
-            close(s, "gap"); st = Some(Sess(t, t, 1, e.value))
-          case Some(s) if s.n >= maxEvents =>
-            close(s, "cap"); st = Some(Sess(t, t, 1, e.value))
-          case Some(s) =>
-            st = Some(Sess(s.startMs, math.max(s.lastMs, t), s.n + 1,
-              s.total + e.value))
-          case None => st = Some(Sess(t, t, 1, e.value))
-        }
-      }
+      val st = evs.sortBy(ev => (ev.ts.getTime, ev.value))
+        .foldLeft(Option.empty[Sess])(stepEvent(gapMs, maxEvents)(_, _, close))
       st.foreach(close(_, "gap"))
       out.toSeq
     }

@@ -50,4 +50,39 @@ class CdcSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown CDC op 'replace'"))
   }
+  test("equal-ts winners are batch-split-invariant in BOTH split orders (r20 fix)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val T = new java.sql.Timestamp(5000L)
+    def run(batches: Seq[Change]*): CdcState.KeyState = {
+      var st: org.apache.spark.api.java.Optional[CdcState.KeyState] =
+        org.apache.spark.api.java.Optional.empty()
+      batches.foreach { b =>
+        val gs = TestGroupState.create[CdcState.KeyState](st,
+          GroupStateTimeout.NoTimeout, 0L,
+          org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        CdcState.apply(9L, b.iterator, gs)
+        st = org.apache.spark.api.java.Optional.of(gs.get)
+      }
+      st.get
+    }
+    val up = Change("upsert", 9L, 5.0, T)
+    val del = Change("delete", 9L, 0.0, T)
+    // in ONE batch the sort applies the upsert last -> live; the SAME
+    // pair split across batches must fold identically in BOTH orders
+    // (pre-fix, arrival order decided: delete-after-upsert left a
+    // tombstone where the single-batch fold says live)
+    val oneBatch = CdcState.batchFold(Seq(up, del))(9L)
+    assert(!oneBatch.deleted && oneBatch.value == 5.0)
+    val splitA = run(Seq(up), Seq(del))
+    val splitB = run(Seq(del), Seq(up))
+    for (st <- Seq(splitA, splitB)) {
+      assert(!st.deleted && st.value == 5.0,
+        s"equal-ts split must match the single-batch fold: $st")
+    }
+    // strictly-older re-delivery still never rolls back
+    val older = Change("upsert", 9L, 99.0, new java.sql.Timestamp(4000L))
+    val afterStale = run(Seq(del), Seq(up), Seq(older))
+    assert(!afterStale.deleted && afterStale.value == 5.0)
+  }
 }

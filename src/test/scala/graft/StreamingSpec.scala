@@ -255,6 +255,29 @@ class StreamingSpec extends SparkSpec {
     assert(st.get.startMs == 999000L,
       s"session_start not extended backward: ${st.get}")
     assert(st.get.lastMs == 1000000L && st.get.n == 2 && st.get.total == 7.0)
+    // BOUNDED extension (r20 fix): a straggler MORE than a gap before
+    // session_start cannot belong to this session under the batch
+    // order — it closes immediately as its own single-event session
+    // and the live session is untouched (pre-fix it merged, stretching
+    // session_start arbitrarily far back and diverging from the batch
+    // oracle, which emits two sessions here)
+    val st2 = TestGroupState.create[Sess](
+      org.apache.spark.api.java.Optional.of(Sess(1000000L, 1000000L, 1, 5.0)),
+      GroupStateTimeout.EventTimeTimeout(), 0L,
+      org.apache.spark.api.java.Optional.of(800000L), hasTimedOut = false)
+    val out2 = StatefulSession.sessionize(gapMs, 100)(
+      7L, Iterator(SEvent(7L, new Timestamp(900000L), 2.0)), st2).toSeq
+    assert(out2.size == 1 && out2.head.n_events == 1 &&
+      out2.head.session_start.getTime == 900000L &&
+      out2.head.session_end.getTime == 900000L &&
+      out2.head.closed_by == "gap", out2.mkString(","))
+    assert(st2.get == Sess(1000000L, 1000000L, 1, 5.0),
+      s"live session must be untouched: ${st2.get}")
+    // and the batch oracle agrees: two sessions, not one
+    val oracle = StatefulSession.sessionizeBatch(gapMs, 100)(Seq(
+      SEvent(7L, new Timestamp(900000L), 2.0),
+      SEvent(7L, new Timestamp(1000000L), 5.0)))
+    assert(oracle.size == 2, oracle.mkString(","))
   }
 
   test("streaming dedup drops in-batch and cross-batch duplicate ids") {
