@@ -108,6 +108,24 @@ object Ann {
     out
   }
 
+  /** Allocation-free single-nearest centroid — SAME selection rule as
+    * `topCentroids(cent, v, 1).head` (highest dot, first index on
+    * ties, index 0 when every dot is NaN) without the per-call
+    * taken/out arrays, which are pure garbage when called once per
+    * row of a corpus-scale scan (the ivf-pq encode path). */
+  @inline private[similarity] def nearestCentroid(
+      cent: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = -1
+    var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < cent.length) {
+      val d = dot(cent(c), v)
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
+    }
+    if (best < 0) 0 else best // all-NaN: degrade to index 0, as above
+  }
+
   /** Embedding near-dup PAIRS without a precomputed banding label —
     * the unbanded scale path complementing the label-banded
     * q_dedup_embed: every vector is assigned to its `nProbe` nearest

@@ -31,6 +31,13 @@ final class BoundedTopK(k: Int) {
   }
 
   def offer(id: Long, s: Double): Unit = {
+    // NaN is unordered: every worse() comparison involving it is
+    // false, so a NaN that entered during the fill phase could never
+    // be evicted — and a NaN at the ROOT would reject every later
+    // candidate, freezing the top-k at the arbitrary first k seen (a
+    // single NaN embedding upstream poisons the whole query). A NaN
+    // score is never a "best" anything: drop it here, totally.
+    if (java.lang.Double.isNaN(s)) return
     if (n < k) {
       var i = n
       n += 1

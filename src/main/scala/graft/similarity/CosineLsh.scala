@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * recall toward 1; all Dataset ops, one groupBy(query) top-k. */
 object CosineLsh {
 
-  private def mix(z0: Long): Long = {
+  // splitmix64 finalizer — the package's ONE copy ([[Pq]] reuses it)
+  private[similarity] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -70,20 +71,12 @@ object CosineLsh {
     sig
   }
 
-  private def normalize(v: Array[Float]): Array[Double] = {
-    var s = 0.0
-    var i = 0
-    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-    val n = math.sqrt(s)
-    Array.tabulate(v.length)(i => if (n == 0) 0.0 else v(i) / n)
-  }
-
-  @inline private def dot(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0
-    var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
+  // normalize/dot are [[Ann]]'s shared package helpers — a private
+  // re-implementation here would silently diverge on the zero-vector
+  // and NaN edge cases
+  private def normalize(v: Array[Float]): Array[Double] = Ann.normalize(v)
+  @inline private def dot(a: Array[Double], b: Array[Double]): Double =
+    Ann.dot(a, b)
 
   /** Top-k LSH-candidate neighbors for each query id over
     * `emb` (vec_id: Long, embedding: Array[Float]); queries excluded
@@ -94,25 +87,41 @@ object CosineLsh {
     import spark.implicits._
     val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
 
-    // tiny collect: (qid, unit vector, signature per table)
+    // tiny collect: (qid, unit vector, signature per table). The
+    // QUERY-side dimensionality is the reference every corpus vector
+    // must match — sizing per partition from the first corpus vector
+    // (the old shape) only caught mismatches INSIDE a partition: a
+    // partition of uniformly-wrong-dim vectors hashed against its own
+    // differently-sized plane table (meaningless matches), then the
+    // rerank dot either read past the shorter array or silently
+    // truncated, exactly what the guard's message promises to refuse.
     val qSet = queryIds.toSet
     val queries = typed.filter(t => qSet.contains(t._1)).collect()
-    val qPlanes =
-      if (queries.isEmpty) null
-      else planeTable(queries.head._2.length, nBits, nTables)
+    val qDim = if (queries.isEmpty) -1 else queries.head._2.length
+    queries.foreach(q => require(q._2.length == qDim,
+      s"cosine-LSH queries have mixed embedding dimensionalities: " +
+        s"${q._2.length} vs $qDim; re-embed to one dimension"))
+    val qPlanes = if (queries.isEmpty) null else planeTable(qDim, nBits, nTables)
     val bcQ = spark.sparkContext.broadcast(queries.map { case (id, raw) =>
       (id, normalize(raw),
         Array.tabulate(nTables)(t => signature(raw, qPlanes(t), nBits)))
     })
 
     // narrow candidate generation: per corpus vector compute its own
-    // signatures once against the PER-PARTITION plane table, emit
+    // signatures once against the PER-PARTITION plane table (sized to
+    // the query dim, which every corpus vector must match), emit
     // (query, cosine) for every query sharing a table signature
     val cands = typed.mapPartitions { it =>
       val qs = bcQ.value
       var planes: Array[Array[Array[Double]]] = null
       it.flatMap { case (id, raw) =>
-        if (planes == null) planes = planeTable(raw.length, nBits, nTables)
+        if (qs.isEmpty) Iterator.empty
+        else {
+        require(raw.length == qDim,
+          s"cosine-LSH corpus has mixed embedding dimensionalities: " +
+            s"${raw.length}-dim corpus vector vs the $qDim-dim queries; " +
+            "re-embed the corpus to one dimension")
+        if (planes == null) planes = planeTable(qDim, nBits, nTables)
         val sigs = Array.tabulate(nTables)(t => signature(raw, planes(t), nBits))
         lazy val v = normalize(raw)
         qs.iterator.collect {
@@ -122,6 +131,7 @@ object CosineLsh {
             while (t < nTables && !hit) { hit = sigs(t) == qsigs(t); t += 1 }
             hit
           } => (qid, id, dot(qv, v))
+        }
         }
       }
     }

@@ -54,16 +54,56 @@ object Kmeans {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val typed = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
-    // deterministic seed pick: k lowest multiplicative-hash values
-    // (ties broken by vec_id) — a bounded sort, k rows to the driver
-    val seeds = emb
-      .withColumn("h", shiftright($"vec_id" * lit(2654435761L), 20))
+    // deterministic seeding, two stages. (1) a hash-spread SAMPLE by
+    // xxhash64(vec_id) rank — the previous
+    // shiftright(vec_id * 2654435761L, 20) was strictly MONOTONE in
+    // vec_id for every realistic id (no 64-bit wraparound below
+    // ~3.5e9, and the per-id increment survives the shift), so it
+    // picked the k LOWEST ids: on a corpus whose content correlates
+    // with insertion order, all k seeds landed in one region (the
+    // trap Ann.sampleCentroids documents) — and the multiply
+    // overflows under ANSI mode past ~3.5e9 ids. (2) deterministic
+    // FARTHEST-POINT refinement over the sample (k-means++'s spread
+    // without its randomness; Arthur & Vassilvitskii 2007): even a
+    // uniform draw can land two seeds in one cluster and split it
+    // while starving another — each next seed maximizes distance to
+    // its nearest chosen seed, so seeds cover distinct regions before
+    // ever doubling up. Driver cost O(sample × k × d), metadata-scale.
+    val sampleCap = math.max(8 * k, 64)
+    val sampled = emb
+      .withColumn("h", xxhash64($"vec_id"))
       .orderBy($"h", $"vec_id")
-      .limit(k)
+      .limit(sampleCap)
       .select($"embedding").as[Array[Float]]
       .collect()
-    require(seeds.length == k, s"corpus smaller than k=$k")
-    var centroids = seeds.map(_.map(_.toDouble))
+      .map(_.map(_.toDouble))
+    require(sampled.length >= k, s"corpus smaller than k=$k")
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val chosenIdx = scala.collection.mutable.ArrayBuffer(0) // lowest hash
+    val minD = sampled.map(sq(_, sampled(0)))
+    while (chosenIdx.length < k) {
+      var best = -1
+      var bestD = -1.0
+      var i = 0
+      while (i < sampled.length) {
+        if (!chosenIdx.contains(i) && minD(i) > bestD) {
+          bestD = minD(i); best = i
+        }
+        i += 1
+      }
+      chosenIdx += best
+      var j = 0
+      while (j < sampled.length) {
+        val d2 = sq(sampled(j), sampled(best))
+        if (d2 < minD(j)) minD(j) = d2
+        j += 1
+      }
+    }
+    var centroids = chosenIdx.map(sampled(_)).toArray
     val d = centroids(0).length
     val inertia = new Array[Double](iters)
 

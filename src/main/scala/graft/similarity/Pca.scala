@@ -9,15 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Spark-first split of the work: the corpus-scale half is ONE pass
   * that accumulates per-partition second-moment partials (count, sum
   * vector, upper-triangular Σx·xᵀ — ~d²/2 doubles, d=64 → 2 KB) and
-  * combines them associatively with `Dataset.reduce` (partial merge
-  * happens executor-side, so the driver sees one partial, not one per
-  * partition). The d×d eigendecomposition is driver-side cyclic
+  * collects the metadata-scale partials (~2 KB each) and folds them in
+  * partition-index order on the driver. The d×d eigendecomposition is driver-side cyclic
   * Jacobi — O(d³) on a 64×64 symmetric matrix is microseconds and
   * independent of corpus size. Projection is a narrow map with the
   * broadcast model.
   *
-  * Determinism: partial combination is floating-point and therefore
-  * partition-order-sensitive in the last ulp, but Jacobi's rotations
+  * Determinism: partials fold in fixed partition-index order (the
+  * r16 gradient-partial lesson — race-order reduce drifts in the
+  * last ulp), and Jacobi's rotations
   * are a deterministic function of the combined matrix; eigenvectors
   * get a fixed sign convention (largest-|component| positive) so two
   * fits of the same data agree to rounding. */
@@ -88,11 +88,19 @@ object Pca {
       }
       if (n == 0) Iterator.empty
       else Iterator.single(Partial(n, sum, tri))
-    }.reduce(combine _)
-    require(partial.n > 1, s"PCA needs >1 vectors, got ${partial.n}")
+    }.collect()
+    // collect, not Dataset.reduce: partials are ~2 KB × partitions
+    // (metadata-scale), an EMPTY frame reaches the loud require below
+    // instead of reduce's opaque "empty collection" crash, and the
+    // partition-index fold order makes the fit bit-deterministic
+    // (Dataset.reduce combines in race order — the r16 gradient-partial
+    // lesson)
+    require(partial.nonEmpty, "PCA needs >1 vectors, got 0")
+    val folded = partial.reduce(combine _)
+    require(folded.n > 1, s"PCA needs >1 vectors, got ${folded.n}")
 
-    val d = partial.sum.length
-    val mean = partial.sum.map(_ / partial.n)
+    val d = folded.sum.length
+    val mean = folded.sum.map(_ / folded.n)
     // cov = E[xxᵀ] − mean meanᵀ, unpacked to a full symmetric matrix
     val cov = Array.ofDim[Double](d, d)
     var t = 0
@@ -100,7 +108,7 @@ object Pca {
     while (i < d) {
       var j = i
       while (j < d) {
-        val c = partial.tri(t) / partial.n - mean(i) * mean(j)
+        val c = folded.tri(t) / folded.n - mean(i) * mean(j)
         cov(i)(j) = c
         cov(j)(i) = c
         t += 1

@@ -30,23 +30,12 @@ object Pq {
     def dim: Int = m * dsub
   }
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // the package's shared helpers ([[CosineLsh.mix]], [[Ann.normalize]])
+  // — private re-implementations would silently diverge on the seed
+  // schedule / zero-vector edge cases
+  private def mix(z0: Long): Long = CosineLsh.mix(z0)
 
-  def normalize(v: Array[Float]): Array[Double] = {
-    var s = 0.0
-    var i = 0
-    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-    val n = math.sqrt(s)
-    val out = new Array[Double](v.length)
-    i = 0
-    while (i < v.length) { out(i) = if (n == 0) 0.0 else v(i) / n; i += 1 }
-    out
-  }
+  def normalize(v: Array[Float]): Array[Double] = Ann.normalize(v)
 
   /** Train per-subspace codebooks on (already collected) sample
     * vectors. Deterministic: seeded distinct-index init, fixed Lloyd
@@ -188,7 +177,7 @@ object Pq {
       val cent = bcCent.value
       val residuals = sample.map { raw =>
         val v = Pq.normalize(raw)
-        val c = cent(Ann.topCentroids(cent, v, 1).head)
+        val c = cent(Ann.nearestCentroid(cent, v))
         val r = new Array[Float](v.length)
         var i = 0
         while (i < v.length) { r(i) = (v(i) - c(i)).toFloat; i += 1 }
@@ -214,7 +203,7 @@ object Pq {
       val qs = bcQ.value
       it.flatMap { case (id, raw) =>
         val v = normalize(raw)
-        val b = Ann.topCentroids(cent, v, 1).head
+        val b = Ann.nearestCentroid(cent, v)
         val r = new Array[Double](v.length)
         var i = 0
         while (i < v.length) { r(i) = v(i) - cent(b)(i); i += 1 }
