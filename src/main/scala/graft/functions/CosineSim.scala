@@ -67,6 +67,12 @@ object CosineSim {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element read through getFloat comes back as 0.0f — a
+      // confidently wrong similarity (the zip_with/DuckDB form yields
+      // NULL when any product is null). A null-poisoned embedding is
+      // corrupt input: refuse loudly, like the length mismatch above.
+      if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+        s"cosine_sim: embedding carries a NULL element at index $i")
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y

@@ -34,9 +34,10 @@ object ZOrder {
   }
 
   /** Morton key of (x, y): x's bits at even positions, y's at odd.
-    * Inputs outside [0, 65535] RAISE rather than silently aliasing
-    * under the 16-bit mask (which would destroy the locality property
-    * file skipping depends on); NULLs propagate, and propagation wins
+    * Inputs outside [0, 65535] — or NON-INTEGRAL inputs, whose long
+    * cast would silently alias distinct coordinates — RAISE rather
+    * than aliasing under the 16-bit mask (which would destroy the
+    * locality property file skipping depends on); NULLs propagate, and propagation wins
     * over the range check — `morton(70000, NULL)` is NULL, not an
     * error, matching SQL's null-in/null-out convention for builtins.
     * The guard sits ONCE above the interleave — the magic-mask
@@ -47,13 +48,18 @@ object ZOrder {
   def morton(x: Column, y: Column): Column = {
     val lx = x.cast("long")
     val ly = y.cast("long")
-    def ok(l: Column) = l >= 0L && l <= 0xFFFFL
+    // the cast must be VALUE-PRESERVING: morton(1.7, y) and
+    // morton(1.2, y) would both truncate to (1, y) and silently alias
+    // distinct coordinates — the exact corruption the range guard
+    // exists to raise on
+    def ok(orig: Column, l: Column) =
+      l >= 0L && l <= 0xFFFFL && orig.cast("double") === l.cast("double")
     when(lx.isNull.or(ly.isNull), lit(null).cast("long"))
-      .when(ok(lx).and(ok(ly)),
+      .when(ok(x, lx).and(ok(y, ly)),
         spread16(lx).bitwiseOR(shiftleft(spread16(ly), 1)))
       .otherwise(raise_error(concat(
-        lit("morton() input out of range [0, 65535]: ("),
-        lx.cast("string"), lit(", "), ly.cast("string"), lit(")"))).cast("long"))
+        lit("morton() input out of range [0, 65535] or non-integral: ("),
+        x.cast("string"), lit(", "), y.cast("string"), lit(")"))).cast("long"))
       .as("zorder")
   }
 
@@ -82,16 +88,19 @@ object ZOrder {
     import org.apache.spark.sql.types.StringType
     val lx = Cast(x, LongType)
     val ly = Cast(y, LongType)
-    def ok(l: Expression) =
-      And(GreaterThanOrEqual(l, Literal(0L)), LessThanOrEqual(l, Literal(0xFFFFL)))
+    import org.apache.spark.sql.types.DoubleType
+    def ok(orig: Expression, l: Expression) =
+      And(And(GreaterThanOrEqual(l, Literal(0L)),
+        LessThanOrEqual(l, Literal(0xFFFFL))),
+        EqualTo(Cast(orig, DoubleType), Cast(l, DoubleType)))
     If(Or(IsNull(lx), IsNull(ly)),
       Literal.create(null, LongType),
-      If(And(ok(lx), ok(ly)),
+      If(And(ok(x, lx), ok(y, ly)),
         or(spread(lx), shl(spread(ly), 1)),
         Cast(new RaiseError(Concat(Seq(
-          Literal("morton() input out of range [0, 65535]: ("),
-          Cast(lx, StringType), Literal(", "),
-          Cast(ly, StringType), Literal(")")))),
+          Literal("morton() input out of range [0, 65535] or non-integral: ("),
+          Cast(x, StringType), Literal(", "),
+          Cast(y, StringType), Literal(")")))),
           LongType)))
   }
 

@@ -29,6 +29,14 @@ object AsOfJoin {
       keys: Seq[String], leftTime: String, rightTime: String,
       valueCols: Seq[String]): (DataFrame, Seq[String]) = {
     require(keys.nonEmpty && valueCols.nonEmpty)
+    // the output is leftCols ++ valueCols as FLAT names: a collision
+    // would build a DataFrame with two same-named columns that only
+    // fails later, at the first downstream reference, with an
+    // AMBIGUOUS_REFERENCE far from its cause — refuse here instead
+    val clash = left.columns.toSeq.intersect(valueCols)
+    require(clash.isEmpty,
+      s"as-of join value column(s) ${clash.mkString(", ")} collide with " +
+        "left-side column name(s); alias one side first")
     import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
     val valsType = StructType(valueCols.map(c => right.schema(c)))

@@ -26,6 +26,13 @@ object SaltedJoin {
   def join(left: DataFrame, right: DataFrame, key: String,
       hotKeys: Seq[Long], salts: Int): DataFrame = {
     require(salts > 1, "salts must be > 1")
+    requireIntegralKey(left, key, "join")
+    // __salt/__salts are this operator's scratch names: a pre-existing
+    // column would be silently clobbered by withColumn and then
+    // stripped by the final drop (user data vanishing with no error)
+    for (df <- Seq(left, right); n <- Seq("__salt", "__salts"))
+      require(!df.columns.contains(n),
+        s"salted join reserves column name '$n'; rename it first")
     val isHot = udfFreeIsHot(col(key), hotKeys)
 
     // left: hot rows get a deterministic spread salt; others 0.
@@ -59,6 +66,7 @@ object SaltedJoin {
   /** The usual way to obtain `hotKeys`: keys whose row count exceeds
     * `factor` × the mean — a tiny two-agg job over the left side. */
   def detectHotKeys(df: DataFrame, key: String, factor: Double = 10.0): Seq[Long] = {
+    requireIntegralKey(df, key, "detectHotKeys")
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).cache()
     try {
       // avg over zero groups is SQL NULL — an empty frame has no hot
@@ -72,5 +80,21 @@ object SaltedJoin {
           .select(col(key).cast("long")).collect().map(_.getLong(0)).toSeq
       }
     } finally counts.unpersist()
+  }
+
+  /** The operator's key contract, enforced loudly: hotKeys are Longs,
+    * so the key column must be integral — a fractional key would
+    * silently TRUNCATE through the long cast (detectHotKeys returns
+    * 1L for hot key 1.5, isin(1L) never matches, and the straggler
+    * this operator exists to remove silently survives), and a string
+    * key throws mid-job under ANSI instead of at the call site. */
+  private def requireIntegralKey(df: DataFrame, key: String,
+      what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(key).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType ||
+      dt == ByteType,
+      s"SaltedJoin.$what requires an integral key column, got " +
+        s"'$key': ${dt.catalogString}")
   }
 }
