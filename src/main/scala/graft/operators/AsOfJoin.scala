@@ -84,12 +84,30 @@ object AsOfJoin {
   /** Skew-safe as-of: identical semantics to [[leftAsOf]], but the
     * ordered window runs per (keys, TIME SEGMENT) — a hot key's
     * timeline splits across partitions instead of serializing into
-    * one — and a second, SEGMENTS-scale pass merges the carry-in
-    * (the last right values of any earlier segment) into rows whose
-    * segment has no prior right row. The distributed-prefix-scan
-    * shape (same family as the COG offset scan, R25): phase 1 local
-    * scans, phase 2 an exclusive scan over per-segment summaries,
-    * phase 3 apply.
+    * one — and a SEGMENTS-scale side pass computes each segment's
+    * carry-in (the last right values of any earlier segment). The
+    * distributed-prefix-scan shape (same family as the COG offset
+    * scan, R25): per-segment summaries from a partial-aggregated
+    * groupBy (no sort), an exclusive scan over them, then ONE
+    * full-data window pass with the carry already attached.
+    *
+    * Plan shape (r21): the pre-r21 form derived the summaries from
+    * the windowed frame and joined the carry back AFTER it, so the
+    * full-data Sort+Window executed 3x (ReuseExchange dedupes the
+    * exchange below them, never the per-branch Sort+Window — the r20
+    * verdict's advisory #2). Now each segment's carry-in rides INTO
+    * the one ordered window as a synthetic union row at time
+    * "-infinity" (__t NULL sorts first under the default
+    * asc_nulls_first, __side -1 before any real row), so the window's
+    * running last(ignoreNulls) picks the carry exactly when no
+    * within-segment right row precedes — no join back onto the big
+    * side at all, no coalesce, and the big side pays exactly ONE
+    * exchange, ONE sort (all-primitive keys, radix-friendly — a
+    * struct-keyed variant measured 2-3x slower because complex sort
+    * keys forfeit the prefix sorter) and ONE window pass. Only the
+    * segments-scale side frames use a struct key (__gk = struct(keys,
+    * seg)), whose field-wise null-equal comparisons make the
+    * summaries merge null-safe without coalesce/isnull join keys.
     *
     * CONTRACT on `segment`: it must be a pure, deterministic function
     * of the time column (a sampled range partitioner would make
@@ -103,8 +121,9 @@ object AsOfJoin {
     * this misuse class at the cost of one extra bounded job; the
     * production default leaves it a documented contract.
     *
-    * NULL keys are ordinary partition values on BOTH phases (the
-    * carry join is null-safe, `<=>`), matching [[leftAsOf]] exactly.
+    * NULL keys are ordinary partition values everywhere (window
+    * partitioning groups them natively; the summaries merge is
+    * null-safe via the struct key), matching [[leftAsOf]] exactly.
     *
     * The right side must be pre-reduced to one row per (keys, time),
     * same as [[leftAsOf]]'s tie rule. AsOfJoinSpec pins exact
@@ -118,61 +137,69 @@ object AsOfJoin {
       taggedUnion(left, right, keys, leftTime, rightTime, valueCols)
     val union = union0.withColumn("__seg", segment(col("__t")))
     if (checkSegment) requireMonotoneSegment(union)
-
-    // phase 1: within-segment as-of — the hot key now spreads over
-    // as many partitions as it has segments
     val segKeys = keys :+ "__seg"
+
+    // per-(keys, segment) summary = that segment's LAST right values,
+    // null for right-less segments. The SMALL frames below are keyed
+    // by one struct column __gk = struct(keys, seg): struct equality
+    // treats null key fields as EQUAL (rows with null keys keep their
+    // carry, matching leftAsOf's window-partition treatment of NULL —
+    // the r17 ADVICE law AsOfJoinSpec pins), so the full-outer merge
+    // needs no coalesce/isnull key rewrite. Two hash-friendly pieces
+    // instead of one max_by(__vals, __t) — a struct-valued aggregation
+    // buffer disqualifies HashAggregate and the planner falls back to
+    // SortAggregate, a full SORT of its input, measured slower than
+    // the 3x window this refactor removes: (a) the argmax runs as
+    // row_number (planned as WindowGroupLimit) over the RIGHT side
+    // only, so the one extra sort is of the small side, already
+    // spread per (keys, segment) by the same hot-key segmentation;
+    // (b) segments holding ONLY left rows (which still need a carry
+    // row to fold onto) come from a map-side-collapsing distinct of
+    // the left rows' __gk. Both frames are unique per __gk, so the
+    // merge stays one row per segment — the exclusive carry scan's
+    // contract.
+    val gk = struct(segKeys.map(col): _*).as("__gk")
+    val wLast = Window.partitionBy(col("__gk")).orderBy(col("__t").desc)
+    val rightLast = union.filter(col("__side") === 0)
+      .select(gk, col("__t"), col("__vals"))
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("__gk"), col("__vals").as("__last"))
+    val leftSegs = union.filter(col("__side") === 1)
+      .select(gk).distinct()
+    val summaries = rightLast.join(leftSegs, Seq("__gk"), "full")
+
+    // exclusive scan over the segments-scale summaries gives each
+    // segment its carry-in from strictly earlier segments, emitted as
+    // SYNTHETIC union rows at time "-infinity": __t NULL orders first
+    // (asc_nulls_first) and __side -1 before any real row, so the one
+    // window's running last(ignoreNulls) picks the carry exactly when
+    // no within-segment right row precedes. Null carries add nothing
+    // and are dropped.
+    val wCarry = Window
+      .partitionBy(keys.map(k => col("__gk").getField(k)): _*)
+      .orderBy(col("__gk").getField("__seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryRows = summaries
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .filter(col("__carry").isNotNull)
+      .select(keys.map(k => col("__gk").getField(k).as(k)) ++ Seq(
+        lit(null).cast(union.schema("__t").dataType).as("__t"),
+        lit(-1).as("__side"),
+        col("__carry").as("__vals"),
+        lit(null).cast(union.schema("__row").dataType).as("__row"),
+        col("__gk").getField("__seg").as("__seg")): _*)
+
+    // the single full-data pass: ONE exchange + ONE sort (plain
+    // columns only — a struct-keyed variant measured 2-3x slower, the
+    // prefix/radix sorter needs primitive leading keys) + ONE window.
     val wSeg = Window.partitionBy(segKeys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val within = union
+    val matched = union.unionByName(carryRows)
       .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(wSeg))
-
-    // phase 2: per-(keys, segment) summary = that segment's LAST right
-    // values — read off phase 1's OWN output (the __asof of the
-    // segment's max-(__t,__side) row already folds every right row in
-    // the segment), so the union lineage is scanned once, not twice;
-    // then an EXCLUSIVE scan over the segments-scale frame gives each
-    // segment its carry-in from strictly earlier segments
-    val summaries = within.groupBy(segKeys.map(col): _*)
-      .agg(max_by(col("__asof"), struct(col("__t"), col("__side")))
-        .as("__last"))
-    val wCarry = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__seg"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = summaries
-      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
-      .select(segKeys.map(col) :+ col("__carry"): _*)
-
-    // phase 3: apply — a row with no within-segment match takes the
-    // carry-in. NULL keys must match their carry frame exactly like
-    // leftAsOf (whose window treats NULL as an ordinary partition
-    // value; r17 ADVICE) — but a blanket null-safe (<=>) join is
-    // expensive: Spark rewrites <=> keys as coalesce/isnull
-    // EXPRESSIONS, which the windows' (keys, segment) output
-    // partitioning no longer satisfies, so BOTH sides re-exchange
-    // (measured 2x on the salted as-of bench, paired alternation).
-    // Split instead: rows with all keys non-null take the original
-    // plain USING equi-join (co-partitioned by construction — under
-    // plain equality a non-null row only ever matches a non-null
-    // carry, so the fast path is exactly null-safe semantics); the
-    // null-key remainder (usually EMPTY, and segments-scale at worst)
-    // joins null-safely against only the null-key carry rows (a carry
-    // row matching a null-key left row must itself carry that null).
-    val base = within.filter(col("__side") === 1)
-    val anyNull = keys.map(c => col(c).isNull).reduceOption(_ || _)
-      .getOrElse(lit(false))
-    val matchedNN = base.filter(!anyNull)
-      .join(carry.filter(!anyNull), segKeys, "left")
-    val carryN = carry.filter(anyNull).select(
-      segKeys.map(c => col(c).as(s"__c_$c")) :+ col("__carry"): _*)
-    val condN = segKeys.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
-    val matchedN = base.filter(anyNull)
-      .join(carryN, condN, "left")
-      .drop(segKeys.map(c => s"__c_$c"): _*)
-    val matched = matchedNN.unionByName(matchedN)
-      .withColumn("__final", coalesce(col("__asof"), col("__carry")))
-    project(matched, leftCols, valueCols, "__final")
+      .filter(col("__side") === 1)
+    project(matched, leftCols, valueCols, "__asof")
   }
 
   /** Test-mode guard for [[leftAsOfSegmented]]'s monotonicity
