@@ -1111,9 +1111,16 @@ object TextQueries {
     // literals (a 1-row crossJoin would plan a BroadcastNestedLoopJoin,
     // and deriving them from dl would run dl's shuffle twice): N = one
     // doc count — split() always yields ≥ 1 token so every doc has a
-    // dl row — and Σdl = the word-row count, both narrow actions
-    val nDocs = Fixtures.documents(spark, sfDir).count()
-    val sumDl = words.count()
+    // dl row — and Σdl = Σ size(split), which equals the exploded
+    // word-row count exactly (size() counts every element explode
+    // emits, empties included). ONE narrow scan computes both; the
+    // pre-r21 words.count() ran the full explode a second time just
+    // to fold it to one number (guide §1.2).
+    val bmStats = Fixtures.documents(spark, sfDir)
+      .select(size(split(lower(trim($"text")), " ")).as("n"))
+      .agg(count(lit(1)).as("nd"), sum($"n").as("sdl")).head()
+    val nDocs = bmStats.getLong(0)
+    val sumDl = bmStats.getLong(1)
     val tf = words.filter($"w".isin(qterms: _*))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
@@ -1455,9 +1462,21 @@ object TextQueries {
       .select($"b.w1", $"b.w2")
     val uni = words.select(explode($"w").as("word"))
       .groupBy($"word").agg(count(lit(1)).as("c1"))
-    val totalWords = uni.agg(sum($"c1")).head().getLong(0)
+    // both corpus scalars fall out of ONE narrow scan: Σ size(w) is
+    // exactly sum(uni.c1) (explode emits every element size() counts,
+    // empties included) and Σ max(size(w)-1, 0) is exactly sum(c2.c2)
+    // (each ≥2-word doc contributes size-1 bigrams; the sums run
+    // BEFORE the c2 >= 5 filter). Deriving them from uni/c2 instead
+    // (the pre-r21 form) re-ran both explode+groupBy pipelines a
+    // second time just to fold each to one number — guide §1.2: don't
+    // compute things you throw away. Literals unchanged, so the
+    // DuckDB hash is untouched.
+    val totals = words.agg(
+      sum(size($"w")).as("tw"),
+      sum(when(size($"w") >= 2, size($"w") - 1).otherwise(0)).as("tb")).head()
+    val totalWords = totals.getLong(0)
+    val totalBi = totals.getLong(1)
     val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val totalBi = c2.agg(sum($"c2")).head().getLong(0)
     c2.filter($"c2" >= 5)
       .join(uni.withColumnRenamed("word", "w1")
         .withColumnRenamed("c1", "c1a"), Seq("w1"))
