@@ -158,25 +158,32 @@ object ScanQueries {
       .sortWithinPartitions($"z")
       .drop("z")
       .write.mode("overwrite").parquet(s"$root/zorder")
-    // per-file bounds = exactly the min/max stats a skipper consults
-    def touched(dir: String, x0: Int, x1: Int, y0: Int, y1: Int): (Long, Long) = {
-      val stats = spark.read.parquet(dir)
+    // per-file bounds = exactly the min/max stats a skipper consults.
+    // ONE scan+groupBy per layout, collected (files-scale — 32 rows;
+    // a real catalog holds exactly this table as metadata); both box
+    // intersections then evaluate driver-side. The pre-r21 form
+    // re-scanned and re-aggregated the layout per (box, count|hit)
+    // action — 4 full scans per layout for two numbers each
+    // (guide §1.2). Output unchanged; the DuckDB oracle re-derives
+    // the same bounds from the same parquet independently.
+    def bounds(dir: String): Array[(Int, Int, Int, Int)] =
+      spark.read.parquet(dir)
         .groupBy(input_file_name().as("f"))
         .agg(min($"tx").as("fx0"), max($"tx").as("fx1"),
           min($"ty").as("fy0"), max($"ty").as("fy1"))
-      val hit = stats.filter($"fx1" >= x0 && $"fx0" <= x1 &&
-        $"fy1" >= y0 && $"fy0" <= y1).count()
-      (stats.count(), hit)
-    }
+        .select($"fx0", $"fx1", $"fy0", $"fy1")
+        .as[(Int, Int, Int, Int)].collect()
     val boxes = Seq(
       ("ty_selective", 0, n - 1, 40, 55),   // full tx width, 16 ty rows
       ("tx_selective", 40, 55, 0, n - 1))   // 16 tx cols, full ty height
     val rows = for {
       (layout, dir) <- Seq("rowmajor" -> s"$root/rowmajor", "zorder" -> s"$root/zorder")
+      bs = bounds(dir)
       (box, x0, x1, y0, y1) <- boxes
     } yield {
-      val (nf, hit) = touched(dir, x0, x1, y0, y1)
-      (layout, box, nf, hit)
+      val hit = bs.count { case (fx0, fx1, fy0, fy1) =>
+        fx1 >= x0 && fx0 <= x1 && fy1 >= y0 && fy0 <= y1 }
+      (layout, box, bs.length.toLong, hit.toLong)
     }
     rows.toDF("layout", "box", "n_files", "files_touched")
       .orderBy($"layout", $"box")

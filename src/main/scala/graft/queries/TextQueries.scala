@@ -577,14 +577,17 @@ object TextQueries {
         explode(expr("filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val nDocs = Fixtures.documents(spark, sfDir)
-      .agg(count(lit(1)).as("n_docs"))
+    // corpus count as a driver-collected literal (the decontaminate-
+    // Bloom/bm25 pattern): the pre-r21 1-row crossJoin planned a
+    // BroadcastNestedLoopJoin over the whole tf⋈df frame — harmless
+    // for a 1-row build side but an extra broadcast + join node the
+    // literal expresses for free. Exact integer either way.
+    val nDocs = Fixtures.documents(spark, sfDir).count()
     val w = Window.partitionBy($"doc_id")
       .orderBy(desc("tfidf"), desc("tf"), asc("df"), asc("term"))
     tf.join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round($"tf" * log($"n_docs".cast("double") / $"df"), 4))
+        round($"tf" * log(lit(nDocs).cast("double") / $"df"), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
       .select($"doc_id", $"rank", $"term", $"tf", $"df", $"tfidf")
