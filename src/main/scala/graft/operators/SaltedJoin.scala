@@ -26,7 +26,12 @@ object SaltedJoin {
   def join(left: DataFrame, right: DataFrame, key: String,
       hotKeys: Seq[Long], salts: Int): DataFrame = {
     require(salts > 1, "salts must be > 1")
+    // BOTH sides validated: a fractional/string right key would skip
+    // replication of hot right rows (isin over Longs never matches),
+    // silently dropping salted matches — the exact failure the guard
+    // exists for (r20 ADVICE).
     requireIntegralKey(left, key, "join")
+    requireIntegralKey(right, key, "join")
     // __salt/__salts are this operator's scratch names: a pre-existing
     // column would be silently clobbered by withColumn and then
     // stripped by the final drop (user data vanishing with no error)

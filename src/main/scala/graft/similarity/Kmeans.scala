@@ -84,18 +84,31 @@ object Kmeans {
       s
     }
     val chosenIdx = scala.collection.mutable.ArrayBuffer(0) // lowest hash
+    // membership as a Boolean array, not chosenIdx.contains: the
+    // linear contains made the selection loop O(sample·k²) at large k,
+    // and the array also lets the NaN case fail LOUDLY — with
+    // NaN-poisoned embeddings every `minD(i) > bestD` compare is
+    // false, `best` stays -1, and the old code crashed later at
+    // sampled(-1), far from the cause (r20 ADVICE).
+    val chosen = new Array[Boolean](sampled.length)
+    chosen(0) = true
     val minD = sampled.map(sq(_, sampled(0)))
     while (chosenIdx.length < k) {
       var best = -1
       var bestD = -1.0
       var i = 0
       while (i < sampled.length) {
-        if (!chosenIdx.contains(i) && minD(i) > bestD) {
+        if (!chosen(i) && minD(i) > bestD) {
           bestD = minD(i); best = i
         }
         i += 1
       }
+      require(best >= 0,
+        "k-means seeding found no candidate with a finite distance — " +
+          "the sampled embeddings contain NaN/Infinity (poisoned " +
+          "vectors); clean or filter the embedding column first")
       chosenIdx += best
+      chosen(best) = true
       var j = 0
       while (j < sampled.length) {
         val d2 = sq(sampled(j), sampled(best))

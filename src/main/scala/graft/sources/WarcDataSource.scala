@@ -460,11 +460,24 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
     // its committed shard — planning both would silently DUPLICATE it;
     // _SUCCESS-style job markers aren't data) and our own sidecar/tmp
     // suffixes. ONE predicate for both load styles, so `dir` and
-    // `dir/*` can never disagree about litter.
+    // `dir/*` can never disagree about litter. Skips are COUNTED and
+    // logged below (r20 ADVICE): a foreign corpus whose data files
+    // happen to be `_`-prefixed would otherwise silently scan short —
+    // the shrunken-corpus outcome this module's header promises to
+    // make diagnosable.
     def neverAShard(n: String): Boolean = {
       val l = n.toLowerCase(java.util.Locale.ROOT)
       n.startsWith(".") || n.startsWith("_") ||
         l.endsWith(".idx") || l.endsWith(".tmp")
+    }
+    def logSkipped(where: String, names: Iterable[String]): Unit = {
+      val hidden = names.filter(n => n.startsWith(".") || n.startsWith("_"))
+      if (hidden.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"warc planning skipped ${hidden.size} hidden/marker file(s) " +
+            s"under $where (dot/underscore-prefixed are never shards): " +
+            hidden.take(5).mkString(", ") +
+            (if (hidden.size > 5) ", ..." else ""))
     }
     def expandOne(one: String): Seq[Candidate] = {
       val p = new Path(one)
@@ -476,6 +489,7 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
         case Some(st) if st.isDirectory =>
           val listed = fs.listStatus(p).filter(_.isFile)
           val names = listed.map(_.getPath.getName).toSet
+          logSkipped(one, names.filter(isWarc))
           listed.filter { s =>
             val n = s.getPath.getName
             isWarc(n) && !neverAShard(n)
@@ -498,7 +512,11 @@ class WarcScan(paths: Seq[String], conf: Map[String, String],
           // the shared never-a-shard litter classes
           val matched =
             if (g == null) Array.empty[org.apache.hadoop.fs.FileStatus]
-            else g.filter(s => s.isFile && !neverAShard(s.getPath.getName))
+            else {
+              logSkipped(one,
+                g.filter(_.isFile).map(_.getPath.getName).toSeq)
+              g.filter(s => s.isFile && !neverAShard(s.getPath.getName))
+            }
           require(matched.nonEmpty, s"no warc files match $one")
           matched.map(s => Candidate(s.getPath.toString, s.getLen, None))
             .sortBy(_.path).toSeq

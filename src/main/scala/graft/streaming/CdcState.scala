@@ -34,7 +34,14 @@ object CdcState {
     * pickers can order by it instead of guessing tie-breaks from the
     * payload. `rankValue` is the APPLIED change's own value (a
     * delete's too, whose stored `value` resets to 0.0) — the state
-    * half of the equal-ts tie-break below. */
+    * half of the equal-ts tie-break below.
+    *
+    * UPGRADE NOTE (r20 ADVICE): `rankValue` was added in r20, which
+    * changes the flatMapGroupsWithState state encoder schema — a
+    * streaming query restarted from a checkpoint written by a pre-r20
+    * build fails Spark's state-schema compatibility check (or
+    * misreads state where validation is off). Discard CDC streaming
+    * checkpoints when upgrading across r20. */
   case class KeyState(tsMs: Long, value: Double, deleted: Boolean,
       seq: Long = 0L, rankValue: Double = 0.0)
 
