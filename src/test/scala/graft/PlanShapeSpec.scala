@@ -100,14 +100,19 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_text_tfidf: df side BROADCASTS — tf keeps its partitioning") {
     val p = plan(TextQueries.textTfidf(spark, sfDir))
-    assert(broadcasts(p) >= 2,
-      "document frequencies and the 1-row corpus count must broadcast")
+    assert(broadcasts(p) >= 1,
+      "document frequencies must broadcast")
+    // r21: the corpus count is a driver-collected LITERAL now (the
+    // bm25/decontaminate_bloom pattern), so the plan must carry NO
+    // BroadcastNestedLoopJoin — the pre-r21 1-row crossJoin's node.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "corpus count must ride as a literal, not a 1-row BNLJ")
     // tf groupBy runs TWICE (the df branch re-derives it — the
     // standard TF-IDF two-pass: re-scanning the corpus beats
     // materializing the doc×term table at 100 TB) + df groupBy (1) +
     // rank window on doc_id (1) + final sort (1) = 6; NO shuffle for
-    // the tf-df join itself and the 1-row corpus count rides the
-    // broadcast nested-loop build side.
+    // the tf-df join itself.
     assert(shuffles(p) <= 6, p.toString)
   }
 
