@@ -593,13 +593,23 @@ object PipelineQueries {
       .withColumn("span", explode(expr(
         "transform(sequence(0, greatest(size(w) div 8 - 1, 0)), i -> array_join(slice(w, i * 8 + 1, 8), ' '))")))
       .select($"doc_id", $"span")
-    val shared = spans.groupBy($"span")
-      .agg(countDistinct($"doc_id").as("n_docs"))
+    // aggregate BEFORE the span-keyed shuffle (guide §2.3, r21): one
+    // (doc, span) pre-reduce makes the explode run ONCE and every
+    // later operator ride multiplicity-carrying (doc, span, n) rows
+    // instead of re-exploding the corpus per consumer branch (the
+    // pre-r21 shape paid the explode twice — shared-counts branch +
+    // join branch). Since g is unique per (doc, span), count(*) per
+    // span IS the distinct-doc count, and the per-doc rollup recovers
+    // the exact pre-r21 row counts from n_in_doc sums.
+    val g = spans.groupBy($"doc_id", $"span")
+      .agg(count(lit(1)).as("n_in_doc"))
+    val shared = g.groupBy($"span")
+      .agg(count(lit(1)).as("n_docs"))
       .where($"n_docs" >= 2)
-    spans.join(shared, Seq("span"), "left")
+    g.join(shared, Seq("span"), "left")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when($"n_docs".isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .agg(sum($"n_in_doc").as("n_spans"),
+        sum(when($"n_docs".isNotNull, $"n_in_doc").otherwise(0L)).as("n_shared"))
       .withColumn("shared_frac",
         round($"n_shared".cast("double") / $"n_spans", 4))
       .where($"n_shared" > 0)
