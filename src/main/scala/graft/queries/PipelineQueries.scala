@@ -739,10 +739,18 @@ object PipelineQueries {
       .select($"doc_id", posexplode(expr(
         "transform(sequence(0, greatest(size(w) div 8 - 1, 0)), i -> array_join(slice(w, i * 8 + 1, 8), ' '))")))
       .toDF("doc_id", "span_idx", "span")
-    val shared = spans.groupBy($"span")
-      .agg(countDistinct($"doc_id").as("n_docs"))
+    // The distinct-doc count per span comes from WINDOWS over one span
+    // exchange (max(dense_rank ordered by doc_id) == countDistinct),
+    // not a groupBy + join back: the join-back shape fed the span frame
+    // to two consumers, so the corpus explode ran twice and span rows
+    // crossed a span-keyed exchange twice (guide §2.3; the q_dedup_spans
+    // pre-reduce does not transfer here because gaps-and-islands needs
+    // every (doc_id, span_idx) row, not (doc, span) multiplicities).
+    val wSpanOrd = Window.partitionBy($"span").orderBy($"doc_id")
+    val wSpan = Window.partitionBy($"span")
+    val mine = spans
+      .withColumn("n_docs", max(dense_rank().over(wSpanOrd)).over(wSpan))
       .where($"n_docs" >= 2)
-    val mine = spans.join(shared, Seq("span"))
       .withColumn("grp", $"span_idx" -
         row_number().over(Window.partitionBy($"doc_id").orderBy($"span_idx")))
     val runs = mine.groupBy($"doc_id", $"grp")

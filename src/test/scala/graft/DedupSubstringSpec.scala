@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** Focused gate for the r21 dedupSubstring rewrite (groupBy-countDistinct
+  * + join-back → max(dense_rank) windows over ONE span exchange): the
+  * window form must count DISTINCT documents per span, so a span
+  * repeated WITHIN one document — the case a count(*)-over-window
+  * shortcut would get wrong — must not mark that document as sharing.
+  * The fixture is adversarial by construction; the corpus-scale oracle
+  * (DuckDB hash match at sf0.001/sf0.01) covers the organic corpus. */
+class DedupSubstringSpec extends SparkSpec {
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("within-doc repeated span is not shared; cross-doc runs merge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("substr_fix").toFile
+    dir.deleteOnExit()
+    // doc 10: span A repeated twice within the SAME doc (16 words =
+    //   spans [A, A]) — nobody else has A, so doc 10 must NOT appear.
+    // docs 20/21: share spans B,C consecutively (one 2-span run each)
+    //   plus doc 21 carries a private tail span D.
+    val a = words("a", 8)
+    val b = words("b", 8); val c = words("c", 8); val d = words("d", 8)
+    Seq(
+      (10L, s"$a $a"),
+      (20L, s"$b $c"),
+      (21L, s"$b $c $d"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val out = PipelineQueries.dedupSubstring(spark, dir.getAbsolutePath)
+      .select($"doc_id", $"n_runs", $"n_shared_spans", $"max_run_spans",
+        $"max_run_words", $"first_long_run_at")
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // both sharing docs report exactly one maximal 2-span (16-word) run
+    // starting at span_idx 0; doc 10 is absent (its duplicate is
+    // within-doc only) and doc 21's private span D breaks no run.
+    assert(out === Seq(
+      (20L, 1L, 2L, 2L, 16L, 0L),
+      (21L, 1L, 2L, 2L, 16L, 0L)))
+  }
+
+  test("plan shape: one explode, span + doc + final-sort exchanges only") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = PipelineQueries.dedupSubstring(spark, sfDir)
+        .queryExecution.executedPlan
+      val shuffles = p.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }.length
+      val explodes = p.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.length
+      assert(shuffles <= 3, s"span window + doc window + sort, got $shuffles")
+      assert(explodes == 1, s"the corpus must explode once, got $explodes")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
