@@ -332,14 +332,16 @@ object DedupQueries {
     * shingle join; the classification is two broadcast-size joins. */
   def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val split = Fixtures.documents(spark, sfDir).select($"doc_id",
-      when($"doc_id" % 100 < 90, "train")
-        .when($"doc_id" % 100 < 95, "val")
-        .otherwise("test").as("split"))
+    // split is a PURE function of doc_id, and every pair id comes from
+    // documents by construction — deriving the labels as expressions
+    // instead of joining the documents frame twice removes two corpus
+    // scans + two joins from the plan (guide §1.2), with identical
+    // output (the joins could never drop or duplicate a pair).
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(c % 100 < 90, "train").when(c % 100 < 95, "val").otherwise("test")
     PipelineQueries.dedupNgram(spark, sfDir)
-      .select($"id_a", $"id_b")
-      .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
-      .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        splitOf($"id_a").as("sa"), splitOf($"id_b").as("sb"))
       .select(least($"sa", $"sb").as("split_a"),
         greatest($"sa", $"sb").as("split_b"), $"id_a", $"id_b")
       .groupBy($"split_a", $"split_b")

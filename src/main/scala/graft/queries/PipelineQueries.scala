@@ -43,13 +43,25 @@ object PipelineQueries {
     * is at most |sources|², tiny. */
   def dedupCrossSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sigs = Fixtures.documents(spark, sfDir)
+    // One pass instead of a self-join (guide §2.3, r21): the self-join
+    // consumed the uncached sigs frame twice — two corpus scans + two
+    // distinct aggs + the sig exchange twice (no ReuseExchange; the
+    // sides canonicalize differently). Collecting the distinct sources
+    // per sig ONCE and expanding C(k,2) pairs locally yields the
+    // identical pair multiset: the set is sorted so src_a < src_b by
+    // construction, and k is bounded by the SOURCE count
+    // (metadata-scale), never by the corpus.
+    Fixtures.documents(spark, sfDir)
       .select(md5(lower(trim(substring($"text", 1, 64)))).as("sig"), $"source")
       .distinct()
-    val a = sigs.select($"sig", $"source".as("src_a"))
-    val b = sigs.select($"sig", $"source".as("src_b"))
-    a.join(b, Seq("sig"))
-      .filter($"src_a" < $"src_b")
+      .groupBy($"sig")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1), y ->
+          |    struct(x AS src_a, y AS src_b))))""".stripMargin)).as("p"))
+      .select($"p.src_a", $"p.src_b")
       .groupBy($"src_a", $"src_b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy($"src_a", $"src_b")
