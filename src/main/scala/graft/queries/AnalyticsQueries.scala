@@ -31,15 +31,23 @@ object AnalyticsQueries {
     * and wk is determined by (cohort, week_n). */
   def tsRetention(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // One lineage instead of three (guide §2.4, r21): act fed two
+    // consumers and cohort two more, so the uncached events scan +
+    // distinct re-ran 3×. The cohort week is a window min over the
+    // same user key, and the cohort SIZE falls out of the grouped
+    // frame itself — every user contributes exactly one week_n = 0 row
+    // (their min week), so n_cohort per cwk IS n_users at week_n = 0,
+    // read back with a metadata-scale window over the rollup.
     val act = Fixtures.events(spark, sfDir)
       .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
       .distinct()
-    val cohort = act.groupBy($"user_id").agg(min($"wk").as("cwk"))
-    val sizes = cohort.groupBy($"cwk").agg(count(lit(1)).as("n_cohort"))
-    act.join(cohort, "user_id")
+      .withColumn("cwk", min($"wk").over(Window.partitionBy($"user_id")))
+    act
       .groupBy($"cwk", expr("datediff(wk, cwk) div 7").cast("long").as("week_n"))
       .agg(count(lit(1)).as("n_users"))
-      .join(broadcast(sizes), "cwk")
+      .withColumn("n_cohort", max(when($"week_n" === 0L, $"n_users"))
+        .over(Window.partitionBy($"cwk")))
       .select(date_format($"cwk", "yyyy-MM-dd").as("cohort_week"),
         $"week_n", $"n_users", $"n_cohort",
         round($"n_users".cast("double") / $"n_cohort", 4).as("retention"))
@@ -1657,23 +1665,41 @@ object AnalyticsQueries {
     * audiences-scale, never events-scale. */
   def aggOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val audience = Fixtures.events(spark, sfDir)
+    // One corpus lineage instead of three (guide §2.3/§2.4, r21): the
+    // self-join shape recomputed the uncached audience distinct 3×
+    // (pair sides + sizes, 3 scans) and shuffled the full audience on
+    // user_id twice. Each user's SORTED type set (bounded by the
+    // event-type vocabulary, not the corpus) emits its singleton types
+    // and its C(k,2) pairs in one explode; a single tiny groupBy then
+    // carries both the per-type audience sizes (tb NULL rows) and the
+    // pair intersections — the corpus is scanned and shuffled ONCE.
+    // sizes attach via WINDOWS over the (types + types²)-row rollup,
+    // not joins — a join would consume the rollup twice and re-run its
+    // corpus lineage per consumer. The singleton row for type X is
+    // (ta = X, tb = NULL), so n_a keys on ta and n_b on
+    // coalesce(tb, ta) (= tb for pair rows, = the type itself for its
+    // singleton row) — both partitions contain exactly one singleton.
+    import org.apache.spark.sql.expressions.Window
+    Fixtures.events(spark, sfDir)
       .select($"event_type", $"user_id").distinct()
-    val sizes = audience.groupBy($"event_type")
-      .agg(count(lit(1)).as("n_users"))
-    audience.select($"event_type".as("type_a"), $"user_id")
-      .join(audience.select($"event_type".as("type_b"), $"user_id"),
-        Seq("user_id"))
-      .filter($"type_a" < $"type_b")
-      .groupBy($"type_a", $"type_b")
-      .agg(count(lit(1)).as("n_both"))
-      .join(sizes.withColumnRenamed("event_type", "type_a")
-        .withColumnRenamed("n_users", "n_a"), Seq("type_a"))
-      .join(sizes.withColumnRenamed("event_type", "type_b")
-        .withColumnRenamed("n_users", "n_b"), Seq("type_b"))
-      .withColumn("jaccard",
-        round($"n_both".cast("double") / ($"n_a" + $"n_b" - $"n_both"), 4))
-      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both", $"jaccard")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_set($"event_type")).as("ts"))
+      .select(explode(expr(
+        """concat(
+          |  transform(ts, x -> struct(x AS ta, CAST(NULL AS STRING) AS tb)),
+          |  flatten(transform(ts, (x, i) ->
+          |    transform(slice(ts, i + 2, size(ts) - i - 1), y ->
+          |      struct(x AS ta, y AS tb)))))""".stripMargin)).as("p"))
+      .groupBy($"p.ta".as("ta"), $"p.tb".as("tb"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_a", max(when($"tb".isNull, $"n"))
+        .over(Window.partitionBy($"ta")))
+      .withColumn("n_b", max(when($"tb".isNull, $"n"))
+        .over(Window.partitionBy(coalesce($"tb", $"ta"))))
+      .filter($"tb".isNotNull)
+      .select($"ta".as("type_a"), $"tb".as("type_b"), $"n_a", $"n_b",
+        $"n".as("n_both"),
+        round($"n".cast("double") / ($"n_a" + $"n_b" - $"n"), 4).as("jaccard"))
       .orderBy($"type_a", $"type_b")
   }
 

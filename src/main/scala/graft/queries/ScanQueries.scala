@@ -62,11 +62,22 @@ object ScanQueries {
     * Analog of the ordered parts flatten (reference ccog/ccog.py:665). */
   def setops(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val custKeys = Fixtures.customer(spark, sfDir).select($"c_custkey".as("k"))
-    val orderCust = Fixtures.orders(spark, sfDir).select($"o_custkey".as("k"))
-    val both = custKeys.intersect(orderCust).withColumn("tag", lit("both"))
-    val noOrders = custKeys.except(orderCust).withColumn("tag", lit("no_orders"))
-    both.unionAll(noOrders).orderBy($"tag", $"k")
+    // INTERSECT and EXCEPT fused into one pass (guide §2.4, r21): the
+    // two setops each lowered to a distinct + join consuming both
+    // uncached sides again (4 scans, 2 join exchanges). One tagged
+    // union + one groupBy(k) derives both verdicts — present-on-which-
+    // sides is a pair of max() flags — with identical distinct-set
+    // semantics, scanning each input once and shuffling once.
+    val tagged = Fixtures.customer(spark, sfDir)
+      .select($"c_custkey".as("k"), lit(1).as("c"), lit(0).as("o"))
+      .unionAll(Fixtures.orders(spark, sfDir)
+        .select($"o_custkey".as("k"), lit(0).as("c"), lit(1).as("o")))
+    tagged.groupBy($"k")
+      .agg(max($"c").as("has_c"), max($"o").as("has_o"))
+      .filter($"has_c" === 1)
+      .select($"k",
+        when($"has_o" === 1, "both").otherwise("no_orders").as("tag"))
+      .orderBy($"tag", $"k")
   }
 
   val setopsSql: String =

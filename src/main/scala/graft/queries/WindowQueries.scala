@@ -780,21 +780,36 @@ object WindowQueries {
     * per-user (small) and the final rollup is 3 rows. */
   def tsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = Fixtures.events(spark, sfDir)
-      .select($"user_id", $"event_type", $"ts")
-    val viewed = ev.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"ts").as("t1"))
-    val clicked = ev.filter($"event_type" === "click")
-      .join(viewed, "user_id").filter($"ts" > $"t1")
-      .groupBy($"user_id").agg(min($"ts").as("t2"))
-    val purchased = ev.filter($"event_type" === "purchase")
-      .join(clicked, "user_id").filter($"ts" > $"t2")
-      .groupBy($"user_id").agg(min($"ts").as("t3"))
-    val reached = viewed.select(lit("1_view").as("stage"), $"user_id")
-      .unionAll(clicked.select(lit("2_click").as("stage"), $"user_id"))
-      .unionAll(purchased.select(lit("3_purchase").as("stage"), $"user_id"))
     import org.apache.spark.sql.expressions.Window
-    reached.groupBy($"stage").agg(count(lit(1)).as("n_users"))
+    // The whole funnel rides ONE user-keyed exchange (guide §2.4, r21):
+    // the stage-per-frame shape re-derived the events lineage 6× (each
+    // uncached stage embedded the prior stages' joins and groupBys —
+    // 6 scans, 3 stage exchanges and their recomputation). Three
+    // CHAINED full-partition window mins express the same sequential
+    // dependency — t2 reads t1 from the previous window on the same
+    // partitioning, so no extra exchange — and the stage counts fall
+    // out of one metadata-scale rollup. A stage nobody reached emits
+    // no row, exactly as the per-stage groupBys did.
+    val w = Window.partitionBy($"user_id")
+    val staged = Fixtures.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"ts")
+      .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1",
+        $"ts")).over(w))
+      .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2",
+        $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+      .agg(sum(when($"t1".isNotNull, 1L)).as("n1"),
+        sum(when($"t2".isNotNull, 1L)).as("n2"),
+        sum(when($"t3".isNotNull, 1L)).as("n3"))
+    staged
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), coalesce($"n1", lit(0L)).as("n_users")),
+        struct(lit("2_click").as("stage"), coalesce($"n2", lit(0L)).as("n_users")),
+        struct(lit("3_purchase").as("stage"), coalesce($"n3", lit(0L)).as("n_users")))).as("s"))
+      .select($"s.stage", $"s.n_users")
+      .filter($"n_users" > 0)
       .withColumn("reach_rate",
         round($"n_users".cast("double") /
           max($"n_users").over(Window.partitionBy()), 4))

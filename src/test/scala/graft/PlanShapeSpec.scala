@@ -130,10 +130,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(broadcasts(p) == 0, "the draw is arithmetic, not a join")
   }
 
-  test("q_ts_funnel: every stage keys on user_id; rollup is 3 rows") {
-    // stage groupBys (3) + up to 2 join-side exchanges + stage-union
-    // groupBy (1) + 3-row window (1) + final sort (1)
-    assert(shuffles(queries.WindowQueries.tsFunnel(spark, sfDir)) <= 8)
+  test("q_ts_funnel: the whole funnel rides ONE user_id exchange") {
+    // r21 rewrite: user window exchange (1) + the chained stage mins
+    // share it + single-row global agg (1) + 3-row window (1) + final
+    // sort (1) — the per-stage groupBy/join shape re-derived the events
+    // lineage 6× and is pinned OUT here
+    assert(shuffles(queries.WindowQueries.tsFunnel(spark, sfDir)) <= 4)
   }
 
   test("rank-filter windows get Catalyst's WindowGroupLimit pushdown (top-k never full-sorts groups)") {
@@ -151,13 +153,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(tfidf.toString.contains("WindowGroupLimit"), tfidf.toString)
   }
 
-  test("q_ts_retention: activity/cohort shuffle on user_id; cohort sizes broadcast") {
-    // (user,wk) distinct (1) + cohort groupBy (1) + act⋈cohort join
-    // sides (2) + (cwk, week_n) groupBy (1) + final sort (1) = 6; the
-    // calendar-week-scale sizes frame must NOT add a shuffled join
+  test("q_ts_retention: one lineage — user window replaces the cohort joins") {
+    // r21 rewrite: (user,wk) distinct (1) + cohort-week window on
+    // user_id (1) + (cwk, week_n) groupBy (1) + calendar-week-scale
+    // n_cohort window (1) + final sort (1) = 5; NO join anywhere — the
+    // sizes frame is read back from the rollup's own week_n = 0 rows
     val p = plan(queries.AnalyticsQueries.tsRetention(spark, sfDir))
+    assert(shuffles(p) <= 5, p.toString)
+    assert(broadcasts(p) == 0, "cohort sizes come from the rollup itself")
+  }
+
+  test("q_setops: INTERSECT/EXCEPT fused — one union, one groupBy(k), no joins") {
+    // r21 rewrite: the two setops each lowered to distinct + join over
+    // re-scanned inputs; the tagged-union form is groupBy(k) (1) +
+    // final sort (1)
+    val p = plan(queries.ScanQueries.setops(spark, sfDir))
+    assert(shuffles(p) <= 2, p.toString)
+    assert(broadcasts(p) == 0, p.toString)
+  }
+
+  test("q_agg_overlap: one corpus shuffle chain; sizes via windows over the type rollup") {
+    // r21 rewrite: (type,user) distinct (1) + per-user set groupBy (1)
+    // + (ta,tb) rollup (1) + two windows over the types²-row frame (2)
+    // + final sort (1); the audience self-join + sizes joins are gone
+    val p = plan(queries.AnalyticsQueries.aggOverlap(spark, sfDir))
     assert(shuffles(p) <= 6, p.toString)
-    assert(broadcasts(p) >= 1, "cohort sizes must ride a broadcast join")
+    assert(broadcasts(p) == 0, p.toString)
   }
 
   test("q_ts_transitions: lag window on user_id + pair groupBy; normalizer over grouped rows") {
