@@ -441,19 +441,26 @@ object PipelineQueries {
     val timed = kept.withColumn("rank", row_number().over(w))
       .withColumn("t_s", expr("((rank - 1) div 2) * delay_s"))
       .withColumn("bucket", expr("t_s div 10"))
-    val perHost = timed.groupBy($"host")
-      .agg(count(lit(1)).as("n_urls"), max($"delay_s").as("delay_s"),
-        max($"t_s").as("makespan_s"))
+    // Per-host stats and the busiest bucket both come off ONE
+    // (host, bucket) rollup (guide §2.4, r21): the two-consumer shape
+    // re-ran the regex-heavy URL lineage twice and joined the halves
+    // back. The rollup keeps max(t_s)/max(delay_s) per bucket, so the
+    // host-level numbers are window aggregates over the
+    // hosts×buckets-scale frame — and groupBy(host, bucket) after the
+    // host-partitioned rank window adds NO exchange.
     val wb = Window.partitionBy($"host")
       .orderBy(desc("busy_n"), asc("bucket"))
-    val busiest = timed.groupBy($"host", $"bucket")
-      .agg(count(lit(1)).as("busy_n"))
+    val wh = Window.partitionBy($"host")
+    timed.groupBy($"host", $"bucket")
+      .agg(count(lit(1)).as("busy_n"), max($"t_s").as("mx"),
+        max($"delay_s").as("dl"))
       .withColumn("rn", row_number().over(wb))
+      .withColumn("n_urls", sum($"busy_n").over(wh))
+      .withColumn("delay_s", max($"dl").over(wh))
+      .withColumn("makespan_s", max($"mx").over(wh))
       .filter($"rn" === 1)
-      .select($"host", $"bucket".as("busy_bucket"), $"busy_n")
-    perHost.join(busiest, Seq("host"))
       .select($"host", $"n_urls", $"delay_s", $"makespan_s",
-        $"busy_bucket", $"busy_n")
+        $"bucket".as("busy_bucket"), $"busy_n")
       .orderBy($"host")
   }
 
