@@ -705,12 +705,19 @@ object AnalyticsQueries {
     * into the dedup output scan. */
   def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Fixtures.documents(spark, sfDir)
-      .withColumn("norm", lower(trim($"text")))
-    val keep = docs
-      .groupBy(md5($"norm").as("h"))
-      .agg(min($"doc_id").as("doc_id"))
-    val unique = docs.join(keep, Seq("doc_id"), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    // One pass (guide §2.4, r21): the stage-per-frame shape consumed
+    // the uncached docs base 3× (keep groupBy + semi-join left side +
+    // raw rollup). The dedup verdict is a window min over the SAME
+    // hash key the groupBy used (keeper ⇔ doc_id == min per md5(norm)
+    // partition), so raw/unique/kept all fall out of ONE source rollup
+    // over the windowed frame — no semi-join, no raw-side rescan, the
+    // corpus crosses exactly one hash exchange.
+    val gated = Fixtures.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars",
+        lower(trim($"text")).as("norm"))
+      .withColumn("keeper", $"doc_id" ===
+        min($"doc_id").over(Window.partitionBy(md5($"norm"))))
       .withColumn("w", split($"norm", " "))
       .withColumn("dup_frac",
         when(size($"w") > 0, lit(1.0) -
@@ -721,12 +728,12 @@ object AnalyticsQueries {
       // vocab/len), so the discriminating band is 0.75 / 200 chars —
       // a real crawl would run the Gopher 0.3 band unchanged
       .withColumn("kept",
-        $"dup_frac" <= 0.75 && $"n_chars" >= 200 && $"n_chars" <= 1000)
-    val raw = docs.groupBy($"source").agg(count(lit(1)).as("n_raw"))
-    unique.groupBy($"source")
-      .agg(count(lit(1)).as("n_unique"),
+        $"keeper" && $"dup_frac" <= 0.75 &&
+          $"n_chars" >= 200 && $"n_chars" <= 1000)
+    gated.groupBy($"source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when($"keeper", 1L).otherwise(0L)).as("n_unique"),
         sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
-      .join(broadcast(raw), "source")
       .select($"source", $"n_raw", $"n_unique", $"n_kept",
         round($"n_kept".cast("double") / $"n_raw", 4).as("yield"))
       .orderBy($"source")
