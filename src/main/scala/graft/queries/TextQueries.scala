@@ -424,15 +424,24 @@ object TextQueries {
   def textNll(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val words = Fixtures.documents(spark, sfDir)
+    // (doc, w) pre-reduce before anything shuffles (guide §2.3, r21):
+    // the raw exploded frame fed two consumers (vocab + the join side),
+    // so the corpus explode ran twice and raw word rows crossed the w
+    // exchange. Both consumers now read the SAME (doc, w, k) exchange
+    // (ReuseExchange dedupes the identical subplan — explode runs
+    // ONCE), vocab counts fall out of sum(k), and the per-doc mean is
+    // the k-weighted mean: sum(k·logp)/sum(k) ≡ avg over the k
+    // duplicate rows it replaces.
+    val g = Fixtures.documents(spark, sfDir)
       .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("w"))
-    val vocab = words.groupBy($"w").agg(count(lit(1)).as("n_w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("k"))
+    val vocab = g.groupBy($"w").agg(sum($"k").as("n_w"))
       .withColumn("total", sum($"n_w").over(Window.partitionBy()))
       .withColumn("logp", log($"n_w".cast("double") / $"total"))
-    words.join(vocab.select($"w", $"logp"), Seq("w"))
+    g.join(vocab.select($"w", $"logp"), Seq("w"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        round(-avg($"logp"), 4).as("nll_nats"))
+      .agg(sum($"k").as("n_words"),
+        round(-(sum($"k" * $"logp") / sum($"k")), 4).as("nll_nats"))
       .orderBy($"doc_id")
   }
 
@@ -1109,7 +1118,13 @@ object TextQueries {
     val qterms = Seq("spark", "merge", "window")
     val words = Fixtures.documents(spark, sfDir)
       .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("w"))
-    val dl = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    // doc_ids are unique (pinned by q_check_quality), so dl per doc is
+    // size(split(..)) on the document ROW itself — the pre-r21 explode
+    // + groupBy(doc_id) re-ran the full explode and paid a doc-keyed
+    // exchange to recover a number each row already knows (guide §1.2)
+    val dl = Fixtures.documents(spark, sfDir)
+      .select($"doc_id",
+        size(split(lower(trim($"text")), " ")).cast("long").as("dl"))
     // corpus stats are scalars, driver-collected and embedded as
     // literals (a 1-row crossJoin would plan a BroadcastNestedLoopJoin,
     // and deriving them from dl would run dl's shuffle twice): N = one
@@ -1218,27 +1233,38 @@ object TextQueries {
     * one join back on the bigram key + one groupBy(doc_id). */
   def textNll2(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bi = Fixtures.documents(spark, sfDir)
+    // (doc, w1, w2) pre-reduce (guide §2.3, r21): the raw bigram frame
+    // fed THREE consumers (c2 + c1 + the scoring join), so the bigram
+    // explode ran three times. All consumers now hang off ONE
+    // (doc, w1, w2, k) exchange (ReuseExchange — explode runs once);
+    // c2 = sum(k) per pair, c1 derives from c2 itself as a window sum
+    // over w1 (bigram-type scale, no third corpus pass), and the
+    // per-doc mean is the k-weighted mean of the k duplicate rows it
+    // replaces.
+    val g = Fixtures.documents(spark, sfDir)
       .select($"doc_id", split(lower(trim($"text")), " ").as("w"))
       .filter(size($"w") >= 2)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
       .select($"doc_id", $"b.w1", $"b.w2")
-    val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
     // V is ONE scalar — driver-collected and embedded (the 1-row
-    // crossJoin alternative plans a BroadcastNestedLoopJoin)
+    // crossJoin alternative plans a BroadcastNestedLoopJoin); it must
+    // count UNIGRAM vocabulary, which bigrams cannot recover (a
+    // one-word doc contributes no bigram but may hold a unique word)
     val v = Fixtures.documents(spark, sfDir)
       .select(explode(split(lower(trim($"text")), " ")).as("w"))
       .agg(countDistinct($"w")).head().getLong(0)
-    val model = c2.join(c1, Seq("w1"))
+    val model = g.groupBy($"w1", $"w2").agg(sum($"k").as("c2"))
+      .withColumn("c1", sum($"c2").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"w1")))
       .withColumn("logp",
         log(($"c2" + 1).cast("double") / ($"c1" + lit(v))))
       .select($"w1", $"w2", $"logp")
-    bi.join(model, Seq("w1", "w2"))
+    g.join(model, Seq("w1", "w2"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-avg($"logp"), 4).as("nll2_nats"))
+      .agg(sum($"k").as("n_bigrams"),
+        round(-(sum($"k" * $"logp") / sum($"k")), 4).as("nll2_nats"))
       .orderBy($"doc_id")
   }
 
