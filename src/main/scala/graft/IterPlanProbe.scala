@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Measurement tool (optimization rounds): prints the physical plan of
+  * ONE pagerank power-iteration step — the loop body whose shape the
+  * final frame's explain hides behind the checkpoint's ExistingRDD
+  * scan. Replicates PageRank.run's iteration dataflow verbatim (same
+  * cached frames, same join/agg) so Exchange placement is auditable:
+  * the r22 claim is ONE shuffle Exchange per iteration (the
+  * contributions groupBy), with the rank join riding the cached edge
+  * frame's src partitioning. args(0) = output file (default stdout).
+  * Read-only: touches nothing timed. */
+object IterPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Fixtures.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "8") // as graphPagerank sets
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val li = Fixtures.lineitem(spark, sfDir).select($"l_partkey", $"l_suppkey")
+    val edges = li
+      .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .union(li.select(($"l_suppkey" * 2 + 1).as("src"),
+        ($"l_partkey" * 2).as("dst")))
+    // — PageRank.run setup, verbatim (before = the r21 shape: linked
+    // not pre-partitioned, no join hint; after = the r22 shape) —
+    val before = args.length > 1 && args(1) == "before"
+    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val linkedBase = e.join(deg, "src")
+    val linked = (if (before) linkedBase else linkedBase.repartition($"src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranks = nodes.withColumn("rank", lit(1.0 / n))
+      .localCheckpoint(eager = true)
+    val base = (1.0 - 0.85) / n
+    def step(r: org.apache.spark.sql.DataFrame) = {
+      val rs = r.withColumnRenamed("node", "src")
+      linked
+        .join(if (before) rs else rs.hint("shuffle_hash"), "src")
+        .select($"dst".as("node"), ($"rank" / $"deg").as("m"))
+        .union(nodes.select($"node", lit(0.0).as("m")))
+        .groupBy($"node")
+        .agg((lit(base) + lit(0.85) * sum($"m")).as("rank"))
+    }
+    // — one iteration body, verbatim —
+    val next = step(ranks)
+    // materialize once so AQE's FINAL plan (the executed truth) prints
+    next.write.format("noop").mode("overwrite").save()
+    val txt = next.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // second-iteration shape: ranks now come from the previous agg
+    val next2 = step(next)
+    next2.write.format("noop").mode("overwrite").save()
+    val txt2 = next2.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val out = "== iteration 1 (ranks from checkpoint) ==\n" + txt +
+      "\n== iteration 2 (ranks chained from iteration 1's agg) ==\n" + txt2
+    if (args.nonEmpty) {
+      java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
+        out.getBytes("UTF-8"))
+      println(s"[iterplan] written to ${args(0)}")
+    } else println(out)
+    spark.stop()
+  }
+}

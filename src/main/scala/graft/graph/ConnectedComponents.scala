@@ -38,16 +38,23 @@ object ConnectedComponents {
       val msgs = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy($"dst".as("node"))
         .agg(min($"cluster").as("nbr_min"))
+      // cached, not checkpointed (r22, the fused dedupClusters
+      // discipline): the pointer-jump self-join reads `adopted` twice,
+      // which cache() serves, while its lineage stays one round deep
+      // (labels is a checkpoint) — the eager checkpoint here only paid
+      // a THIRD action per round (join+agg ran as its own job instead
+      // of inside next's materialization)
       val adopted = labels.join(msgs, Seq("node"), "left")
         .select($"node", $"cluster".as("old"),
           least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
-        .localCheckpoint()
+        .cache()
       val next = adopted
         .join(adopted.select($"node".as("cluster"), $"cluster".as("jump")),
           Seq("cluster"), "left")
         .select($"node", $"old",
           least($"cluster", coalesce($"jump", $"cluster")).as("cluster"))
         .localCheckpoint()
+      adopted.unpersist(blocking = false)
       // convergence test is a SEPARATE count() job per round, over the
       // just-checkpointed (cached) blocks — deliberately not an
       // accumulator folded into the jump pass: accumulators on

@@ -14,15 +14,20 @@ import org.apache.spark.storage.StorageLevel
   *
   *  - `edges(src, dst)` is deduped once; out-degrees come from ONE
   *    groupBy and ride along as an `(src, dst, deg)` frame cached for
-  *    the whole run (the only corpus-scale state).
-  *  - each iteration is one shuffle pair: join ranks onto the edge
-  *    frame by src (both sides hash-partitioned on the node id — AQE
-  *    plans the join), then ONE `groupBy(node)` over the edge
-  *    contributions unioned with a zero row per node — the union
+  *    the whole run (the only corpus-scale state), PRE-PARTITIONED on
+  *    src (r22) so the per-iteration rank join reuses it shuffle-free.
+  *  - each iteration pays ONE exchange: ranks leave the previous
+  *    iteration's `groupBy(node)` hash-partitioned on the node id and
+  *    shuffled-hash-join onto the co-partitioned edge frame with no
+  *    exchange on either side (plans/r22/q_graph_pagerank_iteration_
+  *    after.txt: the chained iteration's SHJ consumes the previous agg
+  *    directly — the only Exchange is the contributions groupBy; a
+  *    checkpoint round re-exchanges node-scale ranks once because
+  *    localCheckpoint drops partitioning info under AQE). The union
   *    keeps sink nodes in the frame without the separate
   *    left-join-onto-nodes the r19 shape paid (3 shuffles/iteration
-  *    → 2; paired-alternation-measured −0.9 s at sf0.1,
-  *    BENCH_r20_isolated_pagerank.json, output oracle-identical).
+  *    → 2 in r20, paired −0.9 s, BENCH_r20_isolated_pagerank.json;
+  *    → 1 in r22 — and the edge-scale side never moves again).
   *  - dangling mass (nodes with no out-edges) is ONE scalar aggregate
   *    per iteration, redistributed uniformly — metadata-scale driver
   *    traffic (a single double), never node-scale.
@@ -59,19 +64,38 @@ object PageRank {
       .union(e.select($"dst".as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count().toDouble
-    require(n > 0, "pagerank needs a non-empty graph")
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // pre-partition the edge frame ON THE JOIN KEY once (guide §2.1/
+    // §2.4, r22): every iteration joins ranks onto `linked` by src, and
+    // ranks leave each iteration's groupBy(node) already hash-
+    // partitioned on the node id — with the cached edge frame holding
+    // the SAME partitioning, the per-iteration join needs NO exchange
+    // on either side (the shuffle_hash hint below keeps the planner
+    // from broadcasting node-scale ranks, which cannot broadcast at
+    // real graph sizes, and from sort-merge re-sorting the edge frame
+    // every round). Each iteration then pays exactly ONE exchange: the
+    // contributions groupBy(node).
     val linked = e.join(deg, "src")
+      .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the dangling-node SET is iteration-invariant — resolve it once
-    // (cached, node-scale); referencing `deg` inside the loop would
-    // re-derive the whole edge frame every round (union + distinct
-    // over the source relation — measured 8× the query's actual work)
-    val danglingNodes = nodes
-      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val anyDangling = danglingNodes.count() > 0
+    // node count AND dangling count from ONE action (r22: they were two
+    // jobs — guide §1.2, fixed per-job cost dominates iterative setup);
+    // the dangling-node SET is iteration-invariant — resolved once and
+    // cached ONLY when it is non-empty (dangling-free graphs, like the
+    // bidirectional supply graph, skip the anti-join cache entirely).
+    // Referencing `deg` inside the loop would re-derive the whole edge
+    // frame every round (measured 8× the query's actual work, r16).
+    val cnts = nodes
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .agg(count(lit(1)), count(when($"deg".isNull, 1))).head()
+    val n = cnts.getLong(0).toDouble
+    require(n > 0, "pagerank needs a non-empty graph")
+    val anyDangling = cnts.getLong(1) > 0
+    val danglingNodes =
+      if (!anyDangling) null
+      else nodes
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
       .localCheckpoint(eager = false)
@@ -89,12 +113,13 @@ object PageRank {
       val base = (1.0 - damping) / n + damping * dangling / n
       // contributions and the keep-every-node union fold into ONE
       // aggregation: edge mass (rank/deg per out-edge) unioned with a
-      // zero row per node, then a single groupBy(node) — two shuffles
-      // per iteration (the rank join + this agg) where the previous
-      // groupBy(dst) + left-join-onto-nodes shape paid three. The
-      // zero rows keep sink nodes (no in-edges) in the frame exactly
-      // as the left join did, and adding 0.0 to a double sum is exact.
-      val next = linked.join(ranks.withColumnRenamed("node", "src"), "src")
+      // zero row per node, then a single groupBy(node) — the ONE
+      // exchange of the iteration (the rank join above is co-
+      // partitioned and shuffle-free). The zero rows keep sink nodes
+      // (no in-edges) in the frame exactly as the left join did, and
+      // adding 0.0 to a double sum is exact.
+      val next = linked
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select($"dst".as("node"), ($"rank" / $"deg").as("m"))
         .union(nodes.select($"node", lit(0.0).as("m")))
         .groupBy($"node")
@@ -115,7 +140,7 @@ object PageRank {
     // the returned ranks are a self-contained checkpointed RDD
     nodes.unpersist()
     linked.unpersist()
-    danglingNodes.unpersist()
+    if (danglingNodes != null) danglingNodes.unpersist()
     e.unpersist()
     ranks
   }

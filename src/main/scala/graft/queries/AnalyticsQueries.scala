@@ -726,10 +726,15 @@ object AnalyticsQueries {
       // thresholds sized to the fixture's 31-word vocabulary: long
       // word-soup docs are INHERENTLY repetitive (distinct/total <=
       // vocab/len), so the discriminating band is 0.75 / 200 chars —
-      // a real crawl would run the Gopher 0.3 band unchanged
+      // a real crawl would run the Gopher 0.3 band unchanged.
+      // Conjunction order matters for cost, not value: keeper and the
+      // n_chars band are cheap column tests and And short-circuits in
+      // codegen, so the split/array_distinct work behind dup_frac never
+      // runs for dropped duplicates — at high duplication rates that is
+      // most of the corpus (r21 advisory: dead tokenization).
       .withColumn("kept",
-        $"keeper" && $"dup_frac" <= 0.75 &&
-          $"n_chars" >= 200 && $"n_chars" <= 1000)
+        $"keeper" && $"n_chars" >= 200 && $"n_chars" <= 1000 &&
+          $"dup_frac" <= 0.75)
     gated.groupBy($"source")
       .agg(count(lit(1)).as("n_raw"),
         sum(when($"keeper", 1L).otherwise(0L)).as("n_unique"),
@@ -1503,10 +1508,12 @@ object AnalyticsQueries {
   /** Iterative BFS — min-hop levels from node 0 over a deterministic
     * arithmetic graph (two out-edges per node), proven against a
     * DuckDB RECURSIVE CTE oracle: the driver loop (frontier join →
-    * anti-join vs visited → union, `localCheckpoint` per round, NO
-    * convergence count() action — the fixed 10-hop budget bounds the
-    * loop and empty frontiers join for free) must reproduce the
-    * recursive fixpoint's min(hop) exactly. The iterative-loop
+    * anti-join vs visited → union; each frontier `localCheckpoint`ed,
+    * visited a LAZY union of those materialized frontiers; the loop
+    * ends at the 10-hop budget or on an empty frontier — an empty
+    * frontier can never add a node, so the early exit is
+    * result-invisible) must reproduce the recursive fixpoint's
+    * min(hop) exactly. The iterative-loop
     * discipline of PageRank/CC, with cross-engine semantics instead
     * of a spec replica. Shape at 100 TB: each round is one keyed
     * join + one anti-join on node ids; frontier and visited are
@@ -1521,16 +1528,29 @@ object AnalyticsQueries {
         ($"src" * 2 + 3) % n, ($"src" * 5 + 7) % n)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // r22 loop-overhead fix (guide §1.2: fixed per-job cost dominates
+      // an iterative dataflow): `visited` stays a LAZY union of the
+      // already-checkpointed per-hop frontiers — unioning materialized
+      // RDDs adds no lineage depth, so re-checkpointing the union every
+      // round only paid a second action per hop (20 jobs → 10). And an
+      // EMPTY frontier ends the loop: the remaining budget rounds were
+      // pure fixed cost (2 jobs each) joining nothing — same result by
+      // construction (an empty frontier can never add a node). isEmpty
+      // reads the just-checkpointed blocks, metadata-cheap.
       var visited = Seq((0L, 0L)).toDF("node", "hop").localCheckpoint(true)
       var frontier = visited
-      for (h <- 1 to 10) {
+      var h = 1
+      var done = false
+      while (h <= 10 && !done) {
         val next = frontier.join(edges, frontier("node") === edges("src"))
           .select($"dst".as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .withColumn("hop", lit(h.toLong))
           .localCheckpoint(true)
-        visited = visited.union(next).localCheckpoint(true)
+        visited = visited.union(next)
         frontier = next
+        done = next.isEmpty
+        h += 1
       }
       visited.groupBy($"hop")
         .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
@@ -1755,11 +1775,18 @@ object AnalyticsQueries {
       .select($"m.t_us", $"m.delta")
     val w = Window.orderBy($"t_us", $"delta")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // first_peak_us = min t_us among rows achieving the global max —
+    // one struct-max in the SAME final aggregate: (load, -t_us) orders
+    // by load first, then by the LATEST -t_us, i.e. the EARLIEST t_us
+    // (all-integer, exact). The r21 shape computed the global max as an
+    // empty-partition window over the marks frame — a second full
+    // single-partition pass at corpus scale (guide §2.5/§5) just to
+    // re-scan for the argmax the aggregate can carry itself.
     marks.withColumn("load", sum($"delta").over(w))
-      .withColumn("gmax", max($"load").over(Window.partitionBy()))
       .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
         max($"load").as("peak"),
-        min(when($"load" === $"gmax", $"t_us")).as("first_peak_us"))
+        (-max(struct($"load", (-$"t_us").as("neg_t"))).getField("neg_t"))
+          .as("first_peak_us"))
   }
 
   val tsConcurrencySql: String =

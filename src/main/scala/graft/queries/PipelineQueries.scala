@@ -141,19 +141,50 @@ object PipelineQueries {
     (ex.join(kept, Seq("shingle")).cache(), ex)
   }
 
+  /** Co-occurrence counts (id_a < id_b, n_common) over the kept
+    * shingle universe — the Σ df² pair stage shared by q_dedup_ngram
+    * and q_dedup_containment. r21 shipped this as an equi-SELF-JOIN on
+    * shingle: two reads of the cached universe, join machinery, and
+    * Σ df² raw pair rows assembled by the join. The per-shingle doc
+    * list is bounded by [[NgramDfCap]] (= 100), so collecting the
+    * sorted list ONCE and expanding C(k, 2) locally (the proven
+    * q_dedup_cross_source trick, guide §2.3/§2.4) yields the identical
+    * pair multiset — ascending list ⇒ id_a < id_b by construction —
+    * from ONE read, no join, and map-side partial counting before the
+    * pair exchange. The expansion is a typed flatMap, not a nested SQL
+    * transform(): HOF lambdas evaluate interpreted per element (the
+    * 14.4 s shingling lesson above) and k reaches 100 ⇒ 4950 structs
+    * per hot shingle. */
+  private[queries] def shingleCooccur(keptEx: DataFrame): DataFrame = {
+    val spark = keptEx.sparkSession
+    import spark.implicits._
+    keptEx.groupBy($"shingle")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") >= 2)
+      .select($"ids").as[Seq[Long]]
+      .flatMap { ids =>
+        val a = ids.toArray
+        java.util.Arrays.sort(a)
+        for {
+          i <- a.indices.iterator
+          j <- (i + 1) until a.length
+        } yield (a(i), a(j))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_common"))
+  }
+
   /** Exact n-gram (word trigram) Jaccard near-dup pairs — the
     * hash-free oracle for the MinHash path: J(a,b) >= 0.35 on distinct
     * shingle sets with df <= NgramDfCap. Shuffle key = shingle, so the
-    * join is equi at scale, and the df cap bounds every bucket. */
+    * pair stage is equi at scale, and the df cap bounds every bucket
+    * (see [[shingleCooccur]]). */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val keptEx = keptShingles(spark, sfDir)
     val sizes = keptEx.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = keptEx.select($"doc_id".as("id_a"), $"shingle")
-      .join(keptEx.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))
-      .filter($"id_a" < $"id_b")
-      .groupBy($"id_a", $"id_b")
-      .agg(count(lit(1)).as("n_common"))
+    val pairs = shingleCooccur(keptEx)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
@@ -861,11 +892,7 @@ object PipelineQueries {
     import spark.implicits._
     val keptEx = keptShingles(spark, sfDir)
     val sizes = keptEx.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = keptEx.select($"doc_id".as("id_a"), $"shingle")
-      .join(keptEx.select($"doc_id".as("id_b"), $"shingle"), Seq("shingle"))
-      .filter($"id_a" < $"id_b")
-      .groupBy($"id_a", $"id_b")
-      .agg(count(lit(1)).as("n_common"))
+    val pairs = shingleCooccur(keptEx)
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))

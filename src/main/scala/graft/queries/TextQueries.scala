@@ -416,29 +416,40 @@ object TextQueries {
     * under the corpus's own unigram distribution — the cheap
     * perplexity-style quality signal (rare-word soup scores high,
     * stopword-heavy boilerplate low) every curation pipeline computes
-    * before a real LM ever runs. Plan at 100 TB: one word explode (the
-    * only data-scale shuffle keys on `word` for counts and re-joins on
-    * it — both well-distributed), the corpus total is a window over the
-    * GROUPED vocab rows (metadata scale), then one groupBy(doc_id).
-    * Every word exists in its own corpus, so no OOV smoothing term. */
+    * before a real LM ever runs. Plan at 100 TB: the corpus total is a
+    * driver literal off one narrow scan, then ONE word explode → one
+    * (doc, w) pre-reduce → n_w as a window sum on the w exchange → one
+    * groupBy(doc_id). Every word exists in its own corpus, so no OOV
+    * smoothing term. */
   def textNll(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // (doc, w) pre-reduce before anything shuffles (guide §2.3, r21):
-    // the raw exploded frame fed two consumers (vocab + the join side),
-    // so the corpus explode ran twice and raw word rows crossed the w
-    // exchange. Both consumers now read the SAME (doc, w, k) exchange
-    // (ReuseExchange dedupes the identical subplan — explode runs
-    // ONCE), vocab counts fall out of sum(k), and the per-doc mean is
-    // the k-weighted mean: sum(k·logp)/sum(k) ≡ avg over the k
-    // duplicate rows it replaces.
+    // Corpus word total as a driver literal (the bm25/tfidf pattern,
+    // r22): Σ size(split(text)) over one NARROW scan equals the
+    // exploded word-row count exactly (size() counts every element
+    // explode emits, empties included), which equals the old
+    // sum(n_w) OVER () — same integer, without funneling the whole
+    // vocabulary through ONE empty-partition window (guide §2.5/§5:
+    // that single partition is a genuine scale-killer at 100 TB
+    // vocabularies).
+    val total = Fixtures.documents(spark, sfDir)
+      .agg(sum(size(split(lower(trim($"text")), " ")).cast("long")))
+      .head().getLong(0)
+    // ONE lineage (guide §2.4, r22): the r21 shape fed the (doc, w, k)
+    // pre-reduce to two consumers (vocab agg + the scoring join) and
+    // relied on ReuseExchange to dedupe them — the committed plan showed
+    // it never fired (2 scans, 2 Generates, 6 Exchanges). n_w is the
+    // same sum(k) as a window over the w-partitioning the scoring
+    // needs anyway, so the explode provably runs ONCE and the join
+    // disappears: scan → explode → (doc,w) pre-reduce → w window →
+    // doc rollup, 3 Exchanges total. The hot-word partition groups this
+    // buffers are the SAME rows the old join shuffled to one reducer —
+    // no new skew, one fewer corpus pass.
     val g = Fixtures.documents(spark, sfDir)
       .select($"doc_id", explode(split(lower(trim($"text")), " ")).as("w"))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("k"))
-    val vocab = g.groupBy($"w").agg(sum($"k").as("n_w"))
-      .withColumn("total", sum($"n_w").over(Window.partitionBy()))
-      .withColumn("logp", log($"n_w".cast("double") / $"total"))
-    g.join(vocab.select($"w", $"logp"), Seq("w"))
+    g.withColumn("n_w", sum($"k").over(Window.partitionBy($"w")))
+      .withColumn("logp", log($"n_w".cast("double") / lit(total)))
       .groupBy($"doc_id")
       .agg(sum($"k").as("n_words"),
         round(-(sum($"k" * $"logp") / sum($"k")), 4).as("nll_nats"))
@@ -1228,9 +1239,10 @@ object TextQueries {
     * counts bigram STARTS (the proper conditioning denominator) and
     * V is the corpus vocabulary. Every ratio entering ln() is
     * exact-integer (the log-oracle discipline), rounded ONCE. Shape
-    * at 100 TB: the model is vocab²-bounded (groupBy on well-spread
-    * bigram keys), V and nothing else is a driver scalar; scoring is
-    * one join back on the bigram key + one groupBy(doc_id). */
+    * at 100 TB: one bigram explode, one (doc, w1, w2) pre-reduce, the
+    * model counts read in place as chained window sums over one w1
+    * exchange, one groupBy(doc_id); V and nothing else is a driver
+    * scalar. */
   def textNll2(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // (doc, w1, w2) pre-reduce (guide §2.3, r21): the raw bigram frame
@@ -1255,13 +1267,25 @@ object TextQueries {
     val v = Fixtures.documents(spark, sfDir)
       .select(explode(split(lower(trim($"text")), " ")).as("w"))
       .agg(countDistinct($"w")).head().getLong(0)
-    val model = g.groupBy($"w1", $"w2").agg(sum($"k").as("c2"))
-      .withColumn("c1", sum($"c2").over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"w1")))
+    // ONE lineage (guide §2.4, r22): the r21 shape derived the model
+    // from a second read of g and joined it back, counting on
+    // ReuseExchange to dedupe the two subplans — the committed plan
+    // showed it never fired (2 Generates, 0 ReusedExchange). Both model
+    // counts are window sums over g itself: c1 = Σk over w1, and the
+    // (w1, w2) window rides the SAME w1 exchange (hashpartitioning(w1)
+    // satisfies the (w1, w2) clustering — a sort, not a shuffle), so
+    // the bigram explode provably runs ONCE and the join disappears:
+    // scan → explode → (doc,w1,w2) pre-reduce → w1 exchange → two
+    // chained windows → doc rollup. c2 per (w1,w2) and c1 per w1 are
+    // the identical integers the model table held; every (doc, bigram)
+    // row reads them in place instead of through a join.
+    val wByW1 = org.apache.spark.sql.expressions.Window.partitionBy($"w1")
+    val wByBigram =
+      org.apache.spark.sql.expressions.Window.partitionBy($"w1", $"w2")
+    g.withColumn("c1", sum($"k").over(wByW1))
+      .withColumn("c2", sum($"k").over(wByBigram))
       .withColumn("logp",
         log(($"c2" + 1).cast("double") / ($"c1" + lit(v))))
-      .select($"w1", $"w2", $"logp")
-    g.join(model, Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(sum($"k").as("n_bigrams"),
         round(-(sum($"k" * $"logp") / sum($"k")), 4).as("nll2_nats"))

@@ -71,10 +71,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) <= 3, p.toString)
   }
 
-  test("q_text_nll: word-explode groupBy + re-join + doc groupBy + sort") {
-    // vocab groupBy (1) + single-partition window over VOCAB rows (1) +
-    // the word join's two sides (2) + doc groupBy (1) + sort (1)
-    assert(shuffles(TextQueries.textNll(spark, sfDir)) <= 6)
+  test("q_text_nll: ONE explode lineage — pre-reduce, w window, doc rollup") {
+    // r22: (doc,w) pre-reduce (1) + n_w window on the w exchange (1) +
+    // doc groupBy (1) + sort (1); the r21 join-back shape (6 shuffles,
+    // 2 Generates) and the corpus-scale empty-partition window are gone
+    val p = plan(TextQueries.textNll(spark, sfDir))
+    assert(shuffles(p) <= 4, p.toString)
+    import org.apache.spark.sql.execution.GenerateExec
+    assert(p.collect { case g: GenerateExec => g }.length == 1,
+      "the word explode must run exactly once")
+    import org.apache.spark.sql.execution.joins._
+    assert(p.collect {
+      case j @ (_: SortMergeJoinExec | _: ShuffledHashJoinExec |
+                _: BroadcastHashJoinExec | _: BroadcastNestedLoopJoinExec) => j
+    }.isEmpty, "the vocab join-back must not exist — n_w rides the window")
+  }
+
+  test("q_text_nll2: ONE explode lineage — both model counts ride one w1 exchange") {
+    // r22: (doc,w1,w2) pre-reduce (1) + w1 exchange (1) shared by BOTH
+    // chained windows (the (w1,w2) window is a sort, not a shuffle) +
+    // doc groupBy (1) + sort (1); no model join-back
+    val p = plan(TextQueries.textNll2(spark, sfDir))
+    assert(shuffles(p) <= 4, p.toString)
+    import org.apache.spark.sql.execution.GenerateExec
+    assert(p.collect { case g: GenerateExec => g }.length == 1,
+      "the bigram explode must run exactly once")
+    import org.apache.spark.sql.execution.joins._
+    assert(p.collect {
+      case j @ (_: SortMergeJoinExec | _: ShuffledHashJoinExec |
+                _: BroadcastHashJoinExec | _: BroadcastNestedLoopJoinExec) => j
+    }.isEmpty, "the model join-back must not exist — c1/c2 ride the windows")
+  }
+
+  test("q_dedup_ngram: pair stage is collect_list + local C(k,2) — no self-join") {
+    // shingle rollup (1) + pair groupBy (1) + sizes groupBy (1) + the
+    // two sizes joins' exchanges (<=2, if not broadcast) + sort (1);
+    // the only joins left attach doc sizes — the Σdf² shingle
+    // self-join is gone
+    val p = plan(PipelineQueries.dedupNgram(spark, sfDir))
+    import org.apache.spark.sql.execution.joins._
+    val joins = p.collect {
+      case j @ (_: SortMergeJoinExec | _: ShuffledHashJoinExec |
+                _: BroadcastHashJoinExec | _: BroadcastNestedLoopJoinExec) => j
+    }
+    assert(joins.length <= 2, s"expected only the 2 sizes joins:\n$p")
+    assert(shuffles(p) <= 6, p.toString)
   }
 
   test("q_mix_temperature: same metadata-scale shape as q_mix_weights") {
