@@ -24,10 +24,19 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // pre-partitioned on the join key (r22, the PageRank discipline):
+    // every round joins labels onto e by src, so the cached edge frame
+    // holds hashpartitioning(src) once and the per-round join runs
+    // shuffled-hash with NO exchange on the edge side (the hint below
+    // keeps the planner off broadcast — node-scale labels cannot
+    // broadcast at real graph sizes — and off sort-merge's per-round
+    // edge re-sort). cache(), not checkpoint: only cache preserves the
+    // partitioning info.
     val e = edges.select($"src".cast("long"), $"dst".cast("long"))
       .union(edges.select($"dst".cast("long").as("src"),
         $"src".cast("long").as("dst")))
       .distinct()
+      .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select($"src".as("node")).distinct()
       .withColumn("cluster", $"node")
@@ -35,7 +44,9 @@ object ConnectedComponents {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val msgs = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+      val msgs = e
+        .join(labels.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .groupBy($"dst".as("node"))
         .agg(min($"cluster").as("nbr_min"))
       // cached, not checkpointed (r22, the fused dedupClusters
@@ -69,5 +80,37 @@ object ConnectedComponents {
     }
     e.unpersist()
     labels
+  }
+
+  /** Driver-local components for METADATA-SCALE edge lists — the
+    * crawl-links gate pattern (PageRank.runLocal precedent): path-
+    * compressed union-find that always attaches the LARGER root under
+    * the smaller, so every tree's root is the component's min id —
+    * identical labels to [[run]] (cluster = min node id reachable),
+    * pinned equal on random graphs in ConnectedComponentsSpec.
+    * Callers gate on a MEASURED edge count (e.g. collect at most
+    * maxLocal+1 edges; past the gate the identical math runs
+    * distributed) — a vocabulary-variant graph is bounded by real
+    * spelling variation, thousands of edges at web scale, ≪ one task's
+    * scheduling overhead per distributed round. */
+  def runLocal(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 }

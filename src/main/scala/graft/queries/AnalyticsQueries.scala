@@ -995,7 +995,22 @@ object AnalyticsQueries {
       .join(terms.withColumnRenamed("term", "term_b")
         .withColumnRenamed("id", "dst"), Seq("term_b"))
       .select($"src", $"dst")
-    val cc = graft.graph.ConnectedComponents.run(edges)
+    // GATED local components (r22, the crawlLinksGated pattern): the
+    // variant graph is bounded by real spelling variation — thousands
+    // of edges at web scale — while the distributed CC loop pays
+    // multiple driver actions per round (ShuffleProbe measured this
+    // query at 43 jobs for 6.7 KB of total shuffle). ONE action
+    // collects at most maxLocal+1 edges; within the gate the identical
+    // min-id union-find labels locally (pinned ≡ ConnectedComponents.run
+    // in ConnectedComponentsSpec), past it the distributed loop runs
+    // on the full frame unchanged.
+    val maxLocal = 1000000
+    val head = edges.as[(Long, Long)].head(maxLocal + 1)
+    val cc =
+      if (head.length <= maxLocal) {
+        val lab = graft.graph.ConnectedComponents.runLocal(head.toSeq)
+        lab.toSeq.toDF("node", "cluster")
+      } else graft.graph.ConnectedComponents.run(edges)
     // singletons (no near-variant) are their own canonical form
     val labeled = terms.join(cc.withColumnRenamed("node", "id"),
         Seq("id"), "left")
@@ -1508,12 +1523,10 @@ object AnalyticsQueries {
   /** Iterative BFS — min-hop levels from node 0 over a deterministic
     * arithmetic graph (two out-edges per node), proven against a
     * DuckDB RECURSIVE CTE oracle: the driver loop (frontier join →
-    * anti-join vs visited → union; each frontier `localCheckpoint`ed,
-    * visited a LAZY union of those materialized frontiers; the loop
-    * ends at the 10-hop budget or on an empty frontier — an empty
-    * frontier can never add a node, so the early exit is
-    * result-invisible) must reproduce the recursive fixpoint's
-    * min(hop) exactly. The iterative-loop
+    * anti-join vs visited → union, `localCheckpoint` per round, NO
+    * convergence count() action — the fixed 10-hop budget bounds the
+    * loop and empty frontiers join for free) must reproduce the
+    * recursive fixpoint's min(hop) exactly. The iterative-loop
     * discipline of PageRank/CC, with cross-engine semantics instead
     * of a spec replica. Shape at 100 TB: each round is one keyed
     * join + one anti-join on node ids; frontier and visited are
@@ -1528,29 +1541,24 @@ object AnalyticsQueries {
         ($"src" * 2 + 3) % n, ($"src" * 5 + 7) % n)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // r22 loop-overhead fix (guide §1.2: fixed per-job cost dominates
-      // an iterative dataflow): `visited` stays a LAZY union of the
-      // already-checkpointed per-hop frontiers — unioning materialized
-      // RDDs adds no lineage depth, so re-checkpointing the union every
-      // round only paid a second action per hop (20 jobs → 10). And an
-      // EMPTY frontier ends the loop: the remaining budget rounds were
-      // pure fixed cost (2 jobs each) joining nothing — same result by
-      // construction (an empty frontier can never add a node). isEmpty
-      // reads the just-checkpointed blocks, metadata-cheap.
+      // r22 NOTE: a "lazy visited union + empty-frontier early exit"
+      // variant was built and PAIRED-MEASURED SLOWER in 0/4 pairs
+      // (2.86 → 5.16 s mean, BENCH_r22_paired_batch2.json): the lazy
+      // union makes round h's anti-join re-scan h separate checkpointed
+      // RDDs and the plan grows per round, which costs more than the
+      // node-scale visited re-checkpoint it saved — and this graph
+      // still adds nodes at hop 10, so the early exit never fires.
+      // Reverted; the per-round eager checkpoint stands as measured.
       var visited = Seq((0L, 0L)).toDF("node", "hop").localCheckpoint(true)
       var frontier = visited
-      var h = 1
-      var done = false
-      while (h <= 10 && !done) {
+      for (h <- 1 to 10) {
         val next = frontier.join(edges, frontier("node") === edges("src"))
           .select($"dst".as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .withColumn("hop", lit(h.toLong))
           .localCheckpoint(true)
-        visited = visited.union(next)
+        visited = visited.union(next).localCheckpoint(true)
         frontier = next
-        done = next.isEmpty
-        h += 1
       }
       visited.groupBy($"hop")
         .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),

@@ -109,11 +109,19 @@ object DedupQueries {
     // the shingle join + Jaccard agg would evaluate twice
     val (pairs, pairsBlocks) = checkpointTracked(
       PipelineQueries.dedupNgram(spark, sfDir).select($"id_a", $"id_b"))
-    val (edges, edgesBlocks) = checkpointTracked(
-      pairs.union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
-        .toDF("src", "dst"))
-    // edges is materialized; the pairs blocks have no further reader
-    pairsBlocks.foreach(_.unpersist(blocking = false))
+    // edges: a CACHE pre-partitioned on the per-round join key (r22,
+    // the PageRank discipline) — cache preserves hashpartitioning(src)
+    // where the previous eager checkpoint dropped it, so every round's
+    // label join runs shuffled-hash with NO exchange on the edge side.
+    // Lineage stays one step deep (pairs is a checkpoint), and the
+    // pairs blocks MUST stay pinned until the loop ends: the lazy cache
+    // materializes on the first round's action and reads them —
+    // truncated lineage cannot recompute a freed block.
+    val edges = pairs
+      .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      .toDF("src", "dst")
+      .repartition($"src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var (labels, prevBlocks) = checkpointTracked(
       edges.select($"src".as("doc_id")).distinct()
         .withColumn("cluster", $"doc_id"))
@@ -122,7 +130,8 @@ object DedupQueries {
     while (changed > 0 && iter < 50) {
       // each node adopts the min label among itself and its neighbors
       val msgs = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(labels.withColumnRenamed("doc_id", "src").hint("shuffle_hash"),
+          Seq("src"))
         .groupBy($"dst".as("doc_id"))
         .agg(min($"cluster").as("nbr_min"))
       // cached within the round: the pointer-jump self-join references
@@ -153,12 +162,14 @@ object DedupQueries {
       labels = next.select($"doc_id", $"cluster")
       iter += 1
     }
-    // the returned DF reads only the FINAL round's blocks; edges are
-    // done. The final labels blocks MUST stay persisted for the
-    // consumer (truncated lineage — dropping them would break the
-    // result), so they are handed to the retained registry for
-    // releaseClusterCheckpoints() to free once results are consumed.
-    edgesBlocks.foreach(_.unpersist(blocking = false))
+    // the returned DF reads only the FINAL round's blocks; edges and
+    // the pairs checkpoint behind them are done. The final labels
+    // blocks MUST stay persisted for the consumer (truncated lineage —
+    // dropping them would break the result), so they are handed to the
+    // retained registry for releaseClusterCheckpoints() to free once
+    // results are consumed.
+    edges.unpersist(blocking = false)
+    pairsBlocks.foreach(_.unpersist(blocking = false))
     prevBlocks.foreach(retainedClusterBlocks.add)
     labels.orderBy($"doc_id")
   }

@@ -37,6 +37,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("runLocal equals the distributed operator (random + chain graphs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val dist = ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ConnectedComponents.runLocal(edges) == dist)
+    assert(ConnectedComponents.runLocal(edges) == ccRef(edges))
+    val chain = (10L until 50L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(ConnectedComponents.runLocal(chain) ==
+      ConnectedComponents.run(chain.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+
   test("chain component converges (pointer jumping shortcuts the diameter)") {
     import spark.implicits._
     val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
