@@ -340,12 +340,21 @@ object AnalyticsQueries {
       .union(li.select(($"l_suppkey" * 2 + 1).as("src"),
         ($"l_partkey" * 2).as("dst")))
     // iterative jobs pay fixed per-task scheduling cost 8× over; size
-    // shuffle partitions to the graph (node-scale ranks, ~1M edges at
-    // sf0.1), exactly as a production run sizes them to edge volume —
-    // the streaming demos apply the same discipline
+    // shuffle partitions TO THE GRAPH, not to a constant (guide §2.2:
+    // partitions in the ~128 MB range — ≈8M 16-byte edge rows — never
+    // one hard-coded local number). Floored at 8, the measured optimum
+    // wherever scheduling overhead dominates: the r22 10×-workload
+    // probe measured 8 partitions at 4.5 s vs 32 partitions at
+    // 8.3–9.6 s on 12M edges (this graph stays orchestration-bound,
+    // not CPU-bound, well past bench scale), so the divisor is sized
+    // for partitions that are genuinely large, exactly as a production
+    // run sizes them to edge volume. The lineitem row count is a
+    // parquet-metadata count, one cheap action.
+    val approxEdges = Fixtures.lineitem(spark, sfDir).count() * 2
+    val parts = math.max(8L, approxEdges / 8000000L)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, parts.toString)
     val ranks =
       try PageRank.run(edges, iters = 8)
       finally spark.conf.set(key, prev)
