@@ -24,6 +24,11 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // r22 NOTE: AQE stays ON here — an AQE-off variant (the
+    // PageRank.run treatment) paired-measured SLOWER on the fused
+    // dedupClusters twin of this loop (BENCH_r22_paired_batch3*.json):
+    // AQE's runtime partition coalescing is the right sizing for
+    // label-scale rounds, unlike pagerank's edge-scale ones.
     // pre-partitioned on the join key (r22, the PageRank discipline):
     // every round joins labels onto e by src, so the cached edge frame
     // holds hashpartitioning(src) once and the per-round join runs

@@ -54,6 +54,27 @@ object PageRank {
   def run(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // AQE has nothing left to re-optimize inside this loop — shuffle
+    // partitions are pre-sized to the graph by the caller, the rank
+    // join is pinned by co-partitioning + the shuffle_hash hint, and
+    // aggregation skew is not AQE-splittable — while it costs one
+    // scheduler job per materialized stage per checkpoint action AND
+    // erases the outputPartitioning a localCheckpoint would otherwise
+    // carry (the checkpoint rounds' extra node-scale exchange,
+    // plans/r22/q_graph_pagerank_iteration_after.txt iteration 1).
+    // Off for the loop, restored after; measured −0.9 s at sf0.1
+    // (isolated 4.2-4.8 → 3.3-3.7 s band).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      runLoop(spark, edges, iters, damping)
+    } finally spark.conf.set(aqeKey, aqePrev)
+  }
+
+  private def runLoop(spark: SparkSession, edges: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
+    import spark.implicits._
     // e feeds THREE derivations (nodes, degrees, the linked frame) —
     // cache it or the union+distinct over the source relation runs
     // three times before the first iteration starts

@@ -122,6 +122,14 @@ object DedupQueries {
       .toDF("src", "dst")
       .repartition($"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r22 NOTE: the PageRank-style AQE-off loop was tried here and
+    // paired-measured SLOWER (0/4, +0.77 s; with data-sized shuffle
+    // partitions still 2/4, +0.23 s — BENCH_r22_paired_batch3*.json):
+    // on this pair graph AQE's runtime coalescing (≈1 post-shuffle
+    // partition for ~1k edges) beats any statically chosen count, and
+    // unlike pagerank the loop's plans are join-heavy node-scale
+    // frames where per-stage scheduling is not the dominant term.
+    // Reverted; AQE stays ON for this loop.
     var (labels, prevBlocks) = checkpointTracked(
       edges.select($"src".as("doc_id")).distinct()
         .withColumn("cluster", $"doc_id"))
